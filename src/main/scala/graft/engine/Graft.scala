@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + canonical table catalog for the graft engine.
+  *
+  * Design notes (100 TB mindset, tested on local[N]):
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *     splitting, and dynamic broadcast conversion are exactly the knobs
+  *     that keep a fixed logical plan healthy from sf0.001 to 100 TB.
+  *   - `spark.sql.shuffle.partitions` follows the harness CPU count
+  *     locally; on a real cluster this would be ~2-3x total cores and AQE
+  *     coalesces down.
+  *   - Session TZ pinned UTC so date/timestamp derivations agree with the
+  *     DuckDB oracle (naive timestamps == UTC wall time).
+  *   - ANSI mode stays at the Spark 4 default (on). Reference semantics
+  *     that need NULL-on-bad-input (pandas `errors="coerce"`,
+  *     SURVEY.md P4/F11) use `try_cast`/`try_*` explicitly.
+  */
+object Graft {
+  /** Harness contract: SPARK_GRAFT_CPUS drives local parallelism. */
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4)
+
+  def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    master.foreach(b.master)
+    configure(b).getOrCreate()
+  }
+
+  /** Shared config block — used by Verify, Bench and the test suites so
+    * every entry point plans identically. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read the raw int64 nanos and convert ourselves (see Tables.events).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  /** Scratch space for sink round-trips; kept inside the repo tree. */
+  def tmpDir(sub: String): String = {
+    val d = new java.io.File(s"target/graft-tmp/$sub")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+}
+
+/** Canonical reads of the driver fixture tables (TESTDATA.md). One place
+  * owns path layout and physical-type normalization so every operator sees
+  * the same logical schema.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def p(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem: DataFrame = p("lineitem")
+  def orders: DataFrame   = p("orders")
+  def customer: DataFrame = p("customer")
+  def supplier: DataFrame = p("supplier")
+  def part: DataFrame     = p("part")
+  def nation: DataFrame   = p("nation")
+  def region: DataFrame   = p("region")
+  def documents: DataFrame = p("documents")
+  def embeddings: DataFrame = p("embeddings")
+
+  /** `events` normalized: raw int64 nanos (via nanosAsLong) → TIMESTAMP_NTZ
+    * truncated to micros, matching how DuckDB reads the same file. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p("events").withColumn(
+      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops.gold
+
+import graft.engine.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer revenue build — the reference's core business pipeline
+  * (`/root/reference/producer/build_fact_fee_tax.py:97-109`) re-expressed
+  * Spark-first on the driver fixtures:
+  *
+  *   silver trades (lineitem: notional = extendedprice * (1-discount))
+  *   → group-sum per (event_date, symbol)            [SURVEY A1]
+  *   → left join broadcast fee/tax rules dim          [SURVEY J1]
+  *   → null defaults (region 'EU', zero rates)        [SURVEY P9]
+  *   → bps rate arithmetic                            [SURVEY P8]
+  *   → pruned projection                              [SURVEY P5]
+  *
+  * Scale notes: the single shuffle is the group-by on
+  * (event_date, symbol) — low-cardinality keys with map-side partial
+  * aggregation, so it reduces ~everything before the exchange. The rules
+  * dim is explicitly `broadcast()` (J1 semantics: join AFTER aggregation,
+  * so the join input is tiny regardless of fact size).
+  */
+object Revenue {
+
+  /** Fee/tax rules dim. The reference reads this from a CSV that is not in
+    * its repo (`build_fact_fee_tax.py:40-44`); we keep the recovered schema
+    * (symbol, region, fee_rate_bps, tax_rate_bps) and deterministic
+    * contents. 'R' is deliberately absent to exercise the P9 defaults. */
+  val rulesRows: Seq[(String, String, Double, Double)] = Seq(
+    ("A", "EU", 25.0, 10.0),
+    ("N", "US", 30.0, 5.0))
+
+  def rulesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rulesRows.toDF("symbol", "region", "fee_rate_bps", "tax_rate_bps")
+  }
+
+  /** Silver view of lineitem as trade events (SURVEY §7 domain mapping). */
+  def silverTrades(t: Tables): DataFrame =
+    t.lineitem.select(
+      to_date(col("l_shipdate")).as("event_date"),
+      col("l_returnflag").as("symbol"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("notional"))
+
+  /** Oracle-parity discipline for money math (see QueryDef scaladoc):
+    * double sums are order-sensitive across engines, so aggregate in exact
+    * DECIMAL, never downscale a decimal (Spark rounds HALF_UP, DuckDB
+    * truncates), and cast the exact decimal to DOUBLE only at the end. */
+  def factFeeTax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import org.apache.spark.sql.types.DecimalType
+    val agg = silverTrades(t)
+      .groupBy("event_date", "symbol")
+      .agg(sum(col("notional").cast(DecimalType(25, 6))).cast(DecimalType(25, 6)).as("tn_dec"))
+    val rules = rulesDf(spark)
+      .withColumn("fee_rate", (col("fee_rate_bps") / 10000.0).cast(DecimalType(8, 6)))
+      .withColumn("tax_rate", (col("tax_rate_bps") / 10000.0).cast(DecimalType(8, 6)))
+    val zeroRate = lit(0.0).cast(DecimalType(8, 6))
+    agg
+      .join(broadcast(rules), Seq("symbol"), "left_outer")
+      .select(
+        col("event_date"),
+        col("symbol"),
+        coalesce(col("region"), lit("EU")).as("region"),
+        col("tn_dec").cast("double").as("traded_notional"),
+        (col("tn_dec") * coalesce(col("fee_rate"), zeroRate)).cast("double").as("fee_revenue"),
+        (col("tn_dec") * coalesce(col("tax_rate"), zeroRate)).cast("double").as("tax_collected"))
+      .orderBy("event_date", "symbol")
+  }
+
+  val factFeeTaxOracle: String =
+    """WITH silver AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS event_date, l_returnflag AS symbol,
+      |         l_extendedprice * (1 - l_discount) AS notional
+      |  FROM lineitem
+      |), agg AS (
+      |  SELECT event_date, symbol,
+      |         CAST(SUM(CAST(notional AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS tn_dec
+      |  FROM silver GROUP BY 1, 2
+      |), rules AS (
+      |  SELECT symbol, region,
+      |         CAST(fee_rate_bps / 10000.0 AS DECIMAL(8,6)) AS fee_rate,
+      |         CAST(tax_rate_bps / 10000.0 AS DECIMAL(8,6)) AS tax_rate
+      |  FROM (VALUES ('A','EU',25.0,10.0), ('N','US',30.0,5.0))
+      |    AS r(symbol, region, fee_rate_bps, tax_rate_bps)
+      |)
+      |SELECT a.event_date, a.symbol,
+      |       COALESCE(r.region, 'EU') AS region,
+      |       CAST(a.tn_dec AS DOUBLE) AS traded_notional,
+      |       CAST(a.tn_dec * COALESCE(r.fee_rate, CAST(0.0 AS DECIMAL(8,6))) AS DOUBLE) AS fee_revenue,
+      |       CAST(a.tn_dec * COALESCE(r.tax_rate, CAST(0.0 AS DECIMAL(8,6))) AS DOUBLE) AS tax_collected
+      |FROM agg a LEFT JOIN rules r USING (symbol)
+      |ORDER BY a.event_date, a.symbol""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("gold_fact_fee_tax", factFeeTaxOracle)(factFeeTax))
+}
