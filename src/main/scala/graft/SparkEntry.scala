@@ -12,7 +12,15 @@ object SparkEntry {
 
   /** All declared operator exercises, grouped by engine layer. */
   def all: Seq[QueryDef] =
-    graft.ops.gold.Revenue.queries
+    graft.ops.bronze.Sinks.queries ++
+      graft.ops.silver.Staging.queries ++
+      graft.ops.gold.Revenue.queries ++
+      graft.ops.gold.Aggregates.queries ++
+      graft.ops.gold.Joins.queries ++
+      graft.ops.gold.Windows.queries ++
+      graft.ops.gold.SortSetOps.queries ++
+      graft.streaming.EventTime.queries ++
+      graft.functions.Scalars.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core business question: daily fee/tax revenue per

@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-deterministic expression helpers.
+  *
+  * Double sums are accumulation-order-sensitive, so any aggregate that the
+  * DuckDB oracle re-computes goes through exact DECIMAL arithmetic and is
+  * cast to DOUBLE only as the last step (`decSum`). Decimal values are
+  * never downscaled (Spark rounds HALF_UP, DuckDB truncates — see
+  * scripts/check.py history). Timestamps are compared as epoch integers
+  * (`epochMs`/`epochUs`) because the two engines' parquet writers disagree
+  * on tz annotation for timestamp columns.
+  */
+object Exact {
+  /** Exact decimal sum of a double column, surfaced as DOUBLE.
+    * DuckDB mirror: CAST(CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE). */
+  def decSum(c: Column): Column = decSumRaw(c).cast("double")
+
+  /** Exact decimal sum kept as DECIMAL(25,6) for further exact math.
+    * (The outer cast narrows Spark's sum precision 35→25 at the same
+    * scale — a pure precision-headroom change, no value rounding.) */
+  def decSumRaw(c: Column): Column =
+    sum(c.cast(DecimalType(25, 6))).cast(DecimalType(25, 6))
+
+  /** Epoch milliseconds of a (possibly NTZ) timestamp column.
+    * DuckDB mirror: epoch_ms(ts). Both truncate sub-ms digits. */
+  def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Epoch microseconds. DuckDB mirror: epoch_us(ts). */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.engine.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.9, F1–F11): datetime, string,
+  * formatting, and non-deterministic id/timestamp generators. All
+  * codegen'd builtins — no UDFs on the hot path.
+  */
+object Scalars {
+
+  /** F2–F6: datetime derivations off event time. */
+  def datetimeFns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("event_id"),
+      Exact.epochMs(col("ts")).as("ts_ms"),
+      to_date(col("ts")).as("event_date"),
+      year(col("ts")).cast("bigint").as("y"),
+      month(col("ts")).cast("bigint").as("m"),
+      hour(col("ts")).cast("bigint").as("h"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"),
+      date_sub(to_date(col("ts")), 3).as("minus_3d"),
+      Exact.epochMs(date_trunc("hour", col("ts"))).as("hour_start_ms"))
+      .orderBy("event_id")
+
+  val datetimeFnsOracle: String =
+    """SELECT event_id, epoch_ms(ts) AS ts_ms, CAST(ts AS DATE) AS event_date,
+      |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+      |  CAST(hour(ts) AS BIGINT) AS h,
+      |  strftime(ts, '%Y-%m-%d %H') AS hour_str,
+      |  CAST(ts AS DATE) - 3 AS minus_3d,
+      |  epoch_ms(date_trunc('hour', ts)) AS hour_start_ms
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** F1/F8: string case, concat, formatting, substring. */
+  def stringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      lower(substring(col("text"), 1, 20)).as("head_lower"),
+      upper(col("lang")).as("lang_upper"),
+      concat_ws("|", col("lang"), col("source")).as("lang_source"),
+      format_string("doc-%06d", col("doc_id")).as("doc_key"),
+      length(col("text")).cast("bigint").as("text_len"))
+      .orderBy("doc_id")
+
+  val stringFnsOracle: String =
+    """SELECT doc_id, lower(substr(text, 1, 20)) AS head_lower,
+      |  upper(lang) AS lang_upper,
+      |  concat_ws('|', lang, source) AS lang_source,
+      |  printf('doc-%06d', doc_id) AS doc_key,
+      |  CAST(length(text) AS BIGINT) AS text_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F5/F9: generator functions (current_timestamp, uuid) — inherently
+    * non-deterministic, so rows-only: the spec checks shape/uniqueness. */
+  def generatorFns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).nation.select(
+      col("n_nationkey"),
+      uuid().as("file_uuid"),
+      unix_millis(current_timestamp()).as("ingest_time_ms"))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("f1_datetime", datetimeFnsOracle)(datetimeFns),
+    QueryDef.sql("f2_string", stringFnsOracle)(stringFns),
+    QueryDef.rowsOnly("f3_generators")(generatorFns))
+}

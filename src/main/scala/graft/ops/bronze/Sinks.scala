@@ -1,0 +1,142 @@
+package graft.ops.bronze
+
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources & sinks (SURVEY §2.1/§2.2). Sink correctness is proven by
+  * round-trips: write in the reference's layout, read back through
+  * partition discovery, and aggregate — the oracle computes the same
+  * aggregate straight from the source table, so any loss/mis-filing in
+  * the sink shows up as a hash mismatch.
+  *
+  * The partitioned layout (`date=YYYY-MM-DD/hour=H`) is the reference's
+  * Hive convention (`producer/kafka_to_s3_bronze.py:49-54`) — but
+  * partition values derive per-row from event_time, fixing the
+  * first-row mis-filing bug documented in SURVEY §2.8 T5.
+  */
+object Sinks {
+
+  private def scratch(sub: String, dir: String): String =
+    Graft.tmpDir(sub + "-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** S5: CSV dim scan (fee/tax rules CSV). Written once from `nation` in
+    * the dim's shape, then read back with an explicit schema. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val path = scratch("s5-csv", dir)
+    t.nation.select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.option("header", "true").schema(schema).csv(path)
+      .orderBy("n_nationkey")
+  }
+
+  val csvRoundtripOracle: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** S7/S9/S10: event-time Hive-partitioned parquet sink + partition
+    * discovery scan, verified by aggregate. */
+  def partitionedSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("s9-part", dir)
+    Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("event_hour", hour(col("ts")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date", "event_hour")
+      .parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("event_date").cast("date").as("event_date"),
+        col("event_hour").cast("int").as("event_hour"))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date", "event_hour")
+  }
+
+  val partitionedSinkRoundtripOracle: String =
+    """SELECT CAST(ts AS DATE) AS event_date, CAST(hour(ts) AS INTEGER) AS event_hour,
+      |       count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_date, event_hour""".stripMargin
+
+  /** S8: Kafka-shaped keyed sink — key = lowercase symbol, value =
+    * compact JSON (`binance_ws_to_kafka.py:36-43`) — proven by
+    * serialize→parse round-trip fidelity. */
+  def kafkaShapeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    Tables(spark, dir).events
+      .select(
+        lower(col("event_type")).as("key"),
+        to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value_json"))
+      .select(col("key"), from_json(col("value_json"), payloadSchema).as("p"))
+      .select(col("key"), col("p.event_id").as("event_id"),
+        col("p.event_type").as("event_type"), col("p.value").as("value"))
+      .orderBy("event_id")
+  }
+
+  val kafkaShapeRoundtripOracle: String =
+    """SELECT lower(event_type) AS key, event_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** S13: full-refresh table materialization (overwrite) round-trip. */
+  def overwriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("s13-table", dir)
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val overwriteRoundtripOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** S15: dual-write fan-out — one cached DataFrame written to two sinks
+    * (the S3+BigQuery pattern), both read back and reconciled. The cache
+    * means one computation feeding both writes, which is the point of the
+    * reference's pattern. */
+  def dualWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val a = scratch("s15-a", dir)
+    val b = scratch("s15-b", dir)
+    val fact = Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .cache()
+    try {
+      fact.write.mode(SaveMode.Overwrite).parquet(a)
+      fact.write.mode(SaveMode.Overwrite).parquet(b)
+    } finally fact.unpersist()
+    val ra = spark.read.parquet(a)
+    val rb = spark.read.parquet(b)
+      .withColumnRenamed("n", "n_b").withColumnRenamed("sum_value", "sum_value_b")
+    ra.join(rb, Seq("event_date"))
+      .select(col("event_date"), col("n"), col("sum_value"),
+        (col("n") === col("n_b") && col("sum_value") === col("sum_value_b")).as("sinks_agree"))
+      .orderBy("event_date")
+  }
+
+  val dualWriteRoundtripOracle: String =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value,
+      |  TRUE AS sinks_agree
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s5_csv_roundtrip", csvRoundtripOracle)(csvRoundtrip),
+    QueryDef.sql("s9_partitioned_sink", partitionedSinkRoundtripOracle)(partitionedSinkRoundtrip),
+    QueryDef.sql("s8_kafka_shape", kafkaShapeRoundtripOracle)(kafkaShapeRoundtrip),
+    QueryDef.sql("s13_overwrite_table", overwriteRoundtripOracle)(overwriteRoundtrip),
+    QueryDef.sql("s15_dual_write", dualWriteRoundtripOracle)(dualWriteRoundtrip))
+}

@@ -1,0 +1,167 @@
+package graft.ops.gold
+
+import graft.engine.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY §2.5 + capability upgrades §2.5-absent).
+  * All sums that the oracle re-computes are exact-decimal (Exact.decSum);
+  * averages are expressed as exact-sum / count so both engines derive the
+  * identical double. Group-bys rely on Catalyst's partial aggregation —
+  * the map-side combine means the exchanges carry one row per
+  * (partition, group), which is what keeps these healthy at 100 TB.
+  */
+object Aggregates {
+
+  /** A1 at TPC-H-Q1 shape: the canonical hash aggregate. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Exact.decSum(col("l_quantity")).as("sum_qty"),
+        Exact.decSum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (Exact.decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (Exact.decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A2: scalar MAX aggregate (the incremental high-watermark probe). */
+  def scalarMax(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.agg(
+      max(Exact.epochMs(col("ts"))).as("max_ts_ms"),
+      max(col("event_id")).as("max_event_id"),
+      count(lit(1)).as("n"))
+
+  val scalarMaxOracle: String =
+    "SELECT max(epoch_ms(ts)) AS max_ts_ms, max(event_id) AS max_event_id, count(*) AS n FROM events"
+
+  /** A3: first-non-null / first-per-key pick, made deterministic with a
+    * total order (ts, event_id) — the Spark-idiomatic form of
+    * `df["event_time"].dropna().iloc[0]`. */
+  def firstPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type").as("first_type"), col("value").as("first_value"))
+      .orderBy("user_id")
+  }
+
+  val firstPerKeyOracle: String =
+    """SELECT user_id, event_id AS first_event_id, event_type AS first_type,
+      |       value AS first_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** A5 + per-group counts. */
+  def counts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val countsOracle: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Distinct aggregates (capability: §2.5 "absent" row). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val distinctAggOracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets (capability row). Spark's `rollup` and DuckDB's
+    * GROUP BY ROLLUP agree on NULL-filled subtotal rows; ordering pins
+    * NULLS FIRST explicitly (the engines' default null order differs). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val rollupAggOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** approx_count_distinct (HLL++) — sketch output is engine-specific, so
+    * rows-only check; the ScalaTest spec bounds its error vs exact. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: min/max (exact copies), stddev via exact sums
+    * (single deterministic double formula on both engines), exact median
+    * with linear interpolation. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"),
+        Exact.decSum(col("l_quantity")).as("s"),
+        Exact.decSum(col("l_quantity") * col("l_quantity")).as("s2"),
+        expr("percentile(l_quantity, 0.5d)").as("median_qty"))
+      .withColumn("stddev_qty",
+        sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .drop("s", "s2")
+      .orderBy("l_returnflag")
+
+  val statsAggOracle: String =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |    count(*) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS s,
+      |    CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS s2,
+      |    CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, min_qty, max_qty, n, median_qty,
+      |       sqrt((s2 - s * s / n) / (n - 1)) AS stddev_qty
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("q1_agg", q1AggOracle)(q1Agg),
+    QueryDef.sql("a2_scalar_max", scalarMaxOracle)(scalarMax),
+    QueryDef.sql("a3_first_per_key", firstPerKeyOracle)(firstPerKey),
+    QueryDef.sql("a5_counts", countsOracle)(counts),
+    QueryDef.sql("a6_distinct_agg", distinctAggOracle)(distinctAgg),
+    QueryDef.sql("a7_rollup", rollupAggOracle)(rollupAgg),
+    QueryDef.rowsOnly("a8_approx_distinct")(approxDistinct),
+    QueryDef.sql("a9_stats_agg", statsAggOracle)(statsAgg))
+}

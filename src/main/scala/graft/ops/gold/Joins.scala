@@ -1,0 +1,169 @@
+package graft.ops.gold
+
+import graft.engine.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators: the reference's single J1 (broadcast-sized left outer
+  * equi-join) plus the capability rows SURVEY §2.4 lists as absent
+  * (semi/anti, multi-way shuffle join, range/theta, as-of).
+  *
+  * Scale notes: dims (nation/region/customer-at-ratio) are explicitly
+  * `broadcast()`; the lineitem⋈orders join is a co-partitioned shuffle
+  * join on the fact key where AQE handles skew. The as-of join is
+  * keyed (per user) so it runs as one window over a per-key exchange —
+  * no global sort, which is what makes it hold at 1000 executors.
+  */
+object Joins {
+
+  /** J1 shape beyond the flagship: customer ⟕ nation ⟕ region with
+    * broadcast dims and P9 null-defaults. */
+  def dimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("n_name"), lit("UNKNOWN")).as("nation"),
+        coalesce(col("r_name"), lit("UNKNOWN")).as("region"),
+        col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val dimJoinOracle: String =
+    """SELECT c_custkey, c_name,
+      |       COALESCE(n_name, 'UNKNOWN') AS nation,
+      |       COALESCE(r_name, 'UNKNOWN') AS region,
+      |       c_acctbal
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having ≥1 order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no top-decile order
+    * (filtered build side keeps the result non-trivial at every SF). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > 450000.0)
+    t.customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Multi-way join + aggregate (TPC-H Q3/Q5 shape): fact⋈fact shuffle
+    * join on the order key, then broadcast dim, then group-sum. */
+  def multiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("bigint").as("order_year"))
+      .agg(
+        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment", "order_year")
+  }
+
+  val multiJoinAggOracle: String =
+    """SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, year(o_orderdate)
+      |ORDER BY c_mktsegment, order_year""".stripMargin
+
+  /** Range/theta join: equi key + inequality residual (ship lag > 70 days
+    * after order date). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 70 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_late"),
+        Exact.decSum(col("l_extendedprice")).as("late_value"))
+      .orderBy("l_returnflag")
+  }
+
+  val rangeJoinOracle: String =
+    """SELECT l_returnflag, count(*) AS n_late,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS late_value
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 70 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** As-of join (keyed): for every purchase event, the most recent click
+    * by the same user at-or-before the purchase; ties broken by max
+    * event_id. Implemented Spark-first as union + one window per user key
+    * (no global sort, no N×M explosion): clicks sort before purchases at
+    * equal ts so same-instant clicks are eligible. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val tagged = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        (col("event_type") === "purchase").cast("int").as("is_purchase"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_event_id",
+        last(when(col("is_purchase") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when(col("is_purchase") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(
+        col("event_id").as("purchase_event_id"), col("user_id"),
+        Exact.epochMs(col("ts")).as("purchase_ts_ms"),
+        col("click_event_id"), col("click_value"))
+      .orderBy("purchase_event_id")
+  }
+
+  val asofJoinOracle: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       epoch_ms(p.ts) AS purchase_ts_ms,
+      |       c.event_id AS click_event_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.value FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) c ON TRUE
+      |ORDER BY purchase_event_id""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
+    QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
+    QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),
+    QueryDef.sql("j4_multi_join_agg", multiJoinAggOracle)(multiJoinAgg),
+    QueryDef.sql("j5_range_join", rangeJoinOracle)(rangeJoin),
+    QueryDef.sql("j6_asof_join", asofJoinOracle)(asofJoin))
+}

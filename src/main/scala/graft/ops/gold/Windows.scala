@@ -1,0 +1,109 @@
+package graft.ops.gold
+
+import graft.engine.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions (SURVEY §2.6 — absent in the reference, exposed as
+  * first-class capability). Every window is keyed (partitionBy), so the
+  * physical plan is one hash exchange + in-partition sort: no global sort,
+  * scales with the key cardinality. Running sums use exact decimal so the
+  * oracle's prefix sums agree bit-for-bit.
+  */
+object Windows {
+
+  /** Ranking + per-group top-k: top 3 orders by value per market segment. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk").cast("bigint").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  val topkPerGroupOracle: String =
+    """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** lag/lead analytics per user over event time. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("prev_gap_ms", Exact.epochMs(col("ts")) - lag(Exact.epochMs(col("ts")), 1).over(w))
+      .select("event_id", "user_id", "value", "prev_value", "next_value", "prev_gap_ms")
+      .orderBy("event_id")
+  }
+
+  val lagLeadOracle: String =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS prev_gap_ms
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Running (prefix) sum per user — exact decimal accumulation. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(25, 6))).over(w)
+          .cast(DecimalType(25, 6)).cast("double"))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("event_id")
+  }
+
+  val runningSumOracle: String =
+    """SELECT event_id, user_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS running_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** RANGE frame: trailing 1-hour sum per user, ordered by epoch-ms so
+    * both engines use an identical numeric range frame. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val withMs = Tables(spark, dir).events
+      .withColumn("ts_ms", Exact.epochMs(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    withMs
+      .withColumn("trailing_1h",
+        sum(col("value").cast(DecimalType(25, 6))).over(w)
+          .cast(DecimalType(25, 6)).cast("double"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .select("event_id", "user_id", "ts_ms", "trailing_1h", "n_1h")
+      .orderBy("event_id")
+  }
+
+  val rangeFrameOracle: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DECIMAL(25,6)) AS DOUBLE) AS trailing_1h,
+      |  COUNT(*) OVER w AS n_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("w1_topk_per_group", topkPerGroupOracle)(topkPerGroup),
+    QueryDef.sql("w2_lag_lead", lagLeadOracle)(lagLead),
+    QueryDef.sql("w3_running_sum", runningSumOracle)(runningSum),
+    QueryDef.sql("w4_range_frame", rangeFrameOracle)(rangeFrame))
+}

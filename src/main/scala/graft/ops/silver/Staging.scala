@@ -1,0 +1,180 @@
+package graft.ops.silver
+
+import graft.engine.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Silver/staging layer: the reference's bronze→silver projections
+  * (`dbt_project/models/staging/stg_binance_trades.sql`, the consumer
+  * re-projection at `producer/kafka_to_s3_bronze.py:30-46`, and the
+  * cast-with-coerce backfill at
+  * `airflow/dags/ingest_binance_last_3_days.py:48-63`) on the `events`
+  * fixture. All narrow ops — no shuffle except where dedup requires the
+  * per-key exchange.
+  */
+object Staging {
+
+  /** P3/F7: envelope flatten + rename; JSON payload field extraction.
+    * `props` plays the role of the raw WS payload. */
+  def jsonFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("event_id"),
+      lower(col("event_type")).as("symbol"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      Exact.epochMs(col("ts")).as("event_time_ms"))
+      .orderBy("event_id")
+
+  val jsonFlattenOracle: String =
+    """SELECT event_id, lower(event_type) AS symbol,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       epoch_ms(ts) AS event_time_ms
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P4/F11: cast-with-coerce — pandas `to_numeric(errors="coerce")`
+    * semantics (bad input → NULL, not error) via try_cast under ANSI. */
+  def castCoerce(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      expr("try_cast(lang AS double)").as("bad_cast"),
+      expr("try_cast(cast(n_chars AS string) AS double)").as("ok_cast"),
+      expr("try_cast(source AS bigint)").as("bad_int"))
+      .orderBy("doc_id")
+
+  val castCoerceOracle: String =
+    """SELECT doc_id,
+      |       TRY_CAST(lang AS DOUBLE) AS bad_cast,
+      |       TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) AS ok_cast,
+      |       TRY_CAST(source AS BIGINT) AS bad_int
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P6: the stg_binance_trades cast/rename/derive projection. */
+  def stgProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("event_id").cast("string").as("trade_id"),
+      col("event_type").as("symbol"),
+      Exact.epochMs(col("ts")).as("event_time_ms"),
+      col("value").as("price"),
+      get_json_object(col("props"), "$.k").cast("double").as("quantity"),
+      to_date(col("ts")).as("event_date"))
+      .orderBy(col("trade_id").cast("long"))
+
+  val stgProjectionOracle: String =
+    """SELECT CAST(event_id AS VARCHAR) AS trade_id, event_type AS symbol,
+      |       epoch_ms(ts) AS event_time_ms, value AS price,
+      |       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS quantity,
+      |       CAST(ts AS DATE) AS event_date
+      |FROM events ORDER BY CAST(trade_id AS BIGINT)""".stripMargin
+
+  /** A4 (exact form): key-uniqueness dedup via dropDuplicates-style
+    * DISTINCT on a derived key set. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  val dedupExactOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** A4 (last-write-wins form): the idiomatic Spark MERGE-on-unique-key —
+    * row_number over (key ORDER BY recency DESC) = 1. Key here is
+    * (user_id, event_type); latest by (ts, event_id). One shuffle on the
+    * dedup key; at scale this is the same exchange a MERGE would need. */
+  def dedupLww(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupLwwOracle: String =
+    """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** P10: scalar-subquery high-watermark filter (dbt incremental
+    * `WHERE event_time > (SELECT max(event_time) FROM {{ this }})`),
+    * exercised through the SQL entry path. */
+  def watermarkFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).events.createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_id, user_id, event_type,
+        |       unix_millis(cast(ts as timestamp)) AS ts_ms
+        |FROM graft_events
+        |WHERE ts > (SELECT max(ts) FROM graft_events
+        |            WHERE ts < TIMESTAMP '2024-01-28 00:00:00')
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val watermarkFilterOracle: String =
+    """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+      |FROM events
+      |WHERE ts > (SELECT max(ts) FROM events
+      |            WHERE ts < TIMESTAMP '2024-01-28 00:00:00')
+      |ORDER BY event_id""".stripMargin
+
+  /** S4/P11: parameterized date-equality scan — the partition-pruned read
+    * (`build_fact_fee_tax.py:26-35`). On a date-partitioned layout this
+    * prunes at the source listing (see Sinks.partitionedSinkRoundtrip). */
+  def dateParamScan(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  val dateParamScanOracle: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id""".stripMargin
+
+  /** S14: incremental MERGE emulation without a table format — the
+    * dbt incremental `unique_key` upsert (`fact_trades.sql:1-11`) as
+    * union + last-write-wins. `base` models rows already in the target,
+    * `incoming` a re-ingest batch with refreshed values; MERGE keeps the
+    * incoming row per key. Scales as one shuffle on the unique key. */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val base = ev.filter(col("ts") < lit("2024-01-20").cast("timestamp_ntz"))
+      .select(col("event_id"), lit(1L).as("src_batch"), col("value"))
+    val incoming = ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp_ntz"))
+      .select(col("event_id"), lit(2L).as("src_batch"),
+        (col("value") + 1.0).as("value"))
+    val w = Window.partitionBy("event_id").orderBy(col("src_batch").desc)
+    base.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "src_batch", "value")
+      .orderBy("event_id")
+  }
+
+  val incrementalMergeOracle: String =
+    """WITH base AS (
+      |  SELECT event_id, CAST(1 AS BIGINT) AS src_batch, value FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      |), incoming AS (
+      |  SELECT event_id, CAST(2 AS BIGINT) AS src_batch, value + 1.0 AS value FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |), merged AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM incoming
+      |)
+      |SELECT event_id, src_batch, value FROM merged
+      |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY src_batch DESC) = 1
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("p3_json_flatten", jsonFlattenOracle)(jsonFlatten),
+    QueryDef.sql("p4_cast_coerce", castCoerceOracle)(castCoerce),
+    QueryDef.sql("p6_stg_projection", stgProjectionOracle)(stgProjection),
+    QueryDef.sql("a4_dedup_exact", dedupExactOracle)(dedupExact),
+    QueryDef.sql("a4_dedup_lww", dedupLwwOracle)(dedupLww),
+    QueryDef.sql("p10_watermark_filter", watermarkFilterOracle)(watermarkFilter),
+    QueryDef.sql("p11_date_param_scan", dateParamScanOracle)(dateParamScan),
+    QueryDef.sql("s14_incremental_merge", incrementalMergeOracle)(incrementalMerge))
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.engine.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time windowing (SURVEY §2.8). The same `window`/`session_window`
+  * expressions run in both batch and Structured Streaming; here they are
+  * exercised in batch mode so the DuckDB oracle can replay them, and
+  * `Pipelines` (+ the StreamingSpec) runs the true streaming path with
+  * watermarks over the identical expressions — Spark's unified-engine
+  * guarantee is what makes that equivalence real.
+  */
+object EventTime {
+
+  /** T-tumbling: hourly tumbling window per event_type — the streaming
+    * analog of the reference's `hour=` partitioning. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .select(Exact.epochMs(col("w.start")).as("hour_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start_ms", "event_type")
+
+  val tumblingHourlyOracle: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+      |       count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start_ms, event_type""".stripMargin
+
+  /** Sliding window: 2-hour window sliding by 1 hour. Each event lands in
+    * two windows; the oracle unions the two aligned hour-truncations. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .select(Exact.epochMs(col("w.start")).as("win_start_ms"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start_ms")
+
+  val slidingWindowOracle: String =
+    """WITH assigned AS (
+      |  SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms, value FROM events
+      |  UNION ALL
+      |  SELECT epoch_ms(date_trunc('hour', ts) - INTERVAL 1 HOUR) AS win_start_ms, value FROM events
+      |)
+      |SELECT win_start_ms, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM assigned GROUP BY 1 ORDER BY win_start_ms""".stripMargin
+
+  /** Session windows with a 30-minute gap per user. Oracle: classic
+    * gaps-and-islands. New session when the gap from the previous event
+    * is >= the timeout (Spark sessions are half-open [start, last+gap)). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 6))).cast(DecimalType(25, 6)).cast("double").as("sum_value"))
+      .select(col("user_id"), Exact.epochUs(col("w.start")).as("session_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val sessionWindowsOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), grouped AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM grouped GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("t1_tumbling_hourly", tumblingHourlyOracle)(tumblingHourly),
+    QueryDef.sql("t2_sliding_window", slidingWindowOracle)(slidingWindow),
+    QueryDef.sql("t3_session_window", sessionWindowsOracle)(sessionWindows))
+}
