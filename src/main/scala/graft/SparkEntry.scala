@@ -19,8 +19,13 @@ object SparkEntry {
       graft.ops.gold.Joins.queries ++
       graft.ops.gold.Windows.queries ++
       graft.ops.gold.SortSetOps.queries ++
+      graft.ops.gold.Assertions.queries ++
       graft.streaming.EventTime.queries ++
-      graft.functions.Scalars.queries
+      graft.functions.Scalars.queries ++
+      graft.ops.ext.TextAnalysis.queries ++
+      graft.ops.ext.Dedup.queries ++
+      graft.ops.ext.Similarity.queries ++
+      graft.ops.ext.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core business question: daily fee/tax revenue per

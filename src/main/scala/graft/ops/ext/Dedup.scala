@@ -1,0 +1,205 @@
+package graft.ops.ext
+
+import graft.engine.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * sophistication: exact (hash group-by), blocked n-gram Jaccard,
+  * MinHash+LSH, SimHash. The fixture corpus contains planted near-dup
+  * pairs (Jaccard ≈ 0.99) that *cross* lang/source blocks — which is the
+  * whole argument for signature-based LSH over metadata blocking.
+  *
+  * Scale notes: exact dedup is one shuffle on the fingerprint. The
+  * Jaccard verify is always run on *candidate pairs* (never all pairs);
+  * candidates come from a blocking key (dd2) or MinHash band buckets
+  * (dd3), both of which shuffle on small keys and keep the join fan-out
+  * proportional to true-duplicate density, not O(n²).
+  */
+object Dedup {
+
+  /** Distinct 3-gram word shingles of `text`, as a SQL expression over a
+    * pre-split token array column `w`. */
+  val shingleExpr: String =
+    """CASE WHEN size(w) < 3 THEN filter(w, x -> false)
+      |ELSE array_distinct(transform(sequence(0, size(w) - 3),
+      |       i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2), ' ', element_at(w, i + 3))))
+      |END""".stripMargin
+
+  def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", expr(shingleExpr))
+      .drop("w")
+
+  /** dd1: exact dedup via normalized-text fingerprint group-by. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("fingerprint")
+
+  val exactDedupOracle: String =
+    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+      |       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** dd2: n-gram Jaccard near-dup pairs over a cheap blocking key (the
+    * document's first shingle — prefix blocking). SQL-expressible, so
+    * oracle-checked; recall on the planted dups is 100% here because the
+    * planted edits don't touch the prefix. dd3 removes the blocking
+    * assumption. */
+  def ngramJaccardBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), col("sh"), element_at(col("sh"), 1).as("first_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("first_sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("first_sh"))
+    a.join(b, Seq("first_sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") > 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardBlockedOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+      |    w[1] || ' ' || w[2] || ' ' || w[3] AS first_sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       len(list_intersect(a.s, b.s))::DOUBLE
+      |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.first_sh = b.first_sh AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val MinhashK = 32
+  val Bands = 8 // × 4 rows per band
+
+  /** MinHash signature columns mh0..mh{K-1} from the shingle array. */
+  private def withMinhash(sh: DataFrame): DataFrame =
+    (0 until MinhashK).foldLeft(sh) { (df, j) =>
+      df.withColumn(s"mh$j", expr(s"array_min(transform(sh, s -> xxhash64(s, ${j}L)))"))
+    }
+
+  /** dd3: MinHash + LSH banding over ALL documents (no metadata/prefix
+    * blocking): 32 minhashes → 8 bands of 4 → band-bucket join produces
+    * candidates → exact Jaccard verify ≥ 0.8. Signature pass is a narrow
+    * scan; the only shuffles are the band-bucket exchange and the
+    * candidate join — this is the shape that survives 100 TB. Rows-only
+    * for the driver; DedupSpec asserts parity with brute force. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).filter(size(col("sh")) > 0)
+    val sigs = withMinhash(sh)
+    val bandCols = (0 until Bands).map { bId =>
+      val rowHashes = (0 until 4).map(r => s"mh${bId * 4 + r}").mkString(", ")
+      struct(lit(bId).as("band_id"), expr(s"xxhash64($rowHashes)").as("band_hash"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band_id"), col("b.band_hash"))
+    val l = buckets.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = buckets.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dd4: 64-bit SimHash signatures. Tokens are exploded once; the 64 bit
+    * counters are plain conditional sums (map-side combined), so the cost
+    * is one narrow pass + one shuffle on doc_id. The 4×16-bit chunk keys
+    * support hamming-distance banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4
+    * chunks identical); DedupSpec exercises the pairing. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sig)
+      .select(
+        col("doc_id"), col("simhash"),
+        expr("simhash & 65535").as("chunk0"),
+        expr("(simhash >> 16) & 65535").as("chunk1"),
+        expr("(simhash >> 32) & 65535").as("chunk2"),
+        expr("(simhash >> 48) & 65535").as("chunk3"))
+      .orderBy("doc_id")
+  }
+
+  /** Hamming-banded SimHash near-dup candidates (used by DedupSpec and
+    * available as an operator): join on any equal 16-bit chunk, verify
+    * popcount(xor) ≤ maxHamming. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val sigs = simhashSignatures(spark, dir)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_id"), col(s"chunk$i").as("chunk_val"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk_val"))
+    val l = chunks.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val r = chunks.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("chunk_id", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dd5: embedding-cosine near-dup — top-50 most-similar vector pairs
+    * within label blocks via the native codegen'd CosineSimilarity
+    * expression; ranking on round(cos, 6) keeps cross-engine order
+    * stable. */
+  def embeddingTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_r", round(expr("cosine_sim(emb_a, emb_b)"), 6))
+      .select(col("label").cast("int").as("label"), col("vec_a"), col("vec_b"), col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  val embeddingTopPairsOracle: String =
+    """SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 50""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
+    QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
+    QueryDef.rowsOnly("dd3_minhash_lsh")(minhashLsh),
+    QueryDef.rowsOnly("dd4_simhash")((s, d) => simhashSignatures(s, d)),
+    QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs))
+}

@@ -1,0 +1,117 @@
+package graft.ops.ext
+
+import graft.engine.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * ann1 is the exact baseline: broadcast the (small) query set against the
+  * corpus — a broadcast-nested-loop whose inner loop is the codegen'd
+  * CosineSimilarity expression. At 100 TB the corpus side stays
+  * partitioned (never collected) and the scan is embarrassingly parallel.
+  *
+  * ann2 is the scale path: random-hyperplane LSH (4 tables × 8 bits).
+  * Bucket ids are computed in one narrow pass; the candidate join touches
+  * only same-bucket rows, so the similarity work drops from O(|q|·n) to
+  * O(|q|·n/2^bits·tables) at the cost of recall (bounded in the spec).
+  */
+object Similarity {
+
+  val Dim = 64
+  val Tables_ = 4
+  val BitsPerTable = 8
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
+    * across runs and executors; shipped to executors as literals). */
+  lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new Random(42)
+    Array.fill(Tables_, BitsPerTable, Dim)(rnd.nextGaussian())
+  }
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+
+  /** ann1: exact brute-force cosine top-5 per query vector. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
+    val scored = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos_r"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  val bruteForceTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_vec_id, c.vec_id,
+      |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_r
+      |  FROM q CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) c
+      |)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
+
+  /** SQL expr: sign-bit bucket of `c` under table `t`'s hyperplanes. */
+  private def bucketExpr(embCol: String, t: Int): String = {
+    val bits = (0 until BitsPerTable).map { p =>
+      val plane = hyperplanes(t)(p)
+      val terms = plane.zipWithIndex
+        .map { case (wgt, d) => s"element_at($embCol, ${d + 1}) * ${wgt}d" }
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << p}L ELSE 0L END)"
+    }
+    bits.mkString(" + ")
+  }
+
+  /** (vec_id, table_id, bucket) assignments — one narrow codegen pass. */
+  def bucketAssignments(df: DataFrame, embCol: String): DataFrame = {
+    val buckets = (0 until Tables_).map(t =>
+      struct(lit(t).as("table_id"), expr(bucketExpr(embCol, t)).as("bucket")))
+    df.select(col("*"), explode(array(buckets: _*)).as("tb"))
+      .withColumn("table_id", col("tb.table_id"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** ann2: LSH-bucketed approximate top-3 per query. Candidates = corpus
+    * vectors sharing ≥1 (table, bucket) with the query. Rows-only; the
+    * SimilaritySpec bounds recall vs ann1. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
+    val corpusBuckets = bucketAssignments(corpus, "embedding")
+      .select(col("table_id"), col("bucket"), col("vec_id"), col("embedding"))
+    val queryBuckets = bucketAssignments(queriesDf(spark, dir), "q_emb")
+      .select(col("table_id"), col("bucket"), col("q_vec_id"), col("q_emb"))
+    val candidates = corpusBuckets
+      .join(broadcast(queryBuckets), Seq("table_id", "bucket"))
+      .dropDuplicates("q_vec_id", "vec_id")
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos_r"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
+    QueryDef.rowsOnly("ann2_lsh_topk")(lshTopK))
+}

@@ -1,0 +1,142 @@
+package graft.ops.ext
+
+import graft.engine.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  * All pure narrow projections over builtin (codegen'd) expressions —
+  * they stream through a 100 TB corpus with zero shuffle; ratios are
+  * int/int divisions so the oracle agrees bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array of a text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (word-chunks of ≤4 chars: ceil(len/4) per token ≅ subword count). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("bigint").as("n_tokens"),
+        expr("cast(aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x) as double)" +
+          " / size(w)").as("avg_token_len"),
+        expr("cast(aggregate(transform(w, x -> cast(ceil(length(x) / 4.0) as long)), 0L," +
+          " (acc, x) -> acc + x) as bigint)").as("n_subwords"),
+        length(col("text")).cast("bigint").as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  val tokenCountsOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len,
+      |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "un"),
+    "es" -> Seq("el", "la", "los", "y", "un"))
+
+  private def ratioExpr(words: String, set: Seq[String]): String = {
+    val inList = set.map(s => s"'$s'").mkString(", ")
+    s"cast(size(filter($words, x -> x in ($inList))) as double) / size($words)"
+  }
+
+  /** Language-ID heuristic: stopword-hit ratios per candidate language,
+    * argmax with a fixed priority tie-break. (A real system would use
+    * char-n-gram profiles; the operator shape — per-doc scores + argmax —
+    * is identical.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        expr(ratioExpr("w", stop("en"))).as("r_en"),
+        expr(ratioExpr("w", stop("de"))).as("r_de"),
+        expr(ratioExpr("w", stop("fr"))).as("r_fr"),
+        expr(ratioExpr("w", stop("es"))).as("r_es"))
+      .withColumn("lang_guess",
+        when(col("r_en") >= greatest(col("r_de"), col("r_fr"), col("r_es")), "en")
+          .when(col("r_de") >= greatest(col("r_fr"), col("r_es")), "de")
+          .when(col("r_fr") >= col("r_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+
+  val langIdOracle: String = {
+    def r(set: Seq[String]) = {
+      val inList = set.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($inList))) AS DOUBLE) / len(w)"
+    }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+       |s AS (SELECT doc_id, ${r(stop("en"))} AS r_en, ${r(stop("de"))} AS r_de,
+       |             ${r(stop("fr"))} AS r_fr, ${r(stop("es"))} AS r_es FROM t)
+       |SELECT doc_id, r_en, r_de, r_fr, r_es,
+       |  CASE WHEN r_en >= greatest(r_de, r_fr, r_es) THEN 'en'
+       |       WHEN r_de >= greatest(r_fr, r_es) THEN 'de'
+       |       WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END AS lang_guess
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: punctuation/digit/whitespace ratios, vocabulary
+    * diversity, and a composite score — the usual pre-training filters. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .withColumn("len", length(col("text")))
+      .select(
+        col("doc_id"),
+        col("len").cast("bigint").as("n_chars_measured"),
+        ((col("len") - length(regexp_replace(col("text"), "[.!?,;:]", "")))
+          .cast("double") / col("len")).as("punct_ratio"),
+        ((col("len") - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("double") / col("len")).as("digit_ratio"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("uniq_ratio"),
+        (size(col("w")) >= 5 && size(col("w")) <= 1000).as("len_ok"))
+      .withColumn("quality_score",
+        col("uniq_ratio") * (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio")))
+      .orderBy("doc_id")
+
+  val qualityScoreOracle: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS len,
+      |                  string_split_regex(trim(text), '\s+') w FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len AS BIGINT) AS n_chars_measured,
+      |    CAST(len - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len AS punct_ratio,
+      |    CAST(len - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len AS digit_ratio,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+      |    len(w) >= 5 AND len(w) <= 1000 AS len_ok
+      |  FROM t)
+      |SELECT doc_id, n_chars_measured, punct_ratio, digit_ratio, uniq_ratio, len_ok,
+      |       uniq_ratio * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text — the exact-dedup key (see Dedup.exactDedup). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fingerprint"),
+        substring(md5(col("text").cast("binary")), 1, 8).as("raw_prefix"))
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+      |  substr(md5(text), 1, 8) AS raw_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
+    QueryDef.sql("tx2_lang_id", langIdOracle)(langId),
+    QueryDef.sql("tx3_quality_score", qualityScoreOracle)(qualityScore),
+    QueryDef.sql("tx4_fingerprint", fingerprintOracle)(fingerprint))
+}
