@@ -21,8 +21,13 @@ import scala.util.Random
 object Similarity {
 
   val Dim = 64
-  val Tables_ = 4
-  val BitsPerTable = 8
+  // 8 tables × 6 bits: for near-orthogonal 64-dim data, a true neighbor
+  // at cos≈0.45 hits P(bit)≈0.66 → ≈0.08/table → ≈0.5 recall over 8
+  // tables, while random vectors collide at 0.5^6 → ~11% of the corpus
+  // becomes candidates — an ~9× cost reduction per recall point that
+  // improves as dimensionality concentrates real corpora.
+  val Tables_ = 8
+  val BitsPerTable = 6
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
     * across runs and executors; shipped to executors as literals). */

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.ext.Multimodal.StubCodec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5d) using raw ScalaCheck generators (the
+  * scalatest-scalacheck bridge isn't in the offline cache): cast-coerce
+  * NULL semantics, dedup idempotence, codec determinism/bounds. */
+class PropertiesSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("try_cast never throws and agrees with Scala parsing where defined") {
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.numStr,
+      Gen.chooseNum(-1e9, 1e9).map(_.toString),
+      Gen.const(""), Gen.const("  12.5  "), Gen.const("1e3"), Gen.const("NaN"))
+    val ss = samples(gen, 120)
+    val out = ss.toDF("s")
+      .select(expr("try_cast(s AS double)").as("d"), col("s"))
+      .collect()
+    out.foreach { r =>
+      val viaScala = scala.util.Try(r.getAs[String]("s").trim.toDouble).toOption
+      val viaSpark = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      // Spark may parse a superset; agreement required where Scala parses:
+      viaScala.foreach { d =>
+        assert(viaSpark.isDefined && (viaSpark.get == d ||
+          (viaSpark.get.isNaN && d.isNaN)), s"input '${r.getAs[String]("s")}'")
+      }
+    }
+  }
+
+  test("last-write-wins dedup is idempotent") {
+    import graft.ops.silver.Staging
+    val once = Staging.dedupLww(spark, Sf)
+    val keyCount = once.select("user_id", "event_type").distinct().count()
+    assert(once.count() == keyCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("last_event_id").desc)
+    val twice = once.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(twice.count() == once.count())
+  }
+
+  test("stub codec is pure and bounded") {
+    val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    samples(gen, 100).foreach { bytes =>
+      val arr = bytes.toArray
+      val (w1, h1, f1, m1) = StubCodec.decode("image/x", arr)
+      val (w2, h2, f2, m2) = StubCodec.decode("image/x", arr)
+      assert((w1, h1, f1, m1) == (w2, h2, f2, m2))
+      assert(w1 >= 64 && h1 >= 64 && f1 >= 1)
+      assert(m1 >= 0.0 && m1 <= 1.0)
+    }
+  }
+}

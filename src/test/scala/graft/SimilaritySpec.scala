@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.ops.ext.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("cosine_sim matches manual computation (codegen and interpreted)") {
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f)),
+      (Array(2.0f, 0.0f, 0.0f), Array(4.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f)))
+      .toDF("a", "b")
+    def run(): Seq[Double] =
+      df.select(expr("cosine_sim(a, b)")).as[Double].collect().toSeq
+    val expected = Seq(0.5, 1.0, -1.0)
+    run().zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run().zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"interpreted: $got vs $want")
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("cosine_sim of zero vector is null") {
+    CosineSimilarity.register(spark)
+    val r = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("LSH ANN recall@3 vs brute force is usable") {
+    val exact = Similarity.bruteForceTopK(spark, Sf)
+      .filter(col("rank") <= 3)
+      .select("q_vec_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopK(spark, Sf)
+      .select("q_vec_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      approx.getOrElse(q, Set.empty).count(want).toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall@3 = $mean")
+    // random-hyperplane LSH on 64-dim near-uniform data is a weak signal
+    // at 500 vectors; this bounds "works at all", the bench bounds cost.
+    assert(mean > 0.2, s"mean recall@3 = $mean")
+  }
+}

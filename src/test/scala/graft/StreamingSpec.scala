@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.Pipelines
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics (SURVEY §2.8 T1–T5) driven through
+  * real streaming queries over the events fixture. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  test("bronze ingest writes event-time partitioned parquet exactly once") {
+    val out = tmp("bronze-out")
+    val ckpt = tmp("bronze-ckpt")
+    val q = Pipelines.bronzeIngest(spark, Sf, out, ckpt)
+    q.awaitTermination()
+
+    val written = spark.read.parquet(out)
+    val expected = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(written.count() == expected)
+    // per-row event-time partitioning (no first-row mis-filing):
+    val misfiled = written
+      .filter(to_date(col("ts")) =!= col("event_date") ||
+        hour(col("ts")) =!= col("event_hour"))
+      .count()
+    assert(misfiled == 0)
+
+    // T2: restart with the same checkpoint — no new data, no duplicates
+    val q2 = Pipelines.bronzeIngest(spark, Sf, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == expected, "restart duplicated rows")
+  }
+
+  test("watermarked hourly aggregate matches the batch result") {
+    val agg = Pipelines.hourlyAgg(Pipelines.eventsStream(spark, Sf))
+    val q = agg.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hourly_out")
+      .select(col("hour_start"), col("event_type"), col("n"))
+    val batch = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val out = tmp("dedup-out")
+    val ckpt = tmp("dedup-ckpt")
+    val deduped = Pipelines.dedupStream(Pipelines.eventsStream(spark, Sf))
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == got.select("event_id").distinct().count())
+  }
+
+  test("session window stream runs and produces sessions") {
+    val agg = Pipelines.sessionAgg(Pipelines.eventsStream(spark, Sf))
+    val q = agg.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode emits only watermark-finalized sessions; the fixture
+    // spans 30 days so nearly all sessions finalize
+    assert(spark.table("session_out").count() > 0)
+  }
+
+  test("foreachBatch incremental merge maintains unique keys") {
+    val target = tmp("merge-target") + "/t"
+    val ckpt = tmp("merge-ckpt")
+    val q = Pipelines.incrementalMergeStream(
+      spark, Pipelines.eventsStream(spark, Sf), target, ckpt)
+    q.awaitTermination()
+    val got = spark.read.parquet(target)
+    val src = spark.read.parquet(s"$Sf/events.parquet")
+    assert(got.count() == src.select("event_id").distinct().count())
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+}
