@@ -1,23 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline queries at SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. Timings materialize the full physical plan via
+  * `toRdd.count()` — a bare `df.count()` would let Catalyst prune every
+  * projection column and benchmark an empty scan.
+  */
 object Bench {
+
+  /** Headline set: one representative per physical shape — scan+agg,
+    * broadcast join, shuffle join, window, as-of, event-time windows,
+    * merge, dedup/LSH, ANN, text scoring. Sink round-trips are excluded
+    * (they benchmark tmp-disk IO, not the engine). */
+  val headline: Seq[String] = Seq(
+    "q1_agg",
+    "gold_fact_fee_tax",
+    "j4_multi_join_agg",
+    "j6_asof_join",
+    "w1_topk_per_group",
+    "w3_running_sum",
+    "a4_dedup_lww",
+    "s14_incremental_merge",
+    "t1_tumbling_hourly",
+    "t3_session_window",
+    "o1_topk",
+    "dd3_minhash_lsh",
+    "ann1_bruteforce_topk",
+    "tx3_quality_score")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.engine.Graft.configure(
+      SparkSession.builder().master(s"local[${graft.engine.Graft.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup pass: measure steady-state engine throughput, not JVM/JIT/
+    // codegen-compile startup or first-touch parquet footer reads
+    headline.foreach(run)
+
+    val results = headline.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

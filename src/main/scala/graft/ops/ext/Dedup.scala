@@ -86,40 +86,49 @@ object Dedup {
   val MinhashK = 32
   val Bands = 8 // × 4 rows per band
 
-  /** MinHash signature columns mh0..mh{K-1} from the shingle array. */
-  private def withMinhash(sh: DataFrame): DataFrame =
-    (0 until MinhashK).foldLeft(sh) { (df, j) =>
-      df.withColumn(s"mh$j", expr(s"array_min(transform(sh, s -> xxhash64(s, ${j}L)))"))
-    }
-
   /** dd3: MinHash + LSH banding over ALL documents (no metadata/prefix
     * blocking): 32 minhashes → 8 bands of 4 → band-bucket join produces
-    * candidates → exact Jaccard verify ≥ 0.8. Signature pass is a narrow
-    * scan; the only shuffles are the band-bucket exchange and the
-    * candidate join — this is the shape that survives 100 TB. Rows-only
-    * for the driver; DedupSpec asserts parity with brute force. */
+    * candidates → exact Jaccard verify ≥ 0.8. Rows-only for the driver;
+    * DedupSpec asserts parity with brute force.
+    *
+    * Physical shape (the one that survives 100 TB): the signature pass is
+    * ONE narrow projection (all 32 minhashes in a single nested-transform
+    * expression — 32 chained withColumns would explode the plan), the
+    * bucket table is persisted so the self-join doesn't recompute
+    * signatures, candidates travel as bare (doc_a, doc_b) id pairs, and
+    * the shingle arrays are joined back only for the (small) verified
+    * candidate set instead of being shuffled per-candidate. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSignature.register(spark)
     val sh = shingled(spark, dir).filter(size(col("sh")) > 0)
-    val sigs = withMinhash(sh)
+      .select("doc_id", "sh")
+      .persist() // reused by the signature pass and both verify re-joins
+    val sigs = sh.select(
+      col("doc_id"),
+      expr(s"minhash_sigs(sh, $MinhashK)").as("mhs"))
     val bandCols = (0 until Bands).map { bId =>
-      val rowHashes = (0 until 4).map(r => s"mh${bId * 4 + r}").mkString(", ")
+      val rowHashes = (1 to 4).map(r => s"element_at(mhs, ${bId * 4 + r})").mkString(", ")
       struct(lit(bId).as("band_id"), expr(s"xxhash64($rowHashes)").as("band_hash"))
     }
     val buckets = sigs
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band_id"), col("b.band_hash"))
-    val l = buckets.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = buckets.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+      .persist()
+    val l = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val withShingles = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    val out = withShingles
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+    out
   }
 
   /** dd4: 64-bit SimHash signatures. Tokens are exploded once; the 64 bit
