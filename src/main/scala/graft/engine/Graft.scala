@@ -67,11 +67,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = p("documents")
   def embeddings: DataFrame = p("embeddings")
 
-  /** `events` normalized: raw int64 nanos (via nanosAsLong) → TIMESTAMP_NTZ
-    * truncated to micros, matching how DuckDB reads the same file. */
-  def events: DataFrame = {
+  /** `events` with the wire-format int64-nanos `ts` (via nanosAsLong).
+    * Predicates that should reach the parquet scan must be expressed on
+    * this raw column (see Staging.dateParamScan) — filters on the
+    * converted timestamp cannot push down. */
+  def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p("events").withColumn(
-      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    p("events")
   }
+
+  /** `events` normalized: raw int64 nanos → TIMESTAMP_NTZ truncated to
+    * micros, matching how DuckDB reads the same file. */
+  def events: DataFrame =
+    eventsRaw.withColumn(
+      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
 }

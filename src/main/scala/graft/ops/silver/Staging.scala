@@ -122,13 +122,21 @@ object Staging {
       |ORDER BY event_id""".stripMargin
 
   /** S4/P11: parameterized date-equality scan — the partition-pruned read
-    * (`build_fact_fee_tax.py:26-35`). On a date-partitioned layout this
-    * prunes at the source listing (see Sinks.partitionedSinkRoundtrip). */
-  def dateParamScan(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
-      .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+    * (`build_fact_fee_tax.py:26-35`). The date equality is rewritten as a
+    * half-open range on the RAW epoch-nanos column so it pushes down to
+    * the parquet row groups (a filter on the converted timestamp would
+    * force a full scan — the difference between touching one day and
+    * 100 TB). On a date-partitioned layout the same range prunes at the
+    * source listing (see Sinks.partitionedSinkRoundtrip). */
+  def dateParamScan(spark: SparkSession, dir: String): DataFrame = {
+    val day = java.time.LocalDate.parse("2024-01-15")
+    val nanosPerDay = 86400L * 1000000000L
+    val lo = day.toEpochDay * nanosPerDay
+    Tables(spark, dir).eventsRaw
+      .filter(col("ts") >= lo && col("ts") < lo + nanosPerDay)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
+  }
 
   val dateParamScanOracle: String =
     """SELECT event_id, user_id, event_type, value FROM events
