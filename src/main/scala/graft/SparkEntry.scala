@@ -19,6 +19,7 @@ object SparkEntry {
       graft.ops.gold.Joins.queries ++
       graft.ops.gold.Windows.queries ++
       graft.ops.gold.SortSetOps.queries ++
+      graft.ops.gold.Bucketed.queries ++
       graft.ops.gold.Assertions.queries ++
       graft.streaming.EventTime.queries ++
       graft.functions.Scalars.queries ++

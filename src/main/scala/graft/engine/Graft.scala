@@ -40,6 +40,8 @@ object Graft {
     // read the raw int64 nanos and convert ourselves (see Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+    .config("spark.sql.warehouse.dir",
+      new java.io.File("target/graft-warehouse").getAbsolutePath)
     .config("spark.ui.enabled", "false")
 
   /** Scratch space for sink round-trips; kept inside the repo tree. */

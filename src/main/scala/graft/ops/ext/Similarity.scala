@@ -116,7 +116,56 @@ object Similarity {
       .orderBy("q_vec_id", "rank")
   }
 
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** Cell assignment: nearest of the 16 deterministic centroid vectors
+    * (the first 16 corpus vectors — a real build would k-means refine;
+    * the query shape is identical). One broadcast of 16 centroids, one
+    * narrow argmax pass — no shuffle. */
+  def ivfAssignments(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, embCol: String, probes: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val centroids = Tables(spark, dir).embeddings
+      .filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell_id"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("cell_cos", expr(s"cosine_sim($embCol, centroid)"))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= probes)
+      .drop("centroid", "cell_cos", "cell_rank")
+  }
+
+  /** ann3: IVF-style ANN — corpus is partitioned into centroid cells;
+    * each query probes its 2 nearest cells and brute-forces only those.
+    * Expected cost: probes/cells (~12%) of the brute-force scan; the
+    * inverted-file layout at 100 TB is the same DataFrame written
+    * partitionBy(cell_id), making a probe a partition-pruned read.
+    * Rows-only; SimilaritySpec bounds recall vs ann1. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
+    val corpusCells = ivfAssignments(spark, dir, corpus, "vec_id", "embedding", probes = 1)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+    val queryCells = ivfAssignments(spark, dir, queriesDf(spark, dir),
+      "q_vec_id", "q_emb", probes = IvfProbes)
+      .select(col("cell_id"), col("q_vec_id"), col("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
+    corpusCells
+      .join(broadcast(queryCells), Seq("cell_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .dropDuplicates("q_vec_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos_r"))
+      .orderBy("q_vec_id", "rank")
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
-    QueryDef.rowsOnly("ann2_lsh_topk")(lshTopK))
+    QueryDef.rowsOnly("ann2_lsh_topk")(lshTopK),
+    QueryDef.rowsOnly("ann3_ivf_topk")(ivfTopK))
 }

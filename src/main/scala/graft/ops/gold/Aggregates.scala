@@ -155,8 +155,22 @@ object Aggregates {
       |       sqrt((s2 - s * s / n) / (n - 1)) AS stddev_qty
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** CUBE grouping sets (all 4 combinations of the two dims). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val cubeAggOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1AggOracle)(q1Agg),
+    QueryDef.sql("a10_cube", cubeAggOracle)(cubeAgg),
     QueryDef.sql("a2_scalar_max", scalarMaxOracle)(scalarMax),
     QueryDef.sql("a3_first_per_key", firstPerKeyOracle)(firstPerKey),
     QueryDef.sql("a5_counts", countsOracle)(counts),

@@ -68,9 +68,25 @@ object SortSetOps {
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0
       |ORDER BY custkey""".stripMargin
 
+  /** UNION (distinct): overlapping key sets unioned with dedup. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("custkey"))
+      .union(t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  val unionDistinctOracle: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+      |UNION
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("o1_topk", topkOracle)(topk),
     QueryDef.sql("o2_union_all", unionAllOracle)(unionAll),
+    QueryDef.sql("o5_union_distinct", unionDistinctOracle)(unionDistinct),
     QueryDef.sql("o3_intersect", intersectKeysOracle)(intersectKeys),
     QueryDef.sql("o4_except", exceptKeysOracle)(exceptKeys))
 }

@@ -1,0 +1,30 @@
+package graft
+
+import graft.ops.gold.Bucketed
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedSpec extends AnyFunSuite with SparkFixture {
+
+  test("bucketed equi-join plans without a shuffle exchange") {
+    // force a sort-merge join so bucketing (not broadcast) carries it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val join = Bucketed.bucketedJoin(spark, Sf)
+      val plan = join.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(join.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed aggregate matches the raw-table result") {
+    val t = graft.engine.Tables(spark, Sf)
+    val raw = t.lineitem
+      .join(t.orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    assert(Bucketed.bucketedJoin(spark, Sf).count() == raw)
+  }
+}

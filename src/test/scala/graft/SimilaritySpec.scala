@@ -51,4 +51,23 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // at 500 vectors; this bounds "works at all", the bench bounds cost.
     assert(mean > 0.2, s"mean recall@3 = $mean")
   }
+
+  test("IVF ANN probes 2/16 cells and recalls some true neighbors") {
+    val exact = Similarity.bruteForceTopK(spark, Sf)
+      .filter(col("rank") <= 3)
+      .select("q_vec_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.ivfTopK(spark, Sf)
+      .select("q_vec_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.nonEmpty && approx.values.forall(_.nonEmpty))
+    val recalls = exact.map { case (q, want) =>
+      approx.getOrElse(q, Set.empty).count(want).toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF mean recall@3 = $mean")
+    // 2/16 probes on near-uniform data: recall is bounded below by the
+    // probe fraction; real clustered corpora do far better
+    assert(mean > 0.1, s"IVF mean recall@3 = $mean")
+  }
 }
