@@ -14,6 +14,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     graft.ops.bronze.Sinks.queries ++
       graft.ops.silver.Staging.queries ++
+      graft.ops.silver.TypedDedup.queries ++
       graft.ops.gold.Revenue.queries ++
       graft.ops.gold.Aggregates.queries ++
       graft.ops.gold.Joins.queries ++

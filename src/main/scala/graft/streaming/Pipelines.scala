@@ -95,6 +95,40 @@ object Pipelines {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** S1/S2: the live Kafka source — schema-asserted JSON values keyed by
+    * symbol, `startingOffsets=earliest` ≅ the reference consumer's
+    * `auto.offset.reset` (`kafka_to_s3_bronze.py:20-27`); offset progress
+    * lives in the checkpoint, replacing manual commits. (Compile-level
+    * wiring: this environment has no broker — the file-stream source
+    * above is the tested stand-in with identical downstream semantics.) */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("key").cast("string").as("symbol_key"),
+        from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType(rawEventsSchema.fields)).as("e"))
+      .select(col("symbol_key"), col("e.*"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** S8: the keyed, compact-JSON Kafka sink
+    * (`binance_ws_to_kafka.py:36-43`); checkpointing makes delivery
+    * effectively exactly-once into an idempotent downstream. */
+  def kafkaSink(df: DataFrame, servers: String, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(
+        lower(col("event_type")).as("key"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
   /** S14 streaming form: foreachBatch incremental merge into a parquet
     * target — per micro-batch: dedup the batch on the unique key, merge
     * with the existing target last-write-wins. At scale the overwrite
