@@ -13,6 +13,7 @@ object SparkEntry {
   /** All declared operator exercises, grouped by engine layer. */
   def all: Seq[QueryDef] =
     graft.ops.bronze.Sinks.queries ++
+      graft.ops.bronze.Backfill.queries ++
       graft.ops.silver.Staging.queries ++
       graft.ops.silver.TypedDedup.queries ++
       graft.ops.gold.Revenue.queries ++
