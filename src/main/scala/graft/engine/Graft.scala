@@ -31,6 +31,7 @@ object Graft {
   /** Shared config block — used by Verify, Bench and the test suites so
     * every entry point plans identically. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", cpus.toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,30 @@
+package graft
+
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PlanRulesSpec extends AnyFunSuite with SparkFixture {
+
+  test("to_date equality on normalized events ts pushes a nanos range to parquet") {
+    val df = Tables(spark, Sf).events
+      .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      .select("event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,1705276800000000000)"),
+      s"expected pushed range filter in:\n$plan")
+    assert(plan.contains("LessThan(ts,1705363200000000000)"), plan)
+    // and the rewrite preserves the result
+    val viaRule = df.count()
+    val manual = graft.ops.silver.Staging.dateParamScan(spark, Sf).count()
+    assert(viaRule == manual)
+  }
+
+  test("rule leaves other date predicates untouched") {
+    val t = Tables(spark, Sf)
+    val n = t.lineitem
+      .filter(to_date(col("l_shipdate")) === lit("1997-10-31").cast("date"))
+      .count()
+    assert(n >= 0) // no rewrite applies (not the nanos chain); must not break
+  }
+}
