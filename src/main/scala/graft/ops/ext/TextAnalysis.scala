@@ -134,7 +134,49 @@ object TextAnalysis {
       |  substr(md5(text), 1, 8) AS raw_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus n-gram profile: top-10 bigrams per language by document
+    * frequency — explode + two-level aggregation + per-group top-k, the
+    * canonical "what's in my corpus" report. Ties broken by bigram text
+    * so cross-engine ranking is stable. */
+  def bigramProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(w) < 2 THEN filter(w, x -> false)
+          |ELSE array_distinct(transform(sequence(0, size(w) - 2),
+          |       i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))
+          |END""".stripMargin))
+    val counts = docs
+      .select(col("lang"), explode(col("bigrams")).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("doc_freq").desc, col("bigram"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("bigint").as("rk"),
+        col("bigram"), col("doc_freq"))
+      .orderBy("lang", "rk")
+  }
+
+  val bigramProfileOracle: String =
+    """WITH t AS (
+      |  SELECT lang, list_distinct(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1])) AS bigrams
+      |  FROM (SELECT lang, string_split_regex(trim(text), '\s+') w FROM documents)
+      |), c AS (
+      |  SELECT lang, unnest(bigrams) AS bigram FROM t
+      |), f AS (
+      |  SELECT lang, bigram, count(*) AS doc_freq FROM c GROUP BY 1, 2
+      |)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, bigram, doc_freq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |             ORDER BY doc_freq DESC, bigram) AS rk FROM f
+      |) WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
     QueryDef.sql("tx2_lang_id", langIdOracle)(langId),
     QueryDef.sql("tx3_quality_score", qualityScoreOracle)(qualityScore),

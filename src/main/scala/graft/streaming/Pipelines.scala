@@ -129,6 +129,27 @@ object Pipelines {
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
 
+  /** Stream-stream join (SURVEY §2.8 capability row): purchases joined to
+    * the same user's clicks within the preceding hour. Both sides are
+    * watermarked so Spark bounds the join state: a click older than
+    * (watermark − 1 h) can never match and is evicted — the property that
+    * keeps state finite on an unbounded 100 TB/day stream. */
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+  }
+
   /** S14 streaming form: foreachBatch incremental merge into a parquet
     * target — per micro-batch: dedup the batch on the unique key, merge
     * with the existing target last-write-wins. At scale the overwrite

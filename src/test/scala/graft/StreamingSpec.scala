@@ -70,6 +70,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("session_out").count() > 0)
   }
 
+  test("stream-stream click~purchase join matches the batch range join") {
+    val joined = Pipelines.clickPurchaseJoin(spark, Sf)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out").select("purchase_id", "click_id")
+
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("purchase_id", "click_id")
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-stream join diverged from batch range join")
+  }
+
   test("foreachBatch incremental merge maintains unique keys") {
     val target = tmp("merge-target") + "/t"
     val ckpt = tmp("merge-ckpt")
