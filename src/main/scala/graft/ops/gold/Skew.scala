@@ -19,6 +19,10 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: Column, salts: Int, joinType: String = "left_outer"): DataFrame = {
+    // right/full joins would surface each unmatched dim row `salts` times
+    require(Set("inner", "left", "leftouter", "leftsemi", "cross")
+      .contains(joinType.toLowerCase.replaceAll("_", "")),
+      s"saltedJoin supports inner/left join types, got $joinType")
     val saltedFact = fact.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))

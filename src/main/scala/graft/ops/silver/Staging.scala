@@ -176,8 +176,29 @@ object Staging {
       |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY src_batch DESC) = 1
       |ORDER BY event_id""".stripMargin
 
+  /** P1-adjacent resilience: malformed/missing JSON fields coerce to NULL
+    * (PERMISSIVE semantics), never fail the pipeline — per-doc parse
+    * health surfaces as counters a quality gate can threshold. */
+  def malformedJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.missing_key").as("missing_key"),
+        get_json_object(concat(lit("{broken"), col("props")), "$.k").as("broken_parse"),
+        get_json_object(col("props"), "$.k").isNotNull.as("parse_ok"))
+      .orderBy("event_id")
+
+  val malformedJsonOracle: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.missing_key') AS missing_key,
+      |  CASE WHEN json_valid('{broken' || props)
+      |       THEN json_extract_string('{broken' || props, '$.k') END AS broken_parse,
+      |  json_extract_string(props, '$.k') IS NOT NULL AS parse_ok
+      |FROM events ORDER BY event_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("p3_json_flatten", jsonFlattenOracle)(jsonFlatten),
+    QueryDef.sql("p13_malformed_json", malformedJsonOracle)(malformedJson),
     QueryDef.sql("p4_cast_coerce", castCoerceOracle)(castCoerce),
     QueryDef.sql("p6_stg_projection", stgProjectionOracle)(stgProjection),
     QueryDef.sql("a4_dedup_exact", dedupExactOracle)(dedupExact),
