@@ -16,6 +16,7 @@ object SparkEntry {
       graft.ops.bronze.Backfill.queries ++
       graft.ops.silver.Staging.queries ++
       graft.ops.silver.TypedDedup.queries ++
+      graft.ops.silver.DbtModels.queries ++
       graft.ops.gold.Revenue.queries ++
       graft.ops.gold.Aggregates.queries ++
       graft.ops.gold.Joins.queries ++
