@@ -34,11 +34,14 @@ object Pipelines {
 
   /** S1/S2 stand-in: file-stream source over the events table with the
     * same normalization as the batch catalog. `ts` is TimestampType
-    * (UTC) — streaming state (watermarks) wants an instant. */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    * (UTC) — streaming state (watermarks) wants an instant. `glob`
+    * defaults to the fixture layout (one named file per table in the SF
+    * dir); specs streaming their own part-files pass "*.parquet". */
+  def eventsStream(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet"): DataFrame =
     spark.readStream
       .schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .option("pathGlobFilter", glob) // file source needs a dir
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -150,11 +153,21 @@ object Pipelines {
         col("click_ts") <= col("purchase_ts"))
   }
 
-  /** S14 streaming form: foreachBatch incremental merge into a parquet
-    * target — per micro-batch: dedup the batch on the unique key, merge
-    * with the existing target last-write-wins. At scale the overwrite
-    * becomes dynamic-partition overwrite of touched event_date partitions
-    * only; semantics are identical. */
+  /** S14 streaming form: foreachBatch incremental upsert into an
+    * event_date-partitioned parquet target. Per micro-batch:
+    *   1. dedup the batch on the unique key;
+    *   2. read back ONLY the event_date partitions the batch touches —
+    *      the date set is collected (bounded by the batch's event-time
+    *      span, i.e. O(days), never O(rows)) and applied as a static
+    *      `isin` filter, so the scan is partition-pruned at planning;
+    *   3. last-write-wins merge where the incoming batch beats the
+    *      target on matched keys (MERGE WHEN MATCHED → UPDATE);
+    *   4. dynamic-partition-overwrite of the touched partitions alone.
+    * Cost per batch is O(touched partitions), not O(target) — the
+    * property that keeps an ever-growing 100 TB fact mergeable. The
+    * existence probe uses the Hadoop FileSystem API (S3/HDFS-correct,
+    * not java.io.File), and the merged frame is localCheckpoint-ed to
+    * cut lineage so the overwrite never reads its own output path. */
   def incrementalMergeStream(spark: SparkSession, stream: DataFrame,
       targetDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
@@ -164,20 +177,34 @@ object Pipelines {
         import org.apache.spark.sql.expressions.Window
         val incoming = batch
           .withColumn("src_batch", lit(batchId))
+          .withColumn("event_date", to_date(col("ts")))
           .dropDuplicates("event_id")
-        val target = new java.io.File(targetDir)
-        val merged = if (target.exists() && target.listFiles().nonEmpty) {
+        val tPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val nonEmpty = fs.exists(tPath) &&
+          fs.listStatus(tPath).exists(!_.getPath.getName.startsWith("_"))
+        val merged = if (nonEmpty) {
+          val touched = incoming.select("event_date").distinct()
+            .collect().map(_.getDate(0)).toSeq
           val existing = spark.read.parquet(targetDir)
+            .filter(col("event_date").isInCollection(touched))
           val w = Window.partitionBy("event_id")
-            .orderBy(col("src_batch").desc, col("ts").desc)
-          existing.unionByName(incoming)
+            .orderBy(col("is_incoming").desc, col("src_batch").desc, col("ts").desc)
+          existing.withColumn("is_incoming", lit(0))
+            .unionByName(incoming.withColumn("is_incoming", lit(1)))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .drop("rn")
+            .drop("rn", "is_incoming")
         } else incoming
-        val staging = targetDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(targetDir)
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          merged.localCheckpoint(true)
+            .write.mode("overwrite").partitionBy("event_date").parquet(targetDir)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
         ()
       }
       .start()

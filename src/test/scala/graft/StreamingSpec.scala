@@ -108,4 +108,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.count() == src.select("event_id").distinct().count())
     assert(got.select("event_id").distinct().count() == got.count())
   }
+
+  test("incremental merge rewrites only the partitions present in the batch") {
+    val target = tmp("merge2-target") + "/t"
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts is raw nanos
+    val src1 = tmp("merge2-src1") + "/d"
+    val src2 = tmp("merge2-src2") + "/d"
+    raw.write.parquet(src1)
+    // second batch: only 2024-01-05 events, values bumped (an upsert)
+    raw.filter(to_date(timestamp_micros(expr("ts div 1000"))) === "2024-01-05")
+      .withColumn("value", col("value") + 1000.0)
+      .write.parquet(src2)
+
+    val q1 = Pipelines.incrementalMergeStream(spark,
+      Pipelines.eventsStream(spark, src1, glob = "*.parquet"),
+      target, tmp("merge2-ckpt1"))
+    q1.awaitTermination()
+
+    // snapshot the data files of a partition batch 2 does NOT touch
+    def partFiles(date: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$target/event_date=$date")
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = partFiles("2024-01-10")
+    assert(before.nonEmpty, "expected partitioned layout under the target")
+
+    val q2 = Pipelines.incrementalMergeStream(spark,
+      Pipelines.eventsStream(spark, src2, glob = "*.parquet"),
+      target, tmp("merge2-ckpt2"))
+    q2.awaitTermination()
+
+    assert(partFiles("2024-01-10") == before,
+      "untouched partition was rewritten by a batch that never touched it")
+
+    // unique keys maintained, and the touched partition took the upsert
+    val got = spark.read.parquet(target)
+    assert(got.count() == raw.select("event_id").distinct().count())
+    assert(got.select("event_id").distinct().count() == got.count())
+    val jan5Min = got.filter(col("event_date") === "2024-01-05")
+      .agg(min("value")).head.getDouble(0)
+    assert(jan5Min >= 1000.0, "incoming batch did not win the merge on matched keys")
+  }
 }
