@@ -205,10 +205,112 @@ object Dedup {
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
+  /** Chunks per label block in the dd5b triangle grid. On a cluster this
+    * would scale with the hot block size (C ≈ √(block²/target_task_pairs));
+    * 4 is plenty at fixture scale and keeps replication at C+1 = 5×. */
+  val GridChunks = 4
+
+  /** dd5b: the SAME exact top-50 as dd5 (same oracle, hash-identical
+    * output), restructured so a hot label cannot sink the job. dd5's
+    * `a.join(b, "label")` puts an entire label block into one task —
+    * O(block²) pairs in one place. dd5b splits each block into C chunks
+    * and enumerates the C(C+1)/2 chunk-pairs as separate join keys
+    * (the Afrati–Ullman triangle partitioning): the left row for chunk i
+    * replicates to grid cells (i, j≥i), the right row for chunk j to
+    * (i≤j, j), so every pair lands in exactly one cell — off-diagonal
+    * cells once in one orientation (normalized with least/greatest),
+    * diagonal cells in both (filtered to vec_a < vec_b). Tasks carry
+    * block²/C² pairs (64× less memory at C=8) and a hot label runs on
+    * C(C+1)/2 cores instead of 1, at the cost of (C+1)× input
+    * replication. The final TakeOrderedAndProject keeps only 50 rows per
+    * partition, so the ordering shuffle is O(50·partitions).
+    *
+    * Why not an LSH prefilter here (the obvious "candidate-bounded"
+    * shape)? Exactness math: this fixture's top-50 cutoff is cos ≈ 0.33
+    * with continuous pair density just below it; at that angle a random
+    * hyperplane agrees with probability 0.61 vs 0.50 for noise, giving an
+    * LSH ρ = ln0.61/ln0.5 ≈ 0.72 — full recall of the top-50 forces
+    * ≥60% of all pairs into the candidate set, i.e. LSH cannot bound
+    * candidates in the modest-similarity top-k regime. LSH is the right
+    * tool at near-dup similarity (cos ≥ 0.9), which dd5c implements. */
+  def embeddingTopPairsGrid(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir).embeddings
+      .withColumn("ch", pmod(xxhash64(col("vec_id")), lit(GridChunks)).cast("int"))
+    val left = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("ch").as("i"))
+      .withColumn("j", explode(expr(s"sequence(i, ${GridChunks - 1})")))
+    val right = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("ch").as("j"))
+      .withColumn("i", explode(expr("sequence(0, j)")))
+    left.join(right, Seq("label", "i", "j"))
+      .filter(col("i") < col("j") || col("vec_a") < col("vec_b"))
+      .withColumn("cos_r", round(expr("cosine_sim(emb_a, emb_b)"), 6))
+      .select(col("label").cast("int").as("label"),
+        least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  /** Cosine threshold defining "near-duplicate" for dd5c. At cos ≥ 0.9 a
+    * hyperplane bit agrees with prob 0.86, so the 8×6-bit band miss rate
+    * is (1 − 0.86⁶)^8 ≈ 2%, and ≈ 1.3e-4 at cos 0.98 (real dup edits) —
+    * while random pairs collide at ~11% (ann2's analysis). */
+  val NearDupTau = 0.9
+
+  /** dd5c candidate pairs: same-label vectors sharing ≥1 LSH (table,
+    * bucket) — bare (label, vec_a, vec_b) ids only, the dd3 trick, so no
+    * embedding array ever rides the band-bucket shuffle. */
+  def embeddingLshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val buckets = Similarity.bucketAssignments(e, "embedding")
+      .select(col("label"), col("table_id"), col("bucket"), col("vec_id"))
+    val l = buckets.withColumnRenamed("vec_id", "vec_a")
+    val r = buckets.withColumnRenamed("vec_id", "vec_b")
+    l.join(r, Seq("label", "table_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("label", "vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** dd5c: candidate-bounded embedding near-dup — the 100 TB dedup shape.
+    * LSH band buckets (reusing ann2's hyperplanes) propose id-only
+    * candidate pairs; embeddings are joined back only for the candidates
+    * and exact cosine keeps pairs ≥ [[NearDupTau]]. The fixture corpus
+    * has no embedding near-dups (max pairwise cos ≈ 0.48) so the
+    * oracle-checked output is empty on driver fixtures; DedupSpec plants
+    * cos ≈ 0.98 duplicate vectors and asserts 100% recall with the
+    * candidate set ≪ all pairs. */
+  def embeddingLshDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir).embeddings
+    embeddingLshCandidates(spark, dir)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .withColumn("cos_r", round(expr("cosine_sim(emb_a, emb_b)"), 6))
+      .filter(col("cos_r") >= NearDupTau)
+      .select(col("label").cast("int").as("label"), col("vec_a"), col("vec_b"), col("cos_r"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingLshDupOracle: String =
+    s"""SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 6) >= $NearDupTau
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
     QueryDef.rowsOnly("dd3_minhash_lsh")(minhashLsh),
     QueryDef.rowsOnly("dd4_simhash")((s, d) => simhashSignatures(s, d)),
-    QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs))
+    QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs),
+    QueryDef.sql("dd5b_embedding_dup_grid", embeddingTopPairsOracle)(embeddingTopPairsGrid),
+    QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup))
 }

@@ -43,6 +43,56 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(dup.length == 1 && dup(0).getAs[Long]("keep") == 1L)
   }
 
+  test("dd5b triangle-grid top-pairs is row-identical to dd5 all-pairs") {
+    val exact = Dedup.embeddingTopPairs(spark, Sf).collect().toSeq
+    val grid = Dedup.embeddingTopPairsGrid(spark, Sf).collect().toSeq
+    assert(exact == grid)
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** 60 random 64-dim vectors + near-dup copies (cos ≈ 0.98) of the first
+    * 15, sharing the base's label — the regime dd5c targets. */
+  lazy val plantedDir: (String, Seq[(Long, Array[Float], Int)]) = {
+    val rnd = new scala.util.Random(7)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, gauss(), i % 3))
+    val dups = base.take(15).map { case (id, v, lab) =>
+      (1000L + id, v.map(x => x + (rnd.nextGaussian() * 0.2).toFloat), lab)
+    }
+    val all = base ++ dups
+    val dir = tmp("dd5c")
+    all.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    (dir, all)
+  }
+
+  test("dd5c LSH near-dup: full recall on planted cos≈0.98 dups, no false positives") {
+    val (dir, all) = plantedDir
+    val truth = (for {
+      x <- all; y <- all
+      if x._3 == y._3 && x._1 < y._1 && cosine(x._2, y._2) >= Dedup.NearDupTau
+    } yield (x._1, y._1)).toSet
+    assert(truth.size >= 15, s"expected every planted pair to qualify, got ${truth.size}")
+    val found = Dedup.embeddingLshDup(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("dd5c candidate set is a small fraction of all within-label pairs") {
+    def allPairs(dir: String): Long =
+      graft.engine.Tables(spark, dir).embeddings.groupBy("label").count()
+        .collect().map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+    val (dir, _) = plantedDir
+    val planted = Dedup.embeddingLshCandidates(spark, dir).count()
+    assert(planted < allPairs(dir) / 2, s"planted fixture: $planted candidates")
+    val fixture = Dedup.embeddingLshCandidates(spark, Sf).count()
+    assert(fixture < allPairs(Sf) / 4, s"driver fixture: $fixture candidates")
+  }
+
   test("simhash signatures are deterministic and banding finds near-dups") {
     val s1 = Dedup.simhashSignatures(spark, Sf).collect()
     val s2 = Dedup.simhashSignatures(spark, Sf).collect()

@@ -17,10 +17,17 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries whose correct fixture output is empty: dd5c's near-dup
+    * threshold (cos ≥ 0.9) exceeds the fixture's max pairwise cosine
+    * (≈0.48, TESTDATA facts) — its row signal lives in DedupSpec's
+    * planted-dup fixture instead. */
+  private val emptyOnFixture = Set("dd5c_embedding_lsh_dup")
+
   SparkEntry.all.foreach { q =>
     test(s"${q.name} runs and returns rows") {
       val df = q.fn(spark, Sf)
-      assert(df.count() > 0, s"${q.name} returned 0 rows")
+      if (emptyOnFixture(q.name)) assert(df.count() == 0, s"${q.name} expected empty on fixture")
+      else assert(df.count() > 0, s"${q.name} returned 0 rows")
     }
   }
 }
