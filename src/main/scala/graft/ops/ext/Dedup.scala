@@ -88,8 +88,12 @@ object Dedup {
 
   /** dd3: MinHash + LSH banding over ALL documents (no metadata/prefix
     * blocking): 32 minhashes → 8 bands of 4 → band-bucket join produces
-    * candidates → exact Jaccard verify ≥ 0.8. Rows-only for the driver;
-    * DedupSpec asserts parity with brute force.
+    * candidates → exact Jaccard verify ≥ 0.8. The signatures use the
+    * engine-portable md5-based multiplicative family
+    * ([[graft.functions.MinHashSignature]]) and the band key is the plain
+    * `'|'`-concat of the band's 4 minhash values, so the DuckDB oracle
+    * ([[minhashLshOracle]]) reproduces the banding — and therefore the
+    * full output — bit-for-bit: dd3 is hash-compared, not rows-only.
     *
     * Physical shape (the one that survives 100 TB): the signature pass is
     * ONE narrow projection (all 32 minhashes in a single nested-transform
@@ -108,7 +112,7 @@ object Dedup {
       expr(s"minhash_sigs(sh, $MinhashK)").as("mhs"))
     val bandCols = (0 until Bands).map { bId =>
       val rowHashes = (1 to 4).map(r => s"element_at(mhs, ${bId * 4 + r})").mkString(", ")
-      struct(lit(bId).as("band_id"), expr(s"xxhash64($rowHashes)").as("band_hash"))
+      struct(lit(bId).as("band_id"), expr(s"concat_ws('|', $rowHashes)").as("band_hash"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
@@ -131,19 +135,71 @@ object Dedup {
     out
   }
 
-  /** dd4: 64-bit SimHash signatures. Tokens are exploded once; the 64 bit
-    * counters are plain conditional sums (map-side combined), so the cost
-    * is one narrow pass + one shuffle on doc_id. The 4×16-bit chunk keys
-    * support hamming-distance banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4
-    * chunks identical); DedupSpec exercises the pairing. */
+  /** DuckDB restatement of [[minhashLsh]]: same md5-based multiplicative
+    * MinHash (coefficients shared from MinHashSignature), same 8×4
+    * banding, same Jaccard verify — engine-portable arithmetic end to
+    * end, so the driver hash-compares dd3 instead of counting rows. */
+  lazy val minhashLshOracle: String = {
+    import graft.functions.MinHashSignature.{Prime, coeffA, coeffB}
+    val minExprs = (0 until MinhashK).map { j =>
+      s"list_min(list_transform(h, v -> (${coeffA(j)} * v + ${coeffB(j)}) % $Prime))"
+    }.mkString(",\n      ")
+    val bandKey = "concat_ws('|', m[band_id*4+1], m[band_id*4+2], m[band_id*4+3], m[band_id*4+4])"
+    s"""WITH sh0 AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents)
+      |),
+      |sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),
+      |hs AS (
+      |  SELECT doc_id, s,
+      |    list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT % $Prime) AS h
+      |  FROM sh
+      |),
+      |mh AS (
+      |  SELECT doc_id, [
+      |      $minExprs
+      |    ] AS m
+      |  FROM hs
+      |),
+      |buckets AS (
+      |  SELECT doc_id, band_id, $bandKey AS band_key
+      |  FROM mh, (SELECT unnest(range(0, $Bands)) AS band_id)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(x.s, y.s))::DOUBLE
+      |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+      |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash width: 60 bits — the md5-prefix token hash both engines can
+    * compute ( `('0x'||substring(md5(tok),1,15))::BIGINT` in DuckDB,
+    * `conv(substring(md5(tok),1,15),16,10)` in Spark ) yields 60 portable
+    * bits, which is what lets dd4 be hash-compared instead of rows-only. */
+  val SimhashBits = 60
+
+  /** dd4: SimHash signatures. Tokens are exploded once; the bit counters
+    * are plain conditional sums (map-side combined), so the cost is one
+    * narrow pass + one shuffle on doc_id. The 4×15-bit chunk keys support
+    * hamming-distance banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
+    * identical); DedupSpec exercises the pairing. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
     }
-    val sig = (0 until 64)
+    val sig = (0 until SimhashBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     toks.groupBy("doc_id")
@@ -151,11 +207,43 @@ object Dedup {
       .withColumn("simhash", sig)
       .select(
         col("doc_id"), col("simhash"),
-        expr("simhash & 65535").as("chunk0"),
-        expr("(simhash >> 16) & 65535").as("chunk1"),
-        expr("(simhash >> 32) & 65535").as("chunk2"),
-        expr("(simhash >> 48) & 65535").as("chunk3"))
+        expr("simhash & 32767").as("chunk0"),
+        expr("(simhash >> 15) & 32767").as("chunk1"),
+        expr("(simhash >> 30) & 32767").as("chunk2"),
+        expr("(simhash >> 45) & 32767").as("chunk3"))
       .orderBy("doc_id")
+  }
+
+  /** DuckDB restatement of [[simhashSignatures]]: same md5-prefix token
+    * hash, same ±1 bit votes, same 15-bit chunking — dd4 is
+    * hash-compared, not rows-only. */
+  lazy val simhashOracle: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n      ")
+    val sig = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+      |),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks
+      |),
+      |bits AS (
+      |  SELECT doc_id,
+      |      $bitSums
+      |  FROM h GROUP BY doc_id
+      |),
+      |sigs AS (
+      |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
+      |)
+      |SELECT doc_id, simhash,
+      |  simhash & 32767 AS chunk0,
+      |  (simhash >> 15) & 32767 AS chunk1,
+      |  (simhash >> 30) & 32767 AS chunk2,
+      |  (simhash >> 45) & 32767 AS chunk3
+      |FROM sigs ORDER BY doc_id""".stripMargin
   }
 
   /** Hamming-banded SimHash near-dup candidates (used by DedupSpec and
@@ -308,8 +396,8 @@ object Dedup {
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
-    QueryDef.rowsOnly("dd3_minhash_lsh")(minhashLsh),
-    QueryDef.rowsOnly("dd4_simhash")((s, d) => simhashSignatures(s, d)),
+    QueryDef.sql("dd3_minhash_lsh", minhashLshOracle)(minhashLsh),
+    QueryDef.sql("dd4_simhash", simhashOracle)((s, d) => simhashSignatures(s, d)),
     QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs),
     QueryDef.sql("dd5b_embedding_dup_grid", embeddingTopPairsOracle)(embeddingTopPairsGrid),
     QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup))

@@ -92,9 +92,61 @@ object Similarity {
       .drop("tb")
   }
 
+  /** DuckDB restatement of [[bucketExpr]] for table `t`. The weights are
+    * emitted as `'…'::DOUBLE` string casts (correctly-rounded strtod —
+    * a bare decimal literal would parse as DECIMAL and round-trip through
+    * integer division) and the terms keep the same left-associative
+    * order, so the IEEE double sum — and therefore the sign bit and
+    * bucket id — is bit-identical to Spark's. */
+  private def duckBucketExpr(embCol: String, t: Int): String = {
+    val bits = (0 until BitsPerTable).map { p =>
+      val terms = hyperplanes(t)(p).zipWithIndex
+        .map { case (wgt, d) => s"$embCol[${d + 1}]::DOUBLE * '$wgt'::DOUBLE" }
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    bits.mkString(" + ")
+  }
+
+  /** DuckDB CASE dispatching [[duckBucketExpr]] on an unnested table_id. */
+  private def duckBucketCase(embCol: String): String =
+    (0 until Tables_).map(t => s"WHEN $t THEN (${duckBucketExpr(embCol, t)})")
+      .mkString("CASE table_id ", " ", " END")
+
+  /** Oracle for [[lshTopK]]: reproduces the hyperplane buckets with the
+    * exact same double arithmetic, then the same candidate join and
+    * ranking — ann2 is hash-compared, not rows-only. */
+  lazy val lshTopKOracle: String =
+    s"""WITH tabs AS (SELECT unnest(range(0, $Tables_)) AS table_id),
+      |cb AS (
+      |  SELECT vec_id, ${duckBucketCase("embedding")} AS bucket, table_id
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10), tabs
+      |),
+      |qb AS (
+      |  SELECT q_vec_id, ${duckBucketCase("q_emb")} AS bucket, table_id
+      |  FROM (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), tabs
+      |),
+      |cand AS (
+      |  SELECT DISTINCT qb.q_vec_id, cb.vec_id
+      |  FROM qb JOIN cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+      |),
+      |scored AS (
+      |  SELECT cand.q_vec_id, cand.vec_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_r
+      |  FROM cand
+      |  JOIN embeddings q ON q.vec_id = cand.q_vec_id
+      |  JOIN embeddings c ON c.vec_id = cand.vec_id
+      |)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
+
   /** ann2: LSH-bucketed approximate top-3 per query. Candidates = corpus
-    * vectors sharing ≥1 (table, bucket) with the query. Rows-only; the
-    * SimilaritySpec bounds recall vs ann1. */
+    * vectors sharing ≥1 (table, bucket) with the query; the
+    * SimilaritySpec additionally bounds recall vs ann1. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
@@ -132,7 +184,9 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell_id"))
     df.crossJoin(broadcast(centroids))
-      .withColumn("cell_cos", expr(s"cosine_sim($embCol, centroid)"))
+      // round(…,6) before ranking: cell choice becomes engine-portable
+      // (raw-double ordering could tie-break differently in the oracle)
+      .withColumn("cell_cos", round(expr(s"cosine_sim($embCol, centroid)"), 6))
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= probes)
       .drop("centroid", "cell_cos", "cell_rank")
@@ -164,8 +218,49 @@ object Similarity {
       .orderBy("q_vec_id", "rank")
   }
 
+  /** Oracle for [[ivfTopK]]: same centroid-cell assignment (ranked on
+    * round(cos,6) with cell_id tie-break), same 2-probe candidate join,
+    * same final ranking — ann3 is hash-compared, not rows-only. */
+  lazy val ivfTopKOracle: String = {
+    def cellCte(rows: String, idCol: String, probes: Int): String =
+      s"""SELECT $idCol, cell_id FROM (
+        |    SELECT v.vec_id AS $idCol, cent.cell_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |                                     CAST(cent.centroid AS DOUBLE[])), 6) DESC,
+        |        cent.cell_id) AS rk
+        |    FROM ($rows) v CROSS JOIN cent
+        |  ) WHERE rk <= $probes""".stripMargin
+    s"""WITH cent AS (
+      |  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < $IvfCells
+      |),
+      |ccell AS (
+      |  ${cellCte("SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10", "vec_id", 1)}
+      |),
+      |qcell AS (
+      |  ${cellCte("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10", "q_vec_id", IvfProbes)}
+      |),
+      |cand AS (
+      |  SELECT DISTINCT qcell.q_vec_id, ccell.vec_id
+      |  FROM qcell JOIN ccell ON qcell.cell_id = ccell.cell_id
+      |),
+      |scored AS (
+      |  SELECT cand.q_vec_id, cand.vec_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_r
+      |  FROM cand
+      |  JOIN embeddings q ON q.vec_id = cand.q_vec_id
+      |  JOIN embeddings c ON c.vec_id = cand.vec_id
+      |)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
-    QueryDef.rowsOnly("ann2_lsh_topk")(lshTopK),
-    QueryDef.rowsOnly("ann3_ivf_topk")(ivfTopK))
+    QueryDef.sql("ann2_lsh_topk", lshTopKOracle)(lshTopK),
+    QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK))
 }
