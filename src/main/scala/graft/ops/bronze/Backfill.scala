@@ -18,21 +18,34 @@ object Backfill {
     * per-page limit semantics (O1). Each page is one task: 1000
     * symbols × 72 windows parallelizes across the cluster instead of a
     * driver loop. */
+  private val PageSymbols = Seq("BTCUSDT", "ETHUSDT")
+  private val PageDays = 3
+  private val PageSize = 5
+
+  /** Deterministic stub fetch (no egress) with the real per-page limit
+    * semantics; `failOn` injects per-page HTTP-failure behavior for the
+    * resilient variant. */
+  private def fetchPage(symbol: String, dayOffset: Int,
+      failOn: Set[(String, Int)]): Seq[(Long, Double)] = {
+    if (failOn((symbol, dayOffset)))
+      throw new RuntimeException(s"HTTP 500 fetching $symbol day $dayOffset")
+    (0 until PageSize).map { i =>
+      (symbol.hashCode.toLong.abs % 1000 * 100000L + dayOffset * 1000L + i,
+        100.0 + dayOffset + i * 0.5)
+    }
+  }
+
+  private def pageSpecs(spark: SparkSession): DataFrame =
+    spark.range(PageSymbols.size.toLong * PageDays)
+      .select(
+        element_at(typedLit(PageSymbols), (col("id") / PageDays).cast("int") + 1).as("symbol"),
+        (col("id") % PageDays).cast("int").as("day_offset"))
+
   def paginatedScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val symbols = Seq("BTCUSDT", "ETHUSDT")
-    val days = 3
-    val pageSize = 5
-    val specs = spark.range(symbols.size.toLong * days)
-      .select(
-        element_at(typedLit(symbols), (col("id") / days).cast("int") + 1).as("symbol"),
-        (col("id") % days).cast("int").as("day_offset"))
-    specs.as[(String, Int)].flatMap { case (symbol, dayOffset) =>
-      // stub fetch: deterministic page of trades for (symbol, day)
-      (0 until pageSize).map { i =>
-        val tradeId = symbol.hashCode.toLong.abs % 1000 * 100000L + dayOffset * 1000L + i
-        (symbol, dayOffset, tradeId, 100.0 + dayOffset + i * 0.5)
-      }
+    pageSpecs(spark).as[(String, Int)].flatMap { case (symbol, dayOffset) =>
+      fetchPage(symbol, dayOffset, failOn = Set.empty)
+        .map { case (tradeId, price) => (symbol, dayOffset, tradeId, price) }
     }.toDF("symbol", "day_offset", "trade_id", "price")
       .orderBy("symbol", "day_offset", "trade_id")
   }
@@ -52,6 +65,54 @@ object Backfill {
       |            + day_offset * 1000 + i AS BIGINT) AS trade_id,
       |       100.0 + day_offset + i * 0.5 AS price
       |FROM pages ORDER BY symbol, day_offset, trade_id""".stripMargin
+
+  /** The page the resilient scan's fetcher poisons — a deterministic
+    * stand-in for a flaky upstream endpoint. */
+  val PoisonedPage: (String, Int) = ("ETHUSDT", 1)
+
+  /** S3 failure path: the reference swallows per-window HTTP errors into
+    * empty pages and keeps going (`ingest_binance_last_3_days.py:44-46` —
+    * `except: return []`). Distributed restatement: each page fetch is
+    * wrapped per-task; a failed page contributes zero data rows but stays
+    * visible as a `fetch_ok = false` marker row (the `parse_ok`-counter
+    * pattern from p13), so completeness is auditable downstream instead
+    * of silently absent. Every other page is unaffected — one bad window
+    * cannot fail the job. */
+  def paginatedScanResilient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pageSpecs(spark).as[(String, Int)].flatMap { case (symbol, dayOffset) =>
+      try fetchPage(symbol, dayOffset, failOn = Set(PoisonedPage))
+        .map { case (tradeId, price) =>
+          (symbol, dayOffset, Some(tradeId), Some(price), true)
+        }
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq((symbol, dayOffset, Option.empty[Long], Option.empty[Double], false))
+      }
+    }.toDF("symbol", "day_offset", "trade_id", "price", "fetch_ok")
+      .orderBy(col("symbol"), col("day_offset"), col("trade_id").asc_nulls_first)
+  }
+
+  val paginatedScanResilientOracle: String =
+    """WITH grid AS (
+      |  SELECT s.symbol, d.day_offset
+      |  FROM (VALUES ('BTCUSDT'), ('ETHUSDT')) s(symbol)
+      |  CROSS JOIN (VALUES (0), (1), (2)) d(day_offset)
+      |), pages AS (
+      |  SELECT symbol, day_offset, i
+      |  FROM grid CROSS JOIN (VALUES (0), (1), (2), (3), (4)) p(i)
+      |)
+      |SELECT symbol, day_offset, trade_id, price, fetch_ok FROM (
+      |  SELECT symbol, day_offset,
+      |         CAST(CASE symbol WHEN 'BTCUSDT' THEN 583 ELSE 65 END * 100000
+      |              + day_offset * 1000 + i AS BIGINT) AS trade_id,
+      |         CAST(100.0 + day_offset + i * 0.5 AS DOUBLE) AS price,
+      |         TRUE AS fetch_ok
+      |  FROM pages WHERE NOT (symbol = 'ETHUSDT' AND day_offset = 1)
+      |  UNION ALL
+      |  SELECT symbol, day_offset, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), FALSE
+      |  FROM grid WHERE symbol = 'ETHUSDT' AND day_offset = 1
+      |) ORDER BY symbol, day_offset, trade_id NULLS FIRST""".stripMargin
 
   /** S11: append with schema evolution (`ALLOW_FIELD_ADDITION` ≅
     * mergeSchema): v1 rows lack the column v2 adds; the evolved read
@@ -115,6 +176,7 @@ object Backfill {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s3_paginated_scan", paginatedScanOracle)(paginatedScan),
+    QueryDef.sql("s3b_resilient_scan", paginatedScanResilientOracle)(paginatedScanResilient),
     QueryDef.sql("s11_schema_evolution", schemaEvolutionOracle)(schemaEvolution),
     QueryDef.sql("q5_partition_overwrite", partitionOverwriteOracle)(partitionOverwrite))
 }
