@@ -53,14 +53,24 @@ object Dedup {
     * document's first shingle — prefix blocking). SQL-expressible, so
     * oracle-checked; recall on the planted dups is 100% here because the
     * planted edits don't touch the prefix. dd3 removes the blocking
-    * assumption. */
+    * assumption.
+    *
+    * Same id-only-candidates shape as dd3: the blocking join exchanges
+    * bare (doc_id, first_sh) rows and the shingle arrays are joined back
+    * only for the candidate pairs — a popular prefix fans out id pairs,
+    * not O(block²) copies of full shingle arrays. */
   def ngramJaccardBlocked(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .select(col("doc_id"), col("sh"), element_at(col("sh"), 1).as("first_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("first_sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("first_sh"))
-    a.join(b, Seq("first_sh"))
+      .persist() // blocking pass + both candidate join-backs
+    val ids = sh.select(col("doc_id"), col("first_sh"))
+    val candidates = ids.select(col("doc_id").as("doc_a"), col("first_sh"))
+      .join(ids.select(col("doc_id").as("doc_b"), col("first_sh")), Seq("first_sh"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") > 0.8)
       .select("doc_a", "doc_b", "jaccard")

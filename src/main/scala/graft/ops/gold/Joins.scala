@@ -105,19 +105,21 @@ object Joins {
     t.lineitem
       .join(t.orders,
         col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 70 DAYS"))
-      .groupBy("l_returnflag")
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"),
+        trunc(col("o_orderdate").cast("date"), "month").as("order_month"))
       .agg(count(lit(1)).as("n_late"),
         Exact.decSum(col("l_extendedprice")).as("late_value"))
-      .orderBy("l_returnflag")
+      .orderBy("l_returnflag", "order_month")
   }
 
   val rangeJoinOracle: String =
-    """SELECT l_returnflag, count(*) AS n_late,
+    """SELECT l_returnflag, date_trunc('month', CAST(o_orderdate AS DATE)) AS order_month,
+      |  count(*) AS n_late,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS late_value
       |FROM lineitem JOIN orders
-      |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 70 DAY
-      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1, 2 ORDER BY l_returnflag, order_month""".stripMargin
 
   /** As-of join (keyed): for every purchase event, the most recent click
     * by the same user at-or-before the purchase; ties broken by max
