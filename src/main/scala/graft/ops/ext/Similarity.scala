@@ -4,8 +4,6 @@ import graft.engine.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import scala.util.Random
-
 /** Approximate-nearest-neighbor search over the embedding column.
   *
   * ann1 is the exact baseline: broadcast the (small) query set against the
@@ -20,21 +18,19 @@ import scala.util.Random
   */
 object Similarity {
 
-  val Dim = 64
+  val Dim: Int = graft.functions.HyperplaneBuckets.Dim
   // 8 tables × 6 bits: for near-orthogonal 64-dim data, a true neighbor
   // at cos≈0.45 hits P(bit)≈0.66 → ≈0.08/table → ≈0.5 recall over 8
   // tables, while random vectors collide at 0.5^6 → ~11% of the corpus
   // becomes candidates — an ~9× cost reduction per recall point that
   // improves as dimensionality concentrates real corpora.
-  val Tables_ = 8
-  val BitsPerTable = 6
+  val Tables_ : Int = graft.functions.HyperplaneBuckets.Tables
+  val BitsPerTable: Int = graft.functions.HyperplaneBuckets.BitsPerTable
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
-    * across runs and executors; shipped to executors as literals). */
-  lazy val hyperplanes: Array[Array[Array[Double]]] = {
-    val rnd = new Random(42)
-    Array.fill(Tables_, BitsPerTable, Dim)(rnd.nextGaussian())
-  }
+  /** Deterministic pseudo-random hyperplanes — owned by the native
+    * [[graft.functions.HyperplaneBuckets]] expression; referenced here to
+    * generate the bit-identical DuckDB oracle arithmetic. */
+  def hyperplanes: Array[Array[Array[Double]]] = graft.functions.HyperplaneBuckets.planes
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings.filter(col("vec_id") < 10)
@@ -70,26 +66,14 @@ object Similarity {
       |  FROM scored
       |) WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
 
-  /** SQL expr: sign-bit bucket of `c` under table `t`'s hyperplanes. */
-  private def bucketExpr(embCol: String, t: Int): String = {
-    val bits = (0 until BitsPerTable).map { p =>
-      val plane = hyperplanes(t)(p)
-      val terms = plane.zipWithIndex
-        .map { case (wgt, d) => s"element_at($embCol, ${d + 1}) * ${wgt}d" }
-        .mkString(" + ")
-      s"(CASE WHEN ($terms) > 0 THEN ${1L << p}L ELSE 0L END)"
-    }
-    bits.mkString(" + ")
-  }
-
-  /** (vec_id, table_id, bucket) assignments — one narrow codegen pass. */
+  /** (vec_id, table_id, bucket) assignments — one narrow pass through the
+    * native [[graft.functions.HyperplaneBuckets]] expression (the
+    * generated-SQL form of these sums blew janino's 64 KB method limit
+    * and knocked the whole stage out of codegen). */
   def bucketAssignments(df: DataFrame, embCol: String): DataFrame = {
-    val buckets = (0 until Tables_).map(t =>
-      struct(lit(t).as("table_id"), expr(bucketExpr(embCol, t)).as("bucket")))
-    df.select(col("*"), explode(array(buckets: _*)).as("tb"))
-      .withColumn("table_id", col("tb.table_id"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+    graft.functions.HyperplaneBuckets.register(df.sparkSession)
+    df.select(col("*"),
+      posexplode(expr(s"hyperplane_buckets($embCol)")).as(Seq("table_id", "bucket")))
   }
 
   /** DuckDB restatement of [[bucketExpr]] for table `t`. The weights are
