@@ -27,7 +27,16 @@ object Bench {
     "o1_topk",
     "dd3_minhash_lsh",
     "ann1_bruteforce_topk",
-    "tx3_quality_score")
+    "tx3_quality_score",
+    // round-2 depth: heavy shapes the r1 set under-sampled
+    "dd2_ngram_jaccard",   // blocked self-join + array intersections
+    "dd5_embedding_dup",   // all-pairs-within-label exact cosine
+    "dd5b_embedding_dup_grid", // triangle-grid variant of the same work
+    "w4_range_frame",      // range-frame window
+    "j5_range_join",       // equi+range residual join at month grain
+    "a10_cube",            // multi-dim cube rollup
+    "j7_salted_join",      // skewed key, salted exchange
+    "j7b_unsalted_join")   // same join unsalted — the comparison anchor
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

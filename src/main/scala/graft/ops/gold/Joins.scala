@@ -161,11 +161,53 @@ object Joins {
       |) c ON TRUE
       |ORDER BY purchase_event_id""".stripMargin
 
+  /** j7: the skew showcase — 10M events carry ~5 distinct event_types, so
+    * an unsalted shuffle join on event_type lands everything on ≤5 of the
+    * shuffle partitions. [[Skew.saltedJoin]] salts the fact side from the
+    * high-cardinality event_id and replicates the dim 8×, turning 5 hot
+    * keys into 40 spread keys. The dim is merge-hinted: at 5 rows it
+    * would otherwise broadcast and hide the exchange this query exists to
+    * exercise (on a real 100 TB run the dim that needs salting is the one
+    * too big to broadcast). Semantics are identical to the plain join —
+    * j7 (salted) and j7b (unsalted) share one oracle; Bench carries both
+    * so the task-time spread is a measured artifact, not a claim. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    skewJoinOn(spark, dir, salted = true)
+
+  def unsaltedSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    skewJoinOn(spark, dir, salted = false)
+
+  private def skewJoinOn(spark: SparkSession, dir: String, salted: Boolean): DataFrame = {
+    val ev = Tables(spark, dir).events.select("event_id", "event_type", "value")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("double"))
+      .hint("merge")
+    val joined =
+      if (salted) Skew.saltedJoin(ev, dim, "event_type", col("event_id"), salts = 8, "inner")
+      else ev.join(dim, Seq("event_type"))
+    joined
+      .groupBy("event_type", "type_weight")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val skewJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, CAST(length(event_type) AS DOUBLE) AS type_weight
+      |  FROM events
+      |)
+      |SELECT e.event_type AS event_type, d.type_weight, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
     QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),
     QueryDef.sql("j4_multi_join_agg", multiJoinAggOracle)(multiJoinAgg),
     QueryDef.sql("j5_range_join", rangeJoinOracle)(rangeJoin),
-    QueryDef.sql("j6_asof_join", asofJoinOracle)(asofJoin))
+    QueryDef.sql("j6_asof_join", asofJoinOracle)(asofJoin),
+    QueryDef.sql("j7_salted_join", skewJoinOracle)(saltedSkewJoin),
+    QueryDef.sql("j7b_unsalted_join", skewJoinOracle)(unsaltedSkewJoin))
 }
