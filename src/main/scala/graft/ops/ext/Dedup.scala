@@ -403,6 +403,78 @@ object Dedup {
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= $NearDupTau
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** dd6: duplicate-cluster resolution — the step after pair detection
+    * that an actual dedup pipeline needs: near-dup PAIRS (from dd2/dd3/
+    * dd5c, any detector) form a graph whose connected components are the
+    * duplicate clusters; the canonical document is the min doc_id per
+    * component. Implemented as DataFrame-iterative min-label propagation:
+    * each round pushes labels across edges and takes the per-vertex min
+    * (one shuffle per round), converging in O(cluster diameter) rounds —
+    * near-dup clusters are shallow (dups of dups of one source), so this
+    * terminates in a handful of rounds even at 100 TB. `localCheckpoint`
+    * truncates the growing lineage each round (an un-checkpointed
+    * iterative plan re-executes every prior round per action); the
+    * changed-row count that gates convergence is the same O(1)-row driver
+    * read a production loop needs anyway. The 2^rounds-contraction
+    * variant (large-star/small-star, Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") drops in here if cluster
+    * diameters ever stop being shallow. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardBlocked(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    edges.unpersist()
+    labels.select(col("label").as("cluster_id"), col("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Oracle for [[dupClusters]]: dd2's pair CTE + a recursive reachability
+    * closure; cluster id = min reachable doc id. */
+  val dupClustersOracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+      |    w[1] || ' ' || w[2] || ' ' || w[3] AS first_sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents)
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.first_sh = b.first_sh AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.8
+      |),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(doc_id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v
+      |)
+      |SELECT min(r) AS cluster_id, doc_id FROM reach
+      |GROUP BY doc_id ORDER BY cluster_id, doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -410,5 +482,6 @@ object Dedup {
     QueryDef.sql("dd4_simhash", simhashOracle)((s, d) => simhashSignatures(s, d)),
     QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs),
     QueryDef.sql("dd5b_embedding_dup_grid", embeddingTopPairsOracle)(embeddingTopPairsGrid),
-    QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup))
+    QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup),
+    QueryDef.sql("dd6_dup_clusters", dupClustersOracle)(dupClusters))
 }

@@ -93,6 +93,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(fixture < allPairs(Sf) / 4, s"driver fixture: $fixture candidates")
   }
 
+  test("dd6 clusters transitive near-dup chains into one component") {
+    // A≈B (jaccard ~0.83), B≈C (~0.83), but A vs C ~0.69 < 0.8: only the
+    // transitive closure puts all three in one cluster. F≈G is a second,
+    // separate cluster; H is a singleton (no pair → not in the output).
+    val w = (0 until 100).map(i => s"w$i")
+    def doc(repl: Map[Int, String]) = w.indices.map(i => repl.getOrElse(i, w(i))).mkString(" ")
+    val a = doc(Map.empty)
+    val b = doc((10 to 16).map(i => i -> s"b$i").toMap)
+    val c = doc(((10 to 16).map(i => i -> s"b$i") ++ (80 to 86).map(i => i -> s"c$i")).toMap)
+    val f = ("p0" +: "p1" +: "p2" +: (0 until 60).map(i => s"f$i")).mkString(" ")
+    val g = ("p0" +: "p1" +: "p2" +: (0 until 60).map(i => if (i == 30) "edit" else s"f$i")).mkString(" ")
+    val h = (0 until 50).map(i => s"h$i").mkString(" ")
+    val dir = tmp("dd6")
+    Seq((1L, a), (2L, b), (3L, c), (10L, f), (11L, g), (20L, h))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val clusters = Dedup.dupClusters(spark, dir)
+      .as[(Long, Long)].collect().toSeq.groupMap(_._1)(_._2)
+    assert(clusters == Map(1L -> Seq(1L, 2L, 3L), 10L -> Seq(10L, 11L)))
+  }
+
   test("simhash signatures are deterministic and banding finds near-dups") {
     val s1 = Dedup.simhashSignatures(spark, Sf).collect()
     val s2 = Dedup.simhashSignatures(spark, Sf).collect()
