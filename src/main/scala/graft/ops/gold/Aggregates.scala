@@ -123,6 +123,89 @@ object Aggregates {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** a8b: a hand-built, engine-portable HyperLogLog-style sketch — the
+    * "novel sketch as composition of relational ops" capability. Spark's
+    * builtin `approx_count_distinct` (a8) is rows-only because its HLL++
+    * registers aren't reproducible outside Spark; this one is built from
+    * portable primitives only (md5-prefix hash → 256 buckets on the low 8
+    * bits → max trailing-zero rank per bucket → harmonic estimate), so
+    * the DuckDB oracle computes the IDENTICAL estimate and the driver
+    * hash-compares it.
+    *
+    * Distribution shape is the point: the narrow hash pass feeds a
+    * two-level aggregate — per-(group, bucket) max is map-side combined,
+    * then 256 rows per group collapse to the estimate. The bucket terms
+    * sum as exact integers (2^(53−ρ) as BIGINT — double addition order
+    * would differ between engines), and the float formula runs once per
+    * group on identical inputs. At 100 TB this is the mergeable-sketch
+    * pattern: partitions sketch independently, merge = max per bucket. */
+  def hllSketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val t = Tables(spark, dir).lineitem
+    val sketch = t
+      .select(col("l_returnflag"),
+        expr("cast(conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .withColumn("bucket", expr(s"h % $m"))
+      .withColumn("w", expr(s"h div $m"))
+      .withColumn("rho",
+        expr("CASE WHEN w = 0 THEN 53 ELSE cast(bit_count((w & -w) - 1) as bigint) + 1 END"))
+      .groupBy("l_returnflag", "bucket").agg(max("rho").as("max_rho"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(53 - max_rho as int))")).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nb")) * expr("shiftleft(cast(1 as bigint), 53)"))
+    val exact = t.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    exact.join(sketch, "l_returnflag")
+      .withColumn("raw_est",
+        expr(s"(0.7213d / (1d + 1.079d / $m)) * $m * $m * pow(2, 53) / s_total"))
+      // standard small-range correction: below 2.5m fall back to linear
+      // counting on the empty-bucket count (raw HLL overshoots there)
+      .withColumn("hll_est",
+        expr(s"CASE WHEN raw_est <= 2.5 * $m AND nb < $m " +
+          s"THEN round($m * ln($m / (cast($m as double) - nb)), 4) " +
+          "ELSE round(raw_est, 4) END"))
+      .select("l_returnflag", "exact_parts", "hll_est")
+      .orderBy("l_returnflag")
+  }
+
+  val hllSketchDistinctOracle: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem
+      |),
+      |r AS (
+      |  SELECT l_returnflag, h % 256 AS bucket,
+      |    max(CASE WHEN h // 256 = 0 THEN 53
+      |             ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END) AS max_rho
+      |  FROM h GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT l_returnflag,
+      |    sum(CAST(1 AS BIGINT) << CAST(53 - max_rho AS INTEGER))
+      |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_total,
+      |    count(*) AS nb
+      |  FROM r GROUP BY 1
+      |),
+      |raw AS (
+      |  SELECT l_returnflag, nb,
+      |    ('0.7213'::DOUBLE / (1 + '1.079'::DOUBLE / 256)) * 256 * 256
+      |      * pow(2, 53) / s_total AS raw_est
+      |  FROM s
+      |),
+      |e AS (
+      |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT e.l_returnflag AS l_returnflag, e.exact_parts,
+      |  CASE WHEN raw_est <= 2.5 * 256 AND nb < 256
+      |       THEN round(256 * ln(256 / (CAST(256 AS DOUBLE) - nb)), 4)
+      |       ELSE round(raw_est, 4) END AS hll_est
+      |FROM e JOIN raw ON e.l_returnflag = raw.l_returnflag
+      |ORDER BY 1""".stripMargin
+
   /** Statistical aggregates: min/max (exact copies), stddev via exact sums
     * (single deterministic double formula on both engines), exact median
     * with linear interpolation. */
@@ -177,5 +260,6 @@ object Aggregates {
     QueryDef.sql("a6_distinct_agg", distinctAggOracle)(distinctAgg),
     QueryDef.sql("a7_rollup", rollupAggOracle)(rollupAgg),
     QueryDef.rowsOnly("a8_approx_distinct")(approxDistinct),
+    QueryDef.sql("a8b_hll_sketch", hllSketchDistinctOracle)(hllSketchDistinct),
     QueryDef.sql("a9_stats_agg", statsAggOracle)(statsAgg))
 }

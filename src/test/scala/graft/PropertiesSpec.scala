@@ -46,6 +46,18 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(twice.count() == once.count())
   }
 
+  test("portable HLL sketch estimates within theoretical error bound") {
+    // standard error for m=256 registers is 1.04/√256 ≈ 6.5%; allow 3σ
+    val rows = graft.ops.gold.Aggregates.hllSketchDistinct(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val est = r.getAs[Double]("hll_est")
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"${r.getAs[String]("l_returnflag")}: est $est vs exact $exact")
+    }
+  }
+
   test("stub codec is pure and bounded") {
     val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     samples(gen, 100).foreach { bytes =>
