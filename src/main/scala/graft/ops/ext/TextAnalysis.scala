@@ -175,10 +175,89 @@ object TextAnalysis {
       |             ORDER BY doc_freq DESC, bigram) AS rk FROM f
       |) WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** Per-language training-mix quotas in basis points (of 10000) — the
+    * config a pretraining data recipe expresses as "downsample the
+    * over-represented languages". */
+  val MixQuotaBps: Seq[(String, Int)] =
+    Seq("en" -> 5000, "de" -> 10000, "es" -> 10000, "fr" -> 10000, "zh" -> 2500)
+
+  /** tx6: stratified quota sampling — deterministic, replayable: a doc is
+    * kept iff md5(doc_id) mod 10000 falls under its language's quota, so
+    * the same corpus always yields the same sample (re-runs, retries and
+    * incremental extensions see a consistent membership — `df.sample`'s
+    * RNG-per-partition would not survive repartitioning). One broadcast
+    * join against the quota dim + a narrow filter; no shuffle until the
+    * oracle ordering. Unquoted languages default to keep-all. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quotas = broadcast(MixQuotaBps.toDF("lang", "keep_bps"))
+    Tables(spark, dir).documents
+      .join(quotas, Seq("lang"), "left_outer")
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 10000"))
+      .filter(col("h") < coalesce(col("keep_bps"), lit(10000)))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleOracle: String = {
+    val quotaValues = MixQuotaBps.map { case (l, q) => s"('$l', $q)" }.mkString(", ")
+    s"""WITH quotas(lang, keep_bps) AS (VALUES $quotaValues)
+      |SELECT doc_id, d.lang AS lang, source
+      |FROM documents d LEFT JOIN quotas q ON d.lang = q.lang
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |      < coalesce(q.keep_bps, 10000)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** tx7: deterministic corpus shuffle — the global randomized training
+    * order, reproducible per seed (epoch N+1 = new seed literal).
+    * Sorting by a seeded hash of the key IS the shuffle; the global row
+    * index is computed the TeraSort way: range-partition on the hash,
+    * count rows per partition (an O(#partitions) driver read, not a data
+    * collect), broadcast the cumulative offsets back, and add a
+    * per-partition row_number — every stage is parallel. The naive
+    * `row_number() OVER (ORDER BY hash)` would move 100 TB into ONE
+    * window partition, which is exactly what this avoids. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables(spark, dir).documents
+      .withColumn("shuffle_key",
+        expr("cast(conv(substring(md5(cast(concat('epoch1|', doc_id) as binary)), 1, 15), 16, 10) as bigint)"))
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // offsets: pid ascends with the range order, so cumsum over pid order
+    // gives each partition's global starting index
+    val counts = keyed.groupBy("pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .tail.zip(counts).map { case ((pid, end), (_, n)) => (pid, end - n) }
+    val offsetsDf = broadcast(
+      keyed.sparkSession.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
+    keyed.join(offsetsDf, Seq("pid"))
+      .withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")))
+      .withColumn("shuffle_pos", (col("offset") + col("local_rn")).cast("bigint"))
+      .select("shuffle_pos", "doc_id", "shuffle_key")
+      .orderBy("shuffle_pos")
+  }
+
+  val corpusShuffleOracle: String =
+    """SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_pos,
+      |       doc_id, shuffle_key
+      |FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_key
+      |  FROM documents
+      |)
+      |ORDER BY shuffle_pos""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
     QueryDef.sql("tx2_lang_id", langIdOracle)(langId),
     QueryDef.sql("tx3_quality_score", qualityScoreOracle)(qualityScore),
-    QueryDef.sql("tx4_fingerprint", fingerprintOracle)(fingerprint))
+    QueryDef.sql("tx4_fingerprint", fingerprintOracle)(fingerprint),
+    QueryDef.sql("tx6_stratified_sample", stratifiedSampleOracle)(stratifiedSample),
+    QueryDef.sql("tx7_corpus_shuffle", corpusShuffleOracle)(corpusShuffle))
 }
