@@ -252,6 +252,72 @@ object TextAnalysis {
       |)
       |ORDER BY shuffle_pos""".stripMargin
 
+  /** Token budget per packed training sequence (tx8). */
+  val PackBudget = 512L
+  /** Packing shards (tx8) — sized so one shard's documents stream through
+    * one task; at 100 TB this scales with the corpus (shard ≈ 100 MB). */
+  val PackShards = 16L
+
+  /** tx8: sequence packing — the pretraining step that concatenates
+    * documents into fixed-token-budget training rows. Greedy first-fit in
+    * deterministic doc_id order within md5-sharded groups: shard
+    * assignment is a portable hash (not `spark_partition_id`, which would
+    * change with cluster layout), and the scan is a streaming
+    * `mapPartitions` over rows sorted (shard, doc_id) within their
+    * shuffle partition — O(1) memory per task, no group materialization.
+    * A document alone may exceed the budget (it gets its own bin); packs
+    * never mix shards, so epochs are reproducible and shards re-packable
+    * independently. The sequential greedy is per-shard, which is the
+    * honest parallelism of packing: global first-fit is inherently
+    * order-dependent, so the unit of determinism must be the shard. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+      .select(
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)" +
+          s" % $PackShards").as("pid"),
+        col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(col("pid"))
+      .sortWithinPartitions("pid", "doc_id")
+    d.mapPartitions { it =>
+      var curPid = Long.MinValue
+      var bin = 0L
+      var fill = 0L
+      it.map { case (pid, docId, n) =>
+        if (pid != curPid) { curPid = pid; bin = 0L; fill = 0L }
+        if (fill > 0 && fill + n > PackBudget) { bin += 1; fill = 0L }
+        fill += n
+        (pid, bin, docId, n)
+      }
+    }.toDF("pid", "bin_id", "doc_id", "n_tokens")
+      .orderBy("pid", "doc_id")
+  }
+
+  val sequencePackOracle: String =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $PackShards AS pid,
+      |         doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      |  FROM documents
+      |),
+      |o AS (
+      |  SELECT pid, doc_id, n_tokens,
+      |         row_number() OVER (PARTITION BY pid ORDER BY doc_id) AS rn
+      |  FROM d
+      |),
+      |pack(pid, rn, doc_id, n_tokens, bin_id, fill) AS (
+      |  SELECT pid, rn, doc_id, n_tokens, 0, n_tokens FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.pid, o.rn, o.doc_id, o.n_tokens,
+      |    CASE WHEN p.fill + o.n_tokens > $PackBudget THEN p.bin_id + 1 ELSE p.bin_id END,
+      |    CASE WHEN p.fill + o.n_tokens > $PackBudget THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      |  FROM o JOIN pack p ON o.pid = p.pid AND o.rn = p.rn + 1
+      |)
+      |SELECT CAST(pid AS BIGINT) AS pid, CAST(bin_id AS BIGINT) AS bin_id,
+      |       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM pack ORDER BY pid, doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -259,5 +325,6 @@ object TextAnalysis {
     QueryDef.sql("tx3_quality_score", qualityScoreOracle)(qualityScore),
     QueryDef.sql("tx4_fingerprint", fingerprintOracle)(fingerprint),
     QueryDef.sql("tx6_stratified_sample", stratifiedSampleOracle)(stratifiedSample),
-    QueryDef.sql("tx7_corpus_shuffle", corpusShuffleOracle)(corpusShuffle))
+    QueryDef.sql("tx7_corpus_shuffle", corpusShuffleOracle)(corpusShuffle),
+    QueryDef.sql("tx8_sequence_pack", sequencePackOracle)(sequencePack))
 }

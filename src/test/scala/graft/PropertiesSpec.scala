@@ -58,6 +58,19 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sequence packing covers every doc once; bins respect the budget") {
+    val rows = graft.ops.ext.TextAnalysis.sequencePack(spark, Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length.toLong == total)
+    assert(rows.map(_._3).distinct.length.toLong == total)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((pid, bin), members) =>
+      val toks = members.map(_._4).sum
+      assert(toks <= graft.ops.ext.TextAnalysis.PackBudget || members.length == 1,
+        s"shard $pid bin $bin holds $toks tokens across ${members.length} docs")
+    }
+  }
+
   test("stub codec is pure and bounded") {
     val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     samples(gen, 100).foreach { bytes =>
