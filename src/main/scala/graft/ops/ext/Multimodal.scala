@@ -94,7 +94,44 @@ object Multimodal {
         expr(s"transform(sequence(0, cast((n_frames - 1) / $stride as int)), i -> i * $stride)"))
       .select("doc_id", "n_frames", "sampled_frames")
 
+  /** Characters per manifest chunk (mm3). */
+  val ChunkChars = 256
+
+  /** mm3: content-addressable chunk manifest — the "store giant media
+    * payloads as hashed fixed-size chunks" pattern (dedup at chunk
+    * granularity, ranged fetches, integrity checks). One explode of the
+    * chunk-index range + a narrow slice-and-hash projection; the payload
+    * is never shuffled whole. Spark slices `binary` natively with the
+    * same expressions; the oracle engine cannot slice BLOBs, so the
+    * fixture manifest chunks the text payload by characters — identical
+    * operator shape, hash-comparable output. Empty docs get one empty
+    * chunk so every doc appears in the manifest. */
+  def chunkManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("n_chunks",
+        expr(s"greatest(cast(ceil(length(text) / $ChunkChars.0) as int), 1)"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk", expr(s"substring(text, chunk_id * $ChunkChars + 1, $ChunkChars)"))
+      .select(
+        col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        length(col("chunk")).cast("bigint").as("chunk_chars"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkManifestOracle: String =
+    s"""SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(length(substring(text, chunk_id * $ChunkChars + 1, $ChunkChars)) AS BIGINT) AS chunk_chars,
+      |  md5(substring(text, chunk_id * $ChunkChars + 1, $ChunkChars)) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, greatest(CAST(ceil(length(text) / $ChunkChars.0) AS INTEGER), 1))) AS chunk_id
+      |  FROM documents
+      |)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("mm1_binary_meta", binaryMetaOracle)(binaryMeta),
-    QueryDef.rowsOnly("mm2_decode_stub")(decodeStub))
+    QueryDef.rowsOnly("mm2_decode_stub")(decodeStub),
+    QueryDef.sql("mm3_chunk_manifest", chunkManifestOracle)(chunkManifest))
 }
