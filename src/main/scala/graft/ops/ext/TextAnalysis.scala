@@ -318,6 +318,77 @@ object TextAnalysis {
       |       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
       |FROM pack ORDER BY pid, doc_id""".stripMargin
 
+  /** tx9: the end-to-end corpus-cleaning funnel (the C4/RefinedWeb
+    * shape): cheap narrow filters first (length + quality score), then
+    * the dedup joins — keep only exact-dedup canonical docs (min doc_id
+    * per normalized fingerprint, semi-join) and drop non-canonical
+    * members of near-dup clusters (dd6, anti-join). Funnel order matters
+    * at 100 TB: the narrow predicates cut the corpus before anything
+    * shuffles, and both dedup sides join on bare doc_ids. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val q = qualityScore(spark, dir).select("doc_id", "quality_score", "len_ok")
+    val exactKeep = Dedup.exactDedup(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val nonCanonNear = Dedup.dupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(q, Seq("doc_id"))
+      .filter(col("len_ok") && col("quality_score") > 0.5)
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nonCanonNear, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val cleanCorpusOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, text, length(text) AS len,
+      |                  string_split_regex(trim(text), '\s+') w FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |      * (1.0 - CAST(len - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len)
+      |      * (1.0 - CAST(len - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len)
+      |      AS quality_score,
+      |    len(w) >= 5 AND len(w) <= 1000 AS len_ok
+      |  FROM t),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+      |    w[1] || ' ' || w[2] || ' ' || w[3] AS first_sh
+      |  FROM t
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.first_sh = b.first_sh AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.8
+      |),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(doc_id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v
+      |),
+      |noncanon AS (
+      |  SELECT doc_id FROM (SELECT min(r) AS cluster_id, doc_id FROM reach GROUP BY doc_id)
+      |  WHERE doc_id <> cluster_id
+      |)
+      |SELECT d.doc_id AS doc_id, d.lang AS lang, q.quality_score
+      |FROM documents d JOIN q ON d.doc_id = q.doc_id
+      |WHERE q.len_ok AND q.quality_score > 0.5
+      |  AND d.doc_id IN (SELECT doc_id FROM keep)
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -326,5 +397,6 @@ object TextAnalysis {
     QueryDef.sql("tx4_fingerprint", fingerprintOracle)(fingerprint),
     QueryDef.sql("tx6_stratified_sample", stratifiedSampleOracle)(stratifiedSample),
     QueryDef.sql("tx7_corpus_shuffle", corpusShuffleOracle)(corpusShuffle),
-    QueryDef.sql("tx8_sequence_pack", sequencePackOracle)(sequencePack))
+    QueryDef.sql("tx8_sequence_pack", sequencePackOracle)(sequencePack),
+    QueryDef.sql("tx9_clean_corpus", cleanCorpusOracle)(cleanCorpus))
 }
