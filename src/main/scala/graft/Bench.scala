@@ -36,7 +36,10 @@ object Bench {
     "j5_range_join",       // equi+range residual join at month grain
     "a10_cube",            // multi-dim cube rollup
     "j7_salted_join",      // skewed key, salted exchange
-    "j7b_unsalted_join")   // same join unsalted — the comparison anchor
+    "j7b_unsalted_join",   // same join unsalted — the comparison anchor
+    "dd6_dup_clusters",    // iterative connected components
+    "tx8_sequence_pack",   // shard-sorted streaming greedy pack
+    "tx9_clean_corpus")    // composed cleaning funnel
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
