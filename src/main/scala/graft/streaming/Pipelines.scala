@@ -81,12 +81,20 @@ object Pipelines {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Watermarked streaming dedup on the unique key (A4 streaming form):
-    * state is bounded by the watermark horizon. */
+  /** Watermarked streaming dedup on the unique key (A4 streaming form).
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: with
+    * key-only dedup columns the classic operator never evicts its state
+    * (eviction requires the event-time column in the keys), so its state
+    * store grows with every distinct key ever seen — a slow-motion OOM on
+    * an unbounded stream. The WithinWatermark form expires a key's state
+    * once the watermark passes its first-seen event time, bounding state
+    * to the horizon while keeping at-most-once emission per key among
+    * events that arrive within it (duplicates straddling more than the
+    * horizon are late data by definition). */
   def dedupStream(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Session windows per user with a 30-minute gap (streaming form of
     * EventTime.sessionWindows). */
