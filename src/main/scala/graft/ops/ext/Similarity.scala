@@ -202,6 +202,44 @@ object Similarity {
       .orderBy("q_vec_id", "rank")
   }
 
+  /** ann3b: [[ivfTopK]] against a MATERIALIZED inverted-file layout — the
+    * corpus written `partitionBy(cell_id)`, so a probe is a
+    * partition-pruned read (the plan's `PartitionCount` shows ≤ the
+    * probed cells, not all 16; SimilaritySpec asserts it). The probed
+    * cell list is collected to the driver — ≤ queries × probes values,
+    * O(1) metadata, the same list a vector DB ships to its router.
+    * Output is identical to ann3 (same assignment, same ranking), so it
+    * shares ann3's oracle. At 100 TB this is the difference between
+    * scanning the corpus per query batch and reading probes/cells ≈ 12%
+    * of it. */
+  def ivfIndexedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val path = graft.engine.Graft.tmpDir(
+      "ann3b-ivf-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
+    ivfAssignments(spark, dir, corpus, "vec_id", "embedding", probes = 1)
+      .select(col("cell_id"), col("vec_id"), col("embedding"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(path)
+    val index = spark.read.parquet(path)
+    val queryCells = ivfAssignments(spark, dir, queriesDf(spark, dir),
+      "q_vec_id", "q_emb", probes = IvfProbes)
+      .select(col("cell_id"), col("q_vec_id"), col("q_emb"))
+    val probed = queryCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
+    index
+      .filter(col("cell_id").isin(probed: _*)) // static partition pruning
+      .join(broadcast(queryCells), Seq("cell_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .dropDuplicates("q_vec_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos_r"))
+      .orderBy("q_vec_id", "rank")
+  }
+
   /** Oracle for [[ivfTopK]]: same centroid-cell assignment (ranked on
     * round(cos,6) with cell_id tie-break), same 2-probe candidate join,
     * same final ranking — ann3 is hash-compared, not rows-only. */
@@ -246,5 +284,6 @@ object Similarity {
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
     QueryDef.sql("ann2_lsh_topk", lshTopKOracle)(lshTopK),
-    QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK))
+    QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK),
+    QueryDef.sql("ann3b_ivf_indexed", ivfTopKOracle)(ivfIndexedTopK))
 }

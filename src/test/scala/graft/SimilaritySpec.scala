@@ -70,4 +70,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // probe fraction; real clustered corpora do far better
     assert(mean > 0.1, s"IVF mean recall@3 = $mean")
   }
+
+  test("ann3b indexed probe is partition-pruned and matches ann3") {
+    val plain = Similarity.ivfTopK(spark, Sf).collect().toSeq
+    val indexed = Similarity.ivfIndexedTopK(spark, Sf)
+    assert(indexed.collect().toSeq == plain)
+    // the probe scan must carry a static partition filter over cell_id
+    // (INSET of the probed cells), i.e. unprobed cell directories are
+    // never read
+    val scanDesc = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val inset = "PartitionFilters: \\[cell_id#\\d+ INSET ([0-9, ]+)".r
+      .findFirstMatchIn(scanDesc)
+    assert(inset.isDefined, s"no cell_id INSET partition filter in:\n$scanDesc")
+    val probedCells = inset.get.group(1).split(",")
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    assert(probedCells.size < Similarity.IvfCells,
+      s"expected pruned probe, INSET covers all ${probedCells.size} cells")
+  }
 }
