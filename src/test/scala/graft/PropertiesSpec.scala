@@ -58,6 +58,25 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stratified sample hits each language's quota within sampling noise") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val totals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = graft.ops.ext.TextAnalysis.stratifiedSample(spark, Sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    graft.ops.ext.TextAnalysis.MixQuotaBps.foreach { case (lang, bps) =>
+      val n = totals.getOrElse(lang, 0L)
+      if (n >= 40) { // enough mass for a meaningful rate check
+        val rate = kept.getOrElse(lang, 0L).toDouble / n
+        val want = bps / 10000.0
+        // md5-uniform membership: 3σ binomial tolerance
+        val tol = 3 * math.sqrt(want * (1 - want) / n)
+        assert(math.abs(rate - want) <= tol + 1e-9,
+          s"$lang: rate $rate vs quota $want (n=$n, tol $tol)")
+      }
+    }
+  }
+
   test("sequence packing covers every doc once; bins respect the budget") {
     val rows = graft.ops.ext.TextAnalysis.sequencePack(spark, Sf)
       .as[(Long, Long, Long, Long)].collect()
