@@ -201,7 +201,7 @@ object Dedup {
     * narrow pass + one shuffle on doc_id. The 4×15-bit chunk keys support
     * hamming-distance banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
     * identical); DedupSpec exercises the pairing. */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashCore(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h",
@@ -221,13 +221,14 @@ object Dedup {
         expr("(simhash >> 15) & 32767").as("chunk1"),
         expr("(simhash >> 30) & 32767").as("chunk2"),
         expr("(simhash >> 45) & 32767").as("chunk3"))
-      .orderBy("doc_id")
   }
 
-  /** DuckDB restatement of [[simhashSignatures]]: same md5-prefix token
-    * hash, same ±1 bit votes, same 15-bit chunking — dd4 is
-    * hash-compared, not rows-only. */
-  lazy val simhashOracle: String = {
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashCore(spark, dir).orderBy("doc_id")
+
+  /** Shared CTE chain ending in `sigs(doc_id, simhash)` — the portable
+    * SQL core of [[simhashOracle]] and [[simhashPairsOracle]]. */
+  private lazy val simhashCoreSql: String = {
     val bitSums = (0 until SimhashBits)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(",\n      ")
@@ -247,20 +248,47 @@ object Dedup {
       |),
       |sigs AS (
       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits
-      |)
+      |)""".stripMargin
+  }
+
+  /** DuckDB restatement of [[simhashSignatures]]: same md5-prefix token
+    * hash, same ±1 bit votes, same 15-bit chunking — dd4 is
+    * hash-compared, not rows-only. */
+  lazy val simhashOracle: String =
+    s"""$simhashCoreSql
       |SELECT doc_id, simhash,
       |  simhash & 32767 AS chunk0,
       |  (simhash >> 15) & 32767 AS chunk1,
       |  (simhash >> 30) & 32767 AS chunk2,
       |  (simhash >> 45) & 32767 AS chunk3
       |FROM sigs ORDER BY doc_id""".stripMargin
-  }
+
+  /** DuckDB restatement of [[simhashPairs]] at the given radius —
+    * chunk-pigeonhole banding + popcount verify, same portable
+    * signatures. */
+  def simhashPairsOracle(maxHamming: Int): String =
+    s"""$simhashCoreSql,
+      |chunks AS (
+      |  SELECT doc_id, simhash, c.chunk_id,
+      |    CASE c.chunk_id WHEN 0 THEN simhash & 32767
+      |         WHEN 1 THEN (simhash >> 15) & 32767
+      |         WHEN 2 THEN (simhash >> 30) & 32767
+      |         ELSE (simhash >> 45) & 32767 END AS chunk_val
+      |  FROM sigs, (SELECT unnest(range(0, 4)) AS chunk_id) c
+      |)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM chunks a JOIN chunks b
+      |    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+      |       AND a.doc_id < b.doc_id
+      |) WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
 
   /** Hamming-banded SimHash near-dup candidates (used by DedupSpec and
-    * available as an operator): join on any equal 16-bit chunk, verify
+    * exposed as dd4b): join on any equal 15-bit chunk, verify
     * popcount(xor) ≤ maxHamming. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val sigs = simhashSignatures(spark, dir)
+    val sigs = simhashCore(spark, dir)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_id"), col(s"chunk$i").as("chunk_val"))): _*)).as("c"))
@@ -480,6 +508,7 @@ object Dedup {
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
     QueryDef.sql("dd3_minhash_lsh", minhashLshOracle)(minhashLsh),
     QueryDef.sql("dd4_simhash", simhashOracle)((s, d) => simhashSignatures(s, d)),
+    QueryDef.sql("dd4b_simhash_pairs", simhashPairsOracle(10))((s, d) => simhashPairs(s, d, maxHamming = 10)),
     QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs),
     QueryDef.sql("dd5b_embedding_dup_grid", embeddingTopPairsOracle)(embeddingTopPairsGrid),
     QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup),
