@@ -161,6 +161,15 @@ object Pipelines {
         col("click_ts") <= col("purchase_ts"))
   }
 
+  /** Stream-static enrichment join — the dim-lookup every streaming
+    * pipeline runs (events against a slowly-changing reference table).
+    * Stateless: the static side broadcasts per micro-batch (a re-read
+    * picks up dim updates between batches), no watermark or state store
+    * involved — at 100 TB/day the stream side never shuffles for this
+    * join. */
+  def enrichStream(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), Seq("event_type"), "left_outer")
+
   /** S14 streaming form: foreachBatch incremental upsert into an
     * event_date-partitioned parquet target. Per micro-batch:
     *   1. dedup the batch on the unique key;

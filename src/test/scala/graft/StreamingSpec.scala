@@ -97,6 +97,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "stream-stream join diverged from batch range join")
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("purchase", 5.0), ("view", 0.1))
+      .toDF("event_type", "type_weight")
+    val enriched = Pipelines.enrichStream(Pipelines.eventsStream(spark, Sf), dim)
+      .select(col("event_id"), col("event_type"), col("type_weight"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("enrich_out").collect().toSet
+    val batch = graft.engine.Tables(spark, Sf).events
+      .join(dim, Seq("event_type"), "left_outer")
+      .select(col("event_id"), col("event_type"), col("type_weight"))
+      .collect().toSet
+    assert(streamed == batch)
+    // left-outer: unmatched event types survive with null weight
+    assert(streamed.exists(_.isNullAt(2)))
+  }
+
   test("foreachBatch incremental merge maintains unique keys") {
     val target = tmp("merge-target") + "/t"
     val ckpt = tmp("merge-ckpt")
