@@ -94,23 +94,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("dd6 clusters transitive near-dup chains into one component") {
-    // A≈B (jaccard ~0.83), B≈C (~0.83), but A vs C ~0.69 < 0.8: only the
-    // transitive closure puts all three in one cluster. F≈G is a second,
-    // separate cluster; H is a singleton (no pair → not in the output).
+    // Five docs with CUMULATIVE 7-word edit runs: adjacent pairs share
+    // jaccard ~0.83 (> 0.8) but any pair ≥2 hops apart drops to ≤0.69
+    // (< 0.8) — the chain has graph diameter 4, so only the transitive
+    // closure (several propagation rounds) puts all five in one cluster.
+    // F≈G is a second, separate cluster; H is a singleton (no pair → not
+    // in the output).
     val w = (0 until 100).map(i => s"w$i")
-    def doc(repl: Map[Int, String]) = w.indices.map(i => repl.getOrElse(i, w(i))).mkString(" ")
-    val a = doc(Map.empty)
-    val b = doc((10 to 16).map(i => i -> s"b$i").toMap)
-    val c = doc(((10 to 16).map(i => i -> s"b$i") ++ (80 to 86).map(i => i -> s"c$i")).toMap)
+    val runs = Seq(10 to 16, 80 to 86, 40 to 46, 60 to 66)
+    def doc(nRuns: Int) = {
+      val repl = runs.take(nRuns).zipWithIndex
+        .flatMap { case (r, tag) => r.map(i => i -> s"e$tag$i") }.toMap
+      w.indices.map(i => repl.getOrElse(i, w(i))).mkString(" ")
+    }
+    val chain = (0 to 4).map(n => ((n + 1).toLong, doc(n)))
     val f = ("p0" +: "p1" +: "p2" +: (0 until 60).map(i => s"f$i")).mkString(" ")
     val g = ("p0" +: "p1" +: "p2" +: (0 until 60).map(i => if (i == 30) "edit" else s"f$i")).mkString(" ")
     val h = (0 until 50).map(i => s"h$i").mkString(" ")
     val dir = tmp("dd6")
-    Seq((1L, a), (2L, b), (3L, c), (10L, f), (11L, g), (20L, h))
+    (chain ++ Seq((10L, f), (11L, g), (20L, h)))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val clusters = Dedup.dupClusters(spark, dir)
       .as[(Long, Long)].collect().toSeq.groupMap(_._1)(_._2)
-    assert(clusters == Map(1L -> Seq(1L, 2L, 3L), 10L -> Seq(10L, 11L)))
+    assert(clusters == Map(1L -> Seq(1L, 2L, 3L, 4L, 5L), 10L -> Seq(10L, 11L)))
   }
 
   test("simhash signatures are deterministic and banding finds near-dups") {
