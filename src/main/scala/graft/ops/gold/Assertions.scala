@@ -61,7 +61,70 @@ object Assertions {
       |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type
       |FROM t""".stripMargin
 
+  /** Rows whose column value falls outside the accepted set — the
+    * dbt-accepted_values compile shape. */
+  def acceptedValuesViolations(df: DataFrame, column: String, accepted: Seq[String]): DataFrame =
+    df.filter(!col(column).isin(accepted: _*) || col(column).isNull)
+
+  /** q3c: accepted-values check over event_type with two rogue rows
+    * injected (typo + null) — exactly those must be reported. */
+  def acceptedValuesCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select("event_id", "event_type")
+    val accepted = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val rogue = ev.sparkSession.sql(
+      """SELECT * FROM VALUES (900001L, 'cliick'), (900002L, CAST(NULL AS STRING))
+        |AS t(event_id, event_type)""".stripMargin)
+    acceptedValuesViolations(ev.unionByName(rogue), "event_type", accepted)
+      .orderBy(col("event_id"))
+  }
+
+  val acceptedValuesCheckOracle: String =
+    """WITH t AS (
+      |  SELECT event_id, event_type FROM events
+      |  UNION ALL SELECT 900001, 'cliick'
+      |  UNION ALL SELECT 900002, NULL
+      |)
+      |SELECT event_id, event_type FROM t
+      |WHERE event_type IS NULL
+      |   OR event_type NOT IN (SELECT DISTINCT event_type FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** Child keys with no parent — the dbt-relationships (referential
+    * integrity) compile shape: a left-anti join on the parent key. */
+  def relationshipViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
+  /** q3d: referential check lineitem.l_orderkey → orders.o_orderkey with
+    * a synthetic orphan range injected — exactly the orphans report. */
+  def relationshipCheck(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_orderkey", "l_linenumber")
+    val orphans = li.filter(col("l_orderkey") <= 32)
+      .select((col("l_orderkey") + lit(900000000L)).as("l_orderkey"), col("l_linenumber"))
+    relationshipViolations(li.unionByName(orphans), "l_orderkey", t.orders, "o_orderkey")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_orphans"))
+      .orderBy("l_orderkey")
+  }
+
+  val relationshipCheckOracle: String =
+    """WITH orphans AS (
+      |  SELECT l_orderkey + 900000000 AS l_orderkey, l_linenumber
+      |  FROM lineitem WHERE l_orderkey <= 32
+      |),
+      |child AS (
+      |  SELECT l_orderkey, l_linenumber FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber FROM orphans
+      |)
+      |SELECT l_orderkey, count(*) AS n_orphans FROM child
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
-    QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck))
+    QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
+    QueryDef.sql("q3c_accepted_values", acceptedValuesCheckOracle)(acceptedValuesCheck),
+    QueryDef.sql("q3d_relationships", relationshipCheckOracle)(relationshipCheck))
 }
