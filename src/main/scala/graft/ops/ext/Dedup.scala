@@ -456,20 +456,27 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence gate: labels are monotone non-increasing per vertex, so
+    // the label sum strictly decreases on any change — comparing two
+    // scalar sums replaces a per-round join+filter+count job.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!converged && rounds < 50) {
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
       val next = labels.unionByName(msgs)
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    require(converged, s"label propagation did not converge in $rounds rounds")
     edges.unpersist()
     labels.select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")

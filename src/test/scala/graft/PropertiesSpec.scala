@@ -77,6 +77,17 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("corpus shuffle is a deterministic permutation") {
+    val a = graft.ops.ext.TextAnalysis.corpusShuffle(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(a.map(_._1) == (1L to total))          // contiguous global index
+    assert(a.map(_._2).distinct.length.toLong == total) // every doc exactly once
+    val b = graft.ops.ext.TextAnalysis.corpusShuffle(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)                                 // replayable per seed
+  }
+
   test("sequence packing covers every doc once; bins respect the budget") {
     val rows = graft.ops.ext.TextAnalysis.sequencePack(spark, Sf)
       .as[(Long, Long, Long, Long)].collect()
