@@ -389,6 +389,45 @@ object TextAnalysis {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
       |ORDER BY doc_id""".stripMargin
 
+  /** tx10: unigram LM scoring — the CCNet-style perplexity proxy: build
+    * the corpus unigram table (one shuffle), score each document by the
+    * mean negative log-likelihood of its tokens. Two-pass by design: the
+    * frequency table is a reusable artifact (at 100 TB you build it once
+    * per corpus snapshot and score many shards against it); the score
+    * join is token→freq on the exploded stream with map-side combine on
+    * (doc, token) first so the freq join sees one row per distinct token
+    * per doc. round(,6) keeps the ln() arithmetic comparison-stable
+    * across engines. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val total = toks.count()
+    val docToks = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_in_doc"))
+    docToks.join(freq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_in_doc")).as("n_doc_tokens"),
+        sum(col("n_in_doc").cast("double") * log(col("n_tok").cast("double") / total.toDouble))
+          .as("sum_ll"))
+      .select(
+        col("doc_id"), col("n_doc_tokens"),
+        round(-col("sum_ll") / col("n_doc_tokens"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+      |),
+      |freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+      |total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+      |dt AS (SELECT doc_id, tok, count(*) AS n_in_doc FROM toks GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(n_in_doc) AS BIGINT) AS n_doc_tokens,
+      |  round(-sum(n_in_doc::DOUBLE * ln(n_tok::DOUBLE / total.n)) / sum(n_in_doc), 6) AS nll
+      |FROM dt JOIN freq USING (tok), total
+      |GROUP BY doc_id, total.n ORDER BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -398,5 +437,6 @@ object TextAnalysis {
     QueryDef.sql("tx6_stratified_sample", stratifiedSampleOracle)(stratifiedSample),
     QueryDef.sql("tx7_corpus_shuffle", corpusShuffleOracle)(corpusShuffle),
     QueryDef.sql("tx8_sequence_pack", sequencePackOracle)(sequencePack),
-    QueryDef.sql("tx9_clean_corpus", cleanCorpusOracle)(cleanCorpus))
+    QueryDef.sql("tx9_clean_corpus", cleanCorpusOracle)(cleanCorpus),
+    QueryDef.sql("tx10_lm_score", lmScoreOracle)(lmScore))
 }
