@@ -19,6 +19,7 @@ object Bench {
     "j4_multi_join_agg",
     "j6_asof_join",
     "w1_topk_per_group",
+    "w1b_topk_native",     // custom GroupedTopK operator vs the window form
     "w3_running_sum",
     "a4_dedup_lww",
     "s14_incremental_merge",

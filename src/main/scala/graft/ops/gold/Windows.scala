@@ -37,6 +37,29 @@ object Windows {
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** w1b: the same top-3-per-segment through the native
+    * [[graft.plans.GroupedTopK]] operator — bounded per-group heaps
+    * partial/final around a survivors-only exchange, instead of the
+    * full-data exchange + per-partition sort the window form pays. The
+    * rank is recomputed afterwards over the ≤ k·|groups| survivors
+    * (negligible). Shares w1's oracle: output must be row-identical. */
+  def topkPerGroupNative(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    val survivors = graft.plans.GroupedTopK(
+      joined, Seq("c_mktsegment"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    survivors
+      .withColumn("rk", row_number().over(w))
+      .select(col("c_mktsegment"), col("rk").cast("bigint").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
   /** lag/lead analytics per user over event time. */
   def lagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -103,6 +126,7 @@ object Windows {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("w1_topk_per_group", topkPerGroupOracle)(topkPerGroup),
+    QueryDef.sql("w1b_topk_native", topkPerGroupOracle)(topkPerGroupNative),
     QueryDef.sql("w2_lag_lead", lagLeadOracle)(lagLead),
     QueryDef.sql("w3_running_sum", runningSumOracle)(runningSum),
     QueryDef.sql("w4_range_frame", rangeFrameOracle)(rangeFrame))

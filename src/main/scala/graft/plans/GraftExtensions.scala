@@ -69,6 +69,8 @@ object NanosDateRangeRule extends Rule[LogicalPlan] {
 
 /** Session extensions entry point (spark.sql.extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosDateRangeRule)
+    e.injectPlannerStrategy(_ => GroupedTopKStrategy)
+  }
 }

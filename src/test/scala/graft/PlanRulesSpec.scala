@@ -27,4 +27,26 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
       .count()
     assert(n >= 0) // no rewrite applies (not the nanos chain); must not break
   }
+
+  test("GroupedTopK plans as partial/final pair around a survivors-only exchange") {
+    val df = graft.ops.gold.Windows.topkPerGroupNative(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("GroupedTopKPartial"), plan)
+    assert(plan.contains("GroupedTopKFinal"), plan)
+    // the exchange between the pair sits ABOVE the partial node, so the
+    // shuffled rows are the bounded survivors, not the full input
+    val lines = plan.split("\n")
+    val partialIdx = lines.indexWhere(_.contains("GroupedTopKPartial"))
+    val finalIdx = lines.indexWhere(_.contains("GroupedTopKFinal"))
+    val between = lines.slice(finalIdx, partialIdx)
+    assert(finalIdx < partialIdx &&
+      between.exists(l => l.contains("Exchange hashpartitioning(c_mktsegment")), plan)
+  }
+
+  test("GroupedTopK matches the window-form top-k row for row") {
+    val window = graft.ops.gold.Windows.topkPerGroup(spark, Sf).collect().toSeq
+    val native = graft.ops.gold.Windows.topkPerGroupNative(spark, Sf).collect().toSeq
+    assert(window == native)
+  }
 }
