@@ -36,17 +36,24 @@ object Similarity {
     Tables(spark, dir).embeddings.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
 
-  /** ann1: exact brute-force cosine top-5 per query vector. */
+  /** ann1: exact brute-force cosine top-5 per query vector. The ranking
+    * stage funnels through the native [[graft.plans.GroupedTopK]]
+    * operator on a narrow (q_vec_id, vec_id, cos_r) projection: the
+    * scored corpus×queries rows reduce to 5-per-query survivors BEFORE
+    * any exchange, instead of the window form shuffling every scored
+    * row; the rank window then runs over ≤ 5·|queries| rows. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
     val scored = corpus.crossJoin(broadcast(queriesDf(spark, dir)))
       .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .select("q_vec_id", "vec_id", "cos_r")
+    val survivors = graft.plans.GroupedTopK(
+      scored, Seq("q_vec_id"), Seq("cos_r" -> false, "vec_id" -> true), k = 5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
-    scored
+    survivors
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
       .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
         col("vec_id"), col("cos_r"))
       .orderBy("q_vec_id", "rank")
