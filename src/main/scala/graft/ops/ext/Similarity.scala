@@ -149,11 +149,19 @@ object Similarity {
       .join(broadcast(queryBuckets), Seq("table_id", "bucket"))
       .dropDuplicates("q_vec_id", "vec_id")
       .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .select("q_vec_id", "vec_id", "cos_r")
+    rankTop3(candidates)
+  }
+
+  /** Shared ANN ranking tail: native GroupedTopK reduces candidates to
+    * 3-per-query survivors pre-exchange, then the (tiny) rank window. */
+  private def rankTop3(scored: DataFrame): DataFrame = {
+    val survivors = graft.plans.GroupedTopK(
+      scored, Seq("q_vec_id"), Seq("cos_r" -> false, "vec_id" -> true), k = 3)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
-    candidates
+    survivors
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
       .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
         col("vec_id"), col("cos_r"))
       .orderBy("q_vec_id", "rank")
@@ -196,17 +204,11 @@ object Similarity {
     val queryCells = ivfAssignments(spark, dir, queriesDf(spark, dir),
       "q_vec_id", "q_emb", probes = IvfProbes)
       .select(col("cell_id"), col("q_vec_id"), col("q_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
-    corpusCells
+    rankTop3(corpusCells
       .join(broadcast(queryCells), Seq("cell_id"))
       .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
       .dropDuplicates("q_vec_id", "vec_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
-        col("vec_id"), col("cos_r"))
-      .orderBy("q_vec_id", "rank")
+      .select("q_vec_id", "vec_id", "cos_r"))
   }
 
   /** ann3b: [[ivfTopK]] against a MATERIALIZED inverted-file layout — the
@@ -233,18 +235,12 @@ object Similarity {
       .select(col("cell_id"), col("q_vec_id"), col("q_emb"))
     val probed = queryCells.select("cell_id").distinct()
       .collect().map(_.getLong(0))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
-    index
+    rankTop3(index
       .filter(col("cell_id").isin(probed: _*)) // static partition pruning
       .join(broadcast(queryCells), Seq("cell_id"))
       .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
       .dropDuplicates("q_vec_id", "vec_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
-        col("vec_id"), col("cos_r"))
-      .orderBy("q_vec_id", "rank")
+      .select("q_vec_id", "vec_id", "cos_r"))
   }
 
   /** Oracle for [[ivfTopK]]: same centroid-cell assignment (ranked on
