@@ -38,9 +38,12 @@ object Bench {
     "a10_cube",            // multi-dim cube rollup
     "j7_salted_join",      // skewed key, salted exchange
     "j7b_unsalted_join",   // same join unsalted — the comparison anchor
-    "dd6_dup_clusters",    // iterative connected components
+    "dd6_dup_clusters",    // large-star/small-star connected components
     "tx8_sequence_pack",   // shard-sorted streaming greedy pack
-    "tx9_clean_corpus")    // composed cleaning funnel
+    "tx9_clean_corpus",    // composed cleaning funnel
+    // round-3: queries whose plans changed this round
+    "tx5_bigram_profile",  // explode+agg with native GroupedTopK tail
+    "tx10_lm_score")       // single-job unigram LM scoring
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

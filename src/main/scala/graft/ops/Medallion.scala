@@ -71,30 +71,46 @@ object Medallion {
     out
   }
 
-  /** Stage 4 — checks: dbt-test analogs over silver; violations gate the
-    * run. */
-  def check(spark: SparkSession, silverDir: String): (Long, Long) = {
-    val s = spark.read.parquet(silverDir)
-    val unique = graft.ops.gold.Assertions.uniqueViolations(s, "trade_id").count()
-    val nulls = graft.ops.gold.Assertions
-      .notNullReport(s, Seq("trade_id", "symbol", "event_time_us"))
-      .head()
-    val nullTotal = (0 until nulls.length).map(nulls.getLong).sum
-    (unique, nullTotal)
+  /** The declarative contract for the silver table — the dbt
+    * `schema.yml` analog (ref `dbt_project/models/staging/schema.yml:
+    * 11-24` declares unique+not_null on the staging key columns). This
+    * is DATA, not code: callers swap in their own expectations and the
+    * same gate machinery runs them. */
+  val silverContract: Seq[quality.TableContract] = Seq(
+    quality.TableContract("silver", Seq(
+      quality.ColumnSpec("trade_id", Seq(quality.Unique, quality.NotNull)),
+      quality.ColumnSpec("symbol", Seq(quality.NotNull)),
+      quality.ColumnSpec("event_time_us", Seq(quality.NotNull)))))
+
+  /** Stage 4 — checks: the declared contract compiled onto the assertion
+    * operators; returns (duplicate-key checks, null checks) violation
+    * totals from one report action. */
+  def check(spark: SparkSession, silverDir: String,
+      contract: Seq[quality.TableContract] = silverContract): (Long, Long) = {
+    val rows = quality.Contract
+      .report(contract, _ => spark.read.parquet(silverDir)).collect()
+    def total(check: String): Long =
+      rows.filter(_.getString(2) == check).map(_.getLong(3)).sum
+    (total("unique") + total("accepted_values") + total("relationships"),
+      total("not_null"))
   }
 
-  def run(spark: SparkSession, sfDir: String, base: String): Summary = {
+  /** Run the full pipeline. The contract gate sits BETWEEN silver and
+    * gold — a failing contract blocks gold materialization, exactly the
+    * reference's `dbt run >> dbt test` ordering turned into the stricter
+    * `test silver >> build gold` gate. */
+  def run(spark: SparkSession, sfDir: String, base: String,
+      contract: Seq[quality.TableContract] = silverContract): Summary = {
     val bronzeDir = bronze(spark, sfDir, base)
     val silverDir = silver(spark, bronzeDir, base)
+    val (uv, nv) = check(spark, silverDir, contract)
+    require(uv == 0 && nv == 0,
+      s"data-quality gate failed, gold not built: $uv key/domain violations, $nv nulls")
     val goldDir = gold(spark, silverDir, base)
-    val (uv, nv) = check(spark, silverDir)
-    val summary = Summary(
+    Summary(
       spark.read.parquet(bronzeDir).count(),
       spark.read.parquet(silverDir).count(),
       spark.read.parquet(goldDir).count(),
       uv, nv)
-    require(uv == 0 && nv == 0,
-      s"data-quality gate failed: $uv duplicate keys, $nv nulls")
-    summary
   }
 }

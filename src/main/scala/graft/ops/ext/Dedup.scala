@@ -431,53 +431,78 @@ object Dedup {
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= $NearDupTau
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Connected components over undirected pair edges via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Large-star hangs
+    * every larger neighbor of each vertex under that vertex's minimum
+    * neighbor; small-star re-hangs the smaller neighbors; alternating
+    * the two contracts chains geometrically, so the fixed point —
+    * disjoint stars rooted at each component's minimum — arrives in
+    * O(log) rounds where plain min-label propagation needs O(diameter).
+    * Every round shuffles only the CURRENT EDGE LIST (never the corpus),
+    * `localCheckpoint` truncates the iterative lineage, and the
+    * fixed-point gate is an exact multiset compare (count + anti-join)
+    * on the edge list. Returns (labels, rounds): one (doc_id, label)
+    * row per vertex with label = component minimum. */
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    // canonical orientation u > v; drop self loops; dedupe
+    val init = pairs.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: for each vertex x (over symmetrized edges) with
+    // m(x) = min(x ∪ N(x)), emit (y, m(x)) for every neighbor y > x.
+    // Output stays oriented u > v and never self-loops (y > x ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: edges arrive oriented u > v; with m(u) = min N(u),
+    // re-hang u and all its other (smaller) neighbors under m(u).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val rehung = e.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      rehung.unionAll(m.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var edges = init
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"large-star/small-star did not converge in $rounds rounds")
+    val roots = edges.select(col("v").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val children = edges.groupBy(col("u").as("doc_id")).agg(min("v").as("label"))
+    (children.unionByName(roots), rounds)
+  }
+
   /** dd6: duplicate-cluster resolution — the step after pair detection
     * that an actual dedup pipeline needs: near-dup PAIRS (from dd2/dd3/
     * dd5c, any detector) form a graph whose connected components are the
     * duplicate clusters; the canonical document is the min doc_id per
-    * component. Implemented as DataFrame-iterative min-label propagation:
-    * each round pushes labels across edges and takes the per-vertex min
-    * (one shuffle per round), converging in O(cluster diameter) rounds —
-    * near-dup clusters are shallow (dups of dups of one source), so this
-    * terminates in a handful of rounds even at 100 TB. `localCheckpoint`
-    * truncates the growing lineage each round (an un-checkpointed
-    * iterative plan re-executes every prior round per action); the
-    * changed-row count that gates convergence is the same O(1)-row driver
-    * read a production loop needs anyway. The 2^rounds-contraction
-    * variant (large-star/small-star, Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") drops in here if cluster
-    * diameters ever stop being shallow. */
+    * component. Runs [[connectedComponents]] (large-star/small-star),
+    * so even pathological chain-of-dups diameters cost logarithmically
+    * many edge-list shuffles — the shape that holds at 100 TB. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardBlocked(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    // Convergence gate: labels are monotone non-increasing per vertex, so
-    // the label sum strictly decreases on any change — comparing two
-    // scalar sums replaces a per-round join+filter+count job.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-      rounds += 1
-    }
-    require(converged, s"label propagation did not converge in $rounds rounds")
-    edges.unpersist()
+    val (labels, _) = connectedComponents(pairs)
     labels.select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }

@@ -137,7 +137,11 @@ object TextAnalysis {
   /** Corpus n-gram profile: top-10 bigrams per language by document
     * frequency — explode + two-level aggregation + per-group top-k, the
     * canonical "what's in my corpus" report. Ties broken by bigram text
-    * so cross-engine ranking is stable. */
+    * so cross-engine ranking is stable. The top-k tail runs through the
+    * native [[graft.plans.GroupedTopK]] operator: the bigram vocabulary
+    * scales with the corpus, and bounded per-group heaps + a
+    * survivors-only exchange beat the window form's full-vocabulary
+    * exchange + sort (ranks recomputed over the ≤ 10·|langs| survivors). */
   def bigramProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .withColumn("w", tokens(col("text")))
@@ -150,11 +154,13 @@ object TextAnalysis {
       .select(col("lang"), explode(col("bigrams")).as("bigram"))
       .groupBy("lang", "bigram")
       .agg(count(lit(1)).as("doc_freq"))
+    val survivors = graft.plans.GroupedTopK(
+      counts, Seq("lang"),
+      Seq("doc_freq" -> false, "bigram" -> true), k = 10)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("doc_freq").desc, col("bigram"))
-    counts
+    survivors
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
       .select(col("lang"), col("rk").cast("bigint").as("rk"),
         col("bigram"), col("doc_freq"))
       .orderBy("lang", "rk")
@@ -396,19 +402,24 @@ object TextAnalysis {
     * per corpus snapshot and score many shards against it); the score
     * join is token→freq on the exploded stream with map-side combine on
     * (doc, token) first so the freq join sees one row per distinct token
-    * per doc. round(,6) keeps the ln() arithmetic comparison-stable
-    * across engines. */
+    * per doc. The corpus token total is NOT a separate `count()` pass —
+    * it is the one-row `sum(n_tok)` of the already-built freq table,
+    * broadcast-crossed into the score stream; the freq exchange appears
+    * twice in the plan and Spark's ReuseExchange collapses it, so the
+    * whole query is one job with zero extra corpus scans. round(,6)
+    * keeps the ln() arithmetic comparison-stable across engines. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
-    val total = toks.count()
+    val totalDf = freq.agg(sum(col("n_tok")).cast("double").as("total_tok"))
     val docToks = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_in_doc"))
     docToks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(totalDf))
       .groupBy("doc_id")
       .agg(
         sum(col("n_in_doc")).as("n_doc_tokens"),
-        sum(col("n_in_doc").cast("double") * log(col("n_tok").cast("double") / total.toDouble))
+        sum(col("n_in_doc").cast("double") * log(col("n_tok").cast("double") / col("total_tok")))
           .as("sum_ll"))
       .select(
         col("doc_id"), col("n_doc_tokens"),

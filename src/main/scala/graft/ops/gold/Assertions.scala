@@ -61,21 +61,35 @@ object Assertions {
       |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type
       |FROM t""".stripMargin
 
-  /** Rows whose column value falls outside the accepted set — the
-    * dbt-accepted_values compile shape. */
+  /** Rows whose column value falls outside a literal accepted set — the
+    * dbt-accepted_values compile shape for the config-declared (small,
+    * literal) domain: a codegen'd `IN` filter, no driver round-trip. */
   def acceptedValuesViolations(df: DataFrame, column: String, accepted: Seq[String]): DataFrame =
     df.filter(!col(column).isin(accepted: _*) || col(column).isNull)
 
+  /** Accepted set as a DataFrame (derived or reference-table domains):
+    * a left-anti join on the value column. NULL join keys never match,
+    * so null-valued rows fall through as violations — the same semantics
+    * as the literal form — and the domain never materializes on the
+    * driver, which is what survives a high-cardinality accepted set at
+    * 100 TB (AQE broadcasts the domain side when it is actually small). */
+  def acceptedValuesViolations(df: DataFrame, column: String, accepted: DataFrame): DataFrame =
+    df.join(
+      accepted.select(col(accepted.columns.head).as(column)).distinct(),
+      Seq(column), "left_anti")
+
   /** q3c: accepted-values check over event_type with two rogue rows
-    * injected (typo + null) — exactly those must be reported. */
+    * injected (typo + null) — exactly those must be reported. The
+    * accepted domain is the pre-corruption distinct set, kept as a
+    * DataFrame (no collect anywhere in the path). */
   def acceptedValuesCheck(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events.select("event_id", "event_type")
     val accepted = ev.select("event_type").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
     val rogue = ev.sparkSession.sql(
       """SELECT * FROM VALUES (900001L, 'cliick'), (900002L, CAST(NULL AS STRING))
         |AS t(event_id, event_type)""".stripMargin)
     acceptedValuesViolations(ev.unionByName(rogue), "event_type", accepted)
+      .select("event_id", "event_type")
       .orderBy(col("event_id"))
   }
 
@@ -122,9 +136,55 @@ object Assertions {
       |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** q3e: the declarative quality contract (dbt schema.yml analog,
+    * [[graft.ops.quality.Contract]]) compiled and evaluated as one
+    * report — an events contract whose accepted-values domain
+    * deliberately excludes 'error' (non-vacuous violation count) plus a
+    * cross-table relationships check, all in a single union plan. */
+  def contractReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.quality._
+    val contracts = Seq(
+      TableContract("events", Seq(
+        ColumnSpec("event_id", Seq(Unique, NotNull)),
+        ColumnSpec("user_id", Seq(NotNull)),
+        ColumnSpec("event_type", Seq(NotNull,
+          AcceptedValues(Seq("click", "purchase", "signup", "view")))))),
+      TableContract("lineitem", Seq(
+        ColumnSpec("l_orderkey", Seq(Relationship("orders", "o_orderkey"))))))
+    val t = Tables(spark, dir)
+    Contract.report(contracts, {
+      case "events" => t.events
+      case "lineitem" => t.lineitem
+      case "orders" => t.orders
+    })
+  }
+
+  val contractReportOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'events' AS table_name, 'event_id' AS column_name, 'not_null' AS check_name,
+      |         (SELECT count(*) FROM events WHERE event_id IS NULL) AS n_violations
+      |  UNION ALL
+      |  SELECT 'events', 'event_id', 'unique',
+      |         (SELECT count(*) FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1))
+      |  UNION ALL
+      |  SELECT 'events', 'user_id', 'not_null',
+      |         (SELECT count(*) FROM events WHERE user_id IS NULL)
+      |  UNION ALL
+      |  SELECT 'events', 'event_type', 'not_null',
+      |         (SELECT count(*) FROM events WHERE event_type IS NULL)
+      |  UNION ALL
+      |  SELECT 'events', 'event_type', 'accepted_values',
+      |         (SELECT count(*) FROM events
+      |          WHERE event_type IS NULL OR event_type NOT IN ('click','purchase','signup','view'))
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_orderkey', 'relationships',
+      |         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |) ORDER BY table_name, column_name, check_name""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
     QueryDef.sql("q3c_accepted_values", acceptedValuesCheckOracle)(acceptedValuesCheck),
-    QueryDef.sql("q3d_relationships", relationshipCheckOracle)(relationshipCheck))
+    QueryDef.sql("q3d_relationships", relationshipCheckOracle)(relationshipCheck),
+    QueryDef.sql("q3e_contract_report", contractReportOracle)(contractReport))
 }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * equi-join) plus the capability rows SURVEY §2.4 lists as absent
   * (semi/anti, multi-way shuffle join, range/theta, as-of).
   *
-  * Scale notes: dims (nation/region/customer-at-ratio) are explicitly
-  * `broadcast()`; the lineitem⋈orders join is a co-partitioned shuffle
-  * join on the fact key where AQE handles skew. The as-of join is
+  * Scale notes: true fixed-size dims (nation/region) are explicitly
+  * `broadcast()`; SF-scaling tables (customer) carry no hint — AQE's
+  * dynamic broadcast conversion decides from measured size. The
+  * lineitem⋈orders join is a co-partitioned shuffle join on the fact
+  * key where AQE handles skew. The as-of join is
   * keyed (per user) so it runs as one window over a per-key exchange —
   * no global sort, which is what makes it hold at 1000 executors.
   */
@@ -75,12 +77,17 @@ object Joins {
       |ORDER BY c_custkey""".stripMargin
 
   /** Multi-way join + aggregate (TPC-H Q3/Q5 shape): fact⋈fact shuffle
-    * join on the order key, then broadcast dim, then group-sum. */
+    * join on the order key, then the customer join, then group-sum.
+    * customer scales with SF, so it carries NO static broadcast hint —
+    * AQE's dynamic broadcast conversion (enabled in Graft.configure)
+    * picks broadcast vs shuffle from its measured size, which is the
+    * only decision that survives a 100× scale-up. Static `broadcast()`
+    * stays reserved for true fixed-size dims (nation/region/rules). */
   def multiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("bigint").as("order_year"))
       .agg(
         Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),

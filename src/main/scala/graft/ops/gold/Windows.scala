@@ -14,11 +14,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Windows {
 
-  /** Ranking + per-group top-k: top 3 orders by value per market segment. */
+  /** Ranking + per-group top-k: top 3 orders by value per market segment.
+    * customer is SF-scaling, so no static broadcast hint — AQE converts
+    * the join to broadcast when its measured size permits. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val joined = t.orders
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     joined
@@ -46,7 +48,7 @@ object Windows {
   def topkPerGroupNative(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val joined = t.orders
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .select("c_mktsegment", "o_orderkey", "o_totalprice")
     val survivors = graft.plans.GroupedTopK(
       joined, Seq("c_mktsegment"),

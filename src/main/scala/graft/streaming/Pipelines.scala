@@ -179,14 +179,27 @@ object Pipelines {
     *      `isin` filter, so the scan is partition-pruned at planning;
     *   3. last-write-wins merge where the incoming batch beats the
     *      target on matched keys (MERGE WHEN MATCHED → UPDATE);
-    *   4. dynamic-partition-overwrite of the touched partitions alone.
+    *   4. bin-packed compaction: each touched date is rewritten as
+    *      O(⌈rows/target⌉) files — `repartition(date, bucket)` clusters
+    *      each date's rows onto ⌈rows/target⌉ writers (per-date row
+    *      counts are an O(days) driver read off the already-materialized
+    *      merge; hot dates fan out in parallel — NOT a coalesce(1)),
+    *      and `maxRecordsPerFile` caps any single task's file size as
+    *      the layout-independent backstop (AQE may coalesce small
+    *      shuffles; skew may unbalance buckets). File counts are
+    *      bounded by partition SIZE, never by how many micro-batches
+    *      have touched the partition — without this the merge shuffle
+    *      leaks its task layout as small files into every touched date
+    *      each batch, the classic streaming small-file death at 100 TB;
+    *   5. dynamic-partition-overwrite of the touched partitions alone.
     * Cost per batch is O(touched partitions), not O(target) — the
     * property that keeps an ever-growing 100 TB fact mergeable. The
     * existence probe uses the Hadoop FileSystem API (S3/HDFS-correct,
     * not java.io.File), and the merged frame is localCheckpoint-ed to
     * cut lineage so the overwrite never reads its own output path. */
   def incrementalMergeStream(spark: SparkSession, stream: DataFrame,
-      targetDir: String, checkpointDir: String): StreamingQuery =
+      targetDir: String, checkpointDir: String,
+      targetRowsPerFile: Long = 1L << 20): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -213,11 +226,25 @@ object Pipelines {
             .filter(col("rn") === 1)
             .drop("rn", "is_incoming")
         } else incoming
+        val mat = merged.localCheckpoint(true)
+        // bin-packing: buckets-per-date from the checkpointed blocks
+        // (no recompute), then repartition on (date, bucket) so each
+        // date writes ⌈rows/target⌉ files regardless of batch history
+        val dateBuckets = mat.groupBy("event_date").count()
+          .collect().map(r => (r.getDate(0),
+            math.max(1L, (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile)))
+        val bucketsDf = broadcast(
+          spark.createDataFrame(dateBuckets.toSeq).toDF("event_date", "n_buckets"))
+        val packed = mat.join(bucketsDf, Seq("event_date"))
+          .withColumn("file_bucket", pmod(hash(col("event_id")), col("n_buckets")))
+          .repartition(col("event_date"), col("file_bucket"))
+          .drop("file_bucket", "n_buckets")
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try
-          merged.localCheckpoint(true)
-            .write.mode("overwrite").partitionBy("event_date").parquet(targetDir)
+          packed.write.mode("overwrite")
+            .option("maxRecordsPerFile", targetRowsPerFile)
+            .partitionBy("event_date").parquet(targetDir)
         finally prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -119,6 +119,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(clusters == Map(1L -> Seq(1L, 2L, 3L, 4L, 5L), 10L -> Seq(10L, 11L)))
   }
 
+  test("connected components converge logarithmically on deep chains") {
+    // A 33-vertex path (diameter 32) plus a separate 17-vertex path —
+    // plain min-label propagation needs O(diameter) = 32 rounds; the
+    // large-star/small-star contraction must collapse it in O(log) —
+    // we assert ⌈log₂ 32⌉ + 1 = 6 rounds (incl. the fixed-point
+    // confirmation round).
+    val chainA = (0L until 32L).map(i => (i, i + 1))
+    val chainB = (100L until 116L).map(i => (i, i + 1))
+    val pairs = (chainA ++ chainB).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == ((0L to 32L).map(_ -> 0L) ++ (100L to 116L).map(_ -> 100L)).toMap)
+    assert(rounds <= 6, s"expected ≤ ⌈log₂ diameter⌉+1 = 6 rounds, took $rounds")
+  }
+
   test("simhash signatures are deterministic and banding finds near-dups") {
     val s1 = Dedup.simhashSignatures(spark, Sf).collect()
     val s2 = Dedup.simhashSignatures(spark, Sf).collect()

@@ -16,4 +16,21 @@ class MedallionSpec extends AnyFunSuite with SparkFixture {
       .count(_.getName.startsWith("event_date="))
     assert(parts == 30)
   }
+
+  test("a failing declarative contract blocks gold materialization") {
+    import graft.ops.quality._
+    val base = tmp("medallion-fail")
+    // symbol's domain in silver is the 5 event types — a contract that
+    // only accepts 'click' must fail the gate BEFORE gold is built
+    val strict = Seq(TableContract("silver", Seq(
+      ColumnSpec("trade_id", Seq(Unique, NotNull)),
+      ColumnSpec("symbol", Seq(AcceptedValues(Seq("click")))))))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Medallion.run(spark, Sf, base, contract = strict)
+    }
+    assert(ex.getMessage.contains("gold not built"))
+    assert(new java.io.File(s"$base/silver").exists, "silver should exist")
+    assert(!new java.io.File(s"$base/gold").exists,
+      "gold must not be materialized when the contract fails")
+  }
 }

@@ -49,4 +49,15 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
     val native = graft.ops.gold.Windows.topkPerGroupNative(spark, Sf).collect().toSeq
     assert(window == native)
   }
+
+  test("tx5 bigram profile runs through the native GroupedTopK pair") {
+    val df = graft.ops.ext.TextAnalysis.bigramProfile(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("GroupedTopKPartial"), plan)
+    assert(plan.contains("GroupedTopKFinal"), plan)
+    // per-group survivor bound: exactly ≤10 bigrams per language
+    val perLang = df.groupBy("lang").count().collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(1) <= 10))
+  }
 }

@@ -128,6 +128,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("incremental merge compacts: file count stays bounded by partition size") {
+    val target = tmp("merge3-target") + "/t"
+    val raw = spark.read.parquet(s"$Sf/events.parquet")
+    def jan5(bump: Double): String = {
+      val d = tmp(s"merge3-src$bump") + "/d"
+      raw.filter(to_date(timestamp_micros(expr("ts div 1000"))) === "2024-01-05")
+        .withColumn("value", col("value") + bump)
+        .write.parquet(d)
+      d
+    }
+    // batch 1: full corpus; batches 2..4 re-upsert the same hot date —
+    // the regime where an uncompacted merge leaks shuffle-layout files
+    // into the partition every batch
+    val jan5Rows = raw
+      .filter(to_date(timestamp_micros(expr("ts div 1000"))) === "2024-01-05").count()
+    val targetRowsPerFile = 10L
+    val bound = (jan5Rows + targetRowsPerFile - 1) / targetRowsPerFile
+    val srcs = (tmp("merge3-src0") + "/d") +: (1 to 3).map(i => jan5(i * 1000.0))
+    raw.write.parquet(srcs.head)
+    srcs.zipWithIndex.foreach { case (src, i) =>
+      Pipelines.incrementalMergeStream(spark,
+        Pipelines.eventsStream(spark, src, glob = "*.parquet"),
+        target, tmp(s"merge3-ckpt$i"), targetRowsPerFile = targetRowsPerFile)
+        .awaitTermination()
+    }
+    // worst case = ⌈rows/target⌉ bucket-writers each splitting once more
+    // under maxRecordsPerFile; the point is the bound depends on
+    // partition SIZE only, never on how many batches touched it
+    val files = new java.io.File(s"$target/event_date=2024-01-05")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 2 * bound - 1,
+      s"$files files in the hot partition after 4 batches; bound is ${2 * bound - 1}")
+    assert(files >= bound,
+      s"maxRecordsPerFile must split $jan5Rows rows into ≥$bound files, got $files")
+    // correctness preserved: unique keys, last batch wins
+    val got = spark.read.parquet(target)
+    assert(got.count() == raw.select("event_id").distinct().count())
+    val jan5Min = got.filter(col("event_date") === "2024-01-05")
+      .agg(min("value")).head.getDouble(0)
+    assert(jan5Min >= 3000.0, "last upsert batch did not win")
+  }
+
   test("incremental merge rewrites only the partitions present in the batch") {
     val target = tmp("merge2-target") + "/t"
     val raw = spark.read.parquet(s"$Sf/events.parquet") // ts is raw nanos
