@@ -46,6 +46,9 @@ object Bench {
     "tx10_lm_score")       // single-job unigram LM scoring
 
   def main(args: Array[String]): Unit = {
+    // driver runs argless (full headline); args select a subset for
+    // targeted timing during development
+    val set = if (args.nonEmpty) args.toSeq else headline
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Graft.configure(
       SparkSession.builder().master(s"local[${graft.engine.Graft.cpus}]")).getOrCreate()
@@ -60,9 +63,9 @@ object Bench {
 
     // warmup pass: measure steady-state engine throughput, not JVM/JIT/
     // codegen-compile startup or first-touch parquet footer reads
-    headline.foreach(run)
+    set.foreach(run)
 
-    val results = headline.map(n => n -> run(n))
+    val results = set.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

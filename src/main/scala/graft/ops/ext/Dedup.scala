@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct 3-gram word shingles of `text`, as a SQL expression over a
-    * pre-split token array column `w`. */
+    * pre-split token array column `w`. Built from zipped shifted slices,
+    * not `transform(sequence(..), i -> element_at(w, i))` — an outer
+    * `w` reference inside a lambda gets inlined on project collapse and
+    * the token split re-runs per element (see bigramProfile's note);
+    * slices reference `w` a constant number of times per row. The
+    * size guard keeps slice lengths non-negative. */
   val shingleExpr: String =
     """CASE WHEN size(w) < 3 THEN filter(w, x -> false)
-      |ELSE array_distinct(transform(sequence(0, size(w) - 3),
-      |       i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2), ' ', element_at(w, i + 3))))
+      |ELSE array_distinct(zip_with(
+      |       zip_with(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2),
+      |                (x, y) -> concat(x, ' ', y)),
+      |       slice(w, 3, size(w) - 2),
+      |       (xy, z) -> concat(xy, ' ', z)))
       |END""".stripMargin
 
   def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -481,8 +489,14 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 50) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // fixed-point gate in ONE job: both sides are distinct sets, so
+      // tagging 1/2 and summing per edge yields 3 exactly on the
+      // intersection — any other total is an asymmetric edge
+      converged = edges.select(col("u"), col("v"), lit(1).as("s"))
+        .unionAll(next.select(col("u"), col("v"), lit(2).as("s")))
+        .groupBy("u", "v").agg(sum("s").as("t"))
+        .filter(col("t") =!= 3)
+        .isEmpty
       edges = next
       rounds += 1
     }

@@ -143,13 +143,17 @@ object TextAnalysis {
     * survivors-only exchange beat the window form's full-vocabulary
     * exchange + sort (ranks recomputed over the ≤ 10·|langs| survivors). */
   def bigramProfile(spark: SparkSession, dir: String): DataFrame = {
+    // zip_with over two shifted slices, NOT transform(sequence(..),
+    // i -> element_at(w, i)): an outer-column reference inside a lambda
+    // gets inlined by CollapseProject when this lands in the Generate,
+    // and the token split then re-runs PER ELEMENT — measured 10× slower
+    // at sf0.1. The slice form references w a constant number of times
+    // per row. (n = 1 ⇒ slice length 0 ⇒ empty array — no guard needed.)
     val docs = Tables(spark, dir).documents
       .withColumn("w", tokens(col("text")))
       .withColumn("bigrams", expr(
-        """CASE WHEN size(w) < 2 THEN filter(w, x -> false)
-          |ELSE array_distinct(transform(sequence(0, size(w) - 2),
-          |       i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))
-          |END""".stripMargin))
+        "array_distinct(zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (x, y) -> concat(x, ' ', y)))"))
     val counts = docs
       .select(col("lang"), explode(col("bigrams")).as("bigram"))
       .groupBy("lang", "bigram")
