@@ -284,9 +284,135 @@ object Similarity {
       |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
   }
 
+  // ---- k-means centroid training (the "real build would k-means
+  // refine" step the IVF scaladoc promises) -------------------------
+
+  /** Fixed-point quantization scale (2^24). Centroid means over floats
+    * are accumulation-order-dependent in BOTH engines and DuckDB's
+    * double→DECIMAL cast disagrees with Spark's at high scales (measured:
+    * 1/3 → …333312 vs …333300), so all distance/mean arithmetic runs on
+    * `floor(x · 2^24)` BIGINTs — exact, order-independent, and identical
+    * cross-engine (the fixed-point-allreduce trick deterministic
+    * training pipelines use). 64 dims × (2^28)² diffs stays under 2^63. */
+  val KmQ: Long = 1L << 24
+  val KmK = 8
+
+  private def quantExpr(embCol: String): String =
+    s"transform($embCol, x -> cast(floor(cast(x as double) * $KmQ.0D) as bigint))"
+
+  /** One Lloyd assignment pass: nearest centroid by quantized L2,
+    * cell_id tie-break. Centroids broadcast, so the distance pass is a
+    * narrow scan; the only exchange is the per-vector argmin window
+    * (k rows per vec_id). Keeps `dist` for SSE tracking. */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("cell_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("aggregate(zip_with(qe, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell_id"), col("qe"), col("dist"))
+  }
+
+  /** Per-(cluster, dim) exact integer sums for the centroid update. */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell_id").as("cluster_id"),
+        posexplode(col("qe")).as(Seq("pos", "qval")))
+      .groupBy("cluster_id", "pos")
+      .agg(sum("qval").as("s"), count(lit(1)).as("n"))
+
+  private def kmCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr(quantExpr("embedding")).as("qe"))
+
+  /** km1: one Lloyd step (assignment + centroid update) from the
+    * deterministic init (the [[KmK]] lowest vec_ids — the same seed
+    * centroids ann3's IVF uses). Output is the long-form centroid table
+    * (cluster_id, dim, centroid_val, n_members) — array-free so the
+    * oracle hash compare is scalar. [[kmeansTrain]] iterates this to
+    * convergence; one step is the SQL-expressible (hence hash-compared)
+    * unit. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = kmCorpus(spark, dir)
+    val cents = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cell_id"), col("qe").as("qc"))
+    kmUpdate(kmAssign(e, cents))
+      .select(
+        col("cluster_id"),
+        (col("pos") + 1).cast("bigint").as("dim"),
+        round(col("s").cast("double") / col("n") / KmQ, 6).as("centroid_val"),
+        col("n").cast("bigint").as("n_members"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  lazy val kmeansStepOracle: String =
+    s"""WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
+      |  FROM embeddings
+      |),
+      |cent AS (SELECT vec_id AS cell_id, qe AS qc FROM e WHERE vec_id < $KmK),
+      |d AS (
+      |  SELECT e.vec_id, cent.cell_id,
+      |    list_sum(list_transform(range(1, ${Dim + 1}),
+      |      i -> (e.qe[i] - cent.qc[i]) * (e.qe[i] - cent.qc[i]))) AS dist
+      |  FROM e CROSS JOIN cent
+      |),
+      |a AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+      |    FROM d) WHERE rk = 1
+      |),
+      |u AS (
+      |  SELECT a.cell_id AS cluster_id, r.i AS dim,
+      |         sum(e.qe[r.i]) AS s, count(*) AS n
+      |  FROM a JOIN e USING (vec_id), range(1, ${Dim + 1}) AS r(i)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+      |       round(CAST(s AS DOUBLE) / n / $KmQ.0, 6) AS centroid_val,
+      |       CAST(n AS BIGINT) AS n_members
+      |FROM u ORDER BY cluster_id, dim""".stripMargin
+
+  /** Full Lloyd trainer: iterate assignment/update until assignments are
+    * stable (or maxIters). Returns (assignment, centroid table, rounds,
+    * per-round SSE). Quantized arithmetic makes every round
+    * deterministic; `localCheckpoint` truncates the iterative lineage.
+    * Cluster means are re-quantized with integer floor division, so the
+    * trainer never touches a float accumulator. */
+  def kmeansTrain(spark: SparkSession, dir: String,
+      maxIters: Int = 20): (DataFrame, DataFrame, Int, Seq[Long]) = {
+    val e = kmCorpus(spark, dir).localCheckpoint()
+    var cents = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cell_id"), col("qe").as("qc"))
+      .localCheckpoint()
+    var assigned = kmAssign(e, cents).localCheckpoint()
+    var sses = Seq(assigned.agg(sum("dist")).first().getLong(0))
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      cents = kmUpdate(assigned)
+        .withColumn("qv", expr("cast(floor(cast(s as double) / n) as bigint)"))
+        .groupBy(col("cluster_id").as("cell_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, qv))), p -> p.qv)").as("qc"))
+        .localCheckpoint()
+      val next = kmAssign(e, cents).localCheckpoint()
+      stable = next.select("vec_id", "cell_id")
+        .join(assigned.select(col("vec_id"), col("cell_id").as("prev")), Seq("vec_id"))
+        .filter(col("cell_id") =!= col("prev"))
+        .isEmpty
+      assigned = next
+      sses = sses :+ assigned.agg(sum("dist")).first().getLong(0)
+      rounds += 1
+    }
+    (assigned, cents, rounds, sses)
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
     QueryDef.sql("ann2_lsh_topk", lshTopKOracle)(lshTopK),
     QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK),
-    QueryDef.sql("ann3b_ivf_indexed", ivfTopKOracle)(ivfIndexedTopK))
+    QueryDef.sql("ann3b_ivf_indexed", ivfTopKOracle)(ivfIndexedTopK),
+    QueryDef.sql("km1_kmeans_step", kmeansStepOracle)(kmeansStep))
 }

@@ -443,6 +443,104 @@ object TextAnalysis {
       |FROM dt JOIN freq USING (tok), total
       |GROUP BY doc_id, total.n ORDER BY doc_id""".stripMargin
 
+  /** tx11: Gopher-style repetition filters — the pre-training quality
+    * signals that catch degenerate/boilerplate text: fraction of
+    * duplicated tokens (1 − distinct/total) and the fraction of the
+    * document covered by its single most-repeated bigram. Narrow
+    * per-doc metrics (array ops) plus one two-level aggregation for the
+    * top-bigram count (map-side combine on (doc, bigram) first); no
+    * driver round-trips, thresholds chosen to split the fixture corpus
+    * non-trivially (dup median ≈ 0.54, top-bigram p90 ≈ 0.07). */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+    val base = t.select(
+      col("doc_id"),
+      size(col("w")).cast("bigint").as("n_tokens"),
+      size(array_distinct(col("w"))).cast("bigint").as("n_distinct"))
+    val bg = t.select(col("doc_id"), explode(expr(
+      "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+        " (x, y) -> concat(x, ' ', y))")).as("bigram"))
+    val top = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    base.join(top, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_tokens") - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_token_frac") < 0.5 && col("top_bigram_frac") < 0.05)
+      .orderBy("doc_id")
+  }
+
+  val repetitionFilterOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM t),
+      |bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+      |m AS (
+      |  SELECT b.doc_id AS doc_id, b.n_tokens,
+      |    1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+      |    CASE WHEN n_tokens > 1
+      |         THEN CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1)
+      |         ELSE 0.0 END AS top_bigram_frac
+      |  FROM base b LEFT JOIN top USING (doc_id))
+      |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+      |       dup_token_frac < '0.5'::DOUBLE AND top_bigram_frac < '0.05'::DOUBLE AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Redaction patterns (tx12) — identical semantics in Java regex and
+    * DuckDB's RE2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** tx12: PII scrub — regex redaction of emails/phone numbers with
+    * per-doc redaction counts and a fingerprint of the scrubbed text.
+    * The fixture corpus is synthetic word-soup, so PII is injected
+    * deterministically first (every 7th doc gains a contact line built
+    * from its doc_id) — the scrub operator itself is exactly what runs
+    * over a real crawl. Pure narrow codegen'd projections; zero shuffle
+    * before the oracle ordering. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(EmailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("text2"), lit(PhoneRe)).cast("bigint").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text2"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")).cast("binary")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
+  val piiScrubOracle: String =
+    s"""WITH inj AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+      |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE text END AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text2, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text2, '$PhoneRe')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+      |      '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_fp
+      |FROM inj ORDER BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -453,5 +551,7 @@ object TextAnalysis {
     QueryDef.sql("tx7_corpus_shuffle", corpusShuffleOracle)(corpusShuffle),
     QueryDef.sql("tx8_sequence_pack", sequencePackOracle)(sequencePack),
     QueryDef.sql("tx9_clean_corpus", cleanCorpusOracle)(cleanCorpus),
-    QueryDef.sql("tx10_lm_score", lmScoreOracle)(lmScore))
+    QueryDef.sql("tx10_lm_score", lmScoreOracle)(lmScore),
+    QueryDef.sql("tx11_repetition_filter", repetitionFilterOracle)(repetitionFilter),
+    QueryDef.sql("tx12_pii_scrub", piiScrubOracle)(piiScrub))
 }

@@ -88,4 +88,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(probedCells.size < Similarity.IvfCells,
       s"expected pruned probe, INSET covers all ${probedCells.size} cells")
   }
+
+  test("k-means trainer converges with monotone SSE and full coverage") {
+    val (assigned, cents, rounds, sses) =
+      graft.ops.ext.Similarity.kmeansTrain(spark, Sf, maxIters = 25)
+    assert(rounds < 25, s"assignments never stabilized in $rounds rounds")
+    // Lloyd's invariant under exact arithmetic: SSE never increases
+    // (quantization uses floor, a contraction, so it holds here too)
+    sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"SSE increased: $sses")
+    }
+    assert(sses.last < sses.head, "training never improved the objective")
+    val n = graft.engine.Tables(spark, Sf).embeddings.count()
+    assert(assigned.count() == n, "every vector must be assigned exactly once")
+    assert(cents.count() <= Similarity.KmK)
+    // deterministic: a re-run reproduces the same final assignment
+    val (assigned2, _, rounds2, _) =
+      graft.ops.ext.Similarity.kmeansTrain(spark, Sf, maxIters = 25)
+    assert(rounds2 == rounds)
+    assert(assigned.select("vec_id", "cell_id").exceptAll(
+      assigned2.select("vec_id", "cell_id")).isEmpty)
+  }
 }
