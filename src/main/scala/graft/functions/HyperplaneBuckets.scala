@@ -80,7 +80,12 @@ object HyperplaneBuckets {
     Array.fill(Tables, BitsPerTable, Dim)(rnd.nextGaussian())
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_buckets", exprs => HyperplaneBuckets(exprs(0)), "built-in")
+  /** Idempotent registration (see CosineSimilarity.register). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets")))
+      reg.createOrReplaceTempFunction(
+        "hyperplane_buckets", exprs => HyperplaneBuckets(exprs(0)), "built-in")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops.ext
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Caching, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,11 +66,19 @@ object Dedup {
     * Same id-only-candidates shape as dd3: the blocking join exchanges
     * bare (doc_id, first_sh) rows and the shingle arrays are joined back
     * only for the candidate pairs — a popular prefix fans out id pairs,
-    * not O(block²) copies of full shingle arrays. */
+    * not O(block²) copies of full shingle arrays. CAVEAT (the reason this
+    * stays a standalone demonstrator): candidate COUNT is still quadratic
+    * in the hottest block — B docs sharing a boilerplate opening yield
+    * B² id pairs and B² Jaccard verifications. On a real crawl the
+    * hottest prefix is millions of documents, so anything built ON TOP of
+    * pair detection ([[dupClusters]], the tx9 cleaning funnel) consumes
+    * [[minhashPairs]] instead: banding bounds candidates by signature
+    * collision, independent of any single hot key. DedupSpec's
+    * hot-prefix case pins the difference. */
   def ngramJaccardBlocked(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    val sh = Caching.persist(shingled(spark, dir)
       .select(col("doc_id"), col("sh"), element_at(col("sh"), 1).as("first_sh"))
-      .persist() // blocking pass + both candidate join-backs
+    ) // blocking pass + both candidate join-backs
     val ids = sh.select(col("doc_id"), col("first_sh"))
     val candidates = ids.select(col("doc_id").as("doc_a"), col("first_sh"))
       .join(ids.select(col("doc_id").as("doc_b"), col("first_sh")), Seq("first_sh"))
@@ -120,11 +128,20 @@ object Dedup {
     * signatures, candidates travel as bare (doc_a, doc_b) id pairs, and
     * the shingle arrays are joined back only for the (small) verified
     * candidate set instead of being shuffled per-candidate. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MinHashSignature.register(spark)
-    val sh = shingled(spark, dir).filter(size(col("sh")) > 0)
-      .select("doc_id", "sh")
-      .persist() // reused by the signature pass and both verify re-joins
+  /** The non-empty shingle table dd3's passes share — persisted (scope-
+    * released, see [[graft.engine.Caching]]) because the signature pass
+    * and both verify re-joins re-read it. */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    Caching.persist(
+      shingled(spark, dir).filter(size(col("sh")) > 0).select("doc_id", "sh"))
+
+  /** Band-bucket candidate id pairs for a shingled `(doc_id, sh)` frame —
+    * bare ids only, no shingle array rides the bucket shuffle. Exposed
+    * (pre-verify) so DedupSpec can pin the scale property directly:
+    * candidates are bounded by signature collision, not by any blocking
+    * key's hot-block size. */
+  private[ext] def minhashCandidatesFor(sh: DataFrame): DataFrame = {
+    graft.functions.MinHashSignature.register(sh.sparkSession)
     val sigs = sh.select(
       col("doc_id"),
       expr(s"minhash_sigs(sh, $MinhashK)").as("mhs"))
@@ -132,38 +149,53 @@ object Dedup {
       val rowHashes = (1 to 4).map(r => s"element_at(mhs, ${bId * 4 + r})").mkString(", ")
       struct(lit(bId).as("band_id"), expr(s"concat_ws('|', $rowHashes)").as("band_hash"))
     }
-    val buckets = sigs
+    val buckets = Caching.persist(sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-      .persist()
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash")))
     val l = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band_id", "band_hash"))
+    l.join(r, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val withShingles = candidates
+  }
+
+  /** Band-bucket candidate pairs over the corpus (pre-verify). */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatesFor(shingleTable(spark, dir))
+
+  /** dd3's verified near-dup pairs, UNORDERED — the composition form
+    * [[dupClusters]] and the tx9 funnel consume (their downstream
+    * shuffles would discard an ordering anyway). [[minhashLsh]] adds the
+    * oracle ordering. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val candidates = minhashCandidatesFor(sh)
+    candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-    val out = withShingles
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-    out
   }
 
-  /** DuckDB restatement of [[minhashLsh]]: same md5-based multiplicative
-    * MinHash (coefficients shared from MinHashSignature), same 8×4
-    * banding, same Jaccard verify — engine-portable arithmetic end to
-    * end, so the driver hash-compares dd3 instead of counting rows. */
-  lazy val minhashLshOracle: String = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** DuckDB CTE chain (no WITH prefix) ending in
+    * `verified(doc_a, doc_b, jaccard)` — dd3's verified near-dup pairs
+    * with the same md5-based multiplicative MinHash (coefficients shared
+    * from MinHashSignature), same 8×4 banding, same Jaccard verify.
+    * Shared by [[minhashLshOracle]], [[dupClustersOracle]] and
+    * TextAnalysis.cleanCorpusOracle so every consumer of the pair stream
+    * stays hash-compared. */
+  private[ext] lazy val minhashVerifiedCtes: String = {
     import graft.functions.MinHashSignature.{Prime, coeffA, coeffB}
     val minExprs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(h, v -> (${coeffA(j)} * v + ${coeffB(j)}) % $Prime))"
     }.mkString(",\n      ")
     val bandKey = "concat_ws('|', m[band_id*4+1], m[band_id*4+2], m[band_id*4+3], m[band_id*4+4])"
-    s"""WITH sh0 AS (
+    s"""sh0 AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(w)-1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -189,14 +221,23 @@ object Dedup {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM buckets a JOIN buckets b
       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      |)
-      |SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT doc_a, doc_b,
-      |    len(list_intersect(x.s, y.s))::DOUBLE
-      |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-      |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
-      |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+      |),
+      |verified AS (
+      |  SELECT doc_a, doc_b, jaccard FROM (
+      |    SELECT doc_a, doc_b,
+      |      len(list_intersect(x.s, y.s))::DOUBLE
+      |        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      |    FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+      |  ) WHERE jaccard >= 0.8
+      |)""".stripMargin
   }
+
+  /** DuckDB restatement of [[minhashLsh]] — engine-portable arithmetic
+    * end to end, so the driver hash-compares dd3 instead of counting
+    * rows. */
+  lazy val minhashLshOracle: String =
+    s"""WITH $minhashVerifiedCtes
+      |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash width: 60 bits — the md5-prefix token hash both engines can
     * compute ( `('0x'||substring(md5(tok),1,15))::BIGINT` in DuckDB,
@@ -508,38 +549,30 @@ object Dedup {
   }
 
   /** dd6: duplicate-cluster resolution — the step after pair detection
-    * that an actual dedup pipeline needs: near-dup PAIRS (from dd2/dd3/
-    * dd5c, any detector) form a graph whose connected components are the
-    * duplicate clusters; the canonical document is the min doc_id per
-    * component. Runs [[connectedComponents]] (large-star/small-star),
-    * so even pathological chain-of-dups diameters cost logarithmically
-    * many edge-list shuffles — the shape that holds at 100 TB. */
+    * that an actual dedup pipeline needs: near-dup PAIRS form a graph
+    * whose connected components are the duplicate clusters; the canonical
+    * document is the min doc_id per component. The edge list comes from
+    * [[minhashPairs]] (MinHash banding), NOT the dd2 prefix blocking: a
+    * hot boilerplate prefix makes dd2's candidate set quadratic in the
+    * hottest block, while banding bounds candidates by signature
+    * collision — the difference between a demo and the 100 TB shape.
+    * Runs [[connectedComponents]] (large-star/small-star), so even
+    * pathological chain-of-dups diameters cost logarithmically many
+    * edge-list shuffles. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccardBlocked(spark, dir).select("doc_a", "doc_b")
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
     val (labels, _) = connectedComponents(pairs)
     labels.select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
 
-  /** Oracle for [[dupClusters]]: dd2's pair CTE + a recursive reachability
-    * closure; cluster id = min reachable doc id. */
-  val dupClustersOracle: String =
-    """WITH RECURSIVE sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(w)-1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
-      |    w[1] || ' ' || w[2] || ' ' || w[3] AS first_sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents)
-      |),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.first_sh = b.first_sh AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-      |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.8
-      |),
+  /** Oracle for [[dupClusters]]: dd3's verified-pair CTE chain + a
+    * recursive reachability closure; cluster id = min reachable doc id. */
+  lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashVerifiedCtes,
       |edges AS (
-      |  SELECT doc_a AS u, doc_b AS v FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  SELECT doc_a AS u, doc_b AS v FROM verified
+      |  UNION SELECT doc_b, doc_a FROM verified
       |),
       |reach(doc_id, r) AS (
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)

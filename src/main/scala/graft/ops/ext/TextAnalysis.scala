@@ -334,7 +334,9 @@ object TextAnalysis {
     * per normalized fingerprint, semi-join) and drop non-canonical
     * members of near-dup clusters (dd6, anti-join). Funnel order matters
     * at 100 TB: the narrow predicates cut the corpus before anything
-    * shuffles, and both dedup sides join on bare doc_ids. */
+    * shuffles, and both dedup sides join on bare doc_ids. The cluster
+    * edge list rides dd6's MinHash banding (bounded candidates), not
+    * prefix blocking — no hot boilerplate prefix can sink the funnel. */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val q = qualityScore(spark, dir).select("doc_id", "quality_score", "len_ok")
@@ -351,9 +353,9 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val cleanCorpusOracle: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, text, length(text) AS len,
-      |                  string_split_regex(trim(text), '\s+') w FROM documents),
+  lazy val cleanCorpusOracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, length(text) AS len,
+      |                  string_split_regex(trim(text), '\\s+') w FROM documents),
       |q AS (
       |  SELECT doc_id,
       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
@@ -364,24 +366,12 @@ object TextAnalysis {
       |  FROM t),
       |keep AS (
       |  SELECT min(doc_id) AS doc_id FROM documents
-      |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
       |),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(w)-1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
-      |    w[1] || ' ' || w[2] || ' ' || w[3] AS first_sh
-      |  FROM t
-      |),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.first_sh = b.first_sh AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-      |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.8
-      |),
+      |${graft.ops.ext.Dedup.minhashVerifiedCtes},
       |edges AS (
-      |  SELECT doc_a AS u, doc_b AS v FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  SELECT doc_a AS u, doc_b AS v FROM verified
+      |  UNION SELECT doc_b, doc_a FROM verified
       |),
       |reach(doc_id, r) AS (
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)

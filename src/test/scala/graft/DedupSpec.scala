@@ -119,6 +119,48 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(clusters == Map(1L -> Seq(1L, 2L, 3L, 4L, 5L), 10L -> Seq(10L, 11L)))
   }
 
+  test("hot shared-prefix block: banding keeps candidates far below B²") {
+    // 100 docs all opening with the same boilerplate ("terms of service
+    // for") but otherwise pairwise-disjoint word soup — the crawl shape
+    // that makes prefix blocking quadratic: dd2 generates B(B-1)/2 = 4950
+    // candidate pairs (and as many Jaccard verifications) from this ONE
+    // block. MinHash banding proposes candidates only on signature
+    // collision, so the same corpus yields (near-)zero candidates — the
+    // reason dd6/tx9 consume minhashPairs, not the prefix blocking.
+    val B = 100
+    val docs = (0 until B).map { i =>
+      (i.toLong,
+        "terms of service for " + (0 until 40).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val dir = tmp("hotprefix")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val quadratic = B.toLong * (B - 1) / 2
+    // sanity: the prefix blocking really does go quadratic here
+    val sh = Dedup.shingled(spark, dir)
+      .select(col("doc_id"), element_at(col("sh"), 1).as("first_sh"))
+    val blocked = sh.select(col("doc_id").as("a"), col("first_sh"))
+      .join(sh.select(col("doc_id").as("b"), col("first_sh")), Seq("first_sh"))
+      .filter(col("a") < col("b")).count()
+    assert(blocked == quadratic, s"expected a full quadratic block, got $blocked")
+    val banded = Dedup.minhashCandidates(spark, dir).count()
+    assert(banded <= quadratic / 50, s"banding produced $banded of $quadratic pairs")
+    // and the cluster op built on banding sees no dup clusters at all
+    assert(Dedup.dupClusters(spark, dir).isEmpty)
+  }
+
+  test("dup clusters from banding match clusters from exhaustive pairs") {
+    // On the driver fixture the banded edge list must reproduce the
+    // brute-force ground truth (recall test above), so the components
+    // must match a closure computed from bruteForcePairs directly.
+    val got = Dedup.dupClusters(spark, Sf)
+      .as[(Long, Long)].collect().toSeq.groupMap(_._1)(_._2)
+    val (labels, _) = Dedup.connectedComponents(
+      bruteForcePairs.toSeq.toDF("doc_a", "doc_b"))
+    val want = labels.as[(Long, Long)].collect().toSeq
+      .groupMap(_._2)(_._1).map { case (l, ds) => l -> ds.sorted }
+    assert(got == want)
+  }
+
   test("connected components converge logarithmically on deep chains") {
     // A 33-vertex path (diameter 32) plus a separate 17-vertex path —
     // plain min-label propagation needs O(diameter) = 32 rounds; the
