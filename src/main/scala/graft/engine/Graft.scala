@@ -37,6 +37,15 @@ object Graft {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // InferFiltersFromGenerate bolts `size(e)>0 AND isnotnull(e)` under
+    // every explode; predicate pushdown then re-substitutes the FULL
+    // generator expression into that filter at the scan (tx5's plan
+    // audit showed split()+zip_with evaluated 6× per row in the pushed
+    // guard). Generate already skips empty/null arrays, and this
+    // engine's explode inputs are non-empty for all but degenerate rows,
+    // so the inferred guard is pure per-row recompute tax — excluded.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     // read the raw int64 nanos and convert ourselves (see Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 import scala.collection.mutable
 
@@ -82,11 +83,22 @@ case class GroupedTopKExec(
   override def nodeName: String =
     if (partial) "GroupedTopKPartial" else "GroupedTopKFinal"
 
+  /** Observable like HashAggregate: output rows plus the per-task heap
+    * group count (summed over tasks — for the partial node that is
+    * groups×partitions, the exchange volume / k; for the final node the
+    * true group cardinality). Peak memory is bounded by
+    * numGroups × k × rowSize per task by construction. */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of heap groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val gExprs = groupExprs
     val sOrder = order
     val kk = k
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       val toUnsafe = UnsafeProjection.create(schema.map(_.asInstanceOf[Expression]), schema)
@@ -106,8 +118,10 @@ case class GroupedTopKExec(
           heap += toUnsafe(row).copy()
         }
       }
+      numGroups += heaps.size()
       import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap(_.iterator)
+        .map { r => numOutputRows += 1; r }
     }, preservesPartitioning = true)
   }
 

@@ -50,6 +50,55 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
     assert(window == native)
   }
 
+  test("GroupedTopK property: parity with window form on random inputs; metrics populated") {
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // AQE off for this test only, so the executed plan is the plain
+    // partial/final pair and the exec nodes are directly collectible
+    // (with AQE they sit inside query stages; behavior is identical).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gen = for {
+        k <- Gen.chooseNum(1, 6)
+        nGroups <- Gen.chooseNum(1, 8)
+        nRows <- Gen.chooseNum(0, 250)
+        asc <- Gen.oneOf(true, false)
+        vals <- Gen.listOfN(nRows,
+          Gen.zip(Gen.chooseNum(0, nGroups - 1), Gen.chooseNum(0, 20)))
+      } yield (k, asc, vals)
+      samples(gen, 20).foreach { case (k, asc, vals) =>
+        // heavy value ties + a unique id tie-break: the contract's total
+        // order, exercised across random k / group cardinality / direction
+        val rows = vals.zipWithIndex.map { case ((g, v), id) => (g, v.toLong, id.toLong) }
+        val df = rows.toDF("g", "v", "id").repartition(5)
+        val native = graft.plans.GroupedTopK(df, Seq("g"), Seq("v" -> asc, "id" -> true), k)
+        // collect through `native` itself (`.as[...]` would wrap a fresh
+        // QueryExecution and the metrics below would read an unrun plan)
+        val got = native.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        val w = Window.partitionBy("g")
+          .orderBy(if (asc) col("v").asc else col("v").desc, col("id"))
+        val expected = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .as[(Int, Long, Long)].collect().toSet
+        assert(got.length == got.toSet.size, s"duplicate rows (k=$k asc=$asc)")
+        assert(got.toSet == expected, s"parity failed (k=$k asc=$asc n=${rows.size})")
+        val execs = native.queryExecution.executedPlan.collect {
+          case e: graft.plans.GroupedTopKExec => e
+        }
+        assert(execs.map(_.partial).sorted == Seq(false, true))
+        val fin = execs.find(!_.partial).get
+        assert(fin.metrics.keySet == Set("numOutputRows", "numGroups"))
+        assert(fin.metrics("numOutputRows").value == got.length)
+        assert(fin.metrics("numGroups").value == rows.map(_._1).distinct.size)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("tx5 bigram profile runs through the native GroupedTopK pair") {
     val df = graft.ops.ext.TextAnalysis.bigramProfile(spark, Sf)
     df.collect()
