@@ -46,6 +46,13 @@ object Graft {
     // so the inferred guard is pure per-row recompute tax — excluded.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // RocksDB state store by default: the HDFS-backed provider keeps
+    // every key's state on the executor heap — the first thing to OOM on
+    // a 100 TB/day stream with long-horizon state (sessions, streaming
+    // dedup). RocksDB bounds memory via memtables + local-disk SST files
+    // and is required by transformWithState anyway (StatefulTotals).
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     // read the raw int64 nanos and convert ourselves (see Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

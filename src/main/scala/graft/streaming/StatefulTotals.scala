@@ -14,8 +14,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * touched key; untouched keys cost nothing.
   *
   * Requires `spark.sql.streaming.stateStore.providerClass =
-  * RocksDBStateStoreProvider` (transformWithState is RocksDB-only);
-  * StatefulSpec scopes that conf around the query. */
+  * RocksDBStateStoreProvider` (transformWithState is RocksDB-only) —
+  * which Graft.configure now sets as the session default for ALL
+  * stateful streaming (heap-resident state is the first OOM at
+  * 100 TB/day; RocksDB is disk-backed with bounded memtables). */
 object StatefulTotals {
 
   final case class Ev(user_id: Long, value: Double)

@@ -89,6 +89,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"expected pruned probe, INSET covers all ${probedCells.size} cells")
   }
 
+  test("ann3b index lifecycle: repeat probes never rewrite the index") {
+    def snapshot(p: java.io.File): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(p).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val path = tmp("ann3b-lifecycle") + "/ivf"
+    Similarity.buildIvfIndex(spark, Sf, path)
+    val first = Similarity.probeIvfIndex(spark, Sf, path).collect().toSeq
+    val before = snapshot(new java.io.File(path))
+    assert(before.nonEmpty)
+    val second = Similarity.probeIvfIndex(spark, Sf, path).collect().toSeq
+    assert(second == first)
+    assert(second == Similarity.ivfTopK(spark, Sf).collect().toSeq)
+    // read-only probe: no file added, removed, or touched
+    assert(snapshot(new java.io.File(path)) == before)
+  }
+
+  test("km2 fixed-round trainer degenerates to the km1 step at rounds=1") {
+    val one = Similarity.kmeansRounds(spark, Sf, rounds = 1).collect().toSeq
+    val step = Similarity.kmeansStep(spark, Sf).collect().toSeq
+    assert(one == step)
+  }
+
   test("k-means trainer converges with monotone SSE and full coverage") {
     val (assigned, cents, rounds, sses) =
       graft.ops.ext.Similarity.kmeansTrain(spark, Sf, maxIters = 25)

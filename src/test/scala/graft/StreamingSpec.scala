@@ -8,6 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * real streaming queries over the events fixture. */
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
+  test("stateful streaming runs on the RocksDB state store by default") {
+    // every stateful pipeline in this suite (windows, dedup, sessions,
+    // stream-stream join) inherits this session default — the provider
+    // whose state is disk-backed instead of executor-heap-resident
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+  }
+
   test("bronze ingest writes event-time partitioned parquet exactly once") {
     val out = tmp("bronze-out")
     val ckpt = tmp("bronze-ckpt")
