@@ -45,16 +45,62 @@ object Bench {
     "tx5_bigram_profile",  // explode+agg with native GroupedTopK tail
     "tx10_lm_score")       // single-job unigram LM scoring
 
+  /** Streaming path (round 4): drain the SF dir's events through the E1
+    * ingest pipelines with AvailableNow — end-to-end wall time of a full
+    * micro-batch drain, the number BENCH_NOTES turns into rows/s. Each
+    * invocation gets fresh checkpoint/output dirs so every run (warm and
+    * timed) performs the complete drain rather than a no-op resume. */
+  val streaming: Seq[String] = Seq("st1_bronze_ingest", "st2_hourly_agg")
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  /** A tmp dir guaranteed EMPTY — a checkpoint left by a previous Bench
+    * process would turn the AvailableNow drain into a no-op resume and
+    * time nothing. */
+  private def freshDir(sub: String): String = {
+    val path = graft.engine.Graft.tmpDir(sub)
+    deleteRec(new java.io.File(path))
+    new java.io.File(path).mkdirs()
+    path
+  }
+
+  private var streamInvocation = 0
+  def runStream(name: String, spark: SparkSession, sfDir: String): Double = {
+    import graft.streaming.Pipelines
+    streamInvocation += 1
+    val ckpt = freshDir(s"bench-$name-ckpt-$streamInvocation")
+    val t0 = System.nanoTime()
+    name match {
+      case "st1_bronze_ingest" =>
+        val out = freshDir(s"bench-$name-out-$streamInvocation")
+        Pipelines.bronzeIngest(spark, sfDir, out, ckpt).awaitTermination()
+      case "st2_hourly_agg" =>
+        Pipelines.hourlyAgg(Pipelines.eventsStream(spark, sfDir))
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
-    // driver runs argless (full headline); args select a subset for
-    // targeted timing during development
-    val set = if (args.nonEmpty) args.toSeq else headline
+    // driver runs argless (full headline + streaming); args select a
+    // subset for targeted timing during development
+    val set = if (args.nonEmpty) args.toSeq else headline ++ streaming
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Graft.configure(
       SparkSession.builder().master(s"local[${graft.engine.Graft.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      if (streaming.contains(name))
+        return try runStream(name, spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); -1.0 }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
