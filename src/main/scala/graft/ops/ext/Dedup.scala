@@ -130,10 +130,19 @@ object Dedup {
     * candidate set instead of being shuffled per-candidate. */
   /** The non-empty shingle table dd3's passes share — persisted (scope-
     * released, see [[graft.engine.Caching]]) because the signature pass
-    * and both verify re-joins re-read it. */
+    * and both verify re-joins re-read it. The non-empty guard is
+    * `size(w) >= 3` on the TOKEN array (≡ `size(sh) > 0`: 3+ tokens ⟺
+    * ≥1 shingle survives distinct) — filtering on `sh` itself pushed the
+    * entire shingle CASE expression into the scan condition, evaluating
+    * split() ~6× per row just to test emptiness; the token form costs
+    * one split. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Caching.persist(
-      shingled(spark, dir).filter(size(col("sh")) > 0).select("doc_id", "sh"))
+      Tables(spark, dir).documents
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", expr(shingleExpr))
+        .select("doc_id", "sh"))
 
   /** Band-bucket candidate id pairs for a shingled `(doc_id, sh)` frame —
     * bare ids only, no shingle array rides the bucket shuffle. Exposed
