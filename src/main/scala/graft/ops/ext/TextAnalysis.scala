@@ -531,6 +531,80 @@ object TextAnalysis {
       |      '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_fp
       |FROM inj ORDER BY doc_id""".stripMargin
 
+  /** Decontamination n-gram width — long enough that natural text
+    * collides only on true shared passages (published pipelines use
+    * 8–13-gram overlap against benchmark text). */
+  val DecontamN = 8
+  /** Deterministic eval-split modulus: doc is "benchmark" iff
+    * md5(doc_id) mod 10 = 0 — the fixture stand-in for a real eval
+    * suite table (same portable hash as tx6's sampling membership). */
+  val EvalMod = 10
+
+  /** Distinct n-grams of token array `w` as a fold of zip_with over n
+    * shifted slices — the same constant-reference shape as
+    * [[graft.ops.ext.Dedup.shingleExpr]]; a `transform(sequence(..),
+    * i -> slice(w, i, n))` form would inline the outer `w` per element
+    * on project collapse and re-run the token split per n-gram. */
+  private def ngramExpr(n: Int): String = {
+    val len = s"(size(w) - ${n - 1})"
+    val zipped = (2 to n).foldLeft(s"slice(w, 1, $len)") { (acc, k) =>
+      s"zip_with($acc, slice(w, $k, $len), (x, y) -> concat(x, ' ', y))"
+    }
+    s"CASE WHEN size(w) < $n THEN filter(w, x -> false) ELSE array_distinct($zipped) END"
+  }
+
+  /** tx13: benchmark decontamination — the train/eval hygiene step every
+    * serious pretraining pipeline runs: a training document is
+    * contaminated iff it shares ANY [[DecontamN]]-gram with the eval
+    * set. Output is the per-train-doc report (overlapping-n-gram count +
+    * keep flag); the filtered corpus is `WHERE keep`.
+    *
+    * The 100 TB shape: eval suites are tiny (MBs), so their distinct
+    * n-gram set BROADCASTS — the corpus side is one narrow explode +
+    * broadcast hash join with NO corpus shuffle; only matched rows (a
+    * sliver) reach the per-doc count, and the final left join rides the
+    * bare doc_id. Eval and train branches partition the scan, so the
+    * n-gram work totals one corpus pass. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .withColumn("is_eval",
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
+          % EvalMod === 0)
+      .select(col("doc_id"), col("is_eval"), expr(ngramExpr(DecontamN)).as("gr"))
+    val evalGrams = g.filter(col("is_eval"))
+      .select(explode(col("gr")).as("ng")).distinct()
+    val train = g.filter(!col("is_eval"))
+    val hits = train.select(col("doc_id"), explode(col("gr")).as("ng"))
+      .join(broadcast(evalGrams), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("c"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("c"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val decontaminateOracle: String = {
+    val gram = (0 until DecontamN).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $EvalMod = 0 AS is_eval,
+      |    list_distinct(list_transform(range(1, len(w) - ${DecontamN - 2}), i -> $gram)) AS gr
+      |  FROM d),
+      |ev AS (SELECT DISTINCT unnest(gr) AS ng FROM g WHERE is_eval),
+      |tr AS (SELECT doc_id, unnest(gr) AS ng FROM g WHERE NOT is_eval),
+      |hit AS (SELECT doc_id, count(*) AS c FROM tr JOIN ev USING (ng) GROUP BY 1)
+      |SELECT t.doc_id AS doc_id,
+      |       coalesce(hit.c, 0) AS n_contaminated,
+      |       coalesce(hit.c, 0) = 0 AS keep
+      |FROM (SELECT doc_id FROM g WHERE NOT is_eval) t LEFT JOIN hit USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -543,5 +617,6 @@ object TextAnalysis {
     QueryDef.sql("tx9_clean_corpus", cleanCorpusOracle)(cleanCorpus),
     QueryDef.sql("tx10_lm_score", lmScoreOracle)(lmScore),
     QueryDef.sql("tx11_repetition_filter", repetitionFilterOracle)(repetitionFilter),
-    QueryDef.sql("tx12_pii_scrub", piiScrubOracle)(piiScrub))
+    QueryDef.sql("tx12_pii_scrub", piiScrubOracle)(piiScrub),
+    QueryDef.sql("tx13_decontaminate", decontaminateOracle)(decontaminate))
 }

@@ -101,6 +101,27 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("decontamination flags exactly the train docs sharing an eval 8-gram") {
+    // doc_id 20 lands on the eval side of the md5-mod split (md5("20")
+    // prefix % 10 == 0); 1 and 2 land on the train side. Train doc 1
+    // embeds an 8-token passage from the eval doc mid-soup; train doc 2
+    // is fully disjoint.
+    val passage = (0 until 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (20L, s"eval prefix words $passage and an eval tail here"),
+      (1L, (0 until 10).map(i => s"a$i").mkString(" ") + s" $passage " +
+        (0 until 10).map(i => s"b$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"c$i").mkString(" ")))
+    val dir = tmp("decontam")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.ext.TextAnalysis.decontaminate(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, v, keep) => k -> ((v, keep)) }.toMap
+    assert(out.keySet == Set(1L, 2L), s"train report rows: ${out.keySet}")
+    assert(out(1L)._1 == 1L && !out(1L)._2, s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((0L, true)), s"doc 2: ${out(2L)}")
+  }
+
   test("stub codec is pure and bounded") {
     val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     samples(gen, 100).foreach { bytes =>
