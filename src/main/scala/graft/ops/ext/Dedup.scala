@@ -109,6 +109,67 @@ object Dedup {
       |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd2b's block cap. 2 on fixtures so BOTH branches carry rows at the
+    * driver's SFs (planted-dup blocks reach size 3–4); production sets
+    * this to the largest block one task comfortably squares (10³–10⁴). */
+  val Dd2BlockCap = 2
+
+  /** dd2b: the production-guarded form of dd2 — prefix blocking with a
+    * BLOCK-SIZE CAP. Blocks of ≤ [[Dd2BlockCap]] docs pair all-vs-all
+    * (bounded ≤ cap² work per block); docs in OVERSIZED blocks — the hot
+    * boilerplate prefixes that make plain dd2 quadratic — route to
+    * MinHash banding ([[minhashCandidatesFor]]), whose candidate count
+    * is bounded by signature collision instead of block size. Both
+    * branches emit bare id pairs, one shingle join-back verifies
+    * Jaccard ≥ 0.8. (The banding branch may also pair routed docs
+    * ACROSS different hot prefixes — a strict recall improvement over
+    * blocking.) Worst case is banding's, never B². */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val keyed = sh.withColumn("first_sh", element_at(col("sh"), 1))
+    val sizes = keyed.groupBy("first_sh").agg(count(lit(1)).as("bc"))
+    val tagged = keyed.join(sizes, Seq("first_sh"))
+    val small = tagged.filter(col("bc") <= Dd2BlockCap)
+      .select("doc_id", "first_sh")
+    val blockedCand = small.select(col("doc_id").as("doc_a"), col("first_sh"))
+      .join(small.select(col("doc_id").as("doc_b"), col("first_sh")), Seq("first_sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val routed = Caching.persist(
+      tagged.filter(col("bc") > Dd2BlockCap).select("doc_id", "sh"))
+    val candidates = blockedCand.unionAll(minhashCandidatesFor(routed))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val ngramJaccardCappedOracle: String =
+    s"""WITH $shingleCtes,
+      |bs AS (SELECT first_sh, count(*) AS bc FROM sh GROUP BY 1),
+      |small AS (SELECT sh.doc_id, sh.first_sh FROM sh JOIN bs USING (first_sh) WHERE bc <= $Dd2BlockCap),
+      |big AS (SELECT sh.doc_id, sh.s FROM sh JOIN bs USING (first_sh) WHERE bc > $Dd2BlockCap),
+      |bcand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM small a JOIN small b ON a.first_sh = b.first_sh AND a.doc_id < b.doc_id
+      |),
+      |${minhashBandCtes("big", "r")},
+      |allcand AS (
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b FROM bcand UNION ALL SELECT doc_a, doc_b FROM rcand
+      |  )
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(x.s, y.s))::DOUBLE
+      |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      |  FROM allcand JOIN sh x ON x.doc_id = allcand.doc_a JOIN sh y ON y.doc_id = allcand.doc_b
+      |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   val MinhashK = 32
   val Bands = 8 // × 4 rows per band
 
@@ -198,39 +259,55 @@ object Dedup {
     * Shared by [[minhashLshOracle]], [[dupClustersOracle]] and
     * TextAnalysis.cleanCorpusOracle so every consumer of the pair stream
     * stays hash-compared. */
-  private[ext] lazy val minhashVerifiedCtes: String = {
+  /** DuckDB CTEs `<p>hs, <p>mh, <p>buckets, <p>cand` computing the
+    * MinHash band-bucket candidate pairs of CTE `src(doc_id, s)` —
+    * prefix `p` keeps multiple instantiations (dd3's full-corpus chain,
+    * dd2b's routed-residual chain) in one statement. */
+  private def minhashBandCtes(src: String, p: String): String = {
     import graft.functions.MinHashSignature.{Prime, coeffA, coeffB}
     val minExprs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(h, v -> (${coeffA(j)} * v + ${coeffB(j)}) % $Prime))"
     }.mkString(",\n      ")
     val bandKey = "concat_ws('|', m[band_id*4+1], m[band_id*4+2], m[band_id*4+3], m[band_id*4+4])"
-    s"""sh0 AS (
+    s"""${p}hs AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(w)-1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents)
-      |),
-      |sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),
-      |hs AS (
-      |  SELECT doc_id, s,
       |    list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT % $Prime) AS h
-      |  FROM sh
+      |  FROM $src
       |),
-      |mh AS (
+      |${p}mh AS (
       |  SELECT doc_id, [
       |      $minExprs
       |    ] AS m
-      |  FROM hs
+      |  FROM ${p}hs
       |),
-      |buckets AS (
+      |${p}buckets AS (
       |  SELECT doc_id, band_id, $bandKey AS band_key
-      |  FROM mh, (SELECT unnest(range(0, $Bands)) AS band_id)
+      |  FROM ${p}mh, (SELECT unnest(range(0, $Bands)) AS band_id)
       |),
-      |cand AS (
+      |${p}cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM buckets a JOIN buckets b
+      |  FROM ${p}buckets a JOIN ${p}buckets b
       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |)""".stripMargin
+  }
+
+  /** The shared `sh0/sh` shingle CTEs (`sh` = non-empty shingle sets).
+    * `first_sh` comes from the TOKEN array, not `s[1]` — DuckDB's
+    * `list_distinct` does not preserve element order (Spark's
+    * `array_distinct` does, so `element_at(sh, 1)` is the same value). */
+  private val shingleCtes: String =
+    s"""sh0 AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+      |    w[1] || ' ' || w[2] || ' ' || w[3] AS first_sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents)
       |),
+      |sh AS (SELECT doc_id, s, first_sh FROM sh0 WHERE len(s) > 0)""".stripMargin
+
+  private[ext] lazy val minhashVerifiedCtes: String =
+    s"""$shingleCtes,
+      |${minhashBandCtes("sh", "")},
       |verified AS (
       |  SELECT doc_a, doc_b, jaccard FROM (
       |    SELECT doc_a, doc_b,
@@ -239,7 +316,6 @@ object Dedup {
       |    FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
       |  ) WHERE jaccard >= 0.8
       |)""".stripMargin
-  }
 
   /** DuckDB restatement of [[minhashLsh]] — engine-portable arithmetic
     * end to end, so the driver hash-compares dd3 instead of counting
@@ -594,6 +670,7 @@ object Dedup {
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
+    QueryDef.sql("dd2b_ngram_capped", ngramJaccardCappedOracle)(ngramJaccardCapped),
     QueryDef.sql("dd3_minhash_lsh", minhashLshOracle)(minhashLsh),
     QueryDef.sql("dd4_simhash", simhashOracle)((s, d) => simhashSignatures(s, d)),
     QueryDef.sql("dd4b_simhash_pairs", simhashPairsOracle(10))((s, d) => simhashPairs(s, d, maxHamming = 10)),

@@ -148,6 +148,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.dupClusters(spark, dir).isEmpty)
   }
 
+  test("dd2b capped blocking recalls the planted pairs and survives a hot prefix") {
+    // fixture: cap-2 blocking + banded residual must still find every
+    // brute-force pair (planted dups sit in size-2..4 prefix blocks, so
+    // both branches participate at cap 2)
+    val got = Dedup.ngramJaccardCapped(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(bruteForcePairs.subsetOf(got),
+      s"missed ${(bruteForcePairs -- got).size}/${bruteForcePairs.size}")
+    // hot prefix: one 100-doc block, zero true dups — the capped form
+    // routes the whole block to banding and returns empty instead of
+    // verifying 4950 quadratic pairs
+    val B = 100
+    val docs = (0 until B).map { i =>
+      (i.toLong,
+        "terms of service for " + (0 until 40).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val dir = tmp("hotprefix-capped")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    assert(Dedup.ngramJaccardCapped(spark, dir).isEmpty)
+  }
+
   test("dup clusters from banding match clusters from exhaustive pairs") {
     // On the driver fixture the banded edge list must reproduce the
     // brute-force ground truth (recall test above), so the components
