@@ -43,7 +43,12 @@ object Bench {
     "tx9_clean_corpus",    // composed cleaning funnel
     // round-3: queries whose plans changed this round
     "tx5_bigram_profile",  // explode+agg with native GroupedTopK tail
-    "tx10_lm_score")       // single-job unigram LM scoring
+    "tx10_lm_score",       // single-job unigram LM scoring
+    // round-4: new operators
+    "dd2b_ngram_capped",   // capped blocking + banded-residual routing
+    "km2_kmeans_train",    // two Lloyd rounds, one declarative plan
+    "tx13_decontaminate",  // broadcast eval n-gram overlap
+    "ann3b_ivf_indexed")   // build-once / probe-many inverted file
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full
