@@ -324,17 +324,18 @@ object Similarity {
   private def quantExpr(embCol: String): String =
     s"transform($embCol, x -> cast(floor(cast(x as double) * $KmQ.0D) as bigint))"
 
-  /** One Lloyd assignment pass: nearest centroid by quantized L2,
-    * cell_id tie-break. Centroids broadcast, so the distance pass is a
+  /** One Lloyd assignment pass: nearest `probes` centroids by quantized
+    * L2, cell_id tie-break (exact integer distances — no rounding
+    * portability hazard). Centroids broadcast, so the distance pass is a
     * narrow scan; the only exchange is the per-vector argmin window
     * (k rows per vec_id). Keeps `dist` for SSE tracking. */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private def kmAssign(e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist"), col("cell_id"))
     e.crossJoin(broadcast(cents))
       .withColumn("dist",
         expr("aggregate(zip_with(qe, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= probes)
       .select(col("vec_id"), col("cell_id"), col("qe"), col("dist"))
   }
 
@@ -421,8 +422,10 @@ object Similarity {
     * by the spec'd adaptive trainer, while this pins the arithmetic of
     * the round-over-round composition against DuckDB. `rounds = 1`
     * degenerates to [[kmeansStep]]. */
-  def kmeansRounds(spark: SparkSession, dir: String,
-      rounds: Int = KmTrainRounds): DataFrame = {
+  /** The long-form update table after exactly `rounds` Lloyd rounds —
+    * shared by [[kmeansRounds]] (report form) and [[trainedCentroids]]
+    * (the centroid list ann4 probes against). */
+  private def kmRoundsUpdate(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     require(rounds >= 1)
     val e = kmCorpus(spark, dir)
     var cents = e.filter(col("vec_id") < KmK)
@@ -432,6 +435,18 @@ object Similarity {
       cents = kmRequant(upd)
       upd = kmUpdate(kmAssign(e, cents))
     }
+    upd
+  }
+
+  /** Quantized centroid list after `rounds` Lloyd rounds — the trained
+    * codebook ann4's inverted file is built from. */
+  def trainedCentroids(spark: SparkSession, dir: String,
+      rounds: Int = KmTrainRounds): DataFrame =
+    kmRequant(kmRoundsUpdate(spark, dir, rounds))
+
+  def kmeansRounds(spark: SparkSession, dir: String,
+      rounds: Int = KmTrainRounds): DataFrame = {
+    val upd = kmRoundsUpdate(spark, dir, rounds)
     upd.select(
         col("cluster_id"),
         (col("pos") + 1).cast("bigint").as("dim"),
@@ -440,16 +455,25 @@ object Similarity {
       .orderBy("cluster_id", "dim")
   }
 
-  /** Oracle for [[kmeansRounds]]: the Lloyd rounds unrolled as chained
-    * CTEs (assign_r / update_r / cent_r), same quantized arithmetic —
-    * an iteration count fixed at authoring time needs no recursion, and
-    * unrolling keeps every round's algebra visible to the comparison. */
-  lazy val kmeansRoundsOracle: String = {
-    val dims = s"range(1, ${Dim + 1})"
+  private def kmDims = s"range(1, ${Dim + 1})"
+
+  private def kmRequantCte(r: Int): String =
+    s"""cent$r AS (
+      |  SELECT cluster_id AS cell_id,
+      |         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
+      |  FROM u$r GROUP BY 1
+      |)""".stripMargin
+
+  /** DuckDB CTE chain `e, cent0, d1/a1/u1 [, cent1, d2/a2/u2, …]` up to
+    * `u<rounds>` — the Lloyd rounds unrolled (a fixed iteration count
+    * needs no recursion, and unrolling keeps every round's algebra
+    * visible to the comparison). Shared by [[kmeansRoundsOracle]] and
+    * [[ivfTrainedTopKOracle]]. */
+  private def kmRoundCtesSql(rounds: Int): String = {
     def assign(r: Int, cents: String) =
       s"""d$r AS (
         |  SELECT e.vec_id, c.cell_id,
-        |    list_sum(list_transform($dims,
+        |    list_sum(list_transform($kmDims,
         |      i -> (e.qe[i] - c.qc[i]) * (e.qe[i] - c.qc[i]))) AS dist
         |  FROM e CROSS JOIN $cents c
         |),
@@ -462,31 +486,100 @@ object Similarity {
         |u$r AS (
         |  SELECT a$r.cell_id AS cluster_id, r.i AS dim,
         |         sum(e.qe[r.i]) AS s, count(*) AS n
-        |  FROM a$r JOIN e USING (vec_id), $dims AS r(i)
+        |  FROM a$r JOIN e USING (vec_id), $kmDims AS r(i)
         |  GROUP BY 1, 2
         |)""".stripMargin
-    def requant(r: Int) =
-      s"""cent$r AS (
-        |  SELECT cluster_id AS cell_id,
-        |         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
-        |  FROM u$r GROUP BY 1
-        |)""".stripMargin
-    val roundCtes = (1 to KmTrainRounds).map { r =>
+    val roundCtes = (1 to rounds).map { r =>
       val cents = if (r == 1) "cent0" else s"cent${r - 1}"
-      if (r < KmTrainRounds) assign(r, cents) + ",\n" + requant(r)
+      if (r < rounds) assign(r, cents) + ",\n" + kmRequantCte(r)
       else assign(r, cents)
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
       |  FROM embeddings
       |),
       |cent0 AS (SELECT vec_id AS cell_id, qe AS qc FROM e WHERE vec_id < $KmK),
-      |$roundCtes
+      |$roundCtes""".stripMargin
+  }
+
+  /** Oracle for [[kmeansRounds]]. */
+  lazy val kmeansRoundsOracle: String =
+    s"""WITH ${kmRoundCtesSql(KmTrainRounds)}
       |SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
       |       round(CAST(s AS DOUBLE) / n / $KmQ.0, 6) AS centroid_val,
       |       CAST(n AS BIGINT) AS n_members
       |FROM u$KmTrainRounds ORDER BY cluster_id, dim""".stripMargin
+
+  /** ann4: IVF over a TRAINED codebook — the step the ann3 scaladoc
+    * promises ("a real build would k-means refine"): coarse-quantizer
+    * centroids come from [[trainedCentroids]] (2 Lloyd rounds) instead
+    * of the first-[[KmK]] seed vectors; corpus and queries assign to
+    * cells by exact quantized L2 (engine-portable integers), queries
+    * probe their [[IvfProbes]] nearest cells, and candidates are
+    * brute-forced with exact cosine on the original float vectors.
+    * The codebook is tiny (k rows) and broadcasts; at 100 TB it is
+    * trained once on a sample and reused — here the training plan
+    * composes directly into the query (persisted, scope-released, so
+    * corpus-side and query-side assignment share one training run). */
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir))
+    val q = kmCorpus(spark, dir)
+    val corpusCells = kmAssign(q.filter(col("vec_id") >= 10), cents)
+      .select(col("cell_id"), col("vec_id"))
+    val queryCells = kmAssign(q.filter(col("vec_id") < 10), cents, probes = IvfProbes)
+      .select(col("cell_id"), col("vec_id").as("q_vec_id"))
+    val eAll = Tables(spark, dir).embeddings
+    val corpusEmb = eAll.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+    val queryEmb = eAll.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+    rankTop3(corpusCells
+      .join(broadcast(queryCells), Seq("cell_id"))
+      .dropDuplicates("q_vec_id", "vec_id")
+      .join(corpusEmb, Seq("vec_id"))
+      .join(broadcast(queryEmb), Seq("q_vec_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .select("q_vec_id", "vec_id", "cos_r"))
+  }
+
+  /** Oracle for [[ivfTrainedTopK]]: the unrolled Lloyd chain →
+    * requantized codebook → quantized-L2 cell assignment (probes 1 and
+    * [[IvfProbes]]) → candidate join → exact-cosine ranking. */
+  lazy val ivfTrainedTopKOracle: String = {
+    val R = KmTrainRounds
+    s"""WITH ${kmRoundCtesSql(R)},
+      |${kmRequantCte(R)},
+      |cd AS (
+      |  SELECT e.vec_id, c.cell_id,
+      |    list_sum(list_transform($kmDims,
+      |      i -> (e.qe[i] - c.qc[i]) * (e.qe[i] - c.qc[i]))) AS dist
+      |  FROM e CROSS JOIN cent$R c
+      |),
+      |ranked AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+      |  FROM cd
+      |),
+      |ccell AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1 AND vec_id >= 10),
+      |qcell AS (SELECT vec_id AS q_vec_id, cell_id FROM ranked WHERE rk <= $IvfProbes AND vec_id < 10),
+      |cand AS (
+      |  SELECT DISTINCT qcell.q_vec_id, ccell.vec_id
+      |  FROM qcell JOIN ccell ON qcell.cell_id = ccell.cell_id
+      |),
+      |scored AS (
+      |  SELECT cand.q_vec_id, cand.vec_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_r
+      |  FROM cand
+      |  JOIN embeddings q ON q.vec_id = cand.q_vec_id
+      |  JOIN embeddings c ON c.vec_id = cand.vec_id
+      |)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
   }
 
   /** Full Lloyd trainer: iterate assignment/update until assignments are
@@ -525,5 +618,6 @@ object Similarity {
     QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK),
     QueryDef.sql("ann3b_ivf_indexed", ivfTopKOracle)(ivfIndexedTopK),
     QueryDef.sql("km1_kmeans_step", kmeansStepOracle)(kmeansStep),
-    QueryDef.sql("km2_kmeans_train", kmeansRoundsOracle)((s, d) => kmeansRounds(s, d)))
+    QueryDef.sql("km2_kmeans_train", kmeansRoundsOracle)((s, d) => kmeansRounds(s, d)),
+    QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK))
 }
