@@ -511,6 +511,66 @@ object Similarity {
       |       CAST(n AS BIGINT) AS n_members
       |FROM u$KmTrainRounds ORDER BY cluster_id, dim""".stripMargin
 
+  /** emb1: embedding L2-normalize + int8 quantize — the storage/serving
+    * compression every vector pipeline runs before shipping embeddings
+    * (4× smaller than float32, cosine preserved to ~1e-2). Portability
+    * discipline: the squared norm is an EXACT integer sum over the
+    * 2²⁴-quantized components (float sums are accumulation-order-
+    * dependent; 64 · (3·2²⁴)² stays under 2⁶³), and both engines cast
+    * the same BIGINT to the same IEEE double before the sqrt, so the
+    * norm — and every code — is bit-identical cross-engine. Output is
+    * one compact row per vector: norm, code stats, and an md5 over the
+    * full code array (proving all 64 codes without 64× output rows).
+    * Pure narrow projection — zero shuffle before the oracle order. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .withColumn("qe", expr(quantExpr("embedding")))
+      .withColumn("ss", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("norm", expr("sqrt(cast(ss as double))"))
+      .withColumn("codes", expr(
+        """CASE WHEN ss = 0 THEN transform(qe, x -> 0L)
+          |ELSE transform(qe, x -> cast(greatest(least(
+          |       round(cast(x as double) / norm * 127.0), 127.0D), -127.0D) as bigint))
+          |END""".stripMargin))
+    e.select(
+        col("vec_id"),
+        round(col("norm") / KmQ, 6).as("norm_r"),
+        expr("aggregate(codes, 0L, (acc, x) -> acc + x)").as("code_sum"),
+        expr("array_min(codes)").cast("bigint").as("code_min"),
+        expr("array_max(codes)").cast("bigint").as("code_max"),
+        md5(expr("cast(concat_ws(',', transform(codes, c -> cast(c as string))) as binary)"))
+          .as("codes_fp"))
+      .orderBy("vec_id")
+  }
+
+  lazy val quantizeEmbeddingsOracle: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, qe,
+      |    CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS ss
+      |  FROM q
+      |),
+      |c AS (
+      |  SELECT vec_id, ss, sqrt(CAST(ss AS DOUBLE)) AS norm,
+      |    CASE WHEN ss = 0 THEN list_transform(qe, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(qe, x -> CAST(greatest(least(
+      |                round(CAST(x AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) * 127.0),
+      |                127.0), -127.0) AS BIGINT))
+      |    END AS codes
+      |  FROM n
+      |)
+      |SELECT vec_id,
+      |  round(norm / $KmQ.0, 6) AS norm_r,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_min(codes) AS BIGINT) AS code_min,
+      |  CAST(list_max(codes) AS BIGINT) AS code_max,
+      |  md5(array_to_string(codes, ',')) AS codes_fp
+      |FROM c ORDER BY vec_id""".stripMargin
+
   /** ann4: IVF over a TRAINED codebook — the step the ann3 scaladoc
     * promises ("a real build would k-means refine"): coarse-quantizer
     * centroids come from [[trainedCentroids]] (2 Lloyd rounds) instead
@@ -619,5 +679,6 @@ object Similarity {
     QueryDef.sql("ann3b_ivf_indexed", ivfTopKOracle)(ivfIndexedTopK),
     QueryDef.sql("km1_kmeans_step", kmeansStepOracle)(kmeansStep),
     QueryDef.sql("km2_kmeans_train", kmeansRoundsOracle)((s, d) => kmeansRounds(s, d)),
-    QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK))
+    QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK),
+    QueryDef.sql("emb1_quantize", quantizeEmbeddingsOracle)(quantizeEmbeddings))
 }

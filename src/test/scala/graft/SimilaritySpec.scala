@@ -129,6 +129,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(snapshot(new java.io.File(path)) == before)
   }
 
+  test("emb1 quantization: norms exact, codes bounded, cosine preserved") {
+    val out = Similarity.quantizeEmbeddings(spark, Sf)
+      .as[(Long, Double, Long, Long, Long, String)].collect()
+    val vecs = graft.engine.Tables(spark, Sf).embeddings
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    assert(out.length == vecs.size)
+    assert(out.map(_._6).distinct.length == out.length, "code fingerprints collide")
+    out.foreach { case (id, normR, _, cmin, cmax, _) =>
+      val want = math.sqrt(vecs(id).map(x => x.toDouble * x).sum)
+      assert(math.abs(normR - want) < 1e-4, s"vec $id norm $normR vs $want")
+      assert(cmin >= -127 && cmax <= 127)
+    }
+    // int8 codes preserve cosine to quantization error (driver-side
+    // reconstruction; ±1-code rounding differences move cosine < 0.005)
+    def codes(v: Array[Float]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => math.rint(x / n * 127.0))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val sample = vecs.toSeq.sortBy(_._1).take(12)
+    for (Seq((_, a), (_, b)) <- sample.combinations(2).take(40)) {
+      val exact = cos(a.map(_.toDouble), b.map(_.toDouble))
+      val coded = cos(codes(a), codes(b))
+      assert(math.abs(exact - coded) < 0.02, s"cos $exact vs int8 $coded")
+    }
+  }
+
   test("km2 fixed-round trainer degenerates to the km1 step at rounds=1") {
     val one = Similarity.kmeansRounds(spark, Sf, rounds = 1).collect().toSeq
     val step = Similarity.kmeansStep(spark, Sf).collect().toSeq
