@@ -48,7 +48,9 @@ object Bench {
     "dd2b_ngram_capped",   // capped blocking + banded-residual routing
     "km2_kmeans_train",    // two Lloyd rounds, one declarative plan
     "tx13_decontaminate",  // broadcast eval n-gram overlap
-    "ann3b_ivf_indexed")   // build-once / probe-many inverted file
+    "ann3b_ivf_indexed",   // build-once / probe-many inverted file
+    "ann4_ivf_trained",    // k-means-trained codebook IVF
+    "emb1_quantize")       // fixed-point normalize + int8 codes
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

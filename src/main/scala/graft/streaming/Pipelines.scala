@@ -239,15 +239,21 @@ object Pipelines {
           .withColumn("file_bucket", pmod(hash(col("event_id")), col("n_buckets")))
           .repartition(col("event_date"), col("file_bucket"))
           .drop("file_bucket", "n_buckets")
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // conf goes on the session the WRITE will read it from —
+        // packed's own (foreachBatch frames ride a per-query session
+        // clone; an empty-target first batch leaves `packed` on the
+        // clone, where the outer session's conf is invisible and the
+        // overwrite would silently run STATIC — see CorpusIngest)
+        val ws = packed.sparkSession
+        val prev = ws.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        ws.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try
           packed.write.mode("overwrite")
             .option("maxRecordsPerFile", targetRowsPerFile)
             .partitionBy("event_date").parquet(targetDir)
         finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          case Some(v) => ws.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => ws.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
         ()
       }

@@ -178,6 +178,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(jan5Min >= 3000.0, "last upsert batch did not win")
   }
 
+  test("incremental corpus ingest dedups across batches and replays idempotently") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = tmp("ci-in"); val corpus = tmp("ci-corpus")
+    val store = tmp("ci-store"); val ckpt = tmp("ci-ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(in)
+    def drain(): Unit =
+      graft.streaming.CorpusIngest.ingest(spark, stream(), corpus, store, ckpt)
+        .awaitTermination()
+    // batch 1: B duplicates A after normalization → canonical A kept
+    Seq((1L, "Alpha  beta gamma"), (2L, "alpha beta GAMMA"), (3L, "delta soup"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // batch 2: doc 4 re-crawls A's text → dropped by the STORE anti-join;
+    // doc 5 is new
+    Seq((4L, "ALPHA beta gamma"), (5L, "epsilon fresh"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    val afterTwo = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(afterTwo == Set(1L, 3L, 5L), s"got $afterTwo")
+    assert(spark.read.parquet(store).select("fingerprint").distinct().count() == 3)
+    // replay with the same checkpoint: no new files → corpus unchanged
+    drain()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 5L))
+  }
+
   test("incremental merge rewrites only the partitions present in the batch") {
     val target = tmp("merge2-target") + "/t"
     val raw = spark.read.parquet(s"$Sf/events.parquet") // ts is raw nanos
