@@ -209,7 +209,15 @@ object Dedup {
     * bare ids only, no shingle array rides the bucket shuffle. Exposed
     * (pre-verify) so DedupSpec can pin the scale property directly:
     * candidates are bounded by signature collision, not by any blocking
-    * key's hot-block size. */
+    * key's hot-block size.
+    *
+    * Residual skew note: banding's own worst case is a megacluster of
+    * EXACT duplicates — identical docs share identical signatures, so a
+    * block of B exact copies collides in every band (B² candidates
+    * again). That is not near-dup detection's job: run [[exactDedup]]
+    * first (as tx9's funnel does — its semi-join keeps one canonical doc
+    * per fingerprint) and the surviving corpus has no identical-text
+    * blocks, leaving band buckets sized by true near-dup density. */
   private[ext] def minhashCandidatesFor(sh: DataFrame): DataFrame = {
     graft.functions.MinHashSignature.register(sh.sparkSession)
     val sigs = sh.select(
