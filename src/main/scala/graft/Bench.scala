@@ -103,16 +103,20 @@ object Bench {
       SparkSession.builder().master(s"local[${graft.engine.Graft.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
-      if (streaming.contains(name))
-        return try runStream(name, spark, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      (System.nanoTime() - t0) / 1e9
-    }
+    // failures report the sentinel -1 in the queries map and are
+    // EXCLUDED from the total — a silent partial-elapsed contribution
+    // would corrupt the round-over-round ledger instead of flagging
+    def run(name: String): Double =
+      try {
+        if (streaming.contains(name)) runStream(name, spark, sfDir)
+        else {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); -1.0
+      }
 
     // warmup pass first (steady-state engine throughput, not JVM/JIT/
     // codegen-compile startup or first-touch parquet footer reads), then
@@ -125,7 +129,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,9 +21,16 @@ import scala.collection.mutable.ArrayBuffer
   * [[persist]], and whoever MATERIALIZES the result (Verify's write,
   * Bench's count, an embedding application's action) wraps the
   * build-and-run in [[scoped]], which unpersists everything registered
-  * inside the scope once the body returns. Outside any scope the
-  * behavior is unchanged (persist until session stop), so ad-hoc
-  * callers lose nothing.
+  * inside that scope once the body returns.
+  *
+  * Scopes are THREAD-LOCAL: concurrent callers (e.g. parallel query
+  * runners sharing one SparkSession) each release exactly the frames
+  * their own scope persisted — one thread finishing never touches
+  * another thread's live caches. Outside any scope, [[persist]] is a
+  * plain `df.persist()` with no registration at all (nothing retains
+  * the frame, so un-scoped long-running callers don't accumulate
+  * references here either — they own their cache lifetimes, as
+  * before).
   *
   * [[persist]] is also idempotent per plan: if the CacheManager already
   * holds this logical plan (e.g. Bench's warm pass inside the same
@@ -31,25 +38,30 @@ import scala.collection.mutable.ArrayBuffer
   * which is what silences the repeated-cache warnings.
   */
 object Caching {
-  private val tracked = ArrayBuffer.empty[DataFrame]
+  // stack of open scopes for the current thread; innermost last
+  private val scopes: ThreadLocal[ArrayBuffer[ArrayBuffer[DataFrame]]] =
+    ThreadLocal.withInitial(() => ArrayBuffer.empty[ArrayBuffer[DataFrame]])
 
-  /** Persist `df` (if its plan isn't already cached) and register it for
-    * release at the end of the enclosing [[scoped]] block. */
-  def persist(df: DataFrame): DataFrame = synchronized {
-    if (df.storageLevel == StorageLevel.NONE) {
-      tracked += df
+  /** Persist `df` (if its plan isn't already cached) and, when a scope
+    * is open on this thread, register it for release at scope end. */
+  def persist(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val st = scopes.get()
+      if (st.nonEmpty) st.last += df
       df.persist()
-    } else df
-  }
+    }
 
-  /** Run `body`, then unpersist every frame [[persist]]-ed during it.
-    * Nested scopes release only their own registrations. */
+  /** Run `body`, then unpersist every frame [[persist]]-ed during it on
+    * this thread. Nested scopes release only their own registrations. */
   def scoped[T](body: => T): T = {
-    val mark = synchronized(tracked.length)
+    val st = scopes.get()
+    val mine = ArrayBuffer.empty[DataFrame]
+    st += mine
     try body
-    finally synchronized {
-      tracked.view.drop(mark).foreach(_.unpersist(blocking = false))
-      tracked.remove(mark, tracked.length - mark)
+    finally {
+      st.remove(st.length - 1)
+      mine.foreach(_.unpersist(blocking = false))
     }
   }
 }

@@ -80,14 +80,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
   /** Register as a SQL function so operators can use
-    * `expr("cosine_sim(a, b)")` without touching Column internals.
-    * Idempotent: skips when already registered (re-registering is
-    * harmless but logs a replace warning per operator invocation). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
-      reg.createOrReplaceTempFunction(
-        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-  }
+    * `expr("cosine_sim(a, b)")` without touching Column internals. */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "cosine_sim")(
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

@@ -80,12 +80,7 @@ object HyperplaneBuckets {
     Array.fill(Tables, BitsPerTable, Dim)(rnd.nextGaussian())
   }
 
-  /** Idempotent registration (see CosineSimilarity.register). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets")))
-      reg.createOrReplaceTempFunction(
-        "hyperplane_buckets", exprs => HyperplaneBuckets(exprs(0)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "hyperplane_buckets")(
+      exprs => HyperplaneBuckets(exprs(0)))
 }

@@ -93,15 +93,8 @@ object MinHashSignature {
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Idempotent registration (see CosineSimilarity.register). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs")))
-      reg.createOrReplaceTempFunction(
-        "minhash_sigs",
-        exprs => MinHashSignature(exprs(0),
-          exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
-        "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "minhash_sigs")(
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]))
 }

@@ -135,8 +135,9 @@ object Dedup {
       .join(small.select(col("doc_id").as("doc_b"), col("first_sh")), Seq("first_sh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val routed = Caching.persist(
-      tagged.filter(col("bc") > Dd2BlockCap).select("doc_id", "sh"))
+    // routed feeds minhashCandidatesFor ONCE (the band buckets inside it
+    // are the real multi-consumer point, and persist there) — no cache
+    val routed = tagged.filter(col("bc") > Dd2BlockCap).select("doc_id", "sh")
     val candidates = blockedCand.unionAll(minhashCandidatesFor(routed))
       .dropDuplicates("doc_a", "doc_b")
     candidates

@@ -224,9 +224,17 @@ object Similarity {
   def ivfIndexedTopK(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.engine.Graft.tmpDir(
       "ann3b-ivf-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    // build once, reuse on every subsequent invocation: the assignment is
-    // deterministic, so an existing index for this corpus is current
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    // build once, reuse on subsequent invocations — UNLESS the source
+    // corpus is newer than the index (the tmp dir outlives the JVM, and
+    // serving a stale index after a fixture regeneration would fail the
+    // oracle compare mysteriously / bench the wrong data)
+    def newest(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten.map(newest)).max
+      else f.lastModified()
+    val success = new java.io.File(path, "_SUCCESS")
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    if (!success.exists() || newest(src) > success.lastModified())
       buildIvfIndex(spark, dir, path)
     probeIvfIndex(spark, dir, path)
   }

@@ -15,6 +15,14 @@ object TextAnalysis {
   /** Whitespace token array of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Engine-portable membership hash of doc_id: the 60-bit md5-prefix
+    * (DuckDB twin: `('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT`).
+    * Load-bearing for the hash-compare — one definition feeds every
+    * mod-membership operator (tx6 sampling, tx8 sharding, tx13 eval
+    * split) so the four sites cannot drift apart. */
+  private val md5ModDocId: String =
+    "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)"
+
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
     * (word-chunks of ≤4 chars: ceil(len/4) per token ≅ subword count). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
@@ -203,8 +211,7 @@ object TextAnalysis {
     val quotas = broadcast(MixQuotaBps.toDF("lang", "keep_bps"))
     Tables(spark, dir).documents
       .join(quotas, Seq("lang"), "left_outer")
-      .withColumn("h",
-        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 10000"))
+      .withColumn("h", expr(s"$md5ModDocId % 10000"))
       .filter(col("h") < coalesce(col("keep_bps"), lit(10000)))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
@@ -284,8 +291,7 @@ object TextAnalysis {
     import spark.implicits._
     val d = Tables(spark, dir).documents
       .select(
-        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)" +
-          s" % $PackShards").as("pid"),
+        expr(s"$md5ModDocId % $PackShards").as("pid"),
         col("doc_id"),
         size(tokens(col("text"))).cast("bigint").as("n_tokens"))
       .as[(Long, Long, Long)]
@@ -568,9 +574,7 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables(spark, dir).documents
       .withColumn("w", tokens(col("text")))
-      .withColumn("is_eval",
-        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
-          % EvalMod === 0)
+      .withColumn("is_eval", expr(s"$md5ModDocId % $EvalMod") === 0)
       .select(col("doc_id"), col("is_eval"), expr(ngramExpr(DecontamN)).as("gr"))
     val evalGrams = g.filter(col("is_eval"))
       .select(explode(col("gr")).as("ng")).distinct()

@@ -47,32 +47,30 @@ object CorpusIngest {
         val canon = fingerprinted(batch)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-        val sPath = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val hasStore = fs.exists(sPath) &&
-          fs.listStatus(sPath).exists(!_.getPath.getName.startsWith("_"))
-        val fresh = (if (hasStore)
-            canon.join(spark.read.parquet(storeDir).select("fingerprint"),
+        val fresh = (if (BatchIO.nonEmptyDir(spark, storeDir))
+            // exclude THIS batch's own store partition from the anti-join:
+            // a replay after a partially-committed store write would
+            // otherwise see its own earlier fingerprints, admit only the
+            // remainder, and the dynamic overwrite below would replace
+            // the batch's corpus partition with that subset — dropping
+            // documents forever. Filtering ingest_batch != batchId makes
+            // the replay recompute the full batch (idempotent).
+            canon.join(
+              spark.read.parquet(storeDir)
+                .filter(col("ingest_batch") =!= batchId)
+                .select("fingerprint"),
               Seq("fingerprint"), "left_anti")
           else canon)
           // materialize once: both writes below reuse it, and the store
           // write must not re-plan an anti-join against its own output
           .localCheckpoint(true)
-        // conf must go on the MICRO-BATCH's session: foreachBatch runs
-        // under a per-query clone whose SQLConf snapshot is what the
-        // write job reads — setting the outer session's conf leaves the
-        // overwrite STATIC and truncates every other batch partition
-        val bs = batch.sparkSession
-        val prev = bs.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        bs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
+        // conf on the session the write reads it from (fresh rides the
+        // micro-batch clone — see BatchIO.withDynamicPartitionOverwrite)
+        BatchIO.withDynamicPartitionOverwrite(fresh.sparkSession) {
           fresh.withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite").partitionBy("ingest_batch").parquet(corpusDir)
           fresh.select("fingerprint").withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite").partitionBy("ingest_batch").parquet(storeDir)
-        } finally prev match {
-          case Some(v) => bs.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => bs.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
         ()
       }

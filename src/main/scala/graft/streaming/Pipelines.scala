@@ -209,11 +209,7 @@ object Pipelines {
           .withColumn("src_batch", lit(batchId))
           .withColumn("event_date", to_date(col("ts")))
           .dropDuplicates("event_id")
-        val tPath = new org.apache.hadoop.fs.Path(targetDir)
-        val fs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val nonEmpty = fs.exists(tPath) &&
-          fs.listStatus(tPath).exists(!_.getPath.getName.startsWith("_"))
-        val merged = if (nonEmpty) {
+        val merged = if (BatchIO.nonEmptyDir(spark, targetDir)) {
           val touched = incoming.select("event_date").distinct()
             .collect().map(_.getDate(0)).toSeq
           val existing = spark.read.parquet(targetDir)
@@ -239,21 +235,12 @@ object Pipelines {
           .withColumn("file_bucket", pmod(hash(col("event_id")), col("n_buckets")))
           .repartition(col("event_date"), col("file_bucket"))
           .drop("file_bucket", "n_buckets")
-        // conf goes on the session the WRITE will read it from —
-        // packed's own (foreachBatch frames ride a per-query session
-        // clone; an empty-target first batch leaves `packed` on the
-        // clone, where the outer session's conf is invisible and the
-        // overwrite would silently run STATIC — see CorpusIngest)
-        val ws = packed.sparkSession
-        val prev = ws.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        ws.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try
+        // conf on the session the WRITE reads it from — packed's own
+        // (see BatchIO.withDynamicPartitionOverwrite's session note)
+        BatchIO.withDynamicPartitionOverwrite(packed.sparkSession) {
           packed.write.mode("overwrite")
             .option("maxRecordsPerFile", targetRowsPerFile)
             .partitionBy("event_date").parquet(targetDir)
-        finally prev match {
-          case Some(v) => ws.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => ws.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
         ()
       }

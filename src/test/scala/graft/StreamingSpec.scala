@@ -210,6 +210,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       == Set(1L, 3L, 5L))
   }
 
+  test("corpus ingest replay ignores its own partially-committed store partition") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = tmp("cir-in"); val corpus = tmp("cir-corpus")
+    val store = tmp("cir-store"); val ckpt = tmp("cir-ckpt")
+    // simulate a crashed first attempt of batch 0 that committed SOME
+    // store fingerprints before the checkpoint recorded the batch: doc
+    // 1's fingerprint is already in the store's ingest_batch=0 partition
+    graft.streaming.CorpusIngest.fingerprinted(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+      .select("fingerprint").withColumn("ingest_batch", lit(0L))
+      .write.mode("append").partitionBy("ingest_batch").parquet(store)
+    Seq((1L, "alpha beta"), (2L, "other text")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.streaming.CorpusIngest.ingest(spark,
+      spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet").parquet(in),
+      corpus, store, ckpt).awaitTermination()
+    // the replayed batch must re-admit doc 1 (its own partial partition
+    // is excluded from the anti-join), not drop it forever
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+  }
+
   test("incremental merge rewrites only the partitions present in the batch") {
     val target = tmp("merge2-target") + "/t"
     val raw = spark.read.parquet(s"$Sf/events.parquet") // ts is raw nanos
