@@ -579,6 +579,65 @@ object Similarity {
       |  md5(array_to_string(codes, ',')) AS codes_fp
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** Output dimensionality of the random projection (emb2). */
+  val RpDims = 16
+  /** Weight quantization scale (2¹²): products qe·qw stay ≤ ~2⁴⁷ over
+    * 64 dims — exact BIGINT arithmetic, no float accumulator. */
+  val RpQ: Long = 1L << 12
+
+  /** emb2's projection matrix: the first [[RpDims]] deterministic
+    * Gaussian hyperplanes (reusing [[graft.functions.HyperplaneBuckets]]
+    * .planes — already seeded, public and restated in oracles),
+    * floor-quantized at [[RpQ]]. */
+  private lazy val rpWeights: Array[Array[Long]] = {
+    val flat = for {
+      t <- graft.functions.HyperplaneBuckets.planes.toSeq
+      p <- t.toSeq
+    } yield p
+    flat.take(RpDims)
+      .map(_.map(x => math.floor(x * RpQ).toLong))
+      .toArray
+  }
+
+  /** emb2: random-projection dimensionality reduction 64 → [[RpDims]] —
+    * the Johnson–Lindenstrauss workhorse for cheap-then-exact retrieval
+    * and storage reduction. All arithmetic is exact integer (embedding
+    * quantized at 2²⁴, weights at 2¹²), so the projection — unlike a
+    * float dot product — is accumulation-order-independent and
+    * bit-identical in the oracle. One narrow projection, zero shuffle;
+    * at 100 TB this streams. Long-form output (vec_id, dim, val). */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val scale = (KmQ * RpQ).toDouble
+    val dimCols = rpWeights.zipWithIndex.map { case (w, j) =>
+      struct(lit(j + 1).cast("bigint").as("dim"),
+        expr(s"aggregate(zip_with(qe, array(${w.mkString(",")}), (a, b) -> a * b)," +
+          " 0L, (acc, x) -> acc + x)").as("yq"))
+    }
+    kmCorpus(spark, dir)
+      .select(col("vec_id"), explode(array(dimCols: _*)).as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"),
+        round(col("p.yq") / scale, 6).as("val"))
+      .orderBy("vec_id", "dim")
+  }
+
+  lazy val randomProjectionOracle: String = {
+    val rows = rpWeights.zipWithIndex
+      .map { case (w, j) => s"(${j + 1}, [${w.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
+      |  FROM embeddings
+      |),
+      |w(dim, wv) AS (VALUES
+      |    $rows
+      |)
+      |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |  round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+      |          i -> qe[i] * wv[i])) AS DOUBLE) / ${KmQ * RpQ}.0, 6) AS val
+      |FROM e, w ORDER BY vec_id, dim""".stripMargin
+  }
+
   /** ann4: IVF over a TRAINED codebook — the step the ann3 scaladoc
     * promises ("a real build would k-means refine"): coarse-quantizer
     * centroids come from [[trainedCentroids]] (2 Lloyd rounds) instead
@@ -688,5 +747,6 @@ object Similarity {
     QueryDef.sql("km1_kmeans_step", kmeansStepOracle)(kmeansStep),
     QueryDef.sql("km2_kmeans_train", kmeansRoundsOracle)((s, d) => kmeansRounds(s, d)),
     QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK),
-    QueryDef.sql("emb1_quantize", quantizeEmbeddingsOracle)(quantizeEmbeddings))
+    QueryDef.sql("emb1_quantize", quantizeEmbeddingsOracle)(quantizeEmbeddings),
+    QueryDef.sql("emb2_random_projection", randomProjectionOracle)(randomProjection))
 }

@@ -159,6 +159,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("emb2 random projection roughly preserves pairwise geometry (JL)") {
+    val proj = Similarity.randomProjection(spark, Sf)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val orig = graft.engine.Tables(spark, Sf).embeddings
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    assert(proj.keySet == orig.keySet)
+    assert(proj.values.forall(_.length == Similarity.RpDims))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // Pearson correlation of squared distances over sample pairs. The
+    // isotropic fixture is JL's WORST case: squared distances
+    // concentrate (relative std ≈ √(2/64) ≈ 0.18) while the 16-dim
+    // estimate carries ≈ √(2/16) ≈ 0.35 noise, so the theoretical
+    // correlation is ≈ √(0.032/0.157) ≈ 0.45 — assert comfortably
+    // above zero, not near one (real clustered corpora do far better)
+    val ids = orig.keys.toSeq.sorted.take(25)
+    val pairs = for { i <- ids; j <- ids if i < j } yield {
+      (d2(orig(i).map(_.toDouble), orig(j).map(_.toDouble)), d2(proj(i), proj(j)))
+    }
+    val (xs, ys) = pairs.unzip
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val corr = cov / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+      ys.map(y => (y - my) * (y - my)).sum)
+    info(s"distance correlation over ${pairs.size} pairs = $corr")
+    assert(corr > 0.25, s"projection destroyed geometry: corr=$corr")
+  }
+
   test("km2 fixed-round trainer degenerates to the km1 step at rounds=1") {
     val one = Similarity.kmeansRounds(spark, Sf, rounds = 1).collect().toSeq
     val step = Similarity.kmeansStep(spark, Sf).collect().toSeq
