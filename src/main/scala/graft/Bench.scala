@@ -50,7 +50,8 @@ object Bench {
     "tx13_decontaminate",  // broadcast eval n-gram overlap
     "ann3b_ivf_indexed",   // build-once / probe-many inverted file
     "ann4_ivf_trained",    // k-means-trained codebook IVF
-    "emb1_quantize")       // fixed-point normalize + int8 codes
+    "emb1_quantize",       // fixed-point normalize + int8 codes
+    "emb2_random_projection") // exact-integer JL projection
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full
