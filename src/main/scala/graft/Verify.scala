@@ -5,13 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args 3+ (local QA only; the driver passes exactly 2): restrict the
+    // dump to the named queries
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.engine.Graft.configure(
       SparkSession.builder().master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    require(only.forall(selected.contains), s"unknown query in ${only.mkString(",")}")
+    selected.foreach { case (name, fn) =>
       // scoped: operator-internal persists release after the write, so
       // executor storage is empty between queries (Caching scaladoc)
       try graft.engine.Caching.scoped {

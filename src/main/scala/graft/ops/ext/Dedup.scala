@@ -676,6 +676,81 @@ object Dedup {
       |SELECT min(r) AS cluster_id, doc_id FROM reach
       |GROUP BY doc_id ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** Duplicate-passage window width. 8 words is the published
+    * exact-substring-dedup grain (Lee et al. use 50 BPE tokens; at the
+    * fixture's short-word vocabulary 8 words ≈ the same specificity):
+    * long enough that organic text collides only on true shared
+    * passages, short enough to catch partial-document copying that
+    * whole-document fingerprints (dd1) miss. */
+  val PassageN = 8
+
+  /** dd7: cross-document duplicate-PASSAGE detection — the exact-
+    * substring layer of a dedup stack (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"), expressed at fixed
+    * [[PassageN]]-gram granularity: a window is duplicated iff its
+    * 8-gram occurs in ≥ 2 DISTINCT documents (within-document repeats
+    * don't count — that's tx11's repetition filter). Output is the
+    * per-doc report: window counts + a keep flag (keep iff < 20% of
+    * windows are duplicated); the filtered corpus is `WHERE keep`.
+    *
+    * The 100 TB shape: grams travel as 60-bit md5 hashes (8 bytes vs
+    * ~72-byte strings — the shuffle is id-width), and every aggregate
+    * is map-side combinable: (ghash, doc_id) pre-aggregation crushes
+    * within-doc repeats before the exchange, the distinct-doc count is
+    * a count over that pre-agg (never a count-distinct expand), and a
+    * boilerplate gram shared by B docs costs B pair rows — linear in
+    * pair-table size, no quadratic block. The pairs table feeds both
+    * the frequency agg and the join on the same key, so the exchange
+    * is planned once and reused (ReusedExchange in PLANS.md). */
+  def dupPassages(spark: SparkSession, dir: String): DataFrame =
+    dupPassagesOf(Tables(spark, dir).documents)
+
+  /** [[dupPassages]] over any `(doc_id, text)` frame (spec entry). */
+  private[graft] def dupPassagesOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        expr(TextAnalysis.ngramExpr(PassageN, distinct = false)).as("gr"))
+    val totals = d.select(col("doc_id"), size(col("gr")).cast("bigint").as("n_windows"))
+    val pairs = d.select(col("doc_id"), explode(col("gr")).as("ng"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(cast(ng as binary)), 1, 15), 16, 10) as bigint)").as("ghash"))
+      .groupBy("ghash", "doc_id").agg(count(lit(1)).as("c"))
+    val dupGrams = pairs.groupBy("ghash").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("ghash")
+    val dup = pairs.join(dupGrams, "ghash")
+      .groupBy("doc_id").agg(sum("c").cast("bigint").as("dup_windows"))
+    totals.join(dup, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        (coalesce(col("dup_windows"), lit(0L)) * 5 < col("n_windows") ||
+          col("n_windows") === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dupPassagesOracle: String = {
+    val gram = (0 until PassageN).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |g AS (
+      |  SELECT doc_id, greatest(len(w) - ${PassageN - 1}, 0) AS n_windows,
+      |    list_transform(range(1, len(w) - ${PassageN - 2}), i -> $gram) AS gr
+      |  FROM d),
+      |p AS (
+      |  SELECT ('0x' || substring(md5(ng), 1, 15))::BIGINT AS ghash, doc_id, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(gr) AS ng FROM g) GROUP BY 1, 2),
+      |f AS (SELECT ghash FROM p GROUP BY 1 HAVING count(*) >= 2),
+      |dup AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_windows
+      |  FROM p JOIN f USING (ghash) GROUP BY 1)
+      |SELECT g.doc_id AS doc_id,
+      |       CAST(g.n_windows AS BIGINT) AS n_windows,
+      |       coalesce(dup.dup_windows, 0) AS dup_windows,
+      |       (coalesce(dup.dup_windows, 0) * 5 < g.n_windows OR g.n_windows = 0) AS keep
+      |FROM g LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -686,5 +761,6 @@ object Dedup {
     QueryDef.sql("dd5_embedding_dup", embeddingTopPairsOracle)(embeddingTopPairs),
     QueryDef.sql("dd5b_embedding_dup_grid", embeddingTopPairsOracle)(embeddingTopPairsGrid),
     QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup),
-    QueryDef.sql("dd6_dup_clusters", dupClustersOracle)(dupClusters))
+    QueryDef.sql("dd6_dup_clusters", dupClustersOracle)(dupClusters),
+    QueryDef.sql("dd7_dup_passages", dupPassagesOracle)(dupPassages))
 }

@@ -551,12 +551,13 @@ object TextAnalysis {
     * [[graft.ops.ext.Dedup.shingleExpr]]; a `transform(sequence(..),
     * i -> slice(w, i, n))` form would inline the outer `w` per element
     * on project collapse and re-run the token split per n-gram. */
-  private def ngramExpr(n: Int): String = {
+  private[ext] def ngramExpr(n: Int, distinct: Boolean = true): String = {
     val len = s"(size(w) - ${n - 1})"
     val zipped = (2 to n).foldLeft(s"slice(w, 1, $len)") { (acc, k) =>
       s"zip_with($acc, slice(w, $k, $len), (x, y) -> concat(x, ' ', y))"
     }
-    s"CASE WHEN size(w) < $n THEN filter(w, x -> false) ELSE array_distinct($zipped) END"
+    val body = if (distinct) s"array_distinct($zipped)" else zipped
+    s"CASE WHEN size(w) < $n THEN filter(w, x -> false) ELSE $body END"
   }
 
   /** tx13: benchmark decontamination — the train/eval hygiene step every

@@ -197,6 +197,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rounds <= 6, s"expected ≤ ⌈log₂ diameter⌉+1 = 6 rounds, took $rounds")
   }
 
+  test("dd7 counts cross-document duplicate passages, not within-doc repeats") {
+    def run(tokens: Seq[String]): String = tokens.mkString(" ")
+    val shared = (1 to 10).map(i => s"s$i")
+    val e30 = (1 to 30).map(i => s"e$i")
+    val docs = Seq(
+      // 1 & 2: a 10-token passage shared between otherwise-unique docs
+      // → exactly 10-8+1 = 3 fully-contained duplicated windows each
+      (1L, run((1 to 20).map(i => s"a$i") ++ shared ++ (1 to 20).map(i => s"b$i"))),
+      (2L, run((1 to 20).map(i => s"c$i") ++ shared ++ (1 to 20).map(i => s"d$i"))),
+      // 3: an 8-gram repeated WITHIN one doc only — must not count
+      (3L, run((1 to 8).map(i => s"r$i") ++ Seq("x") ++ (1 to 8).map(i => s"r$i") ++ Seq("y"))),
+      // 4: shorter than one window
+      (4L, run(Seq("t1", "t2", "t3", "t4", "t5"))),
+      // 5 & 6: near-identical docs — over the 20% threshold, keep=false
+      (5L, run(e30)),
+      (6L, run(e30 :+ "f1"))).toDF("doc_id", "text")
+    val got = Dedup.dupPassagesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got(1L) == ((43L, 3L, true)))
+    assert(got(2L) == ((43L, 3L, true)))
+    assert(got(3L) == ((11L, 0L, true)), "within-doc repetition is tx11's job, not dd7's")
+    assert(got(4L) == ((0L, 0L, true)))
+    assert(got(5L) == ((23L, 23L, false)))
+    assert(got(6L) == ((24L, 23L, false)))
+  }
+
   test("simhash signatures are deterministic and banding finds near-dups") {
     val s1 = Dedup.simhashSignatures(spark, Sf).collect()
     val s2 = Dedup.simhashSignatures(spark, Sf).collect()
