@@ -638,6 +638,138 @@ object Similarity {
       |FROM e, w ORDER BY vec_id, dim""".stripMargin
   }
 
+  // -- emb3: product quantization -----------------------------------
+
+  /** PQ subspace count / sub-dimension / codebook size: 64 dims split
+    * into 4 × 16-dim subspaces, 8 centroids each. Real deployments use
+    * 8-bit codebooks (256 entries); 8 keeps the oracle's cross-join
+    * CTEs small while exercising the identical algebra. */
+  val PqM = 4
+  val PqDsub: Int = Dim / PqM
+  val PqK = 8
+
+  /** Sub-vector rows (vec_id, sub_id ∈ 0..[[PqM]]-1, sq = quantized
+    * [[PqDsub]]-dim slice) — the unit PQ trains and assigns on. */
+  private def pqSub(spark: SparkSession, dir: String): DataFrame =
+    kmCorpus(spark, dir).select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(qe, s * $PqDsub + 1, $PqDsub))"))
+        .as(Seq("sub_id", "sq")))
+
+  /** Nearest codebook entry per (vector, subspace) by exact quantized
+    * L2, cell_id tie-break — [[kmAssign]] keyed by subspace. The
+    * codebook ([[PqM]]·[[PqK]] rows) broadcasts; the argmin window
+    * shuffles on (vec_id, sub_id). */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub_id").orderBy(col("dist"), col("cell_id"))
+    sub.join(broadcast(cents), "sub_id")
+      .withColumn("dist",
+        expr("aggregate(zip_with(sq, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub_id"), col("cell_id"), col("dist"))
+  }
+
+  /** PQ codes after `rounds` ∈ {0, 1} Lloyd training rounds (0 = assign
+    * straight to the seed codebook; 1 = one exact-integer update +
+    * floor-requantize, the trained codebook). Spec entry — emb3 is
+    * `rounds = 1`. */
+  private[graft] def pqCodesAt(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds == 0 || rounds == 1)
+    val sub = graft.engine.Caching.persist(pqSub(spark, dir))
+    val cents0 = sub.filter(col("vec_id") < PqK)
+      .select(col("sub_id"), col("vec_id").as("cell_id"), col("sq").as("qc"))
+    val cents =
+      if (rounds == 0) cents0
+      else {
+        val u1 = pqAssign(sub, cents0).join(sub, Seq("vec_id", "sub_id"))
+          .select(col("sub_id"), col("cell_id").as("cluster_id"),
+            posexplode(col("sq")).as(Seq("pos", "qval")))
+          .groupBy("sub_id", "cluster_id", "pos")
+          .agg(sum("qval").as("s"), count(lit(1)).as("n"))
+        u1.withColumn("qv", expr("cast(floor(cast(s as double) / n) as bigint)"))
+          .groupBy(col("sub_id"), col("cluster_id").as("cell_id"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, qv))), p -> p.qv)").as("qc"))
+      }
+    pqAssign(sub, cents)
+      .groupBy("vec_id")
+      .agg(
+        concat_ws(",", expr(
+          "transform(sort_array(collect_list(struct(sub_id, cell_id))), p -> cast(p.cell_id as string))"))
+          .as("codes"),
+        sum("dist").cast("bigint").as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** emb3: product quantization — the fine-grained compression layer of
+    * the FAISS-style vector-serving stack (ann4's trained IVF is the
+    * coarse layer; IVF-PQ composes the two): each vector is stored as
+    * [[PqM]] codebook indices (4 bytes here vs 256 bytes of float32 —
+    * with 256-entry codebooks the production ratio is 64×), and
+    * distances are later evaluated against codebooks, not raw vectors.
+    * Codebooks are trained per subspace with one exact fixed-point
+    * Lloyd round from the deterministic seed (same [[KmQ]] discipline
+    * as km1/km2: integer sums, floor-requantize — bit-identical
+    * cross-engine). At 100 TB the codebook (M·K rows) is trained on a
+    * sample and BROADCAST; encoding is a narrow scan + a (vec_id,
+    * sub_id) argmin window, and the emitted codes table is the
+    * shuffle-light artifact downstream ANN serves from. Output:
+    * per-vector code string + exact integer quantization error. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqCodesAt(spark, dir, rounds = 1)
+
+  lazy val pqEncodeOracle: String = {
+    def dist(sqSrc: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${PqDsub + 1}),
+        |      i -> ($sqSrc.sq[i] - $c.qc[i]) * ($sqSrc.sq[i] - $c.qc[i])))""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
+      |  FROM embeddings
+      |),
+      |sub AS (
+      |  SELECT vec_id, s.i AS sub_id,
+      |    list_transform(range(1, ${PqDsub + 1}), j -> qe[s.i * $PqDsub + j]) AS sq
+      |  FROM e, range(0, $PqM) AS s(i)
+      |),
+      |cent0 AS (SELECT sub_id, vec_id AS cell_id, sq AS qc FROM sub WHERE vec_id < $PqK),
+      |d1 AS (
+      |  SELECT sub.vec_id, sub.sub_id, c.cell_id, ${dist("sub", "c")} AS dist
+      |  FROM sub JOIN cent0 c USING (sub_id)
+      |),
+      |a1 AS (
+      |  SELECT vec_id, sub_id, cell_id FROM (
+      |    SELECT vec_id, sub_id, cell_id,
+      |           row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, cell_id) AS rk
+      |    FROM d1) WHERE rk = 1
+      |),
+      |u1 AS (
+      |  SELECT a1.sub_id, a1.cell_id AS cluster_id, r.i AS dim,
+      |         sum(sub.sq[r.i]) AS s, count(*) AS n
+      |  FROM a1 JOIN sub USING (vec_id, sub_id), range(1, ${PqDsub + 1}) AS r(i)
+      |  GROUP BY 1, 2, 3
+      |),
+      |cent1 AS (
+      |  SELECT sub_id, cluster_id AS cell_id,
+      |         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
+      |  FROM u1 GROUP BY 1, 2
+      |),
+      |d2 AS (
+      |  SELECT sub.vec_id, sub.sub_id, c.cell_id, ${dist("sub", "c")} AS dist
+      |  FROM sub JOIN cent1 c USING (sub_id)
+      |),
+      |a2 AS (
+      |  SELECT vec_id, sub_id, cell_id, dist FROM (
+      |    SELECT vec_id, sub_id, cell_id, dist,
+      |           row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, cell_id) AS rk
+      |    FROM d2) WHERE rk = 1
+      |)
+      |SELECT vec_id,
+      |  array_to_string(list(cell_id ORDER BY sub_id), ',') AS codes,
+      |  CAST(sum(dist) AS BIGINT) AS qerr
+      |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** ann4: IVF over a TRAINED codebook — the step the ann3 scaladoc
     * promises ("a real build would k-means refine"): coarse-quantizer
     * centroids come from [[trainedCentroids]] (2 Lloyd rounds) instead
@@ -748,5 +880,6 @@ object Similarity {
     QueryDef.sql("km2_kmeans_train", kmeansRoundsOracle)((s, d) => kmeansRounds(s, d)),
     QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK),
     QueryDef.sql("emb1_quantize", quantizeEmbeddingsOracle)(quantizeEmbeddings),
-    QueryDef.sql("emb2_random_projection", randomProjectionOracle)(randomProjection))
+    QueryDef.sql("emb2_random_projection", randomProjectionOracle)(randomProjection),
+    QueryDef.sql("emb3_pq_encode", pqEncodeOracle)(pqEncode))
 }

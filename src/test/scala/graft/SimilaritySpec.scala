@@ -188,6 +188,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(corr > 0.25, s"projection destroyed geometry: corr=$corr")
   }
 
+  test("emb3 PQ: codes bounded, training reduces quantization error, deterministic") {
+    import org.apache.spark.sql.functions._
+    val trained = Similarity.pqCodesAt(spark, Sf, rounds = 1).collect()
+    val n = graft.engine.Tables(spark, Sf).embeddings.count()
+    assert(trained.length == n)
+    trained.foreach { r =>
+      val codes = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(codes.length == Similarity.PqM)
+      assert(codes.forall(c => c >= 0 && c < Similarity.PqK))
+      assert(r.getAs[Long]("qerr") >= 0L)
+    }
+    // one Lloyd round must not worsen the total assignment error vs the
+    // seed codebook (exact integer update + floor requantize, a
+    // contraction — same invariant kmeansTrain pins)
+    def total(rounds: Int): Long = Similarity.pqCodesAt(spark, Sf, rounds)
+      .agg(sum("qerr")).first().getLong(0)
+    assert(total(1) <= total(0),
+      "trained codebook lost to the seed codebook on its own objective")
+    // deterministic re-run
+    val again = Similarity.pqCodesAt(spark, Sf, rounds = 1).collect()
+    assert(trained.sameElements(again))
+  }
+
   test("km2 fixed-round trainer degenerates to the km1 step at rounds=1") {
     val one = Similarity.kmeansRounds(spark, Sf, rounds = 1).collect().toSeq
     val step = Similarity.kmeansStep(spark, Sf).collect().toSeq
