@@ -610,6 +610,101 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** tx14: domain-mixture planning — the "how much of each source goes
+    * into the training mix" step (Pile-style mixture tables, DoReMi's
+    * input): per-source document/token tallies, the source's share of
+    * corpus tokens, and the sampling rate + oversample-epoch count
+    * needed to hit a UNIFORM target mixture (equal token budget per
+    * source — the no-prior rebalance; a production run swaps in a
+    * learned target-weight dim, same plan shape).
+    *
+    * Scale: one map-side-combinable agg to #sources rows; the corpus
+    * total and source count ride a broadcast single-row cross join —
+    * no second corpus pass, no wide shuffle. All shares/rates divide
+    * exact BIGINTs as IEEE doubles, so the oracle agrees bit-for-bit. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir).documents
+      .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens"))
+    val tot = src.agg(
+      sum("src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    src.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("src_tokens").as("n_tokens"),
+        round(col("src_tokens").cast("double") / col("total_tokens"), 6).as("tok_share_r"),
+        round(col("total_tokens").cast("double") / (col("n_sources") * col("src_tokens")), 6)
+          .as("rate_r"),
+        ceil(col("total_tokens").cast("double") / (col("n_sources") * col("src_tokens")))
+          .cast("bigint").as("epochs"))
+      .orderBy("source")
+  }
+
+  val mixWeightsOracle: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |             count(*) AS n_sources FROM s)
+      |SELECT source, n_docs, src_tokens AS n_tokens,
+      |  round(CAST(src_tokens AS DOUBLE) / total_tokens, 6) AS tok_share_r,
+      |  round(CAST(total_tokens AS DOUBLE) / (n_sources * src_tokens), 6) AS rate_r,
+      |  CAST(ceil(CAST(total_tokens AS DOUBLE) / (n_sources * src_tokens)) AS BIGINT) AS epochs
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** Vocabulary cap for tx15 (generous vs the fixture's ~31-word
+    * vocabulary; the cap is what keeps the rank window bounded on a
+    * real corpus). */
+  val VocabK = 5000
+
+  /** tx15: vocabulary build — word frequencies with cumulative
+    * coverage, the first pass of tokenizer training (BPE starts from
+    * exactly this table) and the basis of coverage-targeted vocab
+    * sizing ("how many types cover 99% of tokens?").
+    *
+    * Scale: the frequency table is ONE map-side-combined agg (the only
+    * corpus-wide shuffle); ranking + running coverage run on the agg's
+    * ≤ [[VocabK]] survivors, so the partition-less rank window sorts a
+    * bounded table, not the corpus. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("total_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("cnt").desc, col("token"))
+    freq.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= VocabK)
+      .select(
+        col("rank"),
+        col("token"),
+        col("cnt"),
+        round(sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+          .cast("double") / col("total_tokens"), 6).as("cum_share_r"))
+      .orderBy("rank")
+  }
+
+  val vocabCoverageOracle: String =
+    s"""WITH f AS (
+      |  SELECT w AS token, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) w FROM documents)
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM f),
+      |r AS (
+      |  SELECT token, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+      |         sum(cnt) OVER (ORDER BY cnt DESC, token
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM f)
+      |SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+      |       round(CAST(cum AS DOUBLE) / total_tokens, 6) AS cum_share_r
+      |FROM r CROSS JOIN t WHERE rank <= $VocabK ORDER BY rank""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -623,5 +718,7 @@ object TextAnalysis {
     QueryDef.sql("tx10_lm_score", lmScoreOracle)(lmScore),
     QueryDef.sql("tx11_repetition_filter", repetitionFilterOracle)(repetitionFilter),
     QueryDef.sql("tx12_pii_scrub", piiScrubOracle)(piiScrub),
-    QueryDef.sql("tx13_decontaminate", decontaminateOracle)(decontaminate))
+    QueryDef.sql("tx13_decontaminate", decontaminateOracle)(decontaminate),
+    QueryDef.sql("tx14_mix_weights", mixWeightsOracle)(mixWeights),
+    QueryDef.sql("tx15_vocab_coverage", vocabCoverageOracle)(vocabCoverage))
 }

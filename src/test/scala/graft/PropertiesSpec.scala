@@ -122,6 +122,28 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) == ((0L, true)), s"doc 2: ${out(2L)}")
   }
 
+  test("mixture plan: shares sum to 1 and rates rebalance to the uniform target") {
+    val rows = graft.ops.ext.TextAnalysis.mixWeights(spark, Sf).collect()
+    val n = rows.length
+    assert(math.abs(rows.map(_.getAs[Double]("tok_share_r")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      // rate × share = 1/n_sources (the uniform target), up to rounding
+      val got = r.getAs[Double]("rate_r") * r.getAs[Double]("tok_share_r")
+      assert(math.abs(got - 1.0 / n) < 1e-4, s"$r")
+      assert(r.getAs[Long]("epochs") >= 1L)
+    }
+  }
+
+  test("vocab coverage is monotone and ends at exactly 1") {
+    val rows = graft.ops.ext.TextAnalysis.vocabCoverage(spark, Sf).collect()
+    val shares = rows.map(_.getAs[Double]("cum_share_r"))
+    assert(shares.sliding(2).forall { case Array(a, b) => b >= a })
+    // the fixture vocabulary is far below the cap, so coverage completes
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sliding(2).forall { case Array(a, b) => b <= a }, "ranked by frequency")
+  }
+
   test("stub codec is pure and bounded") {
     val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     samples(gen, 100).foreach { bytes =>
