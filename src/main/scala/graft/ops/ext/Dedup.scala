@@ -699,9 +699,16 @@ object Dedup {
     * within-doc repeats before the exchange, the distinct-doc count is
     * a count over that pre-agg (never a count-distinct expand), and a
     * boilerplate gram shared by B docs costs B pair rows — linear in
-    * pair-table size, no quadratic block. The pairs table feeds both
-    * the frequency agg and the join on the same key, so the exchange
-    * is planned once and reused (ReusedExchange in PLANS.md). */
+    * pair-table size, no quadratic block. The pair table is persisted
+    * (scope-released, [[graft.engine.Caching]]) because it feeds both
+    * the frequency agg and the join back: column pruning strips the
+    * occurrence count from the frequency branch, so the two pre-agg
+    * subtrees are NOT canonically equal and exchange reuse cannot
+    * kick in — without the persist the corpus would be scanned and
+    * exploded twice (verified in the AQE final plan). Skewed grams
+    * stay safe: the hot key's rows hit the join pre-split by AQE, and
+    * no window ever collects a gram's full posting list into one
+    * task. */
   def dupPassages(spark: SparkSession, dir: String): DataFrame =
     dupPassagesOf(Tables(spark, dir).documents)
 
@@ -711,22 +718,29 @@ object Dedup {
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         expr(TextAnalysis.ngramExpr(PassageN, distinct = false)).as("gr"))
-    val totals = d.select(col("doc_id"), size(col("gr")).cast("bigint").as("n_windows"))
-    val pairs = d.select(col("doc_id"), explode(col("gr")).as("ng"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(cast(ng as binary)), 1, 15), 16, 10) as bigint)").as("ghash"))
-      .groupBy("ghash", "doc_id").agg(count(lit(1)).as("c"))
+    val pairs = Caching.persist(
+      d.select(col("doc_id"), explode(col("gr")).as("ng"))
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(cast(ng as binary)), 1, 15), 16, 10) as bigint)").as("ghash"))
+        .groupBy("ghash", "doc_id").agg(count(lit(1)).as("c")))
+    // per-doc window totals fall out of the cached pair table (sum of
+    // within-doc occurrence counts == window count); only the doc-id
+    // universe needs the source again — a doc_id-only column scan, so
+    // the text is read and tokenized exactly once
+    val winPerDoc = pairs.groupBy("doc_id").agg(sum("c").cast("bigint").as("nw"))
     val dupGrams = pairs.groupBy("ghash").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("ghash")
     val dup = pairs.join(dupGrams, "ghash")
-      .groupBy("doc_id").agg(sum("c").cast("bigint").as("dup_windows"))
-    totals.join(dup, Seq("doc_id"), "left_outer")
+      .groupBy("doc_id").agg(sum("c").cast("bigint").as("dw"))
+    docs.select("doc_id")
+      .join(winPerDoc, Seq("doc_id"), "left_outer")
+      .join(dup, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
-        col("n_windows"),
-        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        (coalesce(col("dup_windows"), lit(0L)) * 5 < col("n_windows") ||
-          col("n_windows") === 0).as("keep"))
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("dw"), lit(0L)).as("dup_windows"),
+        (coalesce(col("dw"), lit(0L)) * 5 < coalesce(col("nw"), lit(0L)) ||
+          coalesce(col("nw"), lit(0L)) === 0).as("keep"))
       .orderBy("doc_id")
   }
 
