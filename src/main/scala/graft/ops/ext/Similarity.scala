@@ -656,18 +656,42 @@ object Similarity {
         s"transform(sequence(0, ${PqM - 1}), s -> slice(qe, s * $PqDsub + 1, $PqDsub))"))
         .as(Seq("sub_id", "sq")))
 
-  /** Nearest codebook entry per (vector, subspace) by exact quantized
-    * L2, cell_id tie-break — [[kmAssign]] keyed by subspace. The
-    * codebook ([[PqM]]·[[PqK]] rows) broadcasts; the argmin window
-    * shuffles on (vec_id, sub_id). */
-  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "sub_id").orderBy(col("dist"), col("cell_id"))
+  /** Exact quantized-L2 distance of every sub-vector to every codebook
+    * entry of its subspace (the codebook — [[PqM]]·[[PqK]] rows —
+    * broadcasts; narrow scan, no shuffle). Shared by encoding (argmin
+    * over it) and ann5's ADC tables (the query side, un-argmin'd). */
+  private def pqDists(sub: DataFrame, cents: DataFrame): DataFrame =
     sub.join(broadcast(cents), "sub_id")
       .withColumn("dist",
         expr("aggregate(zip_with(sq, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+
+  /** Nearest codebook entry per (vector, subspace) by exact quantized
+    * L2, cell_id tie-break — [[kmAssign]] keyed by subspace. The
+    * argmin window shuffles on (vec_id, sub_id). */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub_id").orderBy(col("dist"), col("cell_id"))
+    pqDists(sub, cents)
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("sub_id"), col("cell_id"), col("dist"))
+  }
+
+  /** Seed codebook: the sub-vectors of the first [[PqK]] vectors. */
+  private def pqSeed(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < PqK)
+      .select(col("sub_id"), col("vec_id").as("cell_id"), col("sq").as("qc"))
+
+  /** Trained per-subspace codebook: one exact-integer Lloyd update +
+    * floor-requantize from the seed ([[KmQ]] discipline). */
+  private[graft] def pqCodebookOf(sub: DataFrame): DataFrame = {
+    val u1 = pqAssign(sub, pqSeed(sub)).join(sub, Seq("vec_id", "sub_id"))
+      .select(col("sub_id"), col("cell_id").as("cluster_id"),
+        posexplode(col("sq")).as(Seq("pos", "qval")))
+      .groupBy("sub_id", "cluster_id", "pos")
+      .agg(sum("qval").as("s"), count(lit(1)).as("n"))
+    u1.withColumn("qv", expr("cast(floor(cast(s as double) / n) as bigint)"))
+      .groupBy(col("sub_id"), col("cluster_id").as("cell_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, qv))), p -> p.qv)").as("qc"))
   }
 
   /** PQ codes after `rounds` ∈ {0, 1} Lloyd training rounds (0 = assign
@@ -677,20 +701,7 @@ object Similarity {
   private[graft] def pqCodesAt(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     require(rounds == 0 || rounds == 1)
     val sub = graft.engine.Caching.persist(pqSub(spark, dir))
-    val cents0 = sub.filter(col("vec_id") < PqK)
-      .select(col("sub_id"), col("vec_id").as("cell_id"), col("sq").as("qc"))
-    val cents =
-      if (rounds == 0) cents0
-      else {
-        val u1 = pqAssign(sub, cents0).join(sub, Seq("vec_id", "sub_id"))
-          .select(col("sub_id"), col("cell_id").as("cluster_id"),
-            posexplode(col("sq")).as(Seq("pos", "qval")))
-          .groupBy("sub_id", "cluster_id", "pos")
-          .agg(sum("qval").as("s"), count(lit(1)).as("n"))
-        u1.withColumn("qv", expr("cast(floor(cast(s as double) / n) as bigint)"))
-          .groupBy(col("sub_id"), col("cluster_id").as("cell_id"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, qv))), p -> p.qv)").as("qc"))
-      }
+    val cents = if (rounds == 0) pqSeed(sub) else pqCodebookOf(sub)
     pqAssign(sub, cents)
       .groupBy("vec_id")
       .agg(
@@ -718,45 +729,61 @@ object Similarity {
   def pqEncode(spark: SparkSession, dir: String): DataFrame =
     pqCodesAt(spark, dir, rounds = 1)
 
-  lazy val pqEncodeOracle: String = {
-    def dist(sqSrc: String, c: String) =
-      s"""list_sum(list_transform(range(1, ${PqDsub + 1}),
-        |      i -> ($sqSrc.sq[i] - $c.qc[i]) * ($sqSrc.sq[i] - $c.qc[i])))""".stripMargin
-    s"""WITH e AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
-      |  FROM embeddings
-      |),
-      |sub AS (
+  /** Quantized-L2 between a sub-vector row of `$s` and a codebook row
+    * `$c`, as DuckDB SQL. */
+  private def pqDistSql(s: String, c: String): String =
+    s"""list_sum(list_transform(range(1, ${PqDsub + 1}),
+      |      i -> ($s.sq[i] - $c.qc[i]) * ($s.sq[i] - $c.qc[i])))""".stripMargin
+
+  /** Prefixed PQ CTE chain over a shared `e` (quantized embeddings)
+    * CTE: `${p}sub` (sub-vector rows) … `${p}cent1` (the trained
+    * codebook) — prefixing keeps the names disjoint from the coarse
+    * k-means chain when ann5 composes both into one oracle (same
+    * pattern as Dedup.minhashBandCtes). */
+  private def pqCtesSql(p: String): String =
+    s"""${p}sub AS (
       |  SELECT vec_id, s.i AS sub_id,
       |    list_transform(range(1, ${PqDsub + 1}), j -> qe[s.i * $PqDsub + j]) AS sq
       |  FROM e, range(0, $PqM) AS s(i)
       |),
-      |cent0 AS (SELECT sub_id, vec_id AS cell_id, sq AS qc FROM sub WHERE vec_id < $PqK),
-      |d1 AS (
-      |  SELECT sub.vec_id, sub.sub_id, c.cell_id, ${dist("sub", "c")} AS dist
-      |  FROM sub JOIN cent0 c USING (sub_id)
+      |${p}cent0 AS (SELECT sub_id, vec_id AS cell_id, sq AS qc FROM ${p}sub WHERE vec_id < $PqK),
+      |${p}d1 AS (
+      |  SELECT sv.vec_id, sv.sub_id, c.cell_id, ${pqDistSql("sv", "c")} AS dist
+      |  FROM ${p}sub sv JOIN ${p}cent0 c USING (sub_id)
       |),
-      |a1 AS (
+      |${p}a1 AS (
       |  SELECT vec_id, sub_id, cell_id FROM (
       |    SELECT vec_id, sub_id, cell_id,
       |           row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, cell_id) AS rk
-      |    FROM d1) WHERE rk = 1
+      |    FROM ${p}d1) WHERE rk = 1
       |),
-      |u1 AS (
-      |  SELECT a1.sub_id, a1.cell_id AS cluster_id, r.i AS dim,
-      |         sum(sub.sq[r.i]) AS s, count(*) AS n
-      |  FROM a1 JOIN sub USING (vec_id, sub_id), range(1, ${PqDsub + 1}) AS r(i)
+      |${p}u1 AS (
+      |  SELECT a.sub_id, a.cell_id AS cluster_id, r.i AS dim,
+      |         sum(sv.sq[r.i]) AS s, count(*) AS n
+      |  FROM ${p}a1 a JOIN ${p}sub sv USING (vec_id, sub_id), range(1, ${PqDsub + 1}) AS r(i)
       |  GROUP BY 1, 2, 3
       |),
-      |cent1 AS (
+      |${p}cent1 AS (
       |  SELECT sub_id, cluster_id AS cell_id,
       |         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS qc
-      |  FROM u1 GROUP BY 1, 2
-      |),
+      |  FROM ${p}u1 GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** The shared quantized-embeddings CTE (DuckDB side of
+    * [[kmCorpus]]). */
+  private def qeCteSql: String =
+    s"""e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
+      |  FROM embeddings
+      |)""".stripMargin
+
+  lazy val pqEncodeOracle: String =
+    s"""WITH $qeCteSql,
+      |${pqCtesSql("")},
       |d2 AS (
-      |  SELECT sub.vec_id, sub.sub_id, c.cell_id, ${dist("sub", "c")} AS dist
-      |  FROM sub JOIN cent1 c USING (sub_id)
+      |  SELECT s.vec_id, s.sub_id, c.cell_id, ${pqDistSql("s", "c")} AS dist
+      |  FROM sub s JOIN cent1 c USING (sub_id)
       |),
       |a2 AS (
       |  SELECT vec_id, sub_id, cell_id, dist FROM (
@@ -768,6 +795,108 @@ object Similarity {
       |  array_to_string(list(cell_id ORDER BY sub_id), ',') AS codes,
       |  CAST(sum(dist) AS BIGINT) AS qerr
       |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ann5: IVF-PQ with asymmetric distance computation (ADC) — the
+    * billion-scale ANN architecture (Jégou et al. 2011; FAISS
+    * `IVFADC`): ann4's trained coarse quantizer prunes the corpus to
+    * the probed cells' inverted lists, and candidates are ranked NOT
+    * against their raw vectors but against their [[PqM]]-byte PQ codes
+    * — the per-query cost of a candidate is M table lookups + adds
+    * instead of a D-dimensional dot product, and the serving set is
+    * the codes table (4 B/vector here; 64 B at production's 256-entry
+    * codebooks vs 256 B raw), which is what lets an index hold 10⁹
+    * vectors in RAM.
+    *
+    * Composition: coarse cells from [[trainedCentroids]] (2 Lloyd
+    * rounds); PQ codebook from [[pqCodebookOf]] (1 round); the ADC
+    * distance tables are the QUERY sub-vectors' exact quantized-L2 to
+    * every codebook entry (queries × M × K rows — tiny, broadcast),
+    * and a candidate's approximate distance is the sum of its M
+    * looked-up entries, which equals the exact quantized distance to
+    * its DECODED vector (SimilaritySpec pins that identity). Encodes
+    * raw vectors, not coarse-residuals (residual PQ is the same plan
+    * shape with the codebook trained on `x − centroid`; the fixture's
+    * 8-cell coarse grid leaves residuals uninformative). All integer
+    * arithmetic end-to-end → hash-compared against the composed
+    * Lloyd + PQ CTE chains. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir))
+    val q = kmCorpus(spark, dir)
+    val corpusCells = kmAssign(q.filter(col("vec_id") >= 10), cents)
+      .select(col("cell_id"), col("vec_id"))
+    val queryCells = kmAssign(q.filter(col("vec_id") < 10), cents, probes = IvfProbes)
+      .select(col("cell_id"), col("vec_id").as("q_vec_id"))
+    val cand = corpusCells.join(broadcast(queryCells), Seq("cell_id"))
+      .select("q_vec_id", "vec_id").dropDuplicates("q_vec_id", "vec_id")
+    val sub = graft.engine.Caching.persist(pqSub(spark, dir))
+    val codebook = graft.engine.Caching.persist(pqCodebookOf(sub))
+    val codes = pqAssign(sub.filter(col("vec_id") >= 10), codebook)
+      .select("vec_id", "sub_id", "cell_id")
+    val adc = pqDists(sub.filter(col("vec_id") < 10), codebook)
+      .select(col("vec_id").as("q_vec_id"), col("sub_id"), col("cell_id"), col("dist"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(adc), Seq("q_vec_id", "sub_id", "cell_id"))
+      .groupBy("q_vec_id", "vec_id").agg(sum("dist").cast("bigint").as("adc_dist"))
+    val survivors = graft.plans.GroupedTopK(
+      scored, Seq("q_vec_id"), Seq("adc_dist" -> true, "vec_id" -> true), k = 3)
+    val w = W.partitionBy("q_vec_id").orderBy(col("adc_dist"), col("vec_id"))
+    survivors
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  /** Oracle for [[ivfPqTopK]]: the coarse Lloyd chain (shared with
+    * km2/ann4) + the prefixed PQ chain (shared with emb3) + cell
+    * assignment, code assignment, ADC lookup join, and the final
+    * ranking. */
+  lazy val ivfPqTopKOracle: String = {
+    val R = KmTrainRounds
+    s"""WITH ${kmRoundCtesSql(R)},
+      |${kmRequantCte(R)},
+      |cd AS (
+      |  SELECT e.vec_id, c.cell_id,
+      |    list_sum(list_transform($kmDims,
+      |      i -> (e.qe[i] - c.qc[i]) * (e.qe[i] - c.qc[i]))) AS dist
+      |  FROM e CROSS JOIN cent$R c
+      |),
+      |ranked AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+      |  FROM cd
+      |),
+      |ccell AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1 AND vec_id >= 10),
+      |qcell AS (SELECT vec_id AS q_vec_id, cell_id FROM ranked WHERE rk <= $IvfProbes AND vec_id < 10),
+      |cand AS (
+      |  SELECT DISTINCT qcell.q_vec_id, ccell.vec_id
+      |  FROM qcell JOIN ccell ON qcell.cell_id = ccell.cell_id
+      |),
+      |${pqCtesSql("pq")},
+      |pqd AS (
+      |  SELECT sv.vec_id, sv.sub_id, c.cell_id, ${pqDistSql("sv", "c")} AS dist
+      |  FROM pqsub sv JOIN pqcent1 c USING (sub_id)
+      |),
+      |codes AS (
+      |  SELECT vec_id, sub_id, cell_id FROM (
+      |    SELECT vec_id, sub_id, cell_id,
+      |           row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, cell_id) AS rk
+      |    FROM pqd WHERE vec_id >= 10) WHERE rk = 1
+      |),
+      |adc AS (SELECT vec_id AS q_vec_id, sub_id, cell_id, dist FROM pqd WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT cand.q_vec_id, cand.vec_id, CAST(sum(adc.dist) AS BIGINT) AS adc_dist
+      |  FROM cand
+      |  JOIN codes ON codes.vec_id = cand.vec_id
+      |  JOIN adc ON adc.q_vec_id = cand.q_vec_id
+      |           AND adc.sub_id = codes.sub_id AND adc.cell_id = codes.cell_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY adc_dist, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
   }
 
   /** ann4: IVF over a TRAINED codebook — the step the ann3 scaladoc
@@ -881,5 +1010,6 @@ object Similarity {
     QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK),
     QueryDef.sql("emb1_quantize", quantizeEmbeddingsOracle)(quantizeEmbeddings),
     QueryDef.sql("emb2_random_projection", randomProjectionOracle)(randomProjection),
-    QueryDef.sql("emb3_pq_encode", pqEncodeOracle)(pqEncode))
+    QueryDef.sql("emb3_pq_encode", pqEncodeOracle)(pqEncode),
+    QueryDef.sql("ann5_ivfpq_topk", ivfPqTopKOracle)(ivfPqTopK))
 }

@@ -211,6 +211,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(trained.sameElements(again))
   }
 
+  test("ann5 ADC distance equals the exact distance to the decoded vector") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.ivfPqTopK(spark, Sf).collect()
+    assert(got.length > 0 && got.forall(_.getAs[Long]("rank") <= 3L))
+    // Reconstruct each ranked candidate from its PQ codes and check
+    // sum-of-subspace table lookups == exact quantized L2 to the
+    // decoded vector — the identity ADC's correctness rests on.
+    val sub = graft.engine.Tables(spark, Sf).embeddings
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * ${Similarity.KmQ}.0D) as bigint))").as("qe"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${Similarity.PqM - 1}), s -> slice(qe, s * ${Similarity.PqDsub} + 1, ${Similarity.PqDsub}))"))
+        .as(Seq("sub_id", "sq")))
+    val codebook = Similarity.pqCodebookOf(sub).collect()
+      .map(r => (r.getAs[Int]("sub_id"), r.getAs[Long]("cell_id")) -> r.getSeq[Long](r.fieldIndex("qc")))
+      .toMap
+    val subVecs = sub.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub_id")) -> r.getSeq[Long](r.fieldIndex("sq")))
+      .toMap
+    val codes = Similarity.pqCodesAt(spark, Sf, rounds = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes").split(",").map(_.toLong))
+      .toMap
+    got.foreach { r =>
+      val qv = r.getAs[Long]("q_vec_id"); val cv = r.getAs[Long]("vec_id")
+      val expected = (0 until Similarity.PqM).map { m =>
+        val qs = subVecs((qv, m)); val dec = codebook((m, codes(cv)(m)))
+        qs.zip(dec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(r.getAs[Long]("adc_dist") == expected,
+        s"ADC mismatch for q=$qv cand=$cv")
+    }
+  }
+
   test("km2 fixed-round trainer degenerates to the km1 step at rounds=1") {
     val one = Similarity.kmeansRounds(spark, Sf, rounds = 1).collect().toSeq
     val step = Similarity.kmeansStep(spark, Sf).collect().toSeq
