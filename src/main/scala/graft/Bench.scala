@@ -51,7 +51,12 @@ object Bench {
     "ann3b_ivf_indexed",   // build-once / probe-many inverted file
     "ann4_ivf_trained",    // k-means-trained codebook IVF
     "emb1_quantize",       // fixed-point normalize + int8 codes
-    "emb2_random_projection") // exact-integer JL projection
+    "emb2_random_projection", // exact-integer JL projection
+    // round-4 late additions
+    "dd7_dup_passages",    // cross-doc duplicate-passage index
+    "emb3_pq_encode",      // product-quantization encoding
+    "ann5_ivfpq_topk",     // IVF-PQ ADC search
+    "tx15_vocab_coverage") // vocabulary build + coverage
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

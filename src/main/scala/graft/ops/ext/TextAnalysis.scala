@@ -623,10 +623,14 @@ object TextAnalysis {
     * no second corpus pass, no wide shuffle. All shares/rates divide
     * exact BIGINTs as IEEE doubles, so the oracle agrees bit-for-bit. */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables(spark, dir).documents
+    // persisted: the #sources-row agg feeds both the output and the
+    // grand-total branch — column pruning specializes the two subtrees,
+    // so without it the corpus would be scanned and tokenized twice
+    // (same exchange-reuse failure mode dd7 documents)
+    val src = graft.engine.Caching.persist(Tables(spark, dir).documents
       .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n_tok"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens")))
     val tot = src.agg(
       sum("src_tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
@@ -671,9 +675,10 @@ object TextAnalysis {
     * ≤ [[VocabK]] survivors, so the partition-less rank window sorts a
     * bounded table, not the corpus. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val freq = Tables(spark, dir).documents
+    // persisted for the same both-branches reason as mixWeights' src agg
+    val freq = graft.engine.Caching.persist(Tables(spark, dir).documents
       .select(explode(tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .groupBy("token").agg(count(lit(1)).as("cnt")))
     val tot = freq.agg(sum("cnt").as("total_tokens"))
     val W = org.apache.spark.sql.expressions.Window
     val w = W.orderBy(col("cnt").desc, col("token"))
