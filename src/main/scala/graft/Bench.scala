@@ -56,6 +56,7 @@ object Bench {
     "dd7_dup_passages",    // cross-doc duplicate-passage index
     "emb3_pq_encode",      // product-quantization encoding
     "ann5_ivfpq_topk",     // IVF-PQ ADC search
+    "tx14_mix_weights",    // domain-mixture planning
     "tx15_vocab_coverage") // vocabulary build + coverage
 
   /** Streaming path (round 4): drain the SF dir's events through the E1

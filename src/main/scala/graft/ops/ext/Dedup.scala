@@ -348,7 +348,7 @@ object Dedup {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h",
-        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint)"))
+        expr(graft.engine.PortableHash.md5Prefix60("tok")))
     val bitSums = (0 until SimhashBits).map { i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
     }
@@ -721,7 +721,7 @@ object Dedup {
     val pairs = Caching.persist(
       d.select(col("doc_id"), explode(col("gr")).as("ng"))
         .select(col("doc_id"),
-          expr("cast(conv(substring(md5(cast(ng as binary)), 1, 15), 16, 10) as bigint)").as("ghash"))
+          expr(graft.engine.PortableHash.md5Prefix60("ng")).as("ghash"))
         .groupBy("ghash", "doc_id").agg(count(lit(1)).as("c")))
     // per-doc window totals fall out of the cached pair table (sum of
     // within-doc occurrence counts == window count); only the doc-id

@@ -21,7 +21,7 @@ object TextAnalysis {
     * mod-membership operator (tx6 sampling, tx8 sharding, tx13 eval
     * split) so the four sites cannot drift apart. */
   private val md5ModDocId: String =
-    "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)"
+    graft.engine.PortableHash.md5Prefix60("cast(doc_id as string)")
 
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
     * (word-chunks of ≤4 chars: ceil(len/4) per token ≅ subword count). */
@@ -240,7 +240,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val keyed = Tables(spark, dir).documents
       .withColumn("shuffle_key",
-        expr("cast(conv(substring(md5(cast(concat('epoch1|', doc_id) as binary)), 1, 15), 16, 10) as bigint)"))
+        expr(graft.engine.PortableHash.md5Prefix60("concat('epoch1|', doc_id)")))
       .repartitionByRange(col("shuffle_key"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     // offsets: pid ascends with the range order, so cumsum over pid order
@@ -671,22 +671,26 @@ object TextAnalysis {
     * sizing ("how many types cover 99% of tokens?").
     *
     * Scale: the frequency table is ONE map-side-combined agg (the only
-    * corpus-wide shuffle); ranking + running coverage run on the agg's
-    * ≤ [[VocabK]] survivors, so the partition-less rank window sorts a
-    * bounded table, not the corpus. */
+    * corpus-wide shuffle); the [[VocabK]] cap is applied as a
+    * distributed top-K (`orderBy…limit` → `TakeOrderedAndProject`,
+    * bounded per-partition heaps — the full vocabulary is never
+    * collected into one partition), and only the ≤ [[VocabK]]
+    * survivors reach the partition-less rank/coverage window. The
+    * coverage denominator still sums the FULL table. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     // persisted for the same both-branches reason as mixWeights' src agg
     val freq = graft.engine.Caching.persist(Tables(spark, dir).documents
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt")))
     val tot = freq.agg(sum("cnt").as("total_tokens"))
+    // top-K FIRST (TakeOrderedAndProject): identical rows to ranking
+    // then filtering rank <= K under the same total order
+    val capped = freq.orderBy(col("cnt").desc, col("token")).limit(VocabK)
     val W = org.apache.spark.sql.expressions.Window
     val w = W.orderBy(col("cnt").desc, col("token"))
-    freq.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= VocabK)
+    capped.crossJoin(broadcast(tot))
       .select(
-        col("rank"),
+        row_number().over(w).cast("bigint").as("rank"),
         col("token"),
         col("cnt"),
         round(sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))

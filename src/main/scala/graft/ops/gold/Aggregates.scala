@@ -144,7 +144,7 @@ object Aggregates {
     val t = Tables(spark, dir).lineitem
     val sketch = t
       .select(col("l_returnflag"),
-        expr("cast(conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+        expr(graft.engine.PortableHash.md5Prefix60("cast(l_partkey as string)")).as("h"))
       .withColumn("bucket", expr(s"h % $m"))
       .withColumn("w", expr(s"h div $m"))
       .withColumn("rho",
