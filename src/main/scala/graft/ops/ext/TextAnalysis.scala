@@ -714,6 +714,70 @@ object TextAnalysis {
       |       round(CAST(cum AS DOUBLE) / total_tokens, 6) AS cum_share_r
       |FROM r CROSS JOIN t WHERE rank <= $VocabK ORDER BY rank""".stripMargin
 
+  /** tx16 model weights (intercept, uniq_ratio, stop_ratio,
+    * mean-token-len/10). A production pipeline loads trained fasttext/
+    * logistic weights; deterministic literals keep the operator
+    * hash-compared — the plan is identical either way (weights are a
+    * broadcast scalar row or literals, never data). */
+  val QcWeights: (String, String, String, String) = ("-2.2", "3.0", "6.0", "1.5")
+
+  /** tx16: quality CLASSIFIER — the supervised filter stage (GPT-3/
+    * LLaMA-style: a linear model scores each doc against a
+    * high-quality reference distribution; docs below threshold drop).
+    * Differs from tx3 (hand-crafted score) and tx10 (LM perplexity):
+    * this is the trained-model shape — a weighted feature sum.
+    *
+    * Portability: the logit avoids transcendentals (sigmoid is
+    * monotone, so `keep ⟺ logit > 0` decides identically) — it is a
+    * FIXED-ORDER left-associated sum of products of int/int-division
+    * doubles and string-cast literal weights, which both engines
+    * evaluate bit-identically (the '1.234'::DOUBLE discipline). Zero
+    * shuffle: one narrow codegen'd projection. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val (b, w1, w2, w3) = QcWeights
+    val stopList = stop("en").map(s => s"'$s'").mkString(", ")
+    Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        expr("cast(size(array_distinct(w)) as double) / size(w)").as("uniq_ratio"),
+        expr(s"cast(size(filter(w, x -> x in ($stopList))) as double) / size(w)")
+          .as("stop_ratio"),
+        expr("cast(aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x) as double)" +
+          " / size(w) / 10.0D").as("len_feat"))
+      .withColumn("logit", expr(
+        s"cast('$b' as double) + cast('$w1' as double) * uniq_ratio" +
+          s" + cast('$w2' as double) * stop_ratio + cast('$w3' as double) * len_feat"))
+      .select(
+        col("doc_id"),
+        round(col("uniq_ratio"), 6).as("uniq_ratio_r"),
+        round(col("stop_ratio"), 6).as("stop_ratio_r"),
+        round(col("logit"), 6).as("logit_r"),
+        (col("logit") > 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val qualityClassifierOracle: String = {
+    val (b, w1, w2, w3) = QcWeights
+    val stopList = stop("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+      |    CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w) AS stop_ratio,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) / 10.0 AS len_feat
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, uniq_ratio, stop_ratio,
+      |    '$b'::DOUBLE + '$w1'::DOUBLE * uniq_ratio
+      |      + '$w2'::DOUBLE * stop_ratio + '$w3'::DOUBLE * len_feat AS logit
+      |  FROM f)
+      |SELECT doc_id, round(uniq_ratio, 6) AS uniq_ratio_r,
+      |       round(stop_ratio, 6) AS stop_ratio_r,
+      |       round(logit, 6) AS logit_r, logit > 0.0 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
@@ -729,5 +793,6 @@ object TextAnalysis {
     QueryDef.sql("tx12_pii_scrub", piiScrubOracle)(piiScrub),
     QueryDef.sql("tx13_decontaminate", decontaminateOracle)(decontaminate),
     QueryDef.sql("tx14_mix_weights", mixWeightsOracle)(mixWeights),
-    QueryDef.sql("tx15_vocab_coverage", vocabCoverageOracle)(vocabCoverage))
+    QueryDef.sql("tx15_vocab_coverage", vocabCoverageOracle)(vocabCoverage),
+    QueryDef.sql("tx16_quality_classifier", qualityClassifierOracle)(qualityClassifier))
 }
