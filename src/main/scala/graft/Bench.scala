@@ -110,9 +110,10 @@ object Bench {
       SparkSession.builder().master(s"local[${graft.engine.Graft.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // failures report the sentinel -1 in the queries map and are
-    // EXCLUDED from the total — a silent partial-elapsed contribution
-    // would corrupt the round-over-round ledger instead of flagging
+    // failures are reported in a separate "failed" array and kept OUT of
+    // the per-query timings map entirely — a sentinel there reads as a
+    // (nonsense) duration to anything summing or diffing the map, and a
+    // silent partial-elapsed contribution would corrupt the ledger
     def run(name: String): Double =
       try {
         if (streaming.contains(name)) runStream(name, spark, sfDir)
@@ -134,10 +135,12 @@ object Bench {
     val results = set.map { n =>
       graft.engine.Caching.scoped { run(n); n -> run(n) }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val (ok, bad) = results.partition(_._2 >= 0)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

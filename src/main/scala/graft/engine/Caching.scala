@@ -1,8 +1,10 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** Lifecycle tracking for operator-internal `persist()` calls.
@@ -20,48 +22,82 @@ import scala.collection.mutable.ArrayBuffer
   * The contract here: operators route internal persists through
   * [[persist]], and whoever MATERIALIZES the result (Verify's write,
   * Bench's count, an embedding application's action) wraps the
-  * build-and-run in [[scoped]], which unpersists everything registered
+  * build-and-run in [[scoped]], which releases everything registered
   * inside that scope once the body returns.
   *
-  * Scopes are THREAD-LOCAL: concurrent callers (e.g. parallel query
-  * runners sharing one SparkSession) each release exactly the frames
-  * their own scope persisted — one thread finishing never touches
-  * another thread's live caches. Outside any scope, [[persist]] is a
-  * plain `df.persist()` with no registration at all (nothing retains
-  * the frame, so un-scoped long-running callers don't accumulate
-  * references here either — they own their cache lifetimes, as
-  * before).
+  * Cross-thread sharing is REF-COUNTED per canonicalized logical plan:
+  * when two concurrent scopes (e.g. parallel query runners sharing one
+  * SparkSession) persist the same plan, each registers a reference and
+  * the cache is only unpersisted when the LAST scope holding it closes —
+  * one thread finishing never drops a cache another thread's in-flight
+  * query still reads. The registry lookup and the `persist()` call
+  * happen under one lock, so two racing scopes cannot both miss and
+  * double-register either.
   *
-  * [[persist]] is also idempotent per plan: if the CacheManager already
-  * holds this logical plan (e.g. Bench's warm pass inside the same
-  * scope), it returns the frame untouched instead of re-registering —
-  * which is what silences the repeated-cache warnings.
+  * Outside any scope, [[persist]] is a plain idempotent `df.persist()`
+  * with no registration at all (nothing retains the frame, so un-scoped
+  * long-running callers don't accumulate references here either — they
+  * own their cache lifetimes, as before). A plan some OUTSIDE party
+  * already cached (storage level set but no registry entry) is likewise
+  * left alone: scoped callers reuse it but never adopt its lifetime.
   */
 object Caching {
+  private val lock = new Object
+  // canonicalized plan -> (a frame holding the cache, open-scope refs)
+  private val refs = mutable.HashMap.empty[LogicalPlan, (DataFrame, Int)]
   // stack of open scopes for the current thread; innermost last
-  private val scopes: ThreadLocal[ArrayBuffer[ArrayBuffer[DataFrame]]] =
-    ThreadLocal.withInitial(() => ArrayBuffer.empty[ArrayBuffer[DataFrame]])
+  private val scopes: ThreadLocal[ArrayBuffer[ArrayBuffer[LogicalPlan]]] =
+    ThreadLocal.withInitial(() => ArrayBuffer.empty[ArrayBuffer[LogicalPlan]])
 
   /** Persist `df` (if its plan isn't already cached) and, when a scope
-    * is open on this thread, register it for release at scope end. */
-  def persist(df: DataFrame): DataFrame =
-    if (df.storageLevel != StorageLevel.NONE) df
-    else {
-      val st = scopes.get()
-      if (st.nonEmpty) st.last += df
-      df.persist()
+    * is open on this thread, take a ref-counted registration released at
+    * scope end. */
+  def persist(df: DataFrame): DataFrame = {
+    val st = scopes.get()
+    if (st.isEmpty) {
+      // unscoped: idempotent persist, caller owns the lifetime
+      if (df.storageLevel != StorageLevel.NONE) df else df.persist()
+    } else lock.synchronized {
+      val key = df.queryExecution.analyzed.canonicalized
+      refs.get(key) match {
+        case Some((holder, n)) => // live in some scope: share, add a ref
+          refs(key) = (holder, n + 1)
+          st.last += key
+          df
+        case None if df.storageLevel != StorageLevel.NONE =>
+          df // cached by an outside party — reuse, don't adopt
+        case None =>
+          df.persist()
+          refs(key) = (df, 1)
+          st.last += key
+          df
+      }
     }
+  }
 
-  /** Run `body`, then unpersist every frame [[persist]]-ed during it on
-    * this thread. Nested scopes release only their own registrations. */
+  /** Run `body`, then release every registration [[persist]] took during
+    * it on this thread; a cache is unpersisted only when its LAST
+    * registration across all scopes is released. Nested scopes release
+    * only their own registrations. */
   def scoped[T](body: => T): T = {
     val st = scopes.get()
-    val mine = ArrayBuffer.empty[DataFrame]
+    val mine = ArrayBuffer.empty[LogicalPlan]
     st += mine
     try body
     finally {
       st.remove(st.length - 1)
-      mine.foreach(_.unpersist(blocking = false))
+      lock.synchronized {
+        mine.foreach { key =>
+          refs.get(key) match {
+            case Some((holder, 1)) =>
+              refs.remove(key)
+              holder.unpersist(blocking = false)
+            case Some((holder, n)) =>
+              refs(key) = (holder, n - 1)
+            case None => // released by a bug elsewhere; nothing to do
+          }
+        }
+      }
     }
   }
 }

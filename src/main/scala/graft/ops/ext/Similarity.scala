@@ -224,19 +224,39 @@ object Similarity {
   def ivfIndexedTopK(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.engine.Graft.tmpDir(
       "ann3b-ivf-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    // build once, reuse on subsequent invocations — UNLESS the source
-    // corpus is newer than the index (the tmp dir outlives the JVM, and
-    // serving a stale index after a fixture regeneration would fail the
-    // oracle compare mysteriously / bench the wrong data)
-    def newest(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten.map(newest)).max
-      else f.lastModified()
-    val success = new java.io.File(path, "_SUCCESS")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    if (!success.exists() || newest(src) > success.lastModified())
+    // Build once, reuse on subsequent invocations — UNLESS the source
+    // corpus changed (the tmp dir outlives the JVM, and serving a stale
+    // index after a fixture regeneration would fail the oracle compare
+    // mysteriously / bench the wrong data). Staleness is decided by a
+    // CONTENT MANIFEST (per-file name|size|mtime of the source dir)
+    // recorded at build time, not a newest-mtime comparison: a source
+    // restored with preserved or older mtimes (`cp -p`, archive unpack,
+    // cache restore) still flips the manifest, while pure mtime ordering
+    // would silently serve the old index.
+    val manifestFile = new java.io.File(path, "_GRAFT_SRC_MANIFEST")
+    val current = srcManifest(new java.io.File(s"$dir/embeddings.parquet"))
+    val recorded =
+      if (manifestFile.exists())
+        new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
+      else ""
+    if (!new java.io.File(path, "_SUCCESS").exists() || recorded != current) {
       buildIvfIndex(spark, dir, path)
+      java.nio.file.Files.write(manifestFile.toPath, current.getBytes("UTF-8"))
+    }
     probeIvfIndex(spark, dir, path)
+  }
+
+  /** Sorted `relative-path|size|mtime` lines for every file under `f` —
+    * the change-detection fingerprint [[ivfIndexedTopK]] stores next to
+    * the index it derives from the source. */
+  private[ext] def srcManifest(f: java.io.File): String = {
+    def walk(g: java.io.File): Seq[java.io.File] =
+      if (g.isDirectory) Option(g.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(g)
+    val base = f.toPath
+    walk(f).map { g =>
+      s"${base.relativize(g.toPath)}|${g.length()}|${g.lastModified()}"
+    }.sorted.mkString("\n")
   }
 
   /** Build the IVF inverted-file artifact at `path`: corpus vectors

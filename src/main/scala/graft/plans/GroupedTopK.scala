@@ -87,7 +87,12 @@ case class GroupedTopKExec(
     * group count (summed over tasks — for the partial node that is
     * groups×partitions, the exchange volume / k; for the final node the
     * true group cardinality). Peak memory is bounded by
-    * numGroups × k × rowSize per task by construction. */
+    * numGroups × k × rowSize per task by construction.
+    *
+    * Like HashAggregate's metrics, both counters increment per task
+    * ATTEMPT — speculative execution or task retries inflate them, so
+    * they are throughput indicators, not exact-once counts (exact
+    * equality only holds on retry-free runs, e.g. local tests). */
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of heap groups"))

@@ -93,6 +93,9 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
         assert(execs.map(_.partial).sorted == Seq(false, true))
         val fin = execs.find(!_.partial).get
         assert(fin.metrics.keySet == Set("numOutputRows", "numGroups"))
+        // exact equality is valid here because local[..] runs never retry
+        // or speculate tasks; per the metric scaladoc these counters are
+        // per-attempt and would only over-count under retries
         assert(fin.metrics("numOutputRows").value == got.length)
         assert(fin.metrics("numGroups").value == rows.map(_._1).distinct.size)
       }

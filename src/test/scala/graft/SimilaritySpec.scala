@@ -129,6 +129,42 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(snapshot(new java.io.File(path)) == before)
   }
 
+  test("ann3b staleness gate: content manifest catches a source restored with an OLDER mtime") {
+    import java.io.File
+    import java.nio.file.{Files, StandardCopyOption}
+    def snapshot(p: File): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(p).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val srcDir = new File(tmp("ann3b-manifest-src"))
+    val emb = new File(srcDir, "embeddings.parquet")
+    Files.copy(new File(s"$Sf/embeddings.parquet").toPath, emb.toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    val indexPath = new File(graft.engine.Graft.tmpDir(
+      "ann3b-ivf-" + srcDir.getAbsolutePath.replaceAll("[^A-Za-z0-9.]", "_")))
+
+    val first = Similarity.ivfIndexedTopK(spark, srcDir.getAbsolutePath).collect().toSeq
+    val built = snapshot(indexPath)
+    assert(built.nonEmpty)
+    // unchanged source → pure reuse, nothing rewritten
+    assert(Similarity.ivfIndexedTopK(spark, srcDir.getAbsolutePath)
+      .collect().toSeq == first)
+    assert(snapshot(indexPath) == built)
+
+    // simulate a restore/regeneration whose mtime is OLDER than the
+    // original (cp -p, archive unpack): different corpus content, mtime
+    // set in the past. A newest(src)>index gate would serve the stale
+    // index; the content manifest must trigger a rebuild.
+    Files.copy(new File("/root/testdata/sf0.01/embeddings.parquet").toPath,
+      emb.toPath, StandardCopyOption.REPLACE_EXISTING)
+    assert(emb.setLastModified(built.values.min - 3600000L))
+    val rebuilt = Similarity.ivfIndexedTopK(spark, srcDir.getAbsolutePath).collect().toSeq
+    assert(snapshot(indexPath) != built, "stale index served after source restore")
+    // and the rebuilt index serves the NEW corpus's answers
+    assert(rebuilt == Similarity.ivfTopK(spark, srcDir.getAbsolutePath).collect().toSeq)
+  }
+
   test("emb1 quantization: norms exact, codes bounded, cosine preserved") {
     val out = Similarity.quantizeEmbeddings(spark, Sf)
       .as[(Long, Double, Long, Long, Long, String)].collect()
