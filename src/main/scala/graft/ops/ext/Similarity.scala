@@ -358,11 +358,13 @@ object Similarity {
     * narrow scan; the only exchange is the per-vector argmin window
     * (k rows per vec_id). Keeps `dist` for SSE tracking. */
   private def kmAssign(e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
+    graft.functions.LongVecOps.register(e.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist"), col("cell_id"))
     e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        expr("aggregate(zip_with(qe, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      // native codegen'd kernel — the rows × k × d Lloyd hot loop; the
+      // HOF form it replaces ran the lambda interpreted per element
+      .withColumn("dist", expr("quantized_l2(qe, qc)"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= probes)
       .select(col("vec_id"), col("cell_id"), col("qe"), col("dist"))
   }
@@ -627,11 +629,11 @@ object Similarity {
     * bit-identical in the oracle. One narrow projection, zero shuffle;
     * at 100 TB this streams. Long-form output (vec_id, dim, val). */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongVecOps.register(spark)
     val scale = (KmQ * RpQ).toDouble
     val dimCols = rpWeights.zipWithIndex.map { case (w, j) =>
       struct(lit(j + 1).cast("bigint").as("dim"),
-        expr(s"aggregate(zip_with(qe, array(${w.mkString(",")}), (a, b) -> a * b)," +
-          " 0L, (acc, x) -> acc + x)").as("yq"))
+        expr(s"long_dot(qe, array(${w.map(_ + "L").mkString(",")}))").as("yq"))
     }
     kmCorpus(spark, dir)
       .select(col("vec_id"), explode(array(dimCols: _*)).as("p"))
@@ -680,10 +682,11 @@ object Similarity {
     * entry of its subspace (the codebook — [[PqM]]·[[PqK]] rows —
     * broadcasts; narrow scan, no shuffle). Shared by encoding (argmin
     * over it) and ann5's ADC tables (the query side, un-argmin'd). */
-  private def pqDists(sub: DataFrame, cents: DataFrame): DataFrame =
+  private def pqDists(sub: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.LongVecOps.register(sub.sparkSession)
     sub.join(broadcast(cents), "sub_id")
-      .withColumn("dist",
-        expr("aggregate(zip_with(sq, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dist", expr("quantized_l2(sq, qc)"))
+  }
 
   /** Nearest codebook entry per (vector, subspace) by exact quantized
     * L2, cell_id tie-break — [[kmAssign]] keyed by subspace. The

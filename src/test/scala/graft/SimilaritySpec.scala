@@ -27,6 +27,37 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("quantized_l2 / long_dot match their HOF forms (codegen and interpreted)") {
+    graft.functions.LongVecOps.register(spark)
+    val df = Seq(
+      (Array(3L, -4L, 1L << 28), Array(0L, 2L, 0L)),
+      (Array(0L, 0L, 0L), Array(1L, 1L, 1L)),
+      (Array(-5L, 7L, 9L), Array(-5L, 7L, 9L)))
+      .toDF("a", "b")
+    def run(): Seq[(Long, Long, Long, Long)] = df.select(
+      expr("quantized_l2(a, b)"), expr("long_dot(a, b)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def check(rows: Seq[(Long, Long, Long, Long)]): Unit = rows.foreach {
+      case (l2, dot, l2Hof, dotHof) =>
+        assert(l2 == l2Hof, s"quantized_l2 $l2 != HOF $l2Hof")
+        assert(dot == dotHof, s"long_dot $dot != HOF $dotHof")
+    }
+    check(run())
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check(run())
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // null semantics mirror the HOFs: null input → null, length mismatch → null
+    val edge = Seq((Some(Array(1L, 2L)), None: Option[Array[Long]]))
+      .toDF("a", "b")
+      .select(expr("quantized_l2(a, b)").as("n1"),
+        expr("quantized_l2(a, array(1L))").as("n2"),
+        expr("long_dot(a, array(1L, 2L, 3L))").as("n3"))
+      .collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("cosine_sim of zero vector is null") {
     CosineSimilarity.register(spark)
     val r = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
