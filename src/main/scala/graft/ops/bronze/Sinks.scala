@@ -133,8 +133,57 @@ object Sinks {
       |  TRUE AS sinks_agree
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** S17: JSON-lines corpus round-trip — the interchange format every
+    * crawl/training corpus passes through at least once. The documents
+    * table (free text: quotes, newlines-in-values, unicode all possible)
+    * is written as JSONL and read back with an explicit schema; the
+    * compared output carries an md5 per text so ANY per-row escaping
+    * loss flips the hash. Scales as a narrow per-partition
+    * serialize/parse — no shuffle either direction. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("s17-jsonl", dir)
+    Tables(spark, dir).documents
+      .select("doc_id", "lang", "source", "text")
+      .write.mode(SaveMode.Overwrite).json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema).json(path)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("md5(cast(text as binary))").as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val jsonlRoundtripOracle: String =
+    """SELECT doc_id, lang, source, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** S18: ORC table round-trip — the other columnar format warehouse
+    * estates standardize on; written from events, read back via schema
+    * inference, verified by aggregate. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("s18-orc", dir)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("event_date"),
+        col("value"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.orc(path)
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_type", "event_date")
+  }
+
+  val orcRoundtripOracle: String =
+    """SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s5_csv_roundtrip", csvRoundtripOracle)(csvRoundtrip),
+    QueryDef.sql("s17_jsonl_roundtrip", jsonlRoundtripOracle)(jsonlRoundtrip),
+    QueryDef.sql("s18_orc_roundtrip", orcRoundtripOracle)(orcRoundtrip),
     QueryDef.sql("s9_partitioned_sink", partitionedSinkRoundtripOracle)(partitionedSinkRoundtrip),
     QueryDef.sql("s8_kafka_shape", kafkaShapeRoundtripOracle)(kafkaShapeRoundtrip),
     QueryDef.sql("s13_overwrite_table", overwriteRoundtripOracle)(overwriteRoundtrip),

@@ -1023,7 +1023,94 @@ object Similarity {
     (assigned, cents, rounds, sses)
   }
 
+  // -- dd8: semantic deduplication (SemDeDup) ------------------------
+
+  /** Cosine threshold above which two same-cluster embeddings count as
+    * semantic duplicates. The fixture's max pairwise cosine is ≈ 0.5
+    * (TESTDATA: no planted embedding dups), so the working threshold
+    * sits below that to exercise non-empty dup groups at the driver SFs;
+    * a production corpus runs the same plan at ~0.95+. */
+  val SemDedupTau = 0.4
+
+  /** dd8: SemDeDup — semantic deduplication via clustered pairwise
+    * cosine (Abbas et al. 2023, arXiv:2303.09540: the LAION/web-scale
+    * recipe). All-pairs cosine over a corpus is O(N²) and impossible at
+    * 100 TB; SemDeDup's insight is that semantic duplicates land in the
+    * same k-means cluster, so pairwise comparison only happens WITHIN
+    * clusters — with k grown ∝ N (target cluster size fixed), per-
+    * cluster work is bounded and total cost is O(N · cluster_size).
+    *
+    * Composition here: the coarse clusters are [[trainedCentroids]]'s
+    * 2-round Lloyd codebook (shared plan with km2/ann4/ann5 — trained
+    * once, broadcast); vectors assign by exact quantized L2; the
+    * within-cluster self-join ships (cell_id, vec_id, embedding) rows
+    * and drops a vector when a LOWER-id cluster-mate matches at
+    * ≥ [[SemDedupTau]] (the paper keeps one exemplar per dup
+    * neighborhood; lowest-id is the deterministic, engine-portable
+    * choice of exemplar). Output: every vector with its cluster, the
+    * drop verdict, the exemplar it duplicates, and the evidence cosine.
+    * The only shuffles are the cluster-key exchange for the self-join
+    * and the per-vector evidence agg — no global pairwise stage. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir))
+    val asgn = kmAssign(kmCorpus(spark, dir), cents).select("vec_id", "cell_id")
+    val withVec = asgn
+      .join(Tables(spark, dir).embeddings.select("vec_id", "embedding"), Seq("vec_id"))
+    val a = withVec.select(col("cell_id"), col("vec_id").as("x"), col("embedding").as("ex"))
+    val b = withVec.select(col("cell_id"), col("vec_id").as("y"), col("embedding").as("ey"))
+    val evidence = a.join(b, Seq("cell_id"))
+      .filter(col("y") < col("x"))
+      .withColumn("cos_r", round(expr("cosine_sim(ex, ey)"), 6))
+      .filter(col("cos_r") >= SemDedupTau)
+      .groupBy(col("x").as("vec_id"))
+      .agg(min("y").as("dup_of"), max("cos_r").as("max_cos"))
+    asgn.join(evidence, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("dup_of").isNotNull.as("dropped"), col("dup_of"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[semDedup]]: the shared Lloyd chain → final codebook →
+    * single-probe assignment → within-cluster lower-id pairing at the
+    * same rounded-cosine threshold. */
+  lazy val semDedupOracle: String = {
+    val R = KmTrainRounds
+    s"""WITH ${kmRoundCtesSql(R)},
+      |${kmRequantCte(R)},
+      |cd AS (
+      |  SELECT e.vec_id, c.cell_id,
+      |    list_sum(list_transform($kmDims,
+      |      i -> (e.qe[i] - c.qc[i]) * (e.qe[i] - c.qc[i]))) AS dist
+      |  FROM e CROSS JOIN cent$R c
+      |),
+      |asgn AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+      |    FROM cd) WHERE rk = 1
+      |),
+      |evidence AS (
+      |  SELECT xa AS vec_id, min(xb) AS dup_of, max(cos_r) AS max_cos
+      |  FROM (
+      |    SELECT a.vec_id AS xa, b.vec_id AS xb,
+      |      round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                   CAST(eb.embedding AS DOUBLE[])), 6) AS cos_r
+      |    FROM asgn a JOIN asgn b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+      |    JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |    JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  ) p
+      |  WHERE cos_r >= '$SemDedupTau'::DOUBLE
+      |  GROUP BY xa
+      |)
+      |SELECT a.vec_id AS vec_id, a.cell_id AS cell_id,
+      |       (m.dup_of IS NOT NULL) AS dropped, m.dup_of AS dup_of, m.max_cos AS max_cos
+      |FROM asgn a LEFT JOIN evidence m ON m.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dd8_semdedup", semDedupOracle)(semDedup),
     QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
     QueryDef.sql("ann2_lsh_topk", lshTopKOracle)(lshTopK),
     QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK),

@@ -238,6 +238,37 @@ object Aggregates {
       |       sqrt((s2 - s * s / n) / (n - 1)) AS stddev_qty
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** a11: exact multi-quantile profile (p25/p50/p75/p95) of order value
+    * per priority — Spark's exact `percentile` against DuckDB's
+    * `quantile_cont`, both evaluated on DOUBLE so the linear
+    * interpolation arithmetic agrees (a9 already pins the single-median
+    * case; this is the vector form a data-quality profiler emits). At
+    * scale the exact form sorts within each group — acceptable at this
+    * group cardinality; the sketch path (approx_percentile) would be
+    * the a8-style non-portable twin if groups were unbounded. */
+  def quantileProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(expr(
+        "percentile(cast(o_totalprice as double), array(0.25d, 0.5d, 0.75d, 0.95d))").as("q"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("q"), 1), 6).as("p25"),
+        round(element_at(col("q"), 2), 6).as("p50"),
+        round(element_at(col("q"), 3), 6).as("p75"),
+        round(element_at(col("q"), 4), 6).as("p95"))
+      .orderBy("o_orderpriority")
+
+  val quantileProfileOracle: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |         quantile_cont(CAST(o_totalprice AS DOUBLE), [0.25, 0.5, 0.75, 0.95]) AS q
+      |  FROM orders GROUP BY o_orderpriority
+      |)
+      |SELECT o_orderpriority,
+      |       round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+      |       round(q[3], 6) AS p75, round(q[4], 6) AS p95
+      |FROM g ORDER BY o_orderpriority""".stripMargin
+
   /** CUBE grouping sets (all 4 combinations of the two dims). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
@@ -261,5 +292,6 @@ object Aggregates {
     QueryDef.sql("a7_rollup", rollupAggOracle)(rollupAgg),
     QueryDef.rowsOnly("a8_approx_distinct")(approxDistinct),
     QueryDef.sql("a8b_hll_sketch", hllSketchDistinctOracle)(hllSketchDistinct),
-    QueryDef.sql("a9_stats_agg", statsAggOracle)(statsAgg))
+    QueryDef.sql("a9_stats_agg", statsAggOracle)(statsAgg),
+    QueryDef.sql("a11_quantile_profile", quantileProfileOracle)(quantileProfile))
 }

@@ -126,10 +126,41 @@ object Windows {
       |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** w5: the distribution-ranking family — dense_rank, percent_rank,
+    * cume_dist, ntile — per order priority by order value. One hash
+    * exchange on the partition key + in-partition sort serves all four
+    * functions (a single Window physical node); ties are broken by
+    * o_orderkey so every rank is engine-deterministic. percent_rank and
+    * cume_dist are exact integer ratios evaluated in double — identical
+    * bit patterns cross-engine — rounded to 6 for the compared output. */
+  def rankingSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .withColumn("drk", dense_rank().over(w).cast("bigint"))
+      .withColumn("prk", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice",
+        "drk", "prk", "cd", "quartile")
+      .orderBy("o_orderkey")
+  }
+
+  val rankingSuiteOracle: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  round(percent_rank() OVER w, 6) AS prk,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("w1_topk_per_group", topkPerGroupOracle)(topkPerGroup),
     QueryDef.sql("w1b_topk_native", topkPerGroupOracle)(topkPerGroupNative),
     QueryDef.sql("w2_lag_lead", lagLeadOracle)(lagLead),
     QueryDef.sql("w3_running_sum", runningSumOracle)(runningSum),
-    QueryDef.sql("w4_range_frame", rangeFrameOracle)(rangeFrame))
+    QueryDef.sql("w4_range_frame", rangeFrameOracle)(rangeFrame),
+    QueryDef.sql("w5_ranking_suite", rankingSuiteOracle)(rankingSuite))
 }

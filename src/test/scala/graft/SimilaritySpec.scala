@@ -196,6 +196,37 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rebuilt == Similarity.ivfTopK(spark, srcDir.getAbsolutePath).collect().toSeq)
   }
 
+  test("dd8 SemDeDup: drop set equals per-cluster lower-id ground truth") {
+    val out = Similarity.semDedup(spark, Sf)
+      .select("vec_id", "cell_id", "dropped")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val vecs = graft.engine.Tables(spark, Sf).embeddings
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    assert(out.map(_._1).distinct.size == vecs.size)
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // ground truth from the operator's own cluster assignment: x is
+    // dropped iff some lower-id cluster-mate matches at >= tau
+    val byCell = out.groupBy(_._2)
+    var nDropped = 0
+    byCell.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      val droppedGot = members.map(m => m._1 -> m._3).toMap
+      ids.foreach { x =>
+        val want = ids.exists(y => y < x && cosR(vecs(x), vecs(y)) >= Similarity.SemDedupTau)
+        assert(droppedGot(x) == want, s"vec $x dropped=${droppedGot(x)} want=$want")
+        if (want) nDropped += 1
+      }
+    }
+    assert(nDropped > 0, "fixture threshold produced no dup groups — spec is vacuous")
+  }
+
   test("emb1 quantization: norms exact, codes bounded, cosine preserved") {
     val out = Similarity.quantizeEmbeddings(spark, Sf)
       .as[(Long, Double, Long, Long, Long, String)].collect()
