@@ -778,7 +778,120 @@ object TextAnalysis {
       |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Merge rounds for tx17 (2 exercises the genuinely iterative part —
+    * round 2's pair statistics see round 1's merged symbol — while
+    * keeping the unrolled oracle readable; production BPE runs ~30k
+    * rounds of exactly this step). */
+  val BpeRounds = 2
+
+  /** The greedy left-to-right application of one BPE merge (`pa pb` →
+    * `pm`) to a space-joined symbol string, as a string fold: matches
+    * real BPE semantics incl. overlaps (`a a a` under `a a` → `aa a`,
+    * and a just-formed merge never re-merges with the next symbol).
+    * A plain string replace would be wrong twice over: it can match
+    * ACROSS symbol boundaries (`ab c` contains `b c`), and bounded
+    * variants need lookbehind, which DuckDB's RE2 lacks — the fold is
+    * the portable form (DuckDB twin: `list_reduce`). */
+  private[graft] def bpeApplyExpr(symsCol: String, pa: String, pb: String, pm: String): String =
+    s"""aggregate(split($symsCol, ' '), '', (acc, x) -> CASE
+       |  WHEN acc = '' THEN x
+       |  WHEN x = $pb AND acc = $pa THEN $pm
+       |  WHEN x = $pb AND endswith(acc, concat(' ', $pa))
+       |    THEN concat(substring(acc, 1, length(acc) - length($pa) - 1), ' ', $pm)
+       |  ELSE concat(acc, ' ', x) END)""".stripMargin
+
+  /** tx17: BPE merge training — [[BpeRounds]] rounds of the byte-pair-
+    * encoding loop (Sennrich et al. 2016) that turns tx15's vocabulary
+    * table into a subword tokenizer: count adjacent symbol pairs
+    * weighted by word frequency, adopt the most frequent pair as a new
+    * symbol, re-encode, repeat.
+    *
+    * Scale: the corpus is touched ONCE — the map-side-combined word
+    * frequency agg (tx15's table, capped to the top [[VocabK]] types
+    * the same way) — and every merge round runs on the VOCABULARY, not
+    * the corpus: pair stats are Σ word-length rows, the winning pair is
+    * a 1-row broadcast, and re-encoding is a narrow per-word fold.
+    * That per-round independence from corpus size is exactly why
+    * production tokenizers train on a frequency table, and why 30k
+    * rounds are tractable. Output pins the full encoding of every
+    * vocab word plus each round's chosen pair and count. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(VocabK)
+    var enc = graft.engine.Caching.persist(
+      wf.withColumn("sym", expr("trim(regexp_replace(word, '(.)', '$1 '))")))
+    val merges = (1 to BpeRounds).map { r =>
+      val top = enc
+        .select(col("n"), explode(expr(
+          """zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),
+            |         slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(
+          col("pair").as(s"merge$r"),
+          expr("element_at(split(pair, ' '), 1)").as(s"pa$r"),
+          expr("element_at(split(pair, ' '), 2)").as(s"pb$r"),
+          expr("replace(pair, ' ', '')").as(s"pm$r"),
+          col("cnt").as(s"merge${r}_cnt"))
+      enc = graft.engine.Caching.persist(enc.crossJoin(broadcast(top))
+        .withColumn("sym", expr(bpeApplyExpr("sym", s"pa$r", s"pb$r", s"pm$r"))))
+      r
+    }
+    val mergeCols = merges.flatMap(r => Seq(col(s"merge$r"), col(s"merge${r}_cnt")))
+    enc.select(Seq(col("word"), col("n"), col("sym").as("encoded")) ++ mergeCols: _*)
+      .orderBy("word")
+  }
+
+  lazy val bpeMergesOracle: String = {
+    def pairCte(r: Int, src: String): String =
+      s"""p$r AS (
+        |  SELECT pr AS pair, sum(n) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pr
+        |    FROM (SELECT n, string_split(sym, ' ') AS w FROM $src)
+        |  ) GROUP BY 1
+        |),
+        |t$r AS (
+        |  SELECT pair, string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb,
+        |         replace(pair, ' ', '') AS pm, cnt
+        |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1
+        |),
+        |enc$r AS (
+        |  SELECT word, n,
+        |    list_reduce(string_split(sym, ' '), (acc, x) -> CASE
+        |      WHEN x = t.pb AND acc = t.pa THEN t.pm
+        |      WHEN x = t.pb AND ends_with(acc, ' ' || t.pa)
+        |        THEN left(acc, length(acc) - length(t.pa) - 1) || ' ' || t.pm
+        |      ELSE acc || ' ' || x END) AS sym
+        |  FROM ${src}, t$r t
+        |)""".stripMargin
+    val rounds = (1 to BpeRounds)
+      .map(r => pairCte(r, if (r == 1) "enc0" else s"enc${r - 1}"))
+      .mkString(",\n")
+    val mergeSelect = (1 to BpeRounds)
+      .map(r => s"t$r.pair AS merge$r, CAST(t$r.cnt AS BIGINT) AS merge${r}_cnt")
+      .mkString(", ")
+    val mergeFrom = (1 to BpeRounds).map(r => s"t$r").mkString(", ")
+    s"""WITH wf AS (
+      |  SELECT word, n FROM (
+      |    SELECT w AS word, count(*) AS n,
+      |           row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+      |    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) w FROM documents)
+      |    GROUP BY w
+      |  ) WHERE rank <= $VocabK
+      |),
+      |enc0 AS (
+      |  SELECT word, n, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM wf
+      |),
+      |$rounds
+      |SELECT e.word AS word, CAST(e.n AS BIGINT) AS n, e.sym AS encoded, $mergeSelect
+      |FROM enc$BpeRounds e, $mergeFrom ORDER BY e.word""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("tx17_bpe_merges", bpeMergesOracle)(bpeMerges),
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
     QueryDef.sql("tx2_lang_id", langIdOracle)(langId),

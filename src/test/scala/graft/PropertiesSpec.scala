@@ -155,4 +155,25 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       assert(m1 >= 0.0 && m1 <= 1.0)
     }
   }
+
+  test("BPE merge fold: greedy left-to-right, overlap-correct, boundary-safe") {
+    // (symbols, pair a, pair b) -> expected merged symbol string; the
+    // reference outcomes are hand-derived BPE-greedy applications
+    val cases = Seq(
+      ("a b c", "a", "b", "ab c"),            // plain merge
+      ("a a a", "a", "a", "aa a"),            // overlap: leftmost wins, no re-merge
+      ("a a a a", "a", "a", "aa aa"),         // two disjoint merges
+      ("ab c d", "b", "c", "ab c d"),         // 'b' inside symbol "ab" must NOT match
+      ("a b a b a", "a", "b", "ab ab a"),     // repeated pair, zero-width boundary
+      ("x a b y", "a", "b", "x ab y"),        // interior merge
+      ("q", "a", "b", "q"))                   // single symbol untouched
+    val df = cases.map { case (s, a, b, _) => (s, a, b, a + b) }
+      .toDF("sym", "pa", "pb", "pm")
+    val got = df.select(expr(
+      graft.ops.ext.TextAnalysis.bpeApplyExpr("sym", "pa", "pb", "pm")))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (s, a, b, want)) =>
+      assert(g == want, s"fold('$s', '$a $b') = '$g', want '$want'")
+    }
+  }
 }
