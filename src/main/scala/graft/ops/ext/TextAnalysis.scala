@@ -890,8 +890,107 @@ object TextAnalysis {
       |FROM enc$BpeRounds e, $mergeFrom ORDER BY e.word""".stripMargin
   }
 
+  /** Interpolation weight for tx18's bigram/unigram mix (string-cast to
+    * DOUBLE on both engines per the literal-portability discipline). */
+  val LmLambda = "0.7"
+
+  /** tx18: interpolated bigram LM scoring — the strictly stronger form
+    * of tx10's unigram perplexity proxy (CCNet ships a 5-gram KenLM;
+    * a Jelinek-Mercer-interpolated bigram is the same estimator family
+    * at fixture scale): token t after context p scores
+    * `λ·n(p,t)/n(p) + (1−λ)·n(t)/T`, the document's first token scores
+    * unigram-only, and the doc score is mean negative log-likelihood.
+    *
+    * Scale shape mirrors tx10: corpus-wide work is building the unigram
+    * and bigram frequency tables (two map-side-combined aggs — at
+    * 100 TB they are once-per-snapshot artifacts many scoring shards
+    * reuse); scoring pre-aggregates per (doc, prev, cur) so each freq
+    * join sees one row per distinct bigram per doc, and the corpus
+    * total is the 1-row sum OF the unigram table (no extra corpus
+    * pass), broadcast-crossed. n(p) as the conditional denominator is
+    * the plain MLE count (the standard table; end-of-doc contexts are
+    * not discounted). log() reassociation noise is absorbed by the
+    * round(,6) on the final mean, as in tx10. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val lam = s"cast('$LmLambda' as double)"
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val toks = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+    val uni = graft.engine.Caching.persist(
+      toks.groupBy("tok").agg(count(lit(1)).as("n_uni")))
+    val totalDf = uni.agg(sum(col("n_uni")).cast("double").as("total_tok"))
+    val pairs = docs.select(col("doc_id"), explode(expr(
+      """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+        |         (a, b) -> struct(a AS prev, b AS cur))""".stripMargin)).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("n_bi"))
+    val docPairs = pairs.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("n_in_doc"))
+    val pairLl = docPairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select(col("tok").as("prev"), col("n_uni").as("n_prev")), Seq("prev"))
+      .join(uni.select(col("tok").as("cur"), col("n_uni").as("n_cur")), Seq("cur"))
+      .crossJoin(broadcast(totalDf))
+      .groupBy("doc_id")
+      .agg(sum(col("n_in_doc").cast("double") * log(expr(
+        s"$lam * (cast(n_bi as double) / cast(n_prev as double))" +
+          s" + (cast('1' as double) - $lam) * (cast(n_cur as double) / total_tok)")))
+        .as("pair_ll"))
+    val firstLl = docs
+      .select(col("doc_id"), expr("element_at(w, 1)").as("tok"), size(col("w")).as("n_tokens"))
+      .join(uni, Seq("tok"))
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        log(col("n_uni").cast("double") / col("total_tok")).as("first_ll"))
+    firstLl.join(pairLl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(-(col("first_ll") + coalesce(col("pair_ll"), lit(0.0))) / col("n_tokens"), 6)
+          .as("nll_r"))
+      .orderBy("doc_id")
+  }
+
+  lazy val bigramLmScoreOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1
+      |),
+      |toks AS (SELECT doc_id, unnest(w) AS tok FROM d),
+      |uni AS (SELECT tok, count(*) AS n_uni FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(CAST(sum(n_uni) AS BIGINT) AS DOUBLE) AS total_tok FROM uni),
+      |pairs AS (
+      |  SELECT doc_id, pc['prev'] AS prev, pc['cur'] AS cur FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(w)), i -> {'prev': w[i], 'cur': w[i+1]})) AS pc
+      |    FROM d)
+      |),
+      |bi AS (SELECT prev, cur, count(*) AS n_bi FROM pairs GROUP BY prev, cur),
+      |dp AS (SELECT doc_id, prev, cur, count(*) AS n_in_doc FROM pairs GROUP BY 1, 2, 3),
+      |pll AS (
+      |  SELECT dp.doc_id,
+      |    sum(CAST(n_in_doc AS DOUBLE) * ln(
+      |      '$LmLambda'::DOUBLE * (CAST(n_bi AS DOUBLE) / CAST(up.n_uni AS DOUBLE))
+      |      + ('1'::DOUBLE - '$LmLambda'::DOUBLE) * (CAST(uc.n_uni AS DOUBLE) / total_tok)
+      |    )) AS pair_ll
+      |  FROM dp
+      |  JOIN bi ON bi.prev = dp.prev AND bi.cur = dp.cur
+      |  JOIN uni up ON up.tok = dp.prev
+      |  JOIN uni uc ON uc.tok = dp.cur
+      |  CROSS JOIN tot
+      |  GROUP BY dp.doc_id
+      |),
+      |fll AS (
+      |  SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+      |         ln(CAST(u.n_uni AS DOUBLE) / total_tok) AS first_ll
+      |  FROM d JOIN uni u ON u.tok = d.w[1] CROSS JOIN tot
+      |)
+      |SELECT f.doc_id AS doc_id, f.n_tokens AS n_tokens,
+      |       round(-(f.first_ll + coalesce(p.pair_ll, '0'::DOUBLE)) / f.n_tokens, 6) AS nll_r
+      |FROM fll f LEFT JOIN pll p ON p.doc_id = f.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx17_bpe_merges", bpeMergesOracle)(bpeMerges),
+    QueryDef.sql("tx18_bigram_lm", bigramLmScoreOracle)(bigramLmScore),
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
     QueryDef.sql("tx2_lang_id", langIdOracle)(langId),

@@ -282,6 +282,56 @@ object Aggregates {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** a12: explicit GROUPING SETS — the general form a7's rollup and
+    * a10's cube specialize (per-status totals alongside per-priority
+    * totals in ONE pass: Expand + one shuffled aggregate, vs two
+    * separate scans+aggs unioned). The sets chosen have no overlapping
+    * all-null row, so output rows are identified by which key is null —
+    * no grouping_id bit-order portability hazard in the compare. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val groupingSetsAggOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** The pivoted event types, fixed up front: an explicit value list
+    * makes pivot a static Expand+aggregate (one pass); omitting it
+    * costs a whole extra distinct-values job before the plan can even
+    * be built — the classic accidental double scan at scale. */
+  val PivotEventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** a13: PIVOT — long-to-wide reshape (daily value by event type as
+    * columns), the reporting-layer op every warehouse stack ships.
+    * Exact decimal sums per cell; the oracle restates the pivot as
+    * FILTER aggregates, which is also its physical shape. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("event_date")
+      .pivot("event_type", PivotEventTypes)
+      .agg(Exact.decSum(col("value")))
+      .select(col("event_date") +: PivotEventTypes.map(t => col(t).as(s"sum_$t")): _*)
+      .orderBy("event_date")
+
+  val pivotAggOracle: String = {
+    val cells = PivotEventTypes.map { t =>
+      s"""  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = '$t')
+         |    AS DECIMAL(25,6)) AS DOUBLE) AS sum_$t""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+      |$cells
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1AggOracle)(q1Agg),
     QueryDef.sql("a10_cube", cubeAggOracle)(cubeAgg),
@@ -293,5 +343,7 @@ object Aggregates {
     QueryDef.rowsOnly("a8_approx_distinct")(approxDistinct),
     QueryDef.sql("a8b_hll_sketch", hllSketchDistinctOracle)(hllSketchDistinct),
     QueryDef.sql("a9_stats_agg", statsAggOracle)(statsAgg),
-    QueryDef.sql("a11_quantile_profile", quantileProfileOracle)(quantileProfile))
+    QueryDef.sql("a11_quantile_profile", quantileProfileOracle)(quantileProfile),
+    QueryDef.sql("a12_grouping_sets", groupingSetsAggOracle)(groupingSetsAgg),
+    QueryDef.sql("a13_pivot", pivotAggOracle)(pivotAgg))
 }

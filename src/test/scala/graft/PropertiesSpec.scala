@@ -156,6 +156,25 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("interpolated bigram LM fits the training corpus at least as well as unigram") {
+    import graft.ops.ext.TextAnalysis
+    // Gibbs: the MLE bigram term dominates in corpus total, and the
+    // lambda-mixture is concave-bounded below by the unigram model, so
+    // the token-weighted corpus NLL must not increase (equality only if
+    // bigrams carry no information). Per-doc it CAN go either way.
+    val bi = TextAnalysis.bigramLmScore(spark, Sf)
+      .select("doc_id", "n_tokens", "nll_r").as[(Long, Long, Double)].collect()
+    val uniByDoc = TextAnalysis.lmScore(spark, Sf)
+      .select("doc_id", "nll")
+      .as[(Long, Double)].collect().toMap
+    val totTok = bi.map(_._2).sum.toDouble
+    val wBi = bi.map { case (_, n, s) => n * s }.sum / totTok
+    val wUni = bi.map { case (d, n, _) => n * uniByDoc(d) }.sum / totTok
+    info(s"corpus NLL: bigram $wBi vs unigram $wUni")
+    assert(wBi <= wUni + 1e-9, s"bigram NLL $wBi worse than unigram $wUni")
+    assert(wBi > 0.0)
+  }
+
   test("BPE merge fold: greedy left-to-right, overlap-correct, boundary-safe") {
     // (symbols, pair a, pair b) -> expected merged symbol string; the
     // reference outcomes are hand-derived BPE-greedy applications
