@@ -57,7 +57,14 @@ object Bench {
     "emb3_pq_encode",      // product-quantization encoding
     "ann5_ivfpq_topk",     // IVF-PQ ADC search
     "tx14_mix_weights",    // domain-mixture planning
-    "tx15_vocab_coverage") // vocabulary build + coverage
+    "tx15_vocab_coverage", // vocabulary build + coverage
+    // round-5: new operators (sink round-trips s17/s18 stay excluded)
+    "dd8_semdedup",        // clustered pairwise-cosine semantic dedup
+    "tx17_bpe_merges",     // BPE merge rounds over the vocab table
+    "tx18_bigram_lm",      // interpolated bigram perplexity scoring
+    "w5_ranking_suite",    // dense_rank/percent_rank/cume_dist/ntile
+    "a12_grouping_sets",   // one-pass Expand over two grouping dims
+    "a13_pivot")           // static-value-list pivot
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

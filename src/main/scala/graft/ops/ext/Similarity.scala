@@ -1054,9 +1054,14 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir))
-    val asgn = kmAssign(kmCorpus(spark, dir), cents).select("vec_id", "cell_id")
-    val withVec = asgn
-      .join(Tables(spark, dir).embeddings.select("vec_id", "embedding"), Seq("vec_id"))
+    // the assignment table feeds THREE consumers (both self-join sides
+    // and the verdict projection) — cached so the corpus is clustered
+    // once, not three times; at scale this is the materialized
+    // (vec, cluster) artifact a SemDeDup run keeps anyway
+    val withVec = graft.engine.Caching.persist(
+      kmAssign(kmCorpus(spark, dir), cents).select("vec_id", "cell_id")
+        .join(Tables(spark, dir).embeddings.select("vec_id", "embedding"), Seq("vec_id")))
+    val asgn = withVec.select("vec_id", "cell_id")
     val a = withVec.select(col("cell_id"), col("vec_id").as("x"), col("embedding").as("ex"))
     val b = withVec.select(col("cell_id"), col("vec_id").as("y"), col("embedding").as("ey"))
     val evidence = a.join(b, Seq("cell_id"))

@@ -924,8 +924,12 @@ object TextAnalysis {
       """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
         |         (a, b) -> struct(a AS prev, b AS cur))""".stripMargin)).as("pc"))
       .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
-    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("n_bi"))
-    val docPairs = pairs.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("n_in_doc"))
+    // one explode pass: the corpus bigram table is the SUM of the
+    // per-doc pre-agg (cached — it feeds both the freq derivation and
+    // the score join), never a second pass over the exploded stream
+    val docPairs = graft.engine.Caching.persist(
+      pairs.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("n_in_doc")))
+    val bi = docPairs.groupBy("prev", "cur").agg(sum("n_in_doc").as("n_bi"))
     val pairLl = docPairs
       .join(bi, Seq("prev", "cur"))
       .join(uni.select(col("tok").as("prev"), col("n_uni").as("n_prev")), Seq("prev"))
@@ -963,8 +967,8 @@ object TextAnalysis {
       |      unnest(list_transform(range(1, len(w)), i -> {'prev': w[i], 'cur': w[i+1]})) AS pc
       |    FROM d)
       |),
-      |bi AS (SELECT prev, cur, count(*) AS n_bi FROM pairs GROUP BY prev, cur),
       |dp AS (SELECT doc_id, prev, cur, count(*) AS n_in_doc FROM pairs GROUP BY 1, 2, 3),
+      |bi AS (SELECT prev, cur, CAST(sum(n_in_doc) AS BIGINT) AS n_bi FROM dp GROUP BY prev, cur),
       |pll AS (
       |  SELECT dp.doc_id,
       |    sum(CAST(n_in_doc AS DOUBLE) * ln(
