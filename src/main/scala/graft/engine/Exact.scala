@@ -15,6 +15,28 @@ import org.apache.spark.sql.types.DecimalType
   * on tz annotation for timestamp columns.
   */
 object Exact {
+
+  /** Tie-portable 6-decimal rounding of a DOUBLE expression.
+    *
+    * `round(x, 6)` is NOT cross-engine-safe when x can land exactly on
+    * a decimal midpoint (dyadic rationals — ratios of power-of-two
+    * counts — do, constantly): Spark rounds the exact binary expansion
+    * HALF_UP via BigDecimal while DuckDB multiplies and rounds the
+    * double, and the two disagree on ties (observed: 1.0015625 →
+    * 1.001563 vs 1.001562). This form — floor(x·1e6 + 0.5)/1e6 with
+    * every literal string-cast — makes BOTH engines execute the
+    * identical IEEE sequence, so whatever the tie does, it does it the
+    * same way twice. Use for compared outputs whose inputs are exact
+    * rationals; transcendental-valued outputs (cosines, logs) hit ties
+    * with probability ~0 and keep plain round(). */
+  def portableRound6(c: String): String =
+    s"floor(($c) * cast('1000000' as double) + cast('0.5' as double))" +
+      " / cast('1000000' as double)"
+
+  /** DuckDB twin of [[portableRound6]] — same ops, same order. */
+  def portableRound6Sql(c: String): String =
+    s"floor(($c) * '1000000'::DOUBLE + '0.5'::DOUBLE) / '1000000'::DOUBLE"
+
   /** Exact decimal sum of a double column, surfaced as DOUBLE.
     * DuckDB mirror: CAST(CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE). */
   def decSum(c: Column): Column = decSumRaw(c).cast("double")

@@ -1,5 +1,6 @@
 package graft.ops.ext
 
+import graft.engine.Exact.{portableRound6, portableRound6Sql}
 import graft.engine.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -732,7 +733,16 @@ object TextAnalysis {
     * FIXED-ORDER left-associated sum of products of int/int-division
     * doubles and string-cast literal weights, which both engines
     * evaluate bit-identically (the '1.234'::DOUBLE discipline). Zero
-    * shuffle: one narrow codegen'd projection. */
+    * shuffle: one narrow codegen'd projection.
+    *
+    * Rounding: NOT `round(x, 6)` — the fixture's power-of-two token
+    * counts make the logit a dyadic rational that lands EXACTLY on
+    * decimal midpoints (e.g. 1.0015625), and the engines' tie
+    * semantics differ there (Spark HALF_UP on the exact binary
+    * expansion vs DuckDB's multiply-then-round; found as a real 1-row
+    * hash mismatch at sf0.1). [[portableRound6]] makes both engines
+    * run the IDENTICAL IEEE sequence — floor(x·1e6 + 0.5)/1e6 — so
+    * ties break the same way by construction. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val (b, w1, w2, w3) = QcWeights
     val stopList = stop("en").map(s => s"'$s'").mkString(", ")
@@ -750,9 +760,9 @@ object TextAnalysis {
           s" + cast('$w2' as double) * stop_ratio + cast('$w3' as double) * len_feat"))
       .select(
         col("doc_id"),
-        round(col("uniq_ratio"), 6).as("uniq_ratio_r"),
-        round(col("stop_ratio"), 6).as("stop_ratio_r"),
-        round(col("logit"), 6).as("logit_r"),
+        expr(portableRound6("uniq_ratio")).as("uniq_ratio_r"),
+        expr(portableRound6("stop_ratio")).as("stop_ratio_r"),
+        expr(portableRound6("logit")).as("logit_r"),
         (col("logit") > 0.0).as("keep"))
       .orderBy("doc_id")
   }
@@ -772,9 +782,9 @@ object TextAnalysis {
       |    '$b'::DOUBLE + '$w1'::DOUBLE * uniq_ratio
       |      + '$w2'::DOUBLE * stop_ratio + '$w3'::DOUBLE * len_feat AS logit
       |  FROM f)
-      |SELECT doc_id, round(uniq_ratio, 6) AS uniq_ratio_r,
-      |       round(stop_ratio, 6) AS stop_ratio_r,
-      |       round(logit, 6) AS logit_r, logit > 0.0 AS keep
+      |SELECT doc_id, ${portableRound6Sql("uniq_ratio")} AS uniq_ratio_r,
+      |       ${portableRound6Sql("stop_ratio")} AS stop_ratio_r,
+      |       ${portableRound6Sql("logit")} AS logit_r, logit > 0.0 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
   }
 
