@@ -130,8 +130,124 @@ object Multimodal {
       |)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Signature bits / banding chunks / hamming threshold for mm4 (same
+    * pigeonhole guarantee as dd4: hamming ≤ 3 ⇒ ≥ 1 of 4 15-bit chunks
+    * identical). */
+  val PhashBits = 60
+  val PhashHamMax = 3
+
+  /** Content-defined sampling modulus: a shingle is a feature iff its
+    * hash ≡ 0 (mod 4). Position-strided sampling would misalign after a
+    * single-byte insertion (every later sample shifts); keying the
+    * sample on CONTENT keeps the retained feature set stable under
+    * shifts — the winnowing idea, and why near-dup payloads keep small
+    * hamming distances here.
+    *
+    * Recall is MEASURED, not guaranteed: a signature hash concentrates
+    * set similarity into hamming distance with variance (bits whose
+    * ±1 sums sit near zero flip on small feature changes), so a tail
+    * of genuine near-dups lands past any fixed threshold — 22/28 of
+    * the fixture's planted pairs fall within hamming 3 here, and which
+    * 6 miss MOVES with the sampling rate (4, 8, or no sampling all
+    * leave a 4–9-hamming tail). That is inherent to SimHash-family
+    * signatures, not a tuning gap; when guaranteed recall at a Jaccard
+    * threshold is the requirement, the minhash band join (dd3) is the
+    * right tool — this operator's value is the CONSTANT-SIZE signature
+    * (one BIGINT per payload vs a signature row per band), which is
+    * what media-scale stores index. */
+  val PhashSampleMod = 8
+
+  /** mm4: perceptual-hash-style near-duplicate pairing of media
+    * payloads — the media half of the dedup family: a 60-bit SimHash
+    * signature over content-defined byte-shingle features, banded by
+    * 15-bit chunk (pigeonhole), verified by popcount. In production the
+    * features are DECODED perceptual features (DCT blocks of frames,
+    * mel patches of audio) — the container has no codecs, so features
+    * are raw payload shingles (the fixture payload is text bytes, and
+    * the oracle engine can only substring TEXT — same discipline as
+    * mm3); every stage after feature extraction is the real pipeline:
+    * signatures travel as single BIGINTs, candidates form by band-key
+    * join (never payload-vs-payload), and payloads are never shuffled
+    * at all.
+    *
+    * Scale: one narrow explode pass per payload (⅛ of shingles
+    * survive the content-keyed sample), map-combined bit sums, a
+    * 4-way band self-join on 15-bit keys, popcount verify on ≤
+    * collision candidates. 100 TB of media dedups without a single
+    * byte of media moving. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 0 until PhashBits
+    val feats = mediaTable(spark, dir)
+      .select(col("doc_id"), col("content").cast("string").as("s"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(s) - 7, 1)), i -> substring(s, i, 8))"))
+        .as("sh"))
+      .withColumn("h", expr(graft.engine.PortableHash.md5Prefix60("sh")))
+      .filter(expr(s"h % $PhashSampleMod = 0"))
+    val bitSums = bits.map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = bits.map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val sigs = graft.engine.Caching.persist(
+      feats.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("phash", sig)
+        .select(col("doc_id"), col("phash")))
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      explode(expr("array(" +
+        (0 until 4).map(c => s"named_struct('c', $c, 'k', shiftright(phash, ${c * 15}) & 32767)")
+          .mkString(",") + ")")).as("band"))
+      .select(col("doc_id"), col("phash"), col("band.c").as("c"), col("band.k").as("k"))
+    val a = banded.select(col("c"), col("k"), col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val b = banded.select(col("c"), col("k"), col("doc_id").as("doc_b"), col("phash").as("pb"))
+    a.join(b, Seq("c", "k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(pa ^ pb)").cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashHamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val phashPairsOracle: String = {
+    val bitSums = (0 until PhashBits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n      ")
+    val sig = (0 until PhashBits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bands = (0 until 4)
+      .map(c => s"SELECT doc_id, phash, $c AS c, (phash >> ${c * 15}) & 32767 AS k FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH feats AS (
+      |  SELECT doc_id, h FROM (
+      |    SELECT doc_id,
+      |      ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT AS h
+      |    FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      |          FROM documents)
+      |  ) WHERE h % $PhashSampleMod = 0
+      |),
+      |bits AS (
+      |  SELECT doc_id,
+      |      $bitSums
+      |  FROM feats GROUP BY doc_id
+      |),
+      |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS phash FROM bits),
+      |banded AS (
+      |  $bands
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |  FROM banded a JOIN banded b ON a.c = b.c AND a.k = b.k AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming FROM cand
+      |WHERE hamming <= $PhashHamMax ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("mm1_binary_meta", binaryMetaOracle)(binaryMeta),
     QueryDef.rowsOnly("mm2_decode_stub")(decodeStub),
-    QueryDef.sql("mm3_chunk_manifest", chunkManifestOracle)(chunkManifest))
+    QueryDef.sql("mm3_chunk_manifest", chunkManifestOracle)(chunkManifest),
+    QueryDef.sql("mm4_phash_pairs", phashPairsOracle)(phashPairs))
 }
