@@ -180,8 +180,113 @@ object Sinks {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY event_type, event_date""".stripMargin
 
+  /** Target file count for the s19 z-order layout. */
+  val ZorderFiles = 64
+
+  /** Rank-quantization buckets per dimension (8 bits each → 16-bit
+    * z-values). Z-ordering interleaves ORDER STATISTICS, not raw
+    * values: dimensions of different bit widths (user_id ~7 bits vs
+    * hour 10 bits here) make a raw interleave cut only on the wider
+    * dimension's bits, leaving the narrow dimension's file bounds
+    * full-range — measured as ZERO file pruning before quantization. */
+  val ZorderBuckets = 256
+
+  /** 16-bit Morton spread: insert a zero bit between every bit of x
+    * (the magic-number interleave). Pure shifts/masks — identical
+    * operators in both engines, so the whole z-value is
+    * hash-comparable. */
+  private def spreadBits(x: String): String = {
+    val s1 = s"(($x | shiftleft($x, 8)) & 16711935)"      // 0x00FF00FF
+    val s2 = s"(($s1 | shiftleft($s1, 4)) & 252645135)"   // 0x0F0F0F0F
+    val s3 = s"(($s2 | shiftleft($s2, 2)) & 858993459)"   // 0x33333333
+    s"(($s3 | shiftleft($s3, 1)) & 1431655765)"           // 0x55555555
+  }
+
+  /** s19: Z-ORDER layout planning — multi-dimensional clustering for
+    * data skipping (the Delta/Iceberg `OPTIMIZE ZORDER BY` shape): rows
+    * are ordered by the Morton interleave of two query dimensions
+    * (user_id × hour-of-month), each first rank-quantized to
+    * [[ZorderBuckets]] equal-frequency buckets (see that constant's
+    * scaladoc for why raw-value interleaves fail), and packed into
+    * [[ZorderFiles]] files;
+    * the output is the layout manifest — per-file row count and
+    * MIN/MAX of BOTH dimensions, i.e. exactly the column statistics a
+    * scan planner prunes files with. A single-dimension sort gives
+    * tight bounds on one dim and full-range bounds on the other;
+    * z-ordering bounds BOTH (each file is a Morton-curve segment ≈ a
+    * bounding box), which is what turns a point/range predicate on
+    * EITHER dimension into a file-level skip. SinksSpec measures it:
+    * a user-range predicate prunes several× more files under this
+    * layout than under the time-sorted one.
+    *
+    * Scale: the z-value is a narrow integer projection; the pack is an
+    * ORDER BY z — at 100 TB that is `repartitionByRange(zvalue)` +
+    * per-file stats at write (what table formats do); the fixture form
+    * uses an exact ntile so the file boundaries — and therefore the
+    * manifest — are engine-deterministic. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // BIGINT end to end: a 32-bit int interleave overflows on the
+    // `<< 1` of the second dimension, and int overflow wraps in one
+    // engine and promotes in the other
+    val e = Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        col("user_id").cast("bigint").as("u"),
+        expr("(unix_millis(cast(ts as timestamp)) div 3600000) % 1024").as("h"))
+    val q = e
+      .withColumn("uq",
+        (ntile(ZorderBuckets).over(Window.orderBy(col("u"), col("event_id"))) - 1)
+          .cast("bigint"))
+      .withColumn("hq",
+        (ntile(ZorderBuckets).over(Window.orderBy(col("h"), col("event_id"))) - 1)
+          .cast("bigint"))
+    val z = q
+      .withColumn("zvalue",
+        expr(s"${spreadBits("uq")} | shiftleft(${spreadBits("hq")}, 1)"))
+      .withColumn("file_id",
+        ntile(ZorderFiles).over(Window
+          .orderBy(col("zvalue"), col("event_id"))).cast("bigint"))
+    z.groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("u").as("min_u"), max("u").as("max_u"),
+        min("h").as("min_h"), max("h").as("max_h"))
+      .orderBy("file_id")
+  }
+
+  val zorderLayoutOracle: String = {
+    def spread(x: String): String = {
+      val s1 = s"(($x | ($x << 8)) & 16711935)"
+      val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+      val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+      s"(($s3 | ($s3 << 1)) & 1431655765)"
+    }
+    s"""WITH e AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+      |         CAST((epoch_ms(ts) // 3600000) % 1024 AS BIGINT) AS h
+      |  FROM events
+      |),
+      |q AS (
+      |  SELECT event_id, u, h,
+      |         CAST(ntile($ZorderBuckets) OVER (ORDER BY u, event_id) - 1 AS BIGINT) AS uq,
+      |         CAST(ntile($ZorderBuckets) OVER (ORDER BY h, event_id) - 1 AS BIGINT) AS hq
+      |  FROM e
+      |),
+      |z AS (
+      |  SELECT event_id, u, h, ${spread("uq")} | (${spread("hq")} << 1) AS zvalue FROM q
+      |),
+      |f AS (
+      |  SELECT u, h, ntile($ZorderFiles) OVER (ORDER BY zvalue, event_id) AS file_id FROM z
+      |)
+      |SELECT CAST(file_id AS BIGINT) AS file_id, count(*) AS n,
+      |       min(u) AS min_u, max(u) AS max_u,
+      |       min(h) AS min_h, max(h) AS max_h
+      |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s5_csv_roundtrip", csvRoundtripOracle)(csvRoundtrip),
+    QueryDef.sql("s19_zorder_layout", zorderLayoutOracle)(zorderLayout),
     QueryDef.sql("s17_jsonl_roundtrip", jsonlRoundtripOracle)(jsonlRoundtrip),
     QueryDef.sql("s18_orc_roundtrip", orcRoundtripOracle)(orcRoundtrip),
     QueryDef.sql("s9_partitioned_sink", partitionedSinkRoundtripOracle)(partitionedSinkRoundtrip),

@@ -175,6 +175,38 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(wBi > 0.0)
   }
 
+  test("z-order layout prunes more files than a time-sorted layout for a user-range predicate") {
+    import graft.ops.bronze.Sinks
+    val manifest = Sinks.zorderLayout(spark, Sf)
+      .select("file_id", "min_u", "max_u", "min_h", "max_h")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest.size == Sinks.ZorderFiles)
+    // baseline layout: same rows packed into the same file count in
+    // TIME order (the default ingest layout) — u bounds computed
+    // driver-side from the same inputs
+    val rows = graft.engine.Tables(spark, Sf).events
+      .select(col("user_id").cast("long"),
+        expr("(unix_millis(cast(ts as timestamp)) div 3600000) % 1024"))
+      .as[(Long, Long)].collect().toSeq
+    val perFile = math.ceil(rows.size.toDouble / Sinks.ZorderFiles).toInt
+    val timeFiles = rows.sortBy { case (u, h) => (h, u) }.grouped(perFile)
+      .map(g => (g.map(_._1).min, g.map(_._1).max)).toSeq
+    // user-range point-ish predicate: 1/16 of the u domain
+    val us = rows.map(_._1)
+    val (lo, hi) = (us.min, us.max)
+    val w = math.max((hi - lo) / 16, 1)
+    val (r0, r1) = (lo + 7 * w, lo + 8 * w)
+    def pruned(files: Seq[(Long, Long)]): Int =
+      files.count { case (mn, mx) => mx < r0 || mn > r1 }
+    val zPruned = pruned(manifest.map(m => (m._2, m._3)))
+    val tPruned = pruned(timeFiles)
+    info(s"files=${Sinks.ZorderFiles} zPruned=$zPruned timeSortPruned=$tPruned")
+    assert(zPruned > tPruned,
+      s"z-order layout ($zPruned) did not out-prune time layout ($tPruned)")
+    assert(zPruned >= Sinks.ZorderFiles / 2,
+      s"z-order pruned only $zPruned/${Sinks.ZorderFiles} for a 1/16-width predicate")
+  }
+
   test("BPE merge fold: greedy left-to-right, overlap-correct, boundary-safe") {
     // (symbols, pair a, pair b) -> expected merged symbol string; the
     // reference outcomes are hand-derived BPE-greedy applications
