@@ -765,6 +765,81 @@ object Dedup {
       |FROM g LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // -- dd9: bloom-prefiltered incremental (re-delivery) dedup ----------
+
+  /** Sketch sizing for [[bloomDedup]]: ~8 bits per expected history
+    * fingerprint at 1 M items → a 1 MiB sketch (ε ≈ 2%). At 100 TB the
+    * estimate scales with the history's row count, not its bytes — a
+    * billion-document history is a ~1 GiB sketch, still a broadcast,
+    * not a shuffle. */
+  val BloomEstItems = 1000000L
+  val BloomNumBits  = 8388608L
+
+  /** [[bloomDedup]] over any `(doc_id, text)` frame, with the sketch
+    * size exposed so the spec can force false positives. Returns
+    * (result, probed-incoming) — the second frame carries the raw
+    * `maybe_dup` bloom verdicts for the no-false-negative assertion. */
+  private[graft] def bloomDedupOf(
+      spark: SparkSession, docs: DataFrame, numBits: Long): (DataFrame, DataFrame) = {
+    graft.functions.BloomSketch.register(spark)
+    val fp = docs.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fingerprint"))
+    val history  = fp.filter(col("doc_id") % 10 < 8)
+    val incoming = fp.filter(col("doc_id") % 10 >= 6)
+    // One full-history pass reduces to an O(numBits/8) driver-side
+    // sketch — the only per-epoch touch of history outside the verify
+    // join, and the merge is a bitwise OR, so the bitset is identical
+    // under any partitioning. A null sketch means the history was empty:
+    // every incoming row is new and the probe short-circuits to false.
+    val sketch = history
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("fingerprint")), lit(BloomEstItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probe =
+      if (sketch == null) lit(false)
+      else call_function("graft_bloom_might_contain", lit(sketch), xxhash64(col("fingerprint")))
+    val probed = Caching.persist(incoming.withColumn("maybe_dup", probe))
+    // Definite-new rows (the vast majority of a healthy batch) never
+    // reach an exchange; only bloom positives — true re-deliveries plus
+    // the ε false-positive tail — join history for the exact verdict.
+    val negatives = probed.filter(!col("maybe_dup"))
+      .select(col("doc_id"), lit(false).as("is_dup"))
+    val histFp = history.select("fingerprint").distinct().withColumn("hit", lit(true))
+    val verified = probed.filter(col("maybe_dup"))
+      .join(histFp, Seq("fingerprint"), "left_outer")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+    (negatives.unionByName(verified).orderBy("doc_id"), probed)
+  }
+
+  /** dd9: incremental ingest dedup with a bloom prefilter — the
+    * at-least-once re-delivery scenario: an ingest batch (`doc_id % 10
+    * >= 6`) partially overlaps the already-landed history (`doc_id % 10
+    * < 8`; the `{6,7}` residues are the re-delivered rows), and each
+    * incoming document must be classified dup-vs-new BY CONTENT before
+    * landing. The naive shape joins the whole batch against the whole
+    * history every epoch; here Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (the runtime row-level-filter machinery,
+    * invoked declaratively — [[graft.functions.BloomSketch]]) compress
+    * history to a ~1 MiB sketch, the batch probes it without shuffling,
+    * and only bloom positives enter the exact fingerprint join. Bloom
+    * errors are one-sided, so the final `is_dup` is EXACT: negatives
+    * are definitely new, and the verify join clears the ε false
+    * positives — which is why the query stays DuckDB-oracle-checkable
+    * (plain semi-join semantics) despite the approximate prefilter. */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame =
+    bloomDedupOf(spark, Tables(spark, dir).documents, BloomNumBits)._1
+
+  lazy val bloomDedupOracle: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8)
+      |SELECT i.doc_id AS doc_id, (h.fingerprint IS NOT NULL) AS is_dup
+      |FROM fp i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+      |WHERE i.doc_id % 10 >= 6
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -776,5 +851,6 @@ object Dedup {
     QueryDef.sql("dd5b_embedding_dup_grid", embeddingTopPairsOracle)(embeddingTopPairsGrid),
     QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup),
     QueryDef.sql("dd6_dup_clusters", dupClustersOracle)(dupClusters),
-    QueryDef.sql("dd7_dup_passages", dupPassagesOracle)(dupPassages))
+    QueryDef.sql("dd7_dup_passages", dupPassagesOracle)(dupPassages),
+    QueryDef.sql("dd9_bloom_dedup", bloomDedupOracle)(bloomDedup))
 }

@@ -237,4 +237,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val recall = bruteForcePairs.count(pairs.contains).toDouble / bruteForcePairs.size
     assert(recall >= 0.5, s"simhash recall $recall")
   }
+
+  test("dd9 bloom verdicts are exact: parity with brute-force join, no false negatives") {
+    // re-delivery corpus: ids 0..99; history = %10<8, incoming = %10>=6.
+    // Residues 6,7 are re-delivered content (same text as their history
+    // copy — here literally the same row); 8,9 are genuinely new.
+    val docs = (0L until 100L).map(i => (i, s"document body number ${i % 80}"))
+      .toDF("doc_id", "text")
+    val (result, probed) = Dedup.bloomDedupOf(spark, docs, Dedup.BloomNumBits)
+    val got = result.as[(Long, Boolean)].collect().toMap
+    assert(got.size == 40)
+    got.foreach { case (id, dup) =>
+      assert(dup == (id % 10 < 8), s"doc $id classified $dup") }
+    // one-sided error: every true dup must be bloom-positive
+    val falseNeg = probed.filter(col("maybe_dup") === false)
+      .filter(col("doc_id") % 10 < 8).count()
+    assert(falseNeg == 0L)
+  }
+
+  test("dd9 stays exact when a tiny sketch forces bloom false positives") {
+    // 64 bits for 800 distinct history fingerprints: the sketch
+    // saturates, the genuinely-new rows (residues 8,9) go bloom-positive
+    // anyway, and the verify join must clear every one of them
+    val docs = (0L until 1000L).map(i => (i, s"unique payload $i"))
+      .toDF("doc_id", "text")
+    val (result, probed) = Dedup.bloomDedupOf(spark, docs, numBits = 64L)
+    val got = result.as[(Long, Boolean)].collect().toMap
+    got.foreach { case (id, dup) =>
+      assert(dup == (id % 10 < 8), s"doc $id classified $dup") }
+    val falsePos = probed
+      .filter(col("maybe_dup") && col("doc_id") % 10 >= 8).count()
+    assert(falsePos > 0L, "sketch this small must produce false positives")
+  }
 }
