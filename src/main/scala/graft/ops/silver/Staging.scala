@@ -176,6 +176,59 @@ object Staging {
       |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY src_batch DESC) = 1
       |ORDER BY event_id""".stripMargin
 
+  /** s20: SCD Type-2 dimension build — the warehouse-standard history
+    * table that S14's MERGE (type-1, overwrite-in-place) cannot express:
+    * each user's tracked attribute (their latest event_type, read as a
+    * "segment") becomes a versioned interval row with
+    * `[valid_from, valid_to)` bounds, one open (`is_current`) row per
+    * key. Classic two-step: suppress no-op rows (`lag` — an event that
+    * doesn't change the attribute creates no version), then close each
+    * interval with the next change's timestamp (`lead`). Both windows
+    * share one partitioning (`user_id`) and one ordering, so the whole
+    * build is a single shuffle + one sort — Catalyst folds the two
+    * Window nodes onto the same exchange (no re-sort between them).
+    * Ordering ties break on event_id, and time stays in raw int64
+    * nanos until the final ms projection (`div`, not `/` — a double
+    * quotient of epoch-nanos loses precision past 2⁵³), so the build
+    * is deterministic and engine-portable at any timestamp jitter. */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).eventsRaw
+      .select(col("user_id"), col("event_type").as("segment"),
+        col("ts").as("at_ns"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("at_ns"), col("event_id"))
+    ev.withColumn("prev", lag(col("segment"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("segment"))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_to_ns", lead(col("at_ns"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("version"),
+        col("segment"),
+        expr("at_ns div 1000000").as("valid_from_ms"),
+        expr("valid_to_ns div 1000000").as("valid_to_ms"),
+        col("valid_to_ns").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2BuildOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS segment, epoch_ns(ts) AS at_ns, event_id
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, segment, at_ns, event_id FROM (
+      |    SELECT *, lag(segment) OVER (PARTITION BY user_id ORDER BY at_ns, event_id) AS prev
+      |    FROM ev)
+      |  WHERE prev IS NULL OR prev <> segment)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  segment,
+      |  at_ns // 1000000 AS valid_from_ms,
+      |  lead(at_ns) OVER w // 1000000 AS valid_to_ms,
+      |  (lead(at_ns) OVER w IS NULL) AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY at_ns, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** P1-adjacent resilience: malformed/missing JSON fields coerce to NULL
     * (PERMISSIVE semantics), never fail the pipeline — per-doc parse
     * health surfaces as counters a quality gate can threshold. */
@@ -205,5 +258,6 @@ object Staging {
     QueryDef.sql("a4_dedup_lww", dedupLwwOracle)(dedupLww),
     QueryDef.sql("p10_watermark_filter", watermarkFilterOracle)(watermarkFilter),
     QueryDef.sql("p11_date_param_scan", dateParamScanOracle)(dateParamScan),
-    QueryDef.sql("s14_incremental_merge", incrementalMergeOracle)(incrementalMerge))
+    QueryDef.sql("s14_incremental_merge", incrementalMergeOracle)(incrementalMerge),
+    QueryDef.sql("s20_scd2_dim", scd2BuildOracle)(scd2Build))
 }

@@ -227,4 +227,26 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       assert(g == want, s"fold('$s', '$a $b') = '$g', want '$want'")
     }
   }
+
+  test("SCD2 history: contiguous versions, abutting intervals, one open row per key") {
+    val rows = graft.ops.silver.Staging.scd2Build(spark, Sf)
+      .select("user_id", "version", "segment", "valid_from_ms", "valid_to_ms", "is_current")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("segment"),
+        r.getAs[Long]("valid_from_ms"),
+        if (r.isNullAt(4)) None else Some(r.getAs[Long]("valid_to_ms")),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, hist) =>
+      val h = hist.sortBy(_._2)
+      assert(h.map(_._2).toSeq == (1L to h.length).toSeq, s"user $uid versions not contiguous")
+      assert(h.count(_._6) == 1 && h.last._6, s"user $uid open-row count")
+      h.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._5.contains(b._4), s"user $uid intervals must abut exactly")
+        assert(a._3 != b._3, s"user $uid consecutive versions share a segment (no-op row)")
+      }
+      assert(h.last._5.isEmpty, s"user $uid last interval must be open")
+    }
+  }
 }
