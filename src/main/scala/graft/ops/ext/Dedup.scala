@@ -765,6 +765,55 @@ object Dedup {
       |FROM g LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // -- dd10: dedup-aware reweighting (soft dedup) ----------------------
+
+  /** dd10: dedup-aware REWEIGHTING — the soft alternative to dropping:
+    * instead of discarding a near-dup cluster's members, keep the
+    * exemplar (min doc_id — which IS the cluster label, so no extra
+    * join to find it) carrying `weight = cluster size`, and give every
+    * un-clustered document weight 1. Downstream sampling then draws the
+    * exemplar proportionally to how often its content appeared — the
+    * frequency signal duplicate-dropping throws away (the
+    * importance-resampling view of dedup, cf. DataComp-LM's treatment
+    * of duplicate counts as a quality feature). Invariant:
+    * `sum(weight) == |corpus|`, so the training-token budget is
+    * preserved exactly. Cost on top of [[dupClusters]] is one count
+    * per cluster label plus an anti-join of the (bare-id) member set
+    * against the corpus — id-width shuffles only. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Caching.persist(
+      dupClusters(spark, dir).select("cluster_id", "doc_id"))
+    val exemplars = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("weight"))
+      .select(col("cluster_id").as("doc_id"), col("weight"))
+    val singletons = Tables(spark, dir).documents.select("doc_id")
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("weight", lit(1L))
+    singletons.unionByName(exemplars).orderBy("doc_id")
+  }
+
+  lazy val dedupWeightsOracle: String =
+    s"""WITH RECURSIVE $minhashVerifiedCtes,
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM verified
+      |  UNION SELECT doc_b, doc_a FROM verified
+      |),
+      |reach(doc_id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v
+      |),
+      |clusters AS (SELECT min(r) AS cluster_id, doc_id FROM reach GROUP BY doc_id),
+      |cw AS (
+      |  SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS weight
+      |  FROM clusters GROUP BY 1)
+      |SELECT doc_id, weight FROM cw
+      |UNION ALL
+      |SELECT d.doc_id, CAST(1 AS BIGINT) AS weight
+      |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      |WHERE c.doc_id IS NULL
+      |ORDER BY doc_id""".stripMargin
+
   // -- dd9: bloom-prefiltered incremental (re-delivery) dedup ----------
 
   /** Sketch sizing for [[bloomDedup]]: ~8 bits per expected history
@@ -852,5 +901,6 @@ object Dedup {
     QueryDef.sql("dd5c_embedding_lsh_dup", embeddingLshDupOracle)(embeddingLshDup),
     QueryDef.sql("dd6_dup_clusters", dupClustersOracle)(dupClusters),
     QueryDef.sql("dd7_dup_passages", dupPassagesOracle)(dupPassages),
-    QueryDef.sql("dd9_bloom_dedup", bloomDedupOracle)(bloomDedup))
+    QueryDef.sql("dd9_bloom_dedup", bloomDedupOracle)(bloomDedup),
+    QueryDef.sql("dd10_dedup_weights", dedupWeightsOracle)(dedupWeights))
 }

@@ -238,6 +238,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.5, s"simhash recall $recall")
   }
 
+  test("dd10 soft dedup conserves the token budget and keeps only exemplars") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val n = docs.count()
+    val w = Dedup.dedupWeights(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(w.values.map(_.toLong).sum == n, "sum(weight) must equal corpus size")
+    // ground truth clusters from the exhaustive pair set
+    val clusters = Dedup.dupClusters(spark, Sf)
+      .as[(Long, Long)].collect().groupBy(_._1)
+    clusters.foreach { case (label, members) =>
+      assert(w.get(label).contains(members.length.toLong),
+        s"exemplar $label weight")
+      members.map(_._2).filter(_ != label).foreach(m =>
+        assert(!w.contains(m), s"non-exemplar $m must be dropped"))
+    }
+    // everything not in a cluster carries weight 1
+    val memberSet = clusters.values.flatten.map(_._2).toSet
+    w.foreach { case (id, wt) =>
+      if (!memberSet.contains(id)) assert(wt == 1L, s"singleton $id weight $wt") }
+  }
+
   test("dd9 bloom verdicts are exact: parity with brute-force join, no false negatives") {
     // re-delivery corpus: ids 0..99; history = %10<8, incoming = %10>=6.
     // Residues 6,7 are re-delivered content (same text as their history
