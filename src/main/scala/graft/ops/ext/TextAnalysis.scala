@@ -538,6 +538,57 @@ object TextAnalysis {
       |      '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_fp
       |FROM inj ORDER BY doc_id""".stripMargin
 
+  /** tx19: Unicode + whitespace normalization — the cleanup every
+    * published pipeline runs BEFORE fingerprints, shingles, or token
+    * counts exist: NFC-compose the codepoint sequence (visually equal
+    * strings must hash equal — `e`+U+0301 vs `é`), blank out control
+    * characters, collapse whitespace runs, trim. NFC runs as the native
+    * codegen'd [[graft.functions.NfcNormalize]] expression (Spark has
+    * no builtin normalizer; a UDF would break whole-stage codegen) with
+    * a quick-check fast path, so already-normal text — nearly all of a
+    * real corpus — costs one scan and no allocation. The fixture is
+    * ASCII word-soup, so (same device as tx12) a deterministic unicode
+    * mess is injected on every 5th doc first: a decomposed `é`, a tab,
+    * a double space. Pure narrow projections, zero shuffle; both
+    * engines implement UAX #15, so the oracle compares md5 fingerprints
+    * of the normalized text itself. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    Tables(spark, dir).documents
+      .withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" caf"), lit("é"), lit("\t"), lit("done  end")))
+          .otherwise(col("text")))
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(
+          call_function("nfc", col("text2")), "[\\p{Cc}]", " "), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        (col("norm") =!= col("text2")).as("changed"),
+        length(col("text2")).cast("bigint").as("n_chars_raw"),
+        length(col("norm")).cast("bigint").as("n_chars_norm"),
+        md5(col("norm").cast("binary")).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeTextOracle: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN text || ' caf' || chr(101) || chr(769) || chr(9) || 'done  end'
+      |         ELSE text END AS text2
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, text2,
+      |    trim(regexp_replace(regexp_replace(
+      |      nfc_normalize(text2), '[\p{Cc}]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM inj)
+      |SELECT doc_id, (norm <> text2) AS changed,
+      |  CAST(length(text2) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+      |  md5(norm) AS norm_fp
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** Decontamination n-gram width — long enough that natural text
     * collides only on true shared passages (published pipelines use
     * 8–13-gram overlap against benchmark text). */
@@ -1020,5 +1071,6 @@ object TextAnalysis {
     QueryDef.sql("tx13_decontaminate", decontaminateOracle)(decontaminate),
     QueryDef.sql("tx14_mix_weights", mixWeightsOracle)(mixWeights),
     QueryDef.sql("tx15_vocab_coverage", vocabCoverageOracle)(vocabCoverage),
-    QueryDef.sql("tx16_quality_classifier", qualityClassifierOracle)(qualityClassifier))
+    QueryDef.sql("tx16_quality_classifier", qualityClassifierOracle)(qualityClassifier),
+    QueryDef.sql("tx19_normalize", normalizeTextOracle)(normalizeText))
 }

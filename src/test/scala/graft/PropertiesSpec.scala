@@ -228,6 +228,30 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("nfc expression composes canonically (codegen and interpreted)") {
+    graft.functions.NfcNormalize.register(spark)
+    val decomposed = "café"          // e + combining acute
+    val composed = "café"             // precomposed é
+    val cases = Seq(decomposed, composed, "plain ascii", "", "ḍ̇")
+    def run(): Seq[(String, String)] = cases.toDF("s")
+      .select(col("s"), expr("nfc(s)").as("n")).as[(String, String)].collect().toSeq
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp = try run()
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(viaCodegen == viaInterp)
+    val m = viaCodegen.toMap
+    assert(m(decomposed) == composed, "NFC must compose e+U+0301 to é")
+    assert(m(composed) == composed, "already-normal text unchanged")
+    assert(m("plain ascii") == "plain ascii" && m("") == "")
+    // UAX #15 ordering case: ḋ + dot-below must reorder+compose to ḍ+dot-above
+    assert(m("ḍ̇") == "ḍ̇")
+    // null propagates
+    val nul = Seq[(java.lang.Long, String)]((1L, null)).toDF("i", "s")
+      .select(expr("nfc(s)")).collect()
+    assert(nul.head.isNullAt(0))
+  }
+
   test("SCD2 history: contiguous versions, abutting intervals, one open row per key") {
     val rows = graft.ops.silver.Staging.scd2Build(spark, Sf)
       .select("user_id", "version", "segment", "valid_from_ms", "valid_to_ms", "is_current")
