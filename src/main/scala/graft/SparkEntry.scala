@@ -28,6 +28,7 @@ object SparkEntry {
       graft.functions.Scalars.queries ++
       graft.ops.ext.TextAnalysis.queries ++
       graft.ops.ext.Dedup.queries ++
+      graft.ops.ext.GraphRank.queries ++
       graft.ops.ext.Similarity.queries ++
       graft.ops.ext.Multimodal.queries
 

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.ext.GraphRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphRankSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ranksOf(
+      nodes: Seq[Long], edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    graft.engine.Caching.scoped {
+      GraphRank.pageRankOf(
+        nodes.toDF("id"), edges.toDF("src", "dst"), nodes.length.toLong, rounds)
+        .as[(Long, Long)].collect().toMap
+    }
+
+  test("pagerank round matches hand-computed integer arithmetic on a 2-node graph") {
+    val m = GraphRank.Mass
+    val r0 = m / 2
+    val base = (3L * r0) / 20L
+    // symmetric pair, degree 1 each: every round r' = base + (17*r)/20
+    var expected = r0
+    for (_ <- 1 to 3) expected = base + (17L * expected) / 20L
+    val got = ranksOf(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L)), rounds = 3)
+    assert(got == Map(1L -> expected, 2L -> expected))
+  }
+
+  test("hub node outranks leaves; isolated node gets exactly the teleport base") {
+    // star: 2 is the hub of 1,3,4; node 9 is isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L)
+    val spokes = Seq(1L, 3L, 4L)
+    val edges = spokes.flatMap(s => Seq((s, 2L), (2L, s)))
+    val got = ranksOf(nodes, edges, rounds = 3)
+    val base = (3L * (GraphRank.Mass / nodes.length)) / 20L
+    assert(spokes.forall(s => got(2L) > got(s)), s"hub must outrank leaves: $got")
+    assert(got(9L) == base, "no in-edges → teleport mass only")
+  }
+
+  test("fixture graph: mass is conserved up to truncation loss; hubs rank high") {
+    val df = GraphRank.pageRank(spark, Sf)
+    val ranks = df.as[(Long, Long)].collect()
+    val n = ranks.length.toLong
+    val total = ranks.map(_._2).sum
+    // each round truncates < 1 quantum per division: per-edge contrib,
+    // per-node damping + base — bound the loss generously
+    val edges = 2L * 100000L
+    assert(total <= GraphRank.Mass)
+    assert(total > GraphRank.Mass - GraphRank.Rounds * (edges + 2 * n + 20),
+      s"mass leak: $total of ${GraphRank.Mass}")
+    // supplier nodes (the high-fan-in side of the bipartite graph)
+    // should dominate the top ranks
+    val top10 = ranks.sortBy(-_._2).take(10)
+    assert(top10.count(_._1 >= GraphRank.NodeOff) == 10,
+      s"expected supplier hubs on top: ${top10.mkString(",")}")
+  }
+}
