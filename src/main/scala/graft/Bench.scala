@@ -64,7 +64,13 @@ object Bench {
     "tx18_bigram_lm",      // interpolated bigram perplexity scoring
     "w5_ranking_suite",    // dense_rank/percent_rank/cume_dist/ntile
     "a12_grouping_sets",   // one-pass Expand over two grouping dims
-    "a13_pivot")           // static-value-list pivot
+    "a13_pivot",           // static-value-list pivot
+    // round-5 late wave
+    "dd9_bloom_dedup",     // sketch-prefiltered re-delivery dedup
+    "dd10_dedup_weights",  // soft dedup: exemplar + cluster-size weight
+    "pr1_pagerank",        // 3-round integer power iteration
+    "s20_scd2_dim",        // SCD2 interval build (two windows, one sort)
+    "tx19_normalize")      // NFC + whitespace normalization projection
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

@@ -589,6 +589,33 @@ object TextAnalysis {
       |  md5(norm) AS norm_fp
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** tx20: per-source quota cap — the per-domain document cap a crawl
+    * pipeline applies so no host dominates the mix (the "no more than N
+    * pages per domain" rule): keep the top-10 documents per `source`,
+    * preferring longer documents, doc_id as the deterministic
+    * tie-break. Runs through the native [[graft.plans.GroupedTopK]]
+    * operator — bounded per-group heaps partial/final around a
+    * survivors-only exchange, so a monster domain with millions of
+    * pages ships 10 rows, not its whole posting, through the shuffle
+    * (the window form exchanges and sorts EVERY row first). */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select("source", "doc_id", "n_chars")
+    val survivors = graft.plans.GroupedTopK(docs, Seq("source"),
+      Seq("n_chars" -> false, "doc_id" -> true), k = 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    survivors.withColumn("rk", row_number().over(w).cast("bigint"))
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  val sourceCapOracle: String =
+    """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   /** Decontamination n-gram width — long enough that natural text
     * collides only on true shared passages (published pipelines use
     * 8–13-gram overlap against benchmark text). */
@@ -1072,5 +1099,6 @@ object TextAnalysis {
     QueryDef.sql("tx14_mix_weights", mixWeightsOracle)(mixWeights),
     QueryDef.sql("tx15_vocab_coverage", vocabCoverageOracle)(vocabCoverage),
     QueryDef.sql("tx16_quality_classifier", qualityClassifierOracle)(qualityClassifier),
-    QueryDef.sql("tx19_normalize", normalizeTextOracle)(normalizeText))
+    QueryDef.sql("tx19_normalize", normalizeTextOracle)(normalizeText),
+    QueryDef.sql("tx20_source_cap", sourceCapOracle)(sourceCap))
 }

@@ -181,10 +181,51 @@ object Assertions {
       |         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
       |) ORDER BY table_name, column_name, check_name""".stripMargin
 
+  /** q6: ingest-volume anomaly detection — the dbt-source-freshness /
+    * volume-monitor check an orchestrated pipeline runs before trusting
+    * a partition: flag a day whose row count deviates from its trailing
+    * 7-day window by more than 2× in either direction. The window runs
+    * over the DAY-GRAIN rollup (O(days) rows — a decade is ~3.7k rows),
+    * never the event table, so the unpartitioned ordering is a
+    * metadata-sized sort, and the deviation test is pure integer
+    * cross-multiplication (`n·days > 2·sum`) — no float mean/stddev to
+    * drift between engines. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("trailing_sum", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("trailing_days", count("n").over(w))
+      .select(
+        col("day"), col("n"),
+        col("trailing_sum"), col("trailing_days"),
+        (col("trailing_days") >= 3 &&
+          (col("n") * col("trailing_days") > col("trailing_sum") * 2 ||
+            col("n") * col("trailing_days") * 2 < col("trailing_sum")))
+          .as("anomaly"))
+      .orderBy("day")
+  }
+
+  val volumeAnomalyOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
+      |SELECT day, CAST(n AS BIGINT) AS n,
+      |  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trailing_sum,
+      |  CAST(count(n) OVER w AS BIGINT) AS trailing_days,
+      |  (count(n) OVER w >= 3 AND
+      |    (n * (count(n) OVER w) > (coalesce(sum(n) OVER w, 0)) * 2 OR
+      |     n * (count(n) OVER w) * 2 < coalesce(sum(n) OVER w, 0))) AS anomaly
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |ORDER BY day""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
     QueryDef.sql("q3c_accepted_values", acceptedValuesCheckOracle)(acceptedValuesCheck),
     QueryDef.sql("q3d_relationships", relationshipCheckOracle)(relationshipCheck),
-    QueryDef.sql("q3e_contract_report", contractReportOracle)(contractReport))
+    QueryDef.sql("q3e_contract_report", contractReportOracle)(contractReport),
+    QueryDef.sql("q6_volume_anomaly", volumeAnomalyOracle)(volumeAnomaly))
 }

@@ -83,10 +83,46 @@ object SortSetOps {
       |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY custkey""".stripMargin
 
+  /** EXCEPT ALL — multiset difference: each customer key survives
+    * `max(orders_placed − high_value_orders, 0)` times. Plans as a
+    * count-per-row aggregate + generate (Spark's ExceptAll rewrite),
+    * not a row-by-row anti loop. */
+  def exceptAllKeys(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.select(col("o_custkey").as("custkey"))
+      .exceptAll(t.orders.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  val exceptAllKeysOracle: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY custkey""".stripMargin
+
+  /** INTERSECT ALL — multiset intersection: a key appears
+    * `min(n_left, n_right)` times. */
+  def intersectAllKeys(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.select(col("o_custkey").as("custkey"))
+      .intersectAll(t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  val intersectAllKeysOracle: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("o1_topk", topkOracle)(topk),
     QueryDef.sql("o2_union_all", unionAllOracle)(unionAll),
     QueryDef.sql("o5_union_distinct", unionDistinctOracle)(unionDistinct),
     QueryDef.sql("o3_intersect", intersectKeysOracle)(intersectKeys),
-    QueryDef.sql("o4_except", exceptKeysOracle)(exceptKeys))
+    QueryDef.sql("o4_except", exceptKeysOracle)(exceptKeys),
+    QueryDef.sql("o6_except_all", exceptAllKeysOracle)(exceptAllKeys),
+    QueryDef.sql("o7_intersect_all", intersectAllKeysOracle)(intersectAllKeys))
 }
