@@ -1,7 +1,7 @@
 package graft.ops.ext
 
 import graft.engine.Exact.{portableRound6, portableRound6Sql}
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Caching, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -428,17 +428,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val lmScoreOracle: String =
-    """WITH toks AS (
+  /** tx10's CTE chain, factored so [[pplBucketsOracle]] can reuse the
+    * per-doc score table verbatim. */
+  private val lmScoreCtes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
       |),
       |freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
       |total AS (SELECT count(*)::DOUBLE AS n FROM toks),
-      |dt AS (SELECT doc_id, tok, count(*) AS n_in_doc FROM toks GROUP BY 1, 2)
-      |SELECT doc_id, CAST(sum(n_in_doc) AS BIGINT) AS n_doc_tokens,
-      |  round(-sum(n_in_doc::DOUBLE * ln(n_tok::DOUBLE / total.n)) / sum(n_in_doc), 6) AS nll
-      |FROM dt JOIN freq USING (tok), total
-      |GROUP BY doc_id, total.n ORDER BY doc_id""".stripMargin
+      |dt AS (SELECT doc_id, tok, count(*) AS n_in_doc FROM toks GROUP BY 1, 2),
+      |scores AS (
+      |  SELECT doc_id, CAST(sum(n_in_doc) AS BIGINT) AS n_doc_tokens,
+      |    round(-sum(n_in_doc::DOUBLE * ln(n_tok::DOUBLE / total.n)) / sum(n_in_doc), 6) AS nll
+      |  FROM dt JOIN freq USING (tok), total
+      |  GROUP BY doc_id, total.n)""".stripMargin
+
+  val lmScoreOracle: String =
+    s"""WITH $lmScoreCtes
+      |SELECT doc_id, n_doc_tokens, nll FROM scores ORDER BY doc_id""".stripMargin
+
+  /** tx21: perplexity-bucketed corpus partitioning — CCNet's
+    * head/middle/tail split: score every document with the unigram LM
+    * (tx10), cut the score distribution at its exact tertiles, and
+    * label each document's bucket. The quantile runs over the per-doc
+    * SCORE table (one row per doc, not per token), and the two cut
+    * points travel back as a broadcast single-row frame — no collect,
+    * no second scoring pass (the score table is persisted,
+    * scope-released). Exact `percentile` interpolation matches DuckDB's
+    * `quantile_cont` at the same explicitly-double positions (the a11
+    * parity); scores are pre-rounded to 6 dp by tx10, so the boundary
+    * comparisons see identical doubles in both engines. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scores = Caching.persist(lmScore(spark, dir).select("doc_id", "nll"))
+    val bounds = scores.agg(
+      expr("percentile(nll, array(0.3333333333333333D, 0.6666666666666666D))").as("q"))
+      .select(element_at(col("q"), 1).as("t1"), element_at(col("q"), 2).as("t2"))
+    scores.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("nll"),
+        when(col("nll") <= col("t1"), lit("head"))
+          .when(col("nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val pplBucketsOracle: String =
+    s"""WITH $lmScoreCtes,
+      |b AS (
+      |  SELECT quantile_cont(nll, 0.3333333333333333::DOUBLE) AS t1,
+      |         quantile_cont(nll, 0.6666666666666666::DOUBLE) AS t2
+      |  FROM scores)
+      |SELECT doc_id, nll,
+      |  CASE WHEN nll <= t1 THEN 'head'
+      |       WHEN nll <= t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM scores, b ORDER BY doc_id""".stripMargin
 
   /** tx11: Gopher-style repetition filters — the pre-training quality
     * signals that catch degenerate/boilerplate text: fraction of
@@ -1100,5 +1143,6 @@ object TextAnalysis {
     QueryDef.sql("tx15_vocab_coverage", vocabCoverageOracle)(vocabCoverage),
     QueryDef.sql("tx16_quality_classifier", qualityClassifierOracle)(qualityClassifier),
     QueryDef.sql("tx19_normalize", normalizeTextOracle)(normalizeText),
-    QueryDef.sql("tx20_source_cap", sourceCapOracle)(sourceCap))
+    QueryDef.sql("tx20_source_cap", sourceCapOracle)(sourceCap),
+    QueryDef.sql("tx21_ppl_buckets", pplBucketsOracle)(pplBuckets))
 }

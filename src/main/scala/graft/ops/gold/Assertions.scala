@@ -221,11 +221,82 @@ object Assertions {
       |WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
       |ORDER BY day""".stripMargin
 
+  /** q7: table profiling — the dbt-docs / data-catalog statistics pass:
+    * per column, null count, exact distinct cardinality, and typed
+    * extremes (numeric min/max as DOUBLE, string/date extremes as
+    * strings), emitted long-form one row per column. Everything
+    * computes in ONE aggregate over one scan — the multiple DISTINCT
+    * aggregates plan as a single Expand (per-column replication), not
+    * six scans. Extremes are picked values, never arithmetic, so
+    * cross-engine equality is exact; a 100 TB profiler would swap the
+    * exact distincts for HLL sketches (a8/a8b), which is a one-line
+    * change here and the documented trade-off. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("c1"), countDistinct(col("o_orderkey")).as("d1"),
+      min(col("o_orderkey")).cast("double").as("mn1"), max(col("o_orderkey")).cast("double").as("mx1"),
+      count(col("o_custkey")).as("c2"), countDistinct(col("o_custkey")).as("d2"),
+      min(col("o_custkey")).cast("double").as("mn2"), max(col("o_custkey")).cast("double").as("mx2"),
+      count(col("o_totalprice")).as("c3"), countDistinct(col("o_totalprice")).as("d3"),
+      min(col("o_totalprice")).as("mn3"), max(col("o_totalprice")).as("mx3"),
+      count(col("o_orderstatus")).as("c4"), countDistinct(col("o_orderstatus")).as("d4"),
+      min(col("o_orderstatus")).as("smn4"), max(col("o_orderstatus")).as("smx4"),
+      count(col("o_orderpriority")).as("c5"), countDistinct(col("o_orderpriority")).as("d5"),
+      min(col("o_orderpriority")).as("smn5"), max(col("o_orderpriority")).as("smx5"),
+      count(col("o_orderdate")).as("c6"), countDistinct(col("o_orderdate")).as("d6"),
+      min(col("o_orderdate")).cast("date").cast("string").as("smn6"),
+      max(col("o_orderdate")).cast("date").cast("string").as("smx6"))
+      .select(expr(
+        """stack(6,
+          |  'o_orderkey',     n - c1, d1, mn1, mx1, cast(null as string), cast(null as string),
+          |  'o_custkey',      n - c2, d2, mn2, mx2, cast(null as string), cast(null as string),
+          |  'o_totalprice',   n - c3, d3, mn3, mx3, cast(null as string), cast(null as string),
+          |  'o_orderstatus',  n - c4, d4, cast(null as double), cast(null as double), smn4, smx4,
+          |  'o_orderpriority',n - c5, d5, cast(null as double), cast(null as double), smn5, smx5,
+          |  'o_orderdate',    n - c6, d6, cast(null as double), cast(null as double), smn6, smx6
+          |) as (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+      .orderBy("col_name")
+  }
+
+  val tableProfileOracle: String =
+    """WITH a AS (SELECT count(*) AS n,
+      |  count(o_orderkey) c1, count(DISTINCT o_orderkey) d1,
+      |    min(o_orderkey)::DOUBLE mn1, max(o_orderkey)::DOUBLE mx1,
+      |  count(o_custkey) c2, count(DISTINCT o_custkey) d2,
+      |    min(o_custkey)::DOUBLE mn2, max(o_custkey)::DOUBLE mx2,
+      |  count(o_totalprice) c3, count(DISTINCT o_totalprice) d3,
+      |    min(o_totalprice) mn3, max(o_totalprice) mx3,
+      |  count(o_orderstatus) c4, count(DISTINCT o_orderstatus) d4,
+      |    min(o_orderstatus) smn4, max(o_orderstatus) smx4,
+      |  count(o_orderpriority) c5, count(DISTINCT o_orderpriority) d5,
+      |    min(o_orderpriority) smn5, max(o_orderpriority) smx5,
+      |  count(o_orderdate) c6, count(DISTINCT o_orderdate) d6,
+      |    CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) smn6,
+      |    CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) smx6
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS col_name, CAST(n - c1 AS BIGINT) AS n_nulls,
+      |  CAST(d1 AS BIGINT) AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+      |UNION ALL SELECT 'o_custkey', CAST(n - c2 AS BIGINT), CAST(d2 AS BIGINT),
+      |  mn2, mx2, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_totalprice', CAST(n - c3 AS BIGINT), CAST(d3 AS BIGINT),
+      |  mn3, mx3, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_orderstatus', CAST(n - c4 AS BIGINT), CAST(d4 AS BIGINT),
+      |  NULL, NULL, smn4, smx4 FROM a
+      |UNION ALL SELECT 'o_orderpriority', CAST(n - c5 AS BIGINT), CAST(d5 AS BIGINT),
+      |  NULL, NULL, smn5, smx5 FROM a
+      |UNION ALL SELECT 'o_orderdate', CAST(n - c6 AS BIGINT), CAST(d6 AS BIGINT),
+      |  NULL, NULL, smn6, smx6 FROM a
+      |ORDER BY col_name""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
     QueryDef.sql("q3c_accepted_values", acceptedValuesCheckOracle)(acceptedValuesCheck),
     QueryDef.sql("q3d_relationships", relationshipCheckOracle)(relationshipCheck),
     QueryDef.sql("q3e_contract_report", contractReportOracle)(contractReport),
-    QueryDef.sql("q6_volume_anomaly", volumeAnomalyOracle)(volumeAnomaly))
+    QueryDef.sql("q6_volume_anomaly", volumeAnomalyOracle)(volumeAnomaly),
+    QueryDef.sql("q7_table_profile", tableProfileOracle)(tableProfile))
 }

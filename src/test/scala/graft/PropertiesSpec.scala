@@ -252,6 +252,34 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(nul.head.isNullAt(0))
   }
 
+  test("perplexity buckets split the corpus into near-equal ordered tertiles") {
+    val rows = graft.engine.Caching.scoped {
+      graft.ops.ext.TextAnalysis.pplBuckets(spark, Sf)
+        .select("bucket", "nll").as[(String, Double)].collect().toSeq
+    }
+    val byBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val n = rows.size
+    byBucket.foreach { case (b, xs) =>
+      assert(math.abs(xs.size - n / 3.0) <= n / 10.0, s"$b size ${xs.size} of $n") }
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
+
+  test("table profile: keys unique, no nulls, extremes match direct aggregates") {
+    val prof = graft.ops.gold.Assertions.tableProfile(spark, Sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+    val n = o.count()
+    val keyRow = prof("o_orderkey")
+    assert(keyRow.getAs[Long]("n_nulls") == 0L)
+    assert(keyRow.getAs[Long]("n_distinct") == n, "o_orderkey must be unique")
+    assert(keyRow.getAs[Double]("max_num") ==
+      o.agg(max("o_orderkey")).head.getLong(0).toDouble)
+    assert(prof("o_orderstatus").getAs[String]("min_str") != null)
+    assert(prof.values.forall(r => r.getAs[Long]("n_nulls") == 0L))
+  }
+
   test("SCD2 history: contiguous versions, abutting intervals, one open row per key") {
     val rows = graft.ops.silver.Staging.scd2Build(spark, Sf)
       .select("user_id", "version", "segment", "valid_from_ms", "valid_to_ms", "is_current")
