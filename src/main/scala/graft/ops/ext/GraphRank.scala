@@ -115,6 +115,85 @@ object GraphRank {
       |SELECT id AS node_id, r AS rank_q FROM r3 ORDER BY node_id""".stripMargin
   }
 
+  /** Triangle counting (pr2) — the second canonical graph kernel
+    * (clustering coefficient / community density; in a data pipeline it
+    * scores link-farm-like neighborhoods the same way PageRank scores
+    * centrality). The Spark-first shape is the degree-ordered wedge
+    * join (Cohen 2009 / Suri-Vassilvitskii WWW'11): orient every
+    * undirected edge from its lexicographically smaller `(degree, id)`
+    * endpoint to the larger, so each triangle is enumerated EXACTLY once
+    * and — the scale property — every node's out-degree is bounded by
+    * O(√m): a celebrity node with 10⁷ neighbors produces wedges only
+    * from the few higher-degree nodes above it, never 10¹⁴ pairs. Three
+    * edge-list shuffles total (degrees, wedge join, closing-edge join);
+    * degrees travel WITH the oriented edges so the wedge comparison
+    * needs no extra join.
+    */
+  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
+    // edges: undirected (u, v), u < v, distinct
+    val e = Caching.persist(edges)
+    val deg = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("x"),
+        when(uFirst, col("v")).otherwise(col("u")).as("y"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dy"))
+    val o1 = oriented.select(col("x"), col("y").as("y1"), col("dy").as("dy1"))
+    val o2 = oriented.select(col("x"), col("y").as("y2"), col("dy").as("dy2"))
+    val wedges = o1.join(o2,
+      Seq("x")).filter(
+      col("dy1") < col("dy2") || (col("dy1") === col("dy2") && col("y1") < col("y2")))
+    val tri = wedges.join(
+      oriented.select(col("x").as("y1"), col("y").as("y2")), Seq("y1", "y2"))
+      .select(col("x").as("a"), col("y1").as("b"), col("y2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** pr2: per-node triangle counts over the supplier co-supply graph —
+    * suppliers are adjacent when they supply the same order (≤ 7 lines
+    * per order keeps edge generation bounded per key at any corpus
+    * size). */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+    trianglesOf(edges).orderBy("node_id")
+  }
+
+  val trianglesOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      |e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+      |deg AS (SELECT n, count(*) AS d
+      |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS x,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS y,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS dy
+      |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      |tri AS (
+      |  SELECT o1.x AS a, o1.y AS b, o2.y AS c
+      |  FROM o o1
+      |  JOIN o o2 ON o1.x = o2.x
+      |            AND (o1.dy < o2.dy OR (o1.dy = o2.dy AND o1.y < o2.y))
+      |  JOIN o o3 ON o3.x = o1.y AND o3.y = o2.y)
+      |SELECT node_id, count(*) AS n_triangles FROM (
+      |  SELECT a AS node_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY 1 ORDER BY node_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
-    QueryDef.sql("pr1_pagerank", pageRankOracle)(pageRank))
+    QueryDef.sql("pr1_pagerank", pageRankOracle)(pageRank),
+    QueryDef.sql("pr2_triangles", trianglesOracle)(triangles))
 }

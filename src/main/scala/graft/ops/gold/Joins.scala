@@ -208,6 +208,58 @@ object Joins {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** j8: full-outer reconciliation join — the one join type left on
+    * SURVEY §2.4's absent list. The canonical use is snapshot
+    * reconciliation: the same business day rolled up from two independent
+    * fact paths (orders placed vs lineitems shipped), full-outer joined
+    * on the date so days present on only one side survive with a
+    * side-marker instead of vanishing (the audit query an inner join
+    * cannot express). Both sides aggregate BEFORE the join, so the full
+    * outer runs over two O(#days) rollups — at 100 TB the exchange
+    * carries days, not events. */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordered = t.orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.decSum(col("o_totalprice")).as("ordered_value"))
+    val shipped = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.decSum(col("l_extendedprice")).as("shipped_value"))
+    ordered.join(shipped, Seq("d"), "full_outer")
+      .select(
+        col("d").as("biz_date"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("ordered_value"), lit(0.0)).as("ordered_value"),
+        coalesce(col("shipped_value"), lit(0.0)).as("shipped_value"),
+        when(col("n_orders").isNull, lit("ship_only"))
+          .when(col("n_lines").isNull, lit("order_only"))
+          .otherwise(lit("both")).as("presence"))
+      .orderBy("biz_date")
+  }
+
+  val fullOuterReconcileOracle: String =
+    """WITH ordered AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS ordered_value
+      |  FROM orders GROUP BY 1),
+      |shipped AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_lines,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS shipped_value
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(o.d, s.d) AS biz_date,
+      |       COALESCE(o.n_orders, 0) AS n_orders,
+      |       COALESCE(s.n_lines, 0) AS n_lines,
+      |       COALESCE(o.ordered_value, 0.0) AS ordered_value,
+      |       COALESCE(s.shipped_value, 0.0) AS shipped_value,
+      |       CASE WHEN o.n_orders IS NULL THEN 'ship_only'
+      |            WHEN s.n_lines IS NULL THEN 'order_only'
+      |            ELSE 'both' END AS presence
+      |FROM ordered o FULL OUTER JOIN shipped s ON o.d = s.d
+      |ORDER BY biz_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
@@ -216,5 +268,6 @@ object Joins {
     QueryDef.sql("j5_range_join", rangeJoinOracle)(rangeJoin),
     QueryDef.sql("j6_asof_join", asofJoinOracle)(asofJoin),
     QueryDef.sql("j7_salted_join", skewJoinOracle)(saltedSkewJoin),
-    QueryDef.sql("j7b_unsalted_join", skewJoinOracle)(unsaltedSkewJoin))
+    QueryDef.sql("j7b_unsalted_join", skewJoinOracle)(unsaltedSkewJoin),
+    QueryDef.sql("j8_full_outer", fullOuterReconcileOracle)(fullOuterReconcile))
 }

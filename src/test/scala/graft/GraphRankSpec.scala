@@ -37,6 +37,33 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(got(9L) == base, "no in-edges → teleport mass only")
   }
 
+  private def trianglesOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.engine.Caching.scoped {
+      GraphRank.trianglesOf(edges.toDF("u", "v")).as[(Long, Long)].collect().toMap
+    }
+
+  test("triangles: K4 has 4 triangles, every node in 3; pendant edges add none") {
+    // complete graph on {1,2,3,4} (u<v pairs) + pendant node 9 off node 1
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = trianglesOf(k4 :+ (1L, 9L))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 triangle counts wrong: $got")
+  }
+
+  test("triangles: two triangles sharing an edge count the shared nodes twice") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 sit in both
+    val got = trianglesOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: star graph (hot hub) yields zero triangles, bounded wedges") {
+    // a 50-spoke star has no triangles; degree orientation points every
+    // edge AWAY from the spokes into the hub, so the hub generates no
+    // wedge pairs at all (the O(√m) out-degree bound in action)
+    val star = (1L to 50L).map(s => (s, 100L))
+    assert(trianglesOf(star).isEmpty)
+  }
+
   test("fixture graph: mass is conserved up to truncation loss; hubs rank high") {
     val df = GraphRank.pageRank(spark, Sf)
     val ranks = df.as[(Long, Long)].collect()
