@@ -30,7 +30,8 @@ object SparkEntry {
       graft.ops.ext.Dedup.queries ++
       graft.ops.ext.GraphRank.queries ++
       graft.ops.ext.Similarity.queries ++
-      graft.ops.ext.Multimodal.queries
+      graft.ops.ext.Multimodal.queries ++
+      graft.sources.PagesSource.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core business question: daily fee/tax revenue per
