@@ -94,6 +94,31 @@ object Multimodal {
         expr(s"transform(sequence(0, cast((n_frames - 1) / $stride as int)), i -> i * $stride)"))
       .select("doc_id", "n_frames", "sampled_frames")
 
+  /** Frame-sampling stride (mm5). */
+  val FrameStride = 4
+
+  /** mm5: the frame-sampling MANIFEST — `frameSample`'s array exploded
+    * to one row per (payload, sampled frame), the driving table for a
+    * distributed frame-extraction pass (each row is one independent
+    * decode task; the payload column stays behind and is range-fetched
+    * by chunk, mm3). Pure per-row arithmetic — zero shuffle before the
+    * presentation sort. */
+  def frameManifest(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir, FrameStride)
+      .select(col("doc_id"), col("n_frames").cast("bigint").as("n_frames"),
+        explode(col("sampled_frames")).as("frame_idx"))
+      .withColumn("frame_idx", col("frame_idx").cast("bigint"))
+      .orderBy("doc_id", "frame_idx")
+
+  val frameManifestOracle: String =
+    s"""SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |       CAST(i * $FrameStride AS BIGINT) AS frame_idx
+      |FROM (
+      |  SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS n_frames
+      |  FROM documents
+      |), LATERAL unnest(range(0, (n_frames - 1) // $FrameStride + 1)) t(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Characters per manifest chunk (mm3). */
   val ChunkChars = 256
 
@@ -249,5 +274,6 @@ object Multimodal {
     QueryDef.sql("mm1_binary_meta", binaryMetaOracle)(binaryMeta),
     QueryDef.rowsOnly("mm2_decode_stub")(decodeStub),
     QueryDef.sql("mm3_chunk_manifest", chunkManifestOracle)(chunkManifest),
-    QueryDef.sql("mm4_phash_pairs", phashPairsOracle)(phashPairs))
+    QueryDef.sql("mm4_phash_pairs", phashPairsOracle)(phashPairs),
+    QueryDef.sql("mm5_frame_manifest", frameManifestOracle)(frameManifest))
 }

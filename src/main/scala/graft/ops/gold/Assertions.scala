@@ -291,6 +291,53 @@ object Assertions {
       |  NULL, NULL, smn6, smx6 FROM a
       |ORDER BY col_name""".stripMargin
 
+  /** q8: distribution-drift monitor (PSI) — the data-quality gate a
+    * training pipeline runs before admitting a new crawl snapshot: the
+    * categorical mix of the current window vs a reference window,
+    * scored by Population Stability Index contribution per category
+    * ((p−q)·ln(p/q), the symmetrized-KL summand; > 0.1 total is the
+    * conventional "investigate" line). Laplace-smoothed (+1 per
+    * category) so a category absent from one side stays finite. The
+    * whole computation is one pass: per-category conditional counts,
+    * totals re-attached as a broadcast single-row frame — the exchange
+    * carries #categories rows, never events. ln() is transcendental so
+    * the compared column is round(·, 6) (the tx10 discipline —
+    * tie-probability ≈ 0, unlike dyadic-rational outputs). */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-15").cast("date")
+    val counts = Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        sum(when(to_date(col("ts")) <= split, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(to_date(col("ts")) > split, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(
+      sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+      count(lit(1)).as("cats"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_ref") + 1).cast("double") / (col("t_ref") + col("cats")))
+      .withColumn("q", (col("n_cur") + 1).cast("double") / (col("t_cur") + col("cats")))
+      .select(
+        col("event_type"), col("n_ref"), col("n_cur"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_contrib"))
+      .orderBy("event_type")
+  }
+
+  val driftPsiOracle: String =
+    """WITH counts AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN CAST(ts AS DATE) >  DATE '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur, count(*) AS cats FROM counts),
+      |pq AS (
+      |  SELECT event_type, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE) / (t_ref + cats) AS p,
+      |    CAST(n_cur + 1 AS DOUBLE) / (t_cur + cats) AS q
+      |  FROM counts CROSS JOIN tot)
+      |SELECT event_type, n_ref, n_cur,
+      |       round((p - q) * ln(p / q), 6) AS psi_contrib
+      |FROM pq ORDER BY event_type""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
@@ -298,5 +345,6 @@ object Assertions {
     QueryDef.sql("q3d_relationships", relationshipCheckOracle)(relationshipCheck),
     QueryDef.sql("q3e_contract_report", contractReportOracle)(contractReport),
     QueryDef.sql("q6_volume_anomaly", volumeAnomalyOracle)(volumeAnomaly),
-    QueryDef.sql("q7_table_profile", tableProfileOracle)(tableProfile))
+    QueryDef.sql("q7_table_profile", tableProfileOracle)(tableProfile),
+    QueryDef.sql("q8_drift_psi", driftPsiOracle)(driftPsi))
 }
