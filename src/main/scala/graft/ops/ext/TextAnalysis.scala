@@ -946,14 +946,19 @@ object TextAnalysis {
     * production tokenizers train on a frequency table, and why 30k
     * rounds are tractable. Output pins the full encoding of every
     * vocab word plus each round's chosen pair and count. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared BPE training chain: returns the encoded vocabulary
+    * (with every round's merge columns cross-joined on) AND the 1-row
+    * merges frame — tx17 presents the former, tx22 broadcasts the
+    * latter into corpus encoding. */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val wf = Tables(spark, dir).documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(VocabK)
     var enc = graft.engine.Caching.persist(
       wf.withColumn("sym", expr("trim(regexp_replace(word, '(.)', '$1 '))")))
-    val merges = (1 to BpeRounds).map { r =>
+    var mergesRow: DataFrame = null
+    (1 to BpeRounds).foreach { r =>
       val top = enc
         .select(col("n"), explode(expr(
           """zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),
@@ -967,16 +972,23 @@ object TextAnalysis {
           expr("element_at(split(pair, ' '), 2)").as(s"pb$r"),
           expr("replace(pair, ' ', '')").as(s"pm$r"),
           col("cnt").as(s"merge${r}_cnt"))
+      mergesRow = if (mergesRow == null) top else mergesRow.crossJoin(top)
       enc = graft.engine.Caching.persist(enc.crossJoin(broadcast(top))
         .withColumn("sym", expr(bpeApplyExpr("sym", s"pa$r", s"pb$r", s"pm$r"))))
-      r
     }
-    val mergeCols = merges.flatMap(r => Seq(col(s"merge$r"), col(s"merge${r}_cnt")))
+    (enc, mergesRow)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (enc, _) = bpeTrain(spark, dir)
+    val mergeCols = (1 to BpeRounds).flatMap(r => Seq(col(s"merge$r"), col(s"merge${r}_cnt")))
     enc.select(Seq(col("word"), col("n"), col("sym").as("encoded")) ++ mergeCols: _*)
       .orderBy("word")
   }
 
-  lazy val bpeMergesOracle: String = {
+  /** The training chain (wf, enc0, p/t/enc per round) as a WITH-body
+    * fragment both BPE oracles share. */
+  private lazy val bpeCtes: String = {
     def pairCte(r: Int, src: String): String =
       s"""p$r AS (
         |  SELECT pr AS pair, sum(n) AS cnt FROM (
@@ -1001,11 +1013,7 @@ object TextAnalysis {
     val rounds = (1 to BpeRounds)
       .map(r => pairCte(r, if (r == 1) "enc0" else s"enc${r - 1}"))
       .mkString(",\n")
-    val mergeSelect = (1 to BpeRounds)
-      .map(r => s"t$r.pair AS merge$r, CAST(t$r.cnt AS BIGINT) AS merge${r}_cnt")
-      .mkString(", ")
-    val mergeFrom = (1 to BpeRounds).map(r => s"t$r").mkString(", ")
-    s"""WITH wf AS (
+    s"""wf AS (
       |  SELECT word, n FROM (
       |    SELECT w AS word, count(*) AS n,
       |           row_number() OVER (ORDER BY count(*) DESC, w) AS rank
@@ -1016,9 +1024,76 @@ object TextAnalysis {
       |enc0 AS (
       |  SELECT word, n, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM wf
       |),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  lazy val bpeMergesOracle: String = {
+    val mergeSelect = (1 to BpeRounds)
+      .map(r => s"t$r.pair AS merge$r, CAST(t$r.cnt AS BIGINT) AS merge${r}_cnt")
+      .mkString(", ")
+    val mergeFrom = (1 to BpeRounds).map(r => s"t$r").mkString(", ")
+    s"""WITH $bpeCtes
       |SELECT e.word AS word, CAST(e.n AS BIGINT) AS n, e.sym AS encoded, $mergeSelect
       |FROM enc$BpeRounds e, $mergeFrom ORDER BY e.word""".stripMargin
+  }
+
+  /** tx22: BPE tokenizer INFERENCE — encode the whole corpus with
+    * tx17's trained merges (training builds the tokenizer once;
+    * encoding is the pass every downstream token count, packing and
+    * budget decision consumes). The Zipf structure is the scale story:
+    * the fold runs once per DISTINCT word (≪ corpus tokens), the
+    * merges travel as a 1-row broadcast, and the corpus-side work is
+    * one narrow posexplode + a join on `word` + a per-doc aggregate —
+    * at 100 TB the word dimension is the AQE-broadcastable side. The
+    * per-doc md5 over the position-ordered subword stream pins
+    * SEQUENCE fidelity, not just counts. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, merges) = bpeTrain(spark, dir)
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(tokens(col("text")))).toDF("doc_id", "pos", "word")
+    var dw = toks.select("word").distinct()
+      .withColumn("sym", expr("trim(regexp_replace(word, '(.)', '$1 '))"))
+      .crossJoin(broadcast(merges))
+    (1 to BpeRounds).foreach { r =>
+      dw = dw.withColumn("sym", expr(bpeApplyExpr("sym", s"pa$r", s"pb$r", s"pm$r")))
+    }
+    toks.join(dw.select("word", "sym"), "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), " "))).cast("bigint").as("n_subwords"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, sym))), s -> s.sym), ' '))")
+          .as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  lazy val bpeEncodeOracle: String = {
+    def foldCte(r: Int, src: String): String =
+      s"""dw$r AS (
+        |  SELECT word, list_reduce(string_split(sym, ' '), (acc, x) -> CASE
+        |      WHEN x = t.pb AND acc = t.pa THEN t.pm
+        |      WHEN x = t.pb AND ends_with(acc, ' ' || t.pa)
+        |        THEN left(acc, length(acc) - length(t.pa) - 1) || ' ' || t.pm
+        |      ELSE acc || ' ' || x END) AS sym
+        |  FROM dw${r - 1}, t$r t
+        |)""".stripMargin
+    val folds = (1 to BpeRounds).map(r => foldCte(r, s"dw${r - 1}")).mkString(",\n")
+    s"""WITH $bpeCtes,
+      |toks AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS word
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      |       LATERAL unnest(range(1, len(ws) + 1)) t(i)
+      |),
+      |dw0 AS (
+      |  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+      |  FROM (SELECT DISTINCT word FROM toks)
+      |),
+      |$folds
+      |SELECT toks.doc_id AS doc_id, count(*) AS n_words,
+      |       CAST(sum(len(string_split(d.sym, ' '))) AS BIGINT) AS n_subwords,
+      |       md5(string_agg(d.sym, ' ' ORDER BY toks.pos)) AS enc_md5
+      |FROM toks JOIN dw$BpeRounds d USING (word)
+      |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Interpolation weight for tx18's bigram/unigram mix (string-cast to
@@ -1125,6 +1200,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx17_bpe_merges", bpeMergesOracle)(bpeMerges),
+    QueryDef.sql("tx22_bpe_encode", bpeEncodeOracle)(bpeEncode),
     QueryDef.sql("tx18_bigram_lm", bigramLmScoreOracle)(bigramLmScore),
     QueryDef.sql("tx5_bigram_profile", bigramProfileOracle)(bigramProfile),
     QueryDef.sql("tx1_token_counts", tokenCountsOracle)(tokenCounts),
