@@ -70,7 +70,13 @@ object Bench {
     "dd10_dedup_weights",  // soft dedup: exemplar + cluster-size weight
     "pr1_pagerank",        // 3-round integer power iteration
     "s20_scd2_dim",        // SCD2 interval build (two windows, one sort)
-    "tx19_normalize")      // NFC + whitespace normalization projection
+    "tx19_normalize",      // NFC + whitespace normalization projection
+    // round-5 continuation
+    "pr2_triangles",       // degree-ordered wedge-join triangle counting
+    "tx22_bpe_encode",     // tokenizer inference: distinct-word fold + corpus join
+    "j8_full_outer",       // post-aggregation full-outer reconciliation
+    "mm4_phash_pairs",     // banded signature pairing of media payloads
+    "q8_drift_psi")        // one-pass categorical drift monitor
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

@@ -269,6 +269,31 @@ object Aggregates {
       |       round(q[3], 6) AS p75, round(q[4], 6) AS p95
       |FROM g ORDER BY o_orderpriority""".stripMargin
 
+  /** Accuracy knob for a11b (max rank error = 1/accuracy · N). */
+  val ApproxQuantileAccuracy = 10000
+
+  /** a11b: the SKETCH form of a11 — `approx_percentile` (Greenwald-
+    * Khanna / KLL-style mergeable summary). At 100 TB the exact
+    * `percentile` materializes every group's values; the sketch is
+    * fixed-size per group and merges associatively, which is THE
+    * quantile profiler a petabyte table gets (same exact→sketch
+    * trade-off as a8→a8b for distinct counts). Rows-only: sketch
+    * internals aren't portable across engines — AggregatesSpec bounds
+    * each approximation against the exact a11 answer by the published
+    * rank-error guarantee instead. */
+  def approxQuantileProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(expr(
+        s"approx_percentile(cast(o_totalprice as double), " +
+          s"array(0.25d, 0.5d, 0.75d, 0.95d), $ApproxQuantileAccuracy)").as("q"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("q"), 1), 6).as("p25"),
+        round(element_at(col("q"), 2), 6).as("p50"),
+        round(element_at(col("q"), 3), 6).as("p75"),
+        round(element_at(col("q"), 4), 6).as("p95"))
+      .orderBy("o_orderpriority")
+
   /** CUBE grouping sets (all 4 combinations of the two dims). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
@@ -344,6 +369,7 @@ object Aggregates {
     QueryDef.sql("a8b_hll_sketch", hllSketchDistinctOracle)(hllSketchDistinct),
     QueryDef.sql("a9_stats_agg", statsAggOracle)(statsAgg),
     QueryDef.sql("a11_quantile_profile", quantileProfileOracle)(quantileProfile),
+    QueryDef.rowsOnly("a11b_approx_quantile")(approxQuantileProfile),
     QueryDef.sql("a12_grouping_sets", groupingSetsAggOracle)(groupingSetsAgg),
     QueryDef.sql("a13_pivot", pivotAggOracle)(pivotAgg))
 }

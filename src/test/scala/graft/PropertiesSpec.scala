@@ -58,6 +58,32 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx quantile profile lands within the rank-error bound of the exact profile") {
+    import graft.ops.gold.Aggregates
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_orderpriority").as("p"), col("o_totalprice").cast("double").as("v"))
+      .as[(String, Double)].collect().toSeq.groupBy(_._1)
+      .map { case (p, vs) => p -> vs.map(_._2).sorted }
+    val approx = Aggregates.approxQuantileProfile(spark, Sf).collect()
+    assert(approx.nonEmpty)
+    // approx_percentile guarantees rank error ≤ N / accuracy per group:
+    // the returned value must sit between the values at the error-shifted
+    // ranks of the exact sorted sequence
+    approx.foreach { r =>
+      val vs = o(r.getAs[String]("o_orderpriority"))
+      val eps = math.max(1, vs.length / Aggregates.ApproxQuantileAccuracy)
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95).foreach {
+        case (cn, q) =>
+          val rank = (q * (vs.length - 1)).round.toInt
+          val lo = vs(math.max(0, rank - 2 * eps))
+          val hi = vs(math.min(vs.length - 1, rank + 2 * eps))
+          val got = r.getAs[Double](cn)
+          assert(got >= lo && got <= hi,
+            s"${r.getAs[String]("o_orderpriority")}/$cn: $got outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("stratified sample hits each language's quota within sampling noise") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val totals = docs.groupBy("lang").count()
