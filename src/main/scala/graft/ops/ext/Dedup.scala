@@ -889,6 +889,107 @@ object Dedup {
       |WHERE i.doc_id % 10 >= 6
       |ORDER BY doc_id""".stripMargin
 
+  // -- dd11: exact-substring scrub (span rewrite) ----------------------
+
+  /** dd11: exact-substring deduplication with TEXT REWRITE — the Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") treatment, at [[PassageN]]-gram grain instead of suffix
+    * arrays: any token span that recurs ANYWHERE in the corpus
+    * (cross-doc or within-doc, total occurrences >= 2) is cut out of
+    * every document, and the survivors are re-assembled in order. Where
+    * dd7 only *reports* per-doc duplication, this emits the scrubbed
+    * corpus — the form that actually ships to training.
+    *
+    * The 100 TB shape, stage by stage:
+    *   - gram fingerprints travel as 60-bit hashes with their start
+    *     position — never the gram text — so the frequency shuffle is
+    *     ~12 bytes/window;
+    *   - duplicated-gram detection is one partial/final count on the
+    *     hash (map-side combine absorbs within-partition repeats);
+    *   - coverage EXPANSION (each dup window -> its [[PassageN]]
+    *     covered positions) happens only on matched windows — a sliver
+    *     of the corpus — and dedups to `(doc_id, position)`;
+    *   - the rewrite is a positional anti-join of exploded tokens
+    *     against covered positions, both hash-partitioned on doc_id, so
+    *     re-assembly needs no per-token membership probe against a
+    *     collected set (linear, no O(len x spans) lambda scans);
+    *   - `concat_ws` over the position-sorted survivors restores the
+    *     text; docs shorter than one window pass through untouched.
+    * Ref analog: none — the reference keeps raw payloads
+    * (`dbt_project/models/staging/stg_trades.sql:1-9` trusts upstream
+    * uniqueness); this is the corpus-hygiene extension. */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    substringScrubOf(Tables(spark, dir).documents)
+
+  /** [[substringScrub]] over any `(doc_id, text)` frame (spec entry). */
+  private[graft] def substringScrubOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("w"))
+    val base = Caching.persist(d)
+    val pos = base
+      .select(col("doc_id"),
+        posexplode(expr(TextAnalysis.ngramExpr(PassageN, distinct = false))))
+      .select(col("doc_id"), col("pos"),
+        expr(graft.engine.PortableHash.md5Prefix60("col")).as("ghash"))
+    // total-occurrence count (not distinct docs): a span repeated
+    // inside one document is as much a training dup as a cross-doc one
+    val dupGrams = pos.groupBy("ghash").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("ghash")
+    val covered = pos.join(dupGrams, "ghash")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(PassageN - 1))).as("j"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("w")).as(Seq("j", "t")))
+    val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("j"), col("t")))),
+          s => s.getField("t"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  lazy val substringScrubOracle: String = {
+    val n = PassageN
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(w) - ${n - 2}, 1)),
+      |      i -> {'pos': i - 1,
+      |            'ghash': ('0x' || substring(md5($gram), 1, 15))::BIGINT}),
+      |      recursive := true)
+      |  FROM d),
+      |dup AS (SELECT ghash FROM g GROUP BY 1 HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $n)) AS j
+      |  FROM g JOIN dup USING (ghash)),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) + 1), j -> {'j': j - 1, 't': w[j]}),
+      |      recursive := true)
+      |  FROM d),
+      |kept AS (
+      |  SELECT t.doc_id, t.j, t.t
+      |  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j),
+      |re AS (
+      |  SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS clean_text, count(*) AS n_kept
+      |  FROM kept GROUP BY 1)
+      |SELECT d.doc_id AS doc_id,
+      |       coalesce(re.clean_text, '') AS clean_text,
+      |       CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(d.w) - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -902,5 +1003,6 @@ object Dedup {
     QueryDef.sql("dd6_dup_clusters", dupClustersOracle)(dupClusters),
     QueryDef.sql("dd7_dup_passages", dupPassagesOracle)(dupPassages),
     QueryDef.sql("dd9_bloom_dedup", bloomDedupOracle)(bloomDedup),
-    QueryDef.sql("dd10_dedup_weights", dedupWeightsOracle)(dedupWeights))
+    QueryDef.sql("dd10_dedup_weights", dedupWeightsOracle)(dedupWeights),
+    QueryDef.sql("dd11_substring_scrub", substringScrubOracle)(substringScrub))
 }

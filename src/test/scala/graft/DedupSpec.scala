@@ -225,6 +225,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(6L) == ((24L, 23L, false)))
   }
 
+  test("dd11 substring scrub cuts recurring spans, keeps unique text intact") {
+    def run(tokens: Seq[String]): String = tokens.mkString(" ")
+    val shared = (1 to 10).map(i => s"s$i")
+    val e30 = (1 to 30).map(i => s"e$i")
+    val docs = Seq(
+      // 1 & 2: a 10-token shared passage inside otherwise-unique text —
+      // dup windows start at positions 20..22, covering exactly the 10
+      // shared tokens (boundary windows mix in unique tokens, so stay
+      // unique); each doc loses precisely the shared span
+      (1L, run((1 to 20).map(i => s"a$i") ++ shared ++ (1 to 20).map(i => s"b$i"))),
+      (2L, run((1 to 20).map(i => s"c$i") ++ shared ++ (1 to 20).map(i => s"d$i"))),
+      // 3: an 8-gram repeated WITHIN one doc — total occurrences >= 2, so
+      // unlike dd7 both copies are scrubbed (Lee et al. count any
+      // recurrence); the separator tokens survive
+      (3L, run((1 to 8).map(i => s"r$i") ++ Seq("x") ++ (1 to 8).map(i => s"r$i") ++ Seq("y"))),
+      // 4: shorter than one window — passes through untouched
+      (4L, run(Seq("t1", "t2", "t3", "t4", "t5"))),
+      // 5 & 6: identical docs — every window duplicated, fully scrubbed
+      (5L, run(e30)),
+      (6L, run(e30))).toDF("doc_id", "text")
+    val got = Dedup.substringScrubOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))))
+      .toMap
+    val d1 = run((1 to 20).map(i => s"a$i") ++ (1 to 20).map(i => s"b$i"))
+    val d2 = run((1 to 20).map(i => s"c$i") ++ (1 to 20).map(i => s"d$i"))
+    assert(got(1L) == ((d1, 40L, 10L)))
+    assert(got(2L) == ((d2, 40L, 10L)))
+    assert(got(3L) == (("x y", 2L, 16L)))
+    assert(got(4L) == ((run(Seq("t1", "t2", "t3", "t4", "t5")), 5L, 0L)))
+    assert(got(5L) == (("", 0L, 30L)))
+    assert(got(6L) == (("", 0L, 30L)))
+  }
+
   test("simhash signatures are deterministic and banding finds near-dups") {
     val s1 = Dedup.simhashSignatures(spark, Sf).collect()
     val s2 = Dedup.simhashSignatures(spark, Sf).collect()
