@@ -1,8 +1,8 @@
 package graft.ops.gold
 
-import graft.engine.{Exact, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.engine.{Caching, Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY §2.5 + capability upgrades §2.5-absent).
@@ -357,6 +357,88 @@ object Aggregates {
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
   }
 
+  /** MG counter budget for a14. The sketch guarantee (undercount
+    * ≤ N/(k+1), Misra-Gries 1982; preserved under the subtract-pivot
+    * merge of Agarwal et al. 2013 "Mergeable Summaries") needs
+    * k+1 > [[HeavyHitterFrac]] so every true heavy hitter survives
+    * pass 1 with a positive counter. */
+  val HeavyHitterK = 256
+
+  /** a14 threshold divisor: a token is a heavy hitter iff its exact
+    * count ≥ ceil(N / frac). */
+  val HeavyHitterFrac = 40
+
+  /** Misra-Gries summary: ≤ k counters plus the processed-item total. */
+  final case class MgSummary(counts: Map[String, Long], n: Long)
+
+  /** The MG frequency sketch as a typed `Aggregator` — associative and
+    * commutative, so Catalyst runs it partial/final: each map task
+    * sends ONE ≤k-entry summary across the exchange, never a
+    * vocabulary-sized map. Merge combines counts then subtracts the
+    * (k+1)-th largest (the mergeable-summaries pivot trim), which
+    * keeps the ε = 1/(k+1) undercount bound. */
+  final class MisraGries(k: Int) extends Aggregator[String, MgSummary, MgSummary] {
+    override def zero: MgSummary = MgSummary(Map.empty, 0L)
+    override def reduce(b: MgSummary, t: String): MgSummary = {
+      val c = b.counts
+      val next =
+        if (c.contains(t)) c.updated(t, c(t) + 1L)
+        else if (c.size < k) c.updated(t, 1L)
+        else c.collect { case (key, v) if v > 1L => key -> (v - 1L) }
+      MgSummary(next, b.n + 1L)
+    }
+    override def merge(a: MgSummary, b: MgSummary): MgSummary = {
+      val sum = (a.counts.keySet ++ b.counts.keySet).iterator
+        .map(key => key -> (a.counts.getOrElse(key, 0L) + b.counts.getOrElse(key, 0L)))
+        .toMap
+      val trimmed =
+        if (sum.size <= k) sum
+        else {
+          val pivot = sum.values.toIndexedSeq.sortBy(-_)(Ordering.Long).apply(k)
+          sum.collect { case (key, v) if v > pivot => key -> (v - pivot) }
+        }
+      MgSummary(trimmed, a.n + b.n)
+    }
+    override def finish(r: MgSummary): MgSummary = r
+    override def bufferEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+    override def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+  }
+
+  /** a14: corpus heavy hitters by the TWO-PASS sketch protocol — the
+    * only shape that works when the key space itself doesn't fit
+    * anywhere: (1) one pass folds every partition into a ≤k-counter
+    * Misra-Gries summary (map-side partials, k-sized merges — the
+    * vocabulary NEVER shuffles); (2) the ≤k surviving candidates — a
+    * bounded O(k) driver collect, like a join's broadcast side — are
+    * exact-counted with an `isin` pushdown filter, and the threshold
+    * cuts the verified set. Because threshold N/[[HeavyHitterFrac]]
+    * exceeds the sketch's N/(k+1) undercount, every true heavy hitter
+    * is guaranteed a surviving counter: the approximate pass has
+    * perfect recall and the exact pass kills its false positives, so
+    * the final answer is EXACT and stays DuckDB-oracle-checkable (same
+    * one-sided-error argument as dd9's bloom prefilter). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Caching.persist(
+      Tables(spark, dir).documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("token")))
+    val sketch = toks.as[String]
+      .select(new MisraGries(HeavyHitterK).toColumn).head()
+    val threshold = (sketch.n + HeavyHitterFrac - 1) / HeavyHitterFrac
+    val candidates = sketch.counts.keys.toSeq
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= threshold)
+      .orderBy("token")
+  }
+
+  val heavyHittersOracle: String =
+    s"""WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+      |SELECT token, count(*) AS c FROM t GROUP BY token
+      |HAVING count(*) >= (SELECT CAST(ceil(count(*) / $HeavyHitterFrac.0) AS BIGINT) FROM t)
+      |ORDER BY token""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1AggOracle)(q1Agg),
     QueryDef.sql("a10_cube", cubeAggOracle)(cubeAgg),
@@ -371,5 +453,6 @@ object Aggregates {
     QueryDef.sql("a11_quantile_profile", quantileProfileOracle)(quantileProfile),
     QueryDef.rowsOnly("a11b_approx_quantile")(approxQuantileProfile),
     QueryDef.sql("a12_grouping_sets", groupingSetsAggOracle)(groupingSetsAgg),
-    QueryDef.sql("a13_pivot", pivotAggOracle)(pivotAgg))
+    QueryDef.sql("a13_pivot", pivotAggOracle)(pivotAgg),
+    QueryDef.sql("a14_heavy_hitters", heavyHittersOracle)(heavyHitters))
 }

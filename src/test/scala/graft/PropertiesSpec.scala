@@ -170,6 +170,37 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(cnts.sliding(2).forall { case Array(a, b) => b <= a }, "ranked by frequency")
   }
 
+  test("misra-gries two-pass heavy hitters are exact when vocab far exceeds k") {
+    import graft.ops.gold.Aggregates
+    import org.apache.spark.sql.functions._
+    // 5000 distinct rare tokens (1 occurrence each) + 3 planted heavy
+    // tokens at ~6% apiece — vocab 5003 >> k=64 counters, so pass 1
+    // genuinely sketches (decrements fire); threshold frac=20 < k+1
+    // keeps the recall guarantee
+    val rare = (1 to 5000).map(i => s"r$i")
+    val heavy = Seq.fill(320)("h1") ++ Seq.fill(310)("h2") ++ Seq.fill(300)("h3")
+    val toks = spark.createDataFrame(
+      new scala.util.Random(42).shuffle(rare ++ heavy).zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("i", "token").repartition(8).select("token")
+    val n = (rare ++ heavy).size.toLong
+    val threshold = (n + 19) / 20 // ceil(N/20) = 297 < 300
+    val sketch = toks.as[String](org.apache.spark.sql.Encoders.STRING)
+      .select(new Aggregates.MisraGries(64).toColumn).head()
+    assert(sketch.n == n)
+    assert(sketch.counts.size <= 64, "summary must stay within the counter budget")
+    assert(Set("h1", "h2", "h3").subsetOf(sketch.counts.keySet),
+      "every true heavy hitter must survive pass 1")
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPass = toks.filter(col("token").isin(sketch.counts.keys.toSeq: _*))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("h1" -> 320L, "h2" -> 310L, "h3" -> 300L))
+    assert(twoPass == exact, "exact second pass must kill sketch false positives")
+  }
+
   test("stub codec is pure and bounded") {
     val gen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     samples(gen, 100).foreach { bytes =>
