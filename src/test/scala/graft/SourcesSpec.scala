@@ -14,7 +14,9 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
   private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+    // sparkPlan, not executedPlan: AQE wraps exchanges in an
+    // AdaptiveSparkPlanExec whose inner plan collectFirst can't see
+    df.queryExecution.sparkPlan.collectFirst { case b: BatchScanExec => b }
       .getOrElse(fail("no BatchScanExec in plan"))
 
   test("unfiltered read agrees with the Backfill grid-scan model row-for-row") {
@@ -57,6 +59,48 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(scan.inputRDD.getNumPartitions == 6)
     val got = df.as[(String, Int, Long, Double)].collect()
     assert(got.nonEmpty && got.forall(_._4 > 101.0))
+  }
+
+  test("aggregate pushdown: scan emits one partial row per page, results exact") {
+    val df = graft.sources.PagesSource.dsv2AggPushdown(spark, Sf)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PagesAggScan"),
+      s"aggregation was not pushed: ${scan.scan.description()}")
+    assert(scan.scan.description().contains("COUNT(*)") &&
+      scan.scan.description().contains("SUM(price)"), scan.scan.description())
+    // 4 pages survive the day_offset >= 1 filter (2 symbols × days {1,2}),
+    // and the scan's output is the per-page partials — 4 rows, not 20
+    assert(scan.inputRDD.getNumPartitions == 4)
+    assert(scan.inputRDD.count() == 4, "one partial row per page")
+    val got = df.as[(String, Long, Double, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // hand-derived from the stub: 2 days × 5 rows/page per symbol;
+    // sum_price = Σ (100 + d + i/2) = 10·100 + 5·(1+2) + 2·(0+.5+1+1.5+2)
+    assert(got("BTCUSDT") == ((10L, 1025.0, 58301000L, 58302004L)))
+    assert(got("ETHUSDT") == ((10L, 1025.0, 6501000L, 6502004L)))
+  }
+
+  test("aggregate pushdown declines distinct and expression aggregates") {
+    // count(DISTINCT price) is not mergeable from per-page partials —
+    // the builder must refuse, leaving Spark to aggregate the raw scan
+    val df = spark.read.format("graft-pages").load()
+      .groupBy("symbol").agg(countDistinct(col("price")).as("n"))
+    val scan = scanOf(df)
+    assert(!scan.scan.description().contains("PagesAggScan"),
+      s"distinct agg must not push: ${scan.scan.description()}")
+    val got = df.as[(String, Long)].collect().toMap
+    assert(got == Map("BTCUSDT" -> 9L, "ETHUSDT" -> 9L))
+  }
+
+  test("global aggregate over fully-pruned pages still yields the identity row") {
+    val df = spark.read.format("graft-pages").load()
+      .filter(col("day_offset") >= 99)
+      .agg(count(lit(1)).as("n"), min("trade_id").as("mn"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PagesAggScan pages=0"),
+      scan.scan.description())
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
   }
 
   test("options control the grid: symbols/days/pagesize") {
