@@ -260,6 +260,62 @@ object Joins {
       |FROM ordered o FULL OUTER JOIN shipped s ON o.d = s.d
       |ORDER BY biz_date""".stripMargin
 
+  /** j9's bin width (and interval length): 10 minutes in micros. The
+    * bin width must be ≥ the longest interval so every interval spans
+    * ≤ 2 bins (replication factor ≤ 2). */
+  val IntervalBinUs: Long = 600000000L
+
+  /** j9: PURE interval-overlap join — no equi-key at all, the shape
+    * Spark's planner can only run as a broadcast-nested-loop (or worse,
+    * a cartesian) if expressed directly: every "incident window"
+    * (an error spike, here error events with value > 200, extended
+    * [[IntervalBinUs]] forward) joined to EVERY event inside it,
+    * across all users.
+    *
+    * The scale rewrite is time-bin bucketization (the interval-join
+    * technique streaming engines use internally): both sides map to
+    * fixed-width time bins — intervals replicate to the ≤ 2 bins they
+    * span via one `explode(sequence)`, points land in exactly 1 — the
+    * bins equi-join (hash, AQE-skew-handled), and the exact overlap
+    * predicate filters the residual INSIDE the join. O(n) replication
+    * bounded by 2×, no all-pairs anything; a point pairs with an
+    * interval through precisely one bin, so no post-join distinct is
+    * needed. PlanRulesSpec asserts the plan carries no
+    * BroadcastNestedLoopJoin/CartesianProduct. */
+  def intervalBinJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.engine.Caching.persist(
+      Tables(spark, dir).events.select(
+        col("event_id"), Exact.epochUs(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value")))
+    val incidents = e
+      .filter(col("event_type") === "error" && col("value") > 200)
+      .select(col("event_id").as("incident_id"), col("us").as("s"),
+        (col("us") + IntervalBinUs).as("en"))
+      .withColumn("bin",
+        explode(sequence(expr(s"s div $IntervalBinUs"), expr(s"en div $IntervalBinUs"))))
+    val points = e.withColumn("bin", expr(s"us div $IntervalBinUs"))
+    incidents.join(points, Seq("bin"))
+      .filter(col("us") >= col("s") && col("us") <= col("en"))
+      .groupBy("incident_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("incident_id")
+  }
+
+  val intervalBinJoinOracle: String =
+    s"""WITH e AS (
+      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id, event_type, value
+      |  FROM events),
+      |inc AS (
+      |  SELECT event_id AS incident_id, us AS s, us + $IntervalBinUs AS en
+      |  FROM e WHERE event_type = 'error' AND value > 200)
+      |SELECT incident_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM inc JOIN e ON e.us >= inc.s AND e.us <= inc.en
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
@@ -269,5 +325,6 @@ object Joins {
     QueryDef.sql("j6_asof_join", asofJoinOracle)(asofJoin),
     QueryDef.sql("j7_salted_join", skewJoinOracle)(saltedSkewJoin),
     QueryDef.sql("j7b_unsalted_join", skewJoinOracle)(unsaltedSkewJoin),
-    QueryDef.sql("j8_full_outer", fullOuterReconcileOracle)(fullOuterReconcile))
+    QueryDef.sql("j8_full_outer", fullOuterReconcileOracle)(fullOuterReconcile),
+    QueryDef.sql("j9_interval_bin_join", intervalBinJoinOracle)(intervalBinJoin))
 }

@@ -102,6 +102,25 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("j9 interval join plans as a hash join on bins, never a nested loop") {
+    val df = graft.ops.gold.Joins.intervalBinJoin(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated to an all-pairs plan:\n$plan")
+    // parity with the direct (nested-loop) theta-join expression
+    val e = Tables(spark, Sf).events.select(
+      col("event_id"), graft.engine.Exact.epochUs(col("ts")).as("us"),
+      col("user_id"), col("value"), col("event_type"))
+    val inc = e.filter(col("event_type") === "error" && col("value") > 200)
+      .select(col("event_id").as("incident_id"), col("us").as("s"),
+        (col("us") + graft.ops.gold.Joins.IntervalBinUs).as("en"))
+    val direct = inc.join(e, col("us") >= col("s") && col("us") <= col("en"))
+      .groupBy("incident_id").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = df.collect().map(r => r.getAs[Long]("incident_id") -> r.getAs[Long]("n_events")).toMap
+    assert(binned == direct, "bin rewrite must match the direct theta join")
+  }
+
   test("tx5 bigram profile runs through the native GroupedTopK pair") {
     val df = graft.ops.ext.TextAnalysis.bigramProfile(spark, Sf)
     df.collect()
