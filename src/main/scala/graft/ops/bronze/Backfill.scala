@@ -174,9 +174,101 @@ object Backfill {
       |                          THEN value * 2.0 ELSE value END AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s23's layout fan-out and delete targets. Keys are hash-bucketed so
+    * a subject's rows collocate in exactly one partition directory. */
+  val DeleteBuckets = 8
+  val DeleteTargets: Seq[Long] = Seq(7L, 11L)
+
+  /** s23: TARGETED DELETE (the GDPR right-to-be-forgotten job) as a
+    * partition-scoped rewrite. The table is laid out bucketed by
+    * `user_id % [[DeleteBuckets]]`, so a deletion subject's rows live
+    * in ONE partition directory; the delete (1) derives the affected
+    * bucket list driver-side from the target ids — O(#subjects), no
+    * scan; (2) reads ONLY those partitions (pruned scan), anti-filters
+    * the subjects, and dynamic-partition-overwrites them back. The
+    * other partitions' files are never opened, moved, or rewritten —
+    * SourcesSpec asserts their file listing is byte-identical — which
+    * at a 100 TB table is the difference between touching 1/8th (or
+    * with 10⁴ buckets, 1/10⁴th) of the lake and rewriting all of it.
+    * Ref analog: none (the ref never deletes); this is the compliance
+    * op any production lake needs. */
+  def targetedDelete(spark: SparkSession, dir: String): DataFrame = {
+    val path = targetedDeleteBuild(spark, dir)
+    spark.read.parquet(path)
+      .groupBy(col("user_bucket").cast("bigint").as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("user_bucket")
+  }
+
+  /** Builds the bucketed layout, runs the delete, returns the path
+    * (split out so the spec can inspect the files each phase leaves). */
+  private[graft] def targetedDeleteBuild(spark: SparkSession, dir: String): String = {
+    val path = Graft.tmpDir("s23-del-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    targetedDeleteLayout(spark, dir, path)
+    targetedDeleteApply(spark, path)
+    path
+  }
+
+  /** Phase 1: the subject-bucketed table layout. */
+  private[graft] def targetedDeleteLayout(spark: SparkSession, dir: String, path: String): Unit =
+    Tables(spark, dir).events
+      .withColumn("user_bucket", col("user_id") % DeleteBuckets)
+      .select("event_id", "user_id", "value", "user_bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("user_bucket").parquet(path)
+
+  /** Phase 2: the delete — prune to the subjects' buckets, anti-filter,
+    * stage the survivors OUT of the table (a direct self-overwrite
+    * would consume the very files it replaces), dynamic-overwrite the
+    * surviving buckets back, and explicitly drop bucket directories
+    * the delete emptied — dynamic overwrite only rewrites partitions
+    * PRESENT in the written frame, so a bucket whose every row
+    * belonged to a subject would otherwise silently keep its data
+    * (the failure mode the spec's bucket-7-at-sf0.001 case pins:
+    * there user 7 is its bucket's only occupant). */
+  private[graft] def targetedDeleteApply(spark: SparkSession, path: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val staging = path + ".staging"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    try {
+      val buckets = DeleteTargets.map(_ % DeleteBuckets).distinct
+      spark.read.parquet(path)
+        .filter(col("user_bucket").isin(buckets: _*)) // partition-pruned
+        .filter(!col("user_id").isin(DeleteTargets: _*))
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      val staged = spark.read.parquet(staging)
+      if (!staged.isEmpty) {
+        staged.write.mode(SaveMode.Overwrite).partitionBy("user_bucket").parquet(path)
+      }
+      val survivors = staged.select("user_bucket").distinct()
+        .collect().map(_.get(0).toString.toLong).toSet
+      for (b <- buckets if !survivors.contains(b)) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/user_bucket=$b"), true)
+      }
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  val targetedDeleteOracle: String = {
+    val targets = DeleteTargets.mkString(", ")
+    s"""SELECT user_id % $DeleteBuckets AS user_bucket, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events WHERE user_id NOT IN ($targets)
+      |GROUP BY 1 ORDER BY user_bucket""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s3_paginated_scan", paginatedScanOracle)(paginatedScan),
     QueryDef.sql("s3b_resilient_scan", paginatedScanResilientOracle)(paginatedScanResilient),
     QueryDef.sql("s11_schema_evolution", schemaEvolutionOracle)(schemaEvolution),
-    QueryDef.sql("q5_partition_overwrite", partitionOverwriteOracle)(partitionOverwrite))
+    QueryDef.sql("q5_partition_overwrite", partitionOverwriteOracle)(partitionOverwrite),
+    QueryDef.sql("s23_targeted_delete", targetedDeleteOracle)(targetedDelete))
 }

@@ -103,6 +103,41 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(row.getLong(0) == 0L && row.isNullAt(1))
   }
 
+  test("s23 targeted delete rewrites only the subjects' bucket partitions") {
+    import graft.ops.bronze.Backfill
+    val path = graft.engine.Graft.tmpDir("s23-spec")
+    Backfill.targetedDeleteLayout(spark, Sf, path)
+    def listing(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("user_bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+            .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1))
+        .toMap
+    }
+    val before = listing()
+    Backfill.targetedDeleteApply(spark, path)
+    val after = listing()
+    val touched = Backfill.DeleteTargets.map(_ % Backfill.DeleteBuckets).toSet
+      .map((b: Long) => s"user_bucket=$b")
+    for ((bucket, files) <- before) {
+      if (!touched(bucket))
+        assert(after.get(bucket).contains(files),
+          s"$bucket holds no subject rows and must not be touched")
+    }
+    // sf0.001 has users 0..14, so bucket 7 = {user 7} only: the delete
+    // EMPTIES it, and the partition directory itself must go — the
+    // dynamic-overwrite-skips-absent-partitions trap
+    assert(!after.contains("user_bucket=7"), "emptied bucket dir must be dropped")
+    // bucket 3 = {3, 11}: user 3 survives, so the dir is rewritten in place
+    assert(after.contains("user_bucket=3") && after("user_bucket=3") != before("user_bucket=3"),
+      "partially-affected bucket must be rewritten")
+    val users = spark.read.parquet(path).select("user_id").distinct()
+      .as[Long].collect().toSet
+    assert(Backfill.DeleteTargets.forall(u => !users.contains(u)), "subjects must be gone")
+    assert(users.nonEmpty)
+  }
+
   test("options control the grid: symbols/days/pagesize") {
     val df = spark.read.format("graft-pages")
       .option("symbols", "SOLUSDT").option("days", "2").option("pageSize", "3")
