@@ -76,7 +76,12 @@ object Bench {
     "tx22_bpe_encode",     // tokenizer inference: distinct-word fold + corpus join
     "j8_full_outer",       // post-aggregation full-outer reconciliation
     "mm4_phash_pairs",     // banded signature pairing of media payloads
-    "q8_drift_psi")        // one-pass categorical drift monitor
+    "q8_drift_psi",        // one-pass categorical drift monitor
+    // round-5 second continuation (s22/s23 are stub-fetch/tmp-disk
+    // round-trips, excluded like the other sink benchmarks)
+    "dd11_substring_scrub", // corpus-recurring-span removal + text rewrite
+    "a14_heavy_hitters",   // two-pass Misra-Gries + exact verify
+    "j9_interval_bin_join") // key-less interval overlap via time bins
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full
