@@ -191,8 +191,18 @@ object Staging {
     * nanos until the final ms projection (`div`, not `/` — a double
     * quotient of epoch-nanos loses precision past 2⁵³), so the build
     * is deterministic and engine-portable at any timestamp jitter. */
-  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).eventsRaw
+  /** The SCD2 history at wire-format ns grain — the join-ready form
+    * ([[scd2PitJoin]] needs full precision: ms-truncated boundaries can
+    * collide with event times and mis-file a fact into the adjacent
+    * version). Columns: user_id, version, segment, valid_from_ns,
+    * valid_to_ns (null = open). */
+  private[graft] def scd2Ns(spark: SparkSession, dir: String): DataFrame =
+    scd2NsOf(Tables(spark, dir).eventsRaw)
+
+  /** [[scd2Ns]] over any change-log frame with (user_id, event_type,
+    * ts, event_id) columns. */
+  private[graft] def scd2NsOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), col("event_type").as("segment"),
         col("ts").as("at_ns"), col("event_id"))
     val w = Window.partitionBy("user_id").orderBy(col("at_ns"), col("event_id"))
@@ -200,15 +210,20 @@ object Staging {
       .filter(col("prev").isNull || col("prev") =!= col("segment"))
       .withColumn("version", row_number().over(w).cast("bigint"))
       .withColumn("valid_to_ns", lead(col("at_ns"), 1).over(w))
+      .select(col("user_id"), col("version"), col("segment"),
+        col("at_ns").as("valid_from_ns"), col("valid_to_ns"))
+  }
+
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2Ns(spark, dir)
       .select(
         col("user_id"),
         col("version"),
         col("segment"),
-        expr("at_ns div 1000000").as("valid_from_ms"),
+        expr("valid_from_ns div 1000000").as("valid_from_ms"),
         expr("valid_to_ns div 1000000").as("valid_to_ms"),
         col("valid_to_ns").isNull.as("is_current"))
       .orderBy("user_id", "version")
-  }
 
   val scd2BuildOracle: String =
     """WITH ev AS (
@@ -228,6 +243,74 @@ object Staging {
       |FROM chg
       |WINDOW w AS (PARTITION BY user_id ORDER BY at_ns, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** j10: POINT-IN-TIME join against the SCD2 history — "which segment
+    * was this user in when they purchased?", the temporal join every
+    * versioned-dimension warehouse runs. The join is an equi-join on
+    * the dimension key with the validity interval as an IN-JOIN
+    * residual (`valid_from ≤ ts < valid_to`, open tail = +∞): fan-out
+    * per fact row is bounded by that user's version count, the
+    * exchange is the plain user_id hash partition both sides already
+    * want, and exactly one version matches per fact (intervals
+    * partition the timeline from the user's first event; zero-width
+    * intervals from same-instant changes match nothing by the
+    * half-open test). Comparison runs at full int64-ns precision —
+    * the ms-truncated boundaries s20 publishes can COLLIDE with event
+    * times and mis-file a fact into the adjacent version (the spec
+    * pins a same-ms boundary case). */
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    // the dimension is the NON-purchase activity profile: version it from
+    // the other event types only — a dimension derived from the facts
+    // themselves would put every purchase inside its own just-opened
+    // 'purchase' segment and the join would be a tautology
+    val dim = scd2NsOf(Tables(spark, dir).eventsRaw
+      .filter(col("event_type") =!= "purchase"))
+    val facts = Tables(spark, dir).eventsRaw
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("at_ns"), col("value"))
+    // left outer: a purchase BEFORE the user's first profile event has no
+    // valid version yet and surfaces with a null segment (fact precedes
+    // dimension birth — report it, don't drop it)
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          col("at_ns") >= col("valid_from_ns") &&
+          (col("valid_to_ns").isNull || col("at_ns") < col("valid_to_ns")),
+        "left_outer")
+      .select(
+        facts("event_id").as("purchase_event_id"),
+        facts("user_id").as("user_id"),
+        expr("at_ns div 1000000").as("purchase_ts_ms"),
+        dim("version").as("segment_version"),
+        dim("segment").as("segment_at_purchase"),
+        facts("value").as("value"))
+      .orderBy("purchase_event_id")
+  }
+
+  val scd2PitJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS segment, epoch_ns(ts) AS at_ns, event_id
+      |  FROM events WHERE event_type <> 'purchase'),
+      |chg AS (
+      |  SELECT user_id, segment, at_ns, event_id FROM (
+      |    SELECT *, lag(segment) OVER (PARTITION BY user_id ORDER BY at_ns, event_id) AS prev
+      |    FROM ev)
+      |  WHERE prev IS NULL OR prev <> segment),
+      |dim AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, segment,
+      |    at_ns AS valid_from_ns, lead(at_ns) OVER w AS valid_to_ns
+      |  FROM chg
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY at_ns, event_id)),
+      |f AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS at_ns, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id AS purchase_event_id, f.user_id AS user_id,
+      |  f.at_ns // 1000000 AS purchase_ts_ms,
+      |  dim.version AS segment_version, dim.segment AS segment_at_purchase,
+      |  f.value AS value
+      |FROM f LEFT JOIN dim ON f.user_id = dim.user_id
+      |  AND f.at_ns >= dim.valid_from_ns
+      |  AND (dim.valid_to_ns IS NULL OR f.at_ns < dim.valid_to_ns)
+      |ORDER BY purchase_event_id""".stripMargin
 
   /** P1-adjacent resilience: malformed/missing JSON fields coerce to NULL
     * (PERMISSIVE semantics), never fail the pipeline — per-doc parse
@@ -259,5 +342,6 @@ object Staging {
     QueryDef.sql("p10_watermark_filter", watermarkFilterOracle)(watermarkFilter),
     QueryDef.sql("p11_date_param_scan", dateParamScanOracle)(dateParamScan),
     QueryDef.sql("s14_incremental_merge", incrementalMergeOracle)(incrementalMerge),
-    QueryDef.sql("s20_scd2_dim", scd2BuildOracle)(scd2Build))
+    QueryDef.sql("s20_scd2_dim", scd2BuildOracle)(scd2Build),
+    QueryDef.sql("j10_scd2_pit_join", scd2PitJoinOracle)(scd2PitJoin))
 }

@@ -337,6 +337,37 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(prof.values.forall(r => r.getAs[Long]("n_nulls") == 0L))
   }
 
+  test("SCD2 point-in-time join: every purchase matched exactly once, as-of parity") {
+    import graft.engine.Tables
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.silver.Staging.scd2PitJoin(spark, Sf).collect()
+      .map(r => r.getAs[Long]("purchase_event_id") ->
+        Option(r.getAs[String]("segment_at_purchase")))
+    val nPurchases = Tables(spark, Sf).eventsRaw
+      .filter(col("event_type") === "purchase").count()
+    assert(got.length == nPurchases, "interval join must match each fact exactly once")
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.exists(_._2.isDefined), "some purchases must land in a segment")
+    // independent reference: the segment at a purchase is the event_type
+    // of the user's latest NON-purchase event at-or-before it — an as-of
+    // window over the union, computed with none of the SCD2 machinery
+    val ev = Tables(spark, Sf).eventsRaw
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asof = ev
+      .withColumn("seg_now",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("seg_now"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    got.foreach { case (id, seg) =>
+      assert(asof(id) == seg, s"purchase $id: PIT join says $seg, as-of reference says ${asof(id)}")
+    }
+  }
+
   test("SCD2 history: contiguous versions, abutting intervals, one open row per key") {
     val rows = graft.ops.silver.Staging.scd2Build(spark, Sf)
       .select("user_id", "version", "segment", "valid_from_ms", "valid_to_ms", "is_current")
