@@ -156,11 +156,84 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** w6: ORDERED-STAGE FUNNEL — the product-analytics kernel (what
+    * fraction of users progress view → click → purchase, in that
+    * order?). Naive funnels re-scan per stage; this is ONE pass: per
+    * user, stage timestamps fold as chained conditional minima —
+    * `v = min ts(view)`, `c = min ts(click, ts ≥ v)`,
+    * `p = min ts(purchase, ts ≥ c)` — each a plain aggregate over the
+    * previous stage's scalar, so the whole funnel is two keyed
+    * aggregates and two bare-key broadcast-joinable re-attachments on
+    * the SAME user_id partitioning (no window sort, no per-stage
+    * scans; min is max-decomposable so every agg is map-side
+    * combinable). Ordering uses (ts, event_id) lexicographic packing
+    * — ns ties broken identically in both engines. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.engine.Caching.persist(
+      Tables(spark, dir).eventsRaw
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          // lexicographic struct compare == (ts, event_id) ordering in
+          // both engines; min over it is a plain mergeable aggregate
+          struct(col("ts"), col("event_id")).as("k")))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("k")).as("vk"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("k") >= col("vk"))
+      .groupBy("user_id").agg(min(col("k")).as("ck"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("k") >= col("ck"))
+      .groupBy("user_id").agg(min(col("k")).as("pk"))
+    Tables(spark, dir).eventsRaw.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left_outer")
+      .join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(
+        col("user_id"),
+        col("vk").isNotNull.as("reached_view"),
+        col("ck").isNotNull.as("reached_click"),
+        col("pk").isNotNull.as("reached_purchase"),
+        expr("vk.ts div 1000000").as("view_ms"),
+        expr("ck.ts div 1000000").as("click_ms"),
+        expr("pk.ts div 1000000").as("purchase_ms"))
+      .orderBy("user_id")
+  }
+
+  val funnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, {'tns': epoch_ns(ts), 'eid': event_id} AS k
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (
+      |  SELECT user_id, min(k) AS vk FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT ev.user_id, min(k) AS ck
+      |  FROM ev JOIN v ON ev.user_id = v.user_id
+      |  WHERE event_type = 'click' AND k >= vk GROUP BY 1),
+      |p AS (
+      |  SELECT ev.user_id, min(k) AS pk
+      |  FROM ev JOIN c ON ev.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND k >= ck GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id AS user_id,
+      |  (vk IS NOT NULL) AS reached_view,
+      |  (ck IS NOT NULL) AS reached_click,
+      |  (pk IS NOT NULL) AS reached_purchase,
+      |  (vk).tns // 1000000 AS view_ms,
+      |  (ck).tns // 1000000 AS click_ms,
+      |  (pk).tns // 1000000 AS purchase_ms
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("w1_topk_per_group", topkPerGroupOracle)(topkPerGroup),
     QueryDef.sql("w1b_topk_native", topkPerGroupOracle)(topkPerGroupNative),
     QueryDef.sql("w2_lag_lead", lagLeadOracle)(lagLead),
     QueryDef.sql("w3_running_sum", runningSumOracle)(runningSum),
     QueryDef.sql("w4_range_frame", rangeFrameOracle)(rangeFrame),
-    QueryDef.sql("w5_ranking_suite", rankingSuiteOracle)(rankingSuite))
+    QueryDef.sql("w5_ranking_suite", rankingSuiteOracle)(rankingSuite),
+    QueryDef.sql("w6_funnel", funnelOracle)(funnel))
 }

@@ -337,6 +337,35 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(prof.values.forall(r => r.getAs[Long]("n_nulls") == 0L))
   }
 
+  test("funnel honors stage ORDER: pre-view clicks and pre-click purchases don't count") {
+    import graft.ops.gold.Windows
+    import org.apache.spark.sql.functions._
+    val fixture = graft.engine.Graft.tmpDir("w6-fixture")
+    // nanos timestamps; event ids unique. user 1: full ordered funnel.
+    // user 2: click BEFORE its only view, purchase after — reaches view
+    // only (the out-of-order click must not open the click stage).
+    // user 3: view then purchase but no click — purchase must not count.
+    // user 4: second click after the view rescues the funnel.
+    val rows = Seq(
+      (1L, "view", 100L, 1L), (1L, "click", 200L, 2L), (1L, "purchase", 300L, 3L),
+      (2L, "click", 100L, 4L), (2L, "view", 200L, 5L), (2L, "purchase", 300L, 6L),
+      (3L, "view", 100L, 7L), (3L, "purchase", 200L, 8L),
+      (4L, "click", 100L, 9L), (4L, "view", 200L, 10L), (4L, "click", 300L, 11L),
+      (4L, "purchase", 400L, 12L))
+    rows.toDF("user_id", "event_type", "ts", "event_id")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$fixture/events.parquet")
+    val got = Windows.funnel(spark, fixture).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Boolean]("reached_view"), r.getAs[Boolean]("reached_click"),
+          r.getAs[Boolean]("reached_purchase"))))
+      .toMap
+    assert(got(1L) == ((true, true, true)))
+    assert(got(2L) == ((true, false, false)), "out-of-order click must not count")
+    assert(got(3L) == ((true, false, false)), "purchase without a click must not count")
+    assert(got(4L) == ((true, true, true)), "a later in-order click rescues the funnel")
+  }
+
   test("SCD2 point-in-time join: every purchase matched exactly once, as-of parity") {
     import graft.engine.Tables
     import org.apache.spark.sql.expressions.Window
