@@ -284,6 +284,65 @@ object Sinks {
       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
   }
 
+  /** How fragmented s24's "before" layout is: one file per (write task
+    * × day partition). 24 tasks × 30 days ≈ 720 files for a table one
+    * file per day serves better. */
+  val CompactFanOut = 24
+
+  /** s24: small-file COMPACTION — the standalone `OPTIMIZE` job every
+    * parquet lake needs (the incremental-merge stream runs the same
+    * bin-pack inline; this is the table-maintenance form). A
+    * day-partitioned table fragmented into one file per (task ×
+    * partition) — the layout an uncared-for parallel sink produces,
+    * and at 1000 executors the namenode incident — is rewritten with
+    * ONE exchange: `repartition(partition cols)` collapses each day
+    * onto a single task before `partitionBy`, so each partition dir
+    * lands as exactly one file (for skewed days, swap in
+    * `repartitionByRange` + `maxRecordsPerFile` to split at a target
+    * size — same plan shape). The compaction INVARIANT rides in the
+    * compared output itself: `n_files` per day is computed from
+    * `input_file_name()` on the compacted read and the oracle pins it
+    * to the literal 1, while row counts and exact-decimal sums prove
+    * the rewrite lost nothing. SinksSpec-side, the before/after file
+    * listing asserts ~[[CompactFanOut]]× shrinkage. */
+  def compactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    val before = scratch("s24-frag", dir)
+    val after = scratch("s24-compact", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "value", "event_date")
+    ev.repartition(CompactFanOut) // the fragmenting writer
+      .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(before)
+    spark.read.parquet(before)
+      .repartition(col("event_date")) // one task per day → one file per dir
+      .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(after)
+    spark.read.parquet(after)
+      .withColumn("f", input_file_name()) // project first: non-deterministic
+      .groupBy(col("event_date").cast("date").as("event_date")) // exprs can't sit inside agg args
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.decSum(col("value")).as("sum_value"),
+        countDistinct(col("f")).as("n_files"))
+      .orderBy("event_date")
+  }
+
+  val compactSmallFilesOracle: String =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  /** File count under a partitioned parquet root (spec helper). */
+  private[graft] def parquetFileCount(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(path))
+  }
+
+  private[graft] def compactScratchDirs(dir: String): (String, String) =
+    (scratch("s24-frag", dir), scratch("s24-compact", dir))
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s5_csv_roundtrip", csvRoundtripOracle)(csvRoundtrip),
     QueryDef.sql("s19_zorder_layout", zorderLayoutOracle)(zorderLayout),
@@ -292,5 +351,6 @@ object Sinks {
     QueryDef.sql("s9_partitioned_sink", partitionedSinkRoundtripOracle)(partitionedSinkRoundtrip),
     QueryDef.sql("s8_kafka_shape", kafkaShapeRoundtripOracle)(kafkaShapeRoundtrip),
     QueryDef.sql("s13_overwrite_table", overwriteRoundtripOracle)(overwriteRoundtrip),
-    QueryDef.sql("s15_dual_write", dualWriteRoundtripOracle)(dualWriteRoundtrip))
+    QueryDef.sql("s15_dual_write", dualWriteRoundtripOracle)(dualWriteRoundtrip),
+    QueryDef.sql("s24_compact_files", compactSmallFilesOracle)(compactSmallFiles))
 }

@@ -138,6 +138,17 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(users.nonEmpty)
   }
 
+  test("s24 compaction collapses the fragmented layout to one file per day") {
+    import graft.ops.bronze.Sinks
+    val out = Sinks.compactSmallFiles(spark, Sf)
+    assert(out.collect().forall(_.getAs[Long]("n_files") == 1L))
+    val (frag, compact) = Sinks.compactScratchDirs(Sf)
+    val nFrag = Sinks.parquetFileCount(frag)
+    val nCompact = Sinks.parquetFileCount(compact)
+    assert(nCompact > 0 && nFrag >= nCompact * 10,
+      s"expected ≥10x shrinkage, got $nFrag -> $nCompact")
+  }
+
   test("options control the grid: symbols/days/pagesize") {
     val df = spark.read.format("graft-pages")
       .option("symbols", "SOLUSDT").option("days", "2").option("pageSize", "3")
