@@ -81,7 +81,9 @@ object Bench {
     // round-trips, excluded like the other sink benchmarks)
     "dd11_substring_scrub", // corpus-recurring-span removal + text rewrite
     "a14_heavy_hitters",   // two-pass Misra-Gries + exact verify
-    "j9_interval_bin_join") // key-less interval overlap via time bins
+    "j9_interval_bin_join", // key-less interval overlap via time bins
+    "j10_scd2_pit_join",   // point-in-time join vs the SCD2 dimension
+    "w6_funnel")           // single-pass ordered-stage funnel
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full
