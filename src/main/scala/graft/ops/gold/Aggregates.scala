@@ -357,6 +357,36 @@ object Aggregates {
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
   }
 
+  /** a15: UNPIVOT / melt — a13's inverse (wide metric columns back to
+    * (metric, value) rows), via the `stack()` table-generating
+    * expression: a single Generate node, one output row per (input
+    * row × metric), no shuffle at all until the demonstrative
+    * re-aggregation. The pair matters operationally: pivot for the
+    * report, unpivot to get the report BACK into the long form every
+    * other operator speaks. */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("totalprice"),
+        col("o_custkey").cast("double").as("custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("stack(2, 'totalprice', totalprice, 'custkey', custkey)")
+          .as(Seq("metric", "value")))
+      .groupBy("o_orderpriority", "metric")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("o_orderpriority", "metric")
+
+  val unpivotAggOracle: String =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_orderpriority, 'totalprice' AS metric,
+      |         CAST(o_totalprice AS DOUBLE) AS value FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, 'custkey',
+      |         CAST(o_custkey AS DOUBLE) FROM orders)
+      |SELECT o_orderpriority, metric, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY 1, 2 ORDER BY o_orderpriority, metric""".stripMargin
+
   /** MG counter budget for a14. The sketch guarantee (undercount
     * ≤ N/(k+1), Misra-Gries 1982; preserved under the subtract-pivot
     * merge of Agarwal et al. 2013 "Mergeable Summaries") needs
@@ -454,5 +484,6 @@ object Aggregates {
     QueryDef.rowsOnly("a11b_approx_quantile")(approxQuantileProfile),
     QueryDef.sql("a12_grouping_sets", groupingSetsAggOracle)(groupingSetsAgg),
     QueryDef.sql("a13_pivot", pivotAggOracle)(pivotAgg),
-    QueryDef.sql("a14_heavy_hitters", heavyHittersOracle)(heavyHitters))
+    QueryDef.sql("a14_heavy_hitters", heavyHittersOracle)(heavyHitters),
+    QueryDef.sql("a15_unpivot", unpivotAggOracle)(unpivotAgg))
 }
