@@ -990,6 +990,97 @@ object Dedup {
       |FROM d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** dd12's sketch size (per-source bottom-k summary). */
+  val OverlapK = 64
+
+  /** dd12: cross-source corpus overlap via BOTTOM-K sketches — the
+    * "how much does source A duplicate source B" signal that drives
+    * mixing/dedup decisions between crawl snapshots. Each source's
+    * shingle set collapses to its k smallest 60-bit shingle hashes (a
+    * bottom-k sketch — order-statistics cousin of MinHash, mergeable:
+    * union = k smallest of the concatenation), built natively with
+    * [[graft.plans.GroupedTopK]] ascending. Pairwise estimated Jaccard
+    * = |B_k(A∪B) ∩ A_sketch ∩ B_sketch| / |B_k(A∪B)|.
+    *
+    * The 100 TB shape: the corpus is touched ONCE to build #sources·k
+    * sketch rows; all 190 pairwise comparisons then run on sketch-sized
+    * data — never a corpus×corpus comparison. The output carries the
+    * exact Jaccard next to the estimate (the exact side is bare-hash
+    * joins, affordable at fixture scale and the spec's error anchor;
+    * production runs estimate-only). Integer counts everywhere; the
+    * single final division is int/int → IEEE-identical both engines. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Caching.persist(
+      shingled(spark, dir)
+        .select(col("source"), explode(col("sh")).as("g"))
+        .select(col("source"),
+          expr(graft.engine.PortableHash.md5Prefix60("g")).as("h"))
+        .distinct())
+    val n = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val sk = Caching.persist(
+      graft.plans.GroupedTopK(sh, Seq("source"), Seq("h" -> true), k = OverlapK))
+    val pairs = n.select(col("source").as("sa"), col("n").as("na"))
+      .join(n.select(col("source").as("sb"), col("n").as("nb")), col("sa") < col("sb"))
+    val contrib = pairs.select("sa", "sb")
+      .join(sk.withColumnRenamed("source", "sa"), "sa")
+      .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionByName(pairs.select("sa", "sb")
+        .join(sk.withColumnRenamed("source", "sb"), "sb")
+        .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
+    val merged = contrib.groupBy("sa", "sb", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy("h")
+    val est = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= OverlapK)
+      .groupBy("sa", "sb")
+      .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("both"),
+        count(lit(1)).as("denom"))
+    val inter = sh.select(col("source").as("sa"), col("h"))
+      .join(sh.select(col("source").as("sb"), col("h")), Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("ic"))
+    pairs.join(est, Seq("sa", "sb"))
+      .join(inter, Seq("sa", "sb"), "left_outer")
+      .select(
+        col("sa").as("source_a"), col("sb").as("source_b"),
+        (col("both").cast("double") / col("denom")).as("est_jaccard"),
+        (coalesce(col("ic"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ic"), lit(0L)))).as("exact_jaccard"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+      .orderBy("source_a", "source_b")
+  }
+
+  lazy val sourceOverlapOracle: String =
+    s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |sh AS (SELECT DISTINCT source, ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM
+      |  (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+      |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM d)),
+      |n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |sk AS (SELECT source, h FROM
+      |  (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) rn FROM sh)
+      |  WHERE rn <= $OverlapK),
+      |pairs AS (SELECT a.source sa, a.n na, b.source sb, b.n nb
+      |          FROM n a JOIN n b ON a.source < b.source),
+      |contrib AS (
+      |  SELECT p.sa, p.sb, s.h, 1 AS ina, 0 AS inb FROM pairs p JOIN sk s ON s.source = p.sa
+      |  UNION ALL
+      |  SELECT p.sa, p.sb, s.h, 0, 1 FROM pairs p JOIN sk s ON s.source = p.sb),
+      |merged AS (SELECT sa, sb, h, max(ina) ina, max(inb) inb FROM contrib GROUP BY 1, 2, 3),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) rn FROM merged),
+      |est AS (SELECT sa, sb, sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS both,
+      |               count(*) AS denom
+      |        FROM ranked WHERE rn <= $OverlapK GROUP BY 1, 2),
+      |inter AS (SELECT a.source sa, b.source sb, count(*) ic
+      |          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+      |SELECT p.sa AS source_a, p.sb AS source_b,
+      |  CAST(est.both AS DOUBLE) / est.denom AS est_jaccard,
+      |  CAST(coalesce(ic, 0) AS DOUBLE) / (p.na + p.nb - coalesce(ic, 0)) AS exact_jaccard,
+      |  p.na AS n_a, p.nb AS n_b
+      |FROM pairs p JOIN est ON est.sa = p.sa AND est.sb = p.sb
+      |LEFT JOIN inter ON inter.sa = p.sa AND inter.sb = p.sb
+      |ORDER BY source_a, source_b""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -1004,5 +1095,6 @@ object Dedup {
     QueryDef.sql("dd7_dup_passages", dupPassagesOracle)(dupPassages),
     QueryDef.sql("dd9_bloom_dedup", bloomDedupOracle)(bloomDedup),
     QueryDef.sql("dd10_dedup_weights", dedupWeightsOracle)(dedupWeights),
-    QueryDef.sql("dd11_substring_scrub", substringScrubOracle)(substringScrub))
+    QueryDef.sql("dd11_substring_scrub", substringScrubOracle)(substringScrub),
+    QueryDef.sql("dd12_source_overlap", sourceOverlapOracle)(sourceOverlap))
 }

