@@ -91,7 +91,7 @@ object Bench {
     * micro-batch drain, the number BENCH_NOTES turns into rows/s. Each
     * invocation gets fresh checkpoint/output dirs so every run (warm and
     * timed) performs the complete drain rather than a no-op resume. */
-  val streaming: Seq[String] = Seq("st1_bronze_ingest", "st2_hourly_agg")
+  val streaming: Seq[String] = Seq("st1_bronze_ingest", "st2_hourly_agg", "st3_session_state")
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -121,6 +121,16 @@ object Bench {
       case "st2_hourly_agg" =>
         Pipelines.hourlyAgg(Pipelines.eventsStream(spark, sfDir))
           .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      case "st3_session_state" =>
+        // the custom-state path: flatMapGroupsWithState sessionization
+        // drained over the full SF event stream — the per-key state
+        // machine's throughput, not a windowed builtin's
+        graft.streaming.StatefulSessions
+          .sessionStream(spark, Pipelines.eventsStream(spark, sfDir))
+          .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
