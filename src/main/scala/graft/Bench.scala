@@ -84,7 +84,8 @@ object Bench {
     "j9_interval_bin_join", // key-less interval overlap via time bins
     "j10_scd2_pit_join",   // point-in-time join vs the SCD2 dimension
     "w6_funnel",           // single-pass ordered-stage funnel
-    "dd12_source_overlap") // bottom-k sketch corpus-overlap matrix
+    "dd12_source_overlap", // bottom-k sketch corpus-overlap matrix
+    "dd13_cdc_chunks")     // content-defined chunk dedup (boundary re-sync)
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

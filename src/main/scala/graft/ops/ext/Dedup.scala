@@ -1081,6 +1081,86 @@ object Dedup {
       |LEFT JOIN inter ON inter.sa = p.sa AND inter.sb = p.sb
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** dd13's expected chunk length: a token opens a new chunk when its
+    * 60-bit hash ≡ 0 (mod 16) — boundaries every ~16 tokens. */
+  val CdcMod = 16
+
+  /** dd13: duplicate passages via CONTENT-DEFINED CHUNKING — the
+    * storage-dedup technique (rolling-boundary CDC, at token grain)
+    * brought to corpus hygiene. The cost/recall triangle it solves:
+    * dd7's SLIDING windows are shift-robust (a window exists at every
+    * offset) but emit [[PassageN]] copies of every token; DISJOINT
+    * fixed blocks (`j div 16`) partition the doc — cheap — but one
+    * prepended token shifts every block boundary and cross-doc
+    * overlap vanishes. CDC chunks partition the doc at sliding-window
+    * cost-per-token ≈ 1 AND re-synchronize: boundaries live where the
+    * CONTENT says (token-hash ≡ 0 mod [[CdcMod]]), so after any
+    * insertion the very next boundary re-aligns and the shared tail
+    * dedups (DedupSpec pins the prepend case against the disjoint
+    * baseline, which finds nothing).
+    *
+    * Shape: one posexplode, per-doc boundary cumsum (one doc_id
+    * exchange + in-partition sort — tx8's cost class), chunk
+    * fingerprints as md5 (chunks travel as 16-byte digests, never
+    * text), cross-doc dup detection = count distinct docs ≥ 2 per
+    * digest. Per-doc report mirrors dd7's keep-threshold contract. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedupOf(Tables(spark, dir).documents)
+
+  /** [[cdcChunkDedup]] over any `(doc_id, text)` frame (spec entry). */
+  private[graft] def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("j", "t")))
+    val marked = toks.withColumn("is_b",
+      (expr(graft.engine.PortableHash.md5Prefix60("t")) % CdcMod === 0).cast("long"))
+    val chunked = marked.withColumn("chunk_id",
+      sum("is_b").over(Window.partitionBy("doc_id").orderBy("j")))
+    val chunks = Caching.persist(
+      chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("j"), col("t")))),
+            s => s.getField("t"))).cast("binary")).as("fp"),
+          count(lit(1)).as("n_tok")))
+    val dup = chunks.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    val flagged = chunks.join(dup.withColumn("is_dup", lit(1L)), Seq("fp"), "left_outer")
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_chunks"),
+        sum(when(col("is_dup").isNotNull, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("keep", col("dup_chunks") * 5 < col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  lazy val cdcChunkDedupOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) + 1), j -> {'j': j - 1, 't': w[j]}),
+      |      recursive := true)
+      |  FROM d),
+      |b AS (SELECT doc_id, j, t,
+      |        CASE WHEN ('0x' || substring(md5(t), 1, 15))::BIGINT % $CdcMod = 0
+      |             THEN 1 ELSE 0 END AS is_b
+      |      FROM tok),
+      |c AS (SELECT *, sum(is_b) OVER (PARTITION BY doc_id ORDER BY j) AS chunk_id FROM b),
+      |ch AS (SELECT doc_id, chunk_id, md5(string_agg(t, ' ' ORDER BY j)) AS fp,
+      |              count(*) AS n_tok
+      |       FROM c GROUP BY 1, 2),
+      |dup AS (SELECT fp FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT ch.doc_id AS doc_id,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+      |  CAST(sum(CASE WHEN dup.fp IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+      |  (sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) * 5 < count(*)) AS keep
+      |FROM ch LEFT JOIN dup ON ch.fp = dup.fp
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -1096,5 +1176,6 @@ object Dedup {
     QueryDef.sql("dd9_bloom_dedup", bloomDedupOracle)(bloomDedup),
     QueryDef.sql("dd10_dedup_weights", dedupWeightsOracle)(dedupWeights),
     QueryDef.sql("dd11_substring_scrub", substringScrubOracle)(substringScrub),
-    QueryDef.sql("dd12_source_overlap", sourceOverlapOracle)(sourceOverlap))
+    QueryDef.sql("dd12_source_overlap", sourceOverlapOracle)(sourceOverlap),
+    QueryDef.sql("dd13_cdc_chunks", cdcChunkDedupOracle)(cdcChunkDedup))
 }

@@ -259,6 +259,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(6L) == (("", 0L, 30L)))
   }
 
+  test("dd13 CDC chunks survive a prepend that breaks fixed-offset windows") {
+    val tail = (1 to 60).map(i => s"x$i")
+    val docs = Seq(
+      (1L, tail.mkString(" ")),
+      (2L, ("zzz" +: tail).mkString(" ")), // one-token prepend
+      (3L, (1 to 40).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"), r.getAs[Long]("dup_tokens"))))
+      .toMap
+    // content-defined boundaries re-sync after the first boundary inside
+    // the shared tail, so the bulk of it dedups despite the shift
+    assert(got(1L)._2 >= 1 && got(2L)._2 >= 1, s"CDC must recover shared chunks: $got")
+    assert(got(1L)._3 >= 30, s"most of the 60-token tail should dedup, got ${got(1L)._3}")
+    assert(got(3L)._2 == 0 && got(3L)._3 == 0, "unique doc must not be flagged")
+    // contrast: DISJOINT fixed blocks (the equally-cheap alternative —
+    // same partition-the-doc cost as CDC) find NOTHING on this pair:
+    // the prepend shifts every block boundary of doc 2
+    val blocks = docs
+      .withColumn("w", graft.ops.ext.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("j", "t")))
+      .withColumn("blk", expr(s"j div ${Dedup.CdcMod}"))
+      .groupBy("doc_id", "blk")
+      .agg(md5(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("j"), col("t")))),
+        s => s.getField("t"))).cast("binary")).as("fp"))
+    val crossDoc = blocks.as("a").join(blocks.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(crossDoc == 0L,
+      "precondition: disjoint fixed blocks are defeated by the prepend " +
+        "(else CDC's re-sync property is not what this test demonstrates)")
+  }
+
   test("dd12 sketch overlap estimates land within the bottom-k error bound") {
     val rows = Dedup.sourceOverlap(spark, Sf).collect()
     assert(rows.nonEmpty)
