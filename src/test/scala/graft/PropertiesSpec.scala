@@ -170,6 +170,73 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(cnts.sliding(2).forall { case Array(a, b) => b <= a }, "ranked by frequency")
   }
 
+  test("dd11 substring scrub matches a brute-force reference on random corpora") {
+    import graft.ops.ext.Dedup
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 25L).map { id =>
+        id -> Vector.fill(rnd.nextInt(21))(vocab(rnd.nextInt(vocab.size)))
+      }
+      // brute-force reference in plain Scala: count every 8-gram
+      // occurrence, cover, rewrite
+      val n = Dedup.PassageN
+      val gramCounts = docs.flatMap { case (_, w) => w.sliding(n).filter(_.length == n) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, w) =>
+        val covered = w.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.length == n && gramCounts(g) >= 2 }
+          .flatMap { case (_, i) => i until (i + n) }.toSet
+        val kept = w.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+        id -> ((kept.mkString(" "), kept.size.toLong, (w.size - kept.size).toLong))
+      }.toMap
+      val got = Dedup.substringScrubOf(
+        docs.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))))
+        .toMap
+      // empty token array edge: split("") yields [""], one pseudo-token —
+      // mirror the reference for those docs the same way the oracle does
+      val wantAdj = want.map { case (id, (txt, k, r)) =>
+        if (docs.toMap.apply(id).isEmpty) id -> (("", 1L, 0L)) else id -> ((txt, k, r))
+      }
+      assert(got == wantAdj, s"trial $trial diverged")
+    }
+  }
+
+  test("misra-gries guarantee holds on random streams: candidates cover all true HHs") {
+    import graft.ops.gold.Aggregates
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val k = 8 + rnd.nextInt(56) // 8..63 counters
+      // zipfian-ish stream over a vocab larger than k
+      val vocab = (1 to k * 4).map(i => s"t$i")
+      val stream = (1 to 4000).map { _ =>
+        val r = rnd.nextDouble()
+        if (r < 0.5) vocab(rnd.nextInt(3)) // 3 hot tokens share half the mass
+        else vocab(rnd.nextInt(vocab.size))
+      }
+      val mg = stream.foldLeft(Aggregates.MgSummary(Map.empty, 0L)) {
+        new Aggregates.MisraGries(k).reduce
+      }
+      assert(mg.counts.size <= k && mg.n == stream.size)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = stream.size.toLong / (k + 1)
+      val mustSurvive = exact.collect { case (t, f) if f > bound => t }
+      assert(mustSurvive.forall(mg.counts.contains),
+        s"trial $trial: item over N/(k+1)=$bound missing from the $k-counter summary")
+      // merged two-way split must satisfy the same guarantee
+      val (s1, s2) = stream.splitAt(stream.size / 3)
+      val agg = new Aggregates.MisraGries(k)
+      val merged = agg.merge(
+        s1.foldLeft(Aggregates.MgSummary(Map.empty, 0L))(agg.reduce),
+        s2.foldLeft(Aggregates.MgSummary(Map.empty, 0L))(agg.reduce))
+      assert(merged.n == stream.size && merged.counts.size <= k)
+      assert(mustSurvive.forall(merged.counts.contains),
+        s"trial $trial: merge broke the mergeable-summaries guarantee")
+    }
+  }
+
   test("misra-gries two-pass heavy hitters are exact when vocab far exceeds k") {
     import graft.ops.gold.Aggregates
     import org.apache.spark.sql.functions._
