@@ -85,7 +85,8 @@ object Bench {
     "j10_scd2_pit_join",   // point-in-time join vs the SCD2 dimension
     "w6_funnel",           // single-pass ordered-stage funnel
     "dd12_source_overlap", // bottom-k sketch corpus-overlap matrix
-    "dd13_cdc_chunks")     // content-defined chunk dedup (boundary re-sync)
+    "dd13_cdc_chunks",     // content-defined chunk dedup (boundary re-sync)
+    "ann6_filtered_topk")  // metadata-filtered vector search (pre-filter join)
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

@@ -1114,6 +1114,58 @@ object Similarity {
       |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** ann6: FILTERED vector search — top-k under a metadata predicate
+    * (here: candidates restricted to the query's own label class), the
+    * problem every vector DB names pre- vs post-filtering. POST-filter
+    * (search first, filter the top-k after) silently under-delivers:
+    * any of the global top-5 outside the class is discarded and the
+    * query returns < k rows with recall loss — SimilaritySpec
+    * measures exactly that deficit on these fixtures. PRE-filter is
+    * the relational shape and Spark gets it for free: the metadata
+    * predicate becomes the JOIN KEY (label equi-join replaces the
+    * cross join), so the candidate set shrinks BEFORE any distance
+    * math — selectivity s cuts the scored rows to s·N — and the
+    * native GroupedTopK tail guarantees exactly k per query whenever
+    * the class holds k members. At 100 TB the same query runs against
+    * a `partitionBy(label)` layout as a partition-pruned scan (the
+    * ann3b index pattern composes: per-label IVF cells). */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val q = Tables(spark, dir).embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val scored = corpus.join(broadcast(q), col("label") === col("q_label"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .select("q_vec_id", "vec_id", "cos_r")
+    val survivors = graft.plans.GroupedTopK(
+      scored, Seq("q_vec_id"), Seq("cos_r" -> false, "vec_id" -> true), k = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
+    survivors
+      .withColumn("rank", row_number().over(w))
+      .select(col("q_vec_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos_r"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  val filteredTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, label AS q_label
+      |           FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_vec_id, c.vec_id,
+      |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_r
+      |  FROM q JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) c
+      |    ON c.label = q.q_label
+      |)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd8_semdedup", semDedupOracle)(semDedup),
     QueryDef.sql("ann1_bruteforce_topk", bruteForceTopKOracle)(bruteForceTopK),
@@ -1126,5 +1178,6 @@ object Similarity {
     QueryDef.sql("emb1_quantize", quantizeEmbeddingsOracle)(quantizeEmbeddings),
     QueryDef.sql("emb2_random_projection", randomProjectionOracle)(randomProjection),
     QueryDef.sql("emb3_pq_encode", pqEncodeOracle)(pqEncode),
-    QueryDef.sql("ann5_ivfpq_topk", ivfPqTopKOracle)(ivfPqTopK))
+    QueryDef.sql("ann5_ivfpq_topk", ivfPqTopKOracle)(ivfPqTopK),
+    QueryDef.sql("ann6_filtered_topk", filteredTopKOracle)(filteredTopK))
 }

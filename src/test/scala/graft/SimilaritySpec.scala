@@ -124,6 +124,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(trained > 0.1)
   }
 
+  test("ann6 pre-filter delivers full k where post-filtering under-delivers") {
+    import graft.ops.ext.Similarity
+    val pre = Similarity.filteredTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_vec_id"))
+    // every query's label class has >= 5 members on the fixtures, so the
+    // pre-filtered search owes exactly k=5 results per query
+    assert(pre.nonEmpty && pre.values.forall(_.length == 5),
+      s"pre-filter must return exactly k: ${pre.view.mapValues(_.length).toMap}")
+    // post-filter baseline: global top-5 (ann1), THEN apply the label
+    // predicate — whatever of the top-5 sits outside the class is lost
+    val labels = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val post = graft.ops.ext.Similarity.bruteForceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("vec_id")))
+      .filter { case (q, v) => labels(q) == labels(v) }
+      .groupBy(_._1)
+    val postCounts = pre.keys.map(q => post.get(q).map(_.length).getOrElse(0)).toSeq
+    assert(postCounts.exists(_ < 5),
+      s"fixture must demonstrate the post-filter deficit, got $postCounts")
+  }
+
   test("ann3b indexed probe is partition-pruned and matches ann3") {
     val plain = Similarity.ivfTopK(spark, Sf).collect().toSeq
     val indexed = Similarity.ivfIndexedTopK(spark, Sf)
