@@ -86,7 +86,8 @@ object Bench {
     "w6_funnel",           // single-pass ordered-stage funnel
     "dd12_source_overlap", // bottom-k sketch corpus-overlap matrix
     "dd13_cdc_chunks",     // content-defined chunk dedup (boundary re-sync)
-    "ann6_filtered_topk")  // metadata-filtered vector search (pre-filter join)
+    "ann6_filtered_topk",  // metadata-filtered vector search (pre-filter join)
+    "tx24_calibrated_quality") // per-source rank-normalized quality cut
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

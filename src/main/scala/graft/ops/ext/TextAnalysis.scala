@@ -127,6 +127,59 @@ object TextAnalysis {
       |       uniq_ratio * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** tx24: per-source CALIBRATED quality filtering. A single global
+    * threshold over raw quality scores silently deletes whole domains —
+    * score distributions differ by source (boilerplate-heavy domains
+    * score uniformly lower), so the raw cut keeps 100% of one source
+    * and 0% of another. The standard treatment (CCNet's per-language
+    * perplexity buckets, DataComp's per-pool calibration) is
+    * RANK-NORMALIZATION within the domain: `percent_rank` over
+    * (source, score) converts every score to its within-source
+    * quantile, and a uniform calibrated cut (bottom 20% of EACH
+    * source) follows. Physical shape: ONE keyed window — hash
+    * exchange on source + in-partition sort; no global sort, scales
+    * with domain count. Ties break on doc_id; percent_rank is
+    * (rank−1)/(n−1), integer arithmetic divided once — identical in
+    * both engines. */
+  def calibratedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .withColumn("len", length(col("text")))
+      .select(col("doc_id"), col("source"),
+        ((size(array_distinct(col("w"))).cast("double") / size(col("w"))) *
+          (lit(1.0) - (col("len") - length(regexp_replace(col("text"), "[.!?,;:]", "")))
+            .cast("double") / col("len")) *
+          (lit(1.0) - (col("len") - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / col("len"))).as("quality_score"))
+    val w = Window.partitionBy("source").orderBy(col("quality_score"), col("doc_id"))
+    scored.withColumn("pct", percent_rank().over(w))
+      .select(
+        col("doc_id"), col("source"),
+        round(col("quality_score"), 6).as("quality_r"),
+        round(col("pct"), 6).as("pct_r"),
+        (col("pct") >= 0.2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val calibratedQualityOracle: String =
+    """WITH t AS (SELECT doc_id, source, text, length(text) AS len,
+      |                  string_split_regex(trim(text), '\s+') w FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) *
+      |    (1.0 - CAST(len - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len) *
+      |    (1.0 - CAST(len - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len)
+      |      AS quality_score
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, source, quality_score,
+      |    percent_rank() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS pct
+      |  FROM s)
+      |SELECT doc_id, source, round(quality_score, 6) AS quality_r,
+      |       round(pct, 6) AS pct_r, (pct >= 0.2) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
     * text — the exact-dedup key (see Dedup.exactDedup). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -1220,5 +1273,6 @@ object TextAnalysis {
     QueryDef.sql("tx16_quality_classifier", qualityClassifierOracle)(qualityClassifier),
     QueryDef.sql("tx19_normalize", normalizeTextOracle)(normalizeText),
     QueryDef.sql("tx20_source_cap", sourceCapOracle)(sourceCap),
-    QueryDef.sql("tx21_ppl_buckets", pplBucketsOracle)(pplBuckets))
+    QueryDef.sql("tx21_ppl_buckets", pplBucketsOracle)(pplBuckets),
+    QueryDef.sql("tx24_calibrated_quality", calibratedQualityOracle)(calibratedQuality))
 }

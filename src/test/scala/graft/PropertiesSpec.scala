@@ -170,6 +170,27 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(cnts.sliding(2).forall { case Array(a, b) => b <= a }, "ranked by frequency")
   }
 
+  test("calibrated quality keeps ~80% of EVERY source; a global cut would not") {
+    import graft.ops.ext.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.calibratedQuality(spark, Sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("quality_r"), r.getAs[Boolean]("keep")))
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, rs) =>
+      val kept = rs.count(_._3).toDouble / rs.length
+      assert(kept >= 0.7 && kept <= 0.9,
+        s"$src keeps ${kept * 100}% — calibration must cut ~20% per source")
+    }
+    // the calibrated threshold is per-source by construction: the global
+    // score value at each source's cut differs across sources (if they
+    // were all equal, a raw global threshold would do the same job and
+    // this operator would be pointless)
+    val cutScores = bySource.values.map { rs =>
+      rs.filter(_._3).map(_._2).min // lowest KEPT score per source
+    }.toSeq
+    assert(cutScores.distinct.size > 1, "per-source cut points must differ")
+  }
+
   test("dd11 substring scrub matches a brute-force reference on random corpora") {
     import graft.ops.ext.Dedup
     val rnd = new scala.util.Random(7)
