@@ -247,6 +247,20 @@ object Backfill {
       for (b <- buckets if !survivors.contains(b)) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/user_bucket=$b"), true)
       }
+      // The overwrite + empty-bucket drop above is NOT atomic: a crash
+      // mid-apply can leave subject rows partially present. The marker
+      // protocol makes that state DETECTABLE and the op re-runnable:
+      // the completion marker is written only after re-verifying (a
+      // pruned scan of the affected buckets) that no subject row
+      // survived, so marker-absent ⇒ the delete must be re-run (every
+      // phase is idempotent), marker-present ⇒ the subjects are gone.
+      val leftover = spark.read.parquet(path)
+        .filter(col("user_bucket").isin(buckets: _*))
+        .filter(col("user_id").isin(DeleteTargets: _*))
+      require(leftover.isEmpty, "targeted delete left subject rows behind")
+      val marker = new org.apache.hadoop.fs.Path(
+        path, s"_delete_complete-${DeleteTargets.mkString("_")}")
+      fs.create(marker, true).close()
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       prev match {

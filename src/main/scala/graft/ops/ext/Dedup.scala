@@ -653,11 +653,38 @@ object Dedup {
     * Runs [[connectedComponents]] (large-star/small-star), so even
     * pathological chain-of-dups diameters cost logarithmically many
     * edge-list shuffles. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
-    val (labels, _) = connectedComponents(pairs)
-    labels.select(col("label").as("cluster_id"), col("doc_id"))
-      .orderBy("cluster_id", "doc_id")
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClusterTable(spark, dir).orderBy("cluster_id", "doc_id")
+
+  /** The duplicate-cluster table as a MATERIALIZED corpus-snapshot
+    * artifact (ann3b's build-once/probe-read lifecycle — see
+    * [[Similarity.ivfIndexedTopK]]): the banding → verify → connected-
+    * components chain is a function of the corpus alone, consumed by
+    * three operators (dd6's report, dd10's reweighting, tx9's cleaning
+    * funnel), so recomputing it per consumer multiplies the most
+    * expensive dedup stage by the consumer count (measured: dd10 at
+    * 9.5 s vs dd6's 2.1 s in the same r5 driver suite — the chain ran
+    * twice). Built at most once per corpus snapshot, gated by the same
+    * content manifest ann3b uses (file name|size|mtime of the source —
+    * a `cp -p` restore flips it where newest-mtime would not), then
+    * every consumer is a bare parquet read of (cluster_id, doc_id). */
+  private[graft] def dupClusterTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.engine.Graft.tmpDir(
+      "dd6-clusters-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val manifestFile = new java.io.File(path, "_GRAFT_SRC_MANIFEST")
+    val current = Similarity.srcManifest(new java.io.File(s"$dir/documents.parquet"))
+    val recorded =
+      if (manifestFile.exists())
+        new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
+      else ""
+    if (!new java.io.File(path, "_SUCCESS").exists() || recorded != current) {
+      val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+      val (labels, _) = connectedComponents(pairs)
+      labels.select(col("label").as("cluster_id"), col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      java.nio.file.Files.write(manifestFile.toPath, current.getBytes("UTF-8"))
+    }
+    spark.read.parquet(path)
   }
 
   /** Oracle for [[dupClusters]]: dd3's verified-pair CTE chain + a
@@ -781,8 +808,9 @@ object Dedup {
     * per cluster label plus an anti-join of the (bare-id) member set
     * against the corpus — id-width shuffles only. */
   def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Caching.persist(
-      dupClusters(spark, dir).select("cluster_id", "doc_id"))
+    // reads the materialized cluster artifact — the chain behind it is
+    // built once per corpus snapshot, not once per consumer
+    val clusters = dupClusterTable(spark, dir).select("cluster_id", "doc_id")
     val exemplars = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("weight"))
       .select(col("cluster_id").as("doc_id"), col("weight"))
@@ -1036,9 +1064,18 @@ object Dedup {
       .groupBy("sa", "sb")
       .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("both"),
         count(lit(1)).as("denom"))
-    val inter = sh.select(col("source").as("sa"), col("h"))
-      .join(sh.select(col("source").as("sb"), col("h")), Seq("h"))
-      .filter(col("sa") < col("sb"))
+    // exact intersection counts via groupBy(h) + map-side pair
+    // expansion: per-hash work is C(|sources sharing h|, 2), bounded by
+    // C(#sources, 2) because sh is distinct on (source, h) — never a
+    // corpus-sized self-join output. One exchange (on h) instead of a
+    // two-sided shuffle join; still a full-corpus scan by nature (it IS
+    // the exact side — production runs read est_jaccard and can skip it).
+    val inter = sh.groupBy("h").agg(sort_array(collect_set("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), b -> struct(a AS sa, b AS sb))))")).as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("ic"))
     pairs.join(est, Seq("sa", "sb"))
       .join(inter, Seq("sa", "sb"), "left_outer")

@@ -137,18 +137,33 @@ object GraphRank {
       .groupBy("n").agg(count(lit(1)).as("d"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = e
+    // The oriented edge list feeds THREE consumers (both wedge sides +
+    // the closing-edge probe), so it is persisted — unpersisted, the
+    // deg aggregation and both degree joins re-execute per consumer
+    // (3 aggs + 6 joins, measured in the r5 AQE plan). It is also
+    // pre-partitioned by x WHILE CACHING: the cached outputPartitioning
+    // satisfies both sides of the wedge self-join, so the largest join
+    // in the kernel runs with ZERO exchanges — the only full-width
+    // shuffle left is the wedge→closing-edge probe, and AQE turns even
+    // that into a broadcast when the (x,y) edge projection fits (it is
+    // edge-sized, never wedge-sized).
+    val oriented = Caching.persist(e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(
         when(uFirst, col("u")).otherwise(col("v")).as("x"),
         when(uFirst, col("v")).otherwise(col("u")).as("y"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dy"))
+      .repartition(col("x")))
     val o1 = oriented.select(col("x"), col("y").as("y1"), col("dy").as("dy1"))
     val o2 = oriented.select(col("x"), col("y").as("y2"), col("dy").as("dy2"))
+    // wedge rows are pruned to (x, y1, y2) BEFORE the closing probe —
+    // the degree columns exist only to order the wedge, and carrying
+    // them through the largest intermediate would widen every spill
     val wedges = o1.join(o2,
       Seq("x")).filter(
       col("dy1") < col("dy2") || (col("dy1") === col("dy2") && col("y1") < col("y2")))
+      .select("x", "y1", "y2")
     val tri = wedges.join(
       oriented.select(col("x").as("y1"), col("y").as("y2")), Seq("y1", "y2"))
       .select(col("x").as("a"), col("y1").as("b"), col("y2").as("c"))

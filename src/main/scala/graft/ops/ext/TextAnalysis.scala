@@ -147,11 +147,17 @@ object TextAnalysis {
       .withColumn("w", tokens(col("text")))
       .withColumn("len", length(col("text")))
       .select(col("doc_id"), col("source"),
-        ((size(array_distinct(col("w"))).cast("double") / size(col("w"))) *
-          (lit(1.0) - (col("len") - length(regexp_replace(col("text"), "[.!?,;:]", "")))
-            .cast("double") / col("len")) *
-          (lit(1.0) - (col("len") - length(regexp_replace(col("text"), "[0-9]", "")))
-            .cast("double") / col("len"))).as("quality_score"))
+        // zero-length guard: an empty document must score 0.0, never
+        // NULL — Spark's window orders NULLS FIRST ascending where
+        // DuckDB orders NULLS LAST, so a NULL here would silently skew
+        // percent_rank between engines
+        when(col("len") > 0 && size(col("w")) > 0,
+          (size(array_distinct(col("w"))).cast("double") / size(col("w"))) *
+            (lit(1.0) - (col("len") - length(regexp_replace(col("text"), "[.!?,;:]", "")))
+              .cast("double") / col("len")) *
+            (lit(1.0) - (col("len") - length(regexp_replace(col("text"), "[0-9]", "")))
+              .cast("double") / col("len")))
+          .otherwise(lit(0.0)).as("quality_score"))
     val w = Window.partitionBy("source").orderBy(col("quality_score"), col("doc_id"))
     scored.withColumn("pct", percent_rank().over(w))
       .select(
@@ -167,10 +173,11 @@ object TextAnalysis {
       |                  string_split_regex(trim(text), '\s+') w FROM documents),
       |s AS (
       |  SELECT doc_id, source,
-      |    (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) *
-      |    (1.0 - CAST(len - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len) *
-      |    (1.0 - CAST(len - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len)
-      |      AS quality_score
+      |    CASE WHEN len > 0 AND len(w) > 0 THEN
+      |      (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) *
+      |      (1.0 - CAST(len - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len) *
+      |      (1.0 - CAST(len - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len)
+      |    ELSE 0.0 END AS quality_score
       |  FROM t),
       |r AS (
       |  SELECT doc_id, source, quality_score,
@@ -402,7 +409,7 @@ object TextAnalysis {
     val q = qualityScore(spark, dir).select("doc_id", "quality_score", "len_ok")
     val exactKeep = Dedup.exactDedup(spark, dir)
       .select(col("keep_doc_id").as("doc_id"))
-    val nonCanonNear = Dedup.dupClusters(spark, dir)
+    val nonCanonNear = Dedup.dupClusterTable(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.join(q, Seq("doc_id"))

@@ -339,13 +339,19 @@ class PagesAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
           case "trade_id" => rows.map(_._1)
           case "price" => rows.map(_._2)
         }
-        def num(vs: Seq[Any], pick: (Double, Double) => Double): Any = vs.head match {
-          case _: Int => vs.map(_.asInstanceOf[Int].toDouble).reduce(pick).toInt
-          case _: Long => vs.map(_.asInstanceOf[Long].toDouble).reduce(pick).toLong
-          case _: Double => vs.map(_.asInstanceOf[Double]).reduce(pick)
+        // type-native extremes: funneling Int/Long through Double would
+        // silently corrupt magnitudes >= 2^53 — this is a general
+        // connector, not a fixture-sized one
+        def extreme(vs: Seq[Any], isMin: Boolean): Any = vs.head match {
+          case _: Int =>
+            val xs = vs.map(_.asInstanceOf[Int]); if (isMin) xs.min else xs.max
+          case _: Long =>
+            val xs = vs.map(_.asInstanceOf[Long]); if (isMin) xs.min else xs.max
+          case _: Double =>
+            val xs = vs.map(_.asInstanceOf[Double]); if (isMin) xs.min else xs.max
           case _: String =>
             val ss = vs.map(_.asInstanceOf[String])
-            UTF8String.fromString(if (pick(1.0, 2.0) == 1.0) ss.min else ss.max)
+            UTF8String.fromString(if (isMin) ss.min else ss.max)
         }
         val groupVals: Seq[Any] = agg.groupByExpressions.toSeq.map { e =>
           PagesAggScan.fieldName(e).get match {
@@ -357,9 +363,9 @@ class PagesAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
           case _: CountStar => rows.size.toLong
           case _: Count => rows.size.toLong // source emits no NULLs
           case m: Min if rows.nonEmpty =>
-            num(colVals(PagesAggScan.fieldName(m.column).get), math.min)
+            extreme(colVals(PagesAggScan.fieldName(m.column).get), isMin = true)
           case m: Max if rows.nonEmpty =>
-            num(colVals(PagesAggScan.fieldName(m.column).get), math.max)
+            extreme(colVals(PagesAggScan.fieldName(m.column).get), isMin = false)
           case s: Sum if rows.nonEmpty =>
             colVals(PagesAggScan.fieldName(s.column).get) match {
               case vs if vs.head.isInstanceOf[Int] => vs.map(_.asInstanceOf[Int].toLong).sum
