@@ -174,6 +174,39 @@ object Backfill {
       |                          THEN value * 2.0 ELSE value END AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s25: q5's backfill-heal re-expressed through the SNAPSHOT COMMIT
+    * protocol ([[graft.ops.lake.Snapshots]]) — the atomic answer to the
+    * torn-view window both q5's dynamic overwrite and s23's bucket
+    * rewrite leave open: data files for the healed dates stage
+    * invisibly, ONE manifest rename publishes the swap, and a reader
+    * that resolved the previous manifest keeps reading intact old files
+    * until a deferred vacuum (SnapshotsSpec pins old-XOR-new under a
+    * concurrent reader and the crash cases). Same heal, same oracle
+    * output as q5 — only the commit discipline differs. */
+  def snapshotOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.lake.Snapshots
+    val table = Graft.tmpDir("s25-snap-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete()
+    }
+    wipe(new java.io.File(table)) // deterministic rebuild per invocation
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "value", "event_date")
+    Snapshots.commit(table, Snapshots.stage(ev, table, "event_date"))
+    val healDates = Set("2024-01-10", "2024-01-11", "2024-01-12")
+    val healed = ev.filter(col("event_date").between("2024-01-10", "2024-01-12"))
+      .select(col("event_id"), (col("value") * 2.0).as("value"), col("event_date"))
+    Snapshots.commit(table, Snapshots.stage(healed, table, "event_date"),
+      remove = e => healDates.contains(e._2))
+    Snapshots.vacuum(table)
+    Snapshots.read(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
   /** s23's layout fan-out and delete targets. Keys are hash-bucketed so
     * a subject's rows collocate in exactly one partition directory. */
   val DeleteBuckets = 8
@@ -284,5 +317,6 @@ object Backfill {
     QueryDef.sql("s3b_resilient_scan", paginatedScanResilientOracle)(paginatedScanResilient),
     QueryDef.sql("s11_schema_evolution", schemaEvolutionOracle)(schemaEvolution),
     QueryDef.sql("q5_partition_overwrite", partitionOverwriteOracle)(partitionOverwrite),
+    QueryDef.sql("s25_snapshot_overwrite", partitionOverwriteOracle)(snapshotOverwrite),
     QueryDef.sql("s23_targeted_delete", targetedDeleteOracle)(targetedDelete))
 }

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.lake.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lakehouse-commit contract: a reader concurrent with a rewrite
+  * sees old XOR new (never a mix), a crash at any point leaves a live
+  * readable snapshot, and a cross-sink pair commit can lag but never
+  * diverge. */
+class SnapshotsSpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: (Int, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  private def sorted(d: org.apache.spark.sql.DataFrame): Seq[(Int, String, Long)] =
+    d.select("id", "day", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  test("commit publishes atomically; concurrent reader sees old XOR new") {
+    val table = tmp("snap-xor")
+    val v1 = df((1, "a", 10L), (2, "b", 20L), (3, "b", 30L))
+    Snapshots.commit(table, Snapshots.stage(v1, table, "day"))
+
+    // a reader "in flight" — resolved the manifest BEFORE the rewrite
+    val oldReader = Snapshots.read(spark, table)
+
+    // rewrite: replace day b with corrected rows (staged files are
+    // invisible until the manifest rename)
+    val healed = df((2, "b", 200L), (3, "b", 300L))
+    val staged = Snapshots.stage(healed, table, "day")
+    assert(sorted(Snapshots.read(spark, table)) == sorted(v1),
+      "staged-but-uncommitted files must not be visible")
+    Snapshots.commit(table, staged, remove = _._2 == "b")
+
+    // old reader: still the complete OLD snapshot (vacuum deferred)
+    assert(sorted(oldReader) == sorted(v1))
+    // new reader: the complete NEW snapshot — never a mix
+    assert(sorted(Snapshots.read(spark, table)) ==
+      Seq((1, "a", 10L), (2, "b", 200L), (3, "b", 300L)))
+  }
+
+  test("a crash before the manifest rename leaves the old snapshot live") {
+    val table = tmp("snap-crash")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    val before = Snapshots.currentVersion(table)
+
+    // simulated crash: files staged, manifest never renamed — plus a
+    // torn .tmp manifest left in the log dir
+    Snapshots.stage(df((9, "z", 9L)), table, "day")
+    val log = new java.io.File(table, "_graft_log")
+    java.nio.file.Files.write(
+      new java.io.File(log, "manifest-2.tmp-torn").toPath, "garbage".getBytes)
+
+    assert(Snapshots.currentVersion(table) == before)
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L)))
+  }
+
+  test("manifest-level tag pruning opens only matching files") {
+    val table = tmp("snap-prune")
+    Snapshots.commit(table,
+      Snapshots.stage(df((1, "a", 1L), (2, "b", 2L), (3, "c", 3L)), table, "day"))
+    val pruned = Snapshots.read(spark, table, tagFilter = _ == "b")
+    assert(pruned.inputFiles.length == 1, "one tag => one file opened")
+    assert(sorted(pruned) == Seq((2, "b", 2L)))
+  }
+
+  test("vacuum reclaims only unreferenced files; the live snapshot stays intact") {
+    val table = tmp("snap-vac")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L), (2, "b", 2L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 22L)), table, "day"),
+      remove = _._2 == "b")
+    val reclaimed = Snapshots.vacuum(table)
+    assert(reclaimed.nonEmpty, "the replaced day-b file must be reclaimed")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 22L)))
+    assert(Snapshots.vacuum(table).isEmpty, "vacuum is idempotent")
+  }
+
+  test("pair commit: crash between the two sinks recovers, never diverges") {
+    val a = tmp("snap-pair-a"); val b = tmp("snap-pair-b"); val txn = tmp("snap-txn")
+    val data = df((1, "a", 1L), (2, "b", 2L))
+    // crash simulation: intent durable, sink A committed, sink B not
+    val pa = Snapshots.prepare(a, Snapshots.stage(data, a, "day"))
+    val pb = Snapshots.prepare(b, Snapshots.stage(data, b, "day"))
+    Snapshots.writeIntent(txn, pa, pb)
+    Snapshots.commitPrepared(pa)
+    assert(Snapshots.currentVersion(a) == 1 && Snapshots.currentVersion(b) == 0,
+      "divergent mid-crash state established")
+
+    // writer restart: recovery completes the lagging side
+    assert(Snapshots.recoverPairs(txn) == 1)
+    assert(Snapshots.currentVersion(b) == 1)
+    assert(sorted(Snapshots.read(spark, a)) == sorted(Snapshots.read(spark, b)))
+    assert(Snapshots.recoverPairs(txn) == 0, "intent cleared; recovery idempotent")
+  }
+
+  test("clean pair commit leaves no intent and equal sinks") {
+    val a = tmp("snap-cp-a"); val b = tmp("snap-cp-b"); val txn = tmp("snap-cp-txn")
+    val data = df((1, "a", 1L))
+    val (va, vb) = Snapshots.commitPair(txn,
+      Snapshots.prepare(a, Snapshots.stage(data, a, "day")),
+      Snapshots.prepare(b, Snapshots.stage(data, b, "day")))
+    assert(va == 1 && vb == 1)
+    assert(Snapshots.recoverPairs(txn) == 0)
+    assert(sorted(Snapshots.read(spark, a)) == sorted(Snapshots.read(spark, b)))
+  }
+
+  test("stage encodes exactly one tag per file via the writer layout") {
+    val table = tmp("snap-onetag")
+    val staged = Snapshots.stage(df((1, "a", 1L), (2, "b", 2L)), table, "day")
+    assert(staged.map(_._2).toSet == Set("a", "b"))
+    staged.foreach { case (rel, tag) =>
+      assert(rel.contains(s"__tag=$tag"), s"$rel must encode its tag directory")
+    }
+  }
+}
