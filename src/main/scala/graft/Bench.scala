@@ -190,6 +190,11 @@ object Bench {
         val (g0, c0) = gcStats()
         val ts = if (warm < 0) Seq(warm) else Seq.fill(repeats)(run(n))
         val (g1, c1) = gcStats()
+        // progress to stderr so a killed/timed-out run still shows how
+        // far it got and what each query cost
+        System.err.println(
+          s"[bench] $n warm=${"%.2f".format(warm)}s " +
+            s"runs=[${ts.map("%.2f".format(_)).mkString(",")}] gc=${g1 - g0}ms")
         (n, ts, g1 - g0, c1 - c0)
       }
     }

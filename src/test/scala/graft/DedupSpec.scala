@@ -363,6 +363,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(falseNeg == 0L)
   }
 
+  test("dd6 cluster artifact rebuilds only when the corpus manifest changes") {
+    // a private corpus dir the test owns (the artifact path is keyed to
+    // it, so this exercises the real build-once lifecycle end to end)
+    val corpus = tmp("dd6-artifact-corpus")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$Sf/documents.parquet").toPath,
+      new java.io.File(s"$corpus/documents.parquet").toPath)
+    val first = Dedup.dupClusterTable(spark, corpus)
+    val files1 = first.inputFiles.toSet
+    // unchanged corpus: a second call must READ, not rebuild (same files)
+    assert(Dedup.dupClusterTable(spark, corpus).inputFiles.toSet == files1)
+    // corpus content change (size flips the manifest even if mtime is
+    // preserved): artifact must rebuild
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val bigger = docs.unionByName(docs.limit(7))
+    val tmpOut = tmp("dd6-artifact-newdocs")
+    bigger.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$corpus/documents.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val rebuilt = Dedup.dupClusterTable(spark, corpus)
+    assert(rebuilt.inputFiles.toSet != files1, "changed corpus must rebuild")
+  }
+
   test("dd9 stays exact when a tiny sketch forces bloom false positives") {
     // 64 bits for 800 distinct history fingerprints: the sketch
     // saturates, the genuinely-new rows (residues 8,9) go bloom-positive
