@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The harness is a 128 GiB box (local[32] single-JVM); the old 8g
+  // default left the largest intermediates (pr2's wedge exchange, the
+  // dedup chains) spill- and GC-bound — the bench ledger's heap_max_mb
+  // field exposed it. 48g keeps ample headroom for the driver's
+  // concurrent tooling while removing that artificial wall.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -455,10 +455,11 @@ object Similarity {
   /** The long-form update table after exactly `rounds` Lloyd rounds —
     * shared by [[kmeansRounds]] (report form) and [[trainedCentroids]]
     * (the centroid list ann4 probes against). */
-  private def kmRoundsUpdate(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+  private def kmRoundsUpdate(spark: SparkSession, dir: String, rounds: Int,
+      k: Long = KmK.toLong): DataFrame = {
     require(rounds >= 1)
     val e = kmCorpus(spark, dir)
-    var cents = e.filter(col("vec_id") < KmK)
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell_id"), col("qe").as("qc"))
     var upd = kmUpdate(kmAssign(e, cents))
     for (_ <- 2 to rounds) {
@@ -469,10 +470,11 @@ object Similarity {
   }
 
   /** Quantized centroid list after `rounds` Lloyd rounds — the trained
-    * codebook ann4's inverted file is built from. */
+    * codebook ann4's inverted file is built from. `k` defaults to the
+    * fixture codebook size; dd8 passes its occupancy-derived count. */
   def trainedCentroids(spark: SparkSession, dir: String,
-      rounds: Int = KmTrainRounds): DataFrame =
-    kmRequant(kmRoundsUpdate(spark, dir, rounds))
+      rounds: Int = KmTrainRounds, k: Long = KmK.toLong): DataFrame =
+    kmRequant(kmRoundsUpdate(spark, dir, rounds, k))
 
   def kmeansRounds(spark: SparkSession, dir: String,
       rounds: Int = KmTrainRounds): DataFrame = {
@@ -499,7 +501,7 @@ object Similarity {
     * needs no recursion, and unrolling keeps every round's algebra
     * visible to the comparison). Shared by [[kmeansRoundsOracle]] and
     * [[ivfTrainedTopKOracle]]. */
-  private def kmRoundCtesSql(rounds: Int): String = {
+  private def kmRoundCtesSql(rounds: Int, kExpr: String = KmK.toString): String = {
     def assign(r: Int, cents: String) =
       s"""d$r AS (
         |  SELECT e.vec_id, c.cell_id,
@@ -529,7 +531,7 @@ object Similarity {
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ.0) AS BIGINT)) AS qe
       |  FROM embeddings
       |),
-      |cent0 AS (SELECT vec_id AS cell_id, qe AS qc FROM e WHERE vec_id < $KmK),
+      |cent0 AS (SELECT vec_id AS cell_id, qe AS qc FROM e WHERE vec_id < $kExpr),
       |$roundCtes""".stripMargin
   }
 
@@ -1032,6 +1034,20 @@ object Similarity {
     * a production corpus runs the same plan at ~0.95+. */
   val SemDedupTau = 0.4
 
+  /** Target cluster OCCUPANCY for dd8: cluster count k =
+    * max([[KmK]], ⌈N/250⌉), so per-cluster pairwise work is bounded by
+    * ~250²/2 comparisons regardless of corpus size — the SemDeDup
+    * paper's own k ∝ N discipline (LAION: 50k clusters for 5B items).
+    * 250 is chosen so the driver fixtures keep k = 8 exactly
+    * (N = 200 → ⌈0.8⌉, N = 2000 → ⌈8⌉ — oracle outputs unchanged)
+    * while the sf1 sweep's 20k vectors get k = 80 (measured: the fixed-k
+    * form ran 17× wall for 10× data; occupancy-bounded is linear).
+    * The codebook stays broadcastable far past the paper's regime
+    * (N = 5·10⁹ ⇒ k = 2·10⁷ rows ≈ low GB; beyond that the assignment
+    * itself needs an IVF/hierarchical route — documented, out of the
+    * swept range). */
+  val SemDedupOccupancy = 250L
+
   /** dd8: SemDeDup — semantic deduplication via clustered pairwise
     * cosine (Abbas et al. 2023, arXiv:2303.09540: the LAION/web-scale
     * recipe). All-pairs cosine over a corpus is O(N²) and impossible at
@@ -1053,7 +1069,11 @@ object Similarity {
     * and the per-vector evidence agg — no global pairwise stage. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir))
+    // O(1) metadata count (parquet row count) → occupancy-bounded k;
+    // same integer ceil both engines: (n + occ - 1) div occ
+    val n = Tables(spark, dir).embeddings.count()
+    val k = math.max(KmK.toLong, (n + SemDedupOccupancy - 1) / SemDedupOccupancy)
+    val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir, k = k))
     // the assignment table feeds THREE consumers (both self-join sides
     // and the verdict projection) — cached so the corpus is clustered
     // once, not three times; at scale this is the materialized
@@ -1081,7 +1101,9 @@ object Similarity {
     * same rounded-cosine threshold. */
   lazy val semDedupOracle: String = {
     val R = KmTrainRounds
-    s"""WITH ${kmRoundCtesSql(R)},
+    val kExpr = s"(SELECT greatest($KmK, CAST((count(*) + ${SemDedupOccupancy - 1}) " +
+      s"// $SemDedupOccupancy AS BIGINT)) FROM embeddings)"
+    s"""WITH ${kmRoundCtesSql(R, kExpr)},
       |${kmRequantCte(R)},
       |cd AS (
       |  SELECT e.vec_id, c.cell_id,

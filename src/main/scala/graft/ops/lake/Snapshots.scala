@@ -61,23 +61,35 @@ object Snapshots {
   /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
   def entries(table: String): Seq[(String, String)] = {
     val v = currentVersion(table)
-    if (v == 0) Seq.empty
-    else
-      new String(Files.readAllBytes(manifestFile(table, v).toPath), UTF_8)
-        .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-          line.split("\t", 2) match {
-            case Array(p, t) => (p, t)
-            case Array(p)    => (p, "")
-          }
-        }
+    if (v == 0) Seq.empty else entriesOf(manifestFile(table, v))
   }
+
+  private def entriesOf(mf: File): Seq[(String, String)] =
+    new String(Files.readAllBytes(mf.toPath), UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        line.split("\t", 2) match {
+          case Array(p, t) => (p, t)
+          case Array(p)    => (p, "")
+        }
+      }
 
   /** Read the live snapshot — optionally pruned by file tag BEFORE any
     * file is opened (manifest-level partition pruning). */
   def read(spark: SparkSession, table: String,
-           tagFilter: String => Boolean = _ => true): DataFrame = {
-    val fs = entries(table).collect { case (p, t) if tagFilter(t) => s"$table/$p" }
-    require(fs.nonEmpty, s"snapshot read of $table matched no files")
+           tagFilter: String => Boolean = _ => true): DataFrame =
+    readVersion(spark, table, currentVersion(table), tagFilter)
+
+  /** TIME TRAVEL: read snapshot `v` exactly as it was committed. Free
+    * given the manifest log — every manifest is a complete file list,
+    * and data files are immutable — valid until a [[vacuum]] (which
+    * drops superseded manifests along with their unreferenced files,
+    * the retention boundary). */
+  def readVersion(spark: SparkSession, table: String, v: Long,
+                  tagFilter: String => Boolean = _ => true): DataFrame = {
+    val mf = manifestFile(table, v)
+    require(mf.exists(), s"snapshot v$v of $table does not exist (vacuumed or never committed)")
+    val fs = entriesOf(mf).collect { case (p, t) if tagFilter(t) => s"$table/$p" }
+    require(fs.nonEmpty, s"snapshot read of $table v$v matched no files")
     spark.read.parquet(fs: _*)
   }
 

@@ -88,9 +88,21 @@ object ScaleUp {
     writeOne(replicate(rd("documents"), Seq("doc_id"),
       extra = (d, k) => d.withColumn("text",
         regexp_replace(col("text"), "(\\S+)", "$1r" + k))), out, "documents")
-    // small dims + embeddings pass through unchanged (no sweep query
-    // reads them at sf1; present so Tables resolves)
-    Seq("nation", "region", "embeddings").foreach(t => writeOne(rd(t), out, t))
+    // embeddings: vec_id/label shift + per-replica CIRCULAR COMPONENT
+    // ROTATION — an orthogonal transform, so within-replica geometry
+    // (distances, cosines, planted near-dups) is preserved exactly
+    // while cross-replica vectors decorrelate: no planted cross-replica
+    // dup pairs, the same pathology rule as the document suffixes.
+    // Replica 0 is untouched, so the ann centroid/query conventions
+    // (vec_id < 16 / < 10) keep their original vectors.
+    writeOne(replicate(rd("embeddings"), Seq("vec_id", "label"),
+      extra = (d, k) =>
+        if (k == 0) d
+        else d.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))), out, "embeddings")
+    // small dims pass through unchanged
+    Seq("nation", "region").foreach(t => writeOne(rd(t), out, t))
     spark.stop()
     println(s"[scaleup] wrote ${K}x fixture from $src to $out")
   }

@@ -107,6 +107,23 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, a)) == sorted(Snapshots.read(spark, b)))
   }
 
+  test("time travel: any committed version reads exactly as committed until vacuum") {
+    val table = tmp("snap-tt")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 10L), (2, "b", 20L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 200L)), table, "day"),
+      remove = _._2 == "b")
+    assert(sorted(Snapshots.readVersion(spark, table, 1)) ==
+      Seq((1, "a", 10L), (2, "b", 20L)))
+    assert(sorted(Snapshots.readVersion(spark, table, 2)) ==
+      Seq((1, "a", 10L), (2, "b", 200L)))
+    Snapshots.vacuum(table)
+    // retention boundary: superseded versions are gone, live one intact
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, table, 1).collect()
+    }
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 200L)))
+  }
+
   test("stage encodes exactly one tag per file via the writer layout") {
     val table = tmp("snap-onetag")
     val staged = Snapshots.stage(df((1, "a", 1L), (2, "b", 2L)), table, "day")
