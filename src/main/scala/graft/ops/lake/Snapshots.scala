@@ -194,6 +194,40 @@ object Snapshots {
     orphans.map(f => root.relativize(f.toPath).toString)
   }
 
+  /** OPTIMIZE for snapshot tables: bin-pack every tag fragmented across
+    * >1 file into one file per tag, published as one atomic commit —
+    * readers concurrent with the maintenance job keep the old snapshot
+    * (and can still time-travel to it until vacuum). Content is
+    * untouched: same rows, fewer files. Returns the committed version
+    * (the current one if nothing is fragmented — no empty commits). */
+  def compact(spark: SparkSession, table: String, tagCol: String): Long = {
+    val fragmented = entries(table).groupBy(_._2).filter(_._2.size > 1)
+    if (fragmented.isEmpty) currentVersion(table)
+    else {
+      val tags = fragmented.keySet
+      val df = read(spark, table, tagFilter = tags.contains)
+      commit(table, stage(df, table, tagCol), remove = e => tags.contains(e._2))
+    }
+  }
+
+  /** Exactly-once STREAMING sink: each micro-batch stages invisibly and
+    * commits as manifest version `batchId + 1` — [[commitPrepared]] is
+    * a no-op for an already-committed version, so a replayed batch
+    * (restart after a crash anywhere between stage and commit) can
+    * never publish twice, and a reader sees each batch atomically or
+    * not at all. Orphans from a replayed stage are vacuum fodder. The
+    * sink must own the table (versions are batch-derived). Use with
+    * `stream.writeStream.foreachBatch(Snapshots.batchCommitter(table,
+    * tagCol))`. */
+  def batchCommitter(table: String, tagCol: String)
+      : (DataFrame, Long) => Unit = { (df, batchId) =>
+    if (currentVersion(table) < batchId + 1 && !df.isEmpty) {
+      val staged = stage(df, table, tagCol)
+      commitPrepared(Prepared(table, batchId + 1,
+        entries(table).filterNot(e => staged.exists(_._1 == e._1)) ++ staged))
+    }
+  }
+
   // ---- cross-sink transaction (exactly-once dual write) --------------
 
   /** Commit TWO tables' prepared manifests as one logical transaction.

@@ -124,6 +124,62 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 200L)))
   }
 
+  test("compact bin-packs fragmented tags in one atomic commit, content untouched") {
+    val table = tmp("snap-compact")
+    // three appends fragment day "a" across three files
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "a", 2L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((3, "a", 3L), (4, "b", 4L)), table, "day"))
+    val before = Snapshots.entries(table)
+    assert(before.count(_._2 == "a") == 3)
+    val preVersion = Snapshots.currentVersion(table)
+
+    val v = Snapshots.compact(spark, table, "day")
+    assert(v == preVersion + 1)
+    val after = Snapshots.entries(table)
+    assert(after.count(_._2 == "a") == 1, "day a must pack to one file")
+    assert(after.count(_._2 == "b") == 1, "untouched single-file tag stays")
+    assert(sorted(Snapshots.read(spark, table)) ==
+      Seq((1, "a", 1L), (2, "a", 2L), (3, "a", 3L), (4, "b", 4L)))
+    // maintenance is time-travel-safe until vacuum
+    assert(sorted(Snapshots.readVersion(spark, table, preVersion)) ==
+      sorted(Snapshots.read(spark, table)))
+    assert(Snapshots.compact(spark, table, "day") == v, "no empty commits")
+  }
+
+  test("streaming batchCommitter: exactly-once visible commits, replay-safe") {
+    import org.apache.spark.sql.types._
+    val src = tmp("snap-stream-src"); val table = tmp("snap-stream-table")
+    val ckpt = tmp("snap-stream-ckpt")
+    df((1, "a", 1L)).coalesce(1).write.parquet(s"$src/f1")
+    df((2, "b", 2L)).coalesce(1).write.parquet(s"$src/f2")
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("day", StringType), StructField("v", LongType)))
+    def drain(cp: String): Unit =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // force one batch per file
+        .parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch(Snapshots.batchCommitter(table, "day"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    drain(ckpt)
+    assert(Snapshots.currentVersion(table) == 2, "one commit per micro-batch")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
+    // a reader at v1 sees exactly the first batch — never a partial one
+    assert(Snapshots.readVersion(spark, table, 1).count() == 1)
+
+    // restart with the SAME checkpoint: nothing new, nothing doubled
+    drain(ckpt)
+    assert(Snapshots.currentVersion(table) == 2)
+    // full REPLAY (fresh checkpoint, batch ids restart at 0): the
+    // version-keyed commit no-ops — visibility stays exactly-once
+    drain(tmp("snap-stream-ckpt2"))
+    assert(Snapshots.currentVersion(table) == 2)
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
+  }
+
   test("stage encodes exactly one tag per file via the writer layout") {
     val table = tmp("snap-onetag")
     val staged = Snapshots.stage(df((1, "a", 1L), (2, "b", 2L)), table, "day")
