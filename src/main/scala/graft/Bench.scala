@@ -214,7 +214,13 @@ object Bench {
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(r => median(r._2)).sum
     val heapMb = java.lang.Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bench_n":$repeats,"runs":$runs,"gc_ms":$gcMs,"gc_count":$gcN,"heap_max_mb":$heapMb,"failed":$failed,"sf":"$sfDir"}""")
+    // field order matters: the driver records only a bounded TAIL of
+    // stdout, truncating this line from the FRONT — the r5 wrapper
+    // already lost the first few per-query timings that way. The bulky
+    // diagnostic maps (runs/gc) go FIRST and the load-bearing
+    // "queries" map goes LAST so truncation eats diagnostics, never
+    // the medians.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_n":$repeats,"heap_max_mb":$heapMb,"runs":$runs,"gc_ms":$gcMs,"gc_count":$gcN,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
