@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  val K = 10
+  /** Replication factor (3rd CLI arg overrides; 10 ⇒ sf1 from sf0.1,
+    * 20 ⇒ sf2 — the third point of a scaling curve). */
+  var K = 10
 
   private def shift(c: String, off: Long, k: Int) = (col(c) + lit(off * k)).as(c)
 
@@ -68,6 +70,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/testdata-sf1")
+    args.lift(2).foreach(k => K = k.toInt)
     new java.io.File(out).mkdirs()
     val spark = Graft.configure(
       SparkSession.builder().master(s"local[${Graft.cpus}]")).getOrCreate()

@@ -180,6 +180,38 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
   }
 
+  test("snapshot log tracks a pure model under a random append/replace/compact sequence") {
+    val rnd = new scala.util.Random(42)
+    val table = tmp("snap-model")
+    var model = Map.empty[String, Seq[(Int, String, Long)]]
+    var nextId = 0
+    def freshRows(tag: String, n: Int): Seq[(Int, String, Long)] =
+      (1 to n).map { _ => nextId += 1; (nextId, tag, rnd.nextLong(1000)) }
+    for (step <- 1 to 15) {
+      val tag = Seq("a", "b", "c")(rnd.nextInt(3))
+      rnd.nextInt(3) match {
+        case 0 => // append to tag
+          val rows = freshRows(tag, 1 + rnd.nextInt(3))
+          Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"))
+          model = model.updated(tag, model.getOrElse(tag, Seq.empty) ++ rows)
+        case 1 => // replace tag wholesale
+          val rows = freshRows(tag, 1 + rnd.nextInt(3))
+          Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"),
+            remove = _._2 == tag)
+          model = model.updated(tag, rows)
+        case 2 if model.nonEmpty => // maintenance must never change content
+          Snapshots.compact(spark, table, "day")
+        case _ => ()
+      }
+      if (model.nonEmpty)
+        assert(sorted(Snapshots.read(spark, table)) ==
+          model.values.flatten.toSeq.sortBy(_._1), s"diverged at step $step")
+    }
+    Snapshots.vacuum(table)
+    assert(sorted(Snapshots.read(spark, table)) ==
+      model.values.flatten.toSeq.sortBy(_._1), "diverged after vacuum")
+  }
+
   test("stage encodes exactly one tag per file via the writer layout") {
     val table = tmp("snap-onetag")
     val staged = Snapshots.stage(df((1, "a", 1L), (2, "b", 2L)), table, "day")
