@@ -37,6 +37,18 @@ object Graft {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Start every shuffle WIDE and let AQE coalesce down to the data —
+    // the standard AQE recipe: shuffle.partitions alone is a CEILING,
+    // so as SF grows a big exchange is stuck at cpus-many oversized
+    // partitions (per-partition memory and spill risk grow with SF)
+    // while small queries already coalesce to few. 8× cpus keeps
+    // per-partition input bounded; measured at sf0.1 it is neutral-to-
+    // ~10% faster across the headline subset, and at sf1 it bounds
+    // partition size without changing bandwidth-bound exchanges
+    // (pr2 unchanged — its wedge shuffle cost is bytes, not buckets).
+    // On a real cluster this number scales with executor count.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (8 * cpus).toString)
     // InferFiltersFromGenerate bolts `size(e)>0 AND isnotnull(e)` under
     // every explode; predicate pushdown then re-substitutes the FULL
     // generator expression into that filter at the scan (tx5's plan
