@@ -87,7 +87,13 @@ object Bench {
     "dd12_source_overlap", // bottom-k sketch corpus-overlap matrix
     "dd13_cdc_chunks",     // content-defined chunk dedup (boundary re-sync)
     "ann6_filtered_topk",  // metadata-filtered vector search (pre-filter join)
-    "tx24_calibrated_quality") // per-source rank-normalized quality cut
+    "tx24_calibrated_quality", // per-source rank-normalized quality cut
+    // round-6 continuation: new operators
+    "dd14_containment",    // prefix-filtered asymmetric containment pairs
+    "tx25_chunk_overlap",  // sliding-window RAG chunking (pure narrow)
+    "tx26_tfidf_terms",    // per-doc TF-IDF top terms via GroupedTopK
+    "ann7_rerank_topk",    // ADC candidates + exact cosine re-rank
+    "q9_key_discovery")    // candidate-key profiling scans
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

@@ -1198,6 +1198,115 @@ object Dedup {
       |FROM ch LEFT JOIN dup ON ch.fp = dup.fp
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -- dd14: asymmetric containment (doc-in-doc) via prefix filtering --
+
+  /** dd14's stop-shingle document-frequency cap: shingles appearing in
+    * more than this many documents are boilerplate (near-zero IDF) and
+    * carry no containment signal — they are dropped BEFORE any pairing,
+    * which is what bounds the per-shingle join fan-out. Containment is
+    * therefore measured over the INFORMATIVE shingle space (the same
+    * IDF-discipline CCNet applies to its hashes), not the raw one. */
+  val ContainDfCap = 16
+
+  /** dd14's containment threshold: report pairs where the smaller side
+    * shares ≥ this fraction of its informative shingles. */
+  val ContainT = 0.8
+
+  /** dd14: asymmetric containment detection — the doc-IN-doc case
+    * (quoted article inside an aggregator page, README embedded in a
+    * repo dump) that symmetric Jaccard misses by construction: a 50-token
+    * doc fully contained in a 5000-token doc has Jaccard ≈ 0.01 but
+    * containment 1.0. `cont_a = |S(A)∩S(B)| / |S(A)|` over the
+    * [[ContainDfCap]]-survivor shingle space; a pair is emitted iff
+    * either direction reaches [[ContainT]].
+    *
+    * Candidate generation is EXACT prefix filtering (Chaudhuri et al.
+    * 2006 / PPJoin): order each doc's surviving shingles by ascending
+    * global document frequency (rarest first, hash tie-break); if
+    * cont_a ≥ t then A misses at most (1−t)·|S(A)| of its shingles in
+    * B, so A's prefix of ⌊(1−t)·|S(A)|⌋+1 rarest shingles MUST hit B —
+    * joining prefixes against survivor occurrences loses no qualifying
+    * pair (DedupSpec pins this against the all-pairs reference). The
+    * 100 TB shape: the prefix join's fan-out per shingle hash is
+    * (prefix occupancy) × df ≤ df ≤ [[ContainDfCap]] per occurrence —
+    * linear in surviving corpus volume, no all-pairs stage anywhere;
+    * shingles travel as 60-bit hashes.
+    * Ref analog: none — corpus-hygiene extension (same family as dd2/dd3). */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(shingleTable(spark, dir))
+
+  /** [[containmentPairs]] over any `(doc_id, sh)` shingled frame. */
+  private[graft] def containmentPairsOf(sh: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val occ = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), expr(graft.engine.PortableHash.md5Prefix60("g")).as("h"))
+    // shingleExpr emits DISTINCT shingles per doc, so count(*) per hash
+    // IS document frequency; survivors keep df for the rarity ordering
+    val dfreq = occ.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap)
+    val surv = Caching.persist(occ.join(dfreq, "h").select("doc_id", "h", "df"))
+    val sz = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pre = surv
+      .withColumn("rk", row_number().over(W.partitionBy("doc_id").orderBy("df", "h")))
+      .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
+      .filter(col("rk") <= floor(col("n") * lit(1.0 - ContainT)) + 1)
+      .select("doc_id", "h")
+    val cand = pre.select(col("doc_id").as("p_doc"), col("h"))
+      .join(surv.select(col("doc_id").as("s_doc"), col("h")), Seq("h"))
+      .filter(col("p_doc") =!= col("s_doc"))
+      .select(least(col("p_doc"), col("s_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("s_doc")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = cand
+      .join(surv.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(surv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainT)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "cont_a", "cont_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val containmentPairsOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |  FROM d WHERE len(w) >= 3),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM sh),
+      |dfreq AS (SELECT h, count(*) AS df FROM h GROUP BY 1 HAVING count(*) <= $ContainDfCap),
+      |surv AS (SELECT doc_id, h.h, df FROM h JOIN dfreq USING (h)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM surv GROUP BY 1),
+      |pre AS (
+      |  SELECT doc_id, h FROM (
+      |    SELECT doc_id, h,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rk,
+      |           count(*) OVER (PARTITION BY doc_id) AS n
+      |    FROM surv)
+      |  WHERE rk <= floor(n * ${1.0 - ContainT}) + 1),
+      |cand AS (
+      |  SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
+      |                  greatest(p.doc_id, s.doc_id) AS doc_b
+      |  FROM pre p JOIN surv s ON p.h = s.h AND p.doc_id <> s.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN surv a ON a.doc_id = c.doc_a
+      |  JOIN surv b ON b.doc_id = c.doc_b AND a.h = b.h
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, CAST(n_common AS BIGINT) AS n_common,
+      |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |       n_common::DOUBLE / sa.n AS cont_a,
+      |       n_common::DOUBLE / sb.n AS cont_b
+      |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+      |             JOIN sz sb ON sb.doc_id = i.doc_b
+      |WHERE greatest(n_common::DOUBLE / sa.n, n_common::DOUBLE / sb.n) >= $ContainT
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
@@ -1214,5 +1323,6 @@ object Dedup {
     QueryDef.sql("dd10_dedup_weights", dedupWeightsOracle)(dedupWeights),
     QueryDef.sql("dd11_substring_scrub", substringScrubOracle)(substringScrub),
     QueryDef.sql("dd12_source_overlap", sourceOverlapOracle)(sourceOverlap),
-    QueryDef.sql("dd13_cdc_chunks", cdcChunkDedupOracle)(cdcChunkDedup))
+    QueryDef.sql("dd13_cdc_chunks", cdcChunkDedupOracle)(cdcChunkDedup),
+    QueryDef.sql("dd14_containment", containmentPairsOracle)(containmentPairs))
 }

@@ -846,6 +846,26 @@ object Similarity {
     * Lloyd + PQ CTE chains. */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    val scored = ivfPqScored(spark, dir)
+    val survivors = graft.plans.GroupedTopK(
+      scored, Seq("q_vec_id"), Seq("adc_dist" -> true, "vec_id" -> true), k = 3)
+    val w = W.partitionBy("q_vec_id").orderBy(col("adc_dist"), col("vec_id"))
+    survivors
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  /** Oracle for [[ivfPqTopK]]: the coarse Lloyd chain (shared with
+    * km2/ann4) + the prefixed PQ chain (shared with emb3) + cell
+    * assignment, code assignment, ADC lookup join, and the final
+    * ranking. */
+  /** The IVF-PQ candidate-scoring stage shared by ann5 and ann7:
+    * coarse-cell candidate generation (trained Lloyd centroids,
+    * [[IvfProbes]] probes) + ADC scoring of each candidate as the sum
+    * of its M looked-up sub-distance entries. Returns
+    * `(q_vec_id, vec_id, adc_dist)`. */
+  private[graft] def ivfPqScored(spark: SparkSession, dir: String): DataFrame = {
     val cents = graft.engine.Caching.persist(trainedCentroids(spark, dir))
     val q = kmCorpus(spark, dir)
     val corpusCells = kmAssign(q.filter(col("vec_id") >= 10), cents)
@@ -860,23 +880,83 @@ object Similarity {
       .select("vec_id", "sub_id", "cell_id")
     val adc = pqDists(sub.filter(col("vec_id") < 10), codebook)
       .select(col("vec_id").as("q_vec_id"), col("sub_id"), col("cell_id"), col("dist"))
-    val scored = cand.join(codes, "vec_id")
+    cand.join(codes, "vec_id")
       .join(broadcast(adc), Seq("q_vec_id", "sub_id", "cell_id"))
       .groupBy("q_vec_id", "vec_id").agg(sum("dist").cast("bigint").as("adc_dist"))
+  }
+
+  /** ann7: two-stage retrieval — the production serving shape every
+    * vector store converges on (FAISS/SCaNN's "approximate then
+    * re-rank"): stage 1 scores candidates with cheap compressed-domain
+    * ADC ([[ivfPqScored]], integer lookups, no float vectors touched)
+    * and keeps the top-[[RerankPool]] per query; stage 2 re-ranks ONLY
+    * that pool with exact cosine on the original float vectors and
+    * returns the top-3. At 100 TB the float corpus is touched for
+    * ≤ pool·|queries| rows (a doc_id-keyed join against the vector
+    * table), while the scan-heavy stage runs entirely on ~16-byte PQ
+    * codes — the IO asymmetry that makes re-ranking affordable. Both
+    * stages funnel through the native [[graft.plans.GroupedTopK]]
+    * operator, so neither the scored table nor the pool exchange-sorts. */
+  def ivfPqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val W = org.apache.spark.sql.expressions.Window
+    val pool = graft.plans.GroupedTopK(
+      ivfPqScored(spark, dir),
+      Seq("q_vec_id"), Seq("adc_dist" -> true, "vec_id" -> true), k = RerankPool)
+    val emb = Tables(spark, dir).embeddings
+    val rescored = pool
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))), Seq("q_vec_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .select("q_vec_id", "vec_id", "cos_r")
     val survivors = graft.plans.GroupedTopK(
-      scored, Seq("q_vec_id"), Seq("adc_dist" -> true, "vec_id" -> true), k = 3)
-    val w = W.partitionBy("q_vec_id").orderBy(col("adc_dist"), col("vec_id"))
+      rescored, Seq("q_vec_id"), Seq("cos_r" -> false, "vec_id" -> true), k = 3)
+    val w = W.partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))
     survivors
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("cos_r"))
       .orderBy("q_vec_id", "rank")
   }
 
-  /** Oracle for [[ivfPqTopK]]: the coarse Lloyd chain (shared with
-    * km2/ann4) + the prefixed PQ chain (shared with emb3) + cell
-    * assignment, code assignment, ADC lookup join, and the final
-    * ranking. */
-  lazy val ivfPqTopKOracle: String = {
+  /** ann7's stage-1 pool size (candidates per query surviving to the
+    * exact re-rank). */
+  val RerankPool = 10
+
+  lazy val ivfPqRerankTopKOracle: String =
+    s"""$ivfPqScoredSql,
+      |pool AS (
+      |  SELECT q_vec_id, vec_id FROM (
+      |    SELECT q_vec_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_vec_id
+      |                              ORDER BY adc_dist, vec_id) AS rk
+      |    FROM scored) WHERE rk <= $RerankPool),
+      |rescored AS (
+      |  SELECT p.q_vec_id, p.vec_id,
+      |         round(list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+      |                                      CAST(cv.embedding AS DOUBLE[])), 6) AS cos_r
+      |  FROM pool p
+      |  JOIN embeddings qv ON qv.vec_id = p.q_vec_id
+      |  JOIN embeddings cv ON cv.vec_id = p.vec_id)
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM rescored
+      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
+
+  lazy val ivfPqTopKOracle: String =
+    s"""$ivfPqScoredSql
+      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY adc_dist, vec_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
+
+  /** The `WITH …, scored AS (…)` CTE chain of [[ivfPqTopKOracle]] —
+    * shared verbatim with [[ivfPqRerankTopKOracle]] so the two oracles
+    * cannot drift apart. Ends after the `scored` CTE (no final SELECT,
+    * no trailing comma). */
+  private lazy val ivfPqScoredSql: String = {
     val R = KmTrainRounds
     s"""WITH ${kmRoundCtesSql(R)},
       |${kmRequantCte(R)},
@@ -916,12 +996,7 @@ object Similarity {
       |  JOIN adc ON adc.q_vec_id = cand.q_vec_id
       |           AND adc.sub_id = codes.sub_id AND adc.cell_id = codes.cell_id
       |  GROUP BY 1, 2
-      |)
-      |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-      |                               ORDER BY adc_dist, vec_id) AS rank
-      |  FROM scored
-      |) WHERE rank <= 3 ORDER BY q_vec_id, rank""".stripMargin
+      |)""".stripMargin
   }
 
   /** ann4: IVF over a TRAINED codebook — the step the ann3 scaladoc
@@ -1201,5 +1276,6 @@ object Similarity {
     QueryDef.sql("emb2_random_projection", randomProjectionOracle)(randomProjection),
     QueryDef.sql("emb3_pq_encode", pqEncodeOracle)(pqEncode),
     QueryDef.sql("ann5_ivfpq_topk", ivfPqTopKOracle)(ivfPqTopK),
-    QueryDef.sql("ann6_filtered_topk", filteredTopKOracle)(filteredTopK))
+    QueryDef.sql("ann6_filtered_topk", filteredTopKOracle)(filteredTopK),
+    QueryDef.sql("ann7_rerank_topk", ivfPqRerankTopKOracle)(ivfPqRerankTopK))
 }

@@ -1258,6 +1258,103 @@ object TextAnalysis {
       |FROM fll f LEFT JOIN pll p ON p.doc_id = f.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  // -- tx25: sliding-window chunking with overlap (RAG/index prep) -----
+
+  /** tx25's chunk window (tokens) and stride; overlap = W − S = 8. Sized
+    * to the fixture's 10–99-token documents so every doc yields 1–4
+    * chunks; production would use model-context-sized windows (512/1024)
+    * with the same arithmetic. */
+  val ChunkW = 32
+  val ChunkStride = 24
+
+  /** tx25: sliding-window document chunking with overlap — the
+    * RAG-indexing / context-window prep every retrieval pipeline runs:
+    * each document becomes ⌈max(n−W,0)/S⌉+1 chunks of ≤ [[ChunkW]]
+    * tokens starting every [[ChunkStride]] tokens (trailing chunk may be
+    * short; a doc shorter than one window is its own single chunk).
+    * Pure narrow projection — sequence + slice over the token array,
+    * zero shuffle at any corpus size; chunk boundaries are deterministic
+    * functions of (doc_id, chunk_id) so re-indexing is idempotent.
+    * Ref analog: none — retrieval-prep extension. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("w", tokens(col("text")))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr(
+          s"sequence(0, greatest(cast(ceil((n - $ChunkW) / cast($ChunkStride as double)) as int), 0))"
+        )).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        least(col("n") - col("chunk_id") * ChunkStride, lit(ChunkW))
+          .cast("bigint").as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("w"), col("chunk_id") * ChunkStride + 1, lit(ChunkW))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkOverlapOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w, len(w) AS n,
+      |         unnest(range(0, greatest(CAST(ceil((len(w) - $ChunkW) / $ChunkStride.0) AS BIGINT), 0) + 1)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(least(n - chunk_id * $ChunkStride, $ChunkW) AS BIGINT) AS n_chunk_tokens,
+      |       array_to_string(list_slice(w, chunk_id * $ChunkStride + 1,
+      |                                  chunk_id * $ChunkStride + $ChunkW), ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -- tx26: per-document TF-IDF top terms ----------------------------
+
+  /** tx26: per-document top-3 TF-IDF terms — the classic keyword/topic
+    * fingerprint (retrieval indexing, near-dup triage, corpus topic
+    * drift). tf is the in-doc term count, idf = ln(N/df) over exact
+    * document frequency; the ranking funnels through the native
+    * [[graft.plans.GroupedTopK]] operator so only ≤ 3·|docs| survivors
+    * reach the rank window — the scored (doc, term) table never
+    * exchange-sorts. N rides a broadcast 1-row frame; df is one
+    * map-combinable aggregation. ln(): both engines call libm natural
+    * log; [[portableRound6]] absorbs the last-ulp difference before the
+    * hash compare. Ref analog: none — text-pipeline extension. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        expr(portableRound6("tf * ln(cast(n_docs as double) / df)")))
+      .select("doc_id", "term", "tfidf")
+    val survivors = graft.plans.GroupedTopK(
+      scored, Seq("doc_id"), Seq("tfidf" -> false, "term" -> true), k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    survivors
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  lazy val tfidfTermsOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT doc_id, term,
+      |         ${portableRound6Sql("tf * ln(n_docs::DOUBLE / df)")} AS tfidf
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, term) AS rank
+      |  FROM s)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("tx17_bpe_merges", bpeMergesOracle)(bpeMerges),
     QueryDef.sql("tx22_bpe_encode", bpeEncodeOracle)(bpeEncode),
@@ -1281,5 +1378,7 @@ object TextAnalysis {
     QueryDef.sql("tx19_normalize", normalizeTextOracle)(normalizeText),
     QueryDef.sql("tx20_source_cap", sourceCapOracle)(sourceCap),
     QueryDef.sql("tx21_ppl_buckets", pplBucketsOracle)(pplBuckets),
-    QueryDef.sql("tx24_calibrated_quality", calibratedQualityOracle)(calibratedQuality))
+    QueryDef.sql("tx24_calibrated_quality", calibratedQualityOracle)(calibratedQuality),
+    QueryDef.sql("tx25_chunk_overlap", chunkOverlapOracle)(chunkOverlap),
+    QueryDef.sql("tx26_tfidf_terms", tfidfTermsOracle)(tfidfTerms))
 }

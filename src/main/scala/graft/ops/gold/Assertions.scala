@@ -338,6 +338,67 @@ object Assertions {
       |       round((p - q) * ln(p / q), 6) AS psi_contrib
       |FROM pq ORDER BY event_type""".stripMargin
 
+  /** q9: candidate-key discovery — the data-profiling step schema
+    * inference and contract authoring start from: for each declared
+    * candidate (single column or composite), one full-scan aggregate
+    * computes row count, exact distinct count, uniqueness ratio, and
+    * the is-key verdict. Each candidate is a map-combinable two-level
+    * aggregation (partial distinct on the key hash, final count) — no
+    * joins, no windows; candidates over the SAME table still scan it
+    * once each, which at 100 TB argues for the a8b HLL-sketch variant
+    * as the first pass and this exact form as the confirmation scan on
+    * the survivors. The fixture set includes a true composite negative:
+    * `(l_orderkey, l_linenumber)` is NOT unique in this generator's
+    * lineitem — a verdict a uniqueness checker must be able to return.
+    * Ref analog: dbt's schema tests declare uniqueness
+    * (`dbt_project/models/staging/schema.yml`); this op DISCOVERS it. */
+  def keyDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def probe(df: org.apache.spark.sql.DataFrame, label: String, cols: Seq[String]) = {
+      val key = concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+      df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_distinct"))
+        .select(
+          lit(label).as("candidate"),
+          col("n_rows"),
+          col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_rows")).as("uniq_ratio"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    }
+    probe(t.events, "events.event_id", Seq("event_id"))
+      .unionByName(probe(t.orders, "orders.o_orderkey", Seq("o_orderkey")))
+      .unionByName(probe(t.lineitem, "lineitem.l_orderkey", Seq("l_orderkey")))
+      .unionByName(probe(t.lineitem, "lineitem.l_orderkey+l_linenumber",
+        Seq("l_orderkey", "l_linenumber")))
+      .orderBy("candidate")
+  }
+
+  val keyDiscoveryOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'events.event_id' AS candidate, count(*) AS n_rows,
+      |         count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct,
+      |         count(DISTINCT CAST(event_id AS VARCHAR))::DOUBLE / count(*) AS uniq_ratio,
+      |         count(DISTINCT CAST(event_id AS VARCHAR)) = count(*) AS is_key
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey', count(*),
+      |         count(DISTINCT CAST(o_orderkey AS VARCHAR)),
+      |         count(DISTINCT CAST(o_orderkey AS VARCHAR))::DOUBLE / count(*),
+      |         count(DISTINCT CAST(o_orderkey AS VARCHAR)) = count(*)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey', count(*),
+      |         count(DISTINCT CAST(l_orderkey AS VARCHAR)),
+      |         count(DISTINCT CAST(l_orderkey AS VARCHAR))::DOUBLE / count(*),
+      |         count(DISTINCT CAST(l_orderkey AS VARCHAR)) = count(*)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey+l_linenumber', count(*),
+      |         count(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)),
+      |         count(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR))::DOUBLE / count(*),
+      |         count(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)) = count(*)
+      |  FROM lineitem
+      |) ORDER BY candidate""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
@@ -346,5 +407,6 @@ object Assertions {
     QueryDef.sql("q3e_contract_report", contractReportOracle)(contractReport),
     QueryDef.sql("q6_volume_anomaly", volumeAnomalyOracle)(volumeAnomaly),
     QueryDef.sql("q7_table_profile", tableProfileOracle)(tableProfile),
-    QueryDef.sql("q8_drift_psi", driftPsiOracle)(driftPsi))
+    QueryDef.sql("q8_drift_psi", driftPsiOracle)(driftPsi),
+    QueryDef.sql("q9_key_discovery", keyDiscoveryOracle)(keyDiscovery))
 }

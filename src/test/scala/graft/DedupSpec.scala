@@ -389,6 +389,55 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rebuilt.inputFiles.toSet != files1, "changed corpus must rebuild")
   }
 
+  test("dd14 prefix filtering is exact: parity with all-shared-shingle pairs") {
+    // ground truth: EVERY pair sharing >=1 surviving shingle, containment
+    // computed over the same df-capped space — a pair with zero shared
+    // survivors has containment 0, so this join is complete for t > 0
+    val occ = Dedup.shingled(spark, Sf)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = occ.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.ContainDfCap)
+    val surv = occ.join(dfreq, "g").select("doc_id", "g")
+    val sz = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val expected = surv.select(col("doc_id").as("doc_a"), col("g"))
+      .join(surv.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(greatest(col("inter") / col("n_a"), col("inter") / col("n_b")) >= Dedup.ContainT)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.containmentPairs(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
+    assert(expected.nonEmpty, "fixture should contain containment pairs")
+  }
+
+  test("dd14 catches doc-in-doc containment that Jaccard misses by construction") {
+    // a 20-token excerpt of a 100-token doc: containment 1.0, but
+    // Jaccard ≈ 18/98 ≈ 0.18 — far below any near-dup threshold
+    val big = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val small = (40 until 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    val sh = docs.withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(Dedup.shingleExpr)).select("doc_id", "sh")
+    val pairs = Dedup.containmentPairsOf(sh).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("cont_b") == 1.0, "excerpt fully contained")
+    // the symmetric-Jaccard view of the same pair stays far below 0.8
+    val j = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select((size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) -
+          size(array_intersect(col("a.sh"), col("b.sh"))))).as("j"))
+      .head().getDouble(0)
+    assert(j < 0.3, s"jaccard unexpectedly high: $j")
+  }
+
   test("dd9 stays exact when a tiny sketch forces bloom false positives") {
     // 64 bits for 800 distinct history fingerprints: the sketch
     // saturates, the genuinely-new rows (residues 8,9) go bloom-positive

@@ -506,4 +506,63 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       assert(h.last._5.isEmpty, s"user $uid last interval must be open")
     }
   }
+
+  test("tx25 chunks tile every document: stride-spaced starts, full coverage, overlap W−S") {
+    import graft.ops.ext.TextAnalysis.{ChunkStride, ChunkW}
+    val nTok = graft.engine.Tables(spark, Sf).documents
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = graft.ops.ext.TextAnalysis.chunkOverlap(spark, Sf)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(chunks.keySet == nTok.keySet, "every doc must chunk")
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, "chunk_ids contiguous from 0")
+      sorted.foreach { case (_, cid, len) =>
+        val start = cid * ChunkStride
+        assert(len == math.min(n - start, ChunkW.toLong), s"doc $doc chunk $cid length")
+        assert(len > 0, s"doc $doc emitted an empty chunk")
+      }
+      val last = sorted.last
+      assert(last._2 * ChunkStride + last._3 == n, s"doc $doc last chunk must reach the end")
+      if (sorted.length > 1)
+        assert(sorted.init.forall(_._3 == ChunkW), "only the trailing chunk may be short")
+    }
+  }
+
+  test("tx26 tf-idf: ranks are dense, scores non-increasing, corpus-wide terms score 0") {
+    val rows = graft.ops.ext.TextAnalysis.tfidfTerms(spark, Sf)
+      .as[(Long, Long, String, Double)].collect()
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"doc $doc ranks not dense")
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"doc $doc tfidf not non-increasing")
+    }
+    // a term present in EVERY document has idf = ln(1) = 0 — it can top a
+    // ranking only at score 0; verify tfidf of such terms is exactly 0
+    val docs = graft.engine.Tables(spark, Sf).documents
+    val nDocs = docs.count()
+    val universal = docs
+      .select(explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"), col("doc_id"))
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") === nDocs).select("term").as[String].collect().toSet
+    rows.filter(r => universal(r._3)).foreach { r =>
+      assert(r._4 == 0.0, s"universal term ${r._3} must score 0, got ${r._4}")
+    }
+  }
+
+  test("q9 key discovery returns the generator's true verdicts, including the composite negative") {
+    val verdicts = graft.ops.gold.Assertions.keyDiscovery(spark, Sf)
+      .select("candidate", "is_key").as[(String, Boolean)].collect().toMap
+    assert(verdicts("events.event_id"))
+    assert(verdicts("orders.o_orderkey"))
+    assert(!verdicts("lineitem.l_orderkey"))
+    assert(!verdicts("lineitem.l_orderkey+l_linenumber"),
+      "this generator's lineitem is NOT (orderkey, linenumber)-unique")
+  }
 }

@@ -393,4 +393,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(assigned.select("vec_id", "cell_id").exceptAll(
       assigned2.select("vec_id", "cell_id")).isEmpty)
   }
+
+  test("ann7 equals exact-cosine top-3 recomputed over the ADC top-10 pool") {
+    CosineSimilarity.register(spark)
+    val W = org.apache.spark.sql.expressions.Window
+    // independent recomputation: window-rank the shared scored stage
+    // (no GroupedTopK anywhere in this path) and re-rank with cosine
+    val pool = Similarity.ivfPqScored(spark, Sf)
+      .withColumn("rk", row_number().over(
+        W.partitionBy("q_vec_id").orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rk") <= Similarity.RerankPool)
+      .select("q_vec_id", "vec_id")
+    val emb = graft.engine.Tables(spark, Sf).embeddings
+    val expected = pool
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb")), Seq("q_vec_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .withColumn("rank", row_number().over(
+        W.partitionBy("q_vec_id").orderBy(col("cos_r").desc, col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select("q_vec_id", "rank", "vec_id", "cos_r")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = Similarity.ivfPqRerankTopK(spark, Sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
+    assert(got.nonEmpty)
+  }
 }
