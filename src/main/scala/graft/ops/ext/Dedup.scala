@@ -1245,7 +1245,6 @@ object Dedup {
     val dfreq = occ.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)
     val surv = Caching.persist(occ.join(dfreq, "h").select("doc_id", "h", "df"))
-    val sz = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pre = surv
       .withColumn("rk", row_number().over(W.partitionBy("doc_id").orderBy("df", "h")))
       .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
@@ -1257,13 +1256,18 @@ object Dedup {
       .select(least(col("p_doc"), col("s_doc")).as("doc_a"),
         greatest(col("p_doc"), col("s_doc")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val inter = cand
-      .join(surv.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(surv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    // dd2's join-back shape: candidates are bare id pairs; the survivor
+    // sets ride back as per-doc sorted arrays (one row per doc, not one
+    // per shingle), so the verify stage is |cand| rows through two
+    // doc_id-keyed joins + a local array intersection — no per-shingle
+    // explode ever crosses an exchange
+    val arr = surv.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a"))
+      .join(cand, Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
       .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
       .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainT)

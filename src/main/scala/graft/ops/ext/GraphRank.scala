@@ -43,7 +43,12 @@ object GraphRank {
     * driver-side scalar (an O(1) metadata count). */
   private[graft] def pageRankOf(
       nodes: DataFrame, edges: DataFrame, nodeCount: Long, rounds: Int): DataFrame = {
-    val e = Caching.persist(edges)
+    // pre-partition the static sides WHILE CACHING (pr2's oriented-edge
+    // trick): e and deg are joined on src every round, so hash-partition
+    // them by src once — each iteration then exchanges only the ranks
+    // side (which changes per round); the edge table, the largest frame
+    // in the loop, never re-shuffles after round 1
+    val e = Caching.persist(edges.repartition(col("src")))
     val deg = Caching.persist(e.groupBy("src").agg(count(lit(1)).as("d")))
     val r0 = Mass / nodeCount
     val base = (3L * r0) / 20L
