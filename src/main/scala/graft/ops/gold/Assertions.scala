@@ -354,8 +354,16 @@ object Assertions {
     * (`dbt_project/models/staging/schema.yml`); this op DISCOVERS it. */
   def keyDiscovery(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // each candidate runs as its OWN single-distinct aggregate: the
+    // scans are column-pruned to the key columns, so the cost center is
+    // the distinct aggregation, and separate aggs keep it map-combinable
+    // without the Expand row-doubling of the fused multi-distinct form
+    // (measured: the q7-style one-pass Expand variant is 1.5x slower
+    // here at sf0.1 AND sf1 -- fuse only when scan IO dominates, e.g.
+    // un-cached object-store reads)
     def probe(df: org.apache.spark.sql.DataFrame, label: String, cols: Seq[String]) = {
-      val key = concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+      val key = // \u0001-separated: composite parts can't collide
+        concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
       df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_distinct"))
         .select(
           lit(label).as("candidate"),
