@@ -1208,9 +1208,18 @@ object Dedup {
     * IDF-discipline CCNet applies to its hashes), not the raw one. */
   val ContainDfCap = 16
 
-  /** dd14's containment threshold: report pairs where the smaller side
-    * shares ≥ this fraction of its informative shingles. */
-  val ContainT = 0.8
+  /** dd14's containment threshold as an exact rational (4/5): report
+    * pairs where one side shares ≥ Num/Den of its informative shingles.
+    * Kept rational because the prefix length and the gate both need
+    * INTEGER arithmetic — `1.0 - 0.8` is 0.19999999999999996 in IEEE,
+    * so a `floor(n * (1-t))`-shaped prefix is one short whenever (1-t)·n
+    * is an exact integer (n divisible by 5) and the exactness guarantee
+    * silently breaks; `n - ceil(t·n) + 1` over integers cannot. */
+  val ContainTNum = 4
+  val ContainTDen = 5
+
+  /** [[ContainTNum]]/[[ContainTDen]] as the display-only double. */
+  val ContainT: Double = ContainTNum.toDouble / ContainTDen
 
   /** dd14: asymmetric containment detection — the doc-IN-doc case
     * (quoted article inside an aggregator page, README embedded in a
@@ -1245,10 +1254,14 @@ object Dedup {
     val dfreq = occ.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)
     val surv = Caching.persist(occ.join(dfreq, "h").select("doc_id", "h", "df"))
+    // prefix length = n − ⌈t·n⌉ + 1, all-integer: if cont ≥ t = Num/Den
+    // then the missing-shingle count n − inter ≤ n − ⌈t·n⌉, so the
+    // prefix must hit; ⌈Num·n/Den⌉ = (Num·n + Den − 1) div Den
     val pre = surv
       .withColumn("rk", row_number().over(W.partitionBy("doc_id").orderBy("df", "h")))
       .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
-      .filter(col("rk") <= floor(col("n") * lit(1.0 - ContainT)) + 1)
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $ContainTNum + ${ContainTDen - 1}) div $ContainTDen") + 1)
       .select("doc_id", "h")
     val cand = pre.select(col("doc_id").as("p_doc"), col("h"))
       .join(surv.select(col("doc_id").as("s_doc"), col("h")), Seq("h"))
@@ -1270,7 +1283,10 @@ object Dedup {
       .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
       .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
       .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainT)
+      // gate on integers (inter·Den ≥ Num·n), not the double ratios —
+      // the doubles are display columns only
+      .filter(col("n_common") * ContainTDen >= col("n_a") * ContainTNum ||
+        col("n_common") * ContainTDen >= col("n_b") * ContainTNum)
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "cont_a", "cont_b")
       .orderBy("doc_a", "doc_b")
   }
@@ -1291,7 +1307,7 @@ object Dedup {
       |           row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rk,
       |           count(*) OVER (PARTITION BY doc_id) AS n
       |    FROM surv)
-      |  WHERE rk <= floor(n * ${1.0 - ContainT}) + 1),
+      |  WHERE rk <= n - (n * $ContainTNum + ${ContainTDen - 1}) // $ContainTDen + 1),
       |cand AS (
       |  SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
       |                  greatest(p.doc_id, s.doc_id) AS doc_b
@@ -1308,7 +1324,8 @@ object Dedup {
       |       n_common::DOUBLE / sb.n AS cont_b
       |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
       |             JOIN sz sb ON sb.doc_id = i.doc_b
-      |WHERE greatest(n_common::DOUBLE / sa.n, n_common::DOUBLE / sb.n) >= $ContainT
+      |WHERE n_common * $ContainTDen >= sa.n * $ContainTNum
+      |   OR n_common * $ContainTDen >= sb.n * $ContainTNum
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(

@@ -405,7 +405,8 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .filter(greatest(col("inter") / col("n_a"), col("inter") / col("n_b")) >= Dedup.ContainT)
+      .filter(col("inter") * Dedup.ContainTDen >= col("n_a") * Dedup.ContainTNum ||
+        col("inter") * Dedup.ContainTDen >= col("n_b") * Dedup.ContainTNum)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val got = Dedup.containmentPairs(spark, Sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -436,6 +437,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
           size(array_intersect(col("a.sh"), col("b.sh"))))).as("j"))
       .head().getDouble(0)
     assert(j < 0.3, s"jaccard unexpectedly high: $j")
+  }
+
+  test("dd14 prefix length survives the (1−t)·n-integer boundary (n multiple of 5)") {
+    // A has exactly 5 surviving shingles, 4 shared with B (cont_a = 4/5
+    // = t exactly) and its UNIQUE shingle is its rarest (df 1 vs df 2) —
+    // a float prefix length floor(n·(1.0−0.8))+1 = floor(0.9999…)+1 = 1
+    // selects only the unique shingle and never generates the pair
+    // (B can't rescue it: B's two rarest are its own unique df-1
+    // shingles and cont_b = 4/6 < t). The integer form n−⌈t·n⌉+1 = 2
+    // must reach the first shared shingle.
+    val docs = Seq(
+      (1L, "a b c d e f g"),      // shingles: abc bcd cde def efg (5)
+      (2L, "q r b c d e f g"))    // qrb rbc + the 4 shared (6)
+    val sh = docs.toDF("doc_id", "text")
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", expr(Dedup.shingleExpr)).select("doc_id", "sh")
+    val pairs = Dedup.containmentPairsOf(sh)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 4L, 5L, 6L)),
+      s"boundary pair missed or wrong: ${pairs.toSeq}")
   }
 
   test("dd9 stays exact when a tiny sketch forces bloom false positives") {
