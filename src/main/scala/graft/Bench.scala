@@ -93,7 +93,9 @@ object Bench {
     "tx25_chunk_overlap",  // sliding-window RAG chunking (pure narrow)
     "tx26_tfidf_terms",    // per-doc TF-IDF top terms via GroupedTopK
     "ann7_rerank_topk",    // ADC candidates + exact cosine re-rank
-    "q9_key_discovery")    // candidate-key profiling scans
+    "q9_key_discovery",    // candidate-key profiling scans
+    "q10_k_anonymity",     // quasi-identifier group-size audit
+    "a16_retention_cohorts") // first-seen cohort × age distinct-user matrix
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

@@ -469,8 +469,40 @@ object Aggregates {
       |HAVING count(*) >= (SELECT CAST(ceil(count(*) / $HeavyHitterFrac.0) AS BIGINT) FROM t)
       |ORDER BY token""".stripMargin
 
+  /** a16: cohort retention matrix — the BI staple over the event
+    * stream: users grouped by first-seen day (their cohort), activity
+    * counted as distinct users per (cohort, days-since-first-seen).
+    * Two aggregates and one user_id-keyed join: the first-seen table is
+    * |users| rows (AQE broadcasts it when small; at 100 TB both sides
+    * hash-partition on user_id — no window, no self-join over events).
+    * The diagonal property (age-0 count = cohort size) is pinned in
+    * PropertiesSpec. Ref analog: the reference's BigQuery marts layer
+    * computes daily revenue rollups (`dbt_project/models/marts/
+    * fct_fee_tax_revenue.sql`); retention is the same shape over users
+    * instead of fees. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("bigint").as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_date", "age_days")
+  }
+
+  val retentionCohortsOracle: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY 1)
+      |SELECT c.cohort_date,
+      |       CAST(date_diff('day', c.cohort_date, ev.d) AS BIGINT) AS age_days,
+      |       count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_date, age_days""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1AggOracle)(q1Agg),
+    QueryDef.sql("a16_retention_cohorts", retentionCohortsOracle)(retentionCohorts),
     QueryDef.sql("a10_cube", cubeAggOracle)(cubeAgg),
     QueryDef.sql("a2_scalar_max", scalarMaxOracle)(scalarMax),
     QueryDef.sql("a3_first_per_key", firstPerKeyOracle)(firstPerKey),

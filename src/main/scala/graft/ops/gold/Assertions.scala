@@ -407,6 +407,40 @@ object Assertions {
       |  FROM lineitem
       |) ORDER BY candidate""".stripMargin
 
+  /** q10's minimum group size: quasi-identifier combinations matched by
+    * fewer than this many rows are re-identification risks. */
+  val AnonK = 5
+
+  /** q10: k-anonymity audit — the privacy-governance check a
+    * training-data platform runs beside PII scrubbing (tx12) and
+    * subject deletion (s23): every combination of quasi-identifiers
+    * (here event_type × day × value band, the Sweeney QI notion) must
+    * match ≥ [[AnonK]] rows, else the combination alone re-identifies.
+    * One map-combinable aggregate over the QI tuple; the report is the
+    * violating combinations (empty = table is k-anonymous), each with
+    * its row and distinct-subject counts. At 100 TB the QI cardinality
+    * (types × days × bands) is millions of groups at most — the
+    * aggregate output is bounded by the QI domain, never by rows.
+    * Ref analog: none — governance extension alongside dbt-style
+    * checks (`dbt_project/models/staging/schema.yml`). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("event_date"),
+        floor(col("value") / 100).cast("bigint").as("value_band"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n") < AnonK)
+      .orderBy("event_type", "event_date", "value_band")
+
+  val kAnonymityOracle: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
+      |       CAST(floor(value / 100) AS BIGINT) AS value_band,
+      |       count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2, 3 HAVING count(*) < $AnonK
+      |ORDER BY event_type, event_date, value_band""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
@@ -416,5 +450,6 @@ object Assertions {
     QueryDef.sql("q6_volume_anomaly", volumeAnomalyOracle)(volumeAnomaly),
     QueryDef.sql("q7_table_profile", tableProfileOracle)(tableProfile),
     QueryDef.sql("q8_drift_psi", driftPsiOracle)(driftPsi),
-    QueryDef.sql("q9_key_discovery", keyDiscoveryOracle)(keyDiscovery))
+    QueryDef.sql("q9_key_discovery", keyDiscoveryOracle)(keyDiscovery),
+    QueryDef.sql("q10_k_anonymity", kAnonymityOracle)(kAnonymity))
 }

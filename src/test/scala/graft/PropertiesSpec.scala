@@ -556,6 +556,30 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q10 k-anonymity reports only sub-k groups; a16 cohort diagonal equals cohort size") {
+    import graft.ops.gold.{Aggregates, Assertions}
+    val viol = Assertions.kAnonymity(spark, Sf)
+      .select("n", "n_users").as[(Long, Long)].collect()
+    assert(viol.nonEmpty, "fixture should contain sub-k QI groups")
+    viol.foreach { case (n, nu) =>
+      assert(n < Assertions.AnonK && nu <= n, s"group ($n, $nu)")
+    }
+    val ret = Aggregates.retentionCohorts(spark, Sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val byCohort = ret.groupBy(_._1)
+    byCohort.foreach { case (c, rows) =>
+      val age0 = rows.find(_._2 == 0L).map(_._3)
+      assert(age0.isDefined, s"cohort $c missing its age-0 row")
+      // every user is active on their first-seen day, so the age-0 count
+      // IS the cohort size and upper-bounds every later age
+      assert(rows.forall(_._3 <= age0.get), s"cohort $c exceeds its size")
+    }
+    val totalUsers = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == totalUsers,
+      "cohort sizes must partition the user base")
+  }
+
   test("q9 key discovery returns the generator's true verdicts, including the composite negative") {
     val verdicts = graft.ops.gold.Assertions.keyDiscovery(spark, Sf)
       .select("candidate", "is_key").as[(String, Boolean)].collect().toMap
