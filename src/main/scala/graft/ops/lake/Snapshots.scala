@@ -47,7 +47,10 @@ object Snapshots {
 
   private def logDir(table: String): File = new File(table, "_graft_log")
 
-  private val ManifestRe = raw"manifest-(\d{9})\.txt".r
+  // anchored, \d{9,}: a version past 10^9 outgrows the %09d padding and
+  // an unanchored \d{9} would silently parse its first nine digits —
+  // wrong version, not an error
+  private val ManifestRe = raw"^manifest-(\d{9,})\.txt$$".r
 
   /** Highest committed snapshot version, 0 when the table is empty. */
   def currentVersion(table: String): Long =
@@ -83,7 +86,14 @@ object Snapshots {
     * given the manifest log — every manifest is a complete file list,
     * and data files are immutable — valid until a [[vacuum]] (which
     * drops superseded manifests along with their unreferenced files,
-    * the retention boundary). */
+    * the retention boundary).
+    *
+    * Known limitation: a committed snapshot whose manifest lists ZERO
+    * files (a remove-everything commit) cannot be read back — parquet
+    * needs at least one file to carry the schema, so the `require`
+    * below fires. Delta/Iceberg solve this by persisting the schema in
+    * the log; here a full-table delete should drop/recreate the table
+    * instead. */
   def readVersion(spark: SparkSession, table: String, v: Long,
                   tagFilter: String => Boolean = _ => true): DataFrame = {
     val mf = manifestFile(table, v)
@@ -139,7 +149,20 @@ object Snapshots {
     Prepared(table, currentVersion(table) + 1,
       entries(table).filterNot(remove) ++ add)
 
-  /** Publish a prepared manifest: write `.tmp`, fsync-equivalent close,
+  /** Write bytes to `tmp` and FORCE them to storage before the caller's
+    * atomic rename — without the `force(true)`, a power loss after the
+    * rename can journal the directory entry but not the data, leaving a
+    * committed-looking manifest with truncated content (process-crash
+    * consistency never needed this; power-loss consistency does). */
+  private def writeDurable(tmp: File, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
+  }
+
+  /** Publish a prepared manifest: write `.tmp`, force to storage,
     * ATOMIC rename to the fresh final name. Idempotent: if this exact
     * version is already committed (a recovery re-run), it is left
     * alone. Returns the committed version. */
@@ -149,8 +172,7 @@ object Snapshots {
     val dst = manifestFile(p.table, p.version)
     if (!dst.exists()) {
       val tmp = new File(dir, s"manifest-${p.version}.tmp-${java.util.UUID.randomUUID}")
-      Files.write(tmp.toPath,
-        p.lines.map { case (f, t) => s"$f\t$t" }.mkString("\n").getBytes(UTF_8))
+      writeDurable(tmp, p.lines.map { case (f, t) => s"$f\t$t" }.mkString("\n").getBytes(UTF_8))
       Files.move(tmp.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
     }
     p.version
@@ -253,7 +275,7 @@ object Snapshots {
     dir.mkdirs()
     val intent = new File(dir, s"txn-${java.util.UUID.randomUUID}.intent")
     val tmp = new File(dir, intent.getName + ".tmp")
-    Files.write(tmp.toPath, serialize(a, b).getBytes(UTF_8))
+    writeDurable(tmp, serialize(a, b).getBytes(UTF_8))
     Files.move(tmp.toPath, intent.toPath, StandardCopyOption.ATOMIC_MOVE)
     intent
   }
