@@ -32,6 +32,14 @@ import scala.collection.mutable
   * same contract as rank-based top-k everywhere else in this repo.
   * Rows come out grouped but unranked/unsorted; callers needing ranks
   * window over the k·|groups| survivors, which is negligible.
+  *
+  * Sizing contract: the heaps are in-memory with NO spill path — a task
+  * holds k rows per group it sees, so the operator targets workloads
+  * where k·|groups| fits an executor (top-k per query/doc/source/day:
+  * millions of groups at small k). For group cardinalities approaching
+  * row count, the window form's sort-and-spill machinery is the right
+  * tool and this operator is the wrong one — by construction, not by
+  * accident.
   */
 case class GroupedTopK(
     groupExprs: Seq[Expression],

@@ -439,6 +439,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(j < 0.3, s"jaccard unexpectedly high: $j")
   }
 
+  test("dd14 df-cap drops a hot shingle before pairing: no candidate explosion") {
+    // B docs sharing ONE boilerplate shingle, otherwise disjoint — the
+    // dd2 hot-prefix shape. The shared shingle's df = B > ContainDfCap,
+    // so it is dropped before any join and the corpus yields ZERO
+    // containment pairs (disjoint survivor sets), instead of B(B−1)/2
+    // candidates through the hot hash.
+    val B = Dedup.ContainDfCap * 4
+    val docs = (0 until B).map { i =>
+      (i.toLong, "terms of service " + (0 until 10).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val sh = docs.toDF("doc_id", "text")
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(Dedup.shingleExpr)).select("doc_id", "sh")
+    assert(Dedup.containmentPairsOf(sh).isEmpty,
+      "hot boilerplate shingle must not generate candidate pairs")
+  }
+
   test("dd14 prefix length survives the (1−t)·n-integer boundary (n multiple of 5)") {
     // A has exactly 5 surviving shingles, 4 shared with B (cont_a = 4/5
     // = t exactly) and its UNIQUE shingle is its rarest (df 1 vs df 2) —
