@@ -95,7 +95,8 @@ object Bench {
     "ann7_rerank_topk",    // ADC candidates + exact cosine re-rank
     "q9_key_discovery",    // candidate-key profiling scans
     "q10_k_anonymity",     // quasi-identifier group-size audit
-    "a16_retention_cohorts") // first-seen cohort × age distinct-user matrix
+    "a16_retention_cohorts", // first-seen cohort × age distinct-user matrix
+    "ann3c_ivf_incremental") // add-only snapshot-committed index upsert + probe
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

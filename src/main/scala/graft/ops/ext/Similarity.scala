@@ -246,6 +246,79 @@ object Similarity {
     probeIvfIndex(spark, dir, path)
   }
 
+  /** ann3c: INCREMENTAL index maintenance — the piece ann3b's
+    * build-once lifecycle is missing at 100 TB: when the corpus grows,
+    * rebuilding the whole inverted file rereads every vector ever
+    * ingested, so a daily 0.1% delta costs a full-corpus job. Because a
+    * vector's cell assignment depends only on the (fixed) coarse
+    * codebook — never on other corpus vectors — the delta can be
+    * assigned alone and PUBLISHED AS AN ADD-ONLY SNAPSHOT COMMIT
+    * ([[graft.ops.lake.Snapshots]], tag = cell_id): base index files
+    * are never rewritten, readers concurrent with the upsert see the
+    * old or new snapshot atomically, and the resulting index is
+    * bit-identical in content to a full rebuild — which is why the
+    * oracle is ann3's full-corpus query verbatim (the invariant under
+    * test). Probes prune at the MANIFEST level (tag filter) before any
+    * file opens. The base/delta split here is `vec_id % 3` (simulating
+    * an ingest delta deterministically at every SF); SimilaritySpec
+    * additionally pins the add-only property (base files byte-listed
+    * unchanged across the upsert commit) and parity with ann3. */
+  def ivfIncrementalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.engine.Graft.tmpDir(
+      "ann3c-ivf-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val manifestFile = new java.io.File(table, "_GRAFT_SRC_MANIFEST")
+    val current = srcManifest(new java.io.File(s"$dir/embeddings.parquet"))
+    val recorded =
+      if (manifestFile.exists())
+        new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
+      else ""
+    if (recorded != current) {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(table)); new java.io.File(table).mkdirs()
+      val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
+      buildIncrementalIvf(spark, dir, table,
+        base = corpus.filter(col("vec_id") % 3 =!= 0),
+        delta = corpus.filter(col("vec_id") % 3 === 0))
+      java.nio.file.Files.write(manifestFile.toPath, current.getBytes("UTF-8"))
+    }
+    probeSnapshotIvf(spark, dir, table)
+  }
+
+  /** Base build (v1) + delta upsert (v2, ADD-ONLY) as two snapshot
+    * commits. Split out so the spec can drive its own base/delta and
+    * inspect the manifests between commits. */
+  private[graft] def buildIncrementalIvf(spark: SparkSession, dir: String,
+      table: String, base: DataFrame, delta: DataFrame): Unit = {
+    import graft.ops.lake.Snapshots
+    def assigned(df: DataFrame) =
+      ivfAssignments(spark, dir, df, "vec_id", "embedding", probes = 1)
+        .select(col("cell_id"), col("vec_id"), col("embedding"))
+    Snapshots.commit(table, Snapshots.stage(assigned(base), table, "cell_id"))
+    Snapshots.commit(table, Snapshots.stage(assigned(delta), table, "cell_id"))
+  }
+
+  /** Probe a snapshot-backed IVF index: query cells prune MANIFEST
+    * LINES (no file under an unprobed cell is ever opened), then the
+    * probed partitions brute-force exactly as [[probeIvfIndex]]. */
+  private[graft] def probeSnapshotIvf(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val queryCells = ivfAssignments(spark, dir, queriesDf(spark, dir),
+      "q_vec_id", "q_emb", probes = IvfProbes)
+      .select(col("cell_id"), col("q_vec_id"), col("q_emb"))
+    val probed = queryCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val index = graft.ops.lake.Snapshots.read(spark, table, tagFilter = probed.contains)
+    rankTop3(index
+      .join(broadcast(queryCells), Seq("cell_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .dropDuplicates("q_vec_id", "vec_id")
+      .select("q_vec_id", "vec_id", "cos_r"))
+  }
+
   /** Sorted `relative-path|size|mtime` lines for every file under `f` —
     * the change-detection fingerprint [[ivfIndexedTopK]] stores next to
     * the index it derives from the source. */
@@ -1269,6 +1342,7 @@ object Similarity {
     QueryDef.sql("ann2_lsh_topk", lshTopKOracle)(lshTopK),
     QueryDef.sql("ann3_ivf_topk", ivfTopKOracle)(ivfTopK),
     QueryDef.sql("ann3b_ivf_indexed", ivfTopKOracle)(ivfIndexedTopK),
+    QueryDef.sql("ann3c_ivf_incremental", ivfTopKOracle)(ivfIncrementalTopK),
     QueryDef.sql("km1_kmeans_step", kmeansStepOracle)(kmeansStep),
     QueryDef.sql("km2_kmeans_train", kmeansRoundsOracle)((s, d) => kmeansRounds(s, d)),
     QueryDef.sql("ann4_ivf_trained", ivfTrainedTopKOracle)(ivfTrainedTopK),

@@ -394,6 +394,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assigned2.select("vec_id", "cell_id")).isEmpty)
   }
 
+  test("ann3c incremental index: parity with ann3, add-only upsert, build-once reuse") {
+    import graft.ops.lake.Snapshots
+    // parity: the incrementally-maintained index answers exactly like
+    // the from-scratch ann3 query (cell assignment is per-vector, so
+    // incremental == rebuild — the op's oracle asserts this vs DuckDB,
+    // this spec asserts it engine-internally too)
+    val inc = Similarity.ivfIncrementalTopK(spark, Sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopK(spark, Sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(inc == full, "incremental index must answer like the full rebuild")
+    // add-only: v2's manifest must contain every v1 line untouched —
+    // the delta commit added files, rewrote none
+    val table = graft.engine.Graft.tmpDir(
+      "ann3c-ivf-" + Sf.replaceAll("[^A-Za-z0-9.]", "_"))
+    def manifest(v: Int): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(table, f"_graft_log/manifest-$v%09d.txt").toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSet
+    val v1 = manifest(1)
+    val v2 = manifest(2)
+    assert(Snapshots.currentVersion(table) == 2L)
+    assert(v1.subsetOf(v2), "delta upsert must not rewrite base index files")
+    assert(v2.size > v1.size, "delta upsert must add files")
+    // build-once: a repeat invocation serves the same snapshot (no v3)
+    Similarity.ivfIncrementalTopK(spark, Sf).collect()
+    assert(Snapshots.currentVersion(table) == 2L, "unchanged corpus must not rebuild")
+  }
+
   test("ann7 equals exact-cosine top-3 recomputed over the ADC top-10 pool") {
     CosineSimilarity.register(spark)
     val W = org.apache.spark.sql.expressions.Window
