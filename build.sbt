@@ -29,7 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The harness is a 128 GiB box (local[32] single-JVM); the old 8g
   // default left the largest intermediates (pr2's wedge exchange, the
   // dedup chains) spill- and GC-bound — the bench ledger's heap_max_mb
-  // field exposed it. 48g keeps ample headroom for the driver's
-  // concurrent tooling while removing that artificial wall.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // field exposed it. 32g removes that wall while leaving the OS,
+  // parquet off-heap buffers, RocksDB state stores, and the driver's
+  // concurrent tooling real native headroom: the r6 48g setting put
+  // heap + unbounded RocksDB native within bad_alloc range of the box
+  // (BENCH_r06 exit 134).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

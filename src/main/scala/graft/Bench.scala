@@ -147,7 +147,16 @@ object Bench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
     }
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    // Release the drain's RocksDB instances NOW, not when the 60 s
+    // maintenance sweep notices the query is gone: each drain opens
+    // shuffle.partitions-many native stores against a FRESH checkpoint
+    // (no reuse possible), so without this, warm+N repeats × 3 streaming
+    // queries stack dozens of live native allocations — the BENCH_r06
+    // bad_alloc. Outside the timed window; next run reloads from its own
+    // new checkpoint either way.
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+    dt
   }
 
   def main(args: Array[String]): Unit = {
@@ -227,9 +236,14 @@ object Bench {
     // stdout, truncating this line from the FRONT — the r5 wrapper
     // already lost the first few per-query timings that way. The bulky
     // diagnostic maps (runs/gc) go FIRST and the load-bearing
-    // "queries" map goes LAST so truncation eats diagnostics, never
-    // the medians.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_n":$repeats,"heap_max_mb":$heapMb,"runs":$runs,"gc_ms":$gcMs,"gc_count":$gcN,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // "queries" map goes last-but-one so truncation eats diagnostics,
+    // never the medians. The r6 verdict couldn't tell ambient memory
+    // pressure from plan regressions because the whole-run gc/heap
+    // ledger sat BEFORE the queries map and was truncated away — a
+    // compact whole-run summary now rides AFTER it, inside the kept
+    // tail.
+    val (gcT, gcC) = gcStats()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_n":$repeats,"runs":$runs,"gc_ms":$gcMs,"gc_count":$gcN,"failed":$failed,"queries":$qs,"gc_ms_total":$gcT,"gc_count_total":$gcC,"heap_max_mb":$heapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

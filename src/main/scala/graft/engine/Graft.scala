@@ -65,6 +65,21 @@ object Graft {
     // and is required by transformWithState anyway (StatefulTotals).
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Cap RocksDB NATIVE memory with one shared block-cache +
+    // WriteBufferManager across every store instance in the executor.
+    // Unbounded (the default), each of the `shuffle.partitions` store
+    // instances owns private memtables/cache, and instances from a
+    // finished query linger until the maintenance thread notices — a
+    // multi-query process (the bench suite, any multi-tenant executor)
+    // accumulates native allocations the JVM heap cap never sees.
+    // BENCH_r06 died exactly that way: exit 134 / C++ bad_alloc with a
+    // healthy heap. 2 GiB is ~100x the sf0.1 state footprint and the
+    // right ORDER for a real executor (native ≈ small multiple of heap
+    // block cache share, not unbounded).
+    .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
+    .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
+    .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "2")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     // read the raw int64 nanos and convert ourselves (see Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
