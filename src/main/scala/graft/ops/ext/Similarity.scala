@@ -272,7 +272,11 @@ object Similarity {
       if (manifestFile.exists())
         new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
       else ""
-    if (recorded != current) {
+    // rebuild when the source changed OR the table has no readable
+    // snapshot (e.g. a log-format migration left an old-layout dir
+    // behind with a matching source fingerprint)
+    if (recorded != current ||
+        graft.ops.lake.Snapshots.currentVersion(table) == 0) {
       def wipe(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(wipe)
         f.delete()

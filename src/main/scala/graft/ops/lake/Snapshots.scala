@@ -1,10 +1,11 @@
 package graft.ops.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, StandardCopyOption}
 
 /** Minimal lakehouse commit protocol — the snapshot/manifest layer the
   * rewrite ops (partition overwrite, targeted delete, compaction, dual
@@ -14,94 +15,139 @@ import java.nio.file.{Files, StandardCopyOption}
   * The reference has no such layer (its rewrite is `mode=overwrite` to
   * GCS/BigQuery — `ingest_binance_last_3_days.py:141-144` — with the
   * same torn-view window); this is the published Delta/Iceberg commit
-  * shape reduced to its two load-bearing moves:
+  * shape reduced to its load-bearing moves:
   *
   *   1. DATA FILES ARE IMMUTABLE AND NEVER OVERWRITTEN. Every write
   *      stages NEW files under a fresh `data/<token>/` directory; a
-  *      rewrite "replaces" rows only by publishing a manifest that
+  *      rewrite "replaces" rows only by publishing a snapshot that
   *      stops listing the old files.
-  *   2. THE MANIFEST RENAME IS THE COMMIT. A snapshot is a text file
-  *      `_graft_log/manifest-<v>.txt` listing every data file in the
-  *      table (one `relpath\ttag` line per file); the LIVE snapshot is
-  *      simply the highest committed `v`. Writers prepare
-  *      `manifest-<v>.tmp` and atomically rename it to its final FRESH
-  *      name — readers ignore `.tmp`, and a crash at any earlier point
-  *      leaves the previous snapshot live and only orphan data files
-  *      behind (reclaimed by [[vacuum]], which deletes data files the
-  *      CURRENT manifest doesn't reference — deferred, so in-flight
-  *      readers of the old snapshot finish against intact files).
+  *   2. MANIFESTS ARE IMMUTABLE TOO. A manifest
+  *      `_graft_log/mf-<uuid>.txt` lists data files (one `relpath\ttag`
+  *      line each) and is written once, never edited. A commit that
+  *      only ADDS files writes one new manifest for the added files and
+  *      keeps every prior manifest BY NAME; a commit that removes files
+  *      rewrites only the manifests that actually lose entries. Commit
+  *      IO is therefore O(files touched), not O(files in table) — the
+  *      r6 layer rewrote the full file list per commit, which at 100 TB
+  *      (~10⁶ files) would push ~100 MB of driver text IO per commit.
+  *   3. THE SNAPSHOT FILE RENAME IS THE COMMIT. A snapshot
+  *      `_graft_log/snap-<v>.txt` is a manifest-LIST: one line per
+  *      manifest (`mfName\ttagSet`), the Iceberg manifest-list shape.
+  *      The LIVE snapshot is the highest committed `v`. Writers prepare
+  *      a tmp file, force it durable, and publish it to its final FRESH
+  *      name via hard-link creation — atomic AND exclusive, so of two
+  *      racing committers exactly one wins and the loser gets
+  *      [[ConcurrentCommitException]] (re-publishing byte-identical
+  *      content stays an idempotent no-op for crash recovery). A crash
+  *      at any earlier point leaves the previous snapshot live and only
+  *      orphan files behind (reclaimed by [[vacuum]] — deferred, so
+  *      in-flight readers of the old snapshot finish against intact
+  *      files).
   *
-  * The `tag` column is the file-level partition value (each staged file
-  * holds exactly one tag — enforced at stage time): partition pruning
-  * happens against MANIFEST LINES, before any file is opened, which is
-  * the Iceberg file-skipping shape and degrades to nothing at 100 TB —
-  * the log grows with file count, never row count, and the planner
-  * reads one small text file per query.
-  *
-  * Single-writer per table is assumed (the Delta-without-a-locking-
-  * service contract): two concurrent committers could both prepare
-  * `v+1`, and the second atomic rename to the same fresh name would
-  * fail — surfaced, not silent.
+  * The `tag` is the file-level partition value (each staged file holds
+  * exactly one tag — enforced at stage time). Pruning is two-level,
+  * both BEFORE any data file is opened: the snapshot line carries each
+  * manifest's distinct-tag set, so non-matching manifests are skipped
+  * unread; surviving manifests are line-pruned to the matching files.
+  * The log grows with file count, never row count.
   */
 object Snapshots {
+
+  /** A second writer lost the publish race for a snapshot version (or a
+    * version was re-committed with DIFFERENT content — a protocol
+    * violation either way). The winner's snapshot is intact. */
+  final class ConcurrentCommitException(table: String, version: Long)
+    extends RuntimeException(
+      s"concurrent commit of $table v$version: another writer published this version first")
 
   private def logDir(table: String): File = new File(table, "_graft_log")
 
   // anchored, \d{9,}: a version past 10^9 outgrows the %09d padding and
   // an unanchored \d{9} would silently parse its first nine digits —
   // wrong version, not an error
-  private val ManifestRe = raw"^manifest-(\d{9,})\.txt$$".r
+  private val SnapRe = raw"^snap-(\d{9,})\.txt$$".r
 
   /** Highest committed snapshot version, 0 when the table is empty. */
   def currentVersion(table: String): Long =
     Option(logDir(table).listFiles()).toSeq.flatten
-      .flatMap(f => ManifestRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .flatMap(f => SnapRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
       .sorted.lastOption.getOrElse(0L)
 
-  private def manifestFile(table: String, v: Long): File =
-    new File(logDir(table), f"manifest-$v%09d.txt")
+  private def snapFile(table: String, v: Long): File =
+    new File(logDir(table), f"snap-$v%09d.txt")
+
+  // ---- on-disk framing ------------------------------------------------
+  // manifest line: relpath \t tag ; snapshot line: mfName \t tag\u0001tag…
+  // Tags are validated at [[stage]] (no \t \n \u0001 \u0002, not the
+  // Hive null sentinel), so the framing needs no escaping.
+
+  private def parseLine(line: String): (String, String) =
+    line.split("\t", 2) match {
+      case Array(p, t) => (p, t)
+      case Array(p)    => (p, "")
+    }
+
+  /** Snapshot `v`'s manifest list: (manifest name, distinct tags inside). */
+  private def manifestList(table: String, v: Long): Seq[(String, Set[String])] = {
+    val sf = snapFile(table, v)
+    require(sf.exists(), s"snapshot v$v of $table does not exist (vacuumed or never committed)")
+    new String(Files.readAllBytes(sf.toPath), UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val (name, tags) = parseLine(line)
+        (name, tags.split("\u0001").toSet.filter(_.nonEmpty))
+      }
+  }
+
+  private def manifestEntries(table: String, mfName: String): Seq[(String, String)] =
+    new String(Files.readAllBytes(new File(logDir(table), mfName).toPath), UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map(parseLine)
+
+  /** Write an IMMUTABLE manifest for `lines`; returns its fresh name.
+    * Invisible to readers until a snapshot file lists it. */
+  private def writeManifest(table: String, lines: Seq[(String, String)]): String = {
+    logDir(table).mkdirs()
+    val name = s"mf-${java.util.UUID.randomUUID}.txt"
+    writeDurable(new File(logDir(table), name),
+      lines.map { case (f, t) => s"$f\t$t" }.mkString("\n").getBytes(UTF_8))
+    name
+  }
 
   /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
   def entries(table: String): Seq[(String, String)] = {
     val v = currentVersion(table)
-    if (v == 0) Seq.empty else entriesOf(manifestFile(table, v))
+    if (v == 0) Seq.empty
+    else manifestList(table, v).flatMap { case (mf, _) => manifestEntries(table, mf) }
   }
 
-  private def entriesOf(mf: File): Seq[(String, String)] =
-    new String(Files.readAllBytes(mf.toPath), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        line.split("\t", 2) match {
-          case Array(p, t) => (p, t)
-          case Array(p)    => (p, "")
-        }
-      }
-
   /** Read the live snapshot — optionally pruned by file tag BEFORE any
-    * file is opened (manifest-level partition pruning). */
+    * file is opened (manifest-level, then line-level pruning). */
   def read(spark: SparkSession, table: String,
            tagFilter: String => Boolean = _ => true): DataFrame =
     readVersion(spark, table, currentVersion(table), tagFilter)
 
   /** TIME TRAVEL: read snapshot `v` exactly as it was committed. Free
-    * given the manifest log — every manifest is a complete file list,
-    * and data files are immutable — valid until a [[vacuum]] (which
-    * drops superseded manifests along with their unreferenced files,
-    * the retention boundary).
+    * given the log — snapshots and manifests are immutable and shared
+    * structurally (an append's snapshot lists the prior manifests BY
+    * NAME) — valid until a [[vacuum]] (which drops superseded snapshots
+    * along with their unshared manifests and unreferenced files, the
+    * retention boundary).
     *
-    * Known limitation: a committed snapshot whose manifest lists ZERO
-    * files (a remove-everything commit) cannot be read back — parquet
-    * needs at least one file to carry the schema, so the `require`
-    * below fires. Delta/Iceberg solve this by persisting the schema in
-    * the log; here a full-table delete should drop/recreate the table
-    * instead. */
+    * Known limitation: a committed snapshot listing ZERO files (a
+    * remove-everything commit) cannot be read back — parquet needs at
+    * least one file to carry the schema, so the `require` below fires.
+    * Delta/Iceberg solve this by persisting the schema in the log; here
+    * a full-table delete should drop/recreate the table instead. */
   def readVersion(spark: SparkSession, table: String, v: Long,
                   tagFilter: String => Boolean = _ => true): DataFrame = {
-    val mf = manifestFile(table, v)
-    require(mf.exists(), s"snapshot v$v of $table does not exist (vacuumed or never committed)")
-    val fs = entriesOf(mf).collect { case (p, t) if tagFilter(t) => s"$table/$p" }
+    val fs = manifestList(table, v)
+      .collect { case (mf, tags) if tags.isEmpty || tags.exists(tagFilter) => mf }
+      .flatMap(manifestEntries(table, _))
+      .collect { case (p, t) if tagFilter(t) => s"$table/$p" }
     require(fs.nonEmpty, s"snapshot read of $table v$v matched no files")
     spark.read.parquet(fs: _*)
   }
+
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
   /** Stage `df` as immutable data files under a fresh `data/<token>/`
     * dir, each file holding exactly ONE `tagCol` value — the invariant
@@ -111,9 +157,15 @@ object Snapshots {
     * by tag alone could hash two tags into one task ⇒ one mixed file),
     * while the original column stays IN the data files so explicit-file
     * reads keep the full schema. The tag per file then parses straight
-    * from the path the writer encoded — no verification scan. Returns
-    * the staged `(relpath, tag)` entries; NOTHING is visible to readers
-    * until [[commit]] publishes them. */
+    * from the path the writer encoded — decoded with Spark's OWN
+    * Hive-style unescaping (URL-decoding would corrupt a literal `+`
+    * to a space: Spark escapes `%`/`:`/control chars but leaves `+`
+    * and space alone). NULL/empty tags are rejected here, at the door:
+    * they write as the Hive null sentinel directory, which cannot
+    * round-trip through the manifest. Tags carrying the framing chars
+    * (tab, newline, \u0001, \u0002) are rejected for the same reason.
+    * Returns the staged `(relpath, tag)` entries; NOTHING is visible to
+    * readers until [[commit]] publishes them. */
   def stage(df: DataFrame, table: String, tagCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
     val token = "data/d" + java.util.UUID.randomUUID().toString.take(12)
@@ -131,49 +183,87 @@ object Snapshots {
         val rel = root.relativize(f.toPath).toString
         val tag = rel.split('/').collectFirst {
           case s if s.startsWith("__tag=") =>
-            java.net.URLDecoder.decode(s.substring("__tag=".length), "UTF-8")
+            ExternalCatalogUtils.unescapePathName(s.substring("__tag=".length))
         }.getOrElse(sys.error(s"staged file $rel carries no tag segment"))
+        require(tag != HiveNull,
+          s"stage of $table: NULL/empty $tagCol — snapshot tags must be non-null " +
+            "(write a sentinel value upstream if absent-tag rows are legitimate)")
+        require(!tag.exists(c => c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002'),
+          s"stage of $table: tag ${tag.take(40)} carries manifest framing characters")
         (rel, tag)
       }.sortBy(_._1)
   }
 
-  /** Prepared-but-uncommitted manifest: the full next file list and the
-    * version it will commit as ([[commitPair]] persists these in the
-    * intent record so a crashed cross-sink transaction can complete). */
-  final case class Prepared(table: String, version: Long, lines: Seq[(String, String)])
+  /** Prepared-but-uncommitted snapshot: the manifest NAMES it will list
+    * and the version it will commit as. The manifests themselves are
+    * already durable on disk (written by [[prepare]]) but invisible —
+    * no snapshot lists them yet — so a Prepared is safe to carry across
+    * a crash ([[commitPair]] persists it in the intent record and
+    * recovery re-publishes the snapshot file only). */
+  final case class Prepared(table: String, version: Long, manifests: Seq[String])
 
-  /** Compute snapshot `v+1` = (current entries NOT `remove`d) ++ `add`.
-    * Pure metadata — no file IO beyond reading the current manifest. */
+  /** Build snapshot `v+1` = (current entries NOT `remove`d) ++ `add`:
+    * untouched manifests are carried over BY NAME (zero IO); manifests
+    * that lose entries are rewritten filtered; `add` becomes one new
+    * manifest. Metadata IO is proportional to manifests touched, never
+    * to table size. */
   def prepare(table: String, add: Seq[(String, String)],
-              remove: ((String, String)) => Boolean = _ => false): Prepared =
-    Prepared(table, currentVersion(table) + 1,
-      entries(table).filterNot(remove) ++ add)
+              remove: ((String, String)) => Boolean = _ => false): Prepared = {
+    val cur = currentVersion(table)
+    val kept = (if (cur == 0) Seq.empty else manifestList(table, cur)).flatMap {
+      case (mf, _) =>
+        val es = manifestEntries(table, mf)
+        val keep = es.filterNot(remove)
+        if (keep.size == es.size) Some(mf)            // untouched: reuse by name
+        else if (keep.isEmpty) None                   // fully removed: drop
+        else Some(writeManifest(table, keep))         // partial: rewrite this one
+    }
+    val added = if (add.isEmpty) Seq.empty else Seq(writeManifest(table, add))
+    Prepared(table, cur + 1, kept ++ added)
+  }
 
-  /** Write bytes to `tmp` and FORCE them to storage before the caller's
-    * atomic rename — without the `force(true)`, a power loss after the
-    * rename can journal the directory entry but not the data, leaving a
-    * committed-looking manifest with truncated content (process-crash
-    * consistency never needed this; power-loss consistency does). */
-  private def writeDurable(tmp: File, bytes: Array[Byte]): Unit = {
-    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+  /** Write bytes to a file and FORCE them to storage before any rename/
+    * link publishes them — without the `force(true)`, a power loss
+    * after the publish can journal the directory entry but not the
+    * data, leaving a committed-looking file with truncated content
+    * (process-crash consistency never needed this; power-loss
+    * consistency does). */
+  private def writeDurable(dst: File, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(dst.toPath,
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
     try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
     finally ch.close()
   }
 
-  /** Publish a prepared manifest: write `.tmp`, force to storage,
-    * ATOMIC rename to the fresh final name. Idempotent: if this exact
-    * version is already committed (a recovery re-run), it is left
-    * alone. Returns the committed version. */
+  /** Publish a prepared snapshot: write `.tmp`, force to storage, then
+    * hard-link it to the final fresh name — link creation is atomic and
+    * EXCLUSIVE (fails on an existing target where a rename would
+    * silently replace it), which is what makes two racing committers
+    * decidable: exactly one wins; the loser sees its version already
+    * taken and gets [[ConcurrentCommitException]] — unless the existing
+    * content is byte-identical (a crash-recovery re-commit), which
+    * stays an idempotent no-op. Returns the committed version. */
   def commitPrepared(p: Prepared): Long = {
     val dir = logDir(p.table)
     dir.mkdirs()
-    val dst = manifestFile(p.table, p.version)
-    if (!dst.exists()) {
-      val tmp = new File(dir, s"manifest-${p.version}.tmp-${java.util.UUID.randomUUID}")
-      writeDurable(tmp, p.lines.map { case (f, t) => s"$f\t$t" }.mkString("\n").getBytes(UTF_8))
-      Files.move(tmp.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val dst = snapFile(p.table, p.version)
+    val bytes = p.manifests.map { mf =>
+      val tags = manifestEntries(p.table, mf).map(_._2).distinct.sorted
+      s"$mf\t${tags.mkString("\u0001")}"
+    }.mkString("\n").getBytes(UTF_8)
+    def sameContent(): Boolean =
+      dst.exists() && java.util.Arrays.equals(Files.readAllBytes(dst.toPath), bytes)
+    if (!sameContent()) {
+      val tmp = new File(dir, s"snap-${p.version}.tmp-${java.util.UUID.randomUUID}")
+      writeDurable(tmp, bytes)
+      try Files.createLink(dst.toPath, tmp.toPath)
+      catch {
+        case _: FileAlreadyExistsException =>
+          tmp.delete()
+          if (!sameContent()) throw new ConcurrentCommitException(p.table, p.version)
+      }
+      tmp.delete()
     }
     p.version
   }
@@ -183,14 +273,18 @@ object Snapshots {
              remove: ((String, String)) => Boolean = _ => false): Long =
     commitPrepared(prepare(table, add, remove))
 
-  /** Delete data files the CURRENT manifest no longer references, and
-    * manifests older than the current one. Deferred by design: run it
-    * only once concurrent readers of older snapshots have drained —
-    * until then the old snapshot stays fully readable (that deferral IS
-    * the old-XOR-new guarantee for in-flight readers). */
+  /** Delete data files the CURRENT snapshot no longer references,
+    * manifests no current-snapshot line names, snapshots older than the
+    * current one, and `.tmp-*` leftovers of crashed commits. Deferred
+    * by design: run it only once concurrent readers of older snapshots
+    * have drained — until then the old snapshot stays fully readable
+    * (that deferral IS the old-XOR-new guarantee for in-flight
+    * readers). */
   def vacuum(table: String): Seq[String] = {
-    val live = entries(table).map(_._1).toSet
     val cur = currentVersion(table)
+    val liveManifests =
+      (if (cur == 0) Seq.empty else manifestList(table, cur)).map(_._1).toSet
+    val live = liveManifests.flatMap(manifestEntries(table, _)).map(_._1)
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
     val root = new File(table).toPath
@@ -201,7 +295,7 @@ object Snapshots {
     }
     orphans.foreach(_.delete())
     // drop now-empty staging dirs (deepest-first so nested __tag= dirs
-    // empty out before their parents) and superseded manifests
+    // empty out before their parents)
     def dirsUnder(f: File): Seq[File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.flatMap(dirsUnder) :+ f
@@ -209,10 +303,15 @@ object Snapshots {
     dirsUnder(dataDir).dropRight(1) // keep data/ itself
       .filter(d => walk(d).forall(!_.getName.endsWith(".parquet")))
       .foreach { d => walk(d).foreach(_.delete()); d.delete() }
-    Option(logDir(table).listFiles()).toSeq.flatten
-      .filter(f => ManifestRe.findFirstMatchIn(f.getName)
-        .exists(_.group(1).toLong < cur))
-      .foreach(_.delete())
+    // superseded snapshots, unshared manifests, crashed-commit tmp files
+    Option(logDir(table).listFiles()).toSeq.flatten.foreach { f =>
+      val name = f.getName
+      val drop =
+        SnapRe.findFirstMatchIn(name).exists(_.group(1).toLong < cur) ||
+          (name.startsWith("mf-") && name.endsWith(".txt") && !liveManifests.contains(name)) ||
+          name.contains(".tmp-")
+      if (drop) f.delete()
+    }
     orphans.map(f => root.relativize(f.toPath).toString)
   }
 
@@ -233,32 +332,32 @@ object Snapshots {
   }
 
   /** Exactly-once STREAMING sink: each micro-batch stages invisibly and
-    * commits as manifest version `batchId + 1` — [[commitPrepared]] is
-    * a no-op for an already-committed version, so a replayed batch
-    * (restart after a crash anywhere between stage and commit) can
-    * never publish twice, and a reader sees each batch atomically or
-    * not at all. Orphans from a replayed stage are vacuum fodder. The
-    * sink must own the table (versions are batch-derived). Use with
+    * commits as snapshot version `batchId + 1` — [[commitPrepared]] is
+    * a no-op for an already-committed identical version, so a replayed
+    * batch (restart after a crash anywhere between stage and commit)
+    * can never publish twice, and a reader sees each batch atomically
+    * or not at all. Orphans from a replayed stage are vacuum fodder.
+    * The sink must own the table (versions are batch-derived). Use with
     * `stream.writeStream.foreachBatch(Snapshots.batchCommitter(table,
     * tagCol))`. */
   def batchCommitter(table: String, tagCol: String)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
     if (currentVersion(table) < batchId + 1 && !df.isEmpty) {
-      val staged = stage(df, table, tagCol)
-      commitPrepared(Prepared(table, batchId + 1,
-        entries(table).filterNot(e => staged.exists(_._1 == e._1)) ++ staged))
+      val p = prepare(table, stage(df, table, tagCol))
+      commitPrepared(p.copy(version = batchId + 1))
     }
   }
 
   // ---- cross-sink transaction (exactly-once dual write) --------------
 
-  /** Commit TWO tables' prepared manifests as one logical transaction.
-    * The intent record (both prepared manifests, durable BEFORE either
-    * commit) makes the pair recoverable: a crash between the two
+  /** Commit TWO tables' prepared snapshots as one logical transaction.
+    * The intent record (both manifest lists, durable BEFORE either
+    * commit; the manifests themselves are already durable from
+    * [[prepare]]) makes the pair recoverable: a crash between the two
     * commits leaves the intent on disk, and [[recoverPairs]] completes
-    * the missing side from the recorded content — the sinks can lag,
-    * but they can never diverge. This is what the reference's
-    * S3+BigQuery fan-out lacks (both writes fire-and-forget). */
+    * the missing side — the sinks can lag, but they can never diverge.
+    * This is what the reference's S3+BigQuery fan-out lacks (both
+    * writes fire-and-forget). */
   def commitPair(txnDir: String, a: Prepared, b: Prepared): (Long, Long) = {
     val intent = writeIntent(txnDir, a, b)
     val ra = commitPrepared(a)
@@ -281,8 +380,9 @@ object Snapshots {
   }
 
   /** Complete every interrupted [[commitPair]] under `txnDir`:
-    * re-commit both sides (idempotent — already-committed versions are
-    * skipped) and clear the intent. Run at writer startup. */
+    * re-commit both sides (idempotent — already-committed identical
+    * versions are skipped) and clear the intent. Run at writer
+    * startup. */
   def recoverPairs(txnDir: String): Int = {
     val intents = Option(new File(txnDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".intent"))
@@ -297,21 +397,14 @@ object Snapshots {
 
   private def serialize(a: Prepared, b: Prepared): String =
     Seq(a, b).map { p =>
-      (Seq(p.table, p.version.toString) ++
-        p.lines.map { case (f, t) => s"$f\t$t" }).mkString("\u0001")
+      (Seq(p.table, p.version.toString) ++ p.manifests).mkString("\u0001")
     }.mkString("\u0002")
 
   private def deserialize(s: String): (Prepared, Prepared) = {
     val Array(sa, sb) = s.split("\u0002")
     def one(x: String): Prepared = {
       val parts = x.split("\u0001").toSeq
-      Prepared(parts.head, parts(1).toLong,
-        parts.drop(2).map { line =>
-          line.split("\t", 2) match {
-            case Array(p, t) => (p, t)
-            case Array(p)    => (p, "")
-          }
-        })
+      Prepared(parts.head, parts(1).toLong, parts.drop(2))
     }
     (one(sa), one(sb))
   }

@@ -409,15 +409,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // the delta commit added files, rewrote none
     val table = graft.engine.Graft.tmpDir(
       "ann3c-ivf-" + Sf.replaceAll("[^A-Za-z0-9.]", "_"))
-    def manifest(v: Int): Set[String] =
+    def snapManifests(v: Int): Set[String] =
       new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(table, f"_graft_log/manifest-$v%09d.txt").toPath), "UTF-8")
+        new java.io.File(table, f"_graft_log/snap-$v%09d.txt").toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).map(_.split("\t", 2).head).toSet
+    def files(v: Int): Set[String] = snapManifests(v).flatMap { mf =>
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(table, s"_graft_log/$mf").toPath), "UTF-8")
         .split("\n").filter(_.nonEmpty).toSet
-    val v1 = manifest(1)
-    val v2 = manifest(2)
+    }
     assert(Snapshots.currentVersion(table) == 2L)
-    assert(v1.subsetOf(v2), "delta upsert must not rewrite base index files")
-    assert(v2.size > v1.size, "delta upsert must add files")
+    assert(snapManifests(1).subsetOf(snapManifests(2)),
+      "delta upsert must reuse the base manifests by name, not rewrite them")
+    assert(files(1).subsetOf(files(2)), "delta upsert must not rewrite base index files")
+    assert(files(2).size > files(1).size, "delta upsert must add files")
     // build-once: a repeat invocation serves the same snapshot (no v3)
     Similarity.ivfIncrementalTopK(spark, Sf).collect()
     assert(Snapshots.currentVersion(table) == 2L, "unchanged corpus must not rebuild")

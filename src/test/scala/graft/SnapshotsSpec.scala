@@ -220,4 +220,70 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       assert(rel.contains(s"__tag=$tag"), s"$rel must encode its tag directory")
     }
   }
+
+  test("two racing committers: exactly one wins, the loser gets a raised error") {
+    val table = tmp("snap-race")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    // both writers prepare v2 from the same base snapshot
+    val w1 = Snapshots.prepare(table, Snapshots.stage(df((2, "b", 2L)), table, "day"))
+    val w2 = Snapshots.prepare(table, Snapshots.stage(df((3, "c", 3L)), table, "day"))
+    assert(w1.version == 2 && w2.version == 2)
+    assert(Snapshots.commitPrepared(w1) == 2)
+    intercept[Snapshots.ConcurrentCommitException] { Snapshots.commitPrepared(w2) }
+    // winner's snapshot intact; loser published nothing
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
+    // crash-recovery idempotence is NOT conflict: same Prepared re-commits fine
+    assert(Snapshots.commitPrepared(w1) == 2)
+  }
+
+  test("append-only commits reuse prior manifests by name (O(touched) commit IO)") {
+    val table = tmp("snap-reuse")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    val p2 = Snapshots.prepare(table, Snapshots.stage(df((2, "b", 2L)), table, "day"))
+    Snapshots.commitPrepared(p2)
+    val p3 = Snapshots.prepare(table, Snapshots.stage(df((3, "c", 3L)), table, "day"))
+    Snapshots.commitPrepared(p3)
+    // v3 lists v2's two manifests verbatim plus exactly one new one
+    assert(p3.manifests.size == 3)
+    assert(p2.manifests.forall(p3.manifests.contains),
+      "untouched manifests must carry over by name, not be rewritten")
+    // a replace rewrites ONLY the manifest that loses entries
+    val p4 = Snapshots.prepare(table,
+      Snapshots.stage(df((9, "b", 9L)), table, "day"), remove = _._2 == "b")
+    assert(p4.manifests.count(!p3.manifests.contains(_)) == 1,
+      "replace of one tag must touch one manifest (the add; the b-manifest drops whole)")
+    Snapshots.commitPrepared(p4)
+    assert(sorted(Snapshots.read(spark, table)) ==
+      Seq((1, "a", 1L), (3, "c", 3L), (9, "b", 9L)))
+  }
+
+  test("tags with Hive-escaped characters round-trip; NULL tags are rejected") {
+    val table = tmp("snap-hivetag")
+    // '+' and space survive Spark's partition-path escaping unescaped;
+    // ':' and '%' are Hive-escaped — URL-decoding would corrupt '+' to
+    // a space and desync manifest tags from file contents
+    val weird = Seq("k+v", "a b", "p:q", "r%s")
+    import spark.implicits._
+    val data = weird.zipWithIndex.map { case (t, i) => (i, t, i.toLong) }
+    Snapshots.commit(table, Snapshots.stage(data.toDF("id", "day", "v"), table, "day"))
+    assert(Snapshots.entries(table).map(_._2).toSet == weird.toSet)
+    val pruned = Snapshots.read(spark, table, tagFilter = _ == "k+v")
+    assert(pruned.inputFiles.length == 1)
+    assert(sorted(pruned) == Seq((0, "k+v", 0L)))
+    intercept[IllegalArgumentException] {
+      Snapshots.stage(Seq((9, null: String, 9L)).toDF("id", "day", "v"), table, "day")
+    }
+  }
+
+  test("vacuum clears crashed-commit tmp leftovers from the log") {
+    val table = tmp("snap-tmpvac")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    val log = new java.io.File(table, "_graft_log")
+    java.nio.file.Files.write(
+      new java.io.File(log, "snap-2.tmp-crashed").toPath, "garbage".getBytes)
+    Snapshots.vacuum(table)
+    assert(!log.listFiles().exists(_.getName.contains(".tmp-")),
+      "crashed tmp files must not accumulate")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L)))
+  }
 }
