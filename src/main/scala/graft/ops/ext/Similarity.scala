@@ -211,39 +211,48 @@ object Similarity {
       .select("q_vec_id", "vec_id", "cos_r"))
   }
 
-  /** ann3b: [[ivfTopK]] against a MATERIALIZED inverted-file layout — the
-    * corpus written `partitionBy(cell_id)`, so a probe is a
-    * partition-pruned read (the plan's `PartitionCount` shows ≤ the
-    * probed cells, not all 16; SimilaritySpec asserts it). The probed
-    * cell list is collected to the driver — ≤ queries × probes values,
-    * O(1) metadata, the same list a vector DB ships to its router.
-    * Output is identical to ann3 (same assignment, same ranking), so it
-    * shares ann3's oracle. At 100 TB this is the difference between
-    * scanning the corpus per query batch and reading probes/cells ≈ 12%
-    * of it. */
+  /** ann3b: [[ivfTopK]] against a MATERIALIZED inverted-file index — a
+    * [[graft.ops.lake.Snapshots]] table tagged by `cell_id`, the SAME
+    * artifact lifecycle ann3c maintains incrementally: build publishes
+    * one atomic snapshot commit (a reader concurrent with a rebuild
+    * sees the old index XOR the new one, never a mix), probes prune at
+    * the MANIFEST level (no file under an unprobed cell is ever
+    * opened). The probed cell list is collected to the driver — ≤
+    * queries × probes values, O(1) metadata, the same list a vector DB
+    * ships to its router. Output is identical to ann3 (same assignment,
+    * same ranking), so it shares ann3's oracle. At 100 TB this is the
+    * difference between scanning the corpus per query batch and reading
+    * probes/cells ≈ 12% of it.
+    *
+    * Build once, reuse on subsequent invocations — UNLESS the source
+    * corpus changed (the index dir outlives the JVM, and serving a
+    * stale index after a fixture regeneration would fail the oracle
+    * compare mysteriously / bench the wrong data). Staleness is decided
+    * by a CONTENT MANIFEST (per-file name|size|mtime of the source dir)
+    * recorded at build time, not a newest-mtime comparison: a source
+    * restored with preserved or older mtimes (`cp -p`, archive unpack,
+    * cache restore) still flips the manifest, while pure mtime ordering
+    * would silently serve the old index. */
   def ivfIndexedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.engine.Graft.tmpDir(
+    val table = graft.engine.Graft.tmpDir(
       "ann3b-ivf-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    // Build once, reuse on subsequent invocations — UNLESS the source
-    // corpus changed (the tmp dir outlives the JVM, and serving a stale
-    // index after a fixture regeneration would fail the oracle compare
-    // mysteriously / bench the wrong data). Staleness is decided by a
-    // CONTENT MANIFEST (per-file name|size|mtime of the source dir)
-    // recorded at build time, not a newest-mtime comparison: a source
-    // restored with preserved or older mtimes (`cp -p`, archive unpack,
-    // cache restore) still flips the manifest, while pure mtime ordering
-    // would silently serve the old index.
-    val manifestFile = new java.io.File(path, "_GRAFT_SRC_MANIFEST")
+    val manifestFile = new java.io.File(table, "_GRAFT_SRC_MANIFEST")
     val current = srcManifest(new java.io.File(s"$dir/embeddings.parquet"))
     val recorded =
       if (manifestFile.exists())
         new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
       else ""
-    if (!new java.io.File(path, "_SUCCESS").exists() || recorded != current) {
-      buildIvfIndex(spark, dir, path)
+    if (recorded != current ||
+        graft.ops.lake.Snapshots.currentVersion(table) == 0) {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(table)); new java.io.File(table).mkdirs()
+      buildIvfIndex(spark, dir, table)
       java.nio.file.Files.write(manifestFile.toPath, current.getBytes("UTF-8"))
     }
-    probeIvfIndex(spark, dir, path)
+    probeIvfIndex(spark, dir, table)
   }
 
   /** ann3c: INCREMENTAL index maintenance — the piece ann3b's
@@ -336,41 +345,29 @@ object Similarity {
     }.sorted.mkString("\n")
   }
 
-  /** Build the IVF inverted-file artifact at `path`: corpus vectors
-    * assigned to their nearest centroid cell, written
-    * `partitionBy(cell_id)`. This is the reusable half of the vector-DB
-    * lifecycle — built once per corpus snapshot, probed by many query
-    * batches ([[probeIvfIndex]]); [[ivfIndexedTopK]] composes the two
-    * with build-if-absent. */
+  /** Build the IVF inverted-file artifact as a snapshot table at
+    * `path`: corpus vectors assigned to their nearest centroid cell,
+    * staged tagged by `cell_id` and published as ONE atomic commit.
+    * This is the reusable half of the vector-DB lifecycle — built once
+    * per corpus snapshot, probed by many query batches
+    * ([[probeIvfIndex]]); [[ivfIndexedTopK]] composes the two with
+    * build-if-absent, and [[buildIncrementalIvf]] grows the same
+    * artifact with add-only delta commits (ann3c). */
   def buildIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    import org.apache.spark.sql.SaveMode
+    import graft.ops.lake.Snapshots
     val corpus = Tables(spark, dir).embeddings.filter(col("vec_id") >= 10)
-    ivfAssignments(spark, dir, corpus, "vec_id", "embedding", probes = 1)
+    val assigned = ivfAssignments(spark, dir, corpus, "vec_id", "embedding", probes = 1)
       .select(col("cell_id"), col("vec_id"), col("embedding"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(path)
+    Snapshots.commit(path, Snapshots.stage(assigned, path, "cell_id"))
   }
 
-  /** Probe a prebuilt IVF index — read-only: assigns the query batch to
-    * its [[IvfProbes]] nearest cells and brute-forces only those
-    * partitions of the index (static `isin` pruning; the probed cell
-    * list is an O(queries×probes) driver-side metadata read, the same
-    * list a vector DB ships to its router). SimilaritySpec asserts a
-    * repeat probe touches no index file. */
-  def probeIvfIndex(spark: SparkSession, dir: String, path: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(spark)
-    val index = spark.read.parquet(path)
-    val queryCells = ivfAssignments(spark, dir, queriesDf(spark, dir),
-      "q_vec_id", "q_emb", probes = IvfProbes)
-      .select(col("cell_id"), col("q_vec_id"), col("q_emb"))
-    val probed = queryCells.select("cell_id").distinct()
-      .collect().map(_.getLong(0))
-    rankTop3(index
-      .filter(col("cell_id").isin(probed: _*)) // static partition pruning
-      .join(broadcast(queryCells), Seq("cell_id"))
-      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
-      .dropDuplicates("q_vec_id", "vec_id")
-      .select("q_vec_id", "vec_id", "cos_r"))
-  }
+  /** Probe a prebuilt IVF snapshot index — read-only: delegates to
+    * [[probeSnapshotIvf]] (shared with ann3c), which assigns the query
+    * batch to its [[IvfProbes]] nearest cells and opens only the index
+    * files whose manifest tag matches a probed cell. SimilaritySpec
+    * asserts a repeat probe touches no index file. */
+  def probeIvfIndex(spark: SparkSession, dir: String, path: String): DataFrame =
+    probeSnapshotIvf(spark, dir, path)
 
   /** Oracle for [[ivfTopK]]: same centroid-cell assignment (ranked on
     * round(cos,6) with cell_id tie-break), same 2-probe candidate join,

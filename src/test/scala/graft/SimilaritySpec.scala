@@ -146,22 +146,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"fixture must demonstrate the post-filter deficit, got $postCounts")
   }
 
-  test("ann3b indexed probe is partition-pruned and matches ann3") {
+  test("ann3b indexed probe is manifest-pruned and matches ann3") {
     val plain = Similarity.ivfTopK(spark, Sf).collect().toSeq
     val indexed = Similarity.ivfIndexedTopK(spark, Sf)
     assert(indexed.collect().toSeq == plain)
-    // the probe scan must carry a static partition filter over cell_id
-    // (INSET of the probed cells), i.e. unprobed cell directories are
-    // never read
-    val scanDesc = indexed.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val inset = "PartitionFilters: \\[cell_id#\\d+ INSET ([0-9, ]+)".r
-      .findFirstMatchIn(scanDesc)
-    assert(inset.isDefined, s"no cell_id INSET partition filter in:\n$scanDesc")
-    val probedCells = inset.get.group(1).split(",")
-      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
-    assert(probedCells.size < Similarity.IvfCells,
-      s"expected pruned probe, INSET covers all ${probedCells.size} cells")
+    // manifest-level pruning: the probe's scan is built from an
+    // explicit file list resolved BEFORE the plan exists, so the proof
+    // is in inputFiles — only probed-cell files appear, strictly fewer
+    // cells than the index holds
+    val scannedCells = indexed.inputFiles.toSeq
+      .flatMap(_.split('/').find(_.startsWith("__tag=")))
+      .map(_.stripPrefix("__tag=")).toSet
+    assert(scannedCells.nonEmpty, "probe must read the snapshot index")
+    assert(scannedCells.size < Similarity.IvfCells,
+      s"expected pruned probe, scan covers all ${scannedCells.size} cells")
   }
 
   test("ann3b index lifecycle: repeat probes never rewrite the index") {
