@@ -47,8 +47,11 @@ object Graft {
     // partition size without changing bandwidth-bound exchanges
     // (pr2 unchanged — its wedge shuffle cost is bytes, not buckets).
     // On a real cluster this number scales with executor count.
+    // (SPARK_GRAFT_INIT_PARTS overrides for A/B measurement — the
+    // wide-start tax on sub-second multi-exchange queries is a fixed
+    // per-stage scheduling cost, see BENCH_NOTES r7.)
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      (8 * cpus).toString)
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (8 * cpus).toString))
     // InferFiltersFromGenerate bolts `size(e)>0 AND isnotnull(e)` under
     // every explode; predicate pushdown then re-substitutes the FULL
     // generator expression into that filter at the scan (tx5's plan

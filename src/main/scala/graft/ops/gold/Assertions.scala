@@ -338,74 +338,118 @@ object Assertions {
       |       round((p - q) * ln(p / q), 6) AS psi_contrib
       |FROM pq ORDER BY event_type""".stripMargin
 
-  /** q9: candidate-key discovery — the data-profiling step schema
-    * inference and contract authoring start from: for each declared
-    * candidate (single column or composite), one full-scan aggregate
-    * computes row count, exact distinct count, uniqueness ratio, and
-    * the is-key verdict. Each candidate is a map-combinable two-level
-    * aggregation (partial distinct on the key hash, final count) — no
-    * joins, no windows; candidates over the SAME table still scan it
-    * once each, which at 100 TB argues for the a8b HLL-sketch variant
-    * as the first pass and this exact form as the confirmation scan on
-    * the survivors. The fixture set includes a true composite negative:
-    * `(l_orderkey, l_linenumber)` is NOT unique in this generator's
-    * lineitem — a verdict a uniqueness checker must be able to return.
-    * Ref analog: dbt's schema tests declare uniqueness
-    * (`dbt_project/models/staging/schema.yml`); this op DISCOVERS it. */
+  /** q9's screening threshold: a candidate whose SKETCHED uniqueness
+    * ratio falls below this is rejected without an exact scan. With the
+    * sketch's 2% target rsd, a TRUE key (ratio 1.0) mis-screening here
+    * would need a ~5-sigma HLL underestimate -- and the engine/oracle
+    * screen decisions agree deterministically unless a candidate's true
+    * ratio sits within sketch error of the threshold (none of the
+    * declared candidates is anywhere near it: 1.0, 1.0, ~0.25, ~0.76).
+    */
+  val KeyScreenRatio = 0.9
+
+  /** q9: candidate-key discovery -- the data-profiling step schema
+    * inference and contract authoring start from, composed the way it
+    * must run at 100 TB: SKETCH-FIRST. Phase 1 screens ALL candidates
+    * with ONE HLL aggregate per table (approx_count_distinct is not a
+    * true DISTINCT aggregate, so any number of candidates fuse into a
+    * single scan with no Expand row-doubling); phase 2 runs the exact
+    * single-distinct confirmation scan ONLY for candidates the sketch
+    * says could be keys (ratio >= [[KeyScreenRatio]]). Rejected
+    * candidates report is_key = false with NULL distinct/ratio -- the
+    * sketch proved the verdict, so the table is never rescanned for
+    * them (here: lineitem gets ZERO exact scans, both its candidates
+    * screen out). The fixture set includes a true composite negative:
+    * (l_orderkey, l_linenumber) is NOT unique in this generator's
+    * lineitem -- a verdict a uniqueness checker must be able to return,
+    * and one the screen alone decides. Ref analog: dbt's schema tests
+    * declare uniqueness (`dbt_project/models/staging/schema.yml`);
+    * this op DISCOVERS it. */
   def keyDiscovery(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // each candidate runs as its OWN single-distinct aggregate: the
-    // scans are column-pruned to the key columns, so the cost center is
-    // the distinct aggregation, and separate aggs keep it map-combinable
-    // without the Expand row-doubling of the fused multi-distinct form
-    // (measured: the q7-style one-pass Expand variant is 1.5x slower
-    // here at sf0.1 AND sf1 -- fuse only when scan IO dominates, e.g.
-    // un-cached object-store reads)
-    def probe(df: org.apache.spark.sql.DataFrame, label: String, cols: Seq[String]) = {
-      val key = // \u0001-separated: composite parts can't collide
-        concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
-      df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_distinct"))
-        .select(
-          lit(label).as("candidate"),
-          col("n_rows"),
-          col("n_distinct"),
-          (col("n_distinct").cast("double") / col("n_rows")).as("uniq_ratio"),
-          (col("n_distinct") === col("n_rows")).as("is_key"))
+    val candidates: Seq[(String, String, Seq[String])] = Seq(
+      ("events", "events.event_id", Seq("event_id")),
+      ("orders", "orders.o_orderkey", Seq("o_orderkey")),
+      ("lineitem", "lineitem.l_orderkey", Seq("l_orderkey")),
+      ("lineitem", "lineitem.l_orderkey+l_linenumber", Seq("l_orderkey", "l_linenumber")))
+    def table(name: String) = name match {
+      case "events" => t.events; case "orders" => t.orders; case _ => t.lineitem
     }
-    probe(t.events, "events.event_id", Seq("event_id"))
-      .unionByName(probe(t.orders, "orders.o_orderkey", Seq("o_orderkey")))
-      .unionByName(probe(t.lineitem, "lineitem.l_orderkey", Seq("l_orderkey")))
-      .unionByName(probe(t.lineitem, "lineitem.l_orderkey+l_linenumber",
-        Seq("l_orderkey", "l_linenumber")))
-      .orderBy("candidate")
+    // \u0001-separated and NULL-PROPAGATING: composite parts can't
+    // collide, and a NULL part nulls the whole key (dropped by both
+    // distinct forms) -- plain concat matches the oracle's `||`;
+    // concat_ws would silently SKIP null parts and collide ('a',NULL)
+    // with ('a','')
+    def key(cols: Seq[String]) = cols.map(c => col(c).cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("\u0001"), b))
+    // phase 1: one sketch scan per TABLE covering all its candidates;
+    // verdicts cross the driver as one row per table (bounded metadata,
+    // like every collect in this engine)
+    val screen: Map[String, (Long, Map[String, Long])] =
+      candidates.groupBy(_._1).map { case (tbl, cs) =>
+        val aggs = count(lit(1)).as("n_rows") +:
+          cs.map { case (_, label, cols) =>
+            approx_count_distinct(key(cols), 0.02).as(label) }
+        val row = table(tbl).agg(aggs.head, aggs.tail: _*).collect().head
+        (tbl, (row.getAs[Long]("n_rows"),
+          cs.map { case (_, label, _) => label -> row.getAs[Long](label) }.toMap))
+      }
+    // phase 2: exact confirmation scans ONLY for sketch survivors --
+    // each its own single-distinct aggregate (the scan is column-pruned
+    // to the key columns, so the cost center is the distinct
+    // aggregation, and separate aggs keep it map-combinable without the
+    // Expand row-doubling of the fused multi-distinct form; measured:
+    // the q7-style one-pass Expand variant is 1.5x slower here at sf0.1
+    // AND sf1 -- fuse only when scan IO dominates, e.g. un-cached
+    // object-store reads)
+    val results = candidates.map { case (tbl, label, cols) =>
+      val (nRows, sketched) = screen(tbl)
+      if (sketched(label) >= KeyScreenRatio * nRows)
+        table(tbl)
+          .agg(count(lit(1)).as("n_rows"), countDistinct(key(cols)).as("n_distinct"))
+          .select(
+            lit(label).as("candidate"),
+            col("n_rows"),
+            col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_rows")).as("uniq_ratio"),
+            (col("n_distinct") === col("n_rows")).as("is_key"),
+            lit(true).as("screened"))
+      else
+        spark.range(1).select(
+          lit(label).as("candidate"),
+          lit(nRows).as("n_rows"),
+          lit(null).cast("bigint").as("n_distinct"),
+          lit(null).cast("double").as("uniq_ratio"),
+          lit(false).as("is_key"),
+          lit(false).as("screened"))
+    }
+    results.reduceLeft(_ unionByName _).orderBy("candidate")
   }
 
-  val keyDiscoveryOracle: String =
-    """SELECT * FROM (
-      |  SELECT 'events.event_id' AS candidate, count(*) AS n_rows,
-      |         count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct,
-      |         count(DISTINCT CAST(event_id AS VARCHAR))::DOUBLE / count(*) AS uniq_ratio,
-      |         count(DISTINCT CAST(event_id AS VARCHAR)) = count(*) AS is_key
-      |  FROM events
+  /** The oracle mirrors the screen with the EXACT ratio -- equal to the
+    * sketch decision whenever no candidate's true ratio sits within
+    * sketch error of [[KeyScreenRatio]] (see its scaladoc). */
+  val keyDiscoveryOracle: String = {
+    def cand(label: String, tbl: String, keyExpr: String): String =
+      s"""SELECT '$label' AS candidate, count(*) AS n_rows,
+         |       CASE WHEN count(DISTINCT $keyExpr) >= $KeyScreenRatio * count(*)
+         |            THEN count(DISTINCT $keyExpr) END AS n_distinct,
+         |       CASE WHEN count(DISTINCT $keyExpr) >= $KeyScreenRatio * count(*)
+         |            THEN count(DISTINCT $keyExpr)::DOUBLE / count(*) END AS uniq_ratio,
+         |       count(DISTINCT $keyExpr) = count(*) AS is_key,
+         |       count(DISTINCT $keyExpr) >= $KeyScreenRatio * count(*) AS screened
+         |FROM $tbl""".stripMargin
+    s"""SELECT * FROM (
+      |  ${cand("events.event_id", "events", "CAST(event_id AS VARCHAR)")}
       |  UNION ALL
-      |  SELECT 'orders.o_orderkey', count(*),
-      |         count(DISTINCT CAST(o_orderkey AS VARCHAR)),
-      |         count(DISTINCT CAST(o_orderkey AS VARCHAR))::DOUBLE / count(*),
-      |         count(DISTINCT CAST(o_orderkey AS VARCHAR)) = count(*)
-      |  FROM orders
+      |  ${cand("orders.o_orderkey", "orders", "CAST(o_orderkey AS VARCHAR)")}
       |  UNION ALL
-      |  SELECT 'lineitem.l_orderkey', count(*),
-      |         count(DISTINCT CAST(l_orderkey AS VARCHAR)),
-      |         count(DISTINCT CAST(l_orderkey AS VARCHAR))::DOUBLE / count(*),
-      |         count(DISTINCT CAST(l_orderkey AS VARCHAR)) = count(*)
-      |  FROM lineitem
+      |  ${cand("lineitem.l_orderkey", "lineitem", "CAST(l_orderkey AS VARCHAR)")}
       |  UNION ALL
-      |  SELECT 'lineitem.l_orderkey+l_linenumber', count(*),
-      |         count(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)),
-      |         count(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR))::DOUBLE / count(*),
-      |         count(DISTINCT CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)) = count(*)
-      |  FROM lineitem
+      |  ${cand("lineitem.l_orderkey+l_linenumber", "lineitem",
+        "CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)")}
       |) ORDER BY candidate""".stripMargin
+  }
 
   /** q10's minimum group size: quasi-identifier combinations matched by
     * fewer than this many rows are re-identification risks. */

@@ -42,16 +42,27 @@ object ScaleUp {
     p
   }
 
-  private def replicate(df: DataFrame, keys: Seq[String],
-                        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
-    val offs = keys.map(c => c -> offsetFor(df, c)).toMap
+  /** Shift each replica's keys by the EXPLICIT per-column offsets. The
+    * offset for an FK/PK pair must be ONE value computed from the
+    * referenced table (see [[main]]): deriving it per table from that
+    * table's own max silently breaks referential integrity whenever the
+    * pair's maxima straddle a power-of-10 boundary (max o_custkey
+    * 99_999 → offset 10^5 vs max c_custkey 100_000 → offset 10^6 would
+    * point every replica's orders at customers that don't exist). */
+  private def replicate(df: DataFrame, offs: Map[String, Long],
+                        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
     (0 until K).map { k =>
       val shifted = df.select(df.columns.toSeq.map { c =>
         if (offs.contains(c)) shift(c, offs(c), k) else col(c)
       }: _*)
       extra(shifted, k)
     }.reduce(_ unionByName _)
-  }
+
+  /** Self-keyed tables (no cross-table references): offsets from the
+    * table's own columns. */
+  private def replicateSelf(df: DataFrame, keys: Seq[String],
+                            extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+    replicate(df, keys.map(c => c -> offsetFor(df, c)).toMap, extra)
 
   /** Write as a single file named `<name>.parquet` (driver layout). */
   private def writeOne(df: DataFrame, outDir: String, name: String): Unit = {
@@ -77,18 +88,33 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
-    writeOne(replicate(rd("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      out, "lineitem")
-    writeOne(replicate(rd("orders"), Seq("o_orderkey", "o_custkey")), out, "orders")
-    writeOne(replicate(rd("customer"), Seq("c_custkey")), out, "customer")
-    writeOne(replicate(rd("supplier"), Seq("s_suppkey")), out, "supplier")
-    writeOne(replicate(rd("part"), Seq("p_partkey")), out, "part")
+    // ONE offset per KEY DOMAIN, computed from the REFERENCED (PK)
+    // table and reused by every referencing column — FK values are a
+    // subset of the PK domain, so the PK table's max bounds both sides
+    // and all replicas shift consistently (see [[replicate]]).
+    val domain = Map(
+      "orderkey" -> offsetFor(rd("orders"), "o_orderkey"),
+      "custkey" -> offsetFor(rd("customer"), "c_custkey"),
+      "partkey" -> offsetFor(rd("part"), "p_partkey"),
+      "suppkey" -> offsetFor(rd("supplier"), "s_suppkey"))
+    writeOne(replicate(rd("lineitem"), Map(
+      "l_orderkey" -> domain("orderkey"),
+      "l_partkey" -> domain("partkey"),
+      "l_suppkey" -> domain("suppkey"))), out, "lineitem")
+    writeOne(replicate(rd("orders"), Map(
+      "o_orderkey" -> domain("orderkey"),
+      "o_custkey" -> domain("custkey"))), out, "orders")
+    writeOne(replicate(rd("customer"), Map("c_custkey" -> domain("custkey"))),
+      out, "customer")
+    writeOne(replicate(rd("supplier"), Map("s_suppkey" -> domain("suppkey"))),
+      out, "supplier")
+    writeOne(replicate(rd("part"), Map("p_partkey" -> domain("partkey"))), out, "part")
     // events: raw int64-nanos ts rides through untouched; user space
     // scales with the corpus so per-key streaming state scales too
-    writeOne(replicate(rd("events"), Seq("event_id", "user_id")), out, "events")
+    writeOne(replicateSelf(rd("events"), Seq("event_id", "user_id")), out, "events")
     // documents: per-replica token suffix — replicas must NOT collide
     // in n-gram/fingerprint space (see scaladoc)
-    writeOne(replicate(rd("documents"), Seq("doc_id"),
+    writeOne(replicateSelf(rd("documents"), Seq("doc_id"),
       extra = (d, k) => d.withColumn("text",
         regexp_replace(col("text"), "(\\S+)", "$1r" + k))), out, "documents")
     // embeddings: vec_id/label shift + per-replica CIRCULAR COMPONENT
@@ -98,7 +124,7 @@ object ScaleUp {
     // dup pairs, the same pathology rule as the document suffixes.
     // Replica 0 is untouched, so the ann centroid/query conventions
     // (vec_id < 16 / < 10) keep their original vectors.
-    writeOne(replicate(rd("embeddings"), Seq("vec_id", "label"),
+    writeOne(replicateSelf(rd("embeddings"), Seq("vec_id", "label"),
       extra = (d, k) =>
         if (k == 0) d
         else d.withColumn("embedding", expr(

@@ -581,12 +581,25 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q9 key discovery returns the generator's true verdicts, including the composite negative") {
-    val verdicts = graft.ops.gold.Assertions.keyDiscovery(spark, Sf)
-      .select("candidate", "is_key").as[(String, Boolean)].collect().toMap
+    val rows = graft.ops.gold.Assertions.keyDiscovery(spark, Sf)
+      .select("candidate", "is_key", "screened", "n_distinct").collect()
+    val verdicts = rows.map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(verdicts("events.event_id"))
     assert(verdicts("orders.o_orderkey"))
     assert(!verdicts("lineitem.l_orderkey"))
     assert(!verdicts("lineitem.l_orderkey+l_linenumber"),
       "this generator's lineitem is NOT (orderkey, linenumber)-unique")
+    // sketch-first composition: both lineitem candidates are rejected
+    // by the HLL screen (ratios ~0.25 / ~0.76, nowhere near the 0.9
+    // gate), so the exact pass never rescans lineitem — their exact
+    // distinct count is absent by design
+    val screened = rows.map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(screened("events.event_id") && screened("orders.o_orderkey"))
+    assert(!screened("lineitem.l_orderkey") &&
+      !screened("lineitem.l_orderkey+l_linenumber"))
+    rows.foreach { r =>
+      assert(r.isNullAt(3) == !r.getBoolean(2),
+        s"${r.getString(0)}: exact n_distinct present iff screened")
+    }
   }
 }
