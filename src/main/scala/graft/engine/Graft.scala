@@ -37,21 +37,22 @@ object Graft {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // Start every shuffle WIDE and let AQE coalesce down to the data —
-    // the standard AQE recipe: shuffle.partitions alone is a CEILING,
-    // so as SF grows a big exchange is stuck at cpus-many oversized
+    // Start shuffles WIDE and let AQE coalesce down to the data — the
+    // standard AQE recipe: shuffle.partitions alone is a CEILING, so as
+    // SF grows a big exchange is stuck at cpus-many oversized
     // partitions (per-partition memory and spill risk grow with SF)
-    // while small queries already coalesce to few. 8× cpus keeps
-    // per-partition input bounded; measured at sf0.1 it is neutral-to-
-    // ~10% faster across the headline subset, and at sf1 it bounds
-    // partition size without changing bandwidth-bound exchanges
-    // (pr2 unchanged — its wedge shuffle cost is bytes, not buckets).
-    // On a real cluster this number scales with executor count.
-    // (SPARK_GRAFT_INIT_PARTS overrides for A/B measurement — the
-    // wide-start tax on sub-second multi-exchange queries is a fixed
-    // per-stage scheduling cost, see BENCH_NOTES r7.)
+    // while small queries already coalesce to few. 2× cpus (r7; was 8×
+    // in r6): every map task writes initialPartitionNum shuffle-bucket
+    // streams, a FIXED fan-out cost that amortizes at scale but
+    // dominates sub-second queries — the r6 driver ledger's
+    // tx14/tx15/dd13 regression cluster. A/B at sf0.1 (BENCH_NOTES r7):
+    // 64 beat 256 on every probed query (q1 1.32→1.04, j4 1.26→1.03,
+    // tx15 0.39→0.26, pr2 flat) and the sf1 sweep shows no spill cliff
+    // (pr2 4.3× for 10× data). On a real cluster this number scales
+    // with executor count and the fan-out cost amortizes into real IO.
+    // (SPARK_GRAFT_INIT_PARTS overrides for A/B runs.)
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (8 * cpus).toString))
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (2 * cpus).toString))
     // InferFiltersFromGenerate bolts `size(e)>0 AND isnotnull(e)` under
     // every explode; predicate pushdown then re-substitutes the FULL
     // generator expression into that filter at the scan (tx5's plan
