@@ -1,0 +1,64 @@
+package graft.ops.lake
+
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level DATA SKIPPING over the snapshot log — the Iceberg
+  * min/max-stats shape on top of [[Snapshots]]: [[Snapshots.stageWithStats]]
+  * range-clusters rows on `(tag, statsCol)` and records each staged
+  * file's footer min/max as manifest-entry properties, so a range
+  * predicate prunes FILES from the manifest before any of them is
+  * opened — on top of the tag (partition) pruning the log already does.
+  * At 100 TB this is the difference between "read the whole partition"
+  * and "read the two files whose value range overlaps the predicate":
+  * scan IO follows the predicate's selectivity, not the partition size.
+  *
+  * The reference has no metadata layer at all (its scans are full-table
+  * BigQuery/pandas reads, e.g. `ingest_binance_last_3_days.py:141-144`);
+  * this is the published Iceberg/Delta file-statistics design reduced to
+  * the two moves that matter: cluster-on-write, prune-on-read.
+  */
+object Skipping {
+
+  /** The s26 probe band: chosen inside the fixture's value tail so the
+    * equal-count range clustering leaves most files entirely below it —
+    * the pruning the spec asserts. Row-level filtering still applies
+    * (skipping is IO elision, never semantics), so the result is
+    * correct at ANY pruning rate. */
+  val Lo = 300.0
+  val Hi = 400.0
+
+  /** s26: stats-pruned range scan. Builds the snapshot table fresh per
+    * invocation (same determinism discipline as s25), staged with
+    * per-file `value` stats, then answers a value-band aggregate
+    * reading only manifest-surviving files. */
+  def statsPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val table = Graft.tmpDir("s26-skip-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete()
+    }
+    wipe(new java.io.File(table)) // deterministic rebuild per invocation
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(ev, table, "event_date", "value"))
+    Snapshots.read(spark, table,
+        fileFilter = Snapshots.rangeOverlap("value", Lo, Hi))
+      .filter(col("value") >= Lo && col("value") < Hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val statsPrunedScanOracle: String =
+    s"""SELECT event_type, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events WHERE value >= $Lo AND value < $Hi
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s26_stats_pruned_scan", statsPrunedScanOracle)(statsPrunedScan))
+}

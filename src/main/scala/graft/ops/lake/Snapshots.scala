@@ -77,15 +77,38 @@ object Snapshots {
     new File(logDir(table), f"snap-$v%09d.txt")
 
   // ---- on-disk framing ------------------------------------------------
-  // manifest line: relpath \t tag ; snapshot line: mfName \t tag\u0001tag…
-  // Tags are validated at [[stage]] (no \t \n \u0001 \u0002, not the
-  // Hive null sentinel), so the framing needs no escaping.
+  // manifest line: relpath \t tag [\t key=value]… ; snapshot line:
+  // mfName \t tag\u0001tag… Tags are validated at [[stage]] (no \t \n
+  // \u0001 \u0002, not the Hive null sentinel) and property keys/values at
+  // [[stageWithStats]], so the framing needs no escaping.
+
+  /** One data file in a manifest: its table-relative path, its single
+    * partition tag, and optional per-file PROPERTIES — today the
+    * footer-derived column stats `min.<col>` / `max.<col>` that
+    * [[rangeOverlap]] prunes by (the Iceberg per-file stats shape).
+    * Files without a property are never pruned by predicates on it. */
+  final case class Entry(rel: String, tag: String, props: Map[String, String] = Map.empty)
 
   private def parseLine(line: String): (String, String) =
     line.split("\t", 2) match {
       case Array(p, t) => (p, t)
       case Array(p)    => (p, "")
     }
+
+  private def parseEntry(line: String): Entry = {
+    val fields = line.split("\t")
+    Entry(fields(0), if (fields.length > 1) fields(1) else "",
+      fields.drop(2).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
+        }
+      }.toMap)
+  }
+
+  private def renderEntry(e: Entry): String =
+    (Seq(e.rel, e.tag) ++
+      e.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\t")
 
   /** Snapshot `v`'s manifest list: (manifest name, distinct tags inside). */
   private def manifestList(table: String, v: Long): Seq[(String, Set[String])] = {
@@ -98,32 +121,37 @@ object Snapshots {
       }
   }
 
-  private def manifestEntries(table: String, mfName: String): Seq[(String, String)] =
+  private def manifestEntries(table: String, mfName: String): Seq[Entry] =
     new String(Files.readAllBytes(new File(logDir(table), mfName).toPath), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map(parseLine)
+      .split("\n").toSeq.filter(_.nonEmpty).map(parseEntry)
 
   /** Write an IMMUTABLE manifest for `lines`; returns its fresh name.
     * Invisible to readers until a snapshot file lists it. */
-  private def writeManifest(table: String, lines: Seq[(String, String)]): String = {
+  private def writeManifest(table: String, lines: Seq[Entry]): String = {
     logDir(table).mkdirs()
     val name = s"mf-${java.util.UUID.randomUUID}.txt"
     writeDurable(new File(logDir(table), name),
-      lines.map { case (f, t) => s"$f\t$t" }.mkString("\n").getBytes(UTF_8))
+      lines.map(renderEntry).mkString("\n").getBytes(UTF_8))
     name
   }
 
-  /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
-  def entries(table: String): Seq[(String, String)] = {
+  /** The live snapshot's full [[Entry]] list (empty ⇒ no commit yet). */
+  def entriesAll(table: String): Seq[Entry] = {
     val v = currentVersion(table)
     if (v == 0) Seq.empty
     else manifestList(table, v).flatMap { case (mf, _) => manifestEntries(table, mf) }
   }
 
+  /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
+  def entries(table: String): Seq[(String, String)] =
+    entriesAll(table).map(e => (e.rel, e.tag))
+
   /** Read the live snapshot — optionally pruned by file tag BEFORE any
     * file is opened (manifest-level, then line-level pruning). */
   def read(spark: SparkSession, table: String,
-           tagFilter: String => Boolean = _ => true): DataFrame =
-    readVersion(spark, table, currentVersion(table), tagFilter)
+           tagFilter: String => Boolean = _ => true,
+           fileFilter: Entry => Boolean = _ => true): DataFrame =
+    readVersion(spark, table, currentVersion(table), tagFilter, fileFilter)
 
   /** TIME TRAVEL: read snapshot `v` exactly as it was committed. Free
     * given the log — snapshots and manifests are immutable and shared
@@ -138,11 +166,12 @@ object Snapshots {
     * Delta/Iceberg solve this by persisting the schema in the log; here
     * a full-table delete should drop/recreate the table instead. */
   def readVersion(spark: SparkSession, table: String, v: Long,
-                  tagFilter: String => Boolean = _ => true): DataFrame = {
+                  tagFilter: String => Boolean = _ => true,
+                  fileFilter: Entry => Boolean = _ => true): DataFrame = {
     val fs = manifestList(table, v)
       .collect { case (mf, tags) if tags.isEmpty || tags.exists(tagFilter) => mf }
       .flatMap(manifestEntries(table, _))
-      .collect { case (p, t) if tagFilter(t) => s"$table/$p" }
+      .collect { case e if tagFilter(e.tag) && fileFilter(e) => s"$table/${e.rel}" }
     require(fs.nonEmpty, s"snapshot read of $table v$v matched no files")
     spark.read.parquet(fs: _*)
   }
@@ -168,10 +197,18 @@ object Snapshots {
     * readers until [[commit]] publishes them. */
   def stage(df: DataFrame, table: String, tagCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
+    // one file per tag per task, not per input task
+    stageClustered(df.repartition(col(tagCol)), table, tagCol)
+  }
+
+  /** [[stage]] for an input whose task layout is ALREADY the intended
+    * file layout (e.g. [[stageWithStats]]'s range clustering): writes
+    * as-is; the `partitionBy` still guarantees one tag per FILE. */
+  private def stageClustered(df: DataFrame, table: String, tagCol: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
     val token = "data/d" + java.util.UUID.randomUUID().toString.take(12)
     val dir = s"$table/$token"
     df.withColumn("__tag", col(tagCol).cast("string"))
-      .repartition(col(tagCol)) // one file per tag per task, not per input task
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .partitionBy("__tag").parquet(dir)
     def walk(f: File): Seq[File] =
@@ -194,6 +231,68 @@ object Snapshots {
       }.sortBy(_._1)
   }
 
+  /** [[stage]] + per-file COLUMN STATS, the Iceberg data-skipping
+    * shape: rows are range-clustered on `(tagCol, statsCol)` across
+    * `buckets` tasks before the partitioned write (so each file covers
+    * a NARROW statsCol range — without clustering, every file spans
+    * the column's full range and stats prune nothing), then each
+    * staged file's min/max of `statsCol` is read from its parquet
+    * FOOTER — metadata-only IO, no data pages touched — and recorded
+    * as `min.<col>` / `max.<col>` properties on the manifest entry.
+    * Commit with [[commitAll]]; prune reads with [[rangeOverlap]].
+    * Numeric primitive columns only (int/long/float/double): anything
+    * else stages fine but carries no stats (and is never pruned). */
+  def stageWithStats(df: DataFrame, table: String, tagCol: String,
+                     statsCol: String, buckets: Int = 128): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    val clustered = df.repartitionByRange(buckets, col(tagCol), col(statsCol))
+    stageClustered(clustered, table, tagCol).map { case (rel, tag) =>
+      Entry(rel, tag, footerMinMax(s"$table/$rel", statsCol).map { case (mn, mx) =>
+        Map(s"min.$statsCol" -> mn, s"max.$statsCol" -> mx)
+      }.getOrElse(Map.empty))
+    }
+  }
+
+  /** Keep-if-overlapping predicate for [[read]]/[[readVersion]]'s
+    * `fileFilter` over [[stageWithStats]] stats: a file is skipped only
+    * when its recorded [min, max] lies entirely OUTSIDE [lo, hi];
+    * files without stats are always kept (absence can't prove
+    * exclusion). */
+  def rangeOverlap(statsCol: String, lo: Double, hi: Double): Entry => Boolean = { e =>
+    (e.props.get(s"min.$statsCol"), e.props.get(s"max.$statsCol")) match {
+      case (Some(mn), Some(mx)) => mx.toDouble >= lo && mn.toDouble <= hi
+      case _                    => true
+    }
+  }
+
+  /** Min/max of a numeric primitive column from the parquet footer
+    * (per row group, folded across groups); None when the column is
+    * missing, non-primitive-numeric, or any row group lacks stats. */
+  private def footerMinMax(path: String, column: String): Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(new File(path).getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == column)
+      val stats = chunks.map(_.getStatistics)
+      val numeric = chunks.headOption.exists(c =>
+        Set(INT32, INT64, FLOAT, DOUBLE).contains(
+          c.getPrimitiveType.getPrimitiveTypeName))
+      if (chunks.isEmpty || !numeric ||
+          stats.exists(st => st == null || !st.hasNonNullValue)) None
+      else {
+        val mins = stats.map(_.genericGetMin.toString.toDouble)
+        val maxs = stats.map(_.genericGetMax.toString.toDouble)
+        Some((mins.min.toString, maxs.max.toString))
+      }
+    } finally reader.close()
+  }
+
   /** Prepared-but-uncommitted snapshot: the manifest NAMES it will list
     * and the version it will commit as. The manifests themselves are
     * already durable on disk (written by [[prepare]]) but invisible —
@@ -208,12 +307,18 @@ object Snapshots {
     * manifest. Metadata IO is proportional to manifests touched, never
     * to table size. */
   def prepare(table: String, add: Seq[(String, String)],
-              remove: ((String, String)) => Boolean = _ => false): Prepared = {
+              remove: ((String, String)) => Boolean = _ => false): Prepared =
+    prepareAll(table, add.map { case (r, t) => Entry(r, t) }, remove)
+
+  /** [[prepare]] with full [[Entry]] adds (per-file stats props ride
+    * into the manifest); rewritten manifests keep survivors' props. */
+  def prepareAll(table: String, add: Seq[Entry],
+                 remove: ((String, String)) => Boolean = _ => false): Prepared = {
     val cur = currentVersion(table)
     val kept = (if (cur == 0) Seq.empty else manifestList(table, cur)).flatMap {
       case (mf, _) =>
         val es = manifestEntries(table, mf)
-        val keep = es.filterNot(remove)
+        val keep = es.filterNot(e => remove((e.rel, e.tag)))
         if (keep.size == es.size) Some(mf)            // untouched: reuse by name
         else if (keep.isEmpty) None                   // fully removed: drop
         else Some(writeManifest(table, keep))         // partial: rewrite this one
@@ -221,6 +326,11 @@ object Snapshots {
     val added = if (add.isEmpty) Seq.empty else Seq(writeManifest(table, add))
     Prepared(table, cur + 1, kept ++ added)
   }
+
+  /** [[commit]] with full [[Entry]] adds. */
+  def commitAll(table: String, add: Seq[Entry],
+                remove: ((String, String)) => Boolean = _ => false): Long =
+    commitPrepared(prepareAll(table, add, remove))
 
   /** Write bytes to a file and FORCE them to storage before any rename/
     * link publishes them — without the `force(true)`, a power loss
@@ -249,7 +359,7 @@ object Snapshots {
     dir.mkdirs()
     val dst = snapFile(p.table, p.version)
     val bytes = p.manifests.map { mf =>
-      val tags = manifestEntries(p.table, mf).map(_._2).distinct.sorted
+      val tags = manifestEntries(p.table, mf).map(_.tag).distinct.sorted
       s"$mf\t${tags.mkString("\u0001")}"
     }.mkString("\n").getBytes(UTF_8)
     def sameContent(): Boolean =
@@ -284,7 +394,7 @@ object Snapshots {
     val cur = currentVersion(table)
     val liveManifests =
       (if (cur == 0) Seq.empty else manifestList(table, cur)).map(_._1).toSet
-    val live = liveManifests.flatMap(manifestEntries(table, _)).map(_._1)
+    val live = liveManifests.flatMap(manifestEntries(table, _)).map(_.rel)
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
     val root = new File(table).toPath

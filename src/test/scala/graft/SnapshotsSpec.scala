@@ -275,6 +275,41 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("file stats: range-clustered stage prunes files; row results unchanged") {
+    import spark.implicits._
+    val table = tmp("snap-stats")
+    // two tags x values 1..200, range-clustered into 8 buckets => each
+    // file covers a narrow value slice with footer-derived stats
+    val data = (1 to 200).flatMap(v => Seq(("a", v.toLong), ("b", v.toLong)))
+      .zipWithIndex.map { case ((d, v), i) => (i, d, v) }
+      .toDF("id", "day", "v")
+    val staged = Snapshots.stageWithStats(data, table, "day", "v", buckets = 8)
+    assert(staged.forall(e =>
+      e.props.contains("min.v") && e.props.contains("max.v")),
+      "every staged file must carry footer min/max stats")
+    Snapshots.commitAll(table, staged)
+    val pruned = Snapshots.read(spark, table,
+      fileFilter = Snapshots.rangeOverlap("v", 180.0, 200.0))
+    assert(pruned.inputFiles.length < staged.size,
+      s"stats must prune files (${pruned.inputFiles.length} of ${staged.size} opened)")
+    // skipping is IO elision, never semantics: row filter on the pruned
+    // read equals the same filter on the full read
+    val got = pruned.filter($"v" >= 180 && $"v" <= 200)
+      .select("id").as[Int].collect().toSet
+    val want = Snapshots.read(spark, table)
+      .filter($"v" >= 180 && $"v" <= 200)
+      .select("id").as[Int].collect().toSet
+    assert(got == want && got.size == 42)
+    // files staged WITHOUT stats are never pruned (absence can't prove
+    // exclusion): append a plain-staged file and re-read
+    val extra = Seq((9999, "a", 190L)).toDF("id", "day", "v")
+    Snapshots.commit(table, Snapshots.stage(extra, table, "day"))
+    val got2 = Snapshots.read(spark, table,
+        fileFilter = Snapshots.rangeOverlap("v", 180.0, 200.0))
+      .filter($"v" >= 180 && $"v" <= 200).select("id").as[Int].collect().toSet
+    assert(got2 == want + 9999, "stats-less files must always be kept")
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
