@@ -53,6 +53,48 @@ object Skipping {
       .orderBy("event_type")
   }
 
+  /** The s27 2-D probe box (user_id x value), inside both columns'
+    * interiors so neither predicate alone is satisfied by whole-range
+    * files. */
+  val UidLo = 100.0; val UidHi = 120.0
+  val ValLo = 50.0;  val ValHi = 150.0
+
+  /** s27: Z-ORDER pruned 2-D scan. The table is staged once with
+    * [[Snapshots.stageZOrdered]] on `(user_id, value)` — Morton-curve
+    * clustering, so each file covers a small box in BOTH dimensions —
+    * and the conjunction of the two [[Snapshots.rangeOverlap]] stats
+    * predicates prunes files for a 2-D box query where single-column
+    * range clustering could only serve its leading column. Row-level
+    * filters still apply: skipping is IO elision, never semantics. */
+  def zorderPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val table = Graft.tmpDir("s27-zorder-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete()
+    }
+    wipe(new java.io.File(table))
+    val ev = Tables(spark, dir).events
+      .select("event_id", "event_type", "user_id", "value")
+    Snapshots.commitAll(table,
+      Snapshots.stageZOrdered(ev, table, "event_type", Seq("user_id", "value")))
+    Snapshots.read(spark, table,
+        fileFilter = Snapshots.allOf(
+          Snapshots.rangeOverlap("user_id", UidLo, UidHi),
+          Snapshots.rangeOverlap("value", ValLo, ValHi)))
+      .filter(col("user_id") >= UidLo && col("user_id") <= UidHi &&
+              col("value") >= ValLo && col("value") <= ValHi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val zorderPrunedScanOracle: String =
+    s"""SELECT event_type, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN $UidLo AND $UidHi AND value BETWEEN $ValLo AND $ValHi
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val statsPrunedScanOracle: String =
     s"""SELECT event_type, count(*) AS n,
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
@@ -60,5 +102,6 @@ object Skipping {
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
-    QueryDef.sql("s26_stats_pruned_scan", statsPrunedScanOracle)(statsPrunedScan))
+    QueryDef.sql("s26_stats_pruned_scan", statsPrunedScanOracle)(statsPrunedScan),
+    QueryDef.sql("s27_zorder_pruned_scan", zorderPrunedScanOracle)(zorderPrunedScan))
 }

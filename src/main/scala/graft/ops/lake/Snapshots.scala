@@ -246,12 +246,68 @@ object Snapshots {
                      statsCol: String, buckets: Int = 128): Seq[Entry] = {
     import org.apache.spark.sql.functions._
     val clustered = df.repartitionByRange(buckets, col(tagCol), col(statsCol))
-    stageClustered(clustered, table, tagCol).map { case (rel, tag) =>
-      Entry(rel, tag, footerMinMax(s"$table/$rel", statsCol).map { case (mn, mx) =>
-        Map(s"min.$statsCol" -> mn, s"max.$statsCol" -> mx)
-      }.getOrElse(Map.empty))
-    }
+    withFooterStats(stageClustered(clustered, table, tagCol), table, Seq(statsCol))
   }
+
+  /** Bits per dimension of the [[stageZOrdered]] grid: 16 bits x up to
+    * 4 columns keeps the interleaved z-value inside a positive long. */
+  private val ZBits = 16
+
+  /** MULTI-COLUMN clustering for data skipping — the Z-ORDER shape
+    * (Delta OPTIMIZE ZORDER BY / the Morton-curve literature): each
+    * stats column is linearly bucketed onto a 2^[[ZBits]] grid between
+    * its corpus min/max (one tiny extra agg, broadcast back — Iceberg
+    * reads these bounds from table metadata; a production pipeline
+    * would reuse the prior snapshot's stats), the per-column bucket
+    * bits are INTERLEAVED into a Morton z-value, and rows are
+    * range-clustered on `(tag, z)`. Locality on the space-filling curve
+    * means each file covers a small BOX in every stats dimension at
+    * once — so a conjunction of [[rangeOverlap]] predicates on ANY
+    * subset of the columns prunes files, where single-column range
+    * clustering serves only its one leading column. Per-file min/max
+    * for ALL stats columns ride the manifest entry, read from parquet
+    * footers (metadata-only IO). The interleave is pure
+    * shift/and/or arithmetic — codegen'd, no UDF. */
+  def stageZOrdered(df: DataFrame, table: String, tagCol: String,
+                    statsCols: Seq[String], buckets: Int = 128): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty && statsCols.size <= 4,
+      s"z-order supports 1..4 stats columns, got ${statsCols.size}")
+    val nc = statsCols.size
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val bounds = broadcast(df.agg(aggs.head, aggs.tail: _*))
+    val grid = (1L << ZBits) - 1
+    def bucket(c: String): org.apache.spark.sql.Column = {
+      val span = col(s"__mx_$c") - col(s"__mn_$c")
+      when(span > 0.0, least(lit(grid), greatest(lit(0L),
+        floor((col(c).cast("double") - col(s"__mn_$c")) / span * (grid + 1))
+          .cast("long")))).otherwise(lit(0L))
+    }
+    val z = (0 until ZBits).flatMap { b =>
+      statsCols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(col(s"__zb_$c"), b).bitwiseAND(lit(1L)), b * nc + j)
+      }
+    }.reduce(_.bitwiseOR(_)) // disjoint bit positions
+    val clustered = df.crossJoin(bounds)
+      .withColumns(statsCols.map(c => s"__zb_$c" -> bucket(c)).toMap)
+      .withColumn("__z", z)
+      .repartitionByRange(buckets, col(tagCol), col("__z"))
+      .drop(statsCols.flatMap(c =>
+        Seq(s"__mn_$c", s"__mx_$c", s"__zb_$c")) :+ "__z": _*)
+    withFooterStats(stageClustered(clustered, table, tagCol), table, statsCols)
+  }
+
+  /** Decorate staged entries with `min.<col>`/`max.<col>` props for
+    * every stats column, one footer open per file. */
+  private def withFooterStats(staged: Seq[(String, String)], table: String,
+                              statsCols: Seq[String]): Seq[Entry] =
+    staged.map { case (rel, tag) =>
+      Entry(rel, tag, footerStats(s"$table/$rel", statsCols).flatMap {
+        case (c, (mn, mx)) => Seq(s"min.$c" -> mn, s"max.$c" -> mx)
+      })
+    }
 
   /** Keep-if-overlapping predicate for [[read]]/[[readVersion]]'s
     * `fileFilter` over [[stageWithStats]] stats: a file is skipped only
@@ -265,10 +321,22 @@ object Snapshots {
     }
   }
 
+  /** Conjunction of file filters — a file survives only if EVERY
+    * predicate keeps it (the multi-dimensional prune over
+    * [[stageZOrdered]] stats). */
+  def allOf(filters: (Entry => Boolean)*): Entry => Boolean =
+    e => filters.forall(_(e))
+
   /** Min/max of a numeric primitive column from the parquet footer
     * (per row group, folded across groups); None when the column is
     * missing, non-primitive-numeric, or any row group lacks stats. */
-  private def footerMinMax(path: String, column: String): Option[(String, String)] = {
+  private def footerMinMax(path: String, column: String): Option[(String, String)] =
+    footerStats(path, Seq(column)).get(column)
+
+  /** [[footerMinMax]] for several columns in ONE footer open; columns
+    * without usable stats are simply absent from the result. */
+  private def footerStats(path: String,
+                          columns: Seq[String]): Map[String, (String, String)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -276,20 +344,23 @@ object Snapshots {
       new org.apache.hadoop.conf.Configuration())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val chunks = reader.getFooter.getBlocks.asScala
+      val byCol = reader.getFooter.getBlocks.asScala
         .flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == column)
-      val stats = chunks.map(_.getStatistics)
-      val numeric = chunks.headOption.exists(c =>
-        Set(INT32, INT64, FLOAT, DOUBLE).contains(
-          c.getPrimitiveType.getPrimitiveTypeName))
-      if (chunks.isEmpty || !numeric ||
-          stats.exists(st => st == null || !st.hasNonNullValue)) None
-      else {
-        val mins = stats.map(_.genericGetMin.toString.toDouble)
-        val maxs = stats.map(_.genericGetMax.toString.toDouble)
-        Some((mins.min.toString, maxs.max.toString))
-      }
+        .groupBy(_.getPath.toDotString)
+      columns.flatMap { column =>
+        val chunks = byCol.getOrElse(column, Seq.empty)
+        val stats = chunks.map(_.getStatistics)
+        val numeric = chunks.headOption.exists(c =>
+          Set(INT32, INT64, FLOAT, DOUBLE).contains(
+            c.getPrimitiveType.getPrimitiveTypeName))
+        if (chunks.isEmpty || !numeric ||
+            stats.exists(st => st == null || !st.hasNonNullValue)) None
+        else {
+          val mins = stats.map(_.genericGetMin.toString.toDouble)
+          val maxs = stats.map(_.genericGetMax.toString.toDouble)
+          Some(column -> (mins.min.toString, maxs.max.toString))
+        }
+      }.toMap
     } finally reader.close()
   }
 

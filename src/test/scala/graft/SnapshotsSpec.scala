@@ -310,6 +310,37 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(got2 == want + 9999, "stats-less files must always be kept")
   }
 
+  test("z-order: 2-D box query prunes files in BOTH dimensions") {
+    import spark.implicits._
+    val table = tmp("snap-zorder")
+    // 64x64 uniform grid, z-clustered into 16 files => each file covers
+    // a small box in (x, y), not a stripe in one leading column
+    val data = (0 until 4096).map(i => (i, "t", (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "day", "x", "y")
+    val staged = Snapshots.stageZOrdered(data, table, "day", Seq("x", "y"), buckets = 16)
+    assert(staged.forall(e => Seq("min.x", "max.x", "min.y", "max.y")
+      .forall(e.props.contains)), "both dimensions must carry footer stats")
+    Snapshots.commitAll(table, staged)
+    val total = staged.size
+    def opened(f: Snapshots.Entry => Boolean): Int =
+      Snapshots.read(spark, table, fileFilter = f).inputFiles.length
+    val both = opened(Snapshots.allOf(
+      Snapshots.rangeOverlap("x", 0, 15), Snapshots.rangeOverlap("y", 0, 15)))
+    val xOnly = opened(Snapshots.rangeOverlap("x", 0, 15))
+    val yOnly = opened(Snapshots.rangeOverlap("y", 0, 15))
+    assert(xOnly < total && yOnly < total,
+      s"EACH single dimension must prune ($xOnly, $yOnly of $total) — " +
+        "single-column clustering serves only its leading column")
+    assert(both <= total / 4, s"2-D box must prune hard ($both of $total)")
+    // IO elision, never semantics
+    val got = Snapshots.read(spark, table, fileFilter = Snapshots.allOf(
+        Snapshots.rangeOverlap("x", 0, 15), Snapshots.rangeOverlap("y", 0, 15)))
+      .filter($"x" <= 15 && $"y" <= 15).select("id").as[Int].collect().toSet
+    val want = Snapshots.read(spark, table)
+      .filter($"x" <= 15 && $"y" <= 15).select("id").as[Int].collect().toSet
+    assert(got == want && got.size == 256)
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
