@@ -95,6 +95,44 @@ object Skipping {
       |WHERE user_id BETWEEN $UidLo AND $UidHi AND value BETWEEN $ValLo AND $ValHi
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** The s28 point-lookup probe ids — scattered across the id range so
+    * they land in different value-clustered files. */
+  val ProbeIds = Seq(17L, 4242L, 9876L)
+
+  /** s28: BLOOM-pruned point lookup. The table is staged range-
+    * clustered on `value` (the realistic ingest order) with a per-file
+    * bloom filter over `event_id` — the column the layout is NOT
+    * clustered by, so min/max stats span the whole id range in every
+    * file and prune nothing. The IN-list probe prunes via
+    * [[Snapshots.mightContainLong]] (no false negatives; false
+    * positives only cost IO), then the row filter applies as always. */
+  def bloomPrunedLookup(spark: SparkSession, dir: String): DataFrame = {
+    val table = Graft.tmpDir("s28-bloom-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete()
+    }
+    wipe(new java.io.File(table))
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "user_id", "value", "event_date")
+    Snapshots.commitAll(table,
+      Snapshots.withBloom(
+        Snapshots.stageWithStats(ev, table, "event_date", "value"),
+        table, "event_id", spark))
+    Snapshots.read(spark, table,
+        fileFilter = Snapshots.anyOf(
+          ProbeIds.map(id => Snapshots.mightContainLong("event_id", id)): _*))
+      .filter(col("event_id").isin(ProbeIds: _*))
+      .select("event_id", "event_type", "user_id", "value")
+      .orderBy("event_id")
+  }
+
+  val bloomPrunedLookupOracle: String =
+    s"""SELECT event_id, event_type, user_id, value FROM events
+      |WHERE event_id IN (${ProbeIds.mkString(", ")})
+      |ORDER BY event_id""".stripMargin
+
   val statsPrunedScanOracle: String =
     s"""SELECT event_type, count(*) AS n,
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
@@ -103,5 +141,6 @@ object Skipping {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s26_stats_pruned_scan", statsPrunedScanOracle)(statsPrunedScan),
-    QueryDef.sql("s27_zorder_pruned_scan", zorderPrunedScanOracle)(zorderPrunedScan))
+    QueryDef.sql("s27_zorder_pruned_scan", zorderPrunedScanOracle)(zorderPrunedScan),
+    QueryDef.sql("s28_bloom_pruned_lookup", bloomPrunedLookupOracle)(bloomPrunedLookup))
 }

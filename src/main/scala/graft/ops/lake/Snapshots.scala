@@ -327,6 +327,63 @@ object Snapshots {
   def allOf(filters: (Entry => Boolean)*): Entry => Boolean =
     e => filters.forall(_(e))
 
+  /** Disjunction of file filters — a file survives if ANY predicate
+    * keeps it (an `IN`-list probe over [[withBloom]] sketches). */
+  def anyOf(filters: (Entry => Boolean)*): Entry => Boolean =
+    e => filters.exists(_(e))
+
+  /** Decorate staged entries with a per-file BLOOM FILTER over
+    * `bloomCol` — the Iceberg/Parquet bloom-skipping shape for EQUALITY
+    * predicates on columns the file layout is NOT clustered by (where
+    * min/max stats prune nothing because every file spans the column's
+    * whole range; think "files ordered by time, probed by id"). One
+    * extra pass over the just-staged files builds every sketch in a
+    * single Spark job — Spark's own codegen'd `BloomFilterAggregate`
+    * grouped by file, merged bitwise so the sketch is deterministic
+    * under any partitioning — and the serialized filter rides the
+    * manifest entry base64-encoded (standard alphabet: framing-safe).
+    * `numBits` bounds the per-entry manifest cost (8192 bits ≈ 1.4 KB
+    * base64) — at Iceberg scale these move to sidecar files; the log
+    * framing wouldn't change. Probe with [[mightContainLong]]. */
+  def withBloom(staged: Seq[Entry], table: String, bloomCol: String,
+                spark: SparkSession, estItems: Long = 1000L,
+                numBits: Long = 8192L): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    graft.functions.BloomSketch.register(spark)
+    val files = staged.map(e => s"$table/${e.rel}")
+    // part-file names embed the write-job UUID: unique within the table,
+    // so matching sketch rows back to entries by file NAME is exact.
+    val sketches = spark.read.parquet(files: _*)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
+      .agg(expr(s"graft_bloom_agg(xxhash64($bloomCol), " +
+        s"CAST($estItems AS BIGINT), CAST($numBits AS BIGINT))").as("__b"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    staged.map { e =>
+      val name = e.rel.substring(e.rel.lastIndexOf('/') + 1)
+      e.copy(props = e.props ++ sketches.get(name).map(b =>
+        s"bloom.$bloomCol" -> java.util.Base64.getEncoder.encodeToString(b)))
+    }
+  }
+
+  /** Keep-if-might-contain predicate over [[withBloom]] sketches: a
+    * file is skipped only when its bloom filter PROVES `value` absent
+    * (no false negatives; false positives only cost IO). Files without
+    * a sketch are always kept. Compose `IN`-lists with [[anyOf]]. */
+  def mightContainLong(bloomCol: String, value: Long): Entry => Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val hash = XxHash64Function.hash(value, LongType, 42L)
+    e => e.props.get(s"bloom.$bloomCol") match {
+      case Some(b64) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64)))
+          .mightContainLong(hash)
+      case None => true
+    }
+  }
+
   /** Min/max of a numeric primitive column from the parquet footer
     * (per row group, folded across groups); None when the column is
     * missing, non-primitive-numeric, or any row group lacks stats. */

@@ -341,6 +341,36 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && got.size == 256)
   }
 
+  test("bloom skipping: point lookups prune files stats can't; no false negatives") {
+    import spark.implicits._
+    val table = tmp("snap-bloom")
+    // ids 0..799 range-clustered by v (= id reversed) => every file
+    // spans the whole id range: min/max stats on id prune NOTHING,
+    // the per-file bloom on id is what prunes
+    val data = (0 until 800).map(i => (i.toLong, "t", (799 - i).toLong))
+      .toDF("id", "day", "v")
+    val staged = Snapshots.withBloom(
+      Snapshots.stageWithStats(data, table, "day", "v", buckets = 8),
+      table, "id", spark)
+    assert(staged.forall(_.props.contains("bloom.id")),
+      "every staged file must carry an id sketch")
+    Snapshots.commitAll(table, staged)
+    val total = staged.size
+    // no false negatives: every present id's pruned read contains it
+    for (probe <- Seq(0L, 399L, 799L)) {
+      val pruned = Snapshots.read(spark, table,
+        fileFilter = Snapshots.mightContainLong("id", probe))
+      assert(pruned.inputFiles.length < total,
+        s"bloom must prune for id=$probe (${pruned.inputFiles.length} of $total)")
+      assert(pruned.filter($"id" === probe).count() == 1)
+    }
+    // absent id: typically 0 files survive (fp-rate-bounded); the read
+    // layer requires >=1 file, so assert at the filter level
+    val ghosts = (100000L to 100063L).count(id =>
+      staged.exists(Snapshots.mightContainLong("id", id)))
+    assert(ghosts <= 8, s"absent-id false-positive files: $ghosts of 64 probes")
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
