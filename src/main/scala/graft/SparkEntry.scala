@@ -32,6 +32,7 @@ object SparkEntry {
       graft.ops.ext.Similarity.queries ++
       graft.ops.ext.Multimodal.queries ++
       graft.ops.lake.Skipping.queries ++
+      graft.ops.lake.TimeTravel.queries ++
       graft.sources.PagesSource.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

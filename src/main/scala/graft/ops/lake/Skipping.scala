@@ -54,10 +54,11 @@ object Skipping {
   }
 
   /** The s27 2-D probe box (user_id x value), inside both columns'
-    * interiors so neither predicate alone is satisfied by whole-range
-    * files. */
-  val UidLo = 100.0; val UidHi = 120.0
-  val ValLo = 50.0;  val ValHi = 150.0
+    * interiors at EVERY fixture SF (sf0.001's user_id only reaches 14,
+    * so the box must sit low in the id range) so neither predicate
+    * alone is satisfied by whole-range files. */
+  val UidLo = 5.0;  val UidHi = 10.0
+  val ValLo = 50.0; val ValHi = 150.0
 
   /** s27: Z-ORDER pruned 2-D scan. The table is staged once with
     * [[Snapshots.stageZOrdered]] on `(user_id, value)` — Morton-curve

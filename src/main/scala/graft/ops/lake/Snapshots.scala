@@ -135,12 +135,15 @@ object Snapshots {
     name
   }
 
-  /** The live snapshot's full [[Entry]] list (empty ⇒ no commit yet). */
-  def entriesAll(table: String): Seq[Entry] = {
-    val v = currentVersion(table)
+  /** Snapshot `v`'s full [[Entry]] list (v=0 ⇒ the empty pre-commit
+    * state). Valid until [[vacuum]], like [[readVersion]]. */
+  def entriesAt(table: String, v: Long): Seq[Entry] =
     if (v == 0) Seq.empty
     else manifestList(table, v).flatMap { case (mf, _) => manifestEntries(table, mf) }
-  }
+
+  /** The live snapshot's full [[Entry]] list (empty ⇒ no commit yet). */
+  def entriesAll(table: String): Seq[Entry] =
+    entriesAt(table, currentVersion(table))
 
   /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
   def entries(table: String): Seq[(String, String)] =
@@ -168,12 +171,58 @@ object Snapshots {
   def readVersion(spark: SparkSession, table: String, v: Long,
                   tagFilter: String => Boolean = _ => true,
                   fileFilter: Entry => Boolean = _ => true): DataFrame = {
-    val fs = manifestList(table, v)
+    val mfs = manifestList(table, v)
+    val fs = mfs
       .collect { case (mf, tags) if tags.isEmpty || tags.exists(tagFilter) => mf }
       .flatMap(manifestEntries(table, _))
       .collect { case e if tagFilter(e.tag) && fileFilter(e) => s"$table/${e.rel}" }
-    require(fs.nonEmpty, s"snapshot read of $table v$v matched no files")
-    spark.read.parquet(fs: _*)
+    if (fs.nonEmpty) spark.read.parquet(fs: _*)
+    else {
+      // every file pruned: skipping is IO elision, never semantics — the
+      // correct result is EMPTY, carried on the schema of any snapshot
+      // file (footer-only IO). Only a zero-FILE snapshot can't be read
+      // (parquet needs one file for the schema — the scaladoc note).
+      val any = mfs.view.flatMap { case (mf, _) => manifestEntries(table, mf) }.headOption
+      require(any.nonEmpty, s"snapshot read of $table v$v: snapshot lists no files")
+      spark.read.parquet(s"$table/${any.get.rel}").limit(0)
+    }
+  }
+
+  /** CHANGE DATA FEED between two committed snapshots, at FILE
+    * granularity — the Delta "CDF without row tracking" fallback shape:
+    * rows in files the `to` snapshot added are emitted with
+    * `_change_type = "insert"`, rows in files it stopped listing with
+    * `_change_type = "delete"`; an in-place rewrite (the overwrite/
+    * compact/delete ops here — data files are immutable, so every
+    * change IS a file swap) therefore surfaces as delete+insert pairs.
+    * Unchanged files — the bulk of the table under the manifest-delta
+    * commit discipline — contribute NOTHING and are never opened: cost
+    * is O(changed files), which is what makes an incremental
+    * consumer (sync a downstream index, audit a heal) viable at 100 TB
+    * where re-diffing table contents would be a full double scan.
+    * Derived purely from the immutable log, so valid until [[vacuum]]
+    * like [[readVersion]]; `fromV = 0` yields the whole `toV` snapshot
+    * as inserts (the bootstrap read). */
+  def changes(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromV && fromV <= toV && toV <= currentVersion(table),
+      s"changes($table, $fromV, $toV): need 0 <= from <= to <= current")
+    val from = entriesAt(table, fromV).map(_.rel).toSet
+    val to   = entriesAt(table, toV).map(_.rel).toSet
+    def side(rels: Set[String], kind: String): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(spark.read.parquet(rels.toSeq.sorted.map(r => s"$table/$r"): _*)
+        .withColumn("_change_type", lit(kind)))
+    (side(from -- to, "delete"), side(to -- from, "insert")) match {
+      case (Some(d), Some(i)) => d.unionByName(i, allowMissingColumns = true)
+      case (Some(d), None)    => d
+      case (None, Some(i))    => i
+      case (None, None)       =>
+        // no file-level changes: an empty feed with the live schema
+        // (needs >=1 committed file to carry it, same limitation as
+        // readVersion's zero-file note above)
+        readVersion(spark, table, toV).limit(0).withColumn("_change_type", lit("insert"))
+    }
   }
 
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"

@@ -124,6 +124,31 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 200L)))
   }
 
+  test("change feed: v1->v2 emits delete+insert for swapped files only") {
+    val table = tmp("snap-cdc")
+    Snapshots.commit(table,
+      Snapshots.stage(df((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 200L)), table, "day"),
+      remove = _._2 == "b")
+    val feed = Snapshots.changes(spark, table, 1, 2)
+    val rows = feed.select("id", "day", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._4, r._3)).toSeq
+    assert(rows == Seq((2, "b", 20L, "delete"), (2, "b", 200L, "insert")))
+    // untouched days are shared between the snapshots: never opened
+    assert(feed.inputFiles.length == 2, "only the swapped files are read")
+    // bootstrap: from v0 the whole snapshot arrives as inserts
+    val boot = Snapshots.changes(spark, table, 0, 2)
+    assert(boot.filter(col("_change_type") === "insert").count() == 3)
+    // identical versions: empty feed, schema intact
+    val none = Snapshots.changes(spark, table, 2, 2)
+    assert(none.count() == 0 && none.columns.contains("_change_type"))
+    // entriesAt snapshots the listing per version
+    assert(Snapshots.entriesAt(table, 0).isEmpty)
+    assert(Snapshots.entriesAt(table, 1).size == 3)
+    assert(Snapshots.entriesAt(table, 2).size == 3)
+  }
+
   test("compact bin-packs fragmented tags in one atomic commit, content untouched") {
     val table = tmp("snap-compact")
     // three appends fragment day "a" across three files
