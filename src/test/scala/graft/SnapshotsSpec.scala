@@ -149,6 +149,40 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.entriesAt(table, 2).size == 3)
   }
 
+  test("incremental consumer: folding the change feed reproduces every snapshot") {
+    val rnd = new scala.util.Random(7)
+    val table = tmp("snap-cdf-fold")
+    var nextId = 0
+    def fresh(tag: String, n: Int): Seq[(Int, String, Long)] =
+      (1 to n).map { _ => nextId += 1; (nextId, tag, rnd.nextLong(1000)) }
+    // append / replace / fragment / compact / append — every commit kind
+    Snapshots.commit(table, Snapshots.stage(df(fresh("a", 3): _*), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df(fresh("b", 2): _*), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df(fresh("a", 2): _*), table, "day"),
+      remove = _._2 == "a")
+    Snapshots.commit(table, Snapshots.stage(df(fresh("b", 1): _*), table, "day"))
+    Snapshots.compact(spark, table, "day") // bin-packs the fragmented b
+    Snapshots.commit(table, Snapshots.stage(df(fresh("c", 1): _*), table, "day"))
+    val cur = Snapshots.currentVersion(table)
+    assert(cur == 6, "compact must have committed (b was fragmented)")
+
+    // a downstream consumer holding only a multiset, fed by per-version
+    // deltas (a compaction's rewrite arrives as self-cancelling
+    // delete+insert pairs — the fold is oblivious to WHY files swapped)
+    var state = Map.empty[(Int, String, Long), Int]
+    for (v <- 1L to cur) {
+      Snapshots.changes(spark, table, v - 1, v)
+        .select("id", "day", "v", "_change_type").collect().foreach { r =>
+          val key = (r.getInt(0), r.getString(1), r.getLong(2))
+          val d = if (r.getString(3) == "insert") 1 else -1
+          state = state.updated(key, state.getOrElse(key, 0) + d)
+        }
+      val expect = sorted(Snapshots.readVersion(spark, table, v))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(state.filter(_._2 != 0) == expect, s"fold diverged at v$v")
+    }
+  }
+
   test("compact bin-packs fragmented tags in one atomic commit, content untouched") {
     val table = tmp("snap-compact")
     // three appends fragment day "a" across three files
