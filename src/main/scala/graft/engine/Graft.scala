@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + canonical table catalog for the graft engine.
   *
@@ -117,18 +118,68 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = p("documents")
   def embeddings: DataFrame = p("embeddings")
 
-  /** `events` with the wire-format int64-nanos `ts` (via nanosAsLong).
-    * Predicates that should reach the parquet scan must be expressed on
-    * this raw column (see Staging.dateParamScan) — filters on the
-    * converted timestamp cannot push down. */
+  /** `events` exactly as the file stores it. Early driver fixtures wrote
+    * parquet TIMESTAMP(NANOS), which Spark can only surface as a raw
+    * int64-nanos column (via nanosAsLong); the round-8 fixtures carry
+    * native TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Callers that need
+    * a specific representation use [[events]] / [[eventsNs]]; only
+    * scan-pushdown-sensitive code (Staging.dateParamScan) branches on
+    * [[eventsTsIsRawNanos]] itself. */
   def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     p("events")
   }
 
-  /** `events` normalized: raw int64 nanos → TIMESTAMP_NTZ truncated to
-    * micros, matching how DuckDB reads the same file. */
-  def events: DataFrame =
-    eventsRaw.withColumn(
-      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** True when the fixture stores `ts` as raw int64 epoch-nanos (the
+    * legacy TIMESTAMP(NANOS) encoding) rather than a native parquet
+    * timestamp. One footer probe, reused by every branch. */
+  lazy val eventsTsIsRawNanos: Boolean =
+    eventsRaw.schema("ts").dataType == LongType
+
+  /** `events` normalized to TIMESTAMP_NTZ at micros grain, matching how
+    * DuckDB reads the same file — identical logical schema for either
+    * physical encoding. On the native-timestamp encoding this is the
+    * bare scan column (an identity cast Catalyst elides), so ts
+    * predicates push down to parquet with no rewrite needed. */
+  def events: DataFrame = {
+    val raw = eventsRaw
+    if (eventsTsIsRawNanos)
+      raw.withColumn(
+        "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+  }
+
+  /** `events` with `ts` as int64 epoch-nanos — the wire grain the SCD2 /
+    * funnel builds do interval arithmetic in (full precision, no
+    * boundary collisions; see Staging.scd2Ns). Under the native-micros
+    * encoding the nanos are exact ×1000 of the stored micros. */
+  def eventsNs: DataFrame = {
+    val raw = eventsRaw
+    if (eventsTsIsRawNanos) raw
+    else raw.withColumn("ts", Tables.tsNsCol)
+  }
+}
+
+object Tables {
+  /** Conversions for frames holding the NATIVE-timestamp events encoding
+    * (specs read fixture files directly and need the same normalization
+    * the catalog applies). Session timezone is pinned UTC, so the
+    * NTZ→instant cast is wall-clock-identical. */
+  private[graft] def tsNsCol: org.apache.spark.sql.Column =
+    expr("unix_micros(cast(ts as timestamp)) * 1000")
+
+  /** `ts` of a batch-read events frame as a UTC instant (TimestampType),
+    * whichever physical encoding the file carries. */
+  def tsInstant(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _        => col("ts").cast(TimestampType)
+    }
+
+  /** `ts` of a batch-read events frame as int64 epoch-micros. */
+  def tsUs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => expr("unix_micros(cast(ts as timestamp))")
+    }
 }

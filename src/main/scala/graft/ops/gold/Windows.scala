@@ -170,7 +170,7 @@ object Windows {
     * — ns ties broken identically in both engines. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.engine.Caching.persist(
-      Tables(spark, dir).eventsRaw
+      Tables(spark, dir).eventsNs
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"),
           // lexicographic struct compare == (ts, event_id) ordering in
@@ -186,7 +186,7 @@ object Windows {
       .join(c, "user_id")
       .filter(col("k") >= col("ck"))
       .groupBy("user_id").agg(min(col("k")).as("pk"))
-    Tables(spark, dir).eventsRaw.select("user_id").distinct()
+    Tables(spark, dir).eventsNs.select("user_id").distinct()
       .join(v, Seq("user_id"), "left_outer")
       .join(c, Seq("user_id"), "left_outer")
       .join(p, Seq("user_id"), "left_outer")

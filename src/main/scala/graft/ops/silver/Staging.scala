@@ -130,10 +130,19 @@ object Staging {
     * source listing (see Sinks.partitionedSinkRoundtrip). */
   def dateParamScan(spark: SparkSession, dir: String): DataFrame = {
     val day = java.time.LocalDate.parse("2024-01-15")
-    val nanosPerDay = 86400L * 1000000000L
-    val lo = day.toEpochDay * nanosPerDay
-    Tables(spark, dir).eventsRaw
-      .filter(col("ts") >= lo && col("ts") < lo + nanosPerDay)
+    val t = Tables(spark, dir)
+    val ranged =
+      if (t.eventsTsIsRawNanos) {
+        val nanosPerDay = 86400L * 1000000000L
+        val lo = day.toEpochDay * nanosPerDay
+        t.eventsRaw.filter(col("ts") >= lo && col("ts") < lo + nanosPerDay)
+      } else
+        // native-timestamp encoding: the half-open NTZ range is directly
+        // pushable — parquet row-group stats filter it with no rewrite
+        t.eventsRaw.filter(
+          expr(s"ts >= TIMESTAMP_NTZ '$day 00:00:00' AND " +
+               s"ts < TIMESTAMP_NTZ '${day.plusDays(1)} 00:00:00'"))
+    ranged
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
   }
@@ -197,7 +206,7 @@ object Staging {
     * version). Columns: user_id, version, segment, valid_from_ns,
     * valid_to_ns (null = open). */
   private[graft] def scd2Ns(spark: SparkSession, dir: String): DataFrame =
-    scd2NsOf(Tables(spark, dir).eventsRaw)
+    scd2NsOf(Tables(spark, dir).eventsNs)
 
   /** [[scd2Ns]] over any change-log frame with (user_id, event_type,
     * ts, event_id) columns. */
@@ -263,9 +272,9 @@ object Staging {
     // the other event types only — a dimension derived from the facts
     // themselves would put every purchase inside its own just-opened
     // 'purchase' segment and the join would be a tautology
-    val dim = scd2NsOf(Tables(spark, dir).eventsRaw
+    val dim = scd2NsOf(Tables(spark, dir).eventsNs
       .filter(col("event_type") =!= "purchase"))
-    val facts = Tables(spark, dir).eventsRaw
+    val facts = Tables(spark, dir).eventsNs
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("at_ns"), col("value"))
     // left outer: a purchase BEFORE the user's first profile event has no

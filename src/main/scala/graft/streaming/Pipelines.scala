@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   */
 object Pipelines {
 
-  /** Raw wire schema of the events fixture (ts as int64 nanos — see
-    * Graft.configure's nanosAsLong note). */
+  /** Wire schema of the Kafka JSON envelope (ts as int64 epoch-nanos —
+    * the producer contract, independent of the parquet fixture's
+    * encoding; see kafkaSource). */
   val rawEventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -36,14 +37,26 @@ object Pipelines {
     * same normalization as the batch catalog. `ts` is TimestampType
     * (UTC) — streaming state (watermarks) wants an instant. `glob`
     * defaults to the fixture layout (one named file per table in the SF
-    * dir); specs streaming their own part-files pass "*.parquet". */
+    * dir); specs streaming their own part-files pass "*.parquet".
+    *
+    * The file source needs a user-supplied schema, and the fixture's ts
+    * encoding changed between driver vintages (int64 nanos vs native
+    * micros — see Tables.eventsTsIsRawNanos), so probe the footers once
+    * with a batch read and branch the normalization on what's actually
+    * there. */
   def eventsStream(spark: SparkSession, sfDir: String,
-      glob: String = "events.parquet"): DataFrame =
-    spark.readStream
-      .schema(rawEventsSchema)
+      glob: String = "events.parquet"): DataFrame = {
+    val fileSchema =
+      spark.read.option("pathGlobFilter", glob).parquet(sfDir).schema
+    val s = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", glob) // file source needs a dir
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileSchema("ts").dataType match {
+      case LongType => s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => s.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** P1–P3 bronze projection: envelope-validity filter, type filter is a
     * no-op on fixtures (all rows are events), flatten/rename + event-time

@@ -18,8 +18,10 @@ class StatefulSpec extends AnyFunSuite with SparkFixture {
     // batch ground truth: gaps-and-islands with the same 30-min gap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_us")
-    val batch = spark.read.parquet(s"$Sf/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    val batchRaw = spark.read.parquet(s"$Sf/events.parquet")
+    val batch = batchRaw
+      .select(col("user_id"),
+        graft.engine.Tables.tsUs(batchRaw).as("ts_us"), col("value"))
       .withColumn("prev", lag(col("ts_us"), 1).over(w))
       .withColumn("new_s",
         when(col("prev").isNull || col("ts_us") >= col("prev") + StatefulSessions.GapUs, 1)

@@ -46,8 +46,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.awaitTermination()
     val streamed = spark.table("hourly_out")
       .select(col("hour_start"), col("event_type"), col("n"))
-    val batch = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchRaw = spark.read.parquet(s"$Sf/events.parquet")
+    val batch = batchRaw.withColumn("ts", graft.engine.Tables.tsInstant(batchRaw))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
@@ -86,8 +86,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.awaitTermination()
     val streamed = spark.table("ssj_out").select("purchase_id", "click_id")
 
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evRaw = spark.read.parquet(s"$Sf/events.parquet")
+    val ev = evRaw.withColumn("ts", graft.engine.Tables.tsInstant(evRaw))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -141,7 +141,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val raw = spark.read.parquet(s"$Sf/events.parquet")
     def jan5(bump: Double): String = {
       val d = tmp(s"merge3-src$bump") + "/d"
-      raw.filter(to_date(timestamp_micros(expr("ts div 1000"))) === "2024-01-05")
+      raw.filter(to_date(graft.engine.Tables.tsInstant(raw)) === "2024-01-05")
         .withColumn("value", col("value") + bump)
         .write.parquet(d)
       d
@@ -150,7 +150,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // the regime where an uncompacted merge leaks shuffle-layout files
     // into the partition every batch
     val jan5Rows = raw
-      .filter(to_date(timestamp_micros(expr("ts div 1000"))) === "2024-01-05").count()
+      .filter(to_date(graft.engine.Tables.tsInstant(raw)) === "2024-01-05").count()
     val targetRowsPerFile = 10L
     val bound = (jan5Rows + targetRowsPerFile - 1) / targetRowsPerFile
     val srcs = (tmp("merge3-src0") + "/d") +: (1 to 3).map(i => jan5(i * 1000.0))
@@ -237,12 +237,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   test("incremental merge rewrites only the partitions present in the batch") {
     val target = tmp("merge2-target") + "/t"
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts is raw nanos
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // file-native ts encoding
     val src1 = tmp("merge2-src1") + "/d"
     val src2 = tmp("merge2-src2") + "/d"
     raw.write.parquet(src1)
     // second batch: only 2024-01-05 events, values bumped (an upsert)
-    raw.filter(to_date(timestamp_micros(expr("ts div 1000"))) === "2024-01-05")
+    raw.filter(to_date(graft.engine.Tables.tsInstant(raw)) === "2024-01-05")
       .withColumn("value", col("value") + 1000.0)
       .write.parquet(src2)
 
