@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of `sbt "runMain graft.Bench"`
+// stdout for one JSON line. sbt's default LoggedOutput strategy prefixes
+// every forked-process line with "[info] " / "[error] ", which made the
+// bench line unparseable in rounds 1-7 (BENCH_r*.json "parsed": null).
+// StdoutOutput passes the forked process's streams through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

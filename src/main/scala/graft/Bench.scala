@@ -232,18 +232,44 @@ object Bench {
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(r => median(r._2)).sum
     val heapMb = java.lang.Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    // field order matters: the driver records only a bounded TAIL of
-    // stdout, truncating this line from the FRONT — the r5 wrapper
-    // already lost the first few per-query timings that way. The bulky
-    // diagnostic maps (runs/gc) go FIRST and the load-bearing
-    // "queries" map goes last-but-one so truncation eats diagnostics,
-    // never the medians. The r6 verdict couldn't tell ambient memory
-    // pressure from plan regressions because the whole-run gc/heap
-    // ledger sat BEFORE the queries map and was truncated away — a
-    // compact whole-run summary now rides AFTER it, inside the kept
-    // tail.
     val (gcT, gcC) = gcStats()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","bench_n":$repeats,"runs":$runs,"gc_ms":$gcMs,"gc_count":$gcN,"failed":$failed,"queries":$qs,"gc_ms_total":$gcT,"gc_count_total":$gcC,"heap_max_mb":$heapMb,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_n":$repeats,"runs":$runs,"gc_ms":$gcMs,"gc_count":$gcN,"failed":$failed,"queries":$qs,"gc_ms_total":$gcT,"gc_count_total":$gcC,"heap_max_mb":$heapMb,"sf":"$sfDir"}"""
+
+    // The driver records only the LAST ~2000 chars of stdout and parses
+    // them for one JSON line. Rounds 1-7 never parsed: the full-name
+    // 82-query map alone is ~2.5k chars, so the line was truncated from
+    // the front (and sbt's logger prefixed it — fixed in build.sbt).
+    // stdout therefore carries exactly ONE compact line: query keys are
+    // abbreviated to the (unique) prefix before the first '_' of the
+    // SparkEntry name — "dd5b_embedding_dup_grid" -> "dd5b" — with a
+    // collision falling back to the full name, and values are
+    // millisecond-rounded seconds. The full-fidelity ledger (full
+    // names, raw repeats, per-query gc) goes to stderr and to
+    // target/bench_full_latest.json for round notes.
+    val shortCount = set.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.size)
+    def id(n: String): String = {
+      val s = n.takeWhile(_ != '_')
+      if (shortCount.getOrElse(s, 0) == 1) s else n
+    }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qsShort = ok.map { case (k, ts, _, _) => "\"" + id(k) + "\":" + f3(median(ts)) }
+      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$repeats,"failed":$failed,"queries":$qsShort,"gc_ms":$gcT,"gc_n":$gcC,"heap_mb":$heapMb,"ids":"prefix before first _ of SparkEntry.queries names","sf":"$sfName"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 tail budget")
+    System.err.println(full)
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_full_latest.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // diagnostics only — never fail the run
+    // quiet the async executor/log tail so nothing lands after this line
+    spark.sparkContext.setLogLevel("ERROR")
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }
