@@ -202,17 +202,30 @@ object Snapshots {
     * where re-diffing table contents would be a full double scan.
     * Derived purely from the immutable log, so valid until [[vacuum]]
     * like [[readVersion]]; `fromV = 0` yields the whole `toV` snapshot
-    * as inserts (the bootstrap read). */
+    * as inserts (the bootstrap read).
+    *
+    * `_change_type` is a RESERVED name: a snapshot whose data schema
+    * already carries that column is rejected (silently replacing it
+    * would corrupt the feed). If the two snapshots' schemas drifted
+    * (an evolved table), columns one side lacks come back NULL-filled
+    * on that side — `unionByName(allowMissingColumns = true)` — so the
+    * feed always presents the union schema. */
   def changes(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    require(0 <= fromV && fromV <= toV && toV <= currentVersion(table),
-      s"changes($table, $fromV, $toV): need 0 <= from <= to <= current")
+    require(1 <= toV && 0 <= fromV && fromV <= toV && toV <= currentVersion(table),
+      s"changes($table, $fromV, $toV): need 0 <= from <= to <= current, to >= 1 " +
+        "(version 0 is the empty pre-creation state; there is no feed into it)")
     val from = entriesAt(table, fromV).map(_.rel).toSet
     val to   = entriesAt(table, toV).map(_.rel).toSet
     def side(rels: Set[String], kind: String): Option[DataFrame] =
       if (rels.isEmpty) None
-      else Some(spark.read.parquet(rels.toSeq.sorted.map(r => s"$table/$r"): _*)
-        .withColumn("_change_type", lit(kind)))
+      else Some {
+        val df = spark.read.parquet(rels.toSeq.sorted.map(r => s"$table/$r"): _*)
+        require(!df.columns.contains("_change_type"),
+          s"changes($table): snapshot schema already has a `_change_type` column — " +
+            "the name is reserved for the feed; rename the data column")
+        df.withColumn("_change_type", lit(kind))
+      }
     (side(from -- to, "delete"), side(to -- from, "insert")) match {
       case (Some(d), Some(i)) => d.unionByName(i, allowMissingColumns = true)
       case (Some(d), None)    => d
@@ -221,7 +234,11 @@ object Snapshots {
         // no file-level changes: an empty feed with the live schema
         // (needs >=1 committed file to carry it, same limitation as
         // readVersion's zero-file note above)
-        readVersion(spark, table, toV).limit(0).withColumn("_change_type", lit("insert"))
+        val empty = readVersion(spark, table, toV).limit(0)
+        require(!empty.columns.contains("_change_type"),
+          s"changes($table): snapshot schema already has a `_change_type` column — " +
+            "the name is reserved for the feed; rename the data column")
+        empty.withColumn("_change_type", lit("insert"))
     }
   }
 

@@ -149,6 +149,27 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.entriesAt(table, 2).size == 3)
   }
 
+  test("change feed contract: _change_type is reserved; no feed into version 0") {
+    // toV = 0 names the empty pre-creation state — rejected with a clear
+    // contract error, not an internal 'snapshot does not exist' failure
+    val empty = tmp("snap-cdc-empty")
+    val e0 = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, empty, 0, 0)
+    }
+    assert(e0.getMessage.contains("version 0"), e0.getMessage)
+
+    // a snapshot whose DATA schema already carries _change_type would be
+    // silently corrupted by the feed's label column — rejected instead
+    val clash = tmp("snap-cdc-clash")
+    import spark.implicits._
+    val data = Seq((1, "a", "user-owned")).toDF("id", "day", "_change_type")
+    Snapshots.commit(clash, Snapshots.stage(data, clash, "day"))
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, clash, 0, 1).collect()
+    }
+    assert(e1.getMessage.contains("_change_type"), e1.getMessage)
+  }
+
   test("incremental consumer: folding the change feed reproduces every snapshot") {
     val rnd = new scala.util.Random(7)
     val table = tmp("snap-cdf-fold")
