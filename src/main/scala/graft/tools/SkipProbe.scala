@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.engine.{Graft, Tables}
+import graft.ops.lake.{Skipping, Snapshots}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the file-skipping rates the COVERAGE.md s26/s27/s28 rows
+  * report, with the SHIPPED probe parameters, so the documented numbers
+  * always describe the queries as they run (the fixture data and the
+  * probe boxes have both changed across rounds). Usage:
+  * `runMain graft.tools.SkipProbe [sfDir]` (default sf0.01). */
+object SkipProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Graft.configure(
+      SparkSession.builder().master(s"local[${Graft.cpus}]")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // s26: value-band scan over the value-range-clustered stage
+    {
+      val table = Graft.tmpDir("probe-s26")
+      wipe(table)
+      val ev = Tables(spark, dir).events
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "event_type", "value", "event_date")
+      Snapshots.commitAll(table, Snapshots.stageWithStats(ev, table, "event_date", "value"))
+      val total = Snapshots.read(spark, table).inputFiles.length
+      val kept = Snapshots.read(spark, table,
+        fileFilter = Snapshots.rangeOverlap("value", Skipping.Lo, Skipping.Hi))
+        .inputFiles.length
+      report("s26", s"band value [${Skipping.Lo},${Skipping.Hi}): opens $kept of $total files " +
+        f"(${100.0 * (total - kept) / total}%.0f%% skipped)")
+    }
+
+    // s27: 2-D box over the z-ordered stage — box, and each dim alone
+    {
+      val table = Graft.tmpDir("probe-s27")
+      wipe(table)
+      val ev = Tables(spark, dir).events
+        .select("event_id", "event_type", "user_id", "value")
+      Snapshots.commitAll(table,
+        Snapshots.stageZOrdered(ev, table, "event_type", Seq("user_id", "value")))
+      val total = Snapshots.read(spark, table).inputFiles.length
+      def kept(f: Snapshots.Entry => Boolean): Int =
+        Snapshots.read(spark, table, fileFilter = f).inputFiles.length
+      val uid = kept(Snapshots.rangeOverlap("user_id", Skipping.UidLo, Skipping.UidHi))
+      val v = kept(Snapshots.rangeOverlap("value", Skipping.ValLo, Skipping.ValHi))
+      val box = kept(Snapshots.allOf(
+        Snapshots.rangeOverlap("user_id", Skipping.UidLo, Skipping.UidHi),
+        Snapshots.rangeOverlap("value", Skipping.ValLo, Skipping.ValHi)))
+      report("s27", s"2-D box (uid [${Skipping.UidLo},${Skipping.UidHi}] x value " +
+        s"[${Skipping.ValLo},${Skipping.ValHi}]): opens $box of $total files " +
+        f"(${100.0 * (total - box) / total}%.0f%% skipped); " +
+        s"uid alone keeps $uid, value alone keeps $v")
+    }
+
+    // s28: bloom point lookup on the un-clustered id column
+    {
+      val table = Graft.tmpDir("probe-s28")
+      wipe(table)
+      val ev = Tables(spark, dir).events
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "event_type", "user_id", "value", "event_date")
+      Snapshots.commitAll(table,
+        Snapshots.withBloom(
+          Snapshots.stageWithStats(ev, table, "event_date", "value"),
+          table, "event_id", spark))
+      val total = Snapshots.read(spark, table).inputFiles.length
+      val kept = Snapshots.read(spark, table,
+        fileFilter = Snapshots.anyOf(
+          Skipping.ProbeIds.map(id => Snapshots.mightContainLong("event_id", id)): _*))
+        .inputFiles.length
+      report("s28", s"${Skipping.ProbeIds.size}-id IN-list: opens $kept of $total files " +
+        f"(${100.0 * (total - kept) / total}%.0f%% skipped)")
+    }
+    spark.stop()
+  }
+
+  private def report(q: String, msg: String): Unit = println(s"[skip-probe] $q $msg")
+
+  private def wipe(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+}
