@@ -1,0 +1,322 @@
+package graft.ops.lake
+
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** ROW-LEVEL MUTATIONS over the snapshot log — the three moves that turn
+  * the [[Snapshots]] commit kernel into a usable table format, each the
+  * published Delta/Iceberg shape reduced to its load-bearing mechanics:
+  *
+  *   - s31 [[mergeInto]]: MERGE INTO with copy-on-write — upsert a
+  *     source batch keyed by one column; only data files that actually
+  *     CONTAIN a matched key are rewritten (discovered by per-file
+  *     key-range stats, then an exact key join), everything else is
+  *     carried by manifest name. Rewrite IO follows the UPDATE's
+  *     footprint, not the table size — the difference between "rewrite
+  *     3 files" and "rewrite 100 TB" for a 0.1% correction batch.
+  *   - s32 [[deleteWhere]] + [[readMerged]]: DELETE with merge-on-read
+  *     deletion vectors — matching row POSITIONS are recorded in a
+  *     sidecar (per-file ordinal lists, the Delta DV / Iceberg position
+  *     delete shape) and the data files are NOT touched; readers
+  *     anti-join the (file, position) pairs back out. A delete of 100
+  *     rows from a 1 TB table costs one sidecar write instead of a
+  *     terabyte rewrite; compaction (or a later COW pass) reclaims the
+  *     read-side anti-join when DVs accumulate.
+  *   - s33 [[refreshCountSum]]: INCREMENTAL VIEW MAINTENANCE over the
+  *     change data feed — a per-tag (count, exact sum) aggregate table
+  *     maintained by folding only the CHANGED files' delta (inserts
+  *     positive, deletes negative — the abelian-group trick every IVM
+  *     paper builds on), rewriting only the tags the delta touched. The
+  *     refresh pays O(changed files) + O(touched tags), never a full
+  *     recompute.
+  *
+  * The reference mutates state only by full-prefix overwrite
+  * (`ingest_binance_last_3_days.py:141-144`) and recomputes aggregates
+  * from scratch per dbt run (`fact_trades.sql`); none of these shapes
+  * exist there.
+  */
+object Mutations {
+
+  /** MERGE INTO (copy-on-write): upsert `source` into the live snapshot
+    * of `table`, matching on `keyCol` — each matched target row is
+    * REPLACED by its source row, unmatched source rows are INSERTED.
+    * `source` must carry the table's exact schema; keys must be unique
+    * on both sides (the usual MERGE precondition).
+    *
+    * Only data files CONTAINING a matched key are rewritten:
+    *   1. candidate files are pruned by per-file `keyCol` min/max stats
+    *      (when staged with [[Snapshots.stageWithStats]]) against the
+    *      source's key range — one tiny agg, no table scan;
+    *   2. the exact touched set comes from a key-column-only scan of
+    *      the candidates joined to the source keys, collecting FILE
+    *      NAMES — driver state is O(files touched), the same bound
+    *      Delta's MERGE accepts;
+    *   3. survivors of touched files + all source rows restage, and one
+    *      atomic commit swaps them in (untouched manifests reused by
+    *      name). A source with no matches degenerates to a pure
+    *      append-only commit: zero files rewritten.
+    *
+    * Readers concurrent with the merge see old XOR new, like every
+    * commit here. Returns the committed version (unchanged if `source`
+    * is empty). */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+                keyCol: String, tagCol: String): Long = {
+    if (source.isEmpty) return Snapshots.currentVersion(table)
+    val bounds = source.agg(
+      min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double")).head()
+    val candidates = Snapshots.rangeOverlap(keyCol, bounds.getDouble(0), bounds.getDouble(1))
+    val srcKeys = source.select(col(keyCol)).distinct()
+    val touchedIds = Snapshots.read(spark, table, fileFilter = candidates)
+      .select(col(keyCol), Snapshots.fileIdCol(input_file_name()).as("__f"))
+      .join(srcKeys, keyCol)
+      .select(col("__f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val touchedRels = Snapshots.entriesAll(table)
+      .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }
+    val replaced =
+      if (touchedRels.isEmpty) source
+      else spark.read.parquet(touchedRels.map(r => s"$table/$r"): _*)
+        .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
+        .unionByName(source)
+    Snapshots.commit(table, Snapshots.stage(replaced, table, tagCol),
+      remove = e => touchedRels.contains(e._1))
+  }
+
+  /** Reserved manifest property: table-relative dir of the entry's
+    * deletion-vector sidecar. */
+  private val DvProp = "dv"
+
+  /** DELETE with merge-on-read DELETION VECTORS: rows of the live
+    * snapshot matching `predicate` are deleted by recording their
+    * per-file POSITIONS (parquet row ordinals via `_metadata.row_index`)
+    * in an immutable sidecar under `dv/` — no data file is rewritten.
+    * The commit replaces each touched file's manifest ENTRY with one
+    * carrying a `dv=<sidecarDir>` property (same data file, new
+    * metadata — O(touched) manifest IO); a file deleted from twice has
+    * its previous vector FOLDED into the new sidecar, so the newest
+    * entry's vector is always the complete one. Time travel still
+    * works: older snapshots reference the older entries (fewer or no
+    * DVs) and [[readMerged]] applies exactly the vectors that version
+    * committed.
+    *
+    * Positions ride the sidecar as plain (file, position) parquet rows
+    * — at Delta/Iceberg scale these become roaring bitmaps, which
+    * changes the encoding, not the protocol. Readers must use
+    * [[readMerged]]; [[Snapshots.read]] is the raw-file read and does
+    * not apply vectors. Returns the committed version (unchanged when
+    * nothing matches). */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
+    val entries = Snapshots.entriesAll(table)
+    val byId = entries.map(e => Snapshots.fileId(e.rel) -> e).toMap
+    val matched = Snapshots.read(spark, table)
+      .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select("__fid", "__pos")
+    // fold in the touched files' EXISTING vectors so the new sidecar is
+    // complete per file (read before collect: one job total)
+    val touchedIds = matched.select("__fid").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedIds.isEmpty) return Snapshots.currentVersion(table)
+    val prior = touchedIds.flatMap(n => byId(n).props.get(DvProp))
+    val all = prior.foldLeft(matched) { (acc, dvRel) =>
+      acc.unionByName(
+        spark.read.parquet(s"$table/$dvRel")
+          .filter(col("__fid").isin(touchedIds.toSeq: _*)))
+    }.distinct()
+    val dvRel = s"dv/dv-${java.util.UUID.randomUUID.toString.take(12)}"
+    all.repartition(1).write
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$table/$dvRel")
+    val updated = entries.collect {
+      case e if touchedIds(Snapshots.fileId(e.rel)) =>
+        e.copy(props = e.props + (DvProp -> dvRel))
+    }
+    Snapshots.commitAll(table, updated,
+      remove = { case (rel, _) => touchedIds(Snapshots.fileId(rel)) })
+  }
+
+  /** Read snapshot `version` (−1 = live) with deletion vectors applied —
+    * the merge-on-read scan: files whose entry carries no vector stream
+    * through untouched; files with one anti-join their authoritative
+    * sidecar's (file, position) pairs (vector side is sidecar-sized, so
+    * AQE broadcasts the anti-join; the data side never shuffles). */
+  def readMerged(spark: SparkSession, table: String, version: Long = -1L,
+                 tagFilter: String => Boolean = _ => true,
+                 fileFilter: Snapshots.Entry => Boolean = _ => true): DataFrame = {
+    val v = if (version < 0) Snapshots.currentVersion(table) else version
+    val es = Snapshots.entriesAt(table, v)
+      .filter(e => tagFilter(e.tag) && fileFilter(e))
+    val (dvEs, plainEs) = es.partition(_.props.contains(DvProp))
+    if (dvEs.isEmpty)
+      return Snapshots.readVersion(spark, table, v, tagFilter, fileFilter)
+    // authoritative (file name, sidecar) pairs — a sidecar may carry rows
+    // for files whose entries have since moved to a NEWER vector, so each
+    // file's positions are taken from ITS entry's sidecar only
+    val owns = dvEs.groupBy(_.props(DvProp)).toSeq
+    val dvRows = owns.map { case (dvRel, owners) =>
+      val ids = owners.map(e => Snapshots.fileId(e.rel))
+      spark.read.parquet(s"$table/$dvRel")
+        .filter(col("__fid").isin(ids: _*))
+    }.reduce(_.unionByName(_))
+    val dvData = spark.read.parquet(dvEs.map(e => s"$table/${e.rel}"): _*)
+    val cols = dvData.columns.map(col)
+    val merged = dvData
+      .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dvRows, Seq("__fid", "__pos"), "left_anti")
+      .select(cols: _*)
+    if (plainEs.isEmpty) merged
+    else merged.unionByName(
+      spark.read.parquet(plainEs.map(e => s"$table/${e.rel}"): _*))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE of a per-tag (count, exact sum)
+    * aggregate — the canonical additive MV. `mvTable` is itself a
+    * snapshot table with rows `(tagCol, n, sum_<valCol>)`; a refresh
+    * folds the `fromV → toV` change feed of `srcTable` as signed deltas
+    * (insert +1, delete −1 — counts and DECIMAL sums form an abelian
+    * group, so a file swap's delete+insert pair cancels to the true
+    * row-level delta), combines them with the CURRENT MV rows of the
+    * touched tags only, and commits the result replacing exactly those
+    * tags. Untouched tags: zero IO, carried by manifest name. A tag
+    * whose count folds to zero is dropped from the MV. `fromV = 0`
+    * bootstraps. Returns the MV's committed version. */
+  def refreshCountSum(spark: SparkSession, mvTable: String, srcTable: String,
+                      fromV: Long, toV: Long, tagCol: String, valCol: String): Long = {
+    val sumCol = s"sum_$valCol"
+    val sgn = when(col("_change_type") === "delete", -1).otherwise(1)
+    val delta = Snapshots.changes(spark, srcTable, fromV, toV)
+      .withColumn("__sgn", sgn)
+      .groupBy(col(tagCol))
+      .agg(
+        sum(col("__sgn").cast("long")).as("n"),
+        Exact.decSumRaw(col(valCol) * col("__sgn")).as(sumCol))
+    val tags = delta.select(col(tagCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (tags.isEmpty) return Snapshots.currentVersion(mvTable)
+    val combined =
+      (if (Snapshots.currentVersion(mvTable) == 0) delta
+       else Snapshots.read(spark, mvTable, tagFilter = tags.contains)
+         .unionByName(delta)
+         .groupBy(col(tagCol))
+         .agg(sum(col("n")).as("n"),
+           sum(col(sumCol)).cast(org.apache.spark.sql.types.DecimalType(25, 6)).as(sumCol)))
+        .filter(col("n") > 0)
+    Snapshots.commit(mvTable, Snapshots.stage(combined, mvTable, tagCol),
+      remove = e => tags.contains(e._2))
+  }
+
+  // ---- registered queries --------------------------------------------
+
+  private def freshTable(prefix: String, dir: String): String = {
+    val table = Graft.tmpDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def wipe(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete()
+    }
+    wipe(new File(table)) // deterministic rebuild per invocation
+    table
+  }
+
+  private def decSumSql(expr: String): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+
+  /** s31: MERGE a correction batch into an event snapshot table — days
+    * ≤ 01-20 are the base, the source re-states days 18–25 with bumped
+    * values (18–20 match ⇒ file-pruned copy-on-write replace; 21–25 are
+    * new keys ⇒ pure inserts), then aggregate the merged table per day.
+    * The base is staged with per-file `event_id` stats, so the touched-
+    * file discovery prunes to the id band the source spans before any
+    * data join runs. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s31-merge-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "value", "event_date")
+    val base = ev.filter(col("event_date") <= "2024-01-20")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(base, table, "event_date", "event_id"))
+    val source = ev
+      .filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .select(col("event_id"), (col("value") + 1000.0).as("value"), col("event_date"))
+    mergeInto(spark, table, source, "event_id", "event_date")
+    Snapshots.read(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val snapshotMergeOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, value, CAST(ts AS DATE) AS event_date FROM events
+      |  WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |src AS (
+      |  SELECT event_id, value + 1000.0 AS value, CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-18' AND DATE '2024-01-25'),
+      |merged AS (
+      |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM src)
+      |  UNION ALL SELECT * FROM src)
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM merged GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  /** s32: DELETE twice with merge-on-read deletion vectors (cheap
+    * clicks, then runaway views — the second delete exercises vector
+    * folding on files both predicates touch), then aggregate the
+    * surviving rows per day via the DV-applying read. No data file is
+    * rewritten by either delete. */
+  def deletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s32-dv-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commit(table, Snapshots.stage(ev, table, "event_date"))
+    deleteWhere(spark, table, col("event_type") === "click" && col("value") < 10.0)
+    deleteWhere(spark, table, col("event_type") === "view" && col("value") > 300.0)
+    readMerged(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val deletionVectorsOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  ${decSumSql("value")} AS sum_value
+      |FROM events
+      |WHERE NOT (event_type = 'click' AND value < 10.0)
+      |  AND NOT (event_type = 'view' AND value > 300.0)
+      |GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  /** s33: maintain the per-day (count, sum) MV across the healed-table
+    * history incrementally — bootstrap from v1's feed, then fold ONLY
+    * the v1→v2 heal delta (the three healed dates; every other date's
+    * MV row is carried by manifest name, never recomputed) — and read
+    * the MV back. The oracle is the full recompute over the healed
+    * state, so the compare proves delta-fold ≡ recompute. */
+  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val src = TimeTravel.buildHealedTable(spark, dir, "s33-src-")
+    val mv = freshTable("s33-mv-", dir)
+    refreshCountSum(spark, mv, src, 0, 1, "event_date", "value")
+    refreshCountSum(spark, mv, src, 1, 2, "event_date", "value")
+    Snapshots.read(spark, mv)
+      .select(col("event_date"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val incrementalMvOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  ${decSumSql(
+        "CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12' " +
+          "THEN value * 2.0 ELSE value END")} AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s31_snapshot_merge", snapshotMergeOracle)(snapshotMerge),
+    QueryDef.sql("s32_deletion_vectors", deletionVectorsOracle)(deletionVectors),
+    QueryDef.sql("s33_incremental_mv", incrementalMvOracle)(incrementalMv))
+}

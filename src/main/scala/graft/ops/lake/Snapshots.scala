@@ -398,6 +398,26 @@ object Snapshots {
   def anyOf(filters: (Entry => Boolean)*): Entry => Boolean =
     e => filters.exists(_(e))
 
+  /** Unique-within-table FILE ID: the `__tag=…/<name>` tail of a
+    * table-relative path. The bare part-file NAME is NOT unique — one
+    * write task emits the SAME `part-<n>-<uuid>` name into every
+    * `__tag=` directory it owns — but within one directory names are
+    * unique, and across staged writes the job UUID differs, so the
+    * (dir, name) tail is table-unique. */
+  def fileId(rel: String): String =
+    rel.split('/').takeRight(2).mkString("/")
+
+  /** [[fileId]] of a path COLUMN (`input_file_name()` /
+    * `_metadata.file_path`). Those surface the file's URI form, which
+    * percent-encodes bytes the filesystem name carries literally (a
+    * space in a tag value), so the tail is url-decoded back to the
+    * filesystem form [[fileId]] extracts from manifest rels. */
+  def fileIdCol(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    url_decode(concat_ws("/",
+      element_at(split(pathCol, "/"), -2), element_at(split(pathCol, "/"), -1)))
+  }
+
   /** Decorate staged entries with a per-file BLOOM FILTER over
     * `bloomCol` — the Iceberg/Parquet bloom-skipping shape for EQUALITY
     * predicates on columns the file layout is NOT clustered by (where
@@ -417,17 +437,19 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     graft.functions.BloomSketch.register(spark)
     val files = staged.map(e => s"$table/${e.rel}")
-    // part-file names embed the write-job UUID: unique within the table,
-    // so matching sketch rows back to entries by file NAME is exact.
+    // sketch rows map back to entries by [[fileId]] — the bare part-file
+    // name is NOT unique across __tag dirs (one task writes the same
+    // name into every dir it owns), and a name-keyed grouping would
+    // silently MERGE those files' sketches (no false negatives, but
+    // every collision's keys bleed into the other file's filter).
     val sketches = spark.read.parquet(files: _*)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
+      .groupBy(fileIdCol(input_file_name()).as("__f"))
       .agg(expr(s"graft_bloom_agg(xxhash64($bloomCol), " +
         s"CAST($estItems AS BIGINT), CAST($numBits AS BIGINT))").as("__b"))
       .collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     staged.map { e =>
-      val name = e.rel.substring(e.rel.lastIndexOf('/') + 1)
-      e.copy(props = e.props ++ sketches.get(name).map(b =>
+      e.copy(props = e.props ++ sketches.get(fileId(e.rel)).map(b =>
         s"bloom.$bloomCol" -> java.util.Base64.getEncoder.encodeToString(b)))
     }
   }

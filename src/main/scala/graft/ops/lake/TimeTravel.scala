@@ -32,7 +32,7 @@ object TimeTravel {
   /** Build the two-version fixture table: v1 = full events by date,
     * v2 = [[HealDates]] re-staged with corrected (doubled) values via
     * one atomic remove+add commit. Returns the table path. */
-  private def buildHealedTable(spark: SparkSession, dir: String, prefix: String): String = {
+  private[lake] def buildHealedTable(spark: SparkSession, dir: String, prefix: String): String = {
     val table = Graft.tmpDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))

@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.lake.{Mutations, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level mutation contracts over the snapshot log: MERGE rewrites
+  * exactly the files containing matched keys, deletion vectors never
+  * touch data files, and the incremental MV refresh restates only the
+  * tags its delta touched. */
+class MutationsSpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  private def sorted(d: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double)] =
+    d.select("id", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+
+  test("merge rewrites only files containing matched keys; inserts are append-only") {
+    val table = tmp("mut-merge")
+    // three single-day files; keys clustered per day so stats prune
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0),
+         (20L, "c", 20.0), (21L, "c", 21.0)),
+      table, "day", "id", buckets = 3))
+    val before = Snapshots.entries(table).map(_._1).toSet
+
+    // update key 10 (day b) + insert key 30 (day d): only b's file rewrites
+    Mutations.mergeInto(spark, table,
+      df((10L, "b", 100.0), (30L, "d", 30.0)), "id", "day")
+    val after = Snapshots.entries(table).map(_._1).toSet
+    val carried = before.intersect(after)
+    val aTag = Snapshots.entriesAll(table).filter(e => carried(e.rel)).map(_.tag).toSet
+    assert(!aTag.contains("b"), "the matched day's file must be rewritten")
+    assert(aTag.intersect(Set("a", "c")).size == 2,
+      s"untouched days' files must be carried by name; carried tags $aTag")
+    assert(sorted(Snapshots.read(spark, table)) ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 100.0), (11L, "b", 11.0),
+        (20L, "c", 20.0), (21L, "c", 21.0), (30L, "d", 30.0)))
+
+    // pure-insert merge: no prior file rewritten at all
+    val v2 = Snapshots.entries(table).map(_._1).toSet
+    Mutations.mergeInto(spark, table, df((40L, "e", 40.0)), "id", "day")
+    assert(v2.subsetOf(Snapshots.entries(table).map(_._1).toSet),
+      "an unmatched source must reuse every prior file by name")
+
+    // empty source: version unchanged, no empty commit
+    val v = Snapshots.currentVersion(table)
+    Mutations.mergeInto(spark, table, df(), "id", "day")
+    assert(Snapshots.currentVersion(table) == v)
+  }
+
+  test("deletion vectors: no data file rewritten, deletes compose, history intact") {
+    val table = tmp("mut-dv")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+         (10L, "b", 10.0), (11L, "b", 11.0)), table, "day"))
+    val files = Snapshots.entries(table).map(_._1).toSet
+
+    Mutations.deleteWhere(spark, table, col("v") < 2.0) // id 1
+    Mutations.deleteWhere(spark, table, col("id") === 3L || col("id") === 10L)
+    assert(Snapshots.entries(table).map(_._1).toSet == files,
+      "deletion vectors must never rewrite or add data files")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((2L, "a", 2.0), (11L, "b", 11.0)),
+      "the second delete must fold the first file's existing vector")
+
+    // time travel: v1 had no vectors, v2 only the first delete
+    assert(sorted(Mutations.readMerged(spark, table, version = 1)).map(_._1) ==
+      Seq(1L, 2L, 3L, 10L, 11L))
+    assert(sorted(Mutations.readMerged(spark, table, version = 2)).map(_._1) ==
+      Seq(2L, 3L, 10L, 11L))
+
+    // no-match delete: no commit
+    val v = Snapshots.currentVersion(table)
+    Mutations.deleteWhere(spark, table, col("v") > 1e9)
+    assert(Snapshots.currentVersion(table) == v)
+  }
+
+  test("file ids disambiguate same-named part files across tag dirs (collision pin)") {
+    val table = tmp("mut-collide")
+    // a task writing several tags emits the SAME part-file NAME into
+    // each of their __tag dirs; a name-keyed vector would cross-delete
+    // (the r8 bug this pins). More tags than shuffle partitions forces
+    // multi-tag tasks by pigeonhole, with or without AQE coalescing.
+    val many = (1L to 64L).map(i => (i, s"d$i", i.toDouble))
+    Snapshots.commit(table, Snapshots.stage(df(many: _*), table, "day"))
+    val names = Snapshots.entries(table).map(_._1)
+      .map(r => r.substring(r.lastIndexOf('/') + 1))
+    assert(names.distinct.size < names.size,
+      "fixture must actually produce colliding part-file names")
+    Mutations.deleteWhere(spark, table, col("id") === 3L)
+    assert(sorted(Mutations.readMerged(spark, table)).map(_._1) ==
+      (1L to 64L).filterNot(_ == 3L),
+      "a vector for one file must not delete positions in same-named files")
+  }
+
+  test("incremental MV refresh: fold equals recompute, untouched tags carried by name") {
+    val src = tmp("mut-mv-src")
+    val mv = tmp("mut-mv")
+    Snapshots.commit(src, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.5), (10L, "b", 10.0), (20L, "c", 20.0)),
+      src, "day"))
+    Mutations.refreshCountSum(spark, mv, src, 0, 1, "day", "v")
+    // heal day b (replace 10.0 -> 40.0), leave a and c untouched
+    Snapshots.commit(src, Snapshots.stage(df((10L, "b", 40.0)), src, "day"),
+      remove = _._2 == "b")
+    val aBefore = Snapshots.entriesAll(mv).filter(_.tag == "a").map(_.rel).toSet
+    Mutations.refreshCountSum(spark, mv, src, 1, 2, "day", "v")
+    assert(Snapshots.entriesAll(mv).filter(_.tag == "a").map(_.rel).toSet == aBefore,
+      "an untouched tag's MV file must be carried by name, not recomputed")
+    val got = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 3.5), ("b", 1L, 40.0), ("c", 1L, 20.0)))
+
+    // delete-everything delta folds a tag's count to zero -> row dropped
+    Snapshots.commit(src, Snapshots.stage(df((99L, "z", 0.0)), src, "day"),
+      remove = _._2 == "c")
+    Mutations.refreshCountSum(spark, mv, src, 2, 3, "day", "v")
+    val days = Snapshots.read(spark, mv).select("day")
+      .collect().map(_.getString(0)).toSet
+    assert(days == Set("a", "b", "z"), s"zero-count tag must drop from the MV; got $days")
+  }
+}
