@@ -187,6 +187,10 @@ object Mutations {
     * bootstraps. Returns the MV's committed version. */
   def refreshCountSum(spark: SparkSession, mvTable: String, srcTable: String,
                       fromV: Long, toV: Long, tagCol: String, valCol: String): Long = {
+    require(fromV == appliedVersion(mvTable),
+      s"refresh of $mvTable: fromV=$fromV but the MV has folded source " +
+        s"version ${appliedVersion(mvTable)} — deltas must be applied " +
+        "gap-free and exactly once (use catchUp)")
     val sumCol = s"sum_$valCol"
     val sgn = when(col("_change_type") === "delete", -1).otherwise(1)
     val delta = Snapshots.changes(spark, srcTable, fromV, toV)
@@ -197,7 +201,12 @@ object Mutations {
         Exact.decSumRaw(col(valCol) * col("__sgn")).as(sumCol))
     val tags = delta.select(col(tagCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    if (tags.isEmpty) return Snapshots.currentVersion(mvTable)
+    val applied = Map(AppliedProp -> toV.toString)
+    if (tags.isEmpty)
+      // nothing to fold (metadata-only source commits): still advance
+      // the bookkeeping when the MV exists, so catchUp converges
+      return if (Snapshots.currentVersion(mvTable) == 0) 0L
+        else Snapshots.commitAll(mvTable, Seq.empty, props = applied)
     val combined =
       (if (Snapshots.currentVersion(mvTable) == 0) delta
        else Snapshots.read(spark, mvTable, tagFilter = tags.contains)
@@ -207,7 +216,36 @@ object Mutations {
            sum(col(sumCol)).cast(org.apache.spark.sql.types.DecimalType(25, 6)).as(sumCol)))
         .filter(col("n") > 0)
     Snapshots.commit(mvTable, Snapshots.stage(combined, mvTable, tagCol),
-      remove = e => tags.contains(e._2))
+      remove = e => tags.contains(e._2), props = applied)
+  }
+
+  /** Snapshot property carrying the source version an MV snapshot has
+    * folded up to — co-atomic with the MV data it describes (see
+    * [[Snapshots.snapshotProps]]). */
+  val AppliedProp = "mv.applied"
+
+  /** Source version the MV has folded (0 = nothing yet). Read from the
+    * LIVE MV snapshot's own props, so the bookkeeping can never drift
+    * from the rows: a crash before the refresh's commit leaves both at
+    * the old state; after it, both at the new. */
+  def appliedVersion(mvTable: String): Long =
+    Snapshots.snapshotProps(mvTable, Snapshots.currentVersion(mvTable))
+      .get(AppliedProp).map(_.toLong).getOrElse(0L)
+
+  /** Fold every source version the MV has not seen yet — the RESTARTABLE
+    * refresh loop body: reads its own progress from the MV's snapshot
+    * props, folds `applied → current` in one delta, and commits data +
+    * new progress atomically. Crash anywhere and rerun: a replay either
+    * re-reads the old progress (delta re-folds, same result) or sees the
+    * new progress (no-op) — exactly-once without any state outside the
+    * table. Returns the MV's version (unchanged when already caught
+    * up). */
+  def catchUp(spark: SparkSession, mvTable: String, srcTable: String,
+              tagCol: String, valCol: String): Long = {
+    val from = appliedVersion(mvTable)
+    val to = Snapshots.currentVersion(srcTable)
+    if (to > from) refreshCountSum(spark, mvTable, srcTable, from, to, tagCol, valCol)
+    else Snapshots.currentVersion(mvTable)
   }
 
   // ---- registered queries --------------------------------------------

@@ -110,16 +110,36 @@ object Snapshots {
     (Seq(e.rel, e.tag) ++
       e.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\t")
 
-  /** Snapshot `v`'s manifest list: (manifest name, distinct tags inside). */
-  private def manifestList(table: String, v: Long): Seq[(String, Set[String])] = {
+  private def snapLines(table: String, v: Long): Seq[String] = {
     val sf = snapFile(table, v)
     require(sf.exists(), s"snapshot v$v of $table does not exist (vacuumed or never committed)")
     new String(Files.readAllBytes(sf.toPath), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val (name, tags) = parseLine(line)
-        (name, tags.split("\u0001").toSet.filter(_.nonEmpty))
-      }
+      .split("\n").toSeq.filter(_.nonEmpty)
   }
+
+  /** Snapshot `v`'s manifest list: (manifest name, distinct tags inside).
+    * `#`-prefixed property lines (see [[snapshotProps]]) are skipped. */
+  private def manifestList(table: String, v: Long): Seq[(String, Set[String])] =
+    snapLines(table, v).filterNot(_.startsWith("#")).map { line =>
+      val (name, tags) = parseLine(line)
+      (name, tags.split("\u0001").toSet.filter(_.nonEmpty))
+    }
+
+  /** SNAPSHOT-LEVEL PROPERTIES — the Iceberg snapshot-summary shape:
+    * commit-scoped metadata (`#key=value` header lines in the snapshot
+    * file) that rides the SAME atomic publish as the data it describes.
+    * That co-atomicity is the point: bookkeeping like "this MV snapshot
+    * has folded source version N" (`Mutations.refreshCountSum`) can
+    * never drift from the table state it annotates — a crash either
+    * publishes both or neither. Empty for pre-r8 snapshots and v0. */
+  def snapshotProps(table: String, v: Long): Map[String, String] =
+    if (v == 0) Map.empty
+    else snapLines(table, v).filter(_.startsWith("#")).flatMap { line =>
+      line.drop(1).split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _               => None
+      }
+    }.toMap
 
   private def manifestEntries(table: String, mfName: String): Seq[Entry] =
     new String(Files.readAllBytes(new File(logDir(table), mfName).toPath), UTF_8)
@@ -545,8 +565,9 @@ object Snapshots {
 
   /** [[commit]] with full [[Entry]] adds. */
   def commitAll(table: String, add: Seq[Entry],
-                remove: ((String, String)) => Boolean = _ => false): Long =
-    commitPrepared(prepareAll(table, add, remove))
+                remove: ((String, String)) => Boolean = _ => false,
+                props: Map[String, String] = Map.empty): Long =
+    commitPrepared(prepareAll(table, add, remove), props)
 
   /** Write bytes to a file and FORCE them to storage before any rename/
     * link publishes them — without the `force(true)`, a power loss
@@ -570,14 +591,21 @@ object Snapshots {
     * taken and gets [[ConcurrentCommitException]] — unless the existing
     * content is byte-identical (a crash-recovery re-commit), which
     * stays an idempotent no-op. Returns the committed version. */
-  def commitPrepared(p: Prepared): Long = {
+  def commitPrepared(p: Prepared, props: Map[String, String] = Map.empty): Long = {
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains("=") &&
+          !s"$k$v".exists(c => c == '\n' || c == '\t'),
+        s"snapshot prop '$k'='$v': keys must be non-empty and '='-free, " +
+          "neither side may carry tab/newline framing characters")
+    }
     val dir = logDir(p.table)
     dir.mkdirs()
     val dst = snapFile(p.table, p.version)
-    val bytes = p.manifests.map { mf =>
+    val propLines = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val bytes = (propLines ++ p.manifests.map { mf =>
       val tags = manifestEntries(p.table, mf).map(_.tag).distinct.sorted
       s"$mf\t${tags.mkString("\u0001")}"
-    }.mkString("\n").getBytes(UTF_8)
+    }).mkString("\n").getBytes(UTF_8)
     def sameContent(): Boolean =
       dst.exists() && java.util.Arrays.equals(Files.readAllBytes(dst.toPath), bytes)
     if (!sameContent()) {
@@ -594,10 +622,12 @@ object Snapshots {
     p.version
   }
 
-  /** Stage-free convenience: prepare + commit in one step. */
+  /** Stage-free convenience: prepare + commit in one step. `props`
+    * become the snapshot's [[snapshotProps]]. */
   def commit(table: String, add: Seq[(String, String)],
-             remove: ((String, String)) => Boolean = _ => false): Long =
-    commitPrepared(prepare(table, add, remove))
+             remove: ((String, String)) => Boolean = _ => false,
+             props: Map[String, String] = Map.empty): Long =
+    commitPrepared(prepare(table, add, remove), props)
 
   /** Delete data files the CURRENT snapshot no longer references,
     * manifests no current-snapshot line names, snapshots older than the

@@ -117,6 +117,9 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(got == Seq(("a", 2L, 3.5), ("b", 1L, 40.0), ("c", 1L, 20.0)))
 
+    // applied-version bookkeeping rode each commit
+    assert(Mutations.appliedVersion(mv) == 2L)
+
     // delete-everything delta folds a tag's count to zero -> row dropped
     Snapshots.commit(src, Snapshots.stage(df((99L, "z", 0.0)), src, "day"),
       remove = _._2 == "c")
@@ -124,5 +127,35 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     val days = Snapshots.read(spark, mv).select("day")
       .collect().map(_.getString(0)).toSet
     assert(days == Set("a", "b", "z"), s"zero-count tag must drop from the MV; got $days")
+  }
+
+  test("catchUp is restartable exactly-once; gapped refreshes are rejected") {
+    val src = tmp("mut-cu-src")
+    val mv = tmp("mut-cu-mv")
+    Snapshots.commit(src, Snapshots.stage(
+      df((1L, "a", 1.0), (10L, "b", 10.0)), src, "day"))
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    assert(Mutations.appliedVersion(mv) == 1L)
+    val v = Snapshots.currentVersion(mv)
+    // replay: already caught up -> no new commit (exactly-once)
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    assert(Snapshots.currentVersion(mv) == v)
+
+    // two source commits, ONE catch-up folds both
+    Snapshots.commit(src, Snapshots.stage(df((2L, "a", 2.0)), src, "day"))
+    Snapshots.commit(src, Snapshots.stage(df((10L, "b", 40.0)), src, "day"),
+      remove = _._2 == "b")
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    assert(Mutations.appliedVersion(mv) == 3L)
+    val got = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 3.0), ("b", 1L, 40.0)))
+
+    // a delta that skips or repeats versions is a contract violation
+    val e = intercept[IllegalArgumentException] {
+      Mutations.refreshCountSum(spark, mv, src, 1, 3, "day", "v")
+    }
+    assert(e.getMessage.contains("gap-free"), e.getMessage)
   }
 }

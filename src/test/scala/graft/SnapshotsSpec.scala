@@ -149,6 +149,25 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.entriesAt(table, 2).size == 3)
   }
 
+  test("snapshot props ride the commit atomically; framing characters rejected") {
+    val table = tmp("snap-props")
+    val v = Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"),
+      props = Map("writer" -> "r8", "note" -> "hello world"))
+    assert(Snapshots.snapshotProps(table, v) ==
+      Map("writer" -> "r8", "note" -> "hello world"))
+    assert(Snapshots.snapshotProps(table, 0).isEmpty)
+    // a props-only commit (no adds/removes) carries the data forward
+    val v2 = Snapshots.commit(table, Seq.empty, props = Map("k" -> "v2"))
+    assert(Snapshots.snapshotProps(table, v2) == Map("k" -> "v2"))
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L)))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(table, Seq.empty, props = Map("bad=key" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(table, Seq.empty, props = Map("k" -> "a\tb"))
+    }
+  }
+
   test("change feed contract: _change_type is reserved; no feed into version 0") {
     // toV = 0 names the empty pre-creation state — rejected with a clear
     // contract error, not an internal 'snapshot does not exist' failure
