@@ -248,6 +248,21 @@ object Mutations {
     else Snapshots.currentVersion(mvTable)
   }
 
+  /** Streaming sink composing the whole lake stack: each micro-batch
+    * commits to the snapshot table exactly-once
+    * ([[Snapshots.batchCommitter]] — version keyed to the batch id, so
+    * replays can never publish twice) and then catches the downstream
+    * MV up to it. Every failure point converges on rerun: a replayed
+    * batch no-ops the table commit AND the catch-up (progress already
+    * recorded); a crash between the two leaves the MV behind by one
+    * version, which the NEXT batch's catch-up folds — the sinks can
+    * lag, never diverge. Use with `writeStream.foreachBatch(...)`. */
+  def ingestWithMv(table: String, mvTable: String, tagCol: String,
+                   valCol: String): (DataFrame, Long) => Unit = { (df, batchId) =>
+    Snapshots.batchCommitter(table, tagCol)(df, batchId)
+    catchUp(df.sparkSession, mvTable, table, tagCol, valCol)
+  }
+
   // ---- registered queries --------------------------------------------
 
   private def freshTable(prefix: String, dir: String): String = {

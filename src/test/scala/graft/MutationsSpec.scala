@@ -158,4 +158,45 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("gap-free"), e.getMessage)
   }
+
+  test("streaming ingest + continuous MV: exactly-once end to end, replay-safe") {
+    import org.apache.spark.sql.types._
+    val src = tmp("mut-stream-src")
+    val table = tmp("mut-stream-table")
+    val mv = tmp("mut-stream-mv")
+    df((1L, "a", 1.0), (2L, "a", 2.0)).coalesce(1).write.parquet(s"$src/f1")
+    df((3L, "b", 30.0)).coalesce(1).write.parquet(s"$src/f2")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("day", StringType), StructField("v", DoubleType)))
+    def drain(cp: String): Unit =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // one batch per file
+        .parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch(Mutations.ingestWithMv(table, mv, "day", "v"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    drain(tmp("mut-stream-ckpt"))
+    def mvRows() = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(Snapshots.currentVersion(table) == 2)
+    assert(Mutations.appliedVersion(mv) == 2L)
+    assert(mvRows() == Seq(("a", 2L, 3.0), ("b", 1L, 30.0)))
+
+    // full replay from a FRESH checkpoint (batch ids restart at 0):
+    // table commits no-op by version, MV catch-up no-ops by progress
+    val mvV = Snapshots.currentVersion(mv)
+    drain(tmp("mut-stream-ckpt2"))
+    assert(Snapshots.currentVersion(table) == 2 &&
+      Snapshots.currentVersion(mv) == mvV)
+    assert(mvRows() == Seq(("a", 2L, 3.0), ("b", 1L, 30.0)))
+
+    // crash WINDOW between table commit and MV catch-up: simulate by
+    // committing straight to the table; the next catch-up converges
+    Snapshots.commit(table, Snapshots.stage(df((4L, "b", 10.0)), table, "day"))
+    Mutations.catchUp(spark, mv, table, "day", "v")
+    assert(mvRows() == Seq(("a", 2L, 3.0), ("b", 2L, 40.0)))
+  }
 }
