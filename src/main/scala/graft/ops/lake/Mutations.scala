@@ -86,8 +86,11 @@ object Mutations {
   }
 
   /** Reserved manifest property: table-relative dir of the entry's
-    * deletion-vector sidecar. */
-  private val DvProp = "dv"
+    * deletion-vector sidecar. The `ref.` prefix marks it (and any
+    * future sidecar kind) as an auxiliary-file REFERENCE for
+    * [[Snapshots.vacuum]]: sidecar dirs no live entry names are
+    * reclaimed like unreferenced data files. */
+  private val DvProp = "ref.dv"
 
   /** DELETE with merge-on-read DELETION VECTORS: rows of the live
     * snapshot matching `predicate` are deleted by recording their

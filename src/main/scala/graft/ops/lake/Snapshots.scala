@@ -659,6 +659,18 @@ object Snapshots {
     dirsUnder(dataDir).dropRight(1) // keep data/ itself
       .filter(d => walk(d).forall(!_.getName.endsWith(".parquet")))
       .foreach { d => walk(d).foreach(_.delete()); d.delete() }
+    // auxiliary sidecar dirs (deletion vectors et al.): a live entry
+    // references its sidecar via a `ref.*` prop ("ref.dv" ->
+    // "dv/dv-<id>"); any dv/ subdirectory no live entry names is a
+    // crashed delete's or superseded vector's leftover — reclaim it,
+    // same deferral rules as data files (older snapshots' vectors die
+    // with their snapshots here)
+    val refdAux = liveManifests.flatMap(manifestEntries(table, _))
+      .flatMap(_.props.collect { case (k, v) if k.startsWith("ref.") => v })
+    val dvDir = new File(table, "dv")
+    val auxOrphans = Option(dvDir.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && !refdAux.contains(s"dv/${d.getName}"))
+    auxOrphans.foreach { d => walk(d).foreach(_.delete()); d.delete() }
     // superseded snapshots, unshared manifests, crashed-commit tmp files
     Option(logDir(table).listFiles()).toSeq.flatten.foreach { f =>
       val name = f.getName
@@ -668,7 +680,8 @@ object Snapshots {
           name.contains(".tmp-")
       if (drop) f.delete()
     }
-    orphans.map(f => root.relativize(f.toPath).toString)
+    orphans.map(f => root.relativize(f.toPath).toString) ++
+      auxOrphans.map(d => s"dv/${d.getName}")
   }
 
   /** OPTIMIZE for snapshot tables: bin-pack every tag fragmented across

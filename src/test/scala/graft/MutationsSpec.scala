@@ -78,6 +78,20 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     val v = Snapshots.currentVersion(table)
     Mutations.deleteWhere(spark, table, col("v") > 1e9)
     assert(Snapshots.currentVersion(table) == v)
+
+    // vacuum reclaims superseded + crashed sidecars, keeps live ones:
+    // every file's vector moved to the second delete's sidecar, so the
+    // first delete's dir is unreferenced; the junk dir simulates a
+    // delete that crashed before its commit
+    new java.io.File(s"$table/dv/dv-crashed").mkdirs()
+    val dvDirsBefore = new java.io.File(s"$table/dv").listFiles().length
+    assert(dvDirsBefore == 3, s"expected 2 sidecars + 1 junk, got $dvDirsBefore")
+    Snapshots.vacuum(table)
+    val left = new java.io.File(s"$table/dv").listFiles().map(_.getName).toSeq
+    assert(left.size == 1 && !left.contains("dv-crashed"),
+      s"vacuum must keep exactly the live sidecar; left: $left")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((2L, "a", 2.0), (11L, "b", 11.0)), "vectors intact after vacuum")
   }
 
   test("file ids disambiguate same-named part files across tag dirs (collision pin)") {
