@@ -75,10 +75,10 @@ object Mutations {
       .select(col("__f"))
       .distinct().collect().map(_.getString(0)).toSet
     val touchedRels = Snapshots.entriesAll(table)
-      .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }
+      .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
     val replaced =
       if (touchedRels.isEmpty) source
-      else spark.read.parquet(touchedRels.map(r => s"$table/$r"): _*)
+      else spark.read.parquet(touchedRels.toSeq.sorted.map(r => s"$table/$r"): _*)
         .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         .unionByName(source)
     Snapshots.commit(table, Snapshots.stage(replaced, table, tagCol),
@@ -111,10 +111,18 @@ object Mutations {
     * [[readMerged]]; [[Snapshots.read]] is the raw-file read and does
     * not apply vectors. Returns the committed version (unchanged when
     * nothing matches). */
-  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column,
+                  tagFilter: String => Boolean = _ => true,
+                  fileFilter: Snapshots.Entry => Boolean = _ => true): Long = {
     val entries = Snapshots.entriesAll(table)
     val byId = entries.map(e => Snapshots.fileId(e.rel) -> e).toMap
-    val matched = Snapshots.read(spark, table)
+    // tag/file filters bound the MATCH SCAN, not the semantics: pass the
+    // predicate's pruning twin (rangeOverlap/mightContainLong/tag set)
+    // and the scan touches only files that could contain a match — the
+    // same skipping a 100 TB DELETE lives or dies by. Files the filters
+    // skip are (correctly) never probed; the caller owns the filters'
+    // soundness w.r.t. the predicate.
+    val matched = Snapshots.read(spark, table, tagFilter, fileFilter)
       .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)

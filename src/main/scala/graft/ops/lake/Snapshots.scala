@@ -170,11 +170,16 @@ object Snapshots {
     entriesAll(table).map(e => (e.rel, e.tag))
 
   /** Read the live snapshot — optionally pruned by file tag BEFORE any
-    * file is opened (manifest-level, then line-level pruning). */
+    * file is opened (manifest-level, then line-level pruning).
+    * `mergeSchema = true` unions the footer schemas of an EVOLVED table
+    * (commits that added columns), NULL-filling files from before the
+    * addition — one footer read per file, so reserve it for evolved
+    * tables; a stable schema reads one footer either way. */
   def read(spark: SparkSession, table: String,
            tagFilter: String => Boolean = _ => true,
-           fileFilter: Entry => Boolean = _ => true): DataFrame =
-    readVersion(spark, table, currentVersion(table), tagFilter, fileFilter)
+           fileFilter: Entry => Boolean = _ => true,
+           mergeSchema: Boolean = false): DataFrame =
+    readVersion(spark, table, currentVersion(table), tagFilter, fileFilter, mergeSchema)
 
   /** TIME TRAVEL: read snapshot `v` exactly as it was committed. Free
     * given the log — snapshots and manifests are immutable and shared
@@ -190,13 +195,15 @@ object Snapshots {
     * a full-table delete should drop/recreate the table instead. */
   def readVersion(spark: SparkSession, table: String, v: Long,
                   tagFilter: String => Boolean = _ => true,
-                  fileFilter: Entry => Boolean = _ => true): DataFrame = {
+                  fileFilter: Entry => Boolean = _ => true,
+                  mergeSchema: Boolean = false): DataFrame = {
     val mfs = manifestList(table, v)
     val fs = mfs
       .collect { case (mf, tags) if tags.isEmpty || tags.exists(tagFilter) => mf }
       .flatMap(manifestEntries(table, _))
       .collect { case e if tagFilter(e.tag) && fileFilter(e) => s"$table/${e.rel}" }
-    if (fs.nonEmpty) spark.read.parquet(fs: _*)
+    if (fs.nonEmpty)
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*)
     else {
       // every file pruned: skipping is IO elision, never semantics — the
       // correct result is EMPTY, carried on the schema of any snapshot

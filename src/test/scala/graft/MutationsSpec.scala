@@ -143,6 +143,33 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(days == Set("a", "b", "z"), s"zero-count tag must drop from the MV; got $days")
   }
 
+  test("pruned delete: a stats filter bounds the match scan, semantics intact") {
+    val table = tmp("mut-dv-pruned")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      table, "day", "id", buckets = 2))
+    // the pruning twin of id = 10: only file(s) whose id range covers 10
+    // are scanned; the rest are never probed
+    Mutations.deleteWhere(spark, table, col("id") === 10L,
+      fileFilter = Snapshots.rangeOverlap("id", 10.0, 10.0))
+    assert(sorted(Mutations.readMerged(spark, table)).map(_._1) == Seq(1L, 2L, 11L))
+  }
+
+  test("schema evolution: mergeSchema read NULL-fills files staged before a column add") {
+    import spark.implicits._
+    val table = tmp("mut-evolve")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1L, "a", 1.0)).toDF("id", "day", "v"), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2L, "b", 2.0, "x")).toDF("id", "day", "v", "w"), table, "day"))
+    val evolved = Snapshots.read(spark, table, mergeSchema = true)
+    assert(evolved.columns.toSet == Set("id", "day", "v", "w"))
+    val got = evolved.select("id", "w").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, None), (2L, Some("x"))),
+      "pre-evolution files must surface the new column as NULL")
+  }
+
   test("catchUp is restartable exactly-once; gapped refreshes are rejected") {
     val src = tmp("mut-cu-src")
     val mv = tmp("mut-cu-mv")
