@@ -259,6 +259,51 @@ object Mutations {
     else Snapshots.currentVersion(mvTable)
   }
 
+  /** UPDATE with copy-on-write: rewrite rows of the live snapshot
+    * matching `predicate` by applying `set` (column -> new expression),
+    * touching only the FILES that contain a match — the same
+    * discovery/rewrite discipline as [[mergeInto]], driven by a
+    * predicate instead of a key join. `tagFilter`/`fileFilter` bound
+    * the match scan (pass the predicate's pruning twin); the rewrite
+    * keeps non-matching rows of touched files verbatim. Returns the
+    * committed version (unchanged when nothing matches). */
+  def updateWhere(spark: SparkSession, table: String, predicate: Column,
+                  set: Map[String, Column], tagCol: String,
+                  tagFilter: String => Boolean = _ => true,
+                  fileFilter: Snapshots.Entry => Boolean = _ => true): Long = {
+    val touchedIds = Snapshots.read(spark, table, tagFilter, fileFilter)
+      .filter(predicate)
+      .select(Snapshots.fileIdCol(col("_metadata.file_path")).as("__f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (touchedIds.isEmpty) return Snapshots.currentVersion(table)
+    val touchedRels = Snapshots.entriesAll(table)
+      .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
+    val rewritten = set.foldLeft(
+      spark.read.parquet(touchedRels.toSeq.sorted.map(r => s"$table/$r"): _*)) {
+      case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
+    }
+    Snapshots.commit(table, Snapshots.stage(rewritten, table, tagCol),
+      remove = e => touchedRels.contains(e._1))
+  }
+
+  /** PURGE deletion vectors: materialize the merge-on-read state of
+    * every DV-bearing file — rewrite those files with their vectors
+    * applied, clearing the `ref.dv` reference — so subsequent reads are
+    * plain scans again (and [[Snapshots.vacuum]] reclaims the
+    * sidecars). The write-side cost deferred by [[deleteWhere]] is paid
+    * here once, bounded by the DV-bearing files, at a moment the
+    * operator chooses (the Delta REORG/PURGE shape). No-op without
+    * vectors. */
+  def purgeVectors(spark: SparkSession, table: String, tagCol: String): Long = {
+    val dvEs = Snapshots.entriesAll(table).filter(_.props.contains(DvProp))
+    if (dvEs.isEmpty) return Snapshots.currentVersion(table)
+    val dvRels = dvEs.map(_.rel).toSet
+    val materialized = readMerged(spark, table,
+      fileFilter = e => dvRels.contains(e.rel))
+    Snapshots.commit(table, Snapshots.stage(materialized, table, tagCol),
+      remove = e => dvRels.contains(e._1))
+  }
+
   /** Streaming sink composing the whole lake stack: each micro-batch
     * commits to the snapshot table exactly-once
     * ([[Snapshots.batchCommitter]] — version keyed to the batch id, so
@@ -379,8 +424,31 @@ object Mutations {
           "THEN value * 2.0 ELSE value END")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s34: UPDATE error events' values (+500 penalty) with copy-on-write
+    * file rewrite bounded to files containing a match, then aggregate
+    * per day. */
+  def snapshotUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s34-update-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commit(table, Snapshots.stage(ev, table, "event_date"))
+    updateWhere(spark, table, col("event_type") === "error",
+      Map("value" -> (col("value") + 500.0)), "event_date")
+    Snapshots.read(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val snapshotUpdateOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  ${decSumSql("CASE WHEN event_type = 'error' THEN value + 500.0 ELSE value END")} AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s31_snapshot_merge", snapshotMergeOracle)(snapshotMerge),
     QueryDef.sql("s32_deletion_vectors", deletionVectorsOracle)(deletionVectors),
-    QueryDef.sql("s33_incremental_mv", incrementalMvOracle)(incrementalMv))
+    QueryDef.sql("s33_incremental_mv", incrementalMvOracle)(incrementalMv),
+    QueryDef.sql("s34_snapshot_update", snapshotUpdateOracle)(snapshotUpdate))
 }

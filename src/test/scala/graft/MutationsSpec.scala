@@ -143,6 +143,44 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(days == Set("a", "b", "z"), s"zero-count tag must drop from the MV; got $days")
   }
 
+  test("updateWhere rewrites only files with matches; purge materializes vectors") {
+    val table = tmp("mut-update")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      table, "day", "id", buckets = 2))
+    val before = Snapshots.entries(table).map(_._1).toSet
+    Mutations.updateWhere(spark, table, col("id") === 10L,
+      Map("v" -> (col("v") * 10.0)), "day",
+      fileFilter = Snapshots.rangeOverlap("id", 10.0, 10.0))
+    val after = Snapshots.entries(table).map(_._1).toSet
+    assert(before.intersect(after).nonEmpty,
+      "files without a match must be carried by name")
+    assert(sorted(Snapshots.read(spark, table)) ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 100.0), (11L, "b", 11.0)))
+    // no-match update: no commit
+    val v = Snapshots.currentVersion(table)
+    Mutations.updateWhere(spark, table, col("id") === 999L,
+      Map("v" -> lit(0.0)), "day")
+    assert(Snapshots.currentVersion(table) == v)
+
+    // purge: delete -> vectors, purge -> plain files again
+    Mutations.deleteWhere(spark, table, col("id") === 2L)
+    Mutations.purgeVectors(spark, table, "day")
+    assert(Snapshots.entriesAll(table).forall(!_.props.contains("ref.dv")),
+      "purge must clear every vector reference")
+    assert(sorted(Snapshots.read(spark, table)) ==
+      sorted(Mutations.readMerged(spark, table)),
+      "after purge the plain read IS the merged read")
+    assert(sorted(Snapshots.read(spark, table)).map(_._1) == Seq(1L, 10L, 11L))
+    Snapshots.vacuum(table)
+    val dvLeft = Option(new java.io.File(s"$table/dv").listFiles()).toSeq.flatten
+    assert(dvLeft.isEmpty, "purged sidecars must be vacuumable")
+    // purge with no vectors: no commit
+    val v2 = Snapshots.currentVersion(table)
+    Mutations.purgeVectors(spark, table, "day")
+    assert(Snapshots.currentVersion(table) == v2)
+  }
+
   test("pruned delete: a stats filter bounds the match scan, semantics intact") {
     val table = tmp("mut-dv-pruned")
     Snapshots.commitAll(table, Snapshots.stageWithStats(
