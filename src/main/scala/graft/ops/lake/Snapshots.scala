@@ -141,6 +141,65 @@ object Snapshots {
       }
     }.toMap
 
+  // ---- named refs (tags) ---------------------------------------------
+
+  private val RefNameRe = "^[A-Za-z0-9._-]{1,64}$".r
+
+  private def refFile(table: String, name: String): File = {
+    require(RefNameRe.findFirstIn(name).isDefined,
+      s"ref name '$name' must match ${RefNameRe.regex}")
+    new File(logDir(table), s"ref-$name.txt")
+  }
+
+  /** Pin snapshot `v` under a NAME — the Iceberg tag/ref shape. A
+    * referenced version is RETAINED by [[vacuum]] (its snapshot file,
+    * manifests, data files and sidecars all survive), which turns time
+    * travel from "until the next vacuum" into a durable reproducibility
+    * pin: tag the exact table state a training run consumed and that
+    * state stays readable until the ref is dropped. Re-tagging an
+    * existing name moves it. */
+  def tagRef(table: String, name: String, v: Long): Unit = {
+    require(v >= 1 && v <= currentVersion(table) && snapFile(table, v).exists(),
+      s"tagRef($table, $name, $v): no such committed snapshot")
+    val f = refFile(table, name)
+    f.delete()
+    writeDurable(f, v.toString.getBytes(UTF_8))
+  }
+
+  /** Drop a named ref; its version becomes vacuum-eligible again. */
+  def dropRef(table: String, name: String): Boolean = refFile(table, name).delete()
+
+  /** All named refs: name -> pinned version. */
+  def refs(table: String): Map[String, Long] = {
+    val RefRe = raw"^ref-(.{1,64})\.txt$$".r
+    Option(logDir(table).listFiles()).toSeq.flatten.flatMap { f =>
+      RefRe.findFirstMatchIn(f.getName).map(m =>
+        m.group(1) -> new String(Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
+    }.toMap
+  }
+
+  /** Read the snapshot a named ref pins (tag/file pruning as usual). */
+  def readRef(spark: SparkSession, table: String, name: String,
+              tagFilter: String => Boolean = _ => true,
+              fileFilter: Entry => Boolean = _ => true): DataFrame = {
+    val v = refs(table).getOrElse(name,
+      sys.error(s"readRef($table, $name): no such ref; have ${refs(table).keys.mkString(", ")}"))
+    readVersion(spark, table, v, tagFilter, fileFilter)
+  }
+
+  /** ROLLBACK: publish a NEW version whose content is exactly snapshot
+    * `v` — the restore is itself a commit (history is preserved; the
+    * bad versions stay time-travelable until vacuum), and it is pure
+    * structural sharing: v's manifests are referenced BY NAME, no data
+    * moves. `v` must still exist (pre-vacuum or ref-pinned). */
+  def rollback(table: String, v: Long): Long = {
+    val cur = currentVersion(table)
+    require(v >= 1 && v <= cur, s"rollback($table, $v): no such version")
+    commitPrepared(
+      Prepared(table, cur + 1, manifestList(table, v).map(_._1)),
+      props = Map("rollback.to" -> v.toString))
+  }
+
   private def manifestEntries(table: String, mfName: String): Seq[Entry] =
     new String(Files.readAllBytes(new File(logDir(table), mfName).toPath), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty).map(parseEntry)
@@ -636,17 +695,22 @@ object Snapshots {
              props: Map[String, String] = Map.empty): Long =
     commitPrepared(prepare(table, add, remove), props)
 
-  /** Delete data files the CURRENT snapshot no longer references,
-    * manifests no current-snapshot line names, snapshots older than the
-    * current one, and `.tmp-*` leftovers of crashed commits. Deferred
-    * by design: run it only once concurrent readers of older snapshots
+  /** Delete everything no RETAINED snapshot references — retained =
+    * the current version plus every [[tagRef]]-pinned one: data files,
+    * manifests, superseded un-pinned snapshots, unreferenced `ref.*`
+    * sidecars, and `.tmp-*` leftovers of crashed commits. Deferred by
+    * design: run it only once concurrent readers of older snapshots
     * have drained — until then the old snapshot stays fully readable
     * (that deferral IS the old-XOR-new guarantee for in-flight
     * readers). */
   def vacuum(table: String): Seq[String] = {
     val cur = currentVersion(table)
-    val liveManifests =
-      (if (cur == 0) Seq.empty else manifestList(table, cur)).map(_._1).toSet
+    // retention roots: the live version plus every ref-pinned one —
+    // a tagged snapshot's whole closure (snapshot file, manifests,
+    // data files, sidecars) survives until the ref is dropped
+    val retained = (Set(cur) ++ refs(table).values).filter(_ >= 1)
+      .filter(v => snapFile(table, v).exists())
+    val liveManifests = retained.flatMap(manifestList(table, _)).map(_._1)
     val live = liveManifests.flatMap(manifestEntries(table, _)).map(_.rel)
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
@@ -672,8 +736,8 @@ object Snapshots {
     // crashed delete's or superseded vector's leftover — reclaim it,
     // same deferral rules as data files (older snapshots' vectors die
     // with their snapshots here)
-    val refdAux = liveManifests.flatMap(manifestEntries(table, _))
-      .flatMap(_.props.collect { case (k, v) if k.startsWith("ref.") => v })
+    val refdAux = liveManifests.toSeq.flatMap(manifestEntries(table, _))
+      .flatMap(_.props.collect { case (k, v) if k.startsWith("ref.") => v }).toSet
     val dvDir = new File(table, "dv")
     val auxOrphans = Option(dvDir.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && !refdAux.contains(s"dv/${d.getName}"))
@@ -682,7 +746,8 @@ object Snapshots {
     Option(logDir(table).listFiles()).toSeq.flatten.foreach { f =>
       val name = f.getName
       val drop =
-        SnapRe.findFirstMatchIn(name).exists(_.group(1).toLong < cur) ||
+        SnapRe.findFirstMatchIn(name).exists(m =>
+          m.group(1).toLong < cur && !retained.contains(m.group(1).toLong)) ||
           (name.startsWith("mf-") && name.endsWith(".txt") && !liveManifests.contains(name)) ||
           name.contains(".tmp-")
       if (drop) f.delete()

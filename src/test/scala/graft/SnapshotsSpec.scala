@@ -149,6 +149,39 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.entriesAt(table, 2).size == 3)
   }
 
+  test("refs pin snapshots through vacuum; rollback restores as a new commit") {
+    val table = tmp("snap-refs")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1, "a", 10L), (2, "b", 20L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 200L)), table, "day"),
+      remove = _._2 == "b")
+    // pin v1 as the reproducibility anchor, then vacuum: v1 SURVIVES
+    Snapshots.tagRef(table, "train-run-1", 1)
+    Snapshots.vacuum(table)
+    assert(sorted(Snapshots.readRef(spark, table, "train-run-1")) ==
+      Seq((1, "a", 10L), (2, "b", 20L)),
+      "a ref-pinned snapshot must stay readable through vacuum")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 200L)))
+
+    // rollback: restore v1's content as v3 — history, not mutation
+    val v3 = Snapshots.rollback(table, 1)
+    assert(v3 == 3 && Snapshots.currentVersion(table) == 3)
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 20L)))
+    assert(Snapshots.snapshotProps(table, v3) == Map("rollback.to" -> "1"))
+
+    // drop the pin: v1's snapshot file is reclaimed, but the CONTENT
+    // lives on through v3's shared manifests; v2's unique file goes
+    assert(Snapshots.dropRef(table, "train-run-1"))
+    Snapshots.vacuum(table)
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, table, 1).collect()
+    }
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 20L)))
+    // ref hygiene
+    intercept[IllegalArgumentException] { Snapshots.tagRef(table, "bad/name", 3) }
+    intercept[IllegalArgumentException] { Snapshots.tagRef(table, "ok", 99) }
+  }
+
   test("snapshot props ride the commit atomically; framing characters rejected") {
     val table = tmp("snap-props")
     val v = Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"),
