@@ -76,9 +76,14 @@ object Mutations {
       .distinct().collect().map(_.getString(0)).toSet
     val touchedRels = Snapshots.entriesAll(table)
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
+    // survivors come from the MERGED read of the touched files: a file
+    // carrying a deletion vector must not have its deleted rows
+    // resurrected by the rewrite (the rewrite MATERIALIZES the vector —
+    // rewritten entries carry no dv reference). Caught by the random
+    // mutation-model spec.
     val replaced =
       if (touchedRels.isEmpty) source
-      else spark.read.parquet(touchedRels.toSeq.sorted.map(r => s"$table/$r"): _*)
+      else readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel))
         .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         .unionByName(source)
     Snapshots.commit(table, Snapshots.stage(replaced, table, tagCol),
@@ -278,8 +283,10 @@ object Mutations {
     if (touchedIds.isEmpty) return Snapshots.currentVersion(table)
     val touchedRels = Snapshots.entriesAll(table)
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
+    // rewrite from the MERGED read — same no-resurrection rule as
+    // mergeInto: touched files' vectors are materialized by the rewrite
     val rewritten = set.foldLeft(
-      spark.read.parquet(touchedRels.toSeq.sorted.map(r => s"$table/$r"): _*)) {
+      readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel))) {
       case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
     }
     Snapshots.commit(table, Snapshots.stage(rewritten, table, tagCol),

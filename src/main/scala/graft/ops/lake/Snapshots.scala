@@ -763,6 +763,10 @@ object Snapshots {
     * untouched: same rows, fewer files. Returns the committed version
     * (the current one if nothing is fragmented — no empty commits). */
   def compact(spark: SparkSession, table: String, tagCol: String): Long = {
+    require(!entriesAll(table).exists(_.props.keys.exists(_.startsWith("ref."))),
+      s"compact($table): table has merge-on-read sidecars (ref.* entry " +
+        "props) — the kernel read would resurrect deleted rows; run " +
+        "Mutations.purgeVectors first")
     val fragmented = entries(table).groupBy(_._2).filter(_._2.size > 1)
     if (fragmented.isEmpty) currentVersion(table)
     else {

@@ -238,6 +238,69 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("gap-free"), e.getMessage)
   }
 
+  test("full mutation surface tracks a pure model under a random op sequence") {
+    val rnd = new scala.util.Random(1234)
+    val table = tmp("mut-model")
+    // model per committed VERSION (rollback needs history); rows keyed
+    // by id — ids are unique across the whole run
+    var model = Map.empty[Long, (String, Double)] // id -> (day, v)
+    var history = Map.empty[Long, Map[Long, (String, Double)]] // version -> model
+    var nextId = 0L
+    def snapshot(): Unit = { history += Snapshots.currentVersion(table) -> model }
+    def freshRows(tag: String, n: Int): Seq[(Long, String, Double)] =
+      (1 to n).map { _ => nextId += 1; (nextId, tag, rnd.nextInt(1000).toDouble) }
+    def check(step: Int): Unit = {
+      val got = sorted(Mutations.readMerged(spark, table))
+      val want = model.toSeq.map { case (id, (d, v)) => (id, d, v) }.sortBy(_._1)
+      assert(got == want, s"diverged at step $step")
+    }
+    // seed
+    val seed = freshRows("a", 3) ++ freshRows("b", 3)
+    Snapshots.commit(table, Snapshots.stage(df(seed: _*), table, "day"))
+    model = seed.map(r => r._1 -> ((r._2, r._3))).toMap
+    snapshot()
+    for (step <- 1 to 25) {
+      val tag = Seq("a", "b", "c")(rnd.nextInt(3))
+      rnd.nextInt(7) match {
+        case 0 => // append
+          val rows = freshRows(tag, 1 + rnd.nextInt(3))
+          Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"))
+          model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+        case 1 => // merge: update half of tag's rows, insert one
+          val upd = model.collect { case (id, (d, v)) if d == tag && id % 2 == 0 =>
+            (id, d, v + 10000.0) }.toSeq
+          val ins = freshRows(tag, 1)
+          Mutations.mergeInto(spark, table, df(upd ++ ins: _*), "id", "day")
+          model ++= (upd ++ ins).map(r => r._1 -> ((r._2, r._3)))
+        case 2 if model.nonEmpty => // DV delete of 1-2 random ids
+          val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          Mutations.deleteWhere(spark, table, col("id").isin(ids: _*))
+          model --= ids
+        case 3 if model.nonEmpty => // COW update of one random id
+          val id = rnd.shuffle(model.keys.toSeq).head
+          Mutations.updateWhere(spark, table, col("id") === id,
+            Map("v" -> (col("v") * 3.0)), "day")
+          val (d, v) = model(id); model += id -> ((d, v * 3.0))
+        case 4 => // purge vectors: content must not move
+          Mutations.purgeVectors(spark, table, "day")
+        case 5 => // compact: content must not move (raw read == model
+          // only when no vectors are live, so purge first)
+          Mutations.purgeVectors(spark, table, "day")
+          Snapshots.compact(spark, table, "day")
+        case 6 if history.size > 1 => // rollback to a random old version
+          val v = rnd.shuffle(history.keys.toSeq).head
+          Snapshots.rollback(table, v)
+          model = history(v)
+        case _ => ()
+      }
+      snapshot()
+      check(step)
+    }
+    // vacuum must preserve the live state (and only that)
+    Snapshots.vacuum(table)
+    check(99)
+  }
+
   test("streaming ingest + continuous MV: exactly-once end to end, replay-safe") {
     import org.apache.spark.sql.types._
     val src = tmp("mut-stream-src")
