@@ -453,9 +453,28 @@ object Mutations {
       |  ${decSumSql("CASE WHEN event_type = 'error' THEN value + 500.0 ELSE value END")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s35: pin-rollback-read — tag v1 as the reproducibility anchor,
+    * heal three dates (v2), roll BACK to the pinned state (v3 shares
+    * v1's manifests by name), vacuum with the ref held, and aggregate:
+    * the result must be the ORIGINAL data exactly, which is what makes
+    * the ref a durable training-data anchor. */
+  def rollbackRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = TimeTravel.buildHealedTable(spark, dir, "s35-rollback-")
+    Snapshots.tagRef(table, "pre-heal", 1)
+    Snapshots.rollback(table, 1)
+    Snapshots.vacuum(table) // the pin holds v1; v2's unique files go
+    Snapshots.read(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val rollbackReadOracle: String = TimeTravel.timeTravelReadOracle
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s31_snapshot_merge", snapshotMergeOracle)(snapshotMerge),
     QueryDef.sql("s32_deletion_vectors", deletionVectorsOracle)(deletionVectors),
     QueryDef.sql("s33_incremental_mv", incrementalMvOracle)(incrementalMv),
-    QueryDef.sql("s34_snapshot_update", snapshotUpdateOracle)(snapshotUpdate))
+    QueryDef.sql("s34_snapshot_update", snapshotUpdateOracle)(snapshotUpdate),
+    QueryDef.sql("s35_rollback_read", rollbackReadOracle)(rollbackRead))
 }
