@@ -601,7 +601,8 @@ object Snapshots {
     * no snapshot lists them yet — so a Prepared is safe to carry across
     * a crash ([[commitPair]] persists it in the intent record and
     * recovery re-publishes the snapshot file only). */
-  final case class Prepared(table: String, version: Long, manifests: Seq[String])
+  final case class Prepared(table: String, version: Long, manifests: Seq[String],
+                            props: Map[String, String] = Map.empty)
 
   /** Build snapshot `v+1` = (current entries NOT `remove`d) ++ `add`:
     * untouched manifests are carried over BY NAME (zero IO); manifests
@@ -658,7 +659,8 @@ object Snapshots {
     * content is byte-identical (a crash-recovery re-commit), which
     * stays an idempotent no-op. Returns the committed version. */
   def commitPrepared(p: Prepared, props: Map[String, String] = Map.empty): Long = {
-    props.foreach { case (k, v) =>
+    val allProps = p.props ++ props
+    allProps.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") &&
           !s"$k$v".exists(c => c == '\n' || c == '\t'),
         s"snapshot prop '$k'='$v': keys must be non-empty and '='-free, " +
@@ -667,7 +669,7 @@ object Snapshots {
     val dir = logDir(p.table)
     dir.mkdirs()
     val dst = snapFile(p.table, p.version)
-    val propLines = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val propLines = allProps.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val bytes = (propLines ++ p.manifests.map { mf =>
       val tags = manifestEntries(p.table, mf).map(_.tag).distinct.sorted
       s"$mf\t${tags.mkString("\u0001")}"
@@ -840,16 +842,26 @@ object Snapshots {
     intents.size
   }
 
+  // intent framing: table, version, manifest names (no '='), then
+  // 'k=v' prop entries — manifest names never contain '=', so the
+  // partition below is unambiguous. Props must survive the intent
+  // record: a pair recovered after a crash has to publish the SAME
+  // snapshot bytes as the normal path (bookkeeping like mv.applied
+  // rides them), or idempotent re-commit detection would even reject
+  // the recovery as a conflicting commit.
   private def serialize(a: Prepared, b: Prepared): String =
     Seq(a, b).map { p =>
-      (Seq(p.table, p.version.toString) ++ p.manifests).mkString("\u0001")
+      (Seq(p.table, p.version.toString) ++ p.manifests ++
+        p.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\u0001")
     }.mkString("\u0002")
 
   private def deserialize(s: String): (Prepared, Prepared) = {
     val Array(sa, sb) = s.split("\u0002")
     def one(x: String): Prepared = {
       val parts = x.split("\u0001").toSeq
-      Prepared(parts.head, parts(1).toLong, parts.drop(2))
+      val (props, mfs) = parts.drop(2).partition(_.contains("="))
+      Prepared(parts.head, parts(1).toLong, mfs,
+        props.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
     }
     (one(sa), one(sb))
   }

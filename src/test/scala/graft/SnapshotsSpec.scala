@@ -81,9 +81,13 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
   test("pair commit: crash between the two sinks recovers, never diverges") {
     val a = tmp("snap-pair-a"); val b = tmp("snap-pair-b"); val txn = tmp("snap-txn")
     val data = df((1, "a", 1L), (2, "b", 2L))
-    // crash simulation: intent durable, sink A committed, sink B not
+    // crash simulation: intent durable, sink A committed, sink B not;
+    // sink B's snapshot carries props — recovery must reproduce them
+    // byte-identically or the idempotent re-commit check would see a
+    // conflicting version
     val pa = Snapshots.prepare(a, Snapshots.stage(data, a, "day"))
     val pb = Snapshots.prepare(b, Snapshots.stage(data, b, "day"))
+      .copy(props = Map("writer" -> "pair-spec"))
     Snapshots.writeIntent(txn, pa, pb)
     Snapshots.commitPrepared(pa)
     assert(Snapshots.currentVersion(a) == 1 && Snapshots.currentVersion(b) == 0,
@@ -92,8 +96,14 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     // writer restart: recovery completes the lagging side
     assert(Snapshots.recoverPairs(txn) == 1)
     assert(Snapshots.currentVersion(b) == 1)
+    assert(Snapshots.snapshotProps(b, 1) == Map("writer" -> "pair-spec"),
+      "props must survive the intent record")
     assert(sorted(Snapshots.read(spark, a)) == sorted(Snapshots.read(spark, b)))
     assert(Snapshots.recoverPairs(txn) == 0, "intent cleared; recovery idempotent")
+    // the normal path would have published the SAME bytes: re-commit of
+    // the recovered side is an idempotent no-op, not a conflict
+    Snapshots.commitPrepared(pb)
+    assert(Snapshots.currentVersion(b) == 1)
   }
 
   test("clean pair commit leaves no intent and equal sinks") {
