@@ -12,7 +12,10 @@ object Bench {
   /** Headline set: one representative per physical shape — scan+agg,
     * broadcast join, shuffle join, window, as-of, event-time windows,
     * merge, dedup/LSH, ANN, text scoring. Sink round-trips are excluded
-    * (they benchmark tmp-disk IO, not the engine). */
+    * (they benchmark tmp-disk IO, not the engine) — that includes the
+    * s31-s35 lake mutation queries, which BUILD their snapshot table
+    * per invocation; their scale curves live in BENCH_NOTES (r8
+    * three-point table) instead. */
   val headline: Seq[String] = Seq(
     "q1_agg",
     "gold_fact_fee_tax",

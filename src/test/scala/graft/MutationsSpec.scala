@@ -112,6 +112,19 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
       "a vector for one file must not delete positions in same-named files")
   }
 
+  test("deletion vectors on a tag with spaces: URI-encoded paths still match rels") {
+    // _metadata.file_path surfaces the URI form ('a b' -> 'a%20b');
+    // manifest rels carry the literal filesystem name — fileIdCol's
+    // url_decode must reconcile the two or vectors silently never apply
+    val table = tmp("mut-dv-space")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "day one", 1.0), (2L, "day one", 2.0), (3L, "day two", 3.0)),
+      table, "day"))
+    Mutations.deleteWhere(spark, table, col("id") === 1L)
+    assert(sorted(Mutations.readMerged(spark, table)).map(_._1) == Seq(2L, 3L),
+      "the vector must apply to a file under a space-bearing tag dir")
+  }
+
   test("incremental MV refresh: fold equals recompute, untouched tags carried by name") {
     val src = tmp("mut-mv-src")
     val mv = tmp("mut-mv")
