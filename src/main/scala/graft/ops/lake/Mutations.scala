@@ -65,9 +65,16 @@ object Mutations {
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
                 keyCol: String, tagCol: String): Long = {
     if (source.isEmpty) return Snapshots.currentVersion(table)
+    // stats pruning needs numeric non-null key bounds; a string key or
+    // an all-NULL key column simply forfeits the prune (scan all
+    // candidate files), it must not crash the merge — try_cast instead
+    // of cast (ANSI throws on bad string→double), null bounds → keep-all
     val bounds = source.agg(
-      min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double")).head()
-    val candidates = Snapshots.rangeOverlap(keyCol, bounds.getDouble(0), bounds.getDouble(1))
+      expr(s"try_cast(min($keyCol) as double)"),
+      expr(s"try_cast(max($keyCol) as double)")).head()
+    val candidates: Snapshots.Entry => Boolean =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
+      else Snapshots.rangeOverlap(keyCol, bounds.getDouble(0), bounds.getDouble(1))
     val srcKeys = source.select(col(keyCol)).distinct()
     val touchedIds = Snapshots.read(spark, table, fileFilter = candidates)
       .select(col(keyCol), Snapshots.fileIdCol(input_file_name()).as("__f"))
@@ -86,8 +93,30 @@ object Mutations {
       else readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel))
         .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         .unionByName(source)
-    Snapshots.commit(table, Snapshots.stage(replaced, table, tagCol),
+    Snapshots.commitAll(table, restageLike(spark, replaced, table, tagCol),
       remove = e => touchedRels.contains(e._1))
+  }
+
+
+  /** Restage `df` preserving the TABLE's skipping surface: the stats
+    * and bloom columns a table was staged with are recovered from its
+    * live entries' prop KEYS (`min.<col>` / `bloom.<col>`), and the new
+    * files get the same per-file footer stats and sketches. Without
+    * this, every COW rewrite would strip the touched files' metadata
+    * and each subsequent merge/update's candidate pruning would degrade
+    * toward a full scan. (The rewrite does not re-cluster — new files
+    * may span wider value ranges than range-clustered originals, which
+    * weakens their stats' selectivity but never their correctness.) */
+  private def restageLike(spark: SparkSession, df: DataFrame, table: String,
+                          tagCol: String): Seq[Snapshots.Entry] = {
+    val keys = Snapshots.entriesAll(table).flatMap(_.props.keys).distinct
+    val statsCols = keys.collect { case k if k.startsWith("min.") => k.drop(4) }
+    val bloomCols = keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }
+    val staged = Snapshots.stage(df, table, tagCol)
+    val withStats =
+      if (statsCols.isEmpty) staged.map { case (r, t) => Snapshots.Entry(r, t) }
+      else Snapshots.withFooterStats(staged, table, statsCols)
+    bloomCols.foldLeft(withStats)((es, c) => Snapshots.withBloom(es, table, c, spark))
   }
 
   /** Reserved manifest property: table-relative dir of the entry's
@@ -127,13 +156,16 @@ object Mutations {
     // same skipping a 100 TB DELETE lives or dies by. Files the filters
     // skip are (correctly) never probed; the caller owns the filters'
     // soundness w.r.t. the predicate.
+    // persisted: the match scan feeds BOTH the touched-file collect and
+    // the sidecar write — unpersisted, the full predicate scan would
+    // execute twice
     val matched = Snapshots.read(spark, table, tagFilter, fileFilter)
       .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)
       .select("__fid", "__pos")
-    // fold in the touched files' EXISTING vectors so the new sidecar is
-    // complete per file (read before collect: one job total)
+      .persist()
+    try {
     val touchedIds = matched.select("__fid").distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedIds.isEmpty) return Snapshots.currentVersion(table)
@@ -153,6 +185,7 @@ object Mutations {
     }
     Snapshots.commitAll(table, updated,
       remove = { case (rel, _) => touchedIds(Snapshots.fileId(rel)) })
+    } finally matched.unpersist()
   }
 
   /** Read snapshot `version` (−1 = live) with deletion vectors applied —
@@ -209,12 +242,17 @@ object Mutations {
         "gap-free and exactly once (use catchUp)")
     val sumCol = s"sum_$valCol"
     val sgn = when(col("_change_type") === "delete", -1).otherwise(1)
+    // persisted: the delta feeds the touched-tag collect AND the
+    // combined restage — unpersisted, the change-feed aggregation runs
+    // twice
     val delta = Snapshots.changes(spark, srcTable, fromV, toV)
       .withColumn("__sgn", sgn)
       .groupBy(col(tagCol))
       .agg(
         sum(col("__sgn").cast("long")).as("n"),
         Exact.decSumRaw(col(valCol) * col("__sgn")).as(sumCol))
+      .persist()
+    try {
     val tags = delta.select(col(tagCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val applied = Map(AppliedProp -> toV.toString)
@@ -233,6 +271,7 @@ object Mutations {
         .filter(col("n") > 0)
     Snapshots.commit(mvTable, Snapshots.stage(combined, mvTable, tagCol),
       remove = e => tags.contains(e._2), props = applied)
+    } finally delta.unpersist()
   }
 
   /** Snapshot property carrying the source version an MV snapshot has
@@ -289,7 +328,7 @@ object Mutations {
       readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel))) {
       case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
     }
-    Snapshots.commit(table, Snapshots.stage(rewritten, table, tagCol),
+    Snapshots.commitAll(table, restageLike(spark, rewritten, table, tagCol),
       remove = e => touchedRels.contains(e._1))
   }
 
@@ -307,7 +346,7 @@ object Mutations {
     val dvRels = dvEs.map(_.rel).toSet
     val materialized = readMerged(spark, table,
       fileFilter = e => dvRels.contains(e.rel))
-    Snapshots.commit(table, Snapshots.stage(materialized, table, tagCol),
+    Snapshots.commitAll(table, restageLike(spark, materialized, table, tagCol),
       remove = e => dvRels.contains(e._1))
   }
 

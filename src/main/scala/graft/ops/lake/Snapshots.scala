@@ -162,8 +162,13 @@ object Snapshots {
     require(v >= 1 && v <= currentVersion(table) && snapFile(table, v).exists(),
       s"tagRef($table, $name, $v): no such committed snapshot")
     val f = refFile(table, name)
-    f.delete()
-    writeDurable(f, v.toString.getBytes(UTF_8))
+    // atomic replace — a delete-then-create window would let a crash
+    // drop the pin and the next vacuum reclaim the "durably" pinned
+    // snapshot
+    val tmp = new File(logDir(table), s"ref-$name.tmp-${java.util.UUID.randomUUID}")
+    writeDurable(tmp, v.toString.getBytes(UTF_8))
+    Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Drop a named ref; its version becomes vacuum-eligible again. */
@@ -195,9 +200,13 @@ object Snapshots {
   def rollback(table: String, v: Long): Long = {
     val cur = currentVersion(table)
     require(v >= 1 && v <= cur, s"rollback($table, $v): no such version")
+    // the restored snapshot keeps v's own props (bookkeeping like
+    // mv.applied must roll back WITH the rows it describes — dropping
+    // it would make a later catchUp double-fold) plus the provenance
+    // marker
     commitPrepared(
       Prepared(table, cur + 1, manifestList(table, v).map(_._1)),
-      props = Map("rollback.to" -> v.toString))
+      props = snapshotProps(table, v) + ("rollback.to" -> v.toString))
   }
 
   private def manifestEntries(table: String, mfName: String): Seq[Entry] =
@@ -453,8 +462,8 @@ object Snapshots {
 
   /** Decorate staged entries with `min.<col>`/`max.<col>` props for
     * every stats column, one footer open per file. */
-  private def withFooterStats(staged: Seq[(String, String)], table: String,
-                              statsCols: Seq[String]): Seq[Entry] =
+  private[lake] def withFooterStats(staged: Seq[(String, String)], table: String,
+                                    statsCols: Seq[String]): Seq[Entry] =
     staged.map { case (rel, tag) =>
       Entry(rel, tag, footerStats(s"$table/$rel", statsCols).flatMap {
         case (c, (mn, mx)) => Seq(s"min.$c" -> mn, s"max.$c" -> mx)
@@ -496,12 +505,18 @@ object Snapshots {
   /** [[fileId]] of a path COLUMN (`input_file_name()` /
     * `_metadata.file_path`). Those surface the file's URI form, which
     * percent-encodes bytes the filesystem name carries literally (a
-    * space in a tag value), so the tail is url-decoded back to the
-    * filesystem form [[fileId]] extracts from manifest rels. */
+    * space in a tag value), so the tail must be PERCENT-decoded back to
+    * the filesystem form [[fileId]] extracts from manifest rels.
+    * `url_decode` alone is x-www-form-urlencoded — it would also turn a
+    * LITERAL `+` in a tag into a space (URI paths never encode space as
+    * `+`, so a `+` in the path is always literal) — hence the
+    * pre-escape of `+` to `%2B`, which makes the composition a pure
+    * %XX decoder. Both the space and `+` cases are spec-pinned. */
   def fileIdCol(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    url_decode(concat_ws("/",
-      element_at(split(pathCol, "/"), -2), element_at(split(pathCol, "/"), -1)))
+    url_decode(regexp_replace(concat_ws("/",
+      element_at(split(pathCol, "/"), -2), element_at(split(pathCol, "/"), -1)),
+      lit("\\+"), lit("%2B")))
   }
 
   /** Decorate staged entries with a per-file BLOOM FILTER over
@@ -662,9 +677,10 @@ object Snapshots {
     val allProps = p.props ++ props
     allProps.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") &&
-          !s"$k$v".exists(c => c == '\n' || c == '\t'),
+          !s"$k$v".exists(c => c == '\n' || c == '\t' || c == '\u0001' || c == '\u0002'),
         s"snapshot prop '$k'='$v': keys must be non-empty and '='-free, " +
-          "neither side may carry tab/newline framing characters")
+          "neither side may carry framing characters " +
+          "(tab, newline, \\u0001, \\u0002 — snapshot and intent-record framing)")
     }
     val dir = logDir(p.table)
     dir.mkdirs()

@@ -125,6 +125,35 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
       "the vector must apply to a file under a space-bearing tag dir")
   }
 
+  test("deletion vectors on a tag with a literal '+': percent-decode must not eat it") {
+    // url_decode alone is x-www-form-urlencoded and turns '+' into a
+    // space — file ids derived from scan paths would then never match
+    // manifest rels and the whole mutation layer silently no-ops (or
+    // crashes) on '+'-bearing tags (review finding, r8)
+    val table = tmp("mut-dv-plus")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "UTC+2", 1.0), (2L, "UTC+2", 2.0), (3L, "UTC-5", 3.0)),
+      table, "day"))
+    Mutations.deleteWhere(spark, table, col("id") === 1L)
+    assert(sorted(Mutations.readMerged(spark, table)).map(_._1) == Seq(2L, 3L))
+    // and a merge touches exactly the '+' tag's file, no duplicates
+    Mutations.mergeInto(spark, table, df((2L, "UTC+2", 20.0)), "id", "day")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((2L, "UTC+2", 20.0), (3L, "UTC-5", 3.0)))
+  }
+
+  test("merge with a string key: no stats prune, no crash, correct result") {
+    import spark.implicits._
+    val table = tmp("mut-merge-strkey")
+    val data = Seq(("k1", "a", 1.0), ("k2", "b", 2.0)).toDF("id", "day", "v")
+    Snapshots.commit(table, Snapshots.stage(data, table, "day"))
+    Mutations.mergeInto(spark, table,
+      Seq(("k2", "b", 20.0), ("k3", "c", 3.0)).toDF("id", "day", "v"), "id", "day")
+    val got = Snapshots.read(spark, table).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(("k1", 1.0), ("k2", 20.0), ("k3", 3.0)))
+  }
+
   test("incremental MV refresh: fold equals recompute, untouched tags carried by name") {
     val src = tmp("mut-mv-src")
     val mv = tmp("mut-mv")

@@ -178,6 +178,12 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(v3 == 3 && Snapshots.currentVersion(table) == 3)
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 20L)))
     assert(Snapshots.snapshotProps(table, v3) == Map("rollback.to" -> "1"))
+    // rollback carries the TARGET's props too (bookkeeping like
+    // mv.applied must roll back with the rows it describes)
+    val v4 = Snapshots.commit(table, Seq.empty, props = Map("mv.applied" -> "7"))
+    val v5 = Snapshots.rollback(table, v4)
+    assert(Snapshots.snapshotProps(table, v5) ==
+      Map("mv.applied" -> "7", "rollback.to" -> v4.toString))
 
     // drop the pin: v1's snapshot file is reclaimed, but the CONTENT
     // lives on through v3's shared manifests; v2's unique file goes
