@@ -120,11 +120,10 @@ object Mutations {
   }
 
   /** Reserved manifest property: table-relative dir of the entry's
-    * deletion-vector sidecar. The `ref.` prefix marks it (and any
-    * future sidecar kind) as an auxiliary-file REFERENCE for
-    * [[Snapshots.vacuum]]: sidecar dirs no live entry names are
-    * reclaimed like unreferenced data files. */
-  private val DvProp = "ref.dv"
+    * deletion-vector sidecar (kernel-owned — [[Snapshots.vacuum]]
+    * retains referenced sidecars, [[Snapshots.changes]] diffs vectors,
+    * [[Snapshots.readMerged]] applies them). */
+  private val DvProp = Snapshots.DvRefProp
 
   /** DELETE with merge-on-read DELETION VECTORS: rows of the live
     * snapshot matching `predicate` are deleted by recording their
@@ -188,40 +187,13 @@ object Mutations {
     } finally matched.unpersist()
   }
 
-  /** Read snapshot `version` (−1 = live) with deletion vectors applied —
-    * the merge-on-read scan: files whose entry carries no vector stream
-    * through untouched; files with one anti-join their authoritative
-    * sidecar's (file, position) pairs (vector side is sidecar-sized, so
-    * AQE broadcasts the anti-join; the data side never shuffles). */
+  /** Read snapshot `version` (−1 = live) with deletion vectors applied
+    * — delegates to the kernel's [[Snapshots.readMerged]] (the logic
+    * moved there so the change feed can share it). */
   def readMerged(spark: SparkSession, table: String, version: Long = -1L,
                  tagFilter: String => Boolean = _ => true,
-                 fileFilter: Snapshots.Entry => Boolean = _ => true): DataFrame = {
-    val v = if (version < 0) Snapshots.currentVersion(table) else version
-    val es = Snapshots.entriesAt(table, v)
-      .filter(e => tagFilter(e.tag) && fileFilter(e))
-    val (dvEs, plainEs) = es.partition(_.props.contains(DvProp))
-    if (dvEs.isEmpty)
-      return Snapshots.readVersion(spark, table, v, tagFilter, fileFilter)
-    // authoritative (file name, sidecar) pairs — a sidecar may carry rows
-    // for files whose entries have since moved to a NEWER vector, so each
-    // file's positions are taken from ITS entry's sidecar only
-    val owns = dvEs.groupBy(_.props(DvProp)).toSeq
-    val dvRows = owns.map { case (dvRel, owners) =>
-      val ids = owners.map(e => Snapshots.fileId(e.rel))
-      spark.read.parquet(s"$table/$dvRel")
-        .filter(col("__fid").isin(ids: _*))
-    }.reduce(_.unionByName(_))
-    val dvData = spark.read.parquet(dvEs.map(e => s"$table/${e.rel}"): _*)
-    val cols = dvData.columns.map(col)
-    val merged = dvData
-      .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(dvRows, Seq("__fid", "__pos"), "left_anti")
-      .select(cols: _*)
-    if (plainEs.isEmpty) merged
-    else merged.unionByName(
-      spark.read.parquet(plainEs.map(e => s"$table/${e.rel}"): _*))
-  }
+                 fileFilter: Snapshots.Entry => Boolean = _ => true): DataFrame =
+    Snapshots.readMerged(spark, table, version, tagFilter, fileFilter)
 
   /** INCREMENTAL VIEW MAINTENANCE of a per-tag (count, exact sum)
     * aggregate — the canonical additive MV. `mvTable` is itself a

@@ -283,13 +283,19 @@ object Snapshots {
     }
   }
 
-  /** CHANGE DATA FEED between two committed snapshots, at FILE
-    * granularity — the Delta "CDF without row tracking" fallback shape:
-    * rows in files the `to` snapshot added are emitted with
-    * `_change_type = "insert"`, rows in files it stopped listing with
-    * `_change_type = "delete"`; an in-place rewrite (the overwrite/
-    * compact/delete ops here — data files are immutable, so every
-    * change IS a file swap) therefore surfaces as delete+insert pairs.
+  /** CHANGE DATA FEED between two committed snapshots — the Delta
+    * "CDF without row tracking" shape, file-granular with a
+    * position-granular extension for merge-on-read deletes:
+    *   - rows in files the `to` snapshot ADDED emit
+    *     `_change_type = "insert"`; rows in files it stopped listing
+    *     emit `"delete"` — each side read MERGED as of its own version,
+    *     so rows a deletion vector had already removed never re-surface
+    *     in either side;
+    *   - a SHARED file whose deletion vector GREW (deleteWhere commits
+    *     new props, not new rels) emits the rows at the newly-deleted
+    *     positions as deletes — without this the feed was blind to DV
+    *     deletes and incremental MVs silently kept deleted rows
+    *     (r8 review find, spec-pinned).
     * Unchanged files — the bulk of the table under the manifest-delta
     * commit discipline — contribute NOTHING and are never opened: cost
     * is O(changed files), which is what makes an incremental
@@ -297,43 +303,74 @@ object Snapshots {
     * where re-diffing table contents would be a full double scan.
     * Derived purely from the immutable log, so valid until [[vacuum]]
     * like [[readVersion]]; `fromV = 0` yields the whole `toV` snapshot
-    * as inserts (the bootstrap read).
+    * as inserts (the bootstrap read, vectors applied).
     *
     * `_change_type` is a RESERVED name: a snapshot whose data schema
     * already carries that column is rejected (silently replacing it
-    * would corrupt the feed). If the two snapshots' schemas drifted
-    * (an evolved table), columns one side lacks come back NULL-filled
-    * on that side — `unionByName(allowMissingColumns = true)` — so the
+    * would corrupt the feed). Evolved schemas read with
+    * `mergeSchema = true` per side and union with NULL-fill, so the
     * feed always presents the union schema. */
   def changes(spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     require(1 <= toV && 0 <= fromV && fromV <= toV && toV <= currentVersion(table),
       s"changes($table, $fromV, $toV): need 0 <= from <= to <= current, to >= 1 " +
         "(version 0 is the empty pre-creation state; there is no feed into it)")
-    val from = entriesAt(table, fromV).map(_.rel).toSet
-    val to   = entriesAt(table, toV).map(_.rel).toSet
-    def side(rels: Set[String], kind: String): Option[DataFrame] =
-      if (rels.isEmpty) None
-      else Some {
-        val df = spark.read.parquet(rels.toSeq.sorted.map(r => s"$table/$r"): _*)
-        require(!df.columns.contains("_change_type"),
-          s"changes($table): snapshot schema already has a `_change_type` column — " +
-            "the name is reserved for the feed; rename the data column")
-        df.withColumn("_change_type", lit(kind))
+    val fromE = entriesAt(table, fromV)
+    val toE   = entriesAt(table, toV)
+    val fromByRel = fromE.map(e => e.rel -> e).toMap
+    val toByRel   = toE.map(e => e.rel -> e).toMap
+    def noReserved(df: DataFrame): DataFrame = {
+      require(!df.columns.contains("_change_type"),
+        s"changes($table): snapshot schema already has a `_change_type` column — " +
+          "the name is reserved for the feed; rename the data column")
+      df
+    }
+    // each side reads MERGED as of ITS version — a removed file's
+    // delete rows exclude what a deletion vector had already removed at
+    // `from`, an added file's insert rows apply `to`'s vector
+    def side(es: Seq[Entry], kind: String): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(noReserved(readEntriesMerged(spark, table, es, mergeSchema = true))
+        .withColumn("_change_type", lit(kind)))
+    val removed = fromE.filterNot(e => toByRel.contains(e.rel))
+    val added   = toE.filterNot(e => fromByRel.contains(e.rel))
+    // a SHARED file whose deletion vector GREW between the versions
+    // (deleteWhere commits change props, not rels — pre-r8 the feed was
+    // BLIND to them and incremental MVs silently kept deleted rows):
+    // emit the rows at the newly-deleted positions as deletes. Vectors
+    // only grow per rel (repeat deletes fold the prior vector; rewrites
+    // change the rel), so to-positions minus from-positions is exact.
+    val dvGrown = toE.filter(e => fromByRel.get(e.rel).exists(f =>
+      f.props.get(DvRefProp) != e.props.get(DvRefProp)))
+    val dvDeletes: Option[DataFrame] =
+      if (dvGrown.isEmpty) None
+      else {
+        val toPos = dvPositions(spark, table, dvGrown).get
+        val fromPos = dvPositions(spark, table, dvGrown.map(e => fromByRel(e.rel)))
+          .getOrElse(toPos.limit(0))
+        val newPos = toPos.except(fromPos)
+        val data = spark.read.option("mergeSchema", "true")
+          .parquet(dvGrown.map(e => s"$table/${e.rel}"): _*)
+        val cols = data.columns.map(col)
+        Some(noReserved(data)
+          .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(newPos, Seq("__fid", "__pos"))
+          .select(cols: _*)
+          .withColumn("_change_type", lit("delete")))
       }
-    (side(from -- to, "delete"), side(to -- from, "insert")) match {
+    val deletes = (side(removed, "delete").toSeq ++ dvDeletes.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    (deletes, side(added, "insert")) match {
       case (Some(d), Some(i)) => d.unionByName(i, allowMissingColumns = true)
       case (Some(d), None)    => d
       case (None, Some(i))    => i
       case (None, None)       =>
-        // no file-level changes: an empty feed with the live schema
-        // (needs >=1 committed file to carry it, same limitation as
-        // readVersion's zero-file note above)
-        val empty = readVersion(spark, table, toV).limit(0)
-        require(!empty.columns.contains("_change_type"),
-          s"changes($table): snapshot schema already has a `_change_type` column — " +
-            "the name is reserved for the feed; rename the data column")
-        empty.withColumn("_change_type", lit("insert"))
+        // no changes: an empty feed with the live schema (needs >=1
+        // committed file to carry it, same limitation as readVersion's
+        // zero-file note above)
+        noReserved(readVersion(spark, table, toV).limit(0))
+          .withColumn("_change_type", lit("insert"))
     }
   }
 
@@ -517,6 +554,72 @@ object Snapshots {
     url_decode(regexp_replace(concat_ws("/",
       element_at(split(pathCol, "/"), -2), element_at(split(pathCol, "/"), -1)),
       lit("\\+"), lit("%2B")))
+  }
+
+  // ---- merge-on-read deletion vectors (kernel side) -------------------
+
+  /** Reserved entry property naming a file's deletion-vector sidecar
+    * dir (written by Mutations.deleteWhere; the `ref.` prefix marks it
+    * as an auxiliary reference [[vacuum]] retains). */
+  private[lake] val DvRefProp = "ref.dv"
+
+  /** Authoritative deleted-position rows `(__fid, __pos)` for the
+    * DV-bearing subset of `es` — each file's positions come from ITS
+    * entry's sidecar only (an older sidecar may still carry rows for
+    * files whose entries moved to a newer vector). None when no entry
+    * carries a vector. */
+  private def dvPositions(spark: SparkSession, table: String,
+                          es: Seq[Entry]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val dvEs = es.filter(_.props.contains(DvRefProp))
+    if (dvEs.isEmpty) None
+    else Some(dvEs.groupBy(_.props(DvRefProp)).toSeq.map { case (dvRel, owners) =>
+      val ids = owners.map(e => fileId(e.rel))
+      spark.read.parquet(s"$table/$dvRel").filter(col("__fid").isin(ids: _*))
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** Read exactly `es` with their deletion vectors applied — the
+    * merge-on-read scan core: files without a vector stream through;
+    * files with one anti-join their sidecar's (file id, position) pairs
+    * (vector side is sidecar-sized, AQE broadcasts, the data side never
+    * shuffles). `mergeSchema` NULL-fills evolved schemas. `es` must be
+    * non-empty. */
+  private[lake] def readEntriesMerged(spark: SparkSession, table: String,
+                                      es: Seq[Entry],
+                                      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def readFiles(fs: Seq[Entry]): DataFrame =
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(fs.map(e => s"$table/${e.rel}"): _*)
+    val (dvEs, plainEs) = es.partition(_.props.contains(DvRefProp))
+    if (dvEs.isEmpty) readFiles(es)
+    else {
+      val dvRows = dvPositions(spark, table, dvEs).get
+      val dvData = readFiles(dvEs)
+      val cols = dvData.columns.map(col)
+      val merged = dvData
+        .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dvRows, Seq("__fid", "__pos"), "left_anti")
+        .select(cols: _*)
+      if (plainEs.isEmpty) merged
+      else merged.unionByName(readFiles(plainEs),
+        allowMissingColumns = mergeSchema)
+    }
+  }
+
+  /** Read snapshot `version` (−1 = live) with deletion vectors applied.
+    * The vector-aware sibling of [[readVersion]]; identical on tables
+    * without vectors. */
+  def readMerged(spark: SparkSession, table: String, version: Long = -1L,
+                 tagFilter: String => Boolean = _ => true,
+                 fileFilter: Entry => Boolean = _ => true): DataFrame = {
+    val v = if (version < 0) currentVersion(table) else version
+    val es = entriesAt(table, v).filter(e => tagFilter(e.tag) && fileFilter(e))
+    if (!es.exists(_.props.contains(DvRefProp)))
+      readVersion(spark, table, v, tagFilter, fileFilter) // keeps empty-prune semantics
+    else readEntriesMerged(spark, table, es)
   }
 
   /** Decorate staged entries with a per-file BLOOM FILTER over

@@ -250,6 +250,52 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
       "pre-evolution files must surface the new column as NULL")
   }
 
+  test("change feed carries deletion-vector deletes; the MV self-corrects") {
+    val src = tmp("mut-cdc-dv-src")
+    val mv = tmp("mut-cdc-dv-mv")
+    Snapshots.commit(src, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0)), src, "day"))
+    Mutations.catchUp(spark, mv, src, "day", "v")
+
+    // a DV delete commits new PROPS, not new rels — pre-fix the feed
+    // was empty here and the MV kept the deleted row forever
+    Mutations.deleteWhere(spark, src, col("id") === 2L)
+    val feed = Snapshots.changes(spark, src, 1, 2)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == Seq((2L, "delete")),
+      s"the vector's newly-deleted row must surface as a delete; got $feed")
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    val got = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 1.0), ("b", 1L, 10.0)),
+      s"the MV must drop the deleted row's count/sum; got $got")
+
+    // second delete on the SAME file: only the NEW position surfaces
+    Mutations.deleteWhere(spark, src, col("id") === 1L)
+    val feed2 = Snapshots.changes(spark, src, 2, 3)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed2 == Seq((1L, "delete")), s"vector growth must diff, not replay: $feed2")
+
+    // a COW rewrite of the DV-bearing file: the delete side must NOT
+    // resurrect rows the vector had already removed
+    Mutations.updateWhere(spark, src, col("id") === 10L,
+      Map("v" -> lit(99.0)), "day")
+    val v = Snapshots.currentVersion(src)
+    val feed3 = Snapshots.changes(spark, src, v - 1, v)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(r => (r._2, r._1)).toSeq
+    assert(!feed3.exists(r => (r._1 == 1L || r._1 == 2L) && r._2 == "delete"),
+      s"already-DV-deleted rows must not re-surface as deletes: $feed3")
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    val got3 = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got3 == Seq(("b", 1L, 99.0)), s"MV after delete+update fold: $got3")
+  }
+
   test("catchUp is restartable exactly-once; gapped refreshes are rejected") {
     val src = tmp("mut-cu-src")
     val mv = tmp("mut-cu-mv")
