@@ -108,20 +108,10 @@ object Bench {
     * timed) performs the complete drain rather than a no-op resume. */
   val streaming: Seq[String] = Seq("st1_bronze_ingest", "st2_hourly_agg", "st3_session_state")
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
-
   /** A tmp dir guaranteed EMPTY — a checkpoint left by a previous Bench
     * process would turn the AvailableNow drain into a no-op resume and
     * time nothing. */
-  private def freshDir(sub: String): String = {
-    val path = graft.engine.Graft.tmpDir(sub)
-    deleteRec(new java.io.File(path))
-    new java.io.File(path).mkdirs()
-    path
-  }
+  private def freshDir(sub: String): String = graft.engine.Graft.freshDir(sub)
 
   private var streamInvocation = 0
   def runStream(name: String, spark: SparkSession, sfDir: String): Double = {

@@ -99,6 +99,25 @@ object Graft {
     d.mkdirs()
     d.getAbsolutePath
   }
+
+  /** Recursively delete a scratch path (the rebuild-deterministically
+    * discipline every per-invocation snapshot table uses). One shared
+    * helper — this existed in four copies before r8's review. */
+  def wipeDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+
+  /** [[tmpDir]] + [[wipeDir]]: a guaranteed-EMPTY scratch dir. */
+  def freshDir(sub: String): String = {
+    val path = tmpDir(sub)
+    wipeDir(path)
+    new java.io.File(path).mkdirs()
+    path
+  }
 }
 
 /** Canonical reads of the driver fixture tables (TESTDATA.md). One place

@@ -4,8 +4,6 @@ import graft.engine.{Exact, Graft, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.io.File
-
 /** ROW-LEVEL MUTATIONS over the snapshot log — the three moves that turn
   * the [[Snapshots]] commit kernel into a usable table format, each the
   * published Delta/Iceberg shape reduced to its load-bearing mechanics:
@@ -339,15 +337,8 @@ object Mutations {
 
   // ---- registered queries --------------------------------------------
 
-  private def freshTable(prefix: String, dir: String): String = {
-    val table = Graft.tmpDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    def wipe(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
-      f.delete()
-    }
-    wipe(new File(table)) // deterministic rebuild per invocation
-    table
-  }
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   private def decSumSql(expr: String): String =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"

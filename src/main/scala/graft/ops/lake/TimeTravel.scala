@@ -33,12 +33,7 @@ object TimeTravel {
     * v2 = [[HealDates]] re-staged with corrected (doubled) values via
     * one atomic remove+add commit. Returns the table path. */
   private[lake] def buildHealedTable(spark: SparkSession, dir: String, prefix: String): String = {
-    val table = Graft.tmpDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
-      f.delete()
-    }
-    wipe(new java.io.File(table)) // deterministic rebuild per invocation
+    val table = Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val ev = Tables(spark, dir).events
       .withColumn("event_date", to_date(col("ts")))
       .select("event_id", "value", "event_date")

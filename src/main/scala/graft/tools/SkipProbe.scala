@@ -19,8 +19,7 @@ object SkipProbe {
 
     // s26: value-band scan over the value-range-clustered stage
     {
-      val table = Graft.tmpDir("probe-s26")
-      wipe(table)
+      val table = Graft.freshDir("probe-s26")
       val ev = Tables(spark, dir).events
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "event_type", "value", "event_date")
@@ -35,8 +34,7 @@ object SkipProbe {
 
     // s27: 2-D box over the z-ordered stage — box, and each dim alone
     {
-      val table = Graft.tmpDir("probe-s27")
-      wipe(table)
+      val table = Graft.freshDir("probe-s27")
       val ev = Tables(spark, dir).events
         .select("event_id", "event_type", "user_id", "value")
       Snapshots.commitAll(table,
@@ -57,8 +55,7 @@ object SkipProbe {
 
     // s28: bloom point lookup on the un-clustered id column
     {
-      val table = Graft.tmpDir("probe-s28")
-      wipe(table)
+      val table = Graft.freshDir("probe-s28")
       val ev = Tables(spark, dir).events
         .withColumn("event_date", to_date(col("ts")))
         .select("event_id", "event_type", "user_id", "value", "event_date")
@@ -78,12 +75,4 @@ object SkipProbe {
   }
 
   private def report(q: String, msg: String): Unit = println(s"[skip-probe] $q $msg")
-
-  private def wipe(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-      f.delete()
-    }
-    rec(new java.io.File(path))
-  }
 }
