@@ -72,7 +72,9 @@ object Mutations {
       expr(s"try_cast(max($keyCol) as double)")).head()
     val candidates: Snapshots.Entry => Boolean =
       if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
-      else Snapshots.rangeOverlap(keyCol, bounds.getDouble(0), bounds.getDouble(1))
+      // per-file stats props carry PHYSICAL names; keyCol is logical
+      else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
+        bounds.getDouble(0), bounds.getDouble(1))
     val srcKeys = source.select(col(keyCol)).distinct()
     val touchedIds = Snapshots.read(spark, table, fileFilter = candidates)
       .select(col(keyCol), Snapshots.fileIdCol(input_file_name()).as("__f"))
@@ -96,26 +98,116 @@ object Mutations {
   }
 
 
-  /** Restage `df` preserving the TABLE's skipping surface: the stats
-    * and bloom columns a table was staged with are recovered from its
-    * live entries' prop KEYS (`min.<col>` / `bloom.<col>`), and the new
-    * files get the same per-file footer stats and sketches. Without
-    * this, every COW rewrite would strip the touched files' metadata
-    * and each subsequent merge/update's candidate pruning would degrade
-    * toward a full scan. (The rewrite does not re-cluster — new files
-    * may span wider value ranges than range-clustered originals, which
-    * weakens their stats' selectivity but never their correctness.) */
-  private def restageLike(spark: SparkSession, df: DataFrame, table: String,
-                          tagCol: String): Seq[Snapshots.Entry] = {
-    val keys = Snapshots.entriesAll(table).flatMap(_.props.keys).distinct
-    val statsCols = keys.collect { case k if k.startsWith("min.") => k.drop(4) }
-    val bloomCols = keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }
-    val staged = Snapshots.stage(df, table, tagCol)
-    val withStats =
-      if (statsCols.isEmpty) staged.map { case (r, t) => Snapshots.Entry(r, t) }
-      else Snapshots.withFooterStats(staged, table, statsCols)
-    bloomCols.foldLeft(withStats)((es, c) => Snapshots.withBloom(es, table, c, spark))
+  /** MERGE INTO with CONDITIONAL CLAUSES — the Delta/SQL:2003 MERGE
+    * surface generalizing [[mergeInto]]'s unconditional
+    * replace-or-insert (ref-analog: `fact_trades.sql:1-11`'s unique-key
+    * upsert, which supports none of these forms):
+    *
+    *   WHEN MATCHED [AND deleteCond] THEN DELETE
+    *   WHEN MATCHED [AND updateCond] THEN UPDATE SET col = expr, …
+    *   WHEN NOT MATCHED [AND insertCond] THEN INSERT *
+    *
+    * Matched-clause conditions and update expressions may reference
+    * BOTH sides through the fixed aliases `t` (target) and `s` (source)
+    * — e.g. `col("s.value") > col("t.value")`; `insertCond` sees the
+    * bare SOURCE columns. For rows matching several clauses, DELETE is
+    * evaluated before UPDATE (fixed order, unlike Delta's declaration
+    * order — documented contract). Matched-ness is decided against the
+    * MERGED state: a key surviving only in DV-deleted rows does NOT
+    * match, so its source row inserts.
+    *
+    * File discipline is [[mergeInto]]'s: candidate files prune by
+    * per-file key stats, only files CONTAINING a matched key rewrite
+    * (survivor rows kept verbatim, prior vectors materialized — never
+    * resurrected), inserts append, one atomic commit carries untouched
+    * manifests by name. With no matched clause the merge degenerates to
+    * a filtered-insert append and rewrites nothing. Keys must be unique
+    * and non-null on both sides (the MERGE precondition). Returns the
+    * committed version (unchanged on a no-op). */
+  def mergeIntoClauses(spark: SparkSession, table: String, source: DataFrame,
+                       keyCol: String, tagCol: String,
+                       whenMatchedDelete: Option[Column] = None,
+                       whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
+                       whenNotMatchedInsert: Option[Column] = None): Long = {
+    if (source.isEmpty) return Snapshots.currentVersion(table)
+    val bounds = source.agg(
+      expr(s"try_cast(min($keyCol) as double)"),
+      expr(s"try_cast(max($keyCol) as double)")).head()
+    val candidates: Snapshots.Entry => Boolean =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
+      else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
+        bounds.getDouble(0), bounds.getDouble(1))
+    val srcKeys = source.select(col(keyCol)).distinct().persist()
+    try {
+      val tCols = Snapshots.read(spark, table).columns
+      // matched keys against the MERGED candidates (vector-deleted rows
+      // excluded) decide inserts; stats-pruned files can't contain a
+      // source key, so the candidate scan is complete
+      val matchedKeys = readMerged(spark, table, fileFilter = candidates)
+        .select(col(keyCol))
+        .join(srcKeys, Seq(keyCol), "left_semi").distinct().persist()
+      try {
+        val hasMatchedClause =
+          whenMatchedDelete.nonEmpty || whenMatchedUpdate.nonEmpty
+        // touched-file discovery on the RAW candidate scan (file ids need
+        // _metadata; over-touching a file whose only match is
+        // DV-deleted is harmless — its survivors restage verbatim)
+        val touchedRels: Set[String] =
+          if (!hasMatchedClause) Set.empty
+          else {
+            val ids = Snapshots.read(spark, table, fileFilter = candidates)
+              .select(col(keyCol),
+                Snapshots.fileIdCol(input_file_name()).as("__f"))
+              .join(srcKeys, Seq(keyCol), "left_semi")
+              .select("__f").distinct().collect().map(_.getString(0)).toSet
+            Snapshots.entriesAll(table)
+              .collect { case e if ids(Snapshots.fileId(e.rel)) => e.rel }.toSet
+          }
+        val rewritten: Option[DataFrame] =
+          if (touchedRels.isEmpty) None
+          else {
+            val tgt = readMerged(spark, table,
+              fileFilter = e => touchedRels.contains(e.rel))
+            val joined = tgt.alias("t").join(
+              source.withColumn("__m", lit(true)).alias("s"),
+              col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
+            val matched = col("s.__m").isNotNull
+            // null-valued conditions don't fire the clause (SQL MERGE)
+            val delPred = whenMatchedDelete
+              .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
+            val updPred = whenMatchedUpdate
+              .map { case (c, _) => matched && coalesce(c, lit(false)) }
+              .getOrElse(lit(false))
+            val updSet = whenMatchedUpdate.map(_._2).getOrElse(Map.empty)
+            Some(joined.filter(!delPred).select(tCols.map { c =>
+              (if (updSet.contains(c)) when(updPred, updSet(c)).otherwise(col(s"t.$c"))
+               else col(s"t.$c")).as(c)
+            }: _*))
+          }
+        val inserts: Option[DataFrame] = whenNotMatchedInsert.map { cond =>
+          source.join(matchedKeys, Seq(keyCol), "left_anti")
+            .filter(coalesce(cond, lit(false)))
+            .select(tCols.map(col): _*)
+        }
+        val pieces = rewritten.toSeq ++ inserts.toSeq
+        if (pieces.isEmpty) return Snapshots.currentVersion(table)
+        val replaced = pieces.reduce(_.unionByName(_))
+        // no touched files AND an empty filtered insert set: avoid an
+        // empty commit (mirrors the other ops' no-op contract)
+        if (touchedRels.isEmpty && replaced.isEmpty)
+          return Snapshots.currentVersion(table)
+        Snapshots.commitAll(table, restageLike(spark, replaced, table, tagCol),
+          remove = e => touchedRels.contains(e._1))
+      } finally matchedKeys.unpersist()
+    } finally srcKeys.unpersist()
   }
+
+  /** Restage preserving the table's skipping surface — moved to the
+    * kernel ([[Snapshots.restageLike]]) so [[Snapshots.compact]] shares
+    * it; kept here as the name the mutation ops use. */
+  private def restageLike(spark: SparkSession, df: DataFrame, table: String,
+                          tagCol: String): Seq[Snapshots.Entry] =
+    Snapshots.restageLike(spark, df, table, tagCol)
 
   /** Reserved manifest property: table-relative dir of the entry's
     * deletion-vector sidecar (kernel-owned — [[Snapshots.vacuum]]
@@ -138,13 +230,33 @@ object Mutations {
     *
     * Positions ride the sidecar as plain (file, position) parquet rows
     * — at Delta/Iceberg scale these become roaring bitmaps, which
-    * changes the encoding, not the protocol. Readers must use
-    * [[readMerged]]; [[Snapshots.read]] is the raw-file read and does
-    * not apply vectors. Returns the committed version (unchanged when
-    * nothing matches). */
+    * changes the encoding, not the protocol. The sidecar write is
+    * SHARDED by file id (up to 256 hash shards), so a wide delete's
+    * positions never funnel through one task — the r8 `repartition(1)`
+    * would have pushed ~10⁹ positions through a single task and a
+    * single output file for a 1%-of-100 TB predicate.
+    *
+    * COW CROSSOVER: merge-on-read pays an anti-join against the sidecar
+    * on EVERY subsequent read, which is the right trade only while the
+    * vector stays small relative to its files. When the folded vector
+    * would exceed `cowThreshold` of the touched files' rows (footer
+    * row counts — metadata IO only) AND `cowTagCol` names the table's
+    * tag column, the delete routes to the copy-on-write path instead:
+    * touched files rewrite without the matched rows (prior vectors
+    * materialized too, same no-resurrection rule as [[mergeInto]]) and
+    * no sidecar is written. The 0.3 default mirrors the
+    * "DVs are for small deletes" design point Delta ships; callers who
+    * cannot name the tag column keep pure MOR (bounded per-write by the
+    * sharding, reclaimable via [[reorgIfNeeded]]/[[purgeVectors]]).
+    *
+    * Readers must use [[readMerged]]; [[Snapshots.read]] is the
+    * raw-file read and does not apply vectors. Returns the committed
+    * version (unchanged when nothing matches). */
   def deleteWhere(spark: SparkSession, table: String, predicate: Column,
                   tagFilter: String => Boolean = _ => true,
-                  fileFilter: Snapshots.Entry => Boolean = _ => true): Long = {
+                  fileFilter: Snapshots.Entry => Boolean = _ => true,
+                  cowTagCol: Option[String] = None,
+                  cowThreshold: Double = 0.3): Long = {
     val entries = Snapshots.entriesAll(table)
     val byId = entries.map(e => Snapshots.fileId(e.rel) -> e).toMap
     // tag/file filters bound the MATCH SCAN, not the semantics: pass the
@@ -154,8 +266,8 @@ object Mutations {
     // skip are (correctly) never probed; the caller owns the filters'
     // soundness w.r.t. the predicate.
     // persisted: the match scan feeds BOTH the touched-file collect and
-    // the sidecar write — unpersisted, the full predicate scan would
-    // execute twice
+    // the sidecar write (or COW anti-join) — unpersisted, the full
+    // predicate scan would execute twice
     val matched = Snapshots.read(spark, table, tagFilter, fileFilter)
       .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -171,18 +283,87 @@ object Mutations {
       acc.unionByName(
         spark.read.parquet(s"$table/$dvRel")
           .filter(col("__fid").isin(touchedIds.toSeq: _*)))
-    }.distinct()
-    val dvRel = s"dv/dv-${java.util.UUID.randomUUID.toString.take(12)}"
-    all.repartition(1).write
-      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(s"$table/$dvRel")
-    val updated = entries.collect {
-      case e if touchedIds(Snapshots.fileId(e.rel)) =>
-        e.copy(props = e.props + (DvProp -> dvRel))
+    }.distinct().persist()
+    try {
+    val touchedRels = entries
+      .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }
+    val cowCommit: Option[Long] = cowTagCol.flatMap { tagCol =>
+      // crossover check: folded-vector size vs footer row counts — both
+      // sides metadata/sidecar-sized, no data pages read
+      val totalRows = touchedRels.map(r => Snapshots.footerRowCount(s"$table/$r")).sum
+      if (totalRows > 0 && all.count() >= cowThreshold * totalRows) {
+        val relSet = touchedRels.toSet
+        // raw read + anti-join of the FULL folded vector == the merged
+        // state after this delete: one pass materializes the prior
+        // vectors and the new matches together
+        val raw = Snapshots.read(spark, table, fileFilter = e => relSet.contains(e.rel))
+        val cols = raw.columns.map(col)
+        val survivors = raw
+          .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(all, Seq("__fid", "__pos"), "left_anti")
+          .select(cols: _*)
+        // a COW that touches EVERY file and keeps no row would commit a
+        // zero-file snapshot (unreadable — readVersion's documented
+        // limitation); keep full-wipe deletes on the vector path, where
+        // the files stay and the merged read is readably empty
+        if (relSet.size == entries.size && survivors.isEmpty) None
+        else Some(Snapshots.commitAll(table,
+          restageLike(spark, survivors, table, tagCol),
+          remove = e => relSet.contains(e._1)))
+      } else None
     }
-    Snapshots.commitAll(table, updated,
-      remove = { case (rel, _) => touchedIds(Snapshots.fileId(rel)) })
+    cowCommit.getOrElse {
+      val dvRel = s"dv/dv-${java.util.UUID.randomUUID.toString.take(12)}"
+      val shards = math.max(1, math.min(256, touchedIds.size))
+      all.repartition(shards, col("__fid")).write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$table/$dvRel")
+      val updated = entries.collect {
+        case e if touchedIds(Snapshots.fileId(e.rel)) =>
+          e.copy(props = e.props + (DvProp -> dvRel))
+      }
+      Snapshots.commitAll(table, updated,
+        remove = { case (rel, _) => touchedIds(Snapshots.fileId(rel)) })
+    }
+    } finally all.unpersist()
     } finally matched.unpersist()
+  }
+
+  /** DV MAINTENANCE (the Delta REORG shape, auto-triggerable):
+    * materialize every file whose deletion-vector fraction exceeds
+    * `maxDvFraction` — rewrite those files with their vectors applied
+    * and clear their `ref.dv` references — so a table under repeated
+    * small deletes CONVERGES to vector-free files instead of
+    * accumulating anti-join weight forever. Per-file fractions come
+    * from sidecar-sized counts over footer row counts (metadata IO
+    * only); files below the threshold keep their vectors untouched.
+    * Time travel and the change feed are unaffected: older snapshots
+    * still reference the vectored entries, and the rewrite surfaces in
+    * the feed as a cancelling delete+insert pair of identical rows.
+    * No-op without vectors. Returns the committed version. */
+  def reorgIfNeeded(spark: SparkSession, table: String, tagCol: String,
+                    maxDvFraction: Double = 0.3): Long = {
+    val dvEs = Snapshots.entriesAll(table).filter(_.props.contains(DvProp))
+    if (dvEs.isEmpty) return Snapshots.currentVersion(table)
+    val deleted: Map[String, Long] = dvEs.groupBy(_.props(DvProp)).toSeq.flatMap {
+      case (dvRel, owners) =>
+        val ids = owners.map(e => Snapshots.fileId(e.rel))
+        spark.read.parquet(s"$table/$dvRel")
+          .filter(col("__fid").isin(ids: _*))
+          .groupBy("__fid").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+    }.toMap
+    val heavy = dvEs.filter { e =>
+      val total = Snapshots.footerRowCount(s"$table/${e.rel}")
+      total > 0 &&
+        deleted.getOrElse(Snapshots.fileId(e.rel), 0L) >= maxDvFraction * total
+    }.map(_.rel).toSet
+    if (heavy.isEmpty) return Snapshots.currentVersion(table)
+    val materialized = readMerged(spark, table,
+      fileFilter = e => heavy.contains(e.rel))
+    Snapshots.commitAll(table, restageLike(spark, materialized, table, tagCol),
+      remove = e => heavy.contains(e._1))
   }
 
   /** Read snapshot `version` (−1 = live) with deletion vectors applied
@@ -210,6 +391,17 @@ object Mutations {
       s"refresh of $mvTable: fromV=$fromV but the MV has folded source " +
         s"version ${appliedVersion(mvTable)} — deltas must be applied " +
         "gap-free and exactly once (use catchUp)")
+    // a props-dropping commit to the MV table (e.g. a direct
+    // Snapshots.commit) resets appliedVersion to 0 while the rows stay;
+    // without this guard the fromV=0 "bootstrap" would UNION the full
+    // source onto those rows and silently double-count every one (r9
+    // advisor find). Snapshots.compact carries mv.* forward, so normal
+    // maintenance never trips this.
+    require(fromV > 0 || Snapshots.currentVersion(mvTable) == 0,
+      s"refresh of $mvTable: bootstrap (fromV=0) but the MV table already " +
+        s"has committed rows with no $AppliedProp bookkeeping — a " +
+        "props-dropping commit broke the exactly-once chain; rebuild the " +
+        "MV into a fresh table")
     val sumCol = s"sum_$valCol"
     val sgn = when(col("_change_type") === "delete", -1).otherwise(1)
     // persisted: the delta feeds the touched-tag collect AND the
@@ -473,10 +665,89 @@ object Mutations {
 
   val rollbackReadOracle: String = TimeTravel.timeTravelReadOracle
 
+  /** s36: conditional-clause MERGE — the source re-states days 18–25
+    * with +1000 values; matched rows with a LOW restated value delete,
+    * the remaining matched rows update to the restated value, and
+    * unmatched rows insert only when they are not error events. All
+    * three clause kinds fire against real data; copy-on-write still
+    * touches only files whose key stats overlap the source band. */
+  def mergeClauses(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s36-clauses-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    val base = ev.filter(col("event_date") <= "2024-01-20")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(base, table, "event_date", "event_id"))
+    val source = ev
+      .filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .withColumn("value", col("value") + 1000.0)
+    mergeIntoClauses(spark, table, source, "event_id", "event_date",
+      whenMatchedDelete = Some(col("s.value") <= 1100.0),
+      whenMatchedUpdate = Some((lit(true), Map("value" -> col("s.value")))),
+      whenNotMatchedInsert = Some(col("event_type") =!= "error"))
+    Snapshots.read(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  val mergeClausesOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |src AS (
+      |  SELECT event_id, event_type, value + 1000.0 AS value,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-18' AND DATE '2024-01-25'),
+      |merged AS (
+      |  SELECT b.event_id, b.event_type,
+      |         CASE WHEN s.event_id IS NOT NULL AND s.value > 1100.0
+      |              THEN s.value ELSE b.value END AS value,
+      |         b.event_date
+      |  FROM base b LEFT JOIN src s ON b.event_id = s.event_id
+      |  WHERE s.event_id IS NULL OR s.value > 1100.0
+      |  UNION ALL
+      |  SELECT s.event_id, s.event_type, s.value, s.event_date FROM src s
+      |  WHERE s.event_type <> 'error'
+      |    AND s.event_id NOT IN (SELECT event_id FROM base))
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM merged GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  /** s37: read ACROSS a rename commit — base days commit under `value`,
+    * a metadata-only rename turns it into `amount` (no file rewritten),
+    * and the post-rename append arrives under the LOGICAL name (landing
+    * in the same physical column). One scan serves both eras under the
+    * live name; older versions still read as `value` (spec-pinned). */
+  def schemaRenameRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s37-rename-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "value", "event_date")
+    Snapshots.commit(table, Snapshots.stage(
+      ev.filter(col("event_date") <= "2024-01-20"), table, "event_date"))
+    Snapshots.renameColumn(spark, table, "value", "amount")
+    Snapshots.commit(table, Snapshots.stage(
+      ev.filter(col("event_date") > "2024-01-20")
+        .withColumnRenamed("value", "amount"), table, "event_date"))
+    Snapshots.read(spark, table)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("amount")).as("sum_amount"))
+      .orderBy("event_date")
+  }
+
+  val schemaRenameReadOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  ${decSumSql("value")} AS sum_amount
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s31_snapshot_merge", snapshotMergeOracle)(snapshotMerge),
     QueryDef.sql("s32_deletion_vectors", deletionVectorsOracle)(deletionVectors),
     QueryDef.sql("s33_incremental_mv", incrementalMvOracle)(incrementalMv),
     QueryDef.sql("s34_snapshot_update", snapshotUpdateOracle)(snapshotUpdate),
-    QueryDef.sql("s35_rollback_read", rollbackReadOracle)(rollbackRead))
+    QueryDef.sql("s35_rollback_read", rollbackReadOracle)(rollbackRead),
+    QueryDef.sql("s36_merge_clauses", mergeClausesOracle)(mergeClauses),
+    QueryDef.sql("s37_schema_rename", schemaRenameReadOracle)(schemaRenameRead))
 }

@@ -200,13 +200,17 @@ object Snapshots {
   def rollback(table: String, v: Long): Long = {
     val cur = currentVersion(table)
     require(v >= 1 && v <= cur, s"rollback($table, $v): no such version")
-    // the restored snapshot keeps v's own props (bookkeeping like
-    // mv.applied must roll back WITH the rows it describes — dropping
-    // it would make a later catchUp double-fold) plus the provenance
-    // marker
+    // the restored snapshot keeps v's own props EXACTLY (bookkeeping
+    // like mv.applied and the logical-schema mapping must roll back
+    // WITH the rows they describe — dropping mv.applied would make a
+    // later catchUp double-fold; inheriting a LATER rename would detach
+    // the restored rows from their version's names) plus the
+    // provenance marker; `inherit = false` keeps post-v schema props
+    // from leaking in
     commitPrepared(
       Prepared(table, cur + 1, manifestList(table, v).map(_._1)),
-      props = snapshotProps(table, v) + ("rollback.to" -> v.toString))
+      props = snapshotProps(table, v) + ("rollback.to" -> v.toString),
+      inherit = false)
   }
 
   private def manifestEntries(table: String, mfName: String): Seq[Entry] =
@@ -236,6 +240,106 @@ object Snapshots {
   /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
   def entries(table: String): Seq[(String, String)] =
     entriesAll(table).map(e => (e.rel, e.tag))
+
+  // ---- logical schema: rename / drop without rewriting files ----------
+  //
+  // The Iceberg field-id idea by name-mapping: PHYSICAL column names
+  // (what the parquet files carry) are fixed at first stage and never
+  // change; a rename or drop is a METADATA-ONLY commit that records the
+  // mapping in snapshot props (`schema.logical.<physical>=<logical>`,
+  // `schema.dropped.<physical>=1`). Reads translate physical → logical
+  // AT THE VERSION BEING READ — so time travel and rollback present
+  // each snapshot under its own names and a rename commit orphans no
+  // history — and stage() translates logical → physical on the way in,
+  // so post-rename appends land in the same physical columns as
+  // pre-rename files and one parquet scan still serves both eras.
+  // Per-file stats/bloom props stay PHYSICAL (they are footer-derived);
+  // [[physicalName]] is the bridge predicates use.
+
+  private val LogicalPropPrefix = "schema.logical."
+  private val DroppedPropPrefix = "schema.dropped."
+  private[lake] val InheritedPropPrefixes = Seq("schema.")
+
+  /** (physical→logical renames, dropped physical names) at version `v`.
+    * Identity/empty for tables that never renamed or dropped. */
+  def schemaMapping(table: String, v: Long): (Map[String, String], Set[String]) = {
+    val props = snapshotProps(table, v)
+    (props.collect { case (k, lg) if k.startsWith(LogicalPropPrefix) =>
+        k.drop(LogicalPropPrefix.length) -> lg },
+      props.collect { case (k, _) if k.startsWith(DroppedPropPrefix) =>
+        k.drop(DroppedPropPrefix.length) }.toSet)
+  }
+
+  /** Physical→logical projection of `df` under version `v`'s mapping:
+    * dropped columns vanish, renamed columns surface under their
+    * logical names. No-op (and allocation-free) on unmapped tables. */
+  private[lake] def applyLogical(df: DataFrame, table: String, v: Long): DataFrame = {
+    val (ren, dropped) = schemaMapping(table, v)
+    if (ren.isEmpty && dropped.isEmpty) df
+    else {
+      val d = df.drop(dropped.toSeq.filter(df.columns.contains): _*)
+      ren.foldLeft(d) { case (acc, (p, l)) =>
+        if (p != l && acc.columns.contains(p)) acc.withColumnRenamed(p, l) else acc
+      }
+    }
+  }
+
+  /** Logical→physical projection of an input about to be staged under
+    * the LIVE mapping; rejects resurrection of a dropped physical name
+    * (a name-mapped format cannot tell a new column from the retired
+    * one — the documented delta to Iceberg's field ids). */
+  private def toPhysical(df: DataFrame, table: String): DataFrame = {
+    val (ren, dropped) = schemaMapping(table, currentVersion(table))
+    if (ren.isEmpty && dropped.isEmpty) df
+    else {
+      val mapped = ren.foldLeft(df) { case (acc, (p, l)) =>
+        if (p != l && acc.columns.contains(l)) acc.withColumnRenamed(l, p) else acc
+      }
+      val clash = mapped.columns.filter(dropped.contains)
+      require(clash.isEmpty,
+        s"stage of $table: column(s) ${clash.mkString(", ")} collide with DROPPED " +
+          "physical names — a name-mapped schema cannot reuse a retired name " +
+          "(rename the new column)")
+      mapped
+    }
+  }
+
+  /** Live physical name of a LOGICAL column (identity when unmapped) —
+    * the bridge between user predicates and the PHYSICAL `min.<col>` /
+    * `bloom.<col>` per-file props. */
+  def physicalName(table: String, logical: String): String = {
+    val (ren, _) = schemaMapping(table, currentVersion(table))
+    ren.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
+  }
+
+  /** RENAME a column — metadata-only commit (no file IO beyond one
+    * schema check read): current manifests are carried BY NAME and the
+    * new snapshot records the updated mapping. Readers of older
+    * versions keep seeing the old name (snapshot-scoped schema). */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Long = {
+    val v = currentVersion(table)
+    require(v >= 1, s"renameColumn($table): no committed snapshot")
+    val live = read(spark, table, mergeSchema = true).columns.toSet
+    require(live.contains(from), s"renameColumn($table): no column '$from' (have ${live.mkString(", ")})")
+    require(!live.contains(to), s"renameColumn($table): target '$to' already exists")
+    val phys = physicalName(table, from)
+    commitPrepared(Prepared(table, v + 1, manifestList(table, v).map(_._1)),
+      props = Map(LogicalPropPrefix + phys -> to))
+  }
+
+  /** DROP a column — metadata-only commit; the bytes stay in the files
+    * (and in older snapshots, which still read it) but every read of
+    * this and later versions excludes it. The physical name is retired
+    * permanently (see [[toPhysical]]). */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val v = currentVersion(table)
+    require(v >= 1, s"dropColumn($table): no committed snapshot")
+    require(read(spark, table, mergeSchema = true).columns.contains(name),
+      s"dropColumn($table): no column '$name'")
+    val phys = physicalName(table, name)
+    commitPrepared(Prepared(table, v + 1, manifestList(table, v).map(_._1)),
+      props = Map(DroppedPropPrefix + phys -> "1"))
+  }
 
   /** Read the live snapshot — optionally pruned by file tag BEFORE any
     * file is opened (manifest-level, then line-level pruning).
@@ -271,7 +375,9 @@ object Snapshots {
       .flatMap(manifestEntries(table, _))
       .collect { case e if tagFilter(e.tag) && fileFilter(e) => s"$table/${e.rel}" }
     if (fs.nonEmpty)
-      spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*)
+      applyLogical(
+        spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*),
+        table, v)
     else {
       // every file pruned: skipping is IO elision, never semantics — the
       // correct result is EMPTY, carried on the schema of any snapshot
@@ -279,7 +385,7 @@ object Snapshots {
       // (parquet needs one file for the schema — the scaladoc note).
       val any = mfs.view.flatMap { case (mf, _) => manifestEntries(table, mf) }.headOption
       require(any.nonEmpty, s"snapshot read of $table v$v: snapshot lists no files")
-      spark.read.parquet(s"$table/${any.get.rel}").limit(0)
+      applyLogical(spark.read.parquet(s"$table/${any.get.rel}").limit(0), table, v)
     }
   }
 
@@ -328,50 +434,74 @@ object Snapshots {
     // each side reads MERGED as of ITS version — a removed file's
     // delete rows exclude what a deletion vector had already removed at
     // `from`, an added file's insert rows apply `to`'s vector
+    // both sides surface under the TO version's LOGICAL names (physical
+    // names are stable across renames, so this is a pure projection):
+    // a feed crossing a rename commit stays union-compatible instead of
+    // splitting one column into old-name/new-name halves
     def side(es: Seq[Entry], kind: String): Option[DataFrame] =
       if (es.isEmpty) None
-      else Some(noReserved(readEntriesMerged(spark, table, es, mergeSchema = true))
+      else Some(noReserved(applyLogical(
+          readEntriesMerged(spark, table, es, mergeSchema = true), table, toV))
         .withColumn("_change_type", lit(kind)))
     val removed = fromE.filterNot(e => toByRel.contains(e.rel))
     val added   = toE.filterNot(e => fromByRel.contains(e.rel))
-    // a SHARED file whose deletion vector GREW between the versions
-    // (deleteWhere commits change props, not rels — pre-r8 the feed was
-    // BLIND to them and incremental MVs silently kept deleted rows):
-    // emit the rows at the newly-deleted positions as deletes. Vectors
-    // only grow per rel (repeat deletes fold the prior vector; rewrites
-    // change the rel), so to-positions minus from-positions is exact.
-    val dvGrown = toE.filter(e => fromByRel.get(e.rel).exists(f =>
+    // a SHARED file whose deletion-vector reference CHANGED between the
+    // versions (deleteWhere and rollback commit new PROPS, not new rels
+    // — pre-r8 the feed was BLIND to them and incremental MVs silently
+    // kept deleted rows). The vector can move in BOTH directions:
+    //   - GROWTH (deleteWhere folds the prior vector into a superset):
+    //     to-positions minus from-positions are NEW deletes;
+    //   - SHRINKAGE (rollback() re-publishes an OLDER entry under the
+    //     same rel — the one op that moves a rel's vector backwards;
+    //     r9 advisor find, spec-pinned): from-positions minus
+    //     to-positions are RESURRECTED rows, emitted as inserts —
+    //     without them an incremental MV folding across the rollback
+    //     silently diverges from the table it mirrors.
+    // A side with no vector at all (pre-first-delete, or rolled back to
+    // a pre-delete snapshot) contributes the EMPTY position set; the
+    // mixed case (some rels grew, some shrank) is handled per
+    // (file, position) pair by the two set differences.
+    val dvChanged = toE.filter(e => fromByRel.get(e.rel).exists(f =>
       f.props.get(DvRefProp) != e.props.get(DvRefProp)))
-    val dvDeletes: Option[DataFrame] =
-      if (dvGrown.isEmpty) None
+    val dvDiff: Seq[DataFrame] =
+      if (dvChanged.isEmpty) Seq.empty
       else {
-        val toPos = dvPositions(spark, table, dvGrown).get
-        val fromPos = dvPositions(spark, table, dvGrown.map(e => fromByRel(e.rel)))
-          .getOrElse(toPos.limit(0))
-        val newPos = toPos.except(fromPos)
-        val data = spark.read.option("mergeSchema", "true")
-          .parquet(dvGrown.map(e => s"$table/${e.rel}"): _*)
-        val cols = data.columns.map(col)
-        Some(noReserved(data)
-          .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
-          .withColumn("__pos", col("_metadata.row_index"))
-          .join(newPos, Seq("__fid", "__pos"))
-          .select(cols: _*)
-          .withColumn("_change_type", lit("delete")))
+        val toPosOpt = dvPositions(spark, table, dvChanged)
+        val fromPosOpt = dvPositions(spark, table,
+          dvChanged.map(e => fromByRel(e.rel)))
+        val empty = toPosOpt.orElse(fromPosOpt).get.limit(0)
+        val toPos = toPosOpt.getOrElse(empty)
+        val fromPos = fromPosOpt.getOrElse(empty)
+        // the emptiness probe runs on sidecar-sized position sets only;
+        // it saves a full scan of the changed DATA files for the common
+        // grow-only (no resurrection) and rollback-only (no new delete)
+        // shapes
+        def rowsAt(pos: DataFrame, kind: String): Option[DataFrame] =
+          if (pos.isEmpty) None
+          else {
+            val data = spark.read.option("mergeSchema", "true")
+              .parquet(dvChanged.map(e => s"$table/${e.rel}"): _*)
+            val cols = data.columns.map(col)
+            Some(noReserved(applyLogical(data
+              .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
+              .withColumn("__pos", col("_metadata.row_index"))
+              .join(pos, Seq("__fid", "__pos"))
+              .select(cols: _*), table, toV))
+              .withColumn("_change_type", lit(kind)))
+          }
+        rowsAt(toPos.except(fromPos), "delete").toSeq ++
+          rowsAt(fromPos.except(toPos), "insert").toSeq
       }
-    val deletes = (side(removed, "delete").toSeq ++ dvDeletes.toSeq)
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
-    (deletes, side(added, "insert")) match {
-      case (Some(d), Some(i)) => d.unionByName(i, allowMissingColumns = true)
-      case (Some(d), None)    => d
-      case (None, Some(i))    => i
-      case (None, None)       =>
+    val parts = side(removed, "delete").toSeq ++ dvDiff ++
+      side(added, "insert").toSeq
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
         // no changes: an empty feed with the live schema (needs >=1
         // committed file to carry it, same limitation as readVersion's
         // zero-file note above)
         noReserved(readVersion(spark, table, toV).limit(0))
           .withColumn("_change_type", lit("insert"))
-    }
+      }
   }
 
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
@@ -406,7 +536,11 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     val token = "data/d" + java.util.UUID.randomUUID().toString.take(12)
     val dir = s"$table/$token"
-    df.withColumn("__tag", col(tagCol).cast("string"))
+    // inputs arrive under LOGICAL names; files are written PHYSICAL so
+    // post-rename appends land in the same columns as pre-rename files
+    val pdf = toPhysical(df, table)
+    val ptag = physicalName(table, tagCol)
+    pdf.withColumn("__tag", col(ptag).cast("string"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .partitionBy("__tag").parquet(dir)
     def walk(f: File): Seq[File] =
@@ -421,7 +555,7 @@ object Snapshots {
             ExternalCatalogUtils.unescapePathName(s.substring("__tag=".length))
         }.getOrElse(sys.error(s"staged file $rel carries no tag segment"))
         require(tag != HiveNull,
-          s"stage of $table: NULL/empty $tagCol — snapshot tags must be non-null " +
+          s"stage of $table: NULL/empty $ptag — snapshot tags must be non-null " +
             "(write a sentinel value upstream if absent-tag rows are legitimate)")
         require(!tag.exists(c => c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002'),
           s"stage of $table: tag ${tag.take(40)} carries manifest framing characters")
@@ -444,7 +578,9 @@ object Snapshots {
                      statsCol: String, buckets: Int = 128): Seq[Entry] = {
     import org.apache.spark.sql.functions._
     val clustered = df.repartitionByRange(buckets, col(tagCol), col(statsCol))
-    withFooterStats(stageClustered(clustered, table, tagCol), table, Seq(statsCol))
+    // footer stats read the PHYSICAL column; props stay physical too
+    withFooterStats(stageClustered(clustered, table, tagCol), table,
+      Seq(physicalName(table, statsCol)))
   }
 
   /** Bits per dimension of the [[stageZOrdered]] grid: 16 bits x up to
@@ -494,7 +630,8 @@ object Snapshots {
       .repartitionByRange(buckets, col(tagCol), col("__z"))
       .drop(statsCols.flatMap(c =>
         Seq(s"__mn_$c", s"__mx_$c", s"__zb_$c")) :+ "__z": _*)
-    withFooterStats(stageClustered(clustered, table, tagCol), table, statsCols)
+    withFooterStats(stageClustered(clustered, table, tagCol), table,
+      statsCols.map(physicalName(table, _)))
   }
 
   /** Decorate staged entries with `min.<col>`/`max.<col>` props for
@@ -619,7 +756,7 @@ object Snapshots {
     val es = entriesAt(table, v).filter(e => tagFilter(e.tag) && fileFilter(e))
     if (!es.exists(_.props.contains(DvRefProp)))
       readVersion(spark, table, v, tagFilter, fileFilter) // keeps empty-prune semantics
-    else readEntriesMerged(spark, table, es)
+    else applyLogical(readEntriesMerged(spark, table, es), table, v)
   }
 
   /** Decorate staged entries with a per-file BLOOM FILTER over
@@ -637,25 +774,37 @@ object Snapshots {
     * framing wouldn't change. Probe with [[mightContainLong]]. */
   def withBloom(staged: Seq[Entry], table: String, bloomCol: String,
                 spark: SparkSession, estItems: Long = 1000L,
-                numBits: Long = 8192L): Seq[Entry] = {
+                numBits: Long = 8192L, chunkFiles: Int = 4096): Seq[Entry] = {
     import org.apache.spark.sql.functions._
     graft.functions.BloomSketch.register(spark)
-    val files = staged.map(e => s"$table/${e.rel}")
-    // sketch rows map back to entries by [[fileId]] — the bare part-file
-    // name is NOT unique across __tag dirs (one task writes the same
-    // name into every dir it owns), and a name-keyed grouping would
-    // silently MERGE those files' sketches (no false negatives, but
-    // every collision's keys bleed into the other file's filter).
-    val sketches = spark.read.parquet(files: _*)
-      .groupBy(fileIdCol(input_file_name()).as("__f"))
-      .agg(expr(s"graft_bloom_agg(xxhash64($bloomCol), " +
-        s"CAST($estItems AS BIGINT), CAST($numBits AS BIGINT))").as("__b"))
-      .collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    staged.map { e =>
-      e.copy(props = e.props ++ sketches.get(fileId(e.rel)).map(b =>
-        s"bloom.$bloomCol" -> java.util.Base64.getEncoder.encodeToString(b)))
-    }
+    // staged files carry PHYSICAL names; accept the logical name and
+    // bridge (identity on never-renamed tables), prop stays physical
+    val pcol = physicalName(table, bloomCol)
+    // CHUNKED: one Spark job per `chunkFiles` files, so the transient
+    // driver-side sketch buffer is bounded at chunk × ~1 KiB instead of
+    // #files × ~1 KiB — a million-file stage holds ≤4096 sketches at
+    // once here (the decorated entries themselves still carry every
+    // sketch until the manifest write, which is inherent to
+    // manifest-resident sketches; at that scale they move to sidecar
+    // files, per the scaladoc above).
+    staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
+      val files = chunk.map(e => s"$table/${e.rel}")
+      // sketch rows map back to entries by [[fileId]] — the bare
+      // part-file name is NOT unique across __tag dirs (one task writes
+      // the same name into every dir it owns), and a name-keyed grouping
+      // would silently MERGE those files' sketches (no false negatives,
+      // but every collision's keys bleed into the other file's filter).
+      val sketches = spark.read.parquet(files: _*)
+        .groupBy(fileIdCol(input_file_name()).as("__f"))
+        .agg(expr(s"graft_bloom_agg(xxhash64($pcol), " +
+          s"CAST($estItems AS BIGINT), CAST($numBits AS BIGINT))").as("__b"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      chunk.map { e =>
+        e.copy(props = e.props ++ sketches.get(fileId(e.rel)).map(b =>
+          s"bloom.$pcol" -> java.util.Base64.getEncoder.encodeToString(b)))
+      }
+    }.toSeq
   }
 
   /** Keep-if-might-contain predicate over [[withBloom]] sketches: a
@@ -681,6 +830,18 @@ object Snapshots {
     * missing, non-primitive-numeric, or any row group lacks stats. */
   private def footerMinMax(path: String, column: String): Option[(String, String)] =
     footerStats(path, Seq(column)).get(column)
+
+  /** Row count of one parquet file from its FOOTER — metadata-only IO,
+    * no data pages touched. The denominator for per-file deletion-
+    * vector fractions ([[Mutations.deleteWhere]]'s COW crossover and
+    * [[Mutations.reorgIfNeeded]]'s trigger). */
+  private[lake] def footerRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(new File(path).getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
 
   /** [[footerMinMax]] for several columns in ONE footer open; columns
     * without usable stats are simply absent from the result. */
@@ -776,8 +937,26 @@ object Snapshots {
     * taken and gets [[ConcurrentCommitException]] — unless the existing
     * content is byte-identical (a crash-recovery re-commit), which
     * stays an idempotent no-op. Returns the committed version. */
-  def commitPrepared(p: Prepared, props: Map[String, String] = Map.empty): Long = {
-    val allProps = p.props ++ props
+  def commitPrepared(p: Prepared, props: Map[String, String] = Map.empty,
+                     inherit: Boolean = true): Long = {
+    // LOGICAL-SCHEMA props are INHERITED: a rename/drop is table-level
+    // metadata every later snapshot must keep carrying (Iceberg keeps
+    // it in table metadata outside any snapshot; here the snapshot file
+    // is the only metadata, so each commit re-states the mapping).
+    // Explicit props win, so a rename commit overrides its own key.
+    // `inherit = false` is for [[rollback]], whose explicit props ARE
+    // the complete prop set of the restored version: schema mapping is
+    // snapshot-scoped here (each version reads under its own names —
+    // the time-travel contract), so a rollback across a rename restores
+    // the old names WITH the old rows rather than keeping the live
+    // mapping the way table-level-schema formats would. Idempotent
+    // re-commits (crash recovery) re-derive the same inherited set, so
+    // byte-identity detection still holds.
+    val inherited =
+      if (!inherit) Map.empty[String, String]
+      else snapshotProps(p.table, currentVersion(p.table))
+        .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) }
+    val allProps = inherited ++ p.props ++ props
     allProps.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") &&
           !s"$k$v".exists(c => c == '\n' || c == '\t' || c == '\u0001' || c == '\u0002'),
@@ -877,23 +1056,72 @@ object Snapshots {
       auxOrphans.map(d => s"dv/${d.getName}")
   }
 
+  /** Restage `df` preserving the TABLE's skipping surface: the stats
+    * and bloom columns a table was staged with are recovered from its
+    * live entries' prop KEYS (`min.<col>` / `bloom.<col>`, PHYSICAL
+    * names), and the new files get the same per-file footer stats and
+    * sketches. Without this, every COW rewrite would strip the touched
+    * files' metadata and each subsequent merge/update's candidate
+    * pruning would degrade toward a full scan. (The rewrite does not
+    * re-cluster — new files may span wider value ranges than
+    * range-clustered originals, which weakens their stats' selectivity
+    * but never their correctness; [[compact]] with `zorderBy` restores
+    * the clustering.) */
+  private[lake] def restageLike(spark: SparkSession, df: DataFrame, table: String,
+                                tagCol: String): Seq[Entry] = {
+    val keys = entriesAll(table).flatMap(_.props.keys).distinct
+    val statsCols = keys.collect { case k if k.startsWith("min.") => k.drop(4) }
+    val bloomCols = keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }
+    val staged = stage(df, table, tagCol)
+    val withStats =
+      if (statsCols.isEmpty) staged.map { case (r, t) => Entry(r, t) }
+      else withFooterStats(staged, table, statsCols)
+    bloomCols.foldLeft(withStats)((es, c) => withBloom(es, table, c, spark))
+  }
+
   /** OPTIMIZE for snapshot tables: bin-pack every tag fragmented across
     * >1 file into one file per tag, published as one atomic commit —
     * readers concurrent with the maintenance job keep the old snapshot
     * (and can still time-travel to it until vacuum). Content is
-    * untouched: same rows, fewer files. Returns the committed version
-    * (the current one if nothing is fragmented — no empty commits). */
-  def compact(spark: SparkSession, table: String, tagCol: String): Long = {
+    * untouched: same rows, fewer files; per-file stats/bloom props are
+    * re-derived for the rewritten files ([[restageLike]]), and
+    * content-describing snapshot props (`mv.*` bookkeeping) are carried
+    * forward — a layout-only rewrite must not reset an MV's applied
+    * version to 0, or the next catchUp would double-fold the bootstrap
+    * (r9 advisor find; provenance props like `rollback.to` are NOT
+    * carried, they describe their own commit).
+    *
+    * `zorderBy` non-empty switches to a FULL RE-CLUSTER (the Delta
+    * OPTIMIZE ZORDER BY shape): every tag rewrites through
+    * [[stageZOrdered]] on those columns. Repeated COW rewrites preserve
+    * stats but not clustering, so per-file ranges widen until min/max
+    * and bloom skipping stop pruning; this restores the per-file boxes
+    * at a maintenance moment the operator picks. Returns the committed
+    * version (the current one when nothing needs rewriting). */
+  def compact(spark: SparkSession, table: String, tagCol: String,
+              zorderBy: Seq[String] = Seq.empty): Long = {
     require(!entriesAll(table).exists(_.props.keys.exists(_.startsWith("ref."))),
       s"compact($table): table has merge-on-read sidecars (ref.* entry " +
         "props) — the kernel read would resurrect deleted rows; run " +
         "Mutations.purgeVectors first")
-    val fragmented = entries(table).groupBy(_._2).filter(_._2.size > 1)
-    if (fragmented.isEmpty) currentVersion(table)
-    else {
-      val tags = fragmented.keySet
-      val df = read(spark, table, tagFilter = tags.contains)
-      commit(table, stage(df, table, tagCol), remove = e => tags.contains(e._2))
+    val carried = snapshotProps(table, currentVersion(table))
+      .filter { case (k, _) => k.startsWith("mv.") }
+    if (zorderBy.nonEmpty) {
+      val bloomCols = entriesAll(table).flatMap(_.props.keys)
+        .collect { case k if k.startsWith("bloom.") => k.drop(6) }.distinct
+      val df = read(spark, table)
+      val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
+        (acc, c) => withBloom(acc, table, c, spark))
+      commitAll(table, es, remove = _ => true, props = carried)
+    } else {
+      val fragmented = entries(table).groupBy(_._2).filter(_._2.size > 1)
+      if (fragmented.isEmpty) currentVersion(table)
+      else {
+        val tags = fragmented.keySet
+        val df = read(spark, table, tagFilter = tags.contains)
+        commitAll(table, restageLike(spark, df, table, tagCol),
+          remove = e => tags.contains(e._2), props = carried)
+      }
     }
   }
 

@@ -326,6 +326,189 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("gap-free"), e.getMessage)
   }
 
+  test("change feed across a rollback crossing a deleteWhere: resurrections surface") {
+    val src = tmp("mut-rb-dv-src")
+    val mv = tmp("mut-rb-dv-mv")
+    Snapshots.commit(src, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0)), src, "day"))
+    Mutations.catchUp(spark, mv, src, "day", "v")       // applied = 1
+    Mutations.deleteWhere(spark, src, col("id") === 2L) // v2: DV on a's file
+    Mutations.catchUp(spark, mv, src, "day", "v")       // folds the delete
+    Snapshots.rollback(src, 1)                          // v3: the DV vanishes on a SHARED rel
+    // pre-fix this threw NoSuchElementException (no to-side DV to .get);
+    // the fixed feed emits the resurrected row as an insert
+    val feed = Snapshots.changes(spark, src, 2, 3)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == Seq((2L, "insert")),
+      s"a rollback across a delete must resurrect the row in the feed; got $feed")
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    def mvRows() = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(mvRows() == Seq(("a", 2L, 3.0), ("b", 1L, 10.0)),
+      s"the MV must fold the resurrection; got ${mvRows()}")
+
+    // MIXED case: one rel's vector shrinks while the delete that
+    // rolled back had touched two files — only the folded-away
+    // position resurrects, per (file, position)
+    Mutations.deleteWhere(spark, src, col("id") === 1L || col("id") === 10L) // v4: DVs on a AND b
+    Mutations.deleteWhere(spark, src, col("id") === 2L)                      // v5: folds a's vector
+    Snapshots.rollback(src, 4)                                               // v6: a shrinks, b unchanged
+    val feed2 = Snapshots.changes(spark, src, 5, 6)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed2 == Seq((2L, "insert")),
+      s"only the folded-away position resurrects; got $feed2")
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    assert(mvRows() == Seq(("a", 1L, 2.0)),
+      s"MV after the mixed rollback; got ${mvRows()}")
+  }
+
+  test("wide delete writes a multi-shard sidecar; no data file rewritten") {
+    val table = tmp("mut-dv-shard")
+    val rows = (1L to 200L).map(i => (i, s"d${i % 8}", i.toDouble))
+    Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"))
+    val files = Snapshots.entries(table).map(_._1).toSet
+    Mutations.deleteWhere(spark, table, col("id") % 2 === 0)
+    assert(Snapshots.entries(table).map(_._1).toSet == files,
+      "the vector path must never rewrite data files")
+    val dvDirs = Option(new java.io.File(s"$table/dv").listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+    assert(dvDirs.size == 1)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val parts = walk(dvDirs.head).count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, s"the sidecar must shard across tasks (r8 wrote 1 file); got $parts")
+    assert(sorted(Mutations.readMerged(spark, table)).map(_._1) == (1L to 199L by 2))
+  }
+
+  test("deleteWhere crossover: large deletes route to copy-on-write, small stay MOR") {
+    val table = tmp("mut-dv-cow")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+         (10L, "b", 10.0), (11L, "b", 11.0), (12L, "b", 12.0), (13L, "b", 13.0)),
+      table, "day"))
+    // 1 of b's 4 rows = 0.25 < 0.3 threshold: stays merge-on-read
+    Mutations.deleteWhere(spark, table, col("id") === 10L, cowTagCol = Some("day"))
+    assert(Snapshots.entriesAll(table).filter(_.tag == "b")
+      .forall(_.props.contains("ref.dv")), "a small delete must stay on the vector path")
+    // 2 of a's 3 rows = 0.67 >= 0.3: copy-on-write — file rewritten, no vector
+    Mutations.deleteWhere(spark, table, col("id") <= 2L, cowTagCol = Some("day"))
+    val aEntries = Snapshots.entriesAll(table).filter(_.tag == "a")
+    assert(aEntries.nonEmpty && aEntries.forall(!_.props.contains("ref.dv")),
+      "a large delete must materialize instead of growing a vector")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((3L, "a", 3.0), (11L, "b", 11.0), (12L, "b", 12.0), (13L, "b", 13.0)))
+    // a full-wipe COW would leave a zero-file (unreadable) snapshot:
+    // such deletes stay on the vector path and read back empty
+    Mutations.deleteWhere(spark, table, lit(true), cowTagCol = Some("day"))
+    assert(Mutations.readMerged(spark, table).count() == 0,
+      "full-table delete must stay readable (as empty) via the vector path")
+  }
+
+  test("reorgIfNeeded converges heavy vectors to plain files; light ones keep theirs") {
+    val table = tmp("mut-reorg")
+    val rows = (1L to 10L).map(i => (i, "a", i.toDouble)) ++
+      (11L to 20L).map(i => (i, "b", i.toDouble))
+    Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"))
+    // a: 2/10 = 0.2 below the 0.3 trigger -> reorg no-ops
+    Mutations.deleteWhere(spark, table, col("id").isin(1L, 2L))
+    val v = Snapshots.currentVersion(table)
+    Mutations.reorgIfNeeded(spark, table, "day")
+    assert(Snapshots.currentVersion(table) == v, "below-threshold vectors must stay put")
+    // fold a to 4/10 = 0.4 (heavy), give b 1/10 = 0.1 (light)
+    Mutations.deleteWhere(spark, table, col("id").isin(3L, 4L, 11L))
+    val vDel = Snapshots.currentVersion(table)
+    Mutations.reorgIfNeeded(spark, table, "day")
+    val vReorg = Snapshots.currentVersion(table)
+    assert(vReorg == vDel + 1, "reorg must commit once")
+    val es = Snapshots.entriesAll(table)
+    assert(es.filter(_.tag == "a").forall(!_.props.contains("ref.dv")),
+      "the heavy file must converge to vector-free")
+    assert(es.filter(_.tag == "b").forall(_.props.contains("ref.dv")),
+      "the light file must keep its vector")
+    assert(sorted(Mutations.readMerged(spark, table)).map(_._1) ==
+      ((5L to 10L) ++ (12L to 20L)))
+    // time travel: the pre-reorg version still applies its vectors
+    assert(sorted(Mutations.readMerged(spark, table, version = vDel)).map(_._1) ==
+      ((5L to 10L) ++ (12L to 20L)))
+    // the rewrite cancels in the change feed (delete+insert of the same rows)
+    val fr = Snapshots.changes(spark, table, vDel, vReorg)
+    val dels = fr.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ins = fr.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels == ins && dels == (5L to 10L).toSeq,
+      s"reorg must cancel in the feed; deletes $dels inserts $ins")
+  }
+
+  test("conditional MERGE: delete/update/insert clauses, s/t references, DV matched-ness") {
+    val table = tmp("mut-clauses")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (20L, "c", 20.0)),
+      table, "day", "id", buckets = 3))
+    val before = Snapshots.entries(table).map(_._1).toSet
+    // key 1: matched, s.v < 5 -> DELETE; key 10: matched, s.v > t.v -> UPDATE;
+    // key 30: unmatched, v >= 0 -> INSERT; key 40: unmatched, cond false -> dropped
+    Mutations.mergeIntoClauses(spark, table,
+      df((1L, "a", 0.0), (10L, "b", 100.0), (30L, "d", 30.0), (40L, "e", -1.0)),
+      "id", "day",
+      whenMatchedDelete = Some(col("s.v") < 5.0),
+      whenMatchedUpdate = Some((col("s.v") > col("t.v"), Map("v" -> col("s.v")))),
+      whenNotMatchedInsert = Some(col("v") >= 0.0))
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((2L, "a", 2.0), (10L, "b", 100.0), (20L, "c", 20.0), (30L, "d", 30.0)))
+    val carriedTags = Snapshots.entriesAll(table)
+      .filter(e => before(e.rel)).map(_.tag).toSet
+    assert(carriedTags.contains("c"), "files without a matched key carry by name")
+
+    // matched but no clause fires: row survives verbatim
+    Mutations.mergeIntoClauses(spark, table, df((20L, "c", 5.0)), "id", "day",
+      whenMatchedUpdate = Some((col("s.v") > col("t.v"), Map("v" -> col("s.v")))))
+    assert(sorted(Mutations.readMerged(spark, table)).contains((20L, "c", 20.0)))
+
+    // no matched clause at all: pure filtered-insert append, no rewrite
+    val files2 = Snapshots.entries(table).map(_._1).toSet
+    Mutations.mergeIntoClauses(spark, table,
+      df((50L, "f", 50.0), (2L, "a", 99.0)), "id", "day",
+      whenNotMatchedInsert = Some(lit(true)))
+    assert(files2.subsetOf(Snapshots.entries(table).map(_._1).toSet),
+      "an insert-only merge must reuse every prior file by name")
+    val now = sorted(Mutations.readMerged(spark, table))
+    assert(now.contains((2L, "a", 2.0)) && now.contains((50L, "f", 50.0)),
+      s"matched row untouched, unmatched inserted; got $now")
+
+    // matched-ness is decided on the MERGED state: a DV-deleted key re-inserts
+    Mutations.deleteWhere(spark, table, col("id") === 30L)
+    Mutations.mergeIntoClauses(spark, table, df((30L, "d", 33.0)), "id", "day",
+      whenNotMatchedInsert = Some(lit(true)))
+    assert(sorted(Mutations.readMerged(spark, table)).contains((30L, "d", 33.0)),
+      "a key alive only in DV-deleted rows must NOT match")
+
+    // all clauses condition away: no commit
+    val v = Snapshots.currentVersion(table)
+    Mutations.mergeIntoClauses(spark, table, df((60L, "g", -5.0)), "id", "day",
+      whenNotMatchedInsert = Some(col("v") >= 0.0))
+    assert(Snapshots.currentVersion(table) == v, "a no-op merge must not commit")
+  }
+
+  test("bootstrap refresh onto an MV with rows but no bookkeeping is rejected") {
+    val src = tmp("mut-guard-src")
+    val mv = tmp("mut-guard-mv")
+    Snapshots.commit(src, Snapshots.stage(df((1L, "a", 1.0)), src, "day"))
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    // a props-dropping direct commit simulates maintenance outside the
+    // MV protocol: appliedVersion falls back to 0 while the rows stay
+    Snapshots.commit(mv, Seq.empty)
+    Snapshots.commit(src, Snapshots.stage(df((2L, "a", 2.0)), src, "day"))
+    val e = intercept[IllegalArgumentException] {
+      Mutations.catchUp(spark, mv, src, "day", "v")
+    }
+    assert(e.getMessage.contains("bootstrap"),
+      s"double-fold hole must be guarded, not silently double-counted: ${e.getMessage}")
+  }
+
   test("full mutation surface tracks a pure model under a random op sequence") {
     val rnd = new scala.util.Random(1234)
     val table = tmp("mut-model")
@@ -349,7 +532,7 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     snapshot()
     for (step <- 1 to 25) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => // append
           val rows = freshRows(tag, 1 + rnd.nextInt(3))
           Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"))
@@ -360,9 +543,11 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
           val ins = freshRows(tag, 1)
           Mutations.mergeInto(spark, table, df(upd ++ ins: _*), "id", "day")
           model ++= (upd ++ ins).map(r => r._1 -> ((r._2, r._3)))
-        case 2 if model.nonEmpty => // DV delete of 1-2 random ids
+        case 2 if model.nonEmpty => // delete of 1-2 random ids; the crossover
+          // policy (randomly armed) may route it MOR or COW — content identical
           val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
-          Mutations.deleteWhere(spark, table, col("id").isin(ids: _*))
+          Mutations.deleteWhere(spark, table, col("id").isin(ids: _*),
+            cowTagCol = if (rnd.nextBoolean()) Some("day") else None)
           model --= ids
         case 3 if model.nonEmpty => // COW update of one random id
           val id = rnd.shuffle(model.keys.toSeq).head
@@ -379,6 +564,25 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
           val v = rnd.shuffle(history.keys.toSeq).head
           Snapshots.rollback(table, v)
           model = history(v)
+        case 7 if model.nonEmpty => // conditional merge: low source values
+          // delete, high ones add onto the target, one fresh insert
+          val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          val srcUpd = ids.map { id =>
+            val (d, _) = model(id); (id, d, rnd.nextInt(1000).toDouble) }
+          val srcIns = freshRows(tag, 1)
+          Mutations.mergeIntoClauses(spark, table, df(srcUpd ++ srcIns: _*),
+            "id", "day",
+            whenMatchedDelete = Some(col("s.v") < 300.0),
+            whenMatchedUpdate = Some((lit(true),
+              Map("v" -> (col("s.v") + col("t.v"))))),
+            whenNotMatchedInsert = Some(lit(true)))
+          srcUpd.foreach { case (id, d, sv) =>
+            if (sv < 300.0) model -= id
+            else { val (_, tv) = model(id); model += id -> ((d, sv + tv)) }
+          }
+          model ++= srcIns.map(r => r._1 -> ((r._2, r._3)))
+        case 8 => // DV maintenance: content must not move
+          Mutations.reorgIfNeeded(spark, table, "day", maxDvFraction = 0.2)
         case _ => ()
       }
       snapshot()

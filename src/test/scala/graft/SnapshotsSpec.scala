@@ -519,6 +519,101 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(ghosts <= 8, s"absent-id false-positive files: $ghosts of 64 probes")
   }
 
+  test("rename/drop are metadata-only; each version reads under its own names") {
+    import spark.implicits._
+    val table = tmp("snap-rename")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 10L), (2, "b", 20L)), table, "day"))
+    val files = Snapshots.entries(table).map(_._1).toSet
+    Snapshots.renameColumn(spark, table, "v", "amount")
+    assert(Snapshots.entries(table).map(_._1).toSet == files,
+      "a rename must move no data file")
+    assert(Snapshots.read(spark, table).columns.toSet == Set("id", "day", "amount"))
+    // post-rename append arrives under the LOGICAL name and lands in the
+    // same physical column — one plain scan (no mergeSchema) serves both eras
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((3, "c", 30L)).toDF("id", "day", "amount"), table, "day"))
+    val got = Snapshots.read(spark, table).select("id", "amount").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1, 10L), (2, 20L), (3, 30L)))
+    // time travel: the pre-rename snapshot still reads under its own name
+    assert(Snapshots.readVersion(spark, table, 1).columns.toSet == Set("id", "day", "v"))
+    // collisions and unknown columns rejected
+    intercept[IllegalArgumentException](Snapshots.renameColumn(spark, table, "amount", "id"))
+    intercept[IllegalArgumentException](Snapshots.renameColumn(spark, table, "nope", "x"))
+    // drop: metadata-only; the physical name is retired for good
+    Snapshots.dropColumn(spark, table, "amount")
+    assert(Snapshots.read(spark, table).columns.toSet == Set("id", "day"))
+    intercept[IllegalArgumentException] {
+      Snapshots.stage(Seq((9, "z", 9L)).toDF("id", "day", "v"), table, "day")
+    }
+  }
+
+  test("rollback across a rename restores that version's names with its rows") {
+    val table = tmp("snap-rename-rb")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 10L)), table, "day"))
+    Snapshots.renameColumn(spark, table, "v", "amount") // v2
+    Snapshots.rollback(table, 1)                        // v3: pre-rename state
+    assert(Snapshots.read(spark, table).columns.toSet == Set("id", "day", "v"),
+      "rollback across a rename must restore the old logical name")
+    Snapshots.rollback(table, 2)                        // v4: renamed state again
+    assert(Snapshots.read(spark, table).columns.toSet == Set("id", "day", "amount"))
+  }
+
+  test("change feed across a rename presents the TO version's names") {
+    import spark.implicits._
+    val table = tmp("snap-rename-feed")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 10L), (2, "b", 20L)), table, "day"))
+    Snapshots.renameColumn(spark, table, "v", "amount") // v2: metadata-only
+    assert(Snapshots.changes(spark, table, 1, 2).count() == 0,
+      "a metadata-only rename must produce an empty feed")
+    // heal day b AFTER the rename; the v1 -> v3 feed crosses the rename
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2, "b", 25L)).toDF("id", "day", "amount"), table, "day"),
+      remove = _._2 == "b")
+    val feed = Snapshots.changes(spark, table, 1, 3)
+    assert(feed.columns.count(_ == "amount") == 1 && !feed.columns.contains("v"),
+      s"the feed must stay union-compatible under the live name; got ${feed.columns.toSeq}")
+    val rows = feed.select("id", "amount", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows == Seq((2, 20L, "delete"), (2, 25L, "insert")))
+  }
+
+  test("compact carries mv.* props forward; provenance props are not carried") {
+    val table = tmp("snap-compact-props")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "a", 2L)), table, "day"),
+      props = Map("mv.applied" -> "7", "rollback.to" -> "1"))
+    Snapshots.compact(spark, table, "day") // tag a is fragmented -> rewrite
+    val props = Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+    assert(props.get("mv.applied").contains("7"),
+      "a layout-only rewrite must not reset MV bookkeeping")
+    assert(!props.contains("rollback.to"),
+      "provenance props describe their own commit and must not be carried")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "a", 2L)))
+  }
+
+  test("zorder compact restores file skipping eroded by unclustered writes") {
+    val table = tmp("snap-zcompact")
+    // deliberately UNclustered: buckets=1 puts all rows in one task, so
+    // each tag's single file spans the full v range — min/max stats
+    // prune nothing (the "heavily-rewritten table" shape)
+    val rows = (1 to 512).map(i => (i, s"d${i % 4}", (i * 37 % 512).toLong))
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(df(rows: _*), table, "day", "v", buckets = 1))
+    def keptFrac(): Double = {
+      val es = Snapshots.entriesAll(table)
+      es.count(Snapshots.rangeOverlap("v", 0.0, 40.0)).toDouble / es.size
+    }
+    val before = keptFrac()
+    assert(before == 1.0, s"fixture must start unprunable, got $before")
+    Snapshots.compact(spark, table, "day", zorderBy = Seq("v"))
+    val after = keptFrac()
+    assert(after < 0.5, s"re-clustering must restore pruning; kept fraction $after")
+    assert(sorted(Snapshots.read(spark, table)) ==
+      rows.sortBy(_._1), "re-clustering must not change content")
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
