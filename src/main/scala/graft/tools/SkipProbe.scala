@@ -53,6 +53,44 @@ object SkipProbe {
         s"uid alone keeps $uid, value alone keeps $v")
     }
 
+    // r9: clustering EROSION + zorder-compact restore — COW rewrites
+    // (restageLike) preserve stats but not clustering, so repeated wide
+    // merges collapse the z-order boxes until min/max prunes nothing;
+    // compact(zorderBy) restores the s27-anchor rate
+    {
+      val table = Graft.freshDir("probe-reclus")
+      val ev = Tables(spark, dir).events
+        .select("event_id", "event_type", "user_id", "value")
+      Snapshots.commitAll(table,
+        Snapshots.stageZOrdered(ev, table, "event_type", Seq("user_id", "value")))
+      def box(): (Int, Int) = {
+        val total = Snapshots.read(spark, table).inputFiles.length
+        val kept = Snapshots.read(spark, table, fileFilter = Snapshots.allOf(
+          Snapshots.rangeOverlap("user_id", Skipping.UidLo, Skipping.UidHi),
+          Snapshots.rangeOverlap("value", Skipping.ValLo, Skipping.ValHi)))
+          .inputFiles.length
+        (kept, total)
+      }
+      val (k0, t0) = box()
+      // erode: each merge re-states a thin key stripe that lands in
+      // EVERY file (no event_id stats on this table), so every file
+      // rewrites un-clustered
+      (1 to 3).foreach { i =>
+        val src = Snapshots.read(spark, table)
+          .filter(col("event_id") % 97 === i)
+          .withColumn("value", col("value") + 0.001)
+        graft.ops.lake.Mutations.mergeInto(spark, table, src, "event_id", "event_type")
+      }
+      val (k1, t1) = box()
+      Snapshots.compact(spark, table, "event_type", zorderBy = Seq("user_id", "value"))
+      val (k2, t2) = box()
+      report("s27r", s"zorder-compact restore: 2-D box opens $k0 of $t0 files fresh; " +
+        s"$k1 of $t1 after 3 wide COW merges " +
+        f"(${100.0 * (t1 - k1) / t1}%.0f%% skipped); " +
+        s"$k2 of $t2 after compact(zorderBy) " +
+        f"(${100.0 * (t2 - k2) / t2}%.0f%% skipped)")
+    }
+
     // s28: bloom point lookup on the un-clustered id column
     {
       val table = Graft.freshDir("probe-s28")
