@@ -465,6 +465,68 @@ object Mutations {
     else Snapshots.currentVersion(mvTable)
   }
 
+  /** GENERALIZED incremental MV maintenance — TOUCHED-TAG RECOMPUTE,
+    * for aggregates that do NOT form a group under deletes (min, max,
+    * count-distinct, quantiles…) where [[refreshCountSum]]'s signed
+    * fold cannot apply. The BigQuery-MV / dbt-incremental "refresh
+    * changed partitions" shape, done honestly against the log:
+    *
+    *   - touched-TAG discovery is METADATA-ONLY: any entry added,
+    *     removed, or re-propped (deletion-vector growth or shrink)
+    *     between `fromV` and `toV` marks its tag — an entries-diff
+    *     over the two manifests, zero data files opened;
+    *   - the touched tags recompute FROM the source (tag-pruned,
+    *     DV-merged, as of `toV`) and replace exactly those tags in the
+    *     MV — untouched tags carried by manifest name;
+    *   - the same `mv.applied` co-atomic bookkeeping as
+    *     [[refreshCountSum]] makes it restartable exactly-once.
+    *
+    * Cost: O(manifest diff) discovery + O(touched tags' data)
+    * recompute — heavier per touched tag than the abelian fold, but
+    * never a full recompute (the reference's dbt models recompute the
+    * whole table every run: `fact_trades.sql`). `aggs` are applied as
+    * `groupBy(tagCol).agg(aggs.head, aggs.tail: _*)`; a tag whose rows
+    * all vanished drops from the MV (GROUP BY semantics). Use
+    * [[catchUpTags]] for the restartable loop. */
+  def refreshTagsRecompute(spark: SparkSession, mvTable: String, srcTable: String,
+                           fromV: Long, toV: Long, tagCol: String,
+                           aggs: Seq[Column]): Long = {
+    require(aggs.nonEmpty, "refreshTagsRecompute: need at least one aggregate")
+    require(fromV == appliedVersion(mvTable),
+      s"refresh of $mvTable: fromV=$fromV but the MV has folded source " +
+        s"version ${appliedVersion(mvTable)} — deltas must be applied " +
+        "gap-free and exactly once (use catchUpTags)")
+    require(fromV > 0 || Snapshots.currentVersion(mvTable) == 0,
+      s"refresh of $mvTable: bootstrap (fromV=0) but the MV table already " +
+        s"has committed rows with no $AppliedProp bookkeeping — rebuild " +
+        "the MV into a fresh table")
+    val fromE = Snapshots.entriesAt(srcTable, fromV).toSet
+    val toE = Snapshots.entriesAt(srcTable, toV).toSet
+    val touched = (fromE.diff(toE) ++ toE.diff(fromE)).map(_.tag)
+    val applied = Map(AppliedProp -> toV.toString)
+    if (touched.isEmpty)
+      // metadata-only source commits: advance the bookkeeping when the
+      // MV exists so the catch-up loop converges
+      return if (Snapshots.currentVersion(mvTable) == 0) 0L
+        else Snapshots.commitAll(mvTable, Seq.empty, props = applied)
+    val recomputed = readMerged(spark, srcTable, version = toV,
+        tagFilter = touched.contains)
+      .groupBy(col(tagCol))
+      .agg(aggs.head, aggs.tail: _*)
+    Snapshots.commit(mvTable, Snapshots.stage(recomputed, mvTable, tagCol),
+      remove = e => touched.contains(e._2), props = applied)
+  }
+
+  /** Restartable catch-up loop for [[refreshTagsRecompute]] — same
+    * exactly-once contract as [[catchUp]]. */
+  def catchUpTags(spark: SparkSession, mvTable: String, srcTable: String,
+                  tagCol: String, aggs: Seq[Column]): Long = {
+    val from = appliedVersion(mvTable)
+    val to = Snapshots.currentVersion(srcTable)
+    if (to > from) refreshTagsRecompute(spark, mvTable, srcTable, from, to, tagCol, aggs)
+    else Snapshots.currentVersion(mvTable)
+  }
+
   /** UPDATE with copy-on-write: rewrite rows of the live snapshot
     * matching `predicate` by applying `set` (column -> new expression),
     * touching only the FILES that contain a match — the same
@@ -742,6 +804,40 @@ object Mutations {
       |  ${decSumSql("value")} AS sum_amount
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s38: NON-ABELIAN incremental MV (per-day count/min/max) across the
+    * healed-table history PLUS a deletion-vector delete — min/max
+    * cannot fold signed deltas (a deleted row may BE the min), so the
+    * refresh recomputes exactly the tags each version touched
+    * (metadata-only discovery; days the heal and the delete never
+    * touched are carried by manifest name). Oracle = full recompute
+    * over the healed+deleted state, so the compare proves touched-tag
+    * recompute ≡ recompute-everything. */
+  def tagRecomputeMv(spark: SparkSession, dir: String): DataFrame = {
+    val src = TimeTravel.buildHealedTable(spark, dir, "s38-src-") // v1 full, v2 heal
+    deleteWhere(spark, src, col("value") > 400.0)                 // v3: DV delete
+    val mv = freshTable("s38-mv-", dir)
+    val aggs = Seq(count(lit(1)).as("n"),
+      min(col("value")).cast("double").as("min_value"),
+      max(col("value")).cast("double").as("max_value"))
+    refreshTagsRecompute(spark, mv, src, 0, 1, "event_date", aggs)
+    refreshTagsRecompute(spark, mv, src, 1, 2, "event_date", aggs)
+    refreshTagsRecompute(spark, mv, src, 2, 3, "event_date", aggs)
+    Snapshots.read(spark, mv)
+      .select("event_date", "n", "min_value", "max_value")
+      .orderBy("event_date")
+  }
+
+  val tagRecomputeMvOracle: String =
+    """WITH healed AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |         CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+      |              THEN value * 2.0 ELSE value END AS value
+      |  FROM events)
+      |SELECT event_date, count(*) AS n,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM healed WHERE NOT value > 400.0
+      |GROUP BY 1 ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s31_snapshot_merge", snapshotMergeOracle)(snapshotMerge),
     QueryDef.sql("s32_deletion_vectors", deletionVectorsOracle)(deletionVectors),
@@ -749,5 +845,6 @@ object Mutations {
     QueryDef.sql("s34_snapshot_update", snapshotUpdateOracle)(snapshotUpdate),
     QueryDef.sql("s35_rollback_read", rollbackReadOracle)(rollbackRead),
     QueryDef.sql("s36_merge_clauses", mergeClausesOracle)(mergeClauses),
-    QueryDef.sql("s37_schema_rename", schemaRenameReadOracle)(schemaRenameRead))
+    QueryDef.sql("s37_schema_rename", schemaRenameReadOracle)(schemaRenameRead),
+    QueryDef.sql("s38_tag_recompute_mv", tagRecomputeMvOracle)(tagRecomputeMv))
 }

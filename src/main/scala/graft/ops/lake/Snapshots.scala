@@ -995,6 +995,53 @@ object Snapshots {
              props: Map[String, String] = Map.empty): Long =
     commitPrepared(prepare(table, add, remove), props)
 
+  /** A retried commit found a REAL conflict: the winning commit changed
+    * the very entries this commit removes/replaces, so re-publishing
+    * would silently drop the winner's work. The caller must re-run its
+    * whole read-modify-write cycle against the new snapshot. */
+  final class ConflictException(table: String, detail: String)
+    extends RuntimeException(s"conflicting concurrent commit of $table: $detail")
+
+  /** OPTIMISTIC CONCURRENCY CONTROL — the Delta/Iceberg commit-retry
+    * shape on top of the exclusive snapshot publish: when another
+    * writer wins the version race ([[ConcurrentCommitException]]), the
+    * loser re-prepares against the NEW snapshot and re-publishes,
+    * UNLESS the winner changed any entry this commit removes/replaces.
+    * Conflict detection is at FILE granularity and compares FULL
+    * entries (rel + tag + props): a winner that merely re-propped a
+    * file we remove — a concurrent deletion-vector fold on the same
+    * file — is a conflict too, because retrying blindly would publish
+    * a sidecar that lost the winner's folded positions. Disjoint
+    * writers (append + append, or rewrites of different files) all
+    * succeed in some serial order; overlapping writers get
+    * [[ConflictException]] and must re-run their read-modify-write.
+    * This is the WriteSerializable file-level contract Delta defaults
+    * to; semantic row-level conflicts across different files are the
+    * caller's domain (same as Delta). */
+  def commitAllWithRetry(table: String, add: Seq[Entry],
+                         remove: ((String, String)) => Boolean = _ => false,
+                         props: Map[String, String] = Map.empty,
+                         maxRetries: Int = 5): Long = {
+    val myRemovals = entriesAll(table).filter(e => remove((e.rel, e.tag))).toSet
+    var attempt = 0
+    while (true) {
+      try return commitAll(table, add, remove, props)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val nowRemovals = entriesAll(table).filter(e => remove((e.rel, e.tag))).toSet
+          if (nowRemovals != myRemovals)
+            throw new ConflictException(table,
+              s"another writer changed entries this commit removes " +
+                s"(before: ${myRemovals.map(_.rel).toSeq.sorted.mkString(", ")}; " +
+                s"now: ${nowRemovals.map(_.rel).toSeq.sorted.mkString(", ")})")
+        // disjoint winner: loop re-prepares against the new snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Delete everything no RETAINED snapshot references — retained =
     * the current version plus every [[tagRef]]-pinned one: data files,
     * manifests, superseded un-pinned snapshots, unreferenced `ref.*`

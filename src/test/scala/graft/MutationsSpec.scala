@@ -493,6 +493,50 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.currentVersion(table) == v, "a no-op merge must not commit")
   }
 
+  test("touched-tag recompute MV: min/max stay correct across heal and DV delete") {
+    val src = tmp("mut-tagmv-src")
+    val mv = tmp("mut-tagmv-mv")
+    Snapshots.commit(src, Snapshots.stage(
+      df((1L, "a", 5.0), (2L, "a", 9.0), (10L, "b", 10.0), (20L, "c", 20.0)),
+      src, "day"))
+    val aggs = Seq(count(lit(1)).as("n"),
+      min(col("v")).cast("double").as("mn"), max(col("v")).cast("double").as("mx"))
+    Mutations.catchUpTags(spark, mv, src, "day", aggs)
+    def rows() = Snapshots.read(spark, mv).select("day", "n", "mn", "mx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(rows() == Seq(("a", 2L, 5.0, 9.0), ("b", 1L, 10.0, 10.0), ("c", 1L, 20.0, 20.0)))
+
+    // DV-delete the MAX of day a — exactly what a signed fold cannot
+    // maintain; the touched-tag recompute must re-derive it
+    Mutations.deleteWhere(spark, src, col("id") === 2L)
+    val aFile = Snapshots.entriesAll(mv).filter(_.tag == "a").map(_.rel).toSet
+    val cFile = Snapshots.entriesAll(mv).filter(_.tag == "c").map(_.rel).toSet
+    Mutations.catchUpTags(spark, mv, src, "day", aggs)
+    assert(rows() == Seq(("a", 1L, 5.0, 5.0), ("b", 1L, 10.0, 10.0), ("c", 1L, 20.0, 20.0)))
+    assert(Snapshots.entriesAll(mv).filter(_.tag == "c").map(_.rel).toSet == cFile,
+      "untouched tags' MV files must carry by name")
+    assert(Snapshots.entriesAll(mv).filter(_.tag == "a").map(_.rel).toSet != aFile,
+      "the touched tag must restate")
+
+    // heal b (rel swap) + DV-delete ALL of c, one catch-up: b restates,
+    // c's group vanishes so its MV rows drop
+    Snapshots.commit(src, Snapshots.stage(df((10L, "b", 40.0)), src, "day"),
+      remove = _._2 == "b")
+    Mutations.deleteWhere(spark, src, col("id") === 20L)
+    Mutations.catchUpTags(spark, mv, src, "day", aggs)
+    assert(rows() == Seq(("a", 1L, 5.0, 5.0), ("b", 1L, 40.0, 40.0)))
+
+    // exactly-once replay + gap guard (same contract as the abelian MV)
+    val vv = Snapshots.currentVersion(mv)
+    Mutations.catchUpTags(spark, mv, src, "day", aggs)
+    assert(Snapshots.currentVersion(mv) == vv)
+    val e = intercept[IllegalArgumentException] {
+      Mutations.refreshTagsRecompute(spark, mv, src, 1, 2, "day", aggs)
+    }
+    assert(e.getMessage.contains("gap-free"))
+  }
+
   test("bootstrap refresh onto an MV with rows but no bookkeeping is rejected") {
     val src = tmp("mut-guard-src")
     val mv = tmp("mut-guard-mv")

@@ -614,6 +614,67 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       rows.sortBy(_._1), "re-clustering must not change content")
   }
 
+  test("OCC retry: two concurrent appenders land every commit in some serial order") {
+    val table = tmp("snap-occ-live")
+    Snapshots.commit(table, Snapshots.stage(df((1, "seed", 1L)), table, "day"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        try (1 to 5).foreach { i =>
+          val staged = Snapshots.stage(df((w * 100 + i, s"w$w-$i", 1L)), table, "day")
+          Snapshots.commitAllWithRetry(table,
+            staged.map { case (r, t) => Snapshots.Entry(r, t) }, maxRetries = 50)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(errs.isEmpty, s"appenders must never conflict: ${errs.peek()}")
+    assert(Snapshots.currentVersion(table) == 11,
+      "10 racing appends over the seed must serialize to versions 2..11")
+    assert(Snapshots.read(spark, table).count() == 11)
+  }
+
+  test("OCC retry: a disjoint winner triggers re-prepare; an overlapping one conflicts") {
+    // the remove predicate runs once over the 1-entry table during the
+    // retry wrapper's intent scan and once during prepare — injecting
+    // the racing commit on the SECOND call lands it exactly inside the
+    // prepare->publish window, deterministically
+    val table = tmp("snap-occ-branch")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+
+    // disjoint: the racer APPENDS; our (non-removing) commit retries and lands
+    val racerStaged = Snapshots.stage(df((2, "b", 2L)), table, "day")
+    val mine = Snapshots.stage(df((3, "c", 3L)), table, "day")
+      .map { case (r, t) => Snapshots.Entry(r, t) }
+    var calls = 0
+    Snapshots.commitAllWithRetry(table, mine, remove = { _ =>
+      calls += 1
+      if (calls == 2) Snapshots.commit(table, racerStaged)
+      false
+    })
+    assert(Snapshots.currentVersion(table) == 3 &&
+      sorted(Snapshots.read(spark, table)).map(_._1) == Seq(1, 2, 3),
+      "a disjoint race must re-prepare and land both commits")
+
+    // overlapping: the racer re-props the very entry we remove (the
+    // concurrent-DV-fold shape) — retrying blindly would drop the
+    // racer's work, so the wrapper must abort instead
+    val victim = Snapshots.entriesAll(table).find(_.tag == "a").get
+    val mine2 = Snapshots.stage(df((4, "a", 4L)), table, "day")
+      .map { case (r, t) => Snapshots.Entry(r, t) }
+    var calls2 = 0
+    intercept[Snapshots.ConflictException] {
+      Snapshots.commitAllWithRetry(table, mine2, remove = { e =>
+        calls2 += 1
+        if (calls2 == 4) // 3 entries scanned in the intent pass, then prepare
+          Snapshots.commitAll(table,
+            Seq(victim.copy(props = victim.props + ("ref.dv" -> "dv/dv-race"))),
+            remove = r => r._1 == victim.rel)
+        e._1 == victim.rel
+      })
+    }
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
