@@ -60,8 +60,15 @@ object Mutations {
     * Readers concurrent with the merge see old XOR new, like every
     * commit here. Returns the committed version (unchanged if `source`
     * is empty). */
+  /** With `evolveSchema = true` (the Delta `autoMerge` shape) the
+    * source may carry NEW columns: survivors of touched files NULL-fill
+    * them (`unionByName(allowMissingColumns)`), rewritten/inserted
+    * files carry the evolved schema, untouched files keep theirs — read
+    * the table with `mergeSchema = true` afterwards (the s11
+    * discipline). Default (false) keeps the exact-schema contract. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
-                keyCol: String, tagCol: String): Long = {
+                keyCol: String, tagCol: String,
+                evolveSchema: Boolean = false): Long = {
     if (source.isEmpty) return Snapshots.currentVersion(table)
     // stats pruning needs numeric non-null key bounds; a string key or
     // an all-NULL key column simply forfeits the prune (scan all
@@ -90,9 +97,10 @@ object Mutations {
     // mutation-model spec.
     val replaced =
       if (touchedRels.isEmpty) source
-      else readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel))
+      else readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel),
+          mergeSchema = evolveSchema)
         .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
-        .unionByName(source)
+        .unionByName(source, allowMissingColumns = evolveSchema)
     Snapshots.commitAll(table, restageLike(spark, replaced, table, tagCol),
       remove = e => touchedRels.contains(e._1))
   }
@@ -371,8 +379,9 @@ object Mutations {
     * moved there so the change feed can share it). */
   def readMerged(spark: SparkSession, table: String, version: Long = -1L,
                  tagFilter: String => Boolean = _ => true,
-                 fileFilter: Snapshots.Entry => Boolean = _ => true): DataFrame =
-    Snapshots.readMerged(spark, table, version, tagFilter, fileFilter)
+                 fileFilter: Snapshots.Entry => Boolean = _ => true,
+                 mergeSchema: Boolean = false): DataFrame =
+    Snapshots.readMerged(spark, table, version, tagFilter, fileFilter, mergeSchema)
 
   /** INCREMENTAL VIEW MAINTENANCE of a per-tag (count, exact sum)
     * aggregate — the canonical additive MV. `mvTable` is itself a

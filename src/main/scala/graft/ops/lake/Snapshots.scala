@@ -751,12 +751,13 @@ object Snapshots {
     * without vectors. */
   def readMerged(spark: SparkSession, table: String, version: Long = -1L,
                  tagFilter: String => Boolean = _ => true,
-                 fileFilter: Entry => Boolean = _ => true): DataFrame = {
+                 fileFilter: Entry => Boolean = _ => true,
+                 mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) currentVersion(table) else version
     val es = entriesAt(table, v).filter(e => tagFilter(e.tag) && fileFilter(e))
     if (!es.exists(_.props.contains(DvRefProp)))
-      readVersion(spark, table, v, tagFilter, fileFilter) // keeps empty-prune semantics
-    else applyLogical(readEntriesMerged(spark, table, es), table, v)
+      readVersion(spark, table, v, tagFilter, fileFilter, mergeSchema) // keeps empty-prune semantics
+    else applyLogical(readEntriesMerged(spark, table, es, mergeSchema), table, v)
   }
 
   /** Decorate staged entries with a per-file BLOOM FILTER over
@@ -1050,12 +1051,19 @@ object Snapshots {
     * have drained — until then the old snapshot stays fully readable
     * (that deferral IS the old-XOR-new guarantee for in-flight
     * readers). */
-  def vacuum(table: String): Seq[String] = {
+  def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"vacuum($table): keepVersions must be >= 1")
     val cur = currentVersion(table)
-    // retention roots: the live version plus every ref-pinned one —
-    // a tagged snapshot's whole closure (snapshot file, manifests,
-    // data files, sidecars) survives until the ref is dropped
-    val retained = (Set(cur) ++ refs(table).values).filter(_ >= 1)
+    // retention roots: the newest `keepVersions` committed snapshots
+    // (the Delta/Iceberg retention-window shape by version count —
+    // keepVersions = 1 is the classic live-only vacuum) plus every
+    // ref-pinned one — a retained snapshot's whole closure (snapshot
+    // file, manifests, data files, sidecars) survives
+    val committed = Option(logDir(table).listFiles()).toSeq.flatten
+      .flatMap(f => SnapRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .sorted
+    val retained = (committed.takeRight(keepVersions).toSet ++
+        Set(cur) ++ refs(table).values).filter(_ >= 1)
       .filter(v => snapFile(table, v).exists())
     val liveManifests = retained.flatMap(manifestList(table, _)).map(_._1)
     val live = liveManifests.flatMap(manifestEntries(table, _)).map(_.rel)
@@ -1200,12 +1208,27 @@ object Snapshots {
     * This is what the reference's S3+BigQuery fan-out lacks (both
     * writes fire-and-forget). */
   def commitPair(txnDir: String, a: Prepared, b: Prepared): (Long, Long) = {
-    val intent = writeIntent(txnDir, a, b)
-    val ra = commitPrepared(a)
-    val rb = commitPrepared(b)
+    // inheritance (schema.* props) is resolved EAGERLY into the intent
+    // record and the commits run with inherit=false: recovery must
+    // re-publish byte-identical snapshots, and late resolution against
+    // whatever is current AT RECOVERY TIME would diverge if other
+    // commits landed in between — turning an idempotent re-commit into
+    // a spurious conflict
+    val ra = resolveInherited(a)
+    val rb = resolveInherited(b)
+    val intent = writeIntent(txnDir, ra, rb)
+    val va = commitPrepared(ra, inherit = false)
+    val vb = commitPrepared(rb, inherit = false)
     intent.delete()
-    (ra, rb)
+    (va, vb)
   }
+
+  /** Fold the would-be-inherited props of `p.table`'s CURRENT version
+    * into `p.props` (explicit props win), so the Prepared is
+    * commit-deterministic with `inherit = false`. */
+  private def resolveInherited(p: Prepared): Prepared =
+    p.copy(props = snapshotProps(p.table, currentVersion(p.table))
+      .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) } ++ p.props)
 
   /** Durable intent record, written atomically BEFORE either commit
     * (split out so the spec can simulate a crash between the two
@@ -1229,8 +1252,11 @@ object Snapshots {
       .filter(_.getName.endsWith(".intent"))
     intents.foreach { f =>
       val (a, b) = deserialize(new String(Files.readAllBytes(f.toPath), UTF_8))
-      commitPrepared(a)
-      commitPrepared(b)
+      // the intent carries fully-resolved props (commitPair resolved
+      // inheritance before writing it) — inherit=false reproduces the
+      // exact bytes regardless of what committed since
+      commitPrepared(a, inherit = false)
+      commitPrepared(b, inherit = false)
       f.delete()
     }
     intents.size

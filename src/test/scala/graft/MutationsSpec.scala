@@ -235,6 +235,32 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Mutations.readMerged(spark, table)).map(_._1) == Seq(1L, 2L, 11L))
   }
 
+  test("merge with schema evolution: a source carrying a new column NULL-fills survivors") {
+    import spark.implicits._
+    val table = tmp("mut-merge-evolve")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0)), table, "day"))
+    // source adds column w; key 2 matches (file a rewrites evolved),
+    // key 30 inserts — untouched file b keeps its old schema
+    Mutations.mergeInto(spark, table,
+      Seq((2L, "a", 20.0, "x"), (30L, "c", 30.0, "y")).toDF("id", "day", "v", "w"),
+      "id", "day", evolveSchema = true)
+    val got = Snapshots.read(spark, table, mergeSchema = true)
+      .select("id", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1.0, None), (2L, 20.0, Some("x")),
+      (10L, 10.0, None), (30L, 30.0, Some("y"))),
+      s"survivors NULL-fill, matched/inserted rows carry the new column; got $got")
+    // a second evolved-schema merge over the now-mixed files still works
+    Mutations.mergeInto(spark, table,
+      Seq((10L, "b", 100.0, "z")).toDF("id", "day", "v", "w"),
+      "id", "day", evolveSchema = true)
+    val w10 = Snapshots.read(spark, table, mergeSchema = true)
+      .filter(col("id") === 10L).select("v", "w").head()
+    assert((w10.getDouble(0), w10.getString(1)) == ((100.0, "z")))
+  }
+
   test("schema evolution: mergeSchema read NULL-fills files staged before a column add") {
     import spark.implicits._
     val table = tmp("mut-evolve")

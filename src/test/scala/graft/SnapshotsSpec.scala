@@ -614,6 +614,24 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       rows.sortBy(_._1), "re-clustering must not change content")
   }
 
+  test("vacuum retention window: keepVersions retains the newest N snapshots") {
+    val table = tmp("snap-vac-keep")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))   // v1
+    Snapshots.commit(table, Snapshots.stage(df((2, "a", 2L)), table, "day"),
+      remove = _._2 == "a")                                                    // v2
+    Snapshots.commit(table, Snapshots.stage(df((3, "a", 3L)), table, "day"),
+      remove = _._2 == "a")                                                    // v3
+    Snapshots.vacuum(table, keepVersions = 2)
+    // v2 stays time-travelable, v1's closure is reclaimed
+    assert(sorted(Snapshots.readVersion(spark, table, 2)) == Seq((2, "a", 2L)))
+    assert(sorted(Snapshots.read(spark, table)) == Seq((3, "a", 3L)))
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, table, 1))
+    // default keepVersions=1: classic live-only vacuum
+    Snapshots.vacuum(table)
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, table, 2))
+    assert(sorted(Snapshots.read(spark, table)) == Seq((3, "a", 3L)))
+  }
+
   test("OCC retry: two concurrent appenders land every commit in some serial order") {
     val table = tmp("snap-occ-live")
     Snapshots.commit(table, Snapshots.stage(df((1, "seed", 1L)), table, "day"))
