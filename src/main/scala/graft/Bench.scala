@@ -13,7 +13,7 @@ object Bench {
     * broadcast join, shuffle join, window, as-of, event-time windows,
     * merge, dedup/LSH, ANN, text scoring. Sink round-trips are excluded
     * (they benchmark tmp-disk IO, not the engine) — that includes the
-    * s31-s37 lake mutation queries, which BUILD their snapshot table
+    * s31-s38 lake mutation queries, which BUILD their snapshot table
     * per invocation; their scale curves live in BENCH_NOTES (r8
     * three-point table, r9 large-delete curve) instead. */
   val headline: Seq[String] = Seq(

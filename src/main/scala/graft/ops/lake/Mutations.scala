@@ -187,6 +187,13 @@ object Mutations {
               .map { case (c, _) => matched && coalesce(c, lit(false)) }
               .getOrElse(lit(false))
             val updSet = whenMatchedUpdate.map(_._2).getOrElse(Map.empty)
+            // a SET column that is not a target column would otherwise
+            // be silently skipped — the SQL MERGE analysis-error
+            // contract, not a silent no-op (r9 review find)
+            val unknown = updSet.keySet.diff(tCols.toSet)
+            require(unknown.isEmpty,
+              s"mergeIntoClauses($table): UPDATE SET names unknown column(s) " +
+                s"${unknown.mkString(", ")} (table has ${tCols.mkString(", ")})")
             Some(joined.filter(!delPred).select(tCols.map { c =>
               (if (updSet.contains(c)) when(updPred, updSet(c)).otherwise(col(s"t.$c"))
                else col(s"t.$c")).as(c)
@@ -204,7 +211,19 @@ object Mutations {
         // empty commit (mirrors the other ops' no-op contract)
         if (touchedRels.isEmpty && replaced.isEmpty)
           return Snapshots.currentVersion(table)
-        Snapshots.commitAll(table, restageLike(spark, replaced, table, tagCol),
+        val staged = restageLike(spark, replaced, table, tagCol)
+        // a delete clause that empties EVERY file would commit a
+        // zero-file snapshot — unreadable by the format's documented
+        // limitation — and BRICK the live table; refuse BEFORE the
+        // commit (staged files are invisible, nothing has mutated) and
+        // point at the supported paths (r9 review find)
+        require(staged.nonEmpty ||
+            touchedRels.size < Snapshots.entriesAll(table).size,
+          s"mergeIntoClauses($table): the delete clause removes every row " +
+            "of every file — a zero-file snapshot cannot be read back; " +
+            "use deleteWhere (vectors keep the table readable as empty) " +
+            "or drop and recreate the table")
+        Snapshots.commitAll(table, staged,
           remove = e => touchedRels.contains(e._1))
       } finally matchedKeys.unpersist()
     } finally srcKeys.unpersist()
@@ -296,11 +315,15 @@ object Mutations {
     val touchedRels = entries
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }
     val cowCommit: Option[Long] = cowTagCol.flatMap { tagCol =>
-      // crossover check: folded-vector size vs footer row counts — both
-      // sides metadata/sidecar-sized, no data pages read
-      val totalRows = touchedRels.map(r => Snapshots.footerRowCount(s"$table/$r")).sum
+      val relSet = touchedRels.toSet
+      // crossover check: folded-vector size vs touched-file row counts.
+      // The count scan selects ZERO data columns, so the parquet reader
+      // answers from row-group metadata — one distributed job, not a
+      // serial driver footer loop over 10^6 touched files (r9 review
+      // find); the vector side is sidecar-sized
+      val totalRows = Snapshots.read(spark, table,
+        fileFilter = e => relSet.contains(e.rel)).count()
       if (totalRows > 0 && all.count() >= cowThreshold * totalRows) {
-        val relSet = touchedRels.toSet
         // raw read + anti-join of the FULL folded vector == the merged
         // state after this delete: one pass materializes the prior
         // vectors and the new matches together
@@ -362,14 +385,26 @@ object Mutations {
           .groupBy("__fid").count().collect()
           .map(r => r.getString(0) -> r.getLong(1))
     }.toMap
+    // per-file totals in ONE distributed job (zero data columns ⇒
+    // row-group-metadata counts), not a serial driver footer loop
+    val totals: Map[String, Long] = spark.read
+      .parquet(dvEs.map(e => s"$table/${e.rel}"): _*)
+      .groupBy(Snapshots.fileIdCol(input_file_name()).as("__f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val heavy = dvEs.filter { e =>
-      val total = Snapshots.footerRowCount(s"$table/${e.rel}")
+      val total = totals.getOrElse(Snapshots.fileId(e.rel), 0L)
       total > 0 &&
         deleted.getOrElse(Snapshots.fileId(e.rel), 0L) >= maxDvFraction * total
     }.map(_.rel).toSet
     if (heavy.isEmpty) return Snapshots.currentVersion(table)
     val materialized = readMerged(spark, table,
       fileFilter = e => heavy.contains(e.rel))
+    // a fully-deleted table must STAY on the vector path (readable as
+    // empty) — materializing it would commit an unreadable zero-file
+    // snapshot (r9 review find); cheap gate: the isEmpty probe runs
+    // only when the reorg would touch every file
+    if (heavy.size == Snapshots.entriesAll(table).size && materialized.isEmpty)
+      return Snapshots.currentVersion(table)
     Snapshots.commitAll(table, restageLike(spark, materialized, table, tagCol),
       remove = e => heavy.contains(e._1))
   }
@@ -440,7 +475,18 @@ object Mutations {
          .agg(sum(col("n")).as("n"),
            sum(col(sumCol)).cast(org.apache.spark.sql.types.DecimalType(25, 6)).as(sumCol)))
         .filter(col("n") > 0)
-    Snapshots.commit(mvTable, Snapshots.stage(combined, mvTable, tagCol),
+    val staged = Snapshots.stage(combined, mvTable, tagCol)
+    // a delta that empties EVERY MV tag would commit a zero-file
+    // snapshot (unreadable by the documented format limitation) and
+    // brick the MV; refuse BEFORE committing — mv.applied is not
+    // advanced, so once the source has rows again the next catchUp
+    // folds the same range and converges (r9 review find)
+    require(staged.nonEmpty ||
+        Snapshots.entriesAll(mvTable).exists(e => !tags.contains(e.tag)),
+      s"refresh of $mvTable: the delta empties every MV tag — a zero-file " +
+        "snapshot cannot be read back; drop and recreate the MV (nothing " +
+        "was applied; the next catchUp retries this range)")
+    Snapshots.commit(mvTable, staged,
       remove = e => tags.contains(e._2), props = applied)
     } finally delta.unpersist()
   }
@@ -522,7 +568,18 @@ object Mutations {
         tagFilter = touched.contains)
       .groupBy(col(tagCol))
       .agg(aggs.head, aggs.tail: _*)
-    Snapshots.commit(mvTable, Snapshots.stage(recomputed, mvTable, tagCol),
+    val staged = Snapshots.stage(recomputed, mvTable, tagCol)
+    // bootstrap of a source whose rows are all deleted: nothing to
+    // represent yet — stay at applied=0, the next catchUp retries
+    if (staged.isEmpty && Snapshots.currentVersion(mvTable) == 0) return 0L
+    // same zero-file guard as refreshCountSum: refuse to brick the MV;
+    // nothing applied, the next catchUp retries and converges
+    require(staged.nonEmpty ||
+        Snapshots.entriesAll(mvTable).exists(e => !touched.contains(e.tag)),
+      s"refresh of $mvTable: every touched tag recomputed to empty and no " +
+        "other tag remains — a zero-file snapshot cannot be read back; " +
+        "drop and recreate the MV (nothing was applied)")
+    Snapshots.commit(mvTable, staged,
       remove = e => touched.contains(e._2), props = applied)
   }
 

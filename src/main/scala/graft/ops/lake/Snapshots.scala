@@ -312,10 +312,18 @@ object Snapshots {
     ren.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
   }
 
-  /** RENAME a column — metadata-only commit (no file IO beyond one
-    * schema check read): current manifests are carried BY NAME and the
-    * new snapshot records the updated mapping. Readers of older
-    * versions keep seeing the old name (snapshot-scoped schema). */
+  /** RENAME a column — metadata-only commit: current manifests are
+    * carried BY NAME and the new snapshot records the updated mapping.
+    * Readers of older versions keep seeing the old name
+    * (snapshot-scoped schema). The validation read unions file footer
+    * schemas (a distributed metadata job on evolved tables — the one
+    * non-driver cost of this DDL). The target may collide with NEITHER
+    * a live logical name NOR any PHYSICAL file column: allowing the
+    * latter (rename b→c freeing "b", then a→"b") would make the
+    * physical→logical mapping non-injective against the file schema
+    * and corrupt every later read or stage through rename collisions
+    * (r9 review find — rejected here, the Iceberg-name-mapping
+    * restriction). */
   def renameColumn(spark: SparkSession, table: String, from: String, to: String): Long = {
     val v = currentVersion(table)
     require(v >= 1, s"renameColumn($table): no committed snapshot")
@@ -323,9 +331,21 @@ object Snapshots {
     require(live.contains(from), s"renameColumn($table): no column '$from' (have ${live.mkString(", ")})")
     require(!live.contains(to), s"renameColumn($table): target '$to' already exists")
     val phys = physicalName(table, from)
+    val physical = rawColumns(spark, table)
+    require(to == phys || !physical.contains(to),
+      s"renameColumn($table): target '$to' collides with a physical file " +
+        "column of the same name — name-mapped schemas cannot reuse a " +
+        "physically-occupied name (pick a fresh name)")
     commitPrepared(Prepared(table, v + 1, manifestList(table, v).map(_._1)),
       props = Map(LogicalPropPrefix + phys -> to))
   }
+
+  /** PHYSICAL column names as the files carry them (mergeSchema union,
+    * no logical mapping applied) — the rename-collision ground truth. */
+  private def rawColumns(spark: SparkSession, table: String): Set[String] =
+    spark.read.option("mergeSchema", "true")
+      .parquet(entriesAll(table).map(e => s"$table/${e.rel}"): _*)
+      .columns.toSet
 
   /** DROP a column — metadata-only commit; the bytes stay in the files
     * (and in older snapshots, which still read it) but every read of
@@ -472,15 +492,21 @@ object Snapshots {
         val empty = toPosOpt.orElse(fromPosOpt).get.limit(0)
         val toPos = toPosOpt.getOrElse(empty)
         val fromPos = fromPosOpt.getOrElse(empty)
-        // the emptiness probe runs on sidecar-sized position sets only;
-        // it saves a full scan of the changed DATA files for the common
-        // grow-only (no resurrection) and rollback-only (no new delete)
-        // shapes
-        def rowsAt(pos: DataFrame, kind: String): Option[DataFrame] =
-          if (pos.isEmpty) None
+        // each direction's data scan is restricted to the files its
+        // position diff actually names (the distinct-fid collect is
+        // sidecar-sized, O(changed files) driver strings) — the common
+        // grow-only shape pays ONE pass over only the grown files, and
+        // a mixed rollback never re-scans files that contributed no
+        // resurrection (r9 review find)
+        def rowsAt(pos: DataFrame, kind: String): Option[DataFrame] = {
+          val fids = pos.select("__fid").distinct()
+            .collect().map(_.getString(0)).toSet
+          if (fids.isEmpty) None
           else {
             val data = spark.read.option("mergeSchema", "true")
-              .parquet(dvChanged.map(e => s"$table/${e.rel}"): _*)
+              .parquet(dvChanged.collect {
+                case e if fids(fileId(e.rel)) => s"$table/${e.rel}"
+              }: _*)
             val cols = data.columns.map(col)
             Some(noReserved(applyLogical(data
               .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
@@ -489,6 +515,7 @@ object Snapshots {
               .select(cols: _*), table, toV))
               .withColumn("_change_type", lit(kind)))
           }
+        }
         rowsAt(toPos.except(fromPos), "delete").toSeq ++
           rowsAt(fromPos.except(toPos), "insert").toSeq
       }
@@ -831,18 +858,6 @@ object Snapshots {
     * missing, non-primitive-numeric, or any row group lacks stats. */
   private def footerMinMax(path: String, column: String): Option[(String, String)] =
     footerStats(path, Seq(column)).get(column)
-
-  /** Row count of one parquet file from its FOOTER — metadata-only IO,
-    * no data pages touched. The denominator for per-file deletion-
-    * vector fractions ([[Mutations.deleteWhere]]'s COW crossover and
-    * [[Mutations.reorgIfNeeded]]'s trigger). */
-  private[lake] def footerRowCount(path: String): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(new File(path).getAbsolutePath),
-      new org.apache.hadoop.conf.Configuration())
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
-  }
 
   /** [[footerMinMax]] for several columns in ONE footer open; columns
     * without usable stats are simply absent from the result. */

@@ -431,6 +431,57 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     Mutations.deleteWhere(spark, table, lit(true), cowTagCol = Some("day"))
     assert(Mutations.readMerged(spark, table).count() == 0,
       "full-table delete must stay readable (as empty) via the vector path")
+    // reorg on the fully-deleted table must NOT materialize it into a
+    // zero-file snapshot — same readable-as-empty policy
+    val vWiped = Snapshots.currentVersion(table)
+    Mutations.reorgIfNeeded(spark, table, "day")
+    assert(Snapshots.currentVersion(table) == vWiped &&
+      Mutations.readMerged(spark, table).count() == 0,
+      "reorg of a fully-deleted table must no-op, keeping it readable")
+  }
+
+  test("zero-file commits are refused: clause merge and MV refresh guards") {
+    // clause merge whose delete clause empties every file: refuse
+    // BEFORE the commit, table untouched
+    val table = tmp("mut-zero-merge")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), table, "day"))
+    val v = Snapshots.currentVersion(table)
+    val e1 = intercept[IllegalArgumentException] {
+      Mutations.mergeIntoClauses(spark, table, df((1L, "a", 0.0), (2L, "a", 0.0)),
+        "id", "day", whenMatchedDelete = Some(lit(true)))
+    }
+    assert(e1.getMessage.contains("zero-file"), e1.getMessage)
+    assert(Snapshots.currentVersion(table) == v &&
+      sorted(Snapshots.read(spark, table)).map(_._1) == Seq(1L, 2L),
+      "the refused merge must leave the table untouched")
+
+    // MV refresh whose delta empties every tag: refuse pre-commit,
+    // applied version not advanced, retry after new data converges
+    val src = tmp("mut-zero-src")
+    val mv = tmp("mut-zero-mv")
+    Snapshots.commit(src, Snapshots.stage(df((1L, "a", 1.0)), src, "day"))
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    Mutations.deleteWhere(spark, src, lit(true))
+    val e2 = intercept[IllegalArgumentException] {
+      Mutations.catchUp(spark, mv, src, "day", "v")
+    }
+    assert(e2.getMessage.contains("zero-file"), e2.getMessage)
+    assert(Mutations.appliedVersion(mv) == 1L, "nothing applied on refusal")
+    // new data arrives; the retried catch-up folds the whole gap
+    Snapshots.commit(src, Snapshots.stage(df((2L, "b", 5.0)), src, "day"))
+    Mutations.catchUp(spark, mv, src, "day", "v")
+    val got = Snapshots.read(spark, mv)
+      .select(col("day"), col("n"), col("sum_v").cast("double")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("b", 1L, 5.0)), s"retry must converge; got $got")
+
+    // typo'd SET column: analysis error, not a silent no-op
+    val e3 = intercept[IllegalArgumentException] {
+      Mutations.mergeIntoClauses(spark, table, df((1L, "a", 9.0)), "id", "day",
+        whenMatchedUpdate = Some((lit(true), Map("vv" -> lit(0.0)))))
+    }
+    assert(e3.getMessage.contains("unknown column"), e3.getMessage)
   }
 
   test("reorgIfNeeded converges heavy vectors to plain files; light ones keep theirs") {

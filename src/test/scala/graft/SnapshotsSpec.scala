@@ -540,6 +540,16 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     // collisions and unknown columns rejected
     intercept[IllegalArgumentException](Snapshots.renameColumn(spark, table, "amount", "id"))
     intercept[IllegalArgumentException](Snapshots.renameColumn(spark, table, "nope", "x"))
+    // a rename target that matches a PHYSICAL file column is rejected
+    // even when that logical name is free — {a->b, b->c} chains would
+    // corrupt reads via rename collisions (r9 review find)
+    Snapshots.renameColumn(spark, table, "id", "ident") // frees logical "id"
+    val eChain = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, table, "day", "id") // "id" still physical
+    }
+    assert(eChain.getMessage.contains("physical"), eChain.getMessage)
+    Snapshots.renameColumn(spark, table, "ident", "id") // undo-to-own-phys ok
+    assert(Snapshots.read(spark, table).columns.toSet == Set("id", "day", "amount"))
     // drop: metadata-only; the physical name is retired for good
     Snapshots.dropColumn(spark, table, "amount")
     assert(Snapshots.read(spark, table).columns.toSet == Set("id", "day"))
