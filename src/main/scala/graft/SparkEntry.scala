@@ -34,6 +34,7 @@ object SparkEntry {
       graft.ops.lake.Skipping.queries ++
       graft.ops.lake.TimeTravel.queries ++
       graft.ops.lake.Mutations.queries ++
+      graft.sql.LakeSqlQueries.queries ++
       graft.sources.PagesSource.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -72,5 +72,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosDateRangeRule)
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    // lake SQL surface: MERGE/DELETE/UPDATE/VACUUM/OPTIMIZE/RESTORE/
+    // DESCRIBE HISTORY statements + registered-name resolution with
+    // VERSION AS OF time travel (graft.sql.LakeSql)
+    e.injectParser((s, delegate) => new graft.sql.LakeSqlParser(s, delegate))
+    e.injectResolutionRule(s => graft.sql.LakeRelationRule(s))
+    e.injectPlannerStrategy(_ => graft.sql.LakeCommandStrategy)
   }
 }

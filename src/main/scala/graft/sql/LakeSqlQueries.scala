@@ -1,0 +1,161 @@
+package graft.sql
+
+import graft.engine.{Graft, QueryDef, Tables}
+import graft.ops.lake.Snapshots
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated exercises of the SQL surface: the same mutation
+  * semantics the DataFrame-API queries pin (s31–s38), driven ENTIRELY
+  * through `spark.sql` statements — proving the parser → command →
+  * kernel lowering and the registered-name resolution rule end to end
+  * against the DuckDB restatement. */
+object LakeSqlQueries {
+
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  private def decSumSql(expr: String): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+
+  private def eventsSlim(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+
+  /** s39: the s36 clause-MERGE shape plus an UPDATE and a DV DELETE,
+    * every statement issued as SQL text: base days ≤ 01-20 commit, the
+    * source re-states days 18–25 at +1000, MERGE fires all three clause
+    * kinds, UPDATE adds an error penalty, DELETE drops the
+    * high-value band (merge-on-read or COW per the kernel's crossover —
+    * invisible to the reader), and the final aggregate SELECTs through
+    * the resolution rule's merged read. */
+  def sqlMergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s39-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      table, "event_date", "event_id"))
+    LakeSql.register(spark, "s39t", table, "event_date")
+    ev.filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .withColumn("value", col("value") + 1000.0)
+      .createOrReplaceTempView("s39_src")
+
+    spark.sql(
+      """MERGE INTO s39t AS t USING s39_src AS s ON t.event_id = s.event_id
+        |WHEN MATCHED AND s.value <= 1100.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = s.value
+        |WHEN NOT MATCHED AND s.event_type <> 'error' THEN INSERT *""".stripMargin)
+    spark.sql("UPDATE s39t SET value = value + 500.0 WHERE event_type = 'error'")
+    spark.sql("DELETE FROM s39t WHERE value > 1200.0")
+
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s39t GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  val sqlMergeDeleteOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |src AS (
+      |  SELECT event_id, event_type, value + 1000.0 AS value,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-18' AND DATE '2024-01-25'),
+      |merged AS (
+      |  SELECT b.event_id, b.event_type,
+      |         CASE WHEN s.event_id IS NOT NULL AND s.value > 1100.0
+      |              THEN s.value ELSE b.value END AS value,
+      |         b.event_date
+      |  FROM base b LEFT JOIN src s ON b.event_id = s.event_id
+      |  WHERE s.event_id IS NULL OR s.value > 1100.0
+      |  UNION ALL
+      |  SELECT s.event_id, s.event_type, s.value, s.event_date FROM src s
+      |  WHERE s.event_type <> 'error'
+      |    AND s.event_id NOT IN (SELECT event_id FROM base)),
+      |upd AS (
+      |  SELECT event_date,
+      |         CASE WHEN event_type = 'error' THEN value + 500.0
+      |              ELSE value END AS value
+      |  FROM merged)
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM upd WHERE NOT value > 1200.0
+      |GROUP BY event_date ORDER BY event_date""".stripMargin
+
+  /** s40: time travel through Spark's own `VERSION AS OF` grammar — v1
+    * commits everything, a SQL DELETE (deletion vectors) drops the
+    * error events at v2, and ONE statement reads both eras: the pinned
+    * v1 aggregate and the live merged read, union-tagged. The v1 side
+    * must resurrect nothing less / nothing more than the pre-delete
+    * table — the reproducibility anchor a training pipeline pins. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s40-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev, table, "event_date", "event_id"))
+    LakeSql.register(spark, "s40t", table, "event_date")
+    spark.sql("DELETE FROM s40t WHERE event_type = 'error'")
+
+    spark.sql(
+      s"""SELECT era, event_date, n, sum_value FROM (
+         |  SELECT 'pinned' AS era, event_date, count(*) AS n,
+         |         ${decSumSql("value")} AS sum_value
+         |  FROM s40t VERSION AS OF 1 GROUP BY event_date
+         |  UNION ALL
+         |  SELECT 'live' AS era, event_date, count(*) AS n,
+         |         ${decSumSql("value")} AS sum_value
+         |  FROM s40t GROUP BY event_date
+         |) ORDER BY era, event_date""".stripMargin)
+  }
+
+  val sqlTimeTravelOracle: String =
+    s"""SELECT era, event_date, n, sum_value FROM (
+      |  SELECT 'pinned' AS era, CAST(ts AS DATE) AS event_date,
+      |         count(*) AS n, ${decSumSql("value")} AS sum_value
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'live' AS era, CAST(ts AS DATE) AS event_date,
+      |         count(*) AS n, ${decSumSql("value")} AS sum_value
+      |  FROM events WHERE event_type <> 'error' GROUP BY 2
+      |) ORDER BY era, event_date""".stripMargin
+
+  /** s41: the maintenance verbs as one SQL session — two half-commits
+    * fragment every day tag, a bad SQL UPDATE doubles a band (v3), SQL
+    * RESTORE rolls it back (v4), SQL OPTIMIZE merges the fragments
+    * (v5), SQL VACUUM reclaims the bad rewrite's files — and the final
+    * SELECT must be EXACTLY the original data: maintenance is layout,
+    * never semantics. */
+  def sqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s41-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_id") % 2 === 0), table, "event_date", "event_id"))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_id") % 2 === 1), table, "event_date", "event_id"))
+    LakeSql.register(spark, "s41t", table, "event_date")
+
+    spark.sql(
+      """UPDATE s41t SET value = value * 2.0
+        |WHERE event_date BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |""".stripMargin)
+    spark.sql("RESTORE s41t TO VERSION AS OF 2")
+    spark.sql("OPTIMIZE s41t")
+    spark.sql("VACUUM s41t")
+
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s41t GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  val sqlMaintenanceOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  ${decSumSql("value")} AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
+    QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
+    QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance))
+}

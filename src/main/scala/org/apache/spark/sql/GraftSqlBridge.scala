@@ -2,10 +2,15 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** The two `private[sql]` doorways graft needs:
+/** The three `private[sql]` doorways graft needs:
   *   - constructing a DataFrame from a custom LogicalPlan
   *     (`classic.Dataset.ofRows` is package-private at the Scala level in
   *     Spark 4) — standard practice for Spark plan extensions;
+  *   - wrapping a catalyst Expression as a user-facing Column
+  *     (`classic.ExpressionUtils.column` — Spark 4 moved Column onto
+  *     ColumnNode, so `new Column(expr)` no longer exists); the SQL
+  *     surface's parsed MERGE/UPDATE conditions need this to cross from
+  *     parser output into the DataFrame-typed mutation API;
   *   - eagerly unloading state-store provider instances
   *     (`StateStore.unloadAll`), so a multi-query process (the bench
   *     suite) releases RocksDB NATIVE memory when a streaming drain
@@ -14,6 +19,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 
   def unloadStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()

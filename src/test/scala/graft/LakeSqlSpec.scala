@@ -1,0 +1,193 @@
+package graft
+
+import graft.ops.lake.Snapshots
+import graft.sql.LakeSql
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface contracts: registered lake tables are operable entirely
+  * from `spark.sql` — DML statements lower onto the kernel's bounded
+  * mutation ops, SELECT resolves the merged (vector-applied) read, and
+  * Spark's native VERSION AS OF grammar time-travels. Unregistered
+  * names must never be intercepted. */
+class LakeSqlSpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  private def mk(sub: String, name: String,
+                 rows: (Long, String, Double)*): String = {
+    val table = tmp(sub)
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(df(rows: _*), table, "day", "id", buckets = 3))
+    LakeSql.register(spark, name, table, "day")
+    table
+  }
+
+  private def content(sql: String): Seq[(Long, String, Double)] =
+    spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+
+  test("SELECT resolves registered names; DELETE/UPDATE mutate through SQL") {
+    mk("sql-dml", "sqlt",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0))
+
+    assert(content("SELECT id, day, v FROM sqlt") ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)))
+    // qualified refs resolve through the SubqueryAlias
+    assert(spark.sql("SELECT sqlt.v FROM sqlt WHERE sqlt.id = 10").collect()
+      .toSeq == Seq(Row(10.0)))
+
+    val v1 = spark.sql("DELETE FROM sqlt WHERE v >= 10.0 AND day = 'b'")
+      .collect().head.getLong(0)
+    assert(v1 == 2L, "DELETE returns the committed version")
+    // the SQL read must be the MERGED read: vector-deleted rows gone
+    assert(content("SELECT id, day, v FROM sqlt") ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+
+    spark.sql("UPDATE sqlt SET v = v + 100.0 WHERE id = 2")
+    assert(content("SELECT id, day, v FROM sqlt") ==
+      Seq((1L, "a", 1.0), (2L, "a", 102.0)))
+
+    // time travel via Spark's own grammar, against the pre-delete state
+    assert(content("SELECT id, day, v FROM sqlt VERSION AS OF 1") ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)))
+    // and inside a subquery/aggregate
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM sqlt VERSION AS OF 1) x")
+      .collect().head.getLong(0) == 4L)
+  }
+
+  test("MERGE INTO: all three clause kinds, arbitrary aliases, subquery source") {
+    mk("sql-merge", "sqlm",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0))
+    df((2L, "a", 200.0), (10L, "b", 0.5), (30L, "c", 30.0), (31L, "c", -1.0))
+      .createOrReplaceTempView("sqlm_src")
+
+    val v = spark.sql(
+      """MERGE INTO sqlm AS tgt USING (SELECT * FROM sqlm_src) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED AND src.v < 1.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = src.v
+        |WHEN NOT MATCHED AND src.v > 0.0 THEN INSERT *""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    // 2 updated, 10 deleted, 30 inserted, 31 filtered by the insert cond
+    assert(content("SELECT id, day, v FROM sqlm") ==
+      Seq((1L, "a", 1.0), (2L, "a", 200.0), (11L, "b", 11.0), (30L, "c", 30.0)))
+  }
+
+  test("MERGE INTO: UPDATE SET * expands to every non-key column by name") {
+    mk("sql-merge-star", "sqlms", (1L, "a", 1.0), (2L, "a", 2.0))
+    df((2L, "z", 222.0)).createOrReplaceTempView("sqlms_src")
+    spark.sql(
+      """MERGE INTO sqlms t USING sqlms_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    assert(content("SELECT id, day, v FROM sqlms") ==
+      Seq((1L, "a", 1.0), (2L, "z", 222.0)))
+  }
+
+  test("maintenance verbs: DESCRIBE HISTORY, OPTIMIZE, RESTORE, VACUUM") {
+    val table = mk("sql-maint", "sqlo",
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    Snapshots.commit(table,
+      Snapshots.stage(df((4L, "d", 4.0)), table, "day")) // v2 append
+
+    val hist = spark.sql("DESCRIBE HISTORY sqlo").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(2L, 1L), "newest first")
+    assert(hist.last.getLong(1) == 3L, "v1 listed 3 files")
+
+    val v3 = spark.sql("RESTORE sqlo TO VERSION AS OF 1").collect()
+      .head.getLong(0)
+    assert(v3 == 3L, "rollback commits a NEW version")
+    assert(content("SELECT id, day, v FROM sqlo") ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+
+    // every tag is single-file after the restore: OPTIMIZE is a no-op
+    // and reports the unchanged current version (no empty commit)
+    val v4 = spark.sql("OPTIMIZE sqlo").collect().head.getLong(0)
+    assert(v4 == 3L)
+    val removed = spark.sql("VACUUM sqlo").collect().head.getLong(0)
+    assert(removed >= 1L, "vacuum reclaims the restored-over append's file")
+    assert(content("SELECT id, day, v FROM sqlo") ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+
+    val names = spark.sql("SHOW GRAFT TABLES").collect().map(_.getString(0))
+    assert(names.contains("sqlo"))
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters through SQL") {
+    mk("sql-zorder", "sqlz",
+      (1L, "a", 1.0), (9L, "a", 9.0), (2L, "b", 2.0), (8L, "b", 8.0))
+    val v = spark.sql("OPTIMIZE sqlz ZORDER BY (id)").collect().head.getLong(0)
+    assert(v == 2L)
+    assert(content("SELECT id, day, v FROM sqlz") ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (8L, "b", 8.0), (9L, "a", 9.0)))
+  }
+
+  test("CREATE GRAFT TABLE … AS SELECT and INSERT INTO round-trip") {
+    df((1L, "a", 1.0), (2L, "b", 2.0)).createOrReplaceTempView("sqlc_seed")
+    val loc = tmp("sql-create")
+    val v1 = spark.sql(
+      s"""CREATE GRAFT TABLE sqlc LOCATION '$loc' PARTITIONED BY (day)
+         |AS SELECT id, day, v FROM sqlc_seed""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v1 == 1L)
+    // created AND registered: plain SELECT resolves immediately
+    assert(content("SELECT id, day, v FROM sqlc") ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    val v2 = spark.sql(
+      "INSERT INTO sqlc SELECT id + 10, day, v * 10.0 FROM sqlc_seed")
+      .collect().head.getLong(0)
+    assert(v2 == 2L)
+    assert(content("SELECT id, day, v FROM sqlc") ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (11L, "a", 10.0), (12L, "b", 20.0)))
+    // append-only: v1's files carried by name
+    val v1Files = Snapshots.entriesAt(loc, 1).map(_.rel).toSet
+    assert(v1Files.subsetOf(Snapshots.entriesAt(loc, 2).map(_.rel).toSet))
+
+    // a second CREATE at the same location must refuse
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE GRAFT TABLE sqlc2 LOCATION '$loc' PARTITIONED BY (day)
+         |AS SELECT id, day, v FROM sqlc_seed""".stripMargin).collect())
+    assert(e.getMessage.contains("already holds"))
+  }
+
+  test("SQL SELECT keeps scan discipline: filters push down, columns prune") {
+    mk("sql-plan", "sqlp",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0))
+    val plan = spark.sql("SELECT v FROM sqlp WHERE id = 10")
+      .queryExecution.executedPlan.toString
+    // the substituted relation is a plain parquet scan — the outer
+    // query's predicate and projection must reach it like any view's
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,10)]"),
+      s"predicate did not reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"projection did not prune the scan:\n$plan")
+  }
+
+  test("unregistered names are never intercepted; errors are loud") {
+    // plain temp view DML goes to Spark and fails with SPARK's error
+    df((1L, "a", 1.0)).createOrReplaceTempView("not_lake")
+    val e = intercept[Exception](spark.sql("DELETE FROM not_lake WHERE id = 1"))
+    assert(!e.getMessage.contains("graft"), s"must be Spark's own error: $e")
+    // SELECT on an unregistered name keeps Spark's resolution
+    assert(spark.sql("SELECT count(*) AS n FROM not_lake")
+      .collect().head.getLong(0) == 1L)
+
+    // TIMESTAMP AS OF is a documented non-feature on lake tables
+    mk("sql-ts", "sqlts", (1L, "a", 1.0))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM sqlts TIMESTAMP AS OF '2024-01-01'").collect())
+    assert(e2.getMessage.toLowerCase.contains("version as of"))
+
+    // malformed MERGE: non-equi ON is rejected with the contract message
+    df((1L, "a", 1.0)).createOrReplaceTempView("sqlts_src")
+    val e3 = intercept[Exception](spark.sql(
+      "MERGE INTO sqlts t USING sqlts_src s ON t.id < s.id WHEN MATCHED THEN DELETE"))
+    assert(e3.getMessage.contains("ON must be"))
+  }
+}
