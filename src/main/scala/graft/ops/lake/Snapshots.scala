@@ -258,7 +258,24 @@ object Snapshots {
 
   private val LogicalPropPrefix = "schema.logical."
   private val DroppedPropPrefix = "schema.dropped."
-  private[lake] val InheritedPropPrefixes = Seq("schema.")
+  private[lake] val InheritedPropPrefixes = Seq("schema.", "constraint.")
+
+  /** PROPS-ONLY commit: re-publish the current version's manifests with
+    * `set` added to (and `unset` removed from) the INHERITED prop set —
+    * the metadata-commit primitive behind [[renameColumn]]-style schema
+    * ops and [[Constraints]] DDL. Inheritance is resolved eagerly so
+    * `unset` can actually retire a key (the default inherit path can
+    * only add/override). */
+  def commitProps(table: String, set: Map[String, String],
+                  unset: Set[String] = Set.empty): Long = {
+    val v = currentVersion(table)
+    require(v >= 1, s"commitProps($table): no committed snapshot")
+    val carried = snapshotProps(table, v)
+      .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) }
+    commitPrepared(
+      Prepared(table, v + 1, manifestList(table, v).map(_._1)),
+      props = (carried -- unset) ++ set, inherit = false)
+  }
 
   /** (physical→logical renames, dropped physical names) at version `v`.
     * Identity/empty for tables that never renamed or dropped. */
@@ -336,6 +353,7 @@ object Snapshots {
       s"renameColumn($table): target '$to' collides with a physical file " +
         "column of the same name — name-mapped schemas cannot reuse a " +
         "physically-occupied name (pick a fresh name)")
+    requireNoConstraintOn(table, from, s"renameColumn($table, $from -> $to)")
     commitPrepared(Prepared(table, v + 1, manifestList(table, v).map(_._1)),
       props = Map(LogicalPropPrefix + phys -> to))
   }
@@ -356,9 +374,26 @@ object Snapshots {
     require(v >= 1, s"dropColumn($table): no committed snapshot")
     require(read(spark, table, mergeSchema = true).columns.contains(name),
       s"dropColumn($table): no column '$name'")
+    requireNoConstraintOn(table, name, s"dropColumn($table, $name)")
     val phys = physicalName(table, name)
     commitPrepared(Prepared(table, v + 1, manifestList(table, v).map(_._1)),
       props = Map(DroppedPropPrefix + phys -> "1"))
+  }
+
+  /** Schema ops refuse to move a column an active CHECK constraint
+    * mentions: constraint expressions are stored as TEXT in logical
+    * terms, so a rename would silently orphan them (every later write
+    * would fail on an unresolvable column — loud, but far from the
+    * cause). Word-boundary match is conservative by design: drop the
+    * constraint, rename, re-add under the new name. */
+  private def requireNoConstraintOn(table: String, column: String,
+                                    op: String): Unit = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(column) + "\\b").r
+    val offending = Constraints.active(table)
+      .collect { case (n, text) if re.findFirstIn(text).isDefined => n }
+    require(offending.isEmpty,
+      s"$op: active CHECK constraint(s) ${offending.mkString(", ")} mention " +
+        s"'$column' — drop them first, then re-add against the new schema")
   }
 
   /** Read the live snapshot — optionally pruned by file tag BEFORE any
@@ -573,7 +608,7 @@ object Snapshots {
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
     val root = new File(table).toPath
-    walk(new File(dir))
+    val staged = walk(new File(dir))
       .filter(_.getName.endsWith(".parquet"))
       .map { f =>
         val rel = root.relativize(f.toPath).toString
@@ -588,6 +623,11 @@ object Snapshots {
           s"stage of $table: tag ${tag.take(40)} carries manifest framing characters")
         (rel, tag)
       }.sortBy(_._1)
+    // CHECK-constraint gate: read-back of the just-written batch, BEFORE
+    // any entry becomes commit-eligible (a metadata-only no-op when the
+    // table carries no constraints -- [[Constraints.enforceStaged]])
+    if (staged.nonEmpty) Constraints.enforceStaged(df.sparkSession, table, dir)
+    staged
   }
 
   /** [[stage]] + per-file COLUMN STATS, the Iceberg data-skipping
@@ -725,7 +765,7 @@ object Snapshots {
   /** Reserved entry property naming a file's deletion-vector sidecar
     * dir (written by Mutations.deleteWhere; the `ref.` prefix marks it
     * as an auxiliary reference [[vacuum]] retains). */
-  private[lake] val DvRefProp = "ref.dv"
+  private[graft] val DvRefProp = "ref.dv"
 
   /** Authoritative deleted-position rows `(__fid, __pos)` for the
     * DV-bearing subset of `es` — each file's positions come from ITS

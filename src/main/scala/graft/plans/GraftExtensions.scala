@@ -78,5 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((s, delegate) => new graft.sql.LakeSqlParser(s, delegate))
     e.injectResolutionRule(s => graft.sql.LakeRelationRule(s))
     e.injectPlannerStrategy(_ => graft.sql.LakeCommandStrategy)
+    // change feed as a SQL table function (the Delta table_changes shape)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.LakeSql", "table_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sql.LakeSql.tableChangesPlan(args)))
   }
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSessio
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan, SubqueryAlias}
@@ -99,6 +100,33 @@ object LakeSql {
 
   private[sql] def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+
+  /** Builder for the Delta-compatible CHANGE DATA FEED table function —
+    * `SELECT … FROM table_changes('t', fromV, toV)` — registered via
+    * `injectTableFunction` (the parser turns the call into an
+    * `UnresolvedTableValuedFunction`; the built-in `ResolveFunctions`
+    * rule consults the injected registry, so this resolves exactly like
+    * `range(...)` does). Lowers onto [[Snapshots.changes]]: rows tagged
+    * `_change_type`, cost O(changed files), deletion-vector-aware.
+    * Literal args only — the feed range is metadata, not data. */
+  def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    args match {
+      case Seq(Literal(n, _: StringType),
+               Literal(f: Number, _), Literal(t: Number, _)) if n != null =>
+        lookup(spark, n.toString) match {
+          case Some((path, _)) =>
+            SubqueryAlias("table_changes",
+              Snapshots.changes(spark, path, f.longValue(), t.longValue())
+                .queryExecution.analyzed)
+          case None => throw new IllegalArgumentException(
+            s"table_changes: '$n' is not a registered graft table " +
+              "(LakeSql.register it first)")
+        }
+      case _ => throw new IllegalArgumentException(
+        "table_changes expects ('name', fromVersion, toVersion) literals")
+    }
+  }
 }
 
 /** A parsed lake statement: a resolved LEAF plan carrying its own
@@ -217,7 +245,7 @@ class LakeSqlParser(spark: SparkSession, delegate: ParserInterface)
 }
 
 /** The statement grammar. Hand-rolled over anchored case-insensitive
-  * regexes plus a balanced-paren scanner for MERGE's source — seven
+  * regexes plus a balanced-paren scanner for MERGE's source — a dozen
   * fixed statement shapes over bare identifiers don't justify an ANTLR
   * grammar, and conditions/assignment VALUES are never parsed here:
   * they pass through Spark's own `parseExpression`, so the full SQL
@@ -232,6 +260,8 @@ object LakeStatements {
     """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""".r
   private val History =
     """(?is)DESCRIBE\s+HISTORY\s+(\w+)""".r
+  private val Detail =
+    """(?is)DESCRIBE\s+DETAIL\s+(\w+)""".r
   private val Restore =
     """(?is)RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val Delete =
@@ -244,6 +274,10 @@ object LakeStatements {
     """(?is)^MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
   private val CreateTable =
     """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)\s+AS\s+(SELECT\s.+)""".r
+  private val AddConstraint =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)""".r
+  private val DropConstraint =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)""".r
   private val InsertInto =
     """(?is)INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
 
@@ -252,8 +286,9 @@ object LakeStatements {
   def parse(spark: SparkSession, delegate: ParserInterface,
             sqlText: String): Option[LogicalPlan] = {
     val text = sqlText.trim.stripSuffix(";").trim
-    // cheap gate before any regex work: every lake statement starts with
-    // one of seven verbs
+    // cheap gate before any regex work: every lake statement starts
+    // with one of a small set of verbs; anything else skips straight
+    // to Spark's parser
     val verb = text.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     val lookup = (n: String) => LakeSql.lookup(spark, n)
     verb match {
@@ -284,6 +319,27 @@ object LakeStatements {
                   .map { case (k, vv) => s"$k=$vv" }.mkString(";")
                 Row(v, Snapshots.entriesAt(path, v).size.toLong, props)
               }
+            })
+        }
+        // the Delta DESCRIBE DETAIL shape: one row of live-table facts.
+        // num_rows is a zero-column count answered from row-group
+        // metadata (one distributed job, no data pages); everything
+        // else is manifest/fs metadata
+        case Detail(name) => lookup(name).map { case (path, tag) =>
+          LakeCommand("DESCRIBE DETAIL",
+            attrs("path" -> StringType, "tag_col" -> StringType,
+              "version" -> LongType, "num_files" -> LongType,
+              "num_dv_files" -> LongType, "size_bytes" -> LongType,
+              "num_rows" -> LongType, "constraints" -> StringType), s => {
+              val es = Snapshots.entriesAt(path, Snapshots.currentVersion(path))
+              val bytes = es.map(e =>
+                new java.io.File(path, e.rel).length()).sum
+              val cons = graft.ops.lake.Constraints.active(path).toSeq.sorted
+                .map { case (n, c) => s"$n: $c" }.mkString("; ")
+              Seq(Row(path, tag, Snapshots.currentVersion(path),
+                es.size.toLong,
+                es.count(_.props.contains(Snapshots.DvRefProp)).toLong,
+                bytes, Snapshots.readMerged(s, path).count(), cons))
             })
         }
         case _ => None
@@ -342,15 +398,39 @@ object LakeStatements {
         // read would NULL-fill the real column
         case InsertInto(name, query) => lookup(name).map { case (path, tag) =>
           LakeCommand("INSERT INTO", versionOut, s => {
-            val tCols = Snapshots.read(s, path).columns
+            val schema = Snapshots.read(s, path).schema
             val src = s.sql(query)
-            require(src.columns.length == tCols.length,
+            require(src.columns.length == schema.length,
               s"INSERT INTO $name: query has ${src.columns.length} " +
-                s"columns, table has ${tCols.length}")
+                s"columns, table has ${schema.length}")
+            // positional binding AND type coercion to the table schema —
+            // a bare `-1.0` literal is DECIMAL(2,1) in Spark SQL, and an
+            // uncast landing would wedge a mis-typed file into the table
+            val aligned = src.toDF(schema.map(_.name): _*)
+              .select(schema.map(f =>
+                org.apache.spark.sql.functions.col(f.name)
+                  .cast(f.dataType).as(f.name)): _*)
             Seq(Row(Snapshots.commit(path,
-              Snapshots.stage(src.toDF(tCols: _*), path, tag))))
+              Snapshots.stage(aligned, path, tag))))
           })
         }
+        case _ => None
+      }
+      case "ALTER" => text match {
+        // Delta-shape CHECK constraints: ADD validates existing data
+        // (one scan) then commits props-only; enforcement happens at
+        // every stage (graft.ops.lake.Constraints)
+        case AddConstraint(name, cName, check) =>
+          lookup(name).map { case (path, _) =>
+            delegate.parseExpression(check) // fail at parse time, not at first write
+            LakeCommand("ADD CONSTRAINT", versionOut, s =>
+              Seq(Row(graft.ops.lake.Constraints.add(s, path, cName, check))))
+          }
+        case DropConstraint(name, cName) =>
+          lookup(name).map { case (path, _) =>
+            LakeCommand("DROP CONSTRAINT", versionOut, s =>
+              Seq(Row(graft.ops.lake.Constraints.drop(s, path, cName))))
+          }
         case _ => None
       }
       case "SHOW" => text match {

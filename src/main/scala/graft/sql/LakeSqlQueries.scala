@@ -154,8 +154,47 @@ object LakeSqlQueries {
       |  ${decSumSql("value")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s42: CHECK constraints gate the write boundary — a constraint is
+    * added over the base days, a violating INSERT (negated values) MUST
+    * be rejected leaving zero trace, a conforming INSERT lands, and the
+    * final aggregate equals the full restatement — which it can only do
+    * if the rejected batch left the table bit-identical. */
+  def sqlConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s42-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      table, "event_date", "event_id"))
+    LakeSql.register(spark, "s42t", table, "event_date")
+    ev.filter(col("event_date") > "2024-01-20").createOrReplaceTempView("s42_src")
+
+    spark.sql(
+      "ALTER GRAFT TABLE s42t ADD CONSTRAINT vals CHECK (value >= 0.0)")
+    val rejected =
+      try {
+        spark.sql(
+          """INSERT INTO s42t SELECT event_id + 1000000000, event_type,
+            |-value - 1.0, event_date FROM s42_src""".stripMargin)
+        false
+      } catch { case _: Exception => true }
+    require(rejected, "s42: the violating INSERT must be rejected")
+    spark.sql(
+      """INSERT INTO s42t SELECT event_id, event_type, value, event_date
+        |FROM s42_src""".stripMargin)
+
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s42t GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  val sqlConstraintsOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+      |  ${decSumSql("value")} AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
     QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
-    QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance))
+    QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance),
+    QueryDef.sql("s42_sql_constraints", sqlConstraintsOracle)(sqlConstraints))
 }

@@ -156,6 +156,81 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("already holds"))
   }
 
+  test("table_changes('t', from, to) exposes the change feed in SQL") {
+    val table = mk("sql-cdf", "sqlcdf",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
+    spark.sql("DELETE FROM sqlcdf WHERE id = 2") // v2: DV delete
+    spark.sql("INSERT INTO sqlcdf SELECT 20L, 'c', 20.0") // v3: append
+
+    val feed = spark.sql(
+      """SELECT _change_type, id, v FROM table_changes('sqlcdf', 1, 3)
+        |ORDER BY _change_type, id""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(feed == Seq(("delete", 2L, 2.0), ("insert", 20L, 20.0)))
+
+    // bootstrap read (from 0) yields the v-snapshot as inserts
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('sqlcdf', 0, 1)")
+      .collect().head.getLong(0) == 3L)
+
+    // unknown lake name errors loudly with the registration hint
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('nope', 0, 1)").collect())
+    assert(e.getMessage.contains("registered graft table"))
+  }
+
+  test("DESCRIBE DETAIL reports live-table facts") {
+    val table = mk("sql-detail", "sqld",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
+    // pure-MOR delete (no COW crossover) so a sidecar provably exists
+    graft.ops.lake.Mutations.deleteWhere(spark, table,
+      org.apache.spark.sql.functions.col("id") === 2)
+    graft.ops.lake.Constraints.add(spark, table, "pos", "v > 0.0")
+
+    val d = spark.sql("DESCRIBE DETAIL sqld").collect().head
+    assert(d.getAs[String]("path") == table)
+    assert(d.getAs[String]("tag_col") == "day")
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("num_dv_files") == 1L)
+    assert(d.getAs[Long]("num_rows") == 2L, "merged (vector-applied) count")
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("constraints") == "pos: v > 0.0")
+  }
+
+  test("ChangeFeed.followOnce: durable cursor, at-least-once, deterministic replay") {
+    import graft.ops.lake.ChangeFeed
+    val table = mk("sql-follow", "sqlf", (1L, "a", 1.0), (2L, "b", 2.0))
+    val cursorFile = tmp("sql-follow-cursor") + "/cursor"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+
+    // bootstrap poll: (0, 1], full snapshot as inserts
+    assert(ChangeFeed.followOnce(spark, table, cursorFile) {
+      (df, f, t) => seen += ((f, t, df.count()))
+    } == 1L)
+    assert(seen.toSeq == Seq((0L, 1L, 2L)))
+    // idle poll: no range, no callback
+    assert(ChangeFeed.followOnce(spark, table, cursorFile) {
+      (_, _, _) => fail("must not fire on an idle poll")
+    } == 1L)
+
+    spark.sql("DELETE FROM sqlf WHERE id = 1") // v2
+    spark.sql("INSERT INTO sqlf SELECT 3L, 'c', 3.0") // v3
+    // a CRASHED poll (process throws) must not advance the cursor...
+    intercept[RuntimeException](ChangeFeed.followOnce(spark, table, cursorFile) {
+      (_, _, _) => throw new RuntimeException("sink died")
+    })
+    assert(ChangeFeed.cursor(cursorFile) == 1L)
+    // ...and the retry replays the SAME range with the same content
+    ChangeFeed.followOnce(spark, table, cursorFile) { (df, f, t) =>
+      seen += ((f, t, df.count()))
+      val types = df.select("_change_type").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(types == Set("insert", "delete"))
+    }
+    assert(seen.toSeq == Seq((0L, 1L, 2L), (1L, 3L, 2L)))
+    assert(ChangeFeed.cursor(cursorFile) == 3L)
+  }
+
   test("SQL SELECT keeps scan discipline: filters push down, columns prune") {
     mk("sql-plan", "sqlp",
       (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0))
