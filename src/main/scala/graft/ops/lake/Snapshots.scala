@@ -76,6 +76,22 @@ object Snapshots {
   private def snapFile(table: String, v: Long): File =
     new File(logDir(table), f"snap-$v%09d.txt")
 
+  /** Version live at wall-clock `epochMs` — the newest snapshot whose
+    * log file was PUBLISHED at or before that instant (snapshot files
+    * are immutable, so their mtime IS the commit time; the same
+    * file-modification-time basis Delta's timestamp time travel
+    * documents). Errors before the first commit — there is no version
+    * to read. Wall-clock resolution is the filesystem's; two commits
+    * inside one clock tick resolve to the later one. */
+  def versionAtTime(table: String, epochMs: Long): Long = {
+    val vs = (1L to currentVersion(table))
+      .filter(v => snapFile(table, v).lastModified() <= epochMs)
+    require(vs.nonEmpty,
+      s"versionAtTime($table): no snapshot existed at epoch-ms $epochMs " +
+        "(before the first commit)")
+    vs.max
+  }
+
   // ---- on-disk framing ------------------------------------------------
   // manifest line: relpath \t tag [\t key=value]… ; snapshot line:
   // mfName \t tag\u0001tag… Tags are validated at [[stage]] (no \t \n

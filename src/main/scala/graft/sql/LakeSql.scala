@@ -189,6 +189,25 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def merged(path: String, version: Long): LogicalPlan =
     Snapshots.readMerged(spark, path, version).queryExecution.analyzed
 
+  /** Evaluate a TIMESTAMP AS OF literal to epoch millis. The parser
+    * hands a string/timestamp literal (possibly under a cast);
+    * evaluating through Catalyst's own Cast keeps every literal form
+    * Spark accepts (`'2024-01-01'`, `'2024-01-01 12:00:00'`, typed
+    * timestamp) consistent with the session timezone. */
+  private def timestampMillis(name: String,
+                              ts: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    require(ts.foldable,
+      s"lake table $name: TIMESTAMP AS OF requires a literal timestamp")
+    val micros = Cast(ts, TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      .eval(null)
+    require(micros != null,
+      s"lake table $name: TIMESTAMP AS OF literal did not parse as a timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case tt: RelationTimeTravel =>
       tt.relation match {
@@ -197,12 +216,17 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             name <- single(u)
             (path, _) <- LakeSql.lookup(spark, name)
           } yield {
-            require(tt.timestamp.isEmpty,
-              s"lake table $name: TIMESTAMP AS OF is not supported — the " +
-                "snapshot log is versioned, use VERSION AS OF")
-            val v = tt.version.map(_.toLong).getOrElse(
-              throw new IllegalArgumentException(
-                s"lake table $name: time travel requires VERSION AS OF <n>"))
+            // VERSION AS OF reads the log directly; TIMESTAMP AS OF
+            // resolves wall-clock → version via the snapshot files'
+            // publish times (immutable files — mtime IS commit time)
+            val v = (tt.version, tt.timestamp) match {
+              case (Some(ver), _) => ver.toLong
+              case (None, Some(ts)) =>
+                Snapshots.versionAtTime(path, timestampMillis(name, ts))
+              case _ => throw new IllegalArgumentException(
+                s"lake table $name: time travel requires VERSION AS OF <n> " +
+                  "or TIMESTAMP AS OF <literal>")
+            }
             SubqueryAlias(name, merged(path, v)): LogicalPlan
           }).getOrElse(tt)
         case _ => tt

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.lake.{Mutations, Snapshots}
+import graft.sql.LakeSql
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model check of the SQL SURFACE: a random statement sequence issued
+  * entirely as `spark.sql` text — CREATE/INSERT/MERGE (both forms)/
+  * UPDATE/DELETE/RESTORE/OPTIMIZE plus VERSION AS OF probes — tracked
+  * against a pure in-memory model. The kernel already carries its own
+  * randomized model (MutationsSpec); this one proves the PARSER →
+  * COMMAND → KERNEL lowering and the resolution-rule reads compose
+  * under arbitrary interleavings, not just the per-statement specs. */
+class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
+
+  test("SQL statements track a pure model under a random sequence") {
+    val rnd = new scala.util.Random(7741)
+    val table = tmp("sql-model")
+    var model = Map.empty[Long, (String, Double)] // id -> (day, v)
+    var history = Map.empty[Long, Map[Long, (String, Double)]]
+    var nextId = 0L
+
+    def fresh(tag: String, n: Int): Seq[(Long, String, Double)] =
+      (1 to n).map { _ => nextId += 1; (nextId, tag, rnd.nextInt(1000).toDouble) }
+    def values(rows: Seq[(Long, String, Double)]): String =
+      "(SELECT CAST(id AS BIGINT) AS id, day, CAST(v AS DOUBLE) AS v FROM VALUES " +
+        rows.map { case (i, d, v) => s"($i, '$d', $v)" }.mkString(", ") +
+        " AS x(id, day, v))"
+    def snapshot(): Unit = { history += Snapshots.currentVersion(table) -> model }
+    def stateVia(sql: String): Seq[(Long, String, Double)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    def check(step: Int): Unit = {
+      val want = model.toSeq.map { case (id, (d, v)) => (id, d, v) }.sortBy(_._1)
+      // through the resolution rule AND through the kernel: must agree
+      assert(stateVia("SELECT id, day, v FROM mdl") == want,
+        s"SQL read diverged at step $step")
+    }
+
+    val seed = fresh("a", 3) ++ fresh("b", 3)
+    spark.sql(
+      s"""CREATE GRAFT TABLE mdl LOCATION '$table' PARTITIONED BY (day)
+         |AS SELECT * FROM ${values(seed)}""".stripMargin)
+    model = seed.map(r => r._1 -> ((r._2, r._3))).toMap
+    snapshot(); check(0)
+
+    for (step <- 1 to 20) {
+      val tag = Seq("a", "b", "c")(rnd.nextInt(3))
+      rnd.nextInt(8) match {
+        case 0 => // INSERT
+          val rows = fresh(tag, 1 + rnd.nextInt(3))
+          spark.sql(s"INSERT INTO mdl SELECT * FROM ${values(rows)}")
+          model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+        case 1 if model.nonEmpty => // MERGE upsert (UPDATE SET * / INSERT *)
+          val upd = rnd.shuffle(model.toSeq).take(1 + rnd.nextInt(2))
+            .map { case (id, (d, _)) => (id, d, rnd.nextInt(1000).toDouble) }
+          val ins = fresh(tag, 1)
+          spark.sql(
+            s"""MERGE INTO mdl t USING ${values(upd ++ ins)} s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          model ++= (upd ++ ins).map(r => r._1 -> ((r._2, r._3)))
+        case 2 if model.nonEmpty => // DELETE (crossover may go MOR or COW)
+          val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          spark.sql(s"DELETE FROM mdl WHERE id IN (${ids.mkString(", ")})")
+          model --= ids
+        case 3 if model.nonEmpty => // UPDATE one row
+          val id = rnd.shuffle(model.keys.toSeq).head
+          spark.sql(s"UPDATE mdl SET v = v * 3.0 WHERE id = $id")
+          val (d, v) = model(id); model += id -> ((d, v * 3.0))
+        case 4 if model.nonEmpty => // clause MERGE: low deletes, high folds in
+          val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          val srcUpd = ids.map { id =>
+            val (d, _) = model(id); (id, d, rnd.nextInt(1000).toDouble) }
+          val srcIns = fresh(tag, 1)
+          spark.sql(
+            s"""MERGE INTO mdl t USING ${values(srcUpd ++ srcIns)} s ON t.id = s.id
+               |WHEN MATCHED AND s.v < 300.0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          srcUpd.foreach { case (id, d, sv) =>
+            if (sv < 300.0) model -= id
+            else { val (_, tv) = model(id); model += id -> ((d, sv + tv)) }
+          }
+          model ++= srcIns.map(r => r._1 -> ((r._2, r._3)))
+        case 5 if history.size > 1 => // RESTORE to a random old version
+          val v = rnd.shuffle(history.keys.toSeq).head
+          spark.sql(s"RESTORE mdl TO VERSION AS OF $v")
+          model = history(v)
+        case 6 => // OPTIMIZE: layout only (purge vectors first — compact
+          // refuses DV-bearing tables by contract)
+          Mutations.purgeVectors(spark, table, "day")
+          spark.sql("OPTIMIZE mdl")
+        case 7 if history.nonEmpty => // VERSION AS OF probe vs history
+          val v = rnd.shuffle(history.keys.toSeq).head
+          val want = history(v).toSeq
+            .map { case (id, (d, vv)) => (id, d, vv) }.sortBy(_._1)
+          assert(stateVia(s"SELECT id, day, v FROM mdl VERSION AS OF $v") == want,
+            s"VERSION AS OF $v diverged at step $step")
+        case _ => ()
+      }
+      snapshot(); check(step)
+    }
+
+    spark.sql("VACUUM mdl")
+    check(99)
+    LakeSql.unregister(spark, "mdl")
+  }
+}

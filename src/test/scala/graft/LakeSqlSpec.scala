@@ -179,6 +179,29 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("registered graft table"))
   }
 
+  test("TIMESTAMP AS OF resolves wall-clock to the version live then") {
+    val table = mk("sql-tsasof", "sqlta", (1L, "a", 1.0))
+    spark.sql("INSERT INTO sqlta SELECT 2L, 'b', 2.0") // v2
+    spark.sql("INSERT INTO sqlta SELECT 3L, 'c', 3.0") // v3
+    // pin publish times: snapshots are immutable files, mtime = commit
+    // time; set three distinct wall-clock instants
+    val log = new java.io.File(table, "_graft_log")
+    def pin(v: Int, iso: String): Unit = {
+      val f = new java.io.File(log, f"snap-$v%09d.txt")
+      assert(f.setLastModified(java.time.Instant.parse(iso).toEpochMilli))
+    }
+    pin(1, "2024-03-01T00:00:00Z")
+    pin(2, "2024-03-02T00:00:00Z")
+    pin(3, "2024-03-03T00:00:00Z")
+
+    def nAt(ts: String): Long = spark.sql(
+      s"SELECT count(*) AS n FROM sqlta TIMESTAMP AS OF '$ts'")
+      .collect().head.getLong(0)
+    assert(nAt("2024-03-01 12:00:00") == 1L, "between v1 and v2 → v1")
+    assert(nAt("2024-03-02 00:00:00") == 2L, "exactly at v2 → v2 (inclusive)")
+    assert(nAt("2030-01-01") == 3L, "future → live version")
+  }
+
   test("DESCRIBE DETAIL reports live-table facts") {
     val table = mk("sql-detail", "sqld",
       (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
@@ -253,11 +276,11 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT count(*) AS n FROM not_lake")
       .collect().head.getLong(0) == 1L)
 
-    // TIMESTAMP AS OF is a documented non-feature on lake tables
+    // TIMESTAMP AS OF before the first commit errors loudly
     mk("sql-ts", "sqlts", (1L, "a", 1.0))
     val e2 = intercept[Exception](
-      spark.sql("SELECT * FROM sqlts TIMESTAMP AS OF '2024-01-01'").collect())
-    assert(e2.getMessage.toLowerCase.contains("version as of"))
+      spark.sql("SELECT * FROM sqlts TIMESTAMP AS OF '2001-01-01'").collect())
+    assert(e2.getMessage.contains("before the first commit"))
 
     // malformed MERGE: non-equi ON is rejected with the contract message
     df((1L, "a", 1.0)).createOrReplaceTempView("sqlts_src")
