@@ -1,0 +1,118 @@
+package graft.ops.lake
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Compile PUSHED-DOWN catalyst data filters into a manifest-entry
+  * predicate — the piece that turns Spark's own scan-planning filter
+  * pushdown into MANIFEST-LEVEL file skipping for lake reads (the
+  * Delta/Iceberg "data skipping from the transaction log" shape).
+  *
+  * Soundness rule: a file is skipped only when a conjunct PROVES no
+  * row can match; any shape this compiler does not understand keeps
+  * the file (returns no predicate). Three proof sources, composed per
+  * conjunct:
+  *
+  *   - TAG pruning: every staged file carries exactly one tag — the
+  *     stage-time string rendering (`cast(tagCol as string)`) of its
+  *     partition value — so equality/IN on the tag column prunes by
+  *     string comparison. Literals render through Catalyst's own Cast
+  *     under the session timezone, i.e. EXACTLY the rendering staging
+  *     used, which is what makes the comparison sound for dates and
+  *     timestamps too.
+  *   - RANGE stats: `min.<col>`/`max.<col>` entry props via
+  *     [[Snapshots.rangeOverlap]] (files without stats always kept).
+  *     Strict bounds reuse the inclusive overlap — keeping a boundary
+  *     file the strict predicate cannot match is sound, just one file
+  *     less pruned.
+  *   - BLOOM: equality on integral columns probes the per-file sketch
+  *     via [[Snapshots.mightContainLong]] (one-sided error: only
+  *     definite absence skips).
+  */
+object Pruning {
+
+  /** Entry predicate for a conjunction of pushed filters. `tagCol` is
+    * the PHYSICAL tag column name; callers must only use this against
+    * identity-mapped schemas (logical == physical), which the SQL
+    * relation builder guarantees before electing the pruned path. */
+  def compile(filters: Seq[Expression], tagCol: String): Snapshots.Entry => Boolean = {
+    val preds = filters.flatMap(conjuncts).flatMap(translate(_, tagCol))
+    if (preds.isEmpty) (_: Snapshots.Entry) => true
+    else Snapshots.allOf(preds: _*)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def translate(e: Expression,
+                        tagCol: String): Option[Snapshots.Entry => Boolean] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) => equalityPred(a, Seq(l), tagCol)
+    case EqualTo(l: Literal, a: AttributeReference) => equalityPred(a, Seq(l), tagCol)
+    case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      equalityPred(a, vs.map(_.asInstanceOf[Literal]), tagCol)
+    case GreaterThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
+    case LessThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false)
+    case GreaterThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false)
+    case LessThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
+    case _ => None // unsupported shape: keep every file
+  }
+
+  /** Equality/IN: tag prune when the column IS the tag column, plus
+    * range + bloom prune when stats/sketch props exist. */
+  private def equalityPred(a: AttributeReference, ls: Seq[Literal],
+                           tagCol: String): Option[Snapshots.Entry => Boolean] = {
+    val nonNull = ls.filter(_.value != null) // `= NULL` matches nothing; keep
+    if (nonNull.size != ls.size || nonNull.isEmpty) return None
+    val parts = Seq.newBuilder[Snapshots.Entry => Boolean]
+    if (a.name.equalsIgnoreCase(tagCol)) {
+      val tags = nonNull.map(render).toSet
+      parts += (e => tags.contains(e.tag))
+    }
+    val doubles = nonNull.flatMap(asDouble)
+    if (doubles.size == nonNull.size)
+      parts += Snapshots.anyOf(doubles.map(v =>
+        Snapshots.rangeOverlap(a.name, v, v)): _*)
+    val longs = nonNull.flatMap(asLong)
+    if (longs.size == nonNull.size)
+      parts += Snapshots.anyOf(longs.map(v =>
+        Snapshots.mightContainLong(a.name, v)): _*)
+    val ps = parts.result()
+    if (ps.isEmpty) None else Some(Snapshots.allOf(ps: _*))
+  }
+
+  private def rangePred(a: AttributeReference, l: Literal,
+                        lower: Boolean): Option[Snapshots.Entry => Boolean] =
+    asDouble(l).map { v =>
+      if (lower) Snapshots.rangeOverlap(a.name, v, Double.PositiveInfinity)
+      else Snapshots.rangeOverlap(a.name, Double.NegativeInfinity, v)
+    }
+
+  /** Literal rendered exactly as staging rendered the tag value. */
+  private def render(l: Literal): String =
+    Cast(l, StringType, Some(SQLConf.get.sessionLocalTimeZone))
+      .eval(null).toString
+
+  private def asDouble(l: Literal): Option[Double] = l.dataType match {
+    // stats props exist only for numeric primitives; a non-numeric
+    // literal can't range-prune (and ANSI Cast would THROW on it)
+    case _: org.apache.spark.sql.types.NumericType =>
+      Option(Cast(l, DoubleType, Some(SQLConf.get.sessionLocalTimeZone)).eval(null))
+        .map(_.asInstanceOf[Double])
+    case _ => None
+  }
+
+  private def asLong(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case j: java.lang.Long => Some(j)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+}

@@ -32,10 +32,14 @@ import org.apache.spark.sql.types._
   *     Spark's parser. Statements become [[LakeCommand]] leaf plans.
   *   - `injectResolutionRule` → [[LakeRelationRule]]: registered table
   *     NAMES resolve inside ordinary `spark.sql` SELECTs — including
-  *     Spark's native `VERSION AS OF` time-travel syntax — to the
-  *     kernel's merged read (deletion vectors applied, schema-evolution
-  *     name mapping applied), so `SELECT * FROM t VERSION AS OF 3`
-  *     needs no graft-specific syntax at all.
+  *     Spark's native `VERSION AS OF` / `TIMESTAMP AS OF` time-travel
+  *     syntax. DV-free identity-schema snapshots get the
+  *     MANIFEST-PRUNED relation (a custom FileIndex that receives
+  *     Spark's pushed-down filters and prunes entries by tag / stats /
+  *     bloom before any file opens); DV-bearing or renamed snapshots
+  *     get the kernel's merged read (vectors applied, names mapped).
+  *     Either way `SELECT * FROM t VERSION AS OF 3` needs no
+  *     graft-specific syntax at all.
   *   - `injectPlannerStrategy` → [[LakeCommandStrategy]]: plans a
   *     [[LakeCommand]] to the driver-side executor node. Commands mix in
   *     catalyst's `Command`, so `spark.sql("VACUUM t")` executes EAGERLY
@@ -186,8 +190,32 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def merged(path: String, version: Long): LogicalPlan =
-    Snapshots.readMerged(spark, path, version).queryExecution.analyzed
+  /** Scan plan for a registered table at `version` (-1 = live).
+    *
+    * Fast path — the MANIFEST-PRUNED relation ([[GraftRelations]]):
+    * when the snapshot has no deletion vectors and an identity schema
+    * mapping, the relation's custom FileIndex receives Spark's
+    * pushed-down filters at scan-planning time and prunes manifest
+    * entries (tag / min-max stats / bloom) before any file opens — so
+    * `spark.sql("… WHERE day = X")` over a 10⁶-file table opens only
+    * the matching files, with zero graft-specific syntax.
+    *
+    * General path: the kernel's merged read (DV anti-join, schema
+    * name mapping) — those plans are not a bare file scan, so they
+    * keep the classic analyzed-subtree substitution. */
+  private def merged(path: String, tagCol: String, version: Long): LogicalPlan = {
+    val v = if (version < 0) Snapshots.currentVersion(path) else version
+    val entries = Snapshots.entriesAt(path, v)
+    val (renames, dropped) = Snapshots.schemaMapping(path, v)
+    val plain = entries.nonEmpty &&
+      !entries.exists(_.props.contains(Snapshots.DvRefProp)) &&
+      renames.isEmpty && dropped.isEmpty
+    if (plain) {
+      val schema = spark.read.parquet(s"$path/${entries.head.rel}").schema
+      org.apache.spark.sql.GraftRelations.prunedParquetPlan(
+        spark, path, tagCol, v, entries, schema)
+    } else Snapshots.readMerged(spark, path, version).queryExecution.analyzed
+  }
 
   /** Evaluate a TIMESTAMP AS OF literal to epoch millis. The parser
     * hands a string/timestamp literal (possibly under a cast);
@@ -214,7 +242,7 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case u: UnresolvedRelation =>
           (for {
             name <- single(u)
-            (path, _) <- LakeSql.lookup(spark, name)
+            (path, tag) <- LakeSql.lookup(spark, name)
           } yield {
             // VERSION AS OF reads the log directly; TIMESTAMP AS OF
             // resolves wall-clock → version via the snapshot files'
@@ -227,15 +255,15 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 s"lake table $name: time travel requires VERSION AS OF <n> " +
                   "or TIMESTAMP AS OF <literal>")
             }
-            SubqueryAlias(name, merged(path, v)): LogicalPlan
+            SubqueryAlias(name, merged(path, tag, v)): LogicalPlan
           }).getOrElse(tt)
         case _ => tt
       }
     case u: UnresolvedRelation =>
       (for {
         name <- single(u)
-        (path, _) <- LakeSql.lookup(spark, name)
-      } yield SubqueryAlias(name, merged(path, -1L)): LogicalPlan).getOrElse(u)
+        (path, tag) <- LakeSql.lookup(spark, name)
+      } yield SubqueryAlias(name, merged(path, tag, -1L)): LogicalPlan).getOrElse(u)
   }
 }
 

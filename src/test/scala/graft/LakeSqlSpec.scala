@@ -267,6 +267,43 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       s"projection did not prune the scan:\n$plan")
   }
 
+  test("SQL WHERE prunes manifest entries before any file opens") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val table = mk("sql-prune", "sqlpr",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0),
+      (20L, "c", 20.0), (21L, "c", 21.0))
+    val total = Snapshots.entriesAt(table, 1).size
+    assert(total >= 3, s"fixture must spread tags across files, got $total")
+    def scanned(sql: String): Long = {
+      val df = spark.sql(sql)
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    val tagB = Snapshots.entriesAt(table, 1).count(_.tag == "b")
+    // tag pruning: only day-b files open
+    assert(scanned("SELECT * FROM sqlpr WHERE day = 'b'") == tagB)
+    // stats pruning on the id ranges (files clustered per day by mk)
+    assert(scanned("SELECT * FROM sqlpr WHERE id >= 20") < total)
+    assert(scanned("SELECT * FROM sqlpr WHERE id IN (2, 20)") < total)
+    // unsupported predicate shapes stay sound: all files, right answer
+    assert(scanned("SELECT * FROM sqlpr WHERE v + 1.0 > 100.0") == total)
+    assert(spark.sql("SELECT * FROM sqlpr WHERE v + 1.0 > 100.0").count() == 0)
+    // correctness parity under pruning
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlpr WHERE day = 'b'")
+      .collect().head.getDouble(0) == 21.0)
+    // a deletion vector flips the table to the merged (anti-join) path:
+    // still correct, no resurrection
+    graft.ops.lake.Mutations.deleteWhere(spark, table,
+      org.apache.spark.sql.functions.col("id") === 10)
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlpr WHERE day = 'b'")
+      .collect().head.getDouble(0) == 11.0)
+  }
+
   test("unregistered names are never intercepted; errors are loud") {
     // plain temp view DML goes to Spark and fails with SPARK's error
     df((1L, "a", 1.0)).createOrReplaceTempView("not_lake")
