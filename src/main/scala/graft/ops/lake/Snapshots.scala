@@ -441,11 +441,23 @@ object Snapshots {
                   fileFilter: Entry => Boolean = _ => true,
                   mergeSchema: Boolean = false): DataFrame = {
     val mfs = manifestList(table, v)
-    val fs = mfs
+    val selected = mfs
       .collect { case (mf, tags) if tags.isEmpty || tags.exists(tagFilter) => mf }
       .flatMap(manifestEntries(table, _))
-      .collect { case e if tagFilter(e.tag) && fileFilter(e) => s"$table/${e.rel}" }
-    if (fs.nonEmpty)
+      .filter(e => tagFilter(e.tag) && fileFilter(e))
+    val fs = selected.map(e => s"$table/${e.rel}")
+    val (renames, dropped) = schemaMapping(table, v)
+    if (selected.nonEmpty && !mergeSchema && renames.isEmpty && dropped.isEmpty) {
+      // uniform-schema identity-mapped slice: scan through the
+      // manifest-backed FileIndex, so predicates the QUERY pushes down
+      // later (stats ranges, bloom equality) prune entries on top of
+      // the caller's explicit tagFilter/fileFilter — automatic data
+      // skipping for every kernel read, same rows either way
+      val schema = spark.read.parquet(fs.head).schema
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        org.apache.spark.sql.GraftRelations.prunedParquetPlan(
+          spark, table, "", v, selected, schema))
+    } else if (fs.nonEmpty)
       applyLogical(
         spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*),
         table, v)

@@ -24,11 +24,12 @@ import org.apache.spark.sql.types._
   *   - `injectParser` → [[LakeSqlParser]]: a DELEGATING parser that
   *     recognizes the lake DML/maintenance statements (`MERGE INTO`,
   *     `DELETE FROM`, `UPDATE`, `INSERT INTO`, `CREATE GRAFT TABLE …
-  *     LOCATION … PARTITIONED BY … AS SELECT`, `VACUUM`, `OPTIMIZE …
-  *     ZORDER BY`, `DESCRIBE HISTORY`, `RESTORE … VERSION AS OF`,
-  *     `SHOW GRAFT TABLES`) over REGISTERED lake tables and hands
-  *     everything else —
-  *     including every statement over non-registered names — verbatim to
+  *     LOCATION … PARTITIONED BY … AS SELECT`, `ALTER GRAFT TABLE
+  *     ADD/DROP CONSTRAINT`, `VACUUM [RETAIN n VERSIONS]`, `OPTIMIZE
+  *     [ZORDER BY]`, `DESCRIBE HISTORY`, `DESCRIBE DETAIL`,
+  *     `RESTORE … TO VERSION AS OF`, `SHOW GRAFT TABLES`) over
+  *     REGISTERED lake tables and hands everything else — including
+  *     every statement over non-registered names — verbatim to
   *     Spark's parser. Statements become [[LakeCommand]] leaf plans.
   *   - `injectResolutionRule` → [[LakeRelationRule]]: registered table
   *     NAMES resolve inside ordinary `spark.sql` SELECTs — including
@@ -171,16 +172,15 @@ object LakeCommandStrategy extends SparkStrategy {
 
 /** Analyzer rule: registered lake-table names resolve in plain SQL.
   *
-  * `SELECT … FROM t` substitutes the kernel's MERGED current read
-  * (deletion vectors applied — `Snapshots.read` would resurrect
-  * MOR-deleted rows) and `… FROM t VERSION AS OF n` (Spark's own
-  * time-travel grammar; it parses into `RelationTimeTravel` for ANY
-  * relation) substitutes the merged read at that version. The
-  * substituted subtree is pre-analyzed (`queryExecution.analyzed`), so
-  * the surrounding query sees a resolved relation under a
-  * `SubqueryAlias` carrying the user's name — qualified column refs
-  * (`t.col`) keep working. TIMESTAMP AS OF is rejected: the log records
-  * versions, not wall-clock commit times (documented limitation).
+  * `SELECT … FROM t` substitutes the table's scan plan (see [[merged]]
+  * for the pruned-relation fast path vs the DV/rename merged-read
+  * path), and `… FROM t VERSION AS OF n` / `… TIMESTAMP AS OF ts`
+  * (Spark's own time-travel grammar; it parses into
+  * `RelationTimeTravel` for ANY relation) substitutes the same at the
+  * resolved version. A substituted merged-read subtree is pre-analyzed
+  * (`queryExecution.analyzed`), so the surrounding query sees a
+  * resolved relation under a `SubqueryAlias` carrying the user's name —
+  * qualified column refs (`t.col`) keep working.
   */
 case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -248,7 +248,10 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // resolves wall-clock → version via the snapshot files'
             // publish times (immutable files — mtime IS commit time)
             val v = (tt.version, tt.timestamp) match {
-              case (Some(ver), _) => ver.toLong
+              case (Some(ver), _) => ver.toLongOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"lake table $name: VERSION AS OF expects a numeric " +
+                    s"snapshot version, got '$ver'"))
               case (None, Some(ts)) =>
                 Snapshots.versionAtTime(path, timestampMillis(name, ts))
               case _ => throw new IllegalArgumentException(

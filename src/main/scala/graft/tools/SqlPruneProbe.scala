@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.engine.{Graft, Tables}
+import graft.ops.lake.Snapshots
+import graft.sql.LakeSql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Measures the r9 pushdown-driven manifest pruning on plain
+  * `spark.sql` text over a registered events snapshot table — files
+  * opened (FileSourceScan `numFiles` metric) and wall time for
+  * day-equality, id-range, and full-scan queries, so BENCH_NOTES'
+  * numbers describe the shipped path (resolution rule → GraftFileIndex
+  * → Pruning.compile), not a hand-assembled fileFilter. Usage:
+  * `runMain graft.tools.SqlPruneProbe [sfDir]` (default sf0.1). */
+object SqlPruneProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Graft.configure(
+      SparkSession.builder().master(s"local[${Graft.cpus}]")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val table = Graft.freshDir("probe-sqlprune")
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(table, Snapshots.withBloom(
+      Snapshots.stageWithStats(ev, table, "event_date", "event_id"),
+      table, "event_id", spark))
+    LakeSql.register(spark, "probe_ev", table, "event_date")
+    val total = Snapshots.entriesAt(table, 1).size
+    println(s"[sqlprune] table: $total files, " +
+      s"${Snapshots.read(spark, table).count()} rows")
+
+    def probe(label: String, sql: String): Unit = {
+      val df = spark.sql(sql) // warm plan
+      df.collect()
+      val t0 = System.nanoTime()
+      val df2 = spark.sql(sql)
+      val n = df2.collect().length
+      val ms = (System.nanoTime() - t0) / 1e6
+      val p = df2.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val files = p.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+      println(f"[sqlprune] $label: opens $files of $total files, " +
+        f"$n rows, $ms%.0f ms")
+    }
+
+    probe("full scan      ", "SELECT * FROM probe_ev")
+    probe("day equality   ",
+      "SELECT * FROM probe_ev WHERE event_date = DATE '2024-01-18'")
+    probe("day IN (3)     ",
+      "SELECT * FROM probe_ev WHERE event_date IN " +
+        "(DATE '2024-01-05', DATE '2024-01-15', DATE '2024-01-25')")
+    probe("id range (1%)  ",
+      "SELECT * FROM probe_ev WHERE event_id BETWEEN 100 AND 1100")
+    probe("id point       ",
+      "SELECT * FROM probe_ev WHERE event_id = 4242")
+    probe("day + id range ",
+      "SELECT * FROM probe_ev WHERE event_date = DATE '2024-01-18' " +
+        "AND event_id BETWEEN 100 AND 100000")
+
+    spark.stop()
+  }
+}

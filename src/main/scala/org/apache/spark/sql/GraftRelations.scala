@@ -78,26 +78,34 @@ class GraftFileIndex(
 
 object GraftRelations {
 
-  // pruned-relation indexes are immutable per (table, version); cache
-  // them so every query against the same snapshot shares one index
-  // (and its memoized file statuses). Bounded: clear when it outgrows
-  // a working set — re-statting after eviction is correctness-neutral.
+  // pruned-relation indexes are immutable per (table, version, caller
+  // pre-filter); cache them so every query against the same snapshot
+  // slice shares one index (and its memoized file statuses). The rels
+  // hash keys the ENTRY SUBSET: kernel reads pass tagFilter/fileFilter
+  // survivors, so two reads of the same version with different caller
+  // filters must not share an index. Bounded: clear when it outgrows a
+  // working set — re-statting after eviction is correctness-neutral.
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), GraftFileIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, Int), GraftFileIndex]()
   private val MaxCached = 256
 
   private def index(table: String, version: Long, tagCol: String,
-                    entries: => Seq[Snapshots.Entry]): GraftFileIndex = {
+                    entries: Seq[Snapshots.Entry]): GraftFileIndex = {
     if (indexCache.size > MaxCached) indexCache.clear()
-    indexCache.computeIfAbsent((table, version, tagCol),
+    indexCache.computeIfAbsent(
+      (table, version, tagCol, entries.map(_.rel).hashCode),
       { _ => new GraftFileIndex(table, tagCol, entries) })
   }
 
-  /** Logical plan scanning exactly version `version`'s entries of
-    * `table` with manifest-level pruning driven by pushed-down filters.
-    * The caller guarantees: parquet files, identity schema mapping
-    * (logical == physical), no deletion vectors among the entries (the
-    * merged read's anti-join plan owns that case). */
+  /** Logical plan scanning exactly `entries` of `table`@`version` with
+    * manifest-level pruning driven by pushed-down filters. The caller
+    * guarantees: parquet files, identity schema mapping (logical ==
+    * physical), uniform schema intent (no mergeSchema). `tagCol` may be
+    * "" when the tag column name is unknown (kernel reads — the caller
+    * already pruned tags explicitly; stats/bloom pruning still apply).
+    * Deletion-vector props on entries are irrelevant here — this IS the
+    * raw-file scan; merge-on-read callers go through the kernel's
+    * anti-join plan instead. */
   def prunedParquetPlan(spark: SparkSession, table: String, tagCol: String,
                         version: Long, entries: Seq[Snapshots.Entry],
                         dataSchema: StructType): LogicalPlan = {

@@ -714,4 +714,38 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       "crashed tmp files must not accumulate")
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L)))
   }
+
+  test("kernel reads skip files via pushed-down predicates on stats columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+    val table = tmp("snap-pushprune")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1, "a", 1L), (2, "a", 2L), (10, "b", 10L), (11, "b", 11L),
+         (20, "c", 20L), (21, "c", 21L)),
+      table, "day", "id", buckets = 3))
+    val total = Snapshots.entriesAt(table, 1).size
+    assert(total >= 3)
+    def scanned(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val p = d.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum
+    }
+    // a plain DataFrame filter reaches the FileIndex as a pushed filter
+    // and prunes by the per-file id stats -- no explicit fileFilter
+    assert(scanned(Snapshots.read(spark, table).filter(col("id") >= 20)) < total)
+    // unsupported predicate shapes stay sound
+    assert(scanned(Snapshots.read(spark, table)
+      .filter(col("v") % 2 === 0)) == total)
+    // caller tagFilter composes with pushdown pruning
+    assert(scanned(Snapshots.read(spark, table, tagFilter = _ == "b")
+      .filter(col("id") === 11)) <=
+      Snapshots.entriesAt(table, 1).count(_.tag == "b"))
+    // rows identical to the slow path either way
+    assert(sorted(Snapshots.read(spark, table).filter(col("id") >= 20)) ==
+      Seq((20, "c", 20L), (21, "c", 21L)))
+  }
 }
