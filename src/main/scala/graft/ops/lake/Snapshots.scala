@@ -76,6 +76,78 @@ object Snapshots {
   private def snapFile(table: String, v: Long): File =
     new File(logDir(table), f"snap-$v%09d.txt")
 
+  /** IN-PLACE CONVERSION of an existing parquet directory into a
+    * snapshot table — the Delta `CONVERT TO DELTA` migration shape:
+    * walk the directory, list every parquet file as a v1 manifest
+    * entry, and commit — no data copied or rewritten (root-level files
+    * relocate under `data/` by hard-link+unlink, a same-inode metadata
+    * move; see below). Each file becomes its own tag (its file id):
+    * tag pruning starts useless, but every other capability — atomic
+    * commits, mutations, time travel, constraints, SQL — works
+    * immediately, and `statsCols` decorates entries with footer
+    * min/max (metadata-only IO, one footer per file) so range skipping
+    * works from day one too. A later `compact` re-tags the layout
+    * properly.
+    *
+    * Refuses a directory that already holds a table (the log is the
+    * source of truth once it exists) and a HIVE-partitioned layout
+    * (`col=value/` subdirs): hive files OMIT the partition column from
+    * the data pages, so in-place entries would silently lose that
+    * column — re-ingest through [[stage]] instead, which materializes
+    * the column. Returns the committed version (always 1). */
+  def convertInPlace(table: String, statsCols: Seq[String] = Seq.empty): Long = {
+    require(currentVersion(table) == 0,
+      s"convertInPlace($table): directory already holds a table")
+    val root = new File(table)
+    require(root.isDirectory, s"convertInPlace($table): not a directory")
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val hive = walk(root).filter(_.isFile).map(_.getParentFile.getName)
+      .exists(n => n.contains("=") && !n.startsWith("_"))
+    require(!hive,
+      s"convertInPlace($table): hive-partitioned layout (col=value dirs) — " +
+        "the partition column is not IN the files; re-ingest via stage()")
+    val rootPath = root.toPath
+    val files = walk(root)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => rootPath.relativize(f.toPath).toString)
+      .sorted
+    require(files.nonEmpty, s"convertInPlace($table): no parquet files found")
+    // the manifest/file-id contract keys files by their LAST TWO path
+    // segments (fileId/fileIdCol — staged layouts always have a tag
+    // dir above the file). A file sitting at the table ROOT has only
+    // one segment, so it RELOCATES under data/ via hard-link+unlink:
+    // a pure metadata move (same inode, no data copied or rewritten).
+    // Deliberately NOT link-and-keep: a surviving root copy would make
+    // a naive `spark.read.parquet(dir)` silently DOUBLE every row —
+    // the empty directory it sees instead is loud, which is the right
+    // failure mode for readers that haven't migrated to the table API.
+    // A crash mid-convert is re-runnable: already-moved files re-adopt
+    // from data/ (no log was written yet, so nothing is committed).
+    val linkDir = s"data/convert-${java.util.UUID.randomUUID.toString.take(12)}"
+    val adopted = files.map { rel =>
+      if (rel.contains("/")) rel
+      else {
+        val src = new File(table, rel)
+        val dst = new File(table, s"$linkDir/$rel")
+        dst.getParentFile.mkdirs()
+        Files.createLink(dst.toPath, src.toPath)
+        src.delete()
+        s"$linkDir/$rel"
+      }
+    }
+    val entries = adopted.map { rel =>
+      val props =
+        if (statsCols.isEmpty) Map.empty[String, String]
+        else footerStats(s"$table/$rel", statsCols).flatMap {
+          case (c, (mn, mx)) => Seq(s"min.$c" -> mn, s"max.$c" -> mx)
+        }
+      Entry(rel, fileId(rel), props)
+    }
+    commitAll(table, entries)
+  }
+
   /** Version live at wall-clock `epochMs` — the newest snapshot whose
     * log file was PUBLISHED at or before that instant (snapshot files
     * are immutable, so their mtime IS the commit time; the same

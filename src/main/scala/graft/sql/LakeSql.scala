@@ -335,6 +335,8 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)""".r
   private val InsertInto =
     """(?is)INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
+  private val ConvertTable =
+    """(?is)CONVERT\s+TO\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(([^)]*)\))?""".r
 
   private val versionOut = attrs("version" -> LongType)
 
@@ -439,6 +441,22 @@ object LakeStatements {
               s"CREATE GRAFT TABLE $name: $location already holds a table")
             val v = Snapshots.commit(location,
               Snapshots.stage(s.sql(query), location, tagCol))
+            LakeSql.register(s, name, location, tagCol)
+            Seq(Row(v))
+          }))
+        case _ => None
+      }
+      case "CONVERT" => text match {
+        // in-place migration of an existing parquet directory (the
+        // Delta CONVERT TO DELTA shape): zero data movement; entries
+        // tagged by file id; PARTITIONED BY names the column future
+        // mutations/compaction will cluster restages by; STATS BY
+        // decorates entries with footer min/max for range skipping
+        case ConvertTable(name, location, tagCol, stats) => Some(
+          LakeCommand("CONVERT TO GRAFT TABLE", versionOut, s => {
+            val statsCols = Option(stats).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            val v = Snapshots.convertInPlace(location, statsCols)
             LakeSql.register(s, name, location, tagCol)
             Seq(Row(v))
           }))

@@ -304,6 +304,53 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getDouble(0) == 11.0)
   }
 
+  test("CONVERT TO GRAFT TABLE adopts an existing parquet dir in place") {
+    // a plain pre-existing parquet directory, written by anything
+    val loc = tmp("sql-convert")
+    df((1L, "a", 1.0), (2L, "a", 2.0)).write.mode("append").parquet(loc)
+    df((10L, "b", 10.0), (11L, "b", 11.0)).write.mode("append").parquet(loc)
+    val before = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+
+    val v = spark.sql(
+      s"""CONVERT TO GRAFT TABLE sqlconv LOCATION '$loc'
+         |PARTITIONED BY (day) STATS BY (id)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v == 1L)
+    // no data copied: the same file names/sizes now live under data/
+    // (hard-link+unlink move), and the root holds no parquet anymore —
+    // a naive directory reader fails LOUDLY instead of double-counting
+    val moved = Snapshots.entriesAt(loc, 1)
+      .map(e => new java.io.File(loc, e.rel))
+      .map(f => f.getName -> f.length).toMap
+    assert(moved == before)
+    assert(!new java.io.File(loc).listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(content("SELECT id, day, v FROM sqlconv") ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)))
+    // footer stats landed: an id range opens fewer files than the total
+    assert(Snapshots.entriesAt(loc, 1).forall(_.props.contains("min.id")))
+
+    // the converted table is immediately a full lake table: mutate it
+    spark.sql("DELETE FROM sqlconv WHERE id = 2")
+    assert(content("SELECT id, day, v FROM sqlconv") ==
+      Seq((1L, "a", 1.0), (10L, "b", 10.0), (11L, "b", 11.0)))
+    // and v1 time travel still shows the adopted state
+    assert(spark.sql("SELECT count(*) AS n FROM sqlconv VERSION AS OF 1")
+      .collect().head.getLong(0) == 4L)
+
+    // double-convert refuses; hive layouts refuse with the re-ingest hint
+    val e = intercept[Exception](spark.sql(
+      s"CONVERT TO GRAFT TABLE sqlconv2 LOCATION '$loc' PARTITIONED BY (day)")
+      .collect())
+    assert(e.getMessage.contains("already holds a table"))
+    val hiveLoc = tmp("sql-convert-hive") + "/t"
+    df((1L, "a", 1.0)).write.partitionBy("day").parquet(hiveLoc)
+    val e2 = intercept[Exception](spark.sql(
+      s"CONVERT TO GRAFT TABLE sqlconv3 LOCATION '$hiveLoc' PARTITIONED BY (day)")
+      .collect())
+    assert(e2.getMessage.contains("hive-partitioned"))
+  }
+
   test("unregistered names are never intercepted; errors are loud") {
     // plain temp view DML goes to Spark and fails with SPARK's error
     df((1L, "a", 1.0)).createOrReplaceTempView("not_lake")
