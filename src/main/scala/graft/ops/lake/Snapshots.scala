@@ -1206,7 +1206,8 @@ object Snapshots {
     * have drained — until then the old snapshot stays fully readable
     * (that deferral IS the old-XOR-new guarantee for in-flight
     * readers). */
-  def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
+  def vacuum(table: String, keepVersions: Int = 1,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, s"vacuum($table): keepVersions must be >= 1")
     val cur = currentVersion(table)
     // retention roots: the newest `keepVersions` committed snapshots
@@ -1230,16 +1231,6 @@ object Snapshots {
       val rel = root.relativize(f.toPath).toString
       f.getName.endsWith(".parquet") && !live.contains(rel)
     }
-    orphans.foreach(_.delete())
-    // drop now-empty staging dirs (deepest-first so nested __tag= dirs
-    // empty out before their parents)
-    def dirsUnder(f: File): Seq[File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.flatMap(dirsUnder) :+ f
-      else Seq.empty
-    dirsUnder(dataDir).dropRight(1) // keep data/ itself
-      .filter(d => walk(d).forall(!_.getName.endsWith(".parquet")))
-      .foreach { d => walk(d).foreach(_.delete()); d.delete() }
     // auxiliary sidecar dirs (deletion vectors et al.): a live entry
     // references its sidecar via a `ref.*` prop ("ref.dv" ->
     // "dv/dv-<id>"); any dv/ subdirectory no live entry names is a
@@ -1251,16 +1242,28 @@ object Snapshots {
     val dvDir = new File(table, "dv")
     val auxOrphans = Option(dvDir.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && !refdAux.contains(s"dv/${d.getName}"))
-    auxOrphans.foreach { d => walk(d).foreach(_.delete()); d.delete() }
-    // superseded snapshots, unshared manifests, crashed-commit tmp files
-    Option(logDir(table).listFiles()).toSeq.flatten.foreach { f =>
-      val name = f.getName
-      val drop =
-        SnapRe.findFirstMatchIn(name).exists(m =>
-          m.group(1).toLong < cur && !retained.contains(m.group(1).toLong)) ||
-          (name.startsWith("mf-") && name.endsWith(".txt") && !liveManifests.contains(name)) ||
-          name.contains(".tmp-")
-      if (drop) f.delete()
+    if (!dryRun) {
+      orphans.foreach(_.delete())
+      // drop now-empty staging dirs (deepest-first so nested __tag= dirs
+      // empty out before their parents)
+      def dirsUnder(f: File): Seq[File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(dirsUnder) :+ f
+        else Seq.empty
+      dirsUnder(dataDir).dropRight(1) // keep data/ itself
+        .filter(d => walk(d).forall(!_.getName.endsWith(".parquet")))
+        .foreach { d => walk(d).foreach(_.delete()); d.delete() }
+      auxOrphans.foreach { d => walk(d).foreach(_.delete()); d.delete() }
+      // superseded snapshots, unshared manifests, crashed-commit tmp files
+      Option(logDir(table).listFiles()).toSeq.flatten.foreach { f =>
+        val name = f.getName
+        val drop =
+          SnapRe.findFirstMatchIn(name).exists(m =>
+            m.group(1).toLong < cur && !retained.contains(m.group(1).toLong)) ||
+            (name.startsWith("mf-") && name.endsWith(".txt") && !liveManifests.contains(name)) ||
+            name.contains(".tmp-")
+        if (drop) f.delete()
+      }
     }
     orphans.map(f => root.relativize(f.toPath).toString) ++
       auxOrphans.map(d => s"dv/${d.getName}")

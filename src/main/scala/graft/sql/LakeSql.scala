@@ -182,6 +182,26 @@ object LakeCommandStrategy extends SparkStrategy {
   * resolved relation under a `SubqueryAlias` carrying the user's name —
   * qualified column refs (`t.col`) keep working.
   */
+object LakeRelationRule {
+  /** Evaluate a TIMESTAMP AS OF literal to epoch millis. The parser
+    * hands a string/timestamp literal (possibly under a cast);
+    * evaluating through Catalyst's own Cast keeps every literal form
+    * Spark accepts (`'2024-01-01'`, `'2024-01-01 12:00:00'`, typed
+    * timestamp) consistent with the session timezone. Shared by the
+    * SELECT time-travel rule and `RESTORE … TO TIMESTAMP AS OF`. */
+  private[sql] def literalMillis(name: String, ts: Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    require(ts.foldable,
+      s"lake table $name: TIMESTAMP AS OF requires a literal timestamp")
+    val micros = Cast(ts, TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      .eval(null)
+    require(micros != null,
+      s"lake table $name: TIMESTAMP AS OF literal did not parse as a timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+}
+
 case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def single(u: UnresolvedRelation): Option[String] =
@@ -217,24 +237,6 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } else Snapshots.readMerged(spark, path, version).queryExecution.analyzed
   }
 
-  /** Evaluate a TIMESTAMP AS OF literal to epoch millis. The parser
-    * hands a string/timestamp literal (possibly under a cast);
-    * evaluating through Catalyst's own Cast keeps every literal form
-    * Spark accepts (`'2024-01-01'`, `'2024-01-01 12:00:00'`, typed
-    * timestamp) consistent with the session timezone. */
-  private def timestampMillis(name: String,
-                              ts: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.TimestampType
-    require(ts.foldable,
-      s"lake table $name: TIMESTAMP AS OF requires a literal timestamp")
-    val micros = Cast(ts, TimestampType,
-      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-      .eval(null)
-    require(micros != null,
-      s"lake table $name: TIMESTAMP AS OF literal did not parse as a timestamp")
-    micros.asInstanceOf[Long] / 1000L
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case tt: RelationTimeTravel =>
@@ -253,7 +255,8 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"lake table $name: VERSION AS OF expects a numeric " +
                     s"snapshot version, got '$ver'"))
               case (None, Some(ts)) =>
-                Snapshots.versionAtTime(path, timestampMillis(name, ts))
+                Snapshots.versionAtTime(path,
+                  LakeRelationRule.literalMillis(name, ts))
               case _ => throw new IllegalArgumentException(
                 s"lake table $name: time travel requires VERSION AS OF <n> " +
                   "or TIMESTAMP AS OF <literal>")
@@ -310,7 +313,7 @@ object LakeStatements {
   import LakeSql.attrs
 
   private val Vacuum =
-    """(?is)VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""".r
+    """(?is)VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?""".r
   private val Optimize =
     """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""".r
   private val History =
@@ -319,6 +322,8 @@ object LakeStatements {
     """(?is)DESCRIBE\s+DETAIL\s+(\w+)""".r
   private val Restore =
     """(?is)RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val RestoreTs =
+    """(?is)RESTORE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val Delete =
     """(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?""".r
   private val Update =
@@ -350,10 +355,16 @@ object LakeStatements {
     val lookup = (n: String) => LakeSql.lookup(spark, n)
     verb match {
       case "VACUUM" => text match {
-        case Vacuum(name, keep) => lookup(name).map { case (path, _) =>
-          LakeCommand("VACUUM", attrs("removed_files" -> LongType), _ =>
-            Seq(Row(Snapshots.vacuum(path,
-              Option(keep).map(_.toInt).getOrElse(1)).size.toLong)))
+        // DRY RUN reports what a real vacuum would reclaim, one row
+        // per file/sidecar, deleting nothing (the Delta audit shape)
+        case Vacuum(name, keep, dry) => lookup(name).map { case (path, _) =>
+          val keepN = Option(keep).map(_.toInt).getOrElse(1)
+          if (dry == null)
+            LakeCommand("VACUUM", attrs("removed_files" -> LongType), _ =>
+              Seq(Row(Snapshots.vacuum(path, keepN).size.toLong)))
+          else
+            LakeCommand("VACUUM DRY RUN", attrs("would_remove" -> StringType), _ =>
+              Snapshots.vacuum(path, keepN, dryRun = true).sorted.map(Row(_)))
         }
         case _ => None
       }
@@ -405,6 +416,14 @@ object LakeStatements {
         case Restore(name, v) => lookup(name).map { case (path, _) =>
           LakeCommand("RESTORE", versionOut, _ =>
             Seq(Row(Snapshots.rollback(path, v.toLong))))
+        }
+        // wall-clock restore: resolve through the snapshot files'
+        // publish times, same basis as SELECT ... TIMESTAMP AS OF
+        case RestoreTs(name, ts) => lookup(name).map { case (path, _) =>
+          val expr = delegate.parseExpression(s"'$ts'")
+          LakeCommand("RESTORE", versionOut, _ =>
+            Seq(Row(Snapshots.rollback(path, Snapshots.versionAtTime(path,
+              LakeRelationRule.literalMillis(name, expr))))))
         }
         case _ => None
       }

@@ -179,6 +179,41 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("registered graft table"))
   }
 
+  test("VACUUM DRY RUN lists reclaimable files without deleting") {
+    val table = mk("sql-vacdry", "sqlvd", (1L, "a", 1.0), (2L, "b", 2.0))
+    spark.sql("UPDATE sqlvd SET v = v * 2.0 WHERE id = 1") // v2: COW orphanes v1's a-file
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(table)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount()
+    val listed = spark.sql("VACUUM sqlvd DRY RUN").collect().map(_.getString(0))
+    assert(listed.nonEmpty, "the superseded rewrite source must be listed")
+    assert(parquetCount() == before, "DRY RUN must delete nothing")
+    // the real vacuum then removes exactly the listed set
+    val removed = spark.sql("VACUUM sqlvd").collect().head.getLong(0)
+    assert(removed == listed.length)
+    assert(parquetCount() == before - listed.length)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves wall-clock like SELECT") {
+    val table = mk("sql-restorets", "sqlrt", (1L, "a", 1.0))
+    spark.sql("INSERT INTO sqlrt SELECT 2L, 'b', 2.0") // v2
+    val log = new java.io.File(table, "_graft_log")
+    def pin(v: Int, iso: String): Unit =
+      assert(new java.io.File(log, f"snap-$v%09d.txt")
+        .setLastModified(java.time.Instant.parse(iso).toEpochMilli))
+    pin(1, "2024-06-01T00:00:00Z")
+    pin(2, "2024-06-02T00:00:00Z")
+    val v = spark.sql(
+      "RESTORE sqlrt TO TIMESTAMP AS OF '2024-06-01 12:00:00'")
+      .collect().head.getLong(0)
+    assert(v == 3L, "restore commits a NEW version")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlrt")
+      .collect().head.getLong(0) == 1L, "back to the v1 state")
+  }
+
   test("TIMESTAMP AS OF resolves wall-clock to the version live then") {
     val table = mk("sql-tsasof", "sqlta", (1L, "a", 1.0))
     spark.sql("INSERT INTO sqlta SELECT 2L, 'b', 2.0") // v2
