@@ -51,8 +51,23 @@ object Pruning {
                         tagCol: String): Option[Snapshots.Entry => Boolean] = e match {
     case EqualTo(a: AttributeReference, l: Literal) => equalityPred(a, Seq(l), tagCol)
     case EqualTo(l: Literal, a: AttributeReference) => equalityPred(a, Seq(l), tagCol)
+    // null-safe equality against a non-null literal is plain equality
+    // for pruning (a <=> NULL can never match a data row a file holds
+    // stats for — but absence-of-stats keeps the file, so stay out)
+    case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+      equalityPred(a, Seq(l), tagCol)
+    case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+      equalityPred(a, Seq(l), tagCol)
     case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       equalityPred(a, vs.map(_.asInstanceOf[Literal]), tagCol)
+    // the optimizer rewrites IN lists past the conversion threshold
+    // (default 10) into InSet carrying RAW catalyst values — re-wrap
+    // them as literals so a 500-day IN list still tag/stats-prunes
+    case s: InSet => s.child match {
+      case a: AttributeReference if s.hset.nonEmpty =>
+        equalityPred(a, s.hset.toSeq.map(v => Literal(v, a.dataType)), tagCol)
+      case _ => None
+    }
     case GreaterThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
     case LessThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false)

@@ -325,6 +325,10 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     // stats pruning on the id ranges (files clustered per day by mk)
     assert(scanned("SELECT * FROM sqlpr WHERE id >= 20") < total)
     assert(scanned("SELECT * FROM sqlpr WHERE id IN (2, 20)") < total)
+    // a long IN list optimizes to InSet (threshold 10) — must still prune
+    val longIn = (Seq("'a'", "'zz1'") ++ (1 to 10).map(i => s"'x$i'")).mkString(", ")
+    assert(scanned(s"SELECT * FROM sqlpr WHERE day IN ($longIn)") ==
+      Snapshots.entriesAt(table, 1).count(_.tag == "a"))
     // unsupported predicate shapes stay sound: all files, right answer
     assert(scanned("SELECT * FROM sqlpr WHERE v + 1.0 > 100.0") == total)
     assert(spark.sql("SELECT * FROM sqlpr WHERE v + 1.0 > 100.0").count() == 0)
