@@ -1,5 +1,7 @@
 package graft.ops.lake
 
+import java.util.Locale
+
 import graft.engine.{Exact, Graft, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -136,7 +138,29 @@ object Mutations {
                        keyCol: String, tagCol: String,
                        whenMatchedDelete: Option[Column] = None,
                        whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
-                       whenNotMatchedInsert: Option[Column] = None): Long = {
+                       whenNotMatchedInsert: Option[Column] = None): Long =
+    mergeIntoKeys(spark, table, source, Seq(keyCol), tagCol,
+      whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert)
+
+  /** [[mergeIntoClauses]] generalized to a COMPOSITE key (multi-conjunct
+    * `ON t.a = s.a AND t.b = s.b` — every conjunct an equi-condition on
+    * a shared column name) and an EXPLICIT INSERT projection
+    * (`INSERT (cols) VALUES (exprs)`): `insertSelect` maps target
+    * column names to expressions over the bare source frame; unnamed
+    * target columns NULL-fill, values cast to the target type — the
+    * Delta explicit-column form. Empty `insertSelect` keeps `INSERT *`
+    * by-name binding. File pruning uses the FIRST key's per-file stats
+    * (a superset of multi-key matches — sound); matching joins on all
+    * keys, so a row agreeing on one key but not another is NOT matched
+    * and its source row inserts, per SQL MERGE. */
+  def mergeIntoKeys(spark: SparkSession, table: String, source: DataFrame,
+                    keyCols: Seq[String], tagCol: String,
+                    whenMatchedDelete: Option[Column] = None,
+                    whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
+                    whenNotMatchedInsert: Option[Column] = None,
+                    insertSelect: Map[String, Column] = Map.empty): Long = {
+    require(keyCols.nonEmpty, s"mergeIntoKeys($table): at least one key column")
+    val keyCol = keyCols.head
     if (source.isEmpty) return Snapshots.currentVersion(table)
     val bounds = source.agg(
       expr(s"try_cast(min($keyCol) as double)"),
@@ -145,15 +169,15 @@ object Mutations {
       if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
       else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
         bounds.getDouble(0), bounds.getDouble(1))
-    val srcKeys = source.select(col(keyCol)).distinct().persist()
+    val srcKeys = source.select(keyCols.map(col): _*).distinct().persist()
     try {
       val tCols = Snapshots.read(spark, table).columns
       // matched keys against the MERGED candidates (vector-deleted rows
       // excluded) decide inserts; stats-pruned files can't contain a
       // source key, so the candidate scan is complete
       val matchedKeys = readMerged(spark, table, fileFilter = candidates)
-        .select(col(keyCol))
-        .join(srcKeys, Seq(keyCol), "left_semi").distinct().persist()
+        .select(keyCols.map(col): _*)
+        .join(srcKeys, keyCols, "left_semi").distinct().persist()
       try {
         val hasMatchedClause =
           whenMatchedDelete.nonEmpty || whenMatchedUpdate.nonEmpty
@@ -164,9 +188,9 @@ object Mutations {
           if (!hasMatchedClause) Set.empty
           else {
             val ids = Snapshots.read(spark, table, fileFilter = candidates)
-              .select(col(keyCol),
-                Snapshots.fileIdCol(input_file_name()).as("__f"))
-              .join(srcKeys, Seq(keyCol), "left_semi")
+              .select(keyCols.map(col) :+
+                Snapshots.fileIdCol(input_file_name()).as("__f"): _*)
+              .join(srcKeys, keyCols, "left_semi")
               .select("__f").distinct().collect().map(_.getString(0)).toSet
             Snapshots.entriesAll(table)
               .collect { case e if ids(Snapshots.fileId(e.rel)) => e.rel }.toSet
@@ -178,7 +202,8 @@ object Mutations {
               fileFilter = e => touchedRels.contains(e.rel))
             val joined = tgt.alias("t").join(
               source.withColumn("__m", lit(true)).alias("s"),
-              col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
+              keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+              "left_outer")
             val matched = col("s.__m").isNotNull
             // null-valued conditions don't fire the clause (SQL MERGE)
             val delPred = whenMatchedDelete
@@ -200,9 +225,28 @@ object Mutations {
             }: _*))
           }
         val inserts: Option[DataFrame] = whenNotMatchedInsert.map { cond =>
-          source.join(matchedKeys, Seq(keyCol), "left_anti")
+          val unmatched = source.join(matchedKeys, keyCols, "left_anti")
             .filter(coalesce(cond, lit(false)))
-            .select(tCols.map(col): _*)
+          if (insertSelect.isEmpty) unmatched.select(tCols.map(col): _*)
+          else {
+            // explicit-column INSERT: named targets take their VALUES
+            // expression (cast to the target type — a bare literal's
+            // inferred type must not wedge a mis-typed file in), the
+            // rest NULL-fill; unknown names are the SQL analysis error
+            val schema = Snapshots.read(spark, table).schema
+            val byName = insertSelect.map { case (k, v) =>
+              k.toLowerCase(Locale.ROOT) -> v }
+            val unknownIns = byName.keySet.diff(
+              tCols.map(_.toLowerCase(Locale.ROOT)).toSet)
+            require(unknownIns.isEmpty,
+              s"mergeIntoKeys($table): INSERT names unknown column(s) " +
+                s"${unknownIns.mkString(", ")} (table has ${tCols.mkString(", ")})")
+            unmatched.select(schema.map { f =>
+              byName.get(f.name.toLowerCase(Locale.ROOT))
+                .map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+            }: _*)
+          }
         }
         val pieces = rewritten.toSeq ++ inserts.toSeq
         if (pieces.isEmpty) return Snapshots.currentVersion(table)
@@ -306,10 +350,13 @@ object Mutations {
       .collect().map(_.getString(0)).toSet
     if (touchedIds.isEmpty) return Snapshots.currentVersion(table)
     val prior = touchedIds.flatMap(n => byId(n).props.get(DvProp))
+    // prior-vector fold restricted by broadcast semi-join, not a literal
+    // isin: a wide MOR delete can touch 10⁵⁺ files, and an isin of that
+    // many literals is an expression tree that stresses the planner long
+    // before the data does (r9 verdict note)
     val all = prior.foldLeft(matched) { (acc, dvRel) =>
-      acc.unionByName(
-        spark.read.parquet(s"$table/$dvRel")
-          .filter(col("__fid").isin(touchedIds.toSeq: _*)))
+      acc.unionByName(Snapshots.restrictToIds(spark,
+        spark.read.parquet(s"$table/$dvRel"), touchedIds.toSeq))
     }.distinct().persist()
     try {
     val touchedRels = entries
@@ -380,8 +427,9 @@ object Mutations {
     val deleted: Map[String, Long] = dvEs.groupBy(_.props(DvProp)).toSeq.flatMap {
       case (dvRel, owners) =>
         val ids = owners.map(e => Snapshots.fileId(e.rel))
-        spark.read.parquet(s"$table/$dvRel")
-          .filter(col("__fid").isin(ids: _*))
+        // broadcast semi-join, not literal isin — same wide-table
+        // planner bound as deleteWhere's prior-vector fold
+        Snapshots.restrictToIds(spark, spark.read.parquet(s"$table/$dvRel"), ids)
           .groupBy("__fid").count().collect()
           .map(r => r.getString(0) -> r.getLong(1))
     }.toMap

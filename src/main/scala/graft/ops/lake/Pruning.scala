@@ -88,7 +88,12 @@ object Pruning {
     val parts = Seq.newBuilder[Snapshots.Entry => Boolean]
     if (a.name.equalsIgnoreCase(tagCol)) {
       val tags = nonNull.map(render).toSet
-      parts += (e => tags.contains(e.tag))
+      // a SYNTHETIC tag (CONVERTed file: tag = file id, not a partition
+      // value) proves nothing about the column — comparing it to the
+      // rendered literal would prune every converted file and silently
+      // return empty (r10 advisor find); keep such files
+      parts += (e =>
+        e.props.contains(Snapshots.TagSyntheticProp) || tags.contains(e.tag))
     }
     val doubles = nonNull.flatMap(asDouble)
     if (doubles.size == nonNull.size)

@@ -220,21 +220,37 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * `spark.sql("… WHERE day = X")` over a 10⁶-file table opens only
     * the matching files, with zero graft-specific syntax.
     *
-    * General path: the kernel's merged read (DV anti-join, schema
-    * name mapping) — those plans are not a bare file scan, so they
-    * keep the classic analyzed-subtree substitution. */
+    * DV-bearing or renamed snapshots keep the SAME pruning (r10):
+    * the kernel's merged read now puts the pruned base scan UNDER the
+    * DV anti-join / logical projection, so a table with a few deletion
+    * vectors no longer forfeits 96–99% file skipping until REORG —
+    * pushed filters travel through the projection and the anti-join's
+    * left side into the FileIndex. Only a schema-DIVERGENT (column-
+    * evolved) snapshot falls back to the unpruned mergeSchema read
+    * (NULL-filled union — the sound answer when footers disagree).
+    * Every schema decision is served by the kernel's per-(table,
+    * version) cache, so repeated resolutions re-read no footers. */
   private def merged(path: String, tagCol: String, version: Long): LogicalPlan = {
     val v = if (version < 0) Snapshots.currentVersion(path) else version
     val entries = Snapshots.entriesAt(path, v)
     val (renames, dropped) = Snapshots.schemaMapping(path, v)
-    val plain = entries.nonEmpty &&
+    val uniform =
+      if (entries.isEmpty) None else Snapshots.uniformSchema(spark, path, v)
+    // pushed predicates reach the scan under PHYSICAL names (the
+    // logical projection rewrites them on the way down), so the tag
+    // hint must be physical too
+    val physTag = renames.collectFirst {
+      case (p, l) if l == tagCol => p }.getOrElse(tagCol)
+    val plain = uniform.isDefined &&
       !entries.exists(_.props.contains(Snapshots.DvRefProp)) &&
       renames.isEmpty && dropped.isEmpty
-    if (plain) {
-      val schema = spark.read.parquet(s"$path/${entries.head.rel}").schema
+    if (plain)
       org.apache.spark.sql.GraftRelations.prunedParquetPlan(
-        spark, path, tagCol, v, entries, schema)
-    } else Snapshots.readMerged(spark, path, version).queryExecution.analyzed
+        spark, path, physTag, v, entries, uniform.get)
+    else Snapshots.readMerged(spark, path, version,
+        mergeSchema = entries.nonEmpty && uniform.isEmpty,
+        tagColHint = physTag)
+      .queryExecution.analyzed
   }
 
 
@@ -338,6 +354,10 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)""".r
   private val DropConstraint =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)""".r
+  private val RenameCol =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""".r
+  private val DropCol =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""".r
   private val InsertInto =
     """(?is)INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
   private val ConvertTable =
@@ -523,6 +543,20 @@ object LakeStatements {
             LakeCommand("DROP CONSTRAINT", versionOut, s =>
               Seq(Row(graft.ops.lake.Constraints.drop(s, path, cName))))
           }
+        // metadata-only schema evolution — the SQL twins of the kernel's
+        // renameColumn/dropColumn (carried BY NAME, older versions keep
+        // their own names; the resolution rule's logical projection and
+        // the stage family's logical-name resolver bridge reads/DML)
+        case RenameCol(name, from, to) =>
+          lookup(name).map { case (path, _) =>
+            LakeCommand("RENAME COLUMN", versionOut, s =>
+              Seq(Row(Snapshots.renameColumn(s, path, from, to))))
+          }
+        case DropCol(name, colName) =>
+          lookup(name).map { case (path, _) =>
+            LakeCommand("DROP COLUMN", versionOut, s =>
+              Seq(Row(Snapshots.dropColumn(s, path, colName))))
+          }
         case _ => None
       }
       case "SHOW" => text match {
@@ -625,20 +659,25 @@ object LakeStatements {
     """(?is)WHEN\s+MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+)""".r
   private val NotMatchedInsert =
     """(?is)WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*""".r
+  private val NotMatchedInsertCols =
+    """(?is)WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*\(([^)]+)\)\s*VALUES\s*\((.+)\)""".r
   private val OnEq =
     """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*""".r
 
-  /** `MERGE INTO <t> [AS] a USING (<subquery>)|<name> [AS] b ON a.k = b.k
+  /** `MERGE INTO <t> [AS] a USING (<subquery>)|<name> [AS] b
+    * ON a.k = b.k [AND a.k2 = b.k2 …]
     * WHEN MATCHED [AND c] THEN DELETE | UPDATE SET <assigns>|*
-    * WHEN NOT MATCHED [AND c] THEN INSERT *`
+    * WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)`
     *
-    * Lowered onto [[Mutations.mergeIntoClauses]], whose join aliases
+    * Lowered onto [[Mutations.mergeIntoKeys]], whose join aliases
     * are fixed at `t`/`s` — user aliases requalify onto those at parse
-    * time, so any alias pair works. The NOT MATCHED condition filters
-    * the bare SOURCE frame (no join alias in scope), so source
-    * qualifiers strip to bare names there. `INSERT *` / `UPDATE SET *`
-    * are the Delta by-name forms; explicit INSERT column lists are
-    * rejected (the kernel's restage is whole-row by construction). */
+    * time, so any alias pair works. The NOT MATCHED condition AND the
+    * explicit-INSERT value exprs see the bare SOURCE frame (no join
+    * alias in scope), so source qualifiers strip to bare names there.
+    * `INSERT *` / `UPDATE SET *` are the Delta by-name forms; the
+    * explicit `(cols) VALUES (…)` form NULL-fills unnamed target
+    * columns, per SQL MERGE. Multi-conjunct ON merges on the composite
+    * key: every conjunct must be an equi-condition on a shared name. */
   private def parseMerge(spark: SparkSession, delegate: ParserInterface,
                          text: String): Option[LogicalPlan] = {
     val head = MergeHead.findFirstMatchIn(text).getOrElse(return None)
@@ -676,16 +715,16 @@ object LakeStatements {
         s"MERGE INTO $name: expected `[AS] <alias> ON <cond> WHEN …` after the source")
     }
 
-    // ON must be a single equi-condition naming the same column on both
-    // sides — the kernel merges on ONE key column (its file-pruning and
-    // matched-key discovery are keyed on it)
-    val keyCol = onText match {
+    // ON must be a conjunction of equi-conditions, each naming the same
+    // column on both sides — the kernel merges on the (composite) key,
+    // with file-pruning keyed on the first conjunct
+    val keyCols = "(?i)\\s+AND\\s+".r.split(onText.trim).toSeq.map {
       case OnEq(q1, c1, q2, c2) if c1.equalsIgnoreCase(c2) &&
           Seq(q1, q2).flatMap(Option(_)).forall(q =>
             q.equalsIgnoreCase(tgtAlias) || q.equalsIgnoreCase(srcAlias)) => c1
-      case _ => throw new IllegalArgumentException(
+      case other => throw new IllegalArgumentException(
         s"MERGE INTO $name: ON must be `$tgtAlias.<key> = $srcAlias.<key>` " +
-          s"on one shared key column, got: ${onText.trim}")
+          s"conjuncts on shared key columns, got: ${other.trim}")
     }
 
     // requalification maps: join-side conditions see t/s; the insert
@@ -700,6 +739,7 @@ object LakeStatements {
     var del: Option[Column] = None
     var upd: Option[(Column, Map[String, Column])] = None
     var ins: Option[Column] = None
+    var insSel: Map[String, Column] = Map.empty
     WhenSplit.split(whenText).map(_.trim).filter(_.nonEmpty).foreach {
       case MatchedDelete(c) =>
         require(del.isEmpty, s"MERGE INTO $name: duplicate WHEN MATCHED … DELETE")
@@ -718,14 +758,29 @@ object LakeStatements {
         require(ins.isEmpty, s"MERGE INTO $name: duplicate WHEN NOT MATCHED")
         ins = Some(Option(c).map(cond(_, insQ))
           .getOrElse(org.apache.spark.sql.functions.lit(true)))
+      case NotMatchedInsertCols(c, colsText, valsText) =>
+        // explicit-column form: positional (col_i <- expr_i) pairs, the
+        // exprs over the bare source frame; lowered as the kernel's
+        // insertSelect projection (unnamed columns NULL-fill there)
+        require(ins.isEmpty, s"MERGE INTO $name: duplicate WHEN NOT MATCHED")
+        val cols = colsText.split(",").map(_.trim).toSeq
+        require(cols.forall(NameRe),
+          s"MERGE INTO $name: INSERT column list must be bare names, got ($colsText)")
+        val vals = topLevelSplit(valsText, ',')
+        require(cols.size == vals.size,
+          s"MERGE INTO $name: INSERT has ${cols.size} columns but ${vals.size} values")
+        insSel = cols.zip(vals.map(cond(_, insQ))).toMap
+        ins = Some(Option(c).map(cond(_, insQ))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)))
       case other => throw new IllegalArgumentException(
         s"MERGE INTO $name: unsupported clause (DELETE / UPDATE SET / " +
-          s"INSERT * forms only): $other")
+          s"INSERT * / INSERT (cols) VALUES (…) forms only): $other")
     }
     require(del.nonEmpty || upd.nonEmpty || ins.nonEmpty,
       s"MERGE INTO $name: at least one WHEN clause is required")
 
     val updFinal = upd
+    val insSelFinal = insSel
     Some(LakeCommand("MERGE", versionOut, { s =>
       import org.apache.spark.sql.functions.col
       val source = s.sql(s"SELECT * FROM $sourceText AS __graft_src")
@@ -733,14 +788,15 @@ object LakeStatements {
         if (sets.nonEmpty) (c, sets)
         else { // UPDATE SET *: every non-key target column, by name
           val tCols = Snapshots.read(s, path).columns
-          (c, tCols.filterNot(_.equalsIgnoreCase(keyCol))
+          (c, tCols.filterNot(tc => keyCols.exists(_.equalsIgnoreCase(tc)))
             .map(tc => tc -> col(s"s.$tc")).toMap)
         }
       }
-      Seq(Row(Mutations.mergeIntoClauses(s, path, source, keyCol, tag,
+      Seq(Row(Mutations.mergeIntoKeys(s, path, source, keyCols, tag,
         whenMatchedDelete = del,
         whenMatchedUpdate = updRun,
-        whenNotMatchedInsert = ins)))
+        whenNotMatchedInsert = ins,
+        insertSelect = insSelFinal)))
     }))
   }
 }

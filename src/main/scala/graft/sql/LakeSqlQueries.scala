@@ -192,9 +192,67 @@ object LakeSqlQueries {
       |  ${decSumSql("value")} AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
+  /** s43: schema evolution composed with DML, all through SQL text —
+    * RENAME COLUMN value→amount and DROP COLUMN note are metadata-only
+    * commits, then a MERGE with a MULTI-CONJUNCT ON (composite key) and
+    * an EXPLICIT-COLUMN INSERT lands against the renamed schema: the
+    * parser's key extraction, the kernel's logical-name resolution on
+    * the restage path, and the insert projection's NULL-fill/cast all
+    * have to agree for the final aggregate to match the restatement. */
+  def sqlRenameMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s43-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20").withColumn("note", lit("x")),
+      table, "event_date", "event_id"))
+    LakeSql.register(spark, "s43t", table, "event_date")
+    ev.filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .withColumn("amount", col("value") + 1000.0).drop("value")
+      .createOrReplaceTempView("s43_src")
+
+    spark.sql("ALTER GRAFT TABLE s43t RENAME COLUMN value TO amount")
+    spark.sql("ALTER GRAFT TABLE s43t DROP COLUMN note")
+    spark.sql(
+      """MERGE INTO s43t AS t USING s43_src AS s
+        |ON t.event_id = s.event_id AND t.event_type = s.event_type
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount
+        |WHEN NOT MATCHED THEN INSERT (event_id, event_type, amount, event_date)
+        |VALUES (s.event_id, s.event_type, s.amount + 10.0, s.event_date)""".stripMargin)
+
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("amount")} AS sum_amount
+         |FROM s43t GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  val sqlRenameMergeOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value AS amount,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |src AS (
+      |  SELECT event_id, event_type, value + 1000.0 AS amount,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-18' AND DATE '2024-01-25'),
+      |merged AS (
+      |  SELECT b.event_id, b.event_type,
+      |         CASE WHEN s.event_id IS NOT NULL THEN s.amount
+      |              ELSE b.amount END AS amount,
+      |         b.event_date
+      |  FROM base b LEFT JOIN src s
+      |    ON b.event_id = s.event_id AND b.event_type = s.event_type
+      |  UNION ALL
+      |  SELECT s.event_id, s.event_type, s.amount + 10.0, s.event_date
+      |  FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM base b
+      |    WHERE b.event_id = s.event_id AND b.event_type = s.event_type))
+      |SELECT event_date, count(*) AS n, ${decSumSql("amount")} AS sum_amount
+      |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
     QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
     QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance),
-    QueryDef.sql("s42_sql_constraints", sqlConstraintsOracle)(sqlConstraints))
+    QueryDef.sql("s42_sql_constraints", sqlConstraintsOracle)(sqlConstraints),
+    QueryDef.sql("s43_sql_rename_merge", sqlRenameMergeOracle)(sqlRenameMerge))
 }

@@ -80,20 +80,32 @@ object GraftRelations {
 
   // pruned-relation indexes are immutable per (table, version, caller
   // pre-filter); cache them so every query against the same snapshot
-  // slice shares one index (and its memoized file statuses). The rels
-  // hash keys the ENTRY SUBSET: kernel reads pass tagFilter/fileFilter
-  // survivors, so two reads of the same version with different caller
-  // filters must not share an index. Bounded: clear when it outgrows a
-  // working set — re-statting after eviction is correctness-neutral.
+  // slice shares one index (and its memoized file statuses). A SHA-256
+  // digest of the rel sequence keys the ENTRY SUBSET: kernel reads pass
+  // tagFilter/fileFilter survivors, so two reads of the same version
+  // with different caller filters must not share an index — and a
+  // 32-bit hashCode (pre-r10) could collide two subsets and serve the
+  // wrong file set to kernel reads (r10 advisor find); a cryptographic
+  // digest cannot. Bounded: clear when it outgrows a working set —
+  // re-statting after eviction is correctness-neutral.
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, Int), GraftFileIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, String), GraftFileIndex]()
   private val MaxCached = 256
+
+  private def relsDigest(rels: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rels.foreach { r =>
+      md.update(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   private def index(table: String, version: Long, tagCol: String,
                     entries: Seq[Snapshots.Entry]): GraftFileIndex = {
     if (indexCache.size > MaxCached) indexCache.clear()
     indexCache.computeIfAbsent(
-      (table, version, tagCol, entries.map(_.rel).hashCode),
+      (table, version, tagCol, relsDigest(entries.map(_.rel))),
       { _ => new GraftFileIndex(table, tagCol, entries) })
   }
 

@@ -368,6 +368,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)))
     // footer stats landed: an id range opens fewer files than the total
     assert(Snapshots.entriesAt(loc, 1).forall(_.props.contains("min.id")))
+    // r10 advisor find: adopted files' tags are SYNTHETIC (file ids),
+    // so equality on the registered tag column must KEEP them — before
+    // the marker, this pruned every file and silently returned empty
+    assert(Snapshots.entriesAt(loc, 1).forall(
+      _.props.contains(Snapshots.TagSyntheticProp)))
+    assert(content("SELECT id, day, v FROM sqlconv WHERE day = 'b'") ==
+      Seq((10L, "b", 10.0), (11L, "b", 11.0)))
 
     // the converted table is immediately a full lake table: mutate it
     spark.sql("DELETE FROM sqlconv WHERE id = 2")
@@ -376,6 +383,18 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     // and v1 time travel still shows the adopted state
     assert(spark.sql("SELECT count(*) AS n FROM sqlconv VERSION AS OF 1")
       .collect().head.getLong(0) == 4L)
+
+    // OPTIMIZE rewrites synthetic-tagged files through stage(): real
+    // tags from the data, marker dropped — the CONVERTed layout becomes
+    // a genuinely tag-pruned one (purge first: compact refuses DV props)
+    graft.ops.lake.Mutations.purgeVectors(spark, loc, "day")
+    spark.sql("OPTIMIZE sqlconv").collect()
+    val retagged = Snapshots.entriesAll(loc)
+    assert(retagged.nonEmpty &&
+      retagged.forall(e => !e.props.contains(Snapshots.TagSyntheticProp)))
+    assert(retagged.map(_.tag).toSet == Set("a", "b"))
+    assert(content("SELECT id, day, v FROM sqlconv WHERE day = 'b'") ==
+      Seq((10L, "b", 10.0), (11L, "b", 11.0)))
 
     // double-convert refuses; hive layouts refuse with the re-ingest hint
     val e = intercept[Exception](spark.sql(
@@ -410,5 +429,132 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     val e3 = intercept[Exception](spark.sql(
       "MERGE INTO sqlts t USING sqlts_src s ON t.id < s.id WHEN MATCHED THEN DELETE"))
     assert(e3.getMessage.contains("ON must be"))
+  }
+
+  /** Sum of FileSourceScan `numFiles` across the executed plan,
+    * descending through AQE stages (the DV anti-join plan nests its
+    * scans inside query stages after adaptive execution). */
+  private def openedFiles(sql: String): (Long, Int) = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    val df0 = spark.sql(sql)
+    val n = df0.collect().length
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: exchange.ReusedExchangeExec => scans(r.child)
+      case _ => Seq.empty
+    }) ++ p.children.flatMap(scans)
+    val total = scans(df0.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    (total, n)
+  }
+
+  test("file skipping survives a deletion vector: pruned scan under the anti-join") {
+    // 8 days x ~24 rows, 24 range buckets — files big enough that a
+    // 1-row delete stays under the 30% COW crossover (stays MOR)
+    val rows = for { d <- 0 until 8; i <- 0 until 24 }
+      yield (d * 100L + i, s"d$d", i.toDouble)
+    val table = tmp("sql-dvprune")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(df(rows: _*), table, "day", "id", buckets = 24))
+    LakeSql.register(spark, "sqldv", table, "day")
+    val total = Snapshots.entriesAt(table, 1).size
+    assert(total >= 16, s"need a multi-file layout, got $total")
+
+    // one small MOR delete: a deletion vector, no file rewritten
+    spark.sql("DELETE FROM sqldv WHERE id = 301")
+    assert(Snapshots.entriesAll(table).exists(_.props.contains("ref.dv")),
+      "the small delete must stay merge-on-read")
+
+    // r9: this read forfeited ALL manifest pruning until REORG; r10 the
+    // pruned base scan sits UNDER the DV anti-join, so a day-equality
+    // SELECT still opens only that day's files (plus the sidecar)
+    val (files, n) = openedFiles("SELECT id, day, v FROM sqldv WHERE day = 'd3'")
+    assert(n == 23, s"deleted row must stay gone, got $n rows")
+    assert(files < total / 2,
+      s"day equality must keep skipping after a delete: opened $files of $total")
+    // and the merged rows are exactly the undeleted day
+    assert(content("SELECT id, day, v FROM sqldv WHERE day = 'd3'") ==
+      (0 until 24).filter(_ != 1).map(i => (300L + i, "d3", i.toDouble)))
+  }
+
+  test("pruning and reads survive a column rename: physical tag hint bridges") {
+    val table = mk("sql-ren", "sqlrn",
+      (1L, "a", 1.0), (2L, "b", 2.0), (10L, "b", 10.0))
+    Snapshots.renameColumn(spark, table, "day", "d")
+    // SQL sees the LOGICAL name; the scan runs under the physical one
+    assert(spark.sql("SELECT id FROM sqlrn WHERE d = 'b'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 10L))
+    // a DV on the renamed table keeps merged semantics through SQL
+    spark.sql("DELETE FROM sqlrn WHERE id = 2")
+    assert(spark.sql("SELECT id FROM sqlrn WHERE d = 'b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("ALTER RENAME/DROP COLUMN through SQL; DML works on the new names") {
+    val table = mk("sql-alter", "sqlalt",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
+    spark.sql("ALTER GRAFT TABLE sqlalt RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT val FROM sqlalt WHERE id = 2")
+      .collect().toSeq == Seq(Row(2.0)))
+    // DML addresses the NEW name; the restage path bridges to physical
+    spark.sql("UPDATE sqlalt SET val = val * 10.0 WHERE id = 2")
+    assert(spark.sql("SELECT val FROM sqlalt WHERE id = 2")
+      .collect().toSeq == Seq(Row(20.0)))
+    // time travel keeps the OLD name for the old version
+    assert(spark.sql("SELECT v FROM sqlalt VERSION AS OF 1 WHERE id = 2")
+      .collect().toSeq == Seq(Row(2.0)))
+
+    spark.sql("ALTER GRAFT TABLE sqlalt DROP COLUMN val")
+    assert(spark.sql("SELECT * FROM sqlalt").columns.toSeq == Seq("id", "day"))
+    assert(Snapshots.currentVersion(table) == 4L)
+  }
+
+  test("MERGE: multi-conjunct ON (composite key) and explicit-column INSERT") {
+    mk("sql-mergec", "sqlmc",
+      (1L, "a", 1.0), (1L, "b", 2.0), (10L, "b", 10.0))
+    // source agrees with (1,'a') and (10,'b') on BOTH keys; (1,'c') and
+    // (77,'a') agree on at most one → NOT MATCHED → explicit insert
+    spark.sql(
+      """MERGE INTO sqlmc t USING (
+        |  SELECT * FROM VALUES
+        |    (CAST(1 AS BIGINT), 'a', CAST(100.0 AS DOUBLE)),
+        |    (CAST(1 AS BIGINT), 'c', CAST(300.0 AS DOUBLE)),
+        |    (CAST(77 AS BIGINT), 'a', CAST(700.0 AS DOUBLE)),
+        |    (CAST(10 AS BIGINT), 'b', CAST(110.0 AS DOUBLE))
+        |  AS x(id, day, v)) s
+        |ON t.id = s.id AND t.day = s.day
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, day, v) VALUES (s.id, s.day, s.v + 0.5)
+        |""".stripMargin)
+    assert(content("SELECT id, day, v FROM sqlmc").sortBy(r => (r._1, r._2)) ==
+      Seq((1L, "a", 100.0), (1L, "b", 2.0), (1L, "c", 300.5),
+          (10L, "b", 110.0), (77L, "a", 700.5)))
+  }
+
+  test("MERGE explicit INSERT: unnamed target columns NULL-fill") {
+    mk("sql-mergen", "sqlmn", (1L, "a", 1.0))
+    spark.sql(
+      """MERGE INTO sqlmn t USING (
+        |  SELECT CAST(5 AS BIGINT) AS id, 'b' AS day) s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, day) VALUES (s.id, s.day)""".stripMargin)
+    val got = spark.sql("SELECT id, day, v FROM sqlmn ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (5L, "b")))
+    assert(!got(0).isNullAt(2) && got(0).getDouble(2) == 1.0)
+    assert(got(1).isNullAt(2), "unnamed v must NULL-fill")
+  }
+
+  test("repeated SQL resolution of one snapshot reads zero parquet footers") {
+    mk("sql-cache", "sqlfc", (1L, "a", 1.0), (2L, "b", 2.0))
+    spark.sql("SELECT id FROM sqlfc").collect() // first resolution may read
+    val before = Snapshots.footerReads.get()
+    spark.sql("SELECT sum(v) AS s FROM sqlfc").collect()
+    spark.sql("SELECT id FROM sqlfc WHERE day = 'a'").collect()
+    assert(Snapshots.footerReads.get() == before,
+      "same-version re-resolutions must be served from the schema cache")
   }
 }

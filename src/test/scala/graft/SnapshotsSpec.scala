@@ -748,4 +748,29 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, table).filter(col("id") >= 20)) ==
       Seq((20, "c", 20L), (21, "c", 21L)))
   }
+
+  test("bloom on an INT column: type-normalized hash, probes never miss") {
+    import spark.implicits._
+    val table = tmp("snap-bloom-int")
+    // id is INT here (the other bloom test uses LONG); clustering by the
+    // reversed value keeps each file spanning the whole id range so only
+    // the bloom can prune
+    val data = (0 until 400).map(i => (i, "t", 399 - i)).toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withBloom(
+      Snapshots.stageWithStats(data, table, "day", "v", buckets = 4),
+      table, "id", spark))
+    // pre-r10 the sketch hashed the native INT while the probe hashes a
+    // LONG — xxhash64 differs by input width, so every probe MISSED and
+    // files holding the match were silently skipped
+    for (probe <- Seq(0L, 123L, 399L)) {
+      val pruned = Snapshots.read(spark, table,
+        fileFilter = Snapshots.mightContainLong("id", probe))
+      assert(pruned.filter(col("id") === probe.toInt).count() == 1,
+        s"present id=$probe must survive the bloom prune")
+    }
+    // the SQL equality path reaches the same probe via Pruning.asLong
+    graft.sql.LakeSql.register(spark, "bloomint", table, "day")
+    assert(spark.sql("SELECT count(*) AS n FROM bloomint WHERE id = 123")
+      .collect().head.getLong(0) == 1L)
+  }
 }
