@@ -72,6 +72,12 @@ object Mutations {
                 keyCol: String, tagCol: String,
                 evolveSchema: Boolean = false): Long = {
     if (source.isEmpty) return Snapshots.currentVersion(table)
+    // pinned read-modify-write: reads, replaced-entry set, and commit
+    // base all reference v0, and commitRewrite conflicts if a racer
+    // touched any replaced entry — an unpinned prepare would silently
+    // re-add files a concurrent compact already rewrote (see the
+    // compact-vs-delete race spec)
+    val v0 = Snapshots.currentVersion(table)
     // stats pruning needs numeric non-null key bounds; a string key or
     // an all-NULL key column simply forfeits the prune (scan all
     // candidate files), it must not crash the merge — try_cast instead
@@ -85,12 +91,12 @@ object Mutations {
       else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
         bounds.getDouble(0), bounds.getDouble(1))
     val srcKeys = source.select(col(keyCol)).distinct()
-    val touchedIds = Snapshots.read(spark, table, fileFilter = candidates)
+    val touchedIds = Snapshots.readVersion(spark, table, v0, fileFilter = candidates)
       .select(col(keyCol), Snapshots.fileIdCol(input_file_name()).as("__f"))
       .join(srcKeys, keyCol)
       .select(col("__f"))
       .distinct().collect().map(_.getString(0)).toSet
-    val touchedRels = Snapshots.entriesAll(table)
+    val touchedRels = Snapshots.entriesAt(table, v0)
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
     // survivors come from the MERGED read of the touched files: a file
     // carrying a deletion vector must not have its deleted rows
@@ -99,11 +105,12 @@ object Mutations {
     // mutation-model spec.
     val replaced =
       if (touchedRels.isEmpty) source
-      else readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel),
+      else readMerged(spark, table, version = v0,
+          fileFilter = e => touchedRels.contains(e.rel),
           mergeSchema = evolveSchema)
         .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         .unionByName(source, allowMissingColumns = evolveSchema)
-    Snapshots.commitAll(table, restageLike(spark, replaced, table, tagCol),
+    Snapshots.commitRewrite(table, v0, restageLike(spark, replaced, table, tagCol),
       remove = e => touchedRels.contains(e._1))
   }
 
@@ -162,6 +169,9 @@ object Mutations {
     require(keyCols.nonEmpty, s"mergeIntoKeys($table): at least one key column")
     val keyCol = keyCols.head
     if (source.isEmpty) return Snapshots.currentVersion(table)
+    // pinned read-modify-write (see mergeInto): v0 anchors every read,
+    // the replaced-entry set, and the conflict-checked commit
+    val v0 = Snapshots.currentVersion(table)
     val bounds = source.agg(
       expr(s"try_cast(min($keyCol) as double)"),
       expr(s"try_cast(max($keyCol) as double)")).head()
@@ -171,11 +181,11 @@ object Mutations {
         bounds.getDouble(0), bounds.getDouble(1))
     val srcKeys = source.select(keyCols.map(col): _*).distinct().persist()
     try {
-      val tCols = Snapshots.read(spark, table).columns
+      val tCols = Snapshots.readVersion(spark, table, v0).columns
       // matched keys against the MERGED candidates (vector-deleted rows
       // excluded) decide inserts; stats-pruned files can't contain a
       // source key, so the candidate scan is complete
-      val matchedKeys = readMerged(spark, table, fileFilter = candidates)
+      val matchedKeys = readMerged(spark, table, version = v0, fileFilter = candidates)
         .select(keyCols.map(col): _*)
         .join(srcKeys, keyCols, "left_semi").distinct().persist()
       try {
@@ -187,18 +197,18 @@ object Mutations {
         val touchedRels: Set[String] =
           if (!hasMatchedClause) Set.empty
           else {
-            val ids = Snapshots.read(spark, table, fileFilter = candidates)
+            val ids = Snapshots.readVersion(spark, table, v0, fileFilter = candidates)
               .select(keyCols.map(col) :+
                 Snapshots.fileIdCol(input_file_name()).as("__f"): _*)
               .join(srcKeys, keyCols, "left_semi")
               .select("__f").distinct().collect().map(_.getString(0)).toSet
-            Snapshots.entriesAll(table)
+            Snapshots.entriesAt(table, v0)
               .collect { case e if ids(Snapshots.fileId(e.rel)) => e.rel }.toSet
           }
         val rewritten: Option[DataFrame] =
           if (touchedRels.isEmpty) None
           else {
-            val tgt = readMerged(spark, table,
+            val tgt = readMerged(spark, table, version = v0,
               fileFilter = e => touchedRels.contains(e.rel))
             val joined = tgt.alias("t").join(
               source.withColumn("__m", lit(true)).alias("s"),
@@ -233,7 +243,7 @@ object Mutations {
             // expression (cast to the target type — a bare literal's
             // inferred type must not wedge a mis-typed file in), the
             // rest NULL-fill; unknown names are the SQL analysis error
-            val schema = Snapshots.read(spark, table).schema
+            val schema = Snapshots.readVersion(spark, table, v0).schema
             val byName = insertSelect.map { case (k, v) =>
               k.toLowerCase(Locale.ROOT) -> v }
             val unknownIns = byName.keySet.diff(
@@ -262,12 +272,12 @@ object Mutations {
         // commit (staged files are invisible, nothing has mutated) and
         // point at the supported paths (r9 review find)
         require(staged.nonEmpty ||
-            touchedRels.size < Snapshots.entriesAll(table).size,
+            touchedRels.size < Snapshots.entriesAt(table, v0).size,
           s"mergeIntoClauses($table): the delete clause removes every row " +
             "of every file — a zero-file snapshot cannot be read back; " +
             "use deleteWhere (vectors keep the table readable as empty) " +
             "or drop and recreate the table")
-        Snapshots.commitAll(table, staged,
+        Snapshots.commitRewrite(table, v0, staged,
           remove = e => touchedRels.contains(e._1))
       } finally matchedKeys.unpersist()
     } finally srcKeys.unpersist()
@@ -328,7 +338,12 @@ object Mutations {
                   fileFilter: Snapshots.Entry => Boolean = _ => true,
                   cowTagCol: Option[String] = None,
                   cowThreshold: Double = 0.3): Long = {
-    val entries = Snapshots.entriesAll(table)
+    // pinned read-modify-write (see mergeInto): v0 anchors the match
+    // scan, the touched-entry set, and the conflict-checked commit — a
+    // concurrent compact rewriting a touched file must conflict, not
+    // have its output silently joined by re-added pre-compact entries
+    val v0 = Snapshots.currentVersion(table)
+    val entries = Snapshots.entriesAt(table, v0)
     val byId = entries.map(e => Snapshots.fileId(e.rel) -> e).toMap
     // tag/file filters bound the MATCH SCAN, not the semantics: pass the
     // predicate's pruning twin (rangeOverlap/mightContainLong/tag set)
@@ -339,7 +354,7 @@ object Mutations {
     // persisted: the match scan feeds BOTH the touched-file collect and
     // the sidecar write (or COW anti-join) — unpersisted, the full
     // predicate scan would execute twice
-    val matched = Snapshots.read(spark, table, tagFilter, fileFilter)
+    val matched = Snapshots.readVersion(spark, table, v0, tagFilter, fileFilter)
       .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)
@@ -368,13 +383,14 @@ object Mutations {
       // answers from row-group metadata — one distributed job, not a
       // serial driver footer loop over 10^6 touched files (r9 review
       // find); the vector side is sidecar-sized
-      val totalRows = Snapshots.read(spark, table,
+      val totalRows = Snapshots.readVersion(spark, table, v0,
         fileFilter = e => relSet.contains(e.rel)).count()
       if (totalRows > 0 && all.count() >= cowThreshold * totalRows) {
         // raw read + anti-join of the FULL folded vector == the merged
         // state after this delete: one pass materializes the prior
         // vectors and the new matches together
-        val raw = Snapshots.read(spark, table, fileFilter = e => relSet.contains(e.rel))
+        val raw = Snapshots.readVersion(spark, table, v0,
+          fileFilter = e => relSet.contains(e.rel))
         val cols = raw.columns.map(col)
         val survivors = raw
           .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
@@ -386,7 +402,7 @@ object Mutations {
         // limitation); keep full-wipe deletes on the vector path, where
         // the files stay and the merged read is readably empty
         if (relSet.size == entries.size && survivors.isEmpty) None
-        else Some(Snapshots.commitAll(table,
+        else Some(Snapshots.commitRewrite(table, v0,
           restageLike(spark, survivors, table, tagCol),
           remove = e => relSet.contains(e._1)))
       } else None
@@ -401,7 +417,7 @@ object Mutations {
         case e if touchedIds(Snapshots.fileId(e.rel)) =>
           e.copy(props = e.props + (DvProp -> dvRel))
       }
-      Snapshots.commitAll(table, updated,
+      Snapshots.commitRewrite(table, v0, updated,
         remove = { case (rel, _) => touchedIds(Snapshots.fileId(rel)) })
     }
     } finally all.unpersist()
@@ -422,8 +438,13 @@ object Mutations {
     * No-op without vectors. Returns the committed version. */
   def reorgIfNeeded(spark: SparkSession, table: String, tagCol: String,
                     maxDvFraction: Double = 0.3): Long = {
-    val dvEs = Snapshots.entriesAll(table).filter(_.props.contains(DvProp))
-    if (dvEs.isEmpty) return Snapshots.currentVersion(table)
+    // pinned to v0 end-to-end (read, replaced set, commit base) — a
+    // concurrent delete folding a NEW vector onto a file this reorg
+    // materializes must conflict via commitRewrite's full-entry check,
+    // or its deletions would silently resurrect
+    val v0 = Snapshots.currentVersion(table)
+    val dvEs = Snapshots.entriesAt(table, v0).filter(_.props.contains(DvProp))
+    if (dvEs.isEmpty) return v0
     val deleted: Map[String, Long] = dvEs.groupBy(_.props(DvProp)).toSeq.flatMap {
       case (dvRel, owners) =>
         val ids = owners.map(e => Snapshots.fileId(e.rel))
@@ -444,16 +465,17 @@ object Mutations {
       total > 0 &&
         deleted.getOrElse(Snapshots.fileId(e.rel), 0L) >= maxDvFraction * total
     }.map(_.rel).toSet
-    if (heavy.isEmpty) return Snapshots.currentVersion(table)
-    val materialized = readMerged(spark, table,
+    if (heavy.isEmpty) return v0
+    val materialized = readMerged(spark, table, version = v0,
       fileFilter = e => heavy.contains(e.rel))
     // a fully-deleted table must STAY on the vector path (readable as
     // empty) — materializing it would commit an unreadable zero-file
     // snapshot (r9 review find); cheap gate: the isEmpty probe runs
     // only when the reorg would touch every file
-    if (heavy.size == Snapshots.entriesAll(table).size && materialized.isEmpty)
-      return Snapshots.currentVersion(table)
-    Snapshots.commitAll(table, restageLike(spark, materialized, table, tagCol),
+    if (heavy.size == Snapshots.entriesAt(table, v0).size && materialized.isEmpty)
+      return v0
+    Snapshots.commitRewrite(table, v0,
+      restageLike(spark, materialized, table, tagCol),
       remove = e => heavy.contains(e._1))
   }
 
@@ -653,20 +675,23 @@ object Mutations {
                   set: Map[String, Column], tagCol: String,
                   tagFilter: String => Boolean = _ => true,
                   fileFilter: Snapshots.Entry => Boolean = _ => true): Long = {
-    val touchedIds = Snapshots.read(spark, table, tagFilter, fileFilter)
+    // pinned read-modify-write (see mergeInto)
+    val v0 = Snapshots.currentVersion(table)
+    val touchedIds = Snapshots.readVersion(spark, table, v0, tagFilter, fileFilter)
       .filter(predicate)
       .select(Snapshots.fileIdCol(col("_metadata.file_path")).as("__f"))
       .distinct().collect().map(_.getString(0)).toSet
-    if (touchedIds.isEmpty) return Snapshots.currentVersion(table)
-    val touchedRels = Snapshots.entriesAll(table)
+    if (touchedIds.isEmpty) return v0
+    val touchedRels = Snapshots.entriesAt(table, v0)
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
     // rewrite from the MERGED read — same no-resurrection rule as
     // mergeInto: touched files' vectors are materialized by the rewrite
     val rewritten = set.foldLeft(
-      readMerged(spark, table, fileFilter = e => touchedRels.contains(e.rel))) {
+      readMerged(spark, table, version = v0,
+        fileFilter = e => touchedRels.contains(e.rel))) {
       case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
     }
-    Snapshots.commitAll(table, restageLike(spark, rewritten, table, tagCol),
+    Snapshots.commitRewrite(table, v0, restageLike(spark, rewritten, table, tagCol),
       remove = e => touchedRels.contains(e._1))
   }
 
@@ -679,12 +704,16 @@ object Mutations {
     * operator chooses (the Delta REORG/PURGE shape). No-op without
     * vectors. */
   def purgeVectors(spark: SparkSession, table: String, tagCol: String): Long = {
-    val dvEs = Snapshots.entriesAll(table).filter(_.props.contains(DvProp))
-    if (dvEs.isEmpty) return Snapshots.currentVersion(table)
+    // pinned + conflict-checked like reorg: a delete folding a newer
+    // vector onto a file mid-purge must conflict, not resurrect
+    val v0 = Snapshots.currentVersion(table)
+    val dvEs = Snapshots.entriesAt(table, v0).filter(_.props.contains(DvProp))
+    if (dvEs.isEmpty) return v0
     val dvRels = dvEs.map(_.rel).toSet
-    val materialized = readMerged(spark, table,
+    val materialized = readMerged(spark, table, version = v0,
       fileFilter = e => dvRels.contains(e.rel))
-    Snapshots.commitAll(table, restageLike(spark, materialized, table, tagCol),
+    Snapshots.commitRewrite(table, v0,
+      restageLike(spark, materialized, table, tagCol),
       remove = e => dvRels.contains(e._1))
   }
 

@@ -1203,8 +1203,19 @@ object Snapshots {
   /** [[prepare]] with full [[Entry]] adds (per-file stats props ride
     * into the manifest); rewritten manifests keep survivors' props. */
   def prepareAll(table: String, add: Seq[Entry],
-                 remove: ((String, String)) => Boolean = _ => false): Prepared = {
-    val cur = currentVersion(table)
+                 remove: ((String, String)) => Boolean = _ => false): Prepared =
+    prepareAllAt(table, currentVersion(table), add, remove)
+
+  /** [[prepareAll]] against an EXPLICIT base version — the pinned
+    * variant [[commitRewrite]] needs: preparing against "whatever is
+    * current" re-reads the manifest list at prepare time, which is the
+    * TOCTOU window a maintenance rewrite must not have (a writer
+    * landing between its conflict check and an unpinned prepare would
+    * have its entries silently removed). Targets `base + 1`, so a
+    * commit of the result is exclusive against anything after `base`. */
+  def prepareAllAt(table: String, base: Long, add: Seq[Entry],
+                   remove: ((String, String)) => Boolean = _ => false): Prepared = {
+    val cur = base
     val kept = (if (cur == 0) Seq.empty else manifestList(table, cur)).flatMap {
       case (mf, _) =>
         val es = manifestEntries(table, mf)
@@ -1350,6 +1361,54 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  /** OCC for MAINTENANCE REWRITES (compact / Z-order re-cluster /
+    * REORG): commit `add` replacing the entries matched by `remove`,
+    * verifying the replaced entries are STILL the ones the rewrite
+    * READ at `readVersion` — full-entry comparison, so a concurrent
+    * deleteWhere that folded a deletion vector onto a file being
+    * compacted away (same rel, new `ref.dv` prop) is a conflict, not a
+    * silent resurrection of its deleted rows. [[commitAllWithRetry]]
+    * can't give this guarantee: it snapshots its expectation at CALL
+    * time, but a rewrite's input was read earlier (the staged files
+    * were derived from `readVersion`'s data), so the expectation must
+    * be pinned there.
+    *
+    * Soundness of the loop: each attempt pins `cur`, checks the
+    * replaced set against the read-time set, prepares AGAINST `cur`
+    * ([[prepareAllAt]] — no unpinned re-read), and publishes
+    * exclusively at `cur + 1`. Any writer landing after the pin takes
+    * `cur + 1` first, our publish throws, and the next iteration
+    * re-checks with that writer's changes visible. Disjoint winners
+    * (appends, rewrites of other files) retry through; overlapping
+    * ones throw [[ConflictException]] — re-run the whole rewrite. */
+  def commitRewrite(table: String, readVersion: Long, add: Seq[Entry],
+                    remove: ((String, String)) => Boolean,
+                    props: Map[String, String] = Map.empty,
+                    maxRetries: Int = 5): Long = {
+    val readSet = entriesAt(table, readVersion)
+      .filter(e => remove((e.rel, e.tag))).toSet
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      if (cur != readVersion) {
+        val nowSet = entriesAt(table, cur).filter(e => remove((e.rel, e.tag))).toSet
+        if (nowSet != readSet)
+          throw new ConflictException(table,
+            s"maintenance rewrite read version $readVersion but another " +
+              s"writer changed entries it replaces (read: " +
+              s"${readSet.map(_.rel).toSeq.sorted.mkString(", ")}; now: " +
+              s"${nowSet.map(_.rel).toSeq.sorted.mkString(", ")})")
+      }
+      try return commitPrepared(prepareAllAt(table, cur, add, remove), props)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Delete everything no RETAINED snapshot references — retained =
     * the current version plus every [[tagRef]]-pinned one: data files,
     * manifests, superseded un-pinned snapshots, unreferenced `ref.*`
@@ -1465,21 +1524,27 @@ object Snapshots {
     * version (the current one when nothing needs rewriting). */
   def compact(spark: SparkSession, table: String, tagCol: String,
               zorderBy: Seq[String] = Seq.empty): Long = {
-    require(!entriesAll(table).exists(_.props.keys.exists(_.startsWith("ref."))),
+    // the rewrite is PINNED to v0: input read, replaced-entry set, and
+    // commit base all reference this version, and [[commitRewrite]]
+    // refuses if a concurrent writer touched any replaced entry — a
+    // deleteWhere folding a vector onto a file being compacted away
+    // mid-rewrite must conflict, never silently resurrect its rows
+    val v0 = currentVersion(table)
+    val all = entriesAt(table, v0)
+    require(!all.exists(_.props.keys.exists(_.startsWith("ref."))),
       s"compact($table): table has merge-on-read sidecars (ref.* entry " +
         "props) — the kernel read would resurrect deleted rows; run " +
         "Mutations.purgeVectors first")
-    val carried = snapshotProps(table, currentVersion(table))
+    val carried = snapshotProps(table, v0)
       .filter { case (k, _) => k.startsWith("mv.") }
     if (zorderBy.nonEmpty) {
-      val bloomCols = entriesAll(table).flatMap(_.props.keys)
+      val bloomCols = all.flatMap(_.props.keys)
         .collect { case k if k.startsWith("bloom.") => k.drop(6) }.distinct
-      val df = read(spark, table)
+      val df = readVersion(spark, table, v0)
       val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
         (acc, c) => withBloom(acc, table, c, spark))
-      commitAll(table, es, remove = _ => true, props = carried)
+      commitRewrite(table, v0, es, remove = _ => true, props = carried)
     } else {
-      val all = entriesAll(table)
       val fragTags = all.groupBy(_.tag).filter(_._2.size > 1).keySet
       // synthetic (converted) tags count as always-fragmented: their tag
       // is a file id, not a partition value, so the per-tag grouping can
@@ -1492,8 +1557,9 @@ object Snapshots {
       }.toSet
       if (rels.isEmpty) currentVersion(table)
       else {
-        val df = read(spark, table, fileFilter = e => rels.contains(e.rel))
-        commitAll(table, restageLike(spark, df, table, tagCol),
+        val df = readVersion(spark, table, v0,
+          fileFilter = e => rels.contains(e.rel))
+        commitRewrite(table, v0, restageLike(spark, df, table, tagCol),
           remove = { case (rel, _) => rels.contains(rel) }, props = carried)
       }
     }

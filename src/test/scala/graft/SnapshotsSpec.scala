@@ -703,6 +703,93 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("commitRewrite: a delete landing after the rewrite's read conflicts, never resurrects") {
+    import graft.ops.lake.Mutations
+    val table = tmp("snap-rw-conflict")
+    // fragment day 'a' across two commits, files wide enough that a
+    // 2-row delete stays merge-on-read
+    Snapshots.commit(table, Snapshots.stage(
+      df((1 to 20).map(i => (i, "a", i.toLong)): _*), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(
+      df((21 to 40).map(i => (i, "a", i.toLong)): _*), table, "day"))
+    val v0 = Snapshots.currentVersion(table)
+    val rels = Snapshots.entriesAt(table, v0).map(_.rel).toSet
+
+    // the compaction's read + restage, pinned at v0 (what compact does)
+    val staged = Snapshots.stage(
+      Snapshots.readVersion(spark, table, v0), table, "day")
+      .map { case (r, t) => Snapshots.Entry(r, t) }
+    // ...then a delete lands BEFORE the rewrite commits (the r9-verdict
+    // race: pre-r10 this window silently resurrected the deleted rows)
+    Mutations.deleteWhere(spark, table, col("id").isin(3, 27))
+    assert(Mutations.readMerged(spark, table).count() == 38)
+
+    intercept[Snapshots.ConflictException] {
+      Snapshots.commitRewrite(table, v0, staged,
+        remove = { case (rel, _) => rels.contains(rel) })
+    }
+    // the delete's work is intact; the failed rewrite left no trace
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      (1 to 40).filterNot(Set(3, 27)).map(i => (i, "a", i.toLong)))
+  }
+
+  test("commitRewrite: a disjoint append retries through; both commits land") {
+    val table = tmp("snap-rw-disjoint")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1, "a", 1L), (2, "a", 2L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((3, "a", 3L)), table, "day"))
+    val v0 = Snapshots.currentVersion(table)
+    val rels = Snapshots.entriesAt(table, v0).map(_.rel).toSet
+    val staged = Snapshots.stage(
+      Snapshots.readVersion(spark, table, v0), table, "day")
+      .map { case (r, t) => Snapshots.Entry(r, t) }
+    // a writer appends a NEW tag after the rewrite's read — untouched
+    // by the remove set, so the rewrite must retry and keep it
+    Snapshots.commit(table, Snapshots.stage(df((9, "b", 9L)), table, "day"))
+
+    Snapshots.commitRewrite(table, v0, staged,
+      remove = { case (rel, _) => rels.contains(rel) })
+    assert(sorted(Snapshots.read(spark, table)) ==
+      Seq((1, "a", 1L), (2, "a", 2L), (3, "a", 3L), (9, "b", 9L)))
+    assert(Snapshots.entries(table).count(_._2 == "a") == 1,
+      "day a must be compacted to one file")
+  }
+
+  test("compact racing deleteWhere: every interleave serializes or conflicts, no row loss") {
+    import graft.ops.lake.Mutations
+    for (round <- 1 to 3) {
+      val table = tmp(s"snap-race-$round")
+      Snapshots.commit(table, Snapshots.stage(
+        df((1 to 30).map(i => (i, if (i % 2 == 0) "a" else "b", i.toLong)): _*),
+        table, "day"))
+      Snapshots.commit(table, Snapshots.stage(
+        df((31 to 60).map(i => (i, if (i % 2 == 0) "a" else "b", i.toLong)): _*),
+        table, "day"))
+      val deleted = Set(4, 17, 44)
+      @volatile var deleteOk = false
+      @volatile var compactOutcome = "ok"
+      val t1 = new Thread(() => {
+        try { Snapshots.compact(spark, table, "day"); () }
+        catch {
+          case _: Snapshots.ConflictException => compactOutcome = "conflict"
+          case _: IllegalArgumentException => compactOutcome = "dv-present"
+        }
+      })
+      val t2 = new Thread(() => {
+        try {
+          Mutations.deleteWhere(spark, table, col("id").isin(deleted.toSeq: _*))
+          deleteOk = true
+        } catch { case _: Snapshots.ConflictException => () }
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val expect = (1 to 60).filterNot(i => deleteOk && deleted(i))
+        .map(i => (i, if (i % 2 == 0) "a" else "b", i.toLong))
+      assert(sorted(Mutations.readMerged(spark, table)) == expect,
+        s"round $round (delete=$deleteOk compact=$compactOutcome): " +
+          "rows must reflect exactly the commits that succeeded")
+    }
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
