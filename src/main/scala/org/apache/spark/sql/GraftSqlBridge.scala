@@ -25,4 +25,14 @@ object GraftSqlBridge {
 
   def unloadStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
+
+  /** An `isStreaming = true` DataFrame over a computed batch — what a
+    * DSv1 streaming Source's `getBatch` must return (MicroBatchExecution
+    * asserts it); the same `internalCreateDataFrame` move
+    * FileStreamSource makes, unavailable outside this package. */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -38,6 +38,86 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(out).count() == expected, "restart duplicated rows")
   }
 
+  test("change-feed streaming source: inserts and deletes exactly once across restarts") {
+    import graft.ops.lake.{Mutations, Snapshots}
+    import spark.implicits._
+    val table = tmp("cdfsrc-table")
+    val out = tmp("cdfsrc-out")
+    val ckpt = tmp("cdfsrc-ckpt")
+    def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
+
+    // v1 base, v2 append, v3 a DV delete — all BEFORE the stream starts
+    Snapshots.commit(table, Snapshots.stage(
+      df3((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df3((20L, "c", 20.0)), table, "day"))
+    Mutations.deleteWhere(spark, table, col("id") === 2)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def got(): Seq[(Long, String)] =
+      spark.read.parquet(out).select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    // bootstrap batch = the current snapshot as inserts, vectors applied
+    drain()
+    assert(got() == Seq((1L, "insert"), (10L, "insert"), (11L, "insert"),
+      (20L, "insert")))
+
+    // the table mutates while the stream is down: v4 DV delete, v5 append
+    Mutations.deleteWhere(spark, table, col("id") === 10)
+    Snapshots.commit(table, Snapshots.stage(df3((30L, "d", 30.0)), table, "day"))
+
+    // restart from the checkpoint: ONLY the (v3, v5] range — the delete
+    // surfaces as a delete row, the append as an insert, nothing replays
+    drain()
+    assert(got() == Seq((1L, "insert"), (10L, "delete"), (10L, "insert"),
+      (11L, "insert"), (20L, "insert"), (30L, "insert")))
+
+    // a third drain with nothing new adds nothing
+    drain()
+    assert(got().size == 6, "an idle restart must emit no rows")
+  }
+
+  test("change-feed source: startingVersion tails, maxVersionsPerBatch chunks") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc2-table")
+    val out = tmp("cdfsrc2-out")
+    val ckpt = tmp("cdfsrc2-ckpt")
+    def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
+    Snapshots.commit(table, Snapshots.stage(df3((1L, "a", 1.0)), table, "day"))
+    val v0 = Snapshots.currentVersion(table)
+    (2 to 4).foreach(i => Snapshots.commit(table,
+      Snapshots.stage(df3((i.toLong, "a", i.toDouble)), table, "day")))
+
+    // startingVersion = v0 skips the bootstrap; maxVersionsPerBatch = 1
+    // admits one version per micro-batch. A polling trigger drains the
+    // backlog chunk by chunk (AvailableNow would capture the first
+    // capped offset as "everything" and stop early — DSv1 can't
+    // advertise more than it admits, the documented trade)
+    val q = spark.readStream.format("graft-changes")
+      .option("startingVersion", v0.toString)
+      .option("maxVersionsPerBatch", "1")
+      .load(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L),
+      "tail-only stream must see exactly the post-start appends")
+    val batches = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches == 3, s"1-version admission must yield 3 batches, got $batches")
+  }
+
   test("watermarked hourly aggregate matches the batch result") {
     val agg = Pipelines.hourlyAgg(Pipelines.eventsStream(spark, Sf))
     val q = agg.writeStream.format("memory").queryName("hourly_out")
