@@ -96,7 +96,14 @@ class ChangesSource(spark: SparkSession, table: String,
     * under the source's own `metadataPath` (tmp + atomic move) so a
     * restarted stream's first [[getOffset]] is monotone even before
     * Spark replays any batch. */
-  private val hwFile = new java.io.File(metadataPath, "graft-changes-highwater")
+  // metadataPath arrives as a URI string (file:/…); resolve it as one,
+  // or a relative "file:/…" directory materializes under the CWD
+  private val hwFile = {
+    val dir = if (metadataPath.contains(":/"))
+      new java.io.File(java.net.URI.create(metadataPath).getPath)
+    else new java.io.File(metadataPath)
+    new java.io.File(dir, "graft-changes-highwater")
+  }
   @volatile private var highWater: Long = {
     val persisted =
       if (hwFile.exists())

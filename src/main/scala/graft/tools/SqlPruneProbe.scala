@@ -42,12 +42,18 @@ object SqlPruneProbe {
       val df2 = spark.sql(sql)
       val n = df2.collect().length
       val ms = (System.nanoTime() - t0) / 1e6
-      val p = df2.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      val files = p.collect {
-        case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+      // descend through AQE stages: the DV anti-join plan nests its
+      // scans inside materialized QueryStageExec subtrees
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = (p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(scans)
+      val files = scans(df2.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
       println(f"[sqlprune] $label: opens $files of $total files, " +
         f"$n rows, $ms%.0f ms")
     }
@@ -65,6 +71,20 @@ object SqlPruneProbe {
     probe("day + id range ",
       "SELECT * FROM probe_ev WHERE event_date = DATE '2024-01-18' " +
         "AND event_id BETWEEN 100 AND 100000")
+
+    // POST-DELETE variant (r10): one small MOR delete used to drop the
+    // whole table to the unpruned merged read — every SELECT below must
+    // keep its skipping with the pruned scan under the DV anti-join
+    spark.sql("DELETE FROM probe_ev WHERE event_id = 4242")
+    require(Snapshots.entriesAll(table).exists(_.props.contains("ref.dv")),
+      "probe delete must stay merge-on-read")
+    println(s"[sqlprune] --- after a 1-row DV delete (merge-on-read) ---")
+    probe("day equality/DV",
+      "SELECT * FROM probe_ev WHERE event_date = DATE '2024-01-18'")
+    probe("id range/DV    ",
+      "SELECT * FROM probe_ev WHERE event_id BETWEEN 100 AND 1100")
+    probe("id point/DV    ",
+      "SELECT * FROM probe_ev WHERE event_id = 4243")
 
     spark.stop()
   }
