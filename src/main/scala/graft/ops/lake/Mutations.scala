@@ -159,16 +159,34 @@ object Mutations {
     * by-name binding. File pruning uses the FIRST key's per-file stats
     * (a superset of multi-key matches — sound); matching joins on all
     * keys, so a row agreeing on one key but not another is NOT matched
-    * and its source row inserts, per SQL MERGE. */
+    * and its source row inserts, per SQL MERGE.
+    *
+    * `whenNotMatchedBySource{Delete,Update}` complete the Delta trio:
+    * they fire on TARGET rows with no source match (the sync idiom —
+    * "make this slice of the table look like the source"). Their
+    * conditions reference target columns through the `t` alias
+    * (source columns are NULL on unmatched rows, so an `s.`-referencing
+    * condition is null → clause does not fire, per SQL). Discovery
+    * costs one extra key+condition scan of the WHOLE table (the clause
+    * semantics quantify over every target row — scope with an AND
+    * condition, the documented Delta discipline), but only files
+    * CONTAINING an affected row rewrite. */
   def mergeIntoKeys(spark: SparkSession, table: String, source: DataFrame,
                     keyCols: Seq[String], tagCol: String,
                     whenMatchedDelete: Option[Column] = None,
                     whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
                     whenNotMatchedInsert: Option[Column] = None,
-                    insertSelect: Map[String, Column] = Map.empty): Long = {
+                    insertSelect: Map[String, Column] = Map.empty,
+                    whenNotMatchedBySourceDelete: Option[Column] = None,
+                    whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None)
+                    : Long = {
     require(keyCols.nonEmpty, s"mergeIntoKeys($table): at least one key column")
     val keyCol = keyCols.head
-    if (source.isEmpty) return Snapshots.currentVersion(table)
+    val hasBySource = whenNotMatchedBySourceDelete.nonEmpty ||
+      whenNotMatchedBySourceUpdate.nonEmpty
+    // an empty source still drives BY SOURCE clauses (every target row
+    // is unmatched then — the sync semantics); without them it's a no-op
+    if (source.isEmpty && !hasBySource) return Snapshots.currentVersion(table)
     // pinned read-modify-write (see mergeInto): v0 anchors every read,
     // the replaced-entry set, and the conflict-checked commit
     val v0 = Snapshots.currentVersion(table)
@@ -194,17 +212,36 @@ object Mutations {
         // touched-file discovery on the RAW candidate scan (file ids need
         // _metadata; over-touching a file whose only match is
         // DV-deleted is harmless — its survivors restage verbatim)
-        val touchedRels: Set[String] =
+        val matchTouchedIds: Set[String] =
           if (!hasMatchedClause) Set.empty
+          else Snapshots.readVersion(spark, table, v0, fileFilter = candidates)
+            .select(keyCols.map(col) :+
+              Snapshots.fileIdCol(input_file_name()).as("__f"): _*)
+            .join(srcKeys, keyCols, "left_semi")
+            .select("__f").distinct().collect().map(_.getString(0)).toSet
+        // BY SOURCE discovery quantifies over EVERY target row (that is
+        // the clause's meaning) but still rewrites only files CONTAINING
+        // an affected row: one key+condition scan, anti-joined to the
+        // source keys, conditions evaluated under the `t` alias (null
+        // condition → clause does not fire, SQL MERGE)
+        val bySrcTouchedIds: Set[String] =
+          if (!hasBySource) Set.empty
           else {
-            val ids = Snapshots.readVersion(spark, table, v0, fileFilter = candidates)
-              .select(keyCols.map(col) :+
-                Snapshots.fileIdCol(input_file_name()).as("__f"): _*)
-              .join(srcKeys, keyCols, "left_semi")
+            val fire = Seq(whenNotMatchedBySourceDelete,
+                whenNotMatchedBySourceUpdate.map(_._1)).flatten
+              .map(c => coalesce(c, lit(false))).reduce(_ || _)
+            Snapshots.readVersion(spark, table, v0)
+              .withColumn("__f", Snapshots.fileIdCol(input_file_name()))
+              .alias("t")
+              .join(srcKeys, keyCols, "left_anti")
+              .filter(fire)
               .select("__f").distinct().collect().map(_.getString(0)).toSet
-            Snapshots.entriesAt(table, v0)
-              .collect { case e if ids(Snapshots.fileId(e.rel)) => e.rel }.toSet
           }
+        val touchedRels: Set[String] = {
+          val ids = matchTouchedIds ++ bySrcTouchedIds
+          Snapshots.entriesAt(table, v0)
+            .collect { case e if ids(Snapshots.fileId(e.rel)) => e.rel }.toSet
+        }
         val rewritten: Option[DataFrame] =
           if (touchedRels.isEmpty) None
           else {
@@ -221,17 +258,27 @@ object Mutations {
             val updPred = whenMatchedUpdate
               .map { case (c, _) => matched && coalesce(c, lit(false)) }
               .getOrElse(lit(false))
+            val bsDelPred = whenNotMatchedBySourceDelete
+              .map(c => !matched && coalesce(c, lit(false))).getOrElse(lit(false))
+            val bsUpdPred = whenNotMatchedBySourceUpdate
+              .map { case (c, _) => !matched && coalesce(c, lit(false)) }
+              .getOrElse(lit(false))
             val updSet = whenMatchedUpdate.map(_._2).getOrElse(Map.empty)
+            val bsSet = whenNotMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty)
             // a SET column that is not a target column would otherwise
             // be silently skipped — the SQL MERGE analysis-error
             // contract, not a silent no-op (r9 review find)
-            val unknown = updSet.keySet.diff(tCols.toSet)
+            val unknown = (updSet.keySet ++ bsSet.keySet).diff(tCols.toSet)
             require(unknown.isEmpty,
               s"mergeIntoClauses($table): UPDATE SET names unknown column(s) " +
                 s"${unknown.mkString(", ")} (table has ${tCols.mkString(", ")})")
-            Some(joined.filter(!delPred).select(tCols.map { c =>
-              (if (updSet.contains(c)) when(updPred, updSet(c)).otherwise(col(s"t.$c"))
-               else col(s"t.$c")).as(c)
+            // matched/by-source predicates are disjoint (a row is one or
+            // the other), so the two SETs stack as independent whens
+            Some(joined.filter(!delPred && !bsDelPred).select(tCols.map { c =>
+              var e = col(s"t.$c")
+              if (bsSet.contains(c)) e = when(bsUpdPred, bsSet(c)).otherwise(e)
+              if (updSet.contains(c)) e = when(updPred, updSet(c)).otherwise(e)
+              e.as(c)
             }: _*))
           }
         val inserts: Option[DataFrame] = whenNotMatchedInsert.map { cond =>

@@ -360,6 +360,8 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""".r
   private val InsertInto =
     """(?is)INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
+  private val InsertIntoCols =
+    """(?is)INSERT\s+INTO\s+(\w+)\s*\(([^)]+)\)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
   private val ConvertTable =
     """(?is)CONVERT\s+TO\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(([^)]*)\))?""".r
 
@@ -502,6 +504,40 @@ object LakeStatements {
         case _ => None
       }
       case "INSERT" => text match {
+        // explicit-column form FIRST (the plain pattern would swallow
+        // it): query columns bind positionally to the NAMED columns,
+        // unnamed table columns NULL-fill — standard SQL INSERT
+        case InsertIntoCols(name, colsText, query) =>
+          lookup(name).map { case (path, tag) =>
+            LakeCommand("INSERT INTO", versionOut, s => {
+              val schema = Snapshots.read(s, path).schema
+              val cols = colsText.split(",").map(_.trim).toSeq
+              require(cols.forall(NameRe),
+                s"INSERT INTO $name: column list must be bare names, got ($colsText)")
+              val resolved = cols.map { c =>
+                schema.fields.map(_.name)
+                  .find(_.equalsIgnoreCase(c)).getOrElse(throw
+                    new IllegalArgumentException(
+                      s"INSERT INTO $name: unknown column $c " +
+                        s"(table has ${schema.map(_.name).mkString(", ")})"))
+              }
+              require(resolved.distinct.size == resolved.size,
+                s"INSERT INTO $name: duplicate column in ($colsText)")
+              val src = s.sql(query)
+              require(src.columns.length == cols.size,
+                s"INSERT INTO $name: query has ${src.columns.length} " +
+                  s"columns, list names ${cols.size}")
+              val named = src.toDF(resolved: _*)
+              val aligned = named.select(schema.map { f =>
+                (if (resolved.contains(f.name))
+                   org.apache.spark.sql.functions.col(f.name)
+                 else org.apache.spark.sql.functions.lit(null))
+                  .cast(f.dataType).as(f.name)
+              }: _*)
+              Seq(Row(Snapshots.commit(path,
+                Snapshots.stage(aligned, path, tag))))
+            })
+          }
         // append-only commit of the query result (the lake's write
         // fast-path: no files rewritten, manifests carried by name).
         // SQL INSERT binds columns POSITIONALLY to the table schema —
@@ -661,13 +697,18 @@ object LakeStatements {
     """(?is)WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*""".r
   private val NotMatchedInsertCols =
     """(?is)WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*\(([^)]+)\)\s*VALUES\s*\((.+)\)""".r
+  private val BySourceDelete =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
+  private val BySourceUpdate =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+)""".r
   private val OnEq =
     """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*""".r
 
   /** `MERGE INTO <t> [AS] a USING (<subquery>)|<name> [AS] b
     * ON a.k = b.k [AND a.k2 = b.k2 …]
     * WHEN MATCHED [AND c] THEN DELETE | UPDATE SET <assigns>|*
-    * WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)`
+    * WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)
+    * WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET <assigns>`
     *
     * Lowered onto [[Mutations.mergeIntoKeys]], whose join aliases
     * are fixed at `t`/`s` — user aliases requalify onto those at parse
@@ -740,7 +781,25 @@ object LakeStatements {
     var upd: Option[(Column, Map[String, Column])] = None
     var ins: Option[Column] = None
     var insSel: Map[String, Column] = Map.empty
+    var bsDel: Option[Column] = None
+    var bsUpd: Option[(Column, Map[String, Column])] = None
     WhenSplit.split(whenText).map(_.trim).filter(_.nonEmpty).foreach {
+      // BY SOURCE cases first: their clause text also starts with
+      // "WHEN NOT MATCHED" (conditions/SETs reference the target side)
+      case BySourceDelete(c) =>
+        require(bsDel.isEmpty,
+          s"MERGE INTO $name: duplicate WHEN NOT MATCHED BY SOURCE … DELETE")
+        bsDel = Some(Option(c).map(cond(_, joinQ))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)))
+      case BySourceUpdate(c, sets) =>
+        require(bsUpd.isEmpty,
+          s"MERGE INTO $name: duplicate WHEN NOT MATCHED BY SOURCE … UPDATE")
+        require(sets.trim != "*",
+          s"MERGE INTO $name: BY SOURCE UPDATE SET * has no source row to copy")
+        bsUpd = Some((Option(c).map(cond(_, joinQ))
+            .getOrElse(org.apache.spark.sql.functions.lit(true)),
+          parseAssignments(delegate, sets, stripAlias = Some(tgtAlias),
+            requal = joinQ)))
       case MatchedDelete(c) =>
         require(del.isEmpty, s"MERGE INTO $name: duplicate WHEN MATCHED … DELETE")
         del = Some(Option(c).map(cond(_, joinQ))
@@ -774,9 +833,11 @@ object LakeStatements {
           .getOrElse(org.apache.spark.sql.functions.lit(true)))
       case other => throw new IllegalArgumentException(
         s"MERGE INTO $name: unsupported clause (DELETE / UPDATE SET / " +
-          s"INSERT * / INSERT (cols) VALUES (…) forms only): $other")
+          s"INSERT * / INSERT (cols) VALUES (…) / NOT MATCHED BY SOURCE " +
+          s"forms only): $other")
     }
-    require(del.nonEmpty || upd.nonEmpty || ins.nonEmpty,
+    require(del.nonEmpty || upd.nonEmpty || ins.nonEmpty ||
+        bsDel.nonEmpty || bsUpd.nonEmpty,
       s"MERGE INTO $name: at least one WHEN clause is required")
 
     val updFinal = upd
@@ -796,7 +857,9 @@ object LakeStatements {
         whenMatchedDelete = del,
         whenMatchedUpdate = updRun,
         whenNotMatchedInsert = ins,
-        insertSelect = insSelFinal)))
+        insertSelect = insSelFinal,
+        whenNotMatchedBySourceDelete = bsDel,
+        whenNotMatchedBySourceUpdate = bsUpd)))
     }))
   }
 }

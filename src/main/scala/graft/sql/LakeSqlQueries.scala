@@ -249,10 +249,63 @@ object LakeSqlQueries {
       |SELECT event_date, count(*) AS n, ${decSumSql("amount")} AS sum_amount
       |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin
 
+  /** s44: the FULL Delta MERGE trio as one sync statement — "make days
+    * ≥ 15 of the table look exactly like the source": matched rows
+    * update, new rows insert, and stale target rows (no source match)
+    * DELETE under the BY SOURCE clause's scoping condition. Rows before
+    * the scope date must be untouched — the condition is what keeps the
+    * whole-table quantifier affordable, and the oracle proves the
+    * boundary. */
+  def sqlMergeSync(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s44-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      table, "event_date", "event_id"))
+    LakeSql.register(spark, "s44t", table, "event_date")
+    ev.filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .withColumn("value", col("value") + 1000.0)
+      .createOrReplaceTempView("s44_src")
+
+    spark.sql(
+      """MERGE INTO s44t AS t USING s44_src AS s ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET value = s.value
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.event_date >= DATE '2024-01-15'
+        |THEN DELETE""".stripMargin)
+
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s44t GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  val sqlMergeSyncOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |src AS (
+      |  SELECT event_id, event_type, value + 1000.0 AS value,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-18' AND DATE '2024-01-25'),
+      |merged AS (
+      |  SELECT b.event_id, b.event_type,
+      |         CASE WHEN s.event_id IS NOT NULL THEN s.value
+      |              ELSE b.value END AS value,
+      |         b.event_date
+      |  FROM base b LEFT JOIN src s ON b.event_id = s.event_id
+      |  WHERE s.event_id IS NOT NULL OR b.event_date < DATE '2024-01-15'
+      |  UNION ALL
+      |  SELECT s.event_id, s.event_type, s.value, s.event_date FROM src s
+      |  WHERE s.event_id NOT IN (SELECT event_id FROM base))
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
     QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
     QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance),
     QueryDef.sql("s42_sql_constraints", sqlConstraintsOracle)(sqlConstraints),
-    QueryDef.sql("s43_sql_rename_merge", sqlRenameMergeOracle)(sqlRenameMerge))
+    QueryDef.sql("s43_sql_rename_merge", sqlRenameMergeOracle)(sqlRenameMerge),
+    QueryDef.sql("s44_sql_merge_sync", sqlMergeSyncOracle)(sqlMergeSync))
 }

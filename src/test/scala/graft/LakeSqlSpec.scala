@@ -534,6 +534,56 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
           (10L, "b", 110.0), (77L, "a", 700.5)))
   }
 
+  test("MERGE NOT MATCHED BY SOURCE: scoped sync deletes/updates stale target rows") {
+    mk("sql-mergebs", "sqlbs",
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+    // source matches 2 and brings 9; BY SOURCE scoped to day b: stale 3
+    // deletes, stale 4 updates-by-condition... one clause each kind
+    spark.sql(
+      """MERGE INTO sqlbs t USING (
+        |  SELECT CAST(2 AS BIGINT) AS id, 'a' AS day, CAST(20.0 AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT CAST(9 AS BIGINT), 'c', CAST(90.0 AS DOUBLE)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.day = 'b' AND t.v < 4.0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.day = 'b' AND t.v >= 4.0
+        |THEN UPDATE SET v = t.v + 100.0""".stripMargin)
+    assert(content("SELECT id, day, v FROM sqlbs") ==
+      Seq((1L, "a", 1.0),      // unmatched, outside BY SOURCE scope
+          (2L, "a", 20.0),     // matched update
+          (4L, "b", 104.0),    // BY SOURCE update
+          (9L, "c", 90.0)))    // insert; 3 deleted BY SOURCE
+  }
+
+  test("MERGE with an empty source still drives BY SOURCE clauses") {
+    mk("sql-mergebe", "sqlbe", (1L, "a", 1.0), (2L, "b", 2.0))
+    spark.sql(
+      """MERGE INTO sqlbe t USING (
+        |  SELECT CAST(NULL AS BIGINT) AS id, 'x' AS day,
+        |         CAST(NULL AS DOUBLE) AS v WHERE 1 = 0) s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND t.day = 'b' THEN DELETE""".stripMargin)
+    assert(content("SELECT id, day, v FROM sqlbe") == Seq((1L, "a", 1.0)))
+  }
+
+  test("INSERT INTO (cols): positional binding to named columns, rest NULL-fill") {
+    mk("sql-inscols", "sqlic", (1L, "a", 1.0))
+    spark.sql("INSERT INTO sqlic (id, day) VALUES (5, 'b')")
+    val got = spark.sql("SELECT id, day, v FROM sqlic ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (5L, "b")))
+    assert(got(1).isNullAt(2), "unnamed v must NULL-fill")
+    // unknown column and arity mismatches are loud
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO sqlic (id, nope) VALUES (6, 'c')"))
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO sqlic (id, day) VALUES (6, 'c', 3.0)"))
+    assert(e2.getMessage.contains("columns"))
+  }
+
   test("MERGE explicit INSERT: unnamed target columns NULL-fill") {
     mk("sql-mergen", "sqlmn", (1L, "a", 1.0))
     spark.sql(
