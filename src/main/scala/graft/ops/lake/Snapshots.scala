@@ -757,6 +757,40 @@ object Snapshots {
       }
   }
 
+  /** [[changes]] with PER-COMMIT ATTRIBUTION — each row carries the
+    * `_commit_version` that produced it, the Delta `table_changes`
+    * column consumers order and resume by. Built as the union of the
+    * per-version step diffs, so unlike the net-diff [[changes]] a file
+    * added in v2 and removed in v4 shows BOTH events (an audit wants
+    * the history; an incremental MV wants the net — both stay
+    * available). Cost: O(Σ changed files per step) — each commit's
+    * touched files, the same total the per-commit actions cost Delta;
+    * steps crossing a rename re-present under `toV`'s names so the
+    * union stays one schema (columns dropped mid-range NULL-fill). */
+  def changesAttributed(spark: SparkSession, table: String,
+                        fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(1 <= toV && 0 <= fromV && fromV <= toV && toV <= currentVersion(table),
+      s"changesAttributed($table, $fromV, $toV): need 0 <= from <= to <= current")
+    val (renTo, _) = schemaMapping(table, toV)
+    def namesAt(df: DataFrame, v: Long): DataFrame = {
+      val (renAt, _) = schemaMapping(table, v)
+      // step-logical -> toV-logical, bridged by the stable physical name
+      val m = renAt.map { case (p, lAt) => lAt -> renTo.getOrElse(p, p) } ++
+        renTo.collect { case (p, lTo) if !renAt.contains(p) => p -> lTo }
+      m.foldLeft(df) { case (d, (from, to)) =>
+        if (from != to && d.columns.contains(from)) d.withColumnRenamed(from, to)
+        else d }
+    }
+    val steps = math.max(fromV, 0L) + 1 to toV
+    if (steps.isEmpty) // from == to: the empty feed, schema-complete
+      changes(spark, table, toV, toV).withColumn("_commit_version", lit(toV))
+    else steps.map { v =>
+      namesAt(changes(spark, table, v - 1, v), v)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
   /** Stage `df` as immutable data files under a fresh `data/<token>/`

@@ -111,9 +111,12 @@ object LakeSql {
     * `injectTableFunction` (the parser turns the call into an
     * `UnresolvedTableValuedFunction`; the built-in `ResolveFunctions`
     * rule consults the injected registry, so this resolves exactly like
-    * `range(...)` does). Lowers onto [[Snapshots.changes]]: rows tagged
-    * `_change_type`, cost O(changed files), deletion-vector-aware.
-    * Literal args only — the feed range is metadata, not data. */
+    * `range(...)` does). Lowers onto [[Snapshots.changesAttributed]]:
+    * rows tagged `_change_type` AND `_commit_version` (the Delta
+    * ordering/resume column — r10; the net-diff [[Snapshots.changes]]
+    * stays the MV/streaming substrate), cost O(changed files),
+    * deletion-vector-aware. Literal args only — the feed range is
+    * metadata, not data. */
   def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     args match {
@@ -122,7 +125,7 @@ object LakeSql {
         lookup(spark, n.toString) match {
           case Some((path, _)) =>
             SubqueryAlias("table_changes",
-              Snapshots.changes(spark, path, f.longValue(), t.longValue())
+              Snapshots.changesAttributed(spark, path, f.longValue(), t.longValue())
                 .queryExecution.analyzed)
           case None => throw new IllegalArgumentException(
             s"table_changes: '$n' is not a registered graft table " +

@@ -163,10 +163,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     spark.sql("INSERT INTO sqlcdf SELECT 20L, 'c', 20.0") // v3: append
 
     val feed = spark.sql(
-      """SELECT _change_type, id, v FROM table_changes('sqlcdf', 1, 3)
+      """SELECT _change_type, _commit_version, id, v
+        |FROM table_changes('sqlcdf', 1, 3)
         |ORDER BY _change_type, id""".stripMargin).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(feed == Seq(("delete", 2L, 2.0), ("insert", 20L, 20.0)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // r10: rows carry the COMMIT VERSION that produced them (the Delta
+    // ordering/resume column) — the delete is v2's, the insert v3's
+    assert(feed == Seq(("delete", 2L, 2L, 2.0), ("insert", 3L, 20L, 20.0)))
 
     // bootstrap read (from 0) yields the v-snapshot as inserts
     assert(spark.sql(

@@ -790,6 +790,40 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("changesAttributed: per-commit rows survive net cancellation, bridge renames") {
+    val table = tmp("snap-cdf-attr")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1, "a", 1L), (2, "b", 2L)), table, "day"))            // v1
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 20L)), table, "day"),
+      remove = _._2 == "b")                                      // v2: heal day b
+    Snapshots.commit(table, Seq.empty, remove = _._2 == "b")     // v3: drop day b
+
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, String, Int, Long)] =
+      d.select("_commit_version", "_change_type", "id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._4)).toSeq
+
+    // the NET diff cancels v2's add-then-remove; the attributed feed
+    // keeps the full history with each row's producing commit
+    assert(Snapshots.changes(spark, table, 1, 3)
+      .filter(col("id") === 2).count() == 1)
+    assert(rows(Snapshots.changesAttributed(spark, table, 1, 3)) == Seq(
+      (2L, "delete", 2, 2L), (2L, "insert", 2, 20L), (3L, "delete", 2, 20L)))
+
+    // a rename inside the range: earlier steps re-present under the TO
+    // version's names, so the union carries ONE schema
+    Snapshots.renameColumn(spark, table, "v", "val")             // v4
+    Snapshots.commit(table, Snapshots.stage(
+      spark.range(1).selectExpr("3 AS id", "'c' AS day", "CAST(30 AS BIGINT) AS val"),
+      table, "day"))                                             // v5
+    val attr = Snapshots.changesAttributed(spark, table, 2, 5)
+    assert(attr.columns.contains("val") && !attr.columns.contains("v"))
+    assert(attr.select("_commit_version", "_change_type", "id", "val").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq ==
+      Seq((3L, "delete", 2, 20L), (5L, "insert", 3, 30L)))
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
