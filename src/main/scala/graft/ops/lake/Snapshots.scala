@@ -546,9 +546,10 @@ object Snapshots {
   // resolutions against one version re-read nothing (this is also the
   // resolution-rule schema-read cache the r9 verdict asked for).
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String), Option[org.apache.spark.sql.types.StructType]]()
+    (String, Long, String),
+    Seq[(org.apache.spark.sql.types.StructType, Set[String])]]()
 
-  /** Footer reads performed by [[uniformSchema]] misses — observability
+  /** Footer reads performed by [[schemaGroups]] misses — observability
     * hook for the caching contract (a repeated SQL resolution of one
     * snapshot must read zero footers); specs assert on deltas. */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
@@ -566,21 +567,81 @@ object Snapshots {
     else rel                   // adopted file: individually unknown
   }
 
-  /** The single physical schema every file of snapshot `v` shares, or
-    * None when the footers diverge (column-evolved table — read with
-    * `mergeSchema = true`) or the snapshot is empty. Cached; see the
+  /** Snapshot `v`'s entries grouped by PHYSICAL footer schema — one
+    * group for an un-evolved table, one per distinct schema after
+    * column evolution (each the rels sharing it). Cached; see the
     * section comment above. */
-  private[graft] def uniformSchema(spark: SparkSession, table: String,
-      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+  private[graft] def schemaGroups(spark: SparkSession, table: String, v: Long)
+      : Seq[(org.apache.spark.sql.types.StructType, Set[String])] = {
     val es = entriesAt(table, v)
-    if (es.isEmpty) return None
+    if (es.isEmpty) return Seq.empty
     if (schemaCache.size > 256) schemaCache.clear()
     schemaCache.computeIfAbsent((table, v, digest(es.map(_.rel))), { _ =>
-      val reps = es.groupBy(e => schemaGroup(e.rel)).values.map(_.head.rel).toSeq.sorted
-      footerReads.addAndGet(reps.size)
-      val schemas = reps.map(r => spark.read.parquet(s"$table/$r").schema).distinct
-      if (schemas.size == 1) Some(schemas.head) else None
+      val byDir = es.groupBy(e => schemaGroup(e.rel))
+      footerReads.addAndGet(byDir.size)
+      byDir.toSeq.sortBy(_._1)
+        .map { case (_, ges) =>
+          (spark.read.parquet(s"$table/${ges.head.rel}").schema,
+            ges.map(_.rel).toSet) }
+        .groupBy(_._1).toSeq
+        .map { case (sch, parts) => (sch, parts.flatMap(_._2).toSet) }
+        .sortBy(_._2.min)
     })
+  }
+
+  /** The single physical schema every file of snapshot `v` shares, or
+    * None when the footers diverge (column-evolved table — the grouped
+    * read below serves that case) or the snapshot is empty. */
+  private[graft] def uniformSchema(spark: SparkSession, table: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaGroups(spark, table, v) match {
+      case Seq((sch, _)) => Some(sch)
+      case _ => None
+    }
+
+  /** COLUMN-EVOLVED slice as a union of per-schema-group PRUNED scans —
+    * the mergeSchema read's rows (NULL-fill by name) without its cost
+    * (mergeSchema re-reads EVERY footer and prunes nothing): each
+    * group's files scan through their own manifest-backed FileIndex, so
+    * pushed-down predicates travel through the Union into every branch
+    * and file skipping survives schema evolution. None when the groups'
+    * column types conflict (StructType.merge throws — exactly the case
+    * parquet mergeSchema fails on too) or the group count is absurd
+    * (adopted-directory tables: one group per file — the union would
+    * out-cost the footers). */
+  private def groupedRead(spark: SparkSession, table: String, v: Long,
+      selected: Seq[Entry], tagColHint: String): Option[DataFrame] = {
+    val groups = schemaGroups(spark, table, v)
+      .map { case (sch, rels) => (sch, selected.filter(e => rels(e.rel))) }
+      .filter(_._2.nonEmpty)
+    if (groups.isEmpty || groups.size > 16) return None
+    if (groups.size == 1) // the selected slice is uniform after all
+      return Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        org.apache.spark.sql.GraftRelations.prunedParquetPlan(
+          spark, table, tagColHint, v, groups.head._2, groups.head._1)))
+    // name-keyed merge: same-name fields must agree on type (parquet
+    // mergeSchema fails on those conflicts too), new names append
+    def mergeTwo(a: org.apache.spark.sql.types.StructType,
+                 b: org.apache.spark.sql.types.StructType) = {
+      val known = a.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+      b.fields.foreach { f =>
+        known.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { af =>
+          require(af.dataType == f.dataType,
+            s"type conflict on ${f.name}: ${af.dataType} vs ${f.dataType}") } }
+      org.apache.spark.sql.types.StructType(a.fields ++ b.fields.filterNot(
+        f => known.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+    }
+    val target =
+      try groups.map(_._1).reduceLeft(mergeTwo)
+      catch { case _: IllegalArgumentException => return None }
+    val frames = groups.map { case (sch, es) =>
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        org.apache.spark.sql.GraftRelations.prunedParquetPlan(
+          spark, table, tagColHint, v, es, sch))
+    }
+    import org.apache.spark.sql.functions.col
+    Some(frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(target.fieldNames.map(col(_)).toSeq: _*))
   }
 
   /** TIME TRAVEL: read snapshot `v` exactly as it was committed. Free
@@ -610,7 +671,7 @@ object Snapshots {
                   else uniformSchema(spark, table, v)
     if (uniform.isDefined) {
       // provably-uniform-schema slice (cached per version — see
-      // [[uniformSchema]]): scan through the manifest-backed FileIndex,
+      // [[schemaGroups]]): scan through the manifest-backed FileIndex,
       // so predicates the QUERY pushes down later (tag equality via
       // `tagColHint`, stats ranges, bloom equality) prune entries on
       // top of the caller's explicit tagFilter/fileFilter — automatic
@@ -620,6 +681,11 @@ object Snapshots {
       applyLogical(org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
         org.apache.spark.sql.GraftRelations.prunedParquetPlan(
           spark, table, tagColHint, v, selected, uniform.get)), table, v)
+    } else if (selected.nonEmpty && mergeSchema) {
+      groupedRead(spark, table, v, selected, tagColHint)
+        .map(applyLogical(_, table, v))
+        .getOrElse(applyLogical(
+          spark.read.option("mergeSchema", "true").parquet(fs: _*), table, v))
     } else if (fs.nonEmpty)
       applyLogical(
         spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*),

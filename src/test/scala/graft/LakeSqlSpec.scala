@@ -483,6 +483,43 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       (0 until 24).filter(_ != 1).map(i => (300L + i, "d3", i.toDouble)))
   }
 
+  test("file skipping survives column evolution: grouped pruned scans under the union") {
+    import spark.implicits._
+    // era 1: 4 days of (id, day, v); era 2: 4 more days WITH an extra w
+    // column — two physical schema groups in one snapshot
+    val rows1 = for { d <- 0 until 4; i <- 0 until 6 }
+      yield (d * 100L + i, s"d$d", i.toDouble)
+    val rows2 = for { d <- 4 until 8; i <- 0 until 6 }
+      yield (d * 100L + i, s"d$d", i.toDouble, i.toLong)
+    val table = tmp("sql-evoprune")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(rows1.toDF("id", "day", "v"), table, "day", "id",
+        buckets = 8))
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(rows2.toDF("id", "day", "v", "w"), table, "day",
+        "id", buckets = 8))
+    LakeSql.register(spark, "sqlevo", table, "day")
+    val total = Snapshots.entriesAll(table).size
+    assert(total >= 8, s"need a multi-file layout, got $total")
+
+    // pre-r10 the divergent footers forced an unpruned mergeSchema read
+    // (every footer, zero skipping); now each schema group scans through
+    // its own pruned FileIndex under the union
+    val (fOld, nOld) = openedFiles("SELECT id, day, v, w FROM sqlevo WHERE day = 'd1'")
+    assert(nOld == 6 && fOld < total / 2,
+      s"era-1 day must prune: opened $fOld of $total, $nOld rows")
+    val (fNew, nNew) = openedFiles("SELECT id, day, v, w FROM sqlevo WHERE day = 'd6'")
+    assert(nNew == 6 && fNew < total / 2,
+      s"era-2 day must prune: opened $fNew of $total, $nNew rows")
+    // era-1 rows NULL-fill w; era-2 rows carry it — mergeSchema parity
+    val r = spark.sql("SELECT w FROM sqlevo WHERE id = 101").collect()
+    assert(r.length == 1 && r.head.isNullAt(0), "era-1 w must NULL-fill")
+    assert(spark.sql("SELECT w FROM sqlevo WHERE id = 603").collect()
+      .head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlevo").collect()
+      .head.getLong(0) == 48L)
+  }
+
   test("pruning and reads survive a column rename: physical tag hint bridges") {
     val table = mk("sql-ren", "sqlrn",
       (1L, "a", 1.0), (2L, "b", 2.0), (10L, "b", 10.0))
