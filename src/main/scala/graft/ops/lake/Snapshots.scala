@@ -589,29 +589,30 @@ object Snapshots {
     })
   }
 
-  /** The single physical schema every file of snapshot `v` shares, or
-    * None when the footers diverge (column-evolved table — the grouped
-    * read below serves that case) or the snapshot is empty. */
-  private[graft] def uniformSchema(spark: SparkSession, table: String,
-      v: Long): Option[org.apache.spark.sql.types.StructType] =
-    schemaGroups(spark, table, v) match {
-      case Seq((sch, _)) => Some(sch)
-      case _ => None
-    }
-
-  /** COLUMN-EVOLVED slice as a union of per-schema-group PRUNED scans —
-    * the mergeSchema read's rows (NULL-fill by name) without its cost
-    * (mergeSchema re-reads EVERY footer and prunes nothing): each
-    * group's files scan through their own manifest-backed FileIndex, so
-    * pushed-down predicates travel through the Union into every branch
-    * and file skipping survives schema evolution. None when the groups'
-    * column types conflict (StructType.merge throws — exactly the case
-    * parquet mergeSchema fails on too) or the group count is absurd
-    * (adopted-directory tables: one group per file — the union would
-    * out-cost the footers). */
-  private def groupedRead(spark: SparkSession, table: String, v: Long,
-      selected: Seq[Entry], tagColHint: String): Option[DataFrame] = {
-    val groups = schemaGroups(spark, table, v)
+  /** Scan exactly `selected` through manifest-backed pruned FileIndex
+    * plans where the footer-schema GROUPS allow it — the one scan
+    * assembler every read path shares:
+    *   - one group (un-evolved table, or a uniform slice of an evolved
+    *     one): a single pruned scan;
+    *   - several groups with `allowUnion` (mergeSchema semantics): a
+    *     union of per-group pruned scans NULL-filled to the name-keyed
+    *     merged schema — the mergeSchema read's rows without its cost
+    *     (mergeSchema re-reads EVERY footer and prunes nothing);
+    *     pushed-down predicates travel through the Union into every
+    *     branch, so file skipping survives schema evolution;
+    *   - None when entries fall outside the version's groups (cross-
+    *     version callers), the groups' column types conflict (exactly
+    *     the case parquet mergeSchema fails on too), or the group count
+    *     is absurd (freshly adopted directories: one group per file —
+    *     the union would out-cost the footers). Callers fall back to
+    *     the plain read. */
+  private[lake] def groupedRead(spark: SparkSession, table: String, v: Long,
+      selected: Seq[Entry], tagColHint: String,
+      allowUnion: Boolean): Option[DataFrame] = {
+    val groups0 = schemaGroups(spark, table, v)
+    val covered = groups0.iterator.flatMap(_._2).toSet
+    if (!selected.forall(e => covered(e.rel))) return None
+    val groups = groups0
       .map { case (sch, rels) => (sch, selected.filter(e => rels(e.rel))) }
       .filter(_._2.nonEmpty)
     if (groups.isEmpty || groups.size > 16) return None
@@ -619,6 +620,7 @@ object Snapshots {
       return Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
         org.apache.spark.sql.GraftRelations.prunedParquetPlan(
           spark, table, tagColHint, v, groups.head._2, groups.head._1)))
+    if (!allowUnion) return None
     // name-keyed merge: same-name fields must agree on type (parquet
     // mergeSchema fails on those conflicts too), new names append
     def mergeTwo(a: org.apache.spark.sql.types.StructType,
@@ -667,30 +669,23 @@ object Snapshots {
       .flatMap(manifestEntries(table, _))
       .filter(e => tagFilter(e.tag) && fileFilter(e))
     val fs = selected.map(e => s"$table/${e.rel}")
-    val uniform = if (selected.isEmpty || mergeSchema) None
-                  else uniformSchema(spark, table, v)
-    if (uniform.isDefined) {
-      // provably-uniform-schema slice (cached per version — see
-      // [[schemaGroups]]): scan through the manifest-backed FileIndex,
-      // so predicates the QUERY pushes down later (tag equality via
+    if (selected.nonEmpty) {
+      // scan through the manifest-backed FileIndex wherever the footer
+      // schemas allow ([[groupedRead]] — single pruned scan for a
+      // uniform slice, a pruned-per-group union under mergeSchema), so
+      // predicates the QUERY pushes down later (tag equality via
       // `tagColHint`, stats ranges, bloom equality) prune entries on
       // top of the caller's explicit tagFilter/fileFilter — automatic
       // data skipping for every kernel read, same rows either way.
       // Renamed/dropped schemas ride too: the scan is physical, the
       // logical projection sits above it (filters push back through).
-      applyLogical(org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-        org.apache.spark.sql.GraftRelations.prunedParquetPlan(
-          spark, table, tagColHint, v, selected, uniform.get)), table, v)
-    } else if (selected.nonEmpty && mergeSchema) {
-      groupedRead(spark, table, v, selected, tagColHint)
-        .map(applyLogical(_, table, v))
-        .getOrElse(applyLogical(
-          spark.read.option("mergeSchema", "true").parquet(fs: _*), table, v))
-    } else if (fs.nonEmpty)
       applyLogical(
-        spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*),
+        groupedRead(spark, table, v, selected, tagColHint,
+            allowUnion = mergeSchema)
+          .getOrElse(spark.read
+            .option("mergeSchema", mergeSchema.toString).parquet(fs: _*)),
         table, v)
-    else {
+    } else {
       // every file pruned: skipping is IO elision, never semantics — the
       // correct result is EMPTY, carried on the schema of any snapshot
       // file (footer-only IO). Only a zero-FILE snapshot can't be read
@@ -1100,45 +1095,75 @@ object Snapshots {
     * shuffles). `mergeSchema` NULL-fills evolved schemas. `es` must be
     * non-empty.
     *
-    * `pruned = Some((version, tagColHint, schema))` serves BOTH data
-    * scans (the anti-joined vectored files and the plain remainder)
-    * through the manifest-backed [[org.apache.spark.sql.GraftFileIndex]]
-    * instead of bare `spark.read.parquet`, so predicates a query above
-    * pushes down — they travel through the logical projection and the
-    * left side of the anti-join — still prune manifest entries before
-    * any file opens. Without it (r9), one small deleteWhere cost every
+    * `pruned = Some((version, tagColHint))` serves BOTH data scans (the
+    * anti-joined vectored files and the plain remainder) through
+    * [[groupedRead]]'s manifest-backed FileIndex assembly instead of
+    * bare `spark.read.parquet`, so predicates a query above pushes down
+    * — they travel through the logical projection and the left side of
+    * the anti-join — still prune manifest entries before any file
+    * opens. Without it (r9), one small deleteWhere cost every
     * subsequent SQL SELECT its 96–99% file skipping until REORG — the
-    * one plan you would not want at 100×. Callers must pass it only
-    * with a proven-uniform schema ([[uniformSchema]]). */
+    * one plan you would not want at 100×. Schema safety is
+    * groupedRead's: a slice it can't prove falls back to the plain
+    * read. `None` is for cross-version entry sets (the change feed),
+    * whose entries a single version's groups don't cover. */
   private[lake] def readEntriesMerged(spark: SparkSession, table: String,
       es: Seq[Entry], mergeSchema: Boolean = false,
-      pruned: Option[(Long, String, org.apache.spark.sql.types.StructType)] = None)
-      : DataFrame = {
+      pruned: Option[(Long, String)] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    def plain(fs: Seq[Entry]): DataFrame =
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(fs.map(e => s"$table/${e.rel}"): _*)
     def readFiles(fs: Seq[Entry]): DataFrame = pruned match {
-      case Some((v, tagCol, schema)) =>
-        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-          org.apache.spark.sql.GraftRelations.prunedParquetPlan(
-            spark, table, tagCol, v, fs, schema))
-      case None =>
-        spark.read.option("mergeSchema", mergeSchema.toString)
-          .parquet(fs.map(e => s"$table/${e.rel}"): _*)
+      case Some((v, tagCol)) =>
+        groupedRead(spark, table, v, fs, tagCol, allowUnion = mergeSchema)
+          .getOrElse(plain(fs))
+      case None => plain(fs)
     }
     val (dvEs, plainEs) = es.partition(_.props.contains(DvRefProp))
     if (dvEs.isEmpty) readFiles(es)
     else {
       val dvRows = dvPositions(spark, table, dvEs).get
-      val dvData = readFiles(dvEs)
-      val cols = dvData.columns.map(col)
-      val merged = dvData
-        .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(dvRows, Seq("__fid", "__pos"), "left_anti")
-        .select(cols: _*)
+      // the anti-join needs `_metadata`, which only resolves on a
+      // SINGLE scan relation — a grouped UNION cannot expose it. So on
+      // an evolved table the vectored files anti-join PER schema group
+      // (each group one pruned scan) and the survivors union NULL-filled
+      val dvParts: Seq[Seq[Entry]] = pruned match {
+        case Some((v, _)) if mergeSchema =>
+          entryGroups(spark, table, v, dvEs).getOrElse(Seq(dvEs))
+        case _ => Seq(dvEs)
+      }
+      def antiJoined(ges: Seq[Entry]): DataFrame = {
+        val dvData = pruned match {
+          case Some((v, tagCol)) =>
+            groupedRead(spark, table, v, ges, tagCol, allowUnion = false)
+              .getOrElse(plain(ges))
+          case None => plain(ges)
+        }
+        val cols = dvData.columns.map(col)
+        dvData
+          .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dvRows, Seq("__fid", "__pos"), "left_anti")
+          .select(cols: _*)
+      }
+      val merged = dvParts.map(antiJoined)
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
       if (plainEs.isEmpty) merged
       else merged.unionByName(readFiles(plainEs),
         allowMissingColumns = mergeSchema)
     }
+  }
+
+  /** Per-schema-group partition of `es` within version `v`'s groups;
+    * None when some entry falls outside them (cross-version sets). */
+  private def entryGroups(spark: SparkSession, table: String, v: Long,
+      es: Seq[Entry]): Option[Seq[Seq[Entry]]] = {
+    val groups0 = schemaGroups(spark, table, v)
+    val covered = groups0.iterator.flatMap(_._2).toSet
+    if (!es.forall(e => covered(e.rel))) None
+    else Some(groups0.map { case (_, rels) => es.filter(e => rels(e.rel)) }
+      .filter(_.nonEmpty))
   }
 
   /** Read snapshot `version` (−1 = live) with deletion vectors applied.
@@ -1156,11 +1181,9 @@ object Snapshots {
     val es = entriesAt(table, v).filter(e => tagFilter(e.tag) && fileFilter(e))
     if (!es.exists(_.props.contains(DvRefProp)))
       readVersion(spark, table, v, tagFilter, fileFilter, mergeSchema, tagColHint) // keeps empty-prune semantics
-    else {
-      val pruned = if (mergeSchema) None
-                   else uniformSchema(spark, table, v).map(s => (v, tagColHint, s))
-      applyLogical(readEntriesMerged(spark, table, es, mergeSchema, pruned), table, v)
-    }
+    else
+      applyLogical(readEntriesMerged(spark, table, es, mergeSchema,
+        pruned = Some((v, tagColHint))), table, v)
   }
 
   /** Decorate staged entries with a per-file BLOOM FILTER over

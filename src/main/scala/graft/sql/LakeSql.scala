@@ -235,23 +235,19 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * version) cache, so repeated resolutions re-read no footers. */
   private def merged(path: String, tagCol: String, version: Long): LogicalPlan = {
     val v = if (version < 0) Snapshots.currentVersion(path) else version
-    val entries = Snapshots.entriesAt(path, v)
-    val (renames, dropped) = Snapshots.schemaMapping(path, v)
-    val uniform =
-      if (entries.isEmpty) None else Snapshots.uniformSchema(spark, path, v)
+    val (renames, _) = Snapshots.schemaMapping(path, v)
     // pushed predicates reach the scan under PHYSICAL names (the
     // logical projection rewrites them on the way down), so the tag
     // hint must be physical too
     val physTag = renames.collectFirst {
       case (p, l) if l == tagCol => p }.getOrElse(tagCol)
-    val plain = uniform.isDefined &&
-      !entries.exists(_.props.contains(Snapshots.DvRefProp)) &&
-      renames.isEmpty && dropped.isEmpty
-    if (plain)
-      org.apache.spark.sql.GraftRelations.prunedParquetPlan(
-        spark, path, physTag, v, entries, uniform.get)
-    else Snapshots.readMerged(spark, path, version,
-        mergeSchema = entries.nonEmpty && uniform.isEmpty,
+    // one call covers every table state: the kernel picks a single
+    // pruned scan (uniform slice), a pruned-per-group union (evolved
+    // schema), the DV anti-join over pruned scans (vectors), or the
+    // sound plain fallback — mergeSchema=true is the SQL contract
+    // (union schema, NULL-fill)
+    Snapshots.readMerged(spark, path, version,
+        mergeSchema = Snapshots.entriesAt(path, v).nonEmpty,
         tagColHint = physTag)
       .queryExecution.analyzed
   }

@@ -520,6 +520,35 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .head.getLong(0) == 48L)
   }
 
+  test("file skipping survives DV + evolution combined: pruned union under the anti-join") {
+    import spark.implicits._
+    val rows1 = for { d <- 0 until 4; i <- 0 until 24 }
+      yield (d * 100L + i, s"d$d", i.toDouble)
+    val rows2 = for { d <- 4 until 8; i <- 0 until 24 }
+      yield (d * 100L + i, s"d$d", i.toDouble, i.toLong)
+    val table = tmp("sql-dvevo")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(rows1.toDF("id", "day", "v"), table, "day", "id",
+        buckets = 12))
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(rows2.toDF("id", "day", "v", "w"), table, "day",
+        "id", buckets = 12))
+    LakeSql.register(spark, "sqldve", table, "day")
+    val total = Snapshots.entriesAll(table).size
+    // a small MOR delete in EACH era: vectors + two schema groups at once
+    spark.sql("DELETE FROM sqldve WHERE id IN (101, 601)")
+    assert(Snapshots.entriesAll(table).exists(_.props.contains("ref.dv")))
+
+    val (f1, n1) = openedFiles("SELECT id, day, v, w FROM sqldve WHERE day = 'd1'")
+    assert(n1 == 23 && f1 < total / 2,
+      s"DV+evolved era-1 day must prune: opened $f1 of $total, $n1 rows")
+    val (f2, n2) = openedFiles("SELECT id, day, v, w FROM sqldve WHERE day = 'd6'")
+    assert(n2 == 23 && f2 < total / 2,
+      s"DV+evolved era-2 day must prune: opened $f2 of $total, $n2 rows")
+    assert(spark.sql("SELECT count(*) AS n FROM sqldve").collect()
+      .head.getLong(0) == 190L)
+  }
+
   test("pruning and reads survive a column rename: physical tag hint bridges") {
     val table = mk("sql-ren", "sqlrn",
       (1L, "a", 1.0), (2L, "b", 2.0), (10L, "b", 10.0))
