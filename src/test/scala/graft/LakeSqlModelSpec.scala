@@ -5,12 +5,14 @@ import graft.sql.LakeSql
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Model check of the SQL SURFACE: a random statement sequence issued
-  * entirely as `spark.sql` text — CREATE/INSERT/MERGE (both forms)/
-  * UPDATE/DELETE/RESTORE/OPTIMIZE plus VERSION AS OF probes — tracked
-  * against a pure in-memory model. The kernel already carries its own
-  * randomized model (MutationsSpec); this one proves the PARSER →
-  * COMMAND → KERNEL lowering and the resolution-rule reads compose
-  * under arbitrary interleavings, not just the per-statement specs. */
+  * entirely as `spark.sql` text — CREATE/INSERT (positional and
+  * explicit-column)/MERGE (upsert, clause, and BY SOURCE sync forms)/
+  * UPDATE/DELETE/RESTORE/OPTIMIZE/RENAME COLUMN with mid-rename DML,
+  * plus VERSION AS OF probes — tracked against a pure in-memory model.
+  * The kernel already carries its own randomized model (MutationsSpec);
+  * this one proves the PARSER → COMMAND → KERNEL lowering and the
+  * resolution-rule reads compose under arbitrary interleavings, not
+  * just the per-statement specs. */
 class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
 
   test("SQL statements track a pure model under a random sequence") {
@@ -44,9 +46,9 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
     model = seed.map(r => r._1 -> ((r._2, r._3))).toMap
     snapshot(); check(0)
 
-    for (step <- 1 to 20) {
+    for (step <- 1 to 28) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(8) match {
+      rnd.nextInt(11) match {
         case 0 => // INSERT
           val rows = fresh(tag, 1 + rnd.nextInt(3))
           spark.sql(s"INSERT INTO mdl SELECT * FROM ${values(rows)}")
@@ -97,6 +99,34 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
             .map { case (id, (d, vv)) => (id, d, vv) }.sortBy(_._1)
           assert(stateVia(s"SELECT id, day, v FROM mdl VERSION AS OF $v") == want,
             s"VERSION AS OF $v diverged at step $step")
+        case 8 if model.nonEmpty => // BY SOURCE scoped sync on one tag (r10)
+          val t0 = rnd.shuffle(model.values.map(_._1).toSeq).head
+          val keep = model.toSeq.filter(_._2._1 == t0)
+          val restated = rnd.shuffle(keep)
+            .take(math.max(1, keep.size - rnd.nextInt(2)))
+            .map { case (id, (d, _)) => (id, d, rnd.nextInt(1000).toDouble) }
+          spark.sql(
+            s"""MERGE INTO mdl t USING ${values(restated)} s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED BY SOURCE AND t.day = '$t0' THEN DELETE
+               |""".stripMargin)
+          val restatedIds = restated.map(_._1).toSet
+          model = model.filter { case (id, (d, _)) =>
+            d != t0 || restatedIds(id) } ++
+            restated.map(r => r._1 -> ((r._2, r._3)))
+        case 9 => // explicit-column INSERT, shuffled binding order (r10)
+          val r = fresh(tag, 1).head
+          spark.sql(s"INSERT INTO mdl (v, id, day) " +
+            s"VALUES (CAST(${r._3} AS DOUBLE), CAST(${r._1} AS BIGINT), '${r._2}')")
+          model += r._1 -> ((r._2, r._3))
+        case 10 => // rename there-and-back with DML in the middle (r10):
+          // the stage family must resolve live logical names throughout
+          spark.sql("ALTER GRAFT TABLE mdl RENAME COLUMN v TO w")
+          val rr = fresh(tag, 1).head
+          spark.sql(s"INSERT INTO mdl (id, day, w) " +
+            s"VALUES (CAST(${rr._1} AS BIGINT), '${rr._2}', CAST(${rr._3} AS DOUBLE))")
+          spark.sql("ALTER GRAFT TABLE mdl RENAME COLUMN w TO v")
+          model += rr._1 -> ((rr._2, rr._3))
         case _ => ()
       }
       snapshot(); check(step)
