@@ -35,11 +35,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *     inserts, `currentVersion` tails only post-start changes;
   *   - `maxVersionsPerBatch` (optional): admission cap per micro-batch
   *     — a stream starting far behind a busy table catches up in
-  *     bounded chunks instead of one giant batch. Use with a polling
-  *     trigger: under `Trigger.AvailableNow` Spark captures the first
-  *     (capped) offset as "everything available" and stops there (the
-  *     DSv1 API can't advertise more than it admits; the DSv2
-  *     SupportsAdmissionControl split would lift this).
+  *     bounded chunks instead of one giant batch. Works under every
+  *     trigger: the source implements `SupportsTriggerAvailableNow`
+  *     (the Delta pattern — admission control mixed into a DSv1
+  *     Source), so `Trigger.AvailableNow` pins the end target once and
+  *     drains to it in capped batches before stopping.
   *
   * The schema is PINNED at stream start (current snapshot's logical
   * schema + `_change_type`); batches crossing a later rename/drop
@@ -68,7 +68,7 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
     val maxPer = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerBatch") => v.toLong }
     require(maxPer.forall(_ >= 1), "graft-changes: maxVersionsPerBatch must be >= 1")
-    new ChangesSource(ctx.sparkSession, table, starting, maxPer, metadataPath)
+    new ChangesSource(ctx.sparkSession, table, starting, maxPer)
   }
 }
 
@@ -83,64 +83,65 @@ object ChangesSource {
 }
 
 class ChangesSource(spark: SparkSession, table: String,
-                    startingVersion: Long, maxVersionsPerBatch: Option[Long],
-                    metadataPath: String) extends Source {
+                    startingVersion: Long, maxVersionsPerBatch: Option[Long])
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = ChangesSource.feedSchema(spark, table)
 
-  /** Highest version handed out so far — ADMISSION state only (floors
-    * [[getOffset]] so it never regresses below an already-checkpointed
-    * batch, and caps the next batch under `maxVersionsPerBatch`);
-    * correctness lives in the checkpointed offset log, which re-drives
-    * [[getBatch]] with the authoritative range on restart. Persisted
-    * under the source's own `metadataPath` (tmp + atomic move) so a
-    * restarted stream's first [[getOffset]] is monotone even before
-    * Spark replays any batch. */
-  // metadataPath arrives as a URI string (file:/…); resolve it as one,
-  // or a relative "file:/…" directory materializes under the CWD
-  private val hwFile = {
-    val dir = if (metadataPath.contains(":/"))
-      new java.io.File(java.net.URI.create(metadataPath).getPath)
-    else new java.io.File(metadataPath)
-    new java.io.File(dir, "graft-changes-highwater")
-  }
-  @volatile private var highWater: Long = {
-    val persisted =
-      if (hwFile.exists())
-        new String(java.nio.file.Files.readAllBytes(hwFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      else 0L
-    math.max(startingVersion, persisted)
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => V2Offset, ReadLimit}
+
+  /** End target pinned by `Trigger.AvailableNow`: Spark calls
+    * [[prepareForTriggerAvailableNow]] once at start, then drains
+    * batches until [[latestOffset]] reaches this version — which is
+    * what lets the `maxVersionsPerBatch` cap chunk the drain WITHOUT
+    * ending the query at the first chunk (the r10 DSv1-only
+    * limitation, since lifted by mixing in the admission-control
+    * interfaces the Delta source uses). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Snapshots.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(m => ReadLimit.maxRows(m)) // versions, see latestOffset
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: the next batch ends at most `maxVersionsPerBatch`
+    * versions past `start` (the checkpoint-authoritative offset Spark
+    * hands back — no source-side high-water state needed), clamped to
+    * the AvailableNow target when one is pinned. Null = no new data. */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val startV = Option(start).map(longOf).getOrElse(startingVersion)
+    val cur = availableNowTarget.getOrElse(Snapshots.currentVersion(table))
+    val target = maxVersionsPerBatch.fold(cur)(m => math.min(cur, startV + m))
+    if (target <= startV) null else LongOffset(target)
   }
 
-  private def persistHighWater(v: Long): Unit = {
-    Option(hwFile.getParentFile).foreach(_.mkdirs())
-    val tmp = new java.io.File(hwFile.getParentFile, s".${hwFile.getName}.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, hwFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  override def reportLatestOffset(): V2Offset =
+    LongOffset(Snapshots.currentVersion(table))
 
-  private def longOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+  private def longOf(o: V2Offset): Long =
     o match {
       case l: LongOffset => l.offset
       case s: SerializedOffset => LongOffset(s).offset
       case other => other.json.toLong
     }
 
+  /** Legacy polling entry — unreached once Spark sees the
+    * admission-control interface, kept correct for completeness:
+    * advertises everything available (Spark itself compares against the
+    * committed offset, so an uncapped answer is always sound). */
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val cur = Snapshots.currentVersion(table)
-    val target = maxVersionsPerBatch.fold(cur)(m => math.min(cur, highWater + m))
-    if (target <= highWater) None else Some(LongOffset(target))
+    if (cur <= startingVersion) None else Some(LongOffset(cur))
   }
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val fromV = start.map(longOf(_)).getOrElse(startingVersion)
     val toV = longOf(end)
-    if (toV > highWater) { highWater = toV; persistHighWater(toV) }
     val feed = Snapshots.changes(spark, table, fromV, toV)
     // align to the pinned schema BY NAME: a feed crossing a schema
     // evolution presents the union schema — pinned columns keep their

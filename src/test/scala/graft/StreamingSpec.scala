@@ -97,19 +97,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       Snapshots.stage(df3((i.toLong, "a", i.toDouble)), table, "day")))
 
     // startingVersion = v0 skips the bootstrap; maxVersionsPerBatch = 1
-    // admits one version per micro-batch. A polling trigger drains the
-    // backlog chunk by chunk (AvailableNow would capture the first
-    // capped offset as "everything" and stop early — DSv1 can't
-    // advertise more than it admits, the documented trade)
+    // admits one version per micro-batch. The source implements
+    // SupportsTriggerAvailableNow (r10), so AvailableNow pins the end
+    // target once and drains to it in capped chunks before stopping —
+    // pre-r10 it captured the first capped offset as "everything" and
+    // ended after one batch
     val q = spark.readStream.format("graft-changes")
       .option("startingVersion", v0.toString)
       .option("maxVersionsPerBatch", "1")
       .load(table)
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
     assert(spark.read.parquet(out).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L),
       "tail-only stream must see exactly the post-start appends")
