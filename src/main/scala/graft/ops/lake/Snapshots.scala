@@ -1613,9 +1613,12 @@ object Snapshots {
     * re-cluster — new files may span wider value ranges than
     * range-clustered originals, which weakens their stats' selectivity
     * but never their correctness; [[compact]] with `zorderBy` restores
-    * the clustering.) */
-  private[lake] def restageLike(spark: SparkSession, df: DataFrame, table: String,
-                                tagCol: String): Seq[Entry] = {
+    * the clustering.) Also the APPEND path for surfaces that take
+    * arbitrary user frames (SQL INSERT INTO) — a plain [[stage]] there
+    * would land stats-free files on a stats-bearing table and quietly
+    * erode its skipping. */
+  private[graft] def restageLike(spark: SparkSession, df: DataFrame, table: String,
+                                 tagCol: String): Seq[Entry] = {
     val keys = entriesAll(table).flatMap(_.props.keys).distinct
     val statsCols = keys.collect { case k if k.startsWith("min.") => k.drop(4) }
     val bloomCols = keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }

@@ -348,7 +348,7 @@ object LakeStatements {
   private val MergeHead =
     """(?is)^MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
   private val CreateTable =
-    """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)\s+AS\s+(SELECT\s.+)""".r
+    """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(\s*(\w+)\s*\))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\s.+)""".r
   private val AddConstraint =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)""".r
   private val DropConstraint =
@@ -475,12 +475,26 @@ object LakeStatements {
         // DDL+CTAS in one: stage the query result under `location`
         // partitioned by the tag column, commit v1, and register the
         // name — the SQL twin of commit(stage(df)) + register
-        case CreateTable(name, location, tagCol, query) => Some(
+        case CreateTable(name, location, tagCol, statsCol, zorder, query) => Some(
           LakeCommand("CREATE GRAFT TABLE", versionOut, s => {
             require(Snapshots.currentVersion(location) == 0,
               s"CREATE GRAFT TABLE $name: $location already holds a table")
-            val v = Snapshots.commit(location,
-              Snapshots.stage(s.sql(query), location, tagCol))
+            require(statsCol == null || zorder == null,
+              s"CREATE GRAFT TABLE $name: STATS BY and ZORDER BY are exclusive")
+            val df = s.sql(query)
+            // STATS BY range-clusters on one column (per-file min/max
+            // skipping from the first commit); ZORDER BY interleaves up
+            // to 4 — the same layout knobs CONVERT and OPTIMIZE expose
+            val v =
+              if (zorder != null)
+                Snapshots.commitAll(location, Snapshots.stageZOrdered(df,
+                  location, tagCol,
+                  zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+              else if (statsCol != null)
+                Snapshots.commitAll(location,
+                  Snapshots.stageWithStats(df, location, tagCol, statsCol))
+              else Snapshots.commit(location,
+                Snapshots.stage(df, location, tagCol))
             LakeSql.register(s, name, location, tagCol)
             Seq(Row(v))
           }))
@@ -533,8 +547,10 @@ object LakeStatements {
                  else org.apache.spark.sql.functions.lit(null))
                   .cast(f.dataType).as(f.name)
               }: _*)
-              Seq(Row(Snapshots.commit(path,
-                Snapshots.stage(aligned, path, tag))))
+              // restageLike, not bare stage: the append must carry the
+              // table's stats/bloom decoration or skipping erodes
+              Seq(Row(Snapshots.commitAll(path,
+                Snapshots.restageLike(s, aligned, path, tag))))
             })
           }
         // append-only commit of the query result (the lake's write
@@ -557,8 +573,9 @@ object LakeStatements {
               .select(schema.map(f =>
                 org.apache.spark.sql.functions.col(f.name)
                   .cast(f.dataType).as(f.name)): _*)
-            Seq(Row(Snapshots.commit(path,
-              Snapshots.stage(aligned, path, tag))))
+            // restageLike, not bare stage: stats/bloom decoration rides
+            Seq(Row(Snapshots.commitAll(path,
+              Snapshots.restageLike(s, aligned, path, tag))))
           })
         }
         case _ => None

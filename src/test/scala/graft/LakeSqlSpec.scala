@@ -562,6 +562,33 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("CTAS STATS BY clusters for skipping; INSERT carries decoration forward") {
+    val loc = tmp("sql-ctas-stats")
+    spark.sql(
+      s"""CREATE GRAFT TABLE sqlst LOCATION '$loc' PARTITIONED BY (day)
+         |STATS BY (id) AS SELECT
+         |  CAST(id AS BIGINT) AS id,
+         |  CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS day,
+         |  CAST(id AS DOUBLE) AS v
+         |FROM range(200)""".stripMargin)
+    assert(Snapshots.entriesAll(loc).forall(_.props.contains("min.id")),
+      "STATS BY must decorate every CTAS entry with footer stats")
+    val total = Snapshots.entriesAll(loc).size
+    assert(total >= 4, s"need a multi-file layout, got $total")
+    val (files, n) = openedFiles("SELECT id FROM sqlst WHERE id BETWEEN 10 AND 20")
+    assert(n == 11 && files < total,
+      s"range skipping from the first commit: opened $files of $total")
+
+    // an INSERT must not erode the surface: new files carry stats too
+    spark.sql("INSERT INTO sqlst SELECT CAST(1000 AS BIGINT), 'a', CAST(0.0 AS DOUBLE)")
+    assert(Snapshots.entriesAll(loc).forall(_.props.contains("min.id")),
+      "INSERT INTO must restage with the table's stats decoration")
+    // and explicit-column INSERTs ride the same path
+    spark.sql("INSERT INTO sqlst (id, day) VALUES (1001, 'b')")
+    assert(Snapshots.entriesAll(loc).forall(_.props.contains("min.id")))
+    LakeSql.unregister(spark, "sqlst")
+  }
+
   test("ALTER RENAME/DROP COLUMN through SQL; DML works on the new names") {
     val table = mk("sql-alter", "sqlalt",
       (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
