@@ -86,6 +86,26 @@ object SqlPruneProbe {
     probe("id point/DV    ",
       "SELECT * FROM probe_ev WHERE event_id = 4243")
 
+    // POST-EVOLUTION variant (r10 session 2): a second era lands with an
+    // EXTRA column (kernel staging — the s11 evolution discipline) —
+    // divergent footers used to force the unpruned mergeSchema read;
+    // the grouped pruned union must keep skipping
+    val era2 = ev
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_date", date_add(col("event_date"), 60))
+      .withColumn("venue", lit("x"))
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(era2, table, "event_date", "event_id"))
+    val total2 = Snapshots.entriesAll(table).size
+    println(s"[sqlprune] --- after an extra-column era (evolved schema, " +
+      s"$total2 files) ---")
+    probe("day equality/EV",
+      "SELECT * FROM probe_ev WHERE event_date = DATE '2024-01-18'")
+    probe("era2 day/EV    ",
+      "SELECT * FROM probe_ev WHERE event_date = DATE '2024-03-18'")
+    probe("id point/EV    ",
+      "SELECT * FROM probe_ev WHERE event_id = 4243")
+
     spark.stop()
   }
 }
