@@ -315,9 +315,26 @@ object Snapshots {
       inherit = false)
   }
 
-  private def manifestEntries(table: String, mfName: String): Seq[Entry] =
-    new String(Files.readAllBytes(new File(logDir(table), mfName).toPath), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map(parseEntry)
+  // manifests are IMMUTABLE (fresh UUID names, never rewritten), so
+  // their parsed entries cache safely — even across a drop-and-recreate
+  // under the same path, which snapshot FILES do not survive (version
+  // numbers restart; that is why snapLines stays uncached). Without
+  // this every SQL resolution re-read and re-parsed the whole manifest
+  // list — O(entries) driver text work per query, the piece that grows
+  // with table size at 10⁶ files. Bounded: clear past a working set
+  // (re-parsing after eviction is correctness-neutral); vacuumed
+  // manifests linger until eviction but are never requested again (no
+  // live snapshot references them).
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Entry]]()
+
+  private def manifestEntries(table: String, mfName: String): Seq[Entry] = {
+    if (manifestCache.size > 4096) manifestCache.clear()
+    manifestCache.computeIfAbsent((table, mfName), { _ =>
+      new String(Files.readAllBytes(new File(logDir(table), mfName).toPath), UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map(parseEntry)
+    })
+  }
 
   /** Write an IMMUTABLE manifest for `lines`; returns its fresh name.
     * Invisible to readers until a snapshot file lists it. */
