@@ -1666,35 +1666,44 @@ object Snapshots {
     * at a maintenance moment the operator picks. Returns the committed
     * version (the current one when nothing needs rewriting). */
   def compact(spark: SparkSession, table: String, tagCol: String,
-              zorderBy: Seq[String] = Seq.empty): Long = {
+              zorderBy: Seq[String] = Seq.empty,
+              tagFilter: String => Boolean = _ => true): Long = {
     // the rewrite is PINNED to v0: input read, replaced-entry set, and
     // commit base all reference this version, and [[commitRewrite]]
     // refuses if a concurrent writer touched any replaced entry — a
     // deleteWhere folding a vector onto a file being compacted away
-    // mid-rewrite must conflict, never silently resurrect its rows
+    // mid-rewrite must conflict, never silently resurrect its rows.
+    // `tagFilter` SCOPES the maintenance (the Delta `OPTIMIZE … WHERE`
+    // shape): only matching tags are considered, read, rewritten, or —
+    // for the DV guard — required vector-free; at 10⁶ files an operator
+    // optimizes the day that fragmented, not the table.
     val v0 = currentVersion(table)
     val all = entriesAt(table, v0)
-    require(!all.exists(_.props.keys.exists(_.startsWith("ref."))),
-      s"compact($table): table has merge-on-read sidecars (ref.* entry " +
-        "props) — the kernel read would resurrect deleted rows; run " +
+    val scoped = all.filter(e => tagFilter(e.tag))
+    require(!scoped.exists(_.props.keys.exists(_.startsWith("ref."))),
+      s"compact($table): scoped tags have merge-on-read sidecars (ref.* " +
+        "entry props) — the kernel read would resurrect deleted rows; run " +
         "Mutations.purgeVectors first")
     val carried = snapshotProps(table, v0)
       .filter { case (k, _) => k.startsWith("mv.") }
     if (zorderBy.nonEmpty) {
-      val bloomCols = all.flatMap(_.props.keys)
+      val bloomCols = scoped.flatMap(_.props.keys)
         .collect { case k if k.startsWith("bloom.") => k.drop(6) }.distinct
-      val df = readVersion(spark, table, v0)
+      if (scoped.isEmpty) return v0
+      val df = readVersion(spark, table, v0, tagFilter = tagFilter)
       val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
         (acc, c) => withBloom(acc, table, c, spark))
-      commitRewrite(table, v0, es, remove = _ => true, props = carried)
+      val inScope = scoped.map(_.rel).toSet
+      commitRewrite(table, v0, es,
+        remove = { case (rel, _) => inScope.contains(rel) }, props = carried)
     } else {
-      val fragTags = all.groupBy(_.tag).filter(_._2.size > 1).keySet
+      val fragTags = scoped.groupBy(_.tag).filter(_._2.size > 1).keySet
       // synthetic (converted) tags count as always-fragmented: their tag
       // is a file id, not a partition value, so the per-tag grouping can
       // never coalesce them — rewriting through stage() derives the real
       // tags and drops the marker, which is what turns a CONVERTed
       // layout into a tag-pruned one
-      val rels = all.collect {
+      val rels = scoped.collect {
         case e if fragTags.contains(e.tag) ||
           e.props.contains(TagSyntheticProp) => e.rel
       }.toSet

@@ -330,7 +330,9 @@ object LakeStatements {
   private val Vacuum =
     """(?is)VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?""".r
   private val Optimize =
-    """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""".r
+    """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+))?""".r
+  private val TagEq = """(?is)\s*(\w+)\s*=\s*'([^']*)'\s*""".r
+  private val TagIn = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val History =
     """(?is)DESCRIBE\s+HISTORY\s+(\w+)""".r
   private val Detail =
@@ -390,11 +392,27 @@ object LakeStatements {
         case _ => None
       }
       case "OPTIMIZE" => text match {
-        case Optimize(name, zcols) => lookup(name).map { case (path, tag) =>
+        case Optimize(name, zcols, where) => lookup(name).map { case (path, tag) =>
           val z = Option(zcols).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          // WHERE scopes the maintenance to matching TAGS (the Delta
+          // `OPTIMIZE … WHERE` shape) — tag equality or IN on the
+          // table's partition column only, the same restriction Delta
+          // documents (maintenance scope is a partition set, not a row
+          // predicate)
+          val tagFilter: String => Boolean = Option(where) match {
+            case None => _ => true
+            case Some(TagEq(c, v)) if c.equalsIgnoreCase(tag) => _ == v
+            case Some(TagIn(c, vs)) if c.equalsIgnoreCase(tag) =>
+              val set = vs.split(",").map(_.trim.stripPrefix("'")
+                .stripSuffix("'")).toSet
+              set.contains(_)
+            case Some(other) => throw new IllegalArgumentException(
+              s"OPTIMIZE $name: WHERE must be `$tag = '<v>'` or " +
+                s"`$tag IN ('<v>', …)` on the partition column, got: $other")
+          }
           LakeCommand("OPTIMIZE", versionOut, s =>
-            Seq(Row(Snapshots.compact(s, path, tag, z))))
+            Seq(Row(Snapshots.compact(s, path, tag, z, tagFilter))))
         }
         case _ => None
       }

@@ -562,6 +562,35 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("OPTIMIZE WHERE scopes maintenance to matching tags") {
+    val table = tmp("sql-optwhere")
+    // fragment BOTH days across two commits
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (10L, "b", 10.0)), table, "day", "id", buckets = 2))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((2L, "a", 2.0), (11L, "b", 11.0)), table, "day", "id", buckets = 2))
+    LakeSql.register(spark, "sqlow", table, "day")
+    assert(Snapshots.entries(table).count(_._2 == "a") == 2)
+    assert(Snapshots.entries(table).count(_._2 == "b") == 2)
+
+    spark.sql("OPTIMIZE sqlow WHERE day = 'a'").collect()
+    // day a coalesced, day b left exactly as it was
+    assert(Snapshots.entries(table).count(_._2 == "a") == 1,
+      "scoped OPTIMIZE must coalesce the named tag")
+    assert(Snapshots.entries(table).count(_._2 == "b") == 2,
+      "scoped OPTIMIZE must not touch other tags")
+    assert(content("SELECT id, day, v FROM sqlow") ==
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)))
+
+    spark.sql("OPTIMIZE sqlow WHERE day IN ('b')").collect()
+    assert(Snapshots.entries(table).count(_._2 == "b") == 1)
+
+    val e = intercept[Exception](
+      spark.sql("OPTIMIZE sqlow WHERE v > 2.0").collect())
+    assert(e.getMessage.contains("partition column"))
+    LakeSql.unregister(spark, "sqlow")
+  }
+
   test("CTAS STATS BY clusters for skipping; INSERT carries decoration forward") {
     val loc = tmp("sql-ctas-stats")
     spark.sql(
