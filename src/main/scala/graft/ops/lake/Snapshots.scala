@@ -1663,8 +1663,12 @@ object Snapshots {
     * [[stageZOrdered]] on those columns. Repeated COW rewrites preserve
     * stats but not clustering, so per-file ranges widen until min/max
     * and bloom skipping stop pruning; this restores the per-file boxes
-    * at a maintenance moment the operator picks. Returns the committed
-    * version (the current one when nothing needs rewriting). */
+    * at a maintenance moment the operator picks. DV-bearing files
+    * always rewrite, vectors MATERIALIZED (the Delta OPTIMIZE
+    * behavior — see the r10 note in the body). `tagFilter` scopes the
+    * whole pass to matching tags (`OPTIMIZE … WHERE`). Returns the
+    * committed version (the current one when nothing needs
+    * rewriting). */
   def compact(spark: SparkSession, table: String, tagCol: String,
               zorderBy: Seq[String] = Seq.empty,
               tagFilter: String => Boolean = _ => true): Long = {
@@ -1680,19 +1684,25 @@ object Snapshots {
     val v0 = currentVersion(table)
     val all = entriesAt(table, v0)
     val scoped = all.filter(e => tagFilter(e.tag))
-    require(!scoped.exists(_.props.keys.exists(_.startsWith("ref."))),
-      s"compact($table): scoped tags have merge-on-read sidecars (ref.* " +
-        "entry props) — the kernel read would resurrect deleted rows; run " +
-        "Mutations.purgeVectors first")
     val carried = snapshotProps(table, v0)
       .filter { case (k, _) => k.startsWith("mv.") }
+    // DV-AWARE (r10, the Delta OPTIMIZE behavior): rewritten files read
+    // MERGED — their deletion vectors are materialized into the new
+    // files and the refs drop with the replaced entries (sidecars
+    // become vacuum fodder); time travel keeps the vectored entries in
+    // their own snapshots and the change feed sees cancelling
+    // delete+insert pairs, same as REORG. Pre-r10 compact refused
+    // DV-bearing tables outright and demanded a manual purge first.
     if (zorderBy.nonEmpty) {
       val bloomCols = scoped.flatMap(_.props.keys)
         .collect { case k if k.startsWith("bloom.") => k.drop(6) }.distinct
       if (scoped.isEmpty) return v0
-      val df = readVersion(spark, table, v0, tagFilter = tagFilter)
+      val df = readMerged(spark, table, version = v0, tagFilter = tagFilter)
       val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
         (acc, c) => withBloom(acc, table, c, spark))
+      // a re-cluster of a fully-DV-deleted slice would commit zero
+      // files — unreadable; keep the vector layout (readable as empty)
+      if (es.isEmpty && scoped.size == all.size) return v0
       val inScope = scoped.map(_.rel).toSet
       commitRewrite(table, v0, es,
         remove = { case (rel, _) => inScope.contains(rel) }, props = carried)
@@ -1702,16 +1712,20 @@ object Snapshots {
       // is a file id, not a partition value, so the per-tag grouping can
       // never coalesce them — rewriting through stage() derives the real
       // tags and drops the marker, which is what turns a CONVERTed
-      // layout into a tag-pruned one
+      // layout into a tag-pruned one. DV-bearing files always rewrite
+      // (their reads pay an anti-join until someone materializes).
       val rels = scoped.collect {
         case e if fragTags.contains(e.tag) ||
-          e.props.contains(TagSyntheticProp) => e.rel
+          e.props.contains(TagSyntheticProp) ||
+          e.props.contains(DvRefProp) => e.rel
       }.toSet
       if (rels.isEmpty) currentVersion(table)
       else {
-        val df = readVersion(spark, table, v0,
+        val df = readMerged(spark, table, version = v0,
           fileFilter = e => rels.contains(e.rel))
-        commitRewrite(table, v0, restageLike(spark, df, table, tagCol),
+        val staged = restageLike(spark, df, table, tagCol)
+        if (staged.isEmpty && rels.size == all.size) return v0
+        commitRewrite(table, v0, staged,
           remove = { case (rel, _) => rels.contains(rel) }, props = carried)
       }
     }

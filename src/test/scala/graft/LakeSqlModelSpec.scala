@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.lake.{Mutations, Snapshots}
+import graft.ops.lake.Snapshots
 import graft.sql.LakeSql
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -89,9 +89,8 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
           val v = rnd.shuffle(history.keys.toSeq).head
           spark.sql(s"RESTORE mdl TO VERSION AS OF $v")
           model = history(v)
-        case 6 => // OPTIMIZE: layout only (purge vectors first — compact
-          // refuses DV-bearing tables by contract)
-          Mutations.purgeVectors(spark, table, "day")
+        case 6 => // OPTIMIZE: layout only — DV-aware since r10, vectors
+          // materialize in the same pass (no manual purge step)
           spark.sql("OPTIMIZE mdl")
         case 7 if history.nonEmpty => // VERSION AS OF probe vs history
           val v = rnd.shuffle(history.keys.toSeq).head

@@ -389,9 +389,12 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
 
     // OPTIMIZE rewrites synthetic-tagged files through stage(): real
     // tags from the data, marker dropped — the CONVERTed layout becomes
-    // a genuinely tag-pruned one (purge first: compact refuses DV props)
-    graft.ops.lake.Mutations.purgeVectors(spark, loc, "day")
+    // a genuinely tag-pruned one. The earlier DELETE's vector
+    // materializes in the same pass (r10 DV-aware compact — no manual
+    // purge step)
     spark.sql("OPTIMIZE sqlconv").collect()
+    assert(!Snapshots.entriesAll(loc).exists(_.props.contains("ref.dv")),
+      "OPTIMIZE must materialize deletion vectors")
     val retagged = Snapshots.entriesAll(loc)
     assert(retagged.nonEmpty &&
       retagged.forall(e => !e.props.contains(Snapshots.TagSyntheticProp)))
