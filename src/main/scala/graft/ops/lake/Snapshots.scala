@@ -563,19 +563,13 @@ object Snapshots {
   // resolutions against one version re-read nothing (this is also the
   // resolution-rule schema-read cache the r9 verdict asked for).
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String),
+    (String, Long),
     Seq[(org.apache.spark.sql.types.StructType, Set[String])]]()
 
   /** Footer reads performed by [[schemaGroups]] misses — observability
     * hook for the caching contract (a repeated SQL resolution of one
     * snapshot must read zero footers); specs assert on deltas. */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
-
-  private[graft] def digest(ss: Seq[String]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    ss.foreach { s => md.update(s.getBytes(UTF_8)); md.update(0.toByte) }
-    java.util.Base64.getEncoder.encodeToString(md.digest())
-  }
 
   private def schemaGroup(rel: String): String = {
     val segs = rel.split('/')
@@ -593,7 +587,15 @@ object Snapshots {
     val es = entriesAt(table, v)
     if (es.isEmpty) return Seq.empty
     if (schemaCache.size > 256) schemaCache.clear()
-    schemaCache.computeIfAbsent((table, v, digest(es.map(_.rel))), { _ =>
+    // keyed (table, v) WITHOUT an entry digest: a committed version's
+    // entry set is immutable, file content behind a rel is immutable
+    // (UUID names), and the one way this key can go stale — a table
+    // dropped and recreated under the same path — produces rels the
+    // cached groups don't cover, which [[groupedRead]]'s coverage guard
+    // turns into the sound plain-read fallback. Digesting every rel
+    // per resolution would cost O(entries) hashing per query at 10⁶
+    // files for protection the guard already provides.
+    schemaCache.computeIfAbsent((table, v), { _ =>
       val byDir = es.groupBy(e => schemaGroup(e.rel))
       footerReads.addAndGet(byDir.size)
       byDir.toSeq.sortBy(_._1)
