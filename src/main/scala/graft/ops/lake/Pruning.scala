@@ -99,6 +99,15 @@ object Pruning {
     if (doubles.size == nonNull.size)
       parts += Snapshots.anyOf(doubles.map(v =>
         Snapshots.rangeOverlap(a.name, v, v)): _*)
+    // STRING columns (r10): a pushed string-literal comparison implies
+    // the COLUMN is string-typed (Spark inserts casts otherwise, which
+    // block pushdown), so the column's min/max props — recorded by the
+    // string footer path in unsigned-UTF-8 order — compare soundly
+    if (a.dataType == StringType && nonNull.forall(_.dataType == StringType))
+      parts += Snapshots.anyOf(nonNull.map { l =>
+        val v = l.value.toString
+        Snapshots.rangeOverlapString(a.name, Some(v), Some(v))
+      }: _*)
     val longs = nonNull.flatMap(asLong)
     if (longs.size == nonNull.size)
       parts += Snapshots.anyOf(longs.map(v =>
@@ -112,6 +121,14 @@ object Pruning {
     asDouble(l).map { v =>
       if (lower) Snapshots.rangeOverlap(a.name, v, Double.PositiveInfinity)
       else Snapshots.rangeOverlap(a.name, Double.NegativeInfinity, v)
+    }.orElse {
+      // string ranges prune lexicographically (unsigned UTF-8 — the
+      // footer stats' order); the unbounded side stays open
+      if (a.dataType == StringType && l.dataType == StringType && l.value != null) {
+        val v = l.value.toString
+        Some(if (lower) Snapshots.rangeOverlapString(a.name, Some(v), None)
+             else Snapshots.rangeOverlapString(a.name, None, Some(v)))
+      } else None
     }
 
   /** Literal rendered exactly as staging rendered the tag value. */

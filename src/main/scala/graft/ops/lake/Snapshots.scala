@@ -1310,18 +1310,67 @@ object Snapshots {
       columns.flatMap { column =>
         val chunks = byCol.getOrElse(column, Seq.empty)
         val stats = chunks.map(_.getStatistics)
-        val numeric = chunks.headOption.exists(c =>
-          Set(INT32, INT64, FLOAT, DOUBLE).contains(
-            c.getPrimitiveType.getPrimitiveTypeName))
-        if (chunks.isEmpty || !numeric ||
+        val tpe = chunks.headOption.map(_.getPrimitiveType.getPrimitiveTypeName)
+        val numeric = tpe.exists(Set(INT32, INT64, FLOAT, DOUBLE).contains)
+        val stringy = tpe.contains(BINARY) && chunks.headOption.exists(c =>
+          c.getPrimitiveType.getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType())
+        if (chunks.isEmpty || !(numeric || stringy) ||
             stats.exists(st => st == null || !st.hasNonNullValue)) None
-        else {
+        else if (numeric) {
           val mins = stats.map(_.genericGetMin.toString.toDouble)
           val maxs = stats.map(_.genericGetMax.toString.toDouble)
           Some(column -> (mins.min.toString, maxs.max.toString))
+        } else {
+          // STRING min/max — bounds stay valid even when parquet
+          // truncated them (truncation keeps min a lower and max an
+          // upper bound by contract). Order by UNSIGNED UTF-8 bytes:
+          // that is parquet's BINARY(UTF8) order AND Unicode code-point
+          // order, which String.compareTo (UTF-16 units) is NOT for
+          // supplementary chars — comparing consistently here and in
+          // [[rangeOverlapString]] is what keeps skipping sound. Values
+          // carrying manifest framing chars are skipped (absence keeps
+          // the file — sound), not escaped.
+          val mins = stats.map(_.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          val maxs = stats.map(_.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          val mn = mins.reduce((a, b) => if (utf8Lte(a, b)) a else b)
+          val mx = maxs.reduce((a, b) => if (utf8Lte(a, b)) b else a)
+          if (s"$mn$mx".exists(c =>
+              c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002')) None
+          else Some(column -> (mn, mx))
         }
       }.toMap
     } finally reader.close()
+  }
+
+  /** a <= b in UNSIGNED UTF-8 byte order (parquet BINARY/UTF8 stats
+    * order == Unicode code-point order). */
+  private[lake] def utf8Lte(a: String, b: String): Boolean = {
+    val (ab, bb) = (a.getBytes(UTF_8), b.getBytes(UTF_8))
+    var i = 0
+    while (i < ab.length && i < bb.length) {
+      val x = ab(i) & 0xff; val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length <= bb.length
+  }
+
+  /** [[rangeOverlap]] for STRING stats columns: keep the file unless its
+    * recorded [min, max] lies entirely outside [lo, hi] in unsigned
+    * UTF-8 order; `None` bounds are open (no string is a universal
+    * upper bound — supplementary chars sort above U+FFFF in UTF-8, so
+    * open sides must be explicit, not sentinels); files without string
+    * stats are always kept. */
+  def rangeOverlapString(statsCol: String, lo: Option[String],
+                         hi: Option[String]): Entry => Boolean = { e =>
+    (e.props.get(s"min.$statsCol"), e.props.get(s"max.$statsCol")) match {
+      case (Some(mn), Some(mx)) =>
+        lo.forall(utf8Lte(_, mx)) && hi.forall(utf8Lte(mn, _))
+      case _ => true
+    }
   }
 
   /** Prepared-but-uncommitted snapshot: the manifest NAMES it will list

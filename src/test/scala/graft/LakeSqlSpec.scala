@@ -565,6 +565,35 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("string-column footer stats prune equality and ranges") {
+    import spark.implicits._
+    // names arrive range-clustered, so per-file [min, max] string
+    // bands are tight and both equality and ranges can prune
+    val names = ('a' to 'z').map(c => s"${c}name")
+    val rows = for { n <- names; i <- 0 until 8 }
+      yield (n.hashCode.toLong * 100 + i, "d0", n)
+    val table = tmp("sql-strstats")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "name"), table, "day", "name", buckets = 13))
+    assert(Snapshots.entriesAll(table).forall(e =>
+      e.props.contains("min.name") && e.props.contains("max.name")),
+      "string stats must land in the manifest")
+    LakeSql.register(spark, "sqlss", table, "day")
+    val total = Snapshots.entriesAll(table).size
+    assert(total >= 8, s"need a multi-file layout, got $total")
+
+    val (fEq, nEq) = openedFiles("SELECT id FROM sqlss WHERE name = 'mname'")
+    assert(nEq == 8 && fEq < total / 2,
+      s"string equality must prune: opened $fEq of $total")
+    val (fRg, nRg) = openedFiles("SELECT id FROM sqlss WHERE name >= 'xname'")
+    assert(nRg == 24 && fRg < total / 2,
+      s"string range must prune: opened $fRg of $total")
+    // soundness at the boundary: every row accounted for
+    assert(spark.sql("SELECT count(*) AS n FROM sqlss WHERE name < 'c'")
+      .collect().head.getLong(0) == 16L)
+    LakeSql.unregister(spark, "sqlss")
+  }
+
   test("OPTIMIZE WHERE scopes maintenance to matching tags") {
     val table = tmp("sql-optwhere")
     // fragment BOTH days across two commits
