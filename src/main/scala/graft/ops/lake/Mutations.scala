@@ -91,7 +91,13 @@ object Mutations {
       else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
         bounds.getDouble(0), bounds.getDouble(1))
     val srcKeys = source.select(col(keyCol)).distinct()
-    val touchedIds = Snapshots.readVersion(spark, table, v0, fileFilter = candidates)
+    // every read below is mergeSchema = true: on a column-evolved table
+    // a plain read pins one footer's schema, and a rewrite through it
+    // would silently DROP evolved columns from the restaged files
+    // (review find) — the merged union NULL-fills instead and the
+    // rewrite converges files onto the full schema
+    val touchedIds = Snapshots.readVersion(spark, table, v0,
+        fileFilter = candidates, mergeSchema = true)
       .select(col(keyCol), Snapshots.fileIdCol(input_file_name()).as("__f"))
       .join(srcKeys, keyCol)
       .select(col("__f"))
@@ -107,7 +113,7 @@ object Mutations {
       if (touchedRels.isEmpty) source
       else readMerged(spark, table, version = v0,
           fileFilter = e => touchedRels.contains(e.rel),
-          mergeSchema = evolveSchema)
+          mergeSchema = true) // target-side evolution: survivors carry the union schema
         .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         .unionByName(source, allowMissingColumns = evolveSchema)
     Snapshots.commitRewrite(table, v0, restageLike(spark, replaced, table, tagCol),
@@ -199,11 +205,15 @@ object Mutations {
         bounds.getDouble(0), bounds.getDouble(1))
     val srcKeys = source.select(keyCols.map(col): _*).distinct().persist()
     try {
-      val tCols = Snapshots.readVersion(spark, table, v0).columns
+      // mergeSchema everywhere (see mergeInto) — evolved columns must
+      // survive the rewrite, and conditions may reference them
+      val tCols = Snapshots.readVersion(spark, table, v0,
+        mergeSchema = true).columns
       // matched keys against the MERGED candidates (vector-deleted rows
       // excluded) decide inserts; stats-pruned files can't contain a
       // source key, so the candidate scan is complete
-      val matchedKeys = readMerged(spark, table, version = v0, fileFilter = candidates)
+      val matchedKeys = readMerged(spark, table, version = v0,
+          fileFilter = candidates, mergeSchema = true)
         .select(keyCols.map(col): _*)
         .join(srcKeys, keyCols, "left_semi").distinct().persist()
       try {
@@ -214,7 +224,8 @@ object Mutations {
         // DV-deleted is harmless — its survivors restage verbatim)
         val matchTouchedIds: Set[String] =
           if (!hasMatchedClause) Set.empty
-          else Snapshots.readVersion(spark, table, v0, fileFilter = candidates)
+          else Snapshots.readVersion(spark, table, v0,
+              fileFilter = candidates, mergeSchema = true)
             .select(keyCols.map(col) :+
               Snapshots.fileIdCol(input_file_name()).as("__f"): _*)
             .join(srcKeys, keyCols, "left_semi")
@@ -230,7 +241,7 @@ object Mutations {
             val fire = Seq(whenNotMatchedBySourceDelete,
                 whenNotMatchedBySourceUpdate.map(_._1)).flatten
               .map(c => coalesce(c, lit(false))).reduce(_ || _)
-            Snapshots.readVersion(spark, table, v0)
+            Snapshots.readVersion(spark, table, v0, mergeSchema = true)
               .withColumn("__f", Snapshots.fileIdCol(input_file_name()))
               .alias("t")
               .join(srcKeys, keyCols, "left_anti")
@@ -246,7 +257,8 @@ object Mutations {
           if (touchedRels.isEmpty) None
           else {
             val tgt = readMerged(spark, table, version = v0,
-              fileFilter = e => touchedRels.contains(e.rel))
+              fileFilter = e => touchedRels.contains(e.rel),
+              mergeSchema = true)
             val joined = tgt.alias("t").join(
               source.withColumn("__m", lit(true)).alias("s"),
               keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
@@ -290,7 +302,8 @@ object Mutations {
             // expression (cast to the target type — a bare literal's
             // inferred type must not wedge a mis-typed file in), the
             // rest NULL-fill; unknown names are the SQL analysis error
-            val schema = Snapshots.readVersion(spark, table, v0).schema
+            val schema = Snapshots.readVersion(spark, table, v0,
+              mergeSchema = true).schema
             val byName = insertSelect.map { case (k, v) =>
               k.toLowerCase(Locale.ROOT) -> v }
             val unknownIns = byName.keySet.diff(
@@ -401,7 +414,10 @@ object Mutations {
     // persisted: the match scan feeds BOTH the touched-file collect and
     // the sidecar write (or COW anti-join) — unpersisted, the full
     // predicate scan would execute twice
-    val matched = Snapshots.readVersion(spark, table, v0, tagFilter, fileFilter)
+    // mergeSchema: the predicate may reference an evolved column a
+    // first-footer-pinned plain read would not resolve (review find)
+    val matched = Snapshots.readVersion(spark, table, v0, tagFilter, fileFilter,
+        mergeSchema = true, metadataSafe = true)
       .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)
@@ -437,7 +453,8 @@ object Mutations {
         // state after this delete: one pass materializes the prior
         // vectors and the new matches together
         val raw = Snapshots.readVersion(spark, table, v0,
-          fileFilter = e => relSet.contains(e.rel))
+          fileFilter = e => relSet.contains(e.rel), mergeSchema = true,
+          metadataSafe = true)
         val cols = raw.columns.map(col)
         val survivors = raw
           .withColumn("__fid", Snapshots.fileIdCol(col("_metadata.file_path")))
@@ -724,7 +741,8 @@ object Mutations {
                   fileFilter: Snapshots.Entry => Boolean = _ => true): Long = {
     // pinned read-modify-write (see mergeInto)
     val v0 = Snapshots.currentVersion(table)
-    val touchedIds = Snapshots.readVersion(spark, table, v0, tagFilter, fileFilter)
+    val touchedIds = Snapshots.readVersion(spark, table, v0, tagFilter, fileFilter,
+        mergeSchema = true, metadataSafe = true)
       .filter(predicate)
       .select(Snapshots.fileIdCol(col("_metadata.file_path")).as("__f"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -735,7 +753,7 @@ object Mutations {
     // mergeInto: touched files' vectors are materialized by the rewrite
     val rewritten = set.foldLeft(
       readMerged(spark, table, version = v0,
-        fileFilter = e => touchedRels.contains(e.rel))) {
+        fileFilter = e => touchedRels.contains(e.rel), mergeSchema = true)) {
       case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
     }
     Snapshots.commitRewrite(table, v0, restageLike(spark, rewritten, table, tagCol),

@@ -142,6 +142,15 @@ object Pruning {
     case _: org.apache.spark.sql.types.NumericType =>
       Option(Cast(l, DoubleType, Some(SQLConf.get.sessionLocalTimeZone)).eval(null))
         .map(_.asInstanceOf[Double])
+    // DATE/TIMESTAMP stats ride the footer as their physical integers
+    // (INT32 epoch days / INT64 micros — exactly the catalyst internal
+    // values), so the literal's raw value compares against min/max
+    // props directly; micros stay well inside double's 2^53 exactness
+    case org.apache.spark.sql.types.DateType =>
+      Option(l.value).map(_.asInstanceOf[Int].toDouble)
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      Option(l.value).map(_.asInstanceOf[Long].toDouble)
     case _ => None
   }
 

@@ -154,9 +154,7 @@ object Snapshots {
     val entries = adopted.map { rel =>
       val stats =
         if (statsCols.isEmpty) Map.empty[String, String]
-        else footerStats(s"$table/$rel", statsCols).flatMap {
-          case (c, (mn, mx)) => Seq(s"min.$c" -> mn, s"max.$c" -> mx)
-        }
+        else footerStats(s"$table/$rel", statsCols)
       Entry(rel, fileId(rel), stats + (TagSyntheticProp -> "1"))
     }
     commitAll(table, entries)
@@ -681,7 +679,8 @@ object Snapshots {
                   tagFilter: String => Boolean = _ => true,
                   fileFilter: Entry => Boolean = _ => true,
                   mergeSchema: Boolean = false,
-                  tagColHint: String = ""): DataFrame = {
+                  tagColHint: String = "",
+                  metadataSafe: Boolean = false): DataFrame = {
     val mfs = manifestList(table, v)
     val selected = mfs
       .collect { case (mf, tags) if tags.isEmpty || tags.exists(tagFilter) => mf }
@@ -698,9 +697,13 @@ object Snapshots {
       // data skipping for every kernel read, same rows either way.
       // Renamed/dropped schemas ride too: the scan is physical, the
       // logical projection sits above it (filters push back through).
+      // metadataSafe: `_metadata` columns only resolve on a SINGLE scan
+      // relation — a grouped union cannot expose them — so such callers
+      // (position-collecting mutation scans) forgo the pruned union on
+      // evolved slices and take the plain one-relation mergeSchema read
       applyLogical(
         groupedRead(spark, table, v, selected, tagColHint,
-            allowUnion = mergeSchema)
+            allowUnion = mergeSchema && !metadataSafe)
           .getOrElse(spark.read
             .option("mergeSchema", mergeSchema.toString).parquet(fs: _*)),
         table, v)
@@ -858,9 +861,13 @@ object Snapshots {
       // step-logical -> toV-logical, bridged by the stable physical name
       val m = renAt.map { case (p, lAt) => lAt -> renTo.getOrElse(p, p) } ++
         renTo.collect { case (p, lTo) if !renAt.contains(p) => p -> lTo }
-      m.foldLeft(df) { case (d, (from, to)) =>
-        if (from != to && d.columns.contains(from)) d.withColumnRenamed(from, to)
-        else d }
+      // ONE simultaneous projection, not chained withColumnRenamed: a
+      // rename chain that reuses a freed logical name (a->x, x->y,
+      // b->x) would otherwise collide mid-chain depending on map
+      // iteration order (review find)
+      if (m.forall { case (from, to) => from == to }) df
+      else df.select(df.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(s"`$c`").as(m.getOrElse(c, c))): _*)
     }
     val steps = math.max(fromV, 0L) + 1 to toV
     if (steps.isEmpty) // from == to: the empty feed, schema-complete
@@ -1011,14 +1018,13 @@ object Snapshots {
       statsCols.map(physicalName(table, _)))
   }
 
-  /** Decorate staged entries with `min.<col>`/`max.<col>` props for
-    * every stats column, one footer open per file. */
+  /** Decorate staged entries with `min./max.<col>` (numeric) or
+    * `smin./smax.<col>` (string) props for every stats column, one
+    * footer open per file. */
   private[lake] def withFooterStats(staged: Seq[(String, String)], table: String,
                                     statsCols: Seq[String]): Seq[Entry] =
     staged.map { case (rel, tag) =>
-      Entry(rel, tag, footerStats(s"$table/$rel", statsCols).flatMap {
-        case (c, (mn, mx)) => Seq(s"min.$c" -> mn, s"max.$c" -> mx)
-      })
+      Entry(rel, tag, footerStats(s"$table/$rel", statsCols))
     }
 
   /** Keep-if-overlapping predicate for [[read]]/[[readVersion]]'s
@@ -1028,8 +1034,14 @@ object Snapshots {
     * exclusion). */
   def rangeOverlap(statsCol: String, lo: Double, hi: Double): Entry => Boolean = { e =>
     (e.props.get(s"min.$statsCol"), e.props.get(s"max.$statsCol")) match {
-      case (Some(mn), Some(mx)) => mx.toDouble >= lo && mn.toDouble <= hi
-      case _                    => true
+      case (Some(mn), Some(mx)) =>
+        // toDoubleOption, not toDouble: a non-numeric bound (foreign or
+        // corrupted prop) must KEEP the file, never throw mid-prune
+        (mn.toDoubleOption, mx.toDoubleOption) match {
+          case (Some(a), Some(b)) => b >= lo && a <= hi
+          case _ => true
+        }
+      case _ => true
     }
   }
 
@@ -1287,16 +1299,20 @@ object Snapshots {
     }
   }
 
-  /** Min/max of a numeric primitive column from the parquet footer
-    * (per row group, folded across groups); None when the column is
-    * missing, non-primitive-numeric, or any row group lacks stats. */
-  private def footerMinMax(path: String, column: String): Option[(String, String)] =
-    footerStats(path, Seq(column)).get(column)
-
-  /** [[footerMinMax]] for several columns in ONE footer open; columns
-    * without usable stats are simply absent from the result. */
+  /** Per-file stats PROPS from the parquet footer in ONE open:
+    * `min./max.<col>` for numeric primitives whose logical annotation
+    * makes the raw stat comparable to catalyst literal internals
+    * (plain ints/floats, DATE epoch days, MICROS timestamps — decimal
+    * UNSCALED ints and milli/nano timestamps are skipped: their raw
+    * values are not the literal's scale, and pruning against them
+    * would silently skip matching files), and `smin./smax.<col>` for
+    * BINARY/UTF8 in unsigned-UTF-8 order — SEPARATE keys, so the
+    * numeric prune can never `toDouble` a string bound (or numerically
+    * compare bounds recorded lexicographically). Columns without
+    * usable stats are absent — absence keeps files, the standing
+    * soundness rule. */
   private def footerStats(path: String,
-                          columns: Seq[String]): Map[String, (String, String)] = {
+                          columns: Seq[String]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1311,16 +1327,33 @@ object Snapshots {
         val chunks = byCol.getOrElse(column, Seq.empty)
         val stats = chunks.map(_.getStatistics)
         val tpe = chunks.headOption.map(_.getPrimitiveType.getPrimitiveTypeName)
-        val numeric = tpe.exists(Set(INT32, INT64, FLOAT, DOUBLE).contains)
-        val stringy = tpe.contains(BINARY) && chunks.headOption.exists(c =>
-          c.getPrimitiveType.getLogicalTypeAnnotation ==
-            org.apache.parquet.schema.LogicalTypeAnnotation.stringType())
+        val ann = chunks.headOption
+          .map(_.getPrimitiveType.getLogicalTypeAnnotation).orNull
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        // the numeric raw stat must BE the catalyst literal's internal
+        // value: plain ints/floats (no annotation or int annotation),
+        // DATE (epoch days), MICROS timestamps (epoch micros). Decimal
+        // UNSCALED ints and MILLIS/NANOS timestamps are different
+        // scales — recording them would make pruning silently skip
+        // matching files (review find), so they get no stats at all.
+        val annOk = ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+          ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+          (ann match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
+        val numeric = tpe.exists(Set(INT32, INT64, FLOAT, DOUBLE).contains) && annOk
+        val stringy = tpe.contains(BINARY) &&
+          ann == LogicalTypeAnnotation.stringType()
         if (chunks.isEmpty || !(numeric || stringy) ||
             stats.exists(st => st == null || !st.hasNonNullValue)) None
         else if (numeric) {
           val mins = stats.map(_.genericGetMin.toString.toDouble)
           val maxs = stats.map(_.genericGetMax.toString.toDouble)
-          Some(column -> (mins.min.toString, maxs.max.toString))
+          Seq(s"min.$column" -> mins.min.toString,
+              s"max.$column" -> maxs.max.toString)
         } else {
           // STRING min/max — bounds stay valid even when parquet
           // truncated them (truncation keeps min a lower and max an
@@ -1339,7 +1372,7 @@ object Snapshots {
           val mx = maxs.reduce((a, b) => if (utf8Lte(a, b)) b else a)
           if (s"$mn$mx".exists(c =>
               c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002')) None
-          else Some(column -> (mn, mx))
+          else Seq(s"smin.$column" -> mn, s"smax.$column" -> mx)
         }
       }.toMap
     } finally reader.close()
@@ -1366,7 +1399,7 @@ object Snapshots {
     * stats are always kept. */
   def rangeOverlapString(statsCol: String, lo: Option[String],
                          hi: Option[String]): Entry => Boolean = { e =>
-    (e.props.get(s"min.$statsCol"), e.props.get(s"max.$statsCol")) match {
+    (e.props.get(s"smin.$statsCol"), e.props.get(s"smax.$statsCol")) match {
       case (Some(mn), Some(mx)) =>
         lo.forall(utf8Lte(_, mx)) && hi.forall(utf8Lte(mn, _))
       case _ => true
@@ -1688,7 +1721,8 @@ object Snapshots {
   private[graft] def restageLike(spark: SparkSession, df: DataFrame, table: String,
                                  tagCol: String): Seq[Entry] = {
     val keys = entriesAll(table).flatMap(_.props.keys).distinct
-    val statsCols = keys.collect { case k if k.startsWith("min.") => k.drop(4) }
+    val statsCols = (keys.collect { case k if k.startsWith("min.") => k.drop(4) } ++
+      keys.collect { case k if k.startsWith("smin.") => k.drop(5) }).distinct
     val bloomCols = keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }
     val staged = stage(df, table, tagCol)
     val withStats =
@@ -1734,7 +1768,12 @@ object Snapshots {
     // optimizes the day that fragmented, not the table.
     val v0 = currentVersion(table)
     val all = entriesAt(table, v0)
-    val scoped = all.filter(e => tagFilter(e.tag))
+    // synthetic (CONVERTed) tags are file ids, not partition values —
+    // no user WHERE value can name them, so a scoped pass INCLUDES them
+    // (rewriting re-tags them properly; excluding them would make
+    // scoped OPTIMIZE a silent no-op on converted files, review find)
+    val scoped = all.filter(e =>
+      tagFilter(e.tag) || e.props.contains(TagSyntheticProp))
     val carried = snapshotProps(table, v0)
       .filter { case (k, _) => k.startsWith("mv.") }
     // DV-AWARE (r10, the Delta OPTIMIZE behavior): rewritten files read
@@ -1748,13 +1787,17 @@ object Snapshots {
       val bloomCols = scoped.flatMap(_.props.keys)
         .collect { case k if k.startsWith("bloom.") => k.drop(6) }.distinct
       if (scoped.isEmpty) return v0
-      val df = readMerged(spark, table, version = v0, tagFilter = tagFilter)
+      // read by FILE, not tag: the read set must equal the remove set
+      // exactly (a tag-filtered read would drop synthetic files the
+      // scope includes — removed without restage = data loss)
+      val inScope = scoped.map(_.rel).toSet
+      val df = readMerged(spark, table, version = v0,
+        fileFilter = e => inScope.contains(e.rel))
       val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
         (acc, c) => withBloom(acc, table, c, spark))
       // a re-cluster of a fully-DV-deleted slice would commit zero
       // files — unreadable; keep the vector layout (readable as empty)
       if (es.isEmpty && scoped.size == all.size) return v0
-      val inScope = scoped.map(_.rel).toSet
       commitRewrite(table, v0, es,
         remove = { case (rel, _) => inScope.contains(rel) }, props = carried)
     } else {

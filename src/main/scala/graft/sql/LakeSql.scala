@@ -404,8 +404,12 @@ object LakeStatements {
             case None => _ => true
             case Some(TagEq(c, v)) if c.equalsIgnoreCase(tag) => _ == v
             case Some(TagIn(c, vs)) if c.equalsIgnoreCase(tag) =>
-              val set = vs.split(",").map(_.trim.stripPrefix("'")
-                .stripSuffix("'")).toSet
+              // extract QUOTED literals, never split on raw commas — a
+              // tag value may itself contain one (review find)
+              val lits = "'([^']*)'".r.findAllMatchIn(vs).map(_.group(1)).toSeq
+              require(lits.nonEmpty,
+                s"OPTIMIZE $name: IN list must be quoted literals, got ($vs)")
+              val set = lits.toSet
               set.contains(_)
             case Some(other) => throw new IllegalArgumentException(
               s"OPTIMIZE $name: WHERE must be `$tag = '<v>'` or " +

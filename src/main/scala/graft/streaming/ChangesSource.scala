@@ -42,9 +42,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *     drains to it in capped batches before stopping.
   *
   * The schema is PINNED at stream start (current snapshot's logical
-  * schema + `_change_type`); batches crossing a later rename/drop
-  * align to it by name with NULL-fill — restart the stream to pick up
-  * an evolved schema, the standard streaming-source contract. */
+  * schema + `_change_type`); batches crossing a later ADDITIVE
+  * evolution align by name (new columns invisible until restart), and
+  * a rename/drop of a pinned column FAILS the query loudly — the
+  * Delta contract; silently NULL-filling renamed data would blank it
+  * into the sink. */
 class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
@@ -143,12 +145,22 @@ class ChangesSource(spark: SparkSession, table: String,
     val fromV = start.map(longOf(_)).getOrElse(startingVersion)
     val toV = longOf(end)
     val feed = Snapshots.changes(spark, table, fromV, toV)
-    // align to the pinned schema BY NAME: a feed crossing a schema
+    // align to the pinned schema BY NAME: a feed crossing an ADDITIVE
     // evolution presents the union schema — pinned columns keep their
-    // start-time types, columns added later are invisible until restart
+    // start-time types, columns added later are invisible until
+    // restart. A pinned column MISSING from the feed means a rename or
+    // drop landed mid-stream: fail the query (the Delta contract) —
+    // NULL-filling would silently blank real data into the sink
+    // (review find).
+    val missing = schema.fieldNames.filterNot(_ == "_change_type")
+      .filterNot(feed.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-changes[$table]: column(s) ${missing.mkString(", ")} " +
+          "left the feed schema (RENAME/DROP COLUMN landed mid-stream) — " +
+          "restart the stream to adopt the evolved schema")
     val aligned = feed.select(schema.fields.toSeq.map { f =>
-      (if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)
+      col(f.name).cast(f.dataType).as(f.name)
     }: _*)
     // MicroBatchExecution requires isStreaming=true on DSv1 batches —
     // same internalCreateDataFrame move FileStreamSource makes

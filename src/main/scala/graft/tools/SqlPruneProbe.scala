@@ -44,12 +44,13 @@ object SqlPruneProbe {
       val ms = (System.nanoTime() - t0) / 1e6
       // descend through AQE stages: the DV anti-join plan nests its
       // scans inside materialized QueryStageExec subtrees
+      // ReusedExchangeExec not descended: its subtree executes once
+      // under the original exchange — re-counting would inflate
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[FileSourceScanExec] = (p match {
         case s: FileSourceScanExec => Seq(s)
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
         case _ => Seq.empty
       }) ++ p.children.flatMap(scans)
       val files = scans(df2.queryExecution.executedPlan)

@@ -445,11 +445,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     import org.apache.spark.sql.execution.adaptive._
     val df0 = spark.sql(sql)
     val n = df0.collect().length
+    // ReusedExchangeExec is NOT descended: its subtree executes once
+    // under the original exchange, and counting its scans again would
+    // inflate numFiles (review find)
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
       case s: FileSourceScanExec => Seq(s)
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
-      case r: exchange.ReusedExchangeExec => scans(r.child)
       case _ => Seq.empty
     }) ++ p.children.flatMap(scans)
     val total = scans(df0.queryExecution.executedPlan)
@@ -576,8 +578,8 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     Snapshots.commitAll(table, Snapshots.stageWithStats(
       rows.toDF("id", "day", "name"), table, "day", "name", buckets = 13))
     assert(Snapshots.entriesAll(table).forall(e =>
-      e.props.contains("min.name") && e.props.contains("max.name")),
-      "string stats must land in the manifest")
+      e.props.contains("smin.name") && e.props.contains("smax.name")),
+      "string stats must land in the manifest under their OWN keys")
     LakeSql.register(spark, "sqlss", table, "day")
     val total = Snapshots.entriesAll(table).size
     assert(total >= 8, s"need a multi-file layout, got $total")
@@ -592,6 +594,90 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT count(*) AS n FROM sqlss WHERE name < 'c'")
       .collect().head.getLong(0) == 16L)
     LakeSql.unregister(spark, "sqlss")
+  }
+
+  test("date-column footer stats prune ranges (epoch-day integers)") {
+    import spark.implicits._
+    // a SECONDARY date column (the tag is a plain bucket string), so
+    // only its footer stats can prune
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"b${i % 2}", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i / 4)))
+    }
+    val table = tmp("sql-datestats")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "bucket", "d"), table, "bucket", "d", buckets = 10))
+    assert(Snapshots.entriesAll(table).forall(_.props.contains("min.d")))
+    LakeSql.register(spark, "sqlds", table, "bucket")
+    val total = Snapshots.entriesAll(table).size
+    assert(total >= 6, s"need a multi-file layout, got $total")
+
+    val (f1, n1) = openedFiles(
+      "SELECT id FROM sqlds WHERE d = DATE '2024-01-10'")
+    assert(n1 == 4 && f1 < total / 2,
+      s"date equality must prune: opened $f1 of $total")
+    val (f2, n2) = openedFiles(
+      "SELECT id FROM sqlds WHERE d >= DATE '2024-01-25'")
+    assert(n2 == 24 && f2 < total / 2,
+      s"date range must prune: opened $f2 of $total")
+    LakeSql.unregister(spark, "sqlds")
+  }
+
+  test("decimal columns record no footer stats; queries stay correct") {
+    import spark.implicits._
+    // parquet stores small decimals as UNSCALED ints — recording those
+    // as stats would make 'WHERE dec = 0.50' prune every file (review
+    // find); the annotation gate skips them instead
+    val rows = (1 to 40).map(i =>
+      (i.toLong, "a", new java.math.BigDecimal(s"0.${10 + i}")))
+    val table = tmp("sql-decstats")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "dec"), table, "day", "dec", buckets = 4))
+    assert(Snapshots.entriesAll(table).forall(e =>
+      !e.props.keys.exists(_.endsWith(".dec"))),
+      "decimal columns must record no stats (unscaled mismatch)")
+    LakeSql.register(spark, "sqldec", table, "day")
+    assert(spark.sql("SELECT id FROM sqldec WHERE dec = 0.50")
+      .collect().map(_.getLong(0)).toSeq == Seq(40L))
+    LakeSql.unregister(spark, "sqldec")
+  }
+
+  test("OPTIMIZE WHERE on a CONVERTed table still reaches synthetic-tagged files") {
+    import spark.implicits._
+    val loc = tmp("sql-convopt")
+    (1 to 8).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("id", "day", "v").repartition(4)
+      .write.mode("overwrite").parquet(loc)
+    spark.sql(s"CONVERT TO GRAFT TABLE sqlco LOCATION '$loc' PARTITIONED BY (day)")
+    assert(Snapshots.entriesAll(loc).forall(
+      _.props.contains(Snapshots.TagSyntheticProp)))
+    // pre-fix: no synthetic tag equals 'a', so this was a silent no-op
+    spark.sql("OPTIMIZE sqlco WHERE day = 'a'").collect()
+    val es = Snapshots.entriesAll(loc)
+    assert(es.forall(e => !e.props.contains(Snapshots.TagSyntheticProp)),
+      "scoped OPTIMIZE must rewrite (and re-tag) converted files")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlco").collect()
+      .head.getLong(0) == 8L)
+    LakeSql.unregister(spark, "sqlco")
+  }
+
+  test("OPTIMIZE WHERE IN handles tag values containing commas") {
+    val table = tmp("sql-optcomma")
+    import spark.implicits._
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      Seq((1L, "a,b", 1.0), (2L, "a,b", 2.0), (3L, "c", 3.0), (4L, "c", 4.0))
+        .toDF("id", "day", "v"), table, "day", "id", buckets = 2))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      Seq((5L, "a,b", 5.0), (6L, "c", 6.0)).toDF("id", "day", "v"),
+      table, "day", "id", buckets = 2))
+    LakeSql.register(spark, "sqlcm", table, "day")
+    assert(Snapshots.entries(table).count(_._2 == "a,b") >= 2)
+    spark.sql("OPTIMIZE sqlcm WHERE day IN ('a,b')").collect()
+    assert(Snapshots.entries(table).count(_._2 == "a,b") == 1,
+      "the comma-valued tag must be scoped, not split apart")
+    assert(Snapshots.entries(table).count(_._2 == "c") == 2,
+      "the other tag must be untouched")
+    LakeSql.unregister(spark, "sqlcm")
   }
 
   test("OPTIMIZE WHERE scopes maintenance to matching tags") {

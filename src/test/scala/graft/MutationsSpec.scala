@@ -755,6 +755,59 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(mvRows() == Seq(("a", 2L, 3.0), ("b", 2L, 40.0)))
   }
 
+  test("MERGE on a string key with numeric-looking values: string stats never mis-prune") {
+    import spark.implicits._
+    // string stats ('100' < '2000' < '999' numerically but NOT
+    // lexicographically) — the numeric key-bounds prune must ignore
+    // them entirely (they live under smin./smax.), or matched rows
+    // would be missed and the MERGE would insert duplicates
+    val table = tmp("mut-strkey")
+    val base = Seq(("100", "a", 1.0), ("500", "a", 5.0), ("999", "b", 9.0),
+      ("2000", "b", 20.0)).toDF("k", "day", "v")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(base, table, "day", "k", buckets = 4))
+    assert(Snapshots.entriesAll(table).forall(e =>
+      !e.props.contains("min.k") && e.props.contains("smin.k")),
+      "string stats must not land under numeric keys")
+
+    Mutations.mergeInto(spark, table,
+      Seq(("2000", "b", 777.0)).toDF("k", "day", "v"), "k", "day")
+    val got = Mutations.readMerged(spark, table).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(("100", 1.0), ("2000", 777.0), ("500", 5.0), ("999", 9.0)),
+      "the matched row must update exactly once — no duplicate insert")
+  }
+
+  test("mutations on a column-evolved table preserve evolved columns") {
+    import spark.implicits._
+    val table = tmp("mut-evokeep")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "day", "v"), table, "day"))
+    // era 2 adds w
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((10L, "b", 10.0, 100L), (11L, "b", 11.0, 110L))
+        .toDF("id", "day", "v", "w"), table, "day"))
+
+    // a COW update touching an era-2 file must keep w in the rewrite
+    Mutations.updateWhere(spark, table, col("id") === 10,
+      Map("v" -> lit(99.0)), "day")
+    val after = Snapshots.readMerged(spark, table, mergeSchema = true)
+    assert(after.columns.contains("w"), "w must survive the rewrite")
+    val r10 = after.filter(col("id") === 10).collect().head
+    assert(r10.getDouble(after.columns.indexOf("v")) == 99.0 &&
+      r10.getLong(after.columns.indexOf("w")) == 100L,
+      "the rewritten row keeps its evolved column value")
+
+    // a BY SOURCE condition on the evolved column resolves (NULL on
+    // era-1 rows → clause does not fire there, per SQL)
+    Mutations.mergeIntoKeys(spark, table,
+      Seq((999L, "c", 0.0, 0L)).toDF("id", "day", "v", "w"), Seq("id"), "day",
+      whenNotMatchedBySourceDelete = Some(col("t.w") > lit(105L)))
+    val ids = Snapshots.readMerged(spark, table, mergeSchema = true)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 10L), "only the w>105 row deletes; era-1 rows stay")
+  }
+
   test("delete touching 1000+ files: sidecar restriction scales past isin") {
     // 32 tags x 32 buckets = 1024 tiny files — the r9 verdict's
     // wide-delete shape, where an isin of every touched file id builds

@@ -84,6 +84,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got().size == 6, "an idle restart must emit no rows")
   }
 
+  test("change-feed source fails loudly when a pinned column is renamed mid-stream") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc3-table")
+    val out = tmp("cdfsrc3-out")
+    val ckpt = tmp("cdfsrc3-ckpt")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1L, "a", 1.0)).toDF("id", "day", "v"), table, "day"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // a rename lands while the stream is down; NULL-filling `v` would
+    // silently blank real data into the sink — the restart must FAIL
+    Snapshots.renameColumn(spark, table, "v", "val")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2L, "b", 2.0)).toDF("id", "day", "val"), table, "day"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("restart the stream") ||
+      Option(e.getCause).exists(_.getMessage.contains("restart the stream")),
+      s"schema change must fail the stream, got: ${e.getMessage}")
+  }
+
   test("change-feed source: startingVersion tails, maxVersionsPerBatch chunks") {
     import graft.ops.lake.Snapshots
     import spark.implicits._
