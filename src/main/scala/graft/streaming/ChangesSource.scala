@@ -75,12 +75,15 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
 }
 
 object ChangesSource {
-  /** Feed schema = the table's current logical schema plus the reserved
+  /** Feed schema = the table's current logical UNION schema (merge-
+    * read — a plain read would pin one footer on an evolved table and
+    * a restart could never adopt added columns) plus the reserved
     * `_change_type` marker ([[Snapshots.changes]]' contract). */
   def feedSchema(spark: SparkSession, table: String): StructType = {
     require(Snapshots.currentVersion(table) >= 1,
       s"graft-changes: $table holds no committed snapshot")
-    Snapshots.read(spark, table).schema.add("_change_type", StringType)
+    Snapshots.read(spark, table, mergeSchema = true).schema
+      .add("_change_type", StringType)
   }
 }
 

@@ -113,6 +113,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"schema change must fail the stream, got: ${e.getMessage}")
   }
 
+  test("change-feed source pins the UNION schema of an evolved table") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc4-table")
+    val out = tmp("cdfsrc4-out")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1L, "a", 1.0)).toDF("id", "day", "v"), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2L, "b", 2.0, 20L)).toDF("id", "day", "v", "w"), table, "day"))
+    // a plain-read schema pin would miss w forever, even across restarts
+    val q = spark.readStream.format("graft-changes").load(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp("cdfsrc4-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.columns.contains("w"), "evolved column must be in the feed schema")
+    val rows = got.select("id", "w").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((1L, -1L), (2L, 20L)), "era-1 NULL-fills, era-2 carries w")
+  }
+
   test("change-feed source: startingVersion tails, maxVersionsPerBatch chunks") {
     import graft.ops.lake.Snapshots
     import spark.implicits._
