@@ -207,8 +207,9 @@ object Mutations {
     try {
       // mergeSchema everywhere (see mergeInto) — evolved columns must
       // survive the rewrite, and conditions may reference them
-      val tCols = Snapshots.readVersion(spark, table, v0,
-        mergeSchema = true).columns
+      val tSchema = Snapshots.readVersion(spark, table, v0,
+        mergeSchema = true).schema
+      val tCols = tSchema.fieldNames
       // matched keys against the MERGED candidates (vector-deleted rows
       // excluded) decide inserts; stats-pruned files can't contain a
       // source key, so the candidate scan is complete
@@ -285,9 +286,14 @@ object Mutations {
               s"mergeIntoClauses($table): UPDATE SET names unknown column(s) " +
                 s"${unknown.mkString(", ")} (table has ${tCols.mkString(", ")})")
             // matched/by-source predicates are disjoint (a row is one or
-            // the other), so the two SETs stack as independent whens
-            Some(joined.filter(!delPred && !bsDelPred).select(tCols.map { c =>
-              var e = col(s"t.$c")
+            // the other), so the two SETs stack as independent whens.
+            // A union-schema column the TOUCHED SLICE lacks (evolution
+            // landed elsewhere) NULL-fills — referencing t.<col> there
+            // would not resolve (model-spec find)
+            val tgtCols = tgt.columns.toSet
+            Some(joined.filter(!delPred && !bsDelPred).select(tCols.toSeq.map { c =>
+              var e = if (tgtCols.contains(c)) col(s"t.$c")
+                      else lit(null).cast(tSchema(c).dataType)
               if (bsSet.contains(c)) e = when(bsUpdPred, bsSet(c)).otherwise(e)
               if (updSet.contains(c)) e = when(updPred, updSet(c)).otherwise(e)
               e.as(c)
@@ -296,14 +302,21 @@ object Mutations {
         val inserts: Option[DataFrame] = whenNotMatchedInsert.map { cond =>
           val unmatched = source.join(matchedKeys, keyCols, "left_anti")
             .filter(coalesce(cond, lit(false)))
-          if (insertSelect.isEmpty) unmatched.select(tCols.map(col): _*)
-          else {
+          // INSERT *: bind by name; union-schema columns the SOURCE
+          // lacks NULL-fill (a pre-evolution-shaped source must merge
+          // into an evolved table — model-spec find)
+          if (insertSelect.isEmpty) {
+            val srcCols = unmatched.columns.toSet
+            unmatched.select(tSchema.map { f =>
+              (if (srcCols.contains(f.name)) col(f.name).cast(f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)
+            }: _*)
+          } else {
             // explicit-column INSERT: named targets take their VALUES
             // expression (cast to the target type — a bare literal's
             // inferred type must not wedge a mis-typed file in), the
             // rest NULL-fill; unknown names are the SQL analysis error
-            val schema = Snapshots.readVersion(spark, table, v0,
-              mergeSchema = true).schema
+            val schema = tSchema
             val byName = insertSelect.map { case (k, v) =>
               k.toLowerCase(Locale.ROOT) -> v }
             val unknownIns = byName.keySet.diff(

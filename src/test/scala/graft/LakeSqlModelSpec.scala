@@ -39,6 +39,7 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
         s"SQL read diverged at step $step")
     }
 
+    var evolved = false // positional INSERT needs full arity after evolution
     val seed = fresh("a", 3) ++ fresh("b", 3)
     spark.sql(
       s"""CREATE GRAFT TABLE mdl LOCATION '$table' PARTITIONED BY (day)
@@ -46,12 +47,15 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
     model = seed.map(r => r._1 -> ((r._2, r._3))).toMap
     snapshot(); check(0)
 
-    for (step <- 1 to 28) {
+    for (step <- 1 to 32) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(11) match {
-        case 0 => // INSERT
+      rnd.nextInt(12) match {
+        case 0 => // INSERT (explicit columns once the schema evolved —
+          // positional binding demands the full union arity, per SQL)
           val rows = fresh(tag, 1 + rnd.nextInt(3))
-          spark.sql(s"INSERT INTO mdl SELECT * FROM ${values(rows)}")
+          if (evolved)
+            spark.sql(s"INSERT INTO mdl (id, day, v) SELECT * FROM ${values(rows)}")
+          else spark.sql(s"INSERT INTO mdl SELECT * FROM ${values(rows)}")
           model ++= rows.map(r => r._1 -> ((r._2, r._3)))
         case 1 if model.nonEmpty => // MERGE upsert (UPDATE SET * / INSERT *)
           val upd = rnd.shuffle(model.toSeq).take(1 + rnd.nextInt(2))
@@ -126,6 +130,18 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
             s"VALUES (CAST(${rr._1} AS BIGINT), '${rr._2}', CAST(${rr._3} AS DOUBLE))")
           spark.sql("ALTER GRAFT TABLE mdl RENAME COLUMN w TO v")
           model += rr._1 -> ((rr._2, rr._3))
+        case 11 => // COLUMN EVOLUTION (r10 session 2): a kernel append
+          // lands an extra column; later random DML must run mergeSchema
+          // throughout or rewrites would drop it / conditions break —
+          // the model ignores the column, which is exactly the point
+          // (id/day/v semantics must be untouched by its presence)
+          import spark.implicits._
+          val ev = fresh(tag, 1).head
+          Snapshots.commit(table, Snapshots.stage(
+            Seq((ev._1, ev._2, ev._3, step.toLong))
+              .toDF("id", "day", "v", "extra"), table, "day"))
+          evolved = true
+          model += ev._1 -> ((ev._2, ev._3))
         case _ => ()
       }
       snapshot(); check(step)
