@@ -111,11 +111,23 @@ object Mutations {
     // mutation-model spec.
     val replaced =
       if (touchedRels.isEmpty) source
-      else readMerged(spark, table, version = v0,
-          fileFilter = e => touchedRels.contains(e.rel),
-          mergeSchema = true) // target-side evolution: survivors carry the union schema
-        .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
-        .unionByName(source, allowMissingColumns = evolveSchema)
+      else {
+        val survivors = readMerged(spark, table, version = v0,
+            fileFilter = e => touchedRels.contains(e.rel),
+            mergeSchema = true) // target-side evolution: union schema
+          .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
+        // source columns NOT in the target union stay gated by
+        // evolveSchema (the exact-schema contract); a source NARROWER
+        // than the evolved union always NULL-fills — the survivors now
+        // carry the union schema, and refusing a pre-evolution-shaped
+        // source would break every caller the moment one evolved file
+        // lands (review find)
+        val extra = source.columns.filterNot(survivors.columns.contains)
+        require(extra.isEmpty || evolveSchema,
+          s"mergeInto($table): source carries unknown column(s) " +
+            s"${extra.mkString(", ")} — pass evolveSchema = true to add them")
+        survivors.unionByName(source, allowMissingColumns = true)
+      }
     Snapshots.commitRewrite(table, v0, restageLike(spark, replaced, table, tagCol),
       remove = e => touchedRels.contains(e._1))
   }
@@ -242,12 +254,24 @@ object Mutations {
             val fire = Seq(whenNotMatchedBySourceDelete,
                 whenNotMatchedBySourceUpdate.map(_._1)).flatten
               .map(c => coalesce(c, lit(false))).reduce(_ || _)
-            Snapshots.readVersion(spark, table, v0, mergeSchema = true)
+            val base = Snapshots.readVersion(spark, table, v0, mergeSchema = true)
               .withColumn("__f", Snapshots.fileIdCol(input_file_name()))
               .alias("t")
               .join(srcKeys, keyCols, "left_anti")
-              .filter(fire)
-              .select("__f").distinct().collect().map(_.getString(0)).toSet
+            // a condition referencing `s.` columns (legal SQL: NULL on
+            // by-source rows, clause never fires) cannot resolve in
+            // this source-free discovery scan — over-touch every
+            // unmatched-row file instead (harmless: survivors restage
+            // verbatim, the rewrite's joined frame applies the exact
+            // semantics) rather than failing the statement (review
+            // find)
+            val ids =
+              try base.filter(fire).select("__f").distinct().collect()
+              catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  base.select("__f").distinct().collect()
+              }
+            ids.map(_.getString(0)).toSet
           }
         val touchedRels: Set[String] = {
           val ids = matchTouchedIds ++ bySrcTouchedIds
@@ -544,7 +568,7 @@ object Mutations {
     }.map(_.rel).toSet
     if (heavy.isEmpty) return v0
     val materialized = readMerged(spark, table, version = v0,
-      fileFilter = e => heavy.contains(e.rel))
+      fileFilter = e => heavy.contains(e.rel), mergeSchema = true)
     // a fully-deleted table must STAY on the vector path (readable as
     // empty) — materializing it would commit an unreadable zero-file
     // snapshot (r9 review find); cheap gate: the isEmpty probe runs
@@ -789,7 +813,7 @@ object Mutations {
     if (dvEs.isEmpty) return v0
     val dvRels = dvEs.map(_.rel).toSet
     val materialized = readMerged(spark, table, version = v0,
-      fileFilter = e => dvRels.contains(e.rel))
+      fileFilter = e => dvRels.contains(e.rel), mergeSchema = true)
     Snapshots.commitRewrite(table, v0,
       restageLike(spark, materialized, table, tagCol),
       remove = e => dvRels.contains(e._1))

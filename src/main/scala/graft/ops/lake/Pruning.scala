@@ -154,11 +154,22 @@ object Pruning {
     case _ => None
   }
 
-  private def asLong(l: Literal): Option[Long] = l.value match {
-    case i: java.lang.Integer => Some(i.longValue)
-    case j: java.lang.Long => Some(j)
-    case s: java.lang.Short => Some(s.longValue)
-    case b: java.lang.Byte => Some(b.longValue)
-    case _ => None
+  private def asLong(l: Literal): Option[Long] = {
+    import org.apache.spark.sql.types._
+    // matched by DATA TYPE, not boxed runtime class: a DateType
+    // literal's value is also a boxed Integer, and probing it against
+    // an INT-width sketch silently pruned matching files (review find)
+    // — DATE probes use the epoch-day count, matching withBloom's
+    // unix_date normalization; any other type never probes
+    l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        Option(l.value).map {
+          case i: java.lang.Integer => i.longValue
+          case j: java.lang.Long => j
+          case sh: java.lang.Short => sh.longValue
+          case b: java.lang.Byte => b.longValue
+        }
+      case _ => None
+    }
   }
 }

@@ -1262,12 +1262,21 @@ object Snapshots {
       // columns keep the native hash (their probes never fire — asLong
       // only accepts integral literals — so the sketch stays inert
       // rather than unsound).
-      val integral = data.schema.fields.find(_.name == pcol).exists(f =>
-        Set[org.apache.spark.sql.types.DataType](
-          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType
-        ).contains(f.dataType))
-      val hashed = if (integral) s"xxhash64(CAST($pcol AS BIGINT))" else s"xxhash64($pcol)"
+      val colType = data.schema.fields.find(_.name == pcol).map(_.dataType)
+      val integral = colType.exists(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType
+      ).contains)
+      // DATE sketches hash the epoch-day count widened to LONG — the
+      // exact value Pruning.asLong probes for a DateType literal (its
+      // internal Int); without this the sketch hashed 4-byte dates
+      // against 8-byte probes and pruned files that contain the match
+      // (review find)
+      val isDate = colType.contains(org.apache.spark.sql.types.DateType)
+      val hashed =
+        if (integral) s"xxhash64(CAST($pcol AS BIGINT))"
+        else if (isDate) s"xxhash64(CAST(unix_date($pcol) AS BIGINT))"
+        else s"xxhash64($pcol)"
       val sketches = data
         .groupBy(fileIdCol(input_file_name()).as("__f"))
         .agg(expr(s"graft_bloom_agg($hashed, " +
@@ -1792,7 +1801,7 @@ object Snapshots {
       // scope includes — removed without restage = data loss)
       val inScope = scoped.map(_.rel).toSet
       val df = readMerged(spark, table, version = v0,
-        fileFilter = e => inScope.contains(e.rel))
+        fileFilter = e => inScope.contains(e.rel), mergeSchema = true)
       val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
         (acc, c) => withBloom(acc, table, c, spark))
       // a re-cluster of a fully-DV-deleted slice would commit zero
@@ -1815,8 +1824,12 @@ object Snapshots {
       }.toSet
       if (rels.isEmpty) currentVersion(table)
       else {
+        // mergeSchema: a maintenance rewrite of an evolved slice must
+        // carry the union schema or evolved columns are permanently
+        // lost in the restage (review find — the same class the
+        // mutation reads fixed)
         val df = readMerged(spark, table, version = v0,
-          fileFilter = e => rels.contains(e.rel))
+          fileFilter = e => rels.contains(e.rel), mergeSchema = true)
         val staged = restageLike(spark, df, table, tagCol)
         if (staged.isEmpty && rels.size == all.size) return v0
         commitRewrite(table, v0, staged,

@@ -545,7 +545,7 @@ object LakeStatements {
         case InsertIntoCols(name, colsText, query) =>
           lookup(name).map { case (path, tag) =>
             LakeCommand("INSERT INTO", versionOut, s => {
-              val schema = Snapshots.read(s, path).schema
+              val schema = Snapshots.read(s, path, mergeSchema = true).schema
               val cols = colsText.split(",").map(_.trim).toSeq
               require(cols.forall(NameRe),
                 s"INSERT INTO $name: column list must be bare names, got ($colsText)")
@@ -583,7 +583,7 @@ object LakeStatements {
         // read would NULL-fill the real column
         case InsertInto(name, query) => lookup(name).map { case (path, tag) =>
           LakeCommand("INSERT INTO", versionOut, s => {
-            val schema = Snapshots.read(s, path).schema
+            val schema = Snapshots.read(s, path, mergeSchema = true).schema
             val src = s.sql(query)
             require(src.columns.length == schema.length,
               s"INSERT INTO $name: query has ${src.columns.length} " +
@@ -886,7 +886,7 @@ object LakeStatements {
       val updRun = updFinal.map { case (c, sets) =>
         if (sets.nonEmpty) (c, sets)
         else { // UPDATE SET *: every non-key target column, by name
-          val tCols = Snapshots.read(s, path).columns
+          val tCols = Snapshots.read(s, path, mergeSchema = true).columns
           (c, tCols.filterNot(tc => keyCols.exists(_.equalsIgnoreCase(tc)))
             .map(tc => tc -> col(s"s.$tc")).toMap)
         }

@@ -151,19 +151,29 @@ class ChangesSource(spark: SparkSession, table: String,
     // align to the pinned schema BY NAME: a feed crossing an ADDITIVE
     // evolution presents the union schema — pinned columns keep their
     // start-time types, columns added later are invisible until
-    // restart. A pinned column MISSING from the feed means a rename or
-    // drop landed mid-stream: fail the query (the Delta contract) —
-    // NULL-filling would silently blank real data into the sink
-    // (review find).
+    // restart. A pinned column absent from the feed is judged against
+    // the TABLE's schema at the batch's end version, not the feed (the
+    // feed only carries the CHANGED files' columns — a batch touching
+    // only pre-evolution files would otherwise wedge the stream with a
+    // false rename report, review find): still in the table → this
+    // batch's rows NULL-fill it (correct additive semantics); gone
+    // from the table → a rename/drop landed, fail the query (the
+    // Delta contract — silently blanking real data is worse).
     val missing = schema.fieldNames.filterNot(_ == "_change_type")
       .filterNot(feed.columns.contains)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"graft-changes[$table]: column(s) ${missing.mkString(", ")} " +
-          "left the feed schema (RENAME/DROP COLUMN landed mid-stream) — " +
-          "restart the stream to adopt the evolved schema")
+    if (missing.nonEmpty) {
+      val live = Snapshots.readVersion(spark, table, toV, mergeSchema = true)
+        .schema.fieldNames.toSet
+      val gone = missing.filterNot(live.contains)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-changes[$table]: column(s) ${gone.mkString(", ")} " +
+            "left the table schema (RENAME/DROP COLUMN landed mid-stream) — " +
+            "restart the stream to adopt the evolved schema")
+    }
     val aligned = feed.select(schema.fields.toSeq.map { f =>
-      col(f.name).cast(f.dataType).as(f.name)
+      (if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
     }: _*)
     // MicroBatchExecution requires isStreaming=true on DSv1 batches —
     // same internalCreateDataFrame move FileStreamSource makes

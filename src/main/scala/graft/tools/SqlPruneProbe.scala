@@ -5,8 +5,6 @@ import graft.ops.lake.Snapshots
 import graft.sql.LakeSql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Measures the r9 pushdown-driven manifest pruning on plain
@@ -42,19 +40,7 @@ object SqlPruneProbe {
       val df2 = spark.sql(sql)
       val n = df2.collect().length
       val ms = (System.nanoTime() - t0) / 1e6
-      // descend through AQE stages: the DV anti-join plan nests its
-      // scans inside materialized QueryStageExec subtrees
-      // ReusedExchangeExec not descended: its subtree executes once
-      // under the original exchange — re-counting would inflate
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[FileSourceScanExec] = (p match {
-        case s: FileSourceScanExec => Seq(s)
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-        case _ => Seq.empty
-      }) ++ p.children.flatMap(scans)
-      val files = scans(df2.queryExecution.executedPlan)
-        .map(_.metrics("numFiles").value).sum
+      val files = PlanScans.filesOpened(df2)
       println(f"[sqlprune] $label: opens $files of $total files, " +
         f"$n rows, $ms%.0f ms")
     }

@@ -441,23 +441,11 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     * descending through AQE stages (the DV anti-join plan nests its
     * scans inside query stages after adaptive execution). */
   private def openedFiles(sql: String): (Long, Int) = {
-    import org.apache.spark.sql.execution._
-    import org.apache.spark.sql.execution.adaptive._
     val df0 = spark.sql(sql)
     val n = df0.collect().length
-    // ReusedExchangeExec is NOT descended: its subtree executes once
-    // under the original exchange, and counting its scans again would
-    // inflate numFiles (review find)
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
-      case s: FileSourceScanExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case _ => Seq.empty
-    }) ++ p.children.flatMap(scans)
-    val total = scans(df0.queryExecution.executedPlan)
-      .map(_.metrics("numFiles").value).sum
-    (total, n)
+    (graft.tools.PlanScans.filesOpened(df0), n)
   }
+
 
   test("file skipping survives a deletion vector: pruned scan under the anti-join") {
     // 8 days x ~24 rows, 24 range buckets — files big enough that a

@@ -824,6 +824,28 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Seq((3L, "delete", 2, 20L), (5L, "insert", 3, 30L)))
   }
 
+  test("maintenance rewrites preserve evolved columns") {
+    import spark.implicits._
+    val table = tmp("snap-evo-maint")
+    // era-1 fragments day a; era-2 adds w on day a too
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1, "a", 1L)).toDF("id", "day", "v"), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2, "a", 2L, 20L)).toDF("id", "day", "v", "w"), table, "day"))
+
+    // pre-fix: compact read the slice without mergeSchema, pinning an
+    // era-1 footer — w was permanently lost in the rewrite
+    Snapshots.compact(spark, table, "day")
+    assert(Snapshots.entries(table).count(_._2 == "a") == 1,
+      "day a must coalesce")
+    val rows = Snapshots.read(spark, table, mergeSchema = true)
+      .select("id", "w").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(rows == Seq((1, -1L), (2, 20L)),
+      "the evolved column must survive the maintenance rewrite")
+  }
+
   test("vacuum clears crashed-commit tmp leftovers from the log") {
     val table = tmp("snap-tmpvac")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))

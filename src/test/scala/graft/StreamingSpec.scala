@@ -135,6 +135,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Seq((1L, -1L), (2L, 20L)), "era-1 NULL-fills, era-2 carries w")
   }
 
+  test("change-feed source: a batch touching only pre-evolution files does not wedge") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc5-table")
+    val out = tmp("cdfsrc5-out")
+    val ckpt = tmp("cdfsrc5-ckpt")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1L, "a", 1.0)).toDF("id", "day", "v"), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2L, "b", 2.0, 20L)).toDF("id", "day", "v", "w"), table, "day"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // pins the union schema incl. w
+    // an append of a PRE-evolution-shaped frame: the batch's feed lacks
+    // w, but w is still in the table — the stream must NULL-fill, not
+    // report a phantom rename and wedge (review find)
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((3L, "a", 3.0)).toDF("id", "day", "v"), table, "day"))
+    drain()
+    val rows = spark.read.parquet(out).select("id", "w").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(rows == Seq((1L, -1L), (2L, 20L), (3L, -1L)))
+  }
+
   test("change-feed source: startingVersion tails, maxVersionsPerBatch chunks") {
     import graft.ops.lake.Snapshots
     import spark.implicits._
