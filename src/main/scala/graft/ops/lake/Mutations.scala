@@ -122,7 +122,14 @@ object Mutations {
         // carry the union schema, and refusing a pre-evolution-shaped
         // source would break every caller the moment one evolved file
         // lands (review find)
-        val extra = source.columns.filterNot(survivors.columns.contains)
+        // CASE-INSENSITIVE diff, matching Spark's own resolution (and
+        // the explicit-INSERT path's Locale.ROOT normalization) — an
+        // exact-case compare rejected merges Spark itself resolves
+        // (r10 advisor find)
+        val survLc = survivors.columns
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val extra = source.columns
+          .filterNot(c => survLc.contains(c.toLowerCase(java.util.Locale.ROOT)))
         require(extra.isEmpty || evolveSchema,
           s"mergeInto($table): source carries unknown column(s) " +
             s"${extra.mkString(", ")} — pass evolveSchema = true to add them")
@@ -300,12 +307,22 @@ object Mutations {
             val bsUpdPred = whenNotMatchedBySourceUpdate
               .map { case (c, _) => !matched && coalesce(c, lit(false)) }
               .getOrElse(lit(false))
-            val updSet = whenMatchedUpdate.map(_._2).getOrElse(Map.empty)
-            val bsSet = whenNotMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty)
+            // SET maps keyed CASE-INSENSITIVELY (Locale.ROOT — the same
+            // normalization the explicit-INSERT validation uses): Spark
+            // resolution is case-insensitive, so `SET Value = …` must
+            // both validate AND apply against a target column `value`
+            // (r10 advisor find — the exact-case diff threw a spurious
+            // unknown-column error, and an exact-case application would
+            // have been worse: silently not applying the SET)
+            def lc(m: Map[String, Column]): Map[String, Column] =
+              m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+            val updSet = lc(whenMatchedUpdate.map(_._2).getOrElse(Map.empty))
+            val bsSet = lc(whenNotMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty))
             // a SET column that is not a target column would otherwise
             // be silently skipped — the SQL MERGE analysis-error
             // contract, not a silent no-op (r9 review find)
-            val unknown = (updSet.keySet ++ bsSet.keySet).diff(tCols.toSet)
+            val tColsLc = tCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            val unknown = (updSet.keySet ++ bsSet.keySet).diff(tColsLc)
             require(unknown.isEmpty,
               s"mergeIntoClauses($table): UPDATE SET names unknown column(s) " +
                 s"${unknown.mkString(", ")} (table has ${tCols.mkString(", ")})")
@@ -316,10 +333,11 @@ object Mutations {
             // would not resolve (model-spec find)
             val tgtCols = tgt.columns.toSet
             Some(joined.filter(!delPred && !bsDelPred).select(tCols.toSeq.map { c =>
+              val cLc = c.toLowerCase(java.util.Locale.ROOT)
               var e = if (tgtCols.contains(c)) col(s"t.$c")
                       else lit(null).cast(tSchema(c).dataType)
-              if (bsSet.contains(c)) e = when(bsUpdPred, bsSet(c)).otherwise(e)
-              if (updSet.contains(c)) e = when(updPred, updSet(c)).otherwise(e)
+              if (bsSet.contains(cLc)) e = when(bsUpdPred, bsSet(cLc)).otherwise(e)
+              if (updSet.contains(cLc)) e = when(updPred, updSet(cLc)).otherwise(e)
               e.as(c)
             }: _*))
           }

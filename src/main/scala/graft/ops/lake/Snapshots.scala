@@ -160,6 +160,17 @@ object Snapshots {
     commitAll(table, entries)
   }
 
+  /** Count of committed snapshots PUBLISHED at or after `epochMs`
+    * (snapshot files are immutable — mtime is the commit instant, the
+    * [[versionAtTime]] basis). Resolves `VACUUM … RETAIN n HOURS` into
+    * the equivalent keep-newest-K count for [[vacuum]]: mtimes are
+    * monotonic with version, so the newest K snapshots ARE the ones
+    * inside the age window. */
+  def versionsSince(table: String, epochMs: Long): Int =
+    (1L to currentVersion(table))
+      .count(v => snapFile(table, v).exists() &&
+        snapFile(table, v).lastModified() >= epochMs)
+
   /** Version live at wall-clock `epochMs` — the newest snapshot whose
     * log file was PUBLISHED at or before that instant (snapshot files
     * are immutable, so their mtime IS the commit time; the same
@@ -870,9 +881,30 @@ object Snapshots {
         org.apache.spark.sql.functions.col(s"`$c`").as(m.getOrElse(c, c))): _*)
     }
     val steps = math.max(fromV, 0L) + 1 to toV
-    if (steps.isEmpty) // from == to: the empty feed, schema-complete
+    // SKIP no-op steps BEFORE building any plan: a feed row exists only
+    // when a step changed the (rel → deletion-vector) state, and that
+    // test is pure driver metadata sharing each step's entry list with
+    // the next (manifest-cached adjacent diffs — r10 advisor find: the
+    // unconditional per-step union made table_changes(t, 0, N) over a
+    // long history an O(N)-branch plan with 2N scan subtrees even when
+    // most commits were props-only/maintenance no-ops; branch count is
+    // now O(commits that actually changed rows))
+    def dvState(v: Long): Map[String, Option[String]] =
+      entriesAt(table, v).map(e => e.rel -> e.props.get(DvRefProp)).toMap
+    val changedSteps =
+      if (steps.isEmpty) Seq.empty
+      else {
+        var prev = dvState(math.max(fromV, 0L))
+        steps.filter { v =>
+          val cur = dvState(v)
+          val changed = cur != prev
+          prev = cur
+          changed
+        }
+      }
+    if (changedSteps.isEmpty) // nothing changed: the empty feed, schema-complete
       changes(spark, table, toV, toV).withColumn("_commit_version", lit(toV))
-    else steps.map { v =>
+    else changedSteps.map { v =>
       namesAt(changes(spark, table, v - 1, v), v)
         .withColumn("_commit_version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   *     recognizes the lake DML/maintenance statements (`MERGE INTO`,
   *     `DELETE FROM`, `UPDATE`, `INSERT INTO`, `CREATE GRAFT TABLE …
   *     LOCATION … PARTITIONED BY … AS SELECT`, `ALTER GRAFT TABLE
-  *     ADD/DROP CONSTRAINT`, `VACUUM [RETAIN n VERSIONS]`, `OPTIMIZE
+  *     ADD/DROP CONSTRAINT`, `VACUUM [RETAIN n VERSIONS|HOURS]`, `OPTIMIZE
   *     [ZORDER BY]`, `DESCRIBE HISTORY`, `DESCRIBE DETAIL`,
   *     `RESTORE … TO VERSION AS OF`, `SHOW GRAFT TABLES`) over
   *     REGISTERED lake tables and hands everything else — including
@@ -328,7 +328,7 @@ object LakeStatements {
   import LakeSql.attrs
 
   private val Vacuum =
-    """(?is)VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?""".r
+    """(?is)VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?""".r
   private val Optimize =
     """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+))?""".r
   private val TagEq = """(?is)\s*(\w+)\s*=\s*'([^']*)'\s*""".r
@@ -380,8 +380,19 @@ object LakeStatements {
       case "VACUUM" => text match {
         // DRY RUN reports what a real vacuum would reclaim, one row
         // per file/sidecar, deleting nothing (the Delta audit shape)
-        case Vacuum(name, keep, dry) => lookup(name).map { case (path, _) =>
-          val keepN = Option(keep).map(_.toInt).getOrElse(1)
+        case Vacuum(name, keep, unit, dry) => lookup(name).map { case (path, _) =>
+          // RETAIN n HOURS (the Delta-conventional age form) resolves
+          // through snapshot PUBLISH times — immutable log files, so
+          // mtime is the commit instant, the same basis TIMESTAMP AS OF
+          // uses — into the equivalent keep-newest-K version count
+          // (mtimes are monotonic with version)
+          val keepN = (Option(keep), Option(unit)) match {
+            case (Some(n), Some(u)) if u.equalsIgnoreCase("HOURS") =>
+              Snapshots.versionsSince(path,
+                System.currentTimeMillis() - n.toLong * 3600 * 1000).max(1)
+            case (Some(n), _) => n.toInt
+            case _ => 1
+          }
           if (dry == null)
             LakeCommand("VACUUM", attrs("removed_files" -> LongType), _ =>
               Seq(Row(Snapshots.vacuum(path, keepN).size.toLong)))
@@ -405,11 +416,16 @@ object LakeStatements {
             case Some(TagEq(c, v)) if c.equalsIgnoreCase(tag) => _ == v
             case Some(TagIn(c, vs)) if c.equalsIgnoreCase(tag) =>
               // extract QUOTED literals, never split on raw commas — a
-              // tag value may itself contain one (review find)
-              val lits = "'([^']*)'".r.findAllMatchIn(vs).map(_.group(1)).toSeq
-              require(lits.nonEmpty,
-                s"OPTIMIZE $name: IN list must be quoted literals, got ($vs)")
-              val set = lits.toSet
+              // tag value may itself contain one (review find). The
+              // WHOLE list must be comma-separated quoted literals: a
+              // list with unquoted or malformed items (`IN ('a', b)`,
+              // `IN ('a' 'b')`) must REJECT the statement, not silently
+              // narrow the maintenance scope to the items that happened
+              // to parse (r10 advisor find)
+              require("""(?s)^\s*'[^']*'(?:\s*,\s*'[^']*')*\s*$""".r.matches(vs),
+                s"OPTIMIZE $name: IN list must be comma-separated quoted " +
+                  s"literals ('v1', 'v2', …), got ($vs)")
+              val set = "'([^']*)'".r.findAllMatchIn(vs).map(_.group(1)).toSet
               set.contains(_)
             case Some(other) => throw new IllegalArgumentException(
               s"OPTIMIZE $name: WHERE must be `$tag = '<v>'` or " +

@@ -829,6 +829,55 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(got(1).isNullAt(2), "unnamed v must NULL-fill")
   }
 
+  test("VACUUM RETAIN n HOURS resolves the age window through publish times") {
+    val table = mk("sql-vac-hours", "sqlvh", (1L, "a", 1.0))
+    Snapshots.commit(table,
+      Snapshots.stage(df((2L, "b", 2.0)), table, "day"))        // v2
+    spark.sql("RESTORE sqlvh TO VERSION AS OF 1")               // v3: b's file now orphanable
+    // every snapshot is seconds old: a generous age window keeps all
+    // of them — nothing reclaimed, v1 still travelable
+    assert(spark.sql("VACUUM sqlvh RETAIN 100 HOURS").collect()
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlvh VERSION AS OF 2")
+      .collect().head.getLong(0) == 2L)
+    // age window of zero: only the newest snapshot survives (keep >= 1
+    // floor), so v2's unshared file is reclaimed
+    Thread.sleep(20) // publish mtimes strictly before the cutoff
+    assert(spark.sql("VACUUM sqlvh RETAIN 0 HOURS").collect()
+      .head.getLong(0) >= 1L)
+    assert(content("SELECT id, day, v FROM sqlvh") == Seq((1L, "a", 1.0)))
+  }
+
+  test("OPTIMIZE WHERE IN rejects malformed lists instead of narrowing scope") {
+    val table = mk("sql-opt-in", "sqloi", (1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0), (4L, "b", 4.0))
+    // unquoted and missing-comma items must REJECT the statement — a
+    // silently-narrowed scope would skip maintenance the operator asked
+    // for (r10 advisor find)
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE sqloi WHERE day IN ('a', b)").collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE sqloi WHERE day IN ('a' 'b')").collect()
+    }
+    // the well-formed list still compacts both fragmented tags
+    spark.sql("OPTIMIZE sqloi WHERE day IN ('a', 'b')").collect()
+    assert(Snapshots.entries(table).groupBy(_._2).forall(_._2.size == 1))
+  }
+
+  test("MERGE SET and source columns resolve case-insensitively") {
+    mk("sql-merge-case", "sqlmc", (1L, "a", 1.0), (2L, "a", 2.0))
+    df((2L, "a", 200.0)).createOrReplaceTempView("sqlmc_src")
+    // `SET V = …` against target column `v` — Spark resolution is
+    // case-insensitive, so the kernel's unknown-column gate must be too
+    // (r10 advisor find: spurious rejection), and the SET must APPLY
+    spark.sql(
+      """MERGE INTO sqlmc t USING sqlmc_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET V = s.v""".stripMargin).collect()
+    assert(content("SELECT id, day, v FROM sqlmc") ==
+      Seq((1L, "a", 1.0), (2L, "a", 200.0)))
+  }
+
   test("repeated SQL resolution of one snapshot reads zero parquet footers") {
     mk("sql-cache", "sqlfc", (1L, "a", 1.0), (2L, "b", 2.0))
     spark.sql("SELECT id FROM sqlfc").collect() // first resolution may read

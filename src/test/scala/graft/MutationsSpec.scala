@@ -261,6 +261,21 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert((w10.getDouble(0), w10.getString(1)) == ((100.0, "z")))
   }
 
+  test("merge accepts a source whose column names differ only in case") {
+    import spark.implicits._
+    val table = tmp("mut-merge-case")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), table, "day"))
+    // Spark resolution is case-insensitive (default caseSensitive=false):
+    // a source carrying `V` for the target's `v` must merge, not trip
+    // the unknown-column gate (r10 advisor find — the exact-case diff
+    // demanded evolveSchema for a column the engine itself resolves)
+    Mutations.mergeInto(spark, table,
+      Seq((2L, "a", 200.0)).toDF("id", "day", "V"), "id", "day")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((1L, "a", 1.0), (2L, "a", 200.0)))
+  }
+
   test("schema evolution: mergeSchema read NULL-fills files staged before a column add") {
     import spark.implicits._
     val table = tmp("mut-evolve")

@@ -824,6 +824,27 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Seq((3L, "delete", 2, 20L), (5L, "insert", 3, 30L)))
   }
 
+  test("changesAttributed: props-only commits contribute no plan branches") {
+    val table = tmp("snap-cdf-noop")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1, "a", 1L), (2, "b", 2L)), table, "day"))             // v1
+    // a long run of metadata-only commits (constraint DDL, bookkeeping)
+    // between the data changes — pre-fix each one became a union branch
+    // with two scan subtrees even though it can produce no feed rows
+    (1 to 30).foreach(i =>
+      Snapshots.commitProps(table, Map(s"noop.$i" -> "1")))      // v2..v31
+    Snapshots.commit(table, Snapshots.stage(df((3, "c", 3L)), table, "day")) // v32
+    val attr = Snapshots.changesAttributed(spark, table, 0, 32)
+    assert(attr.select("_commit_version", "_change_type", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+      .toSeq == Seq((1L, "insert", 1), (1L, "insert", 2), (32L, "insert", 3)))
+    // exactly two changed steps → exactly one binary union, not 31
+    val unions = attr.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.size <= 1,
+      s"props-only steps must be skipped before plan construction, got ${unions.size} unions")
+  }
+
   test("maintenance rewrites preserve evolved columns") {
     import spark.implicits._
     val table = tmp("snap-evo-maint")
