@@ -67,11 +67,71 @@ object Snapshots {
   // wrong version, not an error
   private val SnapRe = raw"^snap-(\d{9,})\.txt$$".r
 
-  /** Highest committed snapshot version, 0 when the table is empty. */
-  def currentVersion(table: String): Long =
-    Option(logDir(table).listFiles()).toSeq.flatten
-      .flatMap(f => SnapRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .sorted.lastOption.getOrElse(0L)
+  /** Directory LISTINGS performed by [[currentVersion]]'s fallback
+    * path — observability for the checkpoint-pointer contract (version
+    * resolution on a pointer-bearing log must list nothing); specs
+    * assert on deltas. */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+
+  private def pointerFile(table: String): File = new File(logDir(table), "_last")
+
+  /** Advance the `_last` version pointer — the Delta `_last_checkpoint`
+    * shape: a hint readers resolve the live version from in O(1)
+    * instead of listing the whole log directory (O(#commits) per
+    * resolution — the r10 verdict's scale note). Monotonic (an
+    * idempotent re-commit of an old version never moves it backwards;
+    * the read-then-conditional-write race between two FRESH committers
+    * can only leave the pointer at the lower of two DENSE versions,
+    * which probe-forward closes) and atomically replaced. A THROW here
+    * propagates out of the commit even though the snapshot link is
+    * already published: swallowing it would let a [[batchCommitter]]
+    * GAPPED commit (empty batches skip versions) hide behind a stale
+    * pointer that probe-forward cannot cross — the one shape where a
+    * lagging hint turns into silent loss. The caller's retry is safe:
+    * re-committing the identical version is an idempotent no-op that
+    * re-attempts only this write. Crash tolerance stays full: a
+    * missing/corrupt/stale-but-dense pointer lands in
+    * [[currentVersion]]'s probe-forward / full-listing fallback. */
+  private def advancePointer(table: String, v: Long): Unit = {
+    val f = pointerFile(table)
+    val cur =
+      try {
+        if (!f.exists()) 0L
+        else new String(Files.readAllBytes(f.toPath), UTF_8).trim.toLong
+      } catch { case scala.util.control.NonFatal(_) => 0L } // corrupt: overwrite
+    if (v > cur) {
+      val tmp = new File(logDir(table), s"_last.tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp.toPath, v.toString.getBytes(UTF_8))
+      Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Highest committed snapshot version, 0 when the table is empty.
+    * Resolution is pointer-first: read `_last`, verify its snapshot
+    * exists, then PROBE FORWARD past any commits that beat their
+    * pointer write (versions are dense — every commit targets
+    * `cur + 1`) — O(1 + lag) file stats, no directory listing. The
+    * full listing runs only when the pointer is absent (pre-pointer
+    * logs, empty tables) or invalid. */
+  def currentVersion(table: String): Long = {
+    val hint =
+      try {
+        val f = pointerFile(table)
+        if (!f.exists()) 0L
+        else new String(Files.readAllBytes(f.toPath), UTF_8).trim.toLong
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    var v =
+      if (hint >= 1 && snapFile(table, hint).exists()) hint
+      else {
+        logListings.incrementAndGet()
+        Option(logDir(table).listFiles()).toSeq.flatten
+          .flatMap(f => SnapRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+          .sorted.lastOption.getOrElse(0L)
+      }
+    while (snapFile(table, v + 1).exists()) v += 1
+    v
+  }
 
   private def snapFile(table: String, v: Long): File =
     new File(logDir(table), f"snap-$v%09d.txt")
@@ -587,6 +647,21 @@ object Snapshots {
     else rel                   // adopted file: individually unknown
   }
 
+  // per-GROUP footer schema, keyed (table, group key) — VERSION-
+  // INDEPENDENT, unlike schemaCache below: a staging directory's files
+  // are immutable and share one schema by construction (and an adopted
+  // convert-* file is immutable under the table contract — data files
+  // are never overwritten), so the footer probe for a group is paid
+  // ONCE PER TABLE LIFETIME, not once per version. Without this, every
+  // NEW version of a converted table re-probed O(#files) footers
+  // serially on the driver before groupedRead could even bail (r10
+  // advisor find — a severe first-query stall repeated per commit at
+  // the 10⁶-file scale). Staleness risk is the same drop-and-recreate
+  // shape manifestCache documents: data/* keys embed fresh UUIDs per
+  // stage, so a recreated table can never collide with a stale key.
+  private val groupSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   /** Snapshot `v`'s entries grouped by PHYSICAL footer schema — one
     * group for an un-evolved table, one per distinct schema after
     * column evolution (each the rels sharing it). Cached; see the
@@ -606,11 +681,33 @@ object Snapshots {
     // files for protection the guard already provides.
     schemaCache.computeIfAbsent((table, v), { _ =>
       val byDir = es.groupBy(e => schemaGroup(e.rel))
-      footerReads.addAndGet(byDir.size)
+      if (groupSchemaCache.size > 65536) groupSchemaCache.clear()
+      val toProbe = byDir.toSeq.sortBy(_._1)
+        .collect { case (k, ges) if !groupSchemaCache.containsKey((table, k)) =>
+          (k, ges.head.rel) }
+      footerReads.addAndGet(toProbe.size)
+      // probe uncached groups on a bounded driver pool — a freshly
+      // converted table is one group PER FILE, and a serial loop over
+      // 10⁵ footers is the first-read stall the cache then amortizes
+      // (spark.read is thread-safe; each probe is one footer read)
+      if (toProbe.size <= 4)
+        toProbe.foreach { case (k, rel) =>
+          groupSchemaCache.put((table, k), spark.read.parquet(s"$table/$rel").schema) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, toProbe.size))
+        try {
+          toProbe.map { case (k, rel) =>
+            (k, pool.submit(new java.util.concurrent.Callable[
+                org.apache.spark.sql.types.StructType] {
+              def call() = spark.read.parquet(s"$table/$rel").schema
+            }))
+          }.foreach { case (k, fut) => groupSchemaCache.put((table, k), fut.get()) }
+        } finally pool.shutdown()
+      }
       byDir.toSeq.sortBy(_._1)
-        .map { case (_, ges) =>
-          (spark.read.parquet(s"$table/${ges.head.rel}").schema,
-            ges.map(_.rel).toSet) }
+        .map { case (k, ges) =>
+          (groupSchemaCache.get((table, k)), ges.map(_.rel).toSet) }
         .groupBy(_._1).toSeq
         .map { case (sch, parts) => (sch, parts.flatMap(_._2).toSet) }
         .sortBy(_._2.min)
@@ -1569,6 +1666,7 @@ object Snapshots {
       }
       tmp.delete()
     }
+    advancePointer(p.table, p.version)
     p.version
   }
 

@@ -824,6 +824,50 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Seq((3L, "delete", 2, 20L), (5L, "insert", 3, 30L)))
   }
 
+  test("version resolution is pointer-first: zero log listings on a deep log") {
+    val table = tmp("snap-pointer")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    // a deep history — pre-pointer, EVERY resolution listed the whole
+    // log directory (O(#commits) filesystem listings per SQL query)
+    (1 to 1000).foreach(i => Snapshots.commitProps(table, Map(s"noop.$i" -> "1")))
+    assert(Snapshots.currentVersion(table) == 1001L)
+    val before = Snapshots.logListings.get()
+    (1 to 20).foreach(_ => assert(Snapshots.currentVersion(table) == 1001L))
+    Snapshots.read(spark, table).count()
+    assert(Snapshots.logListings.get() == before,
+      "pointer-bearing logs must resolve the live version without listing")
+    // pointer loss falls back to the listing, never to a wrong answer
+    new java.io.File(table, "_graft_log/_last").delete()
+    assert(Snapshots.currentVersion(table) == 1001L)
+    assert(Snapshots.logListings.get() == before + 1, "one fallback listing")
+  }
+
+  test("batchCommitter gaps (empty batches) stay visible through the pointer") {
+    val table = tmp("snap-pointer-gap")
+    val commit = Snapshots.batchCommitter(table, "day")
+    commit(df((1, "a", 1L)), 0)          // v1
+    commit(df(), 1)                      // empty batch: no commit — gap at v2
+    commit(df((2, "b", 2L)), 2)          // v3 (version = batchId + 1)
+    assert(Snapshots.currentVersion(table) == 3L,
+      "the pointer must carry resolution across the version gap probe-forward cannot cross")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
+  }
+
+  test("schema probes amortize per group: a new commit probes only its new files") {
+    import spark.implicits._
+    val table = tmp("snap-group-cache")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1, "a", 1L)).toDF("id", "day", "v"), table, "day"))
+    Snapshots.schemaGroups(spark, table, 1)           // v1's group probed+cached
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((2, "b", 2L, 20L)).toDF("id", "day", "v", "w"), table, "day"))
+    val before = Snapshots.footerReads.get()
+    Snapshots.schemaGroups(spark, table, 2)
+    assert(Snapshots.footerReads.get() - before == 1,
+      "v2's grouping must re-probe only the NEW staging directory " +
+        "(r10 advisor find: per-version re-probes of every group)")
+  }
+
   test("changesAttributed: props-only commits contribute no plan branches") {
     val table = tmp("snap-cdf-noop")
     Snapshots.commit(table, Snapshots.stage(
