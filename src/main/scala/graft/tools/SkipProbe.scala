@@ -104,7 +104,7 @@ object SkipProbe {
       val total = Snapshots.read(spark, table).inputFiles.length
       val kept = Snapshots.read(spark, table,
         fileFilter = Snapshots.anyOf(
-          Skipping.ProbeIds.map(id => Snapshots.mightContainLong("event_id", id)): _*))
+          Skipping.ProbeIds.map(id => Snapshots.mightContainLong(table, "event_id", id)): _*))
         .inputFiles.length
       report("s28", s"${Skipping.ProbeIds.size}-id IN-list: opens $kept of $total files " +
         f"(${100.0 * (total - kept) / total}%.0f%% skipped)")

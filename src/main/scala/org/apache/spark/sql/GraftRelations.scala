@@ -61,7 +61,7 @@ class GraftFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = Pruning.compile(dataFilters, tagCol)
+    val keep = Pruning.compile(dataFilters, tagCol, table)
     Seq(PartitionDirectory(InternalRow.empty,
       entries.collect { case e if keep(e) => status(e) }.toArray))
   }

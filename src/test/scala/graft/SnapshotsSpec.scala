@@ -500,14 +500,16 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     val staged = Snapshots.withBloom(
       Snapshots.stageWithStats(data, table, "day", "v", buckets = 8),
       table, "id", spark)
-    assert(staged.forall(_.props.contains("bloom.id")),
-      "every staged file must carry an id sketch")
+    assert(staged.forall(_.props.contains(Snapshots.BloomRefPrefix + "id")),
+      "every staged file must carry an id sketch sidecar reference")
+    assert(staged.forall(_.props.values.forall(_.length < 200)),
+      "manifest entries must stay sketch-free (sidecar-resident blooms)")
     Snapshots.commitAll(table, staged)
     val total = staged.size
     // no false negatives: every present id's pruned read contains it
     for (probe <- Seq(0L, 399L, 799L)) {
       val pruned = Snapshots.read(spark, table,
-        fileFilter = Snapshots.mightContainLong("id", probe))
+        fileFilter = Snapshots.mightContainLong(table, "id", probe))
       assert(pruned.inputFiles.length < total,
         s"bloom must prune for id=$probe (${pruned.inputFiles.length} of $total)")
       assert(pruned.filter($"id" === probe).count() == 1)
@@ -515,8 +517,43 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     // absent id: typically 0 files survive (fp-rate-bounded); the read
     // layer requires >=1 file, so assert at the filter level
     val ghosts = (100000L to 100063L).count(id =>
-      staged.exists(Snapshots.mightContainLong("id", id)))
+      staged.exists(Snapshots.mightContainLong(table, "id", id)))
     assert(ghosts <= 8, s"absent-id false-positive files: $ghosts of 64 probes")
+  }
+
+  test("bloom sidecars: legacy inline sketches never trusted; orphans vacuum") {
+    import spark.implicits._
+    val table = tmp("snap-bloom-sidecar")
+    val staged = Snapshots.withBloom(
+      Snapshots.stageWithStats((0 until 100).map(i => (i.toLong, "t", i.toLong))
+        .toDF("id", "day", "v"), table, "day", "v", buckets = 2),
+      table, "id", spark)
+    Snapshots.commitAll(table, staged)
+    // a LEGACY inline sketch (pre-r11 format, possibly hashed at native
+    // width) must be ignored — the file is KEPT, never skipped, even
+    // when the stale sketch would prove the probe absent (r10 advisor
+    // find: false 'definitely absent' on pre-widening sketches)
+    val legacyOnly = staged.head.copy(props =
+      staged.head.props - (Snapshots.BloomRefPrefix + "id") +
+        ("bloom.id" -> java.util.Base64.getEncoder.encodeToString {
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 512)
+          val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out); out.toByteArray
+        }))
+    assert(Snapshots.mightContainLong(table, "id", 1L)(legacyOnly),
+      "an empty LEGACY sketch would prove absence — it must not be consulted")
+    // crash-orphaned sidecar (written, never committed) is vacuum fodder;
+    // the committed entries' sidecars survive
+    val orphan = new java.io.File(table, "stats/bl-orphan.txt")
+    java.nio.file.Files.write(orphan.toPath, "x\tAAAA".getBytes)
+    val removed = Snapshots.vacuum(table)
+    assert(removed.contains("stats/bl-orphan.txt") && !orphan.exists())
+    val live = staged.flatMap(_.props.get(Snapshots.BloomRefPrefix + "id")).distinct
+    assert(live.nonEmpty && live.forall(r => new java.io.File(table, r).exists()),
+      "referenced sidecars must survive vacuum")
+    // probes still prune post-vacuum (sidecar intact end to end)
+    assert(Snapshots.read(spark, table,
+      fileFilter = Snapshots.mightContainLong(table, "id", 7L))
+      .filter($"id" === 7L).count() == 1)
   }
 
   test("rename/drop are metadata-only; each version reads under its own names") {
@@ -972,7 +1009,7 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     // files holding the match were silently skipped
     for (probe <- Seq(0L, 123L, 399L)) {
       val pruned = Snapshots.read(spark, table,
-        fileFilter = Snapshots.mightContainLong("id", probe))
+        fileFilter = Snapshots.mightContainLong(table, "id", probe))
       assert(pruned.filter(col("id") === probe.toInt).count() == 1,
         s"present id=$probe must survive the bloom prune")
     }
