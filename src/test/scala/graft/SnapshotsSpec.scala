@@ -521,6 +521,56 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(ghosts <= 8, s"absent-id false-positive files: $ghosts of 64 probes")
   }
 
+  test("stage splits an oversized tag into size-budgeted files; pruning unchanged") {
+    import spark.implicits._
+    val table = tmp("snap-split")
+    val conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "65536") // 64 KB budget => the hot tag must split
+      val rows = (0 until 60000).map(i =>
+        (i.toLong, if (i % 20 == 0) "cold" else "hot", s"payload-$i-${i * 2654435761L}%x"))
+      val staged = Snapshots.withFooterStats(
+        Snapshots.stage(rows.toDF("id", "day", "v"), table, "day"), table, Seq("id"))
+      val hotFiles = staged.filter(_.tag == "hot")
+      assert(hotFiles.size > 1,
+        s"a tag larger than the advisory size must split (got ${hotFiles.size} file)")
+      assert(staged.filter(_.tag == "cold").nonEmpty)
+      // per-file stats ride every split file
+      assert(hotFiles.forall(e =>
+        e.props.contains("min.id") && e.props.contains("max.id")))
+      Snapshots.commitAll(table, staged)
+      // tag pruning opens ALL N files of the tag — no more, no fewer
+      val pruned = Snapshots.read(spark, table, tagFilter = _ == "hot")
+      assert(pruned.inputFiles.length == hotFiles.size)
+      assert(pruned.count() == rows.count(_._2 == "hot"))
+      assert(Snapshots.read(spark, table).count() == 60000L)
+    } finally spark.conf.set(conf, old)
+  }
+
+  test("compact bin-packs toward the target size; well-sized files carry by name") {
+    import spark.implicits._
+    val table = tmp("snap-binpack")
+    def add(n: Int): Unit = Snapshots.commit(table, Snapshots.stage(
+      (0 until n).map(i => (i.toLong, "a", s"v$i-${"x" * 32}")).toDF("id", "day", "v"),
+      table, "day"))
+    add(10); add(10)    // two small fragments of day a
+    add(20000)          // one file already past the test's target
+    val big = Snapshots.entriesAll(table)
+      .maxBy(e => new java.io.File(table, e.rel).length()).rel
+    val bigBytes = new java.io.File(table, big).length()
+    Snapshots.compact(spark, table, "day", targetFileBytes = bigBytes)
+    val after = Snapshots.entriesAll(table)
+    assert(after.exists(_.rel == big),
+      "a file at/above the target must be carried by name, not rewritten")
+    assert(after.size == 2,
+      s"the two small fragments must coalesce into one file (got ${after.map(_.rel)})")
+    assert(Snapshots.read(spark, table).count() == 20020L)
+    // a tag with a single small file has nothing to coalesce: no-op
+    val v = Snapshots.currentVersion(table)
+    assert(Snapshots.compact(spark, table, "day", targetFileBytes = bigBytes) == v)
+  }
+
   test("bloom sidecars: legacy inline sketches never trusted; orphans vacuum") {
     import spark.implicits._
     val table = tmp("snap-bloom-sidecar")
