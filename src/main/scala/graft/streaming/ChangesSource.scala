@@ -40,6 +40,16 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *     (the Delta pattern — admission control mixed into a DSv1
   *     Source), so `Trigger.AvailableNow` pins the end target once and
   *     drains to it in capped batches before stopping.
+  *   - `maxFilesPerBatch` (optional): admission cap by CHANGED FILES —
+  *     versions are admitted until their cumulative changed-file count
+  *     (adds + removes + vector moves; pure driver metadata off the
+  *     manifest diffs) would exceed the cap. A version cap alone lets
+  *     one fat commit (a backfill touching 10⁵ files) blow the batch;
+  *     this bounds batch IO by actual work. FLOOR: offsets are
+  *     versions, so a single version larger than the cap cannot be
+  *     split — it is admitted ALONE and that batch exceeds the cap by
+  *     exactly that version's size (the Delta maxFilesPerTrigger
+  *     behavior). Composes with `maxVersionsPerBatch` (both apply).
   *
   * The schema is PINNED at stream start (current snapshot's logical
   * schema + `_change_type`); batches crossing a later ADDITIVE
@@ -70,7 +80,10 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
     val maxPer = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerBatch") => v.toLong }
     require(maxPer.forall(_ >= 1), "graft-changes: maxVersionsPerBatch must be >= 1")
-    new ChangesSource(ctx.sparkSession, table, starting, maxPer)
+    val maxFiles = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxFilesPerBatch") => v.toLong }
+    require(maxFiles.forall(_ >= 1), "graft-changes: maxFilesPerBatch must be >= 1")
+    new ChangesSource(ctx.sparkSession, table, starting, maxPer, maxFiles)
   }
 }
 
@@ -88,7 +101,8 @@ object ChangesSource {
 }
 
 class ChangesSource(spark: SparkSession, table: String,
-                    startingVersion: Long, maxVersionsPerBatch: Option[Long])
+                    startingVersion: Long, maxVersionsPerBatch: Option[Long],
+                    maxFilesPerBatch: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -113,14 +127,51 @@ class ChangesSource(spark: SparkSession, table: String,
     maxVersionsPerBatch.map(m => ReadLimit.maxRows(m)) // versions, see latestOffset
       .getOrElse(ReadLimit.allAvailable())
 
+  // per-version changed-file counts (immutable once committed) — the
+  // admission walk re-visits the same versions across triggers, so the
+  // diff is computed once per version per source instance
+  private val changedFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+
+  /** Files CHANGED by commit `v` (adds + removes + deletion-vector
+    * moves on shared rels) — the admission currency, matching what
+    * [[Snapshots.changes]] will actually open for the step. */
+  private def changedFiles(v: Long): Long =
+    changedFilesMemo.computeIfAbsent(v, { _ =>
+      def state(x: Long): Map[String, Option[String]] =
+        Snapshots.entriesAt(table, x)
+          .map(e => e.rel -> e.props.get(Snapshots.DvRefProp)).toMap
+      val from = state(v - 1); val to = state(v)
+      val added = to.keysIterator.count(!from.contains(_))
+      val removed = from.keysIterator.count(!to.contains(_))
+      val dvMoved = to.iterator.count { case (rel, dv) =>
+        from.get(rel).exists(_ != dv) }
+      (added + removed + dvMoved).toLong
+    })
+
   /** Admission control: the next batch ends at most `maxVersionsPerBatch`
     * versions past `start` (the checkpoint-authoritative offset Spark
-    * hands back — no source-side high-water state needed), clamped to
-    * the AvailableNow target when one is pinned. Null = no new data. */
+    * hands back — no source-side high-water state needed), shrunk
+    * further so cumulative changed files stay within `maxFilesPerBatch`
+    * (first version always admitted — the documented floor: version
+    * offsets cannot split one commit), clamped to the AvailableNow
+    * target when one is pinned. Null = no new data. */
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val startV = Option(start).map(longOf).getOrElse(startingVersion)
     val cur = availableNowTarget.getOrElse(Snapshots.currentVersion(table))
-    val target = maxVersionsPerBatch.fold(cur)(m => math.min(cur, startV + m))
+    var target = maxVersionsPerBatch.fold(cur)(m => math.min(cur, startV + m))
+    maxFilesPerBatch.foreach { cap =>
+      var end = startV
+      var cum = 0L
+      var v = startV + 1
+      var full = false
+      while (!full && v <= target) {
+        val c = changedFiles(v)
+        if (end == startV || cum + c <= cap) { cum += c; end = v; v += 1 }
+        else full = true
+      }
+      target = end
+    }
     if (target <= startV) null else LongOffset(target)
   }
 

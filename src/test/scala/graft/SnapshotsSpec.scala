@@ -521,6 +521,44 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(ghosts <= 8, s"absent-id false-positive files: $ghosts of 64 probes")
   }
 
+  test("a crash between prepare and publish leaves only vacuum fodder; retry converges") {
+    val table = tmp("snap-crash-prepare")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1, "a", 1L), (2, "b", 2L)), table, "day"))            // v1, one manifest
+    val liveBefore = Snapshots.entries(table).map(_._1).toSet
+    // a maintenance rewrite stages replacement files and PREPARES
+    // (manifests durable on disk) … then the process dies before
+    // commitPrepared — the window the OCC loop's comments argue about
+    val staged = Snapshots.stage(df((1, "a", 10L)), table, "day")
+    val p = Snapshots.prepareAllAt(table, 1,
+      staged.map { case (r, t) => Snapshots.Entry(r, t) },
+      remove = _._2 == "a")
+    // crash: `p` is lost. Readers are untouched — nothing references
+    // the prepared manifests or staged files
+    assert(Snapshots.currentVersion(table) == 1)
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
+    // every orphan the crash left — staged data files AND the prepared
+    // manifests — is vacuum fodder
+    val removed = Snapshots.vacuum(table).toSet
+    assert(staged.map(_._1).toSet.subsetOf(removed),
+      s"staged-but-never-committed data files must reclaim; got $removed")
+    val logDir = new java.io.File(table, "_graft_log")
+    val mfs = logDir.listFiles().map(_.getName).filter(_.startsWith("mf-")).toSet
+    assert(p.manifests.forall(m => !mfs.contains(m) || {
+      // a prepared manifest REUSED from v1 by name must survive
+      Snapshots.entriesAt(table, 1).nonEmpty && mfs.size >= 1 }))
+    assert(mfs.size == 1, s"only v1's manifest may survive, got $mfs")
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)),
+      "vacuum of crash orphans must never touch live data")
+    // the RETRY re-runs the whole read-modify-write and converges
+    val staged2 = Snapshots.stage(df((1, "a", 10L)), table, "day")
+    val v2 = Snapshots.commitRewrite(table, 1,
+      staged2.map { case (r, t) => Snapshots.Entry(r, t) },
+      remove = { case (rel, tag) => tag == "a" && liveBefore.contains(rel) })
+    assert(v2 == 2)
+    assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 2L)))
+  }
+
   test("stage splits an oversized tag into size-budgeted files; pruning unchanged") {
     import spark.implicits._
     val table = tmp("snap-split")

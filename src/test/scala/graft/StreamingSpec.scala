@@ -199,6 +199,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batches == 3, s"1-version admission must yield 3 batches, got $batches")
   }
 
+  test("change-feed source: maxFilesPerBatch bounds batches, fat versions admit alone") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc6-table")
+    val out = tmp("cdfsrc6-out")
+    val ckpt = tmp("cdfsrc6-ckpt")
+    def add(rows: (Long, String, Double)*): Unit = Snapshots.commit(table,
+      Snapshots.stage(rows.toDF("id", "day", "v"), table, "day"))
+    add((1L, "a", 1.0))                                       // v1: 1 file
+    add((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0),
+        (5L, "e", 5.0), (6L, "f", 6.0))                       // v2: 5 files (fat)
+    add((7L, "g", 7.0))                                       // v3: 1 file
+    val q = spark.readStream.format("graft-changes")
+      .option("maxFilesPerBatch", "2")
+      .load(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 7L),
+      "the capped drain must still deliver every change exactly once")
+    val batches = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    // v1 fills batch 0 (admitting v2 would blow the cap), the FAT v2
+    // admits ALONE in batch 1 (the floor — a wedge otherwise), v3 is
+    // batch 2
+    assert(batches == 3, s"2-file admission over (1,5,1)-file versions " +
+      s"must yield 3 batches, got $batches")
+  }
+
   test("watermarked hourly aggregate matches the batch result") {
     val agg = Pipelines.hourlyAgg(Pipelines.eventsStream(spark, Sf))
     val q = agg.writeStream.format("memory").queryName("hourly_out")
