@@ -494,16 +494,27 @@ object Mutations {
     try {
     val touchedRels = entries
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }
+    // per-file cardinality of the FOLDED vector — O(touched files) of
+    // driver rows; feeds both the crossover check and the dv.rows
+    // props the MOR commit records (so DESCRIBE DETAIL and the reorg
+    // trigger answer from the manifest, no re-count)
+    val perFid: Map[String, Long] = all.groupBy("__fid").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val cowCommit: Option[Long] = cowTagCol.flatMap { tagCol =>
       val relSet = touchedRels.toSet
       // crossover check: folded-vector size vs touched-file row counts.
-      // The count scan selects ZERO data columns, so the parquet reader
-      // answers from row-group metadata — one distributed job, not a
-      // serial driver footer loop over 10^6 touched files (r9 review
-      // find); the vector side is sidecar-sized
-      val totalRows = Snapshots.readVersion(spark, table, v0,
-        fileFilter = e => relSet.contains(e.rel)).count()
-      if (totalRows > 0 && all.count() >= cowThreshold * totalRows) {
+      // Totals come from the entries' `rows` props when every touched
+      // entry carries one (commit-time footer counts — zero IO here);
+      // the fallback is the zero-column scan answered from row-group
+      // metadata — one distributed job, not a serial driver footer
+      // loop over 10^6 touched files (r9 review find)
+      val touchedEs = entries.filter(e => relSet.contains(e.rel))
+      val totalRows: Long =
+        if (touchedEs.forall(_.props.contains(Snapshots.RowsProp)))
+          touchedEs.map(_.props(Snapshots.RowsProp).toLong).sum
+        else Snapshots.readVersion(spark, table, v0,
+          fileFilter = e => relSet.contains(e.rel)).count()
+      if (totalRows > 0 && perFid.valuesIterator.sum >= cowThreshold * totalRows) {
         // raw read + anti-join of the FULL folded vector == the merged
         // state after this delete: one pass materializes the prior
         // vectors and the new matches together
@@ -534,7 +545,9 @@ object Mutations {
         .parquet(s"$table/$dvRel")
       val updated = entries.collect {
         case e if touchedIds(Snapshots.fileId(e.rel)) =>
-          e.copy(props = e.props + (DvProp -> dvRel))
+          e.copy(props = e.props + (DvProp -> dvRel) +
+            (Snapshots.DvRowsProp ->
+              perFid.getOrElse(Snapshots.fileId(e.rel), 0L).toString))
       }
       Snapshots.commitRewrite(table, v0, updated,
         remove = { case (rel, _) => touchedIds(Snapshots.fileId(rel)) })
@@ -564,21 +577,33 @@ object Mutations {
     val v0 = Snapshots.currentVersion(table)
     val dvEs = Snapshots.entriesAt(table, v0).filter(_.props.contains(DvProp))
     if (dvEs.isEmpty) return v0
-    val deleted: Map[String, Long] = dvEs.groupBy(_.props(DvProp)).toSeq.flatMap {
-      case (dvRel, owners) =>
-        val ids = owners.map(e => Snapshots.fileId(e.rel))
-        // broadcast semi-join, not literal isin — same wide-table
-        // planner bound as deleteWhere's prior-vector fold
-        Snapshots.restrictToIds(spark, spark.read.parquet(s"$table/$dvRel"), ids)
-          .groupBy("__fid").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1))
-    }.toMap
-    // per-file totals in ONE distributed job (zero data columns ⇒
-    // row-group-metadata counts), not a serial driver footer loop
-    val totals: Map[String, Long] = spark.read
-      .parquet(dvEs.map(e => s"$table/${e.rel}"): _*)
-      .groupBy(Snapshots.fileIdCol(input_file_name()).as("__f")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both sides of the fraction come from MANIFEST PROPS when the
+    // entries carry them (dv.rows written by deleteWhere, rows at
+    // commit time) — zero jobs; pre-r11 entries without the props pay
+    // the original metadata jobs
+    val deleted: Map[String, Long] =
+      if (dvEs.forall(_.props.contains(Snapshots.DvRowsProp)))
+        dvEs.map(e => Snapshots.fileId(e.rel) ->
+          e.props(Snapshots.DvRowsProp).toLong).toMap
+      else dvEs.groupBy(_.props(DvProp)).toSeq.flatMap {
+        case (dvRel, owners) =>
+          val ids = owners.map(e => Snapshots.fileId(e.rel))
+          // broadcast semi-join, not literal isin — same wide-table
+          // planner bound as deleteWhere's prior-vector fold
+          Snapshots.restrictToIds(spark, spark.read.parquet(s"$table/$dvRel"), ids)
+            .groupBy("__fid").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+      }.toMap
+    val totals: Map[String, Long] =
+      if (dvEs.forall(_.props.contains(Snapshots.RowsProp)))
+        dvEs.map(e => Snapshots.fileId(e.rel) ->
+          e.props(Snapshots.RowsProp).toLong).toMap
+      // per-file totals in ONE distributed job (zero data columns ⇒
+      // row-group-metadata counts), not a serial driver footer loop
+      else spark.read
+        .parquet(dvEs.map(e => s"$table/${e.rel}"): _*)
+        .groupBy(Snapshots.fileIdCol(input_file_name()).as("__f")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val heavy = dvEs.filter { e =>
       val total = totals.getOrElse(Snapshots.fileId(e.rel), 0L)
       total > 0 &&

@@ -239,12 +239,24 @@ object Snapshots {
     * to read. Wall-clock resolution is the filesystem's; two commits
     * inside one clock tick resolve to the later one. */
   def versionAtTime(table: String, epochMs: Long): Long = {
-    val vs = (1L to currentVersion(table))
-      .filter(v => snapFile(table, v).lastModified() <= epochMs)
-    require(vs.nonEmpty,
+    // BINARY SEARCH for the newest version published at/before the
+    // instant — publish times are monotonic with version (same-machine
+    // wall clock over immutable files), so this is O(log #commits)
+    // file stats instead of a stat per commit (a vacuumed version's
+    // missing file stats as mtime 0, which keeps the sequence
+    // monotone; landing on one fails at read time exactly as the
+    // linear scan did)
+    val cur = currentVersion(table)
+    var lo = 1L; var hi = cur; var ans = 0L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (snapFile(table, mid).lastModified() <= epochMs) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    require(ans >= 1,
       s"versionAtTime($table): no snapshot existed at epoch-ms $epochMs " +
         "(before the first commit)")
-    vs.max
+    ans
   }
 
   // ---- on-disk framing ------------------------------------------------
@@ -1238,6 +1250,60 @@ object Snapshots {
     * as an auxiliary reference [[vacuum]] retains). */
   private[graft] val DvRefProp = "ref.dv"
 
+  /** Entry property: the file's EXACT footer row count, recorded once
+    * at commit time ([[prepareAllAt]] enriches every added entry —
+    * metadata-only IO, pooled). With [[DvRowsProp]] this is what lets
+    * `DESCRIBE DETAIL` and the DV-maintenance crossover answer row
+    * counts from the MANIFEST instead of a distributed zero-column
+    * count per call (the r10 verdict's remaining scale note): at 10⁶
+    * files a table-stats question becomes a driver fold over props. */
+  private[graft] val RowsProp = "rows"
+
+  /** Entry property: the CARDINALITY of the file's current (folded)
+    * deletion vector — written alongside [[DvRefProp]] by deleteWhere,
+    * dropped with it by every materializing rewrite. Live rows of a
+    * file = `rows - dv.rows`. */
+  private[graft] val DvRowsProp = "dv.rows"
+
+  /** Exact row count from the parquet footer — one metadata-only open,
+    * no data pages. None on unreadable/absent files (callers fall back
+    * to a distributed count; absence of metadata never fabricates 0). */
+  private def footerRowCount(path: String): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new File(path).getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(reader.getRecordCount) finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Enrich added entries with [[RowsProp]] (entries already carrying
+    * it — a restage that re-derived stats — are untouched). Pooled like
+    * the schema probes: a 10⁵-file backfill's counts read in parallel,
+    * and only ever ONCE per file (the prop then rides every later
+    * manifest rewrite). */
+  private def withRowCounts(table: String, add: Seq[Entry]): Seq[Entry] = {
+    val missing = add.filter(!_.props.contains(RowsProp))
+    if (missing.isEmpty) return add
+    val counts: Map[String, Long] =
+      if (missing.size <= 4)
+        missing.flatMap(e => footerRowCount(s"$table/${e.rel}").map(e.rel -> _)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, missing.size))
+        try missing.map { e =>
+            (e.rel, pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+              def call() = footerRowCount(s"$table/${e.rel}")
+            }))
+          }.flatMap { case (rel, fut) => fut.get().map(rel -> _) }.toMap
+        finally pool.shutdown()
+      }
+    add.map(e =>
+      if (e.props.contains(RowsProp)) e
+      else counts.get(e.rel).fold(e)(n =>
+        e.copy(props = e.props + (RowsProp -> n.toString))))
+  }
+
   /** Authoritative deleted-position rows `(__fid, __pos)` for the
     * DV-bearing subset of `es` — each file's positions come from ITS
     * entry's sidecar only (an older sidecar may still carry rows for
@@ -1659,6 +1725,7 @@ object Snapshots {
   def prepareAllAt(table: String, base: Long, add: Seq[Entry],
                    remove: ((String, String)) => Boolean = _ => false): Prepared = {
     val cur = base
+    val addEnriched = withRowCounts(table, add)
     val kept = (if (cur == 0) Seq.empty else manifestList(table, cur)).flatMap {
       case (mf, _) =>
         val es = manifestEntries(table, mf)
@@ -1667,7 +1734,9 @@ object Snapshots {
         else if (keep.isEmpty) None                   // fully removed: drop
         else Some(writeManifest(table, keep))         // partial: rewrite this one
     }
-    val added = if (add.isEmpty) Seq.empty else Seq(writeManifest(table, add))
+    val added =
+      if (addEnriched.isEmpty) Seq.empty
+      else Seq(writeManifest(table, addEnriched))
     Prepared(table, cur + 1, kept ++ added)
   }
 

@@ -829,6 +829,29 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(got(1).isNullAt(2), "unnamed v must NULL-fill")
   }
 
+  test("DESCRIBE DETAIL answers num_rows from the manifest, opening no data file") {
+    val table = mk("sql-detail-meta", "sqldm",
+      (1L to 30L).map(i => (i, if (i <= 15) "a" else "b", i.toDouble)): _*)
+    def detail() = spark.sql("DESCRIBE DETAIL sqldm").collect().head
+    assert(detail().getLong(6) == 30L)
+    // a small MOR delete (under the COW crossover): vectors recorded,
+    // dv.rows rides the entries
+    spark.sql("DELETE FROM sqldm WHERE id <= 2")
+    val d1 = detail()
+    assert(d1.getLong(4) >= 1L, "the delete must be merge-on-read (dv files)")
+    assert(d1.getLong(6) == 28L, "num_rows must fold rows - dv.rows")
+    // a second delete folds the vector; the count follows
+    spark.sql("DELETE FROM sqldm WHERE id = 3")
+    assert(detail().getLong(6) == 27L)
+    // THE PROOF it is metadata-only: mutilate a data file on disk —
+    // any path that opened data files (the pre-r11 distributed count)
+    // would now fail; the manifest fold cannot notice
+    val victim = Snapshots.entriesAll(table).head.rel
+    assert(new java.io.File(table, victim).delete())
+    assert(detail().getLong(6) == 27L,
+      "DETAIL must not open data files for num_rows")
+  }
+
   test("VACUUM RETAIN n HOURS resolves the age window through publish times") {
     val table = mk("sql-vac-hours", "sqlvh", (1L, "a", 1.0))
     Snapshots.commit(table,
