@@ -71,6 +71,8 @@ object NanosDateRangeRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosDateRangeRule)
+    // count(*) over a DV-free lake scan folds from manifest row counts
+    e.injectOptimizerRule(_ => MetadataCountRule)
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     // lake SQL surface: MERGE/DELETE/UPDATE/VACUUM/OPTIMIZE/RESTORE/
     // DESCRIBE HISTORY statements + registered-name resolution with

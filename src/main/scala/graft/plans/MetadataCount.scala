@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.ops.lake.Snapshots
+
+import org.apache.spark.sql.GraftFileIndex
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** METADATA-ONLY COUNT — the Delta `OptimizeMetadataOnlyDeltaQuery`
+  * shape: `SELECT count(*) FROM lake_table` (no WHERE, no GROUP BY)
+  * folds to a constant from the manifest's per-entry `rows` props
+  * instead of scanning row-group metadata file by file. At 10⁶ files
+  * that is a driver fold over the already-resident entry list versus a
+  * distributed job touching a million footers — the table-stats
+  * question a 100 TB warehouse asks constantly.
+  *
+  * Soundness gates (all must hold, else the plan is left alone):
+  *   - the aggregate has NO grouping and every output is a bare
+  *     `count(1)`/`count(*)` — no DISTINCT, no FILTER clause, no other
+  *     aggregate mixed in;
+  *   - the child is (projections over) exactly ONE manifest-pruned
+  *     lake scan ([[GraftFileIndex]]) — a `Filter` anywhere bails (the
+  *     count would change), as does the union-of-schema-groups shape
+  *     and the deletion-vector anti-join (those plans are not a bare
+  *     scan, so they never match);
+  *   - every entry carries [[Snapshots.RowsProp]] (exact commit-time
+  *     footer counts) and NONE carries a deletion vector — a vectored
+  *     entry's live count is `rows - dv.rows`, but such entries only
+  *     appear under the anti-join plan, which already fails the shape
+  *     gate; the prop check is defense in depth.
+  *
+  * Projections are row-preserving (1:1), so any stack of them between
+  * the aggregate and the scan — including the logical rename/drop
+  * projection evolved tables read under — keeps the fold exact. */
+object MetadataCountRule extends Rule[LogicalPlan] {
+
+  private def countStar(ne: NamedExpression): Boolean = ne match {
+    case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
+      true
+    case _ => false
+  }
+
+  /** The single pruned lake scan under row-preserving projections. */
+  private def scanEntries(p: LogicalPlan): Option[Seq[Snapshots.Entry]] = p match {
+    case Project(_, child) => scanEntries(child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex => Some(g.manifestEntries)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groups, aggExprs, child, _)
+        if groups.isEmpty && aggExprs.nonEmpty && aggExprs.forall(countStar) =>
+      scanEntries(child) match {
+        case Some(es) if es.nonEmpty &&
+            es.forall(e => e.props.contains(Snapshots.RowsProp) &&
+              !e.props.contains(Snapshots.DvRefProp)) =>
+          val n = es.map(_.props(Snapshots.RowsProp).toLong).sum
+          LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+        case _ => agg
+      }
+  }
+}

@@ -301,7 +301,31 @@ object LakeSqlQueries {
       |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
       |FROM merged GROUP BY event_date ORDER BY event_date""".stripMargin
 
+  /** s45: METADATA-ONLY COUNT — `count(*)` over the registered table
+    * folds to a constant from the manifest's per-entry `rows` props
+    * (the Delta OptimizeMetadataOnlyDeltaQuery shape; PlanRulesSpec
+    * pins that the optimized plan is a LocalRelation with NO scan),
+    * while the filtered count beside it must NOT fold and still scans.
+    * Both land in one row the oracle restates — the fold has to be
+    * invisible in the answer, visible only in the plan. */
+  def sqlMetaCount(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s45-sql-", dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      eventsSlim(spark, dir), table, "event_date", "event_id"))
+    LakeSql.register(spark, "s45t", table, "event_date")
+    spark.sql(
+      """SELECT (SELECT count(*) FROM s45t) AS n_all,
+        |       (SELECT count(*) FROM s45t WHERE event_type = 'click') AS n_click
+        |""".stripMargin)
+  }
+
+  val sqlMetaCountOracle: String =
+    """SELECT (SELECT count(*) FROM events) AS n_all,
+      |       (SELECT count(*) FROM events WHERE event_type = 'click') AS n_click
+      |""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s45_sql_meta_count", sqlMetaCountOracle)(sqlMetaCount),
     QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
     QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
     QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance),

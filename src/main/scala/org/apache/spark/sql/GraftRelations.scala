@@ -42,6 +42,12 @@ class GraftFileIndex(
     tagCol: String,
     entries: Seq[Snapshots.Entry]) extends FileIndex {
 
+  /** The manifest entries this index scans — read by the
+    * metadata-count optimizer rule ([[graft.plans.MetadataCountRule]]):
+    * with per-entry `rows` props a bare count over this index folds to
+    * a constant without opening a file. */
+  def manifestEntries: Seq[Snapshots.Entry] = entries
+
   private val statusCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileStatus]()
 

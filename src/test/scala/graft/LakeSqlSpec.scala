@@ -829,6 +829,33 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(got(1).isNullAt(2), "unnamed v must NULL-fill")
   }
 
+  test("count(*) folds to a LocalRelation from manifest counts; guarded shapes scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    mk("sql-meta-count", "sqlmc",
+      (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", i.toDouble)): _*)
+    def allLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    val q = spark.sql("SELECT count(*) AS n FROM sqlmc")
+    assert(allLocal(q), "bare count(*) must fold — no scan in the plan")
+    assert(q.collect().head.getLong(0) == 20L)
+    // every guard: filters, count(col), DISTINCT, grouping must SCAN
+    val guarded = Seq(
+      "SELECT count(*) AS n FROM sqlmc WHERE v > 5.0",
+      "SELECT count(v) AS n FROM sqlmc",
+      "SELECT count(DISTINCT day) AS n FROM sqlmc",
+      "SELECT day, count(*) AS n FROM sqlmc GROUP BY day")
+    guarded.foreach { sql =>
+      assert(!allLocal(spark.sql(sql)), s"must not fold: $sql") }
+    assert(spark.sql(guarded.head).collect().head.getLong(0) == 15L)
+    // a deletion vector moves the table off the bare-scan shape: the
+    // fold must vanish and the MERGED count stay exact
+    spark.sql("DELETE FROM sqlmc WHERE id = 1")
+    val qd = spark.sql("SELECT count(*) AS n FROM sqlmc")
+    assert(!allLocal(qd), "a DV-bearing table must not fold")
+    assert(qd.collect().head.getLong(0) == 19L)
+  }
+
   test("DESCRIBE DETAIL answers num_rows from the manifest, opening no data file") {
     val table = mk("sql-detail-meta", "sqldm",
       (1L to 30L).map(i => (i, if (i <= 15) "a" else "b", i.toDouble)): _*)
