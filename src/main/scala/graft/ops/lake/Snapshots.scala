@@ -1930,6 +1930,57 @@ object Snapshots {
     * have drained — until then the old snapshot stays fully readable
     * (that deferral IS the old-XOR-new guarantee for in-flight
     * readers). */
+  /** MANIFEST COMPACTION — the Iceberg `rewrite_manifests` shape, pure
+    * LOG maintenance (zero data IO): merge a long-appended table's
+    * accumulation of small manifests into few large ones. Why it
+    * matters at scale: every commit's snapshot file lists every live
+    * manifest BY NAME, so 10⁴ append commits leave 10⁴ manifests and
+    * every subsequent commit rewrites a 10⁴-line snapshot — log text
+    * IO per commit grows with commit COUNT even though entry IO stays
+    * O(touched). Merging restores snapshot size to O(#merged).
+    *
+    * Entries are re-grouped SORTED BY TAG, so each merged manifest
+    * covers a narrow contiguous tag set and the snapshot line's
+    * manifest-level tag pruning stays sharp (an arrival-order merge
+    * would smear every tag across every manifest and demote pruning to
+    * the per-entry level). Entry content is byte-preserved — props,
+    * vectors, stats all ride along — so every read, DETAIL fold, and
+    * prune behaves identically.
+    *
+    * Concurrency: the publish is pinned at `cur + 1`; ANY concurrent
+    * commit wins the version race and this pass RETRIES from the new
+    * snapshot (never merging over a writer's entry changes — the
+    * re-read starts from scratch). Old snapshots keep referencing the
+    * small manifests until [[vacuum]]. Returns the committed version
+    * (unchanged when the manifest count is already within bounds). */
+  def compactManifests(table: String, maxManifests: Int = 64,
+                       entriesPerManifest: Int = 100000,
+                       maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val v0 = currentVersion(table)
+      if (v0 == 0) return 0L
+      val mfs = manifestList(table, v0)
+      if (mfs.size <= maxManifests) return v0
+      val all = mfs.flatMap { case (mf, _) => manifestEntries(table, mf) }
+      val merged = all.sortBy(e => (e.tag, e.rel))
+        .grouped(math.max(1, math.max(entriesPerManifest, all.size / maxManifests + 1)))
+        .map(writeManifest(table, _)).toSeq
+      // content-describing props carry (mv.* bookkeeping — same rule
+      // as compact); schema./constraint. inherit via commitPrepared
+      val carried = snapshotProps(table, v0)
+        .filter { case (k, _) => k.startsWith("mv.") }
+      try return commitPrepared(Prepared(table, v0 + 1, merged), props = carried)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+        // retry re-reads everything from the new current snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def vacuum(table: String, keepVersions: Int = 1,
              dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, s"vacuum($table): keepVersions must be >= 1")

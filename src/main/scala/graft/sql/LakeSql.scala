@@ -329,6 +329,8 @@ object LakeStatements {
 
   private val Vacuum =
     """(?is)VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?""".r
+  private val OptimizeManifests =
+    """(?is)OPTIMIZE\s+(\w+)\s+MANIFESTS(?:\s+(\d+))?""".r
   private val Optimize =
     """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+))?""".r
   private val TagEq = """(?is)\s*(\w+)\s*=\s*'([^']*)'\s*""".r
@@ -403,6 +405,14 @@ object LakeStatements {
         case _ => None
       }
       case "OPTIMIZE" => text match {
+        // LOG maintenance: merge accumulated small manifests (the
+        // Iceberg rewrite_manifests verb) — zero data IO; optional
+        // integer bounds the resulting manifest count
+        case OptimizeManifests(name, maxMfs) => lookup(name).map { case (path, _) =>
+          LakeCommand("OPTIMIZE MANIFESTS", versionOut, _ =>
+            Seq(Row(Snapshots.compactManifests(path,
+              maxManifests = Option(maxMfs).map(_.toInt).getOrElse(64)))))
+        }
         case Optimize(name, zcols, where) => lookup(name).map { case (path, tag) =>
           val z = Option(zcols).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)

@@ -898,6 +898,20 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(content("SELECT id, day, v FROM sqlvh") == Seq((1L, "a", 1.0)))
   }
 
+  test("OPTIMIZE MANIFESTS merges the log through SQL") {
+    val table = mk("sql-opt-mf", "sqlom", (1L, "a", 1.0))
+    (2 to 20).foreach(i => Snapshots.commit(table,
+      Snapshots.stage(df((i.toLong, s"d$i", i.toDouble)), table, "day")))
+    val v = spark.sql("OPTIMIZE sqlom MANIFESTS 2").collect().head.getLong(0)
+    assert(v == 21L)
+    val snap = new java.io.File(table, f"_graft_log/snap-$v%09d.txt")
+    val mfs = new String(java.nio.file.Files.readAllBytes(snap.toPath))
+      .split("\n").count(l => l.nonEmpty && !l.startsWith("#"))
+    assert(mfs <= 2, s"SQL manifest compaction must merge the log, got $mfs")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlom").collect()
+      .head.getLong(0) == 20L)
+  }
+
   test("OPTIMIZE WHERE IN rejects malformed lists instead of narrowing scope") {
     val table = mk("sql-opt-in", "sqloi", (1L, "a", 1.0), (2L, "a", 2.0),
       (3L, "b", 3.0), (4L, "b", 4.0))

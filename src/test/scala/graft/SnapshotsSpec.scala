@@ -967,6 +967,72 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.logListings.get() == before + 1, "one fallback listing")
   }
 
+  test("manifest compaction merges the log without touching data or semantics") {
+    val table = tmp("snap-mf-compact")
+    // 40 append commits → 40 manifests, tags interleaved so arrival
+    // order and tag order differ
+    (1 to 40).foreach(i => Snapshots.commit(table, Snapshots.stage(
+      df((i, if (i % 2 == 0) "even" else "odd", i.toLong)), table, "day")))
+    val v0 = Snapshots.currentVersion(table)
+    val entriesBefore = Snapshots.entriesAll(table).sortBy(_.rel)
+    val dataFiles = entriesBefore.map(_.rel).toSet
+    def mfCount(v: Long): Int = {
+      val snap = new java.io.File(table, f"_graft_log/snap-$v%09d.txt")
+      new String(java.nio.file.Files.readAllBytes(snap.toPath))
+        .split("\n").count(l => l.nonEmpty && !l.startsWith("#"))
+    }
+    assert(mfCount(v0) == 40)
+    val v1 = Snapshots.compactManifests(table, maxManifests = 4)
+    assert(v1 == v0 + 1)
+    assert(mfCount(v1) <= 4, s"log must merge to <= 4 manifests, got ${mfCount(v1)}")
+    // entries byte-preserved: same rels, tags, props; zero data IO
+    assert(Snapshots.entriesAll(table).sortBy(_.rel) == entriesBefore)
+    assert(Snapshots.entriesAll(table).map(_.rel).toSet == dataFiles)
+    // tag-sorted regrouping keeps manifest-level tag pruning sharp:
+    // one tag's files live in at most half the manifests (+1 boundary)
+    val snapLines = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(table, f"_graft_log/snap-$v1%09d.txt").toPath))
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+    val evenMfs = snapLines.count(_.split("\t")(1).split("\u0001").contains("even"))
+    assert(evenMfs <= 3, s"tag 'even' must stay tag-local, spans $evenMfs manifests")
+    // reads identical; old version still travels on the small manifests
+    assert(sorted(Snapshots.read(spark, table)).map(_._1) == (1 to 40))
+    assert(Snapshots.readVersion(spark, table, v0).count() == 40)
+    // idempotent within bounds: nothing to do → version unchanged
+    assert(Snapshots.compactManifests(table, maxManifests = 4) == v1)
+    // a compacted-then-appended table keeps composing
+    Snapshots.commit(table, Snapshots.stage(df((41, "odd", 41L)), table, "day"))
+    assert(sorted(Snapshots.read(spark, table)).map(_._1) == (1 to 41))
+  }
+
+  test("racing committers: dense versions, pointer-resolved reads, no lost append") {
+    val table = tmp("snap-race-pointer")
+    Snapshots.commit(table, Snapshots.stage(df((0, "z", 0L)), table, "day")) // v1
+    // stage serially (Spark jobs), RACE only the commits — the
+    // component under test is the OCC retry loop + pointer advance
+    val staged = (1 to 12).map(i =>
+      Snapshots.stage(df((i, s"d$i", i.toLong)), table, "day"))
+    val threads = staged.grouped(4).toSeq.map { batch =>
+      new Thread(() => batch.foreach { s =>
+        Snapshots.commitAllWithRetry(table,
+          s.map { case (r, t) => Snapshots.Entry(r, t) }, maxRetries = 50)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every disjoint append lands in SOME serial order: versions dense
+    assert(Snapshots.currentVersion(table) == 13L)
+    (1L to 13L).foreach(v => assert(
+      new java.io.File(table, f"_graft_log/snap-$v%09d.txt").exists(),
+      s"version $v missing — a racing commit was lost or skipped"))
+    assert(sorted(Snapshots.read(spark, table)).map(_._1) == (0 to 12),
+      "every append's rows must be visible")
+    // a racing advancePointer may leave the pointer lagging (monotonic
+    // lower bound) — resolution must still be listing-free and exact
+    val before = Snapshots.logListings.get()
+    (1 to 10).foreach(_ => assert(Snapshots.currentVersion(table) == 13L))
+    assert(Snapshots.logListings.get() == before)
+  }
+
   test("batchCommitter gaps (empty batches) stay visible through the pointer") {
     val table = tmp("snap-pointer-gap")
     val commit = Snapshots.batchCommitter(table, "day")
