@@ -49,7 +49,7 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
 
     for (step <- 1 to 32) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 => // INSERT (explicit columns once the schema evolved —
           // positional binding demands the full union arity, per SQL)
           val rows = fresh(tag, 1 + rnd.nextInt(3))
@@ -142,6 +142,8 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
               .toDF("id", "day", "v", "extra"), table, "day"))
           evolved = true
           model += ev._1 -> ((ev._2, ev._3))
+        case 12 => // log maintenance: manifest merge is content-invisible
+          spark.sql("OPTIMIZE mdl MANIFESTS 2")
         case _ => ()
       }
       snapshot(); check(step)

@@ -337,7 +337,7 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       (1 to n).map { _ => nextId += 1; (nextId, tag, rnd.nextLong(1000)) }
     for (step <- 1 to 15) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // append to tag
           val rows = freshRows(tag, 1 + rnd.nextInt(3))
           Snapshots.commit(table, Snapshots.stage(df(rows: _*), table, "day"))
@@ -349,6 +349,8 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
           model = model.updated(tag, rows)
         case 2 if model.nonEmpty => // maintenance must never change content
           Snapshots.compact(spark, table, "day")
+        case 3 if model.nonEmpty => // log maintenance: content-invisible too
+          Snapshots.compactManifests(table, maxManifests = 2)
         case _ => ()
       }
       if (model.nonEmpty)
