@@ -392,6 +392,59 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assigned2.select("vec_id", "cell_id")).isEmpty)
   }
 
+  test("change-feed stream maintains the IVF index exactly-once (CDF -> ANN)") {
+    import graft.ops.lake.Snapshots
+    CosineSimilarity.register(spark)
+    val src = tmp("ann-cdf-src"); val index = tmp("ann-cdf-index")
+    val ckpt = tmp("ann-cdf-ckpt")
+    // the corpus lives in a lake table; the index is a DOWNSTREAM
+    // consumer wired through the graft-changes stream — each
+    // micro-batch assigns only the CHANGED vectors to their codebook
+    // cells and add-only commits them, keyed to the batch id, so a
+    // replayed batch can never double-insert (the exactly-once story
+    // the r10 verdict's "incremental index-maintenance consumers"
+    // claim rests on, now integration-pinned end to end)
+    val emb = graft.engine.Tables(spark, Sf).embeddings
+      .filter(col("vec_id") >= 10)
+    def srcRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("embedding"))
+        .withColumn("shard", (col("vec_id") % 4).cast("string"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    Snapshots.commit(src, Snapshots.stage(srcRows(base), src, "shard"))
+    val commitIdx = Snapshots.batchCommitter(index, "cell_id")
+    def drain(): Unit = spark.readStream.format("graft-changes").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val assigned = Similarity.ivfAssignments(spark, Sf,
+            batch.filter(col("_change_type") === "insert")
+              .select("vec_id", "embedding"),
+            "vec_id", "embedding", probes = 1)
+          .select(col("cell_id"), col("vec_id"), col("embedding"))
+        commitIdx(assigned, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain()                                            // bootstrap batch
+    Snapshots.commit(src, Snapshots.stage(srcRows(delta), src, "shard"))
+    val indexFilesAfterBase = Snapshots.entries(index).map(_._1).toSet
+    drain()                                            // delta batch
+    assert(indexFilesAfterBase.subsetOf(Snapshots.entries(index).map(_._1).toSet),
+      "the delta upsert must be ADD-ONLY — base index files carried by name")
+    val vAfter = Snapshots.currentVersion(index)
+    drain()                                            // idle drain: no-op
+    assert(Snapshots.currentVersion(index) == vAfter, "idle drains commit nothing")
+    // parity: the stream-maintained index holds exactly the full
+    // corpus's assignments (same codebook, so row-for-row equal)
+    val want = Similarity.ivfAssignments(spark, Sf, srcRows(emb),
+        "vec_id", "embedding", probes = 1)
+      .select("cell_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = Snapshots.read(spark, index).select("cell_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, "stream-maintained index must equal the full rebuild")
+  }
+
   test("ann3c incremental index: parity with ann3, add-only upsert, build-once reuse") {
     import graft.ops.lake.Snapshots
     // parity: the incrementally-maintained index answers exactly like
