@@ -758,20 +758,8 @@ object Snapshots {
         org.apache.spark.sql.GraftRelations.prunedParquetPlan(
           spark, table, tagColHint, v, groups.head._2, groups.head._1)))
     if (!allowUnion) return None
-    // name-keyed merge: same-name fields must agree on type (parquet
-    // mergeSchema fails on those conflicts too), new names append
-    def mergeTwo(a: org.apache.spark.sql.types.StructType,
-                 b: org.apache.spark.sql.types.StructType) = {
-      val known = a.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
-      b.fields.foreach { f =>
-        known.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { af =>
-          require(af.dataType == f.dataType,
-            s"type conflict on ${f.name}: ${af.dataType} vs ${f.dataType}") } }
-      org.apache.spark.sql.types.StructType(a.fields ++ b.fields.filterNot(
-        f => known.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
-    }
     val target =
-      try groups.map(_._1).reduceLeft(mergeTwo)
+      try groups.map(_._1).reduceLeft(mergeSchemasByName)
       catch { case _: IllegalArgumentException => return None }
     val frames = groups.map { case (sch, es) =>
       org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -790,11 +778,12 @@ object Snapshots {
     * along with their unshared manifests and unreferenced files, the
     * retention boundary).
     *
-    * Known limitation: a committed snapshot listing ZERO files (a
-    * remove-everything commit) cannot be read back — parquet needs at
-    * least one file to carry the schema, so the `require` below fires.
-    * Delta/Iceberg solve this by persisting the schema in the log; here
-    * a full-table delete should drop/recreate the table instead. */
+    * A committed snapshot listing ZERO files (a remove-everything
+    * commit) reads back EMPTY on the log-recorded schema
+    * ([[SchemaDdlProp]] — the Delta/Iceberg schema-in-the-log move,
+    * r11; previously this failed for want of a parquet footer). Only a
+    * zero-file snapshot on a log whose commits predate the record
+    * still errors. */
   def readVersion(spark: SparkSession, table: String, v: Long,
                   tagFilter: String => Boolean = _ => true,
                   fileFilter: Entry => Boolean = _ => true,
@@ -830,11 +819,22 @@ object Snapshots {
     } else {
       // every file pruned: skipping is IO elision, never semantics — the
       // correct result is EMPTY, carried on the schema of any snapshot
-      // file (footer-only IO). Only a zero-FILE snapshot can't be read
-      // (parquet needs one file for the schema — the scaladoc note).
+      // file (footer-only IO). A ZERO-FILE snapshot (remove-everything
+      // commit) reads on the LOG-RECORDED schema instead (r11,
+      // [[SchemaDdlProp]] — the Delta schema-in-the-log move); only a
+      // zero-file snapshot on a pre-r11 log without the record fails.
       val any = mfs.view.flatMap { case (mf, _) => manifestEntries(table, mf) }.headOption
-      require(any.nonEmpty, s"snapshot read of $table v$v: snapshot lists no files")
-      applyLogical(spark.read.parquet(s"$table/${any.get.rel}").limit(0), table, v)
+      val empty = any match {
+        case Some(e) => spark.read.parquet(s"$table/${e.rel}").limit(0)
+        case None =>
+          val ddl = snapshotProps(table, v).get(SchemaDdlProp)
+          require(ddl.isDefined,
+            s"snapshot read of $table v$v: snapshot lists no files and the " +
+              "log records no schema (pre-r11 commit)")
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(ddl.get))
+      }
+      applyLogical(empty, table, v)
     }
   }
 
@@ -1265,43 +1265,90 @@ object Snapshots {
     * file = `rows - dv.rows`. */
   private[graft] val DvRowsProp = "dv.rows"
 
-  /** Exact row count from the parquet footer — one metadata-only open,
-    * no data pages. None on unreadable/absent files (callers fall back
-    * to a distributed count; absence of metadata never fabricates 0). */
-  private def footerRowCount(path: String): Option[Long] =
+  /** Snapshot prop: the table's NAME-KEYED UNION schema as Spark DDL,
+    * maintained by [[prepareAllAt]] (merge of the prior recorded schema
+    * with every added file's footer schema) and INHERITED like all
+    * `schema.*` props. This is the Delta "schema lives in the log"
+    * move, and what lifts the old zero-file limitation: a
+    * remove-everything commit stays READABLE — [[readVersion]] presents
+    * the empty frame on the recorded schema instead of failing for
+    * want of a parquet footer. Version-scoped like the rename mapping
+    * (rollback restores the schema WITH the rows). */
+  private[graft] val SchemaDdlProp = "schema.ddl"
+
+  /** Name-keyed schema union: same-name fields must agree on type
+    * (parquet mergeSchema fails on those conflicts too, via
+    * IllegalArgumentException here), new names append. */
+  private def mergeSchemasByName(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val known = a.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    b.fields.foreach { f =>
+      known.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { af =>
+        require(af.dataType == f.dataType,
+          s"type conflict on ${f.name}: ${af.dataType} vs ${f.dataType}") } }
+    org.apache.spark.sql.types.StructType(a.fields ++ b.fields.filterNot(
+      f => known.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+  }
+
+  /** Exact row count AND Spark schema from the parquet footer — ONE
+    * metadata-only open, no data pages. None on unreadable/absent
+    * files; the schema side alone may be None when the footer's type
+    * shapes don't convert (callers treat both as absence — metadata
+    * never fabricates). */
+  private def footerInfo(path: String)
+      : Option[(Long, Option[org.apache.spark.sql.types.StructType])] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(new File(path).getAbsolutePath),
         new org.apache.hadoop.conf.Configuration())
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try Some(reader.getRecordCount) finally reader.close()
+      try {
+        val rows = reader.getRecordCount
+        val schema =
+          try Some(new org.apache.spark.sql.execution.datasources.parquet
+              .ParquetToSparkSchemaConverter(
+                org.apache.spark.sql.internal.SQLConf.get)
+            .convert(reader.getFooter.getFileMetaData.getSchema))
+          catch { case scala.util.control.NonFatal(_) => None }
+        Some((rows, schema))
+      } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Enrich added entries with [[RowsProp]] (entries already carrying
-    * it — a restage that re-derived stats — are untouched). Pooled like
-    * the schema probes: a 10⁵-file backfill's counts read in parallel,
-    * and only ever ONCE per file (the prop then rides every later
-    * manifest rewrite). */
-  private def withRowCounts(table: String, add: Seq[Entry]): Seq[Entry] = {
-    val missing = add.filter(!_.props.contains(RowsProp))
-    if (missing.isEmpty) return add
-    val counts: Map[String, Long] =
-      if (missing.size <= 4)
-        missing.flatMap(e => footerRowCount(s"$table/${e.rel}").map(e.rel -> _)).toMap
+    * it — a restage that re-derived stats — are untouched) and return
+    * the name-keyed UNION of the added files' footer schemas (for the
+    * [[SchemaDdlProp]] log record; None when any footer failed or the
+    * union conflicts). Pooled like the schema probes: a 10⁵-file
+    * backfill's footers read in parallel, and only ever ONCE per file
+    * (the props then ride every later manifest rewrite). */
+  private def withRowCounts(table: String, add: Seq[Entry])
+      : (Seq[Entry], Option[org.apache.spark.sql.types.StructType]) = {
+    if (add.isEmpty) return (add, None)
+    type Info = Option[(Long, Option[org.apache.spark.sql.types.StructType])]
+    val infos: Map[String, (Long, Option[org.apache.spark.sql.types.StructType])] =
+      if (add.size <= 4)
+        add.flatMap(e => footerInfo(s"$table/${e.rel}").map(e.rel -> _)).toMap
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, missing.size))
-        try missing.map { e =>
-            (e.rel, pool.submit(new java.util.concurrent.Callable[Option[Long]] {
-              def call() = footerRowCount(s"$table/${e.rel}")
+          math.min(16, add.size))
+        try add.map { e =>
+            (e.rel, pool.submit(new java.util.concurrent.Callable[Info] {
+              def call() = footerInfo(s"$table/${e.rel}")
             }))
           }.flatMap { case (rel, fut) => fut.get().map(rel -> _) }.toMap
         finally pool.shutdown()
       }
-    add.map(e =>
+    val enriched = add.map(e =>
       if (e.props.contains(RowsProp)) e
-      else counts.get(e.rel).fold(e)(n =>
-        e.copy(props = e.props + (RowsProp -> n.toString))))
+      else infos.get(e.rel).fold(e) { case (n, _) =>
+        e.copy(props = e.props + (RowsProp -> n.toString)) })
+    val schemas = add.flatMap(e => infos.get(e.rel).map(_._2))
+    val union =
+      if (schemas.size != add.size || schemas.exists(_.isEmpty)) None
+      else
+        try Some(schemas.flatten.reduceLeft(mergeSchemasByName))
+        catch { case _: IllegalArgumentException => None }
+    (enriched, union)
   }
 
   /** Authoritative deleted-position rows `(__fid, __pos)` for the
@@ -1725,7 +1772,25 @@ object Snapshots {
   def prepareAllAt(table: String, base: Long, add: Seq[Entry],
                    remove: ((String, String)) => Boolean = _ => false): Prepared = {
     val cur = base
-    val addEnriched = withRowCounts(table, add)
+    val (addEnriched, addSchema) = withRowCounts(table, add)
+    // maintain the log-recorded union schema: prior recorded schema
+    // (inherited props of the BASE version) merged with the added
+    // files'. A failed merge or probe leaves the prop ALONE — the
+    // inherited prior value carries, which is stale-but-sound for the
+    // zero-file read it serves (and the conflicting state would fail a
+    // mergeSchema read anyway)
+    val ddlProp: Map[String, String] = addSchema.flatMap { schemaOfAdds =>
+      val prior = (if (cur == 0) None else snapshotProps(table, cur).get(SchemaDdlProp))
+        .flatMap(d =>
+          try Some(org.apache.spark.sql.types.StructType.fromDDL(d))
+          catch { case scala.util.control.NonFatal(_) => None })
+      val merged =
+        try Some((prior.toSeq :+ schemaOfAdds).reduceLeft(mergeSchemasByName))
+        catch { case _: IllegalArgumentException => None }
+      merged.map(_.toDDL)
+        .filter(!_.exists(c => c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002'))
+        .map(SchemaDdlProp -> _)
+    }.toMap
     val kept = (if (cur == 0) Seq.empty else manifestList(table, cur)).flatMap {
       case (mf, _) =>
         val es = manifestEntries(table, mf)
@@ -1737,7 +1802,7 @@ object Snapshots {
     val added =
       if (addEnriched.isEmpty) Seq.empty
       else Seq(writeManifest(table, addEnriched))
-    Prepared(table, cur + 1, kept ++ added)
+    Prepared(table, cur + 1, kept ++ added, props = ddlProp)
   }
 
   /** [[commit]] with full [[Entry]] adds. */

@@ -177,12 +177,13 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     val v3 = Snapshots.rollback(table, 1)
     assert(v3 == 3 && Snapshots.currentVersion(table) == 3)
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 20L)))
-    assert(Snapshots.snapshotProps(table, v3) == Map("rollback.to" -> "1"))
+    assert(Snapshots.snapshotProps(table, v3) - "schema.ddl" ==
+      Map("rollback.to" -> "1"))
     // rollback carries the TARGET's props too (bookkeeping like
     // mv.applied must roll back with the rows it describes)
     val v4 = Snapshots.commit(table, Seq.empty, props = Map("mv.applied" -> "7"))
     val v5 = Snapshots.rollback(table, v4)
-    assert(Snapshots.snapshotProps(table, v5) ==
+    assert(Snapshots.snapshotProps(table, v5) - "schema.ddl" ==
       Map("mv.applied" -> "7", "rollback.to" -> v4.toString))
 
     // drop the pin: v1's snapshot file is reclaimed, but the CONTENT
@@ -202,12 +203,14 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     val table = tmp("snap-props")
     val v = Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"),
       props = Map("writer" -> "r8", "note" -> "hello world"))
-    assert(Snapshots.snapshotProps(table, v) ==
+    // schema.ddl rides every data commit (the r11 log-recorded schema)
+    assert(Snapshots.snapshotProps(table, v).contains("schema.ddl"))
+    assert(Snapshots.snapshotProps(table, v) - "schema.ddl" ==
       Map("writer" -> "r8", "note" -> "hello world"))
     assert(Snapshots.snapshotProps(table, 0).isEmpty)
     // a props-only commit (no adds/removes) carries the data forward
     val v2 = Snapshots.commit(table, Seq.empty, props = Map("k" -> "v2"))
-    assert(Snapshots.snapshotProps(table, v2) == Map("k" -> "v2"))
+    assert(Snapshots.snapshotProps(table, v2) - "schema.ddl" == Map("k" -> "v2"))
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L)))
     intercept[IllegalArgumentException] {
       Snapshots.commit(table, Seq.empty, props = Map("bad=key" -> "v"))
@@ -967,6 +970,31 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     new java.io.File(table, "_graft_log/_last").delete()
     assert(Snapshots.currentVersion(table) == 1001L)
     assert(Snapshots.logListings.get() == before + 1, "one fallback listing")
+  }
+
+  test("a remove-everything commit reads back empty on the log-recorded schema") {
+    import spark.implicits._
+    val table = tmp("snap-zero-files")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1, "a", 1L), (2, "b", 2L)).toDF("id", "day", "v"), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((3, "c", 3L, 30L)).toDF("id", "day", "v", "w"), table, "day"))
+    Snapshots.commit(table, Seq.empty, remove = _ => true)   // v3: zero files
+    val empty = Snapshots.read(spark, table)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("id", "day", "v", "w"),
+      "the log-recorded schema must be the evolution UNION, no file needed")
+    // the change feed's empty-range read shares the path
+    assert(Snapshots.changes(spark, table, 3, 3).count() == 0)
+    // time travel behind the wipe still sees the rows
+    assert(Snapshots.readVersion(spark, table, 2, mergeSchema = true).count() == 3)
+    // the wiped table composes: append revives it
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((9, "z", 9L)).toDF("id", "day", "v"), table, "day"))
+    assert(sorted(Snapshots.read(spark, table)) == Seq((9, "z", 9L)))
+    // vacuum reclaims everything the wipe orphaned; the table stays sane
+    Snapshots.vacuum(table)
+    assert(sorted(Snapshots.read(spark, table)) == Seq((9, "z", 9L)))
   }
 
   test("manifest compaction merges the log without touching data or semantics") {
