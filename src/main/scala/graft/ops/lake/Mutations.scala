@@ -314,8 +314,17 @@ object Mutations {
             // (r10 advisor find — the exact-case diff threw a spurious
             // unknown-column error, and an exact-case application would
             // have been worse: silently not applying the SET)
-            def lc(m: Map[String, Column]): Map[String, Column] =
-              m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+            def lc(m: Map[String, Column]): Map[String, Column] = {
+              val lowered =
+                m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+              // two SET keys differing only in case target ONE column —
+              // the duplicate-assignment analysis error, not a silent
+              // arbitrary winner (r11 review find)
+              require(lowered.size == m.size,
+                s"mergeIntoClauses($table): duplicate SET assignments " +
+                  s"(case-insensitive) among ${m.keys.mkString(", ")}")
+              lowered
+            }
             val updSet = lc(whenMatchedUpdate.map(_._2).getOrElse(Map.empty))
             val bsSet = lc(whenNotMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty))
             // a SET column that is not a target column would otherwise

@@ -79,19 +79,24 @@ object Snapshots {
     * shape: a hint readers resolve the live version from in O(1)
     * instead of listing the whole log directory (O(#commits) per
     * resolution — the r10 verdict's scale note). Monotonic (an
-    * idempotent re-commit of an old version never moves it backwards;
-    * the read-then-conditional-write race between two FRESH committers
-    * can only leave the pointer at the lower of two DENSE versions,
-    * which probe-forward closes) and atomically replaced. A THROW here
-    * propagates out of the commit even though the snapshot link is
-    * already published: swallowing it would let a [[batchCommitter]]
-    * GAPPED commit (empty batches skip versions) hide behind a stale
-    * pointer that probe-forward cannot cross — the one shape where a
-    * lagging hint turns into silent loss. The caller's retry is safe:
-    * re-committing the identical version is an idempotent no-op that
-    * re-attempts only this write. Crash tolerance stays full: a
-    * missing/corrupt/stale-but-dense pointer lands in
-    * [[currentVersion]]'s probe-forward / full-listing fallback. */
+    * idempotent re-commit of an old version never moves it backwards)
+    * and atomically replaced.
+    *
+    * ORDERING IS THE SOUNDNESS ARGUMENT: the pointer is written
+    * BEFORE the snapshot link, i.e. it may run one AHEAD of the
+    * committed state but never behind a commit it belongs to.
+    * [[currentVersion]] validates the pointed snapshot exists and
+    * falls back to the full listing when it does not — so every
+    * failure shape degrades to a correct (merely slower) resolution:
+    * a crash between pointer and link leaves an invalid hint → full
+    * listing; a pointer-write failure FAILS THE COMMIT BEFORE it
+    * publishes (retrying is then genuinely safe — nothing was
+    * committed); and a [[batchCommitter]] GAPPED commit (empty batches
+    * skip versions) can never hide behind a stale hint, because its
+    * pointer write preceded its publish. The earlier design (pointer
+    * after link, throw on failure) turned an already-durable commit
+    * into an apparent failure whose natural retry would DOUBLE the
+    * rows — r11 review find. */
   private def advancePointer(table: String, v: Long): Unit = {
     val f = pointerFile(table)
     val cur =
@@ -99,7 +104,15 @@ object Snapshots {
         if (!f.exists()) 0L
         else new String(Files.readAllBytes(f.toPath), UTF_8).trim.toLong
       } catch { case scala.util.control.NonFatal(_) => 0L } // corrupt: overwrite
-    if (v > cur) {
+    // also overwrite a pointer whose snapshot does not exist — the
+    // leftover of a crashed pointer-ahead commit: the monotonic guard
+    // alone would preserve a bogus high value forever (every
+    // resolution paying the listing fallback until that version is
+    // organically reached). A racing committer's legitimately-ahead
+    // pointer can be overwritten by the same test, but only with a
+    // value at most one behind — which probe-forward closes the moment
+    // its snapshot lands.
+    if (v > cur || (cur >= 1 && !snapFile(table, cur).exists())) {
       val tmp = new File(logDir(table), s"_last.tmp-${java.util.UUID.randomUUID}")
       Files.write(tmp.toPath, v.toString.getBytes(UTF_8))
       Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
@@ -109,11 +122,12 @@ object Snapshots {
 
   /** Highest committed snapshot version, 0 when the table is empty.
     * Resolution is pointer-first: read `_last`, verify its snapshot
-    * exists, then PROBE FORWARD past any commits that beat their
-    * pointer write (versions are dense — every commit targets
-    * `cur + 1`) — O(1 + lag) file stats, no directory listing. The
-    * full listing runs only when the pointer is absent (pre-pointer
-    * logs, empty tables) or invalid. */
+    * exists (the pointer is written BEFORE the publish, so it can run
+    * one AHEAD of a crashed commit — an invalid hint falls back to the
+    * listing), then PROBE FORWARD past any racing commits — O(1 + lag)
+    * file stats, no directory listing. The full listing runs only when
+    * the pointer is absent (pre-pointer logs, empty tables) or names a
+    * snapshot that does not exist. */
   def currentVersion(table: String): Long = {
     val hint =
       try {
@@ -135,6 +149,13 @@ object Snapshots {
 
   private def snapFile(table: String, v: Long): File =
     new File(logDir(table), f"snap-$v%09d.txt")
+
+  /** Does snapshot `v` exist on disk? False for [[batchCommitter]]
+    * version GAPS (empty batches skip versions) and vacuumed-away
+    * history — the existence test gap-tolerant consumers (the CDF
+    * admission walk) key on. */
+  def versionExists(table: String, v: Long): Boolean =
+    v >= 1 && snapFile(table, v).exists()
 
   /** Entry property marking a tag that is NOT a real partition value —
     * [[convertInPlace]] tags adopted files by their file id (the data
@@ -220,16 +241,33 @@ object Snapshots {
     commitAll(table, entries)
   }
 
+  /** Newest version whose snapshot file's mtime is <= `t` (0 when
+    * none) — O(log #commits) stats; publish times are monotonic with
+    * version, and a vacuumed version's missing file stats as mtime 0,
+    * which keeps the sequence monotone. */
+  private def latestAtOrBefore(table: String, t: Long): Long = {
+    val cur = currentVersion(table)
+    var lo = 1L; var hi = cur; var ans = 0L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (snapFile(table, mid).lastModified() <= t) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
   /** Count of committed snapshots PUBLISHED at or after `epochMs`
     * (snapshot files are immutable — mtime is the commit instant, the
     * [[versionAtTime]] basis). Resolves `VACUUM … RETAIN n HOURS` into
     * the equivalent keep-newest-K count for [[vacuum]]: mtimes are
     * monotonic with version, so the newest K snapshots ARE the ones
-    * inside the age window. */
+    * inside the age window — found by binary search, not a stat per
+    * commit (r11 review find: the linear scan was the same O(#commits)
+    * driver wall the pointer work removed elsewhere; vacuumed-away old
+    * versions stat as mtime 0, i.e. before any real cutoff, which is
+    * exactly their place in the count). */
   def versionsSince(table: String, epochMs: Long): Int =
-    (1L to currentVersion(table))
-      .count(v => snapFile(table, v).exists() &&
-        snapFile(table, v).lastModified() >= epochMs)
+    (currentVersion(table) - latestAtOrBefore(table, epochMs - 1)).toInt
 
   /** Version live at wall-clock `epochMs` — the newest snapshot whose
     * log file was PUBLISHED at or before that instant (snapshot files
@@ -239,20 +277,10 @@ object Snapshots {
     * to read. Wall-clock resolution is the filesystem's; two commits
     * inside one clock tick resolve to the later one. */
   def versionAtTime(table: String, epochMs: Long): Long = {
-    // BINARY SEARCH for the newest version published at/before the
-    // instant — publish times are monotonic with version (same-machine
-    // wall clock over immutable files), so this is O(log #commits)
-    // file stats instead of a stat per commit (a vacuumed version's
-    // missing file stats as mtime 0, which keeps the sequence
-    // monotone; landing on one fails at read time exactly as the
-    // linear scan did)
-    val cur = currentVersion(table)
-    var lo = 1L; var hi = cur; var ans = 0L
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (snapFile(table, mid).lastModified() <= epochMs) { ans = mid; lo = mid + 1 }
-      else hi = mid - 1
-    }
+    // binary search ([[latestAtOrBefore]]) — O(log #commits) stats
+    // instead of a stat per commit; landing on a vacuumed (missing)
+    // version fails at read time exactly as the linear scan did
+    val ans = latestAtOrBefore(table, epochMs)
     require(ans >= 1,
       s"versionAtTime($table): no snapshot existed at epoch-ms $epochMs " +
         "(before the first commit)")
@@ -694,9 +722,19 @@ object Snapshots {
     schemaCache.computeIfAbsent((table, v), { _ =>
       val byDir = es.groupBy(e => schemaGroup(e.rel))
       if (groupSchemaCache.size > 65536) groupSchemaCache.clear()
+      // snapshot cached values into a LOCAL map first: a concurrent
+      // caller crossing the bound can clear() the shared cache at any
+      // point, so the result is built only from local values — a
+      // cleared entry re-probes instead of surfacing null (r11 review
+      // find)
+      val local = scala.collection.mutable.HashMap
+        .empty[String, org.apache.spark.sql.types.StructType]
+      byDir.keysIterator.foreach { k =>
+        val cached = groupSchemaCache.get((table, k))
+        if (cached != null) local(k) = cached
+      }
       val toProbe = byDir.toSeq.sortBy(_._1)
-        .collect { case (k, ges) if !groupSchemaCache.containsKey((table, k)) =>
-          (k, ges.head.rel) }
+        .collect { case (k, ges) if !local.contains(k) => (k, ges.head.rel) }
       footerReads.addAndGet(toProbe.size)
       // probe uncached groups on a bounded driver pool — a freshly
       // converted table is one group PER FILE, and a serial loop over
@@ -704,7 +742,7 @@ object Snapshots {
       // (spark.read is thread-safe; each probe is one footer read)
       if (toProbe.size <= 4)
         toProbe.foreach { case (k, rel) =>
-          groupSchemaCache.put((table, k), spark.read.parquet(s"$table/$rel").schema) }
+          local(k) = spark.read.parquet(s"$table/$rel").schema }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, toProbe.size))
@@ -714,12 +752,12 @@ object Snapshots {
                 org.apache.spark.sql.types.StructType] {
               def call() = spark.read.parquet(s"$table/$rel").schema
             }))
-          }.foreach { case (k, fut) => groupSchemaCache.put((table, k), fut.get()) }
+          }.foreach { case (k, fut) => local(k) = fut.get() }
         } finally pool.shutdown()
       }
+      local.foreach { case (k, sch) => groupSchemaCache.put((table, k), sch) }
       byDir.toSeq.sortBy(_._1)
-        .map { case (k, ges) =>
-          (groupSchemaCache.get((table, k)), ges.map(_.rel).toSet) }
+        .map { case (k, ges) => (local(k), ges.map(_.rel).toSet) }
         .groupBy(_._1).toSeq
         .map { case (sch, parts) => (sch, parts.flatMap(_._2).toSet) }
         .sortBy(_._2.min)
@@ -1295,7 +1333,32 @@ object Snapshots {
     * files; the schema side alone may be None when the footer's type
     * shapes don't convert (callers treat both as absence — metadata
     * never fabricates). */
-  private def footerInfo(path: String)
+  // data files are immutable (UUID names): footer facts memoize, so an
+  // OCC retry loop's re-prepare (or a stats-then-commit double probe)
+  // re-reads nothing. ONLY SUCCESSES are cached — memoizing a
+  // transient IO failure would permanently strip that file's
+  // rows/schema enrichment where an uncached retry recovers (r11
+  // review find). Bounded like the sibling caches. Keyed by path
+  // alone: the schema side is conf-sensitive in principle, but one
+  // process serves one engine configuration.
+  private val footerInfoCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[org.apache.spark.sql.types.StructType])]()
+
+  private def footerInfo(path: String,
+      conf: org.apache.spark.sql.internal.SQLConf)
+      : Option[(Long, Option[org.apache.spark.sql.types.StructType])] = {
+    val hit = footerInfoCache.get(path)
+    if (hit != null) return Some(hit)
+    val computed = footerInfoUncached(path, conf)
+    computed.foreach { v =>
+      if (footerInfoCache.size > 65536) footerInfoCache.clear()
+      footerInfoCache.put(path, v)
+    }
+    computed
+  }
+
+  private def footerInfoUncached(path: String,
+      conf: org.apache.spark.sql.internal.SQLConf)
       : Option[(Long, Option[org.apache.spark.sql.types.StructType])] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1306,8 +1369,7 @@ object Snapshots {
         val rows = reader.getRecordCount
         val schema =
           try Some(new org.apache.spark.sql.execution.datasources.parquet
-              .ParquetToSparkSchemaConverter(
-                org.apache.spark.sql.internal.SQLConf.get)
+              .ParquetToSparkSchemaConverter(conf)
             .convert(reader.getFooter.getFileMetaData.getSchema))
           catch { case scala.util.control.NonFatal(_) => None }
         Some((rows, schema))
@@ -1324,16 +1386,21 @@ object Snapshots {
   private def withRowCounts(table: String, add: Seq[Entry])
       : (Seq[Entry], Option[org.apache.spark.sql.types.StructType]) = {
     if (add.isEmpty) return (add, None)
+    // SQLConf captured HERE, on the caller thread — pool threads have
+    // no active session, and converting under default conf would
+    // record DDL types that disagree with the session's reads (r11
+    // review find)
+    val conf = org.apache.spark.sql.internal.SQLConf.get
     type Info = Option[(Long, Option[org.apache.spark.sql.types.StructType])]
     val infos: Map[String, (Long, Option[org.apache.spark.sql.types.StructType])] =
       if (add.size <= 4)
-        add.flatMap(e => footerInfo(s"$table/${e.rel}").map(e.rel -> _)).toMap
+        add.flatMap(e => footerInfo(s"$table/${e.rel}", conf).map(e.rel -> _)).toMap
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, add.size))
         try add.map { e =>
             (e.rel, pool.submit(new java.util.concurrent.Callable[Info] {
-              def call() = footerInfo(s"$table/${e.rel}")
+              def call() = footerInfo(s"$table/${e.rel}", conf)
             }))
           }.flatMap { case (rel, fut) => fut.get().map(rel -> _) }.toMap
         finally pool.shutdown()
@@ -1871,6 +1938,9 @@ object Snapshots {
     def sameContent(): Boolean =
       dst.exists() && java.util.Arrays.equals(Files.readAllBytes(dst.toPath), bytes)
     if (!sameContent()) {
+      // pointer FIRST (may run one ahead; see advancePointer) — a
+      // failure here aborts an unpublished commit, never a published one
+      advancePointer(p.table, p.version)
       val tmp = new File(dir, s"snap-${p.version}.tmp-${java.util.UUID.randomUUID}")
       writeDurable(tmp, bytes)
       try Files.createLink(dst.toPath, tmp.toPath)
@@ -1880,8 +1950,7 @@ object Snapshots {
           if (!sameContent()) throw new ConcurrentCommitException(p.table, p.version)
       }
       tmp.delete()
-    }
-    advancePointer(p.table, p.version)
+    } else advancePointer(p.table, p.version) // idempotent recovery re-publish
     p.version
   }
 
@@ -2019,8 +2088,8 @@ object Snapshots {
     * small manifests until [[vacuum]]. Returns the committed version
     * (unchanged when the manifest count is already within bounds). */
   def compactManifests(table: String, maxManifests: Int = 64,
-                       entriesPerManifest: Int = 100000,
                        maxRetries: Int = 5): Long = {
+    require(maxManifests >= 1, "compactManifests: maxManifests must be >= 1")
     var attempt = 0
     while (true) {
       val v0 = currentVersion(table)
@@ -2028,8 +2097,13 @@ object Snapshots {
       val mfs = manifestList(table, v0)
       if (mfs.size <= maxManifests) return v0
       val all = mfs.flatMap { case (mf, _) => manifestEntries(table, mf) }
+      // chunk purely by the count bound (ceil division): an
+      // entries-per-manifest knob here was a floor masquerading as a
+      // cap (r11 review find) — manifest SIZE follows from the count
+      // bound and the table's entry count, which is what the operator
+      // is actually tuning
       val merged = all.sortBy(e => (e.tag, e.rel))
-        .grouped(math.max(1, math.max(entriesPerManifest, all.size / maxManifests + 1)))
+        .grouped(math.max(1, (all.size + maxManifests - 1) / maxManifests))
         .map(writeManifest(table, _)).toSeq
       // content-describing props carry (mv.* bookkeeping — same rule
       // as compact); schema./constraint. inherit via commitPrepared

@@ -133,15 +133,17 @@ class ChangesSource(spark: SparkSession, table: String,
   private val changedFilesMemo =
     new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
 
-  /** Files CHANGED by commit `v` (adds + removes + deletion-vector
-    * moves on shared rels) — the admission currency, matching what
-    * [[Snapshots.changes]] will actually open for the step. */
-  private def changedFiles(v: Long): Long =
+  /** Files CHANGED by commit `v` relative to `prevV` — the last
+    * EXISTING version before it, which may not be `v - 1` under
+    * [[Snapshots.batchCommitter]] gaps (adds + removes +
+    * deletion-vector moves on shared rels). The admission currency,
+    * matching what [[Snapshots.changes]] will actually open. */
+  private def changedFiles(prevV: Long, v: Long): Long =
     changedFilesMemo.computeIfAbsent(v, { _ =>
       def state(x: Long): Map[String, Option[String]] =
         Snapshots.entriesAt(table, x)
           .map(e => e.rel -> e.props.get(Snapshots.DvRefProp)).toMap
-      val from = state(v - 1); val to = state(v)
+      val from = state(prevV); val to = state(v)
       val added = to.keysIterator.count(!from.contains(_))
       val removed = from.keysIterator.count(!to.contains(_))
       val dvMoved = to.iterator.count { case (rel, dv) =>
@@ -150,29 +152,50 @@ class ChangesSource(spark: SparkSession, table: String,
     })
 
   /** Admission control: the next batch ends at most `maxVersionsPerBatch`
-    * versions past `start` (the checkpoint-authoritative offset Spark
-    * hands back — no source-side high-water state needed), shrunk
-    * further so cumulative changed files stay within `maxFilesPerBatch`
-    * (first version always admitted — the documented floor: version
-    * offsets cannot split one commit), clamped to the AvailableNow
-    * target when one is pinned. Null = no new data. */
+    * EXISTING versions past `start` (the checkpoint-authoritative
+    * offset Spark hands back — no source-side high-water state needed),
+    * shrunk further so cumulative changed files stay within
+    * `maxFilesPerBatch` (first version always admitted — the
+    * documented floor: version offsets cannot split one commit),
+    * clamped to the AvailableNow target when one is pinned. MISSING
+    * versions — [[Snapshots.batchCommitter]] gaps from empty batches —
+    * are non-commits: the walk steps over them for free and they never
+    * become an offset, so a capped stream on a gapped log neither
+    * crashes on a phantom snapshot nor wedges before real data (r11
+    * review find; the pre-r11 uncapped `startV + m` arithmetic could
+    * land the OFFSET itself on a missing version). Null = no new
+    * data. */
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val startV = Option(start).map(longOf).getOrElse(startingVersion)
     val cur = availableNowTarget.getOrElse(Snapshots.currentVersion(table))
-    var target = maxVersionsPerBatch.fold(cur)(m => math.min(cur, startV + m))
-    maxFilesPerBatch.foreach { cap =>
-      var end = startV
-      var cum = 0L
-      var v = startV + 1
-      var full = false
-      while (!full && v <= target) {
-        val c = changedFiles(v)
-        if (end == startV || cum + c <= cap) { cum += c; end = v; v += 1 }
-        else full = true
-      }
-      target = end
+    if (maxVersionsPerBatch.isEmpty && maxFilesPerBatch.isEmpty)
+      return if (cur <= startV) null else LongOffset(cur)
+    var end = startV
+    // the diff base: largest EXISTING version <= startV (a user-given
+    // startingVersion may itself name a gap; offsets we produced are
+    // always existing)
+    var prev = {
+      var p = startV
+      while (p > 0 && !Snapshots.versionExists(table, p)) p -= 1
+      p
     }
-    if (target <= startV) null else LongOffset(target)
+    var admitted = 0L
+    var files = 0L
+    var v = startV + 1
+    var full = false
+    while (!full && v <= cur) {
+      if (!Snapshots.versionExists(table, v)) v += 1 // gap: free to cross
+      else {
+        val c = maxFilesPerBatch.fold(0L)(_ => changedFiles(prev, v))
+        val versionOk = maxVersionsPerBatch.forall(admitted < _)
+        val filesOk = maxFilesPerBatch.forall(cap =>
+          admitted == 0 || files + c <= cap)
+        if (versionOk && filesOk) {
+          admitted += 1; files += c; end = v; prev = v; v += 1
+        } else full = true
+      }
+    }
+    if (end <= startV) null else LongOffset(end)
   }
 
   override def reportLatestOffset(): V2Offset =

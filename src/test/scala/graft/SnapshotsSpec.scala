@@ -1063,6 +1063,26 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.logListings.get() == before)
   }
 
+  test("a pointer running ahead of a crashed commit falls back, then self-heals") {
+    val table = tmp("snap-pointer-ahead")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 2L)), table, "day"))
+    // simulate the crash window: pointer written, snapshot link never
+    // happened (the pointer-BEFORE-publish ordering makes this the only
+    // failure shape — a commit can no longer succeed and then surface
+    // as a failure whose retry doubles rows, r11 review find)
+    java.nio.file.Files.write(
+      new java.io.File(table, "_graft_log/_last").toPath, "7".getBytes)
+    assert(Snapshots.currentVersion(table) == 2L,
+      "an invalid (ahead) pointer must fall back to the listing, not lie")
+    // the next commit heals the pointer; resolutions go listing-free again
+    Snapshots.commit(table, Snapshots.stage(df((3, "c", 3L)), table, "day"))
+    val before = Snapshots.logListings.get()
+    (1 to 5).foreach(_ => assert(Snapshots.currentVersion(table) == 3L))
+    assert(Snapshots.logListings.get() == before,
+      "a healed pointer must serve resolutions without listing")
+  }
+
   test("batchCommitter gaps (empty batches) stay visible through the pointer") {
     val table = tmp("snap-pointer-gap")
     val commit = Snapshots.batchCommitter(table, "day")

@@ -230,6 +230,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"must yield 3 batches, got $batches")
   }
 
+  test("capped change-feed streams step over batchCommitter version gaps") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc7-table")
+    val out = tmp("cdfsrc7-out")
+    // a gapped log: empty batches skip versions (v2 missing)
+    val commit = Snapshots.batchCommitter(table, "day")
+    commit(Seq((1L, "a", 1.0)).toDF("id", "day", "v"), 0)      // v1
+    commit(Seq.empty[(Long, String, Double)].toDF("id", "day", "v"), 1) // gap
+    commit(Seq((2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "day", "v"), 2) // v3
+    // BOTH admission caps walk the gap: pre-fix, maxFilesPerBatch
+    // statted the phantom v2 (crash) and maxVersionsPerBatch could
+    // emit offset 2 itself (crash at getBatch)
+    for ((opt, value, ckptSuffix) <- Seq(
+        ("maxFilesPerBatch", "1", "f"), ("maxVersionsPerBatch", "1", "v"))) {
+      val q = spark.readStream.format("graft-changes")
+        .option(opt, value)
+        .load(table)
+        .writeStream.format("parquet").option("path", s"$out-$ckptSuffix")
+        .option("checkpointLocation", tmp(s"cdfsrc7-ckpt-$ckptSuffix"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(spark.read.parquet(s"$out-$ckptSuffix").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"$opt must deliver every change across the gap")
+    }
+  }
+
   test("watermarked hourly aggregate matches the batch result") {
     val agg = Pipelines.hourlyAgg(Pipelines.eventsStream(spark, Sf))
     val q = agg.writeStream.format("memory").queryName("hourly_out")
