@@ -104,15 +104,19 @@ object Snapshots {
         if (!f.exists()) 0L
         else new String(Files.readAllBytes(f.toPath), UTF_8).trim.toLong
       } catch { case scala.util.control.NonFatal(_) => 0L } // corrupt: overwrite
-    // also overwrite a pointer whose snapshot does not exist — the
-    // leftover of a crashed pointer-ahead commit: the monotonic guard
-    // alone would preserve a bogus high value forever (every
-    // resolution paying the listing fallback until that version is
-    // organically reached). A racing committer's legitimately-ahead
-    // pointer can be overwritten by the same test, but only with a
-    // value at most one behind — which probe-forward closes the moment
-    // its snapshot lands.
-    if (v > cur || (cur >= 1 && !snapFile(table, cur).exists())) {
+    // STRICTLY monotonic — never write a smaller value, even when the
+    // pointed snapshot does not exist. A "heal the invalid pointer"
+    // overwrite looks tempting (a crashed pointer-ahead commit leaves
+    // resolutions paying the listing fallback until that version is
+    // organically reached), but it hands DOOMED committers a
+    // regression pen: a concurrent writer about to lose the version
+    // race would overwrite another commit's legitimately-ahead pointer
+    // with its stale target, and on a GAPPED log probe-forward cannot
+    // cross back to the published version — a committed batch silently
+    // vanishes from its own sink (r11 review find, batch 2). The
+    // listing fallback is bounded and correct; pointer regression is
+    // neither.
+    if (v > cur) {
       val tmp = new File(logDir(table), s"_last.tmp-${java.util.UUID.randomUUID}")
       Files.write(tmp.toPath, v.toString.getBytes(UTF_8))
       Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
@@ -243,8 +247,13 @@ object Snapshots {
 
   /** Newest version whose snapshot file's mtime is <= `t` (0 when
     * none) — O(log #commits) stats; publish times are monotonic with
-    * version, and a vacuumed version's missing file stats as mtime 0,
-    * which keeps the sequence monotone. */
+    * version, and a vacuumed PREFIX stats as mtime 0, which keeps the
+    * sequence monotone. A MID-LOG gap (missing version between real
+    * ones) can make the search land on the gap itself — identical to
+    * the pre-r11 linear `filter(mtime <= t).max`, which also admitted
+    * missing files' mtime-0; [[versionAtTime]] callers then fail at
+    * read time, loudly. Retention arithmetic must NOT use this (see
+    * [[versionsSince]]). */
   private def latestAtOrBefore(table: String, t: Long): Long = {
     val cur = currentVersion(table)
     var lo = 1L; var hi = cur; var ans = 0L
@@ -259,15 +268,19 @@ object Snapshots {
   /** Count of committed snapshots PUBLISHED at or after `epochMs`
     * (snapshot files are immutable — mtime is the commit instant, the
     * [[versionAtTime]] basis). Resolves `VACUUM … RETAIN n HOURS` into
-    * the equivalent keep-newest-K count for [[vacuum]]: mtimes are
-    * monotonic with version, so the newest K snapshots ARE the ones
-    * inside the age window — found by binary search, not a stat per
-    * commit (r11 review find: the linear scan was the same O(#commits)
-    * driver wall the pointer work removed elsewhere; vacuumed-away old
-    * versions stat as mtime 0, i.e. before any real cutoff, which is
-    * exactly their place in the count). */
+    * the equivalent keep-newest-K count for [[vacuum]]. Deliberately a
+    * LINEAR exists-filtered stat pass, NOT the binary search
+    * [[versionAtTime]] uses: a MID-LOG missing version (a
+    * batchCommitter gap) stats as mtime 0 and breaks the monotone
+    * sequence the search needs — a miscount here makes VACUUM reclaim
+    * snapshots INSIDE the retention window (r11 review find, batch 2).
+    * One O(#commits) stat pass per VACUUM statement is already within
+    * vacuum's own full-listing cost envelope. */
   def versionsSince(table: String, epochMs: Long): Int =
-    (currentVersion(table) - latestAtOrBefore(table, epochMs - 1)).toInt
+    (1L to currentVersion(table)).count { v =>
+      val m = snapFile(table, v).lastModified()
+      m != 0L && m >= epochMs
+    }
 
   /** Version live at wall-clock `epochMs` — the newest snapshot whose
     * log file was PUBLISHED at or before that instant (snapshot files
@@ -1038,21 +1051,35 @@ object Snapshots {
     // now O(commits that actually changed rows))
     def dvState(v: Long): Map[String, Option[String]] =
       entriesAt(table, v).map(e => e.rel -> e.props.get(DvRefProp)).toMap
-    val changedSteps =
+    // MISSING versions (batchCommitter gaps from empty batches) are
+    // non-commits: step over them, diffing each existing version
+    // against the previous EXISTING one (r11 review find — the dense
+    // v-1 arithmetic crashed table_changes on exactly the gapped logs
+    // the CDF source supports)
+    var prevV = math.max(fromV, 0L)
+    while (prevV > 0 && !versionExists(table, prevV)) prevV -= 1
+    val changedSteps: Seq[(Long, Long)] =
       if (steps.isEmpty) Seq.empty
       else {
-        var prev = dvState(math.max(fromV, 0L))
-        steps.filter { v =>
+        var prev = dvState(prevV)
+        steps.filter(versionExists(table, _)).flatMap { v =>
           val cur = dvState(v)
           val changed = cur != prev
           prev = cur
-          changed
+          val base = prevV
+          prevV = v
+          if (changed) Some((base, v)) else None
         }
       }
-    if (changedSteps.isEmpty) // nothing changed: the empty feed, schema-complete
-      changes(spark, table, toV, toV).withColumn("_commit_version", lit(toV))
-    else changedSteps.map { v =>
-      namesAt(changes(spark, table, v - 1, v), v)
+    if (changedSteps.isEmpty) { // nothing changed: the empty feed, schema-complete
+      var emptyV = toV
+      while (emptyV > 0 && !versionExists(table, emptyV)) emptyV -= 1
+      require(emptyV >= 1,
+        s"changesAttributed($table): no committed snapshot at or before $toV")
+      changes(spark, table, emptyV, emptyV).withColumn("_commit_version", lit(toV))
+    }
+    else changedSteps.map { case (base, v) =>
+      namesAt(changes(spark, table, base, v), v)
         .withColumn("_commit_version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1386,6 +1413,9 @@ object Snapshots {
   private def withRowCounts(table: String, add: Seq[Entry])
       : (Seq[Entry], Option[org.apache.spark.sql.types.StructType]) = {
     if (add.isEmpty) return (add, None)
+    // everything already enriched (a commitRewrite retry re-preparing
+    // the same adds): zero IO, schema union left to prop inheritance
+    if (add.forall(_.props.contains(RowsProp))) return (add, None)
     // SQLConf captured HERE, on the caller thread — pool threads have
     // no active session, and converting under default conf would
     // record DDL types that disagree with the session's reads (r11

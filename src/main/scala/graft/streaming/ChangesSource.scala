@@ -131,7 +131,7 @@ class ChangesSource(spark: SparkSession, table: String,
   // admission walk re-visits the same versions across triggers, so the
   // diff is computed once per version per source instance
   private val changedFilesMemo =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), java.lang.Long]()
 
   /** Files CHANGED by commit `v` relative to `prevV` — the last
     * EXISTING version before it, which may not be `v - 1` under
@@ -139,7 +139,7 @@ class ChangesSource(spark: SparkSession, table: String,
     * deletion-vector moves on shared rels). The admission currency,
     * matching what [[Snapshots.changes]] will actually open. */
   private def changedFiles(prevV: Long, v: Long): Long =
-    changedFilesMemo.computeIfAbsent(v, { _ =>
+    changedFilesMemo.computeIfAbsent((prevV, v), { _ =>
       def state(x: Long): Map[String, Option[String]] =
         Snapshots.entriesAt(table, x)
           .map(e => e.rel -> e.props.get(Snapshots.DvRefProp)).toMap
@@ -219,7 +219,15 @@ class ChangesSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
-    val fromV = start.map(longOf(_)).getOrElse(startingVersion)
+    // a user-supplied startingVersion may name a GAP (batchCommitter's
+    // empty batches skip versions) — diff from the previous EXISTING
+    // version instead of crashing on the phantom snapshot (offsets we
+    // produced ourselves always exist); 0 stays the bootstrap
+    val fromV = {
+      var p = start.map(longOf(_)).getOrElse(startingVersion)
+      while (p > 0 && !Snapshots.versionExists(table, p)) p -= 1
+      p
+    }
     val toV = longOf(end)
     val feed = Snapshots.changes(spark, table, fromV, toV)
     // align to the pinned schema BY NAME: a feed crossing an ADDITIVE

@@ -1063,24 +1063,43 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.logListings.get() == before)
   }
 
-  test("a pointer running ahead of a crashed commit falls back, then self-heals") {
+  test("changesAttributed steps over batchCommitter version gaps") {
+    val table = tmp("snap-cdf-gap")
+    val commit = Snapshots.batchCommitter(table, "day")
+    commit(df((1, "a", 1L)), 0)          // v1
+    commit(df(), 1)                      // gap at v2
+    commit(df((2, "b", 2L)), 2)          // v3
+    val attr = Snapshots.changesAttributed(spark, table, 0, 3)
+    assert(attr.select("_commit_version", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 1), (3L, 2)),
+      "gaps are non-commits: attribution must skip them, not crash on them")
+    // a range whose endpoints avoid any change still resolves its
+    // empty feed off an EXISTING snapshot
+    assert(Snapshots.changesAttributed(spark, table, 3, 3).count() == 0)
+  }
+
+  test("a pointer running ahead of a crashed commit falls back to the listing") {
     val table = tmp("snap-pointer-ahead")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
     Snapshots.commit(table, Snapshots.stage(df((2, "b", 2L)), table, "day"))
-    // simulate the crash window: pointer written, snapshot link never
-    // happened (the pointer-BEFORE-publish ordering makes this the only
+    // simulate the crash window: pointer written one ahead, snapshot
+    // link never happened (pointer-BEFORE-publish makes this the only
     // failure shape — a commit can no longer succeed and then surface
     // as a failure whose retry doubles rows, r11 review find)
     java.nio.file.Files.write(
-      new java.io.File(table, "_graft_log/_last").toPath, "7".getBytes)
+      new java.io.File(table, "_graft_log/_last").toPath, "3".getBytes)
     assert(Snapshots.currentVersion(table) == 2L,
       "an invalid (ahead) pointer must fall back to the listing, not lie")
-    // the next commit heals the pointer; resolutions go listing-free again
+    // the next commit takes exactly the pointed version; resolutions
+    // go listing-free again (the pointer is NEVER written backwards —
+    // a doomed concurrent committer must not be able to hide a
+    // published commit behind a regressed pointer, review batch 2)
     Snapshots.commit(table, Snapshots.stage(df((3, "c", 3L)), table, "day"))
     val before = Snapshots.logListings.get()
     (1 to 5).foreach(_ => assert(Snapshots.currentVersion(table) == 3L))
     assert(Snapshots.logListings.get() == before,
-      "a healed pointer must serve resolutions without listing")
+      "an organically reached pointer serves resolutions without listing")
   }
 
   test("batchCommitter gaps (empty batches) stay visible through the pointer") {
