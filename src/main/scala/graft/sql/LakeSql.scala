@@ -451,11 +451,14 @@ object LakeStatements {
           LakeCommand("DESCRIBE HISTORY",
             attrs("version" -> LongType, "files" -> LongType,
               "props" -> StringType), _ => {
-              (1L to Snapshots.currentVersion(path)).reverse.map { v =>
-                val props = Snapshots.snapshotProps(path, v).toSeq.sorted
-                  .map { case (k, vv) => s"$k=$vv" }.mkString(";")
-                Row(v, Snapshots.entriesAt(path, v).size.toLong, props)
-              }
+              // gap/vacuum-tolerant: missing versions (empty-batch
+              // skips, reclaimed history) are simply absent rows
+              (1L to Snapshots.currentVersion(path)).reverse
+                .filter(Snapshots.versionExists(path, _)).map { v =>
+                  val props = Snapshots.snapshotProps(path, v).toSeq.sorted
+                    .map { case (k, vv) => s"$k=$vv" }.mkString(";")
+                  Row(v, Snapshots.entryCountAt(path, v), props)
+                }
             })
         }
         // the Delta DESCRIBE DETAIL shape: one row of live-table facts.
