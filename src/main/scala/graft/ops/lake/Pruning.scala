@@ -79,6 +79,27 @@ object Pruning {
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false)
     case LessThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
     case LessThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
+    // null-count pruning (the Delta nullCount-stats shape): IS NOT
+    // NULL skips provably-all-null files — and since Spark adds an
+    // IsNotNull conjunct for every column an equality/range filter
+    // touches, this fires on nearly every filtered scan for free.
+    // IS NULL skips provably-null-free files.
+    case IsNotNull(a: AttributeReference) => Some(Snapshots.notAllNull(a.name))
+    case IsNull(a: AttributeReference) => Some(Snapshots.someNull(a.name))
+    // `col LIKE 'p%'` (catalyst rewrites the LIKE to StartsWith):
+    // string-stats prefix overlap, plus tag pruning when the column IS
+    // the tag — a string tag is the value itself, so the file's single
+    // tag either carries the prefix or no row can match
+    case StartsWith(a: AttributeReference, l: Literal)
+        if a.dataType == StringType && l.dataType == StringType &&
+           l.value != null =>
+      val p = l.value.toString
+      val parts = Seq.newBuilder[Snapshots.Entry => Boolean]
+      if (a.name.equalsIgnoreCase(tagCol))
+        parts += (e =>
+          e.props.contains(Snapshots.TagSyntheticProp) || e.tag.startsWith(p))
+      parts += Snapshots.prefixOverlapString(a.name, p)
+      Some(Snapshots.allOf(parts.result(): _*))
     case _ => None // unsupported shape: keep every file
   }
 

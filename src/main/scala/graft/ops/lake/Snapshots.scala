@@ -1746,9 +1746,12 @@ object Snapshots {
     * would silently skip matching files), and `smin./smax.<col>` for
     * BINARY/UTF8 in unsigned-UTF-8 order — SEPARATE keys, so the
     * numeric prune can never `toDouble` a string bound (or numerically
-    * compare bounds recorded lexicographically). Columns without
-    * usable stats are absent — absence keeps files, the standing
-    * soundness rule. */
+    * compare bounds recorded lexicographically). `nulls.<col>` rides
+    * alongside whenever every chunk reports a null count — INDEPENDENT
+    * of min/max usability, because an all-null file has no bounds but
+    * a definite null count, and that file is exactly the one
+    * `IS NOT NULL` pruning wants to skip. Columns without usable stats
+    * are absent — absence keeps files, the standing soundness rule. */
   private def footerStats(path: String,
                           columns: Seq[String]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -1785,8 +1788,18 @@ object Snapshots {
         val numeric = tpe.exists(Set(INT32, INT64, FLOAT, DOUBLE).contains) && annOk
         val stringy = tpe.contains(BINARY) &&
           ann == LogicalTypeAnnotation.stringType()
-        if (chunks.isEmpty || !(numeric || stringy) ||
-            stats.exists(st => st == null || !st.hasNonNullValue)) None
+        if (chunks.isEmpty || !(numeric || stringy)) Seq.empty
+        else {
+        // null count first: usable even when min/max are not (an
+        // all-null chunk has hasNonNullValue == false but a definite
+        // count); requires EVERY chunk to report one — a single
+        // unknown (-1) poisons the file's total
+        val nulls =
+          if (stats.forall(st => st != null && st.isNumNullsSet && st.getNumNulls >= 0))
+            Seq(s"nulls.$column" -> stats.map(_.getNumNulls).sum.toString)
+          else Seq.empty
+        nulls ++ (
+        if (stats.exists(st => st == null || !st.hasNonNullValue)) Seq.empty
         else if (numeric) {
           val mins = stats.map(_.genericGetMin.toString.toDouble)
           val maxs = stats.map(_.genericGetMax.toString.toDouble)
@@ -1809,8 +1822,9 @@ object Snapshots {
           val mn = mins.reduce((a, b) => if (utf8Lte(a, b)) a else b)
           val mx = maxs.reduce((a, b) => if (utf8Lte(a, b)) b else a)
           if (s"$mn$mx".exists(c =>
-              c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002')) None
+              c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002')) Seq.empty
           else Seq(s"smin.$column" -> mn, s"smax.$column" -> mx)
+        })
         }
       }.toMap
     } finally reader.close()
@@ -1842,6 +1856,56 @@ object Snapshots {
         lo.forall(utf8Lte(_, mx)) && hi.forall(utf8Lte(mn, _))
       case _ => true
     }
+  }
+
+  /** `col LIKE 'p%'` overlap for STRING stats: keep the file unless
+    * every value provably lacks the prefix. Two disjoint proofs of
+    * absence, both in the footer's unsigned-UTF-8 byte order: the file
+    * sits entirely BELOW the prefix range (`smax < p` — `p` itself is
+    * the smallest p-prefixed string), or entirely ABOVE it (smin's
+    * first `|p|` BYTES already exceed `p`, so every value ≥ smin
+    * exceeds every p-prefixed string). The truncation works on raw
+    * bytes — splitting a multi-byte char is fine, byte order is the
+    * stats' order. Files without string stats are always kept. */
+  def prefixOverlapString(statsCol: String, prefix: String): Entry => Boolean = { e =>
+    (e.props.get(s"smin.$statsCol"), e.props.get(s"smax.$statsCol")) match {
+      case (Some(mn), Some(mx)) =>
+        val p = prefix.getBytes(UTF_8)
+        val m = mn.getBytes(UTF_8)
+        utf8Lte(prefix, mx) &&
+          bytesLte(java.util.Arrays.copyOf(m, math.min(m.length, p.length)), p)
+      case _ => true
+    }
+  }
+
+  private def bytesLte(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length <= b.length
+  }
+
+  /** `IS NOT NULL` pruning: keep the file unless its recorded null
+    * count equals its recorded row count (provably all-null). DV-safe:
+    * row deletion can only shrink an all-null file, never conjure a
+    * non-null row. Empty files (0 == 0) skip too — sound, no row can
+    * match anything. Absence of either prop keeps the file. */
+  def notAllNull(statsCol: String): Entry => Boolean = { e =>
+    (e.props.get(s"nulls.$statsCol").flatMap(_.toLongOption),
+     e.props.get(RowsProp).flatMap(_.toLongOption)) match {
+      case (Some(n), Some(r)) => n < r
+      case _ => true
+    }
+  }
+
+  /** `IS NULL` pruning: skip files whose recorded null count is
+    * exactly zero (provably null-free — DVs only remove rows, so the
+    * proof survives deletion). Absence keeps the file. */
+  def someNull(statsCol: String): Entry => Boolean = { e =>
+    !e.props.get(s"nulls.$statsCol").flatMap(_.toLongOption).contains(0L)
   }
 
   /** Prepared-but-uncommitted snapshot: the manifest NAMES it will list
@@ -2249,7 +2313,11 @@ object Snapshots {
                                  tagCol: String): Seq[Entry] = {
     val keys = entriesAll(table).flatMap(_.props.keys).distinct
     val statsCols = (keys.collect { case k if k.startsWith("min.") => k.drop(4) } ++
-      keys.collect { case k if k.startsWith("smin.") => k.drop(5) }).distinct
+      keys.collect { case k if k.startsWith("smin.") => k.drop(5) } ++
+      // a column may carry ONLY a null count (all-null at stage time:
+      // no bounds were derivable) — it is still a stats column and the
+      // rewrite must re-record it
+      keys.collect { case k if k.startsWith("nulls.") => k.drop(6) }).distinct
     // BOTH key families: current sidecar refs AND legacy inline
     // sketches — a rewrite is exactly how a legacy table's unsound
     // old-format sketches upgrade to probed-format sidecars

@@ -324,8 +324,46 @@ object LakeSqlQueries {
       |       (SELECT count(*) FROM events WHERE event_type = 'click') AS n_click
       |""".stripMargin
 
+  /** s46: NULL-COUNT + PREFIX data skipping under the oracle gate — a
+    * nullable label column (`nullif(event_type, 'error')`) is the
+    * string stats column, so every file carries `nulls.<col>` (+
+    * bounds where derivable) and the three predicate shapes this round
+    * taught [[graft.ops.lake.Pruning]] — `IS NULL`, `IS NOT NULL`,
+    * `LIKE 'p%'` — all prune manifest entries on the SQL path. The
+    * oracle proves the skipping never drops a matching row: unsound
+    * pruning shows up as a count/sum mismatch, not a plan detail. */
+  def sqlNullPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s46-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+      .withColumn("label", expr("nullif(event_type, 'error')"))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev, table, "event_date", "label"))
+    LakeSql.register(spark, "s46t", table, "event_date")
+    spark.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM s46t WHERE label IS NULL) AS n_null,
+         |  (SELECT ${decSumSql("value")} FROM s46t WHERE label IS NOT NULL)
+         |    AS sum_labeled,
+         |  (SELECT count(*) FROM s46t WHERE label LIKE 'cl%') AS n_cl,
+         |  (SELECT count(*) FROM s46t
+         |   WHERE label IS NOT NULL AND label LIKE 'zzz%') AS n_none
+         |""".stripMargin)
+  }
+
+  val sqlNullPrefixOracle: String =
+    s"""WITH t AS (SELECT nullif(event_type, 'error') AS label, value FROM events)
+      |SELECT
+      |  (SELECT count(*) FROM t WHERE label IS NULL) AS n_null,
+      |  (SELECT ${decSumSql("value")} FROM t WHERE label IS NOT NULL)
+      |    AS sum_labeled,
+      |  (SELECT count(*) FROM t WHERE label LIKE 'cl%') AS n_cl,
+      |  (SELECT count(*) FROM t
+      |   WHERE label IS NOT NULL AND label LIKE 'zzz%') AS n_none
+      |""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s45_sql_meta_count", sqlMetaCountOracle)(sqlMetaCount),
+    QueryDef.sql("s46_sql_null_prefix", sqlNullPrefixOracle)(sqlNullPrefix),
     QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
     QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
     QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance),

@@ -1217,6 +1217,61 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Seq((20, "c", 20L), (21, "c", 21L)))
   }
 
+  test("null-count and prefix stats prune files through pushed filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val table = tmp("snap-nullprefix")
+    // three tag groups with distinct null/bound shapes: apple all-null
+    // (no string bounds, definite null count), banana null-free with
+    // bounds alpha..beta, cherry mixed (one null + zulu)
+    val data = Seq(
+      (1, "apple", None: Option[String]), (2, "apple", None),
+      (10, "banana", Some("alpha")), (11, "banana", Some("beta")),
+      (20, "cherry", None), (21, "cherry", Some("zulu"))
+    ).toDF("id", "day", "name")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(data, table, "day", "name", buckets = 3))
+    val entries = Snapshots.entriesAt(table, 1)
+    val files = entries.groupBy(_.tag).view.mapValues(_.size).toMap
+    val total = entries.size
+    def scanned(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val p = d.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum
+    }
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Int] =
+      d.select("id").collect().map(_.getInt(0)).sorted.toSeq
+
+    // IS NOT NULL skips exactly the provably-all-null apple file(s)
+    val notNull = Snapshots.read(spark, table).filter(col("name").isNotNull)
+    assert(ids(notNull) == Seq(10, 11, 21))
+    assert(scanned(notNull) == total - files("apple"))
+
+    // IS NULL skips exactly the provably-null-free banana file(s)
+    val nul = Snapshots.read(spark, table).filter(col("name").isNull)
+    assert(ids(nul) == Seq(1, 2, 20))
+    assert(scanned(nul) == total - files("banana"))
+
+    // LIKE 'al%' opens banana alone: apple dies on the implicit
+    // IsNotNull conjunct (all-null, no bounds to test), cherry's
+    // smin "zulu" already exceeds the prefix
+    val pref = Snapshots.read(spark, table).filter(col("name").startsWith("al"))
+    assert(ids(pref) == Seq(10))
+    assert(scanned(pref) == files("banana"))
+
+    // prefix on the TAG column prunes by the tag string itself — via
+    // the SQL path, where the relation knows its tag column (kernel
+    // reads pass tagCol = "", having pruned tags explicitly already)
+    graft.sql.LakeSql.register(spark, "npref", table, "day")
+    val tagPref = spark.sql("SELECT * FROM npref WHERE day LIKE 'ap%'")
+    assert(ids(tagPref) == Seq(1, 2))
+    assert(scanned(tagPref) == files("apple"))
+  }
+
   test("bloom on an INT column: type-normalized hash, probes never miss") {
     import spark.implicits._
     val table = tmp("snap-bloom-int")
