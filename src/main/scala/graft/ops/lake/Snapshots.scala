@@ -437,6 +437,62 @@ object Snapshots {
       inherit = false)
   }
 
+  /** SHALLOW CLONE (the Delta verb): publish `dest`'s v1 as a
+    * METADATA-ONLY copy of `source`@`version` — zero data IO at any
+    * table size. Entry paths (and every table-root-relative `ref.*`
+    * sidecar reference — deletion vectors, bloom sidecars) are
+    * re-pointed at the source's files via dest-relative traversal
+    * (`../source/…` — the local-FS spelling of the absolute URIs a
+    * Delta clone log records; on an object store the rel would BE the
+    * absolute URI, same mechanics). Table-level metadata carries: the
+    * rename/drop mapping, recorded schema, and CHECK constraints (the
+    * [[InheritedPropPrefixes]] families) ride into the clone's v1.
+    *
+    * The clone is a full independent table from v1 on: it mutates,
+    * compacts, time-travels and vacuums on its own. Divergence is
+    * structurally safe in both directions — new writes and COW
+    * rewrites land under the clone's OWN data/dv/stats dirs (reading
+    * cloned bytes through the traversal path), and [[vacuum]] only
+    * ever walks the table's own dirs, so a clone vacuum cannot reach
+    * source files and vice versa. The one real hazard is the SOURCE's
+    * vacuum reclaiming files the clone still references — the
+    * documented Delta shallow-clone caveat. `pin = true` (default)
+    * closes it: the pinned source version gets a named ref
+    * (`clone-<digest(dest)>`) whose whole closure the source's vacuum
+    * retains; drop the ref ([[dropRef]]) when the clone is retired. */
+  def cloneShallow(source: String, dest: String, version: Long = -1,
+                   pin: Boolean = true): Long = {
+    val sv = if (version < 0) currentVersion(source) else version
+    require(sv >= 1 && versionExists(source, sv),
+      s"cloneShallow($source -> $dest): no committed snapshot v$sv")
+    require(currentVersion(dest) == 0,
+      s"cloneShallow: $dest already holds a table")
+    val destAbs = new File(dest).getAbsoluteFile.toPath.normalize
+    val srcAbs = new File(source).getAbsoluteFile.toPath.normalize
+    require(destAbs != srcAbs, s"cloneShallow: dest must differ from source")
+    val hop = destAbs.relativize(srcAbs).toString
+    def repoint(rel: String): String = s"$hop/$rel"
+    val cloned = entriesAt(source, sv).map { e =>
+      e.copy(rel = repoint(e.rel), props = e.props.map {
+        case (k, v) if k.startsWith("ref.") => k -> repoint(v)
+        case kv => kv
+      })
+    }
+    val props = snapshotProps(source, sv)
+      .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) }
+    // pin BEFORE publishing the clone: the unprotected window must not
+    // contain a readable clone (a crash between the two leaks a ref,
+    // which is visible in refs() and droppable — the benign side)
+    if (pin) {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val digest = md.digest(destAbs.toString.getBytes(UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      tagRef(source, s"clone-$digest", sv)
+    }
+    commitAll(dest, cloned, props = props + ("clone.of" -> srcAbs.toString) +
+      ("clone.version" -> sv.toString))
+  }
+
   // manifests are IMMUTABLE (fresh UUID names, never rewritten), so
   // their parsed entries cache safely — even across a drop-and-recreate
   // under the same path, which snapshot FILES do not survive (version
@@ -704,9 +760,16 @@ object Snapshots {
 
   private def schemaGroup(rel: String): String = {
     val segs = rel.split('/')
-    if (segs.length >= 3 && segs(0) == "data" && !segs(1).startsWith("convert-"))
-      s"${segs(0)}/${segs(1)}" // one staged write job: one schema
-    else rel                   // adopted file: individually unknown
+    // the data/<stagedir> pair may sit behind a traversal hop (shallow
+    // clones re-point entries as ../source/data/<stagedir>/…): anchor
+    // on the LAST "data" segment so cloned entries group by their
+    // source staging dirs instead of one-group-per-file (which would
+    // re-create the converted-table probe stall and push groupedRead
+    // past its union bail on any large clone)
+    val i = segs.lastIndexOf("data")
+    if (i >= 0 && segs.length - i >= 3 && !segs(i + 1).startsWith("convert-"))
+      segs.take(i + 2).mkString("/") // one staged write job: one schema
+    else rel                         // adopted file: individually unknown
   }
 
   // per-GROUP footer schema, keyed (table, group key) — VERSION-

@@ -353,6 +353,8 @@ object LakeStatements {
     """(?is)^MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
   private val CreateTable =
     """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(\s*(\w+)\s*\))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\s.+)""".r
+  private val CloneTable =
+    """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'""".r
   private val AddConstraint =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)""".r
   private val DropConstraint =
@@ -537,6 +539,20 @@ object LakeStatements {
       }
       case "MERGE" => parseMerge(spark, delegate, text)
       case "CREATE" => text match {
+        // metadata-only table copy (the Delta verb): v1 of the new
+        // location references the source's files; the clone then
+        // lives its own life (see Snapshots.cloneShallow). The new
+        // name registers with the SOURCE's tag column — layout
+        // carries with the entries.
+        case CloneTable(name, src, ver, location) =>
+          lookup(src).map { case (srcPath, tag) =>
+            LakeCommand("SHALLOW CLONE", versionOut, s => {
+              val v = Snapshots.cloneShallow(srcPath, location,
+                Option(ver).map(_.toLong).getOrElse(-1L))
+              LakeSql.register(s, name, location, tag)
+              Seq(Row(v))
+            })
+          }
         // DDL+CTAS in one: stage the query result under `location`
         // partitioned by the tag column, commit v1, and register the
         // name — the SQL twin of commit(stage(df)) + register

@@ -361,9 +361,57 @@ object LakeSqlQueries {
       |   WHERE label IS NOT NULL AND label LIKE 'zzz%') AS n_none
       |""".stripMargin
 
+  /** s47: SHALLOW CLONE as an isolation boundary, all through SQL — the
+    * clone is created metadata-only (zero data copied; the spec level
+    * pins that), then BOTH tables diverge: a DELETE on the clone (whose
+    * deletion vector lands under the clone's own root, leaving the
+    * shared source files byte-identical) and an UPDATE on the source
+    * (whose COW/DV rewrite must be invisible through the clone's
+    * pinned entries). The union-tagged aggregate proves the divergence
+    * isolation in BOTH directions against the DuckDB restatement. */
+  def sqlShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val srcT = freshTable("s47-src-", dir)
+    val dstT = freshTable("s47-dst-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(srcT, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      srcT, "event_date", "event_id"))
+    LakeSql.register(spark, "s47src", srcT, "event_date")
+    spark.sql(s"CREATE GRAFT TABLE s47dst SHALLOW CLONE s47src LOCATION '$dstT'")
+    spark.sql("DELETE FROM s47dst WHERE event_type = 'error'")
+    spark.sql("UPDATE s47src SET value = value + 100.0 WHERE event_type = 'click'")
+    spark.sql(
+      s"""SELECT side, event_date, n, sum_value FROM (
+         |  SELECT 'src' AS side, event_date, count(*) AS n,
+         |         ${decSumSql("value")} AS sum_value
+         |  FROM s47src GROUP BY event_date
+         |  UNION ALL
+         |  SELECT 'clone' AS side, event_date, count(*) AS n,
+         |         ${decSumSql("value")} AS sum_value
+         |  FROM s47dst GROUP BY event_date
+         |) ORDER BY side, event_date""".stripMargin)
+  }
+
+  val sqlShallowCloneOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20')
+      |SELECT side, event_date, n, sum_value FROM (
+      |  SELECT 'src' AS side, event_date, count(*) AS n,
+      |         ${decSumSql(
+           "CASE WHEN event_type = 'click' THEN value + 100.0 ELSE value END")}
+      |    AS sum_value
+      |  FROM base GROUP BY event_date
+      |  UNION ALL
+      |  SELECT 'clone' AS side, event_date, count(*) AS n,
+      |         ${decSumSql("value")} AS sum_value
+      |  FROM base WHERE event_type <> 'error' GROUP BY event_date
+      |) ORDER BY side, event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s45_sql_meta_count", sqlMetaCountOracle)(sqlMetaCount),
     QueryDef.sql("s46_sql_null_prefix", sqlNullPrefixOracle)(sqlNullPrefix),
+    QueryDef.sql("s47_sql_shallow_clone", sqlShallowCloneOracle)(sqlShallowClone),
     QueryDef.sql("s39_sql_merge_delete", sqlMergeDeleteOracle)(sqlMergeDelete),
     QueryDef.sql("s40_sql_time_travel", sqlTimeTravelOracle)(sqlTimeTravel),
     QueryDef.sql("s41_sql_maintenance", sqlMaintenanceOracle)(sqlMaintenance),

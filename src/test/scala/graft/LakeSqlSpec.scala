@@ -346,6 +346,47 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getDouble(0) == 11.0)
   }
 
+  test("SHALLOW CLONE through SQL: pruning, time travel and history carry") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val src = mk("sql-clone-src", "clsrc",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0),
+      (20L, "c", 20.0))
+    val dst = tmp("sql-clone-dst")
+    assert(spark.sql(
+        s"CREATE GRAFT TABLE cldst SHALLOW CLONE clsrc LOCATION '$dst'")
+      .collect() sameElements Array(Row(1L)))
+    def scanned(sql: String): Long = {
+      val df = spark.sql(sql)
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    // the carried stats/tag props keep manifest pruning alive on the
+    // clone — tag equality opens only day-b files THROUGH the hop
+    val total = Snapshots.entriesAt(dst, 1).size
+    val tagB = Snapshots.entriesAt(dst, 1).count(_.tag == "b")
+    assert(tagB < total)
+    assert(scanned("SELECT * FROM cldst WHERE day = 'b'") == tagB)
+    // clone mutates independently; its history is its own (v1 = clone)
+    spark.sql("DELETE FROM cldst WHERE id = 10")
+    assert(content("SELECT id, day, v FROM cldst").map(_._1) ==
+      Seq(1L, 2L, 11L, 20L))
+    assert(content("SELECT id, day, v FROM clsrc").map(_._1) ==
+      Seq(1L, 2L, 10L, 11L, 20L), "source must not see the clone's DELETE")
+    // time travel on the clone reaches its own v1 (pre-DELETE)
+    assert(content("SELECT id, day, v FROM cldst VERSION AS OF 1").map(_._1) ==
+      Seq(1L, 2L, 10L, 11L, 20L))
+    // cloning a missing version is loud
+    val err = intercept[Exception](spark.sql(
+      s"CREATE GRAFT TABLE cldst2 SHALLOW CLONE clsrc VERSION AS OF 9 " +
+        s"LOCATION '${tmp("sql-clone-d2")}'"))
+    assert(err.getMessage.contains("no committed snapshot"))
+  }
+
   test("CONVERT TO GRAFT TABLE adopts an existing parquet dir in place") {
     // a plain pre-existing parquet directory, written by anything
     val loc = tmp("sql-convert")

@@ -1217,6 +1217,63 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Seq((20, "c", 20L), (21, "c", 21L)))
   }
 
+  test("shallow clone: metadata-only copy, independent divergence, vacuum isolation") {
+    import graft.ops.lake.Mutations
+    val src = tmp("snap-clone-src")
+    val dst = tmp("snap-clone-dst")
+    // v1: three days; v2: a DV delete (the clone must inherit the
+    // repointed deletion vector, not resurrect the rows)
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1, "a", 1L), (2, "a", 2L), (10, "b", 10L), (11, "b", 11L),
+         (20, "c", 20L)),
+      src, "day", "id", buckets = 3))
+    Mutations.deleteWhere(spark, src, col("id") === 11)
+    val srcRows = sorted(Mutations.readMerged(spark, src))
+    assert(srcRows == Seq((1, "a", 1L), (2, "a", 2L), (10, "b", 10L), (20, "c", 20L)))
+
+    val v = Snapshots.cloneShallow(src, dst)
+    assert(v == 1)
+    // metadata-only: the clone holds ZERO data bytes of its own
+    def localParquet(t: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(t, "data")).map(_.getName).filter(_.endsWith(".parquet"))
+    }
+    assert(localParquet(dst).isEmpty, "shallow clone must copy no data files")
+    assert(sorted(Mutations.readMerged(spark, dst)) == srcRows,
+      "clone reads the source's pinned content (DV included)")
+    // the pin: the cloned source version holds a named ref
+    assert(Snapshots.refs(src).exists { case (n, rv) =>
+      n.startsWith("clone-") && rv == Snapshots.currentVersion(src) })
+
+    // divergence: writes to the clone land locally, source unmoved
+    Snapshots.commitAll(dst, Snapshots.stageWithStats(
+      df((30, "d", 30L)), dst, "day", "id"))
+    Mutations.deleteWhere(spark, dst, col("id") === 1)
+    assert(sorted(Mutations.readMerged(spark, dst)) ==
+      Seq((2, "a", 2L), (10, "b", 10L), (20, "c", 20L), (30, "d", 30L)))
+    assert(sorted(Mutations.readMerged(spark, src)) == srcRows, "source untouched")
+    // and vice versa: a source rewrite is invisible to the clone
+    Mutations.updateWhere(spark, src, col("id") === 20, Map("v" -> lit(999L)), "day")
+    assert(sorted(Mutations.readMerged(spark, dst)) ==
+      Seq((2, "a", 2L), (10, "b", 10L), (20, "c", 20L), (30, "d", 30L)))
+
+    // vacuum isolation: the clone's vacuum reclaims only ITS dirs —
+    // every source file survives, and the clone still reads
+    val before = localParquet(src).toSet
+    Snapshots.vacuum(dst)
+    assert(localParquet(src).toSet == before, "clone vacuum must not touch source")
+    assert(sorted(Mutations.readMerged(spark, dst)) ==
+      Seq((2, "a", 2L), (10, "b", 10L), (20, "c", 20L), (30, "d", 30L)))
+    // source vacuum: the clone-pinned version's closure is retained
+    // (updateWhere made a newer version, so v2 is only ref-protected)
+    Snapshots.vacuum(src)
+    assert(sorted(Mutations.readMerged(spark, dst)) ==
+      Seq((2, "a", 2L), (10, "b", 10L), (20, "c", 20L), (30, "d", 30L)),
+      "the pin keeps cloned files alive across source vacuum")
+  }
+
   test("null-count and prefix stats prune files through pushed filters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
