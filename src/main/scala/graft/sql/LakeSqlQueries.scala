@@ -329,9 +329,12 @@ object LakeSqlQueries {
     * string stats column, so every file carries `nulls.<col>` (+
     * bounds where derivable) and the three predicate shapes this round
     * taught [[graft.ops.lake.Pruning]] — `IS NULL`, `IS NOT NULL`,
-    * `LIKE 'p%'` — all prune manifest entries on the SQL path. The
-    * oracle proves the skipping never drops a matching row: unsound
-    * pruning shows up as a count/sum mismatch, not a plan detail. */
+    * `LIKE 'p%'` — all prune manifest entries on the SQL path, and the
+    * bare `count(label)` folds to Σ(rows − nulls) driver-side
+    * ([[graft.plans.MetadataCountRule]], real nonzero null counts).
+    * The oracle proves the skipping never drops a matching row:
+    * unsound pruning shows up as a count/sum mismatch, not a plan
+    * detail. */
   def sqlNullPrefix(spark: SparkSession, dir: String): DataFrame = {
     val table = freshTable("s46-sql-", dir)
     val ev = eventsSlim(spark, dir)
@@ -342,6 +345,7 @@ object LakeSqlQueries {
     spark.sql(
       s"""SELECT
          |  (SELECT count(*) FROM s46t WHERE label IS NULL) AS n_null,
+         |  (SELECT count(label) FROM s46t) AS n_labeled,
          |  (SELECT ${decSumSql("value")} FROM s46t WHERE label IS NOT NULL)
          |    AS sum_labeled,
          |  (SELECT count(*) FROM s46t WHERE label LIKE 'cl%') AS n_cl,
@@ -354,6 +358,7 @@ object LakeSqlQueries {
     s"""WITH t AS (SELECT nullif(event_type, 'error') AS label, value FROM events)
       |SELECT
       |  (SELECT count(*) FROM t WHERE label IS NULL) AS n_null,
+      |  (SELECT count(label) FROM t) AS n_labeled,
       |  (SELECT ${decSumSql("value")} FROM t WHERE label IS NOT NULL)
       |    AS sum_labeled,
       |  (SELECT count(*) FROM t WHERE label LIKE 'cl%') AS n_cl,

@@ -880,7 +880,14 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     val q = spark.sql("SELECT count(*) AS n FROM sqlmc")
     assert(allLocal(q), "bare count(*) must fold — no scan in the plan")
     assert(q.collect().head.getLong(0) == 20L)
-    // every guard: filters, count(col), DISTINCT, grouping must SCAN
+    // count(col) folds too when the column carries nulls.<col> stats
+    // on every entry (id is the stats column here; null-free files
+    // record nulls = 0)
+    val qc = spark.sql("SELECT count(id) AS n, count(*) AS m FROM sqlmc")
+    assert(allLocal(qc), "count(stats col) must fold via null counts")
+    assert(qc.collect().head == Row(20L, 20L))
+    // every guard: filters, count(col) WITHOUT null stats, DISTINCT,
+    // grouping must SCAN
     val guarded = Seq(
       "SELECT count(*) AS n FROM sqlmc WHERE v > 5.0",
       "SELECT count(v) AS n FROM sqlmc",
@@ -895,6 +902,9 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     val qd = spark.sql("SELECT count(*) AS n FROM sqlmc")
     assert(!allLocal(qd), "a DV-bearing table must not fold")
     assert(qd.collect().head.getLong(0) == 19L)
+    val qcd = spark.sql("SELECT count(id) AS n FROM sqlmc")
+    assert(!allLocal(qcd), "count(col) on a DV-bearing table must not fold")
+    assert(qcd.collect().head.getLong(0) == 19L)
   }
 
   test("DESCRIBE DETAIL answers num_rows from the manifest, opening no data file") {
