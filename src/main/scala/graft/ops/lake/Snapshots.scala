@@ -437,16 +437,33 @@ object Snapshots {
       inherit = false)
   }
 
+  /** Lineage-pin props a clone records (and every later commit
+    * inherits): `lineage.pin.<digest(upstream)>` -> `<upstream>@<v>`,
+    * one per table whose files the clone's entries can traverse into.
+    * [[cloneShallow]] turns each into a named ref OF ITS OWN on that
+    * upstream, so a chain c2 → c1 → src stays safe when intermediate
+    * clones are retired (their refs dropped) — c2 holds direct pins
+    * on both c1 and src. */
+  private[lake] val LineagePinPrefix = "lineage.pin."
+
+  private def pathDigest(p: java.nio.file.Path): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(p.toString.getBytes(UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** SHALLOW CLONE (the Delta verb): publish `dest`'s v1 as a
-    * METADATA-ONLY copy of `source`@`version` — zero data IO at any
-    * table size. Entry paths (and every table-root-relative `ref.*`
-    * sidecar reference — deletion vectors, bloom sidecars) are
-    * re-pointed at the source's files via dest-relative traversal
-    * (`../source/…` — the local-FS spelling of the absolute URIs a
-    * Delta clone log records; on an object store the rel would BE the
-    * absolute URI, same mechanics). Table-level metadata carries: the
-    * rename/drop mapping, recorded schema, and CHECK constraints (the
-    * [[InheritedPropPrefixes]] families) ride into the clone's v1.
+    * METADATA-ONLY copy of `source`@`version` — no data bytes move at
+    * any table size (one pooled footer-METADATA sweep happens only
+    * when a legacy source lacks per-entry `rows` props; the counts
+    * then ride the clone's manifests forever). Entry paths (and every
+    * table-root-relative `ref.*` sidecar reference — deletion vectors,
+    * bloom sidecars) are re-pointed at the source's files via
+    * dest-relative traversal (`../source/…` — the local-FS spelling of
+    * the absolute URIs a Delta clone log records; on an object store
+    * the rel would BE the absolute URI, same mechanics). Table-level
+    * metadata carries: the rename/drop mapping, recorded schema, and
+    * CHECK constraints (the [[InheritedPropPrefixes]] families) ride
+    * into the clone's v1.
     *
     * The clone is a full independent table from v1 on: it mutates,
     * compacts, time-travels and vacuums on its own. Divergence is
@@ -454,12 +471,17 @@ object Snapshots {
     * rewrites land under the clone's OWN data/dv/stats dirs (reading
     * cloned bytes through the traversal path), and [[vacuum]] only
     * ever walks the table's own dirs, so a clone vacuum cannot reach
-    * source files and vice versa. The one real hazard is the SOURCE's
+    * source files and vice versa (tables must not NEST for that to
+    * hold — enforced here). The one real hazard is an upstream's
     * vacuum reclaiming files the clone still references — the
     * documented Delta shallow-clone caveat. `pin = true` (default)
-    * closes it: the pinned source version gets a named ref
-    * (`clone-<digest(dest)>`) whose whole closure the source's vacuum
-    * retains; drop the ref ([[dropRef]]) when the clone is retired. */
+    * closes it TRANSITIVELY: the pinned source version gets a named
+    * ref (`clone-<digest(dest)>`) whose whole closure the source's
+    * vacuum retains, and the same ref name lands on every upstream
+    * the source itself leans on (its [[LineagePinPrefix]] props), so
+    * retiring an intermediate clone never strands a downstream one.
+    * Drop this clone's refs ([[dropRef]] on each lineage table) when
+    * the clone is retired. */
   def cloneShallow(source: String, dest: String, version: Long = -1,
                    pin: Boolean = true): Long = {
     val sv = if (version < 0) currentVersion(source) else version
@@ -470,6 +492,11 @@ object Snapshots {
     val destAbs = new File(dest).getAbsoluteFile.toPath.normalize
     val srcAbs = new File(source).getAbsoluteFile.toPath.normalize
     require(destAbs != srcAbs, s"cloneShallow: dest must differ from source")
+    // NESTED tables break vacuum isolation: a clone under the source's
+    // root would have its local files walked (and reclaimed) by the
+    // source's vacuum as unreferenced orphans — and vice versa
+    require(!destAbs.startsWith(srcAbs) && !srcAbs.startsWith(destAbs),
+      s"cloneShallow: $dest and $source must not nest")
     val hop = destAbs.relativize(srcAbs).toString
     def repoint(rel: String): String = s"$hop/$rel"
     val cloned = entriesAt(source, sv).map { e =>
@@ -478,19 +505,29 @@ object Snapshots {
         case kv => kv
       })
     }
-    val props = snapshotProps(source, sv)
+    val srcProps = snapshotProps(source, sv)
+    val props = srcProps
       .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) }
+    // this clone's lineage = the source's lineage + the source itself
+    val lineage = srcProps.collect {
+      case (k, v) if k.startsWith(LineagePinPrefix) => (k, v)
+    } + (LineagePinPrefix + pathDigest(srcAbs) -> s"$srcAbs@$sv")
     // pin BEFORE publishing the clone: the unprotected window must not
-    // contain a readable clone (a crash between the two leaks a ref,
-    // which is visible in refs() and droppable — the benign side)
+    // contain a readable clone (a crash between the two leaks refs,
+    // which are visible in refs() and droppable — the benign side).
+    // Pinning an upstream whose chain is already broken (its pinned
+    // version vacuumed away) fails LOUDLY here — the clone could never
+    // have been made safe.
     if (pin) {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val digest = md.digest(destAbs.toString.getBytes(UTF_8))
-        .take(8).map(b => f"$b%02x").mkString
-      tagRef(source, s"clone-$digest", sv)
+      val refName = s"clone-${pathDigest(destAbs)}"
+      tagRef(source, refName, sv)
+      (lineage - (LineagePinPrefix + pathDigest(srcAbs))).values.foreach { pv =>
+        val at = pv.lastIndexOf('@')
+        tagRef(pv.take(at), refName, pv.drop(at + 1).toLong)
+      }
     }
-    commitAll(dest, cloned, props = props + ("clone.of" -> srcAbs.toString) +
-      ("clone.version" -> sv.toString))
+    commitAll(dest, cloned, props = props ++ lineage +
+      ("clone.of" -> srcAbs.toString) + ("clone.version" -> sv.toString))
   }
 
   // manifests are IMMUTABLE (fresh UUID names, never rewritten), so
@@ -564,7 +601,8 @@ object Snapshots {
 
   private val LogicalPropPrefix = "schema.logical."
   private val DroppedPropPrefix = "schema.dropped."
-  private[lake] val InheritedPropPrefixes = Seq("schema.", "constraint.")
+  private[lake] val InheritedPropPrefixes =
+    Seq("schema.", "constraint.", "lineage.")
 
   /** PROPS-ONLY commit: re-publish the current version's manifests with
     * `set` added to (and `unset` removed from) the INHERITED prop set —
@@ -758,6 +796,9 @@ object Snapshots {
     * snapshot must read zero footers); specs assert on deltas. */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
 
+  // a staged write dir is data/d<UUID.take(12)> — 8 hex, dash, 3 hex
+  private val StagedDirRe = "^d[0-9a-f]{8}-[0-9a-f]{3}$".r
+
   private def schemaGroup(rel: String): String = {
     val segs = rel.split('/')
     // the data/<stagedir> pair may sit behind a traversal hop (shallow
@@ -765,9 +806,15 @@ object Snapshots {
     // on the LAST "data" segment so cloned entries group by their
     // source staging dirs instead of one-group-per-file (which would
     // re-create the converted-table probe stall and push groupedRead
-    // past its union bail on any large clone)
+    // past its union bail on any large clone). Grouping fires ONLY for
+    // genuine staged dirs — the d<uuid-prefix> name pattern, behind
+    // either nothing (native) or a ".."-leading hop (clone) — so a
+    // convert-adopted external layout that happens to contain a "data"
+    // path segment (raw/data/2024/…, heterogeneous external writers)
+    // keeps its files individually unknown, the r10 soundness rule
     val i = segs.lastIndexOf("data")
-    if (i >= 0 && segs.length - i >= 3 && !segs(i + 1).startsWith("convert-"))
+    if (i >= 0 && segs.length - i >= 3 && StagedDirRe.matches(segs(i + 1)) &&
+        (i == 0 || segs(0) == ".."))
       segs.take(i + 2).mkString("/") // one staged write job: one schema
     else rel                         // adopted file: individually unknown
   }
@@ -1895,16 +1942,8 @@ object Snapshots {
 
   /** a <= b in UNSIGNED UTF-8 byte order (parquet BINARY/UTF8 stats
     * order == Unicode code-point order). */
-  private[lake] def utf8Lte(a: String, b: String): Boolean = {
-    val (ab, bb) = (a.getBytes(UTF_8), b.getBytes(UTF_8))
-    var i = 0
-    while (i < ab.length && i < bb.length) {
-      val x = ab(i) & 0xff; val y = bb(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    ab.length <= bb.length
-  }
+  private[lake] def utf8Lte(a: String, b: String): Boolean =
+    bytesLte(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
   /** [[rangeOverlap]] for STRING stats columns: keep the file unless its
     * recorded [min, max] lies entirely outside [lo, hi] in unsigned

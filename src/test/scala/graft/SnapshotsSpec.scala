@@ -1272,6 +1272,32 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Mutations.readMerged(spark, dst)) ==
       Seq((2, "a", 2L), (10, "b", 10L), (20, "c", 20L), (30, "d", 30L)),
       "the pin keeps cloned files alive across source vacuum")
+
+    // nesting is rejected in both directions — a nested clone's local
+    // files would be walked (and reclaimed) by the outer table's vacuum
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.cloneShallow(src, s"$src/data/nested"))
+    assert(e1.getMessage.contains("must not nest"))
+
+    // clone-of-clone: c2 leans on BOTH dst's local file (day d) and
+    // src's files through dst's hop. Retiring dst (dropping its refs
+    // everywhere) must not strand c2 — it holds its OWN refs on both.
+    val c2 = tmp("snap-clone-c2")
+    Snapshots.cloneShallow(dst, c2)
+    val expect2 = sorted(Mutations.readMerged(spark, dst))
+    // c2's creation placed ITS ref name on both dst (direct) and src
+    // (transitive, via dst's lineage props); dst's own pin on src is
+    // the name NOT mirrored on dst
+    assert(Snapshots.refs(src).keySet.intersect(Snapshots.refs(dst).keySet)
+      .exists(_.startsWith("clone-")), "transitive pin must reach src")
+    // retire dst: drop the ref dst itself placed on src
+    Snapshots.refs(src).keys.filter(_.startsWith("clone-")).foreach { n =>
+      if (!Snapshots.refs(dst).contains(n)) Snapshots.dropRef(src, n)
+    }
+    Snapshots.vacuum(src)
+    Snapshots.vacuum(dst)
+    assert(sorted(Mutations.readMerged(spark, c2)) == expect2,
+      "c2 survives src+dst vacuum after dst's own pin is dropped")
   }
 
   test("null-count and prefix stats prune files through pushed filters") {
