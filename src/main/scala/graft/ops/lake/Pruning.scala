@@ -86,6 +86,12 @@ object Pruning {
     // IS NULL skips provably-null-free files.
     case IsNotNull(a: AttributeReference) => Some(Snapshots.notAllNull(a.name))
     case IsNull(a: AttributeReference) => Some(Snapshots.someNull(a.name))
+    // `col <> v`: a file is skippable only when EVERY row provably
+    // equals v — a constant file (min == max == v / smin == smax == v)
+    // or, for the tag column, a non-synthetic tag equal to v's
+    // rendering (each staged file holds exactly one tag value)
+    case Not(EqualTo(a: AttributeReference, l: Literal)) => notEqualPred(a, l, tagCol)
+    case Not(EqualTo(l: Literal, a: AttributeReference)) => notEqualPred(a, l, tagCol)
     // `col LIKE 'p%'` (catalyst rewrites the LIKE to StartsWith):
     // string-stats prefix overlap, plus tag pruning when the column IS
     // the tag — a string tag is the value itself, so the file's single
@@ -137,6 +143,32 @@ object Pruning {
     if (longs.size == nonNull.size)
       parts += Snapshots.anyOf(longs.map(v =>
         Snapshots.mightContainLong(table, a.name, v)): _*)
+    val ps = parts.result()
+    if (ps.isEmpty) None else Some(Snapshots.allOf(ps: _*))
+  }
+
+  /** `col <> v`: skip only provably-constant-v files. Null rows cannot
+    * satisfy the predicate either (`v <> NULL` is NULL), so stats over
+    * non-null values alone decide. Numeric equality is trusted only
+    * inside double's exact-integer range — the recorded bounds are
+    * double-rendered, and a giant long's nearest-double rounding could
+    * fake `min == max == v` across distinct values. String bounds are
+    * exact even under parquet truncation (lo == hi == v pins every
+    * value). The tag case skips a whole-file tag match — each staged
+    * file holds exactly one non-null tag value. */
+  private def notEqualPred(a: AttributeReference, l: Literal,
+                           tagCol: String): Option[Snapshots.Entry => Boolean] = {
+    if (l.value == null) return None // col <> NULL matches no row; keep
+    val parts = Seq.newBuilder[Snapshots.Entry => Boolean]
+    if (a.name.equalsIgnoreCase(tagCol)) {
+      val t = render(l)
+      parts += (e => e.props.contains(Snapshots.TagSyntheticProp) || e.tag != t)
+    }
+    asDouble(l).filter(d => math.abs(d) < 9007199254740992.0).foreach { d =>
+      parts += Snapshots.notConstNumeric(a.name, d)
+    }
+    if (a.dataType == StringType && l.dataType == StringType)
+      parts += Snapshots.notConstString(a.name, l.value.toString)
     val ps = parts.result()
     if (ps.isEmpty) None else Some(Snapshots.allOf(ps: _*))
   }

@@ -2010,6 +2010,29 @@ object Snapshots {
     !e.props.get(s"nulls.$statsCol").flatMap(_.toLongOption).contains(0L)
   }
 
+  /** `col <> v` pruning: skip a file only when its stats prove every
+    * NON-NULL value equals `v` (min == max == v) — null rows cannot
+    * satisfy `<>` either (`v <> NULL` is NULL), so non-null stats
+    * alone decide. Sound under parquet bound truncation: recorded
+    * lo <= true values <= hi, and lo == hi == v pins them all.
+    * Callers gate numeric literals to double's exact-integer range —
+    * the recorded bounds are double-rendered. */
+  def notConstNumeric(statsCol: String, v: Double): Entry => Boolean = { e =>
+    (e.props.get(s"min.$statsCol").flatMap(_.toDoubleOption),
+     e.props.get(s"max.$statsCol").flatMap(_.toDoubleOption)) match {
+      case (Some(mn), Some(mx)) => !(mn == v && mx == v)
+      case _ => true
+    }
+  }
+
+  /** [[notConstNumeric]] for STRING stats (exact string equality). */
+  def notConstString(statsCol: String, v: String): Entry => Boolean = { e =>
+    (e.props.get(s"smin.$statsCol"), e.props.get(s"smax.$statsCol")) match {
+      case (Some(mn), Some(mx)) => !(mn == v && mx == v)
+      case _ => true
+    }
+  }
+
   /** Prepared-but-uncommitted snapshot: the manifest NAMES it will list
     * and the version it will commit as. The manifests themselves are
     * already durable on disk (written by [[prepare]]) but invisible —

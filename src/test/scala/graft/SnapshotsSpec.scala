@@ -1346,6 +1346,13 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(ids(pref) == Seq(10))
     assert(scanned(pref) == files("banana"))
 
+    // `<>` skips provably-constant files: cherry's smin == smax ==
+    // "zulu" proves every non-null row is 'zulu' (its null row cannot
+    // satisfy <> either); apple dies on the inferred IsNotNull
+    val ne = Snapshots.read(spark, table).filter(col("name") =!= "zulu")
+    assert(ids(ne) == Seq(10, 11))
+    assert(scanned(ne) == files("banana"))
+
     // prefix on the TAG column prunes by the tag string itself — via
     // the SQL path, where the relation knows its tag column (kernel
     // reads pass tagCol = "", having pruned tags explicitly already)
@@ -1353,6 +1360,11 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     val tagPref = spark.sql("SELECT * FROM npref WHERE day LIKE 'ap%'")
     assert(ids(tagPref) == Seq(1, 2))
     assert(scanned(tagPref) == files("apple"))
+
+    // tag `<>` drops the whole matching tag's files
+    val tagNe = spark.sql("SELECT * FROM npref WHERE day <> 'apple'")
+    assert(ids(tagNe) == Seq(10, 11, 20, 21))
+    assert(scanned(tagNe) == total - files("apple"))
   }
 
   test("bloom on an INT column: type-normalized hash, probes never miss") {
