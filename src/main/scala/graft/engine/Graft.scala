@@ -88,6 +88,14 @@ object Graft {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     // read the raw int64 nanos and convert ourselves (see Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // write timestamps as INT64 MICROS, not Spark's legacy INT96
+    // default: INT96 carries NO usable column statistics, which
+    // silently made every timestamp column unprunable (no footer
+    // min/max recorded → `WHERE CAST(ts AS DATE) = D` — which Spark
+    // itself rewrites to raw ts range conjuncts — scanned every
+    // file). MICROS is the Delta/Iceberg norm (Iceberg forbids INT96)
+    // and footerStats already trusts exactly this annotation.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
     .config("spark.sql.warehouse.dir",
       new java.io.File("target/graft-warehouse").getAbsolutePath)

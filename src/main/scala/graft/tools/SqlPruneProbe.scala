@@ -93,6 +93,67 @@ object SqlPruneProbe {
     probe("id point/EV    ",
       "SELECT * FROM probe_ev WHERE event_id = 4243")
 
+    // --- r11 s2 shapes: null-count, prefix, not-equal, timestamp ---
+    // a second table whose STATS column is a nullable string (label =
+    // nullif(event_type, 'error')) so every file carries nulls.label
+    // (+ string bounds where derivable)
+    val t2 = Graft.freshDir("probe-sqlprune-nulls")
+    val ev2 = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("label", expr("nullif(event_type, 'error')"))
+      .select("event_id", "label", "value", "event_date")
+    Snapshots.commitAll(t2,
+      Snapshots.stageWithStats(ev2, t2, "event_date", "label"))
+    LakeSql.register(spark, "probe_lb", t2, "event_date")
+    val totalLb = Snapshots.entriesAt(t2, 1).size
+    println(s"[sqlprune] --- null-count/prefix/not-equal shapes " +
+      s"($totalLb files, string stats col `label`) ---")
+    def probeLb(label: String, sql: String): Unit = {
+      val df = spark.sql(sql); df.collect()
+      val t0 = System.nanoTime()
+      val df2 = spark.sql(sql)
+      val n = df2.collect().length
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[sqlprune] $label: opens ${PlanScans.filesOpened(df2)} " +
+        f"of $totalLb files, $n rows, $ms%.0f ms")
+    }
+    probeLb("label IS NULL  ", "SELECT * FROM probe_lb WHERE label IS NULL")
+    probeLb("label NOT NULL ",
+      "SELECT event_id FROM probe_lb WHERE label IS NOT NULL AND event_id < 0")
+    probeLb("label LIKE cl% ", "SELECT * FROM probe_lb WHERE label LIKE 'cl%'")
+    probeLb("label <> click ",
+      "SELECT event_id FROM probe_lb WHERE label <> 'click' AND event_id < 0")
+    probeLb("day <>  (tag)  ",
+      "SELECT event_id FROM probe_lb WHERE event_date <> DATE '2024-01-18' " +
+        "AND event_id < 0")
+
+    // timestamp stats: ts itself is the stats column — CAST(ts AS
+    // DATE) predicates rewrite to raw micros ranges (Spark's own
+    // optimizer) and prune on the footer micros bounds
+    val t3 = Graft.freshDir("probe-sqlprune-ts")
+    val ev3 = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "ts", "value", "event_date")
+    Snapshots.commitAll(t3,
+      Snapshots.stageWithStats(ev3, t3, "event_date", "ts"))
+    LakeSql.register(spark, "probe_ts", t3, "event_date")
+    val totalTs = Snapshots.entriesAt(t3, 1).size
+    println(s"[sqlprune] --- timestamp (micros) stats ($totalTs files) ---")
+    def probeTs(label: String, sql: String): Unit = {
+      val df = spark.sql(sql); df.collect()
+      val t0 = System.nanoTime()
+      val df2 = spark.sql(sql)
+      val n = df2.collect().length
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[sqlprune] $label: opens ${PlanScans.filesOpened(df2)} " +
+        f"of $totalTs files, $n rows, $ms%.0f ms")
+    }
+    probeTs("cast(ts)=day   ",
+      "SELECT * FROM probe_ts WHERE CAST(ts AS DATE) = DATE '2024-01-18'")
+    probeTs("ts range 1h    ",
+      "SELECT * FROM probe_ts WHERE ts BETWEEN TIMESTAMP '2024-01-18 12:00:00' " +
+        "AND TIMESTAMP '2024-01-18 13:00:00'")
+
     spark.stop()
   }
 }

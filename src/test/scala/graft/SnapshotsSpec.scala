@@ -1367,6 +1367,47 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(scanned(tagNe) == total - files("apple"))
   }
 
+  test("timestamp stats prune date-cast predicates (MICROS, not INT96)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val table = tmp("snap-tsprune")
+    // one file per day, each spanning a narrow ts slice. Under Spark's
+    // legacy INT96 default this table recorded NO ts stats at all
+    // (INT96 carries no usable column statistics) and every date-cast
+    // query scanned all 10 files; Graft writes TIMESTAMP_MICROS, whose
+    // INT64 stats footerStats records as raw micros.
+    val data = (1 to 100).map { i =>
+      (i.toLong, f"2024-01-${(i % 10) + 1}%02d",
+       java.sql.Timestamp.valueOf(f"2024-01-${(i % 10) + 1}%02d 12:00:00"))
+    }.toDF("id", "day", "ts")
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(data, table, "day", "ts", buckets = 10))
+    val es = Snapshots.entriesAt(table, 1)
+    assert(es.forall(e => e.props.contains("min.ts") && e.props.contains("max.ts")),
+      "every staged file must carry micros-valued ts stats")
+    graft.sql.LakeSql.register(spark, "tsprune", table, "day")
+    def scanned(sql: String): Long = {
+      val d = spark.sql(sql)
+      d.collect()
+      val p = d.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    // Spark rewrites CAST(ts AS DATE) = D into raw ts range conjuncts;
+    // the micros stats then prune — the hidden-partitioning read shape
+    // without any derived day column in the predicate
+    assert(scanned(
+      "SELECT * FROM tsprune WHERE CAST(ts AS DATE) = DATE '2024-01-03'") == 1)
+    assert(scanned(
+      "SELECT * FROM tsprune WHERE to_date(ts) >= DATE '2024-01-08'") == 3)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tsprune WHERE CAST(ts AS DATE) = DATE '2024-01-03'")
+      .collect().head.getLong(0) == 10L)
+  }
+
   test("bloom on an INT column: type-normalized hash, probes never miss") {
     import spark.implicits._
     val table = tmp("snap-bloom-int")
