@@ -602,7 +602,7 @@ object Snapshots {
   private val LogicalPropPrefix = "schema.logical."
   private val DroppedPropPrefix = "schema.dropped."
   private[lake] val InheritedPropPrefixes =
-    Seq("schema.", "constraint.", "lineage.")
+    Seq("schema.", "constraint.", "lineage.", "tbl.")
 
   /** PROPS-ONLY commit: re-publish the current version's manifests with
     * `set` added to (and `unset` removed from) the INHERITED prop set —

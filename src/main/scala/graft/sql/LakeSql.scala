@@ -265,10 +265,17 @@ case class LakeRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // resolves wall-clock → version via the snapshot files'
             // publish times (immutable files — mtime IS commit time)
             val v = (tt.version, tt.timestamp) match {
+              // numeric = snapshot version; anything else resolves as
+              // a NAMED REF (the Iceberg `VERSION AS OF 'tag'` shape) —
+              // `SELECT … FROM t VERSION AS OF 'train-v1'` reads the
+              // exact pinned state a training run tagged
               case (Some(ver), _) => ver.toLongOption.getOrElse(
-                throw new IllegalArgumentException(
-                  s"lake table $name: VERSION AS OF expects a numeric " +
-                    s"snapshot version, got '$ver'"))
+                Snapshots.refs(path).getOrElse(ver,
+                  throw new IllegalArgumentException(
+                    s"lake table $name: VERSION AS OF expects a numeric " +
+                      s"snapshot version or a ref name, got '$ver' " +
+                      s"(refs: ${Snapshots.refs(path).keys.toSeq.sorted
+                        .mkString(", ")})")))
               case (None, Some(ts)) =>
                 Snapshots.versionAtTime(path,
                   LakeRelationRule.literalMillis(name, ts))
@@ -361,6 +368,24 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)""".r
   private val RenameCol =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""".r
+  private val SetProps =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)""".r
+  private val UnsetProps =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)""".r
+  private val ShowProps =
+    """(?is)SHOW\s+TBLPROPERTIES\s+(\w+)""".r
+  private val CreateRef =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+CREATE\s+REF\s+([A-Za-z0-9._-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+  private val DropRefRe =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+REF\s+([A-Za-z0-9._-]+)""".r
+  private val ShowRefs =
+    """(?is)SHOW\s+REFS\s+(\w+)""".r
+  // strict whole-list shapes, the OPTIMIZE IN discipline: malformed
+  // items reject the statement rather than silently narrowing it
+  private val PropPairsRe =
+    """(?s)^\s*'[^']*'\s*=\s*'[^']*'(?:\s*,\s*'[^']*'\s*=\s*'[^']*')*\s*$""".r
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKeysRe = """(?s)^\s*'[^']*'(?:\s*,\s*'[^']*')*\s*$""".r
   private val DropCol =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""".r
   private val InsertInto =
@@ -690,6 +715,47 @@ object LakeStatements {
             LakeCommand("DROP COLUMN", versionOut, s =>
               Seq(Row(Snapshots.dropColumn(s, path, colName))))
           }
+        // user table properties (the Delta TBLPROPERTIES shape): keys
+        // live in the snapshot-prop `tbl.` namespace — INHERITED, so a
+        // property set once persists across every later commit, and
+        // structurally collision-free with the system prop families
+        // (schema./constraint./lineage.). Props-only commit either way.
+        case SetProps(name, pairs) => lookup(name).map { case (path, _) =>
+          require(PropPairsRe.matches(pairs),
+            s"SET TBLPROPERTIES $name: expected ('k'='v', …), got ($pairs)")
+          val kvs = PropPairRe.findAllMatchIn(pairs)
+            .map(m => m.group(1) -> m.group(2)).toSeq
+          require(kvs.map(_._1).distinct.size == kvs.size,
+            s"SET TBLPROPERTIES $name: duplicate keys in ($pairs)")
+          require(kvs.forall(_._1.nonEmpty),
+            s"SET TBLPROPERTIES $name: empty key")
+          LakeCommand("SET TBLPROPERTIES", versionOut, _ =>
+            Seq(Row(Snapshots.commitProps(path,
+              kvs.map { case (k, v) => s"tbl.$k" -> v }.toMap))))
+        }
+        case UnsetProps(name, keys) => lookup(name).map { case (path, _) =>
+          require(PropKeysRe.matches(keys),
+            s"UNSET TBLPROPERTIES $name: expected ('k', …), got ($keys)")
+          val ks = "'([^']*)'".r.findAllMatchIn(keys).map(_.group(1)).toSet
+          LakeCommand("UNSET TBLPROPERTIES", versionOut, _ =>
+            Seq(Row(Snapshots.commitProps(path, Map.empty,
+              unset = ks.map("tbl." + _)))))
+        }
+        // named refs (the Iceberg tag shape): a ref pins a version
+        // durably across VACUUM — the reproducibility anchor a
+        // training run tags its exact input state with
+        case CreateRef(name, refName, ver) => lookup(name).map { case (path, _) =>
+          LakeCommand("CREATE REF", versionOut, _ => {
+            val v = Option(ver).map(_.toLong)
+              .getOrElse(Snapshots.currentVersion(path))
+            Snapshots.tagRef(path, refName, v)
+            Seq(Row(v))
+          })
+        }
+        case DropRefRe(name, refName) => lookup(name).map { case (path, _) =>
+          LakeCommand("DROP REF", attrs("dropped" -> BooleanType), _ =>
+            Seq(Row(Snapshots.dropRef(path, refName))))
+        }
         case _ => None
       }
       case "SHOW" => text match {
@@ -698,6 +764,18 @@ object LakeStatements {
             attrs("name" -> StringType, "path" -> StringType,
               "tag_col" -> StringType), s =>
               LakeSql.registered(s).map { case (n, p, t) => Row(n, p, t) }))
+        case ShowProps(name) => lookup(name).map { case (path, _) =>
+          LakeCommand("SHOW TBLPROPERTIES",
+            attrs("key" -> StringType, "value" -> StringType), _ =>
+              Snapshots.snapshotProps(path, Snapshots.currentVersion(path))
+                .collect { case (k, v) if k.startsWith("tbl.") =>
+                  (k.drop(4), v) }.toSeq.sorted.map { case (k, v) => Row(k, v) })
+        }
+        case ShowRefs(name) => lookup(name).map { case (path, _) =>
+          LakeCommand("SHOW REFS",
+            attrs("name" -> StringType, "version" -> LongType), _ =>
+              Snapshots.refs(path).toSeq.sorted.map { case (n, v) => Row(n, v) })
+        }
         case _ => None
       }
       case _ => None

@@ -387,6 +387,42 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("no committed snapshot"))
   }
 
+  test("TBLPROPERTIES persist across commits; named refs pin versions in SQL") {
+    val table = mk("sql-props-refs", "sqlpf", (1L, "a", 1.0), (2L, "b", 2.0))
+    spark.sql("ALTER GRAFT TABLE sqlpf SET TBLPROPERTIES " +
+      "('owner'='ml-platform', 'pii'='scrubbed')")
+    // a later DATA commit must carry the properties (inherited family)
+    spark.sql("INSERT INTO sqlpf SELECT 3, 'c', 3.0")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES sqlpf").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props() == Map("owner" -> "ml-platform", "pii" -> "scrubbed"))
+    spark.sql("ALTER GRAFT TABLE sqlpf UNSET TBLPROPERTIES ('pii')")
+    assert(props() == Map("owner" -> "ml-platform"))
+    // malformed pair lists reject loudly (the strict-list discipline)
+    intercept[Exception](spark.sql(
+      "ALTER GRAFT TABLE sqlpf SET TBLPROPERTIES ('a'=b)"))
+
+    // refs: pin the current state, mutate past it, read back by NAME
+    spark.sql("ALTER GRAFT TABLE sqlpf CREATE REF stable")
+    spark.sql("DELETE FROM sqlpf WHERE id = 1")
+    assert(content("SELECT id, day, v FROM sqlpf").map(_._1) == Seq(2L, 3L))
+    assert(content("SELECT id, day, v FROM sqlpf VERSION AS OF 'stable'")
+      .map(_._1) == Seq(1L, 2L, 3L))
+    assert(spark.sql("SHOW REFS sqlpf").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("stable", 4L)))
+    // the pinned version's closure survives vacuum
+    spark.sql("VACUUM sqlpf")
+    assert(content("SELECT id, day, v FROM sqlpf VERSION AS OF 'stable'")
+      .map(_._1) == Seq(1L, 2L, 3L))
+    // drop: the name stops resolving, loudly
+    assert(spark.sql("ALTER GRAFT TABLE sqlpf DROP REF stable")
+      .collect().head.getBoolean(0))
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM sqlpf VERSION AS OF 'stable'").collect())
+    assert(err.getMessage.contains("ref name"))
+  }
+
   test("CONVERT TO GRAFT TABLE adopts an existing parquet dir in place") {
     // a plain pre-existing parquet directory, written by anything
     val loc = tmp("sql-convert")
