@@ -367,7 +367,9 @@ object Snapshots {
 
   // ---- named refs (tags) ---------------------------------------------
 
-  private val RefNameRe = "^[A-Za-z0-9._-]{1,64}$".r
+  // at least one non-digit: an all-digit name would be unreachable
+  // through `VERSION AS OF` (numeric resolution wins there)
+  private val RefNameRe = "^(?=.*[^0-9])[A-Za-z0-9._-]{1,64}$".r
 
   private def refFile(table: String, name: String): File = {
     require(RefNameRe.findFirstIn(name).isDefined,
@@ -393,6 +395,27 @@ object Snapshots {
     writeDurable(tmp, v.toString.getBytes(UTF_8))
     Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // handshake with a concurrent [[vacuum]] (see its intent comment):
+    // our ref is durable — if an active intent endangers `v`, that
+    // vacuum may have read refs before ours landed; abort loudly
+    // rather than hold a pin on a version mid-reclaim. The final
+    // existence re-check also covers a vacuum that finished between
+    // our intent scan and now (its deletes happened before intent
+    // removal).
+    val endangered = Option(logDir(table).listFiles()).toSeq.flatten
+      .filter(fi => fi.getName.startsWith("vacuum-intent-") &&
+        System.currentTimeMillis - fi.lastModified <= VacuumIntentTtlMs)
+      .exists { fi =>
+        try new String(Files.readAllBytes(fi.toPath), UTF_8)
+          .split("\n").contains(v.toString)
+        catch { case _: java.io.IOException => false } // vanished: re-check below
+      }
+    if (endangered || !snapFile(table, v).exists()) {
+      f.delete()
+      throw new IllegalStateException(
+        s"tagRef($table, $name, $v): snapshot v$v is being (or was) " +
+          "vacuumed — re-pin after the vacuum completes, if it survived")
+    }
   }
 
   /** Drop a named ref; its version becomes vacuum-eligible again. */
@@ -499,7 +522,8 @@ object Snapshots {
       s"cloneShallow: $dest and $source must not nest")
     val hop = destAbs.relativize(srcAbs).toString
     def repoint(rel: String): String = s"$hop/$rel"
-    val cloned = entriesAt(source, sv).map { e =>
+    val srcEntries0 = entriesAt(source, sv)
+    val cloned = srcEntries0.map { e =>
       e.copy(rel = repoint(e.rel), props = e.props.map {
         case (k, v) if k.startsWith("ref.") => k -> repoint(v)
         case kv => kv
@@ -508,9 +532,21 @@ object Snapshots {
     val srcProps = snapshotProps(source, sv)
     val props = srcProps
       .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) }
-    // this clone's lineage = the source's lineage + the source itself
+    // this clone's lineage = the source's lineage RESTRICTED to
+    // upstreams the cloned snapshot still REFERENCES (a maintenance
+    // rewrite may have localized every traversal entry — an immortal
+    // stale pin would make cloning hard-fail forever once that
+    // upstream is retired and deleted, review find) + the source
+    // itself (whose log and sidecars this clone was cut from)
+    val traversingAbs = srcEntries0.flatMap { e =>
+      (e.rel +: e.props.collect {
+        case (k, v) if k.startsWith("ref.") => v }.toSeq)
+        .filter(_.startsWith(".."))
+    }.map(r => srcAbs.resolve(r).normalize)
     val lineage = srcProps.collect {
-      case (k, v) if k.startsWith(LineagePinPrefix) => (k, v)
+      case (k, v) if k.startsWith(LineagePinPrefix) &&
+          traversingAbs.exists(_.startsWith(
+            java.nio.file.Paths.get(v.take(v.lastIndexOf('@'))))) => (k, v)
     } + (LineagePinPrefix + pathDigest(srcAbs) -> s"$srcAbs@$sv")
     // pin BEFORE publishing the clone: the unprotected window must not
     // contain a readable clone (a crash between the two leaks refs,
@@ -2360,9 +2396,38 @@ object Snapshots {
     val committed = Option(logDir(table).listFiles()).toSeq.flatten
       .flatMap(f => SnapRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
       .sorted
-    val retained = (committed.takeRight(keepVersions).toSet ++
-        Set(cur) ++ refs(table).values).filter(_ >= 1)
-      .filter(v => snapFile(table, v).exists())
+    def retainedNow(): Set[Long] =
+      (committed.takeRight(keepVersions).toSet ++
+          Set(cur) ++ refs(table).values).filter(_ >= 1)
+        .filter(v => snapFile(table, v).exists())
+    val retained0 = retainedNow()
+    // HANDSHAKE with concurrent [[tagRef]] (review find — a ref
+    // created between vacuum's refs read and its deletes could pin an
+    // already-reclaimed version): vacuum durably publishes an INTENT
+    // naming the endangered versions, THEN re-reads refs; tagRef
+    // durably writes its ref, THEN checks intents. Each side writes
+    // its own flag before reading the other's, so at least one of a
+    // racing pair sees the other — vacuum retains the late-pinned
+    // version, or tagRef aborts loudly (or both, which is merely
+    // conservative). A crashed vacuum's stale intent blocks pinning
+    // of endangered versions for [[VacuumIntentTtlMs]] at most.
+    val intent: Option[File] =
+      if (dryRun) None
+      else {
+        Option(logDir(table).listFiles()).toSeq.flatten // expire stale intents
+          .filter(f => f.getName.startsWith("vacuum-intent-") &&
+            System.currentTimeMillis - f.lastModified > VacuumIntentTtlMs)
+          .foreach(_.delete())
+        val f = new File(logDir(table),
+          s"vacuum-intent-${java.util.UUID.randomUUID}.txt")
+        writeDurable(f, (committed.toSet -- retained0).toSeq.sorted
+          .mkString("\n").getBytes(UTF_8))
+        Some(f)
+      }
+    try {
+    // union of the two reads: refs ADDED since the first read must
+    // retain; refs dropped in between keep the conservative first read
+    val retained = if (dryRun) retained0 else retained0 ++ retainedNow()
     val liveManifests = retained.flatMap(manifestList(table, _)).map(_._1)
     val live = liveManifests.flatMap(manifestEntries(table, _)).map(_.rel)
     def walk(f: File): Seq[File] =
@@ -2418,7 +2483,13 @@ object Snapshots {
     orphans.map(f => root.relativize(f.toPath).toString) ++
       auxOrphans.map(d => s"dv/${d.getName}") ++
       statOrphans.map(f => s"stats/${f.getName}")
+    } finally intent.foreach(_.delete())
   }
+
+  /** Active-vacuum intent lifetime: a crashed vacuum's leftover intent
+    * file stops blocking [[tagRef]] after this long (the delete phase
+    * it guards runs in seconds; generous margin for slow storage). */
+  private val VacuumIntentTtlMs: Long = 15L * 60 * 1000
 
   /** Restage `df` preserving the TABLE's skipping surface: the stats
     * and bloom columns a table was staged with are recovered from its

@@ -368,10 +368,13 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)""".r
   private val RenameCol =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""".r
+  // greedy body up to the statement's LAST ')': a ')' inside a quoted
+  // value must reach the strict pair-list validator (which handles it),
+  // not break the match and fall through to Spark's parser
   private val SetProps =
-    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)""".r
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)""".r
   private val UnsetProps =
-    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)""".r
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.*)\)""".r
   private val ShowProps =
     """(?is)SHOW\s+TBLPROPERTIES\s+(\w+)""".r
   private val CreateRef =

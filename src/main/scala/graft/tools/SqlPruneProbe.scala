@@ -33,7 +33,7 @@ object SqlPruneProbe {
     println(s"[sqlprune] table: $total files, " +
       s"${Snapshots.read(spark, table).count()} rows")
 
-    def probe(label: String, sql: String): Unit = {
+    def probeOf(denom: Long)(label: String, sql: String): Unit = {
       val df = spark.sql(sql) // warm plan
       df.collect()
       val t0 = System.nanoTime()
@@ -41,9 +41,10 @@ object SqlPruneProbe {
       val n = df2.collect().length
       val ms = (System.nanoTime() - t0) / 1e6
       val files = PlanScans.filesOpened(df2)
-      println(f"[sqlprune] $label: opens $files of $total files, " +
+      println(f"[sqlprune] $label: opens $files of $denom files, " +
         f"$n rows, $ms%.0f ms")
     }
+    val probe = probeOf(total) _
 
     probe("full scan      ", "SELECT * FROM probe_ev")
     probe("day equality   ",
@@ -108,15 +109,7 @@ object SqlPruneProbe {
     val totalLb = Snapshots.entriesAt(t2, 1).size
     println(s"[sqlprune] --- null-count/prefix/not-equal shapes " +
       s"($totalLb files, string stats col `label`) ---")
-    def probeLb(label: String, sql: String): Unit = {
-      val df = spark.sql(sql); df.collect()
-      val t0 = System.nanoTime()
-      val df2 = spark.sql(sql)
-      val n = df2.collect().length
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(f"[sqlprune] $label: opens ${PlanScans.filesOpened(df2)} " +
-        f"of $totalLb files, $n rows, $ms%.0f ms")
-    }
+    val probeLb = probeOf(totalLb.toLong) _
     probeLb("label IS NULL  ", "SELECT * FROM probe_lb WHERE label IS NULL")
     probeLb("label NOT NULL ",
       "SELECT event_id FROM probe_lb WHERE label IS NOT NULL AND event_id < 0")
@@ -139,15 +132,7 @@ object SqlPruneProbe {
     LakeSql.register(spark, "probe_ts", t3, "event_date")
     val totalTs = Snapshots.entriesAt(t3, 1).size
     println(s"[sqlprune] --- timestamp (micros) stats ($totalTs files) ---")
-    def probeTs(label: String, sql: String): Unit = {
-      val df = spark.sql(sql); df.collect()
-      val t0 = System.nanoTime()
-      val df2 = spark.sql(sql)
-      val n = df2.collect().length
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(f"[sqlprune] $label: opens ${PlanScans.filesOpened(df2)} " +
-        f"of $totalTs files, $n rows, $ms%.0f ms")
-    }
+    val probeTs = probeOf(totalTs.toLong) _
     probeTs("cast(ts)=day   ",
       "SELECT * FROM probe_ts WHERE CAST(ts AS DATE) = DATE '2024-01-18'")
     probeTs("ts range 1h    ",

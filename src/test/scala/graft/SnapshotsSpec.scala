@@ -1367,6 +1367,49 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(scanned(tagNe) == total - files("apple"))
   }
 
+  test("vacuum/tagRef handshake; stale lineage pins prune at clone time") {
+    // digit-only ref names are rejected — they would be unreachable
+    // through VERSION AS OF (numeric resolution wins there)
+    val t0 = tmp("snap-refname")
+    Snapshots.commit(t0, Snapshots.stage(df((1, "a", 1L)), t0, "day"))
+    intercept[IllegalArgumentException](Snapshots.tagRef(t0, "123", 1))
+
+    // a live vacuum intent blocks pinning of an ENDANGERED version
+    // (the Dekker pairing: vacuum writes intent then re-reads refs;
+    // tagRef writes its ref then checks intents)
+    Snapshots.commit(t0, Snapshots.stage(df((2, "b", 2L)), t0, "day")) // v2
+    val log = new java.io.File(t0, "_graft_log")
+    val intent = new java.io.File(log, "vacuum-intent-test.txt")
+    java.nio.file.Files.write(intent.toPath, "1".getBytes)
+    val e = intercept[IllegalStateException](Snapshots.tagRef(t0, "pin1", 1))
+    assert(e.getMessage.contains("vacuum"))
+    assert(!Snapshots.refs(t0).contains("pin1"), "aborted pin leaves no ref")
+    Snapshots.tagRef(t0, "pin2", 2) // v2 is not endangered: fine
+    intent.delete()
+    Snapshots.tagRef(t0, "pin1", 1) // clean now
+    assert(Snapshots.refs(t0) == Map("pin1" -> 1L, "pin2" -> 2L))
+    // vacuum cleans up after itself — no intent file survives
+    Snapshots.vacuum(t0)
+    assert(!log.listFiles().exists(_.getName.startsWith("vacuum-intent-")))
+
+    // stale lineage pins prune at clone time: localize the middle
+    // clone's files, DELETE the original source outright, clone again
+    val src = tmp("snap-lin-src"); val mid = tmp("snap-lin-mid")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1, "a", 1L), (2, "b", 2L)), src, "day", "id"))
+    Snapshots.cloneShallow(src, mid)
+    Snapshots.compact(spark, mid, "day", Seq("id")) // ZORDER: rewrites ALL
+    assert(Snapshots.entriesAll(mid).forall(!_.rel.startsWith("..")),
+      "the zorder rewrite must localize every entry")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(src))
+    val c2 = tmp("snap-lin-c2")
+    Snapshots.cloneShallow(mid, c2) // must never touch the dead src
+    assert(sorted(Snapshots.read(spark, c2)) == Seq((1, "a", 1L), (2, "b", 2L)))
+  }
+
   test("timestamp stats prune date-cast predicates (MICROS, not INT96)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
