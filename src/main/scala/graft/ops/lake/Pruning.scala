@@ -79,6 +79,18 @@ object Pruning {
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false)
     case LessThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
     case LessThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
+    // disjunctions: a file is skippable only when EVERY branch proves
+    // no row can match. Each branch compiles its own conjunction —
+    // untranslatable conjuncts inside a branch just weaken that branch
+    // toward keep (sound); a branch with NOTHING translatable keeps
+    // every file, so the whole Or yields no predicate. Nested Ors
+    // recurse through this same case.
+    case Or(l, r) =>
+      val lp = conjuncts(l).flatMap(translate(_, tagCol, table))
+      val rp = conjuncts(r).flatMap(translate(_, tagCol, table))
+      if (lp.isEmpty || rp.isEmpty) None
+      else Some(Snapshots.anyOf(
+        Snapshots.allOf(lp: _*), Snapshots.allOf(rp: _*)))
     // null-count pruning (the Delta nullCount-stats shape): IS NOT
     // NULL skips provably-all-null files — and since Spark adds an
     // IsNotNull conjunct for every column an equality/range filter

@@ -332,6 +332,16 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     val longIn = (Seq("'a'", "'zz1'") ++ (1 to 10).map(i => s"'x$i'")).mkString(", ")
     assert(scanned(s"SELECT * FROM sqlpr WHERE day IN ($longIn)") ==
       Snapshots.entriesAt(table, 1).count(_.tag == "a"))
+    // disjunctions prune when every branch proves: files(a) + files(c)
+    val tagA = Snapshots.entriesAt(table, 1).count(_.tag == "a")
+    val tagC = Snapshots.entriesAt(table, 1).count(_.tag == "c")
+    assert(scanned("SELECT * FROM sqlpr WHERE (day = 'a' AND id < 5) " +
+      "OR day = 'c'") == tagA + tagC)
+    assert(spark.sql("SELECT sum(v) AS s FROM sqlpr WHERE " +
+      "(day = 'a' AND id < 5) OR day = 'c'").collect().head.getDouble(0) == 44.0)
+    // a branch with nothing translatable keeps everything — sound
+    assert(scanned("SELECT * FROM sqlpr WHERE day = 'a' OR v + 1.0 > 100.0")
+      == total)
     // unsupported predicate shapes stay sound: all files, right answer
     assert(scanned("SELECT * FROM sqlpr WHERE v + 1.0 > 100.0") == total)
     assert(spark.sql("SELECT * FROM sqlpr WHERE v + 1.0 > 100.0").count() == 0)
