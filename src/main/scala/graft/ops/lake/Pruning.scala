@@ -71,14 +71,14 @@ object Pruning {
         equalityPred(a, s.hset.toSeq.map(v => Literal(v, a.dataType)), tagCol, table)
       case _ => None
     }
-    case GreaterThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true)
-    case LessThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false)
-    case LessThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false)
-    case GreaterThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false)
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false)
-    case LessThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
-    case LessThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true)
+    case GreaterThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true, tagCol)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = true, tagCol)
+    case LessThan(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false, tagCol)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => rangePred(a, l, lower = false, tagCol)
+    case GreaterThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false, tagCol)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = false, tagCol)
+    case LessThan(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true, tagCol)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => rangePred(a, l, lower = true, tagCol)
     // disjunctions: a file is skippable only when EVERY branch proves
     // no row can match. Each branch compiles its own conjunction —
     // untranslatable conjuncts inside a branch just weaken that branch
@@ -185,20 +185,52 @@ object Pruning {
     if (ps.isEmpty) None else Some(Snapshots.allOf(ps: _*))
   }
 
-  private def rangePred(a: AttributeReference, l: Literal,
-                        lower: Boolean): Option[Snapshots.Entry => Boolean] =
-    asDouble(l).map { v =>
-      if (lower) Snapshots.rangeOverlap(a.name, v, Double.PositiveInfinity)
-      else Snapshots.rangeOverlap(a.name, Double.NegativeInfinity, v)
-    }.orElse {
-      // string ranges prune lexicographically (unsigned UTF-8 — the
-      // footer stats' order); the unbounded side stays open
-      if (a.dataType == StringType && l.dataType == StringType && l.value != null) {
-        val v = l.value.toString
-        Some(if (lower) Snapshots.rangeOverlapString(a.name, Some(v), None)
-             else Snapshots.rangeOverlapString(a.name, None, Some(v)))
-      } else None
+  private def rangePred(a: AttributeReference, l: Literal, lower: Boolean,
+                        tagCol: String): Option[Snapshots.Entry => Boolean] = {
+    val parts = Seq.newBuilder[Snapshots.Entry => Boolean]
+    // TAG-ORDER pruning — `WHERE day BETWEEN d1 AND d2` on the
+    // partition column, the most common analytics slice: sound only
+    // when the tag STRING order agrees with the column's value order,
+    // which holds for String (tag == value) and Date (ISO yyyy-mm-dd
+    // is lexicographic) but NOT numeric renderings ("9" > "10").
+    // Strict bounds reuse the inclusive compare — keeping the
+    // boundary tag's files is sound, one tag less pruned. Synthetic
+    // (CONVERTed) tags prove nothing and are kept.
+    if (a.name.equalsIgnoreCase(tagCol) && l.value != null &&
+        a.dataType == StringType && l.dataType == StringType) {
+      val v = l.value.toString // tag == value for string columns
+      parts += (e => e.props.contains(Snapshots.TagSyntheticProp) ||
+        (if (lower) Snapshots.utf8Lte(v, e.tag)
+         else Snapshots.utf8Lte(e.tag, v)))
     }
+    if (a.name.equalsIgnoreCase(tagCol) && l.value != null &&
+        a.dataType == org.apache.spark.sql.types.DateType &&
+        l.dataType == org.apache.spark.sql.types.DateType) {
+      // ISO order == date order only for plain zero-padded years —
+      // extreme renderings ("+10000-…", "-0044-…") sort out of order,
+      // so BOTH sides must match the plain pattern or the file is kept
+      val v = render(l)
+      val plain = "\\d{4}-\\d{2}-\\d{2}"
+      if (v.matches(plain))
+        parts += (e => e.props.contains(Snapshots.TagSyntheticProp) ||
+          !e.tag.matches(plain) ||
+          (if (lower) Snapshots.utf8Lte(v, e.tag)
+           else Snapshots.utf8Lte(e.tag, v)))
+    }
+    asDouble(l).foreach { v =>
+      parts += (if (lower) Snapshots.rangeOverlap(a.name, v, Double.PositiveInfinity)
+                else Snapshots.rangeOverlap(a.name, Double.NegativeInfinity, v))
+    }
+    // string ranges prune lexicographically (unsigned UTF-8 — the
+    // footer stats' order); the unbounded side stays open
+    if (a.dataType == StringType && l.dataType == StringType && l.value != null) {
+      val v = l.value.toString
+      parts += (if (lower) Snapshots.rangeOverlapString(a.name, Some(v), None)
+                else Snapshots.rangeOverlapString(a.name, None, Some(v)))
+    }
+    val ps = parts.result()
+    if (ps.isEmpty) None else Some(Snapshots.allOf(ps: _*))
+  }
 
   /** Literal rendered exactly as staging rendered the tag value. */
   private def render(l: Literal): String =

@@ -698,6 +698,46 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     LakeSql.unregister(spark, "sqlds")
   }
 
+  test("date-tag ranges prune by tag string order; numeric tags never do") {
+    import spark.implicits._
+    // DATE tag: the ISO rendering is lexicographic, so BETWEEN on the
+    // partition column prunes with ZERO stats — the most common
+    // analytics slice (`WHERE day BETWEEN d1 AND d2`) previously
+    // tag-pruned only on equality
+    val rows = (0 until 60).map { i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i / 10)), i.toDouble)
+    }
+    val table = tmp("sql-datetag")
+    Snapshots.commit(table,
+      Snapshots.stage(rows.toDF("id", "day", "v"), table, "day"))
+    LakeSql.register(spark, "sqldt", table, "day")
+    val es = Snapshots.entriesAll(table)
+    val inRange = es.count(e => e.tag >= "2024-01-03" && e.tag <= "2024-01-04")
+    val (f1, n1) = openedFiles("SELECT id FROM sqldt WHERE day BETWEEN " +
+      "DATE '2024-01-03' AND DATE '2024-01-04'")
+    assert(n1 == 20 && f1 == inRange,
+      s"date-tag BETWEEN must open only in-range tags: $f1 vs $inRange")
+    val upper = es.count(_.tag >= "2024-01-05")
+    val (f2, n2) = openedFiles(
+      "SELECT id FROM sqldt WHERE day >= DATE '2024-01-05'")
+    assert(n2 == 20 && f2 == upper)
+    LakeSql.unregister(spark, "sqldt")
+
+    // numeric tag: "9" > "10" lexicographically — range pruning must
+    // NOT engage (sound: all files open, answer exact)
+    val t2 = tmp("sql-numtag")
+    val nRows = (1 to 12).flatMap(g => Seq((g.toLong * 100, g, 1.0)))
+    Snapshots.commit(t2,
+      Snapshots.stage(nRows.toDF("id", "grp", "v"), t2, "grp"))
+    LakeSql.register(spark, "sqlnt", t2, "grp")
+    val total2 = Snapshots.entriesAll(t2).size
+    val (f3, n3) = openedFiles("SELECT id FROM sqlnt WHERE grp >= 9")
+    assert(n3 == 4 && f3 == total2,
+      "numeric tag ranges must keep every file (string order disagrees)")
+    LakeSql.unregister(spark, "sqlnt")
+  }
+
   test("decimal columns record no footer stats; queries stay correct") {
     import spark.implicits._
     // parquet stores small decimals as UNSCALED ints — recording those
