@@ -59,6 +59,9 @@ object SqlPruneProbe {
     probe("day + id range ",
       "SELECT * FROM probe_ev WHERE event_date = DATE '2024-01-18' " +
         "AND event_id BETWEEN 100 AND 100000")
+    probe("day BETWEEN (3)",
+      "SELECT * FROM probe_ev WHERE event_date BETWEEN DATE '2024-01-10' " +
+        "AND DATE '2024-01-12'")
 
     // POST-DELETE variant (r10): one small MOR delete used to drop the
     // whole table to the unpruned merged read — every SELECT below must
