@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.lake.{Mutations, Snapshots}
+import graft.sql.LakeSql
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SOUNDNESS FUZZER for the manifest-pruning predicate compiler
+  * ([[graft.ops.lake.Pruning]]): random predicate trees over every
+  * translated shape — equality, IN, ranges (incl. tag ranges), IS
+  * [NOT] NULL, LIKE-prefix, `<>`, AND/OR nesting — run through the
+  * registered SQL path (resolution rule → GraftFileIndex →
+  * Pruning.compile) and compared row-for-row against the SAME
+  * predicate on a raw temp view of the identical data. Any unsound
+  * skip (a pruned file that held a matching row) shows up as a
+  * missing id. The run also asserts the fuzz actually EXERCISED
+  * pruning (some predicates opened strictly fewer files), so a
+  * regression that silently disables skipping fails too. A mid-run DV
+  * delete re-checks every shape under the anti-join read. */
+class PruningFuzzSpec extends AnyFunSuite with SparkFixture {
+
+  test("random predicate trees: pruned SQL read == raw filter; pruning fires") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val rnd = new scala.util.Random(90210)
+
+    val days = Seq("apple", "apricot", "banana", "berry", "cherry", "date")
+    val strs = Seq("alpha", "alps", "beta", "click", "clock", "zulu")
+    val rows = (1 to 360).map { i =>
+      (i.toLong,
+       days(rnd.nextInt(days.size)),
+       if (rnd.nextInt(4) == 0) None else Some(strs(rnd.nextInt(strs.size))),
+       (rnd.nextInt(1000) - 200).toLong,
+       java.sql.Date.valueOf(
+         java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(40))))
+    }
+    val df = rows.toDF("id", "day", "s", "n", "d")
+      // narrow per-file ranges so stats pruning has something to bite
+      .repartitionByRange(8, col("day"), col("n"))
+    val table = tmp("prune-fuzz")
+    Snapshots.commitAll(table, Snapshots.withFooterStats(
+      Snapshots.stage(df, table, "day"), table, Seq("s", "n", "d")))
+    LakeSql.register(spark, "fz", table, "day")
+    rows.toDF("id", "day", "s", "n", "d").createOrReplaceTempView("fz_raw")
+    val total = Snapshots.entriesAll(table).size
+    assert(total >= 6)
+
+    def literal(c: String): String = c match {
+      case "day" => s"'${days(rnd.nextInt(days.size))}'"
+      case "s"   => s"'${strs(rnd.nextInt(strs.size))}'"
+      case "n"   => (rnd.nextInt(1400) - 400).toString
+      case _     => f"DATE '2024-01-${1 + rnd.nextInt(28)}%02d'"
+    }
+    def leaf(): String = {
+      val c = Seq("day", "s", "n", "d")(rnd.nextInt(4))
+      rnd.nextInt(8) match {
+        case 0 => s"$c = ${literal(c)}"
+        case 1 => s"$c <> ${literal(c)}"
+        case 2 => s"$c IS NULL"
+        case 3 => s"$c IS NOT NULL"
+        case 4 => s"$c IN (${Seq.fill(1 + rnd.nextInt(3))(literal(c)).mkString(", ")})"
+        case 5 =>
+          val (a, b) = (literal(c), literal(c))
+          s"$c BETWEEN least($a, $b) AND greatest($a, $b)"
+        case 6 if c == "day" || c == "s" =>
+          val p = (if (c == "day") days else strs)(rnd.nextInt(6)).take(1 + rnd.nextInt(3))
+          s"$c LIKE '$p%'"
+        case _ => s"$c ${Seq("<", "<=", ">", ">=")(rnd.nextInt(4))} ${literal(c)}"
+      }
+    }
+    def tree(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else s"(${tree(depth - 1)}) ${if (rnd.nextBoolean()) "AND" else "OR"} (${tree(depth - 1)})"
+
+    def idsOf(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+    def scanned(sql: String): Long = {
+      val d = spark.sql(sql)
+      d.collect()
+      val p = d.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum
+    }
+
+    var prunedCount = 0
+    def run(rounds: Int, label: String): Unit = (1 to rounds).foreach { i =>
+      val pred = tree(2)
+      val got = idsOf(s"SELECT id FROM fz WHERE $pred")
+      val want = idsOf(s"SELECT id FROM fz_raw WHERE $pred")
+      assert(got == want, s"$label #$i diverged on: $pred")
+      if (scanned(s"SELECT id FROM fz WHERE $pred") < total) prunedCount += 1
+    }
+
+    run(60, "clean")
+    assert(prunedCount >= 10,
+      s"the fuzz must actually exercise pruning (pruned $prunedCount/60)")
+
+    // DV flip: the pruned scan moves under the anti-join — every shape
+    // must stay sound on the merged read
+    Mutations.deleteWhere(spark, table, col("n") > 700L)
+    spark.sql("SELECT id, day, s, n, d FROM fz_raw WHERE n <= 700 OR n IS NULL")
+      .createOrReplaceTempView("fz_raw")
+    run(40, "post-DV")
+  }
+}
