@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   */
 object Pruning {
 
+  // precompiled: the date tag-range guard runs once per manifest entry
+  // per conjunct on the listFiles hot path — String.matches would
+  // Pattern.compile ~10⁶ times per query on the manifests this targets
+  private val PlainDate = java.util.regex.Pattern.compile("\\d{4}-\\d{2}-\\d{2}")
+
   /** Entry predicate for a conjunction of pushed filters. `tagCol` is
     * the PHYSICAL tag column name; callers must only use this against
     * identity-mapped schemas (logical == physical), which the SQL
@@ -196,26 +201,25 @@ object Pruning {
     // Strict bounds reuse the inclusive compare — keeping the
     // boundary tag's files is sound, one tag less pruned. Synthetic
     // (CONVERTed) tags prove nothing and are kept.
-    if (a.name.equalsIgnoreCase(tagCol) && l.value != null &&
-        a.dataType == StringType && l.dataType == StringType) {
-      val v = l.value.toString // tag == value for string columns
-      parts += (e => e.props.contains(Snapshots.TagSyntheticProp) ||
-        (if (lower) Snapshots.utf8Lte(v, e.tag)
-         else Snapshots.utf8Lte(e.tag, v)))
-    }
-    if (a.name.equalsIgnoreCase(tagCol) && l.value != null &&
-        a.dataType == org.apache.spark.sql.types.DateType &&
-        l.dataType == org.apache.spark.sql.types.DateType) {
-      // ISO order == date order only for plain zero-padded years —
-      // extreme renderings ("+10000-…", "-0044-…") sort out of order,
-      // so BOTH sides must match the plain pattern or the file is kept
-      val v = render(l)
-      val plain = "\\d{4}-\\d{2}-\\d{2}"
-      if (v.matches(plain))
-        parts += (e => e.props.contains(Snapshots.TagSyntheticProp) ||
-          !e.tag.matches(plain) ||
+    if (a.name.equalsIgnoreCase(tagCol) && l.value != null) {
+      // one order-compare kernel for both cases; guard(e.tag) adds the
+      // per-entry soundness precondition (always true for strings)
+      def tagOrder(v: String, guard: String => Boolean): Snapshots.Entry => Boolean =
+        e => e.props.contains(Snapshots.TagSyntheticProp) || !guard(e.tag) ||
           (if (lower) Snapshots.utf8Lte(v, e.tag)
-           else Snapshots.utf8Lte(e.tag, v)))
+           else Snapshots.utf8Lte(e.tag, v))
+      if (a.dataType == StringType && l.dataType == StringType)
+        parts += tagOrder(l.value.toString, _ => true) // tag == value
+      else if (a.dataType == org.apache.spark.sql.types.DateType &&
+               l.dataType == org.apache.spark.sql.types.DateType) {
+        // ISO order == date order only for plain zero-padded years —
+        // extreme renderings ("+10000-…", "-0044-…") sort out of
+        // order, so BOTH sides must match the plain pattern or the
+        // file is kept
+        val v = render(l)
+        if (PlainDate.matcher(v).matches())
+          parts += tagOrder(v, t => PlainDate.matcher(t).matches())
+      }
     }
     asDouble(l).foreach { v =>
       parts += (if (lower) Snapshots.rangeOverlap(a.name, v, Double.PositiveInfinity)

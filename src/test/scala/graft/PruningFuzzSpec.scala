@@ -27,20 +27,30 @@ class PruningFuzzSpec extends AnyFunSuite with SparkFixture {
 
     val days = Seq("apple", "apricot", "banana", "berry", "cherry", "date")
     val strs = Seq("alpha", "alps", "beta", "click", "clock", "zulu")
+    // s and d CORRELATE with n, so the (day, n) range clustering below
+    // also narrows their per-file bounds — every stats shape (ranges,
+    // string bounds, null counts) gets real chances to skip
     val rows = (1 to 360).map { i =>
+      val n = (rnd.nextInt(1000) - 200).toLong
       (i.toLong,
        days(rnd.nextInt(days.size)),
-       if (rnd.nextInt(4) == 0) None else Some(strs(rnd.nextInt(strs.size))),
-       (rnd.nextInt(1000) - 200).toLong,
+       if (rnd.nextInt(4) == 0) None
+       else Some(strs(
+         if (rnd.nextInt(10) < 7) (((n + 200) / 167).toInt).min(5).max(0)
+         else rnd.nextInt(strs.size))),
+       n,
        java.sql.Date.valueOf(
-         java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(40))))
+         java.time.LocalDate.of(2024, 1, 1).plusDays(((n + 200) / 25).toInt)))
     }
     val df = rows.toDF("id", "day", "s", "n", "d")
-      // narrow per-file ranges so stats pruning has something to bite
-      .repartitionByRange(8, col("day"), col("n"))
     val table = tmp("prune-fuzz")
+    // stageWithStats PRESERVES its (day, n) range clustering (plain
+    // stage would re-shuffle by tag and re-widen every file); the
+    // extra withFooterStats pass re-decorates the same files with all
+    // three stats columns
+    val staged = Snapshots.stageWithStats(df, table, "day", "n", buckets = 8)
     Snapshots.commitAll(table, Snapshots.withFooterStats(
-      Snapshots.stage(df, table, "day"), table, Seq("s", "n", "d")))
+      staged.map(e => (e.rel, e.tag)), table, Seq("s", "n", "d")))
     LakeSql.register(spark, "fz", table, "day")
     rows.toDF("id", "day", "s", "n", "d").createOrReplaceTempView("fz_raw")
     val total = Snapshots.entriesAll(table).size
@@ -75,28 +85,36 @@ class PruningFuzzSpec extends AnyFunSuite with SparkFixture {
 
     def idsOf(sql: String): Seq[Long] =
       spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
-    def scanned(sql: String): Long = {
+    // ONE execution serves both the row answer and the files metric
+    def idsAndScanned(sql: String): (Seq[Long], Long) = {
       val d = spark.sql(sql)
-      d.collect()
+      val ids = d.collect().map(_.getLong(0)).sorted.toSeq
       val p = d.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-      p.collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum
+      (ids,
+       p.collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum)
     }
 
     var prunedCount = 0
+    var statsPruned = 0 // pruning with the tag column uninvolved
     def run(rounds: Int, label: String): Unit = (1 to rounds).foreach { i =>
       val pred = tree(2)
-      val got = idsOf(s"SELECT id FROM fz WHERE $pred")
+      val (got, files) = idsAndScanned(s"SELECT id FROM fz WHERE $pred")
       val want = idsOf(s"SELECT id FROM fz_raw WHERE $pred")
       assert(got == want, s"$label #$i diverged on: $pred")
-      if (scanned(s"SELECT id FROM fz WHERE $pred") < total) prunedCount += 1
+      if (files < total) {
+        prunedCount += 1
+        if (!pred.contains("day")) statsPruned += 1
+      }
     }
 
     run(60, "clean")
     assert(prunedCount >= 10,
       s"the fuzz must actually exercise pruning (pruned $prunedCount/60)")
+    assert(statsPruned >= 3,
+      s"stats shapes (no tag involved) must skip too (got $statsPruned)")
 
     // DV flip: the pruned scan moves under the anti-join — every shape
     // must stay sound on the merged read
@@ -104,5 +122,8 @@ class PruningFuzzSpec extends AnyFunSuite with SparkFixture {
     spark.sql("SELECT id, day, s, n, d FROM fz_raw WHERE n <= 700 OR n IS NULL")
       .createOrReplaceTempView("fz_raw")
     run(40, "post-DV")
+
+    LakeSql.unregister(spark, "fz")
+    spark.catalog.dropTempView("fz_raw")
   }
 }
