@@ -347,7 +347,7 @@ object LakeStatements {
   private val Detail =
     """(?is)DESCRIBE\s+DETAIL\s+(\w+)""".r
   private val Restore =
-    """(?is)RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    """(?is)RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z0-9._-]+')""".r
   private val RestoreTs =
     """(?is)RESTORE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val Delete =
@@ -361,7 +361,7 @@ object LakeStatements {
   private val CreateTable =
     """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(\s*(\w+)\s*\))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\s.+)""".r
   private val CloneTable =
-    """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'""".r
+    """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z0-9._-]+'))?\s+LOCATION\s+'([^']+)'""".r
   private val AddConstraint =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)""".r
   private val DropConstraint =
@@ -399,6 +399,17 @@ object LakeStatements {
     """(?is)CONVERT\s+TO\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(([^)]*)\))?""".r
 
   private val versionOut = attrs("version" -> LongType)
+
+  /** A version operand: bare digits = snapshot version, a quoted
+    * identifier = NAMED REF — the same duality SELECT's
+    * `VERSION AS OF` grammar resolves. */
+  private[sql] def versionOrRef(path: String, table: String, v: String): Long =
+    if (v.startsWith("'")) {
+      val ref = v.stripPrefix("'").stripSuffix("'")
+      Snapshots.refs(path).getOrElse(ref, throw new IllegalArgumentException(
+        s"lake table $table: no ref '$ref' " +
+          s"(refs: ${Snapshots.refs(path).keys.toSeq.sorted.mkString(", ")})"))
+    } else v.toLong
 
   def parse(spark: SparkSession, delegate: ParserInterface,
             sqlText: String): Option[LogicalPlan] = {
@@ -531,7 +542,8 @@ object LakeStatements {
       case "RESTORE" => text match {
         case Restore(name, v) => lookup(name).map { case (path, _) =>
           LakeCommand("RESTORE", versionOut, _ =>
-            Seq(Row(Snapshots.rollback(path, v.toLong))))
+            Seq(Row(Snapshots.rollback(path,
+              LakeStatements.versionOrRef(path, name, v)))))
         }
         // wall-clock restore: resolve through the snapshot files'
         // publish times, same basis as SELECT ... TIMESTAMP AS OF
@@ -576,7 +588,8 @@ object LakeStatements {
           lookup(src).map { case (srcPath, tag) =>
             LakeCommand("SHALLOW CLONE", versionOut, s => {
               val v = Snapshots.cloneShallow(srcPath, location,
-                Option(ver).map(_.toLong).getOrElse(-1L))
+                Option(ver).map(LakeStatements.versionOrRef(srcPath, src, _))
+                  .getOrElse(-1L))
               LakeSql.register(s, name, location, tag)
               Seq(Row(v))
             })

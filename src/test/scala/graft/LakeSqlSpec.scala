@@ -421,6 +421,14 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .map(_._1) == Seq(1L, 2L, 3L))
     assert(spark.sql("SHOW REFS sqlpf").collect().map(r =>
       (r.getString(0), r.getLong(1))).toSeq == Seq(("stable", 4L)))
+    // SHALLOW CLONE and RESTORE accept the ref name wherever a
+    // version goes — clone the tagged state, then roll back to it
+    val cref = tmp("sql-clone-ref")
+    spark.sql("CREATE GRAFT TABLE cpfx SHALLOW CLONE sqlpf " +
+      s"VERSION AS OF 'stable' LOCATION '$cref'")
+    assert(content("SELECT id, day, v FROM cpfx").map(_._1) == Seq(1L, 2L, 3L))
+    spark.sql("RESTORE sqlpf TO VERSION AS OF 'stable'")
+    assert(content("SELECT id, day, v FROM sqlpf").map(_._1) == Seq(1L, 2L, 3L))
     // the pinned version's closure survives vacuum
     spark.sql("VACUUM sqlpf")
     assert(content("SELECT id, day, v FROM sqlpf VERSION AS OF 'stable'")
