@@ -34,6 +34,8 @@ object SparkEntry {
       graft.ops.lake.Skipping.queries ++
       graft.ops.lake.TimeTravel.queries ++
       graft.ops.lake.Mutations.queries ++
+      graft.ops.lake.ChangeApply.queries ++
+      graft.ops.lake.DynamicFilter.queries ++
       graft.sql.LakeSqlQueries.queries ++
       graft.sources.PagesSource.queries
 

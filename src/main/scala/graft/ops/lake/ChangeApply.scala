@@ -1,0 +1,451 @@
+package graft.ops.lake
+
+import graft.engine.{Caching, Exact, Graft, QueryDef, Tables}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC APPLY — EXACTLY-ONCE propagation of an upstream snapshot table's
+  * change feed into a downstream snapshot table: the medallion
+  * bronze→silver "keep this table in sync" operator (the Databricks
+  * `APPLY CHANGES INTO` shape), in two flavors:
+  *
+  *   - [[mirror]] (SCD TYPE 1): the target converges to the source's
+  *     live row set — updates overwrite, deletes propagate. The apply
+  *     is a keyed MERGE of the range's NET effect, so it rides the
+  *     same stats-pruned copy-on-write the mutation ops use: only
+  *     target files containing an affected key rewrite.
+  *   - [[mirrorScd2]] (SCD TYPE 2): the target accumulates HISTORY —
+  *     every source row version becomes a segment row
+  *     `[__start_version, __end_version)` with an `__is_current` flag,
+  *     closed by the change that superseded it. Version numbers are
+  *     the SOURCE's commit versions, so segments are meaningful
+  *     time-travel coordinates, not synthetic surrogates.
+  *
+  * Exactly-once without external state (the [[Mutations.AppliedProp]]
+  * discipline): the applied source version rides the SAME commit as
+  * the applied rows — prop [[AppliedProp]] on the target's snapshot.
+  * Crash anywhere and rerun: a replay either re-reads the old applied
+  * version (the same immutable feed range re-derives, the same net
+  * effect re-applies — idempotent) or sees the new one (no-op). A
+  * batch whose net effect is empty advances the bookkeeping with a
+  * props-only commit.
+  *
+  * The feed is FILE-granular ([[Snapshots.changes]]): a copy-on-write
+  * rewrite re-states every surviving row of the touched files as a
+  * delete+insert pair at the same commit. [[realChanges]] cancels
+  * those carry-over pairs (same key, same commit, identical content)
+  * BEFORE any apply — without this, SCD2 would fabricate a history
+  * segment every time maintenance rewrote a file, and SCD1 would
+  * rewrite target files for rows that never changed.
+  *
+  * Contract: the SOURCE maintains key uniqueness on `keyCols` per
+  * snapshot (the standard CDC assumption for a keyed table). Two
+  * DIFFERING rows of one key at one commit are ambiguous and fail
+  * loudly; identical full-row duplicates collapse silently. The
+  * source's feed range must still be readable — run the catch-up at
+  * least as often as the source's vacuum retention, the same contract
+  * every Delta CDF consumer carries.
+  *
+  * Scale: cost per catch-up is O(changed files in the range) on the
+  * source side (unchanged files are never opened — the feed's own
+  * guarantee) and O(files containing an affected key) on the target
+  * side (the merge's stats-pruned discovery). A no-change poll is two
+  * metadata reads.
+  *
+  * Ref analog: none — the reference re-loads whole day prefixes
+  * downstream (`ingest_binance_last_3_days.py:141-144`); incremental
+  * keyed sync is beyond its append/overwrite surface.
+  */
+object ChangeApply {
+
+  /** Source version the target has applied, co-atomic with its rows
+    * (`cdc.applied` — carried across layout maintenance by
+    * [[Snapshots.BookkeepingPropPrefixes]], deliberately NOT inherited
+    * by unrelated commits). */
+  val AppliedProp = "cdc.applied"
+
+  /** Identity of the source table this target mirrors (`cdc.source`):
+    * applying a DIFFERENT source to an existing mirror is a wiring
+    * bug, failed loudly instead of silently interleaving two feeds. */
+  val SourceProp = "cdc.source"
+
+  /** SCD2 segment columns ([[mirrorScd2]] targets). */
+  val StartCol = "__start_version"
+  val EndCol = "__end_version"
+  val CurrentCol = "__is_current"
+
+  private val MetaCols = Seq("_change_type", "_commit_version")
+
+  def appliedVersion(target: String): Long =
+    Snapshots.snapshotProps(target, Snapshots.currentVersion(target))
+      .get(AppliedProp).map(_.toLong).getOrElse(0L)
+
+  /** The attributed feed for `(fromV, toV]` with CARRY-OVER PAIRS
+    * cancelled: rows grouped on (full content, commit version) with
+    * inserts counted +1 and deletes −1 — a COW rewrite's re-stated row
+    * sums to zero and vanishes; a real update keeps both its delete
+    * (old content) and insert (new content); a DV delete keeps its
+    * delete. One shuffle, multiset-correct, and it collapses identical
+    * full-row duplicates as a side effect (harmless for a keyed
+    * source — see the object contract). */
+  private[lake] def realChanges(spark: SparkSession, src: String,
+                                fromV: Long, toV: Long,
+                                keyCols: Seq[String]): DataFrame = {
+    val feed = Snapshots.changesAttributed(spark, src, fromV, toV)
+    val dataCols = feed.columns.filterNot(MetaCols.contains).toSeq
+    val missing = keyCols.filterNot(dataCols.contains)
+    require(missing.isEmpty,
+      s"applyChanges($src): key column(s) ${missing.mkString(", ")} not in " +
+        s"the feed schema (${dataCols.mkString(", ")})")
+    feed
+      .groupBy((dataCols :+ "_commit_version").map(c => col(s"`$c`")): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("__net"))
+      .filter(col("__net") =!= 0)
+      .withColumn("_change_type",
+        when(col("__net") > 0, "insert").otherwise("delete"))
+      .drop("__net")
+  }
+
+  /** NET effect of a real-change feed per key (SCD1): the latest
+    * commit's action wins; within that commit an insert beats the
+    * delete of the content it replaced (update semantics). Ties that
+    * survive — two differing inserts of one key at one commit — are
+    * the caller-checked ambiguity. */
+  private[lake] def netState(real: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val pri = when(col("_change_type") === "insert", 0).otherwise(1)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc, pri.asc)
+    real.withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  private def guards(target: String, src: String, fromV: Long, toV: Long,
+                     scd2: Boolean): Unit = {
+    val op = if (scd2) "mirrorScd2" else "mirror"
+    require(fromV <= toV,
+      s"$op($target): applied version $fromV is ahead of source version " +
+        s"$toV — the source was recreated under this path; rebuild the " +
+        "mirror deliberately")
+    require(fromV == appliedVersion(target),
+      s"$op($target): fromV=$fromV but the target has applied source " +
+        s"version ${appliedVersion(target)} — ranges must apply gap-free " +
+        "and exactly once (use the catch-up entry point)")
+    // a props-dropping commit to the target (e.g. a direct
+    // Snapshots.commit) resets the applied version to 0 while the rows
+    // stay; a fromV=0 "bootstrap" onto those rows would double-apply
+    // history (the refreshCountSum guard, same failure class)
+    require(fromV > 0 || Snapshots.currentVersion(target) == 0,
+      s"$op($target): bootstrap (fromV=0) but the target already has " +
+        s"committed rows with no $AppliedProp bookkeeping — a " +
+        "props-dropping commit broke the exactly-once chain; rebuild the " +
+        "mirror into a fresh table")
+    val tv = Snapshots.currentVersion(target)
+    if (tv >= 1) {
+      val recorded = Snapshots.snapshotProps(target, tv).get(SourceProp)
+      require(recorded.forall(_ == src),
+        s"$op($target): target mirrors '${recorded.get}' but this apply " +
+          s"reads '$src' — refusing to interleave two sources")
+    }
+  }
+
+  private def requireUnambiguous(op: String, target: String, src: String,
+                                 dup: DataFrame, keyCols: Seq[String]): Unit =
+    require(dup.isEmpty,
+      s"$op($target): source $src has differing rows for one key at one " +
+        s"commit — key (${keyCols.mkString(", ")}) is not unique per " +
+        "snapshot; CDC apply needs a keyed source")
+
+  // ---- SCD TYPE 1: converge the target to the source's live rows ----
+
+  /** Apply the `(fromV, toV]` range once (SCD1). Prefer [[mirror]].
+    * `statsCols` only shapes the BOOTSTRAP staging (per-file min/max
+    * footer stats on those columns); later merges preserve whatever
+    * skipping surface the table has ([[Snapshots.restageLike]]). */
+  def applyOnce(spark: SparkSession, target: String, src: String,
+                keyCols: Seq[String], tagCol: String,
+                fromV: Long, toV: Long,
+                statsCols: Seq[String] = Seq.empty): Long = {
+    guards(target, src, fromV, toV, scd2 = false)
+    if (fromV == toV) return Snapshots.currentVersion(target)
+    val props = Map(AppliedProp -> toV.toString, SourceProp -> src)
+    val net = Caching.persist(
+      netState(realChanges(spark, src, fromV, toV, keyCols), keyCols))
+    try {
+      val dup = net.filter(col("_change_type") === "insert")
+        .groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
+      requireUnambiguous("mirror", target, src, dup, keyCols)
+      val ups = net.filter(col("_change_type") === "insert")
+        .drop(MetaCols: _*)
+      // delete winners: only the keys matter downstream (content is the
+      // source's last-seen row) — collapse multi-row keys deterministically
+      val dels = net.filter(col("_change_type") === "delete")
+        .drop(MetaCols: _*).dropDuplicates(keyCols)
+      if (Snapshots.currentVersion(target) == 0) {
+        // BOOTSTRAP: no downstream rows exist, so net deletes have
+        // nothing to remove; a net-empty source stays at version 0
+        // (zero-file snapshots are a format non-goal) and the next
+        // catch-up re-folds the same range
+        if (ups.isEmpty) return 0L
+        val raw = Snapshots.stage(ups, target, tagCol)
+        val staged =
+          if (statsCols.isEmpty) raw.map { case (r, t) => Snapshots.Entry(r, t) }
+          else Snapshots.withFooterStats(raw, target,
+            statsCols.map(c => Snapshots.physicalName(target, c)))
+        return Snapshots.commitAll(target, staged, props = props)
+      }
+      val srcNet = ups.withColumn("__cdc_del", lit(false))
+        .unionByName(dels.withColumn("__cdc_del", lit(true)))
+      val setMap = ups.columns.filterNot(keyCols.contains)
+        .map(c => c -> col(s"s.`$c`")).toMap
+      val before = Snapshots.currentVersion(target)
+      val v = Mutations.mergeIntoKeys(spark, target, srcNet, keyCols, tagCol,
+        whenMatchedDelete = Some(col("s.__cdc_del")),
+        whenMatchedUpdate = Some((!col("s.__cdc_del"), setMap)),
+        whenNotMatchedInsert = Some(!col("__cdc_del")),
+        props = props)
+      // a range whose net effect touched nothing downstream (props-only
+      // source commits; deletes of keys the mirror never saw) still
+      // advances the bookkeeping, or the catch-up loop never converges
+      if (v == before) Snapshots.commitAll(target, Seq.empty, props = props)
+      else v
+    } finally net.unpersist()
+  }
+
+  /** RESTARTABLE SCD1 catch-up: read the target's own applied version,
+    * apply `(applied, current]`, commit rows + bookkeeping atomically.
+    * Crash anywhere and rerun — exactly-once with no state outside the
+    * two tables. Returns the target's version (unchanged when already
+    * caught up). */
+  def mirror(spark: SparkSession, target: String, src: String,
+             keyCols: Seq[String], tagCol: String,
+             statsCols: Seq[String] = Seq.empty): Long = {
+    val from = appliedVersion(target)
+    val to = Snapshots.currentVersion(src)
+    if (to != from) applyOnce(spark, target, src, keyCols, tagCol, from, to, statsCols)
+    else Snapshots.currentVersion(target)
+  }
+
+  // ---- SCD TYPE 2: accumulate history segments --------------------
+
+  /** Apply the `(fromV, toV]` range once as SCD2 history. Prefer
+    * [[mirrorScd2]].
+    *
+    * Per key and commit, the range's REAL changes reduce to one
+    * action — an insert (the new state; an update's delete of the old
+    * content is subsumed) or a delete (tombstone). Ordered by commit,
+    * each insert action opens a segment `[v, next_v)` closed by the
+    * key's next action (open + `__is_current` when none follows);
+    * a delete action closes its predecessor and opens nothing. The
+    * target rows whose segments were CURRENT before this batch close
+    * at the key's first action version — those rows live in target
+    * files discovered by key (stats-prunable), rewritten copy-on-write
+    * in the same commit that adds the new segments and the
+    * bookkeeping. */
+  def applyScd2Once(spark: SparkSession, target: String, src: String,
+                    keyCols: Seq[String], tagCol: String,
+                    fromV: Long, toV: Long): Long = {
+    guards(target, src, fromV, toV, scd2 = true)
+    if (fromV == toV) return Snapshots.currentVersion(target)
+    val props = Map(AppliedProp -> toV.toString, SourceProp -> src)
+    val pri = when(col("_change_type") === "insert", 0).otherwise(1)
+    val wv = Window.partitionBy((keyCols :+ "_commit_version").map(col): _*)
+      .orderBy(pri.asc)
+    val acts = Caching.persist(
+      realChanges(spark, src, fromV, toV, keyCols)
+        .withColumn("__rk", rank().over(wv))
+        .filter(col("__rk") === 1).drop("__rk"))
+    try {
+      val dup = acts.filter(col("_change_type") === "insert")
+        .groupBy((keyCols :+ "_commit_version").map(col): _*)
+        .count().filter(col("count") > 1)
+      requireUnambiguous("mirrorScd2", target, src, dup, keyCols)
+      if (acts.isEmpty)
+        return Snapshots.commitAll(target, Seq.empty, props = props)
+      val wk = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("_commit_version").asc)
+      val newRows = acts
+        .withColumn("__next_v", lead(col("_commit_version"), 1).over(wk))
+        .filter(col("_change_type") === "insert")
+        .withColumn(StartCol, col("_commit_version"))
+        .withColumn(EndCol, col("__next_v"))
+        .withColumn(CurrentCol, col("__next_v").isNull)
+        .drop("_change_type", "_commit_version", "__next_v")
+      val closes = acts.groupBy(keyCols.map(col): _*)
+        .agg(min(col("_commit_version")).as("__close_v"))
+      val v0 = Snapshots.currentVersion(target)
+      if (v0 == 0) {
+        val staged = Snapshots.stage(newRows, target, tagCol)
+        if (staged.isEmpty) return 0L
+        return Snapshots.commit(target, staged, props = props)
+      }
+      // close the affected keys' CURRENT segments: touched files
+      // discovered by key join over the current rows only (the
+      // metadata-scale collect every mutation op uses), then rewritten
+      // with the close applied; untouched files carry by manifest name
+      val touchedIds = Snapshots.readVersion(spark, target, v0,
+          mergeSchema = true, metadataSafe = true)
+        // the hidden _metadata column does not survive a join — derive
+        // the file id BEFORE the semi-join
+        .withColumn("__f", Snapshots.fileIdCol(col("_metadata.file_path")))
+        .filter(col(CurrentCol))
+        .join(closes.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .select("__f")
+        .distinct().collect().map(_.getString(0)).toSet
+      val touchedRels = Snapshots.entriesAt(target, v0)
+        .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
+      val rewritten: Option[DataFrame] =
+        if (touchedRels.isEmpty) None
+        else {
+          val tgt = Mutations.readMerged(spark, target, version = v0,
+            fileFilter = e => touchedRels.contains(e.rel), mergeSchema = true)
+          val tCols = tgt.columns.toSeq
+          val hit = col("__close_v").isNotNull && col(CurrentCol)
+          // no broadcast hint: the affected-key set is change-volume
+          // sized (a backfill batch can be huge) — AQE picks broadcast
+          // when it actually fits
+          Some(tgt.join(closes, keyCols, "left_outer")
+            .select(tCols.map {
+              case EndCol => when(hit, col("__close_v")).otherwise(col(EndCol)).as(EndCol)
+              case CurrentCol => when(hit, lit(false)).otherwise(col(CurrentCol)).as(CurrentCol)
+              case c => col(s"`$c`")
+            }: _*))
+        }
+      val replaced = (rewritten.toSeq :+ newRows.select(
+        rewritten.map(_.columns.toSeq).getOrElse(newRows.columns.toSeq)
+          .map(c => col(s"`$c`")): _*)).reduce(_.unionByName(_))
+      val staged = Snapshots.restageLike(spark, replaced, target, tagCol)
+      Snapshots.commitRewrite(target, v0, staged,
+        remove = e => touchedRels.contains(e._1), props = props)
+    } finally acts.unpersist()
+  }
+
+  /** RESTARTABLE SCD2 catch-up — same exactly-once contract as
+    * [[mirror]]. */
+  def mirrorScd2(spark: SparkSession, target: String, src: String,
+                 keyCols: Seq[String], tagCol: String): Long = {
+    val from = appliedVersion(target)
+    val to = Snapshots.currentVersion(src)
+    if (to != from) applyScd2Once(spark, target, src, keyCols, tagCol, from, to)
+    else Snapshots.currentVersion(target)
+  }
+
+  // ---- oracle-gated exercises --------------------------------------
+
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  private def eventsSlim(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+
+  /** s48: SCD1 CDC MIRROR end to end — the source commits a base day
+    * range, the mirror bootstraps, then the source mutates through all
+    * three write shapes (COW update, DV delete, keyed MERGE) and ONE
+    * catch-up folds the three-version range into the mirror. The final
+    * aggregate reads the MIRROR, so every hop — feed derivation,
+    * carry-over suppression, net-effect collapse, keyed apply —
+    * is inside the oracle gate. */
+  def cdcMirror(spark: SparkSession, dir: String): DataFrame = {
+    val srcT = freshTable("s48-src-", dir)
+    val tgtT = freshTable("s48-tgt-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(srcT, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      srcT, "event_date", "event_id"))                                 // v1
+    ChangeApply.mirror(spark, tgtT, srcT, Seq("event_id"), "event_date",
+      statsCols = Seq("event_id"))                                     // bootstrap
+    Mutations.updateWhere(spark, srcT, col("event_type") === "click",
+      Map("value" -> (col("value") + 100.0)), "event_date")            // v2 (COW)
+    Mutations.deleteWhere(spark, srcT, col("event_type") === "error")  // v3 (DV)
+    val mergeSrc = ev
+      .filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .withColumn("value", col("value") + 1000.0)
+    Mutations.mergeIntoKeys(spark, srcT, mergeSrc, Seq("event_id"), "event_date",
+      whenMatchedUpdate = Some((lit(true),
+        Map("event_type" -> col("s.event_type"), "value" -> col("s.value"),
+          "event_date" -> col("s.event_date")))),
+      whenNotMatchedInsert = Some(lit(true)))                          // v4
+    ChangeApply.mirror(spark, tgtT, srcT, Seq("event_id"), "event_date")
+    Snapshots.read(spark, tgtT)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  private def decSumSql(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+
+  lazy val cdcMirrorOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |upd AS (
+      |  SELECT event_id, event_type,
+      |         CASE WHEN event_type = 'click' THEN value + 100.0 ELSE value END AS value,
+      |         event_date
+      |  FROM base),
+      |del AS (SELECT * FROM upd WHERE event_type <> 'error'),
+      |src AS (
+      |  SELECT event_id, event_type, value + 1000.0 AS value,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-18' AND DATE '2024-01-25'),
+      |final AS (
+      |  SELECT * FROM del WHERE event_id NOT IN (SELECT event_id FROM src)
+      |  UNION ALL
+      |  SELECT * FROM src)
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM final GROUP BY event_date ORDER BY event_date""".stripMargin
+
+  /** s49: SCD2 CDC history — base commit (v1), COW update of the click
+    * rows (v2), DV delete of the error rows (v3), one catch-up. The
+    * segment table must show: clicks as a closed `[1,2)` plus a current
+    * `[2,∞)` at the new value, errors as a closed `[1,3)`, everything
+    * else as a current `[1,∞)` — and NOTHING ELSE, which is precisely
+    * the carry-over suppression claim (v2's COW rewrite re-stated every
+    * non-click row of the touched files; an unsuppressed apply would
+    * fabricate `[1,2)/[2,∞)` pairs for them and the hash would
+    * diverge). */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val srcT = freshTable("s49-src-", dir)
+    val tgtT = freshTable("s49-tgt-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(srcT, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      srcT, "event_date", "event_id"))                                 // v1
+    Mutations.updateWhere(spark, srcT, col("event_type") === "click",
+      Map("value" -> (col("value") + 100.0)), "event_date")            // v2 (COW)
+    Mutations.deleteWhere(spark, srcT, col("event_type") === "error")  // v3 (DV)
+    ChangeApply.mirrorScd2(spark, tgtT, srcT, Seq("event_id"), "event_date")
+    Snapshots.read(spark, tgtT)
+      .groupBy(col("event_date"), col(StartCol), col(EndCol), col(CurrentCol))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy(col("event_date"), col(StartCol), col(EndCol))
+  }
+
+  lazy val cdcScd2Oracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |seg AS (
+      |  SELECT event_date, value, 1 AS sv,
+      |         CASE WHEN event_type = 'click' THEN 2
+      |              WHEN event_type = 'error' THEN 3 END AS ev
+      |  FROM base
+      |  UNION ALL
+      |  SELECT event_date, value + 100.0, 2, NULL FROM base
+      |  WHERE event_type = 'click')
+      |SELECT event_date, CAST(sv AS BIGINT) AS __start_version,
+      |       CAST(ev AS BIGINT) AS __end_version,
+      |       ev IS NULL AS __is_current,
+      |       count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM seg GROUP BY 1, 2, 3, 4
+      |ORDER BY event_date, __start_version, __end_version""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s48_cdc_mirror", cdcMirrorOracle)(cdcMirror),
+    QueryDef.sql("s49_cdc_scd2", cdcScd2Oracle)(cdcScd2))
+}

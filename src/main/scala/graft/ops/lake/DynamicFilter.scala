@@ -1,0 +1,148 @@
+package graft.ops.lake
+
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
+import org.apache.spark.sql.functions._
+
+/** DYNAMIC FILE PRUNING for selective dim→fact joins (the Databricks
+  * DFP shape): when the build side of a star-schema join is small —
+  * a dimension already cut down by its own filters — the fact side
+  * should never open files that cannot contain a matching key. Static
+  * pruning can't see this (the key set exists only at run time), so
+  * the operator materializes it:
+  *
+  *   1. collect the dim side's DISTINCT join keys, capped at `maxKeys`
+  *      (one job over the already-filtered dim — the same driver-side
+  *      collect a broadcast join pays anyway);
+  *   2. within the cap, compile the key set as an `IN` predicate
+  *      against the fact's MANIFEST stats ([[Pruning.compile]] — the
+  *      identical translation the SQL scan path uses): per-file
+  *      min/max range overlap, bloom-sketch membership, and tag
+  *      equality when the key IS the partition column. Files that
+  *      prove no key fall away BEFORE any footer is read; the
+  *      surviving scan also gets the `isin` row filter, so parquet
+  *      row-group stats prune inside the opened files too;
+  *   3. over the cap, fall back to the key RANGE (min/max of the dim
+  *      keys, two scalars) — coarser, still sound, never collects an
+  *      unbounded set onto the driver.
+  *
+  * Restricted to `inner` and `left_semi` joins — the shapes where
+  * dropping provably-unmatched FACT rows is semantics-preserving
+  * (an outer join must surface them). The 100 TB case this exists
+  * for: a 10⁶-file fact joined to a dim filtered to one region/day —
+  * static plans scan everything; this opens the handful of files the
+  * keys actually land in.
+  *
+  * Ref analog: none — the reference's joins materialize full tables
+  * into pandas before filtering (`build_fact_fee_tax.py`). */
+object DynamicFilter {
+
+  /** Entry predicate for `factKey ∈ keys(dim)` against `factTable`'s
+    * manifest stats — split out so specs and probes can count
+    * surviving entries without running the join. Returns the predicate
+    * and the collected keys (None = over the cap, range fallback). */
+  private[graft] def keyPrune(spark: SparkSession, factTable: String,
+                             factKey: String, dim: DataFrame, dimKey: String,
+                             maxKeys: Int,
+                             factTagCol: Option[String]): (Snapshots.Entry => Boolean, Option[Seq[Any]]) = {
+    val phys = Snapshots.physicalName(factTable, factKey)
+    // the tag-equality bonus fires only when the caller SAYS the join
+    // key is the fact's partition column — guessing it from the key
+    // name would tag-compare unrelated values and prune matching files
+    val tagCol = factTagCol
+      .filter(_.equalsIgnoreCase(factKey)).map(_ => phys).getOrElse("")
+    val dt = dim.schema(dimKey).dataType
+    val keys = dim.select(col(dimKey)).na.drop().distinct()
+      .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    if (keys.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
+    else if (keys.size <= maxKeys) {
+      val in: Expression = In(AttributeReference(phys, dt)(),
+        keys.map(v => Literal.create(v, dt)))
+      (Pruning.compile(Seq(in), tagCol = tagCol, table = factTable), Some(keys))
+    } else {
+      // over the cap: prune by the key RANGE only (two scalars from a
+      // dim-side agg — no unbounded driver collect)
+      val mm = dim.agg(min(col(dimKey)), max(col(dimKey))).head()
+      val range: Seq[Expression] =
+        if (mm.isNullAt(0)) Seq.empty
+        else {
+          val a = AttributeReference(phys, dt)()
+          Seq(GreaterThanOrEqual(a, Literal.create(mm.get(0), dt)),
+            LessThanOrEqual(a, Literal.create(mm.get(1), dt)))
+        }
+      (Pruning.compile(range, tagCol = tagCol, table = factTable), None)
+    }
+  }
+
+  /** Join `factTable` (a snapshot table) to `dim` on
+    * `factKey = dimKey`, file-pruning the fact side by the dim's
+    * runtime key set. `joinType` must be `inner` or `left_semi`. */
+  def prunedJoin(spark: SparkSession, factTable: String, dim: DataFrame,
+                 factKey: String, dimKey: String,
+                 joinType: String = "inner",
+                 maxKeys: Int = 10000,
+                 factTagCol: Option[String] = None): DataFrame = {
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"prunedJoin: file-pruning the fact side is only sound for " +
+        s"inner/left_semi joins, got '$joinType'")
+    val (pred, keysOpt) =
+      keyPrune(spark, factTable, factKey, dim, dimKey, maxKeys, factTagCol)
+    val fact = Mutations.readMerged(spark, factTable,
+      fileFilter = pred, mergeSchema = true)
+    val filtered = keysOpt match {
+      case Some(ks) if ks.isEmpty => fact.filter(lit(false))
+      // the collected keys double as a pushed row filter: parquet
+      // row-group stats prune INSIDE the surviving files
+      case Some(ks) => fact.filter(col(factKey).isin(ks: _*))
+      case None => fact
+    }
+    if (jt == "inner")
+      filtered.join(dim, filtered(factKey) === dim(dimKey), "inner")
+    else
+      filtered.join(dim, filtered(factKey) === dim(dimKey), "left_semi")
+  }
+
+  // ---- oracle-gated exercise ---------------------------------------
+
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** s50: DFP join under the oracle gate — the fact (events, key-
+    * clustered lake table) joins a dim that its own filter cut to
+    * ~0.1% of the key space; the manifest prune + isin pushdown must
+    * not lose a single matching row vs DuckDB's full join. The
+    * file-count claim lives in the spec (this query pins
+    * correctness). */
+  def dfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s50-fact-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev, factT, "event_date", "event_id"))
+    val dim = ev.filter(col("event_id") % 1000 === 0)
+      .select(col("event_id").as("dim_id"),
+        concat(lit("seg-"), (col("event_id") % 7).cast("string")).as("segment"))
+      .distinct()
+    DynamicFilter.prunedJoin(spark, factT, dim, "event_id", "dim_id")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
+  lazy val dfpJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_id AS dim_id,
+      |         'seg-' || CAST(event_id % 7 AS VARCHAR) AS segment
+      |  FROM events WHERE event_id % 1000 = 0)
+      |SELECT segment, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_id = d.dim_id
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s50_dfp_join", dfpJoinOracle)(dfpJoin))
+}

@@ -170,9 +170,11 @@ object Mutations {
                        keyCol: String, tagCol: String,
                        whenMatchedDelete: Option[Column] = None,
                        whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
-                       whenNotMatchedInsert: Option[Column] = None): Long =
+                       whenNotMatchedInsert: Option[Column] = None,
+                       props: Map[String, String] = Map.empty): Long =
     mergeIntoKeys(spark, table, source, Seq(keyCol), tagCol,
-      whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert)
+      whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert,
+      props = props)
 
   /** [[mergeIntoClauses]] generalized to a COMPOSITE key (multi-conjunct
     * `ON t.a = s.a AND t.b = s.b` — every conjunct an equi-condition on
@@ -203,7 +205,8 @@ object Mutations {
                     whenNotMatchedInsert: Option[Column] = None,
                     insertSelect: Map[String, Column] = Map.empty,
                     whenNotMatchedBySourceDelete: Option[Column] = None,
-                    whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None)
+                    whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
+                    props: Map[String, String] = Map.empty)
                     : Long = {
     require(keyCols.nonEmpty, s"mergeIntoKeys($table): at least one key column")
     val keyCol = keyCols.head
@@ -401,8 +404,10 @@ object Mutations {
             "of every file — a zero-file snapshot cannot be read back; " +
             "use deleteWhere (vectors keep the table readable as empty) " +
             "or drop and recreate the table")
+        // `props` ride THIS commit (co-atomic with the merge's data —
+        // the [[ChangeApply]] exactly-once bookkeeping depends on it)
         Snapshots.commitRewrite(table, v0, staged,
-          remove = e => touchedRels.contains(e._1))
+          remove = e => touchedRels.contains(e._1), props = props)
       } finally matchedKeys.unpersist()
     } finally srcKeys.unpersist()
   }

@@ -640,6 +640,15 @@ object Snapshots {
   private[lake] val InheritedPropPrefixes =
     Seq("schema.", "constraint.", "lineage.", "tbl.")
 
+  /** Exactly-once consumer bookkeeping families ([[Mutations.AppliedProp]]
+    * `mv.*`, [[ChangeApply.AppliedProp]] `cdc.*`). Deliberately NOT
+    * inherited — auto-carrying an applied-version marker across a data
+    * commit that did not fold would make the bookkeeping lie, which is
+    * exactly the drift the co-atomic design exists to prevent. Layout-
+    * only maintenance ([[compact]], [[compactManifests]]) carries them
+    * forward explicitly: the rows it re-arranges ARE the folded state. */
+  private[lake] val BookkeepingPropPrefixes = Seq("mv.", "cdc.")
+
   /** PROPS-ONLY commit: re-publish the current version's manifests with
     * `set` added to (and `unset` removed from) the INHERITED prop set —
     * the metadata-commit primitive behind [[renameColumn]]-style schema
@@ -2369,10 +2378,10 @@ object Snapshots {
       val merged = all.sortBy(e => (e.tag, e.rel))
         .grouped(math.max(1, (all.size + maxManifests - 1) / maxManifests))
         .map(writeManifest(table, _)).toSeq
-      // content-describing props carry (mv.* bookkeeping — same rule
-      // as compact); schema./constraint. inherit via commitPrepared
+      // content-describing props carry (mv./cdc. bookkeeping — same
+      // rule as compact); schema./constraint. inherit via commitPrepared
       val carried = snapshotProps(table, v0)
-        .filter { case (k, _) => k.startsWith("mv.") }
+        .filter { case (k, _) => BookkeepingPropPrefixes.exists(k.startsWith) }
       try return commitPrepared(Prepared(table, v0 + 1, merged), props = carried)
       catch {
         case e: ConcurrentCommitException =>
@@ -2572,7 +2581,7 @@ object Snapshots {
     val scoped = all.filter(e =>
       tagFilter(e.tag) || e.props.contains(TagSyntheticProp))
     val carried = snapshotProps(table, v0)
-      .filter { case (k, _) => k.startsWith("mv.") }
+      .filter { case (k, _) => BookkeepingPropPrefixes.exists(k.startsWith) }
     // DV-AWARE (r10, the Delta OPTIMIZE behavior): rewritten files read
     // MERGED — their deletion vectors are materialized into the new
     // files and the refs drop with the replaced entries (sidecars

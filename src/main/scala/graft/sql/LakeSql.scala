@@ -2,7 +2,7 @@ package graft.sql
 
 import java.util.Locale
 
-import graft.ops.lake.{Mutations, Snapshots}
+import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
@@ -397,6 +397,8 @@ object LakeStatements {
     """(?is)INSERT\s+INTO\s+(\w+)\s*\(([^)]+)\)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
   private val ConvertTable =
     """(?is)CONVERT\s+TO\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(([^)]*)\))?""".r
+  private val ApplyChangesRe =
+    """(?is)APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(\w+)\s+KEYS\s*\(([^)]+)\)(?:\s+SCD\s+TYPE\s+(\d+))?""".r
 
   private val versionOut = attrs("version" -> LongType)
 
@@ -578,6 +580,36 @@ object LakeStatements {
         case _ => None
       }
       case "MERGE" => parseMerge(spark, delegate, text)
+      // CDC catch-up (the Databricks APPLY CHANGES INTO verb): fold the
+      // source's change feed into the target exactly once — SCD TYPE 1
+      // (default, converge to the live rows) or SCD TYPE 2 (history
+      // segments). Both names must be registered lake tables; the
+      // target's own registered tag column partitions the apply.
+      case "APPLY" => text match {
+        case ApplyChangesRe(tgtName, srcName, keys, scd) =>
+          for {
+            (tgtPath, tgtTag) <- lookup(tgtName)
+            (srcPath, _) <- lookup(srcName)
+          } yield {
+            val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(keyCols.nonEmpty &&
+                keyCols.forall("^[A-Za-z_][A-Za-z0-9_]*$".r.matches),
+              s"APPLY CHANGES INTO $tgtName: KEYS must be a comma-separated " +
+                s"list of column names, got ($keys)")
+            val scdType = Option(scd).getOrElse("1")
+            require(scdType == "1" || scdType == "2",
+              s"APPLY CHANGES INTO $tgtName: SCD TYPE must be 1 or 2, got $scdType")
+            LakeCommand("APPLY CHANGES",
+              attrs("version" -> LongType, "applied" -> LongType), s => {
+                val v =
+                  if (scdType == "2")
+                    ChangeApply.mirrorScd2(s, tgtPath, srcPath, keyCols, tgtTag)
+                  else ChangeApply.mirror(s, tgtPath, srcPath, keyCols, tgtTag)
+                Seq(Row(v, ChangeApply.appliedVersion(tgtPath)))
+              })
+          }
+        case _ => None
+      }
       case "CREATE" => text match {
         // metadata-only table copy (the Delta verb): v1 of the new
         // location references the source's files; the clone then

@@ -1,0 +1,288 @@
+package graft
+
+import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC APPLY contracts: the SCD1 mirror converges to the source's live
+  * rows through every write shape (append, COW update, DV delete, keyed
+  * merge) with exactly-once bookkeeping riding the apply commit; the
+  * SCD2 mirror accumulates true history segments; and carry-over
+  * delete+insert pairs from copy-on-write file rewrites never fabricate
+  * changes in either flavor. */
+class ChangeApplySpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    d.select("id", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def mirrorOnce(tgt: String, src: String): Long =
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day")
+
+  test("SCD1 mirror converges through append, COW update, DV delete, merge") {
+    val src = tmp("ca-src")
+    val tgt = tmp("ca-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      src, "day", "id", buckets = 2))                                  // v1
+    mirrorOnce(tgt, src)                                               // bootstrap
+    assert(rows(Snapshots.read(spark, tgt)) == rows(Mutations.readMerged(spark, src)))
+    assert(ChangeApply.appliedVersion(tgt) == 1L)
+
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((20L, "c", 20.0)), src, "day", "id"))                         // v2 append
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(100.0)), "day")                                   // v3 COW
+    Mutations.deleteWhere(spark, src, col("id") === 10L)               // v4 DV
+    Mutations.mergeInto(spark, src, df((11L, "b", 111.0), (30L, "d", 30.0)),
+      "id", "day")                                                     // v5 merge
+    mirrorOnce(tgt, src)                                               // one batch, v2..v5
+    assert(rows(Snapshots.read(spark, tgt)) ==
+      Set((1L, "a", 100.0), (2L, "a", 2.0), (11L, "b", 111.0),
+        (20L, "c", 20.0), (30L, "d", 30.0)))
+    assert(ChangeApply.appliedVersion(tgt) == 5L)
+
+    // caught up: another poll is a pure no-op (no empty commit churn)
+    val tv = Snapshots.currentVersion(tgt)
+    assert(mirrorOnce(tgt, src) == tv)
+    assert(Snapshots.currentVersion(tgt) == tv)
+  }
+
+  test("SCD1 net collapse: insert→delete never lands; delete→reinsert lands once") {
+    val src = tmp("ca-net-src")
+    val tgt = tmp("ca-net-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), src, "day", "id"))           // v1
+    mirrorOnce(tgt, src)
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((3L, "a", 3.0)), src, "day", "id"))                           // v2: insert 3
+    Mutations.deleteWhere(spark, src, col("id") === 3L)                // v3: delete 3
+    Mutations.deleteWhere(spark, src, col("id") === 1L)                // v4: delete 1
+    Mutations.mergeInto(spark, src, df((1L, "a", 11.0)), "id", "day")  // v5: reinsert 1
+    Mutations.updateWhere(spark, src, col("id") === 2L,
+      Map("v" -> lit(2.5)), "day")                                     // v6
+    Mutations.updateWhere(spark, src, col("id") === 2L,
+      Map("v" -> lit(2.75)), "day")                                    // v7: latest wins
+    mirrorOnce(tgt, src)
+    assert(rows(Snapshots.read(spark, tgt)) ==
+      Set((1L, "a", 11.0), (2L, "a", 2.75)))
+  }
+
+  test("carry-over suppression: untouched-key target files carry by name") {
+    val src = tmp("ca-carry-src")
+    val tgt = tmp("ca-carry-tgt")
+    // two single-day source files; the mirror lands one file per day
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      src, "day", "id", buckets = 2))
+    mirrorOnce(tgt, src)
+    val before = Snapshots.entriesAll(tgt).map(_.rel).toSet
+    // COW-update day a's key 1 upstream: the rewrite re-states key 2's
+    // row as a delete+insert pair the suppression must cancel — day b
+    // of the MIRROR must carry by name (an unsuppressed apply would
+    // also "update" key 2, but never day b; the sharper check is that
+    // ONLY day a's mirror file rewrites)
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(9.0)), "day")
+    mirrorOnce(tgt, src)
+    val after = Snapshots.entriesAll(tgt)
+    val carried = before.intersect(after.map(_.rel).toSet)
+    val carriedTags = after.filter(e => carried(e.rel)).map(_.tag).toSet
+    assert(carriedTags.contains("b"), s"day b must carry by name; carried=$carriedTags")
+    assert(rows(Snapshots.read(spark, tgt)) ==
+      Set((1L, "a", 9.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)))
+  }
+
+  test("exactly-once guards: gap, wrong source, broken bookkeeping, recreated source") {
+    val src = tmp("ca-g-src")
+    val src2 = tmp("ca-g-src2")
+    val tgt = tmp("ca-g-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0)), src, "day", "id"))
+    Snapshots.commitAll(src2, Snapshots.stageWithStats(
+      df((2L, "a", 2.0)), src2, "day", "id"))
+    Snapshots.commitAll(src2, Snapshots.stageWithStats(
+      df((3L, "a", 3.0)), src2, "day", "id")) // src2 at v2 ≠ tgt's applied v1
+    mirrorOnce(tgt, src)
+    // explicit range that skips ahead or replays must be refused
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(2.0)), "day")                                     // v2
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(3.0)), "day")                                     // v3
+    intercept[IllegalArgumentException] {
+      ChangeApply.applyOnce(spark, tgt, src, Seq("id"), "day", 2L, 3L) // gap
+    }
+    intercept[IllegalArgumentException] {
+      ChangeApply.applyOnce(spark, tgt, src, Seq("id"), "day", 0L, 3L) // replay
+    }
+    // a different source table cannot interleave
+    intercept[IllegalArgumentException] { mirrorOnce(tgt, src2) }
+    mirrorOnce(tgt, src) // legitimate catch-up still fine after the rejects
+    assert(rows(Snapshots.read(spark, tgt)) == Set((1L, "a", 3.0)))
+    // a props-dropping commit breaks the chain loudly, not silently
+    Snapshots.commitAll(tgt, Seq.empty) // drops cdc.* (non-inherited)
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(4.0)), "day")
+    intercept[IllegalArgumentException] { mirrorOnce(tgt, src) }
+    // cursor ahead of a recreated source fails loudly
+    val tgt2 = tmp("ca-g-tgt2")
+    intercept[IllegalArgumentException] {
+      ChangeApply.applyOnce(spark, tgt2, src2, Seq("id"), "day", 5L, 1L)
+    }
+  }
+
+  test("ambiguous same-commit differing rows for one key fail loudly") {
+    val src = tmp("ca-amb-src")
+    val tgt = tmp("ca-amb-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (1L, "a", 2.0)), src, "day", "id"))
+    intercept[IllegalArgumentException] { mirrorOnce(tgt, src) }
+    // identical full-row duplicates collapse silently (keyed contract)
+    val src2 = tmp("ca-amb-src2")
+    val tgt2 = tmp("ca-amb-tgt2")
+    Snapshots.commitAll(src2, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (1L, "a", 1.0)), src2, "day", "id"))
+    mirrorOnce(tgt2, src2)
+    assert(rows(Snapshots.read(spark, tgt2)) == Set((1L, "a", 1.0)))
+  }
+
+  test("props-only source commits advance the bookkeeping; compact keeps it") {
+    val src = tmp("ca-props-src")
+    val tgt = tmp("ca-props-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "b", 2.0)), src, "day", "id"))
+    mirrorOnce(tgt, src)
+    Snapshots.commitProps(src, Map("tbl.note" -> "x"))                 // v2: no rows
+    mirrorOnce(tgt, src)
+    assert(ChangeApply.appliedVersion(tgt) == 2L,
+      "a net-empty range must still advance the applied version")
+    assert(rows(Snapshots.read(spark, tgt)) == rows(Mutations.readMerged(spark, src)))
+    // layout maintenance must not reset the exactly-once chain
+    Snapshots.commitAll(tgt, Snapshots.stageWithStats(
+      df((9L, "a", 9.0)), tgt, "day", "id"),
+      props = Map(ChangeApply.AppliedProp -> "2",
+        ChangeApply.SourceProp -> src)) // fragment day a (keeps bookkeeping)
+    Snapshots.compact(spark, tgt, "day")
+    assert(ChangeApply.appliedVersion(tgt) == 2L,
+      "compact must carry cdc.* forward")
+    Snapshots.compactManifests(tgt, maxManifests = 1)
+    assert(ChangeApply.appliedVersion(tgt) == 2L,
+      "manifest compaction must carry cdc.* forward")
+  }
+
+  test("SCD2 history: segments, deletes, reinserts, suppression, incremental ≡ one-shot") {
+    val src = tmp("ca2-src")
+    val one = tmp("ca2-one")
+    val inc = tmp("ca2-inc")
+    def m2(t: String): Long = ChangeApply.mirrorScd2(spark, t, src, Seq("id"), "day")
+    // k1,k3 share day a (one file) so v2's COW rewrite of k1 re-states
+    // k3 — suppression must keep k3 a single open segment
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (3L, "a", 3.0), (2L, "b", 2.0)),
+      src, "day", "id"))                                               // v1
+    m2(inc)
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(10.0)), "day")                                    // v2 COW
+    m2(inc)
+    Mutations.deleteWhere(spark, src, col("id") === 2L)                // v3 DV
+    m2(inc)
+    Mutations.mergeInto(spark, src, df((2L, "b", 22.0)), "id", "day")  // v4 reinsert
+    m2(inc)
+    m2(one) // one-shot bootstrap folds v1..v4 in a single batch
+    def hist(t: String): Set[(Long, String, Double, Long, Option[Long], Boolean)] =
+      Snapshots.read(spark, t)
+        .select(col("id"), col("day"), col("v"),
+          col(ChangeApply.StartCol), col(ChangeApply.EndCol),
+          col(ChangeApply.CurrentCol))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5))).toSet
+    val expected = Set(
+      (1L, "a", 1.0, 1L, Some(2L), false),
+      (1L, "a", 10.0, 2L, None, true),
+      (3L, "a", 3.0, 1L, None, true),
+      (2L, "b", 2.0, 1L, Some(3L), false),
+      (2L, "b", 22.0, 4L, None, true))
+    assert(hist(inc) == expected, "incremental history")
+    assert(hist(one) == expected, "one-shot history must equal incremental")
+    // current rows mirror the live source
+    assert(rows(Snapshots.read(spark, inc).filter(col(ChangeApply.CurrentCol))) ==
+      rows(Mutations.readMerged(spark, src)))
+    // caught up: no-op
+    val tv = Snapshots.currentVersion(inc)
+    assert(m2(inc) == tv && Snapshots.currentVersion(inc) == tv)
+    assert(ChangeApply.appliedVersion(inc) == 4L)
+  }
+
+  test("randomized model: mirror + SCD2 current rows track the source") {
+    val rnd = new scala.util.Random(411)
+    val src = tmp("ca-rnd-src")
+    val t1 = tmp("ca-rnd-t1")
+    val t2 = tmp("ca-rnd-t2")
+    var nextId = 100L
+    def someIds(): Seq[Long] = {
+      val live = Mutations.readMerged(spark, src).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      if (live.isEmpty) Seq.empty else rnd.shuffle(live).take(1 + rnd.nextInt(3))
+    }
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), src, "day", "id"))
+    for (round <- 1 to 8) {
+      rnd.nextInt(3) match {
+        case 0 => // append fresh keys
+          val d = Seq("a", "b", "c")(rnd.nextInt(3))
+          val fresh = (0 to rnd.nextInt(2)).map { _ =>
+            nextId += 1; (nextId, d, nextId.toDouble) }
+          info(s"round $round: append $fresh")
+          Snapshots.commitAll(src, Snapshots.stageWithStats(
+            df(fresh: _*), src, "day", "id"))
+        case 1 => // update some live keys
+          val ids = someIds()
+          info(s"round $round: update $ids")
+          if (ids.nonEmpty)
+            Mutations.updateWhere(spark, src, col("id").isin(ids: _*),
+              Map("v" -> (col("v") + 0.5)), "day")
+        case 2 => // delete some live keys, always leaving >= 2 rows (an
+          // emptied mirror would trip the kernel's zero-file refusal —
+          // a documented limitation, not what this property tests)
+          val live = Mutations.readMerged(spark, src).select("id")
+            .collect().map(_.getLong(0)).toSeq
+          val ids = rnd.shuffle(live).take(math.min(2, live.size - 2))
+          info(s"round $round: delete $ids")
+          if (ids.nonEmpty)
+            Mutations.deleteWhere(spark, src, col("id").isin(ids: _*))
+      }
+      if (rnd.nextBoolean()) { // catch up at random points, not every step
+        info(s"round $round: catch up at src v${Snapshots.currentVersion(src)}")
+        mirrorOnce(t1, src)
+        ChangeApply.mirrorScd2(spark, t2, src, Seq("id"), "day")
+      }
+    }
+    mirrorOnce(t1, src)
+    ChangeApply.mirrorScd2(spark, t2, src, Seq("id"), "day")
+    val live = rows(Mutations.readMerged(spark, src))
+    assert(rows(Snapshots.read(spark, t1)) == live, "SCD1 mirror diverged")
+    assert(rows(Snapshots.read(spark, t2).filter(col(ChangeApply.CurrentCol))) == live,
+      "SCD2 current rows diverged")
+    // segment sanity: per key, at most one current row and no overlap gaps
+    val segs = Snapshots.read(spark, t2)
+      .select(col("id"), col(ChangeApply.StartCol), col(ChangeApply.EndCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)))
+      .groupBy(_._1).values
+    segs.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(e1 <= s2, s"overlapping segments: $sorted")
+        case _ =>
+      }
+      assert(sorted.count(_._3 == Long.MaxValue) <= 1, s"two open segments: $sorted")
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.lake.{DynamicFilter, Mutations, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dynamic file pruning contracts: the fact side of a selective
+  * dim-join opens only files whose manifest stats admit a dim key; the
+  * pruned join equals the plain join row-for-row; the over-cap path
+  * degrades to range pruning, never to an unbounded driver collect;
+  * and unsound shapes (outer joins) are refused. */
+class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
+
+  private def fact(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  // 8 key-clustered files per day-range: ids 0..79 in file chunks of 10
+  private def mkFact(sub: String): String = {
+    val table = tmp(sub)
+    val rows = (0L until 80L).map(i => (i, s"d${i / 40}", i.toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      fact(rows: _*), table, "day", "id", buckets = 8))
+    table
+  }
+
+  private def asSet(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select(col("id"), col("seg")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("key prune opens only files whose stats admit a dim key; join equal") {
+    val table = mkFact("dfp-base")
+    val all = Snapshots.entriesAll(table)
+    assert(all.size >= 6, s"fixture needs several files, got ${all.size}")
+    import spark.implicits._
+    val dim = Seq((5L, "x"), (72L, "y")).toDF("did", "seg")
+    val (pred, keys) = DynamicFilter.keyPrune(
+      spark, table, "id", dim, "did", maxKeys = 100, factTagCol = None)
+    assert(keys.exists(_.toSet == Set(5L, 72L)))
+    val kept = all.filter(pred)
+    assert(kept.size < all.size, "pruning must drop key-free files")
+    // soundness: every file actually holding key 5 or 72 survives
+    val holding = Mutations.readMerged(spark, table)
+      .filter(col("id").isin(5L, 72L)).count()
+    val joined = DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
+    assert(joined.count() == holding)
+    assert(asSet(joined) == Set((5L, "x"), (72L, "y")))
+    // equality against the plain unpruned join
+    val plain = Mutations.readMerged(spark, table)
+      .join(dim, col("id") === col("did"), "inner")
+    assert(asSet(joined) == asSet(plain))
+  }
+
+  test("over the key cap: range fallback stays correct and still prunes") {
+    val table = mkFact("dfp-cap")
+    import spark.implicits._
+    // 3 keys clustered low: the range [3, 7] proves high-id files away
+    val dim = Seq((3L, "a"), (5L, "b"), (7L, "c")).toDF("did", "seg")
+    val (pred, keys) = DynamicFilter.keyPrune(
+      spark, table, "id", dim, "did", maxKeys = 2, factTagCol = None)
+    assert(keys.isEmpty, "over the cap must not keep a key list")
+    val all = Snapshots.entriesAll(table)
+    assert(all.count(pred) < all.size, "range fallback must still prune")
+    val joined = DynamicFilter.prunedJoin(
+      spark, table, dim, "id", "did", maxKeys = 2)
+    assert(asSet(joined) == Set((3L, "a"), (5L, "b"), (7L, "c")))
+  }
+
+  test("empty dim yields an empty result with the joined schema") {
+    val table = mkFact("dfp-empty")
+    import spark.implicits._
+    val dim = Seq.empty[(Long, String)].toDF("did", "seg")
+    val joined = DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
+    assert(joined.count() == 0)
+    assert(joined.columns.toSeq == Seq("id", "day", "v", "did", "seg"))
+  }
+
+  test("partition-column join adds tag pruning when declared") {
+    val table = mkFact("dfp-tag")
+    import spark.implicits._
+    val dim = Seq(("d1", "late")).toDF("dday", "seg")
+    val (pred, _) = DynamicFilter.keyPrune(
+      spark, table, "day", dim, "dday", maxKeys = 100,
+      factTagCol = Some("day"))
+    val all = Snapshots.entriesAll(table)
+    val kept = all.filter(pred)
+    assert(kept.nonEmpty && kept.forall(_.tag == "d1"),
+      s"tag pruning must keep exactly d1's files, kept tags " +
+        s"${kept.map(_.tag).distinct}")
+    val joined = DynamicFilter.prunedJoin(spark, table, dim, "day", "dday",
+      factTagCol = Some("day"))
+    assert(joined.count() == 40L)
+    // an UNDECLARED tag column must not tag-compare (soundness default)
+    val (pred2, _) = DynamicFilter.keyPrune(
+      spark, table, "day", dim, "dday", maxKeys = 100, factTagCol = None)
+    assert(all.filter(pred2).nonEmpty)
+  }
+
+  test("semi join supported; outer joins refused") {
+    val table = mkFact("dfp-semi")
+    import spark.implicits._
+    val dim = Seq((5L, "x")).toDF("did", "seg")
+    val semi = DynamicFilter.prunedJoin(
+      spark, table, dim, "id", "did", joinType = "left_semi")
+    assert(semi.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    intercept[IllegalArgumentException] {
+      DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+        joinType = "left_outer")
+    }
+  }
+}

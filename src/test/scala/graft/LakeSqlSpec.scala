@@ -441,6 +441,36 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("ref name"))
   }
 
+  test("APPLY CHANGES INTO: SCD1 and SCD2 CDC catch-up through SQL") {
+    mk("sql-ca-src", "casrc", (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
+    val t1 = tmp("sql-ca-t1"); LakeSql.register(spark, "cat1", t1, "day")
+    val t2 = tmp("sql-ca-t2"); LakeSql.register(spark, "cat2", t2, "day")
+    val r = spark.sql("APPLY CHANGES INTO cat1 FROM casrc KEYS (id)").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L,
+      "bootstrap: target v1 applied source v1")
+    spark.sql("APPLY CHANGES INTO cat2 FROM casrc KEYS (id) SCD TYPE 2").collect()
+    spark.sql("UPDATE casrc SET v = 5.0 WHERE id = 1")  // v2
+    spark.sql("DELETE FROM casrc WHERE id = 10")        // v3
+    val r2 = spark.sql("APPLY CHANGES INTO cat1 FROM casrc KEYS (id)").collect().head
+    assert(r2.getLong(1) == 3L, "catch-up applied source v3")
+    assert(content("SELECT id, day, v FROM cat1") ==
+      Seq((1L, "a", 5.0), (2L, "a", 2.0)))
+    spark.sql("APPLY CHANGES INTO cat2 FROM casrc KEYS (id) SCD TYPE 2").collect()
+    assert(content("SELECT id, day, v FROM cat2 WHERE __is_current") ==
+      Seq((1L, "a", 5.0), (2L, "a", 2.0)))
+    val segs = spark.sql(
+      """SELECT id, __start_version, __end_version FROM cat2
+        |ORDER BY id, __start_version""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq
+    assert(segs == Seq((1L, 1L, 2L), (1L, 2L, -1L), (2L, 1L, -1L), (10L, 1L, 3L)))
+    // malformed statements reject loudly, never silently narrow
+    intercept[Exception](
+      spark.sql("APPLY CHANGES INTO cat1 FROM casrc KEYS (id day)"))
+    intercept[Exception](
+      spark.sql("APPLY CHANGES INTO cat1 FROM casrc KEYS (id) SCD TYPE 3"))
+  }
+
   test("CONVERT TO GRAFT TABLE adopts an existing parquet dir in place") {
     // a plain pre-existing parquet directory, written by anything
     val loc = tmp("sql-convert")
