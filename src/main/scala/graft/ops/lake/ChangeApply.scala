@@ -150,6 +150,21 @@ object ChangeApply {
     }
   }
 
+  /** Bootstrap staging with per-file footer stats, CLUSTERED on the
+    * first stats column ([[Snapshots.stageWithStats]]) so the stats are
+    * selective from the first commit — a mirror bootstrapped without
+    * key stats pays a full-table candidate scan on every later apply. */
+  private def bootstrapStage(df: DataFrame, target: String, tagCol: String,
+                             statsCols: Seq[String]): Seq[Snapshots.Entry] =
+    if (statsCols.isEmpty)
+      Snapshots.stage(df, target, tagCol).map { case (r, t) => Snapshots.Entry(r, t) }
+    else {
+      val es = Snapshots.stageWithStats(df, target, tagCol, statsCols.head)
+      if (statsCols.size == 1) es
+      else Snapshots.withFooterStats(es.map(e => (e.rel, e.tag)), target,
+        statsCols.map(c => Snapshots.physicalName(target, c)))
+    }
+
   private def requireUnambiguous(op: String, target: String, src: String,
                                  dup: DataFrame, keyCols: Seq[String]): Unit =
     require(dup.isEmpty,
@@ -160,13 +175,17 @@ object ChangeApply {
   // ---- SCD TYPE 1: converge the target to the source's live rows ----
 
   /** Apply the `(fromV, toV]` range once (SCD1). Prefer [[mirror]].
-    * `statsCols` only shapes the BOOTSTRAP staging (per-file min/max
-    * footer stats on those columns); later merges preserve whatever
-    * skipping surface the table has ([[Snapshots.restageLike]]). */
+    * `statsCols` shapes the BOOTSTRAP staging (per-file min/max footer
+    * stats; later merges preserve whatever surface the table has via
+    * [[Snapshots.restageLike]]) — it DEFAULTS to the key columns,
+    * because the keys are what every subsequent apply's candidate
+    * discovery prunes on: a stats-free mirror pays a full-table
+    * candidate scan per catch-up forever. Pass `Some(Seq.empty)` to
+    * opt out. */
   def applyOnce(spark: SparkSession, target: String, src: String,
                 keyCols: Seq[String], tagCol: String,
                 fromV: Long, toV: Long,
-                statsCols: Seq[String] = Seq.empty): Long = {
+                statsCols: Option[Seq[String]] = None): Long = {
     guards(target, src, fromV, toV, scd2 = false)
     if (fromV == toV) return Snapshots.currentVersion(target)
     val props = Map(AppliedProp -> toV.toString, SourceProp -> src)
@@ -188,12 +207,9 @@ object ChangeApply {
         // (zero-file snapshots are a format non-goal) and the next
         // catch-up re-folds the same range
         if (ups.isEmpty) return 0L
-        val raw = Snapshots.stage(ups, target, tagCol)
-        val staged =
-          if (statsCols.isEmpty) raw.map { case (r, t) => Snapshots.Entry(r, t) }
-          else Snapshots.withFooterStats(raw, target,
-            statsCols.map(c => Snapshots.physicalName(target, c)))
-        return Snapshots.commitAll(target, staged, props = props)
+        return Snapshots.commitAll(target,
+          bootstrapStage(ups, target, tagCol, statsCols.getOrElse(keyCols)),
+          props = props)
       }
       val srcNet = ups.withColumn("__cdc_del", lit(false))
         .unionByName(dels.withColumn("__cdc_del", lit(true)))
@@ -220,7 +236,7 @@ object ChangeApply {
     * caught up). */
   def mirror(spark: SparkSession, target: String, src: String,
              keyCols: Seq[String], tagCol: String,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Option[Seq[String]] = None): Long = {
     val from = appliedVersion(target)
     val to = Snapshots.currentVersion(src)
     if (to != from) applyOnce(spark, target, src, keyCols, tagCol, from, to, statsCols)
@@ -262,7 +278,11 @@ object ChangeApply {
         .count().filter(col("count") > 1)
       requireUnambiguous("mirrorScd2", target, src, dup, keyCols)
       if (acts.isEmpty)
-        return Snapshots.commitAll(target, Seq.empty, props = props)
+        // a net-empty range still advances the bookkeeping — unless the
+        // target was never bootstrapped (a zero-file v1 would brick it;
+        // stay at 0, the next catch-up re-folds the same range)
+        return if (Snapshots.currentVersion(target) == 0) 0L
+          else Snapshots.commitAll(target, Seq.empty, props = props)
       val wk = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col("_commit_version").asc)
       val newRows = acts
@@ -276,16 +296,26 @@ object ChangeApply {
         .agg(min(col("_commit_version")).as("__close_v"))
       val v0 = Snapshots.currentVersion(target)
       if (v0 == 0) {
-        val staged = Snapshots.stage(newRows, target, tagCol)
+        val staged = bootstrapStage(newRows, target, tagCol, keyCols)
         if (staged.isEmpty) return 0L
-        return Snapshots.commit(target, staged, props = props)
+        return Snapshots.commitAll(target, staged, props = props)
       }
-      // close the affected keys' CURRENT segments: touched files
-      // discovered by key join over the current rows only (the
-      // metadata-scale collect every mutation op uses), then rewritten
-      // with the close applied; untouched files carry by manifest name
+      // close the affected keys' CURRENT segments: candidate files cut
+      // by the affected keys' RANGE against per-file stats first (the
+      // mergeIntoKeys discipline — key-free files never open), then the
+      // key join over current rows decides the touched set (the
+      // metadata-scale collect every mutation op uses); untouched files
+      // carry by manifest name
+      val bounds = acts.agg(
+        expr(s"try_cast(min(`${keyCols.head}`) as double)"),
+        expr(s"try_cast(max(`${keyCols.head}`) as double)")).head()
+      val candidates: Snapshots.Entry => Boolean =
+        if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
+        else Snapshots.rangeOverlap(
+          Snapshots.physicalName(target, keyCols.head),
+          bounds.getDouble(0), bounds.getDouble(1))
       val touchedIds = Snapshots.readVersion(spark, target, v0,
-          mergeSchema = true, metadataSafe = true)
+          fileFilter = candidates, mergeSchema = true, metadataSafe = true)
         // the hidden _metadata column does not survive a join — derive
         // the file id BEFORE the semi-join
         .withColumn("__f", Snapshots.fileIdCol(col("_metadata.file_path")))
@@ -355,8 +385,8 @@ object ChangeApply {
     Snapshots.commitAll(srcT, Snapshots.stageWithStats(
       ev.filter(col("event_date") <= "2024-01-20"),
       srcT, "event_date", "event_id"))                                 // v1
-    ChangeApply.mirror(spark, tgtT, srcT, Seq("event_id"), "event_date",
-      statsCols = Seq("event_id"))                                     // bootstrap
+    ChangeApply.mirror(spark, tgtT, srcT, Seq("event_id"), "event_date")
+    // (bootstrap stages key-clustered stats by default)
     Mutations.updateWhere(spark, srcT, col("event_type") === "click",
       Map("value" -> (col("value") + 100.0)), "event_date")            // v2 (COW)
     Mutations.deleteWhere(spark, srcT, col("event_type") === "error")  // v3 (DV)

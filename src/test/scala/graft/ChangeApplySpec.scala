@@ -219,6 +219,65 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
     assert(ChangeApply.appliedVersion(inc) == 4L)
   }
 
+  test("bootstrap records key stats; net-empty bootstrap stays at version 0") {
+    val src = tmp("ca-bs-src")
+    val t1 = tmp("ca-bs-t1")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "b", 2.0)), src, "day", "id"))
+    mirrorOnce(t1, src)
+    val keys = Snapshots.entriesAll(t1).flatMap(_.props.keys).toSet
+    assert(keys.exists(k => k == "min.id" || k == "nulls.id"),
+      s"bootstrap must record key stats for later candidate pruning, " +
+        s"props=$keys")
+    // a source wiped empty before the first catch-up: BOTH flavors must
+    // stay at version 0 (a zero-file snapshot would brick the target),
+    // then converge once rows exist again
+    val src2 = tmp("ca-bs-src2")
+    val m1 = tmp("ca-bs-m1")
+    val m2 = tmp("ca-bs-m2")
+    Snapshots.commitAll(src2, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), src2, "day", "id"))          // v1
+    Mutations.deleteWhere(spark, src2, lit(true))                      // v2 wipe
+    // SCD1: the live mirror of an empty table is empty — stays at 0
+    // (a zero-file snapshot would brick it; the range re-folds later)
+    assert(mirrorOnce(m1, src2) == 0L)
+    assert(Snapshots.currentVersion(m1) == 0L)
+    // SCD2: history is the point — the pre-wipe rows commit as CLOSED
+    // segments even though the live set is empty
+    assert(ChangeApply.mirrorScd2(spark, m2, src2, Seq("id"), "day") == 1L)
+    assert(rows(Snapshots.read(spark, m2).filter(col(ChangeApply.CurrentCol)))
+      == Set.empty[(Long, String, Double)])
+    Snapshots.commitAll(src2, Snapshots.stageWithStats(
+      df((1L, "a", 10.0)), src2, "day", "id"))                         // v3
+    mirrorOnce(m1, src2)
+    ChangeApply.mirrorScd2(spark, m2, src2, Seq("id"), "day")
+    assert(rows(Snapshots.read(spark, m1)) == Set((1L, "a", 10.0)))
+    // SCD2 bootstrapped late still captures the pre-bootstrap churn:
+    // [1,2) closed by the wipe, [3,∞) current
+    val segs = Snapshots.read(spark, m2)
+      .select(col("id"), col(ChangeApply.StartCol), col(ChangeApply.EndCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(segs == Set((1L, 1L, 2L), (2L, 1L, 2L), (1L, 3L, -1L)), s"segs=$segs")
+  }
+
+  test("SCD2: untouched-key target files carry by name") {
+    val src = tmp("ca2-carry-src")
+    val tgt = tmp("ca2-carry-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      src, "day", "id", buckets = 2))
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    val before = Snapshots.entriesAll(tgt).map(_.rel).toSet
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(9.0)), "day")
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    val after = Snapshots.entriesAll(tgt)
+    val carriedTags = after.filter(e => before(e.rel)).map(_.tag).toSet
+    assert(carriedTags.contains("b"),
+      s"day b's segment file must carry by name; carried=$carriedTags")
+  }
+
   test("randomized model: mirror + SCD2 current rows track the source") {
     val rnd = new scala.util.Random(411)
     val src = tmp("ca-rnd-src")
