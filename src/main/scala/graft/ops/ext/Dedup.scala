@@ -955,33 +955,41 @@ object Dedup {
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"), col("w"))
     val base = Caching.persist(d)
-    val pos = base
+    // persisted: the gram table feeds the occurrence count AND the
+    // matched-window join — unpersisted, the md5 of every window runs
+    // twice (r11 s3; MEMORY_AND_DISK, the stage-checkpoint trade)
+    val pos = Caching.persist(base
       .select(col("doc_id"),
         posexplode(expr(TextAnalysis.ngramExpr(PassageN, distinct = false))))
       .select(col("doc_id"), col("pos"),
-        expr(graft.engine.PortableHash.md5Prefix60("col")).as("ghash"))
+        expr(graft.engine.PortableHash.md5Prefix60("col")).as("ghash")))
     // total-occurrence count (not distinct docs): a span repeated
-    // inside one document is as much a training dup as a cross-doc one
+    // inside one document is as much a training dup as a cross-doc one.
+    // Kept as agg + join-back (NOT a per-gram collect_list) so a
+    // boilerplate gram repeated 10⁹ times never materializes one list.
     val dupGrams = pos.groupBy("ghash").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("ghash")
-    val covered = pos.join(dupGrams, "ghash")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(PassageN - 1))).as("j"))
-      .distinct()
-    val toks = base.select(col("doc_id"), posexplode(col("w")).as(Seq("j", "t")))
-    val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+    // ONLY matched windows cross the doc_id exchange (r11 s3 — the old
+    // shape pos-exploded EVERY corpus token through a (doc_id, j)
+    // anti-join); coverage expansion, the kept-position complement, and
+    // the text rebuild are all LOCAL array ops on the per-doc row:
+    // array_except is hash-set linear, element_at is O(1) per token
+    val covDoc = pos.join(dupGrams, "ghash")
       .groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(array_sort(collect_list(struct(col("j"), col("t")))),
-          s => s.getField("t"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    base.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tok"))
-      .join(kept, Seq("doc_id"), "left_outer")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + lit(PassageN - 1))))).as("cov"))
+    base.join(covDoc, Seq("doc_id"), "left_outer")
+      .withColumn("allpos",
+        when(size(col("w")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), size(col("w")) - 1)))
+      .withColumn("keptpos", array_sort(array_except(col("allpos"),
+        coalesce(col("cov"), array().cast("array<int>")))))
       .select(
         col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        concat_ws(" ",
+          transform(col("keptpos"), j => element_at(col("w"), j + 1))).as("clean_text"),
+        size(col("keptpos")).cast("bigint").as("n_kept"),
+        (size(col("w")) - size(col("keptpos"))).cast("bigint").as("n_removed"))
       .orderBy("doc_id")
   }
 
@@ -1246,7 +1254,6 @@ object Dedup {
 
   /** [[containmentPairs]] over any `(doc_id, sh)` shingled frame. */
   private[graft] def containmentPairsOf(sh: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), expr(graft.engine.PortableHash.md5Prefix60("g")).as("h"))
     // shingleExpr emits DISTINCT shingles per doc, so count(*) per hash
@@ -1254,15 +1261,24 @@ object Dedup {
     val dfreq = occ.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)
     val surv = Caching.persist(occ.join(dfreq, "h").select("doc_id", "h", "df"))
-    // prefix length = n − ⌈t·n⌉ + 1, all-integer: if cont ≥ t = Num/Den
-    // then the missing-shingle count n − inter ≤ n − ⌈t·n⌉, so the
-    // prefix must hit; ⌈Num·n/Den⌉ = (Num·n + Den − 1) div Den
-    val pre = surv
-      .withColumn("rk", row_number().over(W.partitionBy("doc_id").orderBy("df", "h")))
-      .withColumn("n", count(lit(1)).over(W.partitionBy("doc_id")))
-      .filter(col("rk") <=
-        col("n") - expr(s"(n * $ContainTNum + ${ContainTDen - 1}) div $ContainTDen") + 1)
-      .select("doc_id", "h")
+    // ONE doc_id aggregation serves both downstream shapes (r11 s3 —
+    // previously two doc_id window passes for the prefix plus a third
+    // doc_id groupBy for the arrays, three sorts over the same
+    // exchange): `dh` sorted by (df, h) yields the prefix by slice,
+    // `hs` (hash-sorted, for the verify intersection) by a local
+    // transform+re-sort of the same array. Prefix length
+    // = n − ⌈t·n⌉ + 1, all-integer: if cont ≥ t = Num/Den then the
+    // missing-shingle count n − inter ≤ n − ⌈t·n⌉, so the prefix must
+    // hit; ⌈Num·n/Den⌉ = (Num·n + Den − 1) div Den (the float form is
+    // one short whenever (1−t)·n is an exact integer)
+    val arr = Caching.persist(surv.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"),
+        count(lit(1)).as("n"))
+      .withColumn("hs", sort_array(expr("transform(dh, x -> x.h)")))
+      .withColumn("plen",
+        col("n") - expr(s"(n * $ContainTNum + ${ContainTDen - 1}) div $ContainTDen") + 1))
+    val pre = arr.select(col("doc_id"),
+      explode(expr("transform(slice(dh, 1, int(plen)), x -> x.h)")).as("h"))
     val cand = pre.select(col("doc_id").as("p_doc"), col("h"))
       .join(surv.select(col("doc_id").as("s_doc"), col("h")), Seq("h"))
       .filter(col("p_doc") =!= col("s_doc"))
@@ -1274,8 +1290,6 @@ object Dedup {
     // per shingle), so the verify stage is |cand| rows through two
     // doc_id-keyed joins + a local array intersection — no per-shingle
     // explode ever crosses an exchange
-    val arr = surv.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
     arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a"))
       .join(cand, Seq("doc_a"))
       .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")),
