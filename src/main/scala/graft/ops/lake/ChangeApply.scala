@@ -99,13 +99,25 @@ object ChangeApply {
     require(missing.isEmpty,
       s"applyChanges($src): key column(s) ${missing.mkString(", ")} not in " +
         s"the feed schema (${dataCols.mkString(", ")})")
-    feed
+    // MAP columns cannot be grouping keys (Spark's GroupBy restriction);
+    // canonicalize them to key-sorted entry arrays for the cancellation
+    // groupBy — equal maps produce equal sorted-entry arrays — and
+    // restore the map type after, so the applied rows keep the source
+    // schema
+    val mapCols = feed.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }.toSeq
+    val canon = mapCols.foldLeft(feed)((df, c) =>
+      df.withColumn(c, array_sort(map_entries(col(s"`$c`")))))
+    val grouped = canon
       .groupBy((dataCols :+ "_commit_version").map(c => col(s"`$c`")): _*)
       .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("__net"))
       .filter(col("__net") =!= 0)
       .withColumn("_change_type",
         when(col("__net") > 0, "insert").otherwise("delete"))
       .drop("__net")
+    mapCols.foldLeft(grouped)((df, c) =>
+      df.withColumn(c, map_from_entries(col(s"`$c`"))))
   }
 
   /** NET effect of a real-change feed per key (SCD1): the latest

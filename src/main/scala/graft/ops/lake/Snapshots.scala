@@ -2678,19 +2678,32 @@ object Snapshots {
     * This is what the reference's S3+BigQuery fan-out lacks (both
     * writes fire-and-forget). */
   def commitPair(txnDir: String, a: Prepared, b: Prepared): (Long, Long) = {
+    val Seq(va, vb) = commitMany(txnDir, Seq(a, b))
+    (va, vb)
+  }
+
+  /** [[commitPair]] generalized to N tables — one intent record, N
+    * commits, same recovery contract: a crash after the intent is
+    * durable leaves [[recoverPairs]] to complete every missing side
+    * idempotently, so the sinks can lag but never diverge. Tables must
+    * be distinct (committing one table twice in a transaction is a
+    * version-ordering bug, not a fan-out). */
+  def commitMany(txnDir: String, ps: Seq[Prepared]): Seq[Long] = {
+    require(ps.nonEmpty, "commitMany: at least one prepared snapshot")
+    require(ps.map(_.table).distinct.size == ps.size,
+      s"commitMany: duplicate table in ${ps.map(_.table).mkString(", ")} — " +
+        "a multi-version commit to one table must be sequenced, not fanned out")
     // inheritance (schema.* props) is resolved EAGERLY into the intent
     // record and the commits run with inherit=false: recovery must
     // re-publish byte-identical snapshots, and late resolution against
     // whatever is current AT RECOVERY TIME would diverge if other
     // commits landed in between — turning an idempotent re-commit into
     // a spurious conflict
-    val ra = resolveInherited(a)
-    val rb = resolveInherited(b)
-    val intent = writeIntent(txnDir, ra, rb)
-    val va = commitPrepared(ra, inherit = false)
-    val vb = commitPrepared(rb, inherit = false)
+    val rs = ps.map(resolveInherited)
+    val intent = writeIntent(txnDir, rs)
+    val vs = rs.map(commitPrepared(_, inherit = false))
     intent.delete()
-    (va, vb)
+    vs
   }
 
   /** Fold the would-be-inherited props of `p.table`'s CURRENT version
@@ -2700,18 +2713,22 @@ object Snapshots {
     p.copy(props = snapshotProps(p.table, currentVersion(p.table))
       .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) } ++ p.props)
 
-  /** Durable intent record, written atomically BEFORE either commit
-    * (split out so the spec can simulate a crash between the two
-    * commits and prove [[recoverPairs]] converges the pair). */
-  private[graft] def writeIntent(txnDir: String, a: Prepared, b: Prepared): File = {
+  /** Durable intent record, written atomically BEFORE any commit
+    * (split out so the spec can simulate a crash between commits and
+    * prove [[recoverPairs]] converges the set). */
+  private[graft] def writeIntent(txnDir: String, ps: Seq[Prepared]): File = {
     val dir = new File(txnDir)
     dir.mkdirs()
     val intent = new File(dir, s"txn-${java.util.UUID.randomUUID}.intent")
     val tmp = new File(dir, intent.getName + ".tmp")
-    writeDurable(tmp, serialize(a, b).getBytes(UTF_8))
+    writeDurable(tmp, serialize(ps).getBytes(UTF_8))
     Files.move(tmp.toPath, intent.toPath, StandardCopyOption.ATOMIC_MOVE)
     intent
   }
+
+  /** Two-record compatibility overload (pre-r11 spec call shape). */
+  private[graft] def writeIntent(txnDir: String, a: Prepared, b: Prepared): File =
+    writeIntent(txnDir, Seq(a, b))
 
   /** Complete every interrupted [[commitPair]] under `txnDir`:
     * re-commit both sides (idempotent — already-committed identical
@@ -2721,12 +2738,11 @@ object Snapshots {
     val intents = Option(new File(txnDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".intent"))
     intents.foreach { f =>
-      val (a, b) = deserialize(new String(Files.readAllBytes(f.toPath), UTF_8))
-      // the intent carries fully-resolved props (commitPair resolved
+      // the intent carries fully-resolved props (commitMany resolved
       // inheritance before writing it) — inherit=false reproduces the
       // exact bytes regardless of what committed since
-      commitPrepared(a, inherit = false)
-      commitPrepared(b, inherit = false)
+      deserialize(new String(Files.readAllBytes(f.toPath), UTF_8))
+        .foreach(commitPrepared(_, inherit = false))
       f.delete()
     }
     intents.size
@@ -2735,24 +2751,21 @@ object Snapshots {
   // intent framing: table, version, manifest names (no '='), then
   // 'k=v' prop entries — manifest names never contain '=', so the
   // partition below is unambiguous. Props must survive the intent
-  // record: a pair recovered after a crash has to publish the SAME
+  // record: a set recovered after a crash has to publish the SAME
   // snapshot bytes as the normal path (bookkeeping like mv.applied
   // rides them), or idempotent re-commit detection would even reject
   // the recovery as a conflicting commit.
-  private def serialize(a: Prepared, b: Prepared): String =
-    Seq(a, b).map { p =>
+  private def serialize(ps: Seq[Prepared]): String =
+    ps.map { p =>
       (Seq(p.table, p.version.toString) ++ p.manifests ++
         p.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\u0001")
     }.mkString("\u0002")
 
-  private def deserialize(s: String): (Prepared, Prepared) = {
-    val Array(sa, sb) = s.split("\u0002")
-    def one(x: String): Prepared = {
+  private def deserialize(s: String): Seq[Prepared] =
+    s.split("\u0002").toSeq.map { x =>
       val parts = x.split("\u0001").toSeq
       val (props, mfs) = parts.drop(2).partition(_.contains("="))
       Prepared(parts.head, parts(1).toLong, mfs,
         props.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
     }
-    (one(sa), one(sb))
-  }
 }

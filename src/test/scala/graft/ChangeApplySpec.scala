@@ -278,6 +278,27 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       s"day b's segment file must carry by name; carried=$carriedTags")
   }
 
+  test("mirror handles MapType columns (canonicalized for cancellation)") {
+    import spark.implicits._
+    val src = tmp("ca-map-src")
+    val tgt = tmp("ca-map-tgt")
+    val d1 = Seq(
+      (1L, "a", Map("k1" -> "v1", "k2" -> "v2")),
+      (2L, "a", Map("x" -> "y")))
+      .toDF("id", "day", "props")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(d1, src, "day", "id"))
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day")
+    // the COW update of id 1 re-states id 2's map row as a carry-over
+    // pair — the cancellation groupBy must handle the map column (maps
+    // are not valid grouping keys; they canonicalize to sorted entries)
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("props" -> map(lit("k"), lit("v"))), "day")
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day")
+    val got = Snapshots.read(spark, tgt).select("id", "props").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(got == Map(1L -> Map("k" -> "v"), 2L -> Map("x" -> "y")))
+  }
+
   test("randomized model: mirror + SCD2 current rows track the source") {
     val rnd = new scala.util.Random(411)
     val src = tmp("ca-rnd-src")

@@ -117,6 +117,40 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, a)) == sorted(Snapshots.read(spark, b)))
   }
 
+  test("N-way commit: crash mid-fan-out recovers every lagging sink") {
+    val a = tmp("snap-n-a"); val b = tmp("snap-n-b"); val c = tmp("snap-n-c")
+    val txn = tmp("snap-n-txn")
+    val data = df((1, "a", 1L), (2, "b", 2L))
+    val ps = Seq(
+      Snapshots.prepare(a, Snapshots.stage(data, a, "day")),
+      Snapshots.prepare(b, Snapshots.stage(data, b, "day"))
+        .copy(props = Map("writer" -> "n-way")),
+      Snapshots.prepare(c, Snapshots.stage(data, c, "day")))
+    // crash after the FIRST of three commits: two sinks lag
+    Snapshots.writeIntent(txn, ps)
+    Snapshots.commitPrepared(ps.head)
+    assert(Snapshots.currentVersion(a) == 1 &&
+      Snapshots.currentVersion(b) == 0 && Snapshots.currentVersion(c) == 0)
+    assert(Snapshots.recoverPairs(txn) == 1)
+    assert(Seq(a, b, c).forall(Snapshots.currentVersion(_) == 1))
+    assert(Snapshots.snapshotProps(b, 1) == Map("writer" -> "n-way"))
+    assert(sorted(Snapshots.read(spark, a)) == sorted(Snapshots.read(spark, c)))
+    // the clean path: three sinks, one transaction, no intent left
+    val d = tmp("snap-n-d"); val e = tmp("snap-n-e"); val f = tmp("snap-n-f")
+    val vs = Snapshots.commitMany(txn, Seq(
+      Snapshots.prepare(d, Snapshots.stage(data, d, "day")),
+      Snapshots.prepare(e, Snapshots.stage(data, e, "day")),
+      Snapshots.prepare(f, Snapshots.stage(data, f, "day"))))
+    assert(vs == Seq(1L, 1L, 1L))
+    assert(Snapshots.recoverPairs(txn) == 0)
+    // duplicate table in one transaction is a sequencing bug, refused
+    intercept[IllegalArgumentException] {
+      Snapshots.commitMany(txn, Seq(
+        Snapshots.prepare(d, Snapshots.stage(data, d, "day")),
+        Snapshots.prepare(d, Snapshots.stage(data, d, "day"))))
+    }
+  }
+
   test("time travel: any committed version reads exactly as committed until vacuum") {
     val table = tmp("snap-tt")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 10L), (2, "b", 20L)), table, "day"))
