@@ -245,14 +245,31 @@ object ChangeApply {
     * apply `(applied, current]`, commit rows + bookkeeping atomically.
     * Crash anywhere and rerun — exactly-once with no state outside the
     * two tables. Returns the target's version (unchanged when already
-    * caught up). */
+    * caught up).
+    *
+    * `maxVersionsPerBatch` chunks a WIDE catch-up (a mirror that slept
+    * through 10⁴ source commits) into capped ranges applied as separate
+    * commits — the feed's per-step union plan is O(versions in range),
+    * so an uncapped giant range is a driver plan blow-up, the same
+    * admission discipline the streaming CDF source applies. Each chunk
+    * is individually exactly-once; a crash resumes at the chunk
+    * boundary. */
   def mirror(spark: SparkSession, target: String, src: String,
              keyCols: Seq[String], tagCol: String,
-             statsCols: Option[Seq[String]] = None): Long = {
-    val from = appliedVersion(target)
+             statsCols: Option[Seq[String]] = None,
+             maxVersionsPerBatch: Int = Int.MaxValue): Long = {
+    require(maxVersionsPerBatch >= 1, "mirror: maxVersionsPerBatch must be >= 1")
     val to = Snapshots.currentVersion(src)
-    if (to != from) applyOnce(spark, target, src, keyCols, tagCol, from, to, statsCols)
-    else Snapshots.currentVersion(target)
+    var from = appliedVersion(target)
+    var v = Snapshots.currentVersion(target)
+    while (from < to) {
+      val step = math.min(from + maxVersionsPerBatch.toLong, to)
+      v = applyOnce(spark, target, src, keyCols, tagCol, from, step, statsCols)
+      from = step
+    }
+    if (from > to) // recreated-source detection still fires on a stale cursor
+      applyOnce(spark, target, src, keyCols, tagCol, from, to, statsCols)
+    v
   }
 
   // ---- SCD TYPE 2: accumulate history segments --------------------
@@ -363,14 +380,23 @@ object ChangeApply {
     } finally acts.unpersist()
   }
 
-  /** RESTARTABLE SCD2 catch-up — same exactly-once contract as
-    * [[mirror]]. */
+  /** RESTARTABLE SCD2 catch-up — same exactly-once and chunked-range
+    * contract as [[mirror]]. */
   def mirrorScd2(spark: SparkSession, target: String, src: String,
-                 keyCols: Seq[String], tagCol: String): Long = {
-    val from = appliedVersion(target)
+                 keyCols: Seq[String], tagCol: String,
+                 maxVersionsPerBatch: Int = Int.MaxValue): Long = {
+    require(maxVersionsPerBatch >= 1, "mirrorScd2: maxVersionsPerBatch must be >= 1")
     val to = Snapshots.currentVersion(src)
-    if (to != from) applyScd2Once(spark, target, src, keyCols, tagCol, from, to)
-    else Snapshots.currentVersion(target)
+    var from = appliedVersion(target)
+    var v = Snapshots.currentVersion(target)
+    while (from < to) {
+      val step = math.min(from + maxVersionsPerBatch.toLong, to)
+      v = applyScd2Once(spark, target, src, keyCols, tagCol, from, step)
+      from = step
+    }
+    if (from > to)
+      applyScd2Once(spark, target, src, keyCols, tagCol, from, to)
+    v
   }
 
   // ---- oracle-gated exercises --------------------------------------

@@ -393,6 +393,8 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""".r
   private val InsertInto =
     """(?is)INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
+  private val InsertOverwrite =
+    """(?is)INSERT\s+OVERWRITE\s+(\w+)(?:\s+WHERE\s+(.+?))?\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
   private val InsertIntoCols =
     """(?is)INSERT\s+INTO\s+(\w+)\s*\(([^)]+)\)\s+((?:SELECT|VALUES|FROM|TABLE|WITH)\s.+)""".r
   private val ConvertTable =
@@ -671,6 +673,65 @@ object LakeStatements {
         case _ => None
       }
       case "INSERT" => text match {
+        // OVERWRITE first (the INTO patterns would not match it): the
+        // Delta replaceWhere shape — atomically replace the WHOLE table
+        // (no WHERE) or exactly the matching PARTITION TAGS (WHERE on
+        // the table's partition column, equality or IN — the same
+        // restriction Delta documents for partition overwrite). The
+        // replacement rows must all FALL INSIDE the scope, or the
+        // statement aborts before anything commits: silently writing
+        // out-of-scope rows while removing only in-scope files is how
+        // replaceWhere implementations lose data.
+        case InsertOverwrite(name, where, query) =>
+          lookup(name).map { case (path, tag) =>
+            val scope: Option[String => Boolean] = Option(where).map {
+              case TagEq(c, v) if c.equalsIgnoreCase(tag) =>
+                (t: String) => t == v
+              case TagIn(c, vs) if c.equalsIgnoreCase(tag) =>
+                require("""(?s)^\s*'[^']*'(?:\s*,\s*'[^']*')*\s*$""".r.matches(vs),
+                  s"INSERT OVERWRITE $name: IN list must be comma-separated " +
+                    s"quoted literals, got ($vs)")
+                val set = "'([^']*)'".r.findAllMatchIn(vs).map(_.group(1)).toSet
+                (t: String) => set.contains(t)
+              case other => throw new IllegalArgumentException(
+                s"INSERT OVERWRITE $name: WHERE must be `$tag = '…'` or " +
+                  s"`$tag IN ('…', …)` (the partition column), got: $other")
+            }
+            LakeCommand("INSERT OVERWRITE", versionOut, s => {
+              val schema = Snapshots.read(s, path, mergeSchema = true).schema
+              val src = s.sql(query)
+              require(src.columns.length == schema.length,
+                s"INSERT OVERWRITE $name: query has ${src.columns.length} " +
+                  s"columns, table has ${schema.length}")
+              val aligned = src.toDF(schema.map(_.name): _*)
+                .select(schema.map(f =>
+                  org.apache.spark.sql.functions.col(f.name)
+                    .cast(f.dataType).as(f.name)): _*)
+              val staged = Snapshots.restageLike(s, aligned, path, tag)
+              scope match {
+                case Some(in) =>
+                  val outOfScope = staged.collect {
+                    case e if !in(e.tag) => e.tag }.distinct
+                  require(outOfScope.isEmpty,
+                    s"INSERT OVERWRITE $name: replacement rows carry " +
+                      s"partition value(s) ${outOfScope.mkString(", ")} " +
+                      "outside the WHERE scope — widen the scope or fix " +
+                      "the query (nothing was committed)")
+                  Seq(Row(Snapshots.commitAll(path, staged,
+                    remove = e => in(e._2))))
+                case None =>
+                  // whole-table overwrite with an empty result would
+                  // commit a zero-file snapshot (unreadable); DELETE
+                  // FROM keeps the table readable as empty instead
+                  require(staged.nonEmpty,
+                    s"INSERT OVERWRITE $name: the query produced no rows — " +
+                      "a zero-file snapshot cannot be read back; use " +
+                      "DELETE FROM to empty the table")
+                  Seq(Row(Snapshots.commitAll(path, staged,
+                    remove = _ => true)))
+              }
+            })
+          }
         // explicit-column form FIRST (the plain pattern would swallow
         // it): query columns bind positionally to the NAMED columns,
         // unnamed table columns NULL-fill — standard SQL INSERT

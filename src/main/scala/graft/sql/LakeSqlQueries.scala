@@ -413,7 +413,45 @@ object LakeSqlQueries {
       |  FROM base WHERE event_type <> 'error' GROUP BY event_date
       |) ORDER BY side, event_date""".stripMargin
 
+  /** s51: INSERT OVERWRITE (the Delta replaceWhere shape) — a scoped
+    * overwrite atomically replaces exactly the two named partition
+    * tags with the query's rescaled restatement; every other day's
+    * file carries by name (spec-pinned), and an out-of-scope
+    * replacement row aborts the statement (spec-pinned). The final
+    * aggregate reads through the resolution rule's merged scan. */
+  def sqlInsertOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s51-sql-", dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      eventsSlim(spark, dir).filter(col("event_date") <= "2024-01-20"),
+      table, "event_date", "event_id"))
+    LakeSql.register(spark, "s51t", table, "event_date")
+    spark.sql(
+      """INSERT OVERWRITE s51t
+        |WHERE event_date IN ('2024-01-15', '2024-01-16')
+        |SELECT event_id, event_type, value * 2.0, event_date FROM s51t
+        |WHERE event_date IN ('2024-01-15', '2024-01-16')
+        |  AND event_type <> 'error'""".stripMargin)
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s51t GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  val sqlInsertOverwriteOracle: String =
+    s"""WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |final AS (
+      |  SELECT event_id, event_type, value, event_date FROM base
+      |  WHERE event_date NOT IN (DATE '2024-01-15', DATE '2024-01-16')
+      |  UNION ALL
+      |  SELECT event_id, event_type, value * 2.0, event_date FROM base
+      |  WHERE event_date IN (DATE '2024-01-15', DATE '2024-01-16')
+      |    AND event_type <> 'error')
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM final GROUP BY event_date ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s51_sql_insert_overwrite", sqlInsertOverwriteOracle)(sqlInsertOverwrite),
     QueryDef.sql("s45_sql_meta_count", sqlMetaCountOracle)(sqlMetaCount),
     QueryDef.sql("s46_sql_null_prefix", sqlNullPrefixOracle)(sqlNullPrefix),
     QueryDef.sql("s47_sql_shallow_clone", sqlShallowCloneOracle)(sqlShallowClone),

@@ -278,6 +278,34 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       s"day b's segment file must carry by name; carried=$carriedTags")
   }
 
+  test("chunked catch-up (maxVersionsPerBatch = 1) equals one-shot") {
+    val src = tmp("ca-ch-src")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), src, "day", "id")) // v1
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(10.0)), "day")                                          // v2
+    Mutations.deleteWhere(spark, src, col("id") === 2L)                      // v3
+    Mutations.mergeInto(spark, src, df((4L, "b", 4.0)), "id", "day")         // v4
+    val one = tmp("ca-ch-one"); val chn = tmp("ca-ch-chn")
+    ChangeApply.mirror(spark, one, src, Seq("id"), "day")
+    ChangeApply.mirror(spark, chn, src, Seq("id"), "day",
+      maxVersionsPerBatch = 1)
+    assert(rows(Snapshots.read(spark, chn)) == rows(Snapshots.read(spark, one)))
+    assert(ChangeApply.appliedVersion(chn) == 4L)
+    assert(Snapshots.currentVersion(chn) >= 4L,
+      "cap 1 applies as separate per-version commits")
+    val one2 = tmp("ca-ch-one2"); val chn2 = tmp("ca-ch-chn2")
+    ChangeApply.mirrorScd2(spark, one2, src, Seq("id"), "day")
+    ChangeApply.mirrorScd2(spark, chn2, src, Seq("id"), "day",
+      maxVersionsPerBatch = 1)
+    def hist2(t: String) = Snapshots.read(spark, t)
+      .select(col("id"), col("v"), col(ChangeApply.StartCol),
+        col(ChangeApply.EndCol), col(ChangeApply.CurrentCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(hist2(chn2) == hist2(one2), "chunked SCD2 history must equal one-shot")
+  }
+
   test("mirror handles MapType columns (canonicalized for cancellation)") {
     import spark.implicits._
     val src = tmp("ca-map-src")

@@ -441,6 +441,42 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("ref name"))
   }
 
+  test("INSERT OVERWRITE: scoped replaceWhere, carry-by-name, out-of-scope abort") {
+    val table = mk("sql-iow", "iowt",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (20L, "c", 20.0))
+    val before = Snapshots.entriesAll(table).map(_.rel).toSet
+    spark.sql(
+      """INSERT OVERWRITE iowt WHERE day = 'a'
+        |SELECT id + 100, 'a', v * 2.0 FROM iowt WHERE day = 'a'""".stripMargin)
+    assert(content("SELECT id, day, v FROM iowt") ==
+      Seq((10L, "b", 10.0), (20L, "c", 20.0), (101L, "a", 2.0), (102L, "a", 4.0)))
+    val after = Snapshots.entriesAll(table)
+    val carriedTags = after.filter(e => before(e.rel)).map(_.tag).toSet
+    assert(carriedTags == Set("b", "c"),
+      s"days b and c must carry by name; carried=$carriedTags")
+    // replacement rows outside the WHERE scope abort BEFORE any commit
+    val v = Snapshots.currentVersion(table)
+    intercept[Exception] {
+      spark.sql(
+        """INSERT OVERWRITE iowt WHERE day = 'b'
+          |SELECT id, 'z', v FROM iowt WHERE day = 'b'""".stripMargin)
+    }
+    assert(Snapshots.currentVersion(table) == v, "nothing committed on abort")
+    assert(content("SELECT id, day, v FROM iowt WHERE day = 'b'") ==
+      Seq((10L, "b", 10.0)))
+    // whole-table overwrite replaces everything atomically
+    spark.sql("INSERT OVERWRITE iowt SELECT 7, 'z', 7.0")
+    assert(content("SELECT id, day, v FROM iowt") == Seq((7L, "z", 7.0)))
+    // whole-table overwrite to empty is refused (zero-file snapshot)
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE iowt SELECT id, day, v FROM iowt WHERE 1 = 0")
+    }
+    // non-partition WHERE column is a loud error, not a silent row filter
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE iowt WHERE v = '7.0' SELECT 8, 'z', 8.0")
+    }
+  }
+
   test("APPLY CHANGES INTO: SCD1 and SCD2 CDC catch-up through SQL") {
     mk("sql-ca-src", "casrc", (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
     val t1 = tmp("sql-ca-t1"); LakeSql.register(spark, "cat1", t1, "day")
