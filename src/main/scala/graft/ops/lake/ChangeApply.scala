@@ -223,6 +223,23 @@ object ChangeApply {
           bootstrapStage(ups, target, tagCol, statsCols.getOrElse(keyCols)),
           props = props)
       }
+      // a range that deletes EVERYTHING (source fully wiped, nothing
+      // re-inserted) would trip the merge's zero-file refusal on every
+      // retry — a liveness hole for the mirror. The kernel reads
+      // zero-file snapshots as empty on the recorded schema (the r11
+      // schema.ddl prop), so represent the wipe directly as a
+      // remove-everything commit. Only checked when there are no
+      // upserts (the merge stages files otherwise), and the survivor
+      // probe is dels-keyed — bounded by the target, run on the rare
+      // path only.
+      if (ups.isEmpty) {
+        val survivors = Mutations.readMerged(spark, target, mergeSchema = true)
+          .select(keyCols.map(col): _*)
+          .join(dels.select(keyCols.map(col): _*), keyCols, "left_anti")
+        if (survivors.isEmpty)
+          return Snapshots.commitAll(target, Seq.empty,
+            remove = _ => true, props = props)
+      }
       val srcNet = ups.withColumn("__cdc_del", lit(false))
         .unionByName(dels.withColumn("__cdc_del", lit(true)))
       val setMap = ups.columns.filterNot(keyCols.contains)

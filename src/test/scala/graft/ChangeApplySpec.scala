@@ -278,6 +278,48 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       s"day b's segment file must carry by name; carried=$carriedTags")
   }
 
+  test("target rollback restores rows AND bookkeeping together; catch-up re-folds") {
+    val src = tmp("ca-rb-src")
+    val tgt = tmp("ca-rb-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), src, "day", "id"))            // v1
+    mirrorOnce(tgt, src)                                                // tgt v1
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(10.0)), "day")                                     // v2
+    mirrorOnce(tgt, src)                                                // tgt v2
+    assert(ChangeApply.appliedVersion(tgt) == 2L)
+    // roll the TARGET back: rollback restores the old snapshot's props
+    // with its rows (inherit = false), so cdc.applied rewinds in the
+    // same commit — the exactly-once chain cannot drift
+    Snapshots.rollback(tgt, 1L)
+    assert(ChangeApply.appliedVersion(tgt) == 1L,
+      "bookkeeping must rewind WITH the rows")
+    assert(rows(Snapshots.read(spark, tgt)) == Set((1L, "a", 1.0), (2L, "a", 2.0)))
+    // the catch-up re-folds exactly the undone range and converges
+    mirrorOnce(tgt, src)
+    assert(rows(Snapshots.read(spark, tgt)) == rows(Mutations.readMerged(spark, src)))
+    assert(ChangeApply.appliedVersion(tgt) == 2L)
+  }
+
+  test("mirror survives a full source wipe and recovers on reinsert") {
+    val src = tmp("ca-wipe-src")
+    val tgt = tmp("ca-wipe-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "b", 2.0)), src, "day", "id"))            // v1
+    mirrorOnce(tgt, src)
+    Mutations.deleteWhere(spark, src, lit(true))                        // v2 wipe
+    mirrorOnce(tgt, src)
+    // the mirror represents the wipe as a remove-everything commit —
+    // readable as empty on the recorded schema, bookkeeping advanced
+    assert(rows(Mutations.readMerged(spark, tgt)).isEmpty)
+    assert(ChangeApply.appliedVersion(tgt) == 2L)
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((3L, "a", 3.0)), src, "day", "id"))                            // v3
+    mirrorOnce(tgt, src)
+    assert(rows(Mutations.readMerged(spark, tgt)) == Set((3L, "a", 3.0)))
+    assert(ChangeApply.appliedVersion(tgt) == 3L)
+  }
+
   test("chunked catch-up (maxVersionsPerBatch = 1) equals one-shot") {
     val src = tmp("ca-ch-src")
     Snapshots.commitAll(src, Snapshots.stageWithStats(
@@ -355,12 +397,14 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
           if (ids.nonEmpty)
             Mutations.updateWhere(spark, src, col("id").isin(ids: _*),
               Map("v" -> (col("v") + 0.5)), "day")
-        case 2 => // delete some live keys, always leaving >= 2 rows (an
-          // emptied mirror would trip the kernel's zero-file refusal —
-          // a documented limitation, not what this property tests)
+        case 2 => // delete some live keys — occasionally ALL of them
+          // (the mirror represents a full wipe as a remove-everything
+          // commit and recovers on reinsert)
           val live = Mutations.readMerged(spark, src).select("id")
             .collect().map(_.getLong(0)).toSeq
-          val ids = rnd.shuffle(live).take(math.min(2, live.size - 2))
+          val ids =
+            if (live.nonEmpty && rnd.nextInt(8) == 0) live
+            else rnd.shuffle(live).take(math.min(2, live.size - 2))
           info(s"round $round: delete $ids")
           if (ids.nonEmpty)
             Mutations.deleteWhere(spark, src, col("id").isin(ids: _*))
