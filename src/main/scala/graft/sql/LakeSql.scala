@@ -1131,9 +1131,17 @@ object LakeStatements {
       val source = s.sql(s"SELECT * FROM $sourceText AS __graft_src")
       val updRun = updFinal.map { case (c, sets) =>
         if (sets.nonEmpty) (c, sets)
-        else { // UPDATE SET *: every non-key target column, by name
+        else { // UPDATE SET *: every non-key target column the SOURCE
+          // CARRIES, by name — an evolution-lagging source (the target
+          // gained a column it predates) updates what it has and leaves
+          // the rest untouched, the documented Delta SET * behavior
+          // under schema evolution (r11 s3 model-spec find: the
+          // all-target expansion asked Spark for `s.<evolved>` and the
+          // whole statement failed resolution)
           val tCols = Snapshots.read(s, path, mergeSchema = true).columns
+          val sColsLc = source.columns.map(_.toLowerCase(Locale.ROOT)).toSet
           (c, tCols.filterNot(tc => keyCols.exists(_.equalsIgnoreCase(tc)))
+            .filter(tc => sColsLc.contains(tc.toLowerCase(Locale.ROOT)))
             .map(tc => tc -> col(s"s.$tc")).toMap)
         }
       }

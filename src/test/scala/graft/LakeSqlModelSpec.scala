@@ -49,7 +49,7 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
 
     for (step <- 1 to 32) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(13) match {
+      rnd.nextInt(14) match {
         case 0 => // INSERT (explicit columns once the schema evolved —
           // positional binding demands the full union arity, per SQL)
           val rows = fresh(tag, 1 + rnd.nextInt(3))
@@ -144,6 +144,18 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
           model += ev._1 -> ((ev._2, ev._3))
         case 12 => // log maintenance: manifest merge is content-invisible
           spark.sql("OPTIMIZE mdl MANIFESTS 2")
+        case 13 if model.nonEmpty => // INSERT OVERWRITE one tag (r11 s3,
+          // the replaceWhere shape): re-state the slice rescaled plus a
+          // fresh row; every other tag must carry untouched
+          val t0 = rnd.shuffle(model.values.map(_._1).toSeq).head
+          val restated = model.toSeq.filter(_._2._1 == t0)
+            .map { case (id, (d, vv)) => (id, d, vv * 2.0) } :+ fresh(t0, 1).head
+          spark.sql(
+            s"""INSERT OVERWRITE mdl WHERE day = '$t0'
+               |SELECT ${if (evolved) "id, day, v, CAST(NULL AS BIGINT)" else "id, day, v"}
+               |FROM ${values(restated)}""".stripMargin)
+          model = model.filter { case (_, (d, _)) => d != t0 } ++
+            restated.map(r => r._1 -> ((r._2, r._3)))
         case _ => ()
       }
       snapshot(); check(step)
