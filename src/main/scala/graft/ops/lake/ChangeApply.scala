@@ -245,11 +245,22 @@ object ChangeApply {
       val setMap = ups.columns.filterNot(keyCols.contains)
         .map(c => c -> col(s"s.`$c`")).toMap
       val before = Snapshots.currentVersion(target)
+      // SOURCE EVOLUTION FOLLOWS THROUGH: feed columns the mirror lacks
+      // (the source gained them mid-stream) evolve the target in the
+      // same merge — a mirror's contract is to track its source, so
+      // refusing here would wedge every catch-up after an upstream
+      // ALTER (the marker column is NOT passed: it must never become a
+      // table column)
+      val tgtFields = Snapshots.readVersion(spark, target, before,
+        mergeSchema = true).schema.fieldNames
+      val evolve = ups.schema.fields.filterNot(f =>
+        tgtFields.exists(_.equalsIgnoreCase(f.name))).toSeq
       val v = Mutations.mergeIntoKeys(spark, target, srcNet, keyCols, tagCol,
         whenMatchedDelete = Some(col("s.__cdc_del")),
         whenMatchedUpdate = Some((!col("s.__cdc_del"), setMap)),
         whenNotMatchedInsert = Some(!col("__cdc_del")),
-        props = props)
+        props = props,
+        evolveColumns = evolve)
       // a range whose net effect touched nothing downstream (props-only
       // source commits; deletes of keys the mirror never saw) still
       // advances the bookkeeping, or the catch-up loop never converges
@@ -388,9 +399,12 @@ object ChangeApply {
               case c => col(s"`$c`")
             }: _*))
         }
-      val replaced = (rewritten.toSeq :+ newRows.select(
-        rewritten.map(_.columns.toSeq).getOrElse(newRows.columns.toSeq)
-          .map(c => col(s"`$c`")): _*)).reduce(_.unionByName(_))
+      // allowMissingColumns BOTH ways: new segments may carry evolved
+      // source columns the touched slice predates (NULL-fill the old
+      // rows), and the touched slice may carry columns a pre-evolution
+      // feed chunk lacks
+      val replaced = (rewritten.toSeq :+ newRows)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
       val staged = Snapshots.restageLike(spark, replaced, target, tagCol)
       Snapshots.commitRewrite(target, v0, staged,
         remove = e => touchedRels.contains(e._1), props = props)

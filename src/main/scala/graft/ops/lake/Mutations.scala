@@ -198,6 +198,14 @@ object Mutations {
     * semantics quantify over every target row — scope with an AND
     * condition, the documented Delta discipline), but only files
     * CONTAINING an affected row rewrite. */
+  /** `evolveColumns` (the Delta autoMerge shape, EXPLICIT form): fields
+    * appended to the target schema for this merge — every projection
+    * (rewrite, INSERT *) emits them, target rows NULL-fill, SET/insert
+    * expressions may reference them. Explicit rather than
+    * source-minus-target because callers ride marker columns on the
+    * source frame that must NOT become table columns
+    * ([[ChangeApply]]'s `__cdc_del`). Fields already on the target are
+    * ignored. */
   def mergeIntoKeys(spark: SparkSession, table: String, source: DataFrame,
                     keyCols: Seq[String], tagCol: String,
                     whenMatchedDelete: Option[Column] = None,
@@ -206,7 +214,8 @@ object Mutations {
                     insertSelect: Map[String, Column] = Map.empty,
                     whenNotMatchedBySourceDelete: Option[Column] = None,
                     whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
-                    props: Map[String, String] = Map.empty)
+                    props: Map[String, String] = Map.empty,
+                    evolveColumns: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
                     : Long = {
     require(keyCols.nonEmpty, s"mergeIntoKeys($table): at least one key column")
     val keyCol = keyCols.head
@@ -228,9 +237,15 @@ object Mutations {
     val srcKeys = source.select(keyCols.map(col): _*).distinct().persist()
     try {
       // mergeSchema everywhere (see mergeInto) — evolved columns must
-      // survive the rewrite, and conditions may reference them
-      val tSchema = Snapshots.readVersion(spark, table, v0,
+      // survive the rewrite, and conditions may reference them.
+      // `evolveColumns` extend the OUTPUT schema: target rows NULL-fill
+      // them, so committing the rewritten/inserted files evolves the
+      // table (the same footer-union mechanics as a widening append)
+      val tSchema0 = Snapshots.readVersion(spark, table, v0,
         mergeSchema = true).schema
+      val tSchema = org.apache.spark.sql.types.StructType(
+        tSchema0.fields ++ evolveColumns.filterNot(f =>
+          tSchema0.fieldNames.exists(_.equalsIgnoreCase(f.name))))
       val tCols = tSchema.fieldNames
       // matched keys against the MERGED candidates (vector-deleted rows
       // excluded) decide inserts; stats-pruned files can't contain a

@@ -278,6 +278,39 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       s"day b's segment file must carry by name; carried=$carriedTags")
   }
 
+  test("mirrors follow source schema evolution") {
+    import spark.implicits._
+    val src = tmp("ca-ev-src")
+    val t1 = tmp("ca-ev-t1")
+    val t2 = tmp("ca-ev-t2")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "b", 2.0)), src, "day", "id"))            // v1
+    mirrorOnce(t1, src)
+    ChangeApply.mirrorScd2(spark, t2, src, Seq("id"), "day")
+    // the source EVOLVES: a widening append lands an extra column, and
+    // a later update touches a pre-evolution key
+    Snapshots.commit(src, Snapshots.stage(
+      Seq((9L, "a", 9.0, 42L)).toDF("id", "day", "v", "extra"),
+      src, "day"))                                                      // v2
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(10.0)), "day")                                     // v3
+    mirrorOnce(t1, src)
+    ChangeApply.mirrorScd2(spark, t2, src, Seq("id"), "day")
+    def full(t: String) = Mutations.readMerged(spark, t, mergeSchema = true)
+      .select("id", "day", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(full(t1) == full(src), "SCD1 mirror must evolve with the source")
+    assert(full(t1) == Set((1L, "a", 10.0, -1L), (2L, "b", 2.0, -1L),
+      (9L, "a", 9.0, 42L)))
+    val cur2 = Mutations.readMerged(spark, t2, mergeSchema = true)
+      .filter(col(ChangeApply.CurrentCol))
+      .select("id", "day", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(cur2 == full(src), "SCD2 current rows must evolve with the source")
+  }
+
   test("target rollback restores rows AND bookkeeping together; catch-up re-folds") {
     val src = tmp("ca-rb-src")
     val tgt = tmp("ca-rb-tgt")

@@ -46,10 +46,17 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
          |AS SELECT * FROM ${values(seed)}""".stripMargin)
     model = seed.map(r => r._1 -> ((r._2, r._3))).toMap
     snapshot(); check(0)
+    // CDC mirror of the model table: APPLY CHANGES interleaves with
+    // every other statement kind, and at each catch-up the mirror must
+    // equal the model — end-to-end proof that the feed + net-effect +
+    // keyed-apply chain composes with RESTORE, MERGE, OPTIMIZE,
+    // evolution, rename-and-back, and INSERT OVERWRITE
+    val mirrorT = tmp("sql-model-mirror")
+    LakeSql.register(spark, "mdlm", mirrorT, "day")
 
     for (step <- 1 to 32) {
       val tag = Seq("a", "b", "c")(rnd.nextInt(3))
-      rnd.nextInt(14) match {
+      rnd.nextInt(15) match {
         case 0 => // INSERT (explicit columns once the schema evolved —
           // positional binding demands the full union arity, per SQL)
           val rows = fresh(tag, 1 + rnd.nextInt(3))
@@ -150,19 +157,38 @@ class LakeSqlModelSpec extends AnyFunSuite with SparkFixture {
           val t0 = rnd.shuffle(model.values.map(_._1).toSeq).head
           val restated = model.toSeq.filter(_._2._1 == t0)
             .map { case (id, (d, vv)) => (id, d, vv * 2.0) } :+ fresh(t0, 1).head
+          // positional arity follows the LIVE schema, not the `evolved`
+          // flag — RESTORE can rewind to a pre-evolution snapshot
+          // (schema is snapshot-scoped), and the flag would go stale
+          val arity = spark.sql("SELECT * FROM mdl LIMIT 0").columns.length
+          val pad = Seq.fill(arity - 3)("CAST(NULL AS BIGINT)")
           spark.sql(
             s"""INSERT OVERWRITE mdl WHERE day = '$t0'
-               |SELECT ${if (evolved) "id, day, v, CAST(NULL AS BIGINT)" else "id, day, v"}
+               |SELECT ${(Seq("id", "day", "v") ++ pad).mkString(", ")}
                |FROM ${values(restated)}""".stripMargin)
           model = model.filter { case (_, (d, _)) => d != t0 } ++
             restated.map(r => r._1 -> ((r._2, r._3)))
+        case 14 => // CDC catch-up: the mirror converges to the model
+          spark.sql("APPLY CHANGES INTO mdlm FROM mdl KEYS (id)")
+          val want = model.toSeq.map { case (id, (d, v)) => (id, d, v) }.sortBy(_._1)
+          if (want.nonEmpty || Snapshots.currentVersion(mirrorT) >= 1)
+            assert(stateVia("SELECT id, day, v FROM mdlm") == want,
+              s"CDC mirror diverged at step $step")
         case _ => ()
       }
       snapshot(); check(step)
     }
 
+    // closing CDC catch-up: whatever the sequence did, the mirror ends
+    // equal to the model (and survives a VACUUM of the source, which
+    // only reclaims unreferenced history)
+    spark.sql("APPLY CHANGES INTO mdlm FROM mdl KEYS (id)")
     spark.sql("VACUUM mdl")
     check(99)
+    assert(stateVia("SELECT id, day, v FROM mdlm") ==
+      model.toSeq.map { case (id, (d, v)) => (id, d, v) }.sortBy(_._1),
+      "closing CDC mirror state")
     LakeSql.unregister(spark, "mdl")
+    LakeSql.unregister(spark, "mdlm")
   }
 }
