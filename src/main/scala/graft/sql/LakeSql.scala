@@ -357,7 +357,7 @@ object LakeStatements {
   private val ShowTables =
     """(?is)SHOW\s+GRAFT\s+TABLES""".r
   private val MergeHead =
-    """(?is)^MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
+    """(?is)^MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+""".r
   private val CreateTable =
     """(?is)CREATE\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(\s*(\w+)\s*\))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\s.+)""".r
   private val CloneTable =
@@ -1006,7 +1006,11 @@ object LakeStatements {
   private def parseMerge(spark: SparkSession, delegate: ParserInterface,
                          text: String): Option[LogicalPlan] = {
     val head = MergeHead.findFirstMatchIn(text).getOrElse(return None)
-    val (name, tgtAlias) = (head.group(1), head.group(2))
+    // WITH SCHEMA EVOLUTION (the Delta syntax): source-only columns
+    // evolve the target instead of being silently dropped by INSERT *'s
+    // by-name binding / erroring in SET expressions
+    val evolve = head.group(1) != null
+    val (name, tgtAlias) = (head.group(2), head.group(3))
     val (path, tag) = LakeSql.lookup(spark, name).getOrElse(return None)
 
     // source: balanced-paren subquery or a bare relation name
@@ -1140,18 +1144,34 @@ object LakeStatements {
           // whole statement failed resolution)
           val tCols = Snapshots.read(s, path, mergeSchema = true).columns
           val sColsLc = source.columns.map(_.toLowerCase(Locale.ROOT)).toSet
-          (c, tCols.filterNot(tc => keyCols.exists(_.equalsIgnoreCase(tc)))
+          val base = tCols.filterNot(tc => keyCols.exists(_.equalsIgnoreCase(tc)))
             .filter(tc => sColsLc.contains(tc.toLowerCase(Locale.ROOT)))
-            .map(tc => tc -> col(s"s.$tc")).toMap)
+          // WITH SCHEMA EVOLUTION: SET * also sets the source-only
+          // columns the merge is adding (the Delta behavior)
+          val added =
+            if (!evolve) Seq.empty
+            else source.columns.filterNot(sc =>
+              tCols.exists(_.equalsIgnoreCase(sc)) ||
+                keyCols.exists(_.equalsIgnoreCase(sc))).toSeq
+          (c, (base ++ added).map(tc => tc -> col(s"s.$tc")).toMap)
         }
       }
+      val evolveCols =
+        if (!evolve) Seq.empty
+        else {
+          val tLc = Snapshots.read(s, path, mergeSchema = true).columns
+            .map(_.toLowerCase(Locale.ROOT)).toSet
+          source.schema.fields
+            .filterNot(f => tLc.contains(f.name.toLowerCase(Locale.ROOT))).toSeq
+        }
       Seq(Row(Mutations.mergeIntoKeys(s, path, source, keyCols, tag,
         whenMatchedDelete = del,
         whenMatchedUpdate = updRun,
         whenNotMatchedInsert = ins,
         insertSelect = insSelFinal,
         whenNotMatchedBySourceDelete = bsDel,
-        whenNotMatchedBySourceUpdate = bsUpd)))
+        whenNotMatchedBySourceUpdate = bsUpd,
+        evolveColumns = evolveCols)))
     }))
   }
 }

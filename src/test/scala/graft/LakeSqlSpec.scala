@@ -441,6 +441,29 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("ref name"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; plain MERGE does not") {
+    import spark.implicits._
+    mk("sql-mev", "sqlmev", (1L, "a", 1.0), (2L, "a", 2.0))
+    Seq((2L, "a", 20.0, "x"), (3L, "b", 3.0, "y"))
+      .toDF("id", "day", "v", "note").createOrReplaceTempView("sqlmev_src")
+    // plain MERGE: INSERT * binds by name to the target schema — the
+    // wider source merges, `note` silently stays out (the documented
+    // exact-schema default)
+    spark.sql(
+      """MERGE INTO sqlmev t USING sqlmev_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!spark.sql("SELECT * FROM sqlmev").columns.contains("note"))
+    // WITH SCHEMA EVOLUTION: the merge adds the column — matched rows
+    // take the source value, pre-existing rows NULL-fill
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO sqlmev t USING sqlmev_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, day, v, note FROM sqlmev").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) "-" else r.getString(3))).toSet
+    assert(got == Set((1L, "a", 1.0, "-"), (2L, "a", 20.0, "x"), (3L, "b", 3.0, "y")))
+  }
+
   test("INSERT OVERWRITE: scoped replaceWhere, carry-by-name, out-of-scope abort") {
     val table = mk("sql-iow", "iowt",
       (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (20L, "c", 20.0))
