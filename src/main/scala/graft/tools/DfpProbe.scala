@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 object DfpProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // a REAL table's file count scales with data (size-bounded files);
+    // the default 128-bucket clustering caps the fixture at ~157 files
+    // at every SF, which under-states skipping at sf1+ — pass the
+    // bucket count to keep per-file key ranges scale-constant
+    val buckets = args.lift(1).map(_.toInt).getOrElse(128)
     val spark = Graft.configure(
       SparkSession.builder().master(s"local[${Graft.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -22,7 +27,8 @@ object DfpProbe {
       .withColumn("event_date", to_date(col("ts")))
       .select("event_id", "event_type", "value", "event_date")
     Snapshots.commitAll(table, Snapshots.withBloom(
-      Snapshots.stageWithStats(ev, table, "event_date", "event_id"),
+      Snapshots.stageWithStats(ev, table, "event_date", "event_id",
+        buckets = buckets),
       table, "event_id", spark))
     val all = Snapshots.entriesAll(table)
 
