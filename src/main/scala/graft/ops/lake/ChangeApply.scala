@@ -78,6 +78,13 @@ object ChangeApply {
 
   private val MetaCols = Seq("_change_type", "_commit_version")
 
+  /** Default catch-up chunk (versions per applied range). BOUNDED by
+    * default — the feed's union plan is O(versions in range), so the
+    * uncapped form is the opt-in, not the default (a mirror that slept
+    * through 10⁴ commits should not discover the plan blow-up in
+    * production). Chunked ≡ one-shot (spec-pinned). */
+  val DefaultMaxVersionsPerBatch: Int = 256
+
   def appliedVersion(target: String): Long =
     Snapshots.snapshotProps(target, Snapshots.currentVersion(target))
       .get(AppliedProp).map(_.toLong).getOrElse(0L)
@@ -285,7 +292,7 @@ object ChangeApply {
   def mirror(spark: SparkSession, target: String, src: String,
              keyCols: Seq[String], tagCol: String,
              statsCols: Option[Seq[String]] = None,
-             maxVersionsPerBatch: Int = Int.MaxValue): Long = {
+             maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long = {
     require(maxVersionsPerBatch >= 1, "mirror: maxVersionsPerBatch must be >= 1")
     val to = Snapshots.currentVersion(src)
     var from = appliedVersion(target)
@@ -415,7 +422,7 @@ object ChangeApply {
     * contract as [[mirror]]. */
   def mirrorScd2(spark: SparkSession, target: String, src: String,
                  keyCols: Seq[String], tagCol: String,
-                 maxVersionsPerBatch: Int = Int.MaxValue): Long = {
+                 maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long = {
     require(maxVersionsPerBatch >= 1, "mirrorScd2: maxVersionsPerBatch must be >= 1")
     val to = Snapshots.currentVersion(src)
     var from = appliedVersion(target)

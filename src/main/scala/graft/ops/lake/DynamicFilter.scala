@@ -1,6 +1,6 @@
 package graft.ops.lake
 
-import graft.engine.{Exact, Graft, QueryDef, Tables}
+import graft.engine.{Caching, Exact, Graft, QueryDef, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
@@ -88,8 +88,12 @@ object DynamicFilter {
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"prunedJoin: file-pruning the fact side is only sound for " +
         s"inner/left_semi joins, got '$joinType'")
+    // persisted: the (already-filtered, selective) dim is evaluated for
+    // the key collect AND as the probe/build side of the join — an
+    // expensive dim subquery must not run twice
+    val dimP = Caching.persist(dim)
     val (pred, keysOpt) =
-      keyPrune(spark, factTable, factKey, dim, dimKey, maxKeys, factTagCol)
+      keyPrune(spark, factTable, factKey, dimP, dimKey, maxKeys, factTagCol)
     val fact = Mutations.readMerged(spark, factTable,
       fileFilter = pred, mergeSchema = true)
     val filtered = keysOpt match {
@@ -100,9 +104,9 @@ object DynamicFilter {
       case None => fact
     }
     if (jt == "inner")
-      filtered.join(dim, filtered(factKey) === dim(dimKey), "inner")
+      filtered.join(dimP, filtered(factKey) === dimP(dimKey), "inner")
     else
-      filtered.join(dim, filtered(factKey) === dim(dimKey), "left_semi")
+      filtered.join(dimP, filtered(factKey) === dimP(dimKey), "left_semi")
   }
 
   // ---- oracle-gated exercise ---------------------------------------
