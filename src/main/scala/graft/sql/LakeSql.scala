@@ -707,6 +707,19 @@ object LakeStatements {
                 .select(schema.map(f =>
                   org.apache.spark.sql.functions.col(f.name)
                     .cast(f.dataType).as(f.name)): _*)
+              // a SYNTHETIC tag (CONVERTed file: tag = file id, not a
+              // partition value) can hold in-scope rows but never
+              // matches the WHERE tag — a scoped overwrite would leave
+              // them in place beside the replacement (duplicates).
+              // Refuse BEFORE staging and point at OPTIMIZE, whose
+              // restage derives real tags.
+              require(scope.isEmpty || !Snapshots.entriesAll(path).exists(
+                  _.props.contains(Snapshots.TagSyntheticProp)),
+                s"INSERT OVERWRITE $name WHERE …: the table has " +
+                  "CONVERTed files whose partition values are not yet " +
+                  s"derived — run OPTIMIZE $name first (a scoped " +
+                  "overwrite cannot tell which converted files hold " +
+                  "in-scope rows)")
               val staged = Snapshots.restageLike(s, aligned, path, tag)
               scope match {
                 case Some(in) =>

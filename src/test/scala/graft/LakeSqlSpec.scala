@@ -498,6 +498,18 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception] {
       spark.sql("INSERT OVERWRITE iowt WHERE v = '7.0' SELECT 8, 'z', 8.0")
     }
+    // SCOPED overwrite on a CONVERTed table refuses: synthetic-tagged
+    // files can hold in-scope rows but never match the WHERE tag — a
+    // silent pass would leave duplicates beside the replacement
+    val loc = tmp("sql-iow-conv")
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.mode("append").parquet(loc)
+    spark.sql(s"CONVERT TO GRAFT TABLE iowconv LOCATION '$loc' PARTITIONED BY (day)")
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE iowconv WHERE day = 'a' SELECT 9, 'a', 9.0")
+    }
+    // whole-table overwrite stays sound on converted layouts
+    spark.sql("INSERT OVERWRITE iowconv SELECT 9, 'a', 9.0")
+    assert(content("SELECT id, day, v FROM iowconv") == Seq((9L, "a", 9.0)))
   }
 
   test("APPLY CHANGES INTO: SCD1 and SCD2 CDC catch-up through SQL") {
