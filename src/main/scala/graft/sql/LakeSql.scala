@@ -383,6 +383,8 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+DROP\s+REF\s+([A-Za-z0-9._-]+)""".r
   private val ShowRefs =
     """(?is)SHOW\s+REFS\s+(\w+)""".r
+  private val ShowPartitions =
+    """(?is)SHOW\s+PARTITIONS\s+(\w+)""".r
   // strict whole-list shapes, the OPTIMIZE IN discipline: malformed
   // items reject the statement rather than silently narrowing it
   private val PropPairsRe =
@@ -897,6 +899,26 @@ object LakeStatements {
           LakeCommand("SHOW REFS",
             attrs("name" -> StringType, "version" -> LongType), _ =>
               Snapshots.refs(path).toSeq.sorted.map { case (n, v) => Row(n, v) })
+        }
+        // partition inventory as a PURE manifest fold (tag, file count,
+        // live rows = Σ rows − dv.rows where every entry carries the
+        // r11 row-count props; -1 when any entry predates them —
+        // honest unknown beats a surprise distributed count)
+        case ShowPartitions(name) => lookup(name).map { case (path, tag) =>
+          LakeCommand("SHOW PARTITIONS",
+            attrs("partition" -> StringType, "num_files" -> LongType,
+              "num_rows" -> LongType), _ => {
+              Snapshots.entriesAll(path).groupBy(_.tag).toSeq.sortBy(_._1)
+                .map { case (t, es) =>
+                  val rows =
+                    if (es.forall(_.props.contains(Snapshots.RowsProp)))
+                      es.map(e => e.props(Snapshots.RowsProp).toLong -
+                        e.props.get(Snapshots.DvRowsProp)
+                          .map(_.toLong).getOrElse(0L)).sum
+                    else -1L
+                  Row(t, es.size.toLong, rows)
+                }
+            })
         }
         case _ => None
       }

@@ -441,6 +441,27 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("ref name"))
   }
 
+  test("SHOW PARTITIONS: pure manifest fold, DV-aware live rows") {
+    mk("sql-shp", "shpt",
+      (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
+    spark.sql("DELETE FROM shpt WHERE id = 2") // DV: day a drops to 1 live row
+    val got = spark.sql("SHOW PARTITIONS shpt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(x => (x._1, x._3)) == Seq(("a", 1L), ("b", 1L)),
+      s"got $got")
+    assert(got.forall(_._2 >= 1L))
+    // the answer is a manifest fold: it survives the data file being
+    // unreadable (same discipline as the DESCRIBE DETAIL spec)
+    val (path, _) = graft.sql.LakeSql.lookup(spark, "shpt").get
+    val rel = Snapshots.entriesAll(path).head.rel
+    val f = new java.io.File(path, rel)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    try {
+      java.nio.file.Files.write(f.toPath, Array[Byte](0, 1, 2))
+      assert(spark.sql("SHOW PARTITIONS shpt").count() == 2L)
+    } finally java.nio.file.Files.write(f.toPath, bytes)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; plain MERGE does not") {
     import spark.implicits._
     mk("sql-mev", "sqlmev", (1L, "a", 1.0), (2L, "a", 2.0))
