@@ -450,7 +450,42 @@ object LakeSqlQueries {
       |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
       |FROM final GROUP BY event_date ORDER BY event_date""".stripMargin
 
+  /** s52: the s48 CDC-mirror flow driven ENTIRELY through SQL — every
+    * mutation (UPDATE, DV DELETE, three-clause MERGE) and both
+    * catch-ups (`APPLY CHANGES INTO`) are statements, and the final
+    * aggregate reads the MIRROR through the resolution rule; proves
+    * the parser → command → ChangeApply lowering end to end against
+    * the same DuckDB restatement as the DataFrame-API twin. */
+  def sqlApplyChanges(spark: SparkSession, dir: String): DataFrame = {
+    val srcT = freshTable("s52-src-", dir)
+    val tgtT = freshTable("s52-tgt-", dir)
+    Snapshots.commitAll(srcT, Snapshots.stageWithStats(
+      eventsSlim(spark, dir).filter(col("event_date") <= "2024-01-20"),
+      srcT, "event_date", "event_id"))                                 // v1
+    LakeSql.register(spark, "s52src", srcT, "event_date")
+    LakeSql.register(spark, "s52tgt", tgtT, "event_date")
+    spark.sql("APPLY CHANGES INTO s52tgt FROM s52src KEYS (event_id)")
+    spark.sql("UPDATE s52src SET value = value + 100.0 WHERE event_type = 'click'")
+    spark.sql("DELETE FROM s52src WHERE event_type = 'error'")
+    eventsSlim(spark, dir)
+      .filter(col("event_date").between("2024-01-18", "2024-01-25"))
+      .withColumn("value", col("value") + 1000.0)
+      .createOrReplaceTempView("s52_merge_src")
+    spark.sql(
+      """MERGE INTO s52src t USING s52_merge_src s ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("APPLY CHANGES INTO s52tgt FROM s52src KEYS (event_id)")
+    spark.sql(
+      s"""SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s52tgt GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
+  lazy val sqlApplyChangesOracle: String =
+    graft.ops.lake.ChangeApply.cdcMirrorOracle
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s52_sql_apply_changes", sqlApplyChangesOracle)(sqlApplyChanges),
     QueryDef.sql("s51_sql_insert_overwrite", sqlInsertOverwriteOracle)(sqlInsertOverwrite),
     QueryDef.sql("s45_sql_meta_count", sqlMetaCountOracle)(sqlMetaCount),
     QueryDef.sql("s46_sql_null_prefix", sqlNullPrefixOracle)(sqlNullPrefix),
