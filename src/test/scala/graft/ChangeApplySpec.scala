@@ -402,6 +402,45 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> Map("k" -> "v"), 2L -> Map("x" -> "y")))
   }
 
+  test("mirror polling races a live writer: every poll applies a consistent prefix") {
+    val src = tmp("ca-race-src")
+    val tgt = tmp("ca-race-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0)), src, "day", "id"))
+    // writer thread: 12 sequential commits (appends + updates) while
+    // the main thread polls the mirror — each poll pins its own
+    // (applied, current] range over the immutable log, so a mid-commit
+    // poll sees a consistent prefix, never a torn batch
+    val writer = new Thread(() => {
+      for (i <- 2 to 13) {
+        if (i % 3 == 0)
+          Mutations.updateWhere(spark, src, col("id") === 1L,
+            Map("v" -> lit(i.toDouble)), "day")
+        else
+          Snapshots.commitAll(src, Snapshots.stageWithStats(
+            df((i.toLong, "a", i.toDouble)), src, "day", "id"))
+        Thread.sleep(15)
+      }
+    })
+    writer.start()
+    try {
+      while (writer.isAlive) {
+        mirrorOnce(tgt, src)
+        // invariant at EVERY poll: the mirror equals the snapshot it
+        // claims to have applied (not necessarily the live one)
+        val applied = ChangeApply.appliedVersion(tgt)
+        if (applied >= 1) {
+          val want = rows(Mutations.readMerged(spark, src, version = applied))
+          assert(rows(Snapshots.read(spark, tgt)) == want,
+            s"mirror at applied=$applied diverged from that snapshot")
+        }
+      }
+    } finally writer.join()
+    mirrorOnce(tgt, src)
+    assert(rows(Snapshots.read(spark, tgt)) == rows(Mutations.readMerged(spark, src)))
+    assert(ChangeApply.appliedVersion(tgt) == Snapshots.currentVersion(src))
+  }
+
   test("randomized model: mirror + SCD2 current rows track the source") {
     val rnd = new scala.util.Random(411)
     val src = tmp("ca-rnd-src")
