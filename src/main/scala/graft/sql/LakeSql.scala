@@ -22,15 +22,20 @@ import org.apache.spark.sql.types._
   * `SparkSessionExtensions` injection points:
   *
   *   - `injectParser` → [[LakeSqlParser]]: a DELEGATING parser that
-  *     recognizes the lake DML/maintenance statements (`MERGE INTO`,
-  *     `DELETE FROM`, `UPDATE`, `INSERT INTO`, `CREATE GRAFT TABLE …
-  *     LOCATION … PARTITIONED BY … AS SELECT`, `ALTER GRAFT TABLE
-  *     ADD/DROP CONSTRAINT`, `VACUUM [RETAIN n VERSIONS|HOURS]`, `OPTIMIZE
-  *     [ZORDER BY]`, `DESCRIBE HISTORY`, `DESCRIBE DETAIL`,
-  *     `RESTORE … TO VERSION AS OF`, `SHOW GRAFT TABLES`) over
-  *     REGISTERED lake tables and hands everything else — including
-  *     every statement over non-registered names — verbatim to
-  *     Spark's parser. Statements become [[LakeCommand]] leaf plans.
+  *     recognizes the lake DML/maintenance statements (`MERGE [WITH
+  *     SCHEMA EVOLUTION] INTO`, `DELETE FROM`, `UPDATE`, `INSERT INTO
+  *     [(cols)]`, `INSERT OVERWRITE [WHERE tag…]`, `APPLY CHANGES INTO
+  *     … FROM … KEYS (…) [SCD TYPE 2]`, `CREATE GRAFT TABLE … LOCATION
+  *     … PARTITIONED BY … AS SELECT`, `… SHALLOW CLONE …`, `CONVERT TO
+  *     GRAFT TABLE`, `ALTER GRAFT TABLE ADD/DROP CONSTRAINT | RENAME/
+  *     DROP COLUMN | SET/UNSET TBLPROPERTIES | CREATE/DROP REF`,
+  *     `VACUUM [RETAIN n VERSIONS|HOURS] [DRY RUN]`, `OPTIMIZE [ZORDER
+  *     BY | MANIFESTS] [WHERE tag…]`, `DESCRIBE HISTORY|DETAIL`,
+  *     `RESTORE … TO VERSION|TIMESTAMP AS OF`, `SHOW GRAFT TABLES |
+  *     PARTITIONS | REFS | TBLPROPERTIES`) over REGISTERED lake tables
+  *     and hands everything else — including every statement over
+  *     non-registered names — verbatim to Spark's parser. Statements
+  *     become [[LakeCommand]] leaf plans.
   *   - `injectResolutionRule` → [[LakeRelationRule]]: registered table
   *     NAMES resolve inside ordinary `spark.sql` SELECTs — including
   *     Spark's native `VERSION AS OF` / `TIMESTAMP AS OF` time-travel
