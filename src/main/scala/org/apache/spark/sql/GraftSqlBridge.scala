@@ -35,4 +35,15 @@ object GraftSqlBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse doorway, for a DSv1 streaming SINK: `addBatch` hands a
+    * streaming-tagged DataFrame that batch writers refuse; re-wrap its
+    * computed rows as a BATCH frame (the same move ForeachBatchSink and
+    * the built-in file sink make — the rows are already materialized by
+    * the micro-batch's plan, only the streaming flag must drop). */
+  def batchDataFrame(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.DataFrame]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -84,6 +84,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got().size == 6, "an idle restart must emit no rows")
   }
 
+  test("graft sink: exactly-once lake commits from a stream; source→sink loop") {
+    import graft.ops.lake.{Mutations, Snapshots}
+    import spark.implicits._
+    val src = tmp("gsink-src")
+    val dst = tmp("gsink-dst")
+    val ckpt = tmp("gsink-ckpt")
+    def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
+
+    Snapshots.commit(src, Snapshots.stage(
+      df3((1L, "a", 1.0), (2L, "b", 2.0)), src, "day"))        // v1
+    Mutations.deleteWhere(spark, src, col("id") === 2)          // v2 (DV)
+
+    // the full loop: lake CDF source → lake sink, one AvailableNow drain
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes").load(src)
+        .writeStream.format("graft").option("tagCol", "day")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    def got(): Seq[(Long, String)] =
+      Snapshots.read(spark, dst).select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    drain()
+    assert(got() == Seq((1L, "insert")),
+      "bootstrap batch = the live snapshot as inserts, vectors applied")
+    val vAfterFirst = Snapshots.currentVersion(dst)
+    // replayed drain with nothing new: NO new sink version (the
+    // batchId+1 idempotency — a restarted query cannot double-commit)
+    drain()
+    assert(Snapshots.currentVersion(dst) == vAfterFirst)
+    assert(got() == Seq((1L, "insert")))
+    // the source mutates; the next drain appends exactly the delta, and
+    // the sink table is a REAL lake table (versioned, time-travelable)
+    Snapshots.commit(src, Snapshots.stage(df3((3L, "c", 3.0)), src, "day"))
+    drain()
+    assert(got() == Seq((1L, "insert"), (3L, "insert")))
+    assert(Snapshots.currentVersion(dst) > vAfterFirst)
+    assert(Snapshots.readVersion(spark, dst, vAfterFirst).count() == 1L,
+      "earlier sink versions stay readable (it is a snapshot table)")
+    // update/complete modes are refused loudly
+    import org.apache.spark.sql.functions.{count => fcount}
+    intercept[Exception] {
+      spark.readStream.format("graft-changes").load(src)
+        .groupBy($"day").agg(fcount($"id").as("n"))
+        .writeStream.format("graft").option("tagCol", "day")
+        .option("checkpointLocation", tmp("gsink-ckpt2"))
+        .outputMode("complete").start(tmp("gsink-dst2"))
+    }
+  }
+
   test("change-feed source fails loudly when a pinned column is renamed mid-stream") {
     import graft.ops.lake.Snapshots
     import spark.implicits._
