@@ -137,6 +137,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graft sink composes: stream → bronze lake → CDC-mirrored silver") {
+    import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
+    import spark.implicits._
+    val in = tmp("gsink2-in")
+    val bronze = tmp("gsink2-bronze")
+    val silver = tmp("gsink2-silver")
+    val ckpt = tmp("gsink2-ckpt")
+    def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
+
+    // batch 1 of raw files → graft sink (tag via .partitionBy — the
+    // alternative to the tagCol option)
+    df3((1L, "a", 1.0), (2L, "b", 2.0)).write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(df3().schema).parquet(in)
+        .writeStream.format("graft").partitionBy("day")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(bronze)
+      q.awaitTermination()
+    }
+    drain()
+    // silver mirrors bronze through the CDC apply (keyed sync)
+    ChangeApply.mirror(spark, silver, bronze, Seq("id"), "day")
+    assert(Snapshots.read(spark, silver).count() == 2L)
+    // more raw files land; one bronze key is corrected via DV delete —
+    // the silver catch-up folds BOTH the appended batch and the delete
+    df3((3L, "c", 3.0)).write.mode("append").parquet(in)
+    drain()
+    Mutations.deleteWhere(spark, bronze, col("id") === 2)
+    ChangeApply.mirror(spark, silver, bronze, Seq("id"), "day")
+    val got = Snapshots.read(spark, silver).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+    assert(ChangeApply.appliedVersion(silver) == Snapshots.currentVersion(bronze))
+  }
+
   test("change-feed source fails loudly when a pinned column is renamed mid-stream") {
     import graft.ops.lake.Snapshots
     import spark.implicits._
