@@ -36,6 +36,7 @@ object SparkEntry {
       graft.ops.lake.Mutations.queries ++
       graft.ops.lake.ChangeApply.queries ++
       graft.ops.lake.DynamicFilter.queries ++
+      graft.ops.lake.CopyInto.queries ++
       graft.sql.LakeSqlQueries.queries ++
       graft.sources.PagesSource.queries
 

@@ -2,7 +2,7 @@ package graft.sql
 
 import java.util.Locale
 
-import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
+import graft.ops.lake.{ChangeApply, CopyInto, Mutations, Snapshots}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
@@ -408,6 +408,8 @@ object LakeStatements {
     """(?is)CONVERT\s+TO\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(([^)]*)\))?""".r
   private val ApplyChangesRe =
     """(?is)APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(\w+)\s+KEYS\s*\(([^)]+)\)(?:\s+SCD\s+TYPE\s+(\d+))?""".r
+  private val CopyIntoRe =
+    """(?is)COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=?\s*(\w+))?""".r
 
   private val versionOut = attrs("version" -> LongType)
 
@@ -589,6 +591,16 @@ object LakeStatements {
         case _ => None
       }
       case "MERGE" => parseMerge(spark, delegate, text)
+      // idempotent incremental file ingestion (the Delta COPY INTO
+      // verb): re-runs load only files that arrived since the last run
+      case "COPY" => text match {
+        case CopyIntoRe(name, dir, fmt) => lookup(name).map { case (path, tag) =>
+          LakeCommand("COPY INTO", versionOut, s =>
+            Seq(Row(CopyInto.copyInto(s, path, dir, tag,
+              Option(fmt).map(_.toLowerCase(Locale.ROOT)).getOrElse("parquet")))))
+        }
+        case _ => None
+      }
       // CDC catch-up (the Databricks APPLY CHANGES INTO verb): fold the
       // source's change feed into the target exactly once — SCD TYPE 1
       // (default, converge to the live rows) or SCD TYPE 2 (history

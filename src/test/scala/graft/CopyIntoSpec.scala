@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.lake.{CopyInto, Mutations, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COPY INTO contracts: re-runs ingest only new files; the applied-
+  * batch cursor survives unrelated commits (it is table metadata, not
+  * checkpoint state); and the crash window between a batch's commit
+  * and the checkpoint write replays WITHOUT duplicating — the exact
+  * failure the `tbl.copy.applied` bookkeeping exists for. */
+class CopyIntoSpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  private def rows(t: String): Seq[(Long, String, Double)] =
+    Mutations.readMerged(spark, t).select("id", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+
+  test("idempotent re-runs; cursor survives unrelated DML; crash-window replay") {
+    val table = tmp("copy-tbl")
+    val src = tmp("copy-src")
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.mode("append").parquet(src)
+
+    CopyInto.copyInto(spark, table, src, "day")
+    assert(rows(table) == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(CopyInto.appliedBatch(table, src) == 0L)
+
+    // re-run with nothing new: no commit at all
+    val v1 = Snapshots.currentVersion(table)
+    CopyInto.copyInto(spark, table, src, "day")
+    assert(Snapshots.currentVersion(table) == v1)
+
+    // unrelated DML between runs must not reset the cursor (tbl.-
+    // namespace props inherit across every commit)
+    Mutations.deleteWhere(spark, table, col("id") === 2L)
+    assert(CopyInto.appliedBatch(table, src) == 0L)
+
+    // crash-window simulation: snapshot the checkpoint BEFORE the next
+    // batch, run it (commit + checkpoint advance), then restore the
+    // stale checkpoint — the re-drain replays the same batchId and the
+    // bookkeeping must skip it (rows committed once, not twice)
+    val ckpt = new java.io.File(table, "_copy")
+    val saved = tmp("copy-ckpt-saved")
+    def copyDir(a: java.io.File, b: java.io.File): Unit = {
+      b.mkdirs()
+      Option(a.listFiles()).toSeq.flatten.foreach { f =>
+        val d = new java.io.File(b, f.getName)
+        if (f.isDirectory) copyDir(f, d)
+        else java.nio.file.Files.copy(f.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyDir(ckpt, new java.io.File(saved))
+    df((3L, "c", 3.0)).write.mode("append").parquet(src)
+    CopyInto.copyInto(spark, table, src, "day")
+    assert(rows(table) == Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+    assert(CopyInto.appliedBatch(table, src) == 1L)
+    // restore the pre-batch checkpoint: the table remembers batch 1,
+    // the checkpoint does not — replay must be a no-op
+    def deleteDir(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteDir); f.delete()
+    }
+    deleteDir(ckpt)
+    copyDir(new java.io.File(saved), ckpt)
+    val v2 = Snapshots.currentVersion(table)
+    CopyInto.copyInto(spark, table, src, "day")
+    assert(rows(table) == Seq((1L, "a", 1.0), (3L, "c", 3.0)),
+      "a replayed batch must not duplicate rows")
+    assert(Snapshots.currentVersion(table) == v2,
+      "a replayed batch must not commit a new version")
+
+    // after the replayed drain the checkpoint has re-advanced: genuinely
+    // new files keep flowing
+    df((4L, "d", 4.0)).write.mode("append").parquet(src)
+    CopyInto.copyInto(spark, table, src, "day")
+    assert(rows(table) ==
+      Seq((1L, "a", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    assert(CopyInto.appliedBatch(table, src) == 2L)
+
+    // two sources, independent cursors
+    val src2 = tmp("copy-src2")
+    df((9L, "z", 9.0)).write.mode("append").parquet(src2)
+    CopyInto.copyInto(spark, table, src2, "day")
+    assert(rows(table).map(_._1) == Seq(1L, 3L, 4L, 9L))
+    assert(CopyInto.appliedBatch(table, src) == 2L)
+    assert(CopyInto.appliedBatch(table, src2) == 0L)
+  }
+}

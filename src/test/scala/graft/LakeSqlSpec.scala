@@ -441,6 +441,22 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("ref name"))
   }
 
+  test("COPY INTO through SQL: incremental, idempotent") {
+    val table = tmp("sql-copy-tbl")
+    val src = tmp("sql-copy-src")
+    LakeSql.register(spark, "cpyt", table, "day")
+    df((1L, "a", 1.0)).write.mode("append").parquet(src)
+    val v = spark.sql(s"COPY INTO cpyt FROM '$src'").collect().head.getLong(0)
+    assert(v == 1L)
+    assert(content("SELECT id, day, v FROM cpyt") == Seq((1L, "a", 1.0)))
+    // re-run: nothing new, no commit
+    assert(spark.sql(s"COPY INTO cpyt FROM '$src'").collect().head.getLong(0) == 1L)
+    df((2L, "b", 2.0)).write.mode("append").parquet(src)
+    spark.sql(s"COPY INTO cpyt FROM '$src'")
+    assert(content("SELECT id, day, v FROM cpyt") ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
   test("SHOW PARTITIONS: pure manifest fold, DV-aware live rows") {
     mk("sql-shp", "shpt",
       (1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0))
