@@ -56,6 +56,25 @@ object CopyInto {
     Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
       .get(appliedKey(srcDir)).map(_.toLong).getOrElse(-1L)
 
+  /** RESTORE interplay: rolling the table back across copy commits
+    * rewinds the cursor WITH the rows (rollback restores the old
+    * props), but the file-source CHECKPOINT does not rewind — it still
+    * considers the rolled-back batches' files seen, so a plain re-run
+    * would silently never re-ingest them. After such a rollback, reset
+    * the cursor: drops both the checkpoint and the applied-batch prop,
+    * so the next [[copyInto]] re-reads the whole directory as batch 0
+    * against a table that no longer holds any of its rows. Only sound
+    * when the rollback removed EVERY copy commit from this source —
+    * resetting a cursor whose rows partially survive duplicates them
+    * (the same discipline Delta documents for COPY INTO + RESTORE). */
+  def resetCursor(table: String, srcDir: String): Long = {
+    def deleteDir(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteDir); f.delete()
+    }
+    deleteDir(new java.io.File(table, s"_copy/${sourceHash(srcDir)}"))
+    Snapshots.commitProps(table, Map.empty, unset = Set(appliedKey(srcDir)))
+  }
+
   /** Run one COPY INTO pass: drain every not-yet-seen file under
     * `srcDir` into `table`. Returns the table's version after the
     * drain (unchanged when nothing new). `format` is any Spark batch/

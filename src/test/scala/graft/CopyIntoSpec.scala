@@ -89,4 +89,29 @@ class CopyIntoSpec extends AnyFunSuite with SparkFixture {
     assert(CopyInto.appliedBatch(table, src) == 2L)
     assert(CopyInto.appliedBatch(table, src2) == 0L)
   }
+
+  test("RESTORE across copy commits: resetCursor re-bootstraps cleanly") {
+    val table = tmp("copy-rb-tbl")
+    val src = tmp("copy-rb-src")
+    // v1 = a non-copy baseline, so the rollback target holds no copy rows
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((100L, "x", 100.0)), table, "day", "id"))
+    df((1L, "a", 1.0)).write.mode("append").parquet(src)
+    CopyInto.copyInto(spark, table, src, "day")                       // v2
+    df((2L, "b", 2.0)).write.mode("append").parquet(src)
+    CopyInto.copyInto(spark, table, src, "day")                       // v3
+    assert(rows(table).map(_._1) == Seq(1L, 2L, 100L))
+    // roll back past EVERY copy commit: rows and cursor rewind together,
+    // but the checkpoint still considers both files seen — a plain
+    // re-run must NOT silently skip them forever; resetCursor is the
+    // documented recovery
+    Snapshots.rollback(table, 1L)
+    assert(rows(table).map(_._1) == Seq(100L))
+    assert(CopyInto.appliedBatch(table, src) == -1L,
+      "rollback rewinds the cursor with the rows")
+    CopyInto.resetCursor(table, src)
+    CopyInto.copyInto(spark, table, src, "day")
+    assert(rows(table).map(_._1) == Seq(1L, 2L, 100L),
+      "reset + re-run re-ingests the full directory exactly once")
+  }
 }
