@@ -297,10 +297,23 @@ object ChangeApply {
     val to = Snapshots.currentVersion(src)
     var from = appliedVersion(target)
     var v = Snapshots.currentVersion(target)
+    var width = maxVersionsPerBatch.toLong
     while (from < to) {
-      val step = math.min(from + maxVersionsPerBatch.toLong, to)
+      val step = math.min(from + width, to)
       v = applyOnce(spark, target, src, keyCols, tagCol, from, step, statsCols)
-      from = step
+      // an UN-BOOTSTRAPPED target stays at version 0 across a chunk
+      // whose net effect has no inserts — applyOnce deliberately did
+      // NOT record the applied version (zero-file snapshots are a
+      // format non-goal), so the cursor must not advance either: the
+      // next chunk WIDENS over the same start instead (or the gap-free
+      // guard would wedge every retry on an insert-then-wipe prefix
+      // wider than one chunk). Once the whole range has been folded
+      // and still nets to nothing, stop — the table legitimately stays
+      // at version 0 and the next catch-up re-folds from scratch.
+      if (appliedVersion(target) >= step) {
+        from = step; width = maxVersionsPerBatch.toLong
+      } else if (step == to) from = to
+      else width += maxVersionsPerBatch.toLong
     }
     if (from > to) // recreated-source detection still fires on a stale cursor
       applyOnce(spark, target, src, keyCols, tagCol, from, to, statsCols)
@@ -427,10 +440,17 @@ object ChangeApply {
     val to = Snapshots.currentVersion(src)
     var from = appliedVersion(target)
     var v = Snapshots.currentVersion(target)
+    var width = maxVersionsPerBatch.toLong
     while (from < to) {
-      val step = math.min(from + maxVersionsPerBatch.toLong, to)
+      val step = math.min(from + width, to)
       v = applyScd2Once(spark, target, src, keyCols, tagCol, from, step)
-      from = step
+      // same un-bootstrapped widening as [[mirror]]: a net-empty chunk
+      // on a version-0 target records nothing, so the cursor holds and
+      // the next chunk widens instead of wedging the gap-free guard
+      if (appliedVersion(target) >= step) {
+        from = step; width = maxVersionsPerBatch.toLong
+      } else if (step == to) from = to
+      else width += maxVersionsPerBatch.toLong
     }
     if (from > to)
       applyScd2Once(spark, target, src, keyCols, tagCol, from, to)

@@ -43,9 +43,16 @@ import org.apache.spark.sql.streaming.Trigger
   * day prefixes on every run — this is the incremental form. */
 object CopyInto {
 
-  private[lake] def sourceHash(srcDir: String): String =
+  /** Cursor identity for a source directory — CANONICALIZED first
+    * (absolute, symlink- and dot-segment-free), so `/data/in`,
+    * `/data/in/` and a relative spelling of the same directory share
+    * ONE cursor: spelling variance must not mint a fresh seen-files
+    * log and silently re-ingest everything. */
+  private[lake] def sourceHash(srcDir: String): String = {
+    val canon = new java.io.File(srcDir).getCanonicalPath
     java.security.MessageDigest.getInstance("MD5")
-      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
 
   /** Applied-batch prop key for `srcDir`'s cursor. */
   private[lake] def appliedKey(srcDir: String): String =

@@ -245,14 +245,15 @@ object Snapshots {
     commitAll(table, entries)
   }
 
-  /** Newest version whose snapshot file's mtime is <= `t` (0 when
+  /** Newest EXISTING version published at or before `t` (0 when
     * none) — O(log #commits) stats; publish times are monotonic with
-    * version, and a vacuumed PREFIX stats as mtime 0, which keeps the
-    * sequence monotone. A MID-LOG gap (missing version between real
-    * ones) can make the search land on the gap itself — identical to
-    * the pre-r11 linear `filter(mtime <= t).max`, which also admitted
-    * missing files' mtime-0; [[versionAtTime]] callers then fail at
-    * read time, loudly. Retention arithmetic must NOT use this (see
+    * version. A MID-LOG gap (missing version between real ones) stats
+    * as mtime 0 (i.e. "true") and can make the raw search land on the
+    * gap itself — a phantom version that fails at read time with a
+    * confusing missing-snapshot error — so the landing point walks
+    * down to the nearest version that both exists and satisfies the
+    * predicate (the same gap discipline getBatch/changesAttributed
+    * apply). Retention arithmetic must NOT use this (see
     * [[versionsSince]]). */
   private def latestAtOrBefore(table: String, t: Long): Long = {
     val cur = currentVersion(table)
@@ -262,6 +263,9 @@ object Snapshots {
       if (snapFile(table, mid).lastModified() <= t) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
+    while (ans > 0 && {
+      val f = snapFile(table, ans); !f.exists() || f.lastModified() > t
+    }) ans -= 1
     ans
   }
 
@@ -659,8 +663,15 @@ object Snapshots {
                   unset: Set[String] = Set.empty): Long = {
     val v = currentVersion(table)
     require(v >= 1, s"commitProps($table): no committed snapshot")
+    // bookkeeping markers (mv./cdc.) ARE carried here, unlike data
+    // commits: a props-only commit re-publishes the folded rows
+    // byte-identically, so the applied-version markers stay true by
+    // construction — stripping them instead would permanently wedge a
+    // mirror behind an innocuous SET TBLPROPERTIES (the fromV=0
+    // bootstrap guard reads a dropped marker as a broken chain)
     val carried = snapshotProps(table, v)
-      .filter { case (k, _) => InheritedPropPrefixes.exists(k.startsWith) }
+      .filter { case (k, _) =>
+        (InheritedPropPrefixes ++ BookkeepingPropPrefixes).exists(k.startsWith) }
     commitPrepared(
       Prepared(table, v + 1, manifestList(table, v).map(_._1)),
       props = (carried -- unset) ++ set, inherit = false)

@@ -407,7 +407,7 @@ object LakeStatements {
   private val ConvertTable =
     """(?is)CONVERT\s+TO\s+GRAFT\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\)(?:\s+STATS\s+BY\s*\(([^)]*)\))?""".r
   private val ApplyChangesRe =
-    """(?is)APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(\w+)\s+KEYS\s*\(([^)]+)\)(?:\s+SCD\s+TYPE\s+(\d+))?""".r
+    """(?is)APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(\w+)\s+KEYS\s*\(([^)]+)\)(?:\s+SCD\s+TYPE\s+(\d+))?(?:\s+MAX\s+VERSIONS\s+PER\s+BATCH\s+(\d+))?""".r
   private val CopyIntoRe =
     """(?is)COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=?\s*(\w+))?""".r
 
@@ -607,7 +607,7 @@ object LakeStatements {
       // segments). Both names must be registered lake tables; the
       // target's own registered tag column partitions the apply.
       case "APPLY" => text match {
-        case ApplyChangesRe(tgtName, srcName, keys, scd) =>
+        case ApplyChangesRe(tgtName, srcName, keys, scd, maxPer) =>
           for {
             (tgtPath, tgtTag) <- lookup(tgtName)
             (srcPath, _) <- lookup(srcName)
@@ -620,12 +620,21 @@ object LakeStatements {
             val scdType = Option(scd).getOrElse("1")
             require(scdType == "1" || scdType == "2",
               s"APPLY CHANGES INTO $tgtName: SCD TYPE must be 1 or 2, got $scdType")
+            // MAX VERSIONS PER BATCH n overrides the catch-up chunk cap
+            // (a SQL-only user tuning a mirror that slept through many
+            // source commits)
+            val cap = Option(maxPer).map(_.toInt)
+              .getOrElse(ChangeApply.DefaultMaxVersionsPerBatch)
+            require(cap >= 1,
+              s"APPLY CHANGES INTO $tgtName: MAX VERSIONS PER BATCH must be >= 1")
             LakeCommand("APPLY CHANGES",
               attrs("version" -> LongType, "applied" -> LongType), s => {
                 val v =
                   if (scdType == "2")
-                    ChangeApply.mirrorScd2(s, tgtPath, srcPath, keyCols, tgtTag)
-                  else ChangeApply.mirror(s, tgtPath, srcPath, keyCols, tgtTag)
+                    ChangeApply.mirrorScd2(s, tgtPath, srcPath, keyCols, tgtTag,
+                      maxVersionsPerBatch = cap)
+                  else ChangeApply.mirror(s, tgtPath, srcPath, keyCols, tgtTag,
+                    maxVersionsPerBatch = cap)
                 Seq(Row(v, ChangeApply.appliedVersion(tgtPath)))
               })
           }

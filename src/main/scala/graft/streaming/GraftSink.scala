@@ -14,13 +14,22 @@ import org.apache.spark.sql.streaming.OutputMode
   *   spark.readStream.format("graft-changes").load(src)
   *     .writeStream.format("graft").option("tagCol", "day").start(dst)
   *
-  * Exactly-once is [[Snapshots.batchCommitter]]'s contract lifted into
-  * the DSv1 `Sink` API: micro-batch `batchId` commits as snapshot
-  * version `batchId + 1` — a replayed batch (restart after a crash
-  * anywhere between stage and commit) re-publishes byte-identically or
-  * no-ops, never doubles; readers see each batch atomically. The sink
-  * must OWN the table (versions are batch-derived — a concurrent
-  * writer's commit makes the version race loud, not silent).
+  * Exactly-once is the applied-batch bookkeeping discipline (the Delta
+  * `txnAppId`/`txnVersion` pattern, the same shape
+  * [[graft.ops.lake.CopyInto]] uses): each committed micro-batch rides
+  * its snapshot commit with `tbl.sink.applied.<query-hash> = batchId`.
+  * A replayed batch (restart after a crash anywhere between the table
+  * commit and Spark's own commit-log write) re-presents the SAME
+  * batchId, is recognized through the prop, and no-ops — never
+  * doubles. The prop is table-identity keyed on the query's CHECKPOINT
+  * location (canonicalized), so the guard distinguishes a genuine
+  * replay from a foreign commit: interleaved maintenance (OPTIMIZE, a
+  * batch MERGE) between drains neither drops a batch nor trips the
+  * guard, because progress is the inherited prop, not version
+  * arithmetic. A FRESH checkpoint against the same table is a new
+  * sink identity — its batches append (standard append-sink
+  * semantics), loudly visible in the row counts rather than silently
+  * dropped.
   *
   * Append-mode only: update/complete modes re-emit rows for keys the
   * sink has already committed, which an append-only versioned log
@@ -44,19 +53,44 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
       .getOrElse(throw new IllegalArgumentException(
         "graft sink: pass the partition-tag column via .option(\"tagCol\", c) " +
           "or .partitionBy(c)"))
-    new GraftSink(table, tagCol)
+    // sink identity = the query's checkpoint (one checkpoint, one
+    // batchId sequence); sinkId is the explicit override for the rare
+    // conf-defaulted-checkpoint setup where the location never reaches
+    // the options map
+    val ident = params.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("sinkId") => v }
+      .orElse(params.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("checkpointLocation") =>
+          new java.io.File(v).getCanonicalPath })
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: exactly-once needs a stable sink identity — set " +
+          ".option(\"checkpointLocation\", dir) or .option(\"sinkId\", id)"))
+    new GraftSink(table, tagCol, GraftSink.appliedKey(ident))
   }
 }
 
-class GraftSink(table: String, tagCol: String) extends Sink {
+object GraftSink {
+  private[streaming] def appliedKey(ident: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"tbl.sink.applied.$h"
+  }
+}
+
+class GraftSink(table: String, tagCol: String, appliedKey: String) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the streaming-tagged frame re-wraps as a batch frame over the
-    // SAME computed rows (the ForeachBatchSink move) — stage() then
-    // writes it through the normal size-budgeted path
+    // SAME computed rows (the ForeachBatchSink move) — restageLike then
+    // writes it through the normal size-budgeted path, preserving
+    // whatever stats/bloom decoration the table carries
     val df = GraftSqlBridge.batchDataFrame(data)
-    if (Snapshots.currentVersion(table) < batchId + 1 && !df.isEmpty) {
-      val p = Snapshots.prepare(table, Snapshots.stage(df, table, tagCol))
-      Snapshots.commitPrepared(p.copy(version = batchId + 1))
+    val applied = Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(appliedKey).map(_.toLong).getOrElse(-1L)
+    if (batchId > applied && !df.isEmpty) {
+      Snapshots.commitAll(table,
+        Snapshots.restageLike(df.sparkSession, df, table, tagCol),
+        props = Map(appliedKey -> batchId.toString))
+      ()
     }
   }
 

@@ -509,4 +509,91 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       assert(sorted.count(_._3 == Long.MaxValue) <= 1, s"two open segments: $sorted")
     }
   }
+
+  test("chunked catch-up widens over a net-empty prefix instead of wedging") {
+    val src = tmp("ca-wedge-src")
+    val tgt = tmp("ca-wedge-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), src, "day", "id"))           // v1
+    Mutations.deleteWhere(spark, src, col("id").isNotNull)             // v2: wipe
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((3L, "b", 3.0)), src, "day", "id"))                           // v3
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((4L, "b", 4.0)), src, "day", "id"))                           // v4
+    // cap=2: chunk (0,2] nets to NOTHING on the version-0 target —
+    // applyOnce records no bookkeeping, so the cursor must hold and the
+    // next chunk widen over the same start (advancing it wedged the
+    // gap-free guard permanently, r11 advisor find)
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day",
+      maxVersionsPerBatch = 2)
+    assert(rows(Snapshots.read(spark, tgt)) ==
+      Set((3L, "b", 3.0), (4L, "b", 4.0)))
+    assert(ChangeApply.appliedVersion(tgt) == 4L)
+  }
+
+  test("a catch-up whose whole range nets to nothing terminates at v0, then recovers") {
+    val src = tmp("ca-empty-src")
+    val tgt = tmp("ca-empty-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0)), src, "day", "id"))                           // v1
+    Mutations.deleteWhere(spark, src, col("id").isNotNull)             // v2: wipe
+    // the widened chunk reaches the range end and still nets empty:
+    // the loop must STOP (target legitimately stays un-bootstrapped),
+    // not spin widening forever
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day",
+      maxVersionsPerBatch = 1)
+    // cap=1's first chunk (0,1] bootstraps then (1,2] wipes to a
+    // zero-file snapshot — both live-sets are empty either way
+    assert(Snapshots.read(spark, tgt).count() == 0L)
+    // SCD1 whole-range net-empty: a fresh mirror over (0,2] folds the
+    // insert-then-wipe to nothing, must STOP at version 0 (not spin
+    // widening forever) and recover when real data lands
+    val tgt1b = tmp("ca-empty-tgt1b")
+    ChangeApply.mirror(spark, tgt1b, src, Seq("id"), "day",
+      maxVersionsPerBatch = 2)
+    assert(Snapshots.currentVersion(tgt1b) == 0L,
+      "a fully-cancelled SCD1 range leaves the target at version 0")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((9L, "c", 9.0)), src, "day", "id"))                           // v3
+    ChangeApply.mirror(spark, tgt1b, src, Seq("id"), "day",
+      maxVersionsPerBatch = 2)
+    assert(rows(Snapshots.read(spark, tgt1b)) == Set((9L, "c", 9.0)))
+    assert(ChangeApply.appliedVersion(tgt1b) == 3L)
+    // the SCD2 mirror, by contrast, RECORDS the wiped row as a closed
+    // history segment even at bootstrap — insert-then-wipe is history,
+    // not nothing (so the SCD2 un-advanced branch is only reachable
+    // through changeless prefixes; the widening there is defensive
+    // parity with SCD1)
+    val tgt2 = tmp("ca-empty-tgt2")
+    ChangeApply.mirrorScd2(spark, tgt2, src, Seq("id"), "day",
+      maxVersionsPerBatch = 2)
+    assert(rows(Snapshots.read(spark, tgt2)
+      .filter(col(ChangeApply.CurrentCol))) == Set((9L, "c", 9.0)))
+    assert(Snapshots.read(spark, tgt2)
+      .filter(!col(ChangeApply.CurrentCol))
+      .select("id", ChangeApply.StartCol, ChangeApply.EndCol).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 1L, 2L)),
+      "the wiped key must surface as a closed [1,2) segment")
+    assert(ChangeApply.appliedVersion(tgt2) == 3L)
+  }
+
+  test("a props-only commit cannot wedge a mirror (bookkeeping carries)") {
+    val src = tmp("ca-props-src")
+    val tgt = tmp("ca-props-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0)), src, "day", "id"))                           // v1
+    mirrorOnce(tgt, src)
+    // an innocuous SET TBLPROPERTIES-shaped commit on the mirror target
+    // must carry cdc.* — stripping it reads as a broken exactly-once
+    // chain and permanently refuses the catch-up (r11 advisor find)
+    Snapshots.commitProps(tgt, Map("tbl.owner" -> "ops"))
+    assert(ChangeApply.appliedVersion(tgt) == 1L,
+      "props-only commit stripped the cdc.applied bookkeeping")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((2L, "b", 2.0)), src, "day", "id"))                           // v2
+    mirrorOnce(tgt, src)
+    assert(rows(Snapshots.read(spark, tgt)) ==
+      Set((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
 }

@@ -114,4 +114,27 @@ class CopyIntoSpec extends AnyFunSuite with SparkFixture {
     assert(rows(table).map(_._1) == Seq(1L, 2L, 100L),
       "reset + re-run re-ingests the full directory exactly once")
   }
+
+  test("path spelling variants of one source share one cursor") {
+    val table = tmp("copy-canon-tbl")
+    val src = tmp("copy-canon-src")
+    df((1L, "a", 1.0)).write.mode("append").parquet(src)
+    CopyInto.copyInto(spark, table, src, "day")
+    val v1 = Snapshots.currentVersion(table)
+    // same directory, different spellings: trailing slash and a
+    // dot-segment detour — a fresh cursor here would silently
+    // re-ingest the file (r11 advisor find); canonicalization must
+    // collapse all three to ONE seen-files log
+    CopyInto.copyInto(spark, table, src + "/", "day")
+    CopyInto.copyInto(spark, table,
+      new java.io.File(src).getParent + "/./" + new java.io.File(src).getName,
+      "day")
+    assert(Snapshots.currentVersion(table) == v1,
+      "a respelled source path minted a fresh cursor and re-ingested")
+    assert(rows(table) == Seq((1L, "a", 1.0)))
+    // and a genuinely NEW file still arrives through any spelling
+    df((2L, "b", 2.0)).write.mode("append").parquet(src)
+    CopyInto.copyInto(spark, table, src + "/", "day")
+    assert(rows(table) == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
 }

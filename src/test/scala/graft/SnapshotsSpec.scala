@@ -1147,6 +1147,25 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L), (2, "b", 2L)))
   }
 
+  test("versionAtTime on a gapped log resolves to an existing version") {
+    val table = tmp("snap-ts-gap")
+    val commit = Snapshots.batchCommitter(table, "day")
+    commit(df((1, "a", 1L)), 0)          // v1
+    commit(df(), 1)                      // empty batch: gap at v2
+    commit(df((2, "b", 2L)), 2)          // v3
+    // pin publish times so the probe instant falls BETWEEN the two real
+    // commits: the missing v2 stats as mtime 0 ("true"), so the raw
+    // binary search lands exactly on the phantom (r11 advisor find)
+    val log = new java.io.File(table, "_graft_log")
+    val t1 = 1700000000000L
+    assert(new java.io.File(log, "snap-000000001.txt").setLastModified(t1))
+    assert(new java.io.File(log, "snap-000000003.txt").setLastModified(t1 + 10000))
+    val v = Snapshots.versionAtTime(table, t1 + 5000)
+    assert(v == 1L, s"resolved to $v — a phantom (missing) version")
+    assert(Snapshots.readVersion(spark, table, v).count() == 1L,
+      "the resolved version must actually be readable")
+  }
+
   test("schema probes amortize per group: a new commit probes only its new files") {
     import spark.implicits._
     val table = tmp("snap-group-cache")

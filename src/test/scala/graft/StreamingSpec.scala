@@ -137,6 +137,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graft sink: foreign commits between drains neither drop batches nor trip the guard") {
+    import graft.ops.lake.{Mutations, Snapshots}
+    import spark.implicits._
+    val src = tmp("gsink3-src")
+    val dst = tmp("gsink3-dst")
+    val ckpt = tmp("gsink3-ckpt")
+    def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes").load(src)
+        .writeStream.format("graft").option("tagCol", "day")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    Snapshots.commit(src, Snapshots.stage(df3((1L, "a", 1.0)), src, "day"))
+    drain()
+    // FOREIGN commits advance the sink table's version between drains —
+    // batch-derived version arithmetic would now read the table as
+    // "ahead" and silently drop every subsequent batch (r11 advisor
+    // find); the applied-batch prop must keep progress independent
+    Snapshots.commit(dst, Snapshots.stage(
+      df3((100L, "z", 0.0)).withColumn("_change_type", lit("insert")),
+      dst, "day"))
+    Mutations.deleteWhere(spark, dst, col("id") === 100L)
+    Snapshots.commit(src, Snapshots.stage(df3((2L, "b", 2.0)), src, "day"))
+    drain()
+    val ids = graft.ops.lake.Mutations.readMerged(spark, dst)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L),
+      s"batch dropped or doubled after foreign commits: $ids")
+    // idle re-drain after the foreign commits: still no double
+    drain()
+    assert(graft.ops.lake.Mutations.readMerged(spark, dst).count() == 2L)
+  }
+
   test("graft sink composes: stream → bronze lake → CDC-mirrored silver") {
     import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
     import spark.implicits._
