@@ -955,14 +955,20 @@ object Dedup {
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"), col("w"))
     val base = Caching.persist(d)
-    // persisted: the gram table feeds the occurrence count AND the
-    // matched-window join — unpersisted, the md5 of every window runs
-    // twice (r11 s3; MEMORY_AND_DISK, the stage-checkpoint trade)
-    val pos = Caching.persist(base
+    // the gram table feeds the occurrence count AND the matched-window
+    // join — unpersisted, the md5 of every window runs twice (r11 s3) —
+    // but its cache lifetime is ONLY the coverage computation below:
+    // covDoc (tiny — one row per doc that contains a duplicated span)
+    // materializes eagerly and the per-window cache is freed BEFORE the
+    // heavy rebuild stage runs (r12: riding both caches through the
+    // whole query competed with suite-resident caches and spilled —
+    // 2.2 s isolated vs 5.5 s in-suite)
+    val pos = base
       .select(col("doc_id"),
         posexplode(expr(TextAnalysis.ngramExpr(PassageN, distinct = false))))
       .select(col("doc_id"), col("pos"),
-        expr(graft.engine.PortableHash.md5Prefix60("col")).as("ghash")))
+        expr(graft.engine.PortableHash.md5Prefix60("col")).as("ghash"))
+      .persist()
     // total-occurrence count (not distinct docs): a span repeated
     // inside one document is as much a training dup as a cross-doc one.
     // Kept as agg + join-back (NOT a per-gram collect_list) so a
@@ -974,10 +980,15 @@ object Dedup {
     // anti-join); coverage expansion, the kept-position complement, and
     // the text rebuild are all LOCAL array ops on the per-doc row:
     // array_except is hash-set linear, element_at is O(1) per token
-    val covDoc = pos.join(dupGrams, "ghash")
-      .groupBy("doc_id")
-      .agg(array_distinct(flatten(collect_list(
-        sequence(col("pos"), col("pos") + lit(PassageN - 1))))).as("cov"))
+    val covDoc =
+      try {
+        val cd = Caching.persist(pos.join(dupGrams, "ghash")
+          .groupBy("doc_id")
+          .agg(array_distinct(flatten(collect_list(
+            sequence(col("pos"), col("pos") + lit(PassageN - 1))))).as("cov")))
+        cd.count() // materialize while the gram cache is still live
+        cd
+      } finally pos.unpersist(blocking = false)
     base.join(covDoc, Seq("doc_id"), "left_outer")
       .withColumn("allpos",
         when(size(col("w")) === 0, array().cast("array<int>"))
@@ -1260,13 +1271,17 @@ object Dedup {
     // IS document frequency; survivors keep df for the rarity ordering
     val dfreq = occ.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)
-    val surv = Caching.persist(occ.join(dfreq, "h").select("doc_id", "h", "df"))
-    // ONE doc_id aggregation serves both downstream shapes (r11 s3 —
-    // previously two doc_id window passes for the prefix plus a third
-    // doc_id groupBy for the arrays, three sorts over the same
-    // exchange): `dh` sorted by (df, h) yields the prefix by slice,
-    // `hs` (hash-sorted, for the verify intersection) by a local
-    // transform+re-sort of the same array. Prefix length
+    val surv = occ.join(dfreq, "h").select("doc_id", "h", "df")
+    // ONE doc_id aggregation — and ONE persisted artifact — serves
+    // every downstream shape: `dh` sorted by (df, h) yields the prefix
+    // by slice AT AGG TIME (`pre`), `hs` (hash-sorted, for the verify
+    // intersection) by a local transform+re-sort of the same array, and
+    // the candidate join's survivor side re-derives by EXPLODING `hs`
+    // from this cache instead of caching the per-shingle survivor table
+    // too (r12: dd14's second, shingle-grained persist competed with
+    // suite-resident caches and spilled — 2.2 s isolated vs 5.5–8.2 s
+    // in-suite; the per-doc row is the same information at a fraction
+    // of the storage). Prefix length
     // = n − ⌈t·n⌉ + 1, all-integer: if cont ≥ t = Num/Den then the
     // missing-shingle count n − inter ≤ n − ⌈t·n⌉, so the prefix must
     // hit; ⌈Num·n/Den⌉ = (Num·n + Den − 1) div Den (the float form is
@@ -1274,13 +1289,14 @@ object Dedup {
     val arr = Caching.persist(surv.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"),
         count(lit(1)).as("n"))
-      .withColumn("hs", sort_array(expr("transform(dh, x -> x.h)")))
       .withColumn("plen",
-        col("n") - expr(s"(n * $ContainTNum + ${ContainTDen - 1}) div $ContainTDen") + 1))
-    val pre = arr.select(col("doc_id"),
-      explode(expr("transform(slice(dh, 1, int(plen)), x -> x.h)")).as("h"))
-    val cand = pre.select(col("doc_id").as("p_doc"), col("h"))
-      .join(surv.select(col("doc_id").as("s_doc"), col("h")), Seq("h"))
+        col("n") - expr(s"(n * $ContainTNum + ${ContainTDen - 1}) div $ContainTDen") + 1)
+      .select(col("doc_id"), col("n"),
+        expr("transform(slice(dh, 1, int(plen)), x -> x.h)").as("pre"),
+        sort_array(expr("transform(dh, x -> x.h)")).as("hs")))
+    val cand = arr.select(col("doc_id").as("p_doc"), explode(col("pre")).as("h"))
+      .join(arr.select(col("doc_id").as("s_doc"), explode(col("hs")).as("h")),
+        Seq("h"))
       .filter(col("p_doc") =!= col("s_doc"))
       .select(least(col("p_doc"), col("s_doc")).as("doc_a"),
         greatest(col("p_doc"), col("s_doc")).as("doc_b"))
