@@ -213,11 +213,53 @@ object Bench {
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted; s(s.length / 2)
     }
-    val qs = ok.map { case (k, ts, _, _) => "\"" + k + "\":" + median(ts) }
+
+    // ---- ambient self-defense (r12): any query whose IN-SUITE median
+    // exceeds its recorded band re-runs ISOLATED after the suite (fresh
+    // Caching scope, nothing else resident) and the artifact carries
+    // BOTH numbers ("dd14":5.5,"dd14_iso":2.2). Two driver artifacts
+    // (r9, r11) were ambient-inflated and each cost a session of
+    // adjudication; with the isolated twin in the same ledger, an
+    // in-suite spike whose twin sits inside the band is decidable as
+    // contention (not a plan regression) from the artifact alone.
+    // Bands live in bench_bands.json (short query id -> seconds upper
+    // bound at sf0.1, seeded 1.6x the best of the r10/r11 artifacts);
+    // a missing file or entry means no re-run, and the re-run set is
+    // capped so a whole-box episode cannot double the suite.
+    val shortCount0 = set.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.size)
+    def shortId(n: String): String = {
+      val s = n.takeWhile(_ != '_')
+      if (shortCount0.getOrElse(s, 0) == 1) s else n
+    }
+    val bands: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_bands.json")), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val flagged = ok.flatMap { case (k, ts, _, _) =>
+      bands.get(shortId(k)).filter(median(ts) > _)
+        .map(b => (k, median(ts) / b))
+    }.sortBy(-_._2).take(12).map(_._1)
+    val iso = flagged.map { n =>
+      val ts = graft.engine.Caching.scoped {
+        val warm = run(n)
+        if (warm < 0) Seq(warm) else Seq.fill(repeats)(run(n))
+      }
+      System.err.println(
+        s"[bench] ISO $n runs=[${ts.map("%.2f".format(_)).mkString(",")}]" +
+          s" (band ${bands(shortId(n))}s exceeded in-suite)")
+      (n, ts)
+    }.filter(_._2.forall(_ >= 0))
+    val qs = (ok.map { case (k, ts, _, _) => "\"" + k + "\":" + median(ts) } ++
+      iso.map { case (k, ts) => "\"" + k + "_iso\":" + median(ts) })
       .mkString("{", ",", "}")
-    val runs = ok.map { case (k, ts, _, _) =>
+    val runs = (ok.map { case (k, ts, _, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    } ++ iso.map { case (k, ts) =>
+      "\"" + k + "_iso\":" + ts.mkString("[", ",", "]")
+    }).mkString("{", ",", "}")
     val gcMs = ok.map { case (k, _, g, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val gcN = ok.map { case (k, _, _, c) => "\"" + k + "\":" + c }
@@ -246,7 +288,8 @@ object Bench {
       if (shortCount.getOrElse(s, 0) == 1) s else n
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qsShort = ok.map { case (k, ts, _, _) => "\"" + id(k) + "\":" + f3(median(ts)) }
+    val qsShort = (ok.map { case (k, ts, _, _) => "\"" + id(k) + "\":" + f3(median(ts)) } ++
+      iso.map { case (k, ts) => "\"" + id(k) + "_iso\":" + f3(median(ts)) })
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     val compact =
