@@ -383,14 +383,11 @@ object ChangeApply {
       // key join over current rows decides the touched set (the
       // metadata-scale collect every mutation op uses); untouched files
       // carry by manifest name
-      val bounds = acts.agg(
-        expr(s"try_cast(min(`${keyCols.head}`) as double)"),
-        expr(s"try_cast(max(`${keyCols.head}`) as double)")).head()
-      val candidates: Snapshots.Entry => Boolean =
-        if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
-        else Snapshots.rangeOverlap(
-          Snapshots.physicalName(target, keyCols.head),
-          bounds.getDouble(0), bounds.getDouble(1))
+      // typed key-bounds prune (numeric/string/date/timestamp — see
+      // [[Mutations.keyBoundsCandidates]]): string doc_id-keyed corpora
+      // prune via smin./smax. UTF-8 stats instead of scanning every
+      // candidate footer per catch-up
+      val candidates = Mutations.keyBoundsCandidates(acts, target, keyCols.head)
       val touchedIds = Snapshots.readVersion(spark, target, v0,
           fileFilter = candidates, mergeSchema = true, metadataSafe = true)
         // the hidden _metadata column does not survive a join — derive

@@ -40,6 +40,47 @@ import org.apache.spark.sql.functions._
   */
 object Mutations {
 
+  /** Candidate-file filter from the SOURCE batch's key bounds — the
+    * stats-prune every keyed mutation (MERGE, CDC apply) runs before
+    * its exact key join, dispatched on the KEY TYPE so each family
+    * compares in its own stats space:
+    *
+    *   - numeric keys → `min./max.` double stats (value = internal);
+    *   - STRING keys → `smin./smax.` stats in unsigned-UTF-8 order
+    *     (Spark's own string ordering is binary, so the agg's min/max
+    *     are directly comparable) — previously string keys forfeited
+    *     the prune entirely, a full footer-candidate scan per catch-up
+    *     on exactly the doc_id-keyed corpora the LLM pipeline mirrors;
+    *   - DATE / TIMESTAMP keys → the CATALYST INTERNAL values (epoch
+    *     days / epoch micros) to match what the footer stats record —
+    *     the naive `cast(ts as double)` yields SECONDS against
+    *     micros-valued stats, which doesn't just forfeit the prune, it
+    *     prunes files that CONTAIN matching keys (silent row loss);
+    *   - anything else (or an all-NULL key batch) keeps every
+    *     candidate — forfeiting is always sound, mis-pruning never is.
+    */
+  private[graft] def keyBoundsCandidates(source: DataFrame, table: String,
+                                         keyCol: String): Snapshots.Entry => Boolean = {
+    import org.apache.spark.sql.types._
+    val phys = Snapshots.physicalName(table, keyCol)
+    def numericBounds(e: Column): Snapshots.Entry => Boolean = {
+      val b = source.agg(min(e).cast(DoubleType), max(e).cast(DoubleType)).head()
+      if (b.isNullAt(0) || b.isNullAt(1)) _ => true
+      else Snapshots.rangeOverlap(phys, b.getDouble(0), b.getDouble(1))
+    }
+    source.schema.fields.find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType) match {
+      case Some(StringType) =>
+        val b = source.agg(min(col(keyCol)), max(col(keyCol))).head()
+        if (b.isNullAt(0) || b.isNullAt(1)) _ => true
+        else Snapshots.rangeOverlapString(phys,
+          Some(b.getString(0)), Some(b.getString(1)))
+      case Some(_: NumericType) => numericBounds(col(keyCol))
+      case Some(DateType) => numericBounds(unix_date(col(keyCol)))
+      case Some(TimestampType) => numericBounds(unix_micros(col(keyCol)))
+      case _ => _ => true
+    }
+  }
+
   /** MERGE INTO (copy-on-write): upsert `source` into the live snapshot
     * of `table`, matching on `keyCol` — each matched target row is
     * REPLACED by its source row, unmatched source rows are INSERTED.
@@ -78,18 +119,10 @@ object Mutations {
     // re-add files a concurrent compact already rewrote (see the
     // compact-vs-delete race spec)
     val v0 = Snapshots.currentVersion(table)
-    // stats pruning needs numeric non-null key bounds; a string key or
-    // an all-NULL key column simply forfeits the prune (scan all
-    // candidate files), it must not crash the merge — try_cast instead
-    // of cast (ANSI throws on bad string→double), null bounds → keep-all
-    val bounds = source.agg(
-      expr(s"try_cast(min($keyCol) as double)"),
-      expr(s"try_cast(max($keyCol) as double)")).head()
-    val candidates: Snapshots.Entry => Boolean =
-      if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
-      // per-file stats props carry PHYSICAL names; keyCol is logical
-      else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
-        bounds.getDouble(0), bounds.getDouble(1))
+    // stats pruning by the source's key bounds, typed per key family
+    // (numeric/string/date/timestamp — see [[keyBoundsCandidates]]);
+    // an un-prunable key type or all-NULL batch keeps all candidates
+    val candidates = keyBoundsCandidates(source, table, keyCol)
     val srcKeys = source.select(col(keyCol)).distinct()
     // every read below is mergeSchema = true: on a column-evolved table
     // a plain read pins one footer's schema, and a rewrite through it
@@ -227,13 +260,8 @@ object Mutations {
     // pinned read-modify-write (see mergeInto): v0 anchors every read,
     // the replaced-entry set, and the conflict-checked commit
     val v0 = Snapshots.currentVersion(table)
-    val bounds = source.agg(
-      expr(s"try_cast(min($keyCol) as double)"),
-      expr(s"try_cast(max($keyCol) as double)")).head()
-    val candidates: Snapshots.Entry => Boolean =
-      if (bounds.isNullAt(0) || bounds.isNullAt(1)) _ => true
-      else Snapshots.rangeOverlap(Snapshots.physicalName(table, keyCol),
-        bounds.getDouble(0), bounds.getDouble(1))
+    // typed key-bounds prune on the LEAD key (see [[keyBoundsCandidates]])
+    val candidates = keyBoundsCandidates(source, table, keyCol)
     val srcKeys = source.select(keyCols.map(col): _*).distinct().persist()
     try {
       // mergeSchema everywhere (see mergeInto) — evolved columns must

@@ -510,6 +510,41 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("STRING-keyed catch-up opens only key-bearing target files") {
+    import spark.implicits._
+    val src = tmp("ca-str-src")
+    val tgt = tmp("ca-str-tgt")
+    def sdf(rows: (String, String, Double)*) = rows.toDF("doc_id", "day", "v")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      sdf(("doc-a1", "a", 1.0), ("doc-a2", "a", 2.0),
+          ("doc-m1", "m", 10.0), ("doc-m2", "m", 11.0)),
+      src, "day", "doc_id", buckets = 2))                              // v1
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("doc_id"), "day")
+    // hard pin on the scan set: DELETE the disjoint-range target file
+    // from disk — if the string-key candidate prune regressed to
+    // keep-all (the r11 numeric-only try_cast shape), the catch-up's
+    // discovery scan would open it and CRASH; with smin./smax. pruning
+    // the file is never opened and carries by manifest name
+    val mEntry = Snapshots.entriesAll(tgt).find(_.tag == "m").get
+    assert(mEntry.props.contains("smin.doc_id"),
+      "SCD2 bootstrap must record string key stats")
+    val mPath = new java.io.File(tgt, mEntry.rel)
+    assert(mPath.delete(), s"fixture: could not remove $mPath")
+    Mutations.updateWhere(spark, src, col("doc_id") === "doc-a1",
+      Map("v" -> lit(100.0)), "day")                                   // v2
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("doc_id"), "day")
+    assert(ChangeApply.appliedVersion(tgt) == 2L)
+    val aRows = Snapshots.read(spark, tgt, fileFilter = _.tag == "a")
+      .select("doc_id", ChangeApply.StartCol, ChangeApply.CurrentCol).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(aRows == Set(("doc-a1", 1L, false), ("doc-a1", 2L, true),
+      ("doc-a2", 1L, true)),
+      s"string-keyed SCD2 history diverged: $aRows")
+    // the m-file entry is still referenced by name in the new version
+    assert(Snapshots.entriesAll(tgt).exists(_.rel == mEntry.rel),
+      "the pruned file must carry by manifest name")
+  }
+
   test("chunked catch-up widens over a net-empty prefix instead of wedging") {
     val src = tmp("ca-wedge-src")
     val tgt = tmp("ca-wedge-tgt")

@@ -849,4 +849,81 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(Mutations.readMerged(spark, table).count() ==
       (1L until 2048L).count(i => i % 2 != 0 && i % 3 != 0))
   }
+
+  test("STRING-keyed merges prune candidates by smin./smax. stats") {
+    import spark.implicits._
+    val table = tmp("mut-strkey")
+    // two single-day files, string keys clustered per day: day a holds
+    // doc-a*, day m holds doc-m* — per-file string stats are disjoint
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      Seq(("doc-a1", "a", 1.0), ("doc-a2", "a", 2.0),
+          ("doc-m1", "m", 10.0), ("doc-m2", "m", 11.0))
+        .toDF("k", "day", "v"),
+      table, "day", "k", buckets = 2))
+    val src = Seq(("doc-a1", "a", 100.0)).toDF("k", "day", "v")
+    // unit pin on the filter itself: a string key must PRUNE the
+    // non-overlapping file (previously string keys forfeited the prune
+    // — a full footer-candidate scan per catch-up on doc_id corpora)
+    val f = Mutations.keyBoundsCandidates(src, table, "k")
+    val es = Snapshots.entriesAll(table)
+    val aFile = es.find(_.tag == "a").get
+    val mFile = es.find(_.tag == "m").get
+    assert(aFile.props.contains("smin.k"), "string stats must be recorded")
+    assert(f(aFile), "the key-bearing file must stay a candidate")
+    assert(!f(mFile), "the disjoint-range file must be pruned")
+    // end to end: the merge is correct AND the pruned file carries by name
+    val before = Snapshots.entries(table).map(_._1).toSet
+    Mutations.mergeInto(spark, table, src, "k", "day")
+    val after = Snapshots.entries(table).map(_._1).toSet
+    assert(before.intersect(after).contains(mFile.rel),
+      "the pruned file must be carried by name, not rewritten")
+    assert(Mutations.readMerged(spark, table).select("k", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq ==
+      Seq(("doc-a1", 100.0), ("doc-a2", 2.0), ("doc-m1", 10.0), ("doc-m2", 11.0)))
+  }
+
+  test("TIMESTAMP- and DATE-keyed merges compare bounds in the stats' space") {
+    import spark.implicits._
+    // timestamp stats are epoch MICROS; a seconds-valued bound would
+    // prune files that CONTAIN matching keys (silent row loss) — the
+    // typed dispatch must keep the key-bearing file a candidate and the
+    // merge must land
+    val table = tmp("mut-tskey")
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "m", 11.0))
+        .toDF("ts", "day", "v"),
+      table, "day", "ts", buckets = 2))
+    val es = Snapshots.entriesAll(table)
+    assert(es.exists(_.props.contains("min.ts")),
+      "MICROS timestamp stats must be recorded")
+    val src = Seq((ts(2), "a", 200.0)).toDF("ts", "day", "v")
+    val f = Mutations.keyBoundsCandidates(src, table, "ts")
+    assert(es.filter(_.tag == "a").forall(f),
+      "the file containing the matched timestamp must stay a candidate")
+    assert(es.filter(_.tag == "m").forall(e => !f(e)),
+      "micros-space bounds must still prune the disjoint file")
+    Mutations.mergeInto(spark, table, src, "ts", "day")
+    assert(Mutations.readMerged(spark, table)
+      .filter(col("ts") === ts(2)).select("v").head().getDouble(0) == 200.0,
+      "the matched row must be updated, not duplicated or lost")
+    assert(Mutations.readMerged(spark, table).count() == 3L)
+
+    // DATE keys: bounds in epoch DAYS (the internal value the stats record)
+    val table2 = tmp("mut-datekey")
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    Snapshots.commitAll(table2, Snapshots.stageWithStats(
+      Seq((d("2024-01-01"), "a", 1.0), (d("2024-06-01"), "m", 6.0))
+        .toDF("dt", "day", "v"),
+      table2, "day", "dt", buckets = 2))
+    val src2 = Seq((d("2024-01-01"), "a", 10.0)).toDF("dt", "day", "v")
+    val f2 = Mutations.keyBoundsCandidates(src2, table2, "dt")
+    val es2 = Snapshots.entriesAll(table2)
+    assert(es2.filter(_.tag == "a").forall(f2))
+    assert(es2.filter(_.tag == "m").forall(e => !f2(e)))
+    Mutations.mergeInto(spark, table2, src2, "dt", "day")
+    assert(Mutations.readMerged(spark, table2).count() == 2L)
+    assert(Mutations.readMerged(spark, table2)
+      .filter(col("dt") === d("2024-01-01")).select("v").head().getDouble(0) == 10.0)
+  }
 }
