@@ -37,6 +37,7 @@ object SparkEntry {
       graft.ops.lake.ChangeApply.queries ++
       graft.ops.lake.DynamicFilter.queries ++
       graft.ops.lake.CopyInto.queries ++
+      graft.ops.lake.Analyze.queries ++
       graft.sql.LakeSqlQueries.queries ++
       graft.sources.PagesSource.queries
 

@@ -1,0 +1,140 @@
+package graft.ops.lake
+
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE TABLE — table-level column statistics in snapshot props
+  * (the `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` verb):
+  * exact per-column NDV and null counts plus the row count, recorded
+  * as `tbl.stat.*` props so they ride every later commit (inherited
+  * namespace) with the ANALYZED VERSION stamped alongside
+  * (`tbl.stat.v`) — consumers can see staleness instead of guessing.
+  *
+  * This is the input a cost-based choice needs WITHOUT scanning:
+  * broadcast vs dynamic-file-pruning vs shuffle-hash all hinge on
+  * "how many distinct keys" ([[DynamicFilter.strategyByStats]] reads
+  * these to skip the key-collect job entirely when the recorded NDV
+  * says the IN-list path cannot fit its cap). Footer stats give
+  * min/max/null per FILE; NDV is the one number they cannot provide —
+  * it needs this one deliberate pass.
+  *
+  * Scale: ONE aggregation job over the merged table computes every
+  * requested column's exact `count(distinct)` + null count together
+  * (Catalyst plans multi-distinct via Expand — the row stream
+  * multiplies by #distinct-aggs, the price of exactness in one pass).
+  * Exact NDV keeps the stats oracle-checkable; a 100 TB operator who
+  * prefers one cheap pass can ANALYZE a column subset — stats are
+  * per-column and absent columns simply record nothing.
+  *
+  * Ref analog: none — the reference delegates statistics to BigQuery's
+  * planner; this engine records its own. Shape follows the public
+  * Spark/Delta ANALYZE TABLE surface re-expressed over snapshot props.
+  */
+object Analyze {
+
+  private val VProp = "tbl.stat.v"
+  private val RowsProp = "tbl.stat.rows"
+  private def ndvKey(phys: String) = s"tbl.stat.ndv.$phys"
+  private def nullsKey(phys: String) = s"tbl.stat.nulls.$phys"
+
+  /** Compute and record stats for `columns` (empty = every column) of
+    * `table`'s live snapshot. Returns one (column, ndv, nulls) row per
+    * analyzed column plus the row count; the same rows the SQL verb
+    * surfaces. */
+  def analyze(spark: SparkSession, table: String,
+              columns: Seq[String] = Seq.empty): (Long, Seq[(String, Long, Long)]) = {
+    val v = Snapshots.currentVersion(table)
+    require(v >= 1, s"analyze($table): no committed snapshot")
+    val df = Mutations.readMerged(spark, table, mergeSchema = true)
+    val all = df.schema.fieldNames.toSeq
+    val cols = if (columns.nonEmpty) columns else all
+    val unknown = cols.filterNot(c => all.exists(_.equalsIgnoreCase(c)))
+    require(unknown.isEmpty,
+      s"analyze($table): unknown column(s) ${unknown.mkString(", ")} " +
+        s"(table has ${all.mkString(", ")})")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      count_distinct(col(s"`$c`")).as(s"__ndv_$c"),
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getLong(0)
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(1 + 2 * i),
+        if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
+    }
+    val props = Map(VProp -> v.toString, RowsProp -> rows.toString) ++
+      stats.flatMap { case (c, ndv, nulls) =>
+        val p = Snapshots.physicalName(table, c)
+        Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
+      }
+    Snapshots.commitProps(table, props)
+    (rows, stats)
+  }
+
+  private def prop(table: String, key: String): Option[Long] =
+    Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(key).flatMap(_.toLongOption)
+
+  /** Recorded NDV of a column (None = never analyzed). LOGICAL name;
+    * the prop is keyed physically so renames keep the stat. */
+  def ndvOf(table: String, column: String): Option[Long] =
+    prop(table, ndvKey(Snapshots.physicalName(table, column)))
+
+  def nullsOf(table: String, column: String): Option[Long] =
+    prop(table, nullsKey(Snapshots.physicalName(table, column)))
+
+  def rowsOf(table: String): Option[Long] = prop(table, RowsProp)
+
+  /** Version the recorded stats describe (staleness signal). */
+  def analyzedVersion(table: String): Option[Long] = prop(table, VProp)
+
+  // ---- oracle-gated exercise -----------------------------------------
+
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** s55: ANALYZE under the oracle gate — a lake table commits two
+    * waves (the stats must describe the MERGED live state, not one
+    * file), ANALYZE records exact NDV/null counts, and the answer is
+    * the stats table itself, restated by DuckDB as plain
+    * count(DISTINCT)/null-count aggregates. */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable("s55-tbl-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-15"), table, "event_date", "event_id"))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date").between("2024-01-16", "2024-01-20")),
+      table, "event_date", "event_id"))
+    Mutations.deleteWhere(spark, table, col("event_type") === "error")
+    val (rows, stats) = analyze(spark, table,
+      Seq("event_id", "event_type", "value"))
+    stats.map { case (c, ndv, nulls) => (c, ndv, nulls, rows) }
+      .toDF("col_name", "ndv", "null_count", "n_rows")
+      .orderBy("col_name")
+  }
+
+  lazy val analyzeStatsOracle: String =
+    """WITH t AS (
+      |  SELECT event_id, event_type, value
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) <= DATE '2024-01-20' AND event_type <> 'error')
+      |SELECT col_name, ndv, CAST(null_count AS BIGINT) AS null_count,
+      |       (SELECT count(*) FROM t) AS n_rows FROM (
+      |  SELECT 'event_id' AS col_name, count(DISTINCT event_id) AS ndv,
+      |         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_count FROM t
+      |  UNION ALL
+      |  SELECT 'event_type', count(DISTINCT event_type),
+      |         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) FROM t
+      |  UNION ALL
+      |  SELECT 'value', count(DISTINCT value),
+      |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM t
+      |) ORDER BY col_name""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s55_analyze_stats", analyzeStatsOracle)(analyzeStats))
+}

@@ -76,7 +76,8 @@ object ChangeApply {
   val EndCol = "__end_version"
   val CurrentCol = "__is_current"
 
-  private val MetaCols = Seq("_change_type", "_commit_version")
+  private val MetaCols =
+    Seq("_change_type", "_commit_version", Snapshots.RowIdCol)
 
   /** Default catch-up chunk (versions per applied range). BOUNDED by
     * default — the feed's union plan is O(versions in range), so the
@@ -90,14 +91,28 @@ object ChangeApply {
       .get(AppliedProp).map(_.toLong).getOrElse(0L)
 
   /** The attributed feed for `(fromV, toV]` with CARRY-OVER PAIRS
-    * cancelled: rows grouped on (full content, commit version) with
-    * inserts counted +1 and deletes −1 — a COW rewrite's re-stated row
-    * sums to zero and vanishes; a real update keeps both its delete
-    * (old content) and insert (new content); a DV delete keeps its
-    * delete. One shuffle, multiset-correct, and it collapses identical
-    * full-row duplicates as a side effect (harmless for a keyed
-    * source — see the object contract). */
-  private[lake] def realChanges(spark: SparkSession, src: String,
+    * cancelled: rows grouped on (128-bit content fingerprint, commit
+    * version) with inserts counted +1 and deletes −1 — a COW rewrite's
+    * re-stated row sums to zero and vanishes; a real update keeps both
+    * its delete (old content) and insert (new content); a DV delete
+    * keeps its delete. One shuffle, multiset-correct, and it collapses
+    * identical full-row duplicates as a side effect (harmless for a
+    * keyed source — see the object contract).
+    *
+    * SCALE (r12): the grouping key is `(commit, xxhash64(content),
+    * xxhash64(salt, reversed content))` — 24 bytes — instead of the
+    * full row content, so a catch-up over wide text rows sorts and
+    * compares fingerprints, never documents (the content rides as a
+    * `first()` payload, which any output necessarily carries). The key
+    * is DELIBERATELY content-derived rather than `_row_id`-derived:
+    * id-keyed cancellation would make correctness contingent on every
+    * present AND future rewrite path preserving ids (one miss ⇒
+    * fabricated history segments — silent corruption), while
+    * fingerprint cancellation degrades only on a double-hash collision
+    * between two DIFFERENT contents at one commit (~2⁻¹²⁸-ish). The
+    * feed's `_row_id` rides through as lineage (a representative id
+    * per surviving change). */
+  private[graft] def realChanges(spark: SparkSession, src: String,
                                 fromV: Long, toV: Long,
                                 keyCols: Seq[String]): DataFrame = {
     val feed = Snapshots.changesAttributed(spark, src, fromV, toV)
@@ -106,23 +121,29 @@ object ChangeApply {
     require(missing.isEmpty,
       s"applyChanges($src): key column(s) ${missing.mkString(", ")} not in " +
         s"the feed schema (${dataCols.mkString(", ")})")
-    // MAP columns cannot be grouping keys (Spark's GroupBy restriction);
-    // canonicalize them to key-sorted entry arrays for the cancellation
-    // groupBy — equal maps produce equal sorted-entry arrays — and
-    // restore the map type after, so the applied rows keep the source
-    // schema
+    // MAP columns hash nondeterministically (iteration order);
+    // canonicalize them to key-sorted entry arrays for the fingerprint
+    // — equal maps produce equal sorted-entry arrays — and restore the
+    // map type after, so the applied rows keep the source schema
     val mapCols = feed.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
     }.toSeq
     val canon = mapCols.foldLeft(feed)((df, c) =>
       df.withColumn(c, array_sort(map_entries(col(s"`$c`")))))
+    val dcs = dataCols.map(c => col(s"`$c`"))
     val grouped = canon
-      .groupBy((dataCols :+ "_commit_version").map(c => col(s"`$c`")): _*)
-      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("__net"))
+      .withColumn("__h1", xxhash64(dcs: _*))
+      .withColumn("__h2", xxhash64(lit("graft-rc2") +: dcs.reverse: _*))
+      .groupBy(col("_commit_version"), col("__h1"), col("__h2"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("__net"),
+        first(struct(dcs: _*)).as("__row"),
+        max(col(Snapshots.RowIdCol)).as(Snapshots.RowIdCol))
       .filter(col("__net") =!= 0)
       .withColumn("_change_type",
         when(col("__net") > 0, "insert").otherwise("delete"))
-      .drop("__net")
+      .select((col("__row.*") +: Seq(col(Snapshots.RowIdCol),
+        col("_change_type"), col("_commit_version"))): _*)
     mapCols.foldLeft(grouped)((df, c) =>
       df.withColumn(c, map_from_entries(col(s"`$c`"))))
   }
@@ -347,6 +368,10 @@ object ChangeApply {
       .orderBy(pri.asc)
     val acts = Caching.persist(
       realChanges(spark, src, fromV, toV, keyCols)
+        // lineage id not recorded in the segment table (a stored
+        // `_row_id` data column would collide with the TARGET's own
+        // row tracking on any downstream feed read)
+        .drop(Snapshots.RowIdCol)
         .withColumn("__rk", rank().over(wv))
         .filter(col("__rk") === 1).drop("__rk"))
     try {

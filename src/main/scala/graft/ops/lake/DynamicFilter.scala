@@ -109,6 +109,29 @@ object DynamicFilter {
       filtered.join(dimP, filtered(factKey) === dimP(dimKey), "left_semi")
   }
 
+  /** NDV-DRIVEN strategy pre-choice (r12, the ANALYZE consumer): when
+    * the dim side is itself a lake table with recorded column stats,
+    * the recorded NDV of its join key decides — WITHOUT running any
+    * job — whether the IN-list prune can possibly fit its cap:
+    *
+    *   - `Some("inlist")` — recorded NDV ≤ maxKeys: the key collect is
+    *     bounded and worth running;
+    *   - `Some("range")` — recorded NDV > maxKeys: the collect job
+    *     would only discover the cap and fall back; skip straight to
+    *     the two-scalar range prune (saves a full dim job at 100×);
+    *   - `None` — never analyzed: no basis, run the collect and let
+    *     the cap decide at run time (the pre-r12 behavior).
+    *
+    * Table-level NDV is an UPPER bound for any filtered dim subset, so
+    * "inlist" is always safe; "range" is a heuristic (a selective dim
+    * filter could have fit the cap) that trades one possibly-wasted
+    * collect for never paying it — callers with known-selective
+    * filters can call [[prunedJoin]] directly. */
+  def strategyByStats(dimTable: String, dimKey: String,
+                      maxKeys: Int = 10000): Option[String] =
+    Analyze.ndvOf(dimTable, dimKey)
+      .map(ndv => if (ndv <= maxKeys) "inlist" else "range")
+
   // ---- oracle-gated exercise ---------------------------------------
 
   private def freshTable(prefix: String, dir: String): String =

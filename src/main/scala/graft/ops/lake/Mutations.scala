@@ -145,9 +145,17 @@ object Mutations {
     val replaced =
       if (touchedRels.isEmpty) source
       else {
-        val survivors = readMerged(spark, table, version = v0,
-            fileFilter = e => touchedRels.contains(e.rel),
-            mergeSchema = true) // target-side evolution: union schema
+        // touched rows read WITH their stable row ids and restaged
+        // materialized (the hidden __rid column) — an unchanged row
+        // keeps its identity across the rewrite, a MATCHED row passes
+        // its identity to the source row that replaces it (MERGE
+        // updates a row, it doesn't delete-and-recreate it), and
+        // unmatched source rows NULL-fill the column to mint virtual
+        // ids from the new file's base
+        val touchedRows = Snapshots.readMergedWithIds(spark, table, version = v0,
+            fileFilter = e => touchedRels.contains(e.rel))
+          .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)
+        val survivors = touchedRows
           .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         // source columns NOT in the target union stay gated by
         // evolveSchema (the exact-schema contract); a source NARROWER
@@ -166,7 +174,10 @@ object Mutations {
         require(extra.isEmpty || evolveSchema,
           s"mergeInto($table): source carries unknown column(s) " +
             s"${extra.mkString(", ")} — pass evolveSchema = true to add them")
-        survivors.unionByName(source, allowMissingColumns = true)
+        val srcWithIds = source.join(
+          touchedRows.select(col(keyCol), col(Snapshots.RidCol)),
+          Seq(keyCol), "left")
+        survivors.unionByName(srcWithIds, allowMissingColumns = true)
       }
     Snapshots.commitRewrite(table, v0, restageLike(spark, replaced, table, tagCol),
       remove = e => touchedRels.contains(e._1))
@@ -334,9 +345,11 @@ object Mutations {
         val rewritten: Option[DataFrame] =
           if (touchedRels.isEmpty) None
           else {
-            val tgt = readMerged(spark, table, version = v0,
-              fileFilter = e => touchedRels.contains(e.rel),
-              mergeSchema = true)
+            // ids ride the rewrite (materialized __rid — see mergeInto):
+            // updated rows KEEP their identity, deleted rows retire it
+            val tgt = Snapshots.readMergedWithIds(spark, table, version = v0,
+                fileFilter = e => touchedRels.contains(e.rel))
+              .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)
             val joined = tgt.alias("t").join(
               source.withColumn("__m", lit(true)).alias("s"),
               keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
@@ -394,7 +407,7 @@ object Mutations {
               if (bsSet.contains(cLc)) e = when(bsUpdPred, bsSet(cLc)).otherwise(e)
               if (updSet.contains(cLc)) e = when(updPred, updSet(cLc)).otherwise(e)
               e.as(c)
-            }: _*))
+            } :+ col(s"t.${Snapshots.RidCol}").as(Snapshots.RidCol): _*))
           }
         val inserts: Option[DataFrame] = whenNotMatchedInsert.map { cond =>
           val unmatched = source.join(matchedKeys, keyCols, "left_anti")
@@ -430,7 +443,9 @@ object Mutations {
         }
         val pieces = rewritten.toSeq ++ inserts.toSeq
         if (pieces.isEmpty) return Snapshots.currentVersion(table)
-        val replaced = pieces.reduce(_.unionByName(_))
+        // allowMissingColumns: the rewritten side carries __rid (row
+        // tracking), inserted rows NULL-fill it (fresh identity)
+        val replaced = pieces.reduce(_.unionByName(_, allowMissingColumns = true))
         // no touched files AND an empty filtered insert set: avoid an
         // empty commit (mirrors the other ops' no-op contract)
         if (touchedRels.isEmpty && replaced.isEmpty)
@@ -887,10 +902,13 @@ object Mutations {
     val touchedRels = Snapshots.entriesAt(table, v0)
       .collect { case e if touchedIds(Snapshots.fileId(e.rel)) => e.rel }.toSet
     // rewrite from the MERGED read — same no-resurrection rule as
-    // mergeInto: touched files' vectors are materialized by the rewrite
+    // mergeInto: touched files' vectors are materialized by the
+    // rewrite. Read WITH row ids (materialized __rid): an updated row
+    // keeps its identity, untouched rows of the same file carry theirs
     val rewritten = set.foldLeft(
-      readMerged(spark, table, version = v0,
-        fileFilter = e => touchedRels.contains(e.rel), mergeSchema = true)) {
+      Snapshots.readMergedWithIds(spark, table, version = v0,
+          fileFilter = e => touchedRels.contains(e.rel))
+        .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)) {
       case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
     }
     Snapshots.commitRewrite(table, v0, restageLike(spark, rewritten, table, tagCol),
@@ -912,8 +930,9 @@ object Mutations {
     val dvEs = Snapshots.entriesAt(table, v0).filter(_.props.contains(DvProp))
     if (dvEs.isEmpty) return v0
     val dvRels = dvEs.map(_.rel).toSet
-    val materialized = readMerged(spark, table, version = v0,
-      fileFilter = e => dvRels.contains(e.rel), mergeSchema = true)
+    val materialized = Snapshots.readMergedWithIds(spark, table, version = v0,
+        fileFilter = e => dvRels.contains(e.rel))
+      .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)
     Snapshots.commitRewrite(table, v0,
       restageLike(spark, materialized, table, tagCol),
       remove = e => dvRels.contains(e._1))

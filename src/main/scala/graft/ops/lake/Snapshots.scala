@@ -1036,12 +1036,14 @@ object Snapshots {
       // relation — a grouped union cannot expose them — so such callers
       // (position-collecting mutation scans) forgo the pruned union on
       // evolved slices and take the plain one-relation mergeSchema read
+      // the hidden materialized-row-id column never surfaces on normal
+      // reads (Catalyst prunes it from the scan, so hiding is free)
       applyLogical(
         groupedRead(spark, table, v, selected, tagColHint,
             allowUnion = mergeSchema && !metadataSafe)
           .getOrElse(spark.read
             .option("mergeSchema", mergeSchema.toString).parquet(fs: _*)),
-        table, v)
+        table, v).drop(RidCol)
     } else {
       // every file pruned: skipping is IO elision, never semantics — the
       // correct result is EMPTY, carried on the schema of any snapshot
@@ -1060,7 +1062,7 @@ object Snapshots {
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType.fromDDL(ddl.get))
       }
-      applyLogical(empty, table, v)
+      applyLogical(empty, table, v).drop(RidCol)
     }
   }
 
@@ -1116,7 +1118,8 @@ object Snapshots {
     def side(es: Seq[Entry], kind: String): Option[DataFrame] =
       if (es.isEmpty) None
       else Some(noReserved(applyLogical(
-          readEntriesMerged(spark, table, es, mergeSchema = true), table, toV))
+          readEntriesMerged(spark, table, es, mergeSchema = true,
+            rowIds = true), table, toV))
         .withColumn("_change_type", lit(kind)))
     val removed = fromE.filterNot(e => toByRel.contains(e.rel))
     val added   = toE.filterNot(e => fromByRel.contains(e.rel))
@@ -1158,16 +1161,17 @@ object Snapshots {
             .collect().map(_.getString(0)).toSet
           if (fids.isEmpty) None
           else {
+            val touched = dvChanged.filter(e => fids(fileId(e.rel)))
             val data = spark.read.option("mergeSchema", "true")
-              .parquet(dvChanged.collect {
-                case e if fids(fileId(e.rel)) => s"$table/${e.rel}"
-              }: _*)
-            val cols = data.columns.map(col)
-            Some(noReserved(applyLogical(data
-              .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
-              .withColumn("__pos", col("_metadata.row_index"))
-              .join(pos, Seq("__fid", "__pos"))
-              .select(cols: _*), table, toV))
+              .parquet(touched.map(e => s"$table/${e.rel}"): _*)
+            val cols = data.columns.filterNot(_ == RidCol).map(col)
+            Some(noReserved(applyLogical(
+              rowIdFrom(spark, data
+                  .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
+                  .withColumn("__pos", col("_metadata.row_index"))
+                  .join(pos, Seq("__fid", "__pos")),
+                  touched, "__fid", "__pos")
+                .select(cols :+ col(RowIdCol): _*), table, toV))
               .withColumn("_change_type", lit(kind)))
           }
         }
@@ -1182,6 +1186,7 @@ object Snapshots {
         // committed file to carry it, same limitation as readVersion's
         // zero-file note above)
         noReserved(readVersion(spark, table, toV).limit(0))
+          .withColumn(RowIdCol, lit(null).cast("long"))
           .withColumn("_change_type", lit("insert"))
       }
   }
@@ -1505,6 +1510,39 @@ object Snapshots {
     * file = `rows - dv.rows`. */
   private[graft] val DvRowsProp = "dv.rows"
 
+  // ---- row tracking (the Delta row-tracking shape) -------------------
+  //
+  // Every committed row carries a STABLE 64-bit `_row_id`:
+  //   - fresh files get a contiguous id range at PREPARE time
+  //     ([[RowIdBaseProp]] = the range start, allocated from the
+  //     table-level high-water mark [[RowIdHighProp]]); a fresh row's
+  //     id is VIRTUAL — `base + row_index` — costing zero bytes in the
+  //     data file;
+  //   - a copy-on-write rewrite PRESERVES ids by materializing them
+  //     into the hidden [[RidCol]] column of the rewritten file (reads
+  //     take `coalesce(__rid, base + row_index)`), so an unchanged row
+  //     keeps its identity across MERGE/UPDATE/compact and the change
+  //     feed can tell "row moved" from "row replaced";
+  //   - normal reads DROP the hidden column; only the change feed and
+  //     the rewrite paths surface ids. Files committed before row
+  //     tracking (or whose footer probe failed) have no base: their
+  //     rows carry NULL ids, and every consumer treats NULL as
+  //     "identity unknown" (sound — lineage degrades, rows never do).
+  // Allocation is monotonic per COMMITTED snapshot: prepare reads the
+  // base version's high, the winning commit publishes the bumped high,
+  // and a losing racer's re-prepare re-reads — ranges of committed
+  // snapshots never overlap. ROLLBACK restores the old high with the
+  // old rows (snapshot-scoped props): ids of rolled-away rows can be
+  // re-minted, which reads as an update across the rollback in the
+  // feed — the same wrinkle Delta documents for RESTORE + row
+  // tracking.
+  private[graft] val RowIdBaseProp = "rowid.base"
+  private[graft] val RowIdHighProp = "tbl.rowid.high"
+  private[graft] val RidCol = "__rid"
+
+  /** Feed-visible row-id column name ([[changes]]); reserved. */
+  val RowIdCol = "_row_id"
+
   /** Snapshot prop: the table's NAME-KEYED UNION schema as Spark DDL,
     * maintained by [[prepareAllAt]] (merge of the prior recorded schema
     * with every added file's footer schema) and INHERITED like all
@@ -1672,10 +1710,53 @@ object Snapshots {
     * groupedRead's: a slice it can't prove falls back to the plain
     * read. `None` is for cross-version entry sets (the change feed),
     * whose entries a single version's groups don't cover. */
+  /** Row-id column from PRECOMPUTED (file-id, row-index) columns:
+    * `coalesce(materialized __rid, entry base + row index)`, NULL when
+    * the entry has no base. The base lookup is a broadcast join
+    * against an O(selected files) two-column frame. */
+  private def rowIdFrom(spark: SparkSession, df: DataFrame, es: Seq[Entry],
+                        fidCol: String, posCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    require(!df.columns.contains(RowIdCol),
+      s"row-id read: data schema already has a `$RowIdCol` column — the " +
+        "name is reserved for row tracking; rename the data column")
+    import spark.implicits._
+    val bases = es.flatMap(e =>
+      e.props.get(RowIdBaseProp).flatMap(_.toLongOption)
+        .map(b => (fileId(e.rel), b)))
+    val virt =
+      if (bases.isEmpty) lit(null).cast("long")
+      else col("__ridb") + col(posCol)
+    val joined =
+      if (bases.isEmpty) df
+      else df.join(broadcast(bases.toDF(fidCol, "__ridb")), Seq(fidCol), "left")
+    val id = if (df.columns.contains(RidCol)) coalesce(col(RidCol), virt) else virt
+    joined.withColumn(RowIdCol, id.cast("long")).drop("__ridb")
+  }
+
+  /** [[rowIdFrom]] for a bare single-scan frame (derives fid/pos from
+    * `_metadata`, which only resolves before any join). */
+  private def attachRowId(spark: SparkSession, df: DataFrame,
+                          es: Seq[Entry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withPos = df
+      .withColumn("__ridf", fileIdCol(col("_metadata.file_path")))
+      .withColumn("__ridp", col("_metadata.row_index"))
+    rowIdFrom(spark, withPos, es, "__ridf", "__ridp").drop("__ridf", "__ridp")
+  }
+
   private[lake] def readEntriesMerged(spark: SparkSession, table: String,
       es: Seq[Entry], mergeSchema: Boolean = false,
-      pruned: Option[(Long, String)] = None): DataFrame = {
+      pruned: Option[(Long, String)] = None,
+      rowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(!rowIds || pruned.isEmpty,
+      "readEntriesMerged: rowIds needs plain scans (grouped unions cannot " +
+        "resolve _metadata)")
+    // with rowIds the id column attaches PER SCAN (it needs _metadata);
+    // the hidden materialized column is dropped after folding into the id
+    def finish(df: DataFrame, fs: Seq[Entry]): DataFrame =
+      if (rowIds) attachRowId(spark, df, fs).drop(RidCol) else df.drop(RidCol)
     def plain(fs: Seq[Entry]): DataFrame =
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(fs.map(e => s"$table/${e.rel}"): _*)
@@ -1686,7 +1767,7 @@ object Snapshots {
       case None => plain(fs)
     }
     val (dvEs, plainEs) = es.partition(_.props.contains(DvRefProp))
-    if (dvEs.isEmpty) readFiles(es)
+    if (dvEs.isEmpty) finish(readFiles(es), es)
     else {
       val dvRows = dvPositions(spark, table, dvEs).get
       // the anti-join needs `_metadata`, which only resolves on a
@@ -1705,17 +1786,22 @@ object Snapshots {
               .getOrElse(plain(ges))
           case None => plain(ges)
         }
-        val cols = dvData.columns.map(col)
-        dvData
+        // fid/pos derive ONCE on the bare scan (post-join `_metadata`
+        // does not resolve) and serve BOTH the DV anti-join and the
+        // row-id attach
+        val withMeta = dvData
           .withColumn("__fid", fileIdCol(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
-          .join(dvRows, Seq("__fid", "__pos"), "left_anti")
-          .select(cols: _*)
+        val alive = withMeta.join(dvRows, Seq("__fid", "__pos"), "left_anti")
+        val out =
+          if (rowIds) rowIdFrom(spark, alive, ges, "__fid", "__pos")
+          else alive
+        out.drop("__fid", "__pos").drop(RidCol)
       }
       val merged = dvParts.map(antiJoined)
         .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
       if (plainEs.isEmpty) merged
-      else merged.unionByName(readFiles(plainEs),
+      else merged.unionByName(finish(readFiles(plainEs), plainEs),
         allowMissingColumns = mergeSchema)
     }
   }
@@ -1749,6 +1835,27 @@ object Snapshots {
     else
       applyLogical(readEntriesMerged(spark, table, es, mergeSchema,
         pruned = Some((v, tagColHint))), table, v)
+  }
+
+  /** [[readMerged]] exposing the stable [[RowIdCol]] — the REWRITE-path
+    * read: a copy-on-write rewrite reads its survivors through this,
+    * renames the id to the hidden [[RidCol]] and stages it, so every
+    * surviving row KEEPS its identity across the rewrite. Plain
+    * mergeSchema scans only (the id needs `_metadata`, which grouped
+    * pruned unions cannot resolve) — rewrite inputs are the touched
+    * slice, already file-filtered to O(affected files). */
+  private[lake] def readMergedWithIds(spark: SparkSession, table: String,
+      version: Long = -1L,
+      fileFilter: Entry => Boolean = _ => true): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = if (version < 0) currentVersion(table) else version
+    val es = entriesAt(table, v).filter(fileFilter)
+    if (es.isEmpty)
+      readVersion(spark, table, v, fileFilter = _ => false, mergeSchema = true)
+        .withColumn(RowIdCol, lit(null).cast("long"))
+    else
+      applyLogical(readEntriesMerged(spark, table, es, mergeSchema = true,
+        rowIds = true), table, v)
   }
 
   /** Reserved prop-key PREFIX naming a file's bloom-sketch sidecar per
@@ -2142,6 +2249,40 @@ object Snapshots {
         .filter(!_.exists(c => c == '\t' || c == '\n' || c == '\u0001' || c == '\u0002'))
         .map(SchemaDdlProp -> _)
     }.toMap
+    // row-id base allocation: every added NEW FILE with a known row
+    // count gets a contiguous id range off the base version's
+    // high-water mark. (Re)assigned on EVERY prepare — a retry against
+    // a newer base must re-allocate, or two racers could publish
+    // overlapping ranges. A re-statement of a LIVE file (a DV fold
+    // re-adds the same rel with new props) inherits the LOG's recorded
+    // base instead: the physical rows didn't move, so their ids must
+    // not either — and the log, not the caller's prop copy, is the
+    // authority. Entries without a footer row count get no base (their
+    // rows read as NULL ids — sound). Carried-forward entries keep
+    // their bases via their manifests.
+    val priorHigh =
+      if (cur == 0) 0L
+      else snapshotProps(table, cur).get(RowIdHighProp).map(_.toLong).getOrElse(0L)
+    val liveBase: Map[String, Option[String]] =
+      if (cur == 0 || addEnriched.isEmpty) Map.empty
+      else entriesAt(table, cur)
+        .map(e => e.rel -> e.props.get(RowIdBaseProp)).toMap
+    var high = priorHigh
+    val addWithIds = addEnriched.map { e =>
+      liveBase.get(e.rel) match {
+        case Some(Some(b)) => e.copy(props = e.props + (RowIdBaseProp -> b))
+        case Some(None) => e.copy(props = e.props - RowIdBaseProp)
+        case None =>
+          e.props.get(RowsProp).flatMap(_.toLongOption) match {
+            case Some(n) =>
+              val b = high; high += n
+              e.copy(props = e.props + (RowIdBaseProp -> b.toString))
+            case None => e
+          }
+      }
+    }
+    val highProp =
+      if (high != priorHigh) Map(RowIdHighProp -> high.toString) else Map.empty
     val kept = (if (cur == 0) Seq.empty else manifestList(table, cur)).flatMap {
       case (mf, _) =>
         val es = manifestEntries(table, mf)
@@ -2151,9 +2292,9 @@ object Snapshots {
         else Some(writeManifest(table, keep))         // partial: rewrite this one
     }
     val added =
-      if (addEnriched.isEmpty) Seq.empty
-      else Seq(writeManifest(table, addEnriched))
-    Prepared(table, cur + 1, kept ++ added, props = ddlProp)
+      if (addWithIds.isEmpty) Seq.empty
+      else Seq(writeManifest(table, addWithIds))
+    Prepared(table, cur + 1, kept ++ added, props = ddlProp ++ highProp)
   }
 
   /** [[commit]] with full [[Entry]] adds. */
@@ -2612,8 +2753,12 @@ object Snapshots {
       // exactly (a tag-filtered read would drop synthetic files the
       // scope includes — removed without restage = data loss)
       val inScope = scoped.map(_.rel).toSet
-      val df = readMerged(spark, table, version = v0,
-        fileFilter = e => inScope.contains(e.rel), mergeSchema = true)
+      // ids ride the re-cluster (materialized __rid): a layout-only
+      // rewrite must not re-mint row identities — its feed carry-over
+      // pairs share ids AND content
+      val df = readMergedWithIds(spark, table, version = v0,
+          fileFilter = e => inScope.contains(e.rel))
+        .withColumnRenamed(RowIdCol, RidCol)
       val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
         (acc, c) => withBloom(acc, table, c, spark))
       // a re-cluster of a fully-DV-deleted slice would commit zero
@@ -2651,8 +2796,9 @@ object Snapshots {
         // carry the union schema or evolved columns are permanently
         // lost in the restage (review find — the same class the
         // mutation reads fixed)
-        val df = readMerged(spark, table, version = v0,
-          fileFilter = e => rels.contains(e.rel), mergeSchema = true)
+        val df = readMergedWithIds(spark, table, version = v0,
+            fileFilter = e => rels.contains(e.rel))
+          .withColumnRenamed(RowIdCol, RidCol)
         val staged = restageLike(spark, df, table, tagCol)
         if (staged.isEmpty && rels.size == all.size) return v0
         commitRewrite(table, v0, staged,

@@ -382,6 +382,8 @@ object LakeStatements {
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.*)\)""".r
   private val ShowProps =
     """(?is)SHOW\s+TBLPROPERTIES\s+(\w+)""".r
+  private val AnalyzeRe =
+    """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*""".r
   private val CreateRef =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+CREATE\s+REF\s+([A-Za-z0-9._-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
   private val DropRefRe =
@@ -684,6 +686,25 @@ object LakeStatements {
           }))
         case _ => None
       }
+      // table-level column statistics (the Spark/Delta ANALYZE verb):
+      // exact NDV + null counts recorded as tbl.stat.* props with the
+      // analyzed version stamped — the no-scan input join-strategy
+      // choices read (Analyze.scaladoc). Registered lake names only;
+      // catalog-table ANALYZE falls through to Spark.
+      case "ANALYZE" => text match {
+        case AnalyzeRe(name, colsTxt) => lookup(name).map { case (path, _) =>
+          val cols = Option(colsTxt).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          LakeCommand("ANALYZE TABLE",
+            attrs("col_name" -> StringType, "ndv" -> LongType,
+              "null_count" -> LongType, "n_rows" -> LongType), s => {
+              val (rows, stats) = graft.ops.lake.Analyze.analyze(s, path, cols)
+              stats.sortBy(_._1).map { case (c, ndv, nulls) =>
+                Row(c, ndv, nulls, rows) }
+            })
+        }
+        case _ => None
+      }
       case "CONVERT" => text match {
         // in-place migration of an existing parquet directory (the
         // Delta CONVERT TO DELTA shape): zero data movement; entries
@@ -915,10 +936,16 @@ object LakeStatements {
               "tag_col" -> StringType), s =>
               LakeSql.registered(s).map { case (n, p, t) => Row(n, p, t) }))
         case ShowProps(name) => lookup(name).map { case (path, _) =>
+          // engine bookkeeping sharing the inherited tbl. namespace
+          // (row-id high-water, COPY INTO / streaming-sink cursors) is
+          // not a USER property — SHOW lists what SET TBLPROPERTIES
+          // put there, not the engine's internals
+          val internal = Seq("tbl.rowid.", "tbl.copy.applied.", "tbl.sink.applied.")
           LakeCommand("SHOW TBLPROPERTIES",
             attrs("key" -> StringType, "value" -> StringType), _ =>
               Snapshots.snapshotProps(path, Snapshots.currentVersion(path))
-                .collect { case (k, v) if k.startsWith("tbl.") =>
+                .collect { case (k, v) if k.startsWith("tbl.") &&
+                    !internal.exists(k.startsWith) =>
                   (k.drop(4), v) }.toSeq.sorted.map { case (k, v) => Row(k, v) })
         }
         case ShowRefs(name) => lookup(name).map { case (path, _) =>

@@ -484,7 +484,64 @@ object LakeSqlQueries {
   lazy val sqlApplyChangesOracle: String =
     graft.ops.lake.ChangeApply.cdcMirrorOracle
 
+  /** s54: the WHOLE medallion driven by SQL statements alone — the
+    * "a SQL-only user can run the pipeline" claim, end to end:
+    * bronze = CTAS off the raw view (stats-clustered), silver = CTAS
+    * cleaning bronze, late data lands in bronze via INSERT INTO, a
+    * MERGE catch-up folds it into silver (updates the overlap band,
+    * inserts the new days), gold = CTAS aggregate, and the answer
+    * SELECTs from gold. Every hop — CTAS staging/registration, INSERT
+    * restage, MERGE clause lowering, resolution-rule reads — sits
+    * inside one DuckDB-restated oracle. */
+  def sqlMedallion(spark: SparkSession, dir: String): DataFrame = {
+    val bronzeT = freshTable("s54-bronze-", dir)
+    val silverT = freshTable("s54-silver-", dir)
+    val goldT = freshTable("s54-gold-", dir)
+    eventsSlim(spark, dir).createOrReplaceTempView("s54_raw")
+
+    spark.sql(
+      s"""CREATE GRAFT TABLE s54b LOCATION '$bronzeT'
+         |PARTITIONED BY (event_date) STATS BY (event_id)
+         |AS SELECT * FROM s54_raw WHERE event_date <= DATE '2024-01-20'""".stripMargin)
+    spark.sql(
+      s"""CREATE GRAFT TABLE s54s LOCATION '$silverT'
+         |PARTITIONED BY (event_date) STATS BY (event_id)
+         |AS SELECT event_id, event_type, value, event_date
+         |FROM s54b WHERE event_type <> 'error'""".stripMargin)
+    spark.sql(
+      """INSERT INTO s54b
+        |SELECT * FROM s54_raw
+        |WHERE event_date BETWEEN DATE '2024-01-21' AND DATE '2024-01-25'""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW s54_fix AS
+        |SELECT event_id, event_type, value + 100.0 AS value, event_date
+        |FROM s54b
+        |WHERE event_type <> 'error' AND event_date >= DATE '2024-01-18'""".stripMargin)
+    spark.sql(
+      """MERGE INTO s54s AS t USING s54_fix AS s ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET value = s.value
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      s"""CREATE GRAFT TABLE s54g LOCATION '$goldT'
+         |PARTITIONED BY (event_date)
+         |AS SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+         |FROM s54s GROUP BY event_date""".stripMargin)
+    spark.sql("SELECT event_date, n, sum_value FROM s54g ORDER BY event_date")
+  }
+
+  lazy val sqlMedallionOracle: String =
+    s"""WITH silver AS (
+      |  SELECT event_id, event_type,
+      |         CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-18'
+      |              THEN value + 100.0 ELSE value END AS value,
+      |         CAST(ts AS DATE) AS event_date
+      |  FROM events
+      |  WHERE event_type <> 'error' AND CAST(ts AS DATE) <= DATE '2024-01-25')
+      |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
+      |FROM silver GROUP BY event_date ORDER BY event_date""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s54_sql_medallion", sqlMedallionOracle)(sqlMedallion),
     QueryDef.sql("s52_sql_apply_changes", sqlApplyChangesOracle)(sqlApplyChanges),
     QueryDef.sql("s51_sql_insert_overwrite", sqlInsertOverwriteOracle)(sqlInsertOverwrite),
     QueryDef.sql("s45_sql_meta_count", sqlMetaCountOracle)(sqlMetaCount),

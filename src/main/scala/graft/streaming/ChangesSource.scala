@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** STREAMING source over a lake table's CHANGE DATA FEED — the Delta
   * "CDF as a stream" shape (ref has no analog; its consumers re-read
@@ -91,11 +91,13 @@ object ChangesSource {
   /** Feed schema = the table's current logical UNION schema (merge-
     * read — a plain read would pin one footer on an evolved table and
     * a restart could never adopt added columns) plus the reserved
-    * `_change_type` marker ([[Snapshots.changes]]' contract). */
+    * `_row_id` (row tracking, r12) and `_change_type` markers
+    * ([[Snapshots.changes]]' contract, in the feed's column order). */
   def feedSchema(spark: SparkSession, table: String): StructType = {
     require(Snapshots.currentVersion(table) >= 1,
       s"graft-changes: $table holds no committed snapshot")
     Snapshots.read(spark, table, mergeSchema = true).schema
+      .add(Snapshots.RowIdCol, LongType)
       .add("_change_type", StringType)
   }
 }

@@ -109,4 +109,26 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
         joinType = "left_outer")
     }
   }
+
+  test("recorded NDV drives the strategy choice without any scan job") {
+    import graft.ops.lake.Analyze
+    val dimT = mkFact("dfp-ndv") // 80 distinct ids, 2 distinct days
+    // never analyzed: no basis — run-time cap decides (pre-r12 shape)
+    assert(DynamicFilter.strategyByStats(dimT, "id", maxKeys = 10).isEmpty)
+    Analyze.analyze(spark, dimT, Seq("id", "day"))
+    // NDV(id)=80 > cap 10: the key-collect job would only discover the
+    // cap — skip straight to the two-scalar range prune
+    assert(DynamicFilter.strategyByStats(dimT, "id", maxKeys = 10)
+      .contains("range"))
+    // NDV(day)=2 <= cap: the IN-list path is bounded and worth running
+    assert(DynamicFilter.strategyByStats(dimT, "day", maxKeys = 10)
+      .contains("inlist"))
+    assert(Analyze.rowsOf(dimT).contains(80L))
+    // and the decision input came from PROPS, not a scan: the stats
+    // survive unrelated commits (inherited family)
+    Snapshots.commitAll(dimT, Snapshots.restageLike(spark,
+      fact((999L, "d9", 9.0)), dimT, "day"))
+    assert(DynamicFilter.strategyByStats(dimT, "id", maxKeys = 200)
+      .contains("inlist"), "stale-but-present stats still answer")
+  }
 }

@@ -397,6 +397,38 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("no committed snapshot"))
   }
 
+  test("ANALYZE TABLE records exact column stats as versioned props") {
+    mk("sql-analyze", "sqlaz",
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "b", 2.0), (4L, "b", 2.0))
+    val out = spark.sql(
+      "ANALYZE TABLE sqlaz COMPUTE STATISTICS FOR COLUMNS day, v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("day", 2L, 0L, 4L), ("v", 2L, 0L, 4L)), s"got $out")
+    // stats land as tbl.stat.* props, visible to SQL users and stamped
+    // with the analyzed version
+    val props = spark.sql("SHOW TBLPROPERTIES sqlaz").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("stat.ndv.day") == "2" && props("stat.rows") == "4")
+    import graft.ops.lake.Analyze
+    val tablePath = LakeSql.lookup(spark, "sqlaz").get._1
+    assert(Analyze.analyzedVersion(tablePath).contains(1L))
+    // stats are STALE-visible, not silently refreshed: a later commit
+    // carries them (inherited) with the old version stamp
+    spark.sql("INSERT INTO sqlaz SELECT 5, 'c', 3.0")
+    assert(Analyze.ndvOf(tablePath, "day").contains(2L))
+    assert(Analyze.analyzedVersion(tablePath).contains(1L),
+      "the version stamp must expose staleness")
+    // unknown column rejects loudly
+    intercept[Exception](
+      spark.sql("ANALYZE TABLE sqlaz COMPUTE STATISTICS FOR COLUMNS nope"))
+    // stats describe the MERGED live state (DV deletes excluded)
+    spark.sql("DELETE FROM sqlaz WHERE day = 'a'")
+    val out2 = spark.sql(
+      "ANALYZE TABLE sqlaz COMPUTE STATISTICS FOR COLUMNS day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out2 == Set(("day", 2L, 3L)), s"got $out2") // b, c survive
+  }
+
   test("TBLPROPERTIES persist across commits; named refs pin versions in SQL") {
     val table = mk("sql-props-refs", "sqlpf", (1L, "a", 1.0), (2L, "b", 2.0))
     spark.sql("ALTER GRAFT TABLE sqlpf SET TBLPROPERTIES " +

@@ -1,0 +1,134 @@
+package graft
+
+import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-tracking contracts (the Delta row-tracking shape): fresh commits
+  * allocate disjoint contiguous id ranges; the change feed emits a
+  * stable `_row_id` per row; copy-on-write rewrites (UPDATE, MERGE,
+  * OPTIMIZE) preserve identities via the hidden materialized column;
+  * and the CDC cancellation keys on narrow fingerprints, never on
+  * document-width content. */
+class RowTrackingSpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "day", "v")
+  }
+
+  /** (key -> row id) of the table's LIVE rows via the bootstrap feed. */
+  private def idsByKey(table: String): Map[Long, Long] =
+    Snapshots.changes(spark, table, 0, Snapshots.currentVersion(table))
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fresh commits allocate disjoint contiguous ranges; the feed emits ids") {
+    val table = tmp("rid-alloc")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), table, "day"))
+    val v1Ids = idsByKey(table)
+    assert(v1Ids.values.toSeq.sorted == Seq(0L, 1L, 2L),
+      s"first commit must allocate ids 0..2, got $v1Ids")
+    Snapshots.commit(table, Snapshots.stage(df((4L, "c", 4.0)), table, "day"))
+    val v2Ids = idsByKey(table)
+    assert(v2Ids(4L) == 3L, s"second commit must continue the range: $v2Ids")
+    assert((v2Ids - 4L) == v1Ids,
+      "append must not disturb existing ids")
+    // the high-water mark rides the snapshot props and every entry
+    // carries its base
+    assert(Snapshots.snapshotProps(table, 2)("tbl.rowid.high") == "4")
+    assert(Snapshots.entriesAll(table).forall(_.props.contains("rowid.base")))
+  }
+
+  test("ids survive COW update, keyed merge, DV delete, and compact") {
+    val table = tmp("rid-stable")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (11L, "b", 11.0)),
+      table, "day", "id", buckets = 2))
+    val base = idsByKey(table)
+    assert(base.size == 4)
+
+    Mutations.updateWhere(spark, table, col("id") === 1L,
+      Map("v" -> lit(100.0)), "day")                       // COW rewrite of a's file
+    val afterUpd = idsByKey(table)
+    assert(afterUpd == base,
+      s"COW update must preserve every id (incl. the updated row): $base -> $afterUpd")
+
+    Mutations.mergeInto(spark, table, df((10L, "b", 999.0), (20L, "c", 20.0)),
+      "id", "day")                                          // rewrite b + insert c
+    val afterMerge = idsByKey(table)
+    assert((afterMerge - 20L) == (base - 10L) + (10L -> base(10L)),
+      s"merge must preserve surviving ids: $base -> $afterMerge")
+    assert(afterMerge(20L) >= 4L, "an inserted row mints a FRESH id")
+
+    Mutations.deleteWhere(spark, table, col("id") === 2L)   // DV delete: no rewrite
+    val afterDel = idsByKey(table)
+    assert(afterDel == afterMerge - 2L,
+      "a DV delete retires exactly the deleted id")
+
+    Snapshots.compact(spark, table, "day", zorderBy = Seq("id"))
+    val afterCompact = idsByKey(table)
+    assert(afterCompact == afterDel,
+      s"a layout-only rewrite must not re-mint identities: $afterDel -> $afterCompact")
+  }
+
+  test("the feed's delete side carries the deleted row's id") {
+    val table = tmp("rid-feed")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), table, "day"))
+    val before = idsByKey(table)
+    Mutations.deleteWhere(spark, table, col("id") === 2L)   // v2 (DV)
+    val feed = Snapshots.changes(spark, table, 1, 2)
+      .select("id", "_change_type", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((2L, "delete", before(2L))),
+      s"DV delete must emit exactly the deleted row with its id: $feed")
+  }
+
+  test("realChanges cancels carry-over on narrow fingerprints, never content keys") {
+    import spark.implicits._
+    val table = tmp("rid-wide")
+    // wide text rows: the cancellation shuffle must key on fingerprints
+    val wide = (1L to 8L).map(i => (i, "a", ("lorem-" + i.toString) * 400))
+      .toDF("id", "day", "text")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      wide, table, "day", "id"))                            // v1
+    Mutations.updateWhere(spark, table, col("id") === 3L,
+      Map("text" -> lit("rewritten")), "day")               // v2: COW of the one file
+    val rc = ChangeApply.realChanges(spark, table, 1, 2, Seq("id"))
+    val got = rc.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "delete"), (3L, "insert")),
+      s"carry-over of the 7 untouched wide rows must cancel; got $got")
+    // both sides of the update carry the SAME row id (identity survives)
+    val ids = rc.select("_row_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 1, s"update must keep one identity, got $ids")
+    // mechanism pin: the cancellation aggregate groups on
+    // (commit, fingerprint, fingerprint) — the text column appears in
+    // NO grouping key anywhere in the plan
+    val aggs = rc.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions
+    }
+    assert(aggs.nonEmpty)
+    aggs.foreach { ges =>
+      val named = ges.flatMap(_.collect {
+        case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference => ar.name
+      })
+      assert(!named.contains("text"),
+        s"grouping keys must be fingerprints, not content: $named")
+    }
+  }
+
+  test("a data column named _row_id is rejected by id-bearing reads") {
+    import spark.implicits._
+    val table = tmp("rid-clash")
+    Snapshots.commit(table, Snapshots.stage(
+      Seq((1L, "a", 5L)).toDF("id", "day", "_row_id"), table, "day"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, table, 0, 1).collect()
+    }
+    assert(e.getMessage.contains("_row_id"), e.getMessage)
+  }
+}

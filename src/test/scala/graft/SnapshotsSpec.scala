@@ -211,13 +211,13 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     val v3 = Snapshots.rollback(table, 1)
     assert(v3 == 3 && Snapshots.currentVersion(table) == 3)
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 10L), (2, "b", 20L)))
-    assert(Snapshots.snapshotProps(table, v3) - "schema.ddl" ==
+    assert(Snapshots.snapshotProps(table, v3) - "schema.ddl" - "tbl.rowid.high" ==
       Map("rollback.to" -> "1"))
     // rollback carries the TARGET's props too (bookkeeping like
     // mv.applied must roll back with the rows it describes)
     val v4 = Snapshots.commit(table, Seq.empty, props = Map("mv.applied" -> "7"))
     val v5 = Snapshots.rollback(table, v4)
-    assert(Snapshots.snapshotProps(table, v5) - "schema.ddl" ==
+    assert(Snapshots.snapshotProps(table, v5) - "schema.ddl" - "tbl.rowid.high" ==
       Map("mv.applied" -> "7", "rollback.to" -> v4.toString))
 
     // drop the pin: v1's snapshot file is reclaimed, but the CONTENT
@@ -239,12 +239,14 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       props = Map("writer" -> "r8", "note" -> "hello world"))
     // schema.ddl rides every data commit (the r11 log-recorded schema)
     assert(Snapshots.snapshotProps(table, v).contains("schema.ddl"))
-    assert(Snapshots.snapshotProps(table, v) - "schema.ddl" ==
+    // tbl.rowid.high rides every data commit too (r12 row tracking)
+    assert(Snapshots.snapshotProps(table, v) - "schema.ddl" - "tbl.rowid.high" ==
       Map("writer" -> "r8", "note" -> "hello world"))
     assert(Snapshots.snapshotProps(table, 0).isEmpty)
     // a props-only commit (no adds/removes) carries the data forward
     val v2 = Snapshots.commit(table, Seq.empty, props = Map("k" -> "v2"))
-    assert(Snapshots.snapshotProps(table, v2) - "schema.ddl" == Map("k" -> "v2"))
+    assert(Snapshots.snapshotProps(table, v2) - "schema.ddl" - "tbl.rowid.high" ==
+      Map("k" -> "v2"))
     assert(sorted(Snapshots.read(spark, table)) == Seq((1, "a", 1L)))
     intercept[IllegalArgumentException] {
       Snapshots.commit(table, Seq.empty, props = Map("bad=key" -> "v"))

@@ -145,7 +145,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val ckpt = tmp("gsink3-ckpt")
     def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
     def drain(): Unit = {
+      // _row_id (feed lineage) dropped before the sink: this dst mixes
+      // sink batches with direct foreign commits, so its files must
+      // share one schema
       val q = spark.readStream.format("graft-changes").load(src)
+        .drop(Snapshots.RowIdCol)
         .writeStream.format("graft").option("tagCol", "day")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
