@@ -282,11 +282,7 @@ object Bench {
     // millisecond-rounded seconds. The full-fidelity ledger (full
     // names, raw repeats, per-query gc) goes to stderr and to
     // target/bench_full_latest.json for round notes.
-    val shortCount = set.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.size)
-    def id(n: String): String = {
-      val s = n.takeWhile(_ != '_')
-      if (shortCount.getOrElse(s, 0) == 1) s else n
-    }
+    def id(n: String): String = shortId(n) // one scheme for bands + ledger
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qsShort = (ok.map { case (k, ts, _, _) => "\"" + id(k) + "\":" + f3(median(ts)) } ++
       iso.map { case (k, ts) => "\"" + id(k) + "_iso\":" + f3(median(ts)) })

@@ -99,19 +99,25 @@ object ChangeApply {
     * identical full-row duplicates as a side effect (harmless for a
     * keyed source — see the object contract).
     *
-    * SCALE (r12): the grouping key is `(commit, xxhash64(content),
-    * xxhash64(salt, reversed content))` — 24 bytes — instead of the
-    * full row content, so a catch-up over wide text rows sorts and
-    * compares fingerprints, never documents (the content rides as a
-    * `first()` payload, which any output necessarily carries). The key
+    * SCALE (r12): the grouping key is `(commit, xxhash64(enc),
+    * xxhash64(salt, enc))` — 24 bytes — instead of the full row
+    * content, so a catch-up over wide text rows sorts and compares
+    * fingerprints, never documents (the content rides as a `first()`
+    * payload, which any output necessarily carries). `enc` is the
+    * row's CANONICAL JSON (`to_json` with `ignoreNullFields=false`,
+    * maps pre-sorted): hashing raw columns instead would inherit
+    * Spark's hash-expression NULL SKIP — a NULL input leaves the seed
+    * untouched, so rows differing only in WHICH nullable column holds
+    * a value collide systematically (r12 review find, the one exactness
+    * gap vs the old full-content groupBy); the JSON form serializes
+    * nulls positionally at every nesting depth, so equal fingerprints
+    * ⇔ equal content up to a true 2⁻¹²⁸ double-hash collision. The key
     * is DELIBERATELY content-derived rather than `_row_id`-derived:
     * id-keyed cancellation would make correctness contingent on every
     * present AND future rewrite path preserving ids (one miss ⇒
-    * fabricated history segments — silent corruption), while
-    * fingerprint cancellation degrades only on a double-hash collision
-    * between two DIFFERENT contents at one commit (~2⁻¹²⁸-ish). The
-    * feed's `_row_id` rides through as lineage (a representative id
-    * per surviving change). */
+    * fabricated history segments — silent corruption). The feed's
+    * `_row_id` rides through as lineage (a representative id per
+    * surviving change). */
   private[graft] def realChanges(spark: SparkSession, src: String,
                                 fromV: Long, toV: Long,
                                 keyCols: Seq[String]): DataFrame = {
@@ -131,9 +137,11 @@ object ChangeApply {
     val canon = mapCols.foldLeft(feed)((df, c) =>
       df.withColumn(c, array_sort(map_entries(col(s"`$c`")))))
     val dcs = dataCols.map(c => col(s"`$c`"))
+    val enc = to_json(struct(dcs: _*),
+      Map("ignoreNullFields" -> "false"))
     val grouped = canon
-      .withColumn("__h1", xxhash64(dcs: _*))
-      .withColumn("__h2", xxhash64(lit("graft-rc2") +: dcs.reverse: _*))
+      .withColumn("__h1", xxhash64(enc))
+      .withColumn("__h2", xxhash64(lit("graft-rc2"), enc))
       .groupBy(col("_commit_version"), col("__h1"), col("__h2"))
       .agg(
         sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("__net"),
@@ -313,31 +321,37 @@ object ChangeApply {
   def mirror(spark: SparkSession, target: String, src: String,
              keyCols: Seq[String], tagCol: String,
              statsCols: Option[Seq[String]] = None,
-             maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long = {
-    require(maxVersionsPerBatch >= 1, "mirror: maxVersionsPerBatch must be >= 1")
+             maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long =
+    catchUp(target, src, maxVersionsPerBatch, "mirror",
+      (f, t) => applyOnce(spark, target, src, keyCols, tagCol, f, t, statsCols))
+
+  /** Shared chunked catch-up driver for both mirror flavors. An
+    * UN-BOOTSTRAPPED target stays at version 0 across a chunk whose
+    * net effect records nothing — the apply deliberately did NOT
+    * record the applied version (zero-file snapshots are a format
+    * non-goal), so the cursor must not advance either: the next chunk
+    * WIDENS over the same start instead (or the gap-free guard would
+    * wedge every retry on an insert-then-wipe prefix wider than one
+    * chunk). Once the whole range has been folded and still nets to
+    * nothing, stop — the table legitimately stays at version 0 and the
+    * next catch-up re-folds from scratch. */
+  private def catchUp(target: String, src: String, cap: Int, op: String,
+                      applyRange: (Long, Long) => Long): Long = {
+    require(cap >= 1, s"$op: maxVersionsPerBatch must be >= 1")
     val to = Snapshots.currentVersion(src)
     var from = appliedVersion(target)
     var v = Snapshots.currentVersion(target)
-    var width = maxVersionsPerBatch.toLong
+    var width = cap.toLong
     while (from < to) {
       val step = math.min(from + width, to)
-      v = applyOnce(spark, target, src, keyCols, tagCol, from, step, statsCols)
-      // an UN-BOOTSTRAPPED target stays at version 0 across a chunk
-      // whose net effect has no inserts — applyOnce deliberately did
-      // NOT record the applied version (zero-file snapshots are a
-      // format non-goal), so the cursor must not advance either: the
-      // next chunk WIDENS over the same start instead (or the gap-free
-      // guard would wedge every retry on an insert-then-wipe prefix
-      // wider than one chunk). Once the whole range has been folded
-      // and still nets to nothing, stop — the table legitimately stays
-      // at version 0 and the next catch-up re-folds from scratch.
+      v = applyRange(from, step)
       if (appliedVersion(target) >= step) {
-        from = step; width = maxVersionsPerBatch.toLong
+        from = step; width = cap.toLong
       } else if (step == to) from = to
-      else width += maxVersionsPerBatch.toLong
+      else width += cap.toLong
     }
     if (from > to) // recreated-source detection still fires on a stale cursor
-      applyOnce(spark, target, src, keyCols, tagCol, from, to, statsCols)
+      applyRange(from, to)
     v
   }
 
@@ -457,27 +471,9 @@ object ChangeApply {
     * contract as [[mirror]]. */
   def mirrorScd2(spark: SparkSession, target: String, src: String,
                  keyCols: Seq[String], tagCol: String,
-                 maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long = {
-    require(maxVersionsPerBatch >= 1, "mirrorScd2: maxVersionsPerBatch must be >= 1")
-    val to = Snapshots.currentVersion(src)
-    var from = appliedVersion(target)
-    var v = Snapshots.currentVersion(target)
-    var width = maxVersionsPerBatch.toLong
-    while (from < to) {
-      val step = math.min(from + width, to)
-      v = applyScd2Once(spark, target, src, keyCols, tagCol, from, step)
-      // same un-bootstrapped widening as [[mirror]]: a net-empty chunk
-      // on a version-0 target records nothing, so the cursor holds and
-      // the next chunk widens instead of wedging the gap-free guard
-      if (appliedVersion(target) >= step) {
-        from = step; width = maxVersionsPerBatch.toLong
-      } else if (step == to) from = to
-      else width += maxVersionsPerBatch.toLong
-    }
-    if (from > to)
-      applyScd2Once(spark, target, src, keyCols, tagCol, from, to)
-    v
-  }
+                 maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long =
+    catchUp(target, src, maxVersionsPerBatch, "mirrorScd2",
+      (f, t) => applyScd2Once(spark, target, src, keyCols, tagCol, f, t))
 
   // ---- oracle-gated exercises --------------------------------------
 

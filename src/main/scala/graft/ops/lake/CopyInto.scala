@@ -43,25 +43,38 @@ import org.apache.spark.sql.streaming.Trigger
   * day prefixes on every run — this is the incremental form. */
 object CopyInto {
 
-  /** Cursor identity for a source directory — CANONICALIZED first
+  private def md5h(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Cursor identity for a source directory — CANONICALIZED
     * (absolute, symlink- and dot-segment-free), so `/data/in`,
     * `/data/in/` and a relative spelling of the same directory share
     * ONE cursor: spelling variance must not mint a fresh seen-files
-    * log and silently re-ingest everything. */
-  private[lake] def sourceHash(srcDir: String): String = {
-    val canon = new java.io.File(srcDir).getCanonicalPath
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    * log and silently re-ingest everything. MIGRATION: a table whose
+    * cursor was recorded pre-canonicalization under THIS spelling's
+    * raw hash keeps that identity (switching it to the canonical key
+    * would orphan the old cursor and re-ingest the whole directory —
+    * the exact failure the canonicalization prevents; a legacy cursor
+    * re-run under a DIFFERENT spelling still mints the canonical key,
+    * the pre-r12 behavior). */
+  private[lake] def sourceHash(table: String, srcDir: String): String = {
+    val canon = md5h(new java.io.File(srcDir).getCanonicalPath)
+    val raw = md5h(srcDir)
+    if (raw != canon && Snapshots.currentVersion(table) >= 1 &&
+        Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+          .contains(s"tbl.copy.applied.$raw")) raw
+    else canon
   }
 
   /** Applied-batch prop key for `srcDir`'s cursor. */
-  private[lake] def appliedKey(srcDir: String): String =
-    s"tbl.copy.applied.${sourceHash(srcDir)}"
+  private[lake] def appliedKey(table: String, srcDir: String): String =
+    s"tbl.copy.applied.${sourceHash(table, srcDir)}"
 
   /** Last file-source batch id committed from `srcDir` (−1 = none). */
   def appliedBatch(table: String, srcDir: String): Long =
     Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
-      .get(appliedKey(srcDir)).map(_.toLong).getOrElse(-1L)
+      .get(appliedKey(table, srcDir)).map(_.toLong).getOrElse(-1L)
 
   /** RESTORE interplay: rolling the table back across copy commits
     * rewinds the cursor WITH the rows (rollback restores the old
@@ -78,8 +91,8 @@ object CopyInto {
     def deleteDir(f: java.io.File): Unit = {
       Option(f.listFiles()).toSeq.flatten.foreach(deleteDir); f.delete()
     }
-    deleteDir(new java.io.File(table, s"_copy/${sourceHash(srcDir)}"))
-    Snapshots.commitProps(table, Map.empty, unset = Set(appliedKey(srcDir)))
+    deleteDir(new java.io.File(table, s"_copy/${sourceHash(table, srcDir)}"))
+    Snapshots.commitProps(table, Map.empty, unset = Set(appliedKey(table, srcDir)))
   }
 
   /** Run one COPY INTO pass: drain every not-yet-seen file under
@@ -93,7 +106,7 @@ object CopyInto {
     // schema pinned from a batch read of the CURRENT directory — the
     // file-source contract (streams need an explicit schema)
     val schema = spark.read.format(format).options(options).load(srcDir).schema
-    val key = appliedKey(srcDir)
+    val key = appliedKey(table, srcDir)
     val stream = spark.readStream.schema(schema).format(format)
       .options(options).load(srcDir)
     val q = stream.writeStream
@@ -108,7 +121,7 @@ object CopyInto {
           ()
         }
       }
-      .option("checkpointLocation", s"$table/_copy/${sourceHash(srcDir)}")
+      .option("checkpointLocation", s"$table/_copy/${sourceHash(table, srcDir)}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -142,6 +142,7 @@ object Mutations {
     // resurrected by the rewrite (the rewrite MATERIALIZES the vector —
     // rewritten entries carry no dv reference). Caught by the random
     // mutation-model spec.
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val replaced =
       if (touchedRels.isEmpty) source
       else {
@@ -152,9 +153,15 @@ object Mutations {
         // updates a row, it doesn't delete-and-recreate it), and
         // unmatched source rows NULL-fill the column to mint virtual
         // ids from the new file's base
+        // persisted: the touched slice feeds BOTH the survivor
+        // anti-join and the matched-row id join — unpersisted, the
+        // touched files' parquet scan + DV anti-join runs twice per
+        // merge (r12 review find); released after the commit below
         val touchedRows = Snapshots.readMergedWithIds(spark, table, version = v0,
             fileFilter = e => touchedRels.contains(e.rel))
           .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)
+          .persist()
+        caches += touchedRows
         val survivors = touchedRows
           .join(srcKeys, Seq(keyCol), "left_anti") // survivors sharing touched files
         // source columns NOT in the target union stay gated by
@@ -179,8 +186,10 @@ object Mutations {
           Seq(keyCol), "left")
         survivors.unionByName(srcWithIds, allowMissingColumns = true)
       }
-    Snapshots.commitRewrite(table, v0, restageLike(spark, replaced, table, tagCol),
+    try Snapshots.commitRewrite(table, v0,
+      Snapshots.withInternalRid(restageLike(spark, replaced, table, tagCol)),
       remove = e => touchedRels.contains(e._1))
+    finally caches.foreach(_.unpersist(blocking = false))
   }
 
 
@@ -450,7 +459,8 @@ object Mutations {
         // empty commit (mirrors the other ops' no-op contract)
         if (touchedRels.isEmpty && replaced.isEmpty)
           return Snapshots.currentVersion(table)
-        val staged = restageLike(spark, replaced, table, tagCol)
+        val staged =
+          Snapshots.withInternalRid(restageLike(spark, replaced, table, tagCol))
         // a delete clause that empties EVERY file would commit a
         // zero-file snapshot — unreadable by the format's documented
         // limitation — and BRICK the live table; refuse BEFORE the
@@ -911,7 +921,8 @@ object Mutations {
         .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)) {
       case (df, (c, e)) => df.withColumn(c, when(predicate, e).otherwise(col(c)))
     }
-    Snapshots.commitRewrite(table, v0, restageLike(spark, rewritten, table, tagCol),
+    Snapshots.commitRewrite(table, v0,
+      Snapshots.withInternalRid(restageLike(spark, rewritten, table, tagCol)),
       remove = e => touchedRels.contains(e._1))
   }
 
@@ -934,7 +945,7 @@ object Mutations {
         fileFilter = e => dvRels.contains(e.rel))
       .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)
     Snapshots.commitRewrite(table, v0,
-      restageLike(spark, materialized, table, tagCol),
+      Snapshots.withInternalRid(restageLike(spark, materialized, table, tagCol)),
       remove = e => dvRels.contains(e._1))
   }
 

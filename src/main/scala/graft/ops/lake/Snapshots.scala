@@ -246,14 +246,18 @@ object Snapshots {
   }
 
   /** Newest EXISTING version published at or before `t` (0 when
-    * none) — O(log #commits) stats; publish times are monotonic with
-    * version. A MID-LOG gap (missing version between real ones) stats
-    * as mtime 0 (i.e. "true") and can make the raw search land on the
-    * gap itself — a phantom version that fails at read time with a
-    * confusing missing-snapshot error — so the landing point walks
-    * down to the nearest version that both exists and satisfies the
-    * predicate (the same gap discipline getBatch/changesAttributed
-    * apply). Retention arithmetic must NOT use this (see
+    * none) — O(log #commits + gap run) stats; publish times are
+    * monotonic with version. A MID-LOG gap (missing version between
+    * real ones) stats as mtime 0 (i.e. "true") and can make the raw
+    * search land on the gap itself — a phantom version that fails at
+    * read time with a confusing missing-snapshot error — so the
+    * landing point walks down to the nearest version that both exists
+    * and satisfies the predicate (the same gap discipline
+    * getBatch/changesAttributed apply). The walk is linear in the gap
+    * run it lands on — batchCommitter gaps are short; the worst case
+    * is a query older than a VACUUMED prefix, which walks that prefix
+    * once and correctly answers 0 (the history is unreadable either
+    * way). Retention arithmetic must NOT use this (see
     * [[versionsSince]]). */
   private def latestAtOrBefore(table: String, t: Long): Long = {
     val cur = currentVersion(table)
@@ -1303,11 +1307,33 @@ object Snapshots {
     stageClustered(df.hint("rebalance", col(tag)), table, tag)
   }
 
+  /** Gate for the rewrite paths' staging of the hidden materialized
+    * row-id column: OUTSIDE it, a frame carrying [[RidCol]] (or the
+    * feed-visible [[RowIdCol]]) is rejected loudly — a user data
+    * column under either name would be silently hijacked as row
+    * identity, dropped from every normal read, and destroyed by the
+    * next rewrite (r12 review find). */
+  private val internalRid = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private[lake] def withInternalRid[T](body: => T): T = {
+    internalRid.set(true)
+    try body finally internalRid.set(false)
+  }
+
   /** [[stage]] for an input whose task layout is ALREADY the intended
     * file layout (e.g. [[stageWithStats]]'s range clustering): writes
     * as-is; the `partitionBy` still guarantees one tag per FILE. */
   private def stageClustered(df: DataFrame, table: String, tagCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
+    require(!df.columns.contains(RowIdCol),
+      s"stage of $table: `$RowIdCol` is reserved for row tracking — drop " +
+        "or rename the column before writing (the change feed attaches it " +
+        "automatically on reads)")
+    require(internalRid.get || !df.columns.contains(RidCol),
+      s"stage of $table: `$RidCol` is the engine's materialized row-id " +
+        "column — a data column under that name would be hijacked as row " +
+        "identity and destroyed by the next rewrite; rename it")
     val token = "data/d" + java.util.UUID.randomUUID().toString.take(12)
     val dir = s"$table/$token"
     // inputs arrive under LOGICAL names; files are written PHYSICAL so
@@ -2759,7 +2785,8 @@ object Snapshots {
       val df = readMergedWithIds(spark, table, version = v0,
           fileFilter = e => inScope.contains(e.rel))
         .withColumnRenamed(RowIdCol, RidCol)
-      val es = bloomCols.foldLeft(stageZOrdered(df, table, tagCol, zorderBy))(
+      val es = bloomCols.foldLeft(
+        withInternalRid(stageZOrdered(df, table, tagCol, zorderBy)))(
         (acc, c) => withBloom(acc, table, c, spark))
       // a re-cluster of a fully-DV-deleted slice would commit zero
       // files — unreadable; keep the vector layout (readable as empty)
@@ -2799,7 +2826,7 @@ object Snapshots {
         val df = readMergedWithIds(spark, table, version = v0,
             fileFilter = e => rels.contains(e.rel))
           .withColumnRenamed(RowIdCol, RidCol)
-        val staged = restageLike(spark, df, table, tagCol)
+        val staged = withInternalRid(restageLike(spark, df, table, tagCol))
         if (staged.isEmpty && rels.size == all.size) return v0
         commitRewrite(table, v0, staged,
           remove = { case (rel, _) => rels.contains(rel) }, props = carried)

@@ -12,7 +12,12 @@ import org.apache.spark.sql.streaming.OutputMode
   * stream source and a stream sink with exactly-once on both ends.
   *
   *   spark.readStream.format("graft-changes").load(src)
+  *     .drop("_row_id")   // feed lineage — reserved in any lake table
   *     .writeStream.format("graft").option("tagCol", "day").start(dst)
+  *
+  * (`_row_id` is the feed's row-tracking column; staging it into a
+  * lake table is rejected loudly because the name is reserved for the
+  * DESTINATION's own row identity — drop or rename it upstream.)
   *
   * Exactly-once is the applied-batch bookkeeping discipline (the Delta
   * `txnAppId`/`txnVersion` pattern, the same shape
@@ -65,28 +70,48 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
       .getOrElse(throw new IllegalArgumentException(
         "graft sink: exactly-once needs a stable sink identity — set " +
           ".option(\"checkpointLocation\", dir) or .option(\"sinkId\", id)"))
-    new GraftSink(table, tagCol, GraftSink.appliedKey(ident))
+    val forceAppend = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("sinkBootstrap") => v }
+      .exists(_.equalsIgnoreCase("append"))
+    new GraftSink(table, tagCol, GraftSink.appliedKey(ident), forceAppend)
   }
 }
 
 object GraftSink {
-  private[streaming] def appliedKey(ident: String): String = {
+  private[graft] def appliedKey(ident: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"tbl.sink.applied.$h"
   }
 }
 
-class GraftSink(table: String, tagCol: String, appliedKey: String) extends Sink {
+class GraftSink(table: String, tagCol: String, appliedKey: String,
+                forceAppend: Boolean = false) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the streaming-tagged frame re-wraps as a batch frame over the
     // SAME computed rows (the ForeachBatchSink move) — restageLike then
     // writes it through the normal size-budgeted path, preserving
     // whatever stats/bloom decoration the table carries
     val df = GraftSqlBridge.batchDataFrame(data)
-    val applied = Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+    val cur = Snapshots.currentVersion(table)
+    val applied = Snapshots.snapshotProps(table, cur)
       .get(appliedKey).map(_.toLong).getOrElse(-1L)
     if (batchId > applied && !df.isEmpty) {
+      // AMBIGUOUS state, failed loudly rather than guessed (r12 review
+      // find): no applied prop but the table version equals the LEGACY
+      // sink's batch-derived invariant. Either (a) a crash replay
+      // straddling the pre-prop upgrade — appending would DOUBLE the
+      // batch — or (b) a fresh checkpoint whose batch number happens to
+      // line up with an existing table — skipping would DROP data.
+      // Both wrong answers are silent; the operator disambiguates:
+      // .option("sinkBootstrap", "append") for a deliberate append.
+      require(forceAppend || !(applied < 0 && cur == batchId + 1 && cur > 0),
+        s"graft sink($table): table version $cur matches the legacy " +
+          s"batch-derived invariant for batch $batchId but no applied-batch " +
+          "bookkeeping exists — a legacy-sink crash replay (appending would " +
+          "double it) is indistinguishable from a fresh checkpoint against " +
+          "an existing table (skipping would drop it). Pass " +
+          ".option(\"sinkBootstrap\", \"append\") to append deliberately.")
       Snapshots.commitAll(table,
         Snapshots.restageLike(df.sparkSession, df, table, tagCol),
         props = Map(appliedKey -> batchId.toString))

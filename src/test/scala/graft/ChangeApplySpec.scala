@@ -545,6 +545,36 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       "the pruned file must carry by manifest name")
   }
 
+  test("cancellation fingerprints distinguish null-position variants") {
+    import spark.implicits._
+    // (k, a='x', b=NULL) -> (k, a=NULL, b='x'): a column-wise hash
+    // SKIPS nulls (Spark hash expressions leave the seed untouched),
+    // so both sides fingerprint identically and the real update
+    // silently cancels (r12 review find); the canonical-JSON encoding
+    // serializes nulls positionally and must keep both sides
+    val src = tmp("ca-null-src")
+    val tgt = tmp("ca-null-tgt")
+    val base = Seq((1L, "d", Some("x"), None: Option[String]),
+                   (2L, "d", Some("p"), Some("q")))
+      .toDF("id", "day", "a", "b")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(base, src, "day", "id")) // v1
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day")
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("a" -> lit(null).cast("string"), "b" -> lit("x")), "day")            // v2
+    val rc = ChangeApply.realChanges(spark, src, 1, 2, Seq("id"))
+      .select("id", "_change_type", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(rc == Set(
+      (1L, "delete", Some("x"), None),
+      (1L, "insert", None, Some("x"))),
+      s"null-position update must survive cancellation: $rc")
+    ChangeApply.mirror(spark, tgt, src, Seq("id"), "day")
+    val got = Snapshots.read(spark, tgt).select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, None, Some("x")), (2L, Some("p"), Some("q"))))
+  }
+
   test("chunked catch-up widens over a net-empty prefix instead of wedging") {
     val src = tmp("ca-wedge-src")
     val tgt = tmp("ca-wedge-tgt")

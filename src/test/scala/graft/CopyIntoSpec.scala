@@ -115,6 +115,27 @@ class CopyIntoSpec extends AnyFunSuite with SparkFixture {
       "reset + re-run re-ingests the full directory exactly once")
   }
 
+  test("a pre-canonicalization cursor keeps its raw-hash identity") {
+    val table = tmp("copy-legacy-tbl")
+    val src = tmp("copy-legacy-src")
+    df((1L, "a", 1.0)).write.mode("append").parquet(src)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((100L, "x", 0.0)), table, "day", "id"))
+    // simulate a legacy cursor: the prop keyed on the RAW (un-
+    // canonicalized) spelling's hash, as pre-r12 code wrote it
+    val weird = src + "/." // spelling whose raw hash differs from canonical
+    def md5h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    assert(md5h(weird) != md5h(new java.io.File(weird).getCanonicalPath))
+    Snapshots.commitProps(table, Map(s"tbl.copy.applied.${md5h(weird)}" -> "5"))
+    // same spelling: the legacy identity is adopted, not orphaned (an
+    // orphaned cursor would read -1 and re-ingest the whole directory)
+    assert(CopyInto.appliedBatch(table, weird) == 5L,
+      "legacy raw-hash cursor must keep its identity under the same spelling")
+    // a spelling with NO legacy cursor uses the canonical identity
+    assert(CopyInto.appliedBatch(table, src) == -1L)
+  }
+
   test("path spelling variants of one source share one cursor") {
     val table = tmp("copy-canon-tbl")
     val src = tmp("copy-canon-src")

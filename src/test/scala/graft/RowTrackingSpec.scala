@@ -121,14 +121,22 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("a data column named _row_id is rejected by id-bearing reads") {
+  test("reserved id column names are rejected at stage time") {
     import spark.implicits._
     val table = tmp("rid-clash")
-    Snapshots.commit(table, Snapshots.stage(
-      Seq((1L, "a", 5L)).toDF("id", "day", "_row_id"), table, "day"))
+    // _row_id: reserved for the feed — rejected before any file lands
     val e = intercept[IllegalArgumentException] {
-      Snapshots.changes(spark, table, 0, 1).collect()
+      Snapshots.stage(
+        Seq((1L, "a", 5L)).toDF("id", "day", "_row_id"), table, "day")
     }
     assert(e.getMessage.contains("_row_id"), e.getMessage)
+    // __rid: the hidden materialized column — a user column under that
+    // name would be hijacked as identity and destroyed by rewrites
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.stage(
+        Seq((1L, "a", 5L)).toDF("id", "day", "__rid"), table, "day")
+    }
+    assert(e2.getMessage.contains("__rid"), e2.getMessage)
+    assert(Snapshots.currentVersion(table) == 0L, "nothing staged")
   }
 }

@@ -96,9 +96,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       df3((1L, "a", 1.0), (2L, "b", 2.0)), src, "day"))        // v1
     Mutations.deleteWhere(spark, src, col("id") === 2)          // v2 (DV)
 
-    // the full loop: lake CDF source → lake sink, one AvailableNow drain
+    // the full loop: lake CDF source → lake sink, one AvailableNow
+    // drain (_row_id is the feed's lineage column, reserved in any
+    // destination table — dropped before the sink, the documented shape)
     def drain(): Unit = {
       val q = spark.readStream.format("graft-changes").load(src)
+        .drop(Snapshots.RowIdCol)
         .writeStream.format("graft").option("tagCol", "day")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -175,6 +178,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // idle re-drain after the foreign commits: still no double
     drain()
     assert(graft.ops.lake.Mutations.readMerged(spark, dst).count() == 2L)
+  }
+
+  test("graft sink: the legacy/fresh-checkpoint ambiguity fails loudly") {
+    import graft.ops.lake.Snapshots
+    import graft.streaming.GraftSink
+    import spark.implicits._
+    val dst = tmp("gsink4-dst")
+    val one = Seq((1L, "a", 1.0)).toDF("id", "day", "v")
+    // a table at version batchId+1 with NO applied prop: either a
+    // legacy-sink crash replay (append would double) or a fresh
+    // checkpoint against an existing table (skip would drop) — both
+    // wrong answers are silent, so the sink must throw
+    Snapshots.commit(dst, Snapshots.stage(one, dst, "day")) // v1, foreign
+    val sink = new GraftSink(dst, "day", GraftSink.appliedKey("spec-ident"))
+    val e = intercept[IllegalArgumentException] { sink.addBatch(0, one) }
+    assert(e.getMessage.contains("sinkBootstrap"), e.getMessage)
+    assert(Snapshots.read(spark, dst).count() == 1L, "nothing committed")
+    // the explicit escape hatch appends deliberately and records the prop
+    val forced = new GraftSink(dst, "day",
+      GraftSink.appliedKey("spec-ident"), forceAppend = true)
+    forced.addBatch(0, Seq((2L, "b", 2.0)).toDF("id", "day", "v"))
+    assert(Snapshots.read(spark, dst).count() == 2L)
+    // from here the prop governs: a replay of batch 0 no-ops
+    forced.addBatch(0, Seq((3L, "c", 3.0)).toDF("id", "day", "v"))
+    assert(Snapshots.read(spark, dst).count() == 2L)
   }
 
   test("graft sink composes: stream → bronze lake → CDC-mirrored silver") {
