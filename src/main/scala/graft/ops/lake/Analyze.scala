@@ -43,17 +43,42 @@ object Analyze {
     * `table`'s live snapshot. Returns one (column, ndv, nulls) row per
     * analyzed column plus the row count; the same rows the SQL verb
     * surfaces. */
+  /** MAP anywhere in a type makes `count(distinct)` un-plannable
+    * (maps are not groupable/orderable in Spark). */
+  private def analyzable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => analyzable(f.dataType))
+      case a: ArrayType => analyzable(a.elementType)
+      case _ => true
+    }
+  }
+
   def analyze(spark: SparkSession, table: String,
               columns: Seq[String] = Seq.empty): (Long, Seq[(String, Long, Long)]) = {
     val v = Snapshots.currentVersion(table)
     require(v >= 1, s"analyze($table): no committed snapshot")
     val df = Mutations.readMerged(spark, table, mergeSchema = true)
-    val all = df.schema.fieldNames.toSeq
-    val cols = if (columns.nonEmpty) columns else all
-    val unknown = cols.filterNot(c => all.exists(_.equalsIgnoreCase(c)))
-    require(unknown.isEmpty,
-      s"analyze($table): unknown column(s) ${unknown.mkString(", ")} " +
-        s"(table has ${all.mkString(", ")})")
+    val all = df.schema.fields.toSeq
+    // requested names resolve to the SCHEMA's canonical spelling —
+    // props keyed under a caller's case variant would silently miss
+    // every later ndvOf/strategyByStats lookup (r12 review find)
+    val resolved = columns.map(c =>
+      all.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"analyze($table): unknown column '$c' " +
+            s"(table has ${all.map(_.name).mkString(", ")})")))
+    // EXPLICITLY requested un-analyzable types reject loudly; the
+    // all-columns default SKIPS them (recording nothing is the
+    // documented-sound outcome — a MAP column must not fail the verb
+    // for every other column, r12 review find)
+    resolved.foreach(f => require(analyzable(f.dataType),
+      s"analyze($table): column '${f.name}' has type ${f.dataType.sql}, " +
+        "which count(distinct) cannot group (MAP somewhere in the type) — " +
+        "omit it or analyze other columns"))
+    val cols = (if (columns.nonEmpty) resolved
+      else all.filter(f => analyzable(f.dataType))).map(_.name)
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       count_distinct(col(s"`$c`")).as(s"__ndv_$c"),
       sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))

@@ -134,6 +134,38 @@ object ChangeApply {
     val mapCols = feed.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
     }.toSeq
+    // maps NESTED inside structs/arrays cannot be canonicalized by the
+    // top-level fold, and to_json would serialize their entries in
+    // storage order — semantically equal rows could fingerprint apart
+    // and a COW carry-over pair would fail to cancel (fabricated
+    // history, the silent-corruption class). Refuse loudly, like the
+    // pre-fingerprint groupBy did for every map (r12 review find).
+    def nestedMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case m: MapType =>
+          nestedMap(m.keyType) || nestedMap(m.valueType) // a map INSIDE the top-level map
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+    }
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+    }
+    val nested = feed.schema.fields
+      .filter(f => dataCols.contains(f.name) && nestedMap(f.dataType))
+    require(nested.isEmpty,
+      s"applyChanges($src): column(s) ${nested.map(_.name).mkString(", ")} " +
+        "carry MAP types nested inside structs/arrays — entry order is not " +
+        "canonical there, so change cancellation cannot fingerprint them " +
+        "soundly; restructure the column (top-level maps are fine)")
     val canon = mapCols.foldLeft(feed)((df, c) =>
       df.withColumn(c, array_sort(map_entries(col(s"`$c`")))))
     val dcs = dataCols.map(c => col(s"`$c`"))

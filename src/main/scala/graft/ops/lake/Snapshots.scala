@@ -771,6 +771,16 @@ object Snapshots {
     val live = read(spark, table, mergeSchema = true).columns.toSet
     require(live.contains(from), s"renameColumn($table): no column '$from' (have ${live.mkString(", ")})")
     require(!live.contains(to), s"renameColumn($table): target '$to' already exists")
+    // engine-reserved names are invisible to the live-column check
+    // (normal reads hide __rid; feed markers never stage), so a rename
+    // ONTO them must be rejected here — renaming to __rid would make
+    // the column silently vanish from every read and be destroyed by
+    // the next rewrite; _row_id would wedge every mutation and feed
+    // (r12 review find)
+    val reserved = Set(RowIdCol, RidCol, "_change_type", "_commit_version")
+    require(!reserved.contains(to),
+      s"renameColumn($table): '$to' is an engine-reserved name " +
+        s"(${reserved.mkString(", ")}) — pick another")
     val phys = physicalName(table, from)
     val physical = rawColumns(spark, table)
     require(to == phys || !physical.contains(to),

@@ -400,6 +400,20 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
     val got = Snapshots.read(spark, tgt).select("id", "props").collect()
       .map(r => r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
     assert(got == Map(1L -> Map("k" -> "v"), 2L -> Map("x" -> "y")))
+
+    // maps NESTED in structs cannot be canonicalized — entry order is
+    // not comparable there, so the fingerprint cancellation refuses
+    // LOUDLY (silently failing to cancel would fabricate history)
+    val src2 = tmp("ca-map-nested-src")
+    val nested = Seq((1L, "a", Map("k" -> "v")))
+      .toDF("id", "day", "m")
+      .withColumn("wrap", struct(col("m")))
+      .drop("m")
+    Snapshots.commitAll(src2, Snapshots.stageWithStats(nested, src2, "day", "id"))
+    val e = intercept[IllegalArgumentException] {
+      ChangeApply.mirror(spark, tmp("ca-map-nested-tgt"), src2, Seq("id"), "day")
+    }
+    assert(e.getMessage.contains("nested"), e.getMessage)
   }
 
   test("mirror polling races a live writer: every poll applies a consistent prefix") {

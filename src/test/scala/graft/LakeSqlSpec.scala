@@ -421,6 +421,11 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     // unknown column rejects loudly
     intercept[Exception](
       spark.sql("ANALYZE TABLE sqlaz COMPUTE STATISTICS FOR COLUMNS nope"))
+    // case-variant requests record under the SCHEMA's canonical
+    // spelling, so later stat lookups don't silently miss
+    spark.sql("ANALYZE TABLE sqlaz COMPUTE STATISTICS FOR COLUMNS DAY")
+    assert(Analyze.ndvOf(tablePath, "day").nonEmpty,
+      "stats must key on the canonical column spelling")
     // stats describe the MERGED live state (DV deletes excluded)
     spark.sql("DELETE FROM sqlaz WHERE day = 'a'")
     val out2 = spark.sql(

@@ -121,6 +121,27 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("renaming a column onto a reserved name is rejected") {
+    import graft.ops.lake.Snapshots
+    val table = tmp("rid-rename")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0)), table, "day"))
+    // normal reads HIDE the reserved names, so the live-column
+    // collision check alone would admit the rename — after which the
+    // column's data silently vanishes from every read (__rid) or every
+    // mutation wedges (_row_id)
+    Seq("__rid", "_row_id", "_change_type").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.renameColumn(spark, table, "v", bad)
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad: ${e.getMessage}")
+    }
+    // a legitimate rename still works and row ids survive it
+    val before = idsByKey(table)
+    Snapshots.renameColumn(spark, table, "v", "val")
+    assert(idsByKey(table) == before)
+  }
+
   test("reserved id column names are rejected at stage time") {
     import spark.implicits._
     val table = tmp("rid-clash")
