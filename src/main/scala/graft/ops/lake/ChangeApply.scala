@@ -99,25 +99,32 @@ object ChangeApply {
     * identical full-row duplicates as a side effect (harmless for a
     * keyed source — see the object contract).
     *
-    * SCALE (r12): the grouping key is `(commit, xxhash64(enc),
-    * xxhash64(salt, enc))` — 24 bytes — instead of the full row
-    * content, so a catch-up over wide text rows sorts and compares
-    * fingerprints, never documents (the content rides as a `first()`
-    * payload, which any output necessarily carries). `enc` is the
-    * row's CANONICAL JSON (`to_json` with `ignoreNullFields=false`,
-    * maps pre-sorted): hashing raw columns instead would inherit
-    * Spark's hash-expression NULL SKIP — a NULL input leaves the seed
-    * untouched, so rows differing only in WHICH nullable column holds
-    * a value collide systematically (r12 review find, the one exactness
-    * gap vs the old full-content groupBy); the JSON form serializes
-    * nulls positionally at every nesting depth, so equal fingerprints
-    * ⇔ equal content up to a true 2⁻¹²⁸ double-hash collision. The key
-    * is DELIBERATELY content-derived rather than `_row_id`-derived:
-    * id-keyed cancellation would make correctness contingent on every
-    * present AND future rewrite path preserving ids (one miss ⇒
-    * fabricated history segments — silent corruption). The feed's
-    * `_row_id` rides through as lineage (a representative id per
-    * surviving change). */
+    * SCALE (r12): the grouping key is `(commit, h1, h2)` — 24 bytes —
+    * instead of the full row content, so a catch-up over wide text
+    * rows sorts and compares fingerprints, never documents (the
+    * content rides as a `first()` payload, which any output
+    * necessarily carries). The fingerprints are built null-safely:
+    * hashing the raw column list would inherit Spark's hash-expression
+    * NULL SKIP — a NULL input leaves the seed untouched, so rows
+    * differing only in WHICH nullable column holds a value collide
+    * SYSTEMATICALLY (r12 review find). Instead each column first
+    * collapses to a per-column seeded hash (`xxhash64(lit(seed),
+    * enc(c))` — a NULL column becomes the seed's own constant,
+    * distinct per position and per hash family), and h1/h2 combine
+    * the two independently-seeded part vectors, which are never null —
+    * no skip anywhere, ~2⁻¹²⁸ residual collisions. `enc(c)` is the
+    * raw column for atomic types (hashing raw bytes is cheap — the
+    * CdcWidthProbe showed whole-row `to_json` costing MORE than the
+    * wide grouping keys it replaced) and canonical JSON
+    * (`ignoreNullFields=false`) only for struct/array columns, whose
+    * INTERNAL null positions the hash expression would otherwise skip
+    * (top-level maps pre-sort to entry arrays; nested maps are
+    * rejected above). The key is DELIBERATELY content-derived rather
+    * than `_row_id`-derived: id-keyed cancellation would make
+    * correctness contingent on every present AND future rewrite path
+    * preserving ids (one miss ⇒ fabricated history segments — silent
+    * corruption). The feed's `_row_id` rides through as lineage (a
+    * representative id per surviving change). */
   private[graft] def realChanges(spark: SparkSession, src: String,
                                 fromV: Long, toV: Long,
                                 keyCols: Seq[String]): DataFrame = {
@@ -169,11 +176,21 @@ object ChangeApply {
     val canon = mapCols.foldLeft(feed)((df, c) =>
       df.withColumn(c, array_sort(map_entries(col(s"`$c`")))))
     val dcs = dataCols.map(c => col(s"`$c`"))
-    val enc = to_json(struct(dcs: _*),
-      Map("ignoreNullFields" -> "false"))
+    def enc(c: String): Column = {
+      import org.apache.spark.sql.types._
+      canon.schema(canon.schema.fieldIndex(c)).dataType match {
+        case _: StructType | _: ArrayType =>
+          to_json(col(s"`$c`"), Map("ignoreNullFields" -> "false"))
+        case _ => col(s"`$c`")
+      }
+    }
+    val parts1 = dataCols.zipWithIndex.map { case (c, i) =>
+      xxhash64(lit(i), enc(c)) }
+    val parts2 = dataCols.zipWithIndex.map { case (c, i) =>
+      xxhash64(lit(-1 - i), enc(c)) }
     val grouped = canon
-      .withColumn("__h1", xxhash64(enc))
-      .withColumn("__h2", xxhash64(lit("graft-rc2"), enc))
+      .withColumn("__h1", xxhash64(parts1: _*))
+      .withColumn("__h2", xxhash64(parts2: _*))
       .groupBy(col("_commit_version"), col("__h1"), col("__h2"))
       .agg(
         sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("__net"),
