@@ -76,6 +76,15 @@ object ChangeApply {
   val EndCol = "__end_version"
   val CurrentCol = "__is_current"
 
+  /** SCD2 lineage column: the SOURCE's stable `_row_id` behind each
+    * segment (r12 row tracking). An in-place update chain shares one
+    * id across its segments (COW rewrites preserve identity); a
+    * delete+reinsert mints a new one — the physical-row lineage an
+    * audit needs. Stored under a NON-reserved name so the segment
+    * table's own row tracking stays intact; NULL for sources that
+    * predate row tracking. */
+  val SourceRowIdCol = "_source_row_id"
+
   private val MetaCols =
     Seq("_change_type", "_commit_version", Snapshots.RowIdCol)
 
@@ -431,10 +440,10 @@ object ChangeApply {
       .orderBy(pri.asc)
     val acts = Caching.persist(
       realChanges(spark, src, fromV, toV, keyCols)
-        // lineage id not recorded in the segment table (a stored
-        // `_row_id` data column would collide with the TARGET's own
-        // row tracking on any downstream feed read)
-        .drop(Snapshots.RowIdCol)
+        // the source row id becomes the segment's LINEAGE column —
+        // renamed off the reserved feed name so the segment table's
+        // own row tracking stays intact
+        .withColumnRenamed(Snapshots.RowIdCol, SourceRowIdCol)
         .withColumn("__rk", rank().over(wv))
         .filter(col("__rk") === 1).drop("__rk"))
     try {

@@ -121,6 +121,33 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SCD2 segments carry source-row lineage (_source_row_id)") {
+    import graft.ops.lake.{ChangeApply, Mutations, Snapshots}
+    val src = tmp("rid-scd2-src")
+    val tgt = tmp("rid-scd2-tgt")
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0)), src, "day", "id"))          // v1
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(10.0)), "day")                                    // v2: in-place
+    Mutations.deleteWhere(spark, src, col("id") === 2L)                // v3
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((2L, "a", 22.0)), src, "day", "id"))                          // v4: reinsert
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    val segs = Snapshots.read(spark, tgt)
+      .select(col("id"), col(ChangeApply.StartCol),
+        col(ChangeApply.SourceRowIdCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => s._2 -> s._3).toMap).toMap
+    // key 1: updated IN PLACE — both segments share one physical
+    // lineage id (COW preserved it)
+    assert(segs(1L).values.toSet.size == 1,
+      s"update chain must share one source row id: ${segs(1L)}")
+    // key 2: deleted then REINSERTED — the new segment's lineage id is
+    // a fresh physical row, distinct from the original
+    assert(segs(2L)(1L) != segs(2L)(4L),
+      s"reinsert must mint a fresh source row id: ${segs(2L)}")
+  }
+
   test("renaming a column onto a reserved name is rejected") {
     import graft.ops.lake.Snapshots
     val table = tmp("rid-rename")
