@@ -97,6 +97,95 @@ object Analyze {
     (rows, stats)
   }
 
+  private def histKey(phys: String) = s"tbl.stat.hist.$phys"
+
+  /** EXACT equi-height histogram for a numeric/date/timestamp column:
+    * the k bucket UPPER boundaries are the values at global sort ranks
+    * `floor(i·n/k)` (1-indexed, i = 1..k) — value-at-rank is
+    * well-defined under ties, so the result is deterministic and
+    * DuckDB-restatable (the s56 oracle), unlike percentile
+    * interpolation semantics that differ across engines. Recorded as
+    * a comma-joined prop (`tbl.stat.hist.<phys>`) next to the NDV
+    * stats.
+    *
+    * Scale: one DISTRIBUTED range-sort of the single projected column
+    * + a zipWithIndex pass — no single-partition window, no driver
+    * materialization beyond the k boundaries. A deliberate maintenance
+    * op, same contract as [[analyze]]. */
+  def histogram(spark: SparkSession, table: String, column: String,
+                buckets: Int = 32): Seq[Double] = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"histogram($table): buckets must be in [2, 1024], got $buckets")
+    val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
+    val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"histogram($table): unknown column '$column'"))
+    import org.apache.spark.sql.types._
+    val e = f.dataType match {
+      case _: NumericType => col(f.name).cast(DoubleType)
+      case DateType => unix_date(col(f.name)).cast(DoubleType)
+      case TimestampType => unix_micros(col(f.name)).cast(DoubleType)
+      case dt => throw new IllegalArgumentException(
+        s"histogram($table): column '${f.name}' has type ${dt.sql} — " +
+          "histograms need an ordered numeric/date/timestamp column")
+    }
+    val vals = df0.select(e.as("v")).na.drop()
+    val n = vals.count()
+    if (n == 0L) return Seq.empty
+    val ranks = (1 to buckets)
+      .map(i => math.max(1L, i.toLong * n / buckets) - 1).distinct.toSet
+    val bounds = vals.orderBy(col("v")).rdd.zipWithIndex()
+      .filter { case (_, idx) => ranks.contains(idx) }
+      .map { case (r, idx) => (idx, r.getDouble(0)) }
+      .collect().sortBy(_._1).map(_._2).toSeq
+    val phys = Snapshots.physicalName(table, f.name)
+    Snapshots.commitProps(table, Map(
+      histKey(phys) -> bounds.mkString(","),
+      VProp -> Snapshots.currentVersion(table).toString))
+    bounds
+  }
+
+  /** Recorded histogram boundaries (None = never computed). */
+  def histogramOf(table: String, column: String): Option[Seq[Double]] =
+    Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(histKey(Snapshots.physicalName(table, column)))
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
+
+  /** Estimated fraction of rows with `column ∈ [lo, hi]` from the
+    * recorded equi-height histogram — the range-selectivity input a
+    * cost-based choice needs with zero scans. Each of the k buckets
+    * holds ~1/k of the rows; buckets fully inside the range count
+    * whole, the boundary buckets count by linear interpolation within
+    * their value span (the textbook equi-height estimate). None when
+    * no histogram is recorded. */
+  def rangeSelectivity(table: String, column: String,
+                       lo: Double, hi: Double): Option[Double] =
+    histogramOf(table, column).filter(_.nonEmpty).map { bs =>
+      val k = bs.size
+      if (hi < lo) 0.0
+      else {
+        // bucket i spans (prev, bs(i)] with prev = bs(i-1) (the first
+        // bucket's lower edge approximated by its upper bound — the
+        // min is not recorded; contributes at most 1/k of error)
+        var acc = 0.0
+        var prev = bs.head
+        bs.zipWithIndex.foreach { case (b, i) =>
+          val bucketLo = if (i == 0) bs.head else prev
+          val span = b - bucketLo
+          val overlap =
+            if (i == 0) (if (lo <= bs.head && hi >= bs.head) 1.0 else 0.0)
+            else if (span <= 0.0) (if (lo <= b && hi >= b) 1.0 else 0.0)
+            else {
+              val s = math.max(lo, bucketLo); val t = math.min(hi, b)
+              if (t <= s) 0.0 else (t - s) / span
+            }
+          acc += overlap / k
+          prev = b
+        }
+        math.min(1.0, math.max(0.0, acc))
+      }
+    }
+
   private def prop(table: String, key: String): Option[Long] =
     Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
       .get(key).flatMap(_.toLongOption)
@@ -160,6 +249,36 @@ object Analyze {
       |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM t
       |) ORDER BY col_name""".stripMargin
 
+  /** s56: the equi-height histogram under the oracle gate — the k
+    * boundary values are EXACT value-at-rank order statistics, so
+    * DuckDB restates them with a plain row_number rank join (no
+    * percentile-interpolation semantics to disagree on). */
+  def analyzeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable("s56-tbl-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "value", "event_date")
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev.filter(col("event_date") <= "2024-01-20"),
+      table, "event_date", "event_id"))
+    histogram(spark, table, "value", 16)
+      .zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      .toDF("bucket", "upper_bound")
+      .orderBy("bucket")
+  }
+
+  lazy val analyzeHistogramOracle: String =
+    """WITH t AS (
+      |  SELECT value FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |r AS (SELECT row_number() OVER (ORDER BY value) AS rn, value FROM t),
+      |n AS (SELECT count(*) AS n FROM t),
+      |g AS (SELECT unnest(range(1, 17)) AS i)
+      |SELECT CAST(g.i AS BIGINT) AS bucket, r.value AS upper_bound
+      |FROM g, n JOIN r ON r.rn = greatest(1, (g.i * n.n) // 16)
+      |ORDER BY bucket""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
-    QueryDef.sql("s55_analyze_stats", analyzeStatsOracle)(analyzeStats))
+    QueryDef.sql("s55_analyze_stats", analyzeStatsOracle)(analyzeStats),
+    QueryDef.sql("s56_analyze_histogram", analyzeHistogramOracle)(analyzeHistogram))
 }

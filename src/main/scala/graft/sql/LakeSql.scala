@@ -384,6 +384,8 @@ object LakeStatements {
     """(?is)SHOW\s+TBLPROPERTIES\s+(\w+)""".r
   private val AnalyzeRe =
     """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*""".r
+  private val AnalyzeHistRe =
+    """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+HISTOGRAM\s+FOR\s+COLUMN\s+(\w+)(?:\s+BUCKETS\s+(\d+))?\s*""".r
   private val CreateRef =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+CREATE\s+REF\s+([A-Za-z0-9._-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
   private val DropRefRe =
@@ -692,6 +694,18 @@ object LakeStatements {
       // choices read (Analyze.scaladoc). Registered lake names only;
       // catalog-table ANALYZE falls through to Spark.
       case "ANALYZE" => text match {
+        // exact equi-height histogram (value-at-rank boundaries) —
+        // the range-selectivity CBO input, recorded next to the NDV
+        // stats (Analyze.histogram scaladoc)
+        case AnalyzeHistRe(name, column, bucketsTxt) => lookup(name).map {
+          case (path, _) =>
+            val buckets = Option(bucketsTxt).map(_.toInt).getOrElse(32)
+            LakeCommand("ANALYZE HISTOGRAM",
+              attrs("bucket" -> LongType, "upper_bound" -> DoubleType), s => {
+                graft.ops.lake.Analyze.histogram(s, path, column, buckets)
+                  .zipWithIndex.map { case (v, i) => Row((i + 1).toLong, v) }
+              })
+        }
         case AnalyzeRe(name, colsTxt) => lookup(name).map { case (path, _) =>
           val cols = Option(colsTxt).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)

@@ -110,6 +110,34 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("equi-height histogram records exact boundaries; selectivity estimates ranges") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("dfp-hist")
+    // uniform 0..9999: every estimate is analytically checkable
+    val rows = (0L until 10000L).map(i => (i, s"d${i % 4}", i.toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "v"), table, "day", "id", buckets = 4))
+    val bounds = Analyze.histogram(spark, table, "v", 10)
+    assert(bounds.size == 10)
+    // exact value-at-rank boundaries: rank i*n/10 of 0..9999 is the
+    // value (i*1000 - 1)
+    assert(bounds == (1 to 10).map(i => i * 1000.0 - 1.0),
+      s"got $bounds")
+    assert(Analyze.histogramOf(table, "v").contains(bounds),
+      "boundaries must round-trip through the recorded prop")
+    // range selectivity from the histogram alone (no scan): a quarter
+    // of the value space estimates ~0.25
+    val sel = Analyze.rangeSelectivity(table, "v", 2500.0, 5000.0).get
+    assert(math.abs(sel - 0.25) < 0.05, s"got $sel")
+    assert(Analyze.rangeSelectivity(table, "v", -10.0, -5.0).get < 0.02)
+    assert(Analyze.rangeSelectivity(table, "nope", 0, 1).isEmpty)
+    // the histogram survives unrelated commits (inherited prop)
+    Snapshots.commitAll(table, Snapshots.restageLike(spark,
+      fact((99999L, "d9", 9.0)), table, "day"))
+    assert(Analyze.histogramOf(table, "v").contains(bounds))
+  }
+
   test("recorded NDV drives the strategy choice without any scan job") {
     import graft.ops.lake.Analyze
     val dimT = mkFact("dfp-ndv") // 80 distinct ids, 2 distinct days

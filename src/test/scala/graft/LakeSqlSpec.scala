@@ -432,6 +432,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       "ANALYZE TABLE sqlaz COMPUTE STATISTICS FOR COLUMNS day").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
     assert(out2 == Set(("day", 2L, 3L)), s"got $out2") // b, c survive
+    // the histogram verb: exact value-at-rank boundaries as rows
+    val hist = spark.sql(
+      "ANALYZE TABLE sqlaz COMPUTE HISTOGRAM FOR COLUMN v BUCKETS 3").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L) && hist.map(_._2).last == 3.0,
+      s"got $hist")
+    assert(Analyze.histogramOf(tablePath, "v").nonEmpty)
   }
 
   test("TBLPROPERTIES persist across commits; named refs pin versions in SQL") {
