@@ -74,9 +74,23 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
                             schema: Option[StructType], providerName: String,
                             params: Map[String, String]): Source = {
     val table = tableOf(params)
-    val starting = params.collectFirst {
+    val startingV = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong }
-      .getOrElse(0L)
+    // startingTimestamp (the Delta CDF option): resolve wall-clock to
+    // the version live THEN and stream changes AFTER it — i.e. the
+    // feed starts at that version, exclusive, matching
+    // startingVersion's "already-applied" semantics. A timestamp
+    // before the first commit starts from 0 (full bootstrap).
+    val startingTs = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingTimestamp") =>
+        java.sql.Timestamp.valueOf(v).getTime }
+      .map(t =>
+        try Snapshots.versionAtTime(table, t)
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("before the first commit") => 0L })
+    require(startingV.isEmpty || startingTs.isEmpty,
+      "graft-changes: startingVersion and startingTimestamp are exclusive")
+    val starting = startingV.orElse(startingTs).getOrElse(0L)
     val maxPer = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerBatch") => v.toLong }
     require(maxPer.forall(_ >= 1), "graft-changes: maxVersionsPerBatch must be >= 1")

@@ -356,6 +356,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batches == 3, s"1-version admission must yield 3 batches, got $batches")
   }
 
+  test("change-feed source: startingTimestamp resolves wall-clock to the live version") {
+    import graft.ops.lake.Snapshots
+    import spark.implicits._
+    val table = tmp("cdfsrc7-table")
+    def df3(rows: (Long, String, Double)*) = rows.toDF("id", "day", "v")
+    Snapshots.commit(table, Snapshots.stage(df3((1L, "a", 1.0)), table, "day"))
+    Snapshots.commit(table, Snapshots.stage(df3((2L, "a", 2.0)), table, "day"))
+    // pin publish times so "between v1 and v2" is deterministic
+    val log = new java.io.File(table, "_graft_log")
+    val t1 = 1700000000000L
+    assert(new java.io.File(log, "snap-000000001.txt").setLastModified(t1))
+    assert(new java.io.File(log, "snap-000000002.txt").setLastModified(t1 + 60000))
+    def drainFrom(opts: (String, String)*): Seq[Long] = {
+      val out = tmp(s"cdfsrc7-out-${opts.hashCode.abs}")
+      val ckpt = tmp(s"cdfsrc7-ckpt-${opts.hashCode.abs}")
+      val r = opts.foldLeft(spark.readStream.format("graft-changes")) {
+        case (b, (k, v)) => b.option(k, v) }
+      val q = r.load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // a timestamp between the commits: v1 counts as already-applied,
+    // the stream starts AFTER it (the Delta CDF startingTimestamp shape)
+    val tsMid = new java.sql.Timestamp(t1 + 30000).toString
+    assert(drainFrom("startingTimestamp" -> tsMid) == Seq(2L))
+    // a timestamp before the first commit: full bootstrap
+    val tsEarly = new java.sql.Timestamp(t1 - 60000).toString
+    assert(drainFrom("startingTimestamp" -> tsEarly) == Seq(1L, 2L))
+    // the two starting options are exclusive (createSource runs on the
+    // stream thread, so the failure surfaces at awaitTermination)
+    val bad = spark.readStream.format("graft-changes")
+      .option("startingVersion", "1").option("startingTimestamp", tsMid)
+      .load(table)
+      .writeStream.format("console")
+      .option("checkpointLocation", tmp("cdfsrc7-ckpt-x"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    assert(e.getMessage.contains("exclusive"), e.getMessage)
+  }
+
   test("change-feed source: maxFilesPerBatch bounds batches, fat versions admit alone") {
     import graft.ops.lake.Snapshots
     import spark.implicits._
