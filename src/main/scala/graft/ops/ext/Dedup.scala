@@ -1,6 +1,7 @@
 package graft.ops.ext
 
 import graft.engine.{Caching, QueryDef, Tables}
+import graft.ops.lake.Snapshots
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -219,7 +220,10 @@ object Dedup {
     * first (as tx9's funnel does — its semi-join keeps one canonical doc
     * per fingerprint) and the surviving corpus has no identical-text
     * blocks, leaving band buckets sized by true near-dup density. */
-  private[ext] def minhashCandidatesFor(sh: DataFrame): DataFrame = {
+  /** Band-bucket rows `(doc_id, band_id, band_hash)` for a shingled
+    * frame — the unit both the self-join candidates ([[minhashCandidatesFor]])
+    * and the PERSISTENT index ([[incrementalLsh]]) are built from. */
+  private[graft] def bucketsFor(sh: DataFrame): DataFrame = {
     graft.functions.MinHashSignature.register(sh.sparkSession)
     val sigs = sh.select(
       col("doc_id"),
@@ -228,9 +232,12 @@ object Dedup {
       val rowHashes = (1 to 4).map(r => s"element_at(mhs, ${bId * 4 + r})").mkString(", ")
       struct(lit(bId).as("band_id"), expr(s"concat_ws('|', $rowHashes)").as("band_hash"))
     }
-    val buckets = Caching.persist(sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash")))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+  }
+
+  private[ext] def minhashCandidatesFor(sh: DataFrame): DataFrame = {
+    val buckets = Caching.persist(bucketsFor(sh))
     val l = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band_id", "band_hash"))
@@ -1358,7 +1365,104 @@ object Dedup {
       |   OR n_common * $ContainTDen >= sb.n * $ContainTNum
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd15: INCREMENTAL MinHash-LSH dedup against a PERSISTENT index —
+    * the production shape for a growing corpus: the already-ingested
+    * corpus's band buckets live in a snapshot-lake table (built once,
+    * clustered + string-stats'd on the band hash), and each NEW batch
+    * computes signatures for ITS OWN documents only, probes the index
+    * with a bucket equi-join, exact-verifies the candidates by Jaccard,
+    * and APPENDS its buckets so the next batch dedups against
+    * corpus+this-batch. Nothing ever re-signatures the corpus — the
+    * per-batch cost is O(batch + collisions), which is what makes
+    * dedup-on-arrival viable when the corpus is 100 TB and the batch is
+    * a crawl increment (same family as dd9's bloom-prefilter and
+    * ann3c's incremental IVF; this one carries the full LSH quality).
+    *
+    * Oracled end to end: the same md5-multiplicative MinHash/banding is
+    * DuckDB-restatable, so per-batch-document decisions (match count,
+    * best match, exact best Jaccard) hash-compare. Within-batch
+    * duplicates are the NEXT batch's problem by design (the index is
+    * probed before it absorbs the batch) — the oracle restates exactly
+    * that semantics. */
+  def incrementalLsh(spark: SparkSession, dir: String): DataFrame =
+    incrementalLshAt(spark, dir, graft.engine.Graft.freshDir(
+      "dd15-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+
+  /** [[incrementalLsh]] with an explicit index location (spec entry). */
+  private[graft] def incrementalLshAt(spark: SparkSession, dir: String,
+                                      idx: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val corpusSh = sh.filter(col("doc_id") % 10 < 8)
+    val batchSh = Caching.persist(sh.filter(col("doc_id") % 10 >= 8))
+    def tagged(b: DataFrame) =
+      b.withColumn("band", col("band_id").cast("string"))
+    // index build (once per corpus; band-hash stats make probes prunable)
+    Snapshots.commitAll(idx, Snapshots.stageWithStats(
+      tagged(bucketsFor(corpusSh)), idx, "band", "band_hash"))
+    // batch probe: signatures for the BATCH only, candidates from the index
+    val batchBuckets = Caching.persist(bucketsFor(batchSh))
+    val cand = batchBuckets
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+      .join(Snapshots.read(spark, idx)
+          .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a")),
+        Seq("band_id", "band_hash"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(batchSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+    // maintenance: the batch's buckets join the index for the next batch
+    Snapshots.commitAll(idx, Snapshots.restageLike(spark,
+      tagged(batchBuckets), idx, "band"))
+    val best = verified.groupBy(col("doc_b"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard"), col("doc_a"))).as("best"))
+    batchSh.select(col("doc_id"))
+      .join(best, col("doc_id") === col("doc_b"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best.doc_a").as("best_match"),
+        col("best.jaccard").as("best_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  lazy val incrementalLshOracle: String =
+    s"""WITH $shingleCtes,
+      |csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 < 8),
+      |bsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 >= 8),
+      |${minhashBandCtes("csh", "c")},
+      |${minhashBandCtes("bsh", "b")},
+      |xcand AS (
+      |  SELECT DISTINCT c.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM cbuckets c JOIN bbuckets b
+      |    ON c.band_id = b.band_id AND c.band_key = b.band_key),
+      |ver AS (
+      |  SELECT doc_a, doc_b, jaccard FROM (
+      |    SELECT doc_a, doc_b,
+      |      len(list_intersect(x.s, y.s))::DOUBLE
+      |        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      |    FROM xcand JOIN sh x ON x.doc_id = xcand.doc_a
+      |               JOIN sh y ON y.doc_id = xcand.doc_b
+      |  ) WHERE jaccard >= 0.8),
+      |best AS (
+      |  SELECT doc_b, n_matches, doc_a, jaccard FROM (
+      |    SELECT doc_b, doc_a, jaccard,
+      |      count(*) OVER (PARTITION BY doc_b) AS n_matches,
+      |      row_number() OVER (PARTITION BY doc_b
+      |        ORDER BY jaccard DESC, doc_a DESC) AS rn
+      |    FROM ver) WHERE rn = 1)
+      |SELECT bsh.doc_id AS doc_id,
+      |  CAST(coalesce(best.n_matches, 0) AS BIGINT) AS n_matches,
+      |  best.doc_a AS best_match,
+      |  best.jaccard AS best_jaccard,
+      |  coalesce(best.n_matches, 0) > 0 AS is_dup
+      |FROM bsh LEFT JOIN best ON best.doc_b = bsh.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dd15_incremental_lsh", incrementalLshOracle)(incrementalLsh),
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),
     QueryDef.sql("dd2b_ngram_capped", ngramJaccardCappedOracle)(ngramJaccardCapped),

@@ -492,4 +492,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .filter(col("maybe_dup") && col("doc_id") % 10 >= 8).count()
     assert(falsePos > 0L, "sketch this small must produce false positives")
   }
+
+  test("dd15: the incrementally-maintained index equals a full rebuild") {
+    import graft.ops.lake.Snapshots
+    // the operator builds the corpus index, probes it with the batch,
+    // then APPENDS the batch's buckets — afterwards the index table
+    // must hold exactly the buckets a from-scratch build over the WHOLE
+    // corpus would produce (the ann3c-style convergence claim), or the
+    // next batch dedups against a drifted index
+    val idx = tmp("dd15-idx")
+    Dedup.incrementalLshAt(spark, Sf, idx).collect() // build + probe + append
+    val stored = Snapshots.read(spark, idx)
+      .select("doc_id", "band_id", "band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    val full = Dedup.bucketsFor(Dedup.shingled(spark, Sf).select("doc_id", "sh"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(stored == full,
+      s"index drifted: missing=${(full -- stored).take(3)} extra=${(stored -- full).take(3)}")
+    // and the index is a REAL lake table: versioned (build + append)
+    assert(Snapshots.currentVersion(idx) == 2L)
+  }
 }
