@@ -1384,6 +1384,26 @@ object Dedup {
     * duplicates are the NEXT batch's problem by design (the index is
     * probed before it absorbs the batch) — the oracle restates exactly
     * that semantics. */
+  /** dd15's index probe: batch band buckets joined to the persistent
+    * index, FILE-PRUNED on the index's `band_hash` string stats via
+    * [[graft.ops.lake.DynamicFilter.prunedJoin]] — the prune keys on
+    * `band_hash` alone (sound superset), the match is the full
+    * `(band_id, band_hash)` bucket identity. Over the key cap the
+    * prune degrades to the two-scalar string range (a crawl-scale
+    * batch keeps more files, never a wrong answer). Pins the index
+    * listing at CALL time — always probe BEFORE appending the batch's
+    * own buckets. Split out so the spec can pin the probed-file
+    * discipline directly. */
+  private[graft] def probeIndex(spark: SparkSession, idx: String,
+                                batchBuckets: DataFrame): DataFrame =
+    graft.ops.lake.DynamicFilter.prunedJoin(spark, idx,
+        batchBuckets.select(col("band_id"), col("band_hash"),
+          col("doc_id").as("doc_b")),
+        factKey = "band_hash", dimKey = "band_hash",
+        extraJoinCols = Seq("band_id"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
   def incrementalLsh(spark: SparkSession, dir: String): DataFrame =
     incrementalLshAt(spark, dir, graft.engine.Graft.freshDir(
       "dd15-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
@@ -1399,14 +1419,14 @@ object Dedup {
     // index build (once per corpus; band-hash stats make probes prunable)
     Snapshots.commitAll(idx, Snapshots.stageWithStats(
       tagged(bucketsFor(corpusSh)), idx, "band", "band_hash"))
-    // batch probe: signatures for the BATCH only, candidates from the index
+    // batch probe: signatures for the BATCH only, candidates from the
+    // index — routed through the DFP join (r13) so the probe OPENS only
+    // index files whose band_hash string stats admit a batch hash; the
+    // pre-r13 plain join scanned the full index despite the clustering,
+    // making per-batch cost O(index), not the operator's documented
+    // O(batch + collisions) (r12 verdict find)
     val batchBuckets = Caching.persist(bucketsFor(batchSh))
-    val cand = batchBuckets
-      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-      .join(Snapshots.read(spark, idx)
-          .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a")),
-        Seq("band_id", "band_hash"))
-      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val cand = probeIndex(spark, idx, batchBuckets)
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(batchSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

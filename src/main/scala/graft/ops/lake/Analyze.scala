@@ -98,6 +98,8 @@ object Analyze {
   }
 
   private def histKey(phys: String) = s"tbl.stat.hist.$phys"
+  private def histMinKey(phys: String) = s"tbl.stat.hist.min.$phys"
+  private def histVKey(phys: String) = s"tbl.stat.hist.v.$phys"
 
   /** EXACT equi-height histogram for a numeric/date/timestamp column:
     * the k bucket UPPER boundaries are the values at global sort ranks
@@ -133,15 +135,25 @@ object Analyze {
     val n = vals.count()
     if (n == 0L) return Seq.empty
     val ranks = (1 to buckets)
-      .map(i => math.max(1L, i.toLong * n / buckets) - 1).distinct.toSet
-    val bounds = vals.orderBy(col("v")).rdd.zipWithIndex()
-      .filter { case (_, idx) => ranks.contains(idx) }
+      .map(i => math.max(1L, i.toLong * n / buckets) - 1).distinct.toSeq.sorted
+    // rank 0 rides along for free: the GLOBAL MIN is the first bucket's
+    // true lower edge — without it rangeSelectivity approximated bucket
+    // 1 as a point, a documented 1/k error (r12 verdict)
+    val wanted = (ranks :+ 0L).toSet
+    val got = vals.orderBy(col("v")).rdd.zipWithIndex()
+      .filter { case (_, idx) => wanted.contains(idx) }
       .map { case (r, idx) => (idx, r.getDouble(0)) }
-      .collect().sortBy(_._1).map(_._2).toSeq
+      .collect().toMap
+    val bounds = ranks.map(got)
     val phys = Snapshots.physicalName(table, f.name)
+    // staleness is recorded PER STATS FAMILY: the histogram stamps its
+    // own version key rather than overwriting `tbl.stat.v` — reusing
+    // the shared marker silently over-reported the freshness of the
+    // NDV/null stats an earlier analyze() recorded (r12 advisor find)
     Snapshots.commitProps(table, Map(
       histKey(phys) -> bounds.mkString(","),
-      VProp -> Snapshots.currentVersion(table).toString))
+      histMinKey(phys) -> got(0L).toString,
+      histVKey(phys) -> Snapshots.currentVersion(table).toString))
     bounds
   }
 
@@ -150,6 +162,21 @@ object Analyze {
     Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
       .get(histKey(Snapshots.physicalName(table, column)))
       .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
+
+  /** Recorded global minimum of a histogrammed column — the first
+    * bucket's true lower edge (None = histogram predates r13 or was
+    * never computed). */
+  def histogramMinOf(table: String, column: String): Option[Double] =
+    Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(histMinKey(Snapshots.physicalName(table, column)))
+      .flatMap(_.toDoubleOption)
+
+  /** Version the recorded histogram of `column` describes (its own
+    * staleness signal, independent of [[analyzedVersion]]). */
+  def histogramVersionOf(table: String, column: String): Option[Long] =
+    Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(histVKey(Snapshots.physicalName(table, column)))
+      .flatMap(_.toLongOption)
 
   /** Estimated fraction of rows with `column ∈ [lo, hi]` from the
     * recorded equi-height histogram — the range-selectivity input a
@@ -164,23 +191,26 @@ object Analyze {
       val k = bs.size
       if (hi < lo) 0.0
       else {
-        // bucket i spans (prev, bs(i)] with prev = bs(i-1) (the first
-        // bucket's lower edge approximated by its upper bound — the
-        // min is not recorded; contributes at most 1/k of error)
+        // bucket i spans (prev, bs(i)] with prev = bs(i-1); the first
+        // bucket's lower edge is the recorded global min (r13 — a
+        // pre-r13 histogram without one degrades to the old
+        // point-bucket approximation, at most 1/k of error)
+        val gmin = histogramMinOf(table, column)
         var acc = 0.0
-        var prev = bs.head
-        bs.zipWithIndex.foreach { case (b, i) =>
-          val bucketLo = if (i == 0) bs.head else prev
-          val span = b - bucketLo
+        var prev = gmin.getOrElse(bs.head)
+        var first = true
+        bs.foreach { b =>
+          val span = b - prev
           val overlap =
-            if (i == 0) (if (lo <= bs.head && hi >= bs.head) 1.0 else 0.0)
+            if (first && gmin.isEmpty) (if (lo <= b && hi >= b) 1.0 else 0.0)
             else if (span <= 0.0) (if (lo <= b && hi >= b) 1.0 else 0.0)
             else {
-              val s = math.max(lo, bucketLo); val t = math.min(hi, b)
+              val s = math.max(lo, prev); val t = math.min(hi, b)
               if (t <= s) 0.0 else (t - s) / span
             }
           acc += overlap / k
           prev = b
+          first = false
         }
         math.min(1.0, math.max(0.0, acc))
       }

@@ -160,7 +160,12 @@ object ChangeApply {
       import org.apache.spark.sql.types._
       dt match {
         case m: MapType =>
-          nestedMap(m.keyType) || nestedMap(m.valueType) // a map INSIDE the top-level map
+          // a map ANYWHERE inside the top-level map (directly — the
+          // map<k, map<…>> case — or under a struct/array): recursing
+          // with nestedMap here skipped a directly-nested map, letting
+          // it reach array_sort and die with an un-actionable Catalyst
+          // "not orderable" error instead of this guard (r12 verdict)
+          hasMap(m.keyType) || hasMap(m.valueType)
         case s: StructType => s.fields.exists(f => hasMap(f.dataType))
         case a: ArrayType => hasMap(a.elementType)
         case _ => false
@@ -499,8 +504,16 @@ object ChangeApply {
       val rewritten: Option[DataFrame] =
         if (touchedRels.isEmpty) None
         else {
-          val tgt = Mutations.readMerged(spark, target, version = v0,
-            fileFilter = e => touchedRels.contains(e.rel), mergeSchema = true)
+          // touched slice read WITH row ids and restaged materialized
+          // (hidden __rid), mirroring mergeInto: closing a segment
+          // UPDATES its row, it doesn't delete-and-recreate it — a
+          // plain readMerged re-minted every rewritten file's ids,
+          // churning the segment table's own lineage on each catch-up
+          // (r12 advisor find). New segments NULL-fill __rid through
+          // the unionByName below and mint fresh ids.
+          val tgt = Snapshots.readMergedWithIds(spark, target, version = v0,
+              fileFilter = e => touchedRels.contains(e.rel))
+            .withColumnRenamed(Snapshots.RowIdCol, Snapshots.RidCol)
           val tCols = tgt.columns.toSeq
           val hit = col("__close_v").isNotNull && col(CurrentCol)
           // no broadcast hint: the affected-key set is change-volume
@@ -519,7 +532,8 @@ object ChangeApply {
       // feed chunk lacks
       val replaced = (rewritten.toSeq :+ newRows)
         .reduce(_.unionByName(_, allowMissingColumns = true))
-      val staged = Snapshots.restageLike(spark, replaced, target, tagCol)
+      val staged = Snapshots.withInternalRid(
+        Snapshots.restageLike(spark, replaced, target, tagCol))
       Snapshots.commitRewrite(target, v0, staged,
         remove = e => touchedRels.contains(e._1), props = props)
     } finally acts.unpersist()

@@ -78,12 +78,21 @@ object DynamicFilter {
 
   /** Join `factTable` (a snapshot table) to `dim` on
     * `factKey = dimKey`, file-pruning the fact side by the dim's
-    * runtime key set. `joinType` must be `inner` or `left_semi`. */
+    * runtime key set. `joinType` must be `inner` or `left_semi`.
+    *
+    * `extraJoinCols` (r13) appends SAME-NAMED equi-conditions — columns
+    * present on BOTH sides — to the join. They participate in matching
+    * only, never in pruning: the file filter stays keyed on `factKey`
+    * alone (a sound superset — extra conjuncts can only shrink the
+    * match set). This is the multi-column-bucket shape dd15's LSH index
+    * probe needs: prune on the stats-clustered `band_hash`, match on
+    * `(band_id, band_hash)`. */
   def prunedJoin(spark: SparkSession, factTable: String, dim: DataFrame,
                  factKey: String, dimKey: String,
                  joinType: String = "inner",
                  maxKeys: Int = 10000,
-                 factTagCol: Option[String] = None): DataFrame = {
+                 factTagCol: Option[String] = None,
+                 extraJoinCols: Seq[String] = Seq.empty): DataFrame = {
     val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"prunedJoin: file-pruning the fact side is only sound for " +
@@ -103,10 +112,11 @@ object DynamicFilter {
       case Some(ks) => fact.filter(col(factKey).isin(ks: _*))
       case None => fact
     }
-    if (jt == "inner")
-      filtered.join(dimP, filtered(factKey) === dimP(dimKey), "inner")
-    else
-      filtered.join(dimP, filtered(factKey) === dimP(dimKey), "left_semi")
+    val cond = extraJoinCols.foldLeft(filtered(factKey) === dimP(dimKey)) {
+      (c, k) => c && (filtered(k) === dimP(k))
+    }
+    if (jt == "inner") filtered.join(dimP, cond, "inner")
+    else filtered.join(dimP, cond, "left_semi")
   }
 
   /** NDV-DRIVEN strategy pre-choice (r12, the ANALYZE consumer): when

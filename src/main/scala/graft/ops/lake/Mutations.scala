@@ -181,8 +181,14 @@ object Mutations {
         require(extra.isEmpty || evolveSchema,
           s"mergeInto($table): source carries unknown column(s) " +
             s"${extra.mkString(", ")} — pass evolveSchema = true to add them")
+        // rid lookup deduped per key: unique keys are the documented
+        // MERGE precondition, but a target that VIOLATES it must not
+        // silently multiply source rows through this join (pre-r12
+        // behavior kept source cardinality; r13 advisor find) — dup-key
+        // targets collapse to one representative id, same as `first`
         val srcWithIds = source.join(
-          touchedRows.select(col(keyCol), col(Snapshots.RidCol)),
+          touchedRows.select(col(keyCol), col(Snapshots.RidCol))
+            .dropDuplicates(keyCol),
           Seq(keyCol), "left")
         survivors.unionByName(srcWithIds, allowMissingColumns = true)
       }

@@ -81,9 +81,14 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
     // feed starts at that version, exclusive, matching
     // startingVersion's "already-applied" semantics. A timestamp
     // before the first commit starts from 0 (full bootstrap).
+    // Parsed by SPARK's own timestamp cast, not Timestamp.valueOf:
+    // valueOf rejected the date-only form Delta accepts AND resolved
+    // in the JVM-default timezone, so the same option string meant a
+    // different instant per server (r12 advisor find) — the session
+    // timezone is the one the user configured.
     val startingTs = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("startingTimestamp") =>
-        java.sql.Timestamp.valueOf(v).getTime }
+        ChangesSource.parseStartingTimestamp(ctx.sparkSession, v) }
       .map(t =>
         try Snapshots.versionAtTime(table, t)
         catch { case e: IllegalArgumentException
@@ -102,6 +107,25 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
 }
 
 object ChangesSource {
+  /** `startingTimestamp` string → epoch millis, resolved in the SPARK
+    * SESSION timezone through Spark's own string→timestamp cast — so
+    * `2024-01-15` (date-only, midnight) and `2024-01-15 06:30:00` both
+    * parse, and the instant tracks `spark.sql.session.timeZone` rather
+    * than whatever the JVM default happens to be. Unparsable input
+    * fails loudly with the offending string (a NULL here would silently
+    * bootstrap from version 0 — the full corpus re-emitted). */
+  private[graft] def parseStartingTimestamp(spark: SparkSession,
+                                             v: String): Long = {
+    import org.apache.spark.sql.functions.{lit, try_to_timestamp, unix_millis}
+    val row = spark.range(1)
+      .select(unix_millis(try_to_timestamp(lit(v))).as("ms")).head()
+    require(!row.isNullAt(0),
+      s"graft-changes: cannot parse startingTimestamp '$v' — use " +
+        "'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss[.S]' (resolved in the " +
+        "session timezone)")
+    row.getLong(0)
+  }
+
   /** Feed schema = the table's current logical UNION schema (merge-
     * read — a plain read would pin one footer on an evolved table and
     * a restart could never adopt added columns) plus the reserved

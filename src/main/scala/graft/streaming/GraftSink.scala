@@ -96,7 +96,25 @@ class GraftSink(table: String, tagCol: String, appliedKey: String,
     val cur = Snapshots.currentVersion(table)
     val applied = Snapshots.snapshotProps(table, cur)
       .get(appliedKey).map(_.toLong).getOrElse(-1L)
-    if (batchId > applied && !df.isEmpty) {
+    // batchIds are monotonic per checkpoint, so a batch BEHIND the
+    // applied cursor (not merely equal — that is the genuine crash
+    // replay, which must stay a silent no-op) means the checkpoint
+    // directory was wiped and reused at the same path while the
+    // table-side cursor survived. Silently no-oping batches 0..applied
+    // would swallow the whole reprocess without any signal (r12
+    // advisor find) — fail loudly; the operator either reprocesses
+    // under a FRESH identity (new checkpoint path or .option("sinkId"))
+    // or opts into a deliberate re-append with sinkBootstrap=append
+    // (which regresses the cursor to this batch and appends forward).
+    if (batchId < applied && !forceAppend)
+      throw new IllegalStateException(
+        s"graft sink($table): batch $batchId is behind the applied cursor " +
+          s"$applied — the checkpoint was wiped and reused at the same path " +
+          "(batchIds restarted) while the table's sink bookkeeping survived. " +
+          "Reprocess under a fresh checkpoint path or .option(\"sinkId\", …), " +
+          "or pass .option(\"sinkBootstrap\", \"append\") to re-append " +
+          "deliberately.")
+    if ((batchId > applied || (forceAppend && batchId < applied)) && !df.isEmpty) {
       // AMBIGUOUS state, failed loudly rather than guessed (r12 review
       // find): no applied prop but the table version equals the LEGACY
       // sink's batch-derived invariant. Either (a) a crash replay

@@ -414,6 +414,19 @@ class ChangeApplySpec extends AnyFunSuite with SparkFixture {
       ChangeApply.mirror(spark, tmp("ca-map-nested-tgt"), src2, Seq("id"), "day")
     }
     assert(e.getMessage.contains("nested"), e.getMessage)
+
+    // a map DIRECTLY inside the top-level map (map<k, map<…>>) hits the
+    // same guard — the pre-r13 recursion skipped it, so the user got an
+    // un-actionable Catalyst "not orderable" analysis error from
+    // array_sort instead of this message (r12 verdict find)
+    val src3 = tmp("ca-map-of-map-src")
+    val mm = Seq((1L, "a", Map("k" -> Map("x" -> 1))))
+      .toDF("id", "day", "m")
+    Snapshots.commitAll(src3, Snapshots.stageWithStats(mm, src3, "day", "id"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChangeApply.mirror(spark, tmp("ca-map-of-map-tgt"), src3, Seq("id"), "day")
+    }
+    assert(e2.getMessage.contains("restructure the column"), e2.getMessage)
   }
 
   test("mirror polling races a live writer: every poll applies a consistent prefix") {

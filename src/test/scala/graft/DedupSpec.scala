@@ -512,4 +512,39 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // and the index is a REAL lake table: versioned (build + append)
     assert(Snapshots.currentVersion(idx) == 2L)
   }
+
+  test("dd15 index probe opens only band-hash-admitted files (DFP discipline)") {
+    import graft.ops.lake.{DynamicFilter, Snapshots}
+    import spark.implicits._
+    // a band_hash-clustered index laid out like the operator builds it:
+    // the probe must OPEN a strict file subset (pre-r13 it joined the
+    // full index scan — O(index) per batch, r12 verdict find)
+    val idx = tmp("dd15-probe-idx")
+    val corpus = (0L until 64L)
+      .map(d => (d, (d % 2).toInt, f"h$d%04d"))
+      .toDF("doc_id", "band_id", "band_hash")
+      .withColumn("band", col("band_id").cast("string"))
+    Snapshots.commitAll(idx, Snapshots.stageWithStats(
+      corpus, idx, "band", "band_hash", buckets = 8))
+    val all = Snapshots.entriesAll(idx)
+    assert(all.size >= 6, s"fixture needs several index files, got ${all.size}")
+    val batch = Seq((100L, 0, "h0002"), (101L, 1, "h0061"))
+      .toDF("doc_id", "band_id", "band_hash")
+    // the probe's own file predicate, re-derived with probeIndex's args
+    val (pred, keys) = DynamicFilter.keyPrune(spark, idx, "band_hash",
+      batch.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+      "band_hash", maxKeys = 10000, factTagCol = None)
+    assert(keys.exists(_.toSet == Set("h0002", "h0061")))
+    val kept = all.filter(pred)
+    assert(kept.size < all.size,
+      s"probe must not open the whole index: ${kept.size}/${all.size}")
+    // correctness: pruned probe equals the full bucket-identity match
+    val got = Dedup.probeIndex(spark, idx, batch)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 100L), (61L, 101L)), s"got $got")
+    // same band_hash, WRONG band_id: bucket identity must not match
+    val cross = Seq((200L, 1, "h0002")).toDF("doc_id", "band_id", "band_hash")
+    assert(Dedup.probeIndex(spark, idx, cross).isEmpty,
+      "a band_hash collision across bands is not a bucket match")
+  }
 }

@@ -132,6 +132,25 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(sel - 0.25) < 0.05, s"got $sel")
     assert(Analyze.rangeSelectivity(table, "v", -10.0, -5.0).get < 0.02)
     assert(Analyze.rangeSelectivity(table, "nope", 0, 1).isEmpty)
+    // r13: the recorded GLOBAL MIN gives the first bucket its true
+    // lower edge — a range inside bucket 1 now interpolates instead of
+    // collapsing to the old point-bucket 0-or-1/k answer
+    assert(Analyze.histogramMinOf(table, "v").contains(0.0))
+    val selLow = Analyze.rangeSelectivity(table, "v", 0.0, 499.0).get
+    assert(math.abs(selLow - 0.05) < 0.02, s"first-bucket range: $selLow")
+    // staleness is PER STATS FAMILY: histogram() stamps its own version
+    // key and never touches analyze()'s tbl.stat.v (r12 advisor find)
+    val hv = Analyze.histogramVersionOf(table, "v")
+    assert(hv.nonEmpty)
+    Analyze.analyze(spark, table, Seq("v"))
+    assert(Analyze.histogramVersionOf(table, "v") == hv,
+      "analyze must not move the histogram's version stamp")
+    val av = Analyze.analyzedVersion(table)
+    Analyze.histogram(spark, table, "v", 10)
+    assert(Analyze.analyzedVersion(table) == av,
+      "histogram must not overwrite the NDV stats' version stamp")
+    assert(Analyze.histogramVersionOf(table, "v") != hv,
+      "a re-histogram moves its own stamp forward")
     // the histogram survives unrelated commits (inherited prop)
     Snapshots.commitAll(table, Snapshots.restageLike(spark,
       fact((99999L, "d9", 9.0)), table, "day"))

@@ -19,6 +19,21 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     d.select("id", "day", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
 
+  test("merge on a dup-key target keeps source cardinality (rid lookup deduped)") {
+    val table = tmp("mut-merge-dupkey")
+    // a target VIOLATING the unique-key precondition: the r12 rid
+    // pass-through joined source rows to every dup target row,
+    // multiplying them (pre-r12 kept source cardinality) — the rid
+    // lookup now dedups per key, so one source row replaces the block
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (1L, "a", 2.0), (2L, "a", 3.0)),
+      table, "day", "id"))
+    Mutations.mergeInto(spark, table, df((1L, "a", 9.0)), "id", "day")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((1L, "a", 9.0), (2L, "a", 3.0)),
+      "one source row must replace the dup block exactly once")
+  }
+
   test("merge rewrites only files containing matched keys; inserts are append-only") {
     val table = tmp("mut-merge")
     // three single-day files; keys clustered per day so stats prune

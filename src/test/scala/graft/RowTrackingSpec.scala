@@ -148,6 +148,37 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
       s"reinsert must mint a fresh source row id: ${segs(2L)}")
   }
 
+  test("SCD2 catch-up preserves untouched segments' row ids (COW identity)") {
+    val src = tmp("rid-scd2b-src")
+    val tgt = tmp("rid-scd2b-tgt")
+    // all 4 keys land in ONE segment file: closing key 1's segment
+    // rewrites the whole file, and the content-unchanged segments in it
+    // must keep their identities — the pre-r13 readMerged path re-minted
+    // every rewritten file's ids on each catch-up (r12 advisor find)
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0)),
+      src, "day", "id"))                                               // v1
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    def segIds(): Map[(Long, Long), Long] =
+      Snapshots.changes(spark, tgt, 0, Snapshots.currentVersion(tgt))
+        .select(col("id"), col(ChangeApply.StartCol), col(Snapshots.RowIdCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val before = segIds()
+    assert(before.size == 4)
+    Mutations.updateWhere(spark, src, col("id") === 1L,
+      Map("v" -> lit(10.0)), "day")                                    // v2
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    val after = segIds()
+    assert(after.size == 5, s"one new segment expected: $after")
+    before.foreach { case (seg, id) =>
+      assert(after(seg) == id,
+        s"segment $seg churned its row id across the catch-up: $id -> ${after(seg)}")
+    }
+    // the new segment (key 1 opened at source v2) minted a FRESH id
+    assert(!before.values.toSet.contains(after((1L, 2L))),
+      s"new segment must not reuse an existing id: $after")
+  }
+
   test("renaming a column onto a reserved name is rejected") {
     import graft.ops.lake.Snapshots
     val table = tmp("rid-rename")

@@ -399,6 +399,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       bad.awaitTermination()
     }
     assert(e.getMessage.contains("exclusive"), e.getMessage)
+    // DATE-ONLY input (the Delta-accepted form Timestamp.valueOf
+    // rejected) parses in the SESSION timezone; a date before every
+    // commit bootstraps the full table (r12 advisor find)
+    assert(drainFrom("startingTimestamp" -> "1970-01-01") == Seq(1L, 2L))
+  }
+
+  test("startingTimestamp parses via the session timezone, fails loudly on garbage") {
+    import graft.streaming.ChangesSource
+    val utcNoon = ChangesSource.parseStartingTimestamp(spark, "2024-01-15 12:00:00")
+    assert(utcNoon == 1705320000000L,
+      s"session tz is UTC, so noon must be the UTC instant: $utcNoon")
+    // date-only = session-tz midnight
+    assert(ChangesSource.parseStartingTimestamp(spark, "2024-01-15") ==
+      1705276800000L)
+    // fractional seconds accepted (the Timestamp.toString round-trip)
+    assert(ChangesSource.parseStartingTimestamp(spark, "2024-01-15 12:00:00.25") ==
+      1705320000250L)
+    // unparsable input fails WITH the offending string — a silent NULL
+    // here would bootstrap the whole corpus from version 0
+    val e = intercept[IllegalArgumentException] {
+      ChangesSource.parseStartingTimestamp(spark, "last tuesday")
+    }
+    assert(e.getMessage.contains("last tuesday"), e.getMessage)
+  }
+
+  test("graft sink: a wiped-and-reused checkpoint fails loudly, never silently no-ops") {
+    import graft.ops.lake.Snapshots
+    import graft.streaming.GraftSink
+    import spark.implicits._
+    val dst = tmp("gsink5-dst")
+    def one(id: Long) = Seq((id, "a", 1.0)).toDF("id", "day", "v")
+    val sink = new GraftSink(dst, "day", GraftSink.appliedKey("gsink5-ident"))
+    sink.addBatch(0, one(1L))
+    sink.addBatch(1, one(2L))
+    assert(Snapshots.read(spark, dst).count() == 2L)
+    // the checkpoint dir is wiped and reused at the same path: batchIds
+    // restart at 0 while the TABLE-side cursor says 1 — silently
+    // no-oping batches 0..1 would swallow the reprocess with zero
+    // signal (r12 advisor find); a genuine crash replay is batchId ==
+    // applied and must STAY a silent no-op
+    val reborn = new GraftSink(dst, "day", GraftSink.appliedKey("gsink5-ident"))
+    val e = intercept[IllegalStateException] { reborn.addBatch(0, one(3L)) }
+    assert(e.getMessage.contains("behind the applied cursor"), e.getMessage)
+    assert(Snapshots.read(spark, dst).count() == 2L, "nothing committed")
+    reborn.addBatch(1, one(4L)) // replay of the LAST batch: silent no-op
+    assert(Snapshots.read(spark, dst).count() == 2L)
+    // explicit opt-in re-appends and regresses the cursor deliberately
+    val forced = new GraftSink(dst, "day",
+      GraftSink.appliedKey("gsink5-ident"), forceAppend = true)
+    forced.addBatch(0, one(5L))
+    assert(Snapshots.read(spark, dst).count() == 3L)
   }
 
   test("change-feed source: maxFilesPerBatch bounds batches, fat versions admit alone") {
