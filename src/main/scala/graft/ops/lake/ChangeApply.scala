@@ -475,7 +475,12 @@ object ChangeApply {
         .agg(min(col("_commit_version")).as("__close_v"))
       val v0 = Snapshots.currentVersion(target)
       if (v0 == 0) {
-        val staged = bootstrapStage(newRows, target, tagCol, keyCols)
+        // lineage id rides with footer stats (r13): the bootstrap
+        // decorates min./max. on _source_row_id next to the key stats,
+        // and restageLike re-derives them on every later rewrite — what
+        // makes [[rowHistory]]'s point lookup open O(1) segment files
+        val staged = bootstrapStage(newRows, target, tagCol,
+          keyCols :+ SourceRowIdCol)
         if (staged.isEmpty) return 0L
         return Snapshots.commitAll(target, staged, props = props)
       }
@@ -489,7 +494,7 @@ object ChangeApply {
       // [[Mutations.keyBoundsCandidates]]): string doc_id-keyed corpora
       // prune via smin./smax. UTF-8 stats instead of scanning every
       // candidate footer per catch-up
-      val candidates = Mutations.keyBoundsCandidates(acts, target, keyCols.head)
+      val candidates = Mutations.keyBoundsCandidatesAll(acts, target, keyCols)
       val touchedIds = Snapshots.readVersion(spark, target, v0,
           fileFilter = candidates, mergeSchema = true, metadataSafe = true)
         // the hidden _metadata column does not survive a join — derive
@@ -546,6 +551,24 @@ object ChangeApply {
                  maxVersionsPerBatch: Int = DefaultMaxVersionsPerBatch): Long =
     catchUp(target, src, maxVersionsPerBatch, "mirrorScd2",
       (f, t) => applyScd2Once(spark, target, src, keyCols, tagCol, f, t))
+
+  /** HISTORY OF ROW X (r13): every SCD2 segment whose `_source_row_id`
+    * lineage is `sourceRowId` — the inverse read row tracking pays for
+    * ("what did this physical row look like over time", keyed by
+    * identity rather than business key; a key-based read cannot
+    * distinguish an update chain from a delete-and-reinsert, the id
+    * can). Opens ONLY segment files whose min./max. lineage-id footer
+    * stats admit the id — decorated at bootstrap and re-derived by
+    * every COW rewrite ([[Snapshots.restageLike]]), so the lookup is
+    * O(admitted files) however large the history table grows. */
+  def rowHistory(spark: SparkSession, target: String,
+                 sourceRowId: Long): DataFrame =
+    Mutations.readMerged(spark, target,
+        fileFilter = Snapshots.rangeOverlap(
+          Snapshots.physicalName(target, SourceRowIdCol),
+          sourceRowId.toDouble, sourceRowId.toDouble),
+        mergeSchema = true)
+      .filter(col(SourceRowIdCol) === sourceRowId)
 
   // ---- oracle-gated exercises --------------------------------------
 
@@ -661,7 +684,58 @@ object ChangeApply {
       |FROM seg GROUP BY 1, 2, 3, 4
       |ORDER BY event_date, __start_version, __end_version""".stripMargin
 
+  /** s57: ROW-HISTORY point lookup under the oracle gate — the source
+    * commits a base day range, ONE key (the deterministic min event id)
+    * is updated twice in place, and the SCD2 mirror accumulates its
+    * three segments. The query then resolves that key's lineage id
+    * from its CURRENT segment and re-reads the history BY ID through
+    * [[rowHistory]] — so the oracle checks both that COW updates
+    * preserved one lineage id across the chain (three segments come
+    * back from one id) and that the id-pruned read returns exactly the
+    * business-level history DuckDB restates. */
+  def rowHistoryLookup(spark: SparkSession, dir: String): DataFrame = {
+    val srcT = freshTable("s57-src-", dir)
+    val tgtT = freshTable("s57-tgt-", dir)
+    val ev = eventsSlim(spark, dir)
+    val base = ev.filter(col("event_date") <= "2024-01-20")
+    Snapshots.commitAll(srcT, Snapshots.stageWithStats(
+      base, srcT, "event_date", "event_id"))                            // v1
+    val key = base.agg(min(col("event_id"))).head().getLong(0)
+    Mutations.updateWhere(spark, srcT, col("event_id") === key,
+      Map("value" -> (col("value") + 100.0)), "event_date")             // v2
+    Mutations.updateWhere(spark, srcT, col("event_id") === key,
+      Map("value" -> (col("value") + 100.0)), "event_date")             // v3
+    ChangeApply.mirrorScd2(spark, tgtT, srcT, Seq("event_id"), "event_date")
+    val rid = Snapshots.read(spark, tgtT)
+      .filter(col("event_id") === key && col(CurrentCol))
+      .select(col(SourceRowIdCol)).head().getLong(0)
+    rowHistory(spark, tgtT, rid)
+      .select(col("event_id"), col("value"),
+        col(StartCol), col(EndCol), col(CurrentCol))
+      .orderBy(col(StartCol))
+  }
+
+  lazy val rowHistoryOracle: String =
+    """WITH base AS (
+      |  SELECT event_id, value FROM events
+      |  WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+      |v0 AS (
+      |  SELECT event_id, value FROM base
+      |  WHERE event_id = (SELECT min(event_id) FROM base))
+      |SELECT event_id, value,
+      |       CAST(sv AS BIGINT) AS __start_version,
+      |       CAST(ev AS BIGINT) AS __end_version,
+      |       ev IS NULL AS __is_current
+      |FROM (
+      |  SELECT event_id, value, 1 AS sv, 2 AS ev FROM v0
+      |  UNION ALL
+      |  SELECT event_id, value + 100.0, 2, 3 FROM v0
+      |  UNION ALL
+      |  SELECT event_id, value + 100.0 + 100.0, 3, NULL FROM v0)
+      |ORDER BY __start_version""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s48_cdc_mirror", cdcMirrorOracle)(cdcMirror),
-    QueryDef.sql("s49_cdc_scd2", cdcScd2Oracle)(cdcScd2))
+    QueryDef.sql("s49_cdc_scd2", cdcScd2Oracle)(cdcScd2),
+    QueryDef.sql("s57_row_history", rowHistoryOracle)(rowHistoryLookup))
 }

@@ -76,6 +76,40 @@ object DynamicFilter {
     }
   }
 
+  /** Per-PARTITION key prune (r13): when the fact is TAG-partitioned on
+    * one column and stats-clustered on another — dd15's LSH index, tag
+    * = band, stats = band_hash — an untagged key prune leaks across
+    * partitions: a key drawn from partition 3's value space still
+    * overlaps file ranges in every other partition (measured: a 24-hash
+    * point probe kept 82/135 files untagged). Collecting (tag, key)
+    * PAIRS and compiling `OR over tags of (tag = t AND key IN keys_t)`
+    * scopes each key list to its own partition's files;
+    * [[Pruning.compile]]'s Or/And translation does the rest. Over the
+    * cap, falls back to the untagged range prune (sound, coarser). */
+  private[graft] def taggedKeyPrune(spark: SparkSession, factTable: String,
+      factKey: String, dim: DataFrame, dimKey: String, dimTagCol: String,
+      factTagCol: String, maxKeys: Int): (Snapshots.Entry => Boolean, Option[Seq[Any]]) = {
+    val physKey = Snapshots.physicalName(factTable, factKey)
+    val physTag = Snapshots.physicalName(factTable, factTagCol)
+    val dt = dim.schema(dimKey).dataType
+    val pairs = dim
+      .select(col(dimTagCol).cast("string").as("__t"), col(dimKey).as("__k"))
+      .na.drop().distinct().limit(maxKeys + 1).collect()
+    if (pairs.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
+    else if (pairs.length <= maxKeys) {
+      val tagAttr = AttributeReference(physTag, org.apache.spark.sql.types.StringType)()
+      val keyAttr = AttributeReference(physKey, dt)()
+      val expr: Expression = pairs.groupBy(_.getString(0)).map { case (t, rs) =>
+        org.apache.spark.sql.catalyst.expressions.And(
+          org.apache.spark.sql.catalyst.expressions.EqualTo(
+            tagAttr, Literal.create(t, org.apache.spark.sql.types.StringType)),
+          In(keyAttr, rs.toSeq.map(r => Literal.create(r.get(1), dt))))
+      }.reduceLeft[Expression](org.apache.spark.sql.catalyst.expressions.Or(_, _))
+      (Pruning.compile(Seq(expr), tagCol = physTag, table = factTable),
+        Some(pairs.map(_.get(1)).distinct.toSeq))
+    } else keyPrune(spark, factTable, factKey, dim, dimKey, maxKeys, None)
+  }
+
   /** Join `factTable` (a snapshot table) to `dim` on
     * `factKey = dimKey`, file-pruning the fact side by the dim's
     * runtime key set. `joinType` must be `inner` or `left_semi`.
@@ -86,13 +120,19 @@ object DynamicFilter {
     * alone (a sound superset — extra conjuncts can only shrink the
     * match set). This is the multi-column-bucket shape dd15's LSH index
     * probe needs: prune on the stats-clustered `band_hash`, match on
-    * `(band_id, band_hash)`. */
+    * `(band_id, band_hash)`.
+    *
+    * `dimTagCol` (r13, with `factTagCol` naming a column ≠ `factKey`):
+    * the dim column whose STRING rendering equals the fact's partition
+    * tag — switches to the per-partition [[taggedKeyPrune]], scoping
+    * each collected key to its partition's files. */
   def prunedJoin(spark: SparkSession, factTable: String, dim: DataFrame,
                  factKey: String, dimKey: String,
                  joinType: String = "inner",
                  maxKeys: Int = 10000,
                  factTagCol: Option[String] = None,
-                 extraJoinCols: Seq[String] = Seq.empty): DataFrame = {
+                 extraJoinCols: Seq[String] = Seq.empty,
+                 dimTagCol: Option[String] = None): DataFrame = {
     val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"prunedJoin: file-pruning the fact side is only sound for " +
@@ -101,8 +141,12 @@ object DynamicFilter {
     // the key collect AND as the probe/build side of the join — an
     // expensive dim subquery must not run twice
     val dimP = Caching.persist(dim)
-    val (pred, keysOpt) =
-      keyPrune(spark, factTable, factKey, dimP, dimKey, maxKeys, factTagCol)
+    val (pred, keysOpt) = (factTagCol, dimTagCol) match {
+      case (Some(ft), Some(dtc)) if !ft.equalsIgnoreCase(factKey) =>
+        taggedKeyPrune(spark, factTable, factKey, dimP, dimKey, dtc, ft, maxKeys)
+      case _ =>
+        keyPrune(spark, factTable, factKey, dimP, dimKey, maxKeys, factTagCol)
+    }
     val fact = Mutations.readMerged(spark, factTable,
       fileFilter = pred, mergeSchema = true)
     val filtered = keysOpt match {
@@ -137,10 +181,53 @@ object DynamicFilter {
     * filter could have fit the cap) that trades one possibly-wasted
     * collect for never paying it — callers with known-selective
     * filters can call [[prunedJoin]] directly. */
+  /** `maxStaleVersions` (r13): stats recorded more than this many
+    * versions behind the live snapshot answer None (fall back to the
+    * runtime collect). Default unbounded — staleness here affects only
+    * OPTIMALITY, never soundness: an "inlist" answer is re-capped by
+    * [[prunedJoin]] at run time regardless of what the stats claimed. */
   def strategyByStats(dimTable: String, dimKey: String,
-                      maxKeys: Int = 10000): Option[String] =
-    Analyze.ndvOf(dimTable, dimKey)
+                      maxKeys: Int = 10000,
+                      maxStaleVersions: Long = Long.MaxValue): Option[String] =
+    Analyze.analyzedVersion(dimTable)
+      .filter(Snapshots.currentVersion(dimTable) - _ <= maxStaleVersions)
+      .flatMap(_ => Analyze.ndvOf(dimTable, dimKey))
       .map(ndv => if (ndv <= maxKeys) "inlist" else "range")
+
+  /** HISTOGRAM-DRIVEN strategy pre-choice (r13, the selectivity
+    * consumer the r12 verdict asked for): the dim side arrives cut by a
+    * range predicate `filterCol ∈ [lo, hi]`, and the recorded
+    * equi-height histogram estimates the surviving fraction with ZERO
+    * scan jobs — both inputs are snapshot props. The recorded NDV of
+    * the join key scales by that selectivity (uniform key-per-filter
+    * assumption, the textbook estimate):
+    *
+    *   - `Some("inlist")` — estimated post-filter NDV ≤ maxKeys: the
+    *     bounded key collect is worth running even though the
+    *     TABLE-level NDV alone would have said "range";
+    *   - `Some("range")`  — estimate over the cap: skip the collect;
+    *   - `None` — NDV or histogram absent, or either stats family is
+    *     more than `maxStaleVersions` behind the live snapshot (the
+    *     estimate would describe a different table; fall back to the
+    *     runtime cap, the pre-stats behavior).
+    *
+    * Soundness is never at stake — a low estimate only sends the
+    * caller into [[prunedJoin]], whose runtime cap still bounds the
+    * collect; a high estimate only forfeits an IN-list prune. */
+  def strategyForRange(dimTable: String, dimKey: String,
+                       filterCol: String, lo: Double, hi: Double,
+                       maxKeys: Int = 10000,
+                       maxStaleVersions: Long = 64): Option[String] = {
+    val cur = Snapshots.currentVersion(dimTable)
+    for {
+      av <- Analyze.analyzedVersion(dimTable)
+      if cur - av <= maxStaleVersions
+      hv <- Analyze.histogramVersionOf(dimTable, filterCol)
+      if cur - hv <= maxStaleVersions
+      ndv <- Analyze.ndvOf(dimTable, dimKey)
+      sel <- Analyze.rangeSelectivity(dimTable, filterCol, lo, hi)
+    } yield if (ndv * sel <= maxKeys) "inlist" else "range"
+  }
 
   // ---- oracle-gated exercise ---------------------------------------
 

@@ -81,6 +81,21 @@ object Mutations {
     }
   }
 
+  /** [[keyBoundsCandidates]] intersected across ALL equi-key columns
+    * (r13): a file is a touch candidate only when EVERY key column's
+    * per-file stats overlap the source's bounds for that column — each
+    * conjunct is independently sound (a matching row must agree on
+    * every key, so a file whose range excludes ANY key's band holds no
+    * match), so the intersection is too. The pre-r13 lead-key-only
+    * prune forfeited a selective trailing key whenever the leading key
+    * was broad (r12 verdict find). Cost: one tiny bounds agg per key
+    * column; columns without per-file stats contribute keep-all. */
+  private[graft] def keyBoundsCandidatesAll(source: DataFrame, table: String,
+      keyCols: Seq[String]): Snapshots.Entry => Boolean = {
+    val preds = keyCols.map(keyBoundsCandidates(source, table, _))
+    e => preds.forall(_(e))
+  }
+
   /** MERGE INTO (copy-on-write): upsert `source` into the live snapshot
     * of `table`, matching on `keyCol` — each matched target row is
     * REPLACED by its source row, unmatched source rows are INSERTED.
@@ -242,10 +257,11 @@ object Mutations {
     * column names to expressions over the bare source frame; unnamed
     * target columns NULL-fill, values cast to the target type — the
     * Delta explicit-column form. Empty `insertSelect` keeps `INSERT *`
-    * by-name binding. File pruning uses the FIRST key's per-file stats
-    * (a superset of multi-key matches — sound); matching joins on all
-    * keys, so a row agreeing on one key but not another is NOT matched
-    * and its source row inserts, per SQL MERGE.
+    * by-name binding. File pruning intersects EVERY key column's
+    * per-file stats (r13 — each bound is independently sound, see
+    * [[keyBoundsCandidatesAll]]); matching joins on all keys, so a row
+    * agreeing on one key but not another is NOT matched and its source
+    * row inserts, per SQL MERGE.
     *
     * `whenNotMatchedBySource{Delete,Update}` complete the Delta trio:
     * they fire on TARGET rows with no source match (the sync idiom —
@@ -286,8 +302,10 @@ object Mutations {
     // pinned read-modify-write (see mergeInto): v0 anchors every read,
     // the replaced-entry set, and the conflict-checked commit
     val v0 = Snapshots.currentVersion(table)
-    // typed key-bounds prune on the LEAD key (see [[keyBoundsCandidates]])
-    val candidates = keyBoundsCandidates(source, table, keyCol)
+    // typed key-bounds prune intersected over EVERY key column (r13 —
+    // see [[keyBoundsCandidatesAll]]): a broad leading key no longer
+    // forfeits a selective trailing key's stats
+    val candidates = keyBoundsCandidatesAll(source, table, keyCols)
     val srcKeys = source.select(keyCols.map(col): _*).distinct().persist()
     try {
       // mergeSchema everywhere (see mergeInto) — evolved columns must

@@ -531,9 +531,10 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val batch = Seq((100L, 0, "h0002"), (101L, 1, "h0061"))
       .toDF("doc_id", "band_id", "band_hash")
     // the probe's own file predicate, re-derived with probeIndex's args
-    val (pred, keys) = DynamicFilter.keyPrune(spark, idx, "band_hash",
+    val (pred, keys) = DynamicFilter.taggedKeyPrune(spark, idx, "band_hash",
       batch.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
-      "band_hash", maxKeys = 10000, factTagCol = None)
+      "band_hash", dimTagCol = "band_id", factTagCol = "band",
+      maxKeys = 10000)
     assert(keys.exists(_.toSet == Set("h0002", "h0061")))
     val kept = all.filter(pred)
     assert(kept.size < all.size,

@@ -157,6 +157,79 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(Analyze.histogramOf(table, "v").contains(bounds))
   }
 
+  test("histogram selectivity flips the DFP strategy with zero scan jobs") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("dfp-cbo")
+    // uniform v 0..9999 keyed 1:1 by id: NDV(id) = 10000
+    val rows = (0L until 10000L).map(i => (i, s"d${i % 4}", i.toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "v"), table, "day", "id", buckets = 4))
+    Analyze.analyze(spark, table, Seq("id", "v"))
+    Analyze.histogram(spark, table, "v", 10)
+    // table-level NDV alone: 10000 > cap 600 -> "range"
+    assert(DynamicFilter.strategyByStats(table, "id", maxKeys = 600)
+      .contains("range"))
+    // job accounting: a 1-job sentinel fences the async listener bus,
+    // so "zero scan jobs" is assertable without internal APIs
+    val c = new java.util.concurrent.atomic.AtomicInteger
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        c.incrementAndGet()
+        jobLog.add(s"job ${j.jobId}: " +
+          j.stageInfos.map(_.name).mkString(" | "))
+        ()
+      }
+    }
+    // wait until the async listener bus has been quiet for 400 ms —
+    // the sentinel count() may emit several jobs (AQE stage
+    // materialization), so the fence self-calibrates its own cost
+    def settle(): Int = {
+      val deadline = System.nanoTime() + 10000000000L
+      var last = c.get
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - lastChange < 400000000L) {
+        Thread.sleep(20)
+        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
+      }
+      c.get
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val s0 = settle()
+      spark.range(1).count()
+      val fenceCost = settle() - s0
+      assert(fenceCost >= 1, "sentinel must register at least one job")
+      val s1 = c.get
+      // a narrow v-range: the histogram estimates ~5% survive, scaling
+      // NDV to ~500 <= 600 — the IN-list prune becomes worth running
+      // even though table-level stats said "range" (the FLIP)
+      assert(DynamicFilter.strategyForRange(table, "id", "v",
+        0.0, 499.0, maxKeys = 600).contains("inlist"))
+      // the full v-range: selectivity ~1, estimate stays over the cap
+      assert(DynamicFilter.strategyForRange(table, "id", "v",
+        0.0, 99999.0, maxKeys = 600).contains("range"))
+      spark.range(1).count()
+      val s2 = settle()
+      assert(s2 - s1 == fenceCost,
+        s"strategy decisions must run ZERO scan jobs, saw ${s2 - s1 - fenceCost} " +
+          s"extra; jobs: ${jobLog.toArray.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // staleness guard: one commit past a zero-lag budget falls back to
+    // None; the default budget still answers
+    Snapshots.commitAll(table, Snapshots.restageLike(spark,
+      fact((99999L, "d9", 9.0)), table, "day"))
+    assert(DynamicFilter.strategyForRange(table, "id", "v",
+      0.0, 499.0, maxKeys = 600, maxStaleVersions = 0).isEmpty,
+      "stats behind the lag budget must not answer")
+    assert(DynamicFilter.strategyForRange(table, "id", "v",
+      0.0, 499.0, maxKeys = 600).contains("inlist"),
+      "within the lag budget stats still answer")
+  }
+
   test("recorded NDV drives the strategy choice without any scan job") {
     import graft.ops.lake.Analyze
     val dimT = mkFact("dfp-ndv") // 80 distinct ids, 2 distinct days

@@ -19,6 +19,36 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     d.select("id", "day", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
 
+  test("composite-key merge prunes candidates on EVERY key's stats") {
+    import spark.implicits._
+    val table = tmp("mut-merge-composite")
+    // region (lead key) has 2 values — broad, prunes nothing; id is
+    // selective. Z-order staging records per-file stats for BOTH, so
+    // the r13 intersected prune can use the trailing key where the
+    // pre-r13 lead-key-only prune kept every candidate (r12 verdict)
+    val rows = (0L until 1024L).map(i => (i % 2, i, s"d${i % 4}", i.toDouble))
+      .toDF("region", "id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.stageZOrdered(
+      rows, table, "day", Seq("region", "id"), buckets = 16))
+    val all = Snapshots.entriesAll(table)
+    assert(all.size >= 8, s"fixture needs several files, got ${all.size}")
+    val src = Seq((0L, 100L, "d0", 9.0), (1L, 101L, "d1", 9.1))
+      .toDF("region", "id", "day", "v")
+    val lead = Mutations.keyBoundsCandidates(src, table, "region")
+    val both = Mutations.keyBoundsCandidatesAll(src, table, Seq("region", "id"))
+    assert(all.count(lead) == all.size, "the broad lead key alone prunes nothing")
+    assert(all.count(both) < all.size,
+      s"the selective second key must prune: ${all.count(both)}/${all.size}")
+    // and the merge stays correct through the intersected prune
+    Mutations.mergeIntoKeys(spark, table, src, Seq("region", "id"), "day",
+      whenMatchedUpdate = Some((lit(true), Map("v" -> col("s.v")))),
+      whenNotMatchedInsert = Some(lit(true)))
+    val got = Mutations.readMerged(spark, table)
+      .filter(col("id").isin(100L, 101L)).select("region", "id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 100L, 9.0), (1L, 101L, 9.1)))
+  }
+
   test("merge on a dup-key target keeps source cardinality (rid lookup deduped)") {
     val table = tmp("mut-merge-dupkey")
     // a target VIOLATING the unique-key precondition: the r12 rid

@@ -179,6 +179,37 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
       s"new segment must not reuse an existing id: $after")
   }
 
+  test("rowHistory opens only lineage-id-admitted segment files") {
+    val src = tmp("rid-hist-src")
+    val tgt = tmp("rid-hist-tgt")
+    // 64 keys key-clustered into 8 source files: lineage ids allocate
+    // in file order, so segment files inherit narrow id ranges and the
+    // bootstrap's min./max. _source_row_id stats are selective
+    val rows = (0L until 64L).map(i => (i, s"d${i / 16}", i.toDouble))
+    Snapshots.commitAll(src, Snapshots.stageWithStats(
+      df(rows: _*), src, "day", "id", buckets = 8))
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    Mutations.updateWhere(spark, src, col("id") === 5L,
+      Map("v" -> lit(50.0)), "day")
+    ChangeApply.mirrorScd2(spark, tgt, src, Seq("id"), "day")
+    val rid = Snapshots.read(spark, tgt)
+      .filter(col("id") === 5L && col(ChangeApply.CurrentCol))
+      .select(col(ChangeApply.SourceRowIdCol)).head().getLong(0)
+    // the id-keyed read returns exactly key 5's update chain
+    val hist = ChangeApply.rowHistory(spark, tgt, rid)
+      .select(col("id"), col(ChangeApply.StartCol), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hist == Set((5L, 1L, 5.0), (5L, 2L, 50.0)), s"got $hist")
+    // file discipline: the lineage-id range prune keeps a strict subset
+    val all = Snapshots.entriesAll(tgt)
+    assert(all.size >= 6, s"fixture needs several segment files: ${all.size}")
+    val pred = Snapshots.rangeOverlap(
+      Snapshots.physicalName(tgt, ChangeApply.SourceRowIdCol),
+      rid.toDouble, rid.toDouble)
+    assert(all.count(pred) < all.size,
+      s"point lookup must not open every file: ${all.count(pred)}/${all.size}")
+  }
+
   test("renaming a column onto a reserved name is rejected") {
     import graft.ops.lake.Snapshots
     val table = tmp("rid-rename")
