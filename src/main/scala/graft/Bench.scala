@@ -118,10 +118,12 @@ object Bench {
     import graft.streaming.Pipelines
     streamInvocation += 1
     val ckpt = freshDir(s"bench-$name-ckpt-$streamInvocation")
+    var outDir: Option[String] = None
     val t0 = System.nanoTime()
     name match {
       case "st1_bronze_ingest" =>
         val out = freshDir(s"bench-$name-out-$streamInvocation")
+        outDir = Some(out)
         Pipelines.bronzeIngest(spark, sfDir, out, ckpt).awaitTermination()
       case "st2_hourly_agg" =>
         Pipelines.hourlyAgg(Pipelines.eventsStream(spark, sfDir))
@@ -149,6 +151,16 @@ object Bench {
     // bad_alloc. Outside the timed window; next run reloads from its own
     // new checkpoint either way.
     org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+    // free this drain's checkpoint + output trees NOW, outside the
+    // timed window: st1 writes ~720 partition files per drain and the
+    // suite runs warm+N drains per streaming query, so by the
+    // post-suite iso re-runs the tmp fs held thousands of stale files
+    // — the r12 driver artifact's st3_iso (6.3 s vs 2.2 in-suite) was
+    // a single-shot drain paying that accumulated fs pressure. Each
+    // run uses a fresh dir regardless, so nothing downstream reads
+    // these trees.
+    graft.engine.Graft.wipeDir(ckpt)
+    outDir.foreach(graft.engine.Graft.wipeDir)
     dt
   }
 

@@ -1420,6 +1420,52 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+  /** dd16: LEAKAGE-SAFE train/eval split — the eval-hygiene step a
+    * training pipeline runs AFTER dedup: near-duplicate documents must
+    * never straddle the split, or "eval" measures memorization of a
+    * train-set neighbor rather than generalization (the within-corpus
+    * analog of tx13's external-benchmark decontamination). Whole
+    * verified near-dup CLUSTERS (dd6's connected components) assign
+    * atomically: every document inherits its cluster's canonical id
+    * (the component's min doc id; a clusterless document is its own
+    * singleton cluster), and that one id decides the split — so by
+    * CONSTRUCTION no verified pair crosses it, and the assignment is
+    * deterministic and restatable (the oracle re-derives the clusters
+    * and the decile rule). ~90/10 by canonical-id decile; a production
+    * corpus with non-uniform ids would hash the canonical id instead —
+    * same atomicity, same proof.
+    *
+    * Scale: reuses the materialized [[dupClusterTable]] artifact (built
+    * once per corpus snapshot), one broadcast-size left join over the
+    * corpus, zero extra shuffles beyond it. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select("doc_id")
+      .join(dupClusterTable(spark, dir), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(col("cluster_id") % 10 < 9, "train").otherwise("eval"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+
+  lazy val leakageSafeSplitOracle: String =
+    s"""WITH RECURSIVE $minhashVerifiedCtes,
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM verified
+      |  UNION SELECT doc_b, doc_a FROM verified
+      |),
+      |reach(doc_id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v
+      |),
+      |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |       CASE WHEN coalesce(cl.cluster_id, d.doc_id) % 10 < 9
+      |            THEN 'train' ELSE 'eval' END AS split
+      |FROM documents d LEFT JOIN cl USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def incrementalLsh(spark: SparkSession, dir: String): DataFrame =
     incrementalLshAt(spark, dir, graft.engine.Graft.freshDir(
       "dd15-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
@@ -1498,6 +1544,7 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dd16_leakage_split", leakageSafeSplitOracle)(leakageSafeSplit),
     QueryDef.sql("dd15_incremental_lsh", incrementalLshOracle)(incrementalLsh),
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),

@@ -485,7 +485,77 @@ object Assertions {
       |GROUP BY 1, 2, 3 HAVING count(*) < $AnonK
       |ORDER BY event_type, event_date, value_band""".stripMargin
 
+  /** q11: EXPECT-OR-QUARANTINE routing — the DLT `expect_or_drop` +
+    * quarantine-table shape the reference's assert-only quality layer
+    * lacks (its checks can only pass or abort the run,
+    * `data_quality.py` analog). One pass tags every row with the FIRST
+    * failed rule of an ORDERED expectation list; failing rows land in a
+    * QUARANTINE lake table carrying that reason, clean rows land in the
+    * main table, and both publish in ONE
+    * [[graft.ops.lake.Snapshots.commitPair]] transaction — a crash can
+    * delay the pair, never diverge it, and no row is dropped silently
+    * (clean + quarantined = input, checked by the oracle's totals).
+    * The result reads BACK from the two committed tables — per-day
+    * clean counts next to per-reason quarantine counts — so routing,
+    * first-failure attribution, and the atomic publish all sit inside
+    * the hash gate.
+    *
+    * Scale: rule evaluation is one codegen'd `when` chain (no UDF, no
+    * second scan); the route is two filtered writes of one cached
+    * frame; the quarantine table is a normal lake table (replayable,
+    * CDC-able) rather than a log line. */
+  def quarantineRoute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.lake.Snapshots
+    def scratch(p: String) = graft.engine.Graft.freshDir(
+      p + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val mainT = scratch("q11-main-")
+    val quarT = scratch("q11-quar-")
+    val txn = scratch("q11-txn-")
+    Snapshots.recoverPairs(txn) // writer-startup convergence
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    // ordered expectations; the FIRST failure names the reason
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "known_type" -> col("event_type")
+        .isin("click", "view", "purchase", "signup"),
+      "value_in_range" -> (col("value") >= 0.0 && col("value") <= 150.0))
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((n, c), acc) => when(!coalesce(c, lit(false)), lit(n)).otherwise(acc)
+    }
+    val tagged = ev.withColumn("q_reason", reason).cache()
+    try {
+      val clean = tagged.filter(col("q_reason").isNull).drop("q_reason")
+      val bad = tagged.filter(col("q_reason").isNotNull)
+      Snapshots.commitPair(txn,
+        Snapshots.prepare(mainT, Snapshots.stage(clean, mainT, "event_date"), _ => true),
+        Snapshots.prepare(quarT, Snapshots.stage(bad, quarT, "event_date"), _ => true))
+    } finally tagged.unpersist()
+    val quarCounts = Snapshots.read(spark, quarT)
+      .groupBy(col("q_reason").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    Snapshots.read(spark, mainT)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("clean").as("bucket"), col("n"))
+      .unionByName(quarCounts)
+      .orderBy("bucket")
+  }
+
+  lazy val quarantineRouteOracle: String =
+    """WITH t AS (
+      |  SELECT CASE
+      |    WHEN event_type IS NULL
+      |      OR event_type NOT IN ('click', 'view', 'purchase', 'signup')
+      |      THEN 'known_type'
+      |    WHEN value IS NULL OR NOT (value >= 0.0 AND value <= 150.0)
+      |      THEN 'value_in_range'
+      |    ELSE 'clean' END AS bucket
+      |  FROM events)
+      |SELECT bucket, count(*) AS n FROM t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("q11_quarantine_route", quarantineRouteOracle)(quarantineRoute),
     QueryDef.sql("q3a_unique_check", uniqueCheckOracle)(uniqueCheck),
     QueryDef.sql("q3b_not_null_check", notNullCheckOracle)(notNullCheck),
     QueryDef.sql("q3c_accepted_values", acceptedValuesCheckOracle)(acceptedValuesCheck),

@@ -548,4 +548,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.probeIndex(spark, idx, cross).isEmpty,
       "a band_hash collision across bands is not a bucket match")
   }
+
+  test("dd16: no verified near-dup pair straddles the train/eval split") {
+    import spark.implicits._
+    val split = Dedup.leakageSafeSplit(spark, Sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every document is assigned, both sides non-empty
+    assert(split.values.toSet == Set("train", "eval"),
+      s"both splits must be non-empty: ${split.values.toSet}")
+    // the leakage claim itself: every verified near-dup pair lands on
+    // ONE side — the whole reason the split is cluster-atomic
+    val pairs = Dedup.minhashPairs(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain verified near-dup pairs")
+    val straddling = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddling.isEmpty,
+      s"near-dup pairs straddle the split: ${straddling.take(3).mkString(", ")}")
+  }
 }
