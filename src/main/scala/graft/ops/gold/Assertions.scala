@@ -551,7 +551,9 @@ object Assertions {
       |      THEN 'value_in_range'
       |    ELSE 'clean' END AS bucket
       |  FROM events)
-      |SELECT bucket, count(*) AS n FROM t
+      |SELECT 'clean' AS bucket, count(*) AS n FROM t WHERE bucket = 'clean'
+      |UNION ALL
+      |SELECT bucket, count(*) AS n FROM t WHERE bucket <> 'clean'
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(

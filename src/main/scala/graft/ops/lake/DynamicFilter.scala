@@ -3,7 +3,7 @@ package graft.ops.lake
 import graft.engine.{Caching, Exact, Graft, QueryDef, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.functions._
 
 /** DYNAMIC FILE PRUNING for selective dim→fact joins (the Databricks
@@ -95,19 +95,43 @@ object DynamicFilter {
     val pairs = dim
       .select(col(dimTagCol).cast("string").as("__t"), col(dimKey).as("__k"))
       .na.drop().distinct().limit(maxKeys + 1).collect()
+    val tagAttr = AttributeReference(physTag, org.apache.spark.sql.types.StringType)()
+    val keyAttr = AttributeReference(physKey, dt)()
     if (pairs.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
     else if (pairs.length <= maxKeys) {
-      val tagAttr = AttributeReference(physTag, org.apache.spark.sql.types.StringType)()
-      val keyAttr = AttributeReference(physKey, dt)()
       val expr: Expression = pairs.groupBy(_.getString(0)).map { case (t, rs) =>
-        org.apache.spark.sql.catalyst.expressions.And(
-          org.apache.spark.sql.catalyst.expressions.EqualTo(
-            tagAttr, Literal.create(t, org.apache.spark.sql.types.StringType)),
+        And(EqualTo(tagAttr, Literal.create(t, org.apache.spark.sql.types.StringType)),
           In(keyAttr, rs.toSeq.map(r => Literal.create(r.get(1), dt))))
-      }.reduceLeft[Expression](org.apache.spark.sql.catalyst.expressions.Or(_, _))
+      }.reduceLeft[Expression](Or(_, _))
       (Pruning.compile(Seq(expr), tagCol = physTag, table = factTable),
         Some(pairs.map(_.get(1)).distinct.toSeq))
-    } else keyPrune(spark, factTable, factKey, dim, dimKey, maxKeys, None)
+    } else {
+      // over the pair cap: ONE grouped agg derives per-tag key ranges —
+      // still partition-scoped (each tag's band prunes only its own
+      // files) and no dim re-scan: the pre-r13 fallback threw the
+      // collected pairs away and re-ran keyPrune's distinct+collect,
+      // up to three dim jobs where one suffices (r13 review find).
+      // Rows with a NULL tag or all-NULL keys match nothing in the
+      // equi-join, so omitting their branch (pruning their files) is
+      // sound.
+      val byTag = dim
+        .groupBy(col(dimTagCol).cast("string").as("__t"))
+        .agg(min(col(dimKey)).as("__lo"), max(col(dimKey)).as("__hi"))
+        .limit(maxKeys + 1).collect()
+        .filterNot(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+      if (byTag.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
+      else if (byTag.length > maxKeys) // more tags than the cap: global range
+        keyPrune(spark, factTable, factKey, dim, dimKey, maxKeys, None)
+      else {
+        val expr: Expression = byTag.map { r =>
+          And(EqualTo(tagAttr,
+              Literal.create(r.getString(0), org.apache.spark.sql.types.StringType)),
+            And(GreaterThanOrEqual(keyAttr, Literal.create(r.get(1), dt)),
+              LessThanOrEqual(keyAttr, Literal.create(r.get(2), dt))))
+        }.reduceLeft[Expression](Or(_, _))
+        (Pruning.compile(Seq(expr), tagCol = physTag, table = factTable), None)
+      }
+    }
   }
 
   /** Join `factTable` (a snapshot table) to `dim` on
@@ -213,7 +237,15 @@ object DynamicFilter {
     *
     * Soundness is never at stake — a low estimate only sends the
     * caller into [[prunedJoin]], whose runtime cap still bounds the
-    * collect; a high estimate only forfeits an IN-list prune. */
+    * collect; a high estimate only forfeits an IN-list prune.
+    *
+    * UNITS: `lo`/`hi` are in the histogram's RECORDED value space —
+    * the column's own doubles for numerics, but EPOCH DAYS for DATE
+    * and EPOCH MICROS for TIMESTAMP columns ([[Analyze.histogram]]'s
+    * `unix_date`/`unix_micros` conversions). Passing epoch millis for
+    * a timestamp column silently estimates ~0 or ~1 and steers every
+    * decision wrong (never unsound, always wasteful — r13 review
+    * find). Convert with `unix_micros(lit(ts))` / `unix_date` first. */
   def strategyForRange(dimTable: String, dimKey: String,
                        filterCol: String, lo: Double, hi: Double,
                        maxKeys: Int = 10000,

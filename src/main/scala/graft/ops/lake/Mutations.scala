@@ -196,14 +196,17 @@ object Mutations {
         require(extra.isEmpty || evolveSchema,
           s"mergeInto($table): source carries unknown column(s) " +
             s"${extra.mkString(", ")} — pass evolveSchema = true to add them")
-        // rid lookup deduped per key: unique keys are the documented
+        // rid lookup collapsed per key: unique keys are the documented
         // MERGE precondition, but a target that VIOLATES it must not
         // silently multiply source rows through this join (pre-r12
-        // behavior kept source cardinality; r13 advisor find) — dup-key
-        // targets collapse to one representative id, same as `first`
+        // behavior kept source cardinality; r13 advisor find). The
+        // representative id is min(), not dropDuplicates' partition-
+        // order pick — a replayed identical merge must assign the SAME
+        // lineage id, or row-tracking consumers see a phantom
+        // delete-and-reinsert across identical runs (r13 review find)
         val srcWithIds = source.join(
-          touchedRows.select(col(keyCol), col(Snapshots.RidCol))
-            .dropDuplicates(keyCol),
+          touchedRows.groupBy(col(keyCol))
+            .agg(min(col(Snapshots.RidCol)).as(Snapshots.RidCol)),
           Seq(keyCol), "left")
         survivors.unionByName(srcWithIds, allowMissingColumns = true)
       }

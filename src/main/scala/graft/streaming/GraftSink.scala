@@ -102,18 +102,29 @@ class GraftSink(table: String, tagCol: String, appliedKey: String,
     // directory was wiped and reused at the same path while the
     // table-side cursor survived. Silently no-oping batches 0..applied
     // would swallow the whole reprocess without any signal (r12
-    // advisor find) — fail loudly; the operator either reprocesses
-    // under a FRESH identity (new checkpoint path or .option("sinkId"))
-    // or opts into a deliberate re-append with sinkBootstrap=append
-    // (which regresses the cursor to this batch and appends forward).
+    // advisor find) — fail loudly; the SAFE reprocess identity is a
+    // fresh sinkId/checkpoint path (always unambiguous).
+    // sinkBootstrap=append instead re-appends IN PLACE, regressing the
+    // cursor to this batch and appending forward — with one honest
+    // limitation: a reborn batch whose id EQUALS the surviving cursor
+    // is indistinguishable from a genuine crash replay of that batch
+    // (both present batchId == applied), so exactly-once wins, the
+    // batch no-ops, and the suppression is WARNED rather than silent
+    // (r13 review find — the pre-r13 drop here had no signal at all).
     if (batchId < applied && !forceAppend)
       throw new IllegalStateException(
         s"graft sink($table): batch $batchId is behind the applied cursor " +
           s"$applied — the checkpoint was wiped and reused at the same path " +
           "(batchIds restarted) while the table's sink bookkeeping survived. " +
-          "Reprocess under a fresh checkpoint path or .option(\"sinkId\", …), " +
-          "or pass .option(\"sinkBootstrap\", \"append\") to re-append " +
-          "deliberately.")
+          "Reprocess under a fresh checkpoint path or .option(\"sinkId\", …) " +
+          "(the unambiguous identity), or pass " +
+          ".option(\"sinkBootstrap\", \"append\") to re-append in place.")
+    if (forceAppend && batchId == applied && !df.isEmpty)
+      System.err.println(
+        s"[graft sink($table)] batch $batchId equals the applied cursor and " +
+          "was suppressed as a crash replay despite sinkBootstrap=append — " +
+          "if this is a wiped-checkpoint reprocess of a one-batch table, " +
+          "use a fresh .option(\"sinkId\", …) instead")
     if ((batchId > applied || (forceAppend && batchId < applied)) && !df.isEmpty) {
       // AMBIGUOUS state, failed loudly rather than guessed (r12 review
       // find): no applied prop but the table version equals the LEGACY

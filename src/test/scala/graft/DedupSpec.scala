@@ -547,6 +547,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val cross = Seq((200L, 1, "h0002")).toDF("doc_id", "band_id", "band_hash")
     assert(Dedup.probeIndex(spark, idx, cross).isEmpty,
       "a band_hash collision across bands is not a bucket match")
+    // over the pair cap: the per-tag RANGE fallback (one grouped agg,
+    // no dim re-scan) still prunes, and admits a SUPERSET of what the
+    // exact in-list admits (sound degradation)
+    val batch4 = Seq((100L, 0, "h0002"), (101L, 0, "h0004"),
+        (102L, 1, "h0061"), (103L, 1, "h0063"))
+      .toDF("doc_id", "band_id", "band_hash")
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val (predRange, keysRange) = DynamicFilter.taggedKeyPrune(spark, idx,
+      "band_hash", batch4, "band_hash", dimTagCol = "band_id",
+      factTagCol = "band", maxKeys = 3)
+    assert(keysRange.isEmpty, "over the cap must not keep a key list")
+    val keptRange = all.filter(predRange)
+    assert(keptRange.size < all.size,
+      s"per-tag range fallback must still prune: ${keptRange.size}/${all.size}")
+    val (predIn, _) = DynamicFilter.taggedKeyPrune(spark, idx,
+      "band_hash", batch4, "band_hash", dimTagCol = "band_id",
+      factTagCol = "band", maxKeys = 10000)
+    assert(all.filter(predIn).forall(predRange),
+      "the range fallback must admit every file the exact in-list admits")
   }
 
   test("dd16: no verified near-dup pair straddles the train/eval split") {

@@ -450,6 +450,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       GraftSink.appliedKey("gsink5-ident"), forceAppend = true)
     forced.addBatch(0, one(5L))
     assert(Snapshots.read(spark, dst).count() == 3L)
+    // the documented ambiguity: a batch EQUAL to the cursor is
+    // indistinguishable from a genuine crash replay, so even under
+    // forceAppend it no-ops (warned, not silent) — exactly-once wins
+    forced.addBatch(0, one(6L))
+    assert(Snapshots.read(spark, dst).count() == 3L,
+      "batchId == applied must stay a no-op even under sinkBootstrap")
   }
 
   test("change-feed source: maxFilesPerBatch bounds batches, fat versions admit alone") {
