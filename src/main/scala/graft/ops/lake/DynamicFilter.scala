@@ -261,6 +261,34 @@ object DynamicFilter {
     } yield if (ndv * sel <= maxKeys) "inlist" else "range"
   }
 
+  /** [[prunedJoin]] with the strategy CHOSEN FROM RECORDED STATS (r13 —
+    * the production consumer of [[strategyForRange]]): the dim side is
+    * a lake table cut by a numeric `filterCol ∈ [lo, hi]`; recorded NDV
+    * × histogram selectivity decide, with zero scan jobs, whether the
+    * IN-list key collect is worth running ("inlist"), hopeless
+    * ("range" — the big collect is skipped outright and the prune
+    * degrades to the two-scalar key range immediately), or undecidable
+    * (no/stale stats — run the collect and let the runtime cap decide,
+    * the pre-stats behavior). The join RESULT is identical in every
+    * branch; only the price of getting there changes — which is the
+    * whole point of a cost-based choice. Numeric `filterCol` only (the
+    * convenience wrapper does not translate DATE/TIMESTAMP literals;
+    * call [[strategyForRange]] + [[prunedJoin]] directly for those). */
+  def statsAwareJoin(spark: SparkSession, factTable: String,
+                     dimTable: String, factKey: String, dimKey: String,
+                     filterCol: String, lo: Double, hi: Double,
+                     maxKeys: Int = 10000,
+                     factTagCol: Option[String] = None): DataFrame = {
+    val dim = Mutations.readMerged(spark, dimTable, mergeSchema = true)
+      .filter(col(filterCol) >= lo && col(filterCol) <= hi)
+    val capped = strategyForRange(dimTable, dimKey, filterCol, lo, hi, maxKeys) match {
+      case Some("range") => 0 // hopeless: skip straight to the range prune
+      case _ => maxKeys       // inlist, or no basis: runtime cap decides
+    }
+    prunedJoin(spark, factTable, dim, factKey, dimKey,
+      maxKeys = capped, factTagCol = factTagCol)
+  }
+
   // ---- oracle-gated exercise ---------------------------------------
 
   private def freshTable(prefix: String, dir: String): String =
@@ -299,6 +327,47 @@ object DynamicFilter {
       |FROM events e JOIN dim d ON e.event_id = d.dim_id
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** s58: the stats-aware DFP join under the oracle gate — the dim is
+    * a committed lake table with ANALYZE + histogram recorded, cut by a
+    * score range; [[statsAwareJoin]] consults the recorded stats to
+    * pick the prune strategy (here: selectivity ~5% × NDV → "inlist")
+    * and the joined aggregate must equal DuckDB's plain filtered join.
+    * This is the end-to-end consumer proving the ANALYZE/histogram
+    * props drive a real join, not just a spec (r12 verdict item 2). */
+  def statsDfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s58-fact-", dir)
+    val dimT = freshTable("s58-dim-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev, factT, "event_date", "event_id"))
+    val dim = ev.select(col("event_id").as("dim_id"),
+      col("value").as("score"),
+      concat(lit("seg-"), (col("event_id") % 5).cast("string")).as("segment"))
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dim, dimT, "segment", "dim_id"))
+    Analyze.analyze(spark, dimT, Seq("dim_id", "score"))
+    Analyze.histogram(spark, dimT, "score", 16)
+    statsAwareJoin(spark, factT, dimT, "event_id", "dim_id",
+        "score", 0.0, 25.0)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
+  lazy val statsDfpJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT event_id AS dim_id, value AS score,
+      |         'seg-' || CAST(event_id % 5 AS VARCHAR) AS segment
+      |  FROM events)
+      |SELECT segment, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_id = d.dim_id
+      |WHERE d.score >= 0.0 AND d.score <= 25.0
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
-    QueryDef.sql("s50_dfp_join", dfpJoinOracle)(dfpJoin))
+    QueryDef.sql("s50_dfp_join", dfpJoinOracle)(dfpJoin),
+    QueryDef.sql("s58_stats_dfp_join", statsDfpJoinOracle)(statsDfpJoin))
 }

@@ -230,6 +230,31 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
       "within the lag budget stats still answer")
   }
 
+  test("statsAwareJoin: both stats branches return the plain join's rows") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val factT = mkFact("dfp-saj-fact") // ids 0..79
+    val dimT = tmp("dfp-saj-dim")
+    val dimRows = (0L until 80L).map(i => (i, i.toDouble, s"g${i % 3}"))
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dimRows.toDF("did", "score", "seg"), dimT, "seg", "did", buckets = 4))
+    Analyze.analyze(spark, dimT, Seq("did", "score"))
+    Analyze.histogram(spark, dimT, "score", 8)
+    // narrow score range: est NDV ~10 <= cap 20 -> "inlist" branch
+    assert(DynamicFilter.strategyForRange(dimT, "did", "score",
+      0.0, 9.0, maxKeys = 20).contains("inlist"))
+    val a = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "score", 0.0, 9.0, maxKeys = 20)
+    assert(a.count() == 10, "inlist branch must keep exactly the matches")
+    // wide range: est ~80 > cap -> "range" branch skips the key collect
+    // outright; the join result is identical either way
+    assert(DynamicFilter.strategyForRange(dimT, "did", "score",
+      0.0, 100.0, maxKeys = 20).contains("range"))
+    val b = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "score", 0.0, 100.0, maxKeys = 20)
+    assert(b.count() == 80, "range branch must keep exactly the matches")
+  }
+
   test("recorded NDV drives the strategy choice without any scan job") {
     import graft.ops.lake.Analyze
     val dimT = mkFact("dfp-ndv") // 80 distinct ids, 2 distinct days
