@@ -54,16 +54,13 @@ object DynamicFilter {
     val tagCol = factTagCol
       .filter(_.equalsIgnoreCase(factKey)).map(_ => phys).getOrElse("")
     val dt = dim.schema(dimKey).dataType
-    val keys = dim.select(col(dimKey)).na.drop().distinct()
-      .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
-    if (keys.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
-    else if (keys.size <= maxKeys) {
-      val in: Expression = In(AttributeReference(phys, dt)(),
-        keys.map(v => Literal.create(v, dt)))
-      (Pruning.compile(Seq(in), tagCol = tagCol, table = factTable), Some(keys))
-    } else {
-      // over the cap: prune by the key RANGE only (two scalars from a
-      // dim-side agg — no unbounded driver collect)
+    // the key RANGE prune: two scalars from a dim-side agg — no
+    // unbounded driver collect. Reached over the cap, or DIRECTLY when
+    // the caller already knows the collect is hopeless (maxKeys <= 0 —
+    // [[statsAwareJoin]]'s "range" verdict; the pre-r13 shape still
+    // ran a wasted full-dim distinct job just to discover size > 0,
+    // r13 review find)
+    def rangeFallback(): (Snapshots.Entry => Boolean, Option[Seq[Any]]) = {
       val mm = dim.agg(min(col(dimKey)), max(col(dimKey))).head()
       val range: Seq[Expression] =
         if (mm.isNullAt(0)) Seq.empty
@@ -74,6 +71,15 @@ object DynamicFilter {
         }
       (Pruning.compile(range, tagCol = tagCol, table = factTable), None)
     }
+    if (maxKeys <= 0) return rangeFallback()
+    val keys = dim.select(col(dimKey)).na.drop().distinct()
+      .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    if (keys.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
+    else if (keys.size <= maxKeys) {
+      val in: Expression = In(AttributeReference(phys, dt)(),
+        keys.map(v => Literal.create(v, dt)))
+      (Pruning.compile(Seq(in), tagCol = tagCol, table = factTable), Some(keys))
+    } else rangeFallback()
   }
 
   /** Per-PARTITION key prune (r13): when the fact is TAG-partitioned on
@@ -97,12 +103,20 @@ object DynamicFilter {
       .na.drop().distinct().limit(maxKeys + 1).collect()
     val tagAttr = AttributeReference(physTag, org.apache.spark.sql.types.StringType)()
     val keyAttr = AttributeReference(physKey, dt)()
+    // BALANCED Or tree, not reduceLeft: Pruning.translate recurses once
+    // per Or node and the compiled anyOf closures nest to the same
+    // depth — a left-deep chain of ~10k branches would overflow the
+    // driver stack at compile time (r13 review find); balanced depth
+    // is log2(n) ≈ 14 at the cap
+    def orTree(es: Seq[Expression]): Expression =
+      if (es.size == 1) es.head
+      else Or(orTree(es.take(es.size / 2)), orTree(es.drop(es.size / 2)))
     if (pairs.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
     else if (pairs.length <= maxKeys) {
-      val expr: Expression = pairs.groupBy(_.getString(0)).map { case (t, rs) =>
+      val expr = orTree(pairs.groupBy(_.getString(0)).toSeq.map { case (t, rs) =>
         And(EqualTo(tagAttr, Literal.create(t, org.apache.spark.sql.types.StringType)),
-          In(keyAttr, rs.toSeq.map(r => Literal.create(r.get(1), dt))))
-      }.reduceLeft[Expression](Or(_, _))
+          In(keyAttr, rs.map(r => Literal.create(r.get(1), dt)))): Expression
+      })
       (Pruning.compile(Seq(expr), tagCol = physTag, table = factTable),
         Some(pairs.map(_.get(1)).distinct.toSeq))
     } else {
@@ -111,24 +125,27 @@ object DynamicFilter {
       // files) and no dim re-scan: the pre-r13 fallback threw the
       // collected pairs away and re-ran keyPrune's distinct+collect,
       // up to three dim jobs where one suffices (r13 review find).
-      // Rows with a NULL tag or all-NULL keys match nothing in the
-      // equi-join, so omitting their branch (pruning their files) is
-      // sound.
+      // NULL tags / NULL keys drop BEFORE the limit (a post-limit
+      // filter would let null groups crowd real tags out of the
+      // collected window and silently prune their files — unsound,
+      // r13 review find); null-keyed rows match nothing in the
+      // equi-join, so excluding them is exact.
       val byTag = dim
-        .groupBy(col(dimTagCol).cast("string").as("__t"))
-        .agg(min(col(dimKey)).as("__lo"), max(col(dimKey)).as("__hi"))
+        .select(col(dimTagCol).cast("string").as("__t"), col(dimKey).as("__k"))
+        .na.drop()
+        .groupBy(col("__t"))
+        .agg(min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
         .limit(maxKeys + 1).collect()
-        .filterNot(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
       if (byTag.isEmpty) ((_: Snapshots.Entry) => false, Some(Seq.empty))
       else if (byTag.length > maxKeys) // more tags than the cap: global range
         keyPrune(spark, factTable, factKey, dim, dimKey, maxKeys, None)
       else {
-        val expr: Expression = byTag.map { r =>
+        val expr = orTree(byTag.toSeq.map { r =>
           And(EqualTo(tagAttr,
               Literal.create(r.getString(0), org.apache.spark.sql.types.StringType)),
             And(GreaterThanOrEqual(keyAttr, Literal.create(r.get(1), dt)),
-              LessThanOrEqual(keyAttr, Literal.create(r.get(2), dt))))
-        }.reduceLeft[Expression](Or(_, _))
+              LessThanOrEqual(keyAttr, Literal.create(r.get(2), dt)))): Expression
+        })
         (Pruning.compile(Seq(expr), tagCol = physTag, table = factTable), None)
       }
     }
