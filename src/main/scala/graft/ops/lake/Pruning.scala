@@ -37,6 +37,9 @@ object Pruning {
   // Pattern.compile ~10⁶ times per query on the manifests this targets
   private val PlainDate = java.util.regex.Pattern.compile("\\d{4}-\\d{2}-\\d{2}")
 
+  /** Largest IN list worth per-file bloom probing (see equalityPred). */
+  private val BloomProbeMaxKeys = 256
+
   /** Entry predicate for a conjunction of pushed filters. `tagCol` is
     * the PHYSICAL tag column name; callers must only use this against
     * identity-mapped schemas (logical == physical), which the SQL
@@ -143,21 +146,27 @@ object Pruning {
       parts += (e =>
         e.props.contains(Snapshots.TagSyntheticProp) || tags.contains(e.tag))
     }
+    // range checks run as ONE binary search over the sorted value list
+    // per entry (r13) — the old anyOf-per-literal form was O(keys) per
+    // entry, 10¹⁰ evals for a 10⁶-file manifest × 10⁴-key IN list
     val doubles = nonNull.flatMap(asDouble)
     if (doubles.size == nonNull.size)
-      parts += Snapshots.anyOf(doubles.map(v =>
-        Snapshots.rangeOverlap(a.name, v, v)): _*)
+      parts += Snapshots.rangeOverlapAnySorted(a.name,
+        doubles.sorted.toIndexedSeq)
     // STRING columns (r10): a pushed string-literal comparison implies
     // the COLUMN is string-typed (Spark inserts casts otherwise, which
     // block pushdown), so the column's min/max props — recorded by the
     // string footer path in unsigned-UTF-8 order — compare soundly
     if (a.dataType == StringType && nonNull.forall(_.dataType == StringType))
-      parts += Snapshots.anyOf(nonNull.map { l =>
-        val v = l.value.toString
-        Snapshots.rangeOverlapString(a.name, Some(v), Some(v))
-      }: _*)
+      parts += Snapshots.rangeOverlapStringAnySorted(a.name,
+        nonNull.map(_.value.toString)
+          .sorted(Snapshots.utf8Ordering).toIndexedSeq)
+    // bloom probes stay O(keys) per SURVIVING file (allOf evaluates the
+    // cheap range checks first), so cap the list size they're worth:
+    // probing 10⁴ sketches per file costs more than the footer open it
+    // might save, and the range check has already narrowed the set
     val longs = nonNull.flatMap(asLong)
-    if (longs.size == nonNull.size)
+    if (longs.size == nonNull.size && longs.size <= BloomProbeMaxKeys)
       parts += Snapshots.anyOf(longs.map(v =>
         Snapshots.mightContainLong(table, a.name, v)): _*)
     val ps = parts.result()

@@ -1487,6 +1487,51 @@ object Snapshots {
     }
   }
 
+  /** IN-list range check at O(log k) per entry (r13): ∃ v in
+    * `sorted` (ascending) with `min.col ≤ v ≤ max.col` — semantically
+    * `anyOf(sorted.map(v => rangeOverlap(col, v, v)))`, but binary
+    * search instead of a linear scan. The linear form is fine for a
+    * dozen keys; a 10⁶-file manifest probed with a 10⁴-key IN list is
+    * 10¹⁰ predicate evals — hours of driver time for a prune whose
+    * whole point is to be cheap. Files without parseable stats are
+    * kept, as everywhere. */
+  def rangeOverlapAnySorted(statsCol: String,
+                            sorted: IndexedSeq[Double]): Entry => Boolean = { e =>
+    (e.props.get(s"min.$statsCol").flatMap(_.toDoubleOption),
+     e.props.get(s"max.$statsCol").flatMap(_.toDoubleOption)) match {
+      case (Some(mn), Some(mx)) =>
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && sorted(lo) <= mx
+      case _ => true
+    }
+  }
+
+  /** [[rangeOverlapAnySorted]] for STRING stats: `sorted` must be
+    * ascending in UNSIGNED UTF-8 byte order ([[utf8Ordering]] — NOT
+    * String's UTF-16 compareTo, which disagrees above U+FFFF). */
+  def rangeOverlapStringAnySorted(statsCol: String,
+                                  sorted: IndexedSeq[String]): Entry => Boolean = { e =>
+    (e.props.get(s"smin.$statsCol"), e.props.get(s"smax.$statsCol")) match {
+      case (Some(mn), Some(mx)) =>
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (!utf8Lte(mn, sorted(mid))) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && utf8Lte(sorted(lo), mx)
+      case _ => true
+    }
+  }
+
+  /** Ascending unsigned-UTF-8 byte order — the footer stats' order. */
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      if (a == b) 0 else if (utf8Lte(a, b)) -1 else 1
+
   /** Conjunction of file filters — a file survives only if EVERY
     * predicate keeps it (the multi-dimensional prune over
     * [[stageZOrdered]] stats). */

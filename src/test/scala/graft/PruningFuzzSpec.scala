@@ -19,6 +19,39 @@ import org.scalatest.funsuite.AnyFunSuite
   * delete re-checks every shape under the anti-join read. */
 class PruningFuzzSpec extends AnyFunSuite with SparkFixture {
 
+  test("sorted IN-list range checks equal the linear anyOf forms (fuzz)") {
+    import graft.ops.lake.Snapshots
+    val rnd = new scala.util.Random(1337)
+    def entry(props: (String, String)*) =
+      Snapshots.Entry("__tag=x/p.parquet", "x", props.toMap)
+    (1 to 400).foreach { i =>
+      // numeric: random value list vs random [mn, mx] file bounds
+      val vals = IndexedSeq.fill(rnd.nextInt(9) + 1)(rnd.nextInt(60).toDouble)
+      val mn = rnd.nextInt(60).toDouble
+      val mx = mn + rnd.nextInt(12)
+      val e = entry("min.c" -> mn.toString, "max.c" -> mx.toString)
+      val fast = Snapshots.rangeOverlapAnySorted("c", vals.sorted)(e)
+      val slow = Snapshots.anyOf(
+        vals.map(v => Snapshots.rangeOverlap("c", v, v)): _*)(e)
+      assert(fast == slow, s"iter $i: vals=$vals bounds=[$mn,$mx]")
+      // string: include supplementary chars — UTF-8 byte order differs
+      // from String.compareTo's UTF-16 order exactly there
+      val pool = IndexedSeq("a", "ab", "b", "z", "￿", "𐀀", "é")
+      val svals = IndexedSeq.fill(rnd.nextInt(5) + 1)(pool(rnd.nextInt(pool.size)))
+      val sb = IndexedSeq(pool(rnd.nextInt(pool.size)), pool(rnd.nextInt(pool.size)))
+        .sorted(Snapshots.utf8Ordering)
+      val se = entry("smin.c" -> sb(0), "smax.c" -> sb(1))
+      val sFast = Snapshots.rangeOverlapStringAnySorted("c",
+        svals.sorted(Snapshots.utf8Ordering))(se)
+      val sSlow = Snapshots.anyOf(svals.map(v =>
+        Snapshots.rangeOverlapString("c", Some(v), Some(v))): _*)(se)
+      assert(sFast == sSlow, s"iter $i: svals=$svals bounds=$sb")
+    }
+    // files without stats are kept, as everywhere
+    assert(Snapshots.rangeOverlapAnySorted("c", IndexedSeq(1.0))(entry()))
+    assert(Snapshots.rangeOverlapStringAnySorted("c", IndexedSeq("a"))(entry()))
+  }
+
   test("random predicate trees: pruned SQL read == raw filter; pruning fires") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
