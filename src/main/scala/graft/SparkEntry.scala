@@ -38,6 +38,7 @@ object SparkEntry {
       graft.ops.lake.DynamicFilter.queries ++
       graft.ops.lake.CopyInto.queries ++
       graft.ops.lake.Analyze.queries ++
+      graft.ops.lake.SchemaAudit.queries ++
       graft.sql.LakeSqlQueries.queries ++
       graft.sources.PagesSource.queries
 

@@ -231,6 +231,28 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
     assert(idsByKey(table) == before)
   }
 
+  test("schemaDrift range semantics: (fromV, toV] scopes the audit") {
+    import graft.ops.lake.SchemaAudit
+    val table = tmp("drift-range")
+    Snapshots.commit(table, Snapshots.stage(
+      df((1L, "a", 1.0)), table, "day"))                               // v1
+    Snapshots.commit(table, Snapshots.stage(
+      df((2L, "a", 2.0)).withColumn("note", lit("x")), table, "day"))  // v2: +note
+    Snapshots.renameColumn(spark, table, "v", "val")                   // v3
+    def drift(f: Long, t: Long) =
+      SchemaAudit.schemaDrift(spark, table, f, t)
+        .select("version", "change", "column").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // full range: bootstrap adds + the append's add + the rename
+    assert(drift(0, 3) == Set(
+      (1L, "add", "id"), (1L, "add", "day"), (1L, "add", "v"),
+      (2L, "add", "note"), (3L, "rename", "val")))
+    // scoped range excludes everything at or before fromV
+    assert(drift(2, 3) == Set((3L, "rename", "val")))
+    // empty range: no rows
+    assert(drift(3, 3).isEmpty)
+  }
+
   test("reserved id column names are rejected at stage time") {
     import spark.implicits._
     val table = tmp("rid-clash")
