@@ -30,7 +30,8 @@ import org.apache.spark.sql.types._
   *     GRAFT TABLE`, `ALTER GRAFT TABLE ADD/DROP CONSTRAINT | RENAME/
   *     DROP COLUMN | SET/UNSET TBLPROPERTIES | CREATE/DROP REF`,
   *     `VACUUM [RETAIN n VERSIONS|HOURS] [DRY RUN]`, `OPTIMIZE [ZORDER
-  *     BY | MANIFESTS] [WHERE tag…]`, `DESCRIBE HISTORY|DETAIL`,
+  *     BY | MANIFESTS] [WHERE tag…]`, `DESCRIBE HISTORY|DETAIL|DRIFT
+  *     [FROM v] [TO v]`,
   *     `RESTORE … TO VERSION|TIMESTAMP AS OF`, `SHOW GRAFT TABLES |
   *     PARTITIONS | REFS | TBLPROPERTIES`) over REGISTERED lake tables
   *     and hands everything else — including every statement over
@@ -351,6 +352,8 @@ object LakeStatements {
     """(?is)DESCRIBE\s+HISTORY\s+(\w+)""".r
   private val Detail =
     """(?is)DESCRIBE\s+DETAIL\s+(\w+)""".r
+  private val Drift =
+    """(?is)DESCRIBE\s+DRIFT\s+(\w+)(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?""".r
   private val Restore =
     """(?is)RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z0-9._-]+')""".r
   private val RestoreTs =
@@ -517,6 +520,20 @@ object LakeStatements {
                     .map { case (k, vv) => s"$k=$vv" }.mkString(";")
                   Row(v, Snapshots.entryCountAt(path, v), props)
                 }
+            })
+        }
+        // schema drift audit: column-level add/drop/rename/retype per
+        // version over (FROM, TO] — pure log walk, zero data IO
+        // ([[graft.ops.lake.SchemaAudit.schemaDrift]])
+        case Drift(name, fromS, toS) => lookup(name).map { case (path, _) =>
+          LakeCommand("DESCRIBE DRIFT",
+            attrs("version" -> LongType, "change" -> StringType,
+              "column" -> StringType, "detail" -> StringType), s => {
+              val to = Option(toS).map(_.toLong)
+                .getOrElse(Snapshots.currentVersion(path))
+              val from = Option(fromS).map(_.toLong).getOrElse(0L)
+              graft.ops.lake.SchemaAudit.schemaDrift(s, path, from, to)
+                .collect().toSeq
             })
         }
         // the Delta DESCRIBE DETAIL shape: one row of live-table facts.

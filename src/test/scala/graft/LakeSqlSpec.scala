@@ -118,6 +118,26 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(names.contains("sqlo"))
   }
 
+  test("DESCRIBE DRIFT restates the schema history through SQL") {
+    import org.apache.spark.sql.functions.lit
+    val table = mk("sql-drift", "sqld", (1L, "a", 1.0))
+    Snapshots.commit(table, Snapshots.stage(
+      df((2L, "b", 2.0)).withColumn("note", lit("x")), table, "day")) // v2
+    Snapshots.renameColumn(spark, table, "v", "val")                  // v3
+    val all = spark.sql("DESCRIBE DRIFT sqld").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(all.toSet == Set(
+      (1L, "add", "id", "BIGINT"), (1L, "add", "day", "STRING"),
+      (1L, "add", "v", "DOUBLE"), (2L, "add", "note", "STRING"),
+      (3L, "rename", "val", "v")), s"got ${all.toSeq}")
+    // scoped: FROM excludes everything at or before it
+    val scoped = spark.sql("DESCRIBE DRIFT sqld FROM 2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(scoped.toSet == Set((3L, "rename", "val")))
+    assert(spark.sql("DESCRIBE DRIFT sqld FROM 1 TO 2").collect()
+      .map(_.getString(2)).toSeq == Seq("note"))
+  }
+
   test("OPTIMIZE ZORDER BY re-clusters through SQL") {
     mk("sql-zorder", "sqlz",
       (1L, "a", 1.0), (9L, "a", 9.0), (2L, "b", 2.0), (8L, "b", 8.0))
