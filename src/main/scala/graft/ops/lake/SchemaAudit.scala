@@ -8,53 +8,76 @@ import org.apache.spark.sql.types.StructType
 
 /** SCHEMA DRIFT AUDIT — column-level evolution history from the
   * snapshot log alone: for every version in a range, what was ADDED,
-  * DROPPED, RENAMED, or RETYPED relative to the previous existing
-  * version. The governance question a 100 TB lake answers constantly
-  * ("when did this column appear / vanish / change meaning?"), and the
-  * log already holds everything needed: the name-keyed union schema
-  * rides each commit ([[Snapshots.SchemaDdlProp]], the schema-in-the-
-  * log move) and renames/drops are version-scoped mapping props — so
-  * the audit is a pure DRIVER walk over props, zero data or footer IO
-  * on schema-logged tables (pre-log versions fall back to one
-  * footer-union read each).
+  * DROPPED, or RENAMED relative to the previous existing version. The
+  * governance question a 100 TB lake answers constantly ("when did
+  * this column appear / vanish / change meaning?"), and the log
+  * already holds everything needed: the name-keyed union schema rides
+  * each commit ([[Snapshots.SchemaDdlProp]], the schema-in-the-log
+  * move) and renames/drops are version-scoped mapping props — so the
+  * audit is a pure DRIVER walk over props, zero data or footer IO on
+  * schema-logged tables (pre-log versions fall back to one
+  * footer-union read each; an unreadable pre-log version carries the
+  * previous state forward instead of failing the whole audit).
   *
   * Diffing works at PHYSICAL-name granularity — the stable column
   * identity name mapping guarantees — so a rename reports as RENAME
   * (old logical → new logical), never as the drop+add a logical-name
   * diff would fabricate. Reported names are the LOGICAL names users
-  * saw at each version.
+  * saw at each version. Two deliberate trust rules (r13 review
+  * finds):
+  *
+  *   - DROPS come only from the EXPLICIT dropped-column props, never
+  *     from a name missing in a version's recorded DDL — the union
+  *     schema can only grow, so a vanished name is a pre-log-transition
+  *     artifact (the first logged commit records only its own files'
+  *     union) and the previous state carries forward;
+  *   - TYPE CHANGES are outside the engine's evolution surface
+  *     (schema merge rejects conflicts), so the audit reports the
+  *     log-recorded type; a `retype` row appears only if a recorded
+  *     type ever legitimately moves (e.g. nullable widening the merge
+  *     accepts).
   *
   * Ref analog: none — the reference's only schema management is
   * BigQuery autodetect (SURVEY §2.2 S11); drift there is discovered in
   * production, not audited from a log. */
 object SchemaAudit {
 
-  /** (physical name → (logical name, type DDL)) at version `v`,
-    * dropped columns excluded. Prefers the log-recorded union schema;
-    * falls back to the footer-union read for pre-schema-log versions.
-    * Version 0 is the empty table. */
-  private def fieldsAt(spark: SparkSession, table: String,
-                       v: Long): Map[String, (String, String)] = {
-    if (v == 0) return Map.empty
-    val (ren, dropped) = Snapshots.schemaMapping(table, v)
+  /** Audit state at version `v`: (physical → (logical, type DDL),
+    * dropped physical names). ONE snapshot-props read per version
+    * (deriving mapping and DDL from the same map). None when the
+    * version records no schema AND the pre-log footer fallback cannot
+    * read it (e.g. a pre-log zero-file commit) — the walk carries the
+    * previous state forward. Version 0 is the empty table. */
+  private def stateAt(spark: SparkSession, table: String,
+                      v: Long): Option[(Map[String, (String, String)], Set[String])] = {
+    if (v == 0) return Some((Map.empty, Set.empty))
+    val props = Snapshots.snapshotProps(table, v)
+    val ren = props.collect {
+      case (k, lg) if k.startsWith(Snapshots.LogicalPropPrefix) =>
+        k.drop(Snapshots.LogicalPropPrefix.length) -> lg
+    }
+    val dropped = props.collect {
+      case (k, _) if k.startsWith(Snapshots.DroppedPropPrefix) =>
+        k.drop(Snapshots.DroppedPropPrefix.length)
+    }.toSet
     val physical: Option[StructType] =
-      Snapshots.snapshotProps(table, v).get(Snapshots.SchemaDdlProp)
+      props.get(Snapshots.SchemaDdlProp)
         .flatMap(ddl => scala.util.Try(StructType.fromDDL(ddl)).toOption)
-    physical match {
-      case Some(st) =>
-        st.fields.iterator
-          .filterNot(f => dropped.contains(f.name))
-          .map(f => f.name -> (ren.getOrElse(f.name, f.name), f.dataType.sql))
-          .toMap
-      case None =>
-        // pre-log version: the merged read's schema is already logical;
-        // recover the physical identity through the version's mapping
-        val lg = Snapshots.readVersion(spark, table, v, mergeSchema = true)
-          .schema.fields
-        val back = ren.map(_.swap)
-        lg.iterator
-          .map(f => back.getOrElse(f.name, f.name) -> (f.name, f.dataType.sql))
-          .toMap
+        .orElse(
+          // pre-log version: the merged read's schema is logical;
+          // recover physical identity through the version's mapping.
+          // Unreadable (pre-log zero-file) versions yield None.
+          scala.util.Try {
+            val back = ren.map(_.swap)
+            StructType(Snapshots.readVersion(spark, table, v, mergeSchema = true)
+              .schema.fields.map(f => f.copy(name = back.getOrElse(f.name, f.name))))
+          }.toOption)
+    physical.map { st =>
+      (st.fields.iterator
+        .filterNot(f => dropped.contains(f.name))
+        .map(f => f.name -> (ren.getOrElse(f.name, f.name), f.dataType.sql))
+        .toMap,
+        dropped)
     }
   }
 
@@ -63,36 +86,51 @@ object SchemaAudit {
     * add / drop / rename / retype; `column` is the LOGICAL name after
     * the change, `detail` is the type (add/drop), the old logical name
     * (rename), or `oldType -> newType` (retype). Missing versions
-    * (batch-committer gaps) are non-commits and are skipped, exactly
-    * like the change feed does. */
+    * (batch-committer gaps, vacuumed history) are skipped — including
+    * a `fromV` that names one: the anchor walks down to the last
+    * existing version, like the change feed does. */
   def schemaDrift(spark: SparkSession, table: String,
                   fromV: Long, toV: Long): DataFrame = {
     import spark.implicits._
     require(fromV >= 0 && fromV <= toV,
       s"schemaDrift($table): bad range ($fromV, $toV]")
     val out = Seq.newBuilder[(Long, String, String, String)]
-    var prev = fieldsAt(spark, table, fromV)
+    var anchor = fromV
+    while (anchor > 0 && !Snapshots.versionExists(table, anchor)) anchor -= 1
+    var prevState: (Map[String, (String, String)], Set[String]) =
+      stateAt(spark, table, anchor).getOrElse((Map.empty, Set.empty))
     var v = fromV + 1
     while (v <= toV) {
-      if (Snapshots.versionExists(table, v)) {
-        val cur = fieldsAt(spark, table, v)
-        cur.foreach { case (p, (lg, tp)) =>
-          prev.get(p) match {
-            case None => out += ((v, "add", lg, tp))
-            case Some((plg, ptp)) =>
-              if (plg != lg) out += ((v, "rename", lg, plg))
-              if (ptp != tp) out += ((v, "retype", lg, s"$ptp -> $tp"))
+      if (Snapshots.versionExists(table, v)) stateAt(spark, table, v) match {
+        case None => // unreadable pre-log version: carry forward
+        case Some((rec, droppedNow)) =>
+          val (prev, droppedBefore) = prevState
+          // drops are EXPLICIT: the dropped-prop diff, with the type
+          // reported from the last state that carried the column
+          val newlyDropped = droppedNow -- droppedBefore
+          newlyDropped.foreach { p =>
+            prev.get(p).foreach { case (plg, ptp) => out += ((v, "drop", plg, ptp)) }
           }
-        }
-        prev.foreach { case (p, (plg, ptp)) =>
-          if (!cur.contains(p)) out += ((v, "drop", plg, ptp))
-        }
-        prev = cur
+          // the union schema only grows — a name missing from this
+          // version's recorded DDL (pre-log transition) carries forward
+          val cur = (prev -- droppedNow) ++ rec
+          cur.foreach { case (p, (lg, tp)) =>
+            prev.get(p) match {
+              case None if !droppedBefore.contains(p) => out += ((v, "add", lg, tp))
+              case None => // re-using a dropped physical name is rejected at stage
+              case Some((plg, ptp)) =>
+                if (plg != lg) out += ((v, "rename", lg, plg))
+                if (ptp != tp) out += ((v, "retype", lg, s"$ptp -> $tp"))
+            }
+          }
+          prevState = (cur, droppedNow)
       }
       v += 1
     }
-    out.result().toDF("version", "change", "column", "detail")
-      .orderBy("version", "change", "column")
+    // local sort — the result is a handful of driver-side tuples; an
+    // orderBy here would launch a shuffle job for nothing (r13 review)
+    out.result().sortBy { case (ver, ch, c, _) => (ver, ch, c) }
+      .toDF("version", "change", "column", "detail")
   }
 
   // ---- oracle-gated exercise -----------------------------------------

@@ -643,8 +643,8 @@ object Snapshots {
   // Per-file stats/bloom props stay PHYSICAL (they are footer-derived);
   // [[physicalName]] is the bridge predicates use.
 
-  private val LogicalPropPrefix = "schema.logical."
-  private val DroppedPropPrefix = "schema.dropped."
+  private[lake] val LogicalPropPrefix = "schema.logical."
+  private[lake] val DroppedPropPrefix = "schema.dropped."
   private[lake] val InheritedPropPrefixes =
     Seq("schema.", "constraint.", "lineage.", "tbl.")
 
@@ -1527,10 +1527,27 @@ object Snapshots {
     }
   }
 
-  /** Ascending unsigned-UTF-8 byte order — the footer stats' order. */
+  /** Ascending unsigned-UTF-8 byte order — the footer stats' order.
+    * DISTINCT strings whose UTF-8 encodings collide (unpaired
+    * surrogates all encode to '?') compare EQUAL — the "-1 both ways"
+    * a lexicographic tiebreak on the raw strings would produce
+    * violates the comparator contract and can make TimSort throw at
+    * predicate-compile time (r13 review find); encoding-equal keys are
+    * interchangeable against encoding-space stats anyway. */
   private[graft] val utf8Ordering: Ordering[String] =
-    (a: String, b: String) =>
-      if (a == b) 0 else if (utf8Lte(a, b)) -1 else 1
+    (a: String, b: String) => {
+      if (a eq b) 0
+      else {
+        val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+        var i = 0
+        var r = 0
+        while (r == 0 && i < x.length && i < y.length) {
+          r = (x(i) & 0xff) - (y(i) & 0xff)
+          i += 1
+        }
+        if (r != 0) r else x.length - y.length
+      }
+    }
 
   /** Conjunction of file filters — a file survives only if EVERY
     * predicate keeps it (the multi-dimensional prune over

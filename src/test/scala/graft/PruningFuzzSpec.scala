@@ -50,6 +50,17 @@ class PruningFuzzSpec extends AnyFunSuite with SparkFixture {
     // files without stats are kept, as everywhere
     assert(Snapshots.rangeOverlapAnySorted("c", IndexedSeq(1.0))(entry()))
     assert(Snapshots.rangeOverlapStringAnySorted("c", IndexedSeq("a"))(entry()))
+    // unpaired surrogates all encode to '?' in UTF-8: distinct strings
+    // with EQUAL encodings must compare 0 (a lexicographic tiebreak
+    // returns -1 both ways and TimSort can throw mid-sort) — and the
+    // sorted predicate must still agree with the linear form
+    val weird = IndexedSeq("\ud800", "\udc00", "a", "?")
+    val sortedWeird = weird.sorted(Snapshots.utf8Ordering) // must not throw
+    assert(Snapshots.utf8Ordering.compare("\ud800", "\udc00") == 0)
+    val we = entry("smin.c" -> "!", "smax.c" -> "@")
+    assert(Snapshots.rangeOverlapStringAnySorted("c", sortedWeird)(we) ==
+      Snapshots.anyOf(weird.map(v =>
+        Snapshots.rangeOverlapString("c", Some(v), Some(v))): _*)(we))
   }
 
   test("random predicate trees: pruned SQL read == raw filter; pruning fires") {
