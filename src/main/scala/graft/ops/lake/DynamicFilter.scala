@@ -166,7 +166,24 @@ object DynamicFilter {
     * `dimTagCol` (r13, with `factTagCol` naming a column ≠ `factKey`):
     * the dim column whose STRING rendering equals the fact's partition
     * tag — switches to the per-partition [[taggedKeyPrune]], scoping
-    * each collected key to its partition's files. */
+    * each collected key to its partition's files. Two caller contracts
+    * make that scoping sound, and the first is ENFORCED here (r13
+    * advisor find — an unenforced contract here is silent row loss,
+    * not a loud failure):
+    *
+    *   - `extraJoinCols` must contain `dimTagCol`: the join itself has
+    *     to equate the tag-bearing column on both sides, or a fact row
+    *     in partition A could legitimately match a dim row whose tag
+    *     says B — files the tag-scoped prune just dropped. Required
+    *     below; necessary, not merely advisory.
+    *   - `factTagCol` must name the table's ACTUAL staged partition-tag
+    *     column, and the fact must satisfy
+    *     `factTagCol = cast(dimTagCol as string)` row-for-row (dd15:
+    *     `band = cast(band_id as string)`, staged exactly so). This
+    *     half is a data invariant the engine cannot check from the
+    *     manifest alone — it is the documented price of the
+    *     per-partition prune; when in doubt pass no `dimTagCol` and
+    *     keep the untagged (coarser, unconditionally sound) prune. */
   def prunedJoin(spark: SparkSession, factTable: String, dim: DataFrame,
                  factKey: String, dimKey: String,
                  joinType: String = "inner",
@@ -181,6 +198,18 @@ object DynamicFilter {
     // persisted: the (already-filtered, selective) dim is evaluated for
     // the key collect AND as the probe/build side of the join — an
     // expensive dim subquery must not run twice
+    // the tagged prune's join-condition half of its contract, checked
+    // eagerly: without dimTagCol in the equi-join, tag-scoped pruning
+    // drops fact files holding genuine cross-partition matches (r13
+    // advisor find — see the dimTagCol scaladoc above)
+    dimTagCol.filter(_ => factTagCol.exists(!_.equalsIgnoreCase(factKey)))
+      .foreach { dtc =>
+        require(extraJoinCols.exists(_.equalsIgnoreCase(dtc)),
+          s"prunedJoin($factTable): per-partition pruning on dimTagCol " +
+            s"'$dtc' requires the join to equate it on both sides — add " +
+            s"'$dtc' to extraJoinCols (otherwise a fact row may match a " +
+            "dim row from another partition whose files were pruned)")
+      }
     val dimP = Caching.persist(dim)
     val (pred, keysOpt) = (factTagCol, dimTagCol) match {
       case (Some(ft), Some(dtc)) if !ft.equalsIgnoreCase(factKey) =>

@@ -196,18 +196,38 @@ object Mutations {
         require(extra.isEmpty || evolveSchema,
           s"mergeInto($table): source carries unknown column(s) " +
             s"${extra.mkString(", ")} — pass evolveSchema = true to add them")
-        // rid lookup collapsed per key: unique keys are the documented
-        // MERGE precondition, but a target that VIOLATES it must not
-        // silently multiply source rows through this join (pre-r12
-        // behavior kept source cardinality; r13 advisor find). The
-        // representative id is min(), not dropDuplicates' partition-
-        // order pick — a replayed identical merge must assign the SAME
-        // lineage id, or row-tracking consumers see a phantom
-        // delete-and-reinsert across identical runs (r13 review find)
-        val srcWithIds = source.join(
-          touchedRows.groupBy(col(keyCol))
-            .agg(min(col(Snapshots.RidCol)).as(Snapshots.RidCol)),
-          Seq(keyCol), "left")
+        // rid lookup grouped per key: unique keys are the documented
+        // MERGE precondition, and a target that VIOLATES it FAILS
+        // LOUDLY here (r14, advisor find) — the r13 shape silently
+        // collapsed the whole duplicate block into one source row
+        // (cardinality 2 → 1), which is silent data loss dressed as a
+        // dedup; Delta MERGE would update every matched row, the r12
+        // shape multiplied source rows — neither is what the caller
+        // declared, so the only honest answer is the same loud
+        // ambiguity error the other guards throw. The count rides the
+        // SAME grouped agg (one extra column, no extra job); the min()
+        // stays the representative-id pick so a replayed merge on a
+        // LEGITIMATE target assigns identical lineage ids (r13 review
+        // find).
+        // the guard is applied AFTER the join, not inside the grouped
+        // lookup: a duplicate key among SURVIVOR rows sharing a touched
+        // file is not matched by this merge (survivors pass through
+        // verbatim) and must not fail it — only a key the source
+        // actually replaces is ambiguous
+        val ridByKey = touchedRows.groupBy(col(keyCol))
+          .agg(min(col(Snapshots.RidCol)).as(Snapshots.RidCol),
+            count(lit(1)).as("__dupn"))
+        val srcWithIds = source.join(ridByKey, Seq(keyCol), "left")
+          .withColumn(Snapshots.RidCol,
+            when(col("__dupn") > 1, raise_error(concat(
+              lit(s"mergeInto($table): target key "),
+              col(keyCol).cast("string"),
+              lit(" appears "), col("__dupn").cast("string"),
+              lit(" times — MERGE requires unique target keys; " +
+                "deduplicate the target (or merge on a composite key) " +
+                "before merging"))))
+              .otherwise(col(Snapshots.RidCol)))
+          .drop("__dupn")
         survivors.unionByName(srcWithIds, allowMissingColumns = true)
       }
     try Snapshots.commitRewrite(table, v0,

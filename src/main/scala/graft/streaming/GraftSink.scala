@@ -105,8 +105,12 @@ class GraftSink(table: String, tagCol: String, appliedKey: String,
     // advisor find) — fail loudly; the SAFE reprocess identity is a
     // fresh sinkId/checkpoint path (always unambiguous).
     // sinkBootstrap=append instead re-appends IN PLACE, regressing the
-    // cursor to this batch and appending forward — with one honest
-    // limitation: a reborn batch whose id EQUALS the surviving cursor
+    // cursor to this batch and appending forward — an AT-LEAST-ONCE
+    // remediation, not a clean restart: rows from batches the table
+    // already applied STAY in it, so a full replay duplicates every
+    // previously-committed batch unless the table was truncated first
+    // (r13 advisor find — the error below now says so). There is also
+    // one honest limitation: a reborn batch whose id EQUALS the surviving cursor
     // is indistinguishable from a genuine crash replay of that batch
     // (both present batchId == applied), so exactly-once wins, the
     // batch no-ops, and the suppression is WARNED rather than silent
@@ -118,7 +122,11 @@ class GraftSink(table: String, tagCol: String, appliedKey: String,
           "(batchIds restarted) while the table's sink bookkeeping survived. " +
           "Reprocess under a fresh checkpoint path or .option(\"sinkId\", …) " +
           "(the unambiguous identity), or pass " +
-          ".option(\"sinkBootstrap\", \"append\") to re-append in place.")
+          ".option(\"sinkBootstrap\", \"append\") to re-append in place — " +
+          "NOTE: append-mode reprocess is at-least-once: rows from batches " +
+          "this table already applied remain in it, so a full stream replay " +
+          "DUPLICATES them unless the table is truncated first or the " +
+          "stream targets a fresh sinkId/table.")
     if (forceAppend && batchId == applied && !df.isEmpty)
       System.err.println(
         s"[graft sink($table)] batch $batchId equals the applied cursor and " +

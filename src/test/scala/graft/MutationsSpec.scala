@@ -49,19 +49,34 @@ class MutationsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((0L, 100L, 9.0), (1L, 101L, 9.1)))
   }
 
-  test("merge on a dup-key target keeps source cardinality (rid lookup deduped)") {
+  test("merge on a dup-key target fails loudly; survivor dups don't trip it") {
     val table = tmp("mut-merge-dupkey")
     // a target VIOLATING the unique-key precondition: the r12 rid
-    // pass-through joined source rows to every dup target row,
-    // multiplying them (pre-r12 kept source cardinality) — the rid
-    // lookup now dedups per key, so one source row replaces the block
+    // pass-through multiplied source rows, the r13 lookup silently
+    // COLLAPSED the dup block to one row (cardinality 2 → 1 — silent
+    // data loss; r13 advisor find). Neither is what the caller
+    // declared: a matched duplicate key now fails loudly, matching the
+    // other ambiguity guards.
     Snapshots.commitAll(table, Snapshots.stageWithStats(
       df((1L, "a", 1.0), (1L, "a", 2.0), (2L, "a", 3.0)),
       table, "day", "id"))
-    Mutations.mergeInto(spark, table, df((1L, "a", 9.0)), "id", "day")
+    val e = intercept[Exception] {
+      Mutations.mergeInto(spark, table, df((1L, "a", 9.0)), "id", "day")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("unique target keys")),
+      s"expected the dup-key MERGE guard, got: $e")
+    // the failed merge must not have committed anything
     assert(sorted(Mutations.readMerged(spark, table)) ==
-      Seq((1L, "a", 9.0), (2L, "a", 3.0)),
-      "one source row must replace the dup block exactly once")
+      Seq((1L, "a", 1.0), (1L, "a", 2.0), (2L, "a", 3.0)),
+      "a refused merge leaves the target untouched")
+    // a dup key among SURVIVORS (same touched file, not matched by the
+    // source) is untouched by this merge and must NOT trip the guard
+    Mutations.mergeInto(spark, table, df((2L, "a", 9.0)), "id", "day")
+    assert(sorted(Mutations.readMerged(spark, table)) ==
+      Seq((1L, "a", 1.0), (1L, "a", 2.0), (2L, "a", 9.0)),
+      "survivor dup rows pass through verbatim; the matched key updates")
   }
 
   test("merge rewrites only files containing matched keys; inserts are append-only") {
