@@ -1406,7 +1406,10 @@ object Dedup {
     * own buckets. Split out so the spec can pin the probed-file
     * discipline directly. */
   private[graft] def probeIndex(spark: SparkSession, idx: String,
-                                batchBuckets: DataFrame): DataFrame =
+                                batchBuckets: DataFrame,
+                                minFiles: Int =
+                                  graft.ops.lake.DynamicFilter.DefaultMinFiles)
+                                : DataFrame =
     graft.ops.lake.DynamicFilter.prunedJoin(spark, idx,
         batchBuckets.select(col("band_id"), col("band_hash"),
           col("doc_id").as("doc_b")),
@@ -1415,8 +1418,13 @@ object Dedup {
         // the index is tag-partitioned on band: the per-partition prune
         // scopes each batch hash to ITS band's files — untagged, a hash
         // overlaps same-ranged files in every other band (cross-band
-        // leakage; the Dd15Probe receipt quantifies it)
-        factTagCol = Some("band"), dimTagCol = Some("band_id"))
+        // leakage; the Dd15Probe receipt quantifies it). Below
+        // prunedJoin's cost gate (r14) the probe is a plain join — the
+        // right arrival on a fixture-sized index (the Dd15Probe
+        // crossover); at corpus scale the index clears the gate and the
+        // probe opens O(batch) files.
+        factTagCol = Some("band"), dimTagCol = Some("band_id"),
+        minFiles = minFiles)
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 

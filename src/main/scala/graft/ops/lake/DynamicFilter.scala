@@ -39,6 +39,24 @@ import org.apache.spark.sql.functions._
   * into pandas before filtering (`build_fact_fee_tax.py`). */
 object DynamicFilter {
 
+  /** COST GATE default (r14): below this many manifest entries the
+    * prune is skipped outright. The prune's price is fixed-ish — one
+    * dim-side distinct+collect job plus a per-entry predicate pass —
+    * while its payoff scales with the files it can avoid opening;
+    * Dd15Probe measured the fixture-scale crossover (135 files: pruned
+    * probe 0.61 s vs plain join 0.39 s), so a small fact pays more for
+    * the key collect than the whole scan costs. The manifest entry
+    * count is free (driver-resident log), making the gate a zero-job
+    * decision. 256 places the flip just above the measured crossover;
+    * callers proving the prune on small fixtures pass `minFiles = 0`. */
+  val DefaultMinFiles = 256
+
+  /** True when [[prunedJoin]]'s cost gate would skip pruning for
+    * `factTable` at `minFiles` — split out so specs pin the decision
+    * without inferring it from job counts. */
+  private[graft] def costGateSkips(factTable: String, minFiles: Int): Boolean =
+    Snapshots.entriesAll(factTable).size < minFiles
+
   /** Entry predicate for `factKey ∈ keys(dim)` against `factTable`'s
     * manifest stats — split out so specs and probes can count
     * surviving entries without running the join. Returns the predicate
@@ -190,11 +208,18 @@ object DynamicFilter {
                  maxKeys: Int = 10000,
                  factTagCol: Option[String] = None,
                  extraJoinCols: Seq[String] = Seq.empty,
-                 dimTagCol: Option[String] = None): DataFrame = {
+                 dimTagCol: Option[String] = None,
+                 minFiles: Int = DefaultMinFiles): DataFrame = {
     val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"prunedJoin: file-pruning the fact side is only sound for " +
         s"inner/left_semi joins, got '$joinType'")
+    def joinAgainst(fact: DataFrame, dimSide: DataFrame): DataFrame = {
+      val cond = extraJoinCols.foldLeft(fact(factKey) === dimSide(dimKey)) {
+        (c, k) => c && (fact(k) === dimSide(k))
+      }
+      fact.join(dimSide, cond, if (jt == "inner") "inner" else "left_semi")
+    }
     // persisted: the (already-filtered, selective) dim is evaluated for
     // the key collect AND as the probe/build side of the join — an
     // expensive dim subquery must not run twice
@@ -210,6 +235,14 @@ object DynamicFilter {
             s"'$dtc' to extraJoinCols (otherwise a fact row may match a " +
             "dim row from another partition whose files were pruned)")
       }
+    // COST GATE (r14, from the free manifest entry count — zero jobs):
+    // on a small fact the key collect + per-entry predicate cost more
+    // than the unpruned scan they would save ([[DefaultMinFiles]]);
+    // skip straight to the plain join — same rows, cheaper arrival.
+    // The dim is evaluated ONCE here, so no persist either.
+    if (costGateSkips(factTable, minFiles))
+      return joinAgainst(
+        Mutations.readMerged(spark, factTable, mergeSchema = true), dim)
     val dimP = Caching.persist(dim)
     val (pred, keysOpt) = (factTagCol, dimTagCol) match {
       case (Some(ft), Some(dtc)) if !ft.equalsIgnoreCase(factKey) =>
@@ -226,11 +259,7 @@ object DynamicFilter {
       case Some(ks) => fact.filter(col(factKey).isin(ks: _*))
       case None => fact
     }
-    val cond = extraJoinCols.foldLeft(filtered(factKey) === dimP(dimKey)) {
-      (c, k) => c && (filtered(k) === dimP(k))
-    }
-    if (jt == "inner") filtered.join(dimP, cond, "inner")
-    else filtered.join(dimP, cond, "left_semi")
+    joinAgainst(filtered, dimP)
   }
 
   /** NDV-DRIVEN strategy pre-choice (r12, the ANALYZE consumer): when
@@ -324,7 +353,8 @@ object DynamicFilter {
                      dimTable: String, factKey: String, dimKey: String,
                      filterCol: String, lo: Double, hi: Double,
                      maxKeys: Int = 10000,
-                     factTagCol: Option[String] = None): DataFrame = {
+                     factTagCol: Option[String] = None,
+                     minFiles: Int = DefaultMinFiles): DataFrame = {
     val dim = Mutations.readMerged(spark, dimTable, mergeSchema = true)
       .filter(col(filterCol) >= lo && col(filterCol) <= hi)
     val capped = strategyForRange(dimTable, dimKey, filterCol, lo, hi, maxKeys) match {
@@ -332,7 +362,7 @@ object DynamicFilter {
       case _ => maxKeys       // inlist, or no basis: runtime cap decides
     }
     prunedJoin(spark, factTable, dim, factKey, dimKey,
-      maxKeys = capped, factTagCol = factTagCol)
+      maxKeys = capped, factTagCol = factTagCol, minFiles = minFiles)
   }
 
   // ---- oracle-gated exercise ---------------------------------------
@@ -357,7 +387,11 @@ object DynamicFilter {
       .select(col("event_id").as("dim_id"),
         concat(lit("seg-"), (col("event_id") % 7).cast("string")).as("segment"))
       .distinct()
-    DynamicFilter.prunedJoin(spark, factT, dim, "event_id", "dim_id")
+    // minFiles = 0: the fixture sits under the cost gate, but the whole
+    // point of this oracle is row-soundness of the PRUNE path — force it
+    // (production callers keep the gate)
+    DynamicFilter.prunedJoin(spark, factT, dim, "event_id", "dim_id",
+        minFiles = 0)
       .groupBy("segment")
       .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
       .orderBy("segment")
@@ -395,8 +429,10 @@ object DynamicFilter {
       dim, dimT, "segment", "dim_id"))
     Analyze.analyze(spark, dimT, Seq("dim_id", "score"))
     Analyze.histogram(spark, dimT, "score", 16)
+    // minFiles = 0: same fixture-scale forcing as s50 — the oracle must
+    // cover the stats-chosen prune path, not the gate's plain join
     statsAwareJoin(spark, factT, dimT, "event_id", "dim_id",
-        "score", 0.0, 25.0)
+        "score", 0.0, 25.0, minFiles = 0)
       .groupBy("segment")
       .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
       .orderBy("segment")

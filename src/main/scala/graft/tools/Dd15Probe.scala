@@ -47,14 +47,24 @@ object Dd15Probe {
     def probe(label: String, b: org.apache.spark.sql.DataFrame): Unit = {
       val bb = Dedup.bucketsFor(b).persist()
       val nHashes = bb.count()
+      // the scale-true pruning RECEIPT, independent of the cost gate:
+      // what the prune admits when it runs (the O(batch + collisions)
+      // claim's file counts)
       val (pred, keys) = DynamicFilter.taggedKeyPrune(spark, idx, "band_hash",
         bb.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
         "band_hash", dimTagCol = "band_id", factTagCol = "band",
         maxKeys = 10000)
       val kept = Snapshots.entriesAll(idx).count(pred)
       val mode = if (keys.isDefined) "inlist" else "range"
+      val gated = DynamicFilter.costGateSkips(idx, DynamicFilter.DefaultMinFiles)
+      // the OPERATOR wall: probeIndex as dd15 ships it — under the r14
+      // cost gate this index (135 files < DefaultMinFiles) takes the
+      // plain join, which the r13 crossover measurement showed is the
+      // cheaper arrival at this layout
+      val (nOp, tOp) = timed(Dedup.probeIndex(spark, idx, bb).count())
+      // the forced-prune wall, for the crossover comparison
       val (nPruned, tPruned) = timed(
-        Dedup.probeIndex(spark, idx, bb).count())
+        Dedup.probeIndex(spark, idx, bb, minFiles = 0).count())
       val full = bb
         .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
         .join(Snapshots.read(spark, idx)
@@ -63,9 +73,12 @@ object Dd15Probe {
         .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
       val (nFull, tFull) = timed(full.count())
       println(f"[dd15] $label%-6s indexFiles=$total%4d probedFiles=$kept%4d " +
-        f"($mode, $nHashes%6d batch bucket rows) | prunedProbe=$tPruned%6.2fs " +
-        f"fullScanJoin=$tFull%6.2fs | candidates pruned=$nPruned full=$nFull " +
-        (if (nPruned == nFull) "(equal)" else "(MISMATCH!)"))
+        f"($mode, $nHashes%6d batch bucket rows, costGate=" +
+        (if (gated) "skip" else "prune") +
+        f") | operatorProbe=$tOp%6.2fs forcedPrune=$tPruned%6.2fs " +
+        f"fullScanJoin=$tFull%6.2fs | candidates op=$nOp pruned=$nPruned " +
+        f"full=$nFull " +
+        (if (nPruned == nFull && nOp == nFull) "(equal)" else "(MISMATCH!)"))
       bb.unpersist()
     }
     probe("bulk", batchSh)                                   // 2%

@@ -43,7 +43,8 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     // soundness: every file actually holding key 5 or 72 survives
     val holding = Mutations.readMerged(spark, table)
       .filter(col("id").isin(5L, 72L)).count()
-    val joined = DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
+    val joined = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      minFiles = 0)
     assert(joined.count() == holding)
     assert(asSet(joined) == Set((5L, "x"), (72L, "y")))
     // equality against the plain unpruned join
@@ -63,7 +64,7 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     val all = Snapshots.entriesAll(table)
     assert(all.count(pred) < all.size, "range fallback must still prune")
     val joined = DynamicFilter.prunedJoin(
-      spark, table, dim, "id", "did", maxKeys = 2)
+      spark, table, dim, "id", "did", maxKeys = 2, minFiles = 0)
     assert(asSet(joined) == Set((3L, "a"), (5L, "b"), (7L, "c")))
   }
 
@@ -71,7 +72,8 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     val table = mkFact("dfp-empty")
     import spark.implicits._
     val dim = Seq.empty[(Long, String)].toDF("did", "seg")
-    val joined = DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
+    val joined = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      minFiles = 0)
     assert(joined.count() == 0)
     assert(joined.columns.toSeq == Seq("id", "day", "v", "did", "seg"))
   }
@@ -89,7 +91,7 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
       s"tag pruning must keep exactly d1's files, kept tags " +
         s"${kept.map(_.tag).distinct}")
     val joined = DynamicFilter.prunedJoin(spark, table, dim, "day", "dday",
-      factTagCol = Some("day"))
+      factTagCol = Some("day"), minFiles = 0)
     assert(joined.count() == 40L)
     // an UNDECLARED tag column must not tag-compare (soundness default)
     val (pred2, _) = DynamicFilter.keyPrune(
@@ -102,12 +104,70 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val dim = Seq((5L, "x")).toDF("did", "seg")
     val semi = DynamicFilter.prunedJoin(
-      spark, table, dim, "id", "did", joinType = "left_semi")
+      spark, table, dim, "id", "did", joinType = "left_semi", minFiles = 0)
     assert(semi.collect().map(_.getLong(0)).toSeq == Seq(5L))
     intercept[IllegalArgumentException] {
       DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
         joinType = "left_outer")
     }
+  }
+
+  test("cost gate: a small fact skips the prune with zero decision jobs") {
+    val table = mkFact("dfp-gate") // 8 files — far under DefaultMinFiles
+    import spark.implicits._
+    val dim = Seq((5L, "x"), (72L, "y")).toDF("did", "seg")
+    assert(DynamicFilter.costGateSkips(table, DynamicFilter.DefaultMinFiles),
+      "an 8-file fact must sit under the default gate")
+    assert(!DynamicFilter.costGateSkips(table, 0),
+      "minFiles = 0 must force the prune path")
+    // CONSTRUCTING the gated join must launch no job at all — the whole
+    // point of the gate is skipping the dim key-collect; the forced
+    // path pays it eagerly (job-count fence, self-calibrating sentinel)
+    val c = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        c.incrementAndGet(); ()
+      }
+    }
+    def settle(): Int = {
+      val deadline = System.nanoTime() + 10000000000L
+      var last = c.get
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - lastChange < 400000000L) {
+        Thread.sleep(20)
+        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
+      }
+      c.get
+    }
+    // warm the per-(table, version) schema cache: the FIRST merged read
+    // of a fresh table runs one footer-union inference job — a one-time
+    // cost both paths share, not part of the gate decision
+    graft.ops.lake.Mutations.readMerged(spark, table, mergeSchema = true)
+      .schema
+    spark.sparkContext.addSparkListener(l)
+    val (gated, forced) = try {
+      val s0 = settle()
+      val g = DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
+      val s1 = settle()
+      assert(s1 - s0 == 0,
+        s"gated prunedJoin construction must run zero jobs, saw ${s1 - s0}")
+      val f = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+        minFiles = 0)
+      val s2 = settle()
+      assert(s2 - s1 > 0,
+        "the forced path pays the key-collect job the gate skipped")
+      (g, f)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // the prune's row-filter marker: present only on the forced path
+    assert(!gated.queryExecution.optimizedPlan.toString.contains(" IN ("),
+      "the gated plan must not carry the pruned isin row filter")
+    assert(forced.queryExecution.optimizedPlan.toString.contains(" IN ("),
+      "the forced plan carries the pruned isin row filter")
+    // same rows either way — the gate trades only the arrival price
+    assert(asSet(gated) == asSet(forced))
+    assert(asSet(gated) == Set((5L, "x"), (72L, "y")))
   }
 
   test("equi-height histogram records exact boundaries; selectivity estimates ranges") {
@@ -244,14 +304,14 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(DynamicFilter.strategyForRange(dimT, "did", "score",
       0.0, 9.0, maxKeys = 20).contains("inlist"))
     val a = DynamicFilter.statsAwareJoin(spark, factT, dimT,
-      "id", "did", "score", 0.0, 9.0, maxKeys = 20)
+      "id", "did", "score", 0.0, 9.0, maxKeys = 20, minFiles = 0)
     assert(a.count() == 10, "inlist branch must keep exactly the matches")
     // wide range: est ~80 > cap -> "range" branch skips the key collect
     // outright; the join result is identical either way
     assert(DynamicFilter.strategyForRange(dimT, "did", "score",
       0.0, 100.0, maxKeys = 20).contains("range"))
     val b = DynamicFilter.statsAwareJoin(spark, factT, dimT,
-      "id", "did", "score", 0.0, 100.0, maxKeys = 20)
+      "id", "did", "score", 0.0, 100.0, maxKeys = 20, minFiles = 0)
     assert(b.count() == 80, "range branch must keep exactly the matches")
   }
 
