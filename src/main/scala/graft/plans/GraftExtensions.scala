@@ -73,6 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => NanosDateRangeRule)
     // count(*) over a DV-free lake scan folds from manifest row counts
     e.injectOptimizerRule(_ => MetadataCountRule)
+    // SQL-surface dynamic file pruning: lake-fact × selective-dim joins
+    // grow a runtime key filter that manifest-prunes the fact scan
+    e.injectPreCBORule(s => SqlDfpRule(s))
     e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     // lake SQL surface: MERGE/DELETE/UPDATE/VACUUM/OPTIMIZE/RESTORE/
     // DESCRIBE HISTORY statements + registered-name resolution with

@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftFileIndex, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, max, min}
+
+/** DYNAMIC FILE PRUNING on the SQL surface (r14) — the planner-rule twin
+  * of [[graft.ops.lake.DynamicFilter.prunedJoin]], closing the gap
+  * between the engine's two front doors: a `spark.sql` inner/left-semi
+  * equi-join of a registered lake FACT to a selective dim used to scan
+  * every fact file that static literal pruning kept, because the dim's
+  * key set exists only at run time and no API call was there to collect
+  * it. This rule detects the shape during optimization, collects the
+  * dim side's distinct join keys (capped), and plants the key predicate
+  * as an ordinary `Filter` on the fact side — from where Spark's OWN
+  * machinery finishes the job:
+  *
+  *   - scan planning pushes the filter to [[GraftFileIndex.listFiles]],
+  *     whose [[graft.ops.lake.Pruning.compile]] translation (the same
+  *     one static SQL filters ride) turns the IN list into manifest
+  *     min/max + bloom + tag pruning — files that provably hold no dim
+  *     key never open;
+  *   - the surviving scan gets the same predicate as a parquet
+  *     row-group filter, pruning inside opened files;
+  *   - over the key cap, the predicate degrades to the two-scalar
+  *     key RANGE (min/max of the dim keys) — coarser, still sound,
+  *     never an unbounded driver collect.
+  *
+  * Soundness: the planted filter drops only fact rows whose key is
+  * provably absent from the dim side — rows an inner/left-semi
+  * equi-join was about to drop anyway (NULL keys match nothing, so
+  * `na.drop` on the collected keys is exact). Cardinalities of
+  * surviving rows are untouched. Outer joins never match (they must
+  * surface unmatched fact rows).
+  *
+  * Cost model (the same discipline as the API path's gate): the fact
+  * must be a lake relation with ≥ `spark.graft.dfp.sql.minFiles`
+  * manifest entries (the free driver-resident count), and the dim side
+  * must show selectivity evidence (a Filter/Aggregate/limit/local
+  * relation somewhere) — an unfiltered table scan on the dim side
+  * collects nothing. The dim subtree is executed ONCE here to collect
+  * keys (it runs again as the join's build side — the price every
+  * runtime-filter scheme pays once per query; Spark's own
+  * InjectRuntimeFilter makes the same trade). The collect happens at
+  * OPTIMIZATION time, so `.explain()` on a qualifying plan also runs
+  * it — documented, and switchable off per session
+  * (`spark.graft.dfp.sql.enabled = false`).
+  *
+  * Guards, each load-bearing:
+  *   - equi-key attributes must be DIRECT outputs of the fact's lake
+  *     relation (no alias indirection) — otherwise the filter cannot
+  *     reach `listFiles` and the collect would buy nothing;
+  *   - both join sides batch (not streaming), dim side fully
+  *     deterministic — a nondeterministic dim evaluated twice could
+  *     yield a key set that disagrees with the join's build side,
+  *     turning the prune unsound;
+  *   - the rewritten Join is tagged so a re-entrant optimization pass
+  *     (a cached Dataset reused inside a larger query) never collects
+  *     twice.
+  *
+  * Registered via `injectPreCBORule`: the batch runs ONCE per
+  * optimization, after operator optimization (static filters are
+  * already pushed, so the dim's own scan is already manifest-pruned
+  * when the key collect runs) and before join reordering.
+  *
+  * Ref analog: none — the reference joins materialized pandas frames
+  * (`build_fact_fee_tax.py`); runtime file pruning has no counterpart
+  * there. Shape follows the public Databricks DFP description and
+  * Spark's own DPP/runtime-filter split, re-expressed over the graft
+  * manifest. */
+object SqlDfp {
+
+  /** Marks a Join this rule already rewrote (or deliberately skipped
+    * after collecting) — optimization of an enclosing query must not
+    * re-collect the dim side. */
+  private[graft] val Applied = TreeNodeTag[Boolean]("graft.sql.dfp.applied")
+
+  val EnabledKey = "spark.graft.dfp.sql.enabled"
+  val MinFilesKey = "spark.graft.dfp.sql.minFiles"
+  val MaxKeysKey = "spark.graft.dfp.sql.maxKeys"
+
+  /** The lake scan a join side bottoms out at, reachable through
+    * Project/Filter (and any leftover alias) nodes only — shapes where
+    * a Filter planted ABOVE the side still pushes to the scan. */
+  private[plans] def lakeScan(side: LogicalPlan): Option[(LogicalRelation, GraftFileIndex)] =
+    side match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: GraftFileIndex => Some((lr, g))
+          case _ => None
+        }
+        case _ => None
+      }
+      case Project(_, child) => lakeScan(child)
+      case Filter(_, child) => lakeScan(child)
+      case SubqueryAlias(_, child) => lakeScan(child)
+      case _ => None
+    }
+
+  /** Selectivity evidence: some node that plausibly cuts the dim below
+    * its base cardinality. An unfiltered scan collects nothing — and a
+    * Filter made ONLY of IsNotNull conjuncts doesn't count: Spark's
+    * constraint inference plants `isnotnull(key)` on BOTH sides of
+    * every inner equi-join, so trusting it would make a bare fact-fact
+    * self-join look selective and collect the entire key space (caught
+    * by the spec's self-join fence). */
+  private[plans] def selective(p: LogicalPlan): Boolean = p.collectFirst {
+    case Filter(cond, _) if splitCond(cond).exists {
+      case IsNotNull(_) => false
+      case _ => true
+    } => ()
+    case _: Aggregate => ()
+    case _: Distinct => ()
+    case _: Deduplicate => ()
+    case _: GlobalLimit => ()
+    case _: LocalRelation => ()
+    case _: OneRowRelation => ()
+  }.isDefined
+
+  private def splitCond(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitCond(l) ++ splitCond(r)
+    case other => Seq(other)
+  }
+
+  private[plans] def deterministicTree(p: LogicalPlan): Boolean =
+    !p.exists(n => n.expressions.exists(e => e.exists(!_.deterministic)))
+}
+
+case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+  import SqlDfp._
+
+  private def confBool(k: String, d: Boolean): Boolean =
+    scala.util.Try(spark.conf.get(k, d.toString).toBoolean).getOrElse(d)
+  private def confInt(k: String, d: Int): Int =
+    scala.util.Try(spark.conf.get(k, d.toString).toInt).getOrElse(d)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!confBool(EnabledKey, d = true)) return plan
+    val minFiles = confInt(MinFilesKey,
+      graft.ops.lake.DynamicFilter.DefaultMinFiles)
+    val maxKeys = confInt(MaxKeysKey, 10000)
+    plan.transformUp {
+      case j @ Join(_, _, jt, Some(_), _)
+          if (jt == Inner || jt == LeftSemi) &&
+            !j.getTagValue(Applied).contains(true) &&
+            !j.left.isStreaming && !j.right.isStreaming =>
+        val out = rewrite(j, minFiles, maxKeys).getOrElse(j)
+        // either way, this join's decision is made — enclosing
+        // optimizations must not re-run the collect
+        out.setTagValue(Applied, true)
+        out
+    }
+  }
+
+  private def rewrite(j: Join, minFiles: Int, maxKeys: Int): Option[Join] = {
+    val pairs = splitConjunctivePredicates(j.condition.get).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) =>
+        (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) =>
+        (a, b)
+    }.filter { case (a, b) => a.dataType == b.dataType }
+    // each equi pair nominates two (fact, dim) orientations; keep the
+    // ones whose fact side is a big-enough lake scan exposing the key
+    // directly, with a selective deterministic dim opposite
+    val candidates = pairs.flatMap { case (la, ra) =>
+      Seq((la, j.left, ra, j.right, true), (ra, j.right, la, j.left, false))
+    }.flatMap { case (fa, fside, da, dside, factIsLeft) =>
+      lakeScan(fside).collect {
+        case (lr, g) if g.manifestEntries.size >= minFiles &&
+            lr.outputSet.contains(fa) && selective(dside) &&
+            deterministicTree(dside) =>
+          (fa, da, dside, factIsLeft, g.manifestEntries.size)
+      }
+    }
+    // largest fact wins (the side with the most files to save); ties
+    // keep the first equi pair's orientation
+    candidates.sortBy(-_._5).headOption.map {
+      case (fa, da, dside, factIsLeft, _) =>
+        val pruneExpr = keyPredicate(dside, da, fa, maxKeys)
+        if (factIsLeft) j.copy(left = Filter(pruneExpr, j.left))
+        else j.copy(right = Filter(pruneExpr, j.right))
+    }
+  }
+
+  /** Collect the dim side's distinct keys (cap + 1) and compile the
+    * fact-side predicate: IN list within the cap (InSet form past the
+    * codegen-friendly threshold — [[graft.ops.lake.Pruning]] translates
+    * both), two-scalar range beyond it, `false` for an empty dim. */
+  private def keyPredicate(dimPlan: LogicalPlan, dimKey: AttributeReference,
+                           factKey: AttributeReference, maxKeys: Int): Expression = {
+    val keyDf = GraftSqlBridge.ofRows(spark,
+        Project(Seq(Alias(dimKey, "__graft_dfp_key")()), dimPlan))
+      .na.drop()
+    val dt = dimKey.dataType
+    val rows = keyDf.distinct().limit(maxKeys + 1).collect()
+    if (rows.isEmpty) Literal.FalseLiteral
+    else if (rows.length <= maxKeys) {
+      val vals = rows.map(_.get(0)).toSeq
+      // small lists stay `In` (readable plans, plain codegen); larger
+      // ones go straight to InSet — OptimizeIn already ran (pre-CBO is
+      // after operator optimization), so a 10⁴-literal In would reach
+      // codegen verbatim and blow the generated method size
+      if (vals.size <= 10) In(factKey, vals.map(v => Literal.create(v, dt)))
+      else {
+        val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+        InSet(factKey, vals.map(conv).toSet)
+      }
+    } else {
+      val mm = keyDf.agg(min(col("__graft_dfp_key")),
+        max(col("__graft_dfp_key"))).head()
+      if (mm.isNullAt(0)) Literal.FalseLiteral
+      else And(GreaterThanOrEqual(factKey, Literal.create(mm.get(0), dt)),
+        LessThanOrEqual(factKey, Literal.create(mm.get(1), dt)))
+    }
+  }
+}

@@ -540,7 +540,47 @@ object LakeSqlQueries {
       |SELECT event_date, count(*) AS n, ${decSumSql("value")} AS sum_value
       |FROM silver GROUP BY event_date ORDER BY event_date""".stripMargin
 
+  /** s60: DYNAMIC FILE PRUNING on the SQL surface under the oracle gate
+    * (r14, the r13 verdict's top item) — a 320-file key-clustered lake
+    * fact joins a dim its own filter cut to ~0.2% of the key space,
+    * through PLAIN `spark.sql` with zero graft-specific syntax. The
+    * [[graft.plans.SqlDfpRule]] pre-CBO rule collects the dim's runtime
+    * keys and plants them as a fact-side filter, which Spark's own
+    * pushdown carries into the manifest prune — and the joined
+    * aggregate must equal DuckDB's full join row-for-row (the prune may
+    * only ever drop provably-unmatched files). The opened-files claim
+    * lives in SqlDfpSpec; this query pins correctness. The fact is
+    * committed at 320 files so it clears the rule's cost gate naturally
+    * (no conf override leaks into sibling queries). */
+  def sqlDfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("s60-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev, table, "event_date", "event_id", buckets = 320))
+    LakeSql.register(spark, "s60t", table, "event_date")
+    ev.filter(col("event_id") % 500 === 0)
+      .select(col("event_id").as("dim_id"),
+        concat(lit("seg-"), (col("event_id") % 3).cast("string")).as("segment"))
+      .distinct()
+      .createOrReplaceTempView("s60_dim")
+    spark.sql(
+      s"""SELECT d.segment, count(*) AS n, ${decSumSql("f.value")} AS sum_value
+         |FROM s60t f JOIN s60_dim d ON f.event_id = d.dim_id
+         |GROUP BY d.segment ORDER BY d.segment""".stripMargin)
+  }
+
+  val sqlDfpJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_id AS dim_id,
+      |         'seg-' || CAST(event_id % 3 AS VARCHAR) AS segment
+      |  FROM events WHERE event_id % 500 = 0)
+      |SELECT segment, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_id = d.dim_id
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s60_sql_dfp_join", sqlDfpJoinOracle)(sqlDfpJoin),
     QueryDef.sql("s54_sql_medallion", sqlMedallionOracle)(sqlMedallion),
     QueryDef.sql("s52_sql_apply_changes", sqlApplyChangesOracle)(sqlApplyChanges),
     QueryDef.sql("s51_sql_insert_overwrite", sqlInsertOverwriteOracle)(sqlInsertOverwrite),

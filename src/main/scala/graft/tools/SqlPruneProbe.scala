@@ -142,6 +142,49 @@ object SqlPruneProbe {
       "SELECT * FROM probe_ts WHERE ts BETWEEN TIMESTAMP '2024-01-18 12:00:00' " +
         "AND TIMESTAMP '2024-01-18 13:00:00'")
 
+    // --- r14: SQL-surface DYNAMIC file pruning (SqlDfpRule) ---
+    // a FRESH key-clustered fact (probe_ev is DV-bearing and
+    // schema-evolved by now — those states keep the merged read and
+    // skip this rule by design); a dim cut to 0.1% of the key space
+    // joins it through PLAIN spark.sql. minFiles=1 forces the rule at
+    // this fixture's file count (the production gate is 256); the
+    // receipt is fact files opened by the runtime key filter vs the
+    // full-scan join the same SQL ran pre-r14
+    val t4 = Graft.freshDir("probe-sqldfp")
+    Snapshots.commitAll(t4, Snapshots.stageWithStats(
+      ev, t4, "event_date", "event_id"))
+    LakeSql.register(spark, "probe_dfp", t4, "event_date")
+    Tables(spark, dir).events
+      .filter(col("event_id") % 1000 === 0)
+      .select(col("event_id").as("dim_id"),
+        concat(lit("seg-"), (col("event_id") % 7).cast("string")).as("segment"))
+      .distinct().createOrReplaceTempView("probe_dfp_dim")
+    val dfpSql =
+      """SELECT d.segment, count(*) AS n
+        |FROM probe_dfp f JOIN probe_dfp_dim d ON f.event_id = d.dim_id
+        |GROUP BY d.segment""".stripMargin
+    val totalEv = Snapshots.entriesAll(t4).size
+    println(s"[sqlprune] --- SQL DFP join ($totalEv fact files, " +
+      "dim = 0.1% of keys) ---")
+    def dfpProbe(label: String): Unit = {
+      val df = spark.sql(dfpSql)
+      val t0 = System.nanoTime()
+      val n = df.collect().length
+      val ms = (System.nanoTime() - t0) / 1e6
+      val opened = PlanScans.scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location
+          .isInstanceOf[org.apache.spark.sql.GraftFileIndex])
+        .map(_.metrics("numFiles").value).sum
+      println(f"[sqlprune] $label: opens $opened of $totalEv fact files, " +
+        f"$n rows, $ms%.0f ms")
+    }
+    spark.conf.set(graft.plans.SqlDfp.MinFilesKey, "1")
+    dfpProbe("dfp join       ")
+    spark.conf.set(graft.plans.SqlDfp.EnabledKey, "false")
+    dfpProbe("full-scan join ")
+    spark.conf.unset(graft.plans.SqlDfp.EnabledKey)
+    spark.conf.unset(graft.plans.SqlDfp.MinFilesKey)
+
     spark.stop()
   }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.ops.lake.Snapshots
+import graft.plans.SqlDfp
+import graft.sql.LakeSql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface dynamic file pruning contracts: a plain `spark.sql`
+  * inner/semi equi-join of a registered lake fact to a selective dim
+  * OPENS only fact files whose manifest stats admit a dim key (the s50
+  * discipline, now with zero graft-specific syntax); the pruned join
+  * equals the unpruned join row-for-row; the over-cap path degrades to
+  * the key range; outer joins and disabled sessions are untouched. */
+class SqlDfpSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkFact(sub: String, name: String): String = {
+    import spark.implicits._
+    val table = tmp(sub)
+    // 8 key-clustered files: ids 0..79 in chunks of 10 across 2 days
+    val rows = (0L until 80L).map(i => (i, s"d${i / 40}", i.toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "v"), table, "day", "id", buckets = 8))
+    LakeSql.register(spark, name, table, "day")
+    table
+  }
+
+  /** Fact (lake-index) files opened by an EXECUTED frame — the shared
+    * [[graft.tools.PlanScans]] descent, narrowed to graft scans so the
+    * dim side's own parquet never counts. */
+  private def factFilesOpened(df: org.apache.spark.sql.DataFrame): Long =
+    graft.tools.PlanScans.scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[org.apache.spark.sql.GraftFileIndex])
+      .map(_.metrics("numFiles").value).sum
+
+  /** Run `sql`, return (rows as (id, seg) set, fact files opened). */
+  private def run(sql: String): (Set[(Long, String)], Long) = {
+    val df = spark.sql(sql)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    (rows, factFilesOpened(df))
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("SQL join to a selective dim opens only key-admitted fact files") {
+    import spark.implicits._
+    val table = mkFact("sqldfp-base", "sdfp1")
+    val total = Snapshots.entriesAll(table).size
+    assert(total >= 6, s"fixture needs several files, got $total")
+    Seq((5L, "x"), (72L, "y")).toDF("did", "seg")
+      .createOrReplaceTempView("sdfp1_dim")
+    val q = "SELECT f.id, d.seg FROM sdfp1 f JOIN sdfp1_dim d ON f.id = d.did"
+    withConf(SqlDfp.MinFilesKey -> "1") {
+      val (rows, opened) = run(q)
+      assert(rows == Set((5L, "x"), (72L, "y")))
+      assert(opened < total,
+        s"the SQL join must not open the whole fact: $opened/$total")
+      // parity with the rule disabled: same rows, all files
+      withConf(SqlDfp.EnabledKey -> "false") {
+        val (plain, openedPlain) = run(q)
+        assert(plain == rows, "pruning must never change the result")
+        assert(openedPlain == total,
+          s"disabled rule must scan everything, opened $openedPlain/$total")
+      }
+    }
+  }
+
+  test("LEFT SEMI JOIN prunes; over-cap degrades to key range") {
+    import spark.implicits._
+    val table = mkFact("sqldfp-semi", "sdfp2")
+    val total = Snapshots.entriesAll(table).size
+    Seq((5L, "x"), (12L, "y")).toDF("did", "seg")
+      .createOrReplaceTempView("sdfp2_dim")
+    withConf(SqlDfp.MinFilesKey -> "1") {
+      // explicit LEFT SEMI JOIN prunes the fact side. (An IN-subquery
+      // does NOT: RewritePredicateSubquery turns it into a semi join
+      // only AFTER the pre-CBO batch this rule rides — documented gap,
+      // Spark's own runtime bloom filter still covers that shape.)
+      val semi = spark.sql(
+        "SELECT id FROM sdfp2 LEFT SEMI JOIN sdfp2_dim ON id = did")
+      assert(semi.collect().map(_.getLong(0)).toSet == Set(5L, 12L))
+      val openedSemi = factFilesOpened(semi)
+      assert(openedSemi < total,
+        s"semi join must prune fact files: $openedSemi/$total")
+      // over the cap: the range [5, 12] still proves high-id files away
+      withConf(SqlDfp.MaxKeysKey -> "1") {
+        val (rows, opened) = run(
+          "SELECT f.id, d.seg FROM sdfp2 f JOIN sdfp2_dim d ON f.id = d.did")
+        assert(rows == Set((5L, "x"), (12L, "y")),
+          "range degradation must stay correct")
+        assert(opened < total,
+          s"key-range fallback must still prune: $opened/$total")
+      }
+    }
+  }
+
+  test("unsound and non-qualifying shapes are left untouched") {
+    import spark.implicits._
+    val table = mkFact("sqldfp-outer", "sdfp3")
+    val total = Snapshots.entriesAll(table).size
+    Seq((5L, "x")).toDF("did", "seg").createOrReplaceTempView("sdfp3_dim")
+    withConf(SqlDfp.MinFilesKey -> "1") {
+      // LEFT OUTER: unmatched fact rows must survive — never rewritten
+      val outer = spark.sql(
+        "SELECT f.id, d.seg FROM sdfp3 f LEFT JOIN sdfp3_dim d ON f.id = d.did")
+      assert(outer.count() == 80L,
+        "an outer join must surface every fact row")
+      // an UNFILTERED fact-fact self-join offers no selective dim: the
+      // rule must not fire (no selectivity evidence on either side)
+      val self = spark.sql(
+        "SELECT a.id, b.day FROM sdfp3 a JOIN sdfp3 b ON a.id = b.id")
+      assert(!self.queryExecution.optimizedPlan.toString.contains("INSET") &&
+        !self.queryExecution.optimizedPlan.toString.contains(" IN ("),
+        "no selective dim → no planted key filter")
+      assert(self.count() == 80L)
+      // empty dim: planted `false` filter, empty result, zero files
+      Seq.empty[(Long, String)].toDF("did", "seg")
+        .createOrReplaceTempView("sdfp3_empty")
+      val (rows, opened) = run(
+        "SELECT f.id, d.seg FROM sdfp3 f JOIN sdfp3_empty d ON f.id = d.did")
+      assert(rows.isEmpty)
+      assert(opened == 0L, s"an empty dim must open zero fact files, got $opened")
+    }
+    // under the default cost gate an 8-file fact never qualifies: the
+    // optimized plan carries no planted filter
+    val gated = spark.sql(
+      "SELECT f.id, d.seg FROM sdfp3 f JOIN sdfp3_dim d ON f.id = d.did")
+    assert(!gated.queryExecution.optimizedPlan.toString.contains("INSET") &&
+      !gated.queryExecution.optimizedPlan.toString.contains(" IN ("),
+      "an under-gate fact must not trigger the collect")
+    assert(gated.collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("dim keys prune inside opened files too (row-group filter rides)") {
+    import spark.implicits._
+    val table = mkFact("sqldfp-rows", "sdfp4")
+    Seq((7L, "x"), (8L, "y"), (71L, "z")).toDF("did", "seg")
+      .createOrReplaceTempView("sdfp4_dim")
+    withConf(SqlDfp.MinFilesKey -> "1") {
+      // aggregate over the pruned join — equality against the engine's
+      // own unpruned DataFrame computation
+      val got = spark.sql(
+        """SELECT d.seg, sum(f.v) AS s
+          |FROM sdfp4 f JOIN sdfp4_dim d ON f.id = d.did
+          |GROUP BY d.seg ORDER BY d.seg""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("x", 7.0), ("y", 8.0), ("z", 71.0)))
+    }
+  }
+}
