@@ -346,23 +346,101 @@ object DynamicFilter {
     * (no/stale stats — run the collect and let the runtime cap decide,
     * the pre-stats behavior). The join RESULT is identical in every
     * branch; only the price of getting there changes — which is the
-    * whole point of a cost-based choice. Numeric `filterCol` only (the
-    * convenience wrapper does not translate DATE/TIMESTAMP literals;
-    * call [[strategyForRange]] + [[prunedJoin]] directly for those). */
+    * whole point of a cost-based choice.
+    *
+    * `lo`/`hi` accept the filter column's OWN literal space (r14 —
+    * closes the r13 verdict's units trap): numbers for numeric
+    * columns; `java.sql.Date`/`LocalDate`/`"yyyy-MM-dd"` strings for
+    * DATE columns; `java.sql.Timestamp`/`Instant`/timestamp strings
+    * (resolved in the Spark session timezone, never the JVM default)
+    * for TIMESTAMP columns. The histogram value-space conversion —
+    * epoch days for dates, epoch micros for timestamps, exactly what
+    * [[Analyze.histogram]] records — is derived HERE from the column's
+    * type, on the driver with zero jobs, so callers can no longer pass
+    * epoch millis and silently steer every estimate to ~0 or ~1.
+    * Hand-converted numerics (epoch days/micros) are still accepted
+    * for temporal columns, preserving pre-r14 call sites. */
   def statsAwareJoin(spark: SparkSession, factTable: String,
                      dimTable: String, factKey: String, dimKey: String,
-                     filterCol: String, lo: Double, hi: Double,
+                     filterCol: String, lo: Any, hi: Any,
                      maxKeys: Int = 10000,
                      factTagCol: Option[String] = None,
                      minFiles: Int = DefaultMinFiles): DataFrame = {
-    val dim = Mutations.readMerged(spark, dimTable, mergeSchema = true)
-      .filter(col(filterCol) >= lo && col(filterCol) <= hi)
-    val capped = strategyForRange(dimTable, dimKey, filterCol, lo, hi, maxKeys) match {
+    val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
+    val dt = dim0.schema(dim0.schema.fieldIndex(filterCol)).dataType
+    val (loLit, loH) = rangeEndpoint(spark, dt, lo, filterCol)
+    val (hiLit, hiH) = rangeEndpoint(spark, dt, hi, filterCol)
+    val dim = dim0.filter(col(filterCol) >= lit(loLit) && col(filterCol) <= lit(hiLit))
+    val capped = strategyForRange(dimTable, dimKey, filterCol, loH, hiH, maxKeys) match {
       case Some("range") => 0 // hopeless: skip straight to the range prune
       case _ => maxKeys       // inlist, or no basis: runtime cap decides
     }
     prunedJoin(spark, factTable, dim, factKey, dimKey,
       maxKeys = capped, factTagCol = factTagCol, minFiles = minFiles)
+  }
+
+  /** One range endpoint, normalized for a `dt`-typed filter column →
+    * (column-space literal for the dim filter, histogram-space double
+    * for [[strategyForRange]]). Pure driver work — no Spark job, so
+    * the zero-scan-job contract of the stats pre-choice holds through
+    * the conversion. Timestamp STRINGS resolve in
+    * `spark.sql.session.timeZone` (the [[graft.streaming.ChangesSource]]
+    * convention — the JVM default zone must never decide an instant);
+    * raw numbers on temporal columns are taken as already-converted
+    * histogram-space values (epoch days / epoch micros). */
+  private[graft] def rangeEndpoint(spark: SparkSession,
+                                   dt: org.apache.spark.sql.types.DataType,
+                                   v: Any, filterCol: String): (Any, Double) = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"statsAwareJoin: cannot interpret ${v.getClass.getSimpleName} " +
+        s"'$v' as a bound for ${dt.sql} column '$filterCol'")
+    dt match {
+      case DateType =>
+        val ld = v match {
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
+          case s: String =>
+            try java.time.LocalDate.parse(s.trim)
+            catch { case _: java.time.format.DateTimeParseException => bad() }
+          case n: java.lang.Number => // hand-converted epoch days
+            java.time.LocalDate.ofEpochDay(n.longValue())
+          case _ => bad()
+        }
+        (ld, ld.toEpochDay.toDouble)
+      case TimestampType =>
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        def inst(i: java.time.Instant): (Any, Double) =
+          (i, i.getEpochSecond * 1e6 + i.getNano / 1000L)
+        v match {
+          case t: java.sql.Timestamp => inst(t.toInstant)
+          case i: java.time.Instant => inst(i)
+          case s: String =>
+            val t = s.trim
+            val parsed =
+              try java.time.Instant.parse(t) // explicit offset/Z wins
+              catch { case _: java.time.format.DateTimeParseException =>
+                val ldt =
+                  try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                  catch { case _: java.time.format.DateTimeParseException =>
+                    try java.time.LocalDate.parse(t).atStartOfDay()
+                    catch { case _: java.time.format.DateTimeParseException => bad() }
+                  }
+                ldt.atZone(zone).toInstant
+              }
+            inst(parsed)
+          case n: java.lang.Number => // hand-converted epoch micros
+            val us = n.longValue()
+            inst(java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          case _ => bad()
+        }
+      case _: NumericType => v match {
+        case n: java.lang.Number => (n, n.doubleValue())
+        case _ => bad()
+      }
+      case _ => bad() // histograms cover numeric/date/timestamp only
+    }
   }
 
   // ---- oracle-gated exercise ---------------------------------------
@@ -449,7 +527,50 @@ object DynamicFilter {
       |WHERE d.score >= 0.0 AND d.score <= 25.0
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** s61: [[statsAwareJoin]] with a DATE filter column passed as plain
+    * `yyyy-MM-dd` strings (r14, r13 verdict item 3) — the engine
+    * derives the epoch-day histogram conversion from the column type,
+    * the recorded stats pick the strategy (5 of 30 days ≈ 17%
+    * selectivity × 10k NDV → "inlist"), and the joined aggregate must
+    * equal DuckDB's plain date-filtered join. A companion spec pins
+    * that the typed bounds hit the SAME strategy as hand-converted
+    * epoch days. */
+  def statsDfpDateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s61-fact-", dir)
+    val dimT = freshTable("s61-dim-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev, factT, "event_date", "event_id"))
+    val dim = ev.select(col("event_id").as("dim_id"),
+      col("event_date"),
+      concat(lit("seg-"), (col("event_id") % 5).cast("string")).as("segment"))
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dim, dimT, "segment", "dim_id"))
+    Analyze.analyze(spark, dimT, Seq("dim_id", "event_date"))
+    Analyze.histogram(spark, dimT, "event_date", 16)
+    // minFiles = 0: same fixture-scale forcing as s50/s58
+    statsAwareJoin(spark, factT, dimT, "event_id", "dim_id",
+        "event_date", "2024-01-03", "2024-01-07", minFiles = 0)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
+  lazy val statsDfpDateJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT event_id AS dim_id, CAST(ts AS DATE) AS event_date,
+      |         'seg-' || CAST(event_id % 5 AS VARCHAR) AS segment
+      |  FROM events)
+      |SELECT segment, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_id = d.dim_id
+      |WHERE d.event_date >= DATE '2024-01-03' AND d.event_date <= DATE '2024-01-07'
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s50_dfp_join", dfpJoinOracle)(dfpJoin),
-    QueryDef.sql("s58_stats_dfp_join", statsDfpJoinOracle)(statsDfpJoin))
+    QueryDef.sql("s58_stats_dfp_join", statsDfpJoinOracle)(statsDfpJoin),
+    QueryDef.sql("s61_stats_dfp_date_join", statsDfpDateJoinOracle)(statsDfpDateJoin))
 }

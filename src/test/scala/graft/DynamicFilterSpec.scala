@@ -315,6 +315,68 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(b.count() == 80, "range branch must keep exactly the matches")
   }
 
+  test("statsAwareJoin temporal bounds: typed literals hit the same strategy as hand-converted") {
+    import graft.ops.lake.Analyze
+    import org.apache.spark.sql.types.{DateType, TimestampType, DoubleType}
+    import spark.implicits._
+    val factT = mkFact("dfp-date-fact") // ids 0..79
+    val dimT = tmp("dfp-date-dim")
+    // 80 keys spread over 16 days: id i lands on day 2024-01-(1 + i/5)
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val dimRows = (0L until 80L).map { i =>
+      (i, java.sql.Date.valueOf(base.plusDays(i / 5)),
+        java.sql.Timestamp.valueOf(s"2024-01-${"%02d".format(1 + i / 5)} 12:00:00"),
+        s"g${i % 3}")
+    }
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dimRows.toDF("did", "d", "ts", "seg"), dimT, "seg", "did", buckets = 4))
+    Analyze.analyze(spark, dimT, Seq("did"))
+    Analyze.histogram(spark, dimT, "d", 8)
+    Analyze.histogram(spark, dimT, "ts", 8)
+    // the conversion itself: string / java.sql.Date / LocalDate / raw
+    // epoch days all land on the identical histogram-space value
+    val d5 = base.plusDays(4)
+    val handDays = d5.toEpochDay.toDouble
+    for (v <- Seq[Any]("2024-01-05", java.sql.Date.valueOf(d5), d5, handDays))
+      assert(DynamicFilter.rangeEndpoint(spark, DateType, v, "d")._2 == handDays,
+        s"endpoint for $v")
+    // timestamp: Instant / Timestamp / session-TZ string agree on micros
+    val inst = java.time.LocalDateTime.of(2024, 1, 5, 12, 0, 0)
+      .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .toInstant
+    val handMicros = inst.getEpochSecond * 1e6
+    for (v <- Seq[Any](inst, java.sql.Timestamp.from(inst),
+        "2024-01-05 12:00:00", handMicros))
+      assert(DynamicFilter.rangeEndpoint(spark, TimestampType, v, "ts")._2 == handMicros,
+        s"endpoint for $v")
+    // typed bounds reach the SAME strategy as hand-converted epoch days:
+    // 2 of 16 days ~ 12.5% x NDV 80 = ~10 <= cap 20 -> inlist; full
+    // range -> over the cap -> range
+    val loD = base.toEpochDay.toDouble
+    assert(DynamicFilter.strategyForRange(dimT, "did", "d",
+      loD, loD + 1, maxKeys = 20).contains("inlist"))
+    assert(DynamicFilter.strategyForRange(dimT, "did", "d",
+      loD, loD + 15, maxKeys = 20).contains("range"))
+    val a = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "d", "2024-01-01", "2024-01-02", maxKeys = 20, minFiles = 0)
+    assert(a.count() == 10, "date-string inlist branch keeps exactly the matches")
+    val b = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "d", "2024-01-01", "2024-01-16", maxKeys = 20, minFiles = 0)
+    assert(b.count() == 80, "date-string range branch keeps exactly the matches")
+    // timestamp bounds as session-TZ strings: same row sets
+    val c1 = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "ts", "2024-01-01 00:00:00", "2024-01-02 23:59:59",
+      maxKeys = 20, minFiles = 0)
+    assert(c1.count() == 10)
+    // unparsable input fails loudly, never silently estimates
+    intercept[IllegalArgumentException] {
+      DynamicFilter.rangeEndpoint(spark, DateType, "not-a-date", "d")
+    }
+    intercept[IllegalArgumentException] {
+      DynamicFilter.rangeEndpoint(spark, DoubleType, "1.5", "v")
+    }
+  }
+
   test("recorded NDV drives the strategy choice without any scan job") {
     import graft.ops.lake.Analyze
     val dimT = mkFact("dfp-ndv") // 80 distinct ids, 2 distinct days
