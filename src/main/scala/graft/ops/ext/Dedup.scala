@@ -1474,6 +1474,48 @@ object Dedup {
       |FROM documents d LEFT JOIN cl USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** dd16b: [[leakageSafeSplit]] with the split decided by a HASH of
+    * the canonical id, not its decile (r14, r13 verdict item 6) — the
+    * decile rule assumes roughly uniform ids, so a corpus whose ids
+    * cluster (timestamp-prefixed, shard-prefixed, re-ingested ranges)
+    * would split far from the declared 90/10. The engine's portable
+    * 60-bit md5-prefix kernel ([[graft.engine.PortableHash]] — the
+    * same primitive minhash/sampling hash through, with a verbatim
+    * DuckDB twin) decorrelates the split from any id structure while
+    * keeping it deterministic and restatable. Cluster atomicity is
+    * unchanged: ONE canonical id per near-dup cluster still decides,
+    * so no verified pair straddles by construction. */
+  def leakageSafeSplitHashed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select("doc_id")
+      .join(dupClusterTable(spark, dir), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(expr(graft.engine.PortableHash.md5Prefix60(
+          "cast(cluster_id as string)")) % 10 < 9, "train").otherwise("eval"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+
+  lazy val leakageSafeSplitHashedOracle: String =
+    s"""WITH RECURSIVE $minhashVerifiedCtes,
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM verified
+      |  UNION SELECT doc_b, doc_a FROM verified
+      |),
+      |reach(doc_id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v
+      |),
+      |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |       CASE WHEN ('0x' || substring(md5(
+      |              CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)),
+      |              1, 15))::BIGINT % 10 < 9
+      |            THEN 'train' ELSE 'eval' END AS split
+      |FROM documents d LEFT JOIN cl USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def incrementalLsh(spark: SparkSession, dir: String): DataFrame =
     incrementalLshAt(spark, dir, graft.engine.Graft.freshDir(
       "dd15-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
@@ -1553,6 +1595,8 @@ object Dedup {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("dd16_leakage_split", leakageSafeSplitOracle)(leakageSafeSplit),
+    QueryDef.sql("dd16b_leakage_split_hashed",
+      leakageSafeSplitHashedOracle)(leakageSafeSplitHashed),
     QueryDef.sql("dd15_incremental_lsh", incrementalLshOracle)(incrementalLsh),
     QueryDef.sql("dd1_exact_dedup", exactDedupOracle)(exactDedup),
     QueryDef.sql("dd2_ngram_jaccard", ngramJaccardBlockedOracle)(ngramJaccardBlocked),

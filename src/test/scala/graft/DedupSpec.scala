@@ -583,5 +583,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val straddling = pairs.filter { case (a, b) => split(a) != split(b) }
     assert(straddling.isEmpty,
       s"near-dup pairs straddle the split: ${straddling.take(3).mkString(", ")}")
+    // dd16b: the hashed-canonical-id form keeps the same atomicity —
+    // no verified pair straddles — while the split no longer depends on
+    // id structure (a skewed-id corpus still lands ~90/10)
+    val hashed = Dedup.leakageSafeSplitHashed(spark, Sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(hashed.values.toSet == Set("train", "eval"),
+      s"hashed split: both sides must be non-empty: ${hashed.values.toSet}")
+    val hStraddling = pairs.filter { case (a, b) => hashed(a) != hashed(b) }
+    assert(hStraddling.isEmpty,
+      s"hashed split straddles: ${hStraddling.take(3).mkString(", ")}")
+    // cluster members agree with their canonical id's assignment
+    val clusters = Dedup.leakageSafeSplitHashed(spark, Sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b),
+        s"near-dup pair ($a,$b) must share a cluster id")
+    }
   }
 }
