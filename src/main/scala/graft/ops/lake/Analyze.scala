@@ -119,18 +119,7 @@ object Analyze {
     require(buckets >= 2 && buckets <= 1024,
       s"histogram($table): buckets must be in [2, 1024], got $buckets")
     val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
-    val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
-      throw new IllegalArgumentException(
-        s"histogram($table): unknown column '$column'"))
-    import org.apache.spark.sql.types._
-    val e = f.dataType match {
-      case _: NumericType => col(f.name).cast(DoubleType)
-      case DateType => unix_date(col(f.name)).cast(DoubleType)
-      case TimestampType => unix_micros(col(f.name)).cast(DoubleType)
-      case dt => throw new IllegalArgumentException(
-        s"histogram($table): column '${f.name}' has type ${dt.sql} — " +
-          "histograms need an ordered numeric/date/timestamp column")
-    }
+    val (fname, e) = histSpaceCol(table, column, df0)
     val vals = df0.select(e.as("v")).na.drop()
     val n = vals.count()
     if (n == 0L) return Seq.empty
@@ -145,7 +134,7 @@ object Analyze {
       .map { case (r, idx) => (idx, r.getDouble(0)) }
       .collect().toMap
     val bounds = ranks.map(got)
-    val phys = Snapshots.physicalName(table, f.name)
+    val phys = Snapshots.physicalName(table, fname)
     // staleness is recorded PER STATS FAMILY: the histogram stamps its
     // own version key rather than overwriting `tbl.stat.v` — reusing
     // the shared marker silently over-reported the freshness of the
@@ -155,6 +144,84 @@ object Analyze {
       histMinKey(phys) -> got(0L).toString,
       histVKey(phys) -> Snapshots.currentVersion(table).toString))
     bounds
+  }
+
+  /** Shared column→histogram-value-space projection: the column's own
+    * doubles for numerics, epoch days for DATE, epoch micros for
+    * TIMESTAMP — [[histogram]] and [[histogramApprox]] must record in
+    * the SAME space or a refresh would silently change the units every
+    * consumer ([[rangeSelectivity]], strategyForRange) reads. */
+  private def histSpaceCol(table: String, column: String,
+                           df0: DataFrame): (String, org.apache.spark.sql.Column) = {
+    val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"histogram($table): unknown column '$column'"))
+    import org.apache.spark.sql.types._
+    val e = f.dataType match {
+      case _: NumericType => col(f.name).cast(DoubleType)
+      case DateType => unix_date(col(f.name)).cast(DoubleType)
+      case TimestampType => unix_micros(col(f.name)).cast(DoubleType)
+      case dt => throw new IllegalArgumentException(
+        s"histogram($table): column '${f.name}' has type ${dt.sql} — " +
+          "histograms need an ordered numeric/date/timestamp column")
+    }
+    (f.name, e)
+  }
+
+  /** SKETCH-BASED histogram refresh (r14, r13 verdict item 4) — the
+    * PRODUCTION maintenance path. [[histogram]] is exact by design
+    * (value-at-rank, DuckDB-restatable — the s56 oracle needs it), but
+    * its global sort + zipWithIndex prices a 100 TB refresh so high it
+    * invites permanent staleness, and stale stats silently disable the
+    * whole CBO path ([[DynamicFilter.strategyForRange]]'s lag budget).
+    * This form computes the k boundaries from Spark's
+    * `approx_percentile` — a MERGEABLE Greenwald-Khanna quantile
+    * summary: each partition folds its rows into a bounded sketch,
+    * partial sketches merge at the final aggregate, and NOTHING is
+    * globally sorted or shuffled beyond the k scalars. One narrow
+    * aggregation job, the same shape a per-file-sketch fold would
+    * take on a manifest-resident future.
+    *
+    * Records into the SAME props as [[histogram]] (boundaries, global
+    * min, per-family version stamp), so every consumer reads either
+    * form transparently; boundary error is bounded by the sketch
+    * accuracy (rank error ≤ n/accuracy), which perturbs
+    * [[rangeSelectivity]] by at most a bucket fraction — an estimate
+    * feeding a COST choice, never a correctness gate. Returns the
+    * recorded boundaries. */
+  def histogramApprox(spark: SparkSession, table: String, column: String,
+                      buckets: Int = 32, accuracy: Int = 10000): Seq[Double] = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"histogramApprox($table): buckets must be in [2, 1024], got $buckets")
+    require(accuracy >= buckets,
+      s"histogramApprox($table): accuracy $accuracy must be >= buckets $buckets")
+    val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
+    val (name, _) = histSpaceCol(table, column, df0)
+    val row = approxBoundsDf(spark, table, column, buckets, accuracy).head()
+    if (row.isNullAt(0)) return Seq.empty // all-NULL or empty column
+    val gmin = row.getDouble(0)
+    val bounds = row.getSeq[Double](1)
+    val phys = Snapshots.physicalName(table, name)
+    Snapshots.commitProps(table, Map(
+      histKey(phys) -> bounds.mkString(","),
+      histMinKey(phys) -> gmin.toString,
+      histVKey(phys) -> Snapshots.currentVersion(table).toString))
+    bounds
+  }
+
+  /** The one-row aggregate behind [[histogramApprox]] — global min +
+    * the k upper boundaries at quantiles i/k. Split out so the spec
+    * can pin the NO-SORT plan shape (partial sketch → merge, no
+    * SortExec, no range shuffle) without re-deriving the aggregation. */
+  private[graft] def approxBoundsDf(spark: SparkSession, table: String,
+                                    column: String, buckets: Int,
+                                    accuracy: Int): DataFrame = {
+    val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
+    val (_, e) = histSpaceCol(table, column, df0)
+    val ps = (1 to buckets).map(i => lit(i.toDouble / buckets))
+    df0.select(e.as("v")).na.drop()
+      .agg(min(col("v")).as("mn"),
+        percentile_approx(col("v"), array(ps: _*), lit(accuracy)).as("qs"))
   }
 
   /** Recorded histogram boundaries (None = never computed). */

@@ -388,7 +388,7 @@ object LakeStatements {
   private val AnalyzeRe =
     """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*""".r
   private val AnalyzeHistRe =
-    """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+HISTOGRAM\s+FOR\s+COLUMN\s+(\w+)(?:\s+BUCKETS\s+(\d+))?\s*""".r
+    """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+(APPROX\s+)?HISTOGRAM\s+FOR\s+COLUMN\s+(\w+)(?:\s+BUCKETS\s+(\d+))?\s*""".r
   private val CreateRef =
     """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+CREATE\s+REF\s+([A-Za-z0-9._-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
   private val DropRefRe =
@@ -711,16 +711,21 @@ object LakeStatements {
       // choices read (Analyze.scaladoc). Registered lake names only;
       // catalog-table ANALYZE falls through to Spark.
       case "ANALYZE" => text match {
-        // exact equi-height histogram (value-at-rank boundaries) —
-        // the range-selectivity CBO input, recorded next to the NDV
-        // stats (Analyze.histogram scaladoc)
-        case AnalyzeHistRe(name, column, bucketsTxt) => lookup(name).map {
+        // equi-height histogram — the range-selectivity CBO input,
+        // recorded next to the NDV stats. EXACT (value-at-rank) by
+        // default; APPROX routes through the mergeable-sketch refresh
+        // (no global sort — the 100 TB maintenance shape,
+        // Analyze.histogramApprox scaladoc). Both record the same props.
+        case AnalyzeHistRe(name, approxKw, column, bucketsTxt) => lookup(name).map {
           case (path, _) =>
             val buckets = Option(bucketsTxt).map(_.toInt).getOrElse(32)
+            val approx = approxKw != null
             LakeCommand("ANALYZE HISTOGRAM",
               attrs("bucket" -> LongType, "upper_bound" -> DoubleType), s => {
-                graft.ops.lake.Analyze.histogram(s, path, column, buckets)
-                  .zipWithIndex.map { case (v, i) => Row((i + 1).toLong, v) }
+                val bs =
+                  if (approx) graft.ops.lake.Analyze.histogramApprox(s, path, column, buckets)
+                  else graft.ops.lake.Analyze.histogram(s, path, column, buckets)
+                bs.zipWithIndex.map { case (v, i) => Row((i + 1).toLong, v) }
               })
         }
         case AnalyzeRe(name, colsTxt) => lookup(name).map { case (path, _) =>

@@ -315,6 +315,50 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(b.count() == 80, "range branch must keep exactly the matches")
   }
 
+  test("sketch histogram refresh: no sort in the plan, estimates within epsilon of exact") {
+    import graft.ops.lake.Analyze
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    val table = tmp("dfp-hist-approx")
+    val rows = (0L until 10000L).map(i => (i, s"d${i % 4}", i.toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "v"), table, "day", "id", buckets = 4))
+    // the production-refresh fence: the sketch aggregation plans with
+    // NO SortExec and NO range-partitioned shuffle — the two
+    // signatures of the exact path's global sort
+    val plan = Analyze.approxBoundsDf(spark, table, "v", 10, 10000)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"sketch refresh must not sort:\n$plan")
+    assert(plan.collect {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }.isEmpty, s"sketch refresh must not range-shuffle:\n$plan")
+    // estimates: record EXACT, snapshot selectivities, re-record APPROX
+    // through the same props — every consumer reads either form
+    Analyze.histogram(spark, table, "v", 10)
+    val probes = Seq((2500.0, 5000.0), (0.0, 499.0), (9000.0, 9999.0),
+      (-10.0, -5.0), (0.0, 9999.0))
+    val exactSels = probes.map { case (lo, hi) =>
+      Analyze.rangeSelectivity(table, "v", lo, hi).get }
+    val approx = Analyze.histogramApprox(spark, table, "v", 10)
+    assert(approx.size == 10)
+    assert(Analyze.histogramOf(table, "v").contains(approx),
+      "approx boundaries must round-trip through the recorded prop")
+    assert(Analyze.histogramMinOf(table, "v").exists(m => math.abs(m) < 1e-9),
+      "the approx refresh records the global min too")
+    assert(Analyze.histogramVersionOf(table, "v").nonEmpty)
+    probes.zip(exactSels).foreach { case ((lo, hi), es) =>
+      val as = Analyze.rangeSelectivity(table, "v", lo, hi).get
+      assert(math.abs(as - es) < 0.02,
+        s"selectivity [$lo,$hi]: approx $as vs exact $es")
+    }
+    // empty/all-null column: no props written, loud size answer
+    assert(Analyze.histogramApprox(spark, table, "v", 10, 10000).size == 10)
+  }
+
   test("statsAwareJoin temporal bounds: typed literals hit the same strategy as hand-converted") {
     import graft.ops.lake.Analyze
     import org.apache.spark.sql.types.{DateType, TimestampType, DoubleType}

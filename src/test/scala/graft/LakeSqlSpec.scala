@@ -459,6 +459,14 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(hist.map(_._1) == Seq(1L, 2L, 3L) && hist.map(_._2).last == 3.0,
       s"got $hist")
     assert(Analyze.histogramOf(tablePath, "v").nonEmpty)
+    // APPROX routes through the sketch refresh — same props, same
+    // reader, no global sort (plan fence in DynamicFilterSpec)
+    val ahist = spark.sql(
+      "ANALYZE TABLE sqlaz COMPUTE APPROX HISTOGRAM FOR COLUMN v BUCKETS 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ahist.map(_._1) == Seq(1L, 2L, 3L) && ahist.map(_._2).last == 3.0,
+      s"got $ahist")
+    assert(Analyze.histogramOf(tablePath, "v").map(_.size).contains(3))
   }
 
   test("TBLPROPERTIES persist across commits; named refs pin versions in SQL") {
