@@ -354,6 +354,8 @@ object LakeStatements {
     """(?is)DESCRIBE\s+DETAIL\s+(\w+)""".r
   private val Drift =
     """(?is)DESCRIBE\s+DRIFT\s+(\w+)(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?""".r
+  private val BackfillSchema =
+    """(?is)ALTER\s+GRAFT\s+TABLE\s+(\w+)\s+BACKFILL\s+SCHEMA\s+LOG""".r
   private val Restore =
     """(?is)RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z0-9._-]+')""".r
   private val RestoreTs =
@@ -894,6 +896,14 @@ object LakeStatements {
         case _ => None
       }
       case "ALTER" => text match {
+        // one-time pre-log schema recovery: after it, DESCRIBE DRIFT is
+        // a pure props walk (SchemaAudit.backfillSchemaLog scaladoc)
+        case BackfillSchema(name) => lookup(name).map { case (path, _) =>
+          LakeCommand("BACKFILL SCHEMA LOG",
+            attrs("versions_recovered" -> LongType), s =>
+              Seq(Row(graft.ops.lake.SchemaAudit
+                .backfillSchemaLog(s, path).toLong)))
+        }
         // Delta-shape CHECK constraints: ADD validates existing data
         // (one scan) then commits props-only; enforcement happens at
         // every stage (graft.ops.lake.Constraints)

@@ -136,6 +136,10 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(scoped.toSet == Set((3L, "rename", "val")))
     assert(spark.sql("DESCRIBE DRIFT sqld FROM 1 TO 2").collect()
       .map(_.getString(2)).toSeq == Seq("note"))
+    // the one-time pre-log recovery verb: fully schema-logged table ->
+    // nothing to recover (idempotence and the count surface in SQL)
+    assert(spark.sql("ALTER GRAFT TABLE sqld BACKFILL SCHEMA LOG")
+      .collect().head.getLong(0) == 0L)
   }
 
   test("OPTIMIZE ZORDER BY re-clusters through SQL") {

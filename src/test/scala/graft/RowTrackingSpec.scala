@@ -253,6 +253,75 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
     assert(drift(3, 3).isEmpty)
   }
 
+  test("backfillSchemaLog: one footer pass, then audits are pure props walks") {
+    import graft.ops.lake.SchemaAudit
+    import scala.jdk.CollectionConverters._
+    val table = tmp("drift-backfill")
+    // 50 commits; a new column appears at v25
+    (1 to 50).foreach { i =>
+      val base = df((i.toLong, "a", i.toDouble))
+      val staged = if (i >= 25) base.withColumn("c25", lit(i.toLong)) else base
+      Snapshots.commit(table, Snapshots.stage(staged, table, "day"))
+    }
+    // surgical log edit: strip every recorded schema DDL — the whole
+    // table becomes PRE-LOG, the state this op exists for
+    val logDir = new java.io.File(table, "_graft_log")
+    logDir.listFiles().filter(_.getName.startsWith("snap-")).foreach { f =>
+      val kept = java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filterNot(_.startsWith("#schema.ddl"))
+      java.nio.file.Files.write(f.toPath, kept.asJava)
+    }
+    assert((1L to 50L).forall(v =>
+      !Snapshots.snapshotProps(table, v).contains("schema.ddl")),
+      "fixture must be fully pre-log")
+    def auditRows(): Set[(Long, String, String)] =
+      SchemaAudit.schemaDrift(spark, table, 0, 50)
+        .select("version", "change", "column").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // pre-backfill: the footer fallback still answers correctly
+    val before = auditRows()
+    assert(before == Set(
+      (1L, "add", "id"), (1L, "add", "day"), (1L, "add", "v"),
+      (25L, "add", "c25")), s"got $before")
+    // ONE pass recovers all 50; a second call is a no-op (idempotent)
+    assert(SchemaAudit.backfillSchemaLog(spark, table) == 50)
+    assert(SchemaAudit.backfillSchemaLog(spark, table) == 0)
+    // post-backfill: the same audit launches ZERO Spark jobs — a pure
+    // driver props walk, no footer IO
+    val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        c.incrementAndGet(); ()
+      }
+    }
+    def settle(): Int = {
+      val deadline = System.nanoTime() + 10000000000L
+      var last = c.get
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - lastChange < 400000000L) {
+        Thread.sleep(20)
+        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
+      }
+      c.get
+    }
+    spark.sparkContext.addSparkListener(l)
+    val after = try {
+      val s0 = settle()
+      val rows = auditRows()
+      val s1 = settle()
+      assert(s1 - s0 == 0,
+        s"backfilled audit must run zero jobs, saw ${s1 - s0}")
+      rows
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(after == before, "backfill must not change the audit's answer")
+    // the backfill commit seeded the regular schema log, so later data
+    // commits inherit a recorded schema again
+    assert(Snapshots.snapshotProps(table,
+      Snapshots.currentVersion(table)).contains("schema.ddl"))
+  }
+
   test("reserved id column names are rejected at stage time") {
     import spark.implicits._
     val table = tmp("rid-clash")
