@@ -20,6 +20,7 @@ object SparkEntry {
       graft.ops.gold.Revenue.queries ++
       graft.ops.gold.Aggregates.queries ++
       graft.ops.gold.Joins.queries ++
+      graft.ops.gold.Skew.queries ++
       graft.ops.gold.Windows.queries ++
       graft.ops.gold.SortSetOps.queries ++
       graft.ops.gold.Bucketed.queries ++

@@ -1,6 +1,9 @@
 package graft.ops.gold
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+import graft.ops.lake.{Analyze, Mutations, Snapshots}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys: salting. AQE's skew-join split
@@ -30,4 +33,138 @@ object Skew {
       .join(replicatedDim, Seq(key, "_salt"), joinType)
       .drop("_salt")
   }
+
+  /** STATS-DRIVEN join-strategy pre-choice (r14, r13 verdict item 5 —
+    * the [[graft.ops.lake.DynamicFilter.strategyForRange]] pattern
+    * applied to skew): recorded table stats decide
+    * broadcast / salt / plain at plan-build time with ZERO scan jobs —
+    * every input is a snapshot prop:
+    *
+    *   - `Some("broadcast")` — the dim's recorded row count fits
+    *     `broadcastMaxRows`: replicate it, no shuffle at all;
+    *   - `Some("salt")` — the fact key's recorded top-1 frequency
+    *     ([[Analyze.frequentKeys]]) exceeds `skewFactor` × the uniform
+    *     expectation rows/NDV: one key would wedge a shuffle partition
+    *     even after AQE's split, so pre-salt;
+    *   - `Some("plain")` — stats present, neither trigger fires;
+    *   - `None` — no fresh stats on either side: no basis, the caller
+    *     keeps its default (plain + AQE, the pre-stats behavior).
+    *
+    * Soundness is never at stake — all three strategies return
+    * identical rows (SkewSpec pins it); the stats choose only the
+    * execution shape, exactly a cost-based optimizer's job. Staleness
+    * is per stats family ([[Analyze.freqVersionOf]] vs
+    * [[Analyze.analyzedVersion]]); stats more than `maxStaleVersions`
+    * behind the live snapshot are ignored. */
+  def strategyByStats(factTable: String, factKey: String, dimTable: String,
+                      broadcastMaxRows: Long = 1000000L,
+                      skewFactor: Double = 4.0,
+                      maxStaleVersions: Long = 64): Option[String] = {
+    def fresh(table: String, v: Option[Long]): Boolean =
+      v.exists(Snapshots.currentVersion(table) - _ <= maxStaleVersions)
+    val dimRows = Analyze.rowsOf(dimTable)
+      .filter(_ => fresh(dimTable, Analyze.analyzedVersion(dimTable)))
+    if (dimRows.exists(_ <= broadcastMaxRows)) return Some("broadcast")
+    val saltOrPlain = for {
+      _ <- Some(()).filter(_ => fresh(factTable, Analyze.freqVersionOf(factTable, factKey)))
+      _ <- Some(()).filter(_ => fresh(factTable, Analyze.analyzedVersion(factTable)))
+      freq <- Analyze.frequentKeysOf(factTable, factKey)
+      top <- freq.headOption.map(_._2)
+      rows <- Analyze.rowsOf(factTable)
+      ndv <- Analyze.ndvOf(factTable, factKey)
+      if ndv > 0
+    } yield if (top.toDouble > skewFactor * (rows.toDouble / ndv)) "salt"
+      else "plain"
+    saltOrPlain.orElse(dimRows.map(_ => "plain"))
+  }
+
+  /** Equi-join of two lake tables with the strategy CHOSEN FROM
+    * RECORDED STATS ([[strategyByStats]]) — the production consumer:
+    * broadcast when the dim's recorded rows fit, pre-salt when the
+    * fact key's recorded frequencies say one key dominates, plain
+    * shuffle (+ AQE) otherwise or when stats are absent/stale. The
+    * join RESULT is identical in every branch; only the shuffle shape
+    * changes. Inner/left joins only (the [[saltedJoin]] restriction —
+    * the salt branch must always be available). */
+  def statsSkewJoin(spark: SparkSession, factTable: String,
+                    dimTable: String, factKey: String, dimKey: String,
+                    joinType: String = "inner", salts: Int = 8,
+                    broadcastMaxRows: Long = 1000000L,
+                    skewFactor: Double = 4.0,
+                    maxStaleVersions: Long = 64): DataFrame = {
+    require(Set("inner", "left", "leftouter", "leftsemi")
+      .contains(joinType.toLowerCase.replaceAll("_", "")),
+      s"statsSkewJoin supports inner/left join types, got $joinType")
+    val fact = Mutations.readMerged(spark, factTable, mergeSchema = true)
+    val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
+    val dim = if (dimKey == factKey) dim0
+      else dim0.withColumnRenamed(dimKey, factKey)
+    strategyByStats(factTable, factKey, dimTable,
+        broadcastMaxRows, skewFactor, maxStaleVersions) match {
+      case Some("broadcast") =>
+        fact.join(broadcast(dim), Seq(factKey), joinType)
+      case Some("salt") =>
+        // per-row entropy for the salt: equal KEYS must spread across
+        // buckets, so the key itself can never be the salt source
+        saltedJoin(fact, dim, factKey,
+          monotonically_increasing_id(), salts, joinType)
+      case _ => fact.join(dim, Seq(factKey), joinType)
+    }
+  }
+
+  // ---- oracle-gated exercise ---------------------------------------
+
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** s62: the stats-chosen skew join under the oracle gate — the fact
+    * carries a deliberately skewed key (90% of rows land on 10 of
+    * 5000 keys), the dim is too big for the query's broadcast budget,
+    * and ANALYZE + frequentKeys record exactly the evidence that flips
+    * the strategy to "salt" (the spec fences the flip at zero scan
+    * jobs). The salted join's aggregate must equal DuckDB's plain
+    * join — salting changes the shuffle shape, never a row. */
+  def statsSkewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s62-fact-", dir)
+    val dimT = freshTable("s62-dim-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("sk",
+        when(col("event_id") % 100 < 90, col("event_id") % 10)
+          .otherwise(col("event_id") % 5000))
+      .select("event_id", "sk", "value")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev.withColumn("day", lit("d")), factT, "day", "sk"))
+    val dim = spark.range(0, 5000)
+      .select(col("id").as("dim_id"),
+        concat(lit("seg-"), (col("id") % 7).cast("string")).as("segment"),
+        lit("pad").as("pad"))
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dim.withColumn("day", lit("d")), dimT, "day", "dim_id"))
+    Analyze.analyze(spark, factT, Seq("sk"))
+    Analyze.frequentKeys(spark, factT, "sk", k = 16)
+    Analyze.analyze(spark, dimT, Seq("dim_id"))
+    // broadcast budget below the dim's 5000 recorded rows: the flip
+    // must come from the FACT side's recorded skew
+    statsSkewJoin(spark, factT, dimT, "sk", "dim_id",
+        broadcastMaxRows = 1000)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
+  lazy val statsSkewJoinOracle: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN event_id % 100 < 90 THEN event_id % 10
+      |              ELSE event_id % 5000 END AS sk, value
+      |  FROM events),
+      |d AS (
+      |  SELECT i AS dim_id, 'seg-' || CAST(i % 7 AS VARCHAR) AS segment
+      |  FROM (SELECT unnest(range(0, 5000)) AS i))
+      |SELECT segment, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(f.value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM f JOIN d ON f.sk = d.dim_id
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s62_stats_skew_join", statsSkewJoinOracle)(statsSkewJoinQuery))
 }

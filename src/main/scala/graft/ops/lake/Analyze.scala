@@ -283,6 +283,62 @@ object Analyze {
       }
     }
 
+  private def freqKey(phys: String) = s"tbl.stat.freq.$phys"
+  private def freqVKey(phys: String) = s"tbl.stat.freq.v.$phys"
+
+  /** TOP-K KEY FREQUENCIES (r14, the skew-stats family): the k most
+    * frequent values of `column` with their exact counts, recorded as
+    * an inherited prop — the zero-scan input a SKEW decision needs at
+    * plan-build time ([[graft.ops.gold.Skew.strategyByStats]]: is the
+    * hottest join key so far above the uniform rows/NDV expectation
+    * that a plain shuffle would wedge one partition?). One
+    * deliberate aggregation job at ANALYZE time (groupBy + count +
+    * top-k — map-side combined, k bounded at 256); values are
+    * URL-encoded in the prop so arbitrary string keys cannot collide
+    * with the `key:count,...` encoding or the log's reserved
+    * characters. Stamps its own per-family version
+    * ([[histogramVersionOf]] discipline). */
+  def frequentKeys(spark: SparkSession, table: String, column: String,
+                   k: Int = 16): Seq[(String, Long)] = {
+    require(k >= 1 && k <= 256,
+      s"frequentKeys($table): k must be in [1, 256], got $k")
+    val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
+    val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"frequentKeys($table): unknown column '$column'"))
+    val top = df0.select(col(f.name).cast("string").as("k")).na.drop()
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      // deterministic under count ties: the key breaks them
+      .orderBy(col("n").desc, col("k").asc)
+      .limit(k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val phys = Snapshots.physicalName(table, f.name)
+    val enc = top.map { case (kv, n) =>
+      java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
+    Snapshots.commitProps(table, Map(
+      freqKey(phys) -> enc,
+      freqVKey(phys) -> Snapshots.currentVersion(table).toString))
+    top
+  }
+
+  /** Recorded top-k key frequencies, hottest first (None = never
+    * computed). */
+  def frequentKeysOf(table: String, column: String): Option[Seq[(String, Long)]] =
+    Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(freqKey(Snapshots.physicalName(table, column)))
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map { pair =>
+        val i = pair.lastIndexOf(':')
+        (java.net.URLDecoder.decode(pair.take(i), "UTF-8"),
+          pair.drop(i + 1).toLong)
+      })
+
+  /** Version the recorded key frequencies describe (their own
+    * staleness signal, like [[histogramVersionOf]]). */
+  def freqVersionOf(table: String, column: String): Option[Long] =
+    Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
+      .get(freqVKey(Snapshots.physicalName(table, column)))
+      .flatMap(_.toLongOption)
+
   private def prop(table: String, key: String): Option[Long] =
     Snapshots.snapshotProps(table, Snapshots.currentVersion(table))
       .get(key).flatMap(_.toLongOption)

@@ -21,4 +21,82 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("recorded skew stats flip the join strategy with zero scan jobs") {
+    import graft.ops.lake.{Analyze, Snapshots}
+    import spark.implicits._
+    val factT = tmp("skew-fact")
+    val dimT = tmp("skew-dim")
+    // 90 of 100 fact rows land on key 0; the rest spread over 1..10
+    val factRows = (0L until 100L).map(i =>
+      (i, if (i < 90) 0L else i % 10 + 1, i.toDouble))
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      factRows.toDF("id", "sk", "v").withColumn("day", lit("d")),
+      factT, "day", "sk"))
+    val dimRows = (0L until 50L).map(i => (i, s"g${i % 3}"))
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dimRows.toDF("dim_id", "seg").withColumn("day", lit("d")),
+      dimT, "day", "dim_id"))
+    // no stats recorded: no basis
+    assert(Skew.strategyByStats(factT, "sk", dimT).isEmpty)
+    Analyze.analyze(spark, factT, Seq("sk"))
+    Analyze.frequentKeys(spark, factT, "sk", k = 4)
+    Analyze.analyze(spark, dimT, Seq("dim_id"))
+    // the recorded freq table itself: hottest first, exact counts
+    assert(Analyze.frequentKeysOf(factT, "sk").get.head == ("0", 90L))
+    // decisions from PROPS only — fence them at zero jobs
+    val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        c.incrementAndGet(); ()
+      }
+    }
+    def settle(): Int = {
+      val deadline = System.nanoTime() + 10000000000L
+      var last = c.get
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - lastChange < 400000000L) {
+        Thread.sleep(20)
+        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
+      }
+      c.get
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val s0 = settle()
+      // dim fits the budget: broadcast wins before skew is even read
+      assert(Skew.strategyByStats(factT, "sk", dimT,
+        broadcastMaxRows = 100).contains("broadcast"))
+      // dim too big: the fact's top-1 (90) >> 4x uniform (100/11) -> salt
+      assert(Skew.strategyByStats(factT, "sk", dimT,
+        broadcastMaxRows = 10).contains("salt"))
+      // high skew factor: the same evidence reads as tolerable -> plain
+      assert(Skew.strategyByStats(factT, "sk", dimT,
+        broadcastMaxRows = 10, skewFactor = 20.0).contains("plain"))
+      // stale freq stats are ignored, not trusted
+      val s1 = settle()
+      assert(s1 - s0 == 0,
+        s"strategy decisions must run zero scan jobs, saw ${s1 - s0}")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // staleness: a commit past a zero-lag budget silences the stats
+    Snapshots.commitAll(factT, Snapshots.restageLike(spark,
+      Seq((999L, 999L, 9.0)).toDF("id", "sk", "v").withColumn("day", lit("d")),
+      factT, "day"))
+    assert(Skew.strategyByStats(factT, "sk", dimT,
+      broadcastMaxRows = 10, maxStaleVersions = 0).isEmpty)
+    // all three strategies return identical rows
+    def rows(bm: Long, sf: Double = 4.0): Set[(Long, Long, String)] =
+      Skew.statsSkewJoin(spark, factT, dimT, "sk", "dim_id",
+          broadcastMaxRows = bm, skewFactor = sf)
+        .select("id", "sk", "seg").as[(Long, Long, String)].collect().toSet
+    val broadcastRows = rows(100)
+    val saltRows = rows(10)
+    val plainRows = rows(10, sf = 20.0)
+    assert(broadcastRows == saltRows && saltRows == plainRows)
+    assert(broadcastRows.nonEmpty)
+    assert(broadcastRows.count(_._2 == 0L) == 90,
+      "the hot key's matches must all survive salting")
+  }
 }
