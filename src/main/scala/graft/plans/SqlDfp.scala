@@ -81,6 +81,11 @@ object SqlDfp {
     * re-collect the dim side. */
   private[graft] val Applied = TreeNodeTag[Boolean]("graft.sql.dfp.applied")
 
+  /** Counts dim-side distinct key COLLECT jobs this rule has run —
+    * the spec-pinnable receipt that the recorded-stats "range" verdict
+    * actually skips the collect (the footerReads-counter discipline). */
+  private[graft] val keyCollects = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val EnabledKey = "spark.graft.dfp.sql.enabled"
   val MinFilesKey = "spark.graft.dfp.sql.minFiles"
   val MaxKeysKey = "spark.graft.dfp.sql.maxKeys"
@@ -185,22 +190,109 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
     // keep the first equi pair's orientation
     candidates.sortBy(-_._5).headOption.map {
       case (fa, da, dside, factIsLeft, _) =>
-        val pruneExpr = keyPredicate(dside, da, fa, maxKeys)
+        // recorded-stats pre-choice (r14, the statsAwareJoin chain on
+        // the SQL surface): when the dim is itself an ANALYZEd lake
+        // table cut by a range on a histogrammed column, NDV ×
+        // histogram selectivity can prove the key collect hopeless
+        // BEFORE running it — cap 0 sends keyPredicate straight to the
+        // two-scalar range agg (one job instead of distinct + collect +
+        // agg). Only the histogram-backed estimate may skip: bare
+        // table-level NDV cannot see the dim filter's selectivity, and
+        // forfeiting a fitting IN-list costs more than a wasted collect
+        val cap = if (statsSayHopeless(dside, da, maxKeys)) 0 else maxKeys
+        val pruneExpr = keyPredicate(dside, da, fa, cap)
         if (factIsLeft) j.copy(left = Filter(pruneExpr, j.left))
         else j.copy(right = Filter(pruneExpr, j.right))
     }
   }
 
+  /** True when recorded stats PROVE the dim side's post-filter distinct
+    * key count exceeds `maxKeys` — via
+    * [[graft.ops.lake.DynamicFilter.strategyForRange]] over the dim
+    * lake table's recorded NDV and histogram, fed by both-sided range
+    * (or equality) conjuncts on DIRECT dim columns found in the side's
+    * Filters. Catalyst literal internals for DATE (epoch days) and
+    * TIMESTAMP (epoch micros) are ALREADY the histogram value space, so
+    * no conversion ambiguity exists here. Zero jobs; any doubt
+    * (no stats, stale stats, unbounded predicate) answers false and the
+    * collect runs — the pre-stats behavior. */
+  private def statsSayHopeless(dside: LogicalPlan,
+                               dimKey: AttributeReference,
+                               maxKeys: Int): Boolean =
+    scala.util.Try {
+      lakeScan(dside) match {
+        case Some((dlr, dg)) =>
+          import org.apache.spark.sql.types._
+          def histVal(l: Literal): Option[Double] = (l.dataType, l.value) match {
+            case (_, null) => None
+            case (DateType, v: java.lang.Integer) => Some(v.toDouble)
+            case (TimestampType, v: java.lang.Long) => Some(v.toDouble)
+            case (_: NumericType, d: org.apache.spark.sql.types.Decimal) =>
+              Some(d.toDouble)
+            case (_: NumericType, n: java.lang.Number) => Some(n.doubleValue())
+            case _ => None
+          }
+          val lo = scala.collection.mutable.HashMap.empty[String, Double]
+          val hi = scala.collection.mutable.HashMap.empty[String, Double]
+          def addLo(a: AttributeReference, v: Double): Unit =
+            if (dlr.outputSet.contains(a))
+              lo.update(a.name, math.max(lo.getOrElse(a.name, v), v))
+          def addHi(a: AttributeReference, v: Double): Unit =
+            if (dlr.outputSet.contains(a))
+              hi.update(a.name, math.min(hi.getOrElse(a.name, v), v))
+          dside.collect { case Filter(c, _) =>
+            splitConjunctivePredicates(c) }.flatten.foreach {
+            case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+              histVal(l).foreach(addLo(a, _))
+            case GreaterThan(a: AttributeReference, l: Literal) =>
+              histVal(l).foreach(addLo(a, _))
+            case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+              histVal(l).foreach(addHi(a, _))
+            case LessThan(a: AttributeReference, l: Literal) =>
+              histVal(l).foreach(addHi(a, _))
+            case EqualTo(a: AttributeReference, l: Literal) =>
+              histVal(l).foreach { v => addLo(a, v); addHi(a, v) }
+            case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+              histVal(l).foreach(addLo(a, _))
+            case LessThan(l: Literal, a: AttributeReference) =>
+              histVal(l).foreach(addLo(a, _))
+            case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+              histVal(l).foreach(addHi(a, _))
+            case GreaterThan(l: Literal, a: AttributeReference) =>
+              histVal(l).foreach(addHi(a, _))
+            case EqualTo(l: Literal, a: AttributeReference) =>
+              histVal(l).foreach { v => addLo(a, v); addHi(a, v) }
+            case _ =>
+          }
+          lo.keySet.intersect(hi.keySet).exists { c =>
+            graft.ops.lake.DynamicFilter.strategyForRange(
+              dg.tablePath, dimKey.name, c, lo(c), hi(c), maxKeys)
+              .contains("range")
+          }
+        case None => false
+      }
+    }.getOrElse(false)
+
   /** Collect the dim side's distinct keys (cap + 1) and compile the
     * fact-side predicate: IN list within the cap (InSet form past the
     * codegen-friendly threshold — [[graft.ops.lake.Pruning]] translates
-    * both), two-scalar range beyond it, `false` for an empty dim. */
+    * both), two-scalar range beyond it, `false` for an empty dim.
+    * `maxKeys <= 0` (the recorded-stats "hopeless" verdict) skips the
+    * distinct collect outright and pays only the range agg. */
   private def keyPredicate(dimPlan: LogicalPlan, dimKey: AttributeReference,
                            factKey: AttributeReference, maxKeys: Int): Expression = {
     val keyDf = GraftSqlBridge.ofRows(spark,
         Project(Seq(Alias(dimKey, "__graft_dfp_key")()), dimPlan))
       .na.drop()
     val dt = dimKey.dataType
+    if (maxKeys <= 0) {
+      val mm = keyDf.agg(min(col("__graft_dfp_key")),
+        max(col("__graft_dfp_key"))).head()
+      return if (mm.isNullAt(0)) Literal.FalseLiteral
+      else And(GreaterThanOrEqual(factKey, Literal.create(mm.get(0), dt)),
+        LessThanOrEqual(factKey, Literal.create(mm.get(1), dt)))
+    }
+    keyCollects.incrementAndGet()
     val rows = keyDf.distinct().limit(maxKeys + 1).collect()
     if (rows.isEmpty) Literal.FalseLiteral
     else if (rows.length <= maxKeys) {

@@ -48,6 +48,11 @@ class GraftFileIndex(
     * a constant without opening a file. */
   def manifestEntries: Seq[Snapshots.Entry] = entries
 
+  /** The lake table this index serves — the SQL DFP rule
+    * ([[graft.plans.SqlDfpRule]]) keys recorded-stats lookups
+    * (NDV/histograms) by it. */
+  def tablePath: String = table
+
   private val statusCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileStatus]()
 

@@ -156,4 +156,44 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       assert(got == Seq(("x", 7.0), ("y", 8.0), ("z", 71.0)))
     }
   }
+
+  test("recorded dim stats skip the hopeless SQL key collect") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    mkFact("sqldfp-stats-fact", "sdfp6")
+    val dimT = tmp("sqldfp-stats-dim")
+    val dimRows = (0L until 80L).map(i => (i, i.toDouble, s"g${i % 3}"))
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      dimRows.toDF("did", "score", "seg"), dimT, "seg", "did", buckets = 4))
+    LakeSql.register(spark, "sdfp6_dim", dimT, "seg")
+    val wide = "SELECT f.id, d.seg FROM sdfp6 f JOIN sdfp6_dim d " +
+      "ON f.id = d.did WHERE d.score >= 0.0 AND d.score <= 100.0"
+    withConf(SqlDfp.MinFilesKey -> "1", SqlDfp.MaxKeysKey -> "20") {
+      // no stats: the collect must RUN to discover the cap (pre-stats
+      // behavior), then degrade to the range
+      val c0 = SqlDfp.keyCollects.get
+      val (rows1, _) = run(wide)
+      assert(rows1.size == 80)
+      assert(SqlDfp.keyCollects.get > c0,
+        "without stats the key collect runs")
+      // recorded NDV x histogram selectivity prove the wide range
+      // hopeless (est ~80 > cap 20): the collect is skipped outright
+      Analyze.analyze(spark, dimT, Seq("did", "score"))
+      Analyze.histogram(spark, dimT, "score", 8)
+      val c1 = SqlDfp.keyCollects.get
+      val (rows2, _) = run(wide)
+      assert(rows2 == rows1, "the stats skip must never change rows")
+      assert(SqlDfp.keyCollects.get == c1,
+        "a hopeless estimate must skip the distinct collect")
+      // a narrow range fits the cap (est ~10 <= 20): the collect still
+      // runs and buys the exact IN-list prune
+      val narrow = "SELECT f.id, d.seg FROM sdfp6 f JOIN sdfp6_dim d " +
+        "ON f.id = d.did WHERE d.score >= 0.0 AND d.score <= 9.0"
+      val c2 = SqlDfp.keyCollects.get
+      val (rows3, _) = run(narrow)
+      assert(rows3.size == 10)
+      assert(SqlDfp.keyCollects.get > c2,
+        "a fitting estimate keeps the IN-list collect")
+    }
+  }
 }
