@@ -60,25 +60,13 @@ object Analyze {
     val v = Snapshots.currentVersion(table)
     require(v >= 1, s"analyze($table): no committed snapshot")
     val df = Mutations.readMerged(spark, table, mergeSchema = true)
-    val all = df.schema.fields.toSeq
     // requested names resolve to the SCHEMA's canonical spelling —
     // props keyed under a caller's case variant would silently miss
-    // every later ndvOf/strategyByStats lookup (r12 review find)
-    val resolved = columns.map(c =>
-      all.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"analyze($table): unknown column '$c' " +
-            s"(table has ${all.map(_.name).mkString(", ")})")))
-    // EXPLICITLY requested un-analyzable types reject loudly; the
-    // all-columns default SKIPS them (recording nothing is the
-    // documented-sound outcome — a MAP column must not fail the verb
-    // for every other column, r12 review find)
-    resolved.foreach(f => require(analyzable(f.dataType),
-      s"analyze($table): column '${f.name}' has type ${f.dataType.sql}, " +
-        "which count(distinct) cannot group (MAP somewhere in the type) — " +
-        "omit it or analyze other columns"))
-    val cols = (if (columns.nonEmpty) resolved
-      else all.filter(f => analyzable(f.dataType))).map(_.name)
+    // every later ndvOf/strategyByStats lookup (r12 review find);
+    // explicitly-requested un-analyzable types reject loudly, the
+    // all-columns default skips them (r12 review find) — shared with
+    // [[analyzeApprox]] via [[resolveCols]]
+    val cols = resolveCols(table, df, columns)
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       count_distinct(col(s"`$c`")).as(s"__ndv_$c"),
       sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
@@ -95,6 +83,79 @@ object Analyze {
       }
     Snapshots.commitProps(table, props)
     (rows, stats)
+  }
+
+  /** SKETCH-BASED stats refresh (r14, the [[histogramApprox]] story
+    * for the NDV family): exact [[analyze]] plans multi-distinct via
+    * Expand — the row stream multiplies by #distinct-aggs, the price
+    * of oracle-checkable exactness — which at 100 TB invites the same
+    * permanent staleness the histogram's global sort did, and stale
+    * stats silently disable every CBO consumer. This form computes NDV
+    * via `approx_count_distinct` (HyperLogLog++: bounded per-partition
+    * sketches, partial merge, ONE narrow aggregation with no Expand
+    * and no shuffle beyond the final merge) and records into the SAME
+    * props, so [[ndvOf]]/[[DynamicFilter.strategyByStats]]/
+    * [[graft.ops.gold.Skew.strategyByStats]] read either form
+    * transparently. Null counts and the row count stay exact (plain
+    * sums — they were never the expensive part). NDV error is bounded
+    * by `relativeSD`; an estimate feeding COST choices, never a
+    * correctness gate. */
+  def analyzeApprox(spark: SparkSession, table: String,
+                    columns: Seq[String] = Seq.empty,
+                    relativeSD: Double = 0.02): (Long, Seq[(String, Long, Long)]) = {
+    val v = Snapshots.currentVersion(table)
+    require(v >= 1, s"analyzeApprox($table): no committed snapshot")
+    require(relativeSD > 0.0 && relativeSD < 0.4,
+      s"analyzeApprox($table): relativeSD must be in (0, 0.4), got $relativeSD")
+    val row = approxStatsDf(spark, table, columns, relativeSD).head()
+    val df = Mutations.readMerged(spark, table, mergeSchema = true)
+    val cols = resolveCols(table, df, columns)
+    val rows = row.getLong(0)
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(1 + 2 * i),
+        if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
+    }
+    val props = Map(VProp -> v.toString, RowsProp -> rows.toString) ++
+      stats.flatMap { case (c, ndv, nulls) =>
+        val p = Snapshots.physicalName(table, c)
+        Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
+      }
+    Snapshots.commitProps(table, props)
+    (rows, stats)
+  }
+
+  /** The one-row aggregate behind [[analyzeApprox]] — split out so the
+    * spec can pin the plan shape: NO Expand (the exact multi-distinct
+    * signature), one partial/final HLL++ aggregate. */
+  private[graft] def approxStatsDf(spark: SparkSession, table: String,
+                                   columns: Seq[String],
+                                   relativeSD: Double): DataFrame = {
+    val df = Mutations.readMerged(spark, table, mergeSchema = true)
+    val cols = resolveCols(table, df, columns)
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      approx_count_distinct(col(s"`$c`"), relativeSD).as(s"__ndv_$c"),
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared column resolution for [[analyze]]/[[analyzeApprox]]:
+    * requested names resolve to the schema's canonical spelling,
+    * explicitly-requested un-analyzable (MAP-bearing) types reject
+    * loudly, the all-columns default skips them. */
+  private def resolveCols(table: String, df: DataFrame,
+                          columns: Seq[String]): Seq[String] = {
+    val all = df.schema.fields.toSeq
+    val resolved = columns.map(c =>
+      all.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"analyze($table): unknown column '$c' " +
+            s"(table has ${all.map(_.name).mkString(", ")})")))
+    resolved.foreach(f => require(analyzable(f.dataType),
+      s"analyze($table): column '${f.name}' has type ${f.dataType.sql}, " +
+        "which count(distinct) cannot group (MAP somewhere in the type) — " +
+        "omit it or analyze other columns"))
+    (if (columns.nonEmpty) resolved
+     else all.filter(f => analyzable(f.dataType))).map(_.name)
   }
 
   private def histKey(phys: String) = s"tbl.stat.hist.$phys"

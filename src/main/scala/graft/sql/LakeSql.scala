@@ -388,7 +388,7 @@ object LakeStatements {
   private val ShowProps =
     """(?is)SHOW\s+TBLPROPERTIES\s+(\w+)""".r
   private val AnalyzeRe =
-    """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*""".r
+    """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+(APPROX\s+)?STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*""".r
   private val AnalyzeHistRe =
     """(?is)ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+(APPROX\s+)?HISTOGRAM\s+FOR\s+COLUMN\s+(\w+)(?:\s+BUCKETS\s+(\d+))?\s*""".r
   private val CreateRef =
@@ -730,13 +730,19 @@ object LakeStatements {
                 bs.zipWithIndex.map { case (v, i) => Row((i + 1).toLong, v) }
               })
         }
-        case AnalyzeRe(name, colsTxt) => lookup(name).map { case (path, _) =>
+        case AnalyzeRe(name, approxKw, colsTxt) => lookup(name).map { case (path, _) =>
           val cols = Option(colsTxt).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          // APPROX: the mergeable HLL++ refresh (no Expand — the 100 TB
+          // maintenance shape, Analyze.analyzeApprox scaladoc); exact
+          // otherwise. Both record the same props.
+          val approx = approxKw != null
           LakeCommand("ANALYZE TABLE",
             attrs("col_name" -> StringType, "ndv" -> LongType,
               "null_count" -> LongType, "n_rows" -> LongType), s => {
-              val (rows, stats) = graft.ops.lake.Analyze.analyze(s, path, cols)
+              val (rows, stats) =
+                if (approx) graft.ops.lake.Analyze.analyzeApprox(s, path, cols)
+                else graft.ops.lake.Analyze.analyze(s, path, cols)
               stats.sortBy(_._1).map { case (c, ndv, nulls) =>
                 Row(c, ndv, nulls, rows) }
             })

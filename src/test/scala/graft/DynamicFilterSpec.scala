@@ -359,6 +359,45 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(Analyze.histogramApprox(spark, table, "v", 10, 10000).size == 10)
   }
 
+  test("sketch NDV refresh: no Expand in the plan, estimates serve the same consumers") {
+    import graft.ops.lake.Analyze
+    import org.apache.spark.sql.execution.ExpandExec
+    import spark.implicits._
+    val table = tmp("dfp-ndv-approx")
+    val rows = (0L until 10000L).map(i => (i, s"d${i % 4}", (i % 500).toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "v"), table, "day", "id", buckets = 4))
+    // the plan fence: exact multi-distinct Expands the row stream;
+    // the sketch refresh must not
+    val exactPlan = Mutations.readMerged(spark, table)
+      .agg(count_distinct(col("id")), count_distinct(col("v")))
+      .queryExecution.sparkPlan
+    assert(exactPlan.collect { case e: ExpandExec => e }.nonEmpty,
+      s"fixture sanity: exact multi-distinct plans an Expand:\n$exactPlan")
+    val approxPlan = Analyze.approxStatsDf(spark, table,
+      Seq("id", "v"), 0.02).queryExecution.sparkPlan
+    assert(approxPlan.collect { case e: ExpandExec => e }.isEmpty,
+      s"sketch refresh must not Expand:\n$approxPlan")
+    // estimates land in the SAME props within HLL++ tolerance and the
+    // exact parts (rows, nulls) stay exact
+    val (nRows, stats) = Analyze.analyzeApprox(spark, table, Seq("id", "v"))
+    assert(nRows == 10000L)
+    val byCol = stats.map(s => s._1 -> s).toMap
+    assert(math.abs(byCol("id")._2 - 10000L) <= 400,
+      s"ndv(id) estimate: ${byCol("id")._2}")
+    assert(math.abs(byCol("v")._2 - 500L) <= 25,
+      s"ndv(v) estimate: ${byCol("v")._2}")
+    assert(stats.forall(_._3 == 0L), "null counts stay exact")
+    assert(Analyze.rowsOf(table).contains(10000L))
+    assert(Analyze.ndvOf(table, "id").contains(byCol("id")._2),
+      "estimates must round-trip through the same props exact stats use")
+    // the CBO consumer reads the estimate transparently
+    assert(DynamicFilter.strategyByStats(table, "id", maxKeys = 100)
+      .contains("range"))
+    assert(DynamicFilter.strategyByStats(table, "day", maxKeys = 100)
+      .isEmpty, "unanalyzed columns still answer nothing")
+  }
+
   test("statsAwareJoin temporal bounds: typed literals hit the same strategy as hand-converted") {
     import graft.ops.lake.Analyze
     import org.apache.spark.sql.types.{DateType, TimestampType, DoubleType}

@@ -463,8 +463,14 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(hist.map(_._1) == Seq(1L, 2L, 3L) && hist.map(_._2).last == 3.0,
       s"got $hist")
     assert(Analyze.histogramOf(tablePath, "v").nonEmpty)
-    // APPROX routes through the sketch refresh — same props, same
-    // reader, no global sort (plan fence in DynamicFilterSpec)
+    // APPROX STATISTICS routes through the HLL++ refresh — exact on a
+    // tiny table, same props/reader (plan fence in DynamicFilterSpec)
+    val aout = spark.sql(
+      "ANALYZE TABLE sqlaz COMPUTE APPROX STATISTICS FOR COLUMNS day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(aout == Set(("day", 2L, 3L)), s"got $aout")
+    // APPROX HISTOGRAM routes through the sketch refresh — same props,
+    // same reader, no global sort (plan fence in DynamicFilterSpec)
     val ahist = spark.sql(
       "ANALYZE TABLE sqlaz COMPUTE APPROX HISTOGRAM FOR COLUMN v BUCKETS 3")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
