@@ -124,6 +124,66 @@ object Analyze {
     (rows, stats)
   }
 
+  /** ZERO-SCAN stats refresh from per-file HLL sketches
+    * ([[Snapshots.withHll]], r14): NDV folds by UNIONING the sidecar
+    * sketches each file recorded when its rows were first written —
+    * no data file (or footer) opens at all; row and null counts fold
+    * from the per-entry manifest props the commit protocol already
+    * records. The one Spark job runs over #files sketch rows —
+    * manifest scale, not data scale: on a 10⁶-file table a stats
+    * refresh costs seconds of metadata work instead of a table scan,
+    * which is what actually keeps CBO stats fresh enough for the
+    * staleness-guarded consumers to stay enabled.
+    *
+    * Records into the SAME props as [[analyze]]/[[analyzeApprox]].
+    * Refuses loudly when the fold would lie: deletion vectors present
+    * (sketches describe pre-delete file content — compact first or pay
+    * the [[analyzeApprox]] scan), an entry without a sketch/row
+    * count/null count (pre-HLL commit or all-NULL file). Estimates are
+    * HLL++-accurate; the union over many small sketches is exactly as
+    * good as one big sketch over the same rows (the mergeability
+    * contract). */
+  def analyzeFromSketches(spark: SparkSession, table: String,
+                          columns: Seq[String]): (Long, Seq[(String, Long, Long)]) = {
+    require(columns.nonEmpty,
+      s"analyzeFromSketches($table): name the sketched columns")
+    val v = Snapshots.currentVersion(table)
+    require(v >= 1, s"analyzeFromSketches($table): no committed snapshot")
+    val entries = Snapshots.entriesAll(table)
+    require(entries.nonEmpty,
+      s"analyzeFromSketches($table): empty table — nothing to fold")
+    entries.find(_.props.contains(Snapshots.DvRefProp)).foreach { e =>
+      throw new IllegalStateException(
+        s"analyzeFromSketches($table): ${e.rel} carries a deletion " +
+          "vector — per-file sketches describe pre-delete content, so " +
+          "the fold would over-count; compact first or run " +
+          "analyzeApprox (one scan)")
+    }
+    def entryLong(e: Snapshots.Entry, key: String, what: String): Long =
+      e.props.get(key).flatMap(_.toLongOption).getOrElse(
+        throw new IllegalStateException(
+          s"analyzeFromSketches($table): entry ${e.rel} records no " +
+            s"$what — pre-r11 commit? run analyzeApprox instead"))
+    val rows = entries.map(entryLong(_, Snapshots.RowsProp, "row count")).sum
+    val stats = columns.map { c =>
+      val pcol = Snapshots.physicalName(table, c)
+      val bytes = Snapshots.hllSketches(table, entries, pcol)
+      val ndv = spark.createDataset(bytes)(
+          org.apache.spark.sql.Encoders.BINARY).toDF("s")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(s, true))"))
+        .head().getLong(0)
+      val nulls = entries.map(entryLong(_, s"nulls.$pcol", s"null count for $pcol")).sum
+      (c, ndv, nulls)
+    }
+    val props = Map(VProp -> v.toString, RowsProp -> rows.toString) ++
+      stats.flatMap { case (c, ndv, nulls) =>
+        val p = Snapshots.physicalName(table, c)
+        Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
+      }
+    Snapshots.commitProps(table, props)
+    (rows, stats)
+  }
+
   /** The one-row aggregate behind [[analyzeApprox]] — split out so the
     * spec can pin the plan shape: NO Expand (the exact multi-distinct
     * signature), one partial/final HLL++ aggregate. */

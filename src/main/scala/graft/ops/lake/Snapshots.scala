@@ -2108,6 +2108,104 @@ object Snapshots {
     }
   }
 
+  /** Reserved prop-key PREFIX naming a file's HLL-sketch sidecar per
+    * column (`ref.hll.<physCol>=stats/hll-<id>.txt`) — the `ref.`
+    * prefix makes [[vacuum]] retain referenced sidecars, like bloom
+    * and deletion-vector sidecars. */
+  private[graft] val HllRefPrefix = "ref.hll."
+
+  /** Decorate staged entries with a per-file HYPERLOGLOG++ SKETCH over
+    * `column` — MERGEABLE NDV recorded at write time (the Datasketches
+    * HLL family Spark 4 ships as `hll_sketch_agg`/`hll_union_agg`):
+    * each file pays its sketch once, when its rows are already in
+    * flight, and [[Analyze.analyzeFromSketches]] later refreshes
+    * table-level NDV stats by folding the sidecar sketches with ZERO
+    * data-file reads — stats maintenance at manifest scale, the shape
+    * that keeps CBO stats fresh on a 100 TB table where even one
+    * approx rescan per refresh is a deliberate job.
+    *
+    * One Spark job per `chunkFiles` files (the [[withBloom]] chunking
+    * discipline); sketches live in sidecar files
+    * (`stats/hll-<id>.txt`, lines of `fileId \t base64`), entries
+    * carry only the ~30-byte [[HllRefPrefix]] reference. Columns whose
+    * type `hll_sketch_agg` cannot hash natively (anything beyond
+    * int/long/string/binary) sketch their STRING rendering — injective
+    * per distinct value, so the estimate still describes the column's
+    * own NDV. A file whose column is entirely NULL yields no sketch
+    * row and no prop — [[Analyze.analyzeFromSketches]] then refuses
+    * loudly rather than under-counting silently. */
+  def withHll(staged: Seq[Entry], table: String, hllCol: String,
+              spark: SparkSession, lgK: Int = 12,
+              chunkFiles: Int = 4096): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    require(lgK >= 4 && lgK <= 21, s"withHll($table): lgK out of range: $lgK")
+    val pcol = physicalName(table, hllCol)
+    staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
+      val files = chunk.map(e => s"$table/${e.rel}")
+      val data = spark.read.parquet(files: _*)
+      import org.apache.spark.sql.types._
+      val native = data.schema.fields.find(_.name == pcol).map(_.dataType)
+        .exists(Set[DataType](IntegerType, LongType, StringType, BinaryType).contains)
+      val sketchInput = if (native) s"`$pcol`" else s"cast(`$pcol` as string)"
+      val sketches = data
+        .groupBy(fileIdCol(input_file_name()).as("__f"))
+        .agg(expr(s"hll_sketch_agg($sketchInput, $lgK)").as("__s"))
+        .collect()
+        .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getString(0) -> _))
+        .toMap
+      val sidecarRel = s"stats/hll-${java.util.UUID.randomUUID.toString.take(12)}.txt"
+      if (sketches.nonEmpty) {
+        val f = new File(table, sidecarRel)
+        f.getParentFile.mkdirs()
+        writeDurable(f, sketches.toSeq.sortBy(_._1).map { case (fid, b) =>
+          s"$fid\t${java.util.Base64.getEncoder.encodeToString(b)}"
+        }.mkString("\n").getBytes(UTF_8))
+      }
+      chunk.map { e =>
+        e.copy(props = e.props ++ (if (sketches.contains(fileId(e.rel)))
+          Some(HllRefPrefix + pcol -> sidecarRel) else None))
+      }
+    }.toSeq
+  }
+
+  // hll sidecar lines parsed once per (table, rel) — same immutability
+  // and bounded-cache rules as the bloom sidecars above
+  private val hllSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Array[Byte]]]()
+
+  private def hllSidecar(table: String, rel: String): Map[String, Array[Byte]] = {
+    if (hllSidecarCache.size > 1024) hllSidecarCache.clear()
+    hllSidecarCache.computeIfAbsent((table, rel), { _ =>
+      new String(Files.readAllBytes(new File(table, rel).toPath), UTF_8)
+        .split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", 2) match {
+            case Array(fid, b64) =>
+              Some(fid -> java.util.Base64.getDecoder.decode(b64))
+            case _ => None
+          }
+        }.toMap
+    })
+  }
+
+  /** The serialized HLL sketches of `entries` for physical column
+    * `pcol`, one per entry — loudly incomplete-safe: an entry without
+    * a sketch (pre-HLL commit, all-NULL file) throws rather than
+    * letting a fold silently under-count. */
+  private[graft] def hllSketches(table: String, entries: Seq[Entry],
+                                 pcol: String): Seq[Array[Byte]] =
+    entries.map { e =>
+      val rel = e.props.getOrElse(HllRefPrefix + pcol,
+        throw new IllegalStateException(
+          s"hllSketches($table): entry ${e.rel} carries no HLL sketch " +
+            s"for '$pcol' — stage through withHll (or run analyzeApprox, " +
+            "one scan) before a zero-scan stats refresh"))
+      hllSidecar(table, rel).getOrElse(fileId(e.rel),
+        throw new IllegalStateException(
+          s"hllSketches($table): sidecar $rel has no sketch for " +
+            s"${e.rel} (all-NULL column in that file?) — run " +
+            "analyzeApprox instead"))
+    }
+
   /** Per-file stats PROPS from the parquet footer in ONE open:
     * `min./max.<col>` for numeric primitives whose logical annotation
     * makes the raw stat comparable to catalyst literal internals

@@ -530,6 +530,70 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && got.size == 256)
   }
 
+  test("hll sketches: stats refresh folds sidecars with zero data reads") {
+    import graft.ops.lake.{Analyze, DynamicFilter}
+    import spark.implicits._
+    val table = tmp("snap-hll")
+    // two waves sharing 200 ids: the union must count the OVERLAP once
+    // (a per-file sum would say 1600)
+    val w1 = (0 until 800).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "day", "v")
+    val w2 = (600 until 1400).map(i => (i.toLong, "b", i.toDouble)).toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withHll(
+      Snapshots.stageWithStats(w1, table, "day", "id", buckets = 4),
+      table, "id", spark))
+    Snapshots.commitAll(table, Snapshots.withHll(
+      Snapshots.restageLike(spark, w2, table, "day"), table, "id", spark))
+    val entries = Snapshots.entriesAll(table)
+    assert(entries.forall(_.props.contains("ref.hll.id")),
+      "every committed entry must carry an hll sidecar reference")
+    assert(entries.forall(_.props.values.forall(_.length < 200)),
+      "manifest entries must stay sketch-free (sidecar-resident hll)")
+    // restageLike must have re-sketched wave 2 too (new sidecar names)
+    assert(entries.flatMap(_.props.get("ref.hll.id")).distinct.size >= 2)
+    val (rows, stats) = Analyze.analyzeFromSketches(spark, table, Seq("id"))
+    assert(rows == 1600L, s"row fold: $rows")
+    val ndv = stats.head._2
+    assert(math.abs(ndv - 1400L) <= 56, s"union estimate: $ndv") // ~4% tol
+    assert(stats.head._3 == 0L, "null fold stays exact")
+    // the estimate landed in the SAME props the CBO consumers read
+    assert(Analyze.ndvOf(table, "id").contains(ndv))
+    assert(Analyze.rowsOf(table).contains(1600L))
+    assert(DynamicFilter.strategyByStats(table, "id", maxKeys = 100)
+      .contains("range"))
+    // THE fence: the fold needs no data files at all — physically
+    // remove every parquet file; the refresh still answers identically
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val dataFiles = walk(new java.io.File(table, "data"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(f => assert(f.delete()))
+    val (rows2, stats2) = Analyze.analyzeFromSketches(spark, table, Seq("id"))
+    assert(rows2 == rows && stats2 == stats,
+      "the fold must not depend on data files existing")
+    // loud refusals: unsketched column, DV-bearing table
+    val e1 = intercept[IllegalStateException] {
+      Analyze.analyzeFromSketches(spark, table, Seq("v"))
+    }
+    assert(e1.getMessage.contains("no HLL sketch"), e1.getMessage)
+  }
+
+  test("hll sketch refresh refuses deletion vectors loudly") {
+    import graft.ops.lake.{Analyze, Mutations}
+    import spark.implicits._
+    val table = tmp("snap-hll-dv")
+    val data = (0 until 100).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withHll(
+      Snapshots.stageWithStats(data, table, "day", "id", buckets = 2),
+      table, "id", spark))
+    Mutations.deleteWhere(spark, table, col("id") < 10L)
+    val e = intercept[IllegalStateException] {
+      Analyze.analyzeFromSketches(spark, table, Seq("id"))
+    }
+    assert(e.getMessage.contains("deletion"), e.getMessage)
+  }
+
   test("bloom skipping: point lookups prune files stats can't; no false negatives") {
     import spark.implicits._
     val table = tmp("snap-bloom")
