@@ -70,8 +70,11 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
     // AQE off for this test only, so the executed plan is the plain
     // partial/final pair and the exec nodes are directly collectible
     // (with AQE they sit inside query stages; behavior is identical).
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // On an ISOLATED session: a global AQE-off window would reshape
+    // every concurrently-running suite's shuffles — written file
+    // counts included — while this 20-sample loop runs (r14 flake find)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val gen = for {
         k <- Gen.chooseNum(1, 6)
@@ -85,7 +88,7 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
         // heavy value ties + a unique id tie-break: the contract's total
         // order, exercised across random k / group cardinality / direction
         val rows = vals.zipWithIndex.map { case ((g, v), id) => (g, v.toLong, id.toLong) }
-        val df = rows.toDF("g", "v", "id").repartition(5)
+        val df = s2.createDataFrame(rows).toDF("g", "v", "id").repartition(5)
         val native = graft.plans.GroupedTopK(df, Seq("g"), Seq("v" -> asc, "id" -> true), k)
         // collect through `native` itself (`.as[...]` would wrap a fresh
         // QueryExecution and the metrics below would read an unrun plan)
@@ -109,7 +112,7 @@ class PlanRulesSpec extends AnyFunSuite with SparkFixture {
         assert(fin.metrics("numOutputRows").value == got.length)
         assert(fin.metrics("numGroups").value == rows.map(_._1).distinct.size)
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally () // isolated session: nothing global to restore
   }
 
   test("j9 interval join plans as a hash join on bins, never a nested loop") {

@@ -460,10 +460,16 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // the delta commit added files, rewrote none
     val table = graft.engine.Graft.tmpDir(
       "ann3c-ivf-" + Sf.replaceAll("[^A-Za-z0-9.]", "_"))
+    // '#'-prefixed lines are snapshot PROPS (schema.ddl, rowid high-water
+    // mark), not manifest names — they legitimately differ per version,
+    // so the manifest-reuse subset must not include them (latent since
+    // r12's rowid props, masked until r14 by a stale pre-props on-disk
+    // table that the round-start target/ wipe finally rebuilt)
     def snapManifests(v: Int): Set[String] =
       new String(java.nio.file.Files.readAllBytes(
         new java.io.File(table, f"_graft_log/snap-$v%09d.txt").toPath), "UTF-8")
-        .split("\n").filter(_.nonEmpty).map(_.split("\t", 2).head).toSet
+        .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split("\t", 2).head).toSet
     def files(v: Int): Set[String] = snapManifests(v).flatMap { mf =>
       new String(java.nio.file.Files.readAllBytes(
         new java.io.File(table, s"_graft_log/$mf").toPath), "UTF-8")

@@ -665,30 +665,32 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("stage splits an oversized tag into size-budgeted files; pruning unchanged") {
-    import spark.implicits._
     val table = tmp("snap-split")
-    val conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val old = spark.conf.get(conf)
-    try {
-      spark.conf.set(conf, "65536") // 64 KB budget => the hot tag must split
-      val rows = (0 until 60000).map(i =>
-        (i.toLong, if (i % 20 == 0) "cold" else "hot", s"payload-$i-${i * 2654435761L}%x"))
-      val staged = Snapshots.withFooterStats(
-        Snapshots.stage(rows.toDF("id", "day", "v"), table, "day"), table, Seq("id"))
-      val hotFiles = staged.filter(_.tag == "hot")
-      assert(hotFiles.size > 1,
-        s"a tag larger than the advisory size must split (got ${hotFiles.size} file)")
-      assert(staged.filter(_.tag == "cold").nonEmpty)
-      // per-file stats ride every split file
-      assert(hotFiles.forall(e =>
-        e.props.contains("min.id") && e.props.contains("max.id")))
-      Snapshots.commitAll(table, staged)
-      // tag pruning opens ALL N files of the tag — no more, no fewer
-      val pruned = Snapshots.read(spark, table, tagFilter = _ == "hot")
-      assert(pruned.inputFiles.length == hotFiles.size)
-      assert(pruned.count() == rows.count(_._2 == "hot"))
-      assert(Snapshots.read(spark, table).count() == 60000L)
-    } finally spark.conf.set(conf, old)
+    // ISOLATED session: suites run in parallel against one shared
+    // session, and a global 64 KB advisory-partition window would make
+    // every concurrently-writing suite splinter its files — file-count
+    // assertions elsewhere (manifest reuse, compaction thresholds)
+    // silently depend on it (r14 flake find)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    val rows = (0 until 60000).map(i =>
+      (i.toLong, if (i % 20 == 0) "cold" else "hot", s"payload-$i-${i * 2654435761L}%x"))
+    val staged = Snapshots.withFooterStats(
+      Snapshots.stage(s.createDataFrame(rows).toDF("id", "day", "v"), table, "day"),
+      table, Seq("id"))
+    val hotFiles = staged.filter(_.tag == "hot")
+    assert(hotFiles.size > 1,
+      s"a tag larger than the advisory size must split (got ${hotFiles.size} file)")
+    assert(staged.filter(_.tag == "cold").nonEmpty)
+    // per-file stats ride every split file
+    assert(hotFiles.forall(e =>
+      e.props.contains("min.id") && e.props.contains("max.id")))
+    Snapshots.commitAll(table, staged)
+    // tag pruning opens ALL N files of the tag — no more, no fewer
+    val pruned = Snapshots.read(s, table, tagFilter = _ == "hot")
+    assert(pruned.inputFiles.length == hotFiles.size)
+    assert(pruned.count() == rows.count(_._2 == "hot"))
+    assert(Snapshots.read(s, table).count() == 60000L)
   }
 
   test("compact bin-packs toward the target size; well-sized files carry by name") {

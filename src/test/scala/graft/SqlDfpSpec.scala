@@ -15,6 +15,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the key range; outer joins and disabled sessions are untouched. */
 class SqlDfpSpec extends AnyFunSuite with SparkFixture {
 
+  // the whole suite runs on an ISOLATED session: its conf windows
+  // (cost gate, key cap) must neither leak the rule into concurrently
+  // running suites' joins nor be raced by their own global conf
+  // windows — suites share one JVM and run in parallel (r14 flake find)
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    SparkFixture.session.newSession()
+
   private def mkFact(sub: String, name: String): String = {
     import spark.implicits._
     val table = tmp(sub)

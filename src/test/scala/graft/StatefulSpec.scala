@@ -44,34 +44,31 @@ class StatefulSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("transformWithState running totals match batch aggregation") {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
+    // ISOLATED session: the RocksDB provider class is read at query
+    // start, so a global window would flip the state store under every
+    // concurrently-starting streaming spec (r14 flake find)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val out = graft.streaming.StatefulTotals.totalsStream(
-        spark, Pipelines.eventsStream(spark, Sf))
-      val q = out.writeStream.format("memory").queryName("tws_out")
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // update mode emits one row per touched key per micro-batch; the
-      // final totals are the row with the highest n per user
-      val finals = spark.table("tws_out")
-        .groupBy("user_id").agg(max_by(struct(col("n"), col("sum_value")), col("n")).as("t"))
-        .select(col("user_id"), col("t.n").as("n"), col("t.sum_value").as("sum_value"))
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-      val batch = spark.read.parquet(s"$Sf/events.parquet")
-        .groupBy("user_id").agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-      assert(finals.keySet == batch.keySet)
-      finals.foreach { case (u, (n, s)) =>
-        assert(n == batch(u)._1, s"user $u count $n vs ${batch(u)._1}")
-        assert(math.abs(s - batch(u)._2) < 1e-6, s"user $u sum $s vs ${batch(u)._2}")
-      }
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
+    val out = graft.streaming.StatefulTotals.totalsStream(
+      s2, Pipelines.eventsStream(s2, Sf))
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits one row per touched key per micro-batch; the
+    // final totals are the row with the highest n per user
+    val finals = s2.table("tws_out")
+      .groupBy("user_id").agg(max_by(struct(col("n"), col("sum_value")), col("n")).as("t"))
+      .select(col("user_id"), col("t.n").as("n"), col("t.sum_value").as("sum_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = s2.read.parquet(s"$Sf/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finals.keySet == batch.keySet)
+    finals.foreach { case (u, (n, s)) =>
+      assert(n == batch(u)._1, s"user $u count $n vs ${batch(u)._1}")
+      assert(math.abs(s - batch(u)._2) < 1e-6, s"user $u sum $s vs ${batch(u)._2}")
     }
   }
 }
