@@ -97,6 +97,18 @@ object Skew {
       s"statsSkewJoin supports inner/left join types, got $joinType")
     val fact = Mutations.readMerged(spark, factTable, mergeSchema = true)
     val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
+    // the join key is matched BY NAME (saltedJoin's contract), so the
+    // dim key renames onto the fact key — which must not collide with
+    // a pre-existing dim column or the join resolves ambiguously on a
+    // legitimate schema (r14 review find: fail loudly, never let Spark
+    // throw AMBIGUOUS_REFERENCE two operators later). Non-key columns
+    // shared by both tables keep Spark's usual duplicate-name join
+    // semantics; qualify or rename them downstream as with any join.
+    require(dimKey.equalsIgnoreCase(factKey) ||
+      !dim0.columns.exists(_.equalsIgnoreCase(factKey)),
+      s"statsSkewJoin($dimTable): dim already has a column named " +
+        s"'$factKey' — renaming its key '$dimKey' onto it would be " +
+        "ambiguous; rename one side first")
     val dim = if (dimKey == factKey) dim0
       else dim0.withColumnRenamed(dimKey, factKey)
     strategyByStats(factTable, factKey, dimTable,

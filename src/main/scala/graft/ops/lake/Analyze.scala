@@ -107,9 +107,12 @@ object Analyze {
     require(v >= 1, s"analyzeApprox($table): no committed snapshot")
     require(relativeSD > 0.0 && relativeSD < 0.4,
       s"analyzeApprox($table): relativeSD must be in (0, 0.4), got $relativeSD")
-    val row = approxStatsDf(spark, table, columns, relativeSD).head()
+    // ONE merged read serves resolution and the aggregate (r14 review
+    // find — the duplicate manifest/schema pass is the cost this verb
+    // exists to avoid)
     val df = Mutations.readMerged(spark, table, mergeSchema = true)
-    val cols = resolveCols(table, df, columns)
+    val (cols, aggDf) = approxStatsOn(df, table, columns, relativeSD)
+    val row = aggDf.head()
     val rows = row.getLong(0)
     val stats = cols.zipWithIndex.map { case (c, i) =>
       (c, row.getLong(1 + 2 * i),
@@ -184,34 +187,44 @@ object Analyze {
     (rows, stats)
   }
 
-  /** The one-row aggregate behind [[analyzeApprox]] — split out so the
-    * spec can pin the plan shape: NO Expand (the exact multi-distinct
-    * signature), one partial/final HLL++ aggregate. */
-  private[graft] def approxStatsDf(spark: SparkSession, table: String,
-                                   columns: Seq[String],
-                                   relativeSD: Double): DataFrame = {
-    val df = Mutations.readMerged(spark, table, mergeSchema = true)
-    val cols = resolveCols(table, df, columns)
+  /** The one-row aggregate behind [[analyzeApprox]]. */
+  private def approxStatsOn(df: DataFrame, table: String,
+                            columns: Seq[String],
+                            relativeSD: Double): (Seq[String], DataFrame) = {
+    val cols = resolveCols(table, df, columns, "analyzeApprox")
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       approx_count_distinct(col(s"`$c`"), relativeSD).as(s"__ndv_$c"),
       sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
-    df.agg(aggs.head, aggs.tail: _*)
+    (cols, df.agg(aggs.head, aggs.tail: _*))
   }
+
+  /** Spec doorway: the [[approxStatsOn]] aggregate, so the plan shape
+    * is pinnable (NO Expand — the exact multi-distinct signature; one
+    * partial/final HLL++ aggregate). */
+  private[graft] def approxStatsDf(spark: SparkSession, table: String,
+                                   columns: Seq[String],
+                                   relativeSD: Double): DataFrame =
+    approxStatsOn(Mutations.readMerged(spark, table, mergeSchema = true),
+      table, columns, relativeSD)._2
 
   /** Shared column resolution for [[analyze]]/[[analyzeApprox]]:
     * requested names resolve to the schema's canonical spelling,
     * explicitly-requested un-analyzable (MAP-bearing) types reject
     * loudly, the all-columns default skips them. */
   private def resolveCols(table: String, df: DataFrame,
-                          columns: Seq[String]): Seq[String] = {
+                          columns: Seq[String],
+                          verb: String = "analyze"): Seq[String] = {
+    // `verb` names the CALLING operation in errors — a failure raised
+    // from analyzeApprox must not point the operator at analyze
+    // (r14 review find)
     val all = df.schema.fields.toSeq
     val resolved = columns.map(c =>
       all.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
-          s"analyze($table): unknown column '$c' " +
+          s"$verb($table): unknown column '$c' " +
             s"(table has ${all.map(_.name).mkString(", ")})")))
     resolved.foreach(f => require(analyzable(f.dataType),
-      s"analyze($table): column '${f.name}' has type ${f.dataType.sql}, " +
+      s"$verb($table): column '${f.name}' has type ${f.dataType.sql}, " +
         "which count(distinct) cannot group (MAP somewhere in the type) — " +
         "omit it or analyze other columns"))
     (if (columns.nonEmpty) resolved
@@ -272,18 +285,18 @@ object Analyze {
     * TIMESTAMP — [[histogram]] and [[histogramApprox]] must record in
     * the SAME space or a refresh would silently change the units every
     * consumer ([[rangeSelectivity]], strategyForRange) reads. */
-  private def histSpaceCol(table: String, column: String,
-                           df0: DataFrame): (String, org.apache.spark.sql.Column) = {
+  private def histSpaceCol(table: String, column: String, df0: DataFrame,
+                           verb: String = "histogram"): (String, org.apache.spark.sql.Column) = {
     val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
       throw new IllegalArgumentException(
-        s"histogram($table): unknown column '$column'"))
+        s"$verb($table): unknown column '$column'"))
     import org.apache.spark.sql.types._
     val e = f.dataType match {
       case _: NumericType => col(f.name).cast(DoubleType)
       case DateType => unix_date(col(f.name)).cast(DoubleType)
       case TimestampType => unix_micros(col(f.name)).cast(DoubleType)
       case dt => throw new IllegalArgumentException(
-        s"histogram($table): column '${f.name}' has type ${dt.sql} — " +
+        s"$verb($table): column '${f.name}' has type ${dt.sql} — " +
           "histograms need an ordered numeric/date/timestamp column")
     }
     (f.name, e)
@@ -316,9 +329,13 @@ object Analyze {
       s"histogramApprox($table): buckets must be in [2, 1024], got $buckets")
     require(accuracy >= buckets,
       s"histogramApprox($table): accuracy $accuracy must be >= buckets $buckets")
+    // ONE merged read serves name resolution and the aggregate — the
+    // manifest/schema-union pass must not run twice per refresh on the
+    // many-file tables this path exists for (r14 review find)
     val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
-    val (name, _) = histSpaceCol(table, column, df0)
-    val row = approxBoundsDf(spark, table, column, buckets, accuracy).head()
+    val (name, aggDf) =
+      approxBoundsOn(df0, table, column, buckets, accuracy, "histogramApprox")
+    val row = aggDf.head()
     if (row.isNullAt(0)) return Seq.empty // all-NULL or empty column
     val gmin = row.getDouble(0)
     val bounds = row.getSeq[Double](1)
@@ -331,19 +348,25 @@ object Analyze {
   }
 
   /** The one-row aggregate behind [[histogramApprox]] — global min +
-    * the k upper boundaries at quantiles i/k. Split out so the spec
-    * can pin the NO-SORT plan shape (partial sketch → merge, no
-    * SortExec, no range shuffle) without re-deriving the aggregation. */
+    * the k upper boundaries at quantiles i/k. */
+  private def approxBoundsOn(df0: DataFrame, table: String, column: String,
+                             buckets: Int, accuracy: Int,
+                             verb: String): (String, DataFrame) = {
+    val (name, e) = histSpaceCol(table, column, df0, verb)
+    val ps = (1 to buckets).map(i => lit(i.toDouble / buckets))
+    (name, df0.select(e.as("v")).na.drop()
+      .agg(min(col("v")).as("mn"),
+        percentile_approx(col("v"), array(ps: _*), lit(accuracy)).as("qs")))
+  }
+
+  /** Spec doorway: the [[approxBoundsOn]] aggregate, so the NO-SORT
+    * plan shape (partial sketch → merge, no SortExec, no range
+    * shuffle) is pinnable without re-deriving the aggregation. */
   private[graft] def approxBoundsDf(spark: SparkSession, table: String,
                                     column: String, buckets: Int,
-                                    accuracy: Int): DataFrame = {
-    val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
-    val (_, e) = histSpaceCol(table, column, df0)
-    val ps = (1 to buckets).map(i => lit(i.toDouble / buckets))
-    df0.select(e.as("v")).na.drop()
-      .agg(min(col("v")).as("mn"),
-        percentile_approx(col("v"), array(ps: _*), lit(accuracy)).as("qs"))
-  }
+                                    accuracy: Int): DataFrame =
+    approxBoundsOn(Mutations.readMerged(spark, table, mergeSchema = true),
+      table, column, buckets, accuracy, "histogramApprox")._2
 
   /** Recorded histogram boundaries (None = never computed). */
   def histogramOf(table: String, column: String): Option[Seq[Double]] =

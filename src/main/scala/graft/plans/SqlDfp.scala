@@ -76,9 +76,16 @@ import org.apache.spark.sql.functions.{col, max, min}
   * manifest. */
 object SqlDfp {
 
-  /** Marks a Join this rule already rewrote (or deliberately skipped
-    * after collecting) — optimization of an enclosing query must not
-    * re-collect the dim side. */
+  /** Marks a Join this rule already REWROTE — optimization of an
+    * enclosing query that reuses the Dataset's analyzed plan must not
+    * re-collect the dim side (the tag rides on both the original
+    * analyzed node, which the enclosing plan shares by reference, and
+    * the rewritten copy this rule returns). Joins the rule merely
+    * SKIPPED are deliberately left untagged: their guards are
+    * zero-job driver checks, and a sticky tag would freeze a skip
+    * decision past a later conf change (r14 review find — a user
+    * lowering the cost gate would find pruning permanently disabled
+    * on reused Datasets). */
   private[graft] val Applied = TreeNodeTag[Boolean]("graft.sql.dfp.applied")
 
   /** Counts dim-side distinct key COLLECT jobs this rule has run —
@@ -141,10 +148,19 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
   import SqlDfp._
 
-  private def confBool(k: String, d: Boolean): Boolean =
-    scala.util.Try(spark.conf.get(k, d.toString).toBoolean).getOrElse(d)
-  private def confInt(k: String, d: Int): Int =
-    scala.util.Try(spark.conf.get(k, d.toString).toInt).getOrElse(d)
+  // malformed conf values fail LOUDLY (the engine's discipline — a
+  // swallowed typo would silently restore the default and the user's
+  // setting would appear to do nothing, r14 review find)
+  private def confBool(k: String, d: Boolean): Boolean = {
+    val v = spark.conf.get(k, d.toString)
+    v.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+      s"$k must be true/false, got '$v'"))
+  }
+  private def confInt(k: String, d: Int): Int = {
+    val v = spark.conf.get(k, d.toString)
+    v.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"$k must be an integer, got '$v'"))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confBool(EnabledKey, d = true)) return plan
@@ -156,11 +172,16 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
           if (jt == Inner || jt == LeftSemi) &&
             !j.getTagValue(Applied).contains(true) &&
             !j.left.isStreaming && !j.right.isStreaming =>
-        val out = rewrite(j, minFiles, maxKeys).getOrElse(j)
-        // either way, this join's decision is made — enclosing
-        // optimizations must not re-run the collect
-        out.setTagValue(Applied, true)
-        out
+        rewrite(j, minFiles, maxKeys) match {
+          case Some(out) =>
+            // the collect ran: mark BOTH the original analyzed node
+            // (shared by reference with any enclosing query's plan)
+            // and the rewritten copy, so neither path re-collects
+            j.setTagValue(Applied, true)
+            out.setTagValue(Applied, true)
+            out
+          case None => j // skipped: guards are zero-job, stay re-checkable
+        }
     }
   }
 
@@ -285,33 +306,36 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
         Project(Seq(Alias(dimKey, "__graft_dfp_key")()), dimPlan))
       .na.drop()
     val dt = dimKey.dataType
-    if (maxKeys <= 0) {
-      val mm = keyDf.agg(min(col("__graft_dfp_key")),
-        max(col("__graft_dfp_key"))).head()
-      return if (mm.isNullAt(0)) Literal.FalseLiteral
-      else And(GreaterThanOrEqual(factKey, Literal.create(mm.get(0), dt)),
-        LessThanOrEqual(factKey, Literal.create(mm.get(1), dt)))
-    }
-    keyCollects.incrementAndGet()
-    val rows = keyDf.distinct().limit(maxKeys + 1).collect()
-    if (rows.isEmpty) Literal.FalseLiteral
-    else if (rows.length <= maxKeys) {
-      val vals = rows.map(_.get(0)).toSeq
-      // small lists stay `In` (readable plans, plain codegen); larger
-      // ones go straight to InSet — OptimizeIn already ran (pre-CBO is
-      // after operator optimization), so a 10⁴-literal In would reach
-      // codegen verbatim and blow the generated method size
-      if (vals.size <= 10) In(factKey, vals.map(v => Literal.create(v, dt)))
-      else {
-        val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-        InSet(factKey, vals.map(conv).toSet)
-      }
-    } else {
-      val mm = keyDf.agg(min(col("__graft_dfp_key")),
+    def range(df: org.apache.spark.sql.DataFrame): Expression = {
+      val mm = df.agg(min(col("__graft_dfp_key")),
         max(col("__graft_dfp_key"))).head()
       if (mm.isNullAt(0)) Literal.FalseLiteral
       else And(GreaterThanOrEqual(factKey, Literal.create(mm.get(0), dt)),
         LessThanOrEqual(factKey, Literal.create(mm.get(1), dt)))
     }
+    if (maxKeys <= 0) return range(keyDf)
+    // persisted for the over-cap case: the capped distinct+collect and
+    // the min/max agg must not evaluate an expensive dim subtree twice
+    // (the Caching.persist discipline prunedJoin applies — r14 review
+    // find; the join's own build side at execution is a separate plan
+    // either way, the price every runtime-filter scheme pays once)
+    val keyDfP = keyDf.persist()
+    try {
+      keyCollects.incrementAndGet()
+      val rows = keyDfP.distinct().limit(maxKeys + 1).collect()
+      if (rows.isEmpty) Literal.FalseLiteral
+      else if (rows.length <= maxKeys) {
+        val vals = rows.map(_.get(0)).toSeq
+        // small lists stay `In` (readable plans, plain codegen); larger
+        // ones go straight to InSet — OptimizeIn already ran (pre-CBO is
+        // after operator optimization), so a 10⁴-literal In would reach
+        // codegen verbatim and blow the generated method size
+        if (vals.size <= 10) In(factKey, vals.map(v => Literal.create(v, dt)))
+        else {
+          val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+          InSet(factKey, vals.map(conv).toSet)
+        }
+      } else range(keyDfP)
+    } finally { keyDfP.unpersist(); () }
   }
 }

@@ -122,44 +122,22 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
       "minFiles = 0 must force the prune path")
     // CONSTRUCTING the gated join must launch no job at all — the whole
     // point of the gate is skipping the dim key-collect; the forced
-    // path pays it eagerly (job-count fence, self-calibrating sentinel)
-    val c = new java.util.concurrent.atomic.AtomicInteger
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        c.incrementAndGet(); ()
-      }
-    }
-    def settle(): Int = {
-      val deadline = System.nanoTime() + 10000000000L
-      var last = c.get
-      var lastChange = System.nanoTime()
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - lastChange < 400000000L) {
-        Thread.sleep(20)
-        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
-      }
-      c.get
-    }
-    // warm the per-(table, version) schema cache: the FIRST merged read
-    // of a fresh table runs one footer-union inference job — a one-time
-    // cost both paths share, not part of the gate decision
+    // path pays it eagerly (shared countJobs fence).
+    // Warm the per-(table, version) schema cache first: the FIRST
+    // merged read of a fresh table runs one footer-union inference
+    // job — a one-time cost both paths share, not the gate decision
     graft.ops.lake.Mutations.readMerged(spark, table, mergeSchema = true)
       .schema
-    spark.sparkContext.addSparkListener(l)
-    val (gated, forced) = try {
-      val s0 = settle()
-      val g = DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
-      val s1 = settle()
-      assert(s1 - s0 == 0,
-        s"gated prunedJoin construction must run zero jobs, saw ${s1 - s0}")
-      val f = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
-        minFiles = 0)
-      val s2 = settle()
-      assert(s2 - s1 > 0,
-        "the forced path pays the key-collect job the gate skipped")
-      (g, f)
-    } finally spark.sparkContext.removeSparkListener(l)
+    val (gated, gatedJobs) = countJobs {
+      DynamicFilter.prunedJoin(spark, table, dim, "id", "did")
+    }
+    assert(gatedJobs == 0,
+      s"gated prunedJoin construction must run zero jobs, saw $gatedJobs")
+    val (forced, forcedJobs) = countJobs {
+      DynamicFilter.prunedJoin(spark, table, dim, "id", "did", minFiles = 0)
+    }
+    assert(forcedJobs > 0,
+      "the forced path pays the key-collect job the gate skipped")
     // the prune's row-filter marker: present only on the forced path
     assert(!gated.queryExecution.optimizedPlan.toString.contains(" IN ("),
       "the gated plan must not carry the pruned isin row filter")
@@ -230,40 +208,11 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     // table-level NDV alone: 10000 > cap 600 -> "range"
     assert(DynamicFilter.strategyByStats(table, "id", maxKeys = 600)
       .contains("range"))
-    // job accounting: a 1-job sentinel fences the async listener bus,
-    // so "zero scan jobs" is assertable without internal APIs
-    val c = new java.util.concurrent.atomic.AtomicInteger
-    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        c.incrementAndGet()
-        jobLog.add(s"job ${j.jobId}: " +
-          j.stageInfos.map(_.name).mkString(" | "))
-        ()
-      }
-    }
-    // wait until the async listener bus has been quiet for 400 ms —
-    // the sentinel count() may emit several jobs (AQE stage
-    // materialization), so the fence self-calibrates its own cost
-    def settle(): Int = {
-      val deadline = System.nanoTime() + 10000000000L
-      var last = c.get
-      var lastChange = System.nanoTime()
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - lastChange < 400000000L) {
-        Thread.sleep(20)
-        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
-      }
-      c.get
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      val s0 = settle()
-      spark.range(1).count()
-      val fenceCost = settle() - s0
-      assert(fenceCost >= 1, "sentinel must register at least one job")
-      val s1 = c.get
+    // job accounting via the shared job-group-scoped countJobs fence —
+    // the fence's sentinel self-check: a real job IS counted
+    assert(countJobs { spark.range(1).count() }._2 >= 1,
+      "the fence must register a real job")
+    val (_, decisionJobs) = countJobs {
       // a narrow v-range: the histogram estimates ~5% survive, scaling
       // NDV to ~500 <= 600 — the IN-list prune becomes worth running
       // even though table-level stats said "range" (the FLIP)
@@ -272,12 +221,9 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
       // the full v-range: selectivity ~1, estimate stays over the cap
       assert(DynamicFilter.strategyForRange(table, "id", "v",
         0.0, 99999.0, maxKeys = 600).contains("range"))
-      spark.range(1).count()
-      val s2 = settle()
-      assert(s2 - s1 == fenceCost,
-        s"strategy decisions must run ZERO scan jobs, saw ${s2 - s1 - fenceCost} " +
-          s"extra; jobs: ${jobLog.toArray.mkString("; ")}")
-    } finally spark.sparkContext.removeSparkListener(l)
+    }
+    assert(decisionJobs == 0,
+      s"strategy decisions must run ZERO scan jobs, saw $decisionJobs")
     // staleness guard: one commit past a zero-lag budget falls back to
     // None; the default budget still answers
     Snapshots.commitAll(table, Snapshots.restageLike(spark,

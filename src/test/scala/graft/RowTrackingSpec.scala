@@ -287,34 +287,10 @@ class RowTrackingSpec extends AnyFunSuite with SparkFixture {
     assert(SchemaAudit.backfillSchemaLog(spark, table) == 50)
     assert(SchemaAudit.backfillSchemaLog(spark, table) == 0)
     // post-backfill: the same audit launches ZERO Spark jobs — a pure
-    // driver props walk, no footer IO
-    val c = new java.util.concurrent.atomic.AtomicInteger(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        c.incrementAndGet(); ()
-      }
-    }
-    def settle(): Int = {
-      val deadline = System.nanoTime() + 10000000000L
-      var last = c.get
-      var lastChange = System.nanoTime()
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - lastChange < 400000000L) {
-        Thread.sleep(20)
-        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
-      }
-      c.get
-    }
-    spark.sparkContext.addSparkListener(l)
-    val after = try {
-      val s0 = settle()
-      val rows = auditRows()
-      val s1 = settle()
-      assert(s1 - s0 == 0,
-        s"backfilled audit must run zero jobs, saw ${s1 - s0}")
-      rows
-    } finally spark.sparkContext.removeSparkListener(l)
+    // driver props walk, no footer IO (shared countJobs fence)
+    val (after, auditJobs) = countJobs { auditRows() }
+    assert(auditJobs == 0,
+      s"backfilled audit must run zero jobs, saw $auditJobs")
     assert(after == before, "backfill must not change the audit's answer")
     // the backfill commit seeded the regular schema log, so later data
     // commits inherit a recorded schema again

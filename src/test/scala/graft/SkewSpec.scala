@@ -44,28 +44,8 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     Analyze.analyze(spark, dimT, Seq("dim_id"))
     // the recorded freq table itself: hottest first, exact counts
     assert(Analyze.frequentKeysOf(factT, "sk").get.head == ("0", 90L))
-    // decisions from PROPS only — fence them at zero jobs
-    val c = new java.util.concurrent.atomic.AtomicInteger(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        c.incrementAndGet(); ()
-      }
-    }
-    def settle(): Int = {
-      val deadline = System.nanoTime() + 10000000000L
-      var last = c.get
-      var lastChange = System.nanoTime()
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - lastChange < 400000000L) {
-        Thread.sleep(20)
-        if (c.get != last) { last = c.get; lastChange = System.nanoTime() }
-      }
-      c.get
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      val s0 = settle()
+    // decisions from PROPS only — the shared countJobs fence pins zero
+    val (_, decisionJobs) = countJobs {
       // dim fits the budget: broadcast wins before skew is even read
       assert(Skew.strategyByStats(factT, "sk", dimT,
         broadcastMaxRows = 100).contains("broadcast"))
@@ -75,11 +55,9 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
       // high skew factor: the same evidence reads as tolerable -> plain
       assert(Skew.strategyByStats(factT, "sk", dimT,
         broadcastMaxRows = 10, skewFactor = 20.0).contains("plain"))
-      // stale freq stats are ignored, not trusted
-      val s1 = settle()
-      assert(s1 - s0 == 0,
-        s"strategy decisions must run zero scan jobs, saw ${s1 - s0}")
-    } finally spark.sparkContext.removeSparkListener(l)
+    }
+    assert(decisionJobs == 0,
+      s"strategy decisions must run zero scan jobs, saw $decisionJobs")
     // staleness: a commit past a zero-lag budget silences the stats
     Snapshots.commitAll(factT, Snapshots.restageLike(spark,
       Seq((999L, 999L, 9.0)).toDF("id", "sk", "v").withColumn("day", lit("d")),

@@ -41,11 +41,13 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       .filter(_.relation.location.isInstanceOf[org.apache.spark.sql.GraftFileIndex])
       .map(_.metrics("numFiles").value).sum
 
-  /** Run `sql`, return (rows as (id, seg) set, fact files opened). */
-  private def run(sql: String): (Set[(Long, String)], Long) = {
+  /** Run `sql`, return (rows as (id, seg) set, fact files opened,
+    * optimized plan — the plan rides along so a pruning-count failure
+    * shows WHICH link broke: no planted filter vs planted-but-unpruned). */
+  private def run(sql: String): (Set[(Long, String)], Long, String) = {
     val df = spark.sql(sql)
     val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    (rows, factFilesOpened(df))
+    (rows, factFilesOpened(df), df.queryExecution.optimizedPlan.toString)
   }
 
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
@@ -67,13 +69,13 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       .createOrReplaceTempView("sdfp1_dim")
     val q = "SELECT f.id, d.seg FROM sdfp1 f JOIN sdfp1_dim d ON f.id = d.did"
     withConf(SqlDfp.MinFilesKey -> "1") {
-      val (rows, opened) = run(q)
+      val (rows, opened, plan) = run(q)
       assert(rows == Set((5L, "x"), (72L, "y")))
       assert(opened < total,
-        s"the SQL join must not open the whole fact: $opened/$total")
+        s"the SQL join must not open the whole fact: $opened/$total\n$plan")
       // parity with the rule disabled: same rows, all files
       withConf(SqlDfp.EnabledKey -> "false") {
-        val (plain, openedPlain) = run(q)
+        val (plain, openedPlain, _) = run(q)
         assert(plain == rows, "pruning must never change the result")
         assert(openedPlain == total,
           s"disabled rule must scan everything, opened $openedPlain/$total")
@@ -100,12 +102,12 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
         s"semi join must prune fact files: $openedSemi/$total")
       // over the cap: the range [5, 12] still proves high-id files away
       withConf(SqlDfp.MaxKeysKey -> "1") {
-        val (rows, opened) = run(
+        val (rows, opened, plan) = run(
           "SELECT f.id, d.seg FROM sdfp2 f JOIN sdfp2_dim d ON f.id = d.did")
         assert(rows == Set((5L, "x"), (12L, "y")),
           "range degradation must stay correct")
         assert(opened < total,
-          s"key-range fallback must still prune: $opened/$total")
+          s"key-range fallback must still prune: $opened/$total\n$plan")
       }
     }
   }
@@ -132,7 +134,7 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       // empty dim: planted `false` filter, empty result, zero files
       Seq.empty[(Long, String)].toDF("did", "seg")
         .createOrReplaceTempView("sdfp3_empty")
-      val (rows, opened) = run(
+      val (rows, opened, _) = run(
         "SELECT f.id, d.seg FROM sdfp3 f JOIN sdfp3_empty d ON f.id = d.did")
       assert(rows.isEmpty)
       assert(opened == 0L, s"an empty dim must open zero fact files, got $opened")
@@ -179,7 +181,7 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       // no stats: the collect must RUN to discover the cap (pre-stats
       // behavior), then degrade to the range
       val c0 = SqlDfp.keyCollects.get
-      val (rows1, _) = run(wide)
+      val (rows1, _, _) = run(wide)
       assert(rows1.size == 80)
       assert(SqlDfp.keyCollects.get > c0,
         "without stats the key collect runs")
@@ -188,7 +190,7 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       Analyze.analyze(spark, dimT, Seq("did", "score"))
       Analyze.histogram(spark, dimT, "score", 8)
       val c1 = SqlDfp.keyCollects.get
-      val (rows2, _) = run(wide)
+      val (rows2, _, _) = run(wide)
       assert(rows2 == rows1, "the stats skip must never change rows")
       assert(SqlDfp.keyCollects.get == c1,
         "a hopeless estimate must skip the distinct collect")
@@ -197,7 +199,7 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       val narrow = "SELECT f.id, d.seg FROM sdfp6 f JOIN sdfp6_dim d " +
         "ON f.id = d.did WHERE d.score >= 0.0 AND d.score <= 9.0"
       val c2 = SqlDfp.keyCollects.get
-      val (rows3, _) = run(narrow)
+      val (rows3, _, _) = run(narrow)
       assert(rows3.size == 10)
       assert(SqlDfp.keyCollects.get > c2,
         "a fitting estimate keeps the IN-list collect")
