@@ -133,6 +133,15 @@ object SqlDfp {
     case _: GlobalLimit => ()
     case _: LocalRelation => ()
     case _: OneRowRelation => ()
+    // a CACHED frame: already materialized and bounded — collecting
+    // its keys reads the cache, the cheapest dim there is. Reached more
+    // often than it looks: Spark's CacheManager substitutes by
+    // CANONICAL plan equality JVM-wide, so a dim that is plan-equal to
+    // anything persisted elsewhere (even by another session) arrives
+    // here as InMemoryRelation, not the LocalRelation/Filter shape the
+    // query text suggests (r14 flake find — the rule silently declined
+    // whenever an equal plan happened to be cached)
+    case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
   }.isDefined
 
   private def splitCond(e: Expression): Seq[Expression] = e match {

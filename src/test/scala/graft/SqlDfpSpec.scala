@@ -73,6 +73,21 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
       assert(rows == Set((5L, "x"), (72L, "y")))
       assert(opened < total,
         s"the SQL join must not open the whole fact: $opened/$total\n$plan")
+      // a CACHED dim must still qualify: the JVM-shared CacheManager
+      // substitutes plan-equal frames (even ones persisted by OTHER
+      // sessions), so the dim arrives as InMemoryRelation — the shape
+      // that intermittently disabled the rule under parallel suites
+      // until selective() learned it (r14 flake find)
+      val dimDf = Seq((5L, "x"), (72L, "y")).toDF("did", "seg")
+      dimDf.persist().count()
+      try {
+        val (rowsC, openedC, planC) = run(q)
+        assert(planC.contains("InMemoryRelation"),
+          s"fixture must exercise the cached-dim shape:\n$planC")
+        assert(rowsC == rows)
+        assert(openedC < total,
+          s"a cached dim must still prune: $openedC/$total\n$planC")
+      } finally { dimDf.unpersist(); () }
       // parity with the rule disabled: same rows, all files
       withConf(SqlDfp.EnabledKey -> "false") {
         val (plain, openedPlain, _) = run(q)
