@@ -136,9 +136,14 @@ object Skew {
     * the strategy to "salt" (the spec fences the flip at zero scan
     * jobs). The salted join's aggregate must equal DuckDB's plain
     * join — salting changes the shuffle shape, never a row. */
-  def statsSkewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
-    val factT = freshTable("s62-fact-", dir)
-    val dimT = freshTable("s62-dim-", dir)
+  /** Shared s62/s63 fixture: a deliberately skewed-key fact (90% of
+    * rows on 10 of 5000 keys) and a dim too big for the queries'
+    * broadcast budget, committed WITH the recorded evidence
+    * (ANALYZE + frequentKeys) that flips the strategy to "salt". */
+  private def skewFixture(spark: SparkSession, dir: String,
+                          prefix: String): (String, String) = {
+    val factT = freshTable(s"$prefix-fact-", dir)
+    val dimT = freshTable(s"$prefix-dim-", dir)
     val ev = Tables(spark, dir).events
       .withColumn("sk",
         when(col("event_id") % 100 < 90, col("event_id") % 10)
@@ -155,6 +160,11 @@ object Skew {
     Analyze.analyze(spark, factT, Seq("sk"))
     Analyze.frequentKeys(spark, factT, "sk", k = 16)
     Analyze.analyze(spark, dimT, Seq("dim_id"))
+    (factT, dimT)
+  }
+
+  def statsSkewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (factT, dimT) = skewFixture(spark, dir, "s62")
     // broadcast budget below the dim's 5000 recorded rows: the flip
     // must come from the FACT side's recorded skew
     statsSkewJoin(spark, factT, dimT, "sk", "dim_id",
@@ -177,6 +187,24 @@ object Skew {
       |FROM f JOIN d ON f.sk = d.dim_id
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** s63: the same stats-chosen skew join through PLAIN SQL — the
+    * `stats_skew_join` table function ([[graft.sql.LakeSql
+    * .statsSkewJoinPlan]]) gives `spark.sql` users the identical
+    * recorded-stats broadcast/salt/plain chain (r14 — the "two front
+    * doors" discipline: every API-only capability eventually earns its
+    * SQL twin). Same fixture, same oracle restatement. */
+  def statsSkewJoinSql(spark: SparkSession, dir: String): DataFrame = {
+    val (factT, dimT) = skewFixture(spark, dir, "s63")
+    graft.sql.LakeSql.register(spark, "s63f", factT, "day")
+    graft.sql.LakeSql.register(spark, "s63d", dimT, "day")
+    spark.sql(
+      """SELECT segment, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+        |FROM stats_skew_join('s63f', 's63d', 'sk', 'dim_id', 1000)
+        |GROUP BY segment ORDER BY segment""".stripMargin)
+  }
+
   def queries: Seq[QueryDef] = Seq(
-    QueryDef.sql("s62_stats_skew_join", statsSkewJoinOracle)(statsSkewJoinQuery))
+    QueryDef.sql("s62_stats_skew_join", statsSkewJoinOracle)(statsSkewJoinQuery),
+    QueryDef.sql("s63_stats_skew_join_sql", statsSkewJoinOracle)(statsSkewJoinSql))
 }

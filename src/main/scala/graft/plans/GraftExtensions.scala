@@ -90,5 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.sql.LakeSql", "table_changes"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.sql.LakeSql.tableChangesPlan(args)))
+    // stats-driven skew join as a SQL table function (r14 — the
+    // Skew.statsSkewJoin chain reachable from plain spark.sql)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("stats_skew_join"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.LakeSql", "stats_skew_join"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sql.LakeSql.statsSkewJoinPlan(args)))
   }
 }

@@ -141,6 +141,42 @@ object LakeSql {
         "table_changes expects ('name', fromVersion, toVersion) literals")
     }
   }
+
+  /** Builder for the STATS-DRIVEN SKEW JOIN table function (r14) —
+    * `SELECT … FROM stats_skew_join('fact', 'dim', 'factKey', 'dimKey'
+    * [, broadcastMaxRows [, skewFactor]])` — the SQL twin of
+    * [[graft.ops.gold.Skew.statsSkewJoin]]: recorded stats (row counts,
+    * key frequencies — [[graft.ops.lake.Analyze.frequentKeys]]) choose
+    * broadcast / salt / plain at plan-build time with zero scan jobs;
+    * every strategy returns identical rows. Registered-name lookup and
+    * literal-args discipline follow [[tableChangesPlan]]. */
+  def statsSkewJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(): Nothing = throw new IllegalArgumentException(
+      "stats_skew_join expects ('fact', 'dim', 'factKey', 'dimKey'" +
+        "[, broadcastMaxRows[, skewFactor]]) literals")
+    def str(e: Expression): String = e match {
+      case Literal(s, _: StringType) if s != null => s.toString
+      case _ => bad()
+    }
+    def num(e: Expression): Double = e match {
+      case Literal(n: Number, _) => n.doubleValue()
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+      case _ => bad()
+    }
+    if (args.length < 4 || args.length > 6) bad()
+    val Seq(fN, dN, fk, dk) = args.take(4).map(str)
+    val bm = args.lift(4).map(e => num(e).toLong).getOrElse(1000000L)
+    val sf = args.lift(5).map(num).getOrElse(4.0)
+    def resolve(n: String): String = lookup(spark, n).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"stats_skew_join: '$n' is not a registered graft table " +
+          "(LakeSql.register it first)"))
+    SubqueryAlias("stats_skew_join",
+      graft.ops.gold.Skew.statsSkewJoin(spark, resolve(fN), resolve(dN),
+          fk, dk, broadcastMaxRows = bm, skewFactor = sf)
+        .queryExecution.analyzed)
+  }
 }
 
 /** A parsed lake statement: a resolved LEAF plan carrying its own

@@ -76,5 +76,21 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     assert(broadcastRows.nonEmpty)
     assert(broadcastRows.count(_._2 == 0L) == 90,
       "the hot key's matches must all survive salting")
+    // the SQL twin: the stats_skew_join TVF runs the identical chain
+    graft.sql.LakeSql.register(spark, "skewspec_f", factT, "day")
+    graft.sql.LakeSql.register(spark, "skewspec_d", dimT, "day")
+    val sqlRows = spark.sql(
+      "SELECT id, sk, seg FROM stats_skew_join(" +
+        "'skewspec_f', 'skewspec_d', 'sk', 'dim_id', 10)")
+      .as[(Long, Long, String)].collect().toSet
+    assert(sqlRows == saltRows, "the TVF must answer like the API path")
+    // loud failures: unknown name, malformed arity
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM stats_skew_join('nope', 'skewspec_d', 'sk', 'dim_id')")
+      .collect())
+    assert(e1.getMessage.contains("registered graft table"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM stats_skew_join('skewspec_f')").collect())
+    assert(e2.getMessage.contains("stats_skew_join expects"), e2.getMessage)
   }
 }
