@@ -2147,12 +2147,20 @@ object Snapshots {
       val native = data.schema.fields.find(_.name == pcol).map(_.dataType)
         .exists(Set[DataType](IntegerType, LongType, StringType, BinaryType).contains)
       val sketchInput = if (native) s"`$pcol`" else s"cast(`$pcol` as string)"
-      val sketches = data
+      // the per-file NULL COUNT rides the same aggregation: the fold
+      // consumer ([[Analyze.analyzeFromSketches]]) needs it, the rows
+      // are already in flight, and stageWithStats only footer-records
+      // nulls for ITS stats column — a sketched column must be
+      // self-contained (r14 probe find)
+      val rows = data
         .groupBy(fileIdCol(input_file_name()).as("__f"))
-        .agg(expr(s"hll_sketch_agg($sketchInput, $lgK)").as("__s"))
+        .agg(expr(s"hll_sketch_agg($sketchInput, $lgK)").as("__s"),
+          sum(when(col(s"`$pcol`").isNull, 1L).otherwise(0L)).as("__n"))
         .collect()
+      val sketches = rows
         .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getString(0) -> _))
         .toMap
+      val nulls = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
       val sidecarRel = s"stats/hll-${java.util.UUID.randomUUID.toString.take(12)}.txt"
       if (sketches.nonEmpty) {
         val f = new File(table, sidecarRel)
@@ -2162,8 +2170,10 @@ object Snapshots {
         }.mkString("\n").getBytes(UTF_8))
       }
       chunk.map { e =>
-        e.copy(props = e.props ++ (if (sketches.contains(fileId(e.rel)))
-          Some(HllRefPrefix + pcol -> sidecarRel) else None))
+        e.copy(props = e.props ++
+          (if (sketches.contains(fileId(e.rel)))
+            Some(HllRefPrefix + pcol -> sidecarRel) else None) ++
+          nulls.get(fileId(e.rel)).map(n => s"nulls.$pcol" -> n.toString))
       }
     }.toSeq
   }
