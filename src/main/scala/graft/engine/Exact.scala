@@ -47,6 +47,16 @@ object Exact {
   def decSumRaw(c: Column): Column =
     sum(c.cast(DecimalType(25, 6))).cast(DecimalType(25, 6))
 
+  /** [[decSum]] as a SQL fragment — the ONE definition of the
+    * oracle-parity cast chain (it previously lived as four identical
+    * private copies; a precision change must move every SQL surface
+    * and this Column form in lockstep or one silently diverges from
+    * the DuckDB oracle, r14 review find). The oracle strings still
+    * restate the same chain verbatim per query — they ship to a
+    * different engine, as they must. */
+  def decSumSql(expr: String): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+
   /** Epoch milliseconds of a (possibly NTZ) timestamp column.
     * DuckDB mirror: epoch_ms(ts). Both truncate sub-ms digits. */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))

@@ -97,6 +97,16 @@ object Skew {
       s"statsSkewJoin supports inner/left join types, got $joinType")
     val fact = Mutations.readMerged(spark, factTable, mergeSchema = true)
     val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
+    // both keys validated HERE, where the typo is nameable — Spark's
+    // withColumnRenamed silently no-ops on a missing column and the
+    // join would later blame the RENAMED name the user never typed
+    // (r14 review find, surfaced through the SQL TVF)
+    require(fact.columns.exists(_.equalsIgnoreCase(factKey)),
+      s"statsSkewJoin($factTable): no column '$factKey' " +
+        s"(fact has ${fact.columns.mkString(", ")})")
+    require(dim0.columns.exists(_.equalsIgnoreCase(dimKey)),
+      s"statsSkewJoin($dimTable): no column '$dimKey' " +
+        s"(dim has ${dim0.columns.mkString(", ")})")
     // the join key is matched BY NAME (saltedJoin's contract), so the
     // dim key renames onto the fact key — which must not collide with
     // a pre-existing dim column or the join resolves ambiguously on a
@@ -129,13 +139,6 @@ object Skew {
   private def freshTable(prefix: String, dir: String): String =
     Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
-  /** s62: the stats-chosen skew join under the oracle gate — the fact
-    * carries a deliberately skewed key (90% of rows land on 10 of
-    * 5000 keys), the dim is too big for the query's broadcast budget,
-    * and ANALYZE + frequentKeys record exactly the evidence that flips
-    * the strategy to "salt" (the spec fences the flip at zero scan
-    * jobs). The salted join's aggregate must equal DuckDB's plain
-    * join — salting changes the shuffle shape, never a row. */
   /** Shared s62/s63 fixture: a deliberately skewed-key fact (90% of
     * rows on 10 of 5000 keys) and a dim too big for the queries'
     * broadcast budget, committed WITH the recorded evidence
@@ -163,6 +166,11 @@ object Skew {
     (factT, dimT)
   }
 
+  /** s62: the stats-chosen skew join under the oracle gate — the
+    * [[skewFixture]] evidence flips the strategy to "salt" (the spec
+    * fences the flip at zero scan jobs) and the salted join's aggregate
+    * must equal DuckDB's plain join: salting changes the shuffle
+    * shape, never a row. */
   def statsSkewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val (factT, dimT) = skewFixture(spark, dir, "s62")
     // broadcast budget below the dim's 5000 recorded rows: the flip
@@ -198,10 +206,10 @@ object Skew {
     graft.sql.LakeSql.register(spark, "s63f", factT, "day")
     graft.sql.LakeSql.register(spark, "s63d", dimT, "day")
     spark.sql(
-      """SELECT segment, count(*) AS n,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
-        |FROM stats_skew_join('s63f', 's63d', 'sk', 'dim_id', 1000)
-        |GROUP BY segment ORDER BY segment""".stripMargin)
+      s"""SELECT segment, count(*) AS n,
+         |  ${graft.engine.Exact.decSumSql("value")} AS sum_value
+         |FROM stats_skew_join('s63f', 's63d', 'sk', 'dim_id', 1000)
+         |GROUP BY segment ORDER BY segment""".stripMargin)
   }
 
   def queries: Seq[QueryDef] = Seq(

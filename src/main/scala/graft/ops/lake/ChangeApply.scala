@@ -614,8 +614,7 @@ object ChangeApply {
       .orderBy("event_date")
   }
 
-  private def decSumSql(e: String): String =
-    s"CAST(CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+  private def decSumSql(e: String): String = graft.engine.Exact.decSumSql(e)
 
   lazy val cdcMirrorOracle: String =
     s"""WITH base AS (

@@ -1017,7 +1017,7 @@ object Mutations {
     Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   private def decSumSql(expr: String): String =
-    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+    graft.engine.Exact.decSumSql(expr)
 
   /** s31: MERGE a correction batch into an event snapshot table — days
     * ≤ 01-20 are the base, the source re-states days 18–25 with bumped

@@ -133,15 +133,26 @@ object SqlDfp {
     case _: GlobalLimit => ()
     case _: LocalRelation => ()
     case _: OneRowRelation => ()
-    // a CACHED frame: already materialized and bounded — collecting
-    // its keys reads the cache, the cheapest dim there is. Reached more
+    // a SMALL cached frame: materialized and bounded — collecting its
+    // keys reads the cache, the cheapest dim there is. Reached more
     // often than it looks: Spark's CacheManager substitutes by
     // CANONICAL plan equality JVM-wide, so a dim that is plan-equal to
     // anything persisted elsewhere (even by another session) arrives
     // here as InMemoryRelation, not the LocalRelation/Filter shape the
     // query text suggests (r14 flake find — the rule silently declined
-    // whenever an equal plan happened to be cached)
-    case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
+    // whenever an equal plan happened to be cached). SIZE-GATED at the
+    // broadcast threshold: caching alone says nothing about
+    // selectivity, and an unfiltered 10⁸-row cached dim must not
+    // trigger a full-dim collect at every compile (r14 review find) —
+    // under the broadcast budget the collect costs what a broadcast
+    // build would anyway.
+    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation
+      if {
+        val st = imr.computeStats()
+        st.rowCount.exists(_ <= 1000000L) ||
+          st.sizeInBytes <= org.apache.spark.sql.internal.SQLConf.get
+            .autoBroadcastJoinThreshold.max(10L * 1024 * 1024)
+      } => ()
   }.isDefined
 
   private def splitCond(e: Expression): Seq[Expression] = e match {

@@ -17,7 +17,7 @@ object LakeSqlQueries {
     Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   private def decSumSql(expr: String): String =
-    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)"
+    graft.engine.Exact.decSumSql(expr)
 
   private def eventsSlim(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events

@@ -44,8 +44,13 @@ object HllProbe {
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    // warm the merged-read/schema caches so all three forms start even
-    graft.ops.lake.Mutations.readMerged(spark, table, mergeSchema = true).schema
+    // warm with one full UNTIMED pass over both columns: schema
+    // resolution alone does not fault in data pages, so the first
+    // timed form would otherwise pay everyone's cold page-cache read
+    // and the ratios would partially measure cache warming (r14 review
+    // find). The warm pass also fills the merged-read caches; its
+    // extra props commit is immaterial to a probe table.
+    Analyze.analyzeApprox(spark, table, cols)
 
     val (exact, tExact) = timed(Analyze.analyze(spark, table, cols))
     val (approx, tApprox) = timed(Analyze.analyzeApprox(spark, table, cols))
