@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.gold.Aggregates.queries ++
       graft.ops.gold.Joins.queries ++
       graft.ops.gold.Skew.queries ++
+      graft.ops.gold.JoinOrder.queries ++
       graft.ops.gold.Windows.queries ++
       graft.ops.gold.SortSetOps.queries ++
       graft.ops.gold.Bucketed.queries ++

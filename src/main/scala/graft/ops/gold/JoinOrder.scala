@@ -1,0 +1,228 @@
+package graft.ops.gold
+
+import graft.engine.{Exact, Graft, QueryDef, Tables}
+import graft.ops.lake.{Analyze, Mutations, Snapshots}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STATS-DRIVEN MULTI-WAY JOIN ORDERING — the classic System-R
+  * cost-based-optimizer decision applied to the engine's star joins:
+  * given a lake fact inner-joined to several lake dims, recorded stats
+  * alone (row counts + per-column NDV from [[Analyze.analyze]] — all
+  * snapshot props, ZERO scan jobs) choose
+  *
+  *   1. the JOIN ORDER — most-reducing dim first, so every later join
+  *      (and its shuffle, when one is needed) runs over the smallest
+  *      possible intermediate. At 100 TB the difference between
+  *      filtering a fact to 2% on the first join vs the last is the
+  *      difference between shuffling 2 TB and shuffling 100 TB twice;
+  *   2. per-dim BROADCAST — a dim whose recorded rows fit the budget
+  *      replicates instead of shuffling the (possibly already-reduced)
+  *      fact side.
+  *
+  * The retained-fraction estimate is the standard containment
+  * assumption (Selinger et al. 1979; Spark's own CBO JoinReorderDP uses
+  * the same form): an inner equi-join `fact.fk = dim.dk` keeps
+  * `ndv_dim(dk) / ndv_fact(fk)` of the fact's rows, clamped to 1 —
+  * every dim key matches its uniform share of the fact when dim keys
+  * are a subset of the fact's key domain. It is an ESTIMATE: soundness
+  * is never at stake because inner equi-joins commute — every order
+  * returns identical rows (JoinOrderSpec pins it) — the stats choose
+  * only the execution shape. Spark's built-in CBO cannot make this
+  * choice here: it reads catalog statistics, and lake tables live
+  * outside the session catalog; the recorded snapshot props are this
+  * engine's equivalent, consumed the same way `statsAwareJoin` and
+  * `Skew.strategyByStats` consume them.
+  *
+  * Staleness discipline matches the other consumers: stats more than
+  * `maxStaleVersions` behind the live snapshot are no basis, and the
+  * whole decision degrades to `None` (caller keeps the declared order,
+  * plain joins + AQE — the pre-stats behavior). Reordering is
+  * restricted to INNER joins: left joins preserve fact rows, so
+  * reordering them past an inner leg changes results.
+  */
+object JoinOrder {
+
+  /** One dim leg of a star join: `dimTable` inner-joined on
+    * `fact.factKey = dim.dimKey`. */
+  final case class Leg(dimTable: String, factKey: String, dimKey: String)
+
+  /** The stats-planned execution of one leg. `selectivity` is the
+    * estimated fraction of fact rows RETAINED by the leg's inner join
+    * (containment assumption — see the object doc); `broadcast` is the
+    * recorded-row-count budget verdict. */
+  final case class LegPlan(leg: Leg, selectivity: Double,
+                           dimRows: Long, broadcast: Boolean)
+
+  /** Order `legs` by recorded stats: ascending estimated retained
+    * fraction (most-reducing first), ties broken by smaller recorded
+    * dim rows then table name so the plan is deterministic. Every
+    * input is a snapshot prop — the decision runs ZERO scan jobs
+    * (JoinOrderSpec fences it). `None` when any required stat is
+    * absent or stale: no basis, the caller keeps its declared order. */
+  def orderByStats(factTable: String, legs: Seq[Leg],
+                   broadcastMaxRows: Long = 1000000L,
+                   maxStaleVersions: Long = 64): Option[Seq[LegPlan]] = {
+    def fresh(table: String): Boolean = Analyze.analyzedVersion(table)
+      .exists(v => Snapshots.currentVersion(table) - v <= maxStaleVersions)
+    if (legs.isEmpty || !fresh(factTable)) return None
+    val plans = legs.map { leg =>
+      for {
+        _ <- Some(()).filter(_ => fresh(leg.dimTable))
+        factNdv <- Analyze.ndvOf(factTable, leg.factKey)
+        if factNdv > 0
+        dimNdv <- Analyze.ndvOf(leg.dimTable, leg.dimKey)
+        dimRows <- Analyze.rowsOf(leg.dimTable)
+      } yield LegPlan(leg, math.min(1.0, dimNdv.toDouble / factNdv.toDouble),
+        dimRows, dimRows <= broadcastMaxRows)
+    }
+    // all legs or nothing: a partial order would silently interleave
+    // planned and unplanned legs in a shape nobody declared
+    if (plans.exists(_.isEmpty)) None
+    else Some(plans.flatten.sortBy(p =>
+      (p.selectivity, p.dimRows, p.leg.dimTable)))
+  }
+
+  /** Inner-join `factTable` to every dim leg, in the order (and with
+    * the per-dim broadcast hints) [[orderByStats]] chose; absent/stale
+    * stats fall back to the DECLARED order with plain joins (+ AQE).
+    * Join keys are matched by name — each leg's `dimKey` renames onto
+    * its `factKey` ([[Skew.statsSkewJoin]]'s contract), with the same
+    * loud guards: a missing key or a rename that would collide with an
+    * existing column fails here, where the leg is nameable, never two
+    * operators later as AMBIGUOUS_REFERENCE. */
+  def statsOrderedJoin(spark: SparkSession, factTable: String,
+                       legs: Seq[Leg],
+                       broadcastMaxRows: Long = 1000000L,
+                       maxStaleVersions: Long = 64): DataFrame = {
+    require(legs.nonEmpty, "statsOrderedJoin: at least one dim leg")
+    val fact = Mutations.readMerged(spark, factTable, mergeSchema = true)
+    legs.foreach { leg =>
+      require(fact.columns.exists(_.equalsIgnoreCase(leg.factKey)),
+        s"statsOrderedJoin($factTable): no column '${leg.factKey}' " +
+          s"(fact has ${fact.columns.mkString(", ")})")
+    }
+    val planned = orderByStats(factTable, legs, broadcastMaxRows,
+      maxStaleVersions)
+    val ordered: Seq[(Leg, Boolean)] = planned match {
+      case Some(ps) => ps.map(p => (p.leg, p.broadcast))
+      case None => legs.map(l => (l, false))
+    }
+    ordered.foldLeft(fact) { case (acc, (leg, bc)) =>
+      val dim0 = Mutations.readMerged(spark, leg.dimTable, mergeSchema = true)
+      require(dim0.columns.exists(_.equalsIgnoreCase(leg.dimKey)),
+        s"statsOrderedJoin(${leg.dimTable}): no column '${leg.dimKey}' " +
+          s"(dim has ${dim0.columns.mkString(", ")})")
+      require(leg.dimKey.equalsIgnoreCase(leg.factKey) ||
+        !dim0.columns.exists(_.equalsIgnoreCase(leg.factKey)),
+        s"statsOrderedJoin(${leg.dimTable}): dim already has a column " +
+          s"named '${leg.factKey}' — renaming its key '${leg.dimKey}' " +
+          "onto it would be ambiguous; rename one side first")
+      // a dim payload column sharing a LATER leg's fact-key name would
+      // make that leg's by-name join ambiguous once this dim's columns
+      // fold into the accumulating frame
+      legs.filterNot(_ eq leg).foreach { other =>
+        require(!dim0.columns.exists(c =>
+          c.equalsIgnoreCase(other.factKey) && !c.equalsIgnoreCase(leg.dimKey)),
+          s"statsOrderedJoin(${leg.dimTable}): dim column " +
+            s"'${other.factKey}' collides with another leg's fact key; " +
+            "rename it before joining")
+      }
+      val dim = if (leg.dimKey == leg.factKey) dim0
+        else dim0.withColumnRenamed(leg.dimKey, leg.factKey)
+      acc.join(if (bc) broadcast(dim) else dim, Seq(leg.factKey), "inner")
+    }
+  }
+
+  // ---- oracle-gated exercise ---------------------------------------
+
+  private def freshTable(prefix: String, dir: String): String =
+    Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Shared s64/s65 fixture: a fact with two join keys — `fk1` over
+    * ~1000 values, `fk2` over 50 — a SELECTIVE dim covering only fk1 ∈
+    * [0, 20) (recorded evidence: retained fraction ≈ 0.02) and a
+    * NON-selective dim covering every fk2 (fraction 1.0). The recorded
+    * stats must order the selective dim first; both dims fit the
+    * broadcast budget, so the ordering itself is the decision under
+    * test (the spec also exercises the shuffle shapes). */
+  private def starFixture(spark: SparkSession, dir: String,
+                          prefix: String): (String, String, String) = {
+    val factT = freshTable(s"$prefix-fact-", dir)
+    val dimAT = freshTable(s"$prefix-dima-", dir)
+    val dimBT = freshTable(s"$prefix-dimb-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("fk1", col("event_id") % 1000)
+      .withColumn("fk2", col("event_id") % 50)
+      .select("event_id", "fk1", "fk2", "value")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev.withColumn("day", lit("d")), factT, "day", "fk1"))
+    val dimA = spark.range(0, 20)
+      .select(col("id").as("dk1"),
+        concat(lit("band-"), (col("id") % 4).cast("string")).as("band"))
+    Snapshots.commitAll(dimAT, Snapshots.stageWithStats(
+      dimA.withColumn("day", lit("d")), dimAT, "day", "dk1"))
+    val dimB = spark.range(0, 50)
+      .select(col("id").as("dk2"),
+        concat(lit("seg-"), (col("id") % 5).cast("string")).as("seg"))
+    Snapshots.commitAll(dimBT, Snapshots.stageWithStats(
+      dimB.withColumn("day", lit("d")), dimBT, "day", "dk2"))
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    (factT, dimAT, dimBT)
+  }
+
+  /** s64: the stats-ordered star join under the oracle gate — recorded
+    * NDVs put the 2%-selective dim first (the spec fences the decision
+    * at zero scan jobs and pins the order); the result must equal
+    * DuckDB's plain two-dim join in any order: ordering changes the
+    * shuffle shape, never a row. */
+  def statsOrderedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (factT, dimAT, dimBT) = starFixture(spark, dir, "s64")
+    statsOrderedJoin(spark, factT,
+        Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1")))
+      .groupBy("band", "seg")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("band", "seg")
+  }
+
+  lazy val statsOrderedJoinOracle: String =
+    s"""WITH f AS (
+      |  SELECT event_id % 1000 AS fk1, event_id % 50 AS fk2, value
+      |  FROM events),
+      |da AS (
+      |  SELECT i AS dk1, 'band-' || CAST(i % 4 AS VARCHAR) AS band
+      |  FROM (SELECT unnest(range(0, 20)) AS i)),
+      |db AS (
+      |  SELECT i AS dk2, 'seg-' || CAST(i % 5 AS VARCHAR) AS seg
+      |  FROM (SELECT unnest(range(0, 50)) AS i))
+      |SELECT band, seg, count(*) AS n,
+      |       ${Exact.decSumSql("f.value")} AS sum_value
+      |FROM f JOIN da ON f.fk1 = da.dk1 JOIN db ON f.fk2 = db.dk2
+      |GROUP BY band, seg ORDER BY band, seg""".stripMargin
+
+  /** s65: the same stats-ordered star join through PLAIN SQL — the
+    * `stats_star_join` table function ([[graft.sql.LakeSql
+    * .statsStarJoinPlan]]) gives `spark.sql` users the identical
+    * recorded-stats order/broadcast chain (the "two front doors"
+    * discipline — every API-only capability earns its SQL twin).
+    * Same fixture, same oracle restatement. */
+  def statsOrderedJoinSql(spark: SparkSession, dir: String): DataFrame = {
+    val (factT, dimAT, dimBT) = starFixture(spark, dir, "s65")
+    graft.sql.LakeSql.register(spark, "s65f", factT, "day")
+    graft.sql.LakeSql.register(spark, "s65da", dimAT, "day")
+    graft.sql.LakeSql.register(spark, "s65db", dimBT, "day")
+    spark.sql(
+      s"""SELECT band, seg, count(*) AS n,
+         |  ${Exact.decSumSql("value")} AS sum_value
+         |FROM stats_star_join('s65f', 's65db', 'fk2', 'dk2',
+         |                     's65da', 'fk1', 'dk1')
+         |GROUP BY band, seg ORDER BY band, seg""".stripMargin)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s64_stats_ordered_join", statsOrderedJoinOracle)(statsOrderedJoinQuery),
+    QueryDef.sql("s65_stats_ordered_join_sql", statsOrderedJoinOracle)(statsOrderedJoinSql))
+}

@@ -98,5 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.sql.LakeSql", "stats_skew_join"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.sql.LakeSql.statsSkewJoinPlan(args)))
+    // stats-ordered star join as a SQL table function (r14 — the
+    // JoinOrder.statsOrderedJoin CBO chain reachable from plain sql)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("stats_star_join"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.LakeSql", "stats_star_join"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sql.LakeSql.statsStarJoinPlan(args)))
   }
 }

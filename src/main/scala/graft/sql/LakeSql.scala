@@ -177,6 +177,42 @@ object LakeSql {
           fk, dk, broadcastMaxRows = bm, skewFactor = sf)
         .queryExecution.analyzed)
   }
+
+  /** Builder for the STATS-ORDERED STAR JOIN table function (r14) —
+    * `SELECT … FROM stats_star_join('fact', 'dim1', 'fk1', 'dk1'
+    * [, 'dim2', 'fk2', 'dk2', …][, broadcastMaxRows])` — the SQL twin
+    * of [[graft.ops.gold.JoinOrder.statsOrderedJoin]]: recorded NDVs
+    * and row counts choose the join order (most-reducing dim first)
+    * and per-dim broadcast with zero scan jobs; every order returns
+    * identical rows. Registered-name lookup and literal-args
+    * discipline follow [[tableChangesPlan]]. */
+  def statsStarJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(): Nothing = throw new IllegalArgumentException(
+      "stats_star_join expects ('fact', 'dim1', 'factKey1', 'dimKey1'" +
+        "[, 'dim2', 'factKey2', 'dimKey2', …][, broadcastMaxRows]) literals")
+    def str(e: Expression): String = e match {
+      case Literal(s, _: StringType) if s != null => s.toString
+      case _ => bad()
+    }
+    val (strArgs, budget) = args.lastOption match {
+      case Some(Literal(n: Number, _)) => (args.dropRight(1), n.longValue())
+      case _ => (args, 1000000L)
+    }
+    if (strArgs.length < 4 || (strArgs.length - 1) % 3 != 0) bad()
+    val factName = str(strArgs.head)
+    def resolve(n: String): String = lookup(spark, n).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"stats_star_join: '$n' is not a registered graft table " +
+          "(LakeSql.register it first)"))
+    val legs = strArgs.tail.map(str).grouped(3).map {
+      case Seq(d, fk, dk) => graft.ops.gold.JoinOrder.Leg(resolve(d), fk, dk)
+    }.toSeq
+    SubqueryAlias("stats_star_join",
+      graft.ops.gold.JoinOrder.statsOrderedJoin(spark, resolve(factName),
+          legs, broadcastMaxRows = budget)
+        .queryExecution.analyzed)
+  }
 }
 
 /** A parsed lake statement: a resolved LEAF plan carrying its own

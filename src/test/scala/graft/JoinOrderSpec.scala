@@ -1,0 +1,147 @@
+package graft
+
+import graft.ops.gold.JoinOrder
+import graft.ops.gold.JoinOrder.Leg
+import graft.ops.lake.{Analyze, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinOrderSpec extends AnyFunSuite with SparkFixture {
+
+  /** Fact with two keys (fk1 over 100 values, fk2 over 10), a
+    * 5%-selective dim on fk1 and an all-covering dim on fk2. */
+  private def fixture(): (String, String, String) = {
+    import spark.implicits._
+    val factT = tmp("jo-fact")
+    val dimAT = tmp("jo-dima")
+    val dimBT = tmp("jo-dimb")
+    val factRows = (0L until 200L).map(i => (i, i % 100, i % 10, i.toDouble))
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      factRows.toDF("id", "fk1", "fk2", "v").withColumn("day", lit("d")),
+      factT, "day", "fk1"))
+    val dimA = (0L until 5L).map(i => (i, s"band-${i % 2}"))
+    Snapshots.commitAll(dimAT, Snapshots.stageWithStats(
+      dimA.toDF("dk1", "band").withColumn("day", lit("d")),
+      dimAT, "day", "dk1"))
+    val dimB = (0L until 10L).map(i => (i, s"seg-${i % 3}"))
+    Snapshots.commitAll(dimBT, Snapshots.stageWithStats(
+      dimB.toDF("dk2", "seg").withColumn("day", lit("d")),
+      dimBT, "day", "dk2"))
+    (factT, dimAT, dimBT)
+  }
+
+  test("recorded stats order the most-reducing dim first, zero scan jobs") {
+    val (factT, dimAT, dimBT) = fixture()
+    val legs = Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1"))
+    // no stats recorded yet: no basis
+    assert(JoinOrder.orderByStats(factT, legs).isEmpty)
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    val (planned, decisionJobs) = countJobs {
+      JoinOrder.orderByStats(factT, legs, broadcastMaxRows = 6)
+    }
+    assert(decisionJobs == 0,
+      s"ordering decisions must run zero scan jobs, saw $decisionJobs")
+    val plans = planned.getOrElse(fail("stats present but no plan"))
+    // selective dim (5 of 100 fk1 values, est. 0.05) before the
+    // all-covering one (10 of 10 fk2 values, est. 1.0)
+    assert(plans.map(_.leg.dimTable) == Seq(dimAT, dimBT))
+    assert(plans.head.selectivity < 0.1 && plans.last.selectivity == 1.0)
+    // the 5-row dim fits budget 6, the 10-row one does not
+    assert(plans.head.broadcast && !plans.last.broadcast)
+    // executed fold order follows the plan: the selective dim joins
+    // first, so it sits DEEPEST in the analyzed join tree — the
+    // innermost Join's right side carries dimA's payload column
+    val df = JoinOrder.statsOrderedJoin(spark, factT, legs)
+    val joins = df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length == 2, s"expected 2 joins, saw ${joins.length}")
+    val deepest = joins.last // collect is pre-order: outer join first
+    assert(deepest.right.output.map(_.name).contains("band"),
+      "the 5%-selective dim (payload 'band') must join first")
+  }
+
+  test("every order returns identical rows; stale stats fall back loudly-neutral") {
+    import spark.implicits._
+    val (factT, dimAT, dimBT) = fixture()
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    def rows(legs: Seq[Leg], maxStale: Long = 64): Set[(Long, String, String)] =
+      JoinOrder.statsOrderedJoin(spark, factT, legs, maxStaleVersions = maxStale)
+        .select("id", "band", "seg").as[(Long, String, String)].collect().toSet
+    val declaredAB = rows(Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimBT, "fk2", "dk2")))
+    val declaredBA = rows(Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1")))
+    // maxStale = -1 marks even fresh stats stale: declared-order fallback
+    val fallback = rows(Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1")), maxStale = -1)
+    assert(declaredAB.nonEmpty)
+    assert(declaredAB == declaredBA && declaredBA == fallback)
+    // inner-join reduction really happened: only fk1 < 5 rows survive
+    assert(declaredAB.forall { case (id, _, _) => id % 100 < 5 })
+    // a commit past a zero-lag budget silences the stats
+    Snapshots.commitAll(dimAT, Snapshots.restageLike(spark,
+      Seq((99L, "band-9")).toDF("dk1", "band").withColumn("day", lit("d")),
+      dimAT, "day"))
+    assert(JoinOrder.orderByStats(factT,
+      Seq(Leg(dimAT, "fk1", "dk1")), maxStaleVersions = 0).isEmpty)
+  }
+
+  test("SQL twin answers like the API path; malformed calls fail loudly") {
+    import spark.implicits._
+    val (factT, dimAT, dimBT) = fixture()
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    val api = JoinOrder.statsOrderedJoin(spark, factT,
+        Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimBT, "fk2", "dk2")))
+      .select("id", "band", "seg").as[(Long, String, String)].collect().toSet
+    graft.sql.LakeSql.register(spark, "jospec_f", factT, "day")
+    graft.sql.LakeSql.register(spark, "jospec_da", dimAT, "day")
+    graft.sql.LakeSql.register(spark, "jospec_db", dimBT, "day")
+    val sqlRows = spark.sql(
+      "SELECT id, band, seg FROM stats_star_join(" +
+        "'jospec_f', 'jospec_da', 'fk1', 'dk1', 'jospec_db', 'fk2', 'dk2')")
+      .as[(Long, String, String)].collect().toSet
+    assert(sqlRows == api, "the TVF must answer like the API path")
+    // trailing numeric budget accepted
+    val sqlBudget = spark.sql(
+      "SELECT id, band, seg FROM stats_star_join(" +
+        "'jospec_f', 'jospec_da', 'fk1', 'dk1', 'jospec_db', 'fk2', 'dk2', 6)")
+      .as[(Long, String, String)].collect().toSet
+    assert(sqlBudget == api)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM stats_star_join('nope', 'jospec_da', 'fk1', 'dk1')")
+      .collect())
+    assert(e1.getMessage.contains("registered graft table"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM stats_star_join('jospec_f', 'jospec_da')").collect())
+    assert(e2.getMessage.contains("stats_star_join expects"), e2.getMessage)
+  }
+
+  test("ambiguous leg shapes fail at the door, not two operators later") {
+    import spark.implicits._
+    val (factT, dimAT, _) = fixture()
+    // dim payload column named like another leg's fact key
+    val dimXT = tmp("jo-dimx")
+    Snapshots.commitAll(dimXT, Snapshots.stageWithStats(
+      Seq((0L, 7L)).toDF("dk2", "fk1").withColumn("day", lit("d")),
+      dimXT, "day", "dk2"))
+    val e = intercept[IllegalArgumentException] {
+      JoinOrder.statsOrderedJoin(spark, factT,
+        Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimXT, "fk2", "dk2")))
+    }
+    assert(e.getMessage.contains("collides with another leg's fact key"),
+      e.getMessage)
+    // missing keys named loudly
+    val e2 = intercept[IllegalArgumentException] {
+      JoinOrder.statsOrderedJoin(spark, factT, Seq(Leg(dimAT, "nope", "dk1")))
+    }
+    assert(e2.getMessage.contains("no column 'nope'"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      JoinOrder.statsOrderedJoin(spark, factT, Seq(Leg(dimAT, "fk1", "nope")))
+    }
+    assert(e3.getMessage.contains("no column 'nope'"), e3.getMessage)
+  }
+}
