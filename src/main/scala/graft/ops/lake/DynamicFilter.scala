@@ -201,7 +201,30 @@ object DynamicFilter {
     *     half is a data invariant the engine cannot check from the
     *     manifest alone — it is the documented price of the
     *     per-partition prune; when in doubt pass no `dimTagCol` and
-    *     keep the untagged (coarser, unconditionally sound) prune. */
+    *     keep the untagged (coarser, unconditionally sound) prune.
+    *
+    * `bloomKeys` (r14, > 0 enables): when the collect lands OVER the
+    * cap — today's range-only fallback, where the surviving fact scan
+    * carries NO row filter — build a bloom sketch of the dim's keys
+    * (one extra agg over the already-persisted dim; no distinct, no
+    * exchange — bloom insertion is idempotent) and plant
+    * `might_contain(sketch, xxhash64(key))` as the fact's ROW filter.
+    * That is the piece of Spark's own runtime-filter machinery the
+    * over-cap path was missing: at 100 TB a 10⁶-distinct-key dim
+    * blows any IN-list cap, the key RANGE keeps most files, and
+    * without a row filter every surviving fact row ships into the
+    * join exchange; the sketch (≤ [[BloomMaxBits]]/8 bytes, driver →
+    * plan literal, the same arrival as a broadcast hash table) cuts
+    * non-matching rows BEFORE the shuffle. False positives only —
+    * the join itself stays the exact verdict — so soundness is never
+    * at stake. The dim-side hash input is CAST to the fact key's type
+    * first: `xxhash64` is type-sensitive (INT and LONG of equal value
+    * hash differently), and a cross-type equi-join would otherwise
+    * probe with foreign hashes — false NEGATIVES, silent row loss;
+    * keys the cast nulls out could never equal a fact value of that
+    * type anyway. `bloomKeys` itself is the expected distinct-key
+    * count and sizes the sketch (~16 bits per key, the ~0.05% FPP
+    * point, clamped to [[BloomMaxBits]]). */
   def prunedJoin(spark: SparkSession, factTable: String, dim: DataFrame,
                  factKey: String, dimKey: String,
                  joinType: String = "inner",
@@ -209,7 +232,8 @@ object DynamicFilter {
                  factTagCol: Option[String] = None,
                  extraJoinCols: Seq[String] = Seq.empty,
                  dimTagCol: Option[String] = None,
-                 minFiles: Int = DefaultMinFiles): DataFrame = {
+                 minFiles: Int = DefaultMinFiles,
+                 bloomKeys: Long = 0L): DataFrame = {
     val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"prunedJoin: file-pruning the fact side is only sound for " +
@@ -257,9 +281,51 @@ object DynamicFilter {
       // the collected keys double as a pushed row filter: parquet
       // row-group stats prune INSIDE the surviving files
       case Some(ks) => fact.filter(col(factKey).isin(ks: _*))
+      // over the cap: optionally a bloom ROW filter where the IN list
+      // could not fit (see the bloomKeys scaladoc); file pruning
+      // already degraded to the key range above
+      case None if bloomKeys > 0L =>
+        // column-name resolution is case-insensitive everywhere else in
+        // this path (col(...)); the schema lookup must match it
+        val factType = fact.schema
+          .find(_.name.equalsIgnoreCase(factKey)).map(_.dataType)
+        factType.flatMap(t =>
+          bloomRowFilter(spark, dimP, dimKey, t, bloomKeys)) match {
+          case Some(probe) => fact.filter(probe(col(factKey)))
+          case None => fact
+        }
       case None => fact
     }
     joinAgainst(filtered, dimP)
+  }
+
+  /** Sketch-size ceiling for [[prunedJoin]]'s over-cap bloom row
+    * filter: 2²⁷ bits = 16 MiB — the sketch rides the plan as a
+    * literal (same arrival as a broadcast hash table), so it must stay
+    * executor-memory-trivial even at 10⁸ expected keys. */
+  val BloomMaxBits: Long = 1L << 27
+
+  /** Build the over-cap bloom probe: ONE agg over the (persisted) dim
+    * — no distinct, no exchange — returning a closure that filters any
+    * fact-side key column. `None` when the dim turned out empty (the
+    * sketch is null; nothing to probe). */
+  private def bloomRowFilter(spark: SparkSession, dimP: DataFrame,
+      dimKey: String, factKeyType: org.apache.spark.sql.types.DataType,
+      bloomKeys: Long): Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    graft.functions.BloomSketch.register(spark)
+    val bits = math.max(1L << 16, math.min(BloomMaxBits, bloomKeys * 16L))
+    val dimType = dimP.schema
+      .find(_.name.equalsIgnoreCase(dimKey)).map(_.dataType)
+    val hashIn =
+      if (dimType.contains(factKeyType)) col(dimKey)
+      else col(dimKey).cast(factKeyType)
+    val sketch = dimP
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(hashIn), lit(bloomKeys), lit(bits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    Option(sketch).map { s => (key: org.apache.spark.sql.Column) =>
+      call_function("graft_bloom_might_contain", lit(s), xxhash64(key))
+    }
   }
 
   /** NDV-DRIVEN strategy pre-choice (r12, the ANALYZE consumer): when
@@ -569,8 +635,48 @@ object DynamicFilter {
       |WHERE d.event_date >= DATE '2024-01-03' AND d.event_date <= DATE '2024-01-07'
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** s66: the OVER-CAP DFP join with the bloom row filter (r14) — the
+    * dim's distinct keys (every 7th event id, far over the forced
+    * 50-key cap) blow the IN list, file pruning degrades to the key
+    * range (which keeps nearly every file of a dense-key fact), and
+    * the bloom sketch is the only row-level cut before the join
+    * exchange. The aggregate must equal DuckDB's plain join: bloom
+    * errors are one-sided, the join stays the exact verdict. The
+    * row-reduction receipt lives in the spec (this query pins
+    * correctness). */
+  def bloomDfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s66-fact-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev, factT, "event_date", "event_id"))
+    val dim = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id").as("dim_id"),
+        concat(lit("seg-"), (col("event_id") % 3).cast("string")).as("segment"))
+      .distinct()
+    // maxKeys = 50 forces the over-cap path on any SF; minFiles = 0
+    // forces past the cost gate (s50's fixture-scale discipline)
+    DynamicFilter.prunedJoin(spark, factT, dim, "event_id", "dim_id",
+        maxKeys = 50, minFiles = 0, bloomKeys = 20000L)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
+  lazy val bloomDfpJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_id AS dim_id,
+      |         'seg-' || CAST(event_id % 3 AS VARCHAR) AS segment
+      |  FROM events WHERE event_id % 7 = 0)
+      |SELECT segment, count(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.event_id = d.dim_id
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s50_dfp_join", dfpJoinOracle)(dfpJoin),
     QueryDef.sql("s58_stats_dfp_join", statsDfpJoinOracle)(statsDfpJoin),
-    QueryDef.sql("s61_stats_dfp_date_join", statsDfpDateJoinOracle)(statsDfpDateJoin))
+    QueryDef.sql("s61_stats_dfp_date_join", statsDfpDateJoinOracle)(statsDfpDateJoin),
+    QueryDef.sql("s66_bloom_dfp_join", bloomDfpJoinOracle)(bloomDfpJoin))
 }

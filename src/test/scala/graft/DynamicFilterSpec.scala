@@ -68,6 +68,45 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(asSet(joined) == Set((3L, "a"), (5L, "b"), (7L, "c")))
   }
 
+  test("over-cap bloom row filter: probe in the plan, result exact") {
+    val table = mkFact("dfp-bloom")
+    import spark.implicits._
+    // keys spread across the full id range: the range fallback [0, 78]
+    // keeps every file, so only the bloom can cut rows before the join
+    val dim = Seq(0L, 13L, 26L, 39L, 52L, 65L, 78L)
+      .map(i => (i, s"s$i")).toDF("did", "seg")
+    def hasBloomProbe(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.optimizedPlan.toString
+        .toLowerCase.replace("_", "").contains("mightcontain")
+    val plain = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      maxKeys = 2, minFiles = 0)
+    val bloomed = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      maxKeys = 2, minFiles = 0, bloomKeys = 1000L)
+    assert(hasBloomProbe(bloomed), "over the cap the bloom probe must land")
+    assert(asSet(bloomed) == asSet(plain) && asSet(bloomed).size == 7)
+    // under the cap the IN list already cuts rows: no bloom
+    val underCap = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      maxKeys = 100, minFiles = 0, bloomKeys = 1000L)
+    assert(!hasBloomProbe(underCap))
+    assert(asSet(underCap) == asSet(plain))
+    // a minimum-size sketch (heavy false-positive rate) stays exact:
+    // bloom errors are one-sided, the join is the verdict
+    val tiny = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      maxKeys = 2, minFiles = 0, bloomKeys = 1L)
+    assert(asSet(tiny) == asSet(plain))
+  }
+
+  test("bloom row filter hashes the dim key in the fact key's type") {
+    val table = mkFact("dfp-bloom-type") // fact id is LONG
+    import spark.implicits._
+    // INT dim keys: xxhash64 is type-sensitive, so without the cast the
+    // fact probes with foreign hashes — false negatives, silent row loss
+    val dim = Seq(3, 40, 77).map(i => (i, s"s$i")).toDF("did", "seg")
+    val bloomed = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      maxKeys = 1, minFiles = 0, bloomKeys = 100L)
+    assert(asSet(bloomed) == Set((3L, "s3"), (40L, "s40"), (77L, "s77")))
+  }
+
   test("empty dim yields an empty result with the joined schema") {
     val table = mkFact("dfp-empty")
     import spark.implicits._
