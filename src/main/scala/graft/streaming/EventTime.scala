@@ -79,8 +79,74 @@ object EventTime {
       |FROM grouped GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** T4 — GAP FILL + FORWARD FILL (r14): the OHLCV-bar shape the
+    * reference's trade domain needs but its pandas pipeline never
+    * builds — a DENSE hourly grid per series between the corpus's
+    * global min/max hour, with no-trade hours materialized as
+    * zero-count bars carrying the last seen close forward. Order of
+    * operations is what makes it 100 TB-safe: the CORPUS is touched
+    * once by a map-combinable groupBy down to (series, hour) grain;
+    * the grid is generated from a 1-row bounds agg (`sequence` +
+    * explode — hours are calendar-bounded, ~87k rows per decade) cross
+    * joined to the distinct series; the left join and the forward-fill
+    * window then run over BAR-scale data, partitioned by series (a
+    * million symbols = a million independent window partitions). The
+    * per-bar close is the max-event_id event's value — ids are unique,
+    * so the verdict is deterministic under any partitioning (a raw
+    * `last(ts)` would tie-break arbitrarily on equal timestamps). */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame =
+    gapFillHourlyOf(Tables(spark, dir).events)
+
+  /** [[gapFillHourly]]'s core over any `(event_id, ts, event_type,
+    * value)` frame — split out so the spec can plant known gaps. */
+  private[graft] def gapFillHourlyOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bars = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sv"),
+        max_by(col("value"), col("event_id")).as("close"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      .crossJoin(ev.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bars, Seq("hour", "event_type"), "left")
+      .select(col("event_type"), Exact.epochMs(col("hour")).as("hour_start_ms"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"),
+        coalesce(last(col("close"), ignoreNulls = true).over(w),
+          lit(0.0)).as("close_ffill"))
+      .orderBy("event_type", "hour_start_ms")
+  }
+
+  val gapFillHourlyOracle: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sv,
+      |         arg_max(value, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo,
+      |         date_trunc('hour', max(ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT g.hour, t.event_type
+      |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |        FROM bounds) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+      |SELECT g.event_type, epoch_ms(g.hour) AS hour_start_ms,
+      |       COALESCE(b.n, 0) AS n, COALESCE(b.sv, 0.0) AS sum_value,
+      |       COALESCE(last_value(b.close IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS close_ffill
+      |FROM grid g LEFT JOIN b ON b.hour = g.hour AND b.event_type = g.event_type
+      |ORDER BY g.event_type, hour_start_ms""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("t1_tumbling_hourly", tumblingHourlyOracle)(tumblingHourly),
     QueryDef.sql("t2_sliding_window", slidingWindowOracle)(slidingWindow),
-    QueryDef.sql("t3_session_window", sessionWindowsOracle)(sessionWindows))
+    QueryDef.sql("t3_session_window", sessionWindowsOracle)(sessionWindows),
+    QueryDef.sql("t4_gap_fill", gapFillHourlyOracle)(gapFillHourly))
 }

@@ -602,4 +602,36 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
         s"${r.getString(0)}: exact n_distinct present iff screened")
     }
   }
+
+  test("gap fill: dense grid, zero bars in gaps, close carried forward") {
+    import org.apache.spark.sql.functions._
+    // type A trades hours 0 and 3 (gap at 1-2); type B only hour 2 —
+    // the grid still spans the GLOBAL range 0..3 for both series
+    val ev = Seq(
+      (1L, "2024-01-01 00:15:00", "A", 10.0),
+      (2L, "2024-01-01 00:45:00", "A", 12.0),
+      (3L, "2024-01-01 03:30:00", "A", 7.0),
+      (4L, "2024-01-01 02:10:00", "B", 5.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val out = graft.streaming.EventTime.gapFillHourlyOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // 4 hours x 2 series, no hole in the grid
+    assert(out.length == 8)
+    val byKey = out.map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def h(i: Int): Long = h0 + i * 3600000L
+    // A: bar at h0 (close = max-event_id value 12.0), zero bars at
+    // h1/h2 carrying 12.0 forward, trade again at h3
+    assert(byKey(("A", h(0))) == ((2L, 22.0, 12.0)))
+    assert(byKey(("A", h(1))) == ((0L, 0.0, 12.0)))
+    assert(byKey(("A", h(2))) == ((0L, 0.0, 12.0)))
+    assert(byKey(("A", h(3))) == ((1L, 7.0, 7.0)))
+    // B: zero bars BEFORE its first trade fill 0.0, not a foreign close
+    assert(byKey(("B", h(0))) == ((0L, 0.0, 0.0)))
+    assert(byKey(("B", h(1))) == ((0L, 0.0, 0.0)))
+    assert(byKey(("B", h(2))) == ((1L, 5.0, 5.0)))
+    assert(byKey(("B", h(3))) == ((0L, 0.0, 5.0)))
+  }
 }
