@@ -99,7 +99,11 @@ object Bench {
     "q9_key_discovery",    // candidate-key profiling scans
     "q10_k_anonymity",     // quasi-identifier group-size audit
     "a16_retention_cohorts", // first-seen cohort × age distinct-user matrix
-    "ann3c_ivf_incremental") // add-only snapshot-committed index upsert + probe
+    "ann3c_ivf_incremental", // add-only snapshot-committed index upsert + probe
+    // round-14 late: the one new pure-compute query (the round's other
+    // additions — s64-s67 — build snapshot fixtures per invocation and
+    // stay excluded like the other sink round-trips)
+    "t4_gap_fill")         // dense bar grid + forward-fill window
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

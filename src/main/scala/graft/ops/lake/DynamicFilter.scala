@@ -217,12 +217,14 @@ object DynamicFilter {
     * plan literal, the same arrival as a broadcast hash table) cuts
     * non-matching rows BEFORE the shuffle. False positives only —
     * the join itself stays the exact verdict — so soundness is never
-    * at stake. The dim-side hash input is CAST to the fact key's type
-    * first: `xxhash64` is type-sensitive (INT and LONG of equal value
-    * hash differently), and a cross-type equi-join would otherwise
-    * probe with foreign hashes — false NEGATIVES, silent row loss;
-    * keys the cast nulls out could never equal a fact value of that
-    * type anyway. `bloomKeys` itself is the expected distinct-key
+    * at stake. `xxhash64` hashes by PHYSICAL type (INT and LONG of
+    * equal value hash differently), so the dim-side hash input is
+    * cast to the fact key's type, and the bloom applies only to
+    * hash-compatible key pairs — identical types, or
+    * integral↔integral where that cast is provably lossless for every
+    * joinable value; other cross-type joins (numeric↔string, lossy
+    * double promotions) silently skip the bloom rather than risk a
+    * false NEGATIVE. `bloomKeys` itself is the expected distinct-key
     * count and sizes the sketch (~16 bits per key, the ~0.05% FPP
     * point, clamped to [[BloomMaxBits]]). */
   def prunedJoin(spark: SparkSession, factTable: String, dim: DataFrame,
@@ -300,28 +302,47 @@ object DynamicFilter {
   }
 
   /** Sketch-size ceiling for [[prunedJoin]]'s over-cap bloom row
-    * filter: 2²⁷ bits = 16 MiB — the sketch rides the plan as a
-    * literal (same arrival as a broadcast hash table), so it must stay
-    * executor-memory-trivial even at 10⁸ expected keys. */
-  val BloomMaxBits: Long = 1L << 27
+    * filter: 2²⁶ bits = 8 MiB — Spark's own runtime-bloom max
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits` default),
+    * which `BloomFilterAggregate` enforces; the sketch also rides the
+    * plan as a literal (same arrival as a broadcast hash table), so it
+    * must stay executor-memory-trivial. Past ~4M expected keys the
+    * bits-per-key ratio shrinks — FPP rises, soundness doesn't move. */
+  val BloomMaxBits: Long = 1L << 26
 
   /** Build the over-cap bloom probe: ONE agg over the (persisted) dim
     * — no distinct, no exchange — returning a closure that filters any
     * fact-side key column. `None` when the dim turned out empty (the
-    * sketch is null; nothing to probe). */
+    * sketch is null; nothing to probe) or when the key types are not
+    * hash-compatible: `xxhash64` hashes by PHYSICAL type, so the probe
+    * is sound only when the dim-side insert provably hashes every
+    * joinable value the fact side will probe with. Identical types
+    * always qualify; integral↔integral qualifies (the cast to the
+    * fact's type is exact for every value the equi-join could match —
+    * out-of-range keys can't match, and a wrapping cast only ADDS
+    * false positives). Anything else — numeric↔string renderings,
+    * lossy double promotions — is skipped: a missed insert there is a
+    * false NEGATIVE, i.e. silent row loss, the one failure class this
+    * operator must never trade for speed. */
   private def bloomRowFilter(spark: SparkSession, dimP: DataFrame,
       dimKey: String, factKeyType: org.apache.spark.sql.types.DataType,
       bloomKeys: Long): Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
-    graft.functions.BloomSketch.register(spark)
-    val bits = math.max(1L << 16, math.min(BloomMaxBits, bloomKeys * 16L))
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     val dimType = dimP.schema
       .find(_.name.equalsIgnoreCase(dimKey)).map(_.dataType)
+    val compatible = dimType.exists(dt =>
+      dt == factKeyType || (integral(dt) && integral(factKeyType)))
+    if (!compatible) return None
+    graft.functions.BloomSketch.register(spark)
+    val items = math.max(1L, math.min(bloomKeys, 4000000L))
+    val bits = math.max(1L << 16, math.min(BloomMaxBits, items * 16L))
     val hashIn =
       if (dimType.contains(factKeyType)) col(dimKey)
       else col(dimKey).cast(factKeyType)
     val sketch = dimP
       .agg(call_function("graft_bloom_agg",
-        xxhash64(hashIn), lit(bloomKeys), lit(bits)).as("bf"))
+        xxhash64(hashIn), lit(items), lit(bits)).as("bf"))
       .head.getAs[Array[Byte]](0)
     Option(sketch).map { s => (key: org.apache.spark.sql.Column) =>
       call_function("graft_bloom_might_contain", lit(s), xxhash64(key))

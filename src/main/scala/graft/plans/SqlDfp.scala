@@ -97,6 +97,18 @@ object SqlDfp {
   val MinFilesKey = "spark.graft.dfp.sql.minFiles"
   val MaxKeysKey = "spark.graft.dfp.sql.maxKeys"
 
+  /** > 0 enables the over-cap BLOOM conjunct (r14, the prunedJoin
+    * `bloomKeys` twin): where the IN list could not fit, the planted
+    * range predicate additionally carries
+    * `might_contain(sketch, xxhash64(key))` — the sketch is folded
+    * into the SAME single agg as the min/max (no extra dim pass), and
+    * the fact scan then drops non-matching ROWS before the join
+    * exchange, not just non-matching files. Sound here without a type
+    * gate: the rule only rewrites equi pairs whose attribute types are
+    * identical, so both sides hash the same physical type. The value
+    * is the expected distinct-key count and sizes the sketch. */
+  val BloomKeysKey = "spark.graft.dfp.sql.bloomKeys"
+
   /** The lake scan a join side bottoms out at, reachable through
     * Project/Filter (and any leftover alias) nodes only — shapes where
     * a Filter planted ABOVE the side still pushes to the scan. */
@@ -181,18 +193,24 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
     v.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"$k must be an integer, got '$v'"))
   }
+  private def confLong(k: String, d: Long): Long = {
+    val v = spark.conf.get(k, d.toString)
+    v.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"$k must be an integer, got '$v'"))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!confBool(EnabledKey, d = true)) return plan
     val minFiles = confInt(MinFilesKey,
       graft.ops.lake.DynamicFilter.DefaultMinFiles)
     val maxKeys = confInt(MaxKeysKey, 10000)
+    val bloomKeys = confLong(BloomKeysKey, 0L)
     plan.transformUp {
       case j @ Join(_, _, jt, Some(_), _)
           if (jt == Inner || jt == LeftSemi) &&
             !j.getTagValue(Applied).contains(true) &&
             !j.left.isStreaming && !j.right.isStreaming =>
-        rewrite(j, minFiles, maxKeys) match {
+        rewrite(j, minFiles, maxKeys, bloomKeys) match {
           case Some(out) =>
             // the collect ran: mark BOTH the original analyzed node
             // (shared by reference with any enclosing query's plan)
@@ -205,7 +223,8 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def rewrite(j: Join, minFiles: Int, maxKeys: Int): Option[Join] = {
+  private def rewrite(j: Join, minFiles: Int, maxKeys: Int,
+                      bloomKeys: Long): Option[Join] = {
     val pairs = splitConjunctivePredicates(j.condition.get).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) =>
@@ -241,7 +260,7 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
         // table-level NDV cannot see the dim filter's selectivity, and
         // forfeiting a fitting IN-list costs more than a wasted collect
         val cap = if (statsSayHopeless(dside, da, maxKeys)) 0 else maxKeys
-        val pruneExpr = keyPredicate(dside, da, fa, cap)
+        val pruneExpr = keyPredicate(dside, da, fa, cap, bloomKeys)
         if (factIsLeft) j.copy(left = Filter(pruneExpr, j.left))
         else j.copy(right = Filter(pruneExpr, j.right))
     }
@@ -321,17 +340,40 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
     * `maxKeys <= 0` (the recorded-stats "hopeless" verdict) skips the
     * distinct collect outright and pays only the range agg. */
   private def keyPredicate(dimPlan: LogicalPlan, dimKey: AttributeReference,
-                           factKey: AttributeReference, maxKeys: Int): Expression = {
+                           factKey: AttributeReference, maxKeys: Int,
+                           bloomKeys: Long): Expression = {
     val keyDf = GraftSqlBridge.ofRows(spark,
         Project(Seq(Alias(dimKey, "__graft_dfp_key")()), dimPlan))
       .na.drop()
     val dt = dimKey.dataType
+    // the over-cap predicate: min/max range, plus the bloom conjunct
+    // when enabled — folded into the SAME agg, so the range-and-bloom
+    // form costs exactly the one dim pass the range alone cost
     def range(df: org.apache.spark.sql.DataFrame): Expression = {
-      val mm = df.agg(min(col("__graft_dfp_key")),
-        max(col("__graft_dfp_key"))).head()
+      val bloomAgg = if (bloomKeys > 0L) {
+        graft.functions.BloomSketch.register(spark)
+        val items = math.max(1L, math.min(bloomKeys, 4000000L))
+        val bits = math.max(1L << 16, math.min(
+          graft.ops.lake.DynamicFilter.BloomMaxBits, items * 16L))
+        Some(org.apache.spark.sql.functions.call_function("graft_bloom_agg",
+          org.apache.spark.sql.functions.xxhash64(col("__graft_dfp_key")),
+          org.apache.spark.sql.functions.lit(items),
+          org.apache.spark.sql.functions.lit(bits)))
+      } else None
+      val aggs = Seq(min(col("__graft_dfp_key")),
+        max(col("__graft_dfp_key"))) ++ bloomAgg
+      val mm = df.agg(aggs.head, aggs.drop(1): _*).head()
       if (mm.isNullAt(0)) Literal.FalseLiteral
-      else And(GreaterThanOrEqual(factKey, Literal.create(mm.get(0), dt)),
-        LessThanOrEqual(factKey, Literal.create(mm.get(1), dt)))
+      else {
+        val base: Expression =
+          And(GreaterThanOrEqual(factKey, Literal.create(mm.get(0), dt)),
+            LessThanOrEqual(factKey, Literal.create(mm.get(1), dt)))
+        val sketch = if (bloomAgg.isDefined && !mm.isNullAt(2))
+          Option(mm.getAs[Array[Byte]](2)) else None
+        sketch.fold(base)(s => And(base, BloomFilterMightContain(
+          Literal.create(s, org.apache.spark.sql.types.BinaryType),
+          new XxHash64(Seq(factKey)))))
+      }
     }
     if (maxKeys <= 0) return range(keyDf)
     // persisted for the over-cap case: the capped distinct+collect and

@@ -579,8 +579,48 @@ object LakeSqlQueries {
       |FROM events e JOIN dim d ON e.event_id = d.dim_id
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** s67: the over-cap SQL DFP join with the BLOOM conjunct (r14, the
+    * s66 twin on the SQL front door) — the dim's ~14% key coverage is
+    * forced over a 50-key cap, the planted range keeps nearly every
+    * file of the dense-key fact, and the bloom row filter (folded into
+    * the same agg as the range) is the only pre-shuffle cut. Conf
+    * window with restore: Verify runs queries sequentially, and the
+    * plan is FORCED inside the window (the pre-CBO rule runs at
+    * optimization time, which is lazy — returning an unoptimized frame
+    * would let the restored confs erase the shape under test). */
+  def sqlBloomDfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SqlDfp
+    val table = freshTable("s67-sql-", dir)
+    val ev = eventsSlim(spark, dir)
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      ev, table, "event_date", "event_id", buckets = 320))
+    LakeSql.register(spark, "s67t", table, "event_date")
+    ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id").as("dim_id"),
+        concat(lit("seg-"), (col("event_id") % 3).cast("string")).as("segment"))
+      .distinct()
+      .createOrReplaceTempView("s67_dim")
+    val keys = Seq(SqlDfp.MaxKeysKey, SqlDfp.BloomKeysKey)
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(SqlDfp.MaxKeysKey, "50")
+    spark.conf.set(SqlDfp.BloomKeysKey, "20000")
+    try {
+      val df = spark.sql(
+        s"""SELECT d.segment, count(*) AS n, ${decSumSql("f.value")} AS sum_value
+           |FROM s67t f JOIN s67_dim d ON f.event_id = d.dim_id
+           |GROUP BY d.segment ORDER BY d.segment""".stripMargin)
+      df.queryExecution.optimizedPlan // rule fires inside the window
+      df
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s60_sql_dfp_join", sqlDfpJoinOracle)(sqlDfpJoin),
+    QueryDef.sql("s67_sql_bloom_dfp_join",
+      graft.ops.lake.DynamicFilter.bloomDfpJoinOracle)(sqlBloomDfpJoin),
     QueryDef.sql("s54_sql_medallion", sqlMedallionOracle)(sqlMedallion),
     QueryDef.sql("s52_sql_apply_changes", sqlApplyChangesOracle)(sqlApplyChanges),
     QueryDef.sql("s51_sql_insert_overwrite", sqlInsertOverwriteOracle)(sqlInsertOverwrite),

@@ -105,6 +105,16 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     val bloomed = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
       maxKeys = 1, minFiles = 0, bloomKeys = 100L)
     assert(asSet(bloomed) == Set((3L, "s3"), (40L, "s40"), (77L, "s77")))
+    // hash-INCOMPATIBLE pair (string dim key vs long fact key): the
+    // bloom must decline — a cast-based insert could miss values the
+    // join's own coercion would match (false negative = row loss)
+    val strDim = Seq("3", "40", "77").map(s => (s, s"s$s")).toDF("did", "seg")
+    val declined = DynamicFilter.prunedJoin(spark, table, strDim, "id", "did",
+      maxKeys = 1, minFiles = 0, bloomKeys = 100L)
+    assert(!declined.queryExecution.optimizedPlan.toString
+      .toLowerCase.replace("_", "").contains("mightcontain"),
+      "string-vs-long keys must skip the bloom")
+    assert(asSet(declined) == Set((3L, "s3"), (40L, "s40"), (77L, "s77")))
   }
 
   test("empty dim yields an empty result with the joined schema") {

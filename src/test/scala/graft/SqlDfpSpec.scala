@@ -127,6 +127,35 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("over-cap bloom conjunct rides the planted range when enabled") {
+    import spark.implicits._
+    mkFact("sqldfp-bloom", "sdfpb")
+    // keys at the extremes: the range [0, 79] keeps every file, so the
+    // bloom is the only cut the planted filter can add
+    Seq((0L, "a"), (39L, "b"), (79L, "c")).toDF("did", "seg")
+      .createOrReplaceTempView("sdfpb_dim")
+    def hasBloom(plan: String): Boolean =
+      plan.toLowerCase.replace("_", "").contains("mightcontain")
+    val q = "SELECT f.id, d.seg FROM sdfpb f JOIN sdfpb_dim d ON f.id = d.did"
+    withConf(SqlDfp.MinFilesKey -> "1", SqlDfp.MaxKeysKey -> "1") {
+      val (rows0, _, plan0) = run(q)
+      assert(!hasBloom(plan0), "bloom off by default")
+      assert(rows0 == Set((0L, "a"), (39L, "b"), (79L, "c")))
+      withConf(SqlDfp.BloomKeysKey -> "1000") {
+        val (rows, _, plan) = run(q)
+        assert(hasBloom(plan), s"over-cap + conf must plant the probe\n$plan")
+        assert(rows == rows0, "bloom adds false positives only")
+      }
+      // under the cap the IN list wins; no bloom even when enabled
+      withConf(SqlDfp.MaxKeysKey -> "100",
+          SqlDfp.BloomKeysKey -> "1000") {
+        val (rows, _, plan) = run(q)
+        assert(!hasBloom(plan), s"in-list path must not carry a bloom\n$plan")
+        assert(rows == rows0)
+      }
+    }
+  }
+
   test("unsound and non-qualifying shapes are left untouched") {
     import spark.implicits._
     val table = mkFact("sqldfp-outer", "sdfp3")
