@@ -88,10 +88,27 @@ object JoinOrder {
     * the per-dim broadcast hints) [[orderByStats]] chose; absent/stale
     * stats fall back to the DECLARED order with plain joins (+ AQE).
     * Join keys are matched by name — each leg's `dimKey` renames onto
-    * its `factKey` ([[Skew.statsSkewJoin]]'s contract), with the same
-    * loud guards: a missing key or a rename that would collide with an
-    * existing column fails here, where the leg is nameable, never two
-    * operators later as AMBIGUOUS_REFERENCE. */
+    * its `factKey` ([[Skew.statsSkewJoin]]'s contract).
+    *
+    * Two contracts the stats must never be able to break (both review
+    * finds):
+    *
+    *   - the OUTPUT SCHEMA is fixed by the DECLARATION — fact columns,
+    *     then each leg's payload in declared-leg order — regardless of
+    *     the fold order the stats chose. Without the closing
+    *     projection, an ANALYZE (or stats going stale) would silently
+    *     reorder the same query's columns under every positional
+    *     consumer;
+    *   - every OUTPUT column name must be unambiguous
+    *     (case-insensitive). A dim payload column whose name the FACT
+    *     already owns is DROPPED from that dim before the join (the
+    *     fact's copy wins — the common case is the lake tag column,
+    *     e.g. `day`, present on every snapshot table; rename upstream
+    *     if both copies are needed). A payload name shared by TWO DIMS
+    *     fails HERE with both owners named — never two operators later
+    *     as AMBIGUOUS_REFERENCE; this also rejects duplicate legs.
+    *     Missing keys and key-rename collisions fail with the same
+    *     at-the-door discipline. */
   def statsOrderedJoin(spark: SparkSession, factTable: String,
                        legs: Seq[Leg],
                        broadcastMaxRows: Long = 1000000L,
@@ -103,13 +120,8 @@ object JoinOrder {
         s"statsOrderedJoin($factTable): no column '${leg.factKey}' " +
           s"(fact has ${fact.columns.mkString(", ")})")
     }
-    val planned = orderByStats(factTable, legs, broadcastMaxRows,
-      maxStaleVersions)
-    val ordered: Seq[(Leg, Boolean)] = planned match {
-      case Some(ps) => ps.map(p => (p.leg, p.broadcast))
-      case None => legs.map(l => (l, false))
-    }
-    ordered.foldLeft(fact) { case (acc, (leg, bc)) =>
+    // every dim read + validated ONCE, up front, in declared order
+    val dims: Seq[(Leg, DataFrame, Seq[String])] = legs.map { leg =>
       val dim0 = Mutations.readMerged(spark, leg.dimTable, mergeSchema = true)
       require(dim0.columns.exists(_.equalsIgnoreCase(leg.dimKey)),
         s"statsOrderedJoin(${leg.dimTable}): no column '${leg.dimKey}' " +
@@ -119,20 +131,44 @@ object JoinOrder {
         s"statsOrderedJoin(${leg.dimTable}): dim already has a column " +
           s"named '${leg.factKey}' — renaming its key '${leg.dimKey}' " +
           "onto it would be ambiguous; rename one side first")
-      // a dim payload column sharing a LATER leg's fact-key name would
-      // make that leg's by-name join ambiguous once this dim's columns
-      // fold into the accumulating frame
-      legs.filterNot(_ eq leg).foreach { other =>
-        require(!dim0.columns.exists(c =>
-          c.equalsIgnoreCase(other.factKey) && !c.equalsIgnoreCase(leg.dimKey)),
-          s"statsOrderedJoin(${leg.dimTable}): dim column " +
-            s"'${other.factKey}' collides with another leg's fact key; " +
-            "rename it before joining")
-      }
-      val dim = if (leg.dimKey == leg.factKey) dim0
+      val renamed = if (leg.dimKey == leg.factKey) dim0
         else dim0.withColumnRenamed(leg.dimKey, leg.factKey)
+      val factOwned = fact.columns.map(_.toLowerCase).toSet
+      val payload = renamed.columns.toSeq
+        .filterNot(_.equalsIgnoreCase(leg.factKey))
+        .filterNot(c => factOwned(c.toLowerCase))
+      // project to key + surviving payload: fact-owned duplicates drop
+      // HERE (narrower shuffle too), so the closing by-name select is
+      // never ambiguous
+      val dim = renamed.select((leg.factKey +: payload).map(renamed.col): _*)
+      (leg, dim, payload)
+    }
+    val owner = scala.collection.mutable.HashMap.empty[String, String]
+    dims.foreach { case (leg, _, payload) =>
+      payload.foreach { c =>
+        owner.put(c.toLowerCase, leg.dimTable).foreach { prev =>
+          throw new IllegalArgumentException(
+            s"statsOrderedJoin: column '$c' appears in both $prev and " +
+              s"${leg.dimTable} — the star's output is selected by name, " +
+              "so every payload column must be unambiguous; rename one side")
+        }
+      }
+    }
+    val planned = orderByStats(factTable, legs, broadcastMaxRows,
+      maxStaleVersions)
+    val ordered: Seq[(Leg, Boolean)] = planned match {
+      case Some(ps) => ps.map(p => (p.leg, p.broadcast))
+      case None => legs.map(l => (l, false))
+    }
+    val byLeg = dims.map { case (leg, dim, _) => leg -> dim }.toMap
+    val joined = ordered.foldLeft(fact) { case (acc, (leg, bc)) =>
+      val dim = byLeg(leg)
       acc.join(if (bc) broadcast(dim) else dim, Seq(leg.factKey), "inner")
     }
+    // the declaration-ordered projection: stats choose the fold, never
+    // the schema
+    joined.select((fact.columns.toSeq ++
+      dims.flatMap(_._3)).map(joined.col): _*)
   }
 
   // ---- oracle-gated exercise ---------------------------------------

@@ -302,13 +302,10 @@ object DynamicFilter {
   }
 
   /** Sketch-size ceiling for [[prunedJoin]]'s over-cap bloom row
-    * filter: 2²⁶ bits = 8 MiB — Spark's own runtime-bloom max
-    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits` default),
-    * which `BloomFilterAggregate` enforces; the sketch also rides the
-    * plan as a literal (same arrival as a broadcast hash table), so it
-    * must stay executor-memory-trivial. Past ~4M expected keys the
-    * bits-per-key ratio shrinks — FPP rises, soundness doesn't move. */
-  val BloomMaxBits: Long = 1L << 26
+    * filter — the engine-wide policy lives on
+    * [[graft.functions.BloomSketch.MaxBits]] (one definition, shared
+    * with the SQL DFP twin). */
+  val BloomMaxBits: Long = graft.functions.BloomSketch.MaxBits
 
   /** Build the over-cap bloom probe: ONE agg over the (persisted) dim
     * — no distinct, no exchange — returning a closure that filters any
@@ -334,15 +331,12 @@ object DynamicFilter {
     val compatible = dimType.exists(dt =>
       dt == factKeyType || (integral(dt) && integral(factKeyType)))
     if (!compatible) return None
-    graft.functions.BloomSketch.register(spark)
-    val items = math.max(1L, math.min(bloomKeys, 4000000L))
-    val bits = math.max(1L << 16, math.min(BloomMaxBits, items * 16L))
     val hashIn =
       if (dimType.contains(factKeyType)) col(dimKey)
       else col(dimKey).cast(factKeyType)
     val sketch = dimP
-      .agg(call_function("graft_bloom_agg",
-        xxhash64(hashIn), lit(items), lit(bits)).as("bf"))
+      .agg(graft.functions.BloomSketch
+        .sizedSketchAgg(spark, xxhash64(hashIn), bloomKeys).as("bf"))
       .head.getAs[Array[Byte]](0)
     Option(sketch).map { s => (key: org.apache.spark.sql.Column) =>
       call_function("graft_bloom_might_contain", lit(s), xxhash64(key))
@@ -686,12 +680,12 @@ object DynamicFilter {
   }
 
   lazy val bloomDfpJoinOracle: String =
-    """WITH dim AS (
+    s"""WITH dim AS (
       |  SELECT DISTINCT event_id AS dim_id,
       |         'seg-' || CAST(event_id % 3 AS VARCHAR) AS segment
       |  FROM events WHERE event_id % 7 = 0)
       |SELECT segment, count(*) AS n,
-      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+      |       ${Exact.decSumSql("value")} AS sum_value
       |FROM events e JOIN dim d ON e.event_id = d.dim_id
       |GROUP BY segment ORDER BY segment""".stripMargin
 

@@ -350,16 +350,11 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
     // when enabled — folded into the SAME agg, so the range-and-bloom
     // form costs exactly the one dim pass the range alone cost
     def range(df: org.apache.spark.sql.DataFrame): Expression = {
-      val bloomAgg = if (bloomKeys > 0L) {
-        graft.functions.BloomSketch.register(spark)
-        val items = math.max(1L, math.min(bloomKeys, 4000000L))
-        val bits = math.max(1L << 16, math.min(
-          graft.ops.lake.DynamicFilter.BloomMaxBits, items * 16L))
-        Some(org.apache.spark.sql.functions.call_function("graft_bloom_agg",
+      val bloomAgg = if (bloomKeys > 0L)
+        Some(graft.functions.BloomSketch.sizedSketchAgg(spark,
           org.apache.spark.sql.functions.xxhash64(col("__graft_dfp_key")),
-          org.apache.spark.sql.functions.lit(items),
-          org.apache.spark.sql.functions.lit(bits)))
-      } else None
+          bloomKeys))
+      else None
       val aggs = Seq(min(col("__graft_dfp_key")),
         max(col("__graft_dfp_key"))) ++ bloomAgg
       val mm = df.agg(aggs.head, aggs.drop(1): _*).head()

@@ -197,6 +197,12 @@ object LakeSql {
     }
     val (strArgs, budget) = args.lastOption match {
       case Some(Literal(n: Number, _)) => (args.dropRight(1), n.longValue())
+      // fractional literals parse as Decimal, not java Number — the
+      // sibling stats_skew_join accepts them, so this twin must too
+      // (review find: '1000000.0' was misread as a leg string and
+      // rejected with a misleading arity error)
+      case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+        (args.dropRight(1), d.toLong)
       case _ => (args, 1000000L)
     }
     if (strArgs.length < 4 || (strArgs.length - 1) % 3 != 0) bad()

@@ -101,16 +101,20 @@ object EventTime {
     * value)` frame — split out so the spec can plant known gaps. */
   private[graft] def gapFillHourlyOf(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bars = ev
+    // ONE corpus pass: bounds and the series set are derived from the
+    // bar-grain aggregate (min/max of truncated hours ≡ truncated
+    // min/max of ts; bar-grain distinct event_type ≡ corpus distinct),
+    // persisted so the grid's two tiny reads hit bar-scale data — the
+    // first cut re-scanned the corpus for each (review find)
+    val bars = graft.engine.Caching.persist(ev
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sv"),
-        max_by(col("value"), col("event_id")).as("close"))
-    val grid = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-        date_trunc("hour", max(col("ts"))).as("hi"))
+        max_by(col("value"), col("event_id")).as("close")))
+    val grid = bars
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
-      .crossJoin(ev.select("event_type").distinct())
+      .crossJoin(bars.select("event_type").distinct())
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(bars, Seq("hour", "event_type"), "left")
@@ -123,9 +127,9 @@ object EventTime {
   }
 
   val gapFillHourlyOracle: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-      |         CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sv,
+      |         ${Exact.decSumSql("value")} AS sv,
       |         arg_max(value, event_id) AS close
       |  FROM events GROUP BY 1, 2),
       |bounds AS (

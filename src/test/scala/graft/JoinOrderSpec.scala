@@ -69,8 +69,10 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
     Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
     Analyze.analyze(spark, dimAT, Seq("dk1"))
     Analyze.analyze(spark, dimBT, Seq("dk2"))
-    def rows(legs: Seq[Leg], maxStale: Long = 64): Set[(Long, String, String)] =
+    def frame(legs: Seq[Leg], maxStale: Long = 64) =
       JoinOrder.statsOrderedJoin(spark, factT, legs, maxStaleVersions = maxStale)
+    def rows(legs: Seq[Leg], maxStale: Long = 64): Set[(Long, String, String)] =
+      frame(legs, maxStale)
         .select("id", "band", "seg").as[(Long, String, String)].collect().toSet
     val declaredAB = rows(Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimBT, "fk2", "dk2")))
     val declaredBA = rows(Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1")))
@@ -78,6 +80,14 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
     val fallback = rows(Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1")), maxStale = -1)
     assert(declaredAB.nonEmpty)
     assert(declaredAB == declaredBA && declaredBA == fallback)
+    // the OUTPUT SCHEMA follows the DECLARATION, not the stats: the
+    // same declared legs yield identical column order whether the
+    // stats reorder the fold (fresh) or not (stale) — positional
+    // consumers must never see an ANALYZE reshuffle their columns
+    val legsBA = Seq(Leg(dimBT, "fk2", "dk2"), Leg(dimAT, "fk1", "dk1"))
+    assert(frame(legsBA).columns.toSeq == frame(legsBA, maxStale = -1).columns.toSeq)
+    assert(frame(legsBA).columns.toSeq ==
+      Seq("id", "fk1", "fk2", "v", "day", "seg", "band"))
     // inner-join reduction really happened: only fk1 < 5 rows survive
     assert(declaredAB.forall { case (id, _, _) => id % 100 < 5 })
     // a commit past a zero-lag budget silences the stats
@@ -123,17 +133,29 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
   test("ambiguous leg shapes fail at the door, not two operators later") {
     import spark.implicits._
     val (factT, dimAT, _) = fixture()
-    // dim payload column named like another leg's fact key
+    // dim payload column the FACT already owns (here another leg's
+    // fact key — same class as every lake dim's `day` tag): dropped
+    // from the dim, the fact's copy wins, the join stays by-name-sound
     val dimXT = tmp("jo-dimx")
     Snapshots.commitAll(dimXT, Snapshots.stageWithStats(
       Seq((0L, 7L)).toDF("dk2", "fk1").withColumn("day", lit("d")),
       dimXT, "day", "dk2"))
-    val e = intercept[IllegalArgumentException] {
+    val dropped = JoinOrder.statsOrderedJoin(spark, factT,
+      Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimXT, "fk2", "dk2")))
+    assert(dropped.columns.count(_.equalsIgnoreCase("fk1")) == 1,
+      dropped.columns.mkString(","))
+    assert(dropped.columns.count(_.equalsIgnoreCase("day")) == 1)
+    // two dims sharing a payload name: same at-the-door rejection
+    val dimYT = tmp("jo-dimy")
+    Snapshots.commitAll(dimYT, Snapshots.stageWithStats(
+      Seq((0L, "band-9")).toDF("dk2", "band").withColumn("day", lit("d")),
+      dimYT, "day", "dk2"))
+    val eShared = intercept[IllegalArgumentException] {
       JoinOrder.statsOrderedJoin(spark, factT,
-        Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimXT, "fk2", "dk2")))
+        Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimYT, "fk2", "dk2")))
     }
-    assert(e.getMessage.contains("collides with another leg's fact key"),
-      e.getMessage)
+    assert(eShared.getMessage.contains("appears in both") &&
+      eShared.getMessage.contains("band"), eShared.getMessage)
     // missing keys named loudly
     val e2 = intercept[IllegalArgumentException] {
       JoinOrder.statsOrderedJoin(spark, factT, Seq(Leg(dimAT, "nope", "dk1")))
