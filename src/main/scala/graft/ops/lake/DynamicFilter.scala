@@ -448,11 +448,22 @@ object DynamicFilter {
                      factTagCol: Option[String] = None,
                      minFiles: Int = DefaultMinFiles): DataFrame = {
     val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
-    val dt = dim0.schema(dim0.schema.fieldIndex(filterCol)).dataType
-    val (loLit, loH) = rangeEndpoint(spark, dt, lo, filterCol)
-    val (hiLit, hiH) = rangeEndpoint(spark, dt, hi, filterCol)
-    val dim = dim0.filter(col(filterCol) >= lit(loLit) && col(filterCol) <= lit(hiLit))
-    val capped = strategyForRange(dimTable, dimKey, filterCol, loH, hiH, maxKeys) match {
+    // case-INSENSITIVE resolution to the schema's canonical spelling
+    // (r14 review find: a bare fieldIndex threw on 'Score' vs 'score'
+    // where every sibling path — col(), Analyze.resolveCols, the skew
+    // key checks — resolves insensitively); the canonical name then
+    // feeds both the filter and the stats lookup, which keys its props
+    // by canonical spelling
+    val field = dim0.schema
+      .find(_.name.equalsIgnoreCase(filterCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"statsAwareJoin($dimTable): no column '$filterCol' " +
+          s"(dim has ${dim0.columns.mkString(", ")})"))
+    val (fName, dt) = (field.name, field.dataType)
+    val (loLit, loH) = rangeEndpoint(spark, dt, lo, fName)
+    val (hiLit, hiH) = rangeEndpoint(spark, dt, hi, fName)
+    val dim = dim0.filter(col(fName) >= lit(loLit) && col(fName) <= lit(hiLit))
+    val capped = strategyForRange(dimTable, dimKey, fName, loH, hiH, maxKeys) match {
       case Some("range") => 0 // hopeless: skip straight to the range prune
       case _ => maxKeys       // inlist, or no basis: runtime cap decides
     }

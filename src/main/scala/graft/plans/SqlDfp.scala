@@ -52,6 +52,20 @@ import org.apache.spark.sql.functions.{col, max, min}
   * it — documented, and switchable off per session
   * (`spark.graft.dfp.sql.enabled = false`).
   *
+  * CONSISTENCY CONTRACT (r14 review find, second pass): the planted
+  * keys are a snapshot of the dim AT OPTIMIZATION time. The lake FACT
+  * side is immutable-snapshot-backed, but a MUTABLE dim source (JDBC,
+  * a rewritten parquet dir) that changes between optimization and a
+  * LATER re-execution of the same retained Dataset can hold keys the
+  * planted filter no longer admits — under-matching, the same
+  * consistency model Spark applies to any twice-scanned mutable
+  * source (a plain self-join of a JDBC table has no snapshot
+  * guarantee either, and execution-time re-collection could not reach
+  * `listFiles`, which runs at planning). Re-create the frame after
+  * mutating a dim source, or join through the API path
+  * ([[graft.ops.lake.DynamicFilter.prunedJoin]]), whose persisted dim
+  * pins one evaluation for both the collect and the build side.
+  *
   * Guards, each load-bearing:
   *   - equi-key attributes must be DIRECT outputs of the fact's lake
   *     relation (no alias indirection) — otherwise the filter cannot
@@ -76,13 +90,19 @@ import org.apache.spark.sql.functions.{col, max, min}
   * manifest. */
 object SqlDfp {
 
-  /** Marks a Join this rule already REWROTE — optimization of an
-    * enclosing query that reuses the Dataset's analyzed plan must not
-    * re-collect the dim side (the tag rides on both the original
-    * analyzed node, which the enclosing plan shares by reference, and
-    * the rewritten copy this rule returns). Joins the rule merely
-    * SKIPPED are deliberately left untagged: their guards are
-    * zero-job driver checks, and a sticky tag would freeze a skip
+  /** Marks a Join this rule already REWROTE, making the rewrite
+    * idempotent if the SAME tree ever re-enters the batch. Scope
+    * honesty (r14 review find, second pass): the optimizer works on a
+    * CLONE of the Dataset's analyzed plan, so this tag never reaches
+    * the original analyzed nodes — a NEW enclosing query that embeds
+    * the Dataset's analyzed join re-enters the rule and pays one fresh
+    * key collect per compile. That is the documented cost model ("the
+    * price every runtime-filter scheme pays once per query"), not a
+    * leak; memoizing collected keys across compiles was considered and
+    * rejected because it would extend the keys-at-optimization
+    * staleness window (see the object doc) indefinitely. Joins the
+    * rule merely SKIPPED are deliberately left untagged: their guards
+    * are zero-job driver checks, and a sticky tag would freeze a skip
     * decision past a later conf change (r14 review find — a user
     * lowering the cost gate would find pruning permanently disabled
     * on reused Datasets). */
@@ -159,12 +179,13 @@ object SqlDfp {
     // under the broadcast budget the collect costs what a broadcast
     // build would anyway.
     case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation
-      if {
-        val st = imr.computeStats()
-        st.rowCount.exists(_ <= 1000000L) ||
-          st.sizeInBytes <= org.apache.spark.sql.internal.SQLConf.get
-            .autoBroadcastJoinThreshold.max(10L * 1024 * 1024)
-      } => ()
+      // SIZE is the gate, alone: the collect's cost scales with bytes
+      // scanned, and a row-count disjunct let a 900k-row × 5 KB cached
+      // dim (~4.5 GB) count as "selective" and pay a multi-GB distinct
+      // at every compile (r14 review find, second pass)
+      if imr.computeStats().sizeInBytes <=
+        org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold.max(10L * 1024 * 1024) => ()
   }.isDefined
 
   private def splitCond(e: Expression): Seq[Expression] = e match {
@@ -292,6 +313,11 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
             case (_: NumericType, n: java.lang.Number) => Some(n.doubleValue())
             case _ => None
           }
+          // strict bounds (>, <) are folded as their inclusive twins:
+          // the histogram cannot resolve below bucket grain anyway, so
+          // the estimate inflates by at most one boundary-bucket
+          // fraction per side — always sound (a too-big estimate only
+          // degrades a fitting IN list to the coarser range prune)
           val lo = scala.collection.mutable.HashMap.empty[String, Double]
           val hi = scala.collection.mutable.HashMap.empty[String, Double]
           def addLo(a: AttributeReference, v: Double): Unit =

@@ -308,6 +308,17 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     val b = DynamicFilter.statsAwareJoin(spark, factT, dimT,
       "id", "did", "score", 0.0, 100.0, maxKeys = 20, minFiles = 0)
     assert(b.count() == 80, "range branch must keep exactly the matches")
+    // filterCol resolves case-insensitively to the canonical spelling
+    // (review find: fieldIndex threw on 'Score' where every sibling
+    // path resolves insensitively) — and an unknown column is loud
+    val c = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "Score", 0.0, 9.0, maxKeys = 20, minFiles = 0)
+    assert(c.count() == 10)
+    val e = intercept[IllegalArgumentException] {
+      DynamicFilter.statsAwareJoin(spark, factT, dimT,
+        "id", "did", "nope", 0.0, 9.0, minFiles = 0)
+    }
+    assert(e.getMessage.contains("no column 'nope'"), e.getMessage)
   }
 
   test("sketch histogram refresh: no sort in the plan, estimates within epsilon of exact") {
