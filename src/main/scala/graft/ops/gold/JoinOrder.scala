@@ -44,14 +44,28 @@ import org.apache.spark.sql.functions._
   */
 object JoinOrder {
 
+  /** An optional per-leg dim cut, `col ∈ [lo, hi]`, in the COLUMN's
+    * own literal space (plain numbers; Date/LocalDate/ISO strings for
+    * DATE; Timestamp/Instant/session-TZ strings for TIMESTAMP — the
+    * same forms [[graft.ops.lake.DynamicFilter.statsAwareJoin]]
+    * accepts). The filter cuts the dim BEFORE its join, and — when the
+    * filter column carries a fresh recorded histogram — its estimated
+    * selectivity feeds the leg ORDER: a huge dim cut to 2% by its
+    * filter is often the most-reducing leg, which unfiltered NDV math
+    * cannot see. */
+  final case class LegFilter(col: String, lo: Any, hi: Any)
+
   /** One dim leg of a star join: `dimTable` inner-joined on
-    * `fact.factKey = dim.dimKey`. */
-  final case class Leg(dimTable: String, factKey: String, dimKey: String)
+    * `fact.factKey = dim.dimKey`, optionally cut by `filter` first. */
+  final case class Leg(dimTable: String, factKey: String, dimKey: String,
+                       filter: Option[LegFilter] = None)
 
   /** The stats-planned execution of one leg. `selectivity` is the
     * estimated fraction of fact rows RETAINED by the leg's inner join
-    * (containment assumption — see the object doc); `broadcast` is the
-    * recorded-row-count budget verdict. */
+    * (containment assumption — see the object doc — times the leg
+    * filter's histogram selectivity when one is declared); `dimRows`
+    * is the estimated POST-FILTER dim row count, which is what the
+    * broadcast budget verdict is about. */
   final case class LegPlan(leg: Leg, selectivity: Double,
                            dimRows: Long, broadcast: Boolean)
 
@@ -60,22 +74,57 @@ object JoinOrder {
     * dim rows then table name so the plan is deterministic. Every
     * input is a snapshot prop — the decision runs ZERO scan jobs
     * (JoinOrderSpec fences it). `None` when any required stat is
-    * absent or stale: no basis, the caller keeps its declared order. */
+    * absent or stale: no basis, the caller keeps its declared order.
+    *
+    * `histBounds` carries each FILTERED leg's bounds in HISTOGRAM
+    * value space — (canonical column, lo, hi) as doubles, epoch
+    * days/micros for temporal columns (the [[graft.ops.lake
+    * .DynamicFilter.strategyForRange]] contract). [[statsOrderedJoin]]
+    * derives it from the leg filters and the dim schemas; direct
+    * callers with filtered legs must supply it (hand-converted), and
+    * a filtered leg WITHOUT an entry fails loudly rather than
+    * silently ordering as if unfiltered. A filtered leg additionally
+    * requires a FRESH histogram on its filter column
+    * ([[Analyze.histogramVersionOf]], same per-family staleness) —
+    * absent/stale answers `None` like every other missing stat. */
   def orderByStats(factTable: String, legs: Seq[Leg],
                    broadcastMaxRows: Long = 1000000L,
-                   maxStaleVersions: Long = 64): Option[Seq[LegPlan]] = {
-    def fresh(table: String): Boolean = Analyze.analyzedVersion(table)
-      .exists(v => Snapshots.currentVersion(table) - v <= maxStaleVersions)
-    if (legs.isEmpty || !fresh(factTable)) return None
+                   maxStaleVersions: Long = 64,
+                   histBounds: Map[Leg, (String, Double, Double)] = Map.empty)
+      : Option[Seq[LegPlan]] = {
+    def fresh(table: String, v: Option[Long]): Boolean =
+      v.exists(Snapshots.currentVersion(table) - _ <= maxStaleVersions)
+    legs.filter(_.filter.isDefined).foreach { leg =>
+      require(histBounds.contains(leg),
+        s"orderByStats(${leg.dimTable}): leg declares a filter on " +
+          s"'${leg.filter.get.col}' but no histogram-space bounds were " +
+          "supplied — call through statsOrderedJoin (which derives them " +
+          "from the dim schema) or pass histBounds")
+    }
+    if (legs.isEmpty ||
+        !fresh(factTable, Analyze.analyzedVersion(factTable))) return None
     val plans = legs.map { leg =>
       for {
-        _ <- Some(()).filter(_ => fresh(leg.dimTable))
+        _ <- Some(()).filter(_ =>
+          fresh(leg.dimTable, Analyze.analyzedVersion(leg.dimTable)))
         factNdv <- Analyze.ndvOf(factTable, leg.factKey)
         if factNdv > 0
         dimNdv <- Analyze.ndvOf(leg.dimTable, leg.dimKey)
         dimRows <- Analyze.rowsOf(leg.dimTable)
-      } yield LegPlan(leg, math.min(1.0, dimNdv.toDouble / factNdv.toDouble),
-        dimRows, dimRows <= broadcastMaxRows)
+        filterSel <- histBounds.get(leg) match {
+          case None => Some(1.0)
+          case Some((fcol, lo, hi)) => for {
+            _ <- Some(()).filter(_ => fresh(leg.dimTable,
+              Analyze.histogramVersionOf(leg.dimTable, fcol)))
+            s <- Analyze.rangeSelectivity(leg.dimTable, fcol, lo, hi)
+          } yield s
+        }
+      } yield {
+        val effRows = math.ceil(dimRows * filterSel).toLong
+        LegPlan(leg,
+          math.min(1.0, dimNdv.toDouble * filterSel / factNdv.toDouble),
+          effRows, effRows <= broadcastMaxRows)
+      }
     }
     // all legs or nothing: a partial order would silently interleave
     // planned and unplanned legs in a shape nobody declared
@@ -120,17 +169,37 @@ object JoinOrder {
         s"statsOrderedJoin($factTable): no column '${leg.factKey}' " +
           s"(fact has ${fact.columns.mkString(", ")})")
     }
-    // every dim read + validated ONCE, up front, in declared order
+    // every dim read + validated ONCE, up front, in declared order;
+    // leg filters apply here (and their histogram-space bounds are
+    // derived from the dim schema for the ordering — zero jobs, the
+    // statsAwareJoin conversion)
+    val bounds = scala.collection.mutable.HashMap
+      .empty[Leg, (String, Double, Double)]
     val dims: Seq[(Leg, DataFrame, Seq[String])] = legs.map { leg =>
-      val dim0 = Mutations.readMerged(spark, leg.dimTable, mergeSchema = true)
-      require(dim0.columns.exists(_.equalsIgnoreCase(leg.dimKey)),
+      val dimRaw = Mutations.readMerged(spark, leg.dimTable, mergeSchema = true)
+      require(dimRaw.columns.exists(_.equalsIgnoreCase(leg.dimKey)),
         s"statsOrderedJoin(${leg.dimTable}): no column '${leg.dimKey}' " +
-          s"(dim has ${dim0.columns.mkString(", ")})")
+          s"(dim has ${dimRaw.columns.mkString(", ")})")
       require(leg.dimKey.equalsIgnoreCase(leg.factKey) ||
-        !dim0.columns.exists(_.equalsIgnoreCase(leg.factKey)),
+        !dimRaw.columns.exists(_.equalsIgnoreCase(leg.factKey)),
         s"statsOrderedJoin(${leg.dimTable}): dim already has a column " +
           s"named '${leg.factKey}' — renaming its key '${leg.dimKey}' " +
           "onto it would be ambiguous; rename one side first")
+      val dim0 = leg.filter match {
+        case None => dimRaw
+        case Some(LegFilter(fc, lo, hi)) =>
+          val field = dimRaw.schema.find(_.name.equalsIgnoreCase(fc))
+            .getOrElse(throw new IllegalArgumentException(
+              s"statsOrderedJoin(${leg.dimTable}): no filter column '$fc' " +
+                s"(dim has ${dimRaw.columns.mkString(", ")})"))
+          val (loLit, loH) = graft.ops.lake.DynamicFilter
+            .rangeEndpoint(spark, field.dataType, lo, field.name)
+          val (hiLit, hiH) = graft.ops.lake.DynamicFilter
+            .rangeEndpoint(spark, field.dataType, hi, field.name)
+          bounds.update(leg, (field.name, loH, hiH))
+          dimRaw.filter(col(field.name) >= lit(loLit) &&
+            col(field.name) <= lit(hiLit))
+      }
       val renamed = if (leg.dimKey == leg.factKey) dim0
         else dim0.withColumnRenamed(leg.dimKey, leg.factKey)
       val factOwned = fact.columns.map(_.toLowerCase).toSet
@@ -155,7 +224,7 @@ object JoinOrder {
       }
     }
     val planned = orderByStats(factTable, legs, broadcastMaxRows,
-      maxStaleVersions)
+      maxStaleVersions, bounds.toMap)
     val ordered: Seq[(Leg, Boolean)] = planned match {
       case Some(ps) => ps.map(p => (p.leg, p.broadcast))
       case None => legs.map(l => (l, false))
@@ -258,7 +327,62 @@ object JoinOrder {
          |GROUP BY band, seg ORDER BY band, seg""".stripMargin)
   }
 
+  /** s68: FILTERED-leg ordering under the oracle gate — dimA covers
+    * 20% of fk1 (retained fraction 0.2 unfiltered), dimB covers every
+    * fk2 value (1.0 unfiltered — the last pick by bare NDV math) but
+    * arrives cut to dk2 ∈ [0, 4]; the recorded histogram prices that
+    * cut at ~10%, so the FILTERED leg orders first (the spec pins the
+    * flip and fences the decision at zero jobs). The joined aggregate
+    * must equal DuckDB's order-free filtered join. */
+  def statsFilteredStarQuery(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s68-fact-", dir)
+    val dimAT = freshTable("s68-dima-", dir)
+    val dimBT = freshTable("s68-dimb-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("fk1", col("event_id") % 1000)
+      .withColumn("fk2", col("event_id") % 50)
+      .select("event_id", "fk1", "fk2", "value")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev.withColumn("day", lit("d")), factT, "day", "fk1"))
+    val dimA = spark.range(0, 200)
+      .select(col("id").as("dk1"),
+        concat(lit("band-"), (col("id") % 4).cast("string")).as("band"))
+    Snapshots.commitAll(dimAT, Snapshots.stageWithStats(
+      dimA.withColumn("day", lit("d")), dimAT, "day", "dk1"))
+    val dimB = spark.range(0, 50)
+      .select(col("id").as("dk2"),
+        concat(lit("seg-"), (col("id") % 5).cast("string")).as("seg"))
+    Snapshots.commitAll(dimBT, Snapshots.stageWithStats(
+      dimB.withColumn("day", lit("d")), dimBT, "day", "dk2"))
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    Analyze.histogram(spark, dimBT, "dk2", 10)
+    statsOrderedJoin(spark, factT,
+        Seq(Leg(dimAT, "fk1", "dk1"),
+          Leg(dimBT, "fk2", "dk2", Some(LegFilter("dk2", 0, 4)))))
+      .groupBy("band", "seg")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("band", "seg")
+  }
+
+  lazy val statsFilteredStarOracle: String =
+    s"""WITH f AS (
+      |  SELECT event_id % 1000 AS fk1, event_id % 50 AS fk2, value
+      |  FROM events),
+      |da AS (
+      |  SELECT i AS dk1, 'band-' || CAST(i % 4 AS VARCHAR) AS band
+      |  FROM (SELECT unnest(range(0, 200)) AS i)),
+      |db AS (
+      |  SELECT i AS dk2, 'seg-' || CAST(i % 5 AS VARCHAR) AS seg
+      |  FROM (SELECT unnest(range(0, 50)) AS i) WHERE i BETWEEN 0 AND 4)
+      |SELECT band, seg, count(*) AS n,
+      |       ${Exact.decSumSql("f.value")} AS sum_value
+      |FROM f JOIN da ON f.fk1 = da.dk1 JOIN db ON f.fk2 = db.dk2
+      |GROUP BY band, seg ORDER BY band, seg""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s64_stats_ordered_join", statsOrderedJoinOracle)(statsOrderedJoinQuery),
-    QueryDef.sql("s65_stats_ordered_join_sql", statsOrderedJoinOracle)(statsOrderedJoinSql))
+    QueryDef.sql("s65_stats_ordered_join_sql", statsOrderedJoinOracle)(statsOrderedJoinSql),
+    QueryDef.sql("s68_stats_filtered_star", statsFilteredStarOracle)(statsFilteredStarQuery))
 }

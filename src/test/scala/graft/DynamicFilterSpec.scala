@@ -96,6 +96,31 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(asSet(tiny) == asSet(plain))
   }
 
+  test("bloom over-cap join equals the plain join on randomized keys") {
+    val table = mkFact("dfp-bloom-fuzz")
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { round =>
+      // random key sets straddling the fact's [0, 79] domain (misses
+      // included), alternating INT and LONG dim types, tiny caps so
+      // every round lands over-cap, sketch sizes from degenerate to
+      // roomy — the invariant under all of it: bloom == plain, exactly
+      val keys = Seq.fill(rnd.nextInt(12) + 3)(rnd.nextInt(120) - 10).distinct
+      val dim =
+        if (round % 2 == 0) keys.map(k => (k.toLong, s"s$k")).toDF("did", "seg")
+        else keys.map(k => (k, s"s$k")).toDF("did", "seg")
+      val bloomKeys = Seq(1L, 7L, 100000L)(round % 3)
+      val plain = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+        maxKeys = 2, minFiles = 0)
+      val bloomed = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+        maxKeys = 2, minFiles = 0, bloomKeys = bloomKeys)
+      assert(asSet(bloomed) == asSet(plain),
+        s"round $round keys=$keys bloomKeys=$bloomKeys")
+      assert(asSet(plain) == keys.filter(k => k >= 0 && k < 80)
+        .map(k => (k.toLong, s"s$k")).toSet)
+    }
+  }
+
   test("bloom row filter hashes the dim key in the fact key's type") {
     val table = mkFact("dfp-bloom-type") // fact id is LONG
     import spark.implicits._

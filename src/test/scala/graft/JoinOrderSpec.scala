@@ -98,6 +98,53 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
       Seq(Leg(dimAT, "fk1", "dk1")), maxStaleVersions = 0).isEmpty)
   }
 
+  test("a filtered leg's histogram selectivity drives the order") {
+    import graft.ops.gold.JoinOrder.LegFilter
+    import spark.implicits._
+    val (factT, dimAT, dimBT) = fixture() // A: 5 of 100 fk1; B: all 10 fk2
+    // widen A so the unfiltered comparison is not a blowout: a 50-key
+    // dimA' (sel 0.5) vs dimB (sel 1.0 unfiltered, ~0.2 filtered)
+    val dimWT = tmp("jo-dimw")
+    Snapshots.commitAll(dimWT, Snapshots.stageWithStats(
+      (0L until 50L).map(i => (i, s"w${i % 2}")).toDF("dk1", "wband")
+        .withColumn("day", lit("d")), dimWT, "day", "dk1"))
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimWT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    Analyze.histogram(spark, dimBT, "dk2", 5)
+    val plainLegs = Seq(Leg(dimWT, "fk1", "dk1"), Leg(dimBT, "fk2", "dk2"))
+    val filteredLegs = Seq(Leg(dimWT, "fk1", "dk1"),
+      Leg(dimBT, "fk2", "dk2", Some(LegFilter("dk2", 0, 1))))
+    val ((plainOrder, filteredOrder), jobs) = countJobs {
+      (JoinOrder.orderByStats(factT, plainLegs),
+        JoinOrder.orderByStats(factT, filteredLegs,
+          histBounds = Map(filteredLegs(1) -> ("dk2", 0.0, 1.0))))
+    }
+    assert(jobs == 0, s"ordering decisions must run zero scan jobs, saw $jobs")
+    // unfiltered: B covers every fk2 (sel 1.0) and joins LAST;
+    // filtered: the ~20% histogram cut makes B the most-reducing leg
+    assert(plainOrder.get.map(_.leg.dimTable) == Seq(dimWT, dimBT))
+    assert(filteredOrder.get.map(_.leg.dimTable) == Seq(dimBT, dimWT))
+    assert(filteredOrder.get.head.selectivity < 0.5 &&
+      filteredOrder.get.head.dimRows <= 3)
+    // a filtered leg without supplied bounds fails loudly on the
+    // direct orderByStats path (statsOrderedJoin derives them)
+    val e = intercept[IllegalArgumentException] {
+      JoinOrder.orderByStats(factT, filteredLegs)
+    }
+    assert(e.getMessage.contains("histogram-space bounds"), e.getMessage)
+    // execution applies the cut and matches a hand-derived expectation
+    val out = JoinOrder.statsOrderedJoin(spark, factT, filteredLegs)
+      .select("id", "wband", "seg").as[(Long, String, String)].collect().toSet
+    assert(out.nonEmpty && out.forall { case (id, _, _) =>
+      id % 100 < 50 && id % 10 <= 1 })
+    // fallback (stale stats) keeps the same rows AND the same schema
+    val fb = JoinOrder.statsOrderedJoin(spark, factT, filteredLegs,
+      maxStaleVersions = -1)
+    assert(fb.select("id", "wband", "seg")
+      .as[(Long, String, String)].collect().toSet == out)
+  }
+
   test("SQL twin answers like the API path; malformed calls fail loudly") {
     import spark.implicits._
     val (factT, dimAT, dimBT) = fixture()
