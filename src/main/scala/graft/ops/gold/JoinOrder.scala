@@ -65,9 +65,25 @@ object JoinOrder {
     * (containment assumption — see the object doc — times the leg
     * filter's histogram selectivity when one is declared); `dimRows`
     * is the estimated POST-FILTER dim row count, which is what the
-    * broadcast budget verdict is about. */
+    * broadcast budget verdict is about. `strategy` is the per-leg
+    * shuffle shape, the [[Skew.strategyByStats]] trichotomy applied
+    * inside the star:
+    *
+    *   - `"broadcast"` — post-filter dim rows fit the budget;
+    *   - `"salt"` — the dim doesn't fit AND the fact key's recorded
+    *     top-1 frequency ([[Analyze.frequentKeys]]) exceeds
+    *     `skewFactor` × the uniform expectation: one key would wedge
+    *     a shuffle partition even after AQE's split, so the leg
+    *     pre-salts ([[Skew.saltedJoin]] — row-identical by
+    *     construction);
+    *   - `"plain"` — neither trigger; also the answer when frequency
+    *     stats are absent or stale (salting is an OPPORTUNISTIC
+    *     upgrade per leg, never a basis requirement — the ordering
+    *     itself needs only NDV/rows). */
   final case class LegPlan(leg: Leg, selectivity: Double,
-                           dimRows: Long, broadcast: Boolean)
+                           dimRows: Long, strategy: String) {
+    def broadcast: Boolean = strategy == "broadcast"
+  }
 
   /** Order `legs` by recorded stats: ascending estimated retained
     * fraction (most-reducing first), ties broken by smaller recorded
@@ -90,10 +106,23 @@ object JoinOrder {
   def orderByStats(factTable: String, legs: Seq[Leg],
                    broadcastMaxRows: Long = 1000000L,
                    maxStaleVersions: Long = 64,
-                   histBounds: Map[Leg, (String, Double, Double)] = Map.empty)
+                   histBounds: Map[Leg, (String, Double, Double)] = Map.empty,
+                   skewFactor: Double = 4.0)
       : Option[Seq[LegPlan]] = {
     def fresh(table: String, v: Option[Long]): Boolean =
       v.exists(Snapshots.currentVersion(table) - _ <= maxStaleVersions)
+    // the opportunistic per-leg salt verdict (see LegPlan.strategy):
+    // recorded key frequencies only, zero jobs, absent/stale → false
+    def saltWorthwhile(factKey: String): Boolean = (for {
+      _ <- Some(()).filter(_ => fresh(factTable,
+        Analyze.freqVersionOf(factTable, factKey)))
+      freq <- Analyze.frequentKeysOf(factTable, factKey)
+      top <- freq.headOption.map(_._2)
+      rows <- Analyze.rowsOf(factTable)
+      ndv <- Analyze.ndvOf(factTable, factKey)
+      if ndv > 0
+    } yield top.toDouble > skewFactor * (rows.toDouble / ndv))
+      .getOrElse(false)
     legs.filter(_.filter.isDefined).foreach { leg =>
       require(histBounds.contains(leg),
         s"orderByStats(${leg.dimTable}): leg declares a filter on " +
@@ -121,9 +150,13 @@ object JoinOrder {
         }
       } yield {
         val effRows = math.ceil(dimRows * filterSel).toLong
+        val strategy =
+          if (effRows <= broadcastMaxRows) "broadcast"
+          else if (saltWorthwhile(leg.factKey)) "salt"
+          else "plain"
         LegPlan(leg,
           math.min(1.0, dimNdv.toDouble * filterSel / factNdv.toDouble),
-          effRows, effRows <= broadcastMaxRows)
+          effRows, strategy)
       }
     }
     // all legs or nothing: a partial order would silently interleave
@@ -161,7 +194,9 @@ object JoinOrder {
   def statsOrderedJoin(spark: SparkSession, factTable: String,
                        legs: Seq[Leg],
                        broadcastMaxRows: Long = 1000000L,
-                       maxStaleVersions: Long = 64): DataFrame = {
+                       maxStaleVersions: Long = 64,
+                       salts: Int = 8,
+                       skewFactor: Double = 4.0): DataFrame = {
     require(legs.nonEmpty, "statsOrderedJoin: at least one dim leg")
     val fact = Mutations.readMerged(spark, factTable, mergeSchema = true)
     legs.foreach { leg =>
@@ -224,15 +259,26 @@ object JoinOrder {
       }
     }
     val planned = orderByStats(factTable, legs, broadcastMaxRows,
-      maxStaleVersions, bounds.toMap)
-    val ordered: Seq[(Leg, Boolean)] = planned match {
-      case Some(ps) => ps.map(p => (p.leg, p.broadcast))
-      case None => legs.map(l => (l, false))
+      maxStaleVersions, bounds.toMap, skewFactor)
+    val ordered: Seq[(Leg, String)] = planned match {
+      case Some(ps) => ps.map(p => (p.leg, p.strategy))
+      case None => legs.map(l => (l, "plain"))
     }
     val byLeg = dims.map { case (leg, dim, _) => leg -> dim }.toMap
-    val joined = ordered.foldLeft(fact) { case (acc, (leg, bc)) =>
+    val joined = ordered.foldLeft(fact) { case (acc, (leg, strategy)) =>
       val dim = byLeg(leg)
-      acc.join(if (bc) broadcast(dim) else dim, Seq(leg.factKey), "inner")
+      strategy match {
+        case "broadcast" => acc.join(broadcast(dim), Seq(leg.factKey), "inner")
+        // per-row entropy for the salt (the Skew discipline: equal
+        // KEYS must spread, so the key itself can never seed it)
+        case "salt" =>
+          require(!acc.columns.exists(_.equalsIgnoreCase("_salt")),
+            s"statsOrderedJoin: a column named '_salt' is reserved by " +
+              "the salted-leg rewrite; rename it upstream")
+          Skew.saltedJoin(acc, dim, leg.factKey,
+            monotonically_increasing_id(), salts, "inner")
+        case _ => acc.join(dim, Seq(leg.factKey), "inner")
+      }
     }
     // the declaration-ordered projection: stats choose the fold, never
     // the schema
@@ -381,8 +427,67 @@ object JoinOrder {
       |FROM f JOIN da ON f.fk1 = da.dk1 JOIN db ON f.fk2 = db.dk2
       |GROUP BY band, seg ORDER BY band, seg""".stripMargin
 
+  /** s69: the CBO pieces COMPOSED — a star whose legs get three
+    * different shuffle shapes from recorded stats alone: the small dim
+    * broadcasts, and the big dim rides a pre-salted exchange because
+    * the fact key's recorded top-1 frequency says one key would wedge
+    * a shuffle partition (the s62 evidence, now per-leg inside the
+    * ordered fold). Every strategy is row-identical by construction;
+    * the joined aggregate must equal DuckDB's plain two-dim join. */
+  def statsSkewStarQuery(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s69-fact-", dir)
+    val dimUT = freshTable("s69-dimu-", dir)
+    val dimST = freshTable("s69-dims-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("k1", col("event_id") % 100)
+      .withColumn("sk",
+        when(col("event_id") % 100 < 90, col("event_id") % 10)
+          .otherwise(col("event_id") % 5000))
+      .select("event_id", "k1", "sk", "value")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev.withColumn("day", lit("d")), factT, "day", "sk"))
+    val dimU = spark.range(0, 100)
+      .select(col("id").as("dk1"),
+        concat(lit("g"), (col("id") % 4).cast("string")).as("grp"))
+    Snapshots.commitAll(dimUT, Snapshots.stageWithStats(
+      dimU.withColumn("day", lit("d")), dimUT, "day", "dk1"))
+    val dimS = spark.range(0, 5000)
+      .select(col("id").as("dk2"),
+        concat(lit("seg-"), (col("id") % 7).cast("string")).as("segment"))
+    Snapshots.commitAll(dimST, Snapshots.stageWithStats(
+      dimS.withColumn("day", lit("d")), dimST, "day", "dk2"))
+    Analyze.analyze(spark, factT, Seq("k1", "sk"))
+    Analyze.frequentKeys(spark, factT, "sk", k = 16)
+    Analyze.analyze(spark, dimUT, Seq("dk1"))
+    Analyze.analyze(spark, dimST, Seq("dk2"))
+    statsOrderedJoin(spark, factT,
+        Seq(Leg(dimUT, "k1", "dk1"), Leg(dimST, "sk", "dk2")),
+        broadcastMaxRows = 1000)
+      .groupBy("grp", "segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("grp", "segment")
+  }
+
+  lazy val statsSkewStarOracle: String =
+    s"""WITH f AS (
+      |  SELECT event_id % 100 AS k1,
+      |         CASE WHEN event_id % 100 < 90 THEN event_id % 10
+      |              ELSE event_id % 5000 END AS sk, value
+      |  FROM events),
+      |du AS (
+      |  SELECT i AS dk1, 'g' || CAST(i % 4 AS VARCHAR) AS grp
+      |  FROM (SELECT unnest(range(0, 100)) AS i)),
+      |ds AS (
+      |  SELECT i AS dk2, 'seg-' || CAST(i % 7 AS VARCHAR) AS segment
+      |  FROM (SELECT unnest(range(0, 5000)) AS i))
+      |SELECT grp, segment, count(*) AS n,
+      |       ${Exact.decSumSql("f.value")} AS sum_value
+      |FROM f JOIN du ON f.k1 = du.dk1 JOIN ds ON f.sk = ds.dk2
+      |GROUP BY grp, segment ORDER BY grp, segment""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s64_stats_ordered_join", statsOrderedJoinOracle)(statsOrderedJoinQuery),
     QueryDef.sql("s65_stats_ordered_join_sql", statsOrderedJoinOracle)(statsOrderedJoinSql),
-    QueryDef.sql("s68_stats_filtered_star", statsFilteredStarOracle)(statsFilteredStarQuery))
+    QueryDef.sql("s68_stats_filtered_star", statsFilteredStarOracle)(statsFilteredStarQuery),
+    QueryDef.sql("s69_stats_skew_star", statsSkewStarOracle)(statsSkewStarQuery))
 }

@@ -145,6 +145,51 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, String, String)].collect().toSet == out)
   }
 
+  test("recorded fact-key skew salts an over-budget leg, rows unchanged") {
+    import spark.implicits._
+    val factT = tmp("jo-skew-fact")
+    val dimAT = tmp("jo-skew-dima")
+    val dimBT = tmp("jo-skew-dimb")
+    // 90% of fact rows on fk2 = 0; fk1 stays uniform
+    val factRows = (0L until 200L).map(i =>
+      (i, i % 100, if (i < 180) 0L else i % 10, i.toDouble))
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      factRows.toDF("id", "fk1", "fk2", "v").withColumn("day", lit("d")),
+      factT, "day", "fk1"))
+    Snapshots.commitAll(dimAT, Snapshots.stageWithStats(
+      (0L until 5L).map(i => (i, s"band-$i")).toDF("dk1", "band")
+        .withColumn("day", lit("d")), dimAT, "day", "dk1"))
+    Snapshots.commitAll(dimBT, Snapshots.stageWithStats(
+      (0L until 10L).map(i => (i, s"seg-$i")).toDF("dk2", "seg")
+        .withColumn("day", lit("d")), dimBT, "day", "dk2"))
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    val legs = Seq(Leg(dimAT, "fk1", "dk1"), Leg(dimBT, "fk2", "dk2"))
+    // dimB over a budget of 5, but no frequency evidence yet: plain
+    val before = JoinOrder.orderByStats(factT, legs, broadcastMaxRows = 5)
+    assert(before.get.find(_.leg.dimTable == dimBT).get.strategy == "plain")
+    Analyze.frequentKeys(spark, factT, "fk2", k = 4)
+    val (after, jobs) = countJobs {
+      JoinOrder.orderByStats(factT, legs, broadcastMaxRows = 5)
+    }
+    assert(jobs == 0, s"strategy decisions must run zero scan jobs, saw $jobs")
+    // top-1 (180) >> 4x uniform (200/ndv): the over-budget leg salts;
+    // the under-budget one still broadcasts
+    assert(after.get.find(_.leg.dimTable == dimBT).get.strategy == "salt")
+    assert(after.get.find(_.leg.dimTable == dimAT).get.strategy == "broadcast")
+    // salted execution is row-identical to the stats-less plain fold
+    def rows(maxStale: Long): Set[(Long, String, String)] =
+      JoinOrder.statsOrderedJoin(spark, factT, legs, broadcastMaxRows = 5,
+          maxStaleVersions = maxStale)
+        .select("id", "band", "seg").as[(Long, String, String)].collect().toSet
+    val salted = rows(64)
+    assert(salted == rows(-1) && salted.nonEmpty)
+    // dimA keeps fk1 < 5 → ids {0..4, 100..104}, all on the hot key:
+    // every hot-key match must survive the salted exchange
+    assert(salted.size == 10 && salted.forall(_._3 == "seg-0"), salted)
+  }
+
   test("SQL twin answers like the API path; malformed calls fail loudly") {
     import spark.implicits._
     val (factT, dimAT, dimBT) = fixture()
