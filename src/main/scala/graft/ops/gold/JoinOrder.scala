@@ -111,18 +111,23 @@ object JoinOrder {
       : Option[Seq[LegPlan]] = {
     def fresh(table: String, v: Option[Long]): Boolean =
       v.exists(Snapshots.currentVersion(table) - _ <= maxStaleVersions)
+    // fact-side props hoisted ONCE: every Analyze getter re-reads the
+    // snapshot log (no driver cache), and an N-leg star was paying ~5N
+    // redundant log reads through the per-leg salt verdict (r14 review
+    // find); the verdict itself memoizes per distinct fact key
+    lazy val factRows: Option[Long] = Analyze.rowsOf(factTable)
+    val saltMemo = scala.collection.mutable.HashMap.empty[String, Boolean]
     // the opportunistic per-leg salt verdict (see LegPlan.strategy):
     // recorded key frequencies only, zero jobs, absent/stale → false
-    def saltWorthwhile(factKey: String): Boolean = (for {
-      _ <- Some(()).filter(_ => fresh(factTable,
-        Analyze.freqVersionOf(factTable, factKey)))
-      freq <- Analyze.frequentKeysOf(factTable, factKey)
-      top <- freq.headOption.map(_._2)
-      rows <- Analyze.rowsOf(factTable)
-      ndv <- Analyze.ndvOf(factTable, factKey)
-      if ndv > 0
-    } yield top.toDouble > skewFactor * (rows.toDouble / ndv))
-      .getOrElse(false)
+    def saltWorthwhile(factKey: String, factNdv: Long): Boolean =
+      saltMemo.getOrElseUpdate(factKey, (for {
+        _ <- Some(()).filter(_ => fresh(factTable,
+          Analyze.freqVersionOf(factTable, factKey)))
+        freq <- Analyze.frequentKeysOf(factTable, factKey)
+        top <- freq.headOption.map(_._2)
+        rows <- factRows
+      } yield top.toDouble > skewFactor * (rows.toDouble / factNdv))
+        .getOrElse(false))
     legs.filter(_.filter.isDefined).foreach { leg =>
       require(histBounds.contains(leg),
         s"orderByStats(${leg.dimTable}): leg declares a filter on " +
@@ -152,7 +157,7 @@ object JoinOrder {
         val effRows = math.ceil(dimRows * filterSel).toLong
         val strategy =
           if (effRows <= broadcastMaxRows) "broadcast"
-          else if (saltWorthwhile(leg.factKey)) "salt"
+          else if (saltWorthwhile(leg.factKey, factNdv)) "salt"
           else "plain"
         LegPlan(leg,
           math.min(1.0, dimNdv.toDouble * filterSel / factNdv.toDouble),
@@ -223,17 +228,11 @@ object JoinOrder {
       val dim0 = leg.filter match {
         case None => dimRaw
         case Some(LegFilter(fc, lo, hi)) =>
-          val field = dimRaw.schema.find(_.name.equalsIgnoreCase(fc))
-            .getOrElse(throw new IllegalArgumentException(
-              s"statsOrderedJoin(${leg.dimTable}): no filter column '$fc' " +
-                s"(dim has ${dimRaw.columns.mkString(", ")})"))
-          val (loLit, loH) = graft.ops.lake.DynamicFilter
-            .rangeEndpoint(spark, field.dataType, lo, field.name)
-          val (hiLit, hiH) = graft.ops.lake.DynamicFilter
-            .rangeEndpoint(spark, field.dataType, hi, field.name)
-          bounds.update(leg, (field.name, loH, hiH))
-          dimRaw.filter(col(field.name) >= lit(loLit) &&
-            col(field.name) <= lit(hiLit))
+          val (filtered, bs) = graft.ops.lake.DynamicFilter
+            .resolveRangeFilter(spark, dimRaw, fc, lo, hi,
+              s"statsOrderedJoin(${leg.dimTable})")
+          bounds.update(leg, bs)
+          filtered
       }
       val renamed = if (leg.dimKey == leg.factKey) dim0
         else dim0.withColumnRenamed(leg.dimKey, leg.factKey)
@@ -258,6 +257,17 @@ object JoinOrder {
         }
       }
     }
+    // `_salt` is reserved star-wide, unconditionally: whether a leg
+    // actually salts depends on STATS, and a name that works with
+    // stale stats but is clobbered (dim side) or shadowed (fact side)
+    // once frequencies go fresh would break the "stats choose the
+    // fold, never the schema" contract (r14 review find)
+    (fact.columns.toSeq ++ dims.flatMap(_._3)).find(_.equalsIgnoreCase("_salt"))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"statsOrderedJoin: column '$c' is reserved by the salted-leg " +
+            "rewrite; rename it upstream")
+      }
     val planned = orderByStats(factTable, legs, broadcastMaxRows,
       maxStaleVersions, bounds.toMap, skewFactor)
     val ordered: Seq[(Leg, String)] = planned match {
@@ -270,13 +280,10 @@ object JoinOrder {
       strategy match {
         case "broadcast" => acc.join(broadcast(dim), Seq(leg.factKey), "inner")
         // per-row entropy for the salt (the Skew discipline: equal
-        // KEYS must spread, so the key itself can never seed it)
-        case "salt" =>
-          require(!acc.columns.exists(_.equalsIgnoreCase("_salt")),
-            s"statsOrderedJoin: a column named '_salt' is reserved by " +
-              "the salted-leg rewrite; rename it upstream")
-          Skew.saltedJoin(acc, dim, leg.factKey,
-            monotonically_increasing_id(), salts, "inner")
+        // KEYS must spread, so the key itself can never seed it);
+        // '_salt' collisions were rejected star-wide above
+        case "salt" => Skew.saltedJoin(acc, dim, leg.factKey,
+          monotonically_increasing_id(), salts, "inner")
         case _ => acc.join(dim, Seq(leg.factKey), "inner")
       }
     }
@@ -299,7 +306,8 @@ object JoinOrder {
     * broadcast budget, so the ordering itself is the decision under
     * test (the spec also exercises the shuffle shapes). */
   private def starFixture(spark: SparkSession, dir: String,
-                          prefix: String): (String, String, String) = {
+                          prefix: String,
+                          dimARows: Long = 20): (String, String, String) = {
     val factT = freshTable(s"$prefix-fact-", dir)
     val dimAT = freshTable(s"$prefix-dima-", dir)
     val dimBT = freshTable(s"$prefix-dimb-", dir)
@@ -309,7 +317,7 @@ object JoinOrder {
       .select("event_id", "fk1", "fk2", "value")
     Snapshots.commitAll(factT, Snapshots.stageWithStats(
       ev.withColumn("day", lit("d")), factT, "day", "fk1"))
-    val dimA = spark.range(0, 20)
+    val dimA = spark.range(0, dimARows)
       .select(col("id").as("dk1"),
         concat(lit("band-"), (col("id") % 4).cast("string")).as("band"))
     Snapshots.commitAll(dimAT, Snapshots.stageWithStats(
@@ -325,6 +333,23 @@ object JoinOrder {
     (factT, dimAT, dimBT)
   }
 
+  /** The ONE oracle template behind s64/s65/s68 — the fixtures differ
+    * only in dimA's key range and dimB's cut. */
+  private def starOracleSql(dimARange: Int, dbWhere: String): String =
+    s"""WITH f AS (
+      |  SELECT event_id % 1000 AS fk1, event_id % 50 AS fk2, value
+      |  FROM events),
+      |da AS (
+      |  SELECT i AS dk1, 'band-' || CAST(i % 4 AS VARCHAR) AS band
+      |  FROM (SELECT unnest(range(0, $dimARange)) AS i)),
+      |db AS (
+      |  SELECT i AS dk2, 'seg-' || CAST(i % 5 AS VARCHAR) AS seg
+      |  FROM (SELECT unnest(range(0, 50)) AS i)$dbWhere)
+      |SELECT band, seg, count(*) AS n,
+      |       ${Exact.decSumSql("f.value")} AS sum_value
+      |FROM f JOIN da ON f.fk1 = da.dk1 JOIN db ON f.fk2 = db.dk2
+      |GROUP BY band, seg ORDER BY band, seg""".stripMargin
+
   /** s64: the stats-ordered star join under the oracle gate — recorded
     * NDVs put the 2%-selective dim first (the spec fences the decision
     * at zero scan jobs and pins the order); the result must equal
@@ -339,20 +364,7 @@ object JoinOrder {
       .orderBy("band", "seg")
   }
 
-  lazy val statsOrderedJoinOracle: String =
-    s"""WITH f AS (
-      |  SELECT event_id % 1000 AS fk1, event_id % 50 AS fk2, value
-      |  FROM events),
-      |da AS (
-      |  SELECT i AS dk1, 'band-' || CAST(i % 4 AS VARCHAR) AS band
-      |  FROM (SELECT unnest(range(0, 20)) AS i)),
-      |db AS (
-      |  SELECT i AS dk2, 'seg-' || CAST(i % 5 AS VARCHAR) AS seg
-      |  FROM (SELECT unnest(range(0, 50)) AS i))
-      |SELECT band, seg, count(*) AS n,
-      |       ${Exact.decSumSql("f.value")} AS sum_value
-      |FROM f JOIN da ON f.fk1 = da.dk1 JOIN db ON f.fk2 = db.dk2
-      |GROUP BY band, seg ORDER BY band, seg""".stripMargin
+  lazy val statsOrderedJoinOracle: String = starOracleSql(20, "")
 
   /** s65: the same stats-ordered star join through PLAIN SQL — the
     * `stats_star_join` table function ([[graft.sql.LakeSql
@@ -381,28 +393,7 @@ object JoinOrder {
     * flip and fences the decision at zero jobs). The joined aggregate
     * must equal DuckDB's order-free filtered join. */
   def statsFilteredStarQuery(spark: SparkSession, dir: String): DataFrame = {
-    val factT = freshTable("s68-fact-", dir)
-    val dimAT = freshTable("s68-dima-", dir)
-    val dimBT = freshTable("s68-dimb-", dir)
-    val ev = Tables(spark, dir).events
-      .withColumn("fk1", col("event_id") % 1000)
-      .withColumn("fk2", col("event_id") % 50)
-      .select("event_id", "fk1", "fk2", "value")
-    Snapshots.commitAll(factT, Snapshots.stageWithStats(
-      ev.withColumn("day", lit("d")), factT, "day", "fk1"))
-    val dimA = spark.range(0, 200)
-      .select(col("id").as("dk1"),
-        concat(lit("band-"), (col("id") % 4).cast("string")).as("band"))
-    Snapshots.commitAll(dimAT, Snapshots.stageWithStats(
-      dimA.withColumn("day", lit("d")), dimAT, "day", "dk1"))
-    val dimB = spark.range(0, 50)
-      .select(col("id").as("dk2"),
-        concat(lit("seg-"), (col("id") % 5).cast("string")).as("seg"))
-    Snapshots.commitAll(dimBT, Snapshots.stageWithStats(
-      dimB.withColumn("day", lit("d")), dimBT, "day", "dk2"))
-    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
-    Analyze.analyze(spark, dimAT, Seq("dk1"))
-    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    val (factT, dimAT, dimBT) = starFixture(spark, dir, "s68", dimARows = 200)
     Analyze.histogram(spark, dimBT, "dk2", 10)
     statsOrderedJoin(spark, factT,
         Seq(Leg(dimAT, "fk1", "dk1"),
@@ -413,19 +404,7 @@ object JoinOrder {
   }
 
   lazy val statsFilteredStarOracle: String =
-    s"""WITH f AS (
-      |  SELECT event_id % 1000 AS fk1, event_id % 50 AS fk2, value
-      |  FROM events),
-      |da AS (
-      |  SELECT i AS dk1, 'band-' || CAST(i % 4 AS VARCHAR) AS band
-      |  FROM (SELECT unnest(range(0, 200)) AS i)),
-      |db AS (
-      |  SELECT i AS dk2, 'seg-' || CAST(i % 5 AS VARCHAR) AS seg
-      |  FROM (SELECT unnest(range(0, 50)) AS i) WHERE i BETWEEN 0 AND 4)
-      |SELECT band, seg, count(*) AS n,
-      |       ${Exact.decSumSql("f.value")} AS sum_value
-      |FROM f JOIN da ON f.fk1 = da.dk1 JOIN db ON f.fk2 = db.dk2
-      |GROUP BY band, seg ORDER BY band, seg""".stripMargin
+    starOracleSql(200, " WHERE i BETWEEN 0 AND 4")
 
   /** s69: the CBO pieces COMPOSED — a star whose legs get three
     * different shuffle shapes from recorded stats alone: the small dim

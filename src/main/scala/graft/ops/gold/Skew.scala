@@ -22,6 +22,10 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: Column, salts: Int, joinType: String = "left_outer"): DataFrame = {
+    // salts = 0 would be SILENT row loss, not an error: pmod(x, 0) is
+    // NULL under non-ANSI semantics and the replicated dim is empty,
+    // so the join matches nothing (r14 review find)
+    require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
     // right/full joins would surface each unmatched dim row `salts` times
     require(Set("inner", "left", "leftouter", "leftsemi", "cross")
       .contains(joinType.toLowerCase.replaceAll("_", "")),

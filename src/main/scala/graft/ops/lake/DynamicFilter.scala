@@ -448,27 +448,39 @@ object DynamicFilter {
                      factTagCol: Option[String] = None,
                      minFiles: Int = DefaultMinFiles): DataFrame = {
     val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
-    // case-INSENSITIVE resolution to the schema's canonical spelling
-    // (r14 review find: a bare fieldIndex threw on 'Score' vs 'score'
-    // where every sibling path — col(), Analyze.resolveCols, the skew
-    // key checks — resolves insensitively); the canonical name then
-    // feeds both the filter and the stats lookup, which keys its props
-    // by canonical spelling
-    val field = dim0.schema
-      .find(_.name.equalsIgnoreCase(filterCol))
-      .getOrElse(throw new IllegalArgumentException(
-        s"statsAwareJoin($dimTable): no column '$filterCol' " +
-          s"(dim has ${dim0.columns.mkString(", ")})"))
-    val (fName, dt) = (field.name, field.dataType)
-    val (loLit, loH) = rangeEndpoint(spark, dt, lo, fName)
-    val (hiLit, hiH) = rangeEndpoint(spark, dt, hi, fName)
-    val dim = dim0.filter(col(fName) >= lit(loLit) && col(fName) <= lit(hiLit))
+    val (dim, (fName, loH, hiH)) =
+      resolveRangeFilter(spark, dim0, filterCol, lo, hi,
+        s"statsAwareJoin($dimTable)")
     val capped = strategyForRange(dimTable, dimKey, fName, loH, hiH, maxKeys) match {
       case Some("range") => 0 // hopeless: skip straight to the range prune
       case _ => maxKeys       // inlist, or no basis: runtime cap decides
     }
     prunedJoin(spark, factTable, dim, factKey, dimKey,
       maxKeys = capped, factTagCol = factTagCol, minFiles = minFiles)
+  }
+
+  /** THE range-filter derivation shared by [[statsAwareJoin]] and
+    * [[graft.ops.gold.JoinOrder]]'s filtered legs (one definition — a
+    * prior copy had to re-receive the case-insensitivity fix by hand,
+    * r14 review find): resolve `filterCol` case-insensitively to the
+    * schema's canonical spelling (every sibling path — `col()`,
+    * `Analyze.resolveCols`, the skew key checks — resolves
+    * insensitively, and the canonical name is what the stats props
+    * are keyed by), normalize both endpoints via [[rangeEndpoint]],
+    * and return the filtered frame plus the histogram-space bounds.
+    * `verb` names the CALLING operator in every error. */
+  private[graft] def resolveRangeFilter(spark: SparkSession, df: DataFrame,
+      filterCol: String, lo: Any, hi: Any,
+      verb: String): (DataFrame, (String, Double, Double)) = {
+    val field = df.schema
+      .find(_.name.equalsIgnoreCase(filterCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: no column '$filterCol' " +
+          s"(frame has ${df.columns.mkString(", ")})"))
+    val (loLit, loH) = rangeEndpoint(spark, field.dataType, lo, field.name, verb)
+    val (hiLit, hiH) = rangeEndpoint(spark, field.dataType, hi, field.name, verb)
+    (df.filter(col(field.name) >= lit(loLit) && col(field.name) <= lit(hiLit)),
+      (field.name, loH, hiH))
   }
 
   /** One range endpoint, normalized for a `dt`-typed filter column →
@@ -482,10 +494,11 @@ object DynamicFilter {
     * histogram-space values (epoch days / epoch micros). */
   private[graft] def rangeEndpoint(spark: SparkSession,
                                    dt: org.apache.spark.sql.types.DataType,
-                                   v: Any, filterCol: String): (Any, Double) = {
+                                   v: Any, filterCol: String,
+                                   verb: String = "statsAwareJoin"): (Any, Double) = {
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     def bad(): Nothing = throw new IllegalArgumentException(
-      s"statsAwareJoin: cannot interpret ${v.getClass.getSimpleName} " +
+      s"$verb: cannot interpret ${v.getClass.getSimpleName} " +
         s"'$v' as a bound for ${dt.sql} column '$filterCol'")
     dt match {
       case DateType =>

@@ -184,8 +184,12 @@ object LakeSql {
     * of [[graft.ops.gold.JoinOrder.statsOrderedJoin]]: recorded NDVs
     * and row counts choose the join order (most-reducing dim first)
     * and per-dim broadcast with zero scan jobs; every order returns
-    * identical rows. Registered-name lookup and literal-args
-    * discipline follow [[tableChangesPlan]]. */
+    * identical rows. The per-leg salt upgrade triggers through the
+    * defaults when recorded frequencies warrant it; FILTERED legs and
+    * the salt/skew knobs are API-first this round — a flat literal
+    * grammar cannot carry per-leg typed bounds unambiguously
+    * (documented scope, not an oversight). Registered-name lookup and
+    * literal-args discipline follow [[tableChangesPlan]]. */
   def statsStarJoinPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     def bad(): Nothing = throw new IllegalArgumentException(
