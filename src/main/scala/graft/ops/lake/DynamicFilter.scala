@@ -446,7 +446,8 @@ object DynamicFilter {
                      filterCol: String, lo: Any, hi: Any,
                      maxKeys: Int = 10000,
                      factTagCol: Option[String] = None,
-                     minFiles: Int = DefaultMinFiles): DataFrame = {
+                     minFiles: Int = DefaultMinFiles,
+                     bloomKeys: Long = 0L): DataFrame = {
     val dim0 = Mutations.readMerged(spark, dimTable, mergeSchema = true)
     val (dim, (fName, loH, hiH)) =
       resolveRangeFilter(spark, dim0, filterCol, lo, hi,
@@ -455,8 +456,13 @@ object DynamicFilter {
       case Some("range") => 0 // hopeless: skip straight to the range prune
       case _ => maxKeys       // inlist, or no basis: runtime cap decides
     }
+    // bloomKeys forwards so a stats-decided "range" verdict (or a
+    // runtime cap overflow) still gets the over-cap bloom ROW filter —
+    // the verdict skips the key COLLECT job, and the one-pass sketch
+    // agg over the filtered dim is exactly what it buys instead
     prunedJoin(spark, factTable, dim, factKey, dimKey,
-      maxKeys = capped, factTagCol = factTagCol, minFiles = minFiles)
+      maxKeys = capped, factTagCol = factTagCol, minFiles = minFiles,
+      bloomKeys = bloomKeys)
   }
 
   /** THE range-filter derivation shared by [[statsAwareJoin]] and

@@ -344,6 +344,14 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
         "id", "did", "nope", 0.0, 9.0, minFiles = 0)
     }
     assert(e.getMessage.contains("no column 'nope'"), e.getMessage)
+    // bloomKeys forwards through the "range" verdict: the collect job
+    // is still skipped, but the surviving scan carries the bloom probe
+    val d = DynamicFilter.statsAwareJoin(spark, factT, dimT,
+      "id", "did", "score", 0.0, 100.0, maxKeys = 20, minFiles = 0,
+      bloomKeys = 1000L)
+    assert(d.queryExecution.optimizedPlan.toString
+      .toLowerCase.replace("_", "").contains("mightcontain"))
+    assert(d.count() == 80)
   }
 
   test("sketch histogram refresh: no sort in the plan, estimates within epsilon of exact") {

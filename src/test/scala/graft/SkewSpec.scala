@@ -20,6 +20,12 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
       .select("event_id", "event_type", "type_code")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // salts = 0 would be SILENT row loss (pmod-by-zero nulls every
+    // fact salt, the replicated dim is empty): refused at the door
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "event_type", col("event_id"), salts = 0)
+    }
+    assert(e.getMessage.contains("salts must be >= 1"), e.getMessage)
   }
 
   test("recorded skew stats flip the join strategy with zero scan jobs") {
