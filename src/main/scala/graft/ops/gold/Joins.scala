@@ -19,6 +19,113 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** GENERIC AS-OF JOIN (r14 — the reusable operator behind j6's
+    * fixture-shaped query): for every left row, attach the LATEST
+    * right row of the same `key` with `rightTs <= leftTs` (left-join
+    * semantics — no prior right row ⇒ NULL payload), optionally
+    * bounded by `toleranceMs` (the pandas `merge_asof` tolerance:
+    * matches older than the budget null out).
+    *
+    * Shape, chosen for 100 TB: the two sides UNION into one stream
+    * tagged by side, ONE exchange hash-partitions it by `key`, and a
+    * running `last(…, ignoreNulls)` window forward-fills the right
+    * side's payload onto left rows — no range join (whose candidate
+    * blowup is quadratic in rows-per-key), no per-key driver state,
+    * and the running frame streams through each partition without
+    * buffering it. Right rows order BEFORE left rows at equal
+    * timestamps, so a same-instant right row is visible (the `<=`).
+    *
+    * Determinism: among right rows tied on `(key, rightTs)` the one
+    * with the GREATEST `tieBreak` wins — callers pass a unique column
+    * (an event id); the oracle restates the same rule as
+    * `ORDER BY ts DESC, tieBreak DESC LIMIT 1`. The right payload
+    * forward-fills as ONE STRUCT, not per column: a per-column
+    * `last(ignoreNulls)` would skip a legitimately-NULL payload field
+    * on the matched row and leak an OLDER row's value into it —
+    * row-mixing, silent corruption; the struct is non-null per right
+    * row, so the fill picks whole rows atomically (AsOfSpec pins the
+    * NULL-payload case).
+    *
+    * Output schema: `left.*` then the right payload (every right
+    * column except `key`), in the right frame's order. Name
+    * collisions between the sides fail loudly at the door (the
+    * statsOrderedJoin discipline — never AMBIGUOUS_REFERENCE two
+    * operators later). */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, tieBreak: String,
+           toleranceMs: Option[Long] = None): DataFrame = {
+    def resolve(df: DataFrame, c: String, side: String): String =
+      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOf: no column '$c' on the $side side " +
+            s"(has ${df.columns.mkString(", ")})"))
+    val lKey = resolve(left, key, "left")
+    val lTs = resolve(left, leftTs, "left")
+    val rKey = resolve(right, key, "right")
+    val rTs = resolve(right, rightTs, "right")
+    resolve(right, tieBreak, "right")
+    val payload = right.columns.toSeq.filterNot(_.equalsIgnoreCase(rKey))
+    payload.find(p => left.columns.exists(_.equalsIgnoreCase(p))).foreach { p =>
+      throw new IllegalArgumentException(
+        s"asOf: right column '$p' collides with a left column — the " +
+          "output carries left.* plus the right payload by name; " +
+          "rename one side first")
+    }
+    val reserved = Set("__ts", "__side", "__r", "__m")
+    (left.columns.toSeq ++ payload).find(c => reserved(c.toLowerCase))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"asOf: column '$c' is reserved by the merged-stream rewrite; " +
+            "rename it upstream")
+      }
+    // one unified stream: left rows carry their columns, right rows
+    // carry the payload struct; `__ts` is the shared event-time axis
+    val ltag = left
+      .withColumn("__ts", col(lTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(payload.map(right.col): _*).schema.fields)))
+    val rtag = right
+      .select((rKey +: payload).map(right.col): _*)
+      .withColumnRenamed(rKey, lKey)
+      .withColumn("__ts", col(rTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__r", struct(payload.map(col): _*))
+      .drop(payload: _*)
+    val lNulled = left.columns.foldLeft(rtag) { (df, c) =>
+      if (df.columns.contains(c)) df // the key survives on both sides
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = ltag.select(
+        (left.columns.map(col) ++ Seq(col("__ts"), col("__side"), col("__r"))): _*)
+      .unionByName(lNulled.select(
+        (left.columns.map(col) ++ Seq(col("__ts"), col("__side"), col("__r"))): _*))
+    // right rows first at equal ts (`<=` visibility); ties on ts pick
+    // the greatest tieBreak because ascending order + running `last`
+    val w = Window.partitionBy(lKey)
+      .orderBy(col("__ts").asc, col("__side").asc,
+        col("__r").getField(payload.find(_.equalsIgnoreCase(tieBreak)).get).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = toleranceMs match {
+      case None => filled
+      case Some(tol) =>
+        val age = Exact.epochMs(col("__ts")) -
+          Exact.epochMs(col("__m").getField(
+            payload.find(_.equalsIgnoreCase(rTs)).getOrElse(
+              throw new IllegalArgumentException(
+                "asOf: toleranceMs needs the right timestamp in the payload"))))
+        filled.withColumn("__m", when(age <= tol, col("__m")))
+    }
+    payload.foldLeft(bounded) { (df, p) =>
+        df.withColumn(p, col("__m").getField(p))
+      }
+      .select((left.columns.toSeq ++ payload).map(col): _*)
+  }
+
   /** J1 shape beyond the flagship: customer ⟕ nation ⟕ region with
     * broadcast dims and P9 null-defaults. */
   def dimJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -316,7 +423,82 @@ object Joins {
       |FROM inc JOIN e ON e.us >= inc.s AND e.us <= inc.en
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s70: the GENERIC [[asOf]] operator under the oracle gate — the
+    * j6 business question (last click before each purchase, per user)
+    * re-asked through the reusable operator instead of the
+    * fixture-shaped window: purchases are the left stream, clicks the
+    * right payload, event_id the deterministic tie-break. The oracle
+    * restates the exact contract as a LATERAL
+    * `ORDER BY ts DESC, event_id DESC LIMIT 1`. */
+  def asOfGeneric(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    asOf(purchases, clicks, "user_id", "ts", "click_ts", "click_event_id")
+      .select(col("purchase_event_id"), col("user_id"),
+        Exact.epochMs(col("ts")).as("purchase_ts_ms"),
+        col("click_event_id"), col("click_value"),
+        Exact.epochMs(col("click_ts")).as("click_ts_ms"))
+      .orderBy("purchase_event_id")
+  }
+
+  val asOfGenericOracle: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       epoch_ms(p.ts) AS purchase_ts_ms,
+      |       c.event_id AS click_event_id, c.value AS click_value,
+      |       epoch_ms(c.ts) AS click_ts_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.value, c.ts FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |    AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) c ON true
+      |ORDER BY purchase_event_id""".stripMargin
+
+  /** s71: [[asOf]] through PLAIN SQL — the `asof_join('left',
+    * 'right', 'key', 'leftTs', 'rightTs', 'tieBreak')` table function
+    * ([[graft.sql.LakeSql.asofJoinPlan]]) over registered lake
+    * tables; same business question, same oracle restatement. */
+  def asOfSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.lake.Snapshots
+    val ev = Tables(spark, dir).events
+    def freshTable(prefix: String): String =
+      graft.engine.Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val lT = freshTable("s71-purchases-")
+    val rT = freshTable("s71-clicks-")
+    Snapshots.commit(lT, Snapshots.stage(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event_id"), col("user_id"),
+          col("ts"), col("value").as("purchase_value"))
+        .withColumn("day", lit("d")), lT, "day"))
+    // the right tag column gets its own name: the payload carries
+    // every right column, and a second `day` would collide with the
+    // left's at asOf's loud door
+    Snapshots.commit(rT, Snapshots.stage(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_event_id"), col("value").as("click_value"))
+        .withColumn("rday", lit("d")), rT, "rday"))
+    graft.sql.LakeSql.register(spark, "s71l", lT, "day")
+    graft.sql.LakeSql.register(spark, "s71r", rT, "rday")
+    spark.sql(
+      """SELECT purchase_event_id, user_id,
+        |       unix_millis(CAST(ts AS TIMESTAMP)) AS purchase_ts_ms,
+        |       click_event_id, click_value,
+        |       unix_millis(CAST(click_ts AS TIMESTAMP)) AS click_ts_ms
+        |FROM asof_join('s71l', 's71r', 'user_id', 'ts', 'click_ts',
+        |               'click_event_id')
+        |ORDER BY purchase_event_id""".stripMargin)
+  }
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef.sql("s70_asof_generic", asOfGenericOracle)(asOfGeneric),
+    QueryDef.sql("s71_asof_sql", asOfGenericOracle)(asOfSql),
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
     QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),

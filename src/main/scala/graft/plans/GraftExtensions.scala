@@ -106,5 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.sql.LakeSql", "stats_star_join"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.sql.LakeSql.statsStarJoinPlan(args)))
+    // generic as-of join as a SQL table function (r14 — Joins.asOf
+    // reachable from plain sql)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("asof_join"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.LakeSql", "asof_join"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sql.LakeSql.asofJoinPlan(args)))
   }
 }

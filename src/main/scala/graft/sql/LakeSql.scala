@@ -223,6 +223,38 @@ object LakeSql {
           legs, broadcastMaxRows = budget)
         .queryExecution.analyzed)
   }
+
+  /** Builder for the AS-OF JOIN table function (r14) —
+    * `SELECT … FROM asof_join('left', 'right', 'key', 'leftTs',
+    * 'rightTs', 'tieBreak')` — the SQL twin of
+    * [[graft.ops.gold.Joins.asOf]]: for every left-table row, the
+    * latest right-table row of the same key at-or-before its
+    * timestamp (ties broken by the greatest `tieBreak`), left-join
+    * semantics, one keyed exchange — no range join. Registered-name
+    * lookup and literal-args discipline follow
+    * [[tableChangesPlan]]. */
+  def asofJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(): Nothing = throw new IllegalArgumentException(
+      "asof_join expects ('left', 'right', 'key', 'leftTs', 'rightTs', " +
+        "'tieBreak') literals")
+    if (args.length != 6) bad()
+    val Seq(lN, rN, key, lts, rts, tie) = args.map {
+      case Literal(s, _: StringType) if s != null => s.toString
+      case _ => bad()
+    }
+    def resolve(n: String): String = lookup(spark, n).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"asof_join: '$n' is not a registered graft table " +
+          "(LakeSql.register it first)"))
+    import graft.ops.lake.Mutations
+    SubqueryAlias("asof_join",
+      graft.ops.gold.Joins.asOf(
+          Mutations.readMerged(spark, resolve(lN), mergeSchema = true),
+          Mutations.readMerged(spark, resolve(rN), mergeSchema = true),
+          key, lts, rts, tie)
+        .queryExecution.analyzed)
+  }
 }
 
 /** A parsed lake statement: a resolved LEAF plan carrying its own

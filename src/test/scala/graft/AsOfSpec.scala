@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.gold.Joins
+import graft.ops.lake.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic as-of join contracts: latest right row at-or-before each
+  * left row per key (left-join semantics), deterministic tie-break,
+  * ATOMIC payload fill (a NULL field on the matched row must not leak
+  * an older row's value), tolerance, and the loud-guard discipline. */
+class AsOfSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, "u1", "2024-01-01 10:00:00"),
+    (2L, "u1", "2024-01-01 12:00:00"),
+    (3L, "u2", "2024-01-01 09:00:00"), // before any right row: no match
+    (4L, "u2", "2024-01-01 11:00:00"), // exactly at a right ts: <= visible
+    (5L, "u3", "2024-01-01 10:00:00")  // key with no right rows at all
+  ).map { case (id, u, t) => (id, u, ts(t)) }
+    .toDF("lid", "user", "lts")
+
+  private val right = Seq(
+    (10L, "u1", "2024-01-01 09:30:00", "a"),
+    (11L, "u1", "2024-01-01 09:30:00", "b"), // tie: greatest rid wins
+    (12L, "u1", "2024-01-01 11:00:00", "c"),
+    (20L, "u2", "2024-01-01 11:00:00", "d")
+  ).map { case (id, u, t, v) => (u, ts(t), id, v) }
+    .toDF("user", "rts", "rid", "rv")
+
+  test("latest at-or-before per key, deterministic ties, left semantics") {
+    val out = Joins.asOf(left, right, "user", "lts", "rts", "rid")
+      .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[String])]
+      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(1L) == ((Some(11L), Some("b")))) // tie at 09:30 -> max rid
+    assert(out(2L) == ((Some(12L), Some("c")))) // latest before noon
+    assert(out(3L) == ((None, None)))           // nothing at-or-before
+    assert(out(4L) == ((Some(20L), Some("d")))) // same instant visible
+    assert(out(5L) == ((None, None)))           // keyless left survives
+    // output schema: left.* then the right payload, by declaration
+    assert(Joins.asOf(left, right, "user", "lts", "rts", "rid").columns.toSeq
+      == Seq("lid", "user", "lts", "rts", "rid", "rv"))
+  }
+
+  test("NULL payload on the matched row stays NULL (atomic struct fill)") {
+    val r2 = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1L, Option("old")),
+      ("u1", ts("2024-01-01 11:30:00"), 2L, Option.empty[String])
+    ).toDF("user", "rts", "rid", "rv")
+    val out = Joins.asOf(left.filter($"lid" === 2L), r2,
+        "user", "lts", "rts", "rid")
+      .select($"rid", $"rv").collect().head
+    assert(out.getLong(0) == 2L)
+    assert(out.isNullAt(1),
+      "a per-column fill would leak 'old' into the matched row's NULL")
+  }
+
+  test("tolerance nulls out matches older than the budget") {
+    val out = Joins.asOf(left, right, "user", "lts", "rts", "rid",
+        toleranceMs = Some(90L * 60 * 1000)) // 90 minutes
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(11L)) // 30 min old: kept
+    assert(out(2L).contains(12L)) // 60 min old: kept
+    assert(out(4L).contains(20L)) // same instant: kept
+    val tight = Joins.asOf(left, right, "user", "lts", "rts", "rid",
+        toleranceMs = Some(10L * 60 * 1000)) // 10 minutes
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(tight(1L).isEmpty, "30-min-old match must null out at 10 min")
+    assert(tight(4L).contains(20L))
+  }
+
+  test("loud guards: collisions, reserved names, missing columns") {
+    val clash = right.withColumnRenamed("rv", "lid")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.asOf(left, clash, "user", "lts", "rts", "rid")
+    }
+    assert(e1.getMessage.contains("collides with a left column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asOf(left.withColumn("__ts", lit(1)), right,
+        "user", "lts", "rts", "rid")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Joins.asOf(left, right, "user", "lts", "nope", "rid")
+    }
+    assert(e3.getMessage.contains("no column 'nope'"), e3.getMessage)
+  }
+
+  test("SQL twin answers like the API path; malformed calls fail loudly") {
+    val lT = tmp("asof-l")
+    val rT = tmp("asof-r")
+    Snapshots.commit(lT, Snapshots.stage(
+      left.withColumn("day", lit("d")), lT, "day"))
+    Snapshots.commit(rT, Snapshots.stage(
+      right.withColumn("rday", lit("d")), rT, "rday"))
+    graft.sql.LakeSql.register(spark, "asofspec_l", lT, "day")
+    graft.sql.LakeSql.register(spark, "asofspec_r", rT, "rday")
+    val sqlRows = spark.sql(
+      "SELECT lid, rid, rv FROM asof_join(" +
+        "'asofspec_l', 'asofspec_r', 'user', 'lts', 'rts', 'rid')")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val api = Joins.asOf(
+        left.withColumn("day", lit("d")),
+        right.withColumn("rday", lit("d")), "user", "lts", "rts", "rid")
+      .select($"lid", $"rid", $"rv")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(sqlRows == api, "the TVF must answer like the API path")
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM asof_join('nope', 'asofspec_r', 'user', 'lts', 'rts', 'rid')")
+      .collect())
+    assert(e1.getMessage.contains("registered graft table"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM asof_join('asofspec_l')").collect())
+    assert(e2.getMessage.contains("asof_join expects"), e2.getMessage)
+  }
+}
