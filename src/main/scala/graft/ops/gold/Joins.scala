@@ -46,6 +46,11 @@ object Joins {
     * row, so the fill picks whole rows atomically (AsOfSpec pins the
     * NULL-payload case).
     *
+    * NULLs follow equality-join semantics: right rows with a NULL
+    * `key` or NULL `rightTs` can never match and are dropped up
+    * front; left rows with a NULL key or NULL `leftTs` survive with a
+    * NULL payload (the LATERAL oracle's answer for both).
+    *
     * Output schema: `left.*` then the right payload (every right
     * column except `key`), in the right frame's order. Name
     * collisions between the sides fail loudly at the door (the
@@ -63,7 +68,14 @@ object Joins {
     val lTs = resolve(left, leftTs, "left")
     val rKey = resolve(right, key, "right")
     val rTs = resolve(right, rightTs, "right")
-    resolve(right, tieBreak, "right")
+    val tie = resolve(right, tieBreak, "right")
+    // the tie-break must be a right PAYLOAD column: the key is excluded
+    // from the payload struct, so accepting it here would surface two
+    // operators later as a bare NoSuchElementException (r14 advisor find)
+    if (tie.equalsIgnoreCase(rKey))
+      throw new IllegalArgumentException(
+        s"asOf: tieBreak '$tieBreak' is the join key — ties must break " +
+          "on a right payload column (pass a unique id, e.g. an event id)")
     val payload = right.columns.toSeq.filterNot(_.equalsIgnoreCase(rKey))
     payload.find(p => left.columns.exists(_.equalsIgnoreCase(p))).foreach { p =>
       throw new IllegalArgumentException(
@@ -86,7 +98,16 @@ object Joins {
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(payload.map(right.col): _*).schema.fields)))
+    // NULL hygiene (r14 advisor find): equality-join semantics say a
+    // NULL key matches nothing and `rightTs <= leftTs` is unknown for a
+    // NULL rightTs — but Window.partitionBy groups NULL keys into ONE
+    // partition and asc-nulls-first would sort a NULL rightTs row
+    // FIRST, making it a visible "earliest" match. Right rows that can
+    // never match under join semantics drop HERE; NULL-key (or
+    // NULL-ts) LEFT rows then simply find no fill and surface with a
+    // NULL payload, exactly the LATERAL oracle's answer.
     val rtag = right
+      .filter(col(rKey).isNotNull && col(rTs).isNotNull)
       .select((rKey +: payload).map(right.col): _*)
       .withColumnRenamed(rKey, lKey)
       .withColumn("__ts", col(rTs))
@@ -464,13 +485,25 @@ object Joins {
     * 'right', 'key', 'leftTs', 'rightTs', 'tieBreak')` table function
     * ([[graft.sql.LakeSql.asofJoinPlan]]) over registered lake
     * tables; same business question, same oracle restatement. */
-  def asOfSql(spark: SparkSession, dir: String): DataFrame = {
+  def asOfSql(spark: SparkSession, dir: String): DataFrame =
+    asOfSqlWith(spark, dir, "s71", tolerance = None)
+
+  /** s71b: the TVF's TOLERANCE door (r15) — same fixture, but matches
+    * older than 10 minutes null out (`merge_asof(tolerance=…)`
+    * semantics). The oracle restates the budget as an age predicate
+    * inside the LATERAL: the latest prior click IS the youngest, so
+    * "latest, then null if stale" ≡ "latest within the budget". */
+  def asOfSqlTolerance(spark: SparkSession, dir: String): DataFrame =
+    asOfSqlWith(spark, dir, "s71b", tolerance = Some(600000L))
+
+  private def asOfSqlWith(spark: SparkSession, dir: String, qid: String,
+                          tolerance: Option[Long]): DataFrame = {
     import graft.ops.lake.Snapshots
     val ev = Tables(spark, dir).events
     def freshTable(prefix: String): String =
       graft.engine.Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val lT = freshTable("s71-purchases-")
-    val rT = freshTable("s71-clicks-")
+    val lT = freshTable(s"$qid-purchases-")
+    val rT = freshTable(s"$qid-clicks-")
     Snapshots.commit(lT, Snapshots.stage(
       ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_event_id"), col("user_id"),
@@ -484,21 +517,39 @@ object Joins {
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_event_id"), col("value").as("click_value"))
         .withColumn("rday", lit("d")), rT, "rday"))
-    graft.sql.LakeSql.register(spark, "s71l", lT, "day")
-    graft.sql.LakeSql.register(spark, "s71r", rT, "rday")
+    graft.sql.LakeSql.register(spark, s"${qid}l", lT, "day")
+    graft.sql.LakeSql.register(spark, s"${qid}r", rT, "rday")
+    val tolArg = tolerance.map(t => s", $t").getOrElse("")
     spark.sql(
-      """SELECT purchase_event_id, user_id,
+      s"""SELECT purchase_event_id, user_id,
         |       unix_millis(CAST(ts AS TIMESTAMP)) AS purchase_ts_ms,
         |       click_event_id, click_value,
         |       unix_millis(CAST(click_ts AS TIMESTAMP)) AS click_ts_ms
-        |FROM asof_join('s71l', 's71r', 'user_id', 'ts', 'click_ts',
-        |               'click_event_id')
+        |FROM asof_join('${qid}l', '${qid}r', 'user_id', 'ts', 'click_ts',
+        |               'click_event_id'$tolArg)
         |ORDER BY purchase_event_id""".stripMargin)
   }
+
+  /** [[asOfSqlTolerance]]'s oracle: [[asOfGenericOracle]] with the
+    * 10-minute age budget inside the LATERAL. */
+  val asOfToleranceOracle: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       epoch_ms(p.ts) AS purchase_ts_ms,
+      |       c.event_id AS click_event_id, c.value AS click_value,
+      |       epoch_ms(c.ts) AS click_ts_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.value, c.ts FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) c ON true
+      |ORDER BY purchase_event_id""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s70_asof_generic", asOfGenericOracle)(asOfGeneric),
     QueryDef.sql("s71_asof_sql", asOfGenericOracle)(asOfSql),
+    QueryDef.sql("s71b_asof_sql_tolerance", asOfToleranceOracle)(asOfSqlTolerance),
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
     QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),

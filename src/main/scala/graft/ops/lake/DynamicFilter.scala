@@ -314,10 +314,15 @@ object DynamicFilter {
     * hash-compatible: `xxhash64` hashes by PHYSICAL type, so the probe
     * is sound only when the dim-side insert provably hashes every
     * joinable value the fact side will probe with. Identical types
-    * always qualify; integral↔integral qualifies (the cast to the
-    * fact's type is exact for every value the equi-join could match —
-    * out-of-range keys can't match, and a wrapping cast only ADDS
-    * false positives). Anything else — numeric↔string renderings,
+    * always qualify (hashed as-is on both sides); mixed
+    * integral↔integral hashes BOTH sides WIDENED to LONG — widening
+    * casts are exact for every integral value, so equal join keys
+    * always hash equal. (The first cut narrowed the DIM key to the
+    * fact's type instead, reasoning a wrap-around only adds false
+    * positives — but under Spark 4's default ANSI mode an
+    * out-of-range dim key makes the narrowing cast THROW
+    * CAST_OVERFLOW, failing a query that works with bloomKeys=0 —
+    * r14 advisor find.) Anything else — numeric↔string renderings,
     * lossy double promotions — is skipped: a missed insert there is a
     * false NEGATIVE, i.e. silent row loss, the one failure class this
     * operator must never trade for speed. */
@@ -328,18 +333,18 @@ object DynamicFilter {
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     val dimType = dimP.schema
       .find(_.name.equalsIgnoreCase(dimKey)).map(_.dataType)
-    val compatible = dimType.exists(dt =>
-      dt == factKeyType || (integral(dt) && integral(factKeyType)))
-    if (!compatible) return None
-    val hashIn =
-      if (dimType.contains(factKeyType)) col(dimKey)
-      else col(dimKey).cast(factKeyType)
+    val identical = dimType.contains(factKeyType)
+    val mixedIntegral = !identical &&
+      dimType.exists(integral) && integral(factKeyType)
+    if (!identical && !mixedIntegral) return None
+    val hashIn = if (identical) col(dimKey) else col(dimKey).cast(LongType)
     val sketch = dimP
       .agg(graft.functions.BloomSketch
         .sizedSketchAgg(spark, xxhash64(hashIn), bloomKeys).as("bf"))
       .head.getAs[Array[Byte]](0)
     Option(sketch).map { s => (key: org.apache.spark.sql.Column) =>
-      call_function("graft_bloom_might_contain", lit(s), xxhash64(key))
+      val probe = if (identical) key else key.cast(LongType)
+      call_function("graft_bloom_might_contain", lit(s), xxhash64(probe))
     }
   }
 

@@ -226,7 +226,7 @@ object LakeSql {
 
   /** Builder for the AS-OF JOIN table function (r14) —
     * `SELECT … FROM asof_join('left', 'right', 'key', 'leftTs',
-    * 'rightTs', 'tieBreak')` — the SQL twin of
+    * 'rightTs', 'tieBreak'[, toleranceMs])` — the SQL twin of
     * [[graft.ops.gold.Joins.asOf]]: for every left-table row, the
     * latest right-table row of the same key at-or-before its
     * timestamp (ties broken by the greatest `tieBreak`), left-join
@@ -237,9 +237,18 @@ object LakeSql {
     val spark = SparkSession.active
     def bad(): Nothing = throw new IllegalArgumentException(
       "asof_join expects ('left', 'right', 'key', 'leftTs', 'rightTs', " +
-        "'tieBreak') literals")
-    if (args.length != 6) bad()
-    val Seq(lN, rN, key, lts, rts, tie) = args.map {
+        "'tieBreak'[, toleranceMs]) literals")
+    // optional trailing numeric literal = toleranceMs (r15 — door
+    // parity with the API's merge_asof tolerance); fractional literals
+    // parse as Decimal, the stats_star_join lesson
+    val (strArgs, tolerance) = args.lastOption match {
+      case Some(Literal(n: Number, _)) => (args.dropRight(1), Some(n.longValue()))
+      case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+        (args.dropRight(1), Some(d.toLong))
+      case _ => (args, None)
+    }
+    if (strArgs.length != 6) bad()
+    val Seq(lN, rN, key, lts, rts, tie) = strArgs.map {
       case Literal(s, _: StringType) if s != null => s.toString
       case _ => bad()
     }
@@ -252,7 +261,7 @@ object LakeSql {
       graft.ops.gold.Joins.asOf(
           Mutations.readMerged(spark, resolve(lN), mergeSchema = true),
           Mutations.readMerged(spark, resolve(rN), mergeSchema = true),
-          key, lts, rts, tie)
+          key, lts, rts, tie, toleranceMs = tolerance)
         .queryExecution.analyzed)
   }
 }

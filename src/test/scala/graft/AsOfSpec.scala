@@ -72,6 +72,39 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(tight(4L).contains(20L))
   }
 
+  test("NULL keys and NULL timestamps follow equality-join semantics") {
+    // right rows that can never match: NULL key, NULL rightTs — under
+    // the naive window shape the NULL-ts row would sort FIRST and
+    // become a visible 'earliest' match (r14 advisor find)
+    val l2 = Seq(
+      (1L, Option("u1"), Option(ts("2024-01-01 12:00:00"))),
+      (2L, Option.empty[String], Option(ts("2024-01-01 12:00:00"))), // NULL key
+      (3L, Option("u1"), Option.empty[java.sql.Timestamp])           // NULL leftTs
+    ).toDF("lid", "user", "lts")
+    val r2 = Seq(
+      (Option("u1"), Option(ts("2024-01-01 10:00:00")), 10L, "keep"),
+      (Option("u1"), Option.empty[java.sql.Timestamp], 11L, "null_ts"),
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 12L, "null_key")
+    ).toDF("user", "rts", "rid", "rv")
+    val out = Joins.asOf(l2, r2, "user", "lts", "rts", "rid")
+      .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[String])]
+      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(1L) == ((Some(10L), Some("keep"))),
+      "a NULL-rightTs right row must never shadow the real match")
+    assert(out(2L) == ((None, None)),
+      "a NULL-key left row matches nothing (equality-join semantics)")
+    assert(out(3L) == ((None, None)),
+      "rightTs <= NULL is unknown: a NULL-leftTs left row matches nothing")
+  }
+
+  test("tieBreak equal to the key fails loudly at the door") {
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOf(left, right, "user", "lts", "rts", "user")
+    }
+    assert(e.getMessage.contains("tieBreak"), e.getMessage)
+    assert(e.getMessage.contains("join key"), e.getMessage)
+  }
+
   test("loud guards: collisions, reserved names, missing columns") {
     val clash = right.withColumnRenamed("rv", "lid")
     val e1 = intercept[IllegalArgumentException] {
@@ -108,6 +141,21 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       .select($"lid", $"rid", $"rv")
       .as[(Long, Option[Long], Option[String])].collect().toSet
     assert(sqlRows == api, "the TVF must answer like the API path")
+    // the optional trailing numeric literal = toleranceMs (r15): a
+    // 10-minute budget nulls the 30-min-old match (lid=1) but keeps
+    // the same-instant one (lid=4)
+    val tol = spark.sql(
+      "SELECT lid, rid FROM asof_join(" +
+        "'asofspec_l', 'asofspec_r', 'user', 'lts', 'rts', 'rid', 600000)")
+      .as[(Long, Option[Long])].collect().toMap
+    val apiTol = Joins.asOf(
+        left.withColumn("day", lit("d")),
+        right.withColumn("rday", lit("d")), "user", "lts", "rts", "rid",
+        toleranceMs = Some(600000L))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(tol == apiTol, "the tolerance door must answer like the API path")
+    assert(tol(1L).isEmpty, "a 30-min-old match must null at a 10-min budget")
+    assert(tol(4L).contains(20L), "a same-instant match survives any budget")
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM asof_join('nope', 'asofspec_r', 'user', 'lts', 'rts', 'rid')")
       .collect())

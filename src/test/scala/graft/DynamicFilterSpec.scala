@@ -96,6 +96,29 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     assert(asSet(tiny) == asSet(plain))
   }
 
+  test("bloom: LONG dim keys beyond Int.MaxValue never overflow an INT fact key") {
+    val table = tmp("dfp-bloom-width")
+    import spark.implicits._
+    val rows = (0 until 80).map(i => (i, s"d${i / 40}", i.toDouble))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      rows.toDF("id", "day", "v"), table, "day", "id", buckets = 8))
+    // a dim key no INT fact row can ever match: under the old
+    // narrow-to-fact-type hashing its cast threw CAST_OVERFLOW at
+    // sketch-build time under Spark 4's default ANSI mode (r14 advisor
+    // find); widened-to-LONG hashing is exact for every integral value
+    val dim = Seq(3L, 41L, Int.MaxValue.toLong + 7L)
+      .map(i => (i, s"s$i")).toDF("did", "seg")
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      d.select(col("id").cast("long"), col("seg")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = Mutations.readMerged(spark, table)
+      .join(dim, col("id") === col("did"), "inner")
+    val bloomed = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
+      maxKeys = 2, minFiles = 0, bloomKeys = 1000L)
+    assert(pairs(bloomed) == pairs(plain))
+    assert(pairs(bloomed) == Set((3L, "s3"), (41L, "s41")))
+  }
+
   test("bloom over-cap join equals the plain join on randomized keys") {
     val table = mkFact("dfp-bloom-fuzz")
     import spark.implicits._
@@ -121,11 +144,12 @@ class DynamicFilterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("bloom row filter hashes the dim key in the fact key's type") {
+  test("bloom row filter hashes mixed integral keys widened to LONG") {
     val table = mkFact("dfp-bloom-type") // fact id is LONG
     import spark.implicits._
-    // INT dim keys: xxhash64 is type-sensitive, so without the cast the
-    // fact probes with foreign hashes — false negatives, silent row loss
+    // INT dim keys: xxhash64 is type-sensitive, so without widening
+    // BOTH sides the fact probes with foreign hashes — false
+    // negatives, silent row loss
     val dim = Seq(3, 40, 77).map(i => (i, s"s$i")).toDF("did", "seg")
     val bloomed = DynamicFilter.prunedJoin(spark, table, dim, "id", "did",
       maxKeys = 1, minFiles = 0, bloomKeys = 100L)
