@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   * Staleness discipline matches the other consumers: stats more than
   * `maxStaleVersions` behind the live snapshot are no basis, and the
   * whole decision degrades to `None` (caller keeps the declared order,
-  * plain joins + AQE — the pre-stats behavior). Reordering is
-  * restricted to INNER joins: left joins preserve fact rows, so
-  * reordering them past an inner leg changes results.
+  * plain joins + AQE — the pre-stats behavior). REORDERING is
+  * restricted to INNER legs; LEFT legs (r15 — the reference's
+  * flagship J1 is a left join) stay PINNED at their declared position
+  * but still receive the stats-elected per-leg SHAPE
+  * (broadcast/salt/plain), which changes the shuffle and never a row.
   */
 object JoinOrder {
 
@@ -55,10 +57,35 @@ object JoinOrder {
     * cannot see. */
   final case class LegFilter(col: String, lo: Any, hi: Any)
 
-  /** One dim leg of a star join: `dimTable` inner-joined on
-    * `fact.factKey = dim.dimKey`, optionally cut by `filter` first. */
+  /** One dim leg of a star join: `dimTable` joined on
+    * `fact.factKey = dim.dimKey`, optionally cut by `filter` first.
+    * `joinType` is `"inner"` (default — participates in the stats
+    * ordering election) or `"left"`/`"left_outer"` (r15 — the
+    * reference's flagship J1 shape: fact rows survive unmatched with
+    * a NULL payload). LEFT legs never REORDER — they stay PINNED at
+    * their declared position (a left leg commutes with inner legs
+    * only under assumptions the stats cannot verify, so the engine
+    * does not move it) — but they get the same stats-elected per-leg
+    * SHAPE (broadcast/salt/plain) as inner legs: shape changes the
+    * shuffle, never a row ([[Skew.saltedJoin]] is row-identical for
+    * left joins by construction, SkewSpec pins it). */
   final case class Leg(dimTable: String, factKey: String, dimKey: String,
-                       filter: Option[LegFilter] = None)
+                       filter: Option[LegFilter] = None,
+                       joinType: String = "inner") {
+    private[gold] def isInner: Boolean = normalizedType == "inner"
+    private[gold] def normalizedType: String =
+      joinType.toLowerCase.replaceAll("_", "") match {
+        case "inner" => "inner"
+        case "left" | "leftouter" => "left"
+        case other => throw new IllegalArgumentException(
+          s"Leg($dimTable): joinType must be inner or left/left_outer, " +
+            s"got '$other' — right/full legs would surface unmatched DIM " +
+            "rows once per prior leg's fanout, a shape no star declares")
+      }
+    /** Spark's name for the leg's join type. */
+    private[gold] def sparkType: String =
+      if (isInner) "inner" else "left_outer"
+  }
 
   /** The stats-planned execution of one leg. `selectivity` is the
     * estimated fraction of fact rows RETAINED by the leg's inner join
@@ -128,6 +155,7 @@ object JoinOrder {
         rows <- factRows
       } yield top.toDouble > skewFactor * (rows.toDouble / factNdv))
         .getOrElse(false))
+    legs.foreach(_.normalizedType) // reject unsupported join types HERE
     legs.filter(_.filter.isDefined).foreach { leg =>
       require(histBounds.contains(leg),
         s"orderByStats(${leg.dimTable}): leg declares a filter on " +
@@ -159,16 +187,26 @@ object JoinOrder {
           if (effRows <= broadcastMaxRows) "broadcast"
           else if (saltWorthwhile(leg.factKey, factNdv)) "salt"
           else "plain"
-        LegPlan(leg,
-          math.min(1.0, dimNdv.toDouble * filterSel / factNdv.toDouble),
-          effRows, strategy)
+        // a LEFT leg retains every fact row by definition: its
+        // containment estimate describes match coverage, not reduction
+        val sel = if (leg.isInner)
+          math.min(1.0, dimNdv.toDouble * filterSel / factNdv.toDouble)
+        else 1.0
+        LegPlan(leg, sel, effRows, strategy)
       }
     }
     // all legs or nothing: a partial order would silently interleave
     // planned and unplanned legs in a shape nobody declared
     if (plans.exists(_.isEmpty)) None
-    else Some(plans.flatten.sortBy(p =>
-      (p.selectivity, p.dimRows, p.leg.dimTable)))
+    else {
+      val all = plans.flatten
+      // election is INNER-only; LEFT legs stay PINNED at their declared
+      // index and the elected inner legs fill the remaining slots in
+      // stats order (see the Leg scaladoc for why left legs never move)
+      val electedInner = all.filter(_.leg.isInner).sortBy(p =>
+        (p.selectivity, p.dimRows, p.leg.dimTable)).iterator
+      Some(all.map(p => if (p.leg.isInner) electedInner.next() else p))
+    }
   }
 
   /** Inner-join `factTable` to every dim leg, in the order (and with
@@ -203,6 +241,20 @@ object JoinOrder {
                        salts: Int = 8,
                        skewFactor: Double = 4.0): DataFrame = {
     require(legs.nonEmpty, "statsOrderedJoin: at least one dim leg")
+    legs.foreach(_.normalizedType) // unsupported join types fail HERE
+    // duplicate legs rejected by TUPLE, not by payload-name collision:
+    // two identical legs whose dim has no surviving payload column
+    // (key-only, or all columns fact-owned) used to pass the owner
+    // check and join twice — multiplying rows when the dim key is
+    // non-unique (r14 advisor find)
+    legs.groupBy(l =>
+        (l.dimTable, l.factKey.toLowerCase, l.dimKey.toLowerCase))
+      .foreach { case ((d, fk, dk), ls) =>
+        require(ls.size == 1,
+          s"statsOrderedJoin: leg ($d, $fk, $dk) is declared ${ls.size} " +
+            "times — a dim joins a star once per key pair; drop the " +
+            "duplicate (role-playing dims use distinct key pairs)")
+      }
     val fact = Mutations.readMerged(spark, factTable, mergeSchema = true)
     legs.foreach { leg =>
       require(fact.columns.exists(_.equalsIgnoreCase(leg.factKey)),
@@ -278,13 +330,14 @@ object JoinOrder {
     val joined = ordered.foldLeft(fact) { case (acc, (leg, strategy)) =>
       val dim = byLeg(leg)
       strategy match {
-        case "broadcast" => acc.join(broadcast(dim), Seq(leg.factKey), "inner")
+        case "broadcast" =>
+          acc.join(broadcast(dim), Seq(leg.factKey), leg.sparkType)
         // per-row entropy for the salt (the Skew discipline: equal
         // KEYS must spread, so the key itself can never seed it);
         // '_salt' collisions were rejected star-wide above
         case "salt" => Skew.saltedJoin(acc, dim, leg.factKey,
-          monotonically_increasing_id(), salts, "inner")
-        case _ => acc.join(dim, Seq(leg.factKey), "inner")
+          monotonically_increasing_id(), salts, leg.sparkType)
+        case _ => acc.join(dim, Seq(leg.factKey), leg.sparkType)
       }
     }
     // the declaration-ordered projection: stats choose the fold, never
@@ -464,8 +517,44 @@ object JoinOrder {
       |FROM f JOIN du ON f.k1 = du.dk1 JOIN ds ON f.sk = ds.dk2
       |GROUP BY grp, segment ORDER BY grp, segment""".stripMargin
 
+  /** s72: a LEFT leg inside the stats-ordered star (r15) — the
+    * reference's flagship J1 shape (fact ⟕ dim) finally under the CBO
+    * machinery: the star declares an inner dimB leg and a LEFT dimA
+    * leg covering only 2% of fk1's domain, with a broadcast budget
+    * (30) sized so the stats elect BROADCAST for the left leg and
+    * plain for the inner one. The left leg stays pinned at its
+    * declared position (the spec fences both the pin and the
+    * zero-job decision); unmatched fact rows surface with a NULL
+    * `band`, which the DuckDB LEFT JOIN restates. */
+  def statsLeftStarQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (factT, dimAT, dimBT) = starFixture(spark, dir, "s72")
+    statsOrderedJoin(spark, factT,
+        Seq(Leg(dimBT, "fk2", "dk2"),
+          Leg(dimAT, "fk1", "dk1", joinType = "left")),
+        broadcastMaxRows = 30)
+      .groupBy("band", "seg")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("band", "seg")
+  }
+
+  lazy val statsLeftStarOracle: String =
+    s"""WITH f AS (
+      |  SELECT event_id % 1000 AS fk1, event_id % 50 AS fk2, value
+      |  FROM events),
+      |da AS (
+      |  SELECT i AS dk1, 'band-' || CAST(i % 4 AS VARCHAR) AS band
+      |  FROM (SELECT unnest(range(0, 20)) AS i)),
+      |db AS (
+      |  SELECT i AS dk2, 'seg-' || CAST(i % 5 AS VARCHAR) AS seg
+      |  FROM (SELECT unnest(range(0, 50)) AS i))
+      |SELECT band, seg, count(*) AS n,
+      |       ${Exact.decSumSql("f.value")} AS sum_value
+      |FROM f JOIN db ON f.fk2 = db.dk2 LEFT JOIN da ON f.fk1 = da.dk1
+      |GROUP BY band, seg ORDER BY band, seg""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s64_stats_ordered_join", statsOrderedJoinOracle)(statsOrderedJoinQuery),
+    QueryDef.sql("s72_stats_left_star", statsLeftStarOracle)(statsLeftStarQuery),
     QueryDef.sql("s65_stats_ordered_join_sql", statsOrderedJoinOracle)(statsOrderedJoinSql),
     QueryDef.sql("s68_stats_filtered_star", statsFilteredStarOracle)(statsFilteredStarQuery),
     QueryDef.sql("s69_stats_skew_star", statsSkewStarOracle)(statsSkewStarQuery))

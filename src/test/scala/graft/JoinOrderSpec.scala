@@ -190,6 +190,76 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
     assert(salted.size == 10 && salted.forall(_._3 == "seg-0"), salted)
   }
 
+  test("left legs stay pinned, get a stats-elected shape, keep left semantics") {
+    import spark.implicits._
+    import graft.ops.lake.Mutations
+    val (factT, dimAT, dimBT) = fixture()
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    val legs = Seq(Leg(dimBT, "fk2", "dk2"),
+      Leg(dimAT, "fk1", "dk1", joinType = "left"))
+    val (planned, jobs) = countJobs {
+      JoinOrder.orderByStats(factT, legs, broadcastMaxRows = 6)
+    }
+    assert(jobs == 0, s"the decision must run zero scan jobs, saw $jobs")
+    val plans = planned.getOrElse(fail("stats present but no plan"))
+    // were dimA INNER it would elect FIRST (sel 0.05, the first test);
+    // as a LEFT leg it stays pinned at its declared index 1
+    assert(plans.map(_.leg.dimTable) == Seq(dimBT, dimAT))
+    // a left leg never claims reduction — but still gets the elected
+    // SHAPE: 5 recorded rows fit budget 6 (broadcast), dimB's 10 don't
+    assert(plans.last.selectivity == 1.0)
+    assert(plans.last.strategy == "broadcast")
+    assert(plans.head.strategy == "plain")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[String], String)] =
+      df.select($"id", $"band", $"seg")
+        .as[(Long, Option[String], String)].collect().toSet
+    val out = rows(JoinOrder.statsOrderedJoin(spark, factT, legs,
+      broadcastMaxRows = 6))
+    assert(out.size == 200, "a left leg must keep every fact row")
+    assert(out.count(_._2.isEmpty) == 190, "fk1 >= 5 rows carry a NULL band")
+    // row-identical to a hand-built plain restatement of the declaration
+    val f = Mutations.readMerged(spark, factT)
+    val da = Mutations.readMerged(spark, dimAT)
+      .withColumnRenamed("dk1", "fk1").select("fk1", "band")
+    val db = Mutations.readMerged(spark, dimBT)
+      .withColumnRenamed("dk2", "fk2").select("fk2", "seg")
+    val plain = rows(f.join(db, Seq("fk2"), "inner")
+      .join(da, Seq("fk1"), "left_outer"))
+    assert(out == plain, "the elected shapes must never change a row")
+    // stale-stats fallback: same rows, same schema
+    val fb = JoinOrder.statsOrderedJoin(spark, factT, legs,
+      broadcastMaxRows = 6, maxStaleVersions = -1)
+    assert(rows(fb) == out)
+    assert(fb.columns.toSeq == JoinOrder.statsOrderedJoin(spark, factT, legs,
+      broadcastMaxRows = 6).columns.toSeq)
+  }
+
+  test("duplicate legs and unsupported join types fail at the door") {
+    import spark.implicits._
+    val (factT, dimAT, _) = fixture()
+    // a KEY-ONLY dim (no payload survives the fact-owned drop): the
+    // old payload-collision check let it join twice silently
+    val dimKT = tmp("jo-dimk")
+    Snapshots.commitAll(dimKT, Snapshots.stageWithStats(
+      Seq(0L, 1L).toDF("dk2").withColumn("day", lit("d")),
+      dimKT, "day", "dk2"))
+    val eDup = intercept[IllegalArgumentException] {
+      JoinOrder.statsOrderedJoin(spark, factT,
+        Seq(Leg(dimKT, "fk2", "dk2"), Leg(dimKT, "fk2", "dk2")))
+    }
+    assert(eDup.getMessage.contains("declared 2 times"), eDup.getMessage)
+    // role-playing dims (same table, distinct key pair) stay legal
+    assert(JoinOrder.statsOrderedJoin(spark, factT,
+      Seq(Leg(dimKT, "fk2", "dk2"), Leg(dimKT, "fk1", "dk2"))).count() > 0)
+    val eType = intercept[IllegalArgumentException] {
+      JoinOrder.statsOrderedJoin(spark, factT,
+        Seq(Leg(dimAT, "fk1", "dk1", joinType = "full")))
+    }
+    assert(eType.getMessage.contains("inner or left"), eType.getMessage)
+  }
+
   test("SQL twin answers like the API path; malformed calls fail loudly") {
     import spark.implicits._
     val (factT, dimAT, dimBT) = fixture()
