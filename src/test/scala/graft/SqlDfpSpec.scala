@@ -210,6 +210,46 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lake-backed dim: identical re-compiles hit the memo; a commit re-collects") {
+    import spark.implicits._
+    val table = mkFact("sqldfp-memo", "sdfp7")
+    val total = Snapshots.entriesAll(table).size
+    val dimT = tmp("sqldfp-memo-dim")
+    Snapshots.commitAll(dimT, Snapshots.stageWithStats(
+      Seq((5L, "x"), (72L, "y")).toDF("did", "seg").withColumn("day", lit("d")),
+      dimT, "day", "did"))
+    LakeSql.register(spark, "sdfp7_dim", dimT, "day")
+    // the dim filter is the selectivity evidence; it keeps every row
+    val q = "SELECT f.id, d.seg FROM sdfp7 f JOIN sdfp7_dim d " +
+      "ON f.id = d.did WHERE d.seg >= 'a'"
+    withConf(SqlDfp.MinFilesKey -> "1") {
+      val c0 = SqlDfp.keyCollects.get
+      val (rows1, opened1, plan1) = run(q)
+      assert(rows1 == Set((5L, "x"), (72L, "y")))
+      assert(opened1 < total, s"$opened1/$total\n$plan1")
+      assert(SqlDfp.keyCollects.get > c0, "the first compile pays the collect")
+      // a NEW compile of the identical text: the engine-static memo
+      // serves the learned keys back — ZERO collect jobs, same prune
+      val c1 = SqlDfp.keyCollects.get
+      val (rows2, opened2, _) = run(q)
+      assert(SqlDfp.keyCollects.get == c1,
+        "an identical re-compile must hit the memo, not re-collect")
+      assert(rows2 == rows1 && opened2 == opened1,
+        "the memoized predicate must prune exactly like the collected one")
+      // a dim COMMIT builds a new snapshot (new cached file index):
+      // the canonical plans stop matching and the collect re-runs —
+      // the memo never serves keys from a superseded snapshot
+      Snapshots.commitAll(dimT, Snapshots.restageLike(spark,
+        Seq((13L, "z")).toDF("did", "seg").withColumn("day", lit("d")),
+        dimT, "day"))
+      val c2 = SqlDfp.keyCollects.get
+      val (rows3, _, _) = run(q)
+      assert(SqlDfp.keyCollects.get > c2, "a dim commit must re-collect")
+      assert(rows3 == rows1 + ((13L, "z")),
+        "the re-collected keys must see the committed dim row")
+    }
+  }
+
   test("recorded dim stats skip the hopeless SQL key collect") {
     import graft.ops.lake.Analyze
     import spark.implicits._
