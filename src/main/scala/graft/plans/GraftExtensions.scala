@@ -114,5 +114,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.sql.LakeSql", "asof_join"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.sql.LakeSql.asofJoinPlan(args)))
+    // hourly gap fill + forward-filled close as a SQL table function
+    // (r15 — EventTime.gapFill reachable from plain sql)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("gap_fill"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.LakeSql", "gap_fill"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sql.LakeSql.gapFillPlan(args)))
   }
 }

@@ -264,6 +264,35 @@ object LakeSql {
           key, lts, rts, tie, toleranceMs = tolerance)
         .queryExecution.analyzed)
   }
+
+  /** Builder for the GAP FILL table function (r15) —
+    * `SELECT … FROM gap_fill('table', 'tsCol', 'seriesCol',
+    * 'valueCol', 'idCol')` — the SQL twin of
+    * [[graft.streaming.EventTime.gapFill]]: a dense hourly grid per
+    * series with zero-count bars and a forward-filled close (the
+    * OHLCV bar shape). Registered-name lookup and literal-args
+    * discipline follow [[tableChangesPlan]]. */
+  def gapFillPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(): Nothing = throw new IllegalArgumentException(
+      "gap_fill expects ('table', 'tsCol', 'seriesCol', 'valueCol', " +
+        "'idCol') literals")
+    if (args.length != 5) bad()
+    val Seq(tN, ts, series, value, id) = args.map {
+      case Literal(s, _: StringType) if s != null => s.toString
+      case _ => bad()
+    }
+    val path = lookup(spark, tN).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"gap_fill: '$tN' is not a registered graft table " +
+          "(LakeSql.register it first)"))
+    import graft.ops.lake.Mutations
+    SubqueryAlias("gap_fill",
+      graft.streaming.EventTime.gapFill(
+          Mutations.readMerged(spark, path, mergeSchema = true),
+          ts, series, value, id)
+        .queryExecution.analyzed)
+  }
 }
 
 /** A parsed lake statement: a resolved LEAF plan carrying its own

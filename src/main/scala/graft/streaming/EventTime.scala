@@ -99,31 +99,59 @@ object EventTime {
 
   /** [[gapFillHourly]]'s core over any `(event_id, ts, event_type,
     * value)` frame — split out so the spec can plant known gaps. */
-  private[graft] def gapFillHourlyOf(ev: DataFrame): DataFrame = {
+  private[graft] def gapFillHourlyOf(ev: DataFrame): DataFrame =
+    gapFill(ev, "ts", "event_type", "value", "event_id")
+
+  /** The GENERIC gap-fill operator (r15 — column-parameterized so the
+    * `gap_fill()` SQL table function can reach it): a dense hourly
+    * grid per `seriesCol` between the corpus's global min/max hour,
+    * no-activity hours materialized as zero-count bars carrying the
+    * last seen close forward; the per-bar close is the max-`idCol`
+    * row's `valueCol` (ids are unique ⇒ deterministic under any
+    * partitioning). Output: `seriesCol` (its own name), then
+    * `hour_start_ms`, `n`, `sum_value`, `close_ffill`.
+    * See [[gapFillHourly]] for the one-corpus-pass scale shape. */
+  def gapFill(ev: DataFrame, tsCol: String, seriesCol: String,
+              valueCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def resolve(c: String): String =
+      ev.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"gapFill: no column '$c' (has ${ev.columns.mkString(", ")})"))
+    val ts = resolve(tsCol)
+    val series = resolve(seriesCol)
+    val value = resolve(valueCol)
+    val id = resolve(idCol)
+    // the rewrite's working/output names must not collide with the
+    // caller's series name (every other column is dropped at the agg)
+    val reserved = Set("hour", "n", "sv", "close", "lo", "hi",
+      "hour_start_ms", "sum_value", "close_ffill")
+    require(!reserved(series.toLowerCase),
+      s"gapFill: series column '$series' is reserved by the rewrite; " +
+        "rename it upstream")
     // ONE corpus pass: bounds and the series set are derived from the
     // bar-grain aggregate (min/max of truncated hours ≡ truncated
-    // min/max of ts; bar-grain distinct event_type ≡ corpus distinct),
+    // min/max of ts; bar-grain distinct series ≡ corpus distinct),
     // persisted so the grid's two tiny reads hit bar-scale data — the
     // first cut re-scanned the corpus for each (review find)
     val bars = graft.engine.Caching.persist(ev
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sv"),
-        max_by(col("value"), col("event_id")).as("close")))
+      .groupBy(date_trunc("hour", col(ts)).as("hour"), col(series))
+      .agg(count(lit(1)).as("n"), Exact.decSum(col(value)).as("sv"),
+        max_by(col(value), col(id)).as("close")))
     val grid = bars
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
-      .crossJoin(bars.select("event_type").distinct())
-    val w = Window.partitionBy("event_type").orderBy("hour")
+      .crossJoin(bars.select(series).distinct())
+    val w = Window.partitionBy(series).orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(bars, Seq("hour", "event_type"), "left")
-      .select(col("event_type"), Exact.epochMs(col("hour")).as("hour_start_ms"),
+    grid.join(bars, Seq("hour", series), "left")
+      .select(col(series), Exact.epochMs(col("hour")).as("hour_start_ms"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sv"), lit(0.0)).as("sum_value"),
         coalesce(last(col("close"), ignoreNulls = true).over(w),
           lit(0.0)).as("close_ffill"))
-      .orderBy("event_type", "hour_start_ms")
+      .orderBy(series, "hour_start_ms")
   }
 
   val gapFillHourlyOracle: String =
@@ -148,9 +176,29 @@ object EventTime {
       |FROM grid g LEFT JOIN b ON b.hour = g.hour AND b.event_type = g.event_type
       |ORDER BY g.event_type, hour_start_ms""".stripMargin
 
+  /** t4b: [[gapFill]] through PLAIN SQL (r15) — the `gap_fill('table',
+    * 'ts', 'series', 'value', 'id')` table function over a registered
+    * lake table; the t4 business question re-asked through the second
+    * front door, sharing t4's oracle restatement. */
+  def gapFillHourlySql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.lake.Snapshots
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val t = graft.engine.Graft.freshDir(
+      "t4b-events-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Snapshots.commit(t, Snapshots.stage(
+      ev.withColumn("day", lit("d")), t, "day"))
+    graft.sql.LakeSql.register(spark, "t4bev", t, "day")
+    spark.sql(
+      """SELECT event_type, hour_start_ms, n, sum_value, close_ffill
+        |FROM gap_fill('t4bev', 'ts', 'event_type', 'value', 'event_id')
+        |ORDER BY event_type, hour_start_ms""".stripMargin)
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("t1_tumbling_hourly", tumblingHourlyOracle)(tumblingHourly),
     QueryDef.sql("t2_sliding_window", slidingWindowOracle)(slidingWindow),
     QueryDef.sql("t3_session_window", sessionWindowsOracle)(sessionWindows),
-    QueryDef.sql("t4_gap_fill", gapFillHourlyOracle)(gapFillHourly))
+    QueryDef.sql("t4_gap_fill", gapFillHourlyOracle)(gapFillHourly),
+    QueryDef.sql("t4b_gap_fill_sql", gapFillHourlyOracle)(gapFillHourlySql))
 }

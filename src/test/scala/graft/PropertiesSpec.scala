@@ -634,4 +634,49 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(byKey(("B", h(2))) == ((1L, 5.0, 5.0)))
     assert(byKey(("B", h(3))) == ((0L, 0.0, 5.0)))
   }
+
+  test("gap fill SQL twin answers like the API path; guards fire loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.lake.Snapshots
+    val ev = Seq(
+      (1L, "2024-01-01 00:15:00", "A", 10.0),
+      (2L, "2024-01-01 00:45:00", "A", 12.0),
+      (3L, "2024-01-01 03:30:00", "A", 7.0),
+      (4L, "2024-01-01 02:10:00", "B", 5.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val t = tmp("gapfill-sql")
+    Snapshots.commit(t, Snapshots.stage(
+      ev.withColumn("day", lit("d")), t, "day"))
+    graft.sql.LakeSql.register(spark, "gfspec_ev", t, "day")
+    val sqlRows = spark.sql(
+      "SELECT * FROM gap_fill('gfspec_ev', 'ts', 'event_type', " +
+        "'value', 'event_id')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val api = graft.streaming.EventTime
+      .gapFill(ev, "ts", "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(sqlRows == api, "the TVF must answer like the API path")
+    assert(sqlRows.size == 8)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM gap_fill('nope', 'ts', 'event_type', 'value', 'event_id')")
+      .collect())
+    assert(e1.getMessage.contains("registered graft table"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM gap_fill('gfspec_ev', 'ts')").collect())
+    assert(e2.getMessage.contains("gap_fill expects"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM gap_fill('gfspec_ev', 'ts', 'nope', 'value', 'event_id')")
+      .collect())
+    assert(e3.getMessage.contains("no column 'nope'"), e3.getMessage)
+    // a series column named like a rewrite output is rejected up front
+    val e4 = intercept[IllegalArgumentException] {
+      graft.streaming.EventTime.gapFill(
+        ev.withColumnRenamed("event_type", "close"),
+        "ts", "close", "value", "event_id")
+    }
+    assert(e4.getMessage.contains("reserved"), e4.getMessage)
+  }
 }
