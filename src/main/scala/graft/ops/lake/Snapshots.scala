@@ -2582,6 +2582,11 @@ object Snapshots {
       }
       tmp.delete()
     } else advancePointer(p.table, p.version) // idempotent recovery re-publish
+    // AUTO ANALYZE (r15): after the snapshot is LIVE, let the declared
+    // staleness budget trigger a zero-data-read sketch re-fold — one
+    // map lookup on the no-op path, and never able to fail the commit
+    // ([[Analyze.maybeAutoRefresh]])
+    Analyze.maybeAutoRefresh(p.table, p.version, allProps)
     p.version
   }
 

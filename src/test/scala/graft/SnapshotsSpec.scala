@@ -579,6 +579,77 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(e1.getMessage.contains("no HLL sketch"), e1.getMessage)
   }
 
+  test("auto analyze: commits past the budget refresh stats by themselves") {
+    import graft.ops.lake.{Analyze, DynamicFilter}
+    import spark.implicits._
+    val table = tmp("snap-auto")
+    def wave(lo: Int, hi: Int, day: String) =
+      (lo until hi).map(i => (i.toLong, day, i.toDouble)).toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withHll(
+      Snapshots.stageWithStats(wave(0, 200, "a"), table, "day", "id",
+        buckets = 2), table, "id", spark))
+    assert(Analyze.analyzedVersion(table).isEmpty)
+    // the declaration commit itself bootstraps the first fold
+    // (never-analyzed reads as infinitely stale)
+    Analyze.autoAnalyze(table, Seq("id"), maxStaleVersions = 2)
+    assert(Analyze.rowsOf(table).contains(200L),
+      "the declaration must bootstrap the first sketch fold")
+    val analyzed0 = Analyze.analyzedVersion(table).get
+    // data commits drift past the budget: the hook re-folds with NO
+    // manual ANALYZE anywhere
+    (1 to 3).foreach { k =>
+      Snapshots.commitAll(table, Snapshots.withHll(
+        Snapshots.restageLike(spark, wave(200 * k, 200 * (k + 1), s"d$k"),
+          table, "day"), table, "id", spark))
+    }
+    val analyzed1 = Analyze.analyzedVersion(table).get
+    assert(analyzed1 > analyzed0, "drifting commits must re-fold")
+    assert(Snapshots.currentVersion(table) - analyzed1 <= 2,
+      "staleness must stay within the declared budget")
+    assert(Analyze.rowsOf(table).exists(_ >= 600L))
+    // the staleness-guarded consumer takes the stats path unaided
+    assert(DynamicFilter.strategyByStats(table, "id", maxKeys = 100,
+      maxStaleVersions = 2).contains("range"))
+    // ZERO-DATA-READ fence: physically remove every parquet file; the
+    // refresh keeps running off manifest props + hll sidecars
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val dataFiles = walk(new java.io.File(table, "data"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(f => assert(f.delete()))
+    (1 to 3).foreach(i =>
+      Snapshots.commitProps(table, Map("tbl.note" -> s"n$i")))
+    val analyzed2 = Analyze.analyzedVersion(table).get
+    assert(analyzed2 > analyzed1,
+      "the fold must not depend on data files existing")
+    assert(Snapshots.currentVersion(table) - analyzed2 <= 2)
+  }
+
+  test("auto analyze degrades loudly-soft when the fold cannot run") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("snap-auto-nosketch")
+    val data = (0 until 50).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "day", "v")
+    // no withHll: 'id' carries no sketch — the refresh must WARN and
+    // leave stats stale, never fail the (already published) commit
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      data, table, "day", "id", buckets = 2))
+    Analyze.autoAnalyze(table, Seq("id"), maxStaleVersions = 1)
+    Snapshots.commitAll(table, Snapshots.restageLike(spark,
+      (50 until 100).map(i => (i.toLong, "b", i.toDouble)).toDF("id", "day", "v"),
+      table, "day"))
+    assert(Analyze.analyzedVersion(table).isEmpty,
+      "an impossible fold leaves stats unrecorded, commits unharmed")
+    assert(Snapshots.currentVersion(table) >= 3)
+    // guards on the declaration itself
+    val e = intercept[IllegalArgumentException] {
+      Analyze.autoAnalyze(table, Seq("id"), maxStaleVersions = 0)
+    }
+    assert(e.getMessage.contains(">= 1"), e.getMessage)
+  }
+
   test("hll sketch refresh refuses deletion vectors loudly") {
     import graft.ops.lake.{Analyze, Mutations}
     import spark.implicits._
