@@ -59,7 +59,23 @@ object Skew {
     * execution shape, exactly a cost-based optimizer's job. Staleness
     * is per stats family ([[Analyze.freqVersionOf]] vs
     * [[Analyze.analyzedVersion]]); stats more than `maxStaleVersions`
-    * behind the live snapshot are ignored. */
+    * behind the live snapshot are ignored.
+    *
+    * WHEN AQE ALONE SUFFICES ([[graft.tools.SkewProbe]], r15): on a
+    * single node the skew-join split and the pre-salt are close to a
+    * wash — at sf1 with ONE key carrying 90% of 1M rows the pre-salt
+    * wins (1.02 s vs AQE-split 1.36 s vs un-rescued 1.12 s), while
+    * with the 90% spread over TEN hot keys local[32] swallows the
+    * skew unaided (plain 0.80 s beats both rescues). The verdict's
+    * value case is CLUSTER scale, where a wedged partition is a
+    * straggler bounded by single-task throughput (and executor
+    * memory), not a local thread that finishes in a second: pre-salt
+    * re-shapes the exchange itself (the hot key hashes to `salts`
+    * partitions), which AQE's split — a runtime re-plan that also
+    * duplicates the build side per split — can only approximate after
+    * the skewed map output already exists. Default remains: AQE on
+    * everywhere, pre-salt only on recorded top-1-frequency evidence
+    * (this function), never by guess. */
   def strategyByStats(factTable: String, factKey: String, dimTable: String,
                       broadcastMaxRows: Long = 1000000L,
                       skewFactor: Double = 4.0,
