@@ -201,12 +201,18 @@ object Analyze {
     * just-published snapshot, [[Snapshots.commitPrepared]] re-folds
     * the write-time per-file HLL sketches ([[analyzeFromSketches]] —
     * manifest-scale work, ZERO data reads) for `columns`, so every
-    * stats consumer ([[DynamicFilter.strategyByStats]],
-    * [[graft.ops.gold.Skew.strategyByStats]],
+    * consumer of the NDV/ROWS family ([[DynamicFilter.strategyByStats]],
+    * the broadcast/containment inputs of
+    * [[graft.ops.gold.Skew.strategyByStats]] and
     * [[graft.ops.gold.JoinOrder.orderByStats]]) keeps its fast path
     * without anyone remembering to run ANALYZE. The closing piece of
     * the r14 stats substrate: refresh was already zero-data-read;
-    * now it is also zero-operator.
+    * now it is also zero-operator. SCOPE: only the `tbl.stat.v` family
+    * re-folds — key FREQUENCIES ([[frequentKeys]], the salt election's
+    * evidence) and HISTOGRAMS have no write-time sketch to fold and
+    * keep their manual (or [[histogramApprox]]) refresh; past their
+    * own staleness budget those consumers degrade exactly as without
+    * AUTO ANALYZE.
     *
     * `columns` must be sketched at write time ([[Snapshots.withHll]] /
     * `stageWithStats`) — a refresh finding no sketch (or a deletion

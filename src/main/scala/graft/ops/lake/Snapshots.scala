@@ -2558,6 +2558,21 @@ object Snapshots {
           "neither side may carry framing characters " +
           "(tab, newline, \\u0001, \\u0002 — snapshot and intent-record framing)")
     }
+    // AUTO ANALYZE props validate AT THE DOOR (r15 review find): they
+    // also arrive via plain SET TBLPROPERTIES, and the commit-time hook
+    // must never fail a published commit — so a typo'd budget ('16x',
+    // '0') has to be rejected HERE, on the commit that introduces it,
+    // not silently ignored (or turned into a fold-on-every-commit)
+    // downstream
+    allProps.get(Analyze.AutoStaleProp).foreach { v =>
+      require(v.toLongOption.exists(_ >= 1),
+        s"${Analyze.AutoStaleProp} must be an integer >= 1 (the refresh " +
+          s"itself commits a props version), got '$v'")
+    }
+    allProps.get(Analyze.AutoColsProp).foreach { v =>
+      require(v.split(",").exists(_.trim.nonEmpty),
+        s"${Analyze.AutoColsProp} must name at least one column, got '$v'")
+    }
     val dir = logDir(p.table)
     dir.mkdirs()
     val dst = snapFile(p.table, p.version)

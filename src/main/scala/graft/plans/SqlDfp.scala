@@ -128,29 +128,49 @@ object SqlDfp {
   /** Memoized key collects for LAKE-BACKED dims (r15, the r14 verdict
     * item): a NEW compile of the identical query text used to pay a
     * fresh collect per compile — the documented cost model, but pure
-    * waste when the dim is an immutable lake SNAPSHOT. Entries compare
-    * by `sameResult` on the dim subtree: canonical equality pins the
-    * snapshot through the cached [[GraftFileIndex]] INSTANCE
-    * ([[org.apache.spark.sql.GraftRelations]] caches one index per
-    * (table, version, subset)), so a dim COMMIT builds a new index,
-    * the canonical plans stop matching, and the collect re-runs — the
-    * staleness window the r14 doc worried about never opens. Non-lake
-    * dims (temp views, JDBC) have no version to key on and keep the
-    * per-compile collect.
+    * waste when the dim is an immutable lake SNAPSHOT. Entries key on
+    * a CONTENT digest, never on retained objects (r15 review find — a
+    * stored `LogicalPlan` pins its SparkSession and file index long
+    * past session close): SHA-256 over (a) the dim's manifest entry
+    * paths — the SNAPSHOT pin; a dim commit changes the file set, so
+    * the digest misses and the collect re-runs, the staleness window
+    * the r14 doc worried about never opens — and (b) the canonicalized
+    * dim subtree's untruncated treeString — exprIds normalized, so two
+    * compiles of identical text digest identically, while any filter/
+    * projection/schema difference (or a subquery, whose plan ids don't
+    * normalize) changes the string and safely misses. The
+    * session-varying knobs (cap, bloomKeys) and the key's output
+    * position complete the key. Non-lake dims (temp views, JDBC) have
+    * no manifest to pin and keep the per-compile collect.
     *
     * ENGINE-STATIC, not rule-instance state: Spark assembles the
     * pre-CBO batch per optimization, so a `SqlDfpRule` field would die
     * with every compile (measured r15 — the second compile saw an
     * empty memo). JVM-wide sharing across sessions is sound for the
     * same reason Spark's own CacheManager substitutes plan-equal
-    * frames JVM-wide: the canonical plan pins the CONTENT, and the
-    * session-varying knobs (cap, bloomKeys) are part of the key.
-    * Bounded FIFO; an evicted (or index-cache-evicted) entry just
-    * re-collects — correctness-neutral. */
-  private[plans] case class MemoEntry(dimPlan: LogicalPlan, keyPos: Int,
+    * frames JVM-wide: the digest pins the CONTENT. Bounded FIFO; an
+    * evicted entry just re-collects — correctness-neutral. */
+  private[plans] case class MemoEntry(digest: String, keyPos: Int,
       cap: Int, bloomKeys: Long, learned: Learned)
   private[plans] val memo = new scala.collection.mutable.ArrayDeque[MemoEntry]
   private[plans] val MemoMax = 32
+
+  /** The content digest above; `None` (→ no memo, plain collect) if
+    * anything in the digest path throws. */
+  private[plans] def memoDigest(dimPlan: LogicalPlan,
+                                g: GraftFileIndex): Option[String] =
+    scala.util.Try {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      md.update(g.tablePath.getBytes(utf8)); md.update(0.toByte)
+      g.manifestEntries.foreach { e =>
+        md.update(e.rel.getBytes(utf8)); md.update(0.toByte)
+      }
+      md.update(dimPlan.canonicalized.treeString(verbose = true,
+        addSuffix = false, maxFields = Int.MaxValue,
+        printOperatorId = false).getBytes(utf8))
+      java.util.Base64.getEncoder.encodeToString(md.digest())
+    }.toOption
 
   val EnabledKey = "spark.graft.dfp.sql.enabled"
   val MinFilesKey = "spark.graft.dfp.sql.minFiles"
@@ -401,20 +421,24 @@ case class SqlDfpRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def learnedFor(dimPlan: LogicalPlan, dimKey: AttributeReference,
                          maxKeys: Int, bloomKeys: Long): Learned = {
     val keyPos = dimPlan.output.indexWhere(_.exprId == dimKey.exprId)
-    if (lakeScan(dimPlan).isEmpty || keyPos < 0)
-      return collectLearned(dimPlan, dimKey, maxKeys, bloomKeys)
-    memo.synchronized {
-      memo.find(e => e.keyPos == keyPos && e.cap == maxKeys &&
-        e.bloomKeys == bloomKeys && e.dimPlan.sameResult(dimPlan))
-    } match {
-      case Some(hit) => hit.learned
-      case None =>
-        val learned = collectLearned(dimPlan, dimKey, maxKeys, bloomKeys)
+    val digest = lakeScan(dimPlan).filter(_ => keyPos >= 0)
+      .flatMap { case (_, g) => memoDigest(dimPlan, g) }
+    digest match {
+      case None => collectLearned(dimPlan, dimKey, maxKeys, bloomKeys)
+      case Some(d) =>
         memo.synchronized {
-          memo.append(MemoEntry(dimPlan, keyPos, maxKeys, bloomKeys, learned))
-          while (memo.size > MemoMax) { memo.removeHead(); () }
+          memo.find(e => e.digest == d && e.keyPos == keyPos &&
+            e.cap == maxKeys && e.bloomKeys == bloomKeys)
+        } match {
+          case Some(hit) => hit.learned
+          case None =>
+            val learned = collectLearned(dimPlan, dimKey, maxKeys, bloomKeys)
+            memo.synchronized {
+              memo.append(MemoEntry(d, keyPos, maxKeys, bloomKeys, learned))
+              while (memo.size > MemoMax) { memo.removeHead(); () }
+            }
+            learned
         }
-        learned
     }
   }
 

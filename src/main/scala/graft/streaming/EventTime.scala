@@ -125,7 +125,7 @@ object EventTime {
     // the rewrite's working/output names must not collide with the
     // caller's series name (every other column is dropped at the agg)
     val reserved = Set("hour", "n", "sv", "close", "lo", "hi",
-      "hour_start_ms", "sum_value", "close_ffill")
+      "hour_start_ms", "sum_value", "close_ffill", "__bhour", "__bseries")
     require(!reserved(series.toLowerCase),
       s"gapFill: series column '$series' is reserved by the rewrite; " +
         "rename it upstream")
@@ -145,12 +145,26 @@ object EventTime {
       .crossJoin(bars.select(series).distinct())
     val w = Window.partitionBy(series).orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(bars, Seq("hour", series), "left")
+    // NULL-SAFE series join (r15 review find): a NULL series is a real
+    // group — the agg keeps it and distinct() grids it — but an
+    // equi-join would never match it back, silently replacing its
+    // activity with fabricated all-zero bars; `<=>` keeps it whole.
+    // The bars side renames its join columns so the window/select refs
+    // stay unambiguous after the join.
+    val barsR = bars.withColumnRenamed("hour", "__bhour")
+      .withColumnRenamed(series, "__bseries")
+    // max_by keeps valueCol's own type: the fill's zero must match it
+    // or a DECIMAL close would silently widen to DOUBLE (r15 review
+    // find — decSum's sum_value is already double by contract)
+    val closeType = bars.schema("close").dataType
+    grid.join(barsR,
+        col("hour") === col("__bhour") && col(series) <=> col("__bseries"),
+        "left")
       .select(col(series), Exact.epochMs(col("hour")).as("hour_start_ms"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sv"), lit(0.0)).as("sum_value"),
         coalesce(last(col("close"), ignoreNulls = true).over(w),
-          lit(0.0)).as("close_ffill"))
+          lit(0).cast(closeType)).as("close_ffill"))
       .orderBy(series, "hour_start_ms")
   }
 

@@ -679,4 +679,29 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e4.getMessage.contains("reserved"), e4.getMessage)
   }
+
+  test("gap fill keeps a NULL series whole (null-safe grid join)") {
+    import org.apache.spark.sql.functions._
+    // the NULL series trades at hour 1; an equi-join would never match
+    // it back from the grid and its bars would read all-zero (r15
+    // review find)
+    val ev = Seq(
+      (1L, "2024-01-01 00:15:00", Option("A"), 10.0),
+      (2L, "2024-01-01 01:20:00", Option.empty[String], 3.0),
+      (3L, "2024-01-01 01:40:00", Option.empty[String], 4.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val out = graft.streaming.EventTime
+      .gapFill(ev, "ts", "event_type", "value", "event_id")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 4, s"2 hours x 2 series (incl. NULL): $out")
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val byKey = out.map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    assert(byKey((None, h0)) == ((0L, 0.0, 0.0)))
+    assert(byKey((None, h0 + 3600000L)) == ((2L, 7.0, 4.0)),
+      "the NULL series' real bars must survive the grid join")
+    assert(byKey((Some("A"), h0)) == ((1L, 10.0, 10.0)))
+    assert(byKey((Some("A"), h0 + 3600000L)) == ((0L, 0.0, 10.0)))
+  }
 }

@@ -648,6 +648,22 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Analyze.autoAnalyze(table, Seq("id"), maxStaleVersions = 0)
     }
     assert(e.getMessage.contains(">= 1"), e.getMessage)
+    // the SET TBLPROPERTIES door validates too: a typo'd budget must
+    // reject on the commit that introduces it, never silently disable
+    // (or fold-on-every-commit) downstream — the hook itself can't
+    // throw, the snapshot is already published there
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commitProps(table, Map("tbl.autoanalyze.maxstale" -> "16x"))
+    }
+    assert(e2.getMessage.contains("integer >= 1"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.commitProps(table, Map("tbl.autoanalyze.maxstale" -> "0"))
+    }
+    assert(e3.getMessage.contains("integer >= 1"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Snapshots.commitProps(table, Map("tbl.autoanalyze.cols" -> " , "))
+    }
+    assert(e4.getMessage.contains("at least one column"), e4.getMessage)
   }
 
   test("hll sketch refresh refuses deletion vectors loudly") {
