@@ -552,9 +552,26 @@ object JoinOrder {
       |FROM f JOIN db ON f.fk2 = db.dk2 LEFT JOIN da ON f.fk1 = da.dk1
       |GROUP BY band, seg ORDER BY band, seg""".stripMargin
 
+  /** s72b: the LEFT leg through PLAIN SQL (r15) — the `left:` dim-name
+    * marker on the `stats_star_join` TVF; same fixture and oracle as
+    * [[statsLeftStarQuery]] (the two-front-doors discipline). */
+  def statsLeftStarSql(spark: SparkSession, dir: String): DataFrame = {
+    val (factT, dimAT, dimBT) = starFixture(spark, dir, "s72b")
+    graft.sql.LakeSql.register(spark, "s72bf", factT, "day")
+    graft.sql.LakeSql.register(spark, "s72bda", dimAT, "day")
+    graft.sql.LakeSql.register(spark, "s72bdb", dimBT, "day")
+    spark.sql(
+      s"""SELECT band, seg, count(*) AS n,
+         |  ${Exact.decSumSql("value")} AS sum_value
+         |FROM stats_star_join('s72bf', 's72bdb', 'fk2', 'dk2',
+         |                     'left:s72bda', 'fk1', 'dk1', 30)
+         |GROUP BY band, seg ORDER BY band, seg""".stripMargin)
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s64_stats_ordered_join", statsOrderedJoinOracle)(statsOrderedJoinQuery),
     QueryDef.sql("s72_stats_left_star", statsLeftStarOracle)(statsLeftStarQuery),
+    QueryDef.sql("s72b_stats_left_star_sql", statsLeftStarOracle)(statsLeftStarSql),
     QueryDef.sql("s65_stats_ordered_join_sql", statsOrderedJoinOracle)(statsOrderedJoinSql),
     QueryDef.sql("s68_stats_filtered_star", statsFilteredStarOracle)(statsFilteredStarQuery),
     QueryDef.sql("s69_stats_skew_star", statsSkewStarOracle)(statsSkewStarQuery))

@@ -185,16 +185,23 @@ object LakeSql {
     * and row counts choose the join order (most-reducing dim first)
     * and per-dim broadcast with zero scan jobs; every order returns
     * identical rows. The per-leg salt upgrade triggers through the
-    * defaults when recorded frequencies warrant it; FILTERED legs and
-    * the salt/skew knobs are API-first this round — a flat literal
-    * grammar cannot carry per-leg typed bounds unambiguously
+    * defaults when recorded frequencies warrant it. r15: a LEFT leg
+    * spells as a `left:` prefix on its dim name —
+    * `stats_star_join('f', 'left:dims', 'fk', 'dk')` — pinned at its
+    * declared position with the stats-elected shape, the
+    * [[graft.ops.gold.JoinOrder.Leg]] joinType contract (`:` cannot
+    * appear in a registered name, so the marker is unambiguous).
+    * FILTERED legs and the salt/skew knobs stay API-first — a flat
+    * literal grammar cannot carry per-leg typed bounds unambiguously
     * (documented scope, not an oversight). Registered-name lookup and
     * literal-args discipline follow [[tableChangesPlan]]. */
   def statsStarJoinPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     def bad(): Nothing = throw new IllegalArgumentException(
       "stats_star_join expects ('fact', 'dim1', 'factKey1', 'dimKey1'" +
-        "[, 'dim2', 'factKey2', 'dimKey2', …][, broadcastMaxRows]) literals")
+        "[, 'dim2', 'factKey2', 'dimKey2', …][, broadcastMaxRows]) " +
+        "literals; a 'left:' prefix on a dim name makes that leg a " +
+        "left join")
     def str(e: Expression): String = e match {
       case Literal(s, _: StringType) if s != null => s.toString
       case _ => bad()
@@ -216,7 +223,11 @@ object LakeSql {
         s"stats_star_join: '$n' is not a registered graft table " +
           "(LakeSql.register it first)"))
     val legs = strArgs.tail.map(str).grouped(3).map {
-      case Seq(d, fk, dk) => graft.ops.gold.JoinOrder.Leg(resolve(d), fk, dk)
+      case Seq(d, fk, dk) =>
+        val (name, jt) =
+          if (d.toLowerCase.startsWith("left:")) (d.drop(5), "left")
+          else (d, "inner")
+        graft.ops.gold.JoinOrder.Leg(resolve(name), fk, dk, joinType = jt)
     }.toSeq
     SubqueryAlias("stats_star_join",
       graft.ops.gold.JoinOrder.statsOrderedJoin(spark, resolve(factName),

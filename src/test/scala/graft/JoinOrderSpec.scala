@@ -234,6 +234,16 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
     assert(rows(fb) == out)
     assert(fb.columns.toSeq == JoinOrder.statsOrderedJoin(spark, factT, legs,
       broadcastMaxRows = 6).columns.toSeq)
+    // the SQL door: a 'left:' dim-name marker spells the same leg
+    graft.sql.LakeSql.register(spark, "jospec_lf", factT, "day")
+    graft.sql.LakeSql.register(spark, "jospec_lda", dimAT, "day")
+    graft.sql.LakeSql.register(spark, "jospec_ldb", dimBT, "day")
+    val sqlRows = spark.sql(
+      "SELECT id, band, seg FROM stats_star_join('jospec_lf', " +
+        "'jospec_ldb', 'fk2', 'dk2', 'left:jospec_lda', 'fk1', 'dk1', 6)")
+      .select($"id", $"band", $"seg")
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(sqlRows == out, "the TVF's left: marker must answer like the API")
   }
 
   test("duplicate legs and unsupported join types fail at the door") {
