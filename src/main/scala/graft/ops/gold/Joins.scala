@@ -35,6 +35,13 @@ object Joins {
     * buffering it. Right rows order BEFORE left rows at equal
     * timestamps, so a same-instant right row is visible (the `<=`).
     *
+    * `direction` (r15 — full merge_asof parity): `"backward"` (the
+    * default above), `"forward"` = the EARLIEST right row with
+    * `rightTs >= leftTs` (the same scan, descending), `"nearest"` =
+    * whichever one-sided candidate is closer in time, equal distances
+    * going backward — still ONE keyed exchange (two in-partition
+    * sorts), never a range join.
+    *
     * Determinism: among right rows tied on `(key, rightTs)` the one
     * with the GREATEST `tieBreak` wins — callers pass a unique column
     * (an event id); the oracle restates the same rule as
@@ -58,7 +65,11 @@ object Joins {
     * operators later). */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, tieBreak: String,
-           toleranceMs: Option[Long] = None): DataFrame = {
+           toleranceMs: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asOf: direction must be backward, forward, or nearest " +
+        s"(the merge_asof contract), got '$direction'")
     def resolve(df: DataFrame, c: String, side: String): String =
       df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
@@ -83,7 +94,7 @@ object Joins {
           "output carries left.* plus the right payload by name; " +
           "rename one side first")
     }
-    val reserved = Set("__ts", "__side", "__r", "__m")
+    val reserved = Set("__ts", "__side", "__r", "__m", "__mb", "__mf")
     (left.columns.toSeq ++ payload).find(c => reserved(c.toLowerCase))
       .foreach { c =>
         throw new IllegalArgumentException(
@@ -122,24 +133,63 @@ object Joins {
         (left.columns.map(col) ++ Seq(col("__ts"), col("__side"), col("__r"))): _*)
       .unionByName(lNulled.select(
         (left.columns.map(col) ++ Seq(col("__ts"), col("__side"), col("__r"))): _*))
-    // right rows first at equal ts (`<=` visibility); ties on ts pick
-    // the greatest tieBreak because ascending order + running `last`
-    val w = Window.partitionBy(lKey)
-      .orderBy(col("__ts").asc, col("__side").asc,
-        col("__r").getField(payload.find(_.equalsIgnoreCase(tieBreak)).get).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    val bounded = toleranceMs match {
-      case None => filled
-      case Some(tol) =>
-        val age = Exact.epochMs(col("__ts")) -
-          Exact.epochMs(col("__m").getField(
-            payload.find(_.equalsIgnoreCase(rTs)).getOrElse(
-              throw new IllegalArgumentException(
-                "asOf: toleranceMs needs the right timestamp in the payload"))))
-        filled.withColumn("__m", when(age <= tol, col("__m")))
+    // the running fill: in an ASCENDING scan the last right row seen
+    // before a left row has the GREATEST rightTs <= leftTs (backward);
+    // in a DESCENDING scan it has the SMALLEST rightTs >= leftTs
+    // (forward). At equal timestamps the right row sorts before the
+    // left in BOTH scans (`__side` asc), so the boundary match is
+    // visible (the <= / >=); among right rows tied on (key, ts) the
+    // greatest tieBreak is seen last and wins — one contract, every
+    // direction.
+    val tieField = col("__r")
+      .getField(payload.find(_.equalsIgnoreCase(tieBreak)).get)
+    def runningFill(tsOrd: org.apache.spark.sql.Column) =
+      last(col("__r"), ignoreNulls = true).over(
+        Window.partitionBy(lKey)
+          .orderBy(tsOrd, col("__side").asc, tieField.asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def rTsUs(m: org.apache.spark.sql.Column) =
+      Exact.epochUs(m.getField(
+        payload.find(_.equalsIgnoreCase(rTs)).getOrElse(
+          throw new IllegalArgumentException(
+            "asOf: toleranceMs/direction=nearest need the right " +
+              "timestamp in the payload"))))
+    val lUs = Exact.epochUs(col("__ts"))
+    val bounded = direction match {
+      case "nearest" =>
+        // both one-sided candidates over the SAME keyed exchange (one
+        // shuffle, two in-partition sorts), then the closer age wins;
+        // equal distances go BACKWARD (the defined contract, restated
+        // by the oracle's `(c.ts > p.ts) ASC` tie key). Ages compare
+        // in MICROS — Spark's timestamp grain — so a sub-millisecond
+        // difference can never split the operator from the oracle.
+        val withB = unioned
+          .withColumn("__mb", runningFill(col("__ts").asc))
+          .withColumn("__mf", runningFill(col("__ts").desc))
+          .filter(col("__side") === 1)
+        val ageB = lUs - rTsUs(col("__mb"))
+        val ageF = rTsUs(col("__mf")) - lUs
+        val tolUs = toleranceMs.map(t => lit(t * 1000L))
+        val okB = col("__mb").isNotNull &&
+          tolUs.map(ageB <= _).getOrElse(lit(true))
+        val okF = col("__mf").isNotNull &&
+          tolUs.map(ageF <= _).getOrElse(lit(true))
+        withB.withColumn("__m",
+          when(okB && (!okF || ageB <= ageF), col("__mb"))
+            .when(okF, col("__mf")))
+      case _ =>
+        val asc = direction == "backward"
+        val filled = unioned
+          .withColumn("__m",
+            runningFill(if (asc) col("__ts").asc else col("__ts").desc))
+          .filter(col("__side") === 1)
+        toleranceMs match {
+          case None => filled
+          case Some(tol) =>
+            val age = if (asc) lUs - rTsUs(col("__m"))
+              else rTsUs(col("__m")) - lUs
+            filled.withColumn("__m", when(age <= tol * 1000L, col("__m")))
+        }
     }
     payload.foldLeft(bounded) { (df, p) =>
         df.withColumn(p, col("__m").getField(p))
@@ -451,21 +501,79 @@ object Joins {
     * right payload, event_id the deterministic tie-break. The oracle
     * restates the exact contract as a LATERAL
     * `ORDER BY ts DESC, event_id DESC LIMIT 1`. */
-  def asOfGeneric(spark: SparkSession, dir: String): DataFrame = {
+  private def purchasesClicks(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir).events
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_event_id"), col("user_id"),
-        col("ts"), col("value").as("purchase_value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_event_id"), col("value").as("click_value"))
-    asOf(purchases, clicks, "user_id", "ts", "click_ts", "click_event_id")
+    (ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event_id"), col("user_id"),
+          col("ts"), col("value").as("purchase_value")),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_event_id"), col("value").as("click_value")))
+  }
+
+  private def asOfGenericWith(spark: SparkSession, dir: String,
+                              direction: String,
+                              toleranceMs: Option[Long] = None): DataFrame = {
+    val (purchases, clicks) = purchasesClicks(spark, dir)
+    asOf(purchases, clicks, "user_id", "ts", "click_ts", "click_event_id",
+        toleranceMs = toleranceMs, direction = direction)
       .select(col("purchase_event_id"), col("user_id"),
         Exact.epochMs(col("ts")).as("purchase_ts_ms"),
         col("click_event_id"), col("click_value"),
         Exact.epochMs(col("click_ts")).as("click_ts_ms"))
       .orderBy("purchase_event_id")
   }
+
+  def asOfGeneric(spark: SparkSession, dir: String): DataFrame =
+    asOfGenericWith(spark, dir, "backward")
+
+  /** s73: direction = FORWARD (r15, merge_asof parity) — the EARLIEST
+    * click at-or-after each purchase; the LATERAL restatement flips
+    * the comparison and the sort. */
+  def asOfForward(spark: SparkSession, dir: String): DataFrame =
+    asOfGenericWith(spark, dir, "forward")
+
+  val asOfForwardOracle: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       epoch_ms(p.ts) AS purchase_ts_ms,
+      |       c.event_id AS click_event_id, c.value AS click_value,
+      |       epoch_ms(c.ts) AS click_ts_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.value, c.ts FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |    AND c.ts >= p.ts
+      |  ORDER BY c.ts ASC, c.event_id DESC LIMIT 1
+      |) c ON true
+      |ORDER BY purchase_event_id""".stripMargin
+
+  /** s74: direction = NEAREST with a 30-minute budget (r15) — the
+    * closer of the two one-sided candidates, equal distances going
+    * backward; the LATERAL restates the contract as an absolute-age
+    * sort with `(c.ts > p.ts) ASC` as the side tie key. Ages compare
+    * in MICROS on both sides, so sub-millisecond gaps can never split
+    * the operator from the oracle. */
+  def asOfNearest(spark: SparkSession, dir: String): DataFrame =
+    asOfGenericWith(spark, dir, "nearest", toleranceMs = Some(1800000L))
+
+  val asOfNearestOracle: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       epoch_ms(p.ts) AS purchase_ts_ms,
+      |       c.event_id AS click_event_id, c.value AS click_value,
+      |       epoch_ms(c.ts) AS click_ts_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.value, c.ts FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |    AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+      |          - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 1800000000
+      |  ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+      |             - epoch_us(CAST(p.ts AS TIMESTAMP))) ASC,
+      |           (c.ts > p.ts) ASC, c.event_id DESC
+      |  LIMIT 1
+      |) c ON true
+      |ORDER BY purchase_event_id""".stripMargin
 
   val asOfGenericOracle: String =
     """SELECT p.event_id AS purchase_event_id, p.user_id,
@@ -550,6 +658,8 @@ object Joins {
     QueryDef.sql("s70_asof_generic", asOfGenericOracle)(asOfGeneric),
     QueryDef.sql("s71_asof_sql", asOfGenericOracle)(asOfSql),
     QueryDef.sql("s71b_asof_sql_tolerance", asOfToleranceOracle)(asOfSqlTolerance),
+    QueryDef.sql("s73_asof_forward", asOfForwardOracle)(asOfForward),
+    QueryDef.sql("s74_asof_nearest", asOfNearestOracle)(asOfNearest),
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
     QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),

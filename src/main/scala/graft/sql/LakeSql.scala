@@ -237,7 +237,8 @@ object LakeSql {
 
   /** Builder for the AS-OF JOIN table function (r14) —
     * `SELECT … FROM asof_join('left', 'right', 'key', 'leftTs',
-    * 'rightTs', 'tieBreak'[, toleranceMs])` — the SQL twin of
+    * 'rightTs', 'tieBreak'[, 'direction'][, toleranceMs])` — the SQL
+    * twin of
     * [[graft.ops.gold.Joins.asOf]]: for every left-table row, the
     * latest right-table row of the same key at-or-before its
     * timestamp (ties broken by the greatest `tieBreak`), left-join
@@ -248,7 +249,7 @@ object LakeSql {
     val spark = SparkSession.active
     def bad(): Nothing = throw new IllegalArgumentException(
       "asof_join expects ('left', 'right', 'key', 'leftTs', 'rightTs', " +
-        "'tieBreak'[, toleranceMs]) literals")
+        "'tieBreak'[, 'direction'][, toleranceMs]) literals")
     // optional trailing numeric literal = toleranceMs (r15 — door
     // parity with the API's merge_asof tolerance); fractional literals
     // parse as Decimal, the stats_star_join lesson
@@ -258,11 +259,16 @@ object LakeSql {
         (args.dropRight(1), Some(d.toLong))
       case _ => (args, None)
     }
-    if (strArgs.length != 6) bad()
-    val Seq(lN, rN, key, lts, rts, tie) = strArgs.map {
+    // optional 7th string literal = direction (r15 — merge_asof
+    // backward/forward/nearest; unambiguous by POSITION, args 1-6
+    // have fixed roles)
+    if (strArgs.length != 6 && strArgs.length != 7) bad()
+    val strs = strArgs.map {
       case Literal(s, _: StringType) if s != null => s.toString
       case _ => bad()
     }
+    val Seq(lN, rN, key, lts, rts, tie) = strs.take(6)
+    val direction = strs.lift(6).getOrElse("backward")
     def resolve(n: String): String = lookup(spark, n).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"asof_join: '$n' is not a registered graft table " +
@@ -272,7 +278,8 @@ object LakeSql {
       graft.ops.gold.Joins.asOf(
           Mutations.readMerged(spark, resolve(lN), mergeSchema = true),
           Mutations.readMerged(spark, resolve(rN), mergeSchema = true),
-          key, lts, rts, tie, toleranceMs = tolerance)
+          key, lts, rts, tie, toleranceMs = tolerance,
+          direction = direction)
         .queryExecution.analyzed)
   }
 

@@ -72,6 +72,62 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(tight(4L).contains(20L))
   }
 
+  test("direction=forward: earliest at-or-after, same ties, left semantics") {
+    val out = Joins.asOf(left, right, "user", "lts", "rts", "rid",
+        direction = "forward")
+      .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[String])]
+      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(1L) == ((Some(12L), Some("c")))) // 11:00 is the next click
+    assert(out(2L) == ((None, None)))           // nothing at-or-after noon
+    assert(out(3L) == ((Some(20L), Some("d")))) // 09:00 -> forward to 11:00
+    assert(out(4L) == ((Some(20L), Some("d")))) // same instant visible
+    assert(out(5L) == ((None, None)))
+    // equal timestamps still break on the greatest tieBreak: a left row
+    // before the 09:30 tie pair must pick rid=11
+    val early = Seq((0L, "u1", ts("2024-01-01 09:00:00"))).toDF("lid", "user", "lts")
+    val e = Joins.asOf(early, right, "user", "lts", "rts", "rid",
+        direction = "forward")
+      .select($"rid").as[Option[Long]].collect().head
+    assert(e.contains(11L), s"forward ties must pick the greatest tieBreak: $e")
+  }
+
+  test("direction=nearest: closer side wins, equal distances go backward") {
+    def run(tol: Option[Long]) =
+      Joins.asOf(left, right, "user", "lts", "rts", "rid",
+          toleranceMs = tol, direction = "nearest")
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    val out = run(None)
+    assert(out(1L).contains(11L)) // 30 min back beats 60 min forward
+    assert(out(2L).contains(12L)) // only a backward candidate exists
+    assert(out(3L).contains(20L)) // only a forward candidate exists
+    assert(out(4L).contains(20L)) // same instant: distance 0
+    assert(out(5L).isEmpty)
+    // a symmetric fixture: right rows exactly 1h before AND after the
+    // left row — equal distances must go BACKWARD (the contract)
+    val l2 = Seq((9L, "ux", ts("2024-01-01 10:00:00"))).toDF("lid", "user", "lts")
+    val r2 = Seq(
+      ("ux", ts("2024-01-01 09:00:00"), 1L, "back"),
+      ("ux", ts("2024-01-01 11:00:00"), 2L, "fwd")
+    ).toDF("user", "rts", "rid", "rv")
+    val tie = Joins.asOf(l2, r2, "user", "lts", "rts", "rid",
+        direction = "nearest")
+      .select($"rv").as[Option[String]].collect().head
+    assert(tie.contains("back"), s"equal distances must go backward: $tie")
+    // the tolerance bounds BOTH sides: 90 minutes nulls nothing here,
+    // 10 minutes nulls everything except the same-instant match
+    val tight = run(Some(10L * 60 * 1000))
+    assert(tight(1L).isEmpty && tight(2L).isEmpty && tight(3L).isEmpty)
+    assert(tight(4L).contains(20L))
+  }
+
+  test("unknown directions fail loudly at the door") {
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOf(left, right, "user", "lts", "rts", "rid",
+        direction = "sideways")
+    }
+    assert(e.getMessage.contains("backward, forward, or nearest"), e.getMessage)
+  }
+
   test("NULL keys and NULL timestamps follow equality-join semantics") {
     // right rows that can never match: NULL key, NULL rightTs — under
     // the naive window shape the NULL-ts row would sort FIRST and
@@ -156,6 +212,24 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(tol == apiTol, "the tolerance door must answer like the API path")
     assert(tol(1L).isEmpty, "a 30-min-old match must null at a 10-min budget")
     assert(tol(4L).contains(20L), "a same-instant match survives any budget")
+    // the optional 7th string literal = direction (r15)
+    val fwd = spark.sql(
+      "SELECT lid, rid FROM asof_join(" +
+        "'asofspec_l', 'asofspec_r', 'user', 'lts', 'rts', 'rid', 'forward')")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fwd(1L).contains(12L) && fwd(2L).isEmpty && fwd(3L).contains(20L),
+      s"the TVF's direction door must flip the scan: $fwd")
+    // direction AND tolerance compose
+    val near = spark.sql(
+      "SELECT lid, rid FROM asof_join('asofspec_l', 'asofspec_r', " +
+        "'user', 'lts', 'rts', 'rid', 'nearest', 600000)")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(near(4L).contains(20L) && near(1L).isEmpty, s"$near")
+    val eDir = intercept[Exception](spark.sql(
+      "SELECT * FROM asof_join('asofspec_l', 'asofspec_r', " +
+        "'user', 'lts', 'rts', 'rid', 'sideways')").collect())
+    assert(eDir.getMessage.contains("backward, forward, or nearest"),
+      eDir.getMessage)
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM asof_join('nope', 'asofspec_r', 'user', 'lts', 'rts', 'rid')")
       .collect())
