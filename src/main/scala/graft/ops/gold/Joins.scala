@@ -66,28 +66,42 @@ object Joins {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, tieBreak: String,
            toleranceMs: Option[Long] = None,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward"): DataFrame =
+    asOfBy(left, right, Seq(key), leftTs, rightTs, tieBreak,
+      toleranceMs, direction)
+
+  /** [[asOf]] with a COMPOSITE match key (r15 — the merge_asof
+    * `by=[…]` form): every semantic is identical, the per-key
+    * exchange just hash-partitions on the key TUPLE. */
+  def asOfBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+             leftTs: String, rightTs: String, tieBreak: String,
+             toleranceMs: Option[Long] = None,
+             direction: String = "backward"): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"asOf: direction must be backward, forward, or nearest " +
         s"(the merge_asof contract), got '$direction'")
+    require(keys.nonEmpty, "asOf: at least one match key")
+    require(keys.map(_.toLowerCase).distinct.size == keys.size,
+      s"asOf: duplicate match keys in ${keys.mkString(", ")}")
     def resolve(df: DataFrame, c: String, side: String): String =
       df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"asOf: no column '$c' on the $side side " +
             s"(has ${df.columns.mkString(", ")})"))
-    val lKey = resolve(left, key, "left")
+    val lKeys = keys.map(resolve(left, _, "left"))
     val lTs = resolve(left, leftTs, "left")
-    val rKey = resolve(right, key, "right")
+    val rKeys = keys.map(resolve(right, _, "right"))
     val rTs = resolve(right, rightTs, "right")
     val tie = resolve(right, tieBreak, "right")
-    // the tie-break must be a right PAYLOAD column: the key is excluded
-    // from the payload struct, so accepting it here would surface two
+    // the tie-break must be a right PAYLOAD column: keys are excluded
+    // from the payload struct, so accepting one would surface two
     // operators later as a bare NoSuchElementException (r14 advisor find)
-    if (tie.equalsIgnoreCase(rKey))
+    if (rKeys.exists(_.equalsIgnoreCase(tie)))
       throw new IllegalArgumentException(
-        s"asOf: tieBreak '$tieBreak' is the join key — ties must break " +
+        s"asOf: tieBreak '$tieBreak' is a join key — ties must break " +
           "on a right payload column (pass a unique id, e.g. an event id)")
-    val payload = right.columns.toSeq.filterNot(_.equalsIgnoreCase(rKey))
+    val payload = right.columns.toSeq
+      .filterNot(c => rKeys.exists(_.equalsIgnoreCase(c)))
     payload.find(p => left.columns.exists(_.equalsIgnoreCase(p))).foreach { p =>
       throw new IllegalArgumentException(
         s"asOf: right column '$p' collides with a left column — the " +
@@ -117,16 +131,19 @@ object Joins {
     // never match under join semantics drop HERE; NULL-key (or
     // NULL-ts) LEFT rows then simply find no fill and surface with a
     // NULL payload, exactly the LATERAL oracle's answer.
-    val rtag = right
-      .filter(col(rKey).isNotNull && col(rTs).isNotNull)
-      .select((rKey +: payload).map(right.col): _*)
-      .withColumnRenamed(rKey, lKey)
+    val rtag = rKeys.zip(lKeys).foldLeft(right
+        .filter(rKeys.map(col(_).isNotNull).reduce(_ && _) &&
+          col(rTs).isNotNull)
+        .select((rKeys ++ payload).map(right.col): _*)) {
+        case (df, (rk, lk)) =>
+          if (rk == lk) df else df.withColumnRenamed(rk, lk)
+      }
       .withColumn("__ts", col(rTs))
       .withColumn("__side", lit(0))
       .withColumn("__r", struct(payload.map(col): _*))
       .drop(payload: _*)
     val lNulled = left.columns.foldLeft(rtag) { (df, c) =>
-      if (df.columns.contains(c)) df // the key survives on both sides
+      if (df.columns.contains(c)) df // keys survive on both sides
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = ltag.select(
@@ -145,7 +162,7 @@ object Joins {
       .getField(payload.find(_.equalsIgnoreCase(tieBreak)).get)
     def runningFill(tsOrd: org.apache.spark.sql.Column) =
       last(col("__r"), ignoreNulls = true).over(
-        Window.partitionBy(lKey)
+        Window.partitionBy(lKeys.map(col): _*)
           .orderBy(tsOrd, col("__side").asc, tieField.asc_nulls_first)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     def rTsUs(m: org.apache.spark.sql.Column) =
@@ -654,8 +671,44 @@ object Joins {
       |) c ON true
       |ORDER BY purchase_event_id""".stripMargin
 
+  /** s75: COMPOSITE match key (r15, merge_asof `by=[…]`) — last click
+    * before each purchase per (user, channel): both sides derive
+    * `chan = event_id % 2`, so a same-user click on the other channel
+    * can never match; the LATERAL restates both equalities. */
+  def asOfMultiKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        (col("event_id") % 2).as("chan"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), (col("event_id") % 2).as("chan"),
+        col("ts").as("click_ts"), col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    asOfBy(purchases, clicks, Seq("user_id", "chan"), "ts", "click_ts",
+        "click_event_id")
+      .select(col("purchase_event_id"), col("user_id"), col("chan"),
+        Exact.epochMs(col("ts")).as("purchase_ts_ms"),
+        col("click_event_id"), col("click_value"))
+      .orderBy("purchase_event_id")
+  }
+
+  val asOfMultiKeyOracle: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       p.event_id % 2 AS chan, epoch_ms(p.ts) AS purchase_ts_ms,
+      |       c.event_id AS click_event_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.value FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_id % 2 = p.event_id % 2
+      |    AND c.event_type = 'click' AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) c ON true
+      |ORDER BY purchase_event_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s70_asof_generic", asOfGenericOracle)(asOfGeneric),
+    QueryDef.sql("s75_asof_multikey", asOfMultiKeyOracle)(asOfMultiKey),
     QueryDef.sql("s71_asof_sql", asOfGenericOracle)(asOfSql),
     QueryDef.sql("s71b_asof_sql_tolerance", asOfToleranceOracle)(asOfSqlTolerance),
     QueryDef.sql("s73_asof_forward", asOfForwardOracle)(asOfForward),

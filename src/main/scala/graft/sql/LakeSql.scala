@@ -274,32 +274,38 @@ object LakeSql {
         s"asof_join: '$n' is not a registered graft table " +
           "(LakeSql.register it first)"))
     import graft.ops.lake.Mutations
+    // 'k1,k2' in the key literal = composite match key (r15 — the
+    // merge_asof by=[…] form; ',' can't appear in a column name)
     SubqueryAlias("asof_join",
-      graft.ops.gold.Joins.asOf(
+      graft.ops.gold.Joins.asOfBy(
           Mutations.readMerged(spark, resolve(lN), mergeSchema = true),
           Mutations.readMerged(spark, resolve(rN), mergeSchema = true),
-          key, lts, rts, tie, toleranceMs = tolerance,
+          key.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          lts, rts, tie, toleranceMs = tolerance,
           direction = direction)
         .queryExecution.analyzed)
   }
 
   /** Builder for the GAP FILL table function (r15) —
     * `SELECT … FROM gap_fill('table', 'tsCol', 'seriesCol',
-    * 'valueCol', 'idCol')` — the SQL twin of
-    * [[graft.streaming.EventTime.gapFill]]: a dense hourly grid per
+    * 'valueCol', 'idCol'[, 'grain'])` — the SQL twin of
+    * [[graft.streaming.EventTime.gapFill]]: a dense calendar grid per
     * series with zero-count bars and a forward-filled close (the
-    * OHLCV bar shape). Registered-name lookup and literal-args
-    * discipline follow [[tableChangesPlan]]. */
+    * OHLCV bar shape); `grain` defaults to `hour`
+    * (minute/hour/day/week/month). Registered-name lookup and
+    * literal-args discipline follow [[tableChangesPlan]]. */
   def gapFillPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     def bad(): Nothing = throw new IllegalArgumentException(
       "gap_fill expects ('table', 'tsCol', 'seriesCol', 'valueCol', " +
-        "'idCol') literals")
-    if (args.length != 5) bad()
-    val Seq(tN, ts, series, value, id) = args.map {
+        "'idCol'[, 'grain']) literals")
+    if (args.length != 5 && args.length != 6) bad()
+    val strs = args.map {
       case Literal(s, _: StringType) if s != null => s.toString
       case _ => bad()
     }
+    val Seq(tN, ts, series, value, id) = strs.take(5)
+    val grain = strs.lift(5).getOrElse("hour")
     val path = lookup(spark, tN).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"gap_fill: '$tN' is not a registered graft table " +
@@ -308,7 +314,7 @@ object LakeSql {
     SubqueryAlias("gap_fill",
       graft.streaming.EventTime.gapFill(
           Mutations.readMerged(spark, path, mergeSchema = true),
-          ts, series, value, id)
+          ts, series, value, id, grain)
         .queryExecution.analyzed)
   }
 }

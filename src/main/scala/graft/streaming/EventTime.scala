@@ -103,17 +103,26 @@ object EventTime {
     gapFill(ev, "ts", "event_type", "value", "event_id")
 
   /** The GENERIC gap-fill operator (r15 — column-parameterized so the
-    * `gap_fill()` SQL table function can reach it): a dense hourly
-    * grid per `seriesCol` between the corpus's global min/max hour,
-    * no-activity hours materialized as zero-count bars carrying the
-    * last seen close forward; the per-bar close is the max-`idCol`
-    * row's `valueCol` (ids are unique ⇒ deterministic under any
-    * partitioning). Output: `seriesCol` (its own name), then
-    * `hour_start_ms`, `n`, `sum_value`, `close_ffill`.
+    * `gap_fill()` SQL table function can reach it): a dense `grain`
+    * grid (minute/hour/day/week/month, default hour) per `seriesCol`
+    * between the corpus's global min/max bar, no-activity bars
+    * materialized as zero-count bars carrying the last seen close
+    * forward; the per-bar close is the max-`idCol` row's `valueCol`
+    * (ids are unique ⇒ deterministic under any partitioning).
+    * Output: `seriesCol` (its own name), then `<grain>_start_ms`,
+    * `n`, `sum_value`, `close_ffill`.
     * See [[gapFillHourly]] for the one-corpus-pass scale shape. */
   def gapFill(ev: DataFrame, tsCol: String, seriesCol: String,
-              valueCol: String, idCol: String): DataFrame = {
+              valueCol: String, idCol: String,
+              grain: String = "hour"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // calendar grains only: the grid steps by ONE grain unit, so the
+    // truncation and the step must agree (date_trunc + sequence both
+    // understand these; month steps calendar-correctly)
+    val g = grain.toLowerCase
+    require(Set("minute", "hour", "day", "week", "month")(g),
+      s"gapFill: grain must be minute/hour/day/week/month, got '$grain'")
+    val startMs = s"${g}_start_ms"
     def resolve(c: String): String =
       ev.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
@@ -125,7 +134,7 @@ object EventTime {
     // the rewrite's working/output names must not collide with the
     // caller's series name (every other column is dropped at the agg)
     val reserved = Set("hour", "n", "sv", "close", "lo", "hi",
-      "hour_start_ms", "sum_value", "close_ffill", "__bhour", "__bseries")
+      startMs, "sum_value", "close_ffill", "__bhour", "__bseries")
     require(!reserved(series.toLowerCase),
       s"gapFill: series column '$series' is reserved by the rewrite; " +
         "rename it upstream")
@@ -135,13 +144,13 @@ object EventTime {
     // persisted so the grid's two tiny reads hit bar-scale data — the
     // first cut re-scanned the corpus for each (review find)
     val bars = graft.engine.Caching.persist(ev
-      .groupBy(date_trunc("hour", col(ts)).as("hour"), col(series))
+      .groupBy(date_trunc(g, col(ts)).as("hour"), col(series))
       .agg(count(lit(1)).as("n"), Exact.decSum(col(value)).as("sv"),
         max_by(col(value), col(id)).as("close")))
     val grid = bars
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("hour"))
+        expr(s"INTERVAL 1 ${g.toUpperCase}"))).as("hour"))
       .crossJoin(bars.select(series).distinct())
     val w = Window.partitionBy(series).orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -160,12 +169,12 @@ object EventTime {
     grid.join(barsR,
         col("hour") === col("__bhour") && col(series) <=> col("__bseries"),
         "left")
-      .select(col(series), Exact.epochMs(col("hour")).as("hour_start_ms"),
+      .select(col(series), Exact.epochMs(col("hour")).as(startMs),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sv"), lit(0.0)).as("sum_value"),
         coalesce(last(col("close"), ignoreNulls = true).over(w),
           lit(0).cast(closeType)).as("close_ffill"))
-      .orderBy(series, "hour_start_ms")
+      .orderBy(series, startMs)
   }
 
   val gapFillHourlyOracle: String =
@@ -209,10 +218,53 @@ object EventTime {
         |ORDER BY event_type, hour_start_ms""".stripMargin)
   }
 
+  /** t4c: the DAY grain through the TVF (r15) — same machinery, the
+    * grid steps by calendar days and the bar column names itself
+    * `day_start_ms`; the oracle restates with `date_trunc('day')` and
+    * a 1-day `generate_series`. */
+  def gapFillDailySql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.lake.Snapshots
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val t = graft.engine.Graft.freshDir(
+      "t4c-events-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Snapshots.commit(t, Snapshots.stage(
+      ev.withColumn("day", lit("d")), t, "day"))
+    graft.sql.LakeSql.register(spark, "t4cev", t, "day")
+    spark.sql(
+      """SELECT event_type, day_start_ms, n, sum_value, close_ffill
+        |FROM gap_fill('t4cev', 'ts', 'event_type', 'value', 'event_id',
+        |              'day')
+        |ORDER BY event_type, day_start_ms""".stripMargin)
+  }
+
+  val gapFillDailyOracle: String =
+    s"""WITH b AS (
+      |  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n,
+      |         ${Exact.decSumSql("value")} AS sv,
+      |         arg_max(value, event_id) AS close
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT date_trunc('day', min(ts)) AS lo,
+      |         date_trunc('day', max(ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT g.d, t.event_type
+      |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+      |        FROM bounds) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+      |SELECT g.event_type, epoch_ms(g.d) AS day_start_ms,
+      |       COALESCE(b.n, 0) AS n, COALESCE(b.sv, 0.0) AS sum_value,
+      |       COALESCE(last_value(b.close IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS close_ffill
+      |FROM grid g LEFT JOIN b ON b.d = g.d AND b.event_type = g.event_type
+      |ORDER BY g.event_type, day_start_ms""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("t1_tumbling_hourly", tumblingHourlyOracle)(tumblingHourly),
     QueryDef.sql("t2_sliding_window", slidingWindowOracle)(slidingWindow),
     QueryDef.sql("t3_session_window", sessionWindowsOracle)(sessionWindows),
     QueryDef.sql("t4_gap_fill", gapFillHourlyOracle)(gapFillHourly),
-    QueryDef.sql("t4b_gap_fill_sql", gapFillHourlyOracle)(gapFillHourlySql))
+    QueryDef.sql("t4b_gap_fill_sql", gapFillHourlyOracle)(gapFillHourlySql),
+    QueryDef.sql("t4c_gap_fill_daily_sql", gapFillDailyOracle)(gapFillDailySql))
 }

@@ -120,6 +120,48 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(tight(4L).contains(20L))
   }
 
+  test("composite match key: per-(key1,key2) fills, no cross-channel leak") {
+    // same user, two channels: the ch2 click must never fill a ch1 left
+    val l2 = Seq(
+      (1L, "u1", "c1", ts("2024-01-01 12:00:00")),
+      (2L, "u1", "c2", ts("2024-01-01 12:00:00")),
+      (3L, "u2", "c1", ts("2024-01-01 12:00:00")) // no clicks at all
+    ).toDF("lid", "user", "chan", "lts")
+    val r2 = Seq(
+      ("u1", "c1", ts("2024-01-01 10:00:00"), 10L, "one"),
+      ("u1", "c2", ts("2024-01-01 11:00:00"), 11L, "two")
+    ).toDF("user", "chan", "rts", "rid", "rv")
+    val out = Joins.asOfBy(l2, r2, Seq("user", "chan"), "lts", "rts", "rid")
+      .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[String])]
+      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(1L) == ((Some(10L), Some("one"))))
+    assert(out(2L) == ((Some(11L), Some("two"))))
+    assert(out(3L) == ((None, None)))
+    // output: left.* then the payload (keys excluded once)
+    assert(Joins.asOfBy(l2, r2, Seq("user", "chan"), "lts", "rts", "rid")
+      .columns.toSeq == Seq("lid", "user", "chan", "lts", "rts", "rid", "rv"))
+    // the TVF spells a composite key as 'k1,k2'
+    val lT = tmp("asof-multi-l")
+    val rT = tmp("asof-multi-r")
+    Snapshots.commit(lT, Snapshots.stage(
+      l2.withColumn("day", lit("d")), lT, "day"))
+    Snapshots.commit(rT, Snapshots.stage(
+      r2.withColumn("rday", lit("d")), rT, "rday"))
+    graft.sql.LakeSql.register(spark, "asofspec_ml", lT, "day")
+    graft.sql.LakeSql.register(spark, "asofspec_mr", rT, "rday")
+    val sqlRows = spark.sql(
+      "SELECT lid, rid FROM asof_join('asofspec_ml', 'asofspec_mr', " +
+        "'user,chan', 'lts', 'rts', 'rid')")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(sqlRows == out.map { case (k, (v, _)) => k -> v },
+      "the TVF's composite-key form must answer like the API")
+    // duplicate keys fail loudly
+    val eDup = intercept[IllegalArgumentException] {
+      Joins.asOfBy(l2, r2, Seq("user", "user"), "lts", "rts", "rid")
+    }
+    assert(eDup.getMessage.contains("duplicate match keys"), eDup.getMessage)
+  }
+
   test("unknown directions fail loudly at the door") {
     val e = intercept[IllegalArgumentException] {
       Joins.asOf(left, right, "user", "lts", "rts", "rid",

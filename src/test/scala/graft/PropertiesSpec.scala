@@ -704,4 +704,34 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(byKey((Some("A"), h0)) == ((1L, 10.0, 10.0)))
     assert(byKey((Some("A"), h0 + 3600000L)) == ((0L, 0.0, 10.0)))
   }
+
+  test("gap fill grain: day grid steps by calendar days, bad grains loud") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "A", 10.0),
+      (2L, "2024-01-03 09:00:00", "A", 7.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val out = graft.streaming.EventTime
+      .gapFill(ev, "ts", "event_type", "value", "event_id", grain = "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).forall(_ == "A") && out.length == 3,
+      s"3 calendar days: $out")
+    // the bar column names itself after the grain
+    assert(graft.streaming.EventTime
+      .gapFill(ev, "ts", "event_type", "value", "event_id", grain = "day")
+      .columns.toSeq ==
+      Seq("event_type", "day_start_ms", "n", "sum_value", "close_ffill"))
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val byDay = out.map(t => t._2 -> (t._3, t._4, t._5)).toMap
+    assert(byDay(d0) == ((1L, 10.0, 10.0)))
+    assert(byDay(d0 + 86400000L) == ((0L, 0.0, 10.0)), "gap day carries close")
+    assert(byDay(d0 + 2 * 86400000L) == ((1L, 7.0, 7.0)))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventTime.gapFill(
+        ev, "ts", "event_type", "value", "event_id", grain = "fortnight")
+    }
+    assert(e.getMessage.contains("minute/hour/day/week/month"), e.getMessage)
+  }
 }
