@@ -160,6 +160,12 @@ object Joins {
     // direction.
     val tieField = col("__r")
       .getField(payload.find(_.equalsIgnoreCase(tieBreak)).get)
+    // NULL-ts LEFT rows must sort FIRST in BOTH scan directions, so no
+    // right row ever precedes them and the fill stays NULL (the
+    // documented contract): asc defaults to nulls-first, but desc
+    // defaults to NULLS LAST — the descending scans say so explicitly
+    // or a NULL-ts left row would be handed the smallest-rightTs match
+    // (r15 review find; right-side NULL timestamps were dropped above)
     def runningFill(tsOrd: org.apache.spark.sql.Column) =
       last(col("__r"), ignoreNulls = true).over(
         Window.partitionBy(lKeys.map(col): _*)
@@ -182,7 +188,7 @@ object Joins {
         // difference can never split the operator from the oracle.
         val withB = unioned
           .withColumn("__mb", runningFill(col("__ts").asc))
-          .withColumn("__mf", runningFill(col("__ts").desc))
+          .withColumn("__mf", runningFill(col("__ts").desc_nulls_first))
           .filter(col("__side") === 1)
         val ageB = lUs - rTsUs(col("__mb"))
         val ageF = rTsUs(col("__mf")) - lUs
@@ -198,7 +204,8 @@ object Joins {
         val asc = direction == "backward"
         val filled = unioned
           .withColumn("__m",
-            runningFill(if (asc) col("__ts").asc else col("__ts").desc))
+            runningFill(if (asc) col("__ts").asc
+              else col("__ts").desc_nulls_first))
           .filter(col("__side") === 1)
         toleranceMs match {
           case None => filled

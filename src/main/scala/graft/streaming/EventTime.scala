@@ -147,11 +147,26 @@ object EventTime {
       .groupBy(date_trunc(g, col(ts)).as("hour"), col(series))
       .agg(count(lit(1)).as("n"), Exact.decSum(col(value)).as("sv"),
         max_by(col(value), col(id)).as("close")))
-    val grid = bars
-      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr(s"INTERVAL 1 ${g.toUpperCase}"))).as("hour"))
-      .crossJoin(bars.select(series).distinct())
+    // grid generation: ONE sequence() array per corpus is fine at
+    // calendar grains (~87k hours per decade), but a MINUTE grid would
+    // materialize the whole span in a single row's array (~5.3M
+    // elements per decade — one task's memory, r15 review find);
+    // sub-hour grains explode DAYS first, then the ≤ 1440 minutes
+    // inside each day, so no array outgrows a day
+    val bounds = bars.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val gridBars =
+      if (g == "minute")
+        bounds.select(col("lo"), col("hi"),
+            explode(sequence(date_trunc("day", col("lo")),
+              date_trunc("day", col("hi")), expr("INTERVAL 1 DAY"))).as("d"))
+          .select(explode(sequence(
+            greatest(col("lo"), col("d")),
+            least(col("hi"), col("d") + expr("INTERVAL 1439 MINUTE")),
+            expr("INTERVAL 1 MINUTE"))).as("hour"))
+      else
+        bounds.select(explode(sequence(col("lo"), col("hi"),
+          expr(s"INTERVAL 1 ${g.toUpperCase}"))).as("hour"))
+    val grid = gridBars.crossJoin(bars.select(series).distinct())
     val w = Window.partitionBy(series).orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NULL-SAFE series join (r15 review find): a NULL series is a real

@@ -184,15 +184,26 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       (Option("u1"), Option.empty[java.sql.Timestamp], 11L, "null_ts"),
       (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 12L, "null_key")
     ).toDF("user", "rts", "rid", "rv")
-    val out = Joins.asOf(l2, r2, "user", "lts", "rts", "rid")
-      .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[String])]
-      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
-    assert(out(1L) == ((Some(10L), Some("keep"))),
-      "a NULL-rightTs right row must never shadow the real match")
-    assert(out(2L) == ((None, None)),
-      "a NULL-key left row matches nothing (equality-join semantics)")
-    assert(out(3L) == ((None, None)),
-      "rightTs <= NULL is unknown: a NULL-leftTs left row matches nothing")
+    // EVERY direction owes the same contract — the descending scans
+    // need explicit nulls-first or a NULL-ts left row is handed the
+    // smallest-rightTs match (r15 review find)
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val out = Joins.asOf(l2, r2, "user", "lts", "rts", "rid",
+          direction = dir)
+        .select($"lid", $"rid", $"rv").as[(Long, Option[Long], Option[String])]
+        .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+      // backward/nearest match the 10:00 click; forward has nothing
+      // at-or-after noon — but in NO direction may the NULL-ts right
+      // row surface as a match
+      val expected1: (Option[Long], Option[String]) =
+        if (dir == "forward") (None, None) else (Some(10L), Some("keep"))
+      assert(out(1L) == expected1,
+        s"$dir: a NULL-rightTs right row must never shadow/fake a match")
+      assert(out(2L) == ((None, None)),
+        s"$dir: a NULL-key left row matches nothing (equality-join semantics)")
+      assert(out(3L) == ((None, None)),
+        s"$dir: comparing against a NULL leftTs is unknown — no match")
+    }
   }
 
   test("tieBreak equal to the key fails loudly at the door") {

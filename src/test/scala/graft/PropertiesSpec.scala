@@ -733,5 +733,20 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
         ev, "ts", "event_type", "value", "event_id", grain = "fortnight")
     }
     assert(e.getMessage.contains("minute/hour/day/week/month"), e.getMessage)
+    // the minute grain rides the day-chunked grid (no whole-span array)
+    // and must cross day boundaries seamlessly: 23:58 -> 00:01 = 4 bars
+    val evM = Seq(
+      (1L, "2024-01-01 23:58:30", "A", 1.0),
+      (2L, "2024-01-02 00:01:10", "A", 2.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val mins = graft.streaming.EventTime
+      .gapFill(evM, "ts", "event_type", "value", "event_id", grain = "minute")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(mins.length == 4, s"4 minute bars across midnight: ${mins.toSeq}")
+    val m0 = java.sql.Timestamp.valueOf("2024-01-01 23:58:00").getTime
+    assert(mins.map(_._1).toSeq == Seq(m0, m0 + 60000L, m0 + 120000L, m0 + 180000L))
+    assert(mins.map(_._2).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(mins.map(_._3).toSeq == Seq(1.0, 1.0, 1.0, 2.0), "close carries over midnight")
   }
 }
