@@ -275,8 +275,57 @@ object EventTime {
       |FROM grid g LEFT JOIN b ON b.d = g.d AND b.event_type = g.event_type
       |ORDER BY g.event_type, day_start_ms""".stripMargin
 
+  /** t5 — OHLCV CANDLES (r15): the trade domain's native bar — per
+    * (series, hour): open = the FIRST event's value, high/low =
+    * min/max, close = the LAST event's value, volume = exact decimal
+    * sum, n = trade count. "First"/"last" are deterministic under any
+    * partitioning: the verdict orders by the (ts, event_id) TUPLE
+    * (`max_by`/`min_by` over a struct — lexicographic), never by ts
+    * alone, whose ties would break arbitrarily; the oracle restates
+    * the same rule as window first/last over `ORDER BY ts, event_id`.
+    * One map-combinable groupBy — bar-grain output, corpus touched
+    * once; at 100 TB this is THE shape that turns a trade firehose
+    * into chartable bars. */
+  def ohlcvBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcvBarsOf(Tables(spark, dir).events)
+
+  private[graft] def ohlcvBarsOf(ev: DataFrame): DataFrame =
+    ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        Exact.decSum(col("value")).as("volume"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), Exact.epochMs(col("h")).as("hour_start_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n"))
+      .orderBy("event_type", "hour_start_ms")
+
+  val ohlcvBarsOracle: String =
+    s"""WITH ranked AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, value,
+      |         first_value(value) OVER (
+      |           PARTITION BY date_trunc('hour', ts), event_type
+      |           ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+      |         last_value(value) OVER (
+      |           PARTITION BY date_trunc('hour', ts), event_type
+      |           ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+      |  FROM events)
+      |SELECT event_type, epoch_ms(h) AS hour_start_ms,
+      |       any_value(open) AS open, max(value) AS high, min(value) AS low,
+      |       any_value(close) AS close,
+      |       ${Exact.decSumSql("value")} AS volume, count(*) AS n
+      |FROM ranked GROUP BY h, event_type
+      |ORDER BY event_type, hour_start_ms""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("t1_tumbling_hourly", tumblingHourlyOracle)(tumblingHourly),
+    QueryDef.sql("t5_ohlcv_bars", ohlcvBarsOracle)(ohlcvBars),
     QueryDef.sql("t2_sliding_window", slidingWindowOracle)(slidingWindow),
     QueryDef.sql("t3_session_window", sessionWindowsOracle)(sessionWindows),
     QueryDef.sql("t4_gap_fill", gapFillHourlyOracle)(gapFillHourly),

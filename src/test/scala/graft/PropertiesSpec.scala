@@ -705,6 +705,30 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(byKey((Some("A"), h0 + 3600000L)) == ((0L, 0.0, 10.0)))
   }
 
+  test("ohlcv bars: open/close deterministic on timestamp ties via event_id") {
+    import org.apache.spark.sql.functions._
+    // three trades in one bar; the first TWO share a timestamp — the
+    // tuple (ts, event_id) must decide open (lowest id at min ts) and
+    // a same-instant close tie would pick the greatest id
+    val ev = Seq(
+      (2L, "2024-01-01 10:00:00", "A", 5.0), // same instant, higher id
+      (1L, "2024-01-01 10:00:00", "A", 9.0), // same instant, lower id -> open
+      (3L, "2024-01-01 10:30:00", "A", 7.0)  // latest -> close
+    ).toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val r = graft.streaming.EventTime.ohlcvBarsOf(ev).collect().head
+    assert(r.getString(0) == "A")
+    assert(r.getDouble(2) == 9.0, "open = value of (min ts, min id)")
+    assert(r.getDouble(3) == 9.0 && r.getDouble(4) == 5.0, "high/low")
+    assert(r.getDouble(5) == 7.0, "close = value of (max ts, max id)")
+    assert(r.getDouble(6) == 21.0 && r.getLong(7) == 3L)
+    // a pure same-instant bar: close picks the GREATEST id
+    val tie = graft.streaming.EventTime.ohlcvBarsOf(
+        ev.filter(col("event_id") < 3L)).collect().head
+    assert(tie.getDouble(2) == 9.0 && tie.getDouble(5) == 5.0,
+      "same-instant open/close break on event_id, never arbitrarily")
+  }
+
   test("gap fill grain: day grid steps by calendar days, bad grains loud") {
     import org.apache.spark.sql.functions._
     val ev = Seq(
