@@ -232,7 +232,49 @@ object Skew {
          |GROUP BY segment ORDER BY segment""".stripMargin)
   }
 
+  /** s76: the FULLY WRITE-TIME stats chain under the oracle gate (r15)
+    * — the s62 skew question where every recorded stat folds from
+    * sketches the commits already paid for: NDV/rows via
+    * [[Snapshots.withHll]] + [[Analyze.analyzeFromSketches]]
+    * (manifest-scale job), frequencies via [[Snapshots.withTopK]] +
+    * [[Analyze.frequentKeysFromSketches]] (a pure DRIVER fold — zero
+    * Spark jobs). No exact ANALYZE anywhere; the folded evidence must
+    * still flip the strategy to salt (the spec fences it), and the
+    * salted aggregate must equal DuckDB's plain join. This is the
+    * 100 TB stats story end to end: maintenance costs manifest IO, the
+    * table is never re-scanned. */
+  def statsSkewJoinSketchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s76-fact-", dir)
+    val dimT = freshTable("s76-dim-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("sk",
+        when(col("event_id") % 100 < 90, col("event_id") % 10)
+          .otherwise(col("event_id") % 5000))
+      .select("event_id", "sk", "value")
+    Snapshots.commitAll(factT, Snapshots.withTopK(Snapshots.withHll(
+      Snapshots.stageWithStats(ev.withColumn("day", lit("d")),
+        factT, "day", "sk"),
+      factT, "sk", spark), factT, "sk", spark))
+    val dim = spark.range(0, 5000)
+      .select(col("id").as("dim_id"),
+        concat(lit("seg-"), (col("id") % 7).cast("string")).as("segment"),
+        lit("pad").as("pad"))
+    Snapshots.commitAll(dimT, Snapshots.withHll(
+      Snapshots.stageWithStats(dim.withColumn("day", lit("d")),
+        dimT, "day", "dim_id"),
+      dimT, "dim_id", spark))
+    Analyze.analyzeFromSketches(spark, factT, Seq("sk"))
+    Analyze.frequentKeysFromSketches(factT, "sk")
+    Analyze.analyzeFromSketches(spark, dimT, Seq("dim_id"))
+    statsSkewJoin(spark, factT, dimT, "sk", "dim_id",
+        broadcastMaxRows = 1000)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("s62_stats_skew_join", statsSkewJoinOracle)(statsSkewJoinQuery),
-    QueryDef.sql("s63_stats_skew_join_sql", statsSkewJoinOracle)(statsSkewJoinSql))
+    QueryDef.sql("s63_stats_skew_join_sql", statsSkewJoinOracle)(statsSkewJoinSql),
+    QueryDef.sql("s76_stats_skew_join_sketches", statsSkewJoinOracle)(statsSkewJoinSketchQuery))
 }

@@ -195,6 +195,7 @@ object Analyze {
     * inherited `tbl.` namespace, so every later commit carries them. */
   private[graft] val AutoStaleProp = "tbl.autoanalyze.maxstale"
   private[graft] val AutoColsProp = "tbl.autoanalyze.cols"
+  private[graft] val AutoFreqColsProp = "tbl.autoanalyze.freqcols"
 
   /** Declare AUTO ANALYZE on `table`: whenever a commit leaves the
     * recorded stats more than `maxStaleVersions` versions behind the
@@ -207,12 +208,15 @@ object Analyze {
     * [[graft.ops.gold.JoinOrder.orderByStats]]) keeps its fast path
     * without anyone remembering to run ANALYZE. The closing piece of
     * the r14 stats substrate: refresh was already zero-data-read;
-    * now it is also zero-operator. SCOPE: only the `tbl.stat.v` family
-    * re-folds — key FREQUENCIES ([[frequentKeys]], the salt election's
-    * evidence) and HISTOGRAMS have no write-time sketch to fold and
-    * keep their manual (or [[histogramApprox]]) refresh; past their
-    * own staleness budget those consumers degrade exactly as without
-    * AUTO ANALYZE.
+    * now it is also zero-operator. `freqColumns` (r15) additionally
+    * keeps the FREQUENCY family fresh — the salt election's evidence —
+    * from the per-file top-k sidecars ([[Snapshots.withTopK]] /
+    * [[frequentKeysFromSketches]]: a pure driver-side fold, not even a
+    * Spark job), each frequency column refreshing against its OWN
+    * per-family version stamp. SCOPE: HISTOGRAMS have no write-time
+    * sketch to fold and keep their manual (or [[histogramApprox]])
+    * refresh; past their own staleness budget those consumers degrade
+    * exactly as without AUTO ANALYZE.
     *
     * `columns` must be sketched at write time ([[Snapshots.withHll]] /
     * `stageWithStats`) — a refresh finding no sketch (or a deletion
@@ -225,22 +229,28 @@ object Analyze {
     * ('tbl.autoanalyze.maxstale'='16', 'tbl.autoanalyze.cols'='id')`
     * is the exact equivalent — no new grammar needed. */
   def autoAnalyze(table: String, columns: Seq[String],
-                  maxStaleVersions: Long = 16): Long = {
-    require(columns.nonEmpty, s"autoAnalyze($table): name the columns")
+                  maxStaleVersions: Long = 16,
+                  freqColumns: Seq[String] = Seq.empty): Long = {
+    require(columns.nonEmpty || freqColumns.nonEmpty,
+      s"autoAnalyze($table): name the columns")
     require(maxStaleVersions >= 1,
       s"autoAnalyze($table): maxStaleVersions must be >= 1 (the refresh " +
         s"itself commits a props version), got $maxStaleVersions")
-    require(columns.forall(!_.contains(",")),
+    require((columns ++ freqColumns).forall(!_.contains(",")),
       s"autoAnalyze($table): column names must be comma-free")
-    Snapshots.commitProps(table, Map(
-      AutoStaleProp -> maxStaleVersions.toString,
-      AutoColsProp -> columns.mkString(",")))
+    Snapshots.commitProps(table,
+      Map(AutoStaleProp -> maxStaleVersions.toString) ++
+        (if (columns.nonEmpty) Map(AutoColsProp -> columns.mkString(","))
+         else Map.empty) ++
+        (if (freqColumns.nonEmpty)
+          Map(AutoFreqColsProp -> freqColumns.mkString(","))
+         else Map.empty))
   }
 
   /** Retire the AUTO ANALYZE declaration. */
   def autoAnalyzeOff(table: String): Long =
     Snapshots.commitProps(table, Map.empty,
-      unset = Set(AutoStaleProp, AutoColsProp))
+      unset = Set(AutoStaleProp, AutoColsProp, AutoFreqColsProp))
 
   // the refresh's own commitProps re-enters commitPrepared: bail by
   // thread, not by staleness math alone — belt over suspenders
@@ -260,30 +270,46 @@ object Analyze {
                                      props: Map[String, String]): Unit = {
     val budget = props.get(AutoStaleProp).flatMap(_.toLongOption)
     if (budget.isEmpty || refreshing.get()) return
-    val cols = props.get(AutoColsProp)
+    def declared(p: String): Seq[String] = props.get(p)
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    if (cols.isEmpty) return
-    // never-analyzed reads as infinitely stale: the declaration alone
-    // bootstraps the first fold
-    val analyzed = props.get(VProp).flatMap(_.toLongOption).getOrElse(Long.MinValue)
-    if (analyzed != Long.MinValue && committed - analyzed <= budget.get) return
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
-      case None =>
-        System.err.println(s"[autoanalyze] $table: stats " +
-          s"${if (analyzed == Long.MinValue) "never recorded" else s"$analyzed vs $committed"} " +
-          "but no active SparkSession for the sketch fold; left stale")
-      case Some(spark) =>
-        refreshing.set(true)
-        try { analyzeFromSketches(spark, table, cols); () }
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[autoanalyze] $table: sketch refresh " +
-              s"failed (${e.getMessage}); stats left stale — consumers " +
-              "fall back to their pre-stats behavior")
-        }
-        finally refreshing.set(false)
+    val cols = declared(AutoColsProp)
+    val freqCols = declared(AutoFreqColsProp)
+    if (cols.isEmpty && freqCols.isEmpty) return
+    // never-recorded reads as infinitely stale: the declaration alone
+    // bootstraps the first fold (per family — frequencies stamp their
+    // own per-column version)
+    def stale(v: Option[Long]): Boolean = v.forall(committed - _ > budget.get)
+    val ndvDue = cols.nonEmpty &&
+      stale(props.get(VProp).flatMap(_.toLongOption))
+    val freqDue = freqCols.filter { c =>
+      val phys = scala.util.Try(Snapshots.physicalName(table, c)).getOrElse(c)
+      stale(props.get(freqVKey(phys)).flatMap(_.toLongOption))
     }
+    if (!ndvDue && freqDue.isEmpty) return
+    refreshing.set(true)
+    try {
+      def warn(what: String, e: Throwable): Unit =
+        System.err.println(s"[autoanalyze] $table: $what refresh failed " +
+          s"(${e.getMessage}); stats left stale — consumers fall back " +
+          "to their pre-stats behavior")
+      // frequencies first: a pure driver-side sidecar fold, no session
+      // needed, per-column failure isolation
+      freqDue.foreach { c =>
+        try { frequentKeysFromSketches(table, c); () }
+        catch { case scala.util.control.NonFatal(e) => warn(s"freq($c)", e) }
+      }
+      if (ndvDue) {
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+          case None =>
+            System.err.println(s"[autoanalyze] $table: NDV stats stale " +
+              "but no active SparkSession for the sketch fold; left stale")
+          case Some(spark) =>
+            try { analyzeFromSketches(spark, table, cols); () }
+            catch { case scala.util.control.NonFatal(e) => warn("sketch", e) }
+        }
+      }
+    } finally refreshing.set(false)
   }
 
   /** The one-row aggregate behind [[analyzeApprox]]. */
@@ -561,6 +587,52 @@ object Analyze {
     Snapshots.commitProps(table, Map(
       freqKey(phys) -> enc,
       freqVKey(phys) -> Snapshots.currentVersion(table).toString))
+    top
+  }
+
+  /** ZERO-SCAN frequency refresh from per-file TOP-K sidecars
+    * ([[Snapshots.withTopK]], r15 — the [[analyzeFromSketches]]
+    * discipline applied to the frequency family): per-file exact
+    * top-k lists merge by SUMMING counts per key — a Misra-Gries-style
+    * fold whose results are LOWER BOUNDS on true global counts (files
+    * where a key missed the local top-k contribute nothing). That is
+    * the safe direction for every consumer: the salt trigger
+    * ([[graft.ops.gold.Skew.strategyByStats]]) fires on a count
+    * EXCEEDING a threshold, so a crossing lower bound proves the skew
+    * while a missed crossing only forfeits an optional pre-salt — and
+    * on the one fixture class that matters (a key hot enough to wedge
+    * a partition) the key is locally top-1 in essentially every file,
+    * making the bound tight. NO Spark job at all: the fold is a
+    * driver-side pass over manifest-scale sidecar lines. Records into
+    * the SAME props as [[frequentKeys]] with the same per-family
+    * version stamp. Refuses loudly on deletion vectors (pre-delete
+    * counts) and unsketched entries, like [[analyzeFromSketches]]. */
+  def frequentKeysFromSketches(table: String, column: String,
+                               k: Int = 16): Seq[(String, Long)] = {
+    require(k >= 1 && k <= 256,
+      s"frequentKeysFromSketches($table): k must be in [1, 256], got $k")
+    val v = Snapshots.currentVersion(table)
+    require(v >= 1, s"frequentKeysFromSketches($table): no committed snapshot")
+    val entries = Snapshots.entriesAll(table)
+    require(entries.nonEmpty,
+      s"frequentKeysFromSketches($table): empty table — nothing to fold")
+    entries.find(_.props.contains(Snapshots.DvRefProp)).foreach { e =>
+      throw new IllegalStateException(
+        s"frequentKeysFromSketches($table): ${e.rel} carries a deletion " +
+          "vector — per-file top-k lists describe pre-delete content, so " +
+          "the fold would over-count; compact first or run frequentKeys " +
+          "(one scan)")
+    }
+    val phys = Snapshots.physicalName(table, column)
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    Snapshots.topKCounts(table, entries, phys).foreach(_.foreach {
+      case (key, n) => merged.update(key, merged.getOrElse(key, 0L) + n)
+    })
+    val top = merged.toSeq.sortBy { case (key, n) => (-n, key) }.take(k)
+    val enc = top.map { case (kv, n) =>
+      java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
+    Snapshots.commitProps(table, Map(
+      freqKey(phys) -> enc, freqVKey(phys) -> v.toString))
     top
   }
 

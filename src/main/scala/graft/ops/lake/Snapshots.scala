@@ -2216,6 +2216,110 @@ object Snapshots {
             "analyzeApprox instead"))
     }
 
+  /** Sidecar reference prop for a per-file TOP-K list of a physical
+    * column (`ref.topk.<physCol>=stats/topk-<id>.txt`) — the `ref.`
+    * prefix makes [[vacuum]] retain referenced sidecars, like bloom
+    * and hll. r15: the FREQUENCY family's write-time sketch. */
+  private[graft] val TopKRefPrefix = "ref.topk."
+
+  /** Per-file TOP-K sidecars (r15 — the frequency family's write-time
+    * sketch, completing the zero-scan stats-maintenance story
+    * [[withHll]] started for NDV): each staged file records its EXACT
+    * top-k values of `topKCol` (string-cast, URL-encoded) with their
+    * in-file counts, paid while the rows are already in flight. The
+    * fold consumer ([[Analyze.frequentKeysFromSketches]]) merges the
+    * lists Misra-Gries style: a summed count is a LOWER BOUND on the
+    * key's true global count (files where the key missed the local
+    * top-k contribute nothing) — exactly the safe direction for the
+    * salt trigger, where a crossing lower bound PROVES the skew and a
+    * missed crossing only forfeits an optional pre-salt. Every staged
+    * file gets a line (all-NULL files record an empty list, so the
+    * fold can tell "nothing frequent" from "never sketched"). Sidecar
+    * layout, chunking, caching and the sketch-free-manifest rule
+    * mirror [[withHll]]. */
+  def withTopK(staged: Seq[Entry], table: String, topKCol: String,
+               spark: SparkSession, k: Int = 16,
+               chunkFiles: Int = 4096): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 256, s"withTopK($table): k in [1, 256], got $k")
+    val pcol = physicalName(table, topKCol)
+    staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
+      val files = chunk.map(e => s"$table/${e.rel}")
+      val data = spark.read.parquet(files: _*)
+      // one map-combinable per-(file, key) count, then the per-file
+      // top-k cut — bounded output (#files × k rows) on the driver
+      val ranked = data
+        .select(fileIdCol(input_file_name()).as("__f"),
+          col(s"`$pcol`").cast("string").as("__k"))
+        .na.drop()
+        .groupBy(col("__f"), col("__k")).agg(count(lit(1)).as("__n"))
+        .withColumn("__r", row_number().over(Window.partitionBy("__f")
+          .orderBy(col("__n").desc, col("__k").asc)))
+        .filter(col("__r") <= k)
+        .collect()
+      val byFile = ranked.groupBy(_.getString(0)).map { case (fid, rows) =>
+        fid -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+          .map(r => java.net.URLEncoder.encode(r.getString(1), "UTF-8") +
+            ":" + r.getLong(2))
+          .mkString(",")
+      }
+      val sidecarRel =
+        s"stats/topk-${java.util.UUID.randomUUID.toString.take(12)}.txt"
+      val f = new File(table, sidecarRel)
+      f.getParentFile.mkdirs()
+      writeDurable(f, chunk.map { e =>
+        s"${fileId(e.rel)}\t${byFile.getOrElse(fileId(e.rel), "")}"
+      }.sorted.mkString("\n").getBytes(UTF_8))
+      chunk.map(e =>
+        e.copy(props = e.props + (TopKRefPrefix + pcol -> sidecarRel)))
+    }.toSeq
+  }
+
+  // top-k sidecar lines parsed once per (table, rel) — same rules as
+  // the bloom/hll sidecar caches above
+  private val topKSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Seq[(String, Long)]]]()
+
+  private def topKSidecar(table: String,
+                          rel: String): Map[String, Seq[(String, Long)]] = {
+    if (topKSidecarCache.size > 1024) topKSidecarCache.clear()
+    topKSidecarCache.computeIfAbsent((table, rel), { _ =>
+      new String(Files.readAllBytes(new File(table, rel).toPath), UTF_8)
+        .split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(fid, enc) =>
+              Some(fid -> enc.split(",").toSeq.filter(_.nonEmpty).flatMap { p =>
+                val i = p.lastIndexOf(':')
+                if (i <= 0) None
+                else Some((java.net.URLDecoder.decode(p.take(i), "UTF-8"),
+                  p.drop(i + 1).toLong))
+              })
+            case _ => None
+          }
+        }.toMap
+    })
+  }
+
+  /** The per-file top-k lists of `entries` for physical column `pcol`
+    * — loudly incomplete-safe like [[hllSketches]]: an entry without a
+    * sidecar reference (pre-topk commit) throws rather than letting a
+    * fold silently under-count; an empty recorded list (all-NULL file)
+    * is a legitimate answer. */
+  private[graft] def topKCounts(table: String, entries: Seq[Entry],
+                                pcol: String): Seq[Seq[(String, Long)]] =
+    entries.map { e =>
+      val rel = e.props.getOrElse(TopKRefPrefix + pcol,
+        throw new IllegalStateException(
+          s"topKCounts($table): entry ${e.rel} carries no top-k sidecar " +
+            s"for '$pcol' — stage through withTopK (or run frequentKeys, " +
+            "one scan) before a zero-scan frequency refresh"))
+      topKSidecar(table, rel).getOrElse(fileId(e.rel),
+        throw new IllegalStateException(
+          s"topKCounts($table): sidecar $rel has no line for ${e.rel} — " +
+            "run frequentKeys instead"))
+    }
+
   /** Per-file stats PROPS from the parquet footer in ONE open:
     * `min./max.<col>` for numeric primitives whose logical annotation
     * makes the raw stat comparable to catalyst literal internals
@@ -2572,6 +2676,10 @@ object Snapshots {
     allProps.get(Analyze.AutoColsProp).foreach { v =>
       require(v.split(",").exists(_.trim.nonEmpty),
         s"${Analyze.AutoColsProp} must name at least one column, got '$v'")
+    }
+    allProps.get(Analyze.AutoFreqColsProp).foreach { v =>
+      require(v.split(",").exists(_.trim.nonEmpty),
+        s"${Analyze.AutoFreqColsProp} must name at least one column, got '$v'")
     }
     val dir = logDir(p.table)
     dir.mkdirs()

@@ -627,6 +627,84 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.currentVersion(table) - analyzed2 <= 2)
   }
 
+  test("top-k sidecars: driver-only frequency fold flips the salt verdict") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("snap-topk")
+    // two waves; key 7L is hot in BOTH (locally top-k everywhere, so
+    // the merged lower bound is EXACT for it)
+    def wave(day: String, lo: Int) =
+      ((0 until 300).map(_ => (7L, day, 1.0)) ++
+        (lo until lo + 100).map(i => (i.toLong + 100L, day, 1.0))).toDF("k", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
+      Snapshots.stageWithStats(wave("a", 0), table, "day", "k", buckets = 2),
+      table, "k", spark), table, "k", spark))
+    Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
+      Snapshots.restageLike(spark, wave("b", 100), table, "day"),
+      table, "k", spark), table, "k", spark))
+    assert(Snapshots.entriesAll(table).forall(_.props.contains("ref.topk.k")),
+      "every committed entry must carry a top-k sidecar reference")
+    Analyze.analyzeFromSketches(spark, table, Seq("k"))
+    // the fold is a pure DRIVER pass: zero Spark jobs
+    val (top, jobs) = countJobs {
+      Analyze.frequentKeysFromSketches(table, "k")
+    }
+    assert(jobs == 0, s"the frequency fold must run zero Spark jobs, saw $jobs")
+    assert(top.head._1 == "7" && top.head._2 == 600L,
+      s"hot key exact through the lower-bound merge: ${top.head}")
+    assert(Analyze.frequentKeysOf(table, "k").exists(_.head == ("7", 600L)))
+    // the folded evidence drives the salt verdict (dim over budget)
+    val dimT = tmp("snap-topk-dim")
+    Snapshots.commitAll(dimT, Snapshots.withHll(
+      Snapshots.stageWithStats(
+        (0L until 500L).map(i => (i, s"s$i")).toDF("dk", "seg")
+          .withColumn("day", lit("d")), dimT, "day", "dk"),
+      dimT, "dk", spark))
+    Analyze.analyzeFromSketches(spark, dimT, Seq("dk"))
+    assert(graft.ops.gold.Skew.strategyByStats(table, "k", dimT,
+      broadcastMaxRows = 100).contains("salt"))
+    // zero-data-read fence: the fold survives parquet deletion
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(table, "data"))
+      .filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    assert(Analyze.frequentKeysFromSketches(table, "k").head == ("7", 600L))
+    // loud refusals: unsketched column
+    val e = intercept[IllegalStateException] {
+      Analyze.frequentKeysFromSketches(table, "v")
+    }
+    assert(e.getMessage.contains("no top-k sidecar"), e.getMessage)
+  }
+
+  test("auto analyze keeps the frequency family fresh from sidecars") {
+    import graft.ops.lake.{Analyze, Snapshots => S}
+    import spark.implicits._
+    val table = tmp("snap-auto-freq")
+    def wave(day: String) =
+      ((0 until 200).map(_ => (3L, day, 1.0)) ++
+        (0 until 50).map(i => (i.toLong + 10L, day, 1.0))).toDF("k", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
+      Snapshots.stageWithStats(wave("a"), table, "day", "k", buckets = 2),
+      table, "k", spark), table, "k", spark))
+    Analyze.autoAnalyze(table, Seq("k"), maxStaleVersions = 2,
+      freqColumns = Seq("k"))
+    // the declaration bootstraps BOTH families
+    assert(Analyze.rowsOf(table).contains(250L))
+    assert(Analyze.frequentKeysOf(table, "k").exists(_.head._1 == "3"))
+    val f0 = Analyze.freqVersionOf(table, "k").get
+    (1 to 3).foreach { i =>
+      Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
+        Snapshots.restageLike(spark, wave(s"d$i"), table, "day"),
+        table, "k", spark), table, "k", spark))
+    }
+    val f1 = Analyze.freqVersionOf(table, "k").get
+    assert(f1 > f0, "drifting commits must re-fold the frequency family")
+    assert(Snapshots.currentVersion(table) - f1 <= 2)
+    // the refreshed count reflects every wave (4 x 200 hot rows)
+    assert(Analyze.frequentKeysOf(table, "k").exists(_.head == ("3", 800L)))
+  }
+
   test("auto analyze degrades loudly-soft when the fold cannot run") {
     import graft.ops.lake.Analyze
     import spark.implicits._
