@@ -251,10 +251,10 @@ object Skew {
         when(col("event_id") % 100 < 90, col("event_id") % 10)
           .otherwise(col("event_id") % 5000))
       .select("event_id", "sk", "value")
-    Snapshots.commitAll(factT, Snapshots.withTopK(Snapshots.withHll(
+    Snapshots.commitAll(factT, Snapshots.withKeyStats(
       Snapshots.stageWithStats(ev.withColumn("day", lit("d")),
         factT, "day", "sk"),
-      factT, "sk", spark), factT, "sk", spark))
+      factT, "sk", spark))
     val dim = spark.range(0, 5000)
       .select(col("id").as("dim_id"),
         concat(lit("seg-"), (col("id") % 7).cast("string")).as("segment"),

@@ -238,13 +238,19 @@ object Analyze {
         s"itself commits a props version), got $maxStaleVersions")
     require((columns ++ freqColumns).forall(!_.contains(",")),
       s"autoAnalyze($table): column names must be comma-free")
+    // a RE-declaration replaces the whole declaration: an omitted
+    // family is retired, not silently inherited from the previous one
+    // (r15 review find — a freq family gone sidecar-less would
+    // otherwise warn on every commit forever with no way out)
     Snapshots.commitProps(table,
       Map(AutoStaleProp -> maxStaleVersions.toString) ++
         (if (columns.nonEmpty) Map(AutoColsProp -> columns.mkString(","))
          else Map.empty) ++
         (if (freqColumns.nonEmpty)
           Map(AutoFreqColsProp -> freqColumns.mkString(","))
-         else Map.empty))
+         else Map.empty),
+      unset = (if (columns.isEmpty) Set(AutoColsProp) else Set.empty[String]) ++
+        (if (freqColumns.isEmpty) Set(AutoFreqColsProp) else Set.empty[String]))
   }
 
   /** Retire the AUTO ANALYZE declaration. */
@@ -282,9 +288,19 @@ object Analyze {
     def stale(v: Option[Long]): Boolean = v.forall(committed - _ > budget.get)
     val ndvDue = cols.nonEmpty &&
       stale(props.get(VProp).flatMap(_.toLongOption))
+    // the rename mapping is already IN the published props — deriving
+    // the physical name through Snapshots.physicalName would re-read
+    // the snapshot log on EVERY commit just to decide "not stale"
+    // (r15 review find; this hook's no-op path is contractually
+    // zero-IO)
+    val renames = props.collect {
+      case (key, lg) if key.startsWith(Snapshots.LogicalPropPrefix) =>
+        key.drop(Snapshots.LogicalPropPrefix.length) -> lg
+    }
+    def physOf(c: String): String =
+      renames.collectFirst { case (ph, lg) if lg == c => ph }.getOrElse(c)
     val freqDue = freqCols.filter { c =>
-      val phys = scala.util.Try(Snapshots.physicalName(table, c)).getOrElse(c)
-      stale(props.get(freqVKey(phys)).flatMap(_.toLongOption))
+      stale(props.get(freqVKey(physOf(c))).flatMap(_.toLongOption))
     }
     if (!ndvDue && freqDue.isEmpty) return
     refreshing.set(true)

@@ -2141,41 +2141,58 @@ object Snapshots {
     require(lgK >= 4 && lgK <= 21, s"withHll($table): lgK out of range: $lgK")
     val pcol = physicalName(table, hllCol)
     staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
-      val files = chunk.map(e => s"$table/${e.rel}")
-      val data = spark.read.parquet(files: _*)
-      import org.apache.spark.sql.types._
-      val native = data.schema.fields.find(_.name == pcol).map(_.dataType)
-        .exists(Set[DataType](IntegerType, LongType, StringType, BinaryType).contains)
-      val sketchInput = if (native) s"`$pcol`" else s"cast(`$pcol` as string)"
-      // the per-file NULL COUNT rides the same aggregation: the fold
-      // consumer ([[Analyze.analyzeFromSketches]]) needs it, the rows
-      // are already in flight, and stageWithStats only footer-records
-      // nulls for ITS stats column — a sketched column must be
-      // self-contained (r14 probe find)
-      val rows = data
-        .groupBy(fileIdCol(input_file_name()).as("__f"))
-        .agg(expr(s"hll_sketch_agg($sketchInput, $lgK)").as("__s"),
-          sum(when(col(s"`$pcol`").isNull, 1L).otherwise(0L)).as("__n"))
-        .collect()
-      val sketches = rows
-        .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getString(0) -> _))
-        .toMap
-      val nulls = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
-      val sidecarRel = s"stats/hll-${java.util.UUID.randomUUID.toString.take(12)}.txt"
-      if (sketches.nonEmpty) {
-        val f = new File(table, sidecarRel)
-        f.getParentFile.mkdirs()
-        writeDurable(f, sketches.toSeq.sortBy(_._1).map { case (fid, b) =>
-          s"$fid\t${java.util.Base64.getEncoder.encodeToString(b)}"
-        }.mkString("\n").getBytes(UTF_8))
-      }
-      chunk.map { e =>
-        e.copy(props = e.props ++
-          (if (sketches.contains(fileId(e.rel)))
-            Some(HllRefPrefix + pcol -> sidecarRel) else None) ++
-          nulls.get(fileId(e.rel)).map(n => s"nulls.$pcol" -> n.toString))
-      }
+      val data = withFid(spark, table, chunk)
+      val attach = hllChunkProps(table, pcol, lgK, data)
+      chunk.map(e => e.copy(props = e.props ++ attach(e)))
     }.toSeq
+  }
+
+  /** The per-chunk read every sidecar decorator shares, with the file
+    * id MATERIALIZED as `__gfid`: `input_file_name()` is evaluated
+    * only while a scan is actually running, so rows served back from a
+    * persisted plan would answer "" (measured r15 — the one-pass
+    * [[withKeyStats]] needs the fid to survive its cache). */
+  private def withFid(spark: SparkSession, table: String,
+                      chunk: Seq[Entry]): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(chunk.map(e => s"$table/${e.rel}"): _*)
+      .withColumn("__gfid",
+        fileIdCol(org.apache.spark.sql.functions.input_file_name()))
+
+  /** Per-chunk HLL machinery shared by [[withHll]] and [[withKeyStats]]:
+    * ONE aggregation computes each file's sketch AND its null count
+    * (the fold consumer [[Analyze.analyzeFromSketches]] needs the
+    * nulls, the rows are already in flight, and stageWithStats only
+    * footer-records nulls for ITS stats column — a sketched column
+    * must be self-contained, r14 probe find), publishes the sidecar,
+    * and returns the per-entry prop attacher. */
+  private def hllChunkProps(table: String, pcol: String, lgK: Int,
+      data: org.apache.spark.sql.DataFrame): Entry => Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val native = data.schema.fields.find(_.name == pcol).map(_.dataType)
+      .exists(Set[DataType](IntegerType, LongType, StringType, BinaryType).contains)
+    val sketchInput = if (native) s"`$pcol`" else s"cast(`$pcol` as string)"
+    val rows = data
+      .groupBy(col("__gfid").as("__f"))
+      .agg(expr(s"hll_sketch_agg($sketchInput, $lgK)").as("__s"),
+        sum(when(col(s"`$pcol`").isNull, 1L).otherwise(0L)).as("__n"))
+      .collect()
+    val sketches = rows
+      .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getString(0) -> _))
+      .toMap
+    val nulls = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sidecarRel = s"stats/hll-${java.util.UUID.randomUUID.toString.take(12)}.txt"
+    if (sketches.nonEmpty) {
+      val f = new File(table, sidecarRel)
+      f.getParentFile.mkdirs()
+      writeDurable(f, sketches.toSeq.sortBy(_._1).map { case (fid, b) =>
+        s"$fid\t${java.util.Base64.getEncoder.encodeToString(b)}"
+      }.mkString("\n").getBytes(UTF_8))
+    }
+    e => (if (sketches.contains(fileId(e.rel)))
+        Map(HllRefPrefix + pcol -> sidecarRel)
+      else Map.empty[String, String]) ++
+      nulls.get(fileId(e.rel)).map(n => s"nulls.$pcol" -> n.toString)
   }
 
   // hll sidecar lines parsed once per (table, rel) — same immutability
@@ -2240,39 +2257,69 @@ object Snapshots {
   def withTopK(staged: Seq[Entry], table: String, topKCol: String,
                spark: SparkSession, k: Int = 16,
                chunkFiles: Int = 4096): Seq[Entry] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && k <= 256, s"withTopK($table): k in [1, 256], got $k")
     val pcol = physicalName(table, topKCol)
     staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
-      val files = chunk.map(e => s"$table/${e.rel}")
-      val data = spark.read.parquet(files: _*)
-      // one map-combinable per-(file, key) count, then the per-file
-      // top-k cut — bounded output (#files × k rows) on the driver
-      val ranked = data
-        .select(fileIdCol(input_file_name()).as("__f"),
-          col(s"`$pcol`").cast("string").as("__k"))
-        .na.drop()
-        .groupBy(col("__f"), col("__k")).agg(count(lit(1)).as("__n"))
-        .withColumn("__r", row_number().over(Window.partitionBy("__f")
-          .orderBy(col("__n").desc, col("__k").asc)))
-        .filter(col("__r") <= k)
-        .collect()
-      val byFile = ranked.groupBy(_.getString(0)).map { case (fid, rows) =>
-        fid -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))
-          .map(r => java.net.URLEncoder.encode(r.getString(1), "UTF-8") +
-            ":" + r.getLong(2))
-          .mkString(",")
-      }
-      val sidecarRel =
-        s"stats/topk-${java.util.UUID.randomUUID.toString.take(12)}.txt"
-      val f = new File(table, sidecarRel)
-      f.getParentFile.mkdirs()
-      writeDurable(f, chunk.map { e =>
-        s"${fileId(e.rel)}\t${byFile.getOrElse(fileId(e.rel), "")}"
-      }.sorted.mkString("\n").getBytes(UTF_8))
-      chunk.map(e =>
-        e.copy(props = e.props + (TopKRefPrefix + pcol -> sidecarRel)))
+      val data = withFid(spark, table, chunk)
+      val attach = topKChunkProps(table, pcol, k, chunk, data)
+      chunk.map(e => e.copy(props = e.props ++ attach(e)))
+    }.toSeq
+  }
+
+  /** Per-chunk top-k machinery shared by [[withTopK]] and
+    * [[withKeyStats]]: one map-combinable per-(file, key) count, the
+    * per-file top-k cut (bounded driver output, #files × k rows), the
+    * sidecar publish, and the per-entry prop attacher. */
+  private def topKChunkProps(table: String, pcol: String, k: Int,
+      chunk: Seq[Entry],
+      data: org.apache.spark.sql.DataFrame): Entry => Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ranked = data
+      .select(col("__gfid").as("__f"),
+        col(s"`$pcol`").cast("string").as("__k"))
+      .na.drop()
+      .groupBy(col("__f"), col("__k")).agg(count(lit(1)).as("__n"))
+      .withColumn("__r", row_number().over(Window.partitionBy("__f")
+        .orderBy(col("__n").desc, col("__k").asc)))
+      .filter(col("__r") <= k)
+      .collect()
+    val byFile = ranked.groupBy(_.getString(0)).map { case (fid, rows) =>
+      fid -> rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+        .map(r => java.net.URLEncoder.encode(r.getString(1), "UTF-8") +
+          ":" + r.getLong(2))
+        .mkString(",")
+    }
+    val sidecarRel =
+      s"stats/topk-${java.util.UUID.randomUUID.toString.take(12)}.txt"
+    val f = new File(table, sidecarRel)
+    f.getParentFile.mkdirs()
+    writeDurable(f, chunk.map { e =>
+      s"${fileId(e.rel)}\t${byFile.getOrElse(fileId(e.rel), "")}"
+    }.sorted.mkString("\n").getBytes(UTF_8))
+    e => Map(TopKRefPrefix + pcol -> sidecarRel)
+  }
+
+  /** BOTH sidecar families for ONE column in ONE read (r15 review
+    * find): [[withHll]]'s NDV sketch + null count AND [[withTopK]]'s
+    * frequency list share a single persisted scan of the freshly
+    * written files — the adopting write path pays one pass, not two.
+    * This is the staging decorator the fully write-time stats chain
+    * (s76, AUTO ANALYZE with both families) should use. */
+  def withKeyStats(staged: Seq[Entry], table: String, col0: String,
+                   spark: SparkSession, lgK: Int = 12, k: Int = 16,
+                   chunkFiles: Int = 4096): Seq[Entry] = {
+    require(lgK >= 4 && lgK <= 21,
+      s"withKeyStats($table): lgK out of range: $lgK")
+    require(k >= 1 && k <= 256, s"withKeyStats($table): k in [1, 256], got $k")
+    val pcol = physicalName(table, col0)
+    staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
+      val data = withFid(spark, table, chunk).persist()
+      try {
+        val hll = hllChunkProps(table, pcol, lgK, data)
+        val topk = topKChunkProps(table, pcol, k, chunk, data)
+        chunk.map(e => e.copy(props = e.props ++ hll(e) ++ topk(e)))
+      } finally { data.unpersist(); () }
     }.toSeq
   }
 
@@ -2291,7 +2338,11 @@ object Snapshots {
             case Array(fid, enc) =>
               Some(fid -> enc.split(",").toSeq.filter(_.nonEmpty).flatMap { p =>
                 val i = p.lastIndexOf(':')
-                if (i <= 0) None
+                // i == 0 is the EMPTY-STRING key (':count' — the classic
+                // missing-FK sentinel, often the hottest value there is);
+                // URLEncoder leaves "" as "" and encodes ':' as %3A, so
+                // lastIndexOf is always the separator (r15 review find)
+                if (i < 0) None
                 else Some((java.net.URLDecoder.decode(p.take(i), "UTF-8"),
                   p.drop(i + 1).toLong))
               })

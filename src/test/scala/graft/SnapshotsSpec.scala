@@ -639,9 +639,11 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
       Snapshots.stageWithStats(wave("a", 0), table, "day", "k", buckets = 2),
       table, "k", spark), table, "k", spark))
-    Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
+    // the combined one-pass decorator must be interchangeable with the
+    // chained pair (same props, one shared scan — r15 review find)
+    Snapshots.commitAll(table, Snapshots.withKeyStats(
       Snapshots.restageLike(spark, wave("b", 100), table, "day"),
-      table, "k", spark), table, "k", spark))
+      table, "k", spark))
     assert(Snapshots.entriesAll(table).forall(_.props.contains("ref.topk.k")),
       "every committed entry must carry a top-k sidecar reference")
     Analyze.analyzeFromSketches(spark, table, Seq("k"))
@@ -694,9 +696,9 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Analyze.frequentKeysOf(table, "k").exists(_.head._1 == "3"))
     val f0 = Analyze.freqVersionOf(table, "k").get
     (1 to 3).foreach { i =>
-      Snapshots.commitAll(table, Snapshots.withTopK(Snapshots.withHll(
+      Snapshots.commitAll(table, Snapshots.withKeyStats(
         Snapshots.restageLike(spark, wave(s"d$i"), table, "day"),
-        table, "k", spark), table, "k", spark))
+        table, "k", spark))
     }
     val f1 = Analyze.freqVersionOf(table, "k").get
     assert(f1 > f0, "drifting commits must re-fold the frequency family")
