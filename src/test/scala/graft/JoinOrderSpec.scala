@@ -246,6 +246,34 @@ class JoinOrderSpec extends AnyFunSuite with SparkFixture {
     assert(sqlRows == out, "the TVF's left: marker must answer like the API")
   }
 
+  test("a filtered LEFT leg cuts the dim, keeps every fact row") {
+    import graft.ops.gold.JoinOrder.LegFilter
+    import spark.implicits._
+    val (factT, dimAT, dimBT) = fixture()
+    Analyze.analyze(spark, factT, Seq("fk1", "fk2"))
+    Analyze.analyze(spark, dimAT, Seq("dk1"))
+    Analyze.analyze(spark, dimBT, Seq("dk2"))
+    Analyze.histogram(spark, dimBT, "dk2", 5)
+    // dimB arrives cut to dk2 <= 1 AND joins LEFT: fk2 > 1 rows must
+    // SURVIVE with a NULL seg instead of vanishing
+    val legs = Seq(Leg(dimAT, "fk1", "dk1"),
+      Leg(dimBT, "fk2", "dk2", Some(LegFilter("dk2", 0, 1)), joinType = "left"))
+    val out = JoinOrder.statsOrderedJoin(spark, factT, legs)
+      .select($"id", $"band", $"seg")
+      .as[(Long, String, Option[String])].collect().toSet
+    // inner dimA keeps fk1 < 5 (ids {0..4, 100..104}); the left leg
+    // never drops any of them
+    assert(out.size == 10, s"left leg must keep every inner-surviving row: $out")
+    assert(out.forall { case (id, _, seg) =>
+      (id % 10 <= 1) == seg.isDefined })
+    // identical to the stats-less declared fold
+    val fb = JoinOrder.statsOrderedJoin(spark, factT, legs,
+        maxStaleVersions = -1)
+      .select($"id", $"band", $"seg")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(fb == out)
+  }
+
   test("duplicate legs and unsupported join types fail at the door") {
     import spark.implicits._
     val (factT, dimAT, _) = fixture()

@@ -755,4 +755,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .agg(min("value")).head.getDouble(0)
     assert(jan5Min >= 1000.0, "incoming batch did not win the merge on matched keys")
   }
+
+  test("ohlcv bars run unchanged as a streaming aggregation (unified engine)") {
+    import spark.implicits._
+    // the SAME ohlcvBarsOf expression tree (min_by/max_by over the
+    // (ts, event_id) struct + decimal volume) must plan as a streaming
+    // aggregation — Spark's unified-engine guarantee is what lets the
+    // batch-oracled t5 semantics carry to a live trade feed verbatim;
+    // complete mode because candles re-state as late trades arrive
+    // (and it is the one mode that admits the presentation sort)
+    val srcDir = tmp("ohlcv-src")
+    val ev = Seq(
+      (2L, "2024-01-01 10:00:00", "A", 5.0), // same-instant pair: open
+      (1L, "2024-01-01 10:00:00", "A", 9.0), // breaks on event_id
+      (3L, "2024-01-01 10:30:00", "A", 7.0),
+      (4L, "2024-01-01 11:10:00", "B", 2.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    ev.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = graft.streaming.EventTime.ohlcvBarsOf(stream)
+      .writeStream.format("memory").queryName("ohlcv_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("ohlcv_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))).toSet
+    val batch = graft.streaming.EventTime.ohlcvBarsOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))).toSet
+    assert(streamed == batch,
+      "the streaming candles must equal the batch candles row-for-row")
+    assert(streamed.exists { case (s, _, open, _, _, close, _, _) =>
+      s == "A" && open == 9.0 && close == 7.0 },
+      s"deterministic open/close must survive the streaming plan: $streamed")
+  }
 }
