@@ -39,6 +39,18 @@ object Analyze {
   private def ndvKey(phys: String) = s"tbl.stat.ndv.$phys"
   private def nullsKey(phys: String) = s"tbl.stat.nulls.$phys"
 
+  /** The version the NEXT props-only commit on `table` will publish —
+    * what every stats family records as "the version these stats
+    * describe". Stamping the PRE-commit version (r15) left every stamp
+    * lagging the live version by the refresh commit itself, so a small
+    * staleness budget re-triggered the zero-scan refresh on every user
+    * commit forever (r15 advisor — the stale-by-construction
+    * treadmill). A props-only commit republishes the folded rows
+    * byte-identically, so stats that describe v describe v+1 exactly
+    * as well. */
+  private def refreshStamp(table: String): String =
+    (Snapshots.currentVersion(table) + 1).toString
+
   /** Compute and record stats for `columns` (empty = every column) of
     * `table`'s live snapshot. Returns one (column, ndv, nulls) row per
     * analyzed column plus the row count; the same rows the SQL verb
@@ -76,7 +88,7 @@ object Analyze {
       (c, row.getLong(1 + 2 * i),
         if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
     }
-    val props = Map(VProp -> v.toString, RowsProp -> rows.toString) ++
+    val props = Map(VProp -> refreshStamp(table), RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
@@ -118,7 +130,7 @@ object Analyze {
       (c, row.getLong(1 + 2 * i),
         if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
     }
-    val props = Map(VProp -> v.toString, RowsProp -> rows.toString) ++
+    val props = Map(VProp -> refreshStamp(table), RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
@@ -148,6 +160,18 @@ object Analyze {
     * contract). */
   def analyzeFromSketches(spark: SparkSession, table: String,
                           columns: Seq[String]): (Long, Seq[(String, Long, Long)]) = {
+    val (rows, stats, props) = ndvFoldFromSketches(spark, table, columns)
+    Snapshots.commitProps(table, props + (VProp -> refreshStamp(table)))
+    (rows, stats)
+  }
+
+  /** [[analyzeFromSketches]]'s fold without the commit: (rows, stats,
+    * props-minus-version-stamp) — so [[maybeAutoRefresh]] can fold
+    * every due family into ONE props commit (r15 advisor: one commit
+    * per family leapfrogged every other family's stamp). */
+  private def ndvFoldFromSketches(spark: SparkSession, table: String,
+                                  columns: Seq[String])
+      : (Long, Seq[(String, Long, Long)], Map[String, String]) = {
     require(columns.nonEmpty,
       s"analyzeFromSketches($table): name the sketched columns")
     val v = Snapshots.currentVersion(table)
@@ -178,13 +202,12 @@ object Analyze {
       val nulls = entries.map(entryLong(_, s"nulls.$pcol", s"null count for $pcol")).sum
       (c, ndv, nulls)
     }
-    val props = Map(VProp -> v.toString, RowsProp -> rows.toString) ++
+    val props = Map(RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
       }
-    Snapshots.commitProps(table, props)
-    (rows, stats)
+    (rows, stats, props)
   }
 
   // ---- AUTO ANALYZE (r15, the r14 verdict item) ---------------------
@@ -309,10 +332,20 @@ object Analyze {
         System.err.println(s"[autoanalyze] $table: $what refresh failed " +
           s"(${e.getMessage}); stats left stale — consumers fall back " +
           "to their pre-stats behavior")
+      // EVERY due family folds into ONE props commit (r15 advisor: one
+      // commit per family advanced the version under the other
+      // families' stamps — with a small budget the refresh re-triggered
+      // on every user commit forever). Per-family failure isolation
+      // stays: a failed fold just contributes nothing to the commit.
+      val acc = scala.collection.mutable.Map.empty[String, String]
+      val stampKeys = scala.collection.mutable.ArrayBuffer.empty[String]
       // frequencies first: a pure driver-side sidecar fold, no session
-      // needed, per-column failure isolation
+      // needed
       freqDue.foreach { c =>
-        try { frequentKeysFromSketches(table, c); () }
+        try {
+          val (_, p, vk) = freqFoldFromSketches(table, c, k = 16)
+          acc ++= p; stampKeys += vk
+        }
         catch { case scala.util.control.NonFatal(e) => warn(s"freq($c)", e) }
       }
       if (ndvDue) {
@@ -321,9 +354,20 @@ object Analyze {
             System.err.println(s"[autoanalyze] $table: NDV stats stale " +
               "but no active SparkSession for the sketch fold; left stale")
           case Some(spark) =>
-            try { analyzeFromSketches(spark, table, cols); () }
+            try {
+              val (_, _, p) = ndvFoldFromSketches(spark, table, cols)
+              acc ++= p; stampKeys += VProp
+            }
             catch { case scala.util.control.NonFatal(e) => warn("sketch", e) }
         }
+      }
+      if (stampKeys.nonEmpty) {
+        // each family stamps THIS commit's own version: the distance a
+        // later commit computes then excludes the refresh itself
+        val stamp = refreshStamp(table)
+        try Snapshots.commitProps(table,
+          acc.toMap ++ stampKeys.map(_ -> stamp))
+        catch { case scala.util.control.NonFatal(e) => warn("commit", e) }
       }
     } finally refreshing.set(false)
   }
@@ -417,7 +461,7 @@ object Analyze {
     Snapshots.commitProps(table, Map(
       histKey(phys) -> bounds.mkString(","),
       histMinKey(phys) -> got(0L).toString,
-      histVKey(phys) -> Snapshots.currentVersion(table).toString))
+      histVKey(phys) -> refreshStamp(table)))
     bounds
   }
 
@@ -484,7 +528,7 @@ object Analyze {
     Snapshots.commitProps(table, Map(
       histKey(phys) -> bounds.mkString(","),
       histMinKey(phys) -> gmin.toString,
-      histVKey(phys) -> Snapshots.currentVersion(table).toString))
+      histVKey(phys) -> refreshStamp(table)))
     bounds
   }
 
@@ -602,7 +646,7 @@ object Analyze {
       java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
     Snapshots.commitProps(table, Map(
       freqKey(phys) -> enc,
-      freqVKey(phys) -> Snapshots.currentVersion(table).toString))
+      freqVKey(phys) -> refreshStamp(table)))
     top
   }
 
@@ -625,6 +669,17 @@ object Analyze {
     * counts) and unsketched entries, like [[analyzeFromSketches]]. */
   def frequentKeysFromSketches(table: String, column: String,
                                k: Int = 16): Seq[(String, Long)] = {
+    val (top, props, vk) = freqFoldFromSketches(table, column, k)
+    Snapshots.commitProps(table, props + (vk -> refreshStamp(table)))
+    top
+  }
+
+  /** [[frequentKeysFromSketches]]'s fold without the commit: (top
+    * list, props-minus-stamp, this column's version-stamp key) — so
+    * [[maybeAutoRefresh]] can fold every due family into ONE props
+    * commit (r15 advisor). */
+  private def freqFoldFromSketches(table: String, column: String, k: Int)
+      : (Seq[(String, Long)], Map[String, String], String) = {
     require(k >= 1 && k <= 256,
       s"frequentKeysFromSketches($table): k must be in [1, 256], got $k")
     val v = Snapshots.currentVersion(table)
@@ -647,9 +702,7 @@ object Analyze {
     val top = merged.toSeq.sortBy { case (key, n) => (-n, key) }.take(k)
     val enc = top.map { case (kv, n) =>
       java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
-    Snapshots.commitProps(table, Map(
-      freqKey(phys) -> enc, freqVKey(phys) -> v.toString))
-    top
+    (top, Map(freqKey(phys) -> enc), freqVKey(phys))
   }
 
   /** Recorded top-k key frequencies, hottest first (None = never

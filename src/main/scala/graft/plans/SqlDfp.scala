@@ -157,7 +157,7 @@ object SqlDfp {
 
   /** The content digest above; `None` (→ no memo, plain collect) if
     * anything in the digest path throws. */
-  private[plans] def memoDigest(dimPlan: LogicalPlan,
+  private[graft] def memoDigest(dimPlan: LogicalPlan,
                                 g: GraftFileIndex): Option[String] =
     scala.util.Try {
       val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -165,6 +165,17 @@ object SqlDfp {
       md.update(g.tablePath.getBytes(utf8)); md.update(0.toByte)
       g.manifestEntries.foreach { e =>
         md.update(e.rel.getBytes(utf8)); md.update(0.toByte)
+        // entry PROPS are part of the content identity (r15 advisor):
+        // a deleteWhere keeps every rel and only adds a DV ref prop, so
+        // a rel-only digest would serve the pre-delete key set to a
+        // post-delete read (or vice versa after RESTORE) if any future
+        // read path ever applied DVs inside the scan instead of as a
+        // plan-level anti-join. Hashing the props makes the safety
+        // explicit instead of resting on that plan-shape invariant.
+        e.props.toSeq.sortBy(_._1).foreach { case (k, pv) =>
+          md.update(k.getBytes(utf8)); md.update(0.toByte)
+          md.update(pv.getBytes(utf8)); md.update(0.toByte)
+        }
       }
       md.update(dimPlan.canonicalized.treeString(verbose = true,
         addSuffix = false, maxFields = Int.MaxValue,

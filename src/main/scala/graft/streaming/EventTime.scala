@@ -122,6 +122,18 @@ object EventTime {
     val g = grain.toLowerCase
     require(Set("minute", "hour", "day", "week", "month")(g),
       s"gapFill: grain must be minute/hour/day/week/month, got '$grain'")
+    // DST safety (r15 advisor): grid arithmetic (date_trunc, the
+    // day-chunked 1440-minute expansion, sequence stepping) is
+    // session-timezone-local — on a DST-observing zone a spring-forward
+    // day's minute grid would spill into the next day (duplicate rows)
+    // and a fall-back day would drop its repeated hour. Graft.configure
+    // pins UTC; a bespoke session must use a fixed-offset zone, where
+    // every day is exactly 1440 minutes and the math below is exact.
+    val sessTz = ev.sparkSession.sessionState.conf.sessionLocalTimeZone
+    require(java.time.ZoneId.of(sessTz).normalized().getRules.isFixedOffset,
+      s"gapFill: session timezone '$sessTz' observes offset transitions " +
+        "(DST) — the dense grid needs a fixed-offset zone; set " +
+        "spark.sql.session.timeZone to UTC (Graft.configure does)")
     val startMs = s"${g}_start_ms"
     def resolve(c: String): String =
       ev.columns.find(_.equalsIgnoreCase(c)).getOrElse(

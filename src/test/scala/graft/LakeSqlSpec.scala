@@ -434,13 +434,16 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(props("stat.ndv.day") == "2" && props("stat.rows") == "4")
     import graft.ops.lake.Analyze
+    // the stamp is the stats commit's OWN version (r16 — a props-only
+    // commit republishes identical rows, and stamping the pre-commit
+    // version left every stamp lagging by the refresh itself)
     val tablePath = LakeSql.lookup(spark, "sqlaz").get._1
-    assert(Analyze.analyzedVersion(tablePath).contains(1L))
+    assert(Analyze.analyzedVersion(tablePath).contains(2L))
     // stats are STALE-visible, not silently refreshed: a later commit
     // carries them (inherited) with the old version stamp
     spark.sql("INSERT INTO sqlaz SELECT 5, 'c', 3.0")
     assert(Analyze.ndvOf(tablePath, "day").contains(2L))
-    assert(Analyze.analyzedVersion(tablePath).contains(1L),
+    assert(Analyze.analyzedVersion(tablePath).contains(2L),
       "the version stamp must expose staleness")
     // unknown column rejects loudly
     intercept[Exception](

@@ -773,4 +773,30 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(mins.map(_._2).toSeq == Seq(1L, 0L, 0L, 1L))
     assert(mins.map(_._3).toSeq == Seq(1.0, 1.0, 1.0, 2.0), "close carries over midnight")
   }
+
+  test("gap fill rejects DST-observing session timezones (r15 advisor)") {
+    import org.apache.spark.sql.functions._
+    // the dense grid's day-chunked minute expansion assumes 1440-minute
+    // days; on a DST zone a spring-forward day would duplicate grid
+    // rows and a fall-back day would drop its repeated hour — the
+    // operator must refuse rather than silently fabricate/drop bars
+    val ev = Seq((1L, "2024-03-10 01:30:00", "A", 1.0))
+      .toDF("event_id", "ts0", "event_type", "value")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.EventTime.gapFill(
+          ev, "ts", "event_type", "value", "event_id", grain = "minute")
+      }
+      assert(e.getMessage.contains("fixed-offset"), e.getMessage)
+      // fixed-offset zones other than UTC stay allowed: every day is
+      // 1440 minutes there too
+      spark.conf.set(tzKey, "UTC+05:30")
+      assert(graft.streaming.EventTime.gapFill(
+        ev, "ts", "event_type", "value", "event_id").collect().nonEmpty)
+    } finally spark.conf.set(tzKey, saved)
+  }
 }

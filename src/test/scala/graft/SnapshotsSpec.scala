@@ -707,6 +707,41 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Analyze.frequentKeysOf(table, "k").exists(_.head == ("3", 800L)))
   }
 
+  test("auto analyze: one refresh commit, stamped with itself — no treadmill") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    // r15 advisor: stamping the PRE-commit version plus one commit per
+    // family left every stamp lagging the live version by the refresh
+    // commits themselves — with a small budget the zero-scan refresh
+    // re-triggered on every user commit forever
+    val table = tmp("snap-auto-tread")
+    val data = ((0 until 100).map(_ => (3L, "a", 1.0)) ++
+      (0 until 30).map(i => (i.toLong + 10L, "a", 1.0))).toDF("k", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withKeyStats(
+      Snapshots.stageWithStats(data, table, "day", "k", buckets = 2),
+      table, "k", spark))
+    Analyze.autoAnalyze(table, Seq("k"), maxStaleVersions = 1,
+      freqColumns = Seq("k"))
+    // the declaration bootstraps BOTH families through ONE refresh
+    // commit, each family stamped with that commit's own version
+    val vAfter = Snapshots.currentVersion(table)
+    assert(vAfter == 3L, s"v1 data + v2 declaration + ONE refresh: $vAfter")
+    assert(Analyze.analyzedVersion(table).contains(vAfter))
+    assert(Analyze.freqVersionOf(table, "k").contains(vAfter))
+    // a within-budget commit must NOT re-trigger (distance 1, budget 1)
+    Snapshots.commitProps(table, Map("tbl.note" -> "n1"))
+    assert(Snapshots.currentVersion(table) == vAfter + 1,
+      "a within-budget commit must not grow a refresh commit")
+    assert(Analyze.analyzedVersion(table).contains(vAfter))
+    // the next commit crosses the budget: exactly ONE refresh commit
+    // carrying both families, stamped with itself
+    Snapshots.commitProps(table, Map("tbl.note" -> "n2"))
+    assert(Snapshots.currentVersion(table) == vAfter + 3,
+      "a past-budget commit triggers exactly one refresh commit")
+    assert(Analyze.analyzedVersion(table).contains(vAfter + 3))
+    assert(Analyze.freqVersionOf(table, "k").contains(vAfter + 3))
+  }
+
   test("auto analyze degrades loudly-soft when the fold cannot run") {
     import graft.ops.lake.Analyze
     import spark.implicits._

@@ -210,6 +210,25 @@ class SqlDfpSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("memo digest covers entry PROPS, not just paths (DV changes miss)") {
+    // a deleteWhere keeps every rel and only adds a DV-ref prop; a
+    // rel-only digest would let the memo serve pre-delete keys to a
+    // post-delete read if DVs were ever applied inside the scan
+    // (r15 advisor — make the invariant explicit, not load-bearing)
+    import org.apache.spark.sql.GraftFileIndex
+    import graft.ops.lake.Snapshots
+    val plan = spark.range(1).queryExecution.analyzed
+    val bare = Seq(Snapshots.Entry("data/f1.parquet", "a"))
+    val dv = Seq(Snapshots.Entry("data/f1.parquet", "a",
+      Map("ref.dv" -> "dv/f1.bin")))
+    val d1 = SqlDfp.memoDigest(plan, new GraftFileIndex("/t", "day", bare))
+    val d2 = SqlDfp.memoDigest(plan, new GraftFileIndex("/t", "day", dv))
+    val d3 = SqlDfp.memoDigest(plan, new GraftFileIndex("/t", "day", bare))
+    assert(d1.nonEmpty && d2.nonEmpty)
+    assert(d1 != d2, "a props-only manifest change must change the digest")
+    assert(d1 == d3, "equal content must digest equally")
+  }
+
   test("lake-backed dim: identical re-compiles hit the memo; a commit re-collects") {
     import spark.implicits._
     val table = mkFact("sqldfp-memo", "sdfp7")
