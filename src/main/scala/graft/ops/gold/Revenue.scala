@@ -48,6 +48,22 @@ object Revenue {
     * DECIMAL, never downscale a decimal (Spark rounds HALF_UP, DuckDB
     * truncates), and cast the exact decimal to DOUBLE only at the end. */
   def factFeeTax(spark: SparkSession, dir: String): DataFrame = {
+    val j = feeTaxJoined(spark, dir)
+    j.frame
+      .select(
+        col("event_date"),
+        col("symbol"),
+        coalesce(col("region"), lit("EU")).as("region"),
+        col("tn_dec").cast("double").as("traded_notional"),
+        (col("tn_dec") * coalesce(col("fee_rate"), j.zeroRate)).cast("double").as("fee_revenue"),
+        (col("tn_dec") * coalesce(col("tax_rate"), j.zeroRate)).cast("double").as("tax_collected"))
+      .orderBy("event_date", "symbol")
+  }
+
+  /** The shared agg→broadcast-join core of both fact builds. */
+  private case class FeeTaxJoined(frame: DataFrame,
+                                  zeroRate: org.apache.spark.sql.Column)
+  private def feeTaxJoined(spark: SparkSession, dir: String): FeeTaxJoined = {
     val t = Tables(spark, dir)
     import org.apache.spark.sql.types.DecimalType
     val agg = silverTrades(t)
@@ -56,16 +72,36 @@ object Revenue {
     val rules = rulesDf(spark)
       .withColumn("fee_rate", (col("fee_rate_bps") / 10000.0).cast(DecimalType(8, 6)))
       .withColumn("tax_rate", (col("tax_rate_bps") / 10000.0).cast(DecimalType(8, 6)))
-    val zeroRate = lit(0.0).cast(DecimalType(8, 6))
-    agg
-      .join(broadcast(rules), Seq("symbol"), "left_outer")
+    FeeTaxJoined(agg.join(broadcast(rules), Seq("symbol"), "left_outer"),
+      lit(0.0).cast(DecimalType(8, 6)))
+  }
+
+  /** DECIMAL(38,10) twin of [[factFeeTax]] (r16, SURVEY §1.4 — the
+    * idiomatic upgrade the reference's float64 money math forgoes,
+    * `build_fact_fee_tax.py:52-56`): the same agg→broadcast-join, but
+    * money STAYS decimal to the output edge — no double anywhere after
+    * the one proven-portable `CAST(notional AS DECIMAL(25,6))`.
+    * Oracle-portability proof for the edge casts: the Spark product
+    * type is DECIMAL(34,12) (25+8+1, 6+6) and DuckDB's DECIMAL(33,12);
+    * the explicit DECIMAL(38,10) cast drops scale 12→10, which rounds
+    * HALF_UP in Spark but TRUNCATES in DuckDB — sound here ONLY
+    * because digits 11-12 are zero by construction (tn_dec carries 6
+    * fractional digits, the bps rates ≤4 significant fractional
+    * digits, so every product has ≤10), making the downscale exact on
+    * both engines. A rate table with >4 fractional digits would need
+    * scale ≥ 6+that; widen `out` before widening the rates. */
+  def factFeeTaxDecimal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val out = DecimalType(38, 10)
+    val j = feeTaxJoined(spark, dir)
+    j.frame
       .select(
         col("event_date"),
         col("symbol"),
         coalesce(col("region"), lit("EU")).as("region"),
-        col("tn_dec").cast("double").as("traded_notional"),
-        (col("tn_dec") * coalesce(col("fee_rate"), zeroRate)).cast("double").as("fee_revenue"),
-        (col("tn_dec") * coalesce(col("tax_rate"), zeroRate)).cast("double").as("tax_collected"))
+        col("tn_dec").cast(out).as("traded_notional_dec"),
+        (col("tn_dec") * coalesce(col("fee_rate"), j.zeroRate)).cast(out).as("fee_revenue_dec"),
+        (col("tn_dec") * coalesce(col("tax_rate"), j.zeroRate)).cast(out).as("tax_collected_dec"))
       .orderBy("event_date", "symbol")
   }
 
@@ -93,6 +129,31 @@ object Revenue {
       |FROM agg a LEFT JOIN rules r USING (symbol)
       |ORDER BY a.event_date, a.symbol""".stripMargin
 
+  val factFeeTaxDecimalOracle: String =
+    """WITH silver AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS event_date, l_returnflag AS symbol,
+      |         l_extendedprice * (1 - l_discount) AS notional
+      |  FROM lineitem
+      |), agg AS (
+      |  SELECT event_date, symbol,
+      |         CAST(SUM(CAST(notional AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS tn_dec
+      |  FROM silver GROUP BY 1, 2
+      |), rules AS (
+      |  SELECT symbol, region,
+      |         CAST(fee_rate_bps / 10000.0 AS DECIMAL(8,6)) AS fee_rate,
+      |         CAST(tax_rate_bps / 10000.0 AS DECIMAL(8,6)) AS tax_rate
+      |  FROM (VALUES ('A','EU',25.0,10.0), ('N','US',30.0,5.0))
+      |    AS r(symbol, region, fee_rate_bps, tax_rate_bps)
+      |)
+      |SELECT a.event_date, a.symbol,
+      |       COALESCE(r.region, 'EU') AS region,
+      |       CAST(a.tn_dec AS DECIMAL(38,10)) AS traded_notional_dec,
+      |       CAST(a.tn_dec * COALESCE(r.fee_rate, CAST(0.0 AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS fee_revenue_dec,
+      |       CAST(a.tn_dec * COALESCE(r.tax_rate, CAST(0.0 AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS tax_collected_dec
+      |FROM agg a LEFT JOIN rules r USING (symbol)
+      |ORDER BY a.event_date, a.symbol""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
-    QueryDef.sql("gold_fact_fee_tax", factFeeTaxOracle)(factFeeTax))
+    QueryDef.sql("gold_fact_fee_tax", factFeeTaxOracle)(factFeeTax),
+    QueryDef.sql("gold_fact_fee_tax_decimal", factFeeTaxDecimalOracle)(factFeeTaxDecimal))
 }

@@ -792,4 +792,78 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s == "A" && open == 9.0 && close == 7.0 },
       s"deterministic open/close must survive the streaming plan: $streamed")
   }
+
+  test("ohlcv candles finalize once under the watermark, across a restart") {
+    import spark.implicits._
+    // the APPEND-mode form (r16, the r15 verdict item): a bar emits
+    // exactly once — when the watermark passes its hour — and its
+    // state evicts, so an infinite trade stream holds only open-hour
+    // state; the complete-mode twin above remains the re-statement
+    // form. Three runs over one checkpoint prove the restart carries
+    // watermark + state: bars finalized in run N never re-emit in N+1.
+    val srcDir = tmp("ohlcv-append-src")
+    val ckpt = tmp("ohlcv-append-ckpt")
+    def ev(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("event_id", "ts0", "event_type", "value")
+        .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val file1 = ev(Seq(
+      (2L, "2024-01-01 10:00:00", "A", 5.0), // same-instant pair: open
+      (1L, "2024-01-01 10:00:00", "A", 9.0), // breaks on event_id
+      (3L, "2024-01-01 10:30:00", "A", 7.0),
+      (4L, "2024-01-01 11:05:00", "B", 2.0)))
+    file1.write.mode("append").parquet(srcDir)
+    val outDir = tmp("ohlcv-append-out")
+    // the FILE sink is the restartable append sink (the memory sink
+    // refuses checkpoint recovery); each run returns the CUMULATIVE
+    // bars, per-run emission is the diff
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    def runOnce(): Set[(String, Long, Double, Double, Double, Double, Double, Long)] = {
+      val stream = spark.readStream.schema(file1.schema).parquet(srcDir)
+      val bars = graft.streaming.EventTime.ohlcvBarsStream(stream)
+      outSchema = bars.schema
+      val q = bars.writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.schema(outSchema).parquet(outDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getLong(7))).toSet
+    }
+    // run 1: watermark reaches 10:55 — no hour is closed, nothing emits
+    val run1 = runOnce()
+    assert(run1.isEmpty, s"no watermark-closed hour yet: $run1")
+    // run 2 (restart): a 12:05 trade moves the watermark to 11:55 —
+    // hour 10 (A) closes and emits exactly once
+    ev(Seq((5L, "2024-01-01 12:05:00", "B", 4.0)))
+      .write.mode("append").parquet(srcDir)
+    val run2 = runOnce()
+    assert(run2.map(t => (t._1, t._2)) ==
+      Set(("A", java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)),
+      s"exactly the closed hour-10 A bar: $run2")
+    // run 3 (second restart): 14:30 -> watermark 14:20 closes hours 11
+    // and 12 (both B); the already-emitted hour-10 bar must NOT re-emit
+    ev(Seq((6L, "2024-01-01 14:30:00", "B", 6.0)))
+      .write.mode("append").parquet(srcDir)
+    val run3 = runOnce()
+    val fresh3 = run3 -- run2
+    assert(fresh3.size == 2 && fresh3.forall(_._1 == "B") &&
+      run3.size == run2.size + 2,
+      s"hours 11 and 12 close, hour 10 never re-emits: $run3")
+    // the union across runs equals the batch-oracled t5 semantics
+    // restricted to watermark-closed hours — the unified-engine receipt
+    val all = file1.unionByName(ev(Seq(
+      (5L, "2024-01-01 12:05:00", "B", 4.0),
+      (6L, "2024-01-01 14:30:00", "B", 6.0))))
+    val closedBelow = java.sql.Timestamp.valueOf("2024-01-01 13:00:00").getTime
+    val batch = graft.streaming.EventTime.ohlcvBarsOf(all).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getLong(7))).filter(_._2 <= closedBelow).toSet
+    assert(run3 == batch,
+      "append emission must equal batch candles over the closed hours")
+  }
 }
