@@ -77,44 +77,8 @@ object Joins {
              leftTs: String, rightTs: String, tieBreak: String,
              toleranceMs: Option[Long] = None,
              direction: String = "backward"): DataFrame = {
-    require(Set("backward", "forward", "nearest").contains(direction),
-      s"asOf: direction must be backward, forward, or nearest " +
-        s"(the merge_asof contract), got '$direction'")
-    require(keys.nonEmpty, "asOf: at least one match key")
-    require(keys.map(_.toLowerCase).distinct.size == keys.size,
-      s"asOf: duplicate match keys in ${keys.mkString(", ")}")
-    def resolve(df: DataFrame, c: String, side: String): String =
-      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"asOf: no column '$c' on the $side side " +
-            s"(has ${df.columns.mkString(", ")})"))
-    val lKeys = keys.map(resolve(left, _, "left"))
-    val lTs = resolve(left, leftTs, "left")
-    val rKeys = keys.map(resolve(right, _, "right"))
-    val rTs = resolve(right, rightTs, "right")
-    val tie = resolve(right, tieBreak, "right")
-    // the tie-break must be a right PAYLOAD column: keys are excluded
-    // from the payload struct, so accepting one would surface two
-    // operators later as a bare NoSuchElementException (r14 advisor find)
-    if (rKeys.exists(_.equalsIgnoreCase(tie)))
-      throw new IllegalArgumentException(
-        s"asOf: tieBreak '$tieBreak' is a join key — ties must break " +
-          "on a right payload column (pass a unique id, e.g. an event id)")
-    val payload = right.columns.toSeq
-      .filterNot(c => rKeys.exists(_.equalsIgnoreCase(c)))
-    payload.find(p => left.columns.exists(_.equalsIgnoreCase(p))).foreach { p =>
-      throw new IllegalArgumentException(
-        s"asOf: right column '$p' collides with a left column — the " +
-          "output carries left.* plus the right payload by name; " +
-          "rename one side first")
-    }
-    val reserved = Set("__ts", "__side", "__r", "__m", "__mb", "__mf")
-    (left.columns.toSeq ++ payload).find(c => reserved(c.toLowerCase))
-      .foreach { c =>
-        throw new IllegalArgumentException(
-          s"asOf: column '$c' is reserved by the merged-stream rewrite; " +
-            "rename it upstream")
-      }
+    val AsOfSides(lKeys, lTs, rTs, _, payload, rightK) =
+      asOfSides(left, right, keys, leftTs, rightTs, tieBreak, direction)
     // one unified stream: left rows carry their columns, right rows
     // carry the payload struct; `__ts` is the shared event-time axis
     val ltag = left
@@ -123,21 +87,7 @@ object Joins {
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(payload.map(right.col): _*).schema.fields)))
-    // NULL hygiene (r14 advisor find): equality-join semantics say a
-    // NULL key matches nothing and `rightTs <= leftTs` is unknown for a
-    // NULL rightTs — but Window.partitionBy groups NULL keys into ONE
-    // partition and asc-nulls-first would sort a NULL rightTs row
-    // FIRST, making it a visible "earliest" match. Right rows that can
-    // never match under join semantics drop HERE; NULL-key (or
-    // NULL-ts) LEFT rows then simply find no fill and surface with a
-    // NULL payload, exactly the LATERAL oracle's answer.
-    val rtag = rKeys.zip(lKeys).foldLeft(right
-        .filter(rKeys.map(col(_).isNotNull).reduce(_ && _) &&
-          col(rTs).isNotNull)
-        .select((rKeys ++ payload).map(right.col): _*)) {
-        case (df, (rk, lk)) =>
-          if (rk == lk) df else df.withColumnRenamed(rk, lk)
-      }
+    val rtag = rightK
       .withColumn("__ts", col(rTs))
       .withColumn("__side", lit(0))
       .withColumn("__r", struct(payload.map(col): _*))
@@ -219,6 +169,180 @@ object Joins {
         df.withColumn(p, col("__m").getField(p))
       }
       .select((left.columns.toSeq ++ payload).map(col): _*)
+  }
+
+  /** Shared as-of side resolution: validated column names plus the
+    * right side filtered to matchable rows (non-NULL keys/ts) with its
+    * keys renamed onto the left's spelling. One door for both the
+    * merged-stream ([[asOfBy]]) and broadcast ([[asOfBroadcast]])
+    * rewrites, so their contracts can never drift. */
+  private final case class AsOfSides(lKeys: Seq[String], lTs: String,
+      rTs: String, tie: String, payload: Seq[String], rightK: DataFrame)
+
+  private def asOfSides(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], leftTs: String, rightTs: String,
+                        tieBreak: String, direction: String): AsOfSides = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asOf: direction must be backward, forward, or nearest " +
+        s"(the merge_asof contract), got '$direction'")
+    require(keys.nonEmpty, "asOf: at least one match key")
+    require(keys.map(_.toLowerCase).distinct.size == keys.size,
+      s"asOf: duplicate match keys in ${keys.mkString(", ")}")
+    def resolve(df: DataFrame, c: String, side: String): String =
+      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOf: no column '$c' on the $side side " +
+            s"(has ${df.columns.mkString(", ")})"))
+    val lKeys = keys.map(resolve(left, _, "left"))
+    val lTs = resolve(left, leftTs, "left")
+    val rKeys = keys.map(resolve(right, _, "right"))
+    val rTs = resolve(right, rightTs, "right")
+    val tie = resolve(right, tieBreak, "right")
+    // the tie-break must be a right PAYLOAD column: keys are excluded
+    // from the payload struct, so accepting one would surface two
+    // operators later as a bare NoSuchElementException (r14 advisor find)
+    if (rKeys.exists(_.equalsIgnoreCase(tie)))
+      throw new IllegalArgumentException(
+        s"asOf: tieBreak '$tieBreak' is a join key — ties must break " +
+          "on a right payload column (pass a unique id, e.g. an event id)")
+    val payload = right.columns.toSeq
+      .filterNot(c => rKeys.exists(_.equalsIgnoreCase(c)))
+    payload.find(p => left.columns.exists(_.equalsIgnoreCase(p))).foreach { p =>
+      throw new IllegalArgumentException(
+        s"asOf: right column '$p' collides with a left column — the " +
+          "output carries left.* plus the right payload by name; " +
+          "rename one side first")
+    }
+    // the union of BOTH rewrites' working names — one reserved set, so
+    // a frame valid on one door is valid on the other
+    val reserved = Set("__ts", "__side", "__r", "__m", "__mb", "__mf",
+      "__arr", "__t", "__tb", "__p")
+    (left.columns.toSeq ++ payload).find(c => reserved(c.toLowerCase))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"asOf: column '$c' is reserved by the as-of rewrite; " +
+            "rename it upstream")
+      }
+    // NULL hygiene (r14 advisor find): equality-join semantics say a
+    // NULL key matches nothing and `rightTs <= leftTs` is unknown for a
+    // NULL rightTs. Right rows that can never match under join
+    // semantics drop HERE; NULL-key (or NULL-ts) LEFT rows then simply
+    // find no fill and surface with a NULL payload, exactly the
+    // LATERAL oracle's answer.
+    val rightK = rKeys.zip(lKeys).foldLeft(right
+        .filter(rKeys.map(col(_).isNotNull).reduce(_ && _) &&
+          col(rTs).isNotNull)
+        .select((rKeys ++ payload).map(right.col): _*)) {
+        case (df, (rk, lk)) =>
+          if (rk == lk) df else df.withColumnRenamed(rk, lk)
+      }
+    AsOfSides(lKeys, lTs, rTs, tie, payload, rightK)
+  }
+
+  /** BROADCAST as-of join (r16, the r15 verdict item): [[asOfBy]]'s
+    * merged-stream rewrite always pays ONE keyed exchange — of the
+    * FACT side, the expensive one. When the right side is dim-sized,
+    * this form shuffles NOTHING on the left: the right side collapses
+    * to one sorted candidate array per key (`sort_array(collect_list)`
+    * — dim-scale work), that per-key table broadcast-joins onto the
+    * left, and each left row binary-probes its key's array with
+    * codegen-friendly array functions (`filter`/`get`). The left side
+    * keeps its incoming partitioning end to end — at 100 TB the fact
+    * never moves, which is the same reason J1 broadcasts its rules
+    * dim.
+    *
+    * Semantics are [[asOfBy]]'s verbatim (one shared resolver): same
+    * directions, tolerance, tie-break (greatest `tieBreak` among rows
+    * tied on `(key, rightTs)` — the sort array orders by `(ts, tie)`,
+    * so the LAST qualifying element is the winner), same NULL
+    * contract (NULL-key/ts right rows dropped; NULL-key/ts left rows
+    * surface with NULL payload — an always-NULL probe predicate keeps
+    * the candidate list empty).
+    *
+    * Memory contract: the ENTIRE right side must fit in one broadcast
+    * (the caller's assertion, or [[statsAsOf]]'s recorded-stats
+    * election). Per-key arrays are probed linearly per left row —
+    * right rows-per-key is expected dim-small; a right side with a
+    * million rows under one key wants the merged-stream form. */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String, tieBreak: String,
+                    toleranceMs: Option[Long] = None,
+                    direction: String = "backward"): DataFrame = {
+    val AsOfSides(lKeys, lTs, rTs, tie, payload, rightK) =
+      asOfSides(left, right, keys, leftTs, rightTs, tieBreak, direction)
+    val arr = rightK
+      .groupBy(lKeys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rTs).as("__t"), col(tie).as("__tb"),
+        struct(payload.map(col): _*).as("__p")))).as("__arr"))
+    val joined = left.join(broadcast(arr), lKeys, "left")
+    val lT = col(lTs)
+    val lUs = Exact.epochUs(lT)
+    val tolUs = toleranceMs.map(t => lit(t * 1000L))
+    def tUs(e: org.apache.spark.sql.Column) =
+      Exact.epochUs(e.getField("__t"))
+    // ages compare in MICROS (Spark's timestamp grain), the asOfBy
+    // discipline — a sub-millisecond gap can never split the doors
+    def candsBack = org.apache.spark.sql.functions.filter(col("__arr"),
+      e => e.getField("__t") <= lT &&
+        tolUs.map(lUs - tUs(e) <= _).getOrElse(lit(true)))
+    def candsFwd = org.apache.spark.sql.functions.filter(col("__arr"),
+      e => e.getField("__t") >= lT &&
+        tolUs.map(tUs(e) - lUs <= _).getOrElse(lit(true)))
+    // greatest (ts, tie) ≤ leftTs = LAST survivor of the sorted array
+    def lastOf(c: org.apache.spark.sql.Column) = get(c, size(c) - 1)
+    // forward wants the SMALLEST ts but the GREATEST tie within it:
+    // the smallest-ts candidates are a prefix of the sorted survivors,
+    // so take the last element still carrying the head's ts
+    def firstTsLastTie(c: org.apache.spark.sql.Column) = {
+      val headTs = get(c, lit(0)).getField("__t")
+      lastOf(org.apache.spark.sql.functions.filter(c,
+        e => e.getField("__t") === headTs))
+    }
+    val m = direction match {
+      case "forward" => firstTsLastTie(candsFwd)
+      case "nearest" =>
+        val mB = lastOf(candsBack)
+        val mF = firstTsLastTie(candsFwd)
+        val ageB = lUs - Exact.epochUs(mB.getField("__t"))
+        val ageF = Exact.epochUs(mF.getField("__t")) - lUs
+        // equal distances go BACKWARD, the asOfBy/oracle contract
+        when(mB.isNotNull && (mF.isNull || ageB <= ageF), mB)
+          .when(mF.isNotNull, mF)
+      case _ => lastOf(candsBack)
+    }
+    joined
+      .withColumn("__m", m)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(p => col("__m").getField("__p").getField(p).as(p)): _*)
+  }
+
+  /** As-of join between LAKE tables with the rewrite CHOSEN FROM
+    * RECORDED STATS (r16 — [[asOfBy]] wired into the
+    * [[graft.ops.gold.Skew.strategyByStats]] door): when the right
+    * table's recorded row count fits the broadcast budget (and the
+    * stats are fresh), [[asOfBroadcast]] answers with ZERO exchange on
+    * the left; otherwise, or when stats are absent/stale, the
+    * merged-stream [[asOfBy]] pays its one keyed exchange. The result
+    * is identical either way — only the shuffle shape changes, the
+    * statsSkewJoin discipline. */
+  def statsAsOf(spark: SparkSession, leftTable: String, rightTable: String,
+                key: String, leftTs: String, rightTs: String,
+                tieBreak: String, toleranceMs: Option[Long] = None,
+                direction: String = "backward",
+                broadcastMaxRows: Long = 1000000L,
+                maxStaleVersions: Long = 64): DataFrame = {
+    import graft.ops.lake.{Analyze, Mutations, Snapshots}
+    val left = Mutations.readMerged(spark, leftTable, mergeSchema = true)
+    val right = Mutations.readMerged(spark, rightTable, mergeSchema = true)
+    val fresh = Analyze.analyzedVersion(rightTable).exists(
+      Snapshots.currentVersion(rightTable) - _ <= maxStaleVersions)
+    if (fresh && Analyze.rowsOf(rightTable).exists(_ <= broadcastMaxRows))
+      asOfBroadcast(left, right, Seq(key), leftTs, rightTs, tieBreak,
+        toleranceMs, direction)
+    else
+      asOfBy(left, right, Seq(key), leftTs, rightTs, tieBreak,
+        toleranceMs, direction)
   }
 
   /** J1 shape beyond the flagship: customer ⟕ nation ⟕ region with
@@ -613,6 +737,39 @@ object Joins {
       |) c ON true
       |ORDER BY purchase_event_id""".stripMargin
 
+  /** s77: [[statsAsOf]] under the oracle gate (r16) — the s70
+    * business question between LAKE tables, where the clicks side's
+    * recorded (sketch-folded, zero-scan) row count elects the
+    * BROADCAST rewrite: the purchase side keeps its incoming
+    * partitioning, no exchange anywhere on it (AsOfSpec pins the
+    * plan). The answer must be indistinguishable from the
+    * merged-stream door's, so the oracle is s70's LATERAL verbatim. */
+  def statsAsOfQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.lake.{Analyze, Snapshots}
+    val (purchases, clicks) = purchasesClicks(spark, dir)
+    def freshTable(prefix: String): String =
+      graft.engine.Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val lT = freshTable("s77-purchases-")
+    val rT = freshTable("s77-clicks-")
+    Snapshots.commit(lT, Snapshots.stage(
+      purchases.withColumn("day", lit("d")), lT, "day"))
+    // the right tag gets its own name (the asOfSqlWith discipline:
+    // payload carries every right column, a second `day` would
+    // collide at the loud door); HLL sidecars make the later stats
+    // fold zero-scan
+    Snapshots.commitAll(rT, Snapshots.withHll(
+      Snapshots.stageWithStats(clicks.withColumn("rday", lit("d")),
+        rT, "rday", "user_id"),
+      rT, "user_id", spark))
+    Analyze.analyzeFromSketches(spark, rT, Seq("user_id"))
+    statsAsOf(spark, lT, rT, "user_id", "ts", "click_ts", "click_event_id")
+      .select(col("purchase_event_id"), col("user_id"),
+        Exact.epochMs(col("ts")).as("purchase_ts_ms"),
+        col("click_event_id"), col("click_value"),
+        Exact.epochMs(col("click_ts")).as("click_ts_ms"))
+      .orderBy("purchase_event_id")
+  }
+
   /** s71: [[asOf]] through PLAIN SQL — the `asof_join('left',
     * 'right', 'key', 'leftTs', 'rightTs', 'tieBreak')` table function
     * ([[graft.sql.LakeSql.asofJoinPlan]]) over registered lake
@@ -720,6 +877,7 @@ object Joins {
     QueryDef.sql("s71b_asof_sql_tolerance", asOfToleranceOracle)(asOfSqlTolerance),
     QueryDef.sql("s73_asof_forward", asOfForwardOracle)(asOfForward),
     QueryDef.sql("s74_asof_nearest", asOfNearestOracle)(asOfNearest),
+    QueryDef.sql("s77_stats_asof_broadcast", asOfGenericOracle)(statsAsOfQuery),
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
     QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),

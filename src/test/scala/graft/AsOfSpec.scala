@@ -206,6 +206,110 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("broadcast as-of answers exactly like the merged-stream door") {
+    // one shared resolver, two rewrites: every direction x tolerance
+    // on the standard fixture must agree row-for-row (r16)
+    for {
+      dir <- Seq("backward", "forward", "nearest")
+      tol <- Seq(None, Some(10L * 60 * 1000), Some(90L * 60 * 1000))
+    } {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"lid", $"rid", $"rv")
+        .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+      val stream = rows(Joins.asOf(left, right, "user", "lts", "rts", "rid",
+        toleranceMs = tol, direction = dir))
+      val bcast = rows(Joins.asOfBroadcast(left, right, Seq("user"),
+        "lts", "rts", "rid", toleranceMs = tol, direction = dir))
+      assert(bcast == stream, s"dir=$dir tol=$tol: $bcast != $stream")
+    }
+    // the NULL contract carries too: NULL-key/ts right rows never
+    // match, NULL-key/ts left rows surface with a NULL payload
+    val l2 = Seq(
+      (1L, Option("u1"), Option(ts("2024-01-01 12:00:00"))),
+      (2L, Option.empty[String], Option(ts("2024-01-01 12:00:00"))),
+      (3L, Option("u1"), Option.empty[java.sql.Timestamp])
+    ).toDF("lid", "user", "lts")
+    val r2 = Seq(
+      (Option("u1"), Option(ts("2024-01-01 10:00:00")), 10L, "keep"),
+      (Option("u1"), Option.empty[java.sql.Timestamp], 11L, "null_ts"),
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 12L, "null_key")
+    ).toDF("user", "rts", "rid", "rv")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val a = Joins.asOf(l2, r2, "user", "lts", "rts", "rid", direction = dir)
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      val b = Joins.asOfBroadcast(l2, r2, Seq("user"), "lts", "rts", "rid",
+          direction = dir)
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      assert(a == b, s"dir=$dir NULL contract: $b != $a")
+    }
+    // composite keys: per-(user, chan) candidate arrays
+    val lc = Seq(
+      (1L, "u1", "c1", ts("2024-01-01 12:00:00")),
+      (2L, "u1", "c2", ts("2024-01-01 12:00:00"))
+    ).toDF("lid", "user", "chan", "lts")
+    val rc = Seq(
+      ("u1", "c1", ts("2024-01-01 11:00:00"), 1L, "one"),
+      ("u1", "c2", ts("2024-01-01 11:30:00"), 2L, "two")
+    ).toDF("user", "chan", "rts", "rid", "rv")
+    val keys = Seq("user", "chan")
+    val a = Joins.asOfBy(lc, rc, keys, "lts", "rts", "rid")
+      .select($"lid", $"rv").as[(Long, Option[String])].collect().toMap
+    val b = Joins.asOfBroadcast(lc, rc, keys, "lts", "rts", "rid")
+      .select($"lid", $"rv").as[(Long, Option[String])].collect().toMap
+    assert(a == b && b(1L).contains("one") && b(2L).contains("two"))
+  }
+
+  test("broadcast as-of: the left side never shuffles (plan receipt)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val out = Joins.asOfBroadcast(left, right, Seq("user"),
+      "lts", "rts", "rid", direction = "nearest")
+    val plan = out.queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"the broadcast rewrite must plan a BHJ:\n$plan")
+    // the streamed (left/fact) subtree carries ZERO exchanges — the
+    // one shuffle in the whole plan is the right side's dim-scale
+    // candidate-array aggregation
+    assert(bhj.head.left.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"the fact side must keep its incoming partitioning:\n$plan")
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.size <= 1,
+      s"only the dim-side aggregation may shuffle:\n$plan")
+  }
+
+  test("statsAsOf elects broadcast from recorded stats, falls back without") {
+    import graft.ops.lake.{Analyze, Mutations}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val lT = tmp("asof-stats-l")
+    val rT = tmp("asof-stats-r")
+    Snapshots.commit(lT, Snapshots.stage(
+      left.withColumn("day", lit("d")), lT, "day"))
+    Snapshots.commitAll(rT, Snapshots.withHll(
+      Snapshots.stageWithStats(right.withColumn("rday", lit("d")),
+        rT, "rday", "user"),
+      rT, "user", spark))
+    def bhjCount(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case j: BroadcastHashJoinExec => j }.size
+    // stats absent: the merged-stream door answers (no BHJ)
+    val noStats = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid")
+    assert(bhjCount(noStats) == 0,
+      "without recorded stats the merged-stream form must answer")
+    // sketch-folded stats prove the right side dim-sized: broadcast
+    Analyze.analyzeFromSketches(spark, rT, Seq("user"))
+    val elected = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid")
+    assert(bhjCount(elected) == 1,
+      "recorded dim-sized rows must elect the broadcast rewrite")
+    // same answer through both shapes
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"lid", $"rid", $"rv")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows(elected) == rows(noStats))
+    // an over-tight budget refuses the broadcast
+    val tight = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid",
+      broadcastMaxRows = 1L)
+    assert(bhjCount(tight) == 0, "rows over budget must fall back")
+  }
+
   test("tieBreak equal to the key fails loudly at the door") {
     val e = intercept[IllegalArgumentException] {
       Joins.asOf(left, right, "user", "lts", "rts", "user")
