@@ -219,6 +219,7 @@ object Analyze {
   private[graft] val AutoStaleProp = "tbl.autoanalyze.maxstale"
   private[graft] val AutoColsProp = "tbl.autoanalyze.cols"
   private[graft] val AutoFreqColsProp = "tbl.autoanalyze.freqcols"
+  private[graft] val AutoHistColsProp = "tbl.autoanalyze.histcols"
 
   /** Declare AUTO ANALYZE on `table`: whenever a commit leaves the
     * recorded stats more than `maxStaleVersions` versions behind the
@@ -253,33 +254,38 @@ object Analyze {
     * is the exact equivalent — no new grammar needed. */
   def autoAnalyze(table: String, columns: Seq[String],
                   maxStaleVersions: Long = 16,
-                  freqColumns: Seq[String] = Seq.empty): Long = {
-    require(columns.nonEmpty || freqColumns.nonEmpty,
+                  freqColumns: Seq[String] = Seq.empty,
+                  histColumns: Seq[String] = Seq.empty): Long = {
+    require(columns.nonEmpty || freqColumns.nonEmpty || histColumns.nonEmpty,
       s"autoAnalyze($table): name the columns")
     require(maxStaleVersions >= 1,
       s"autoAnalyze($table): maxStaleVersions must be >= 1 (the refresh " +
         s"itself commits a props version), got $maxStaleVersions")
-    require((columns ++ freqColumns).forall(!_.contains(",")),
+    require((columns ++ freqColumns ++ histColumns).forall(!_.contains(",")),
       s"autoAnalyze($table): column names must be comma-free")
     // a RE-declaration replaces the whole declaration: an omitted
     // family is retired, not silently inherited from the previous one
     // (r15 review find — a freq family gone sidecar-less would
     // otherwise warn on every commit forever with no way out)
+    def declare(p: String, cs: Seq[String]) =
+      if (cs.nonEmpty) Map(p -> cs.mkString(",")) else Map.empty[String, String]
+    def retire(p: String, cs: Seq[String]) =
+      if (cs.isEmpty) Set(p) else Set.empty[String]
     Snapshots.commitProps(table,
       Map(AutoStaleProp -> maxStaleVersions.toString) ++
-        (if (columns.nonEmpty) Map(AutoColsProp -> columns.mkString(","))
-         else Map.empty) ++
-        (if (freqColumns.nonEmpty)
-          Map(AutoFreqColsProp -> freqColumns.mkString(","))
-         else Map.empty),
-      unset = (if (columns.isEmpty) Set(AutoColsProp) else Set.empty[String]) ++
-        (if (freqColumns.isEmpty) Set(AutoFreqColsProp) else Set.empty[String]))
+        declare(AutoColsProp, columns) ++
+        declare(AutoFreqColsProp, freqColumns) ++
+        declare(AutoHistColsProp, histColumns),
+      unset = retire(AutoColsProp, columns) ++
+        retire(AutoFreqColsProp, freqColumns) ++
+        retire(AutoHistColsProp, histColumns))
   }
 
   /** Retire the AUTO ANALYZE declaration. */
   def autoAnalyzeOff(table: String): Long =
     Snapshots.commitProps(table, Map.empty,
-      unset = Set(AutoStaleProp, AutoColsProp, AutoFreqColsProp))
+      unset = Set(AutoStaleProp, AutoColsProp, AutoFreqColsProp,
+        AutoHistColsProp))
 
   // the refresh's own commitProps re-enters commitPrepared: bail by
   // thread, not by staleness math alone — belt over suspenders
@@ -304,7 +310,8 @@ object Analyze {
       .getOrElse(Seq.empty)
     val cols = declared(AutoColsProp)
     val freqCols = declared(AutoFreqColsProp)
-    if (cols.isEmpty && freqCols.isEmpty) return
+    val histCols = declared(AutoHistColsProp)
+    if (cols.isEmpty && freqCols.isEmpty && histCols.isEmpty) return
     // never-recorded reads as infinitely stale: the declaration alone
     // bootstraps the first fold (per family — frequencies stamp their
     // own per-column version)
@@ -325,7 +332,10 @@ object Analyze {
     val freqDue = freqCols.filter { c =>
       stale(props.get(freqVKey(physOf(c))).flatMap(_.toLongOption))
     }
-    if (!ndvDue && freqDue.isEmpty) return
+    val histDue = histCols.filter { c =>
+      stale(props.get(histVKey(physOf(c))).flatMap(_.toLongOption))
+    }
+    if (!ndvDue && freqDue.isEmpty && histDue.isEmpty) return
     refreshing.set(true)
     try {
       def warn(what: String, e: Throwable): Unit =
@@ -347,6 +357,14 @@ object Analyze {
           acc ++= p; stampKeys += vk
         }
         catch { case scala.util.control.NonFatal(e) => warn(s"freq($c)", e) }
+      }
+      // histograms fold driver-side too (r16 — the quantile sidecars)
+      histDue.foreach { c =>
+        try {
+          val (_, p, vk) = histFoldFromSketches(table, c, buckets = 32)
+          acc ++= p; stampKeys += vk
+        }
+        catch { case scala.util.control.NonFatal(e) => warn(s"hist($c)", e) }
       }
       if (ndvDue) {
         SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
@@ -470,7 +488,7 @@ object Analyze {
     * TIMESTAMP — [[histogram]] and [[histogramApprox]] must record in
     * the SAME space or a refresh would silently change the units every
     * consumer ([[rangeSelectivity]], strategyForRange) reads. */
-  private def histSpaceCol(table: String, column: String, df0: DataFrame,
+  private[lake] def histSpaceCol(table: String, column: String, df0: DataFrame,
                            verb: String = "histogram"): (String, org.apache.spark.sql.Column) = {
     val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
       throw new IllegalArgumentException(
@@ -552,6 +570,73 @@ object Analyze {
                                     accuracy: Int): DataFrame =
     approxBoundsOn(Mutations.readMerged(spark, table, mergeSchema = true),
       table, column, buckets, accuracy, "histogramApprox")._2
+
+  /** ZERO-SCAN histogram refresh from per-file QUANTILE sidecars
+    * ([[Snapshots.withQuantiles]], r16 — the [[analyzeFromSketches]]/
+    * [[frequentKeysFromSketches]] discipline applied to the LAST
+    * stats family that still cost a scan to refresh): each file's
+    * recorded equi-height boundaries merge as WEIGHTED RANK POINTS —
+    * boundary j of a file with n non-null rows carries weight n/q —
+    * and the k global boundaries are read off the cumulative weight at
+    * ranks i·N/k (a collapsing-GK merge; rank error ≤ N/q, i.e. about
+    * one global bucket at q = buckets). NO Spark job: the fold is a
+    * driver-side pass over manifest-scale sidecar lines. Records into
+    * the SAME props as [[histogram]]/[[histogramApprox]] (boundaries,
+    * global min, per-family version stamp), so every consumer
+    * ([[rangeSelectivity]], [[DynamicFilter.strategyForRange]]) reads
+    * any form transparently. Refuses loudly on deletion vectors
+    * (pre-delete summaries) and unsketched entries. */
+  def histogramFromSketches(table: String, column: String,
+                            buckets: Int = 32): Seq[Double] = {
+    val (bounds, props, vk) = histFoldFromSketches(table, column, buckets)
+    Snapshots.commitProps(table, props + (vk -> refreshStamp(table)))
+    bounds
+  }
+
+  /** [[histogramFromSketches]]'s fold without the commit — the
+    * [[maybeAutoRefresh]] single-commit contract. */
+  private def histFoldFromSketches(table: String, column: String,
+      buckets: Int): (Seq[Double], Map[String, String], String) = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"histogramFromSketches($table): buckets in [2, 1024], got $buckets")
+    val v = Snapshots.currentVersion(table)
+    require(v >= 1, s"histogramFromSketches($table): no committed snapshot")
+    val entries = Snapshots.entriesAll(table)
+    require(entries.nonEmpty,
+      s"histogramFromSketches($table): empty table — nothing to fold")
+    entries.find(_.props.contains(Snapshots.DvRefProp)).foreach { e =>
+      throw new IllegalStateException(
+        s"histogramFromSketches($table): ${e.rel} carries a deletion " +
+          "vector — per-file summaries describe pre-delete content, so " +
+          "the fold would mis-weigh; compact first or run " +
+          "histogramApprox (one scan)")
+    }
+    val phys = Snapshots.physicalName(table, column)
+    val vk = histVKey(phys)
+    val sums = Snapshots.quantileSummaries(table, entries, phys).flatten
+    if (sums.isEmpty) return (Seq.empty, Map.empty, vk) // all-NULL column
+    val gmin = sums.map(_._2).min
+    val total = sums.map(_._1).sum.toDouble
+    // each file's boundary j closes ~rows/q of that file's mass
+    val pts = sums.flatMap { case (n, _, qs) =>
+      val w = n.toDouble / qs.size
+      qs.map(b => (b, w))
+    }.sortBy(_._1)
+    val targets = (1 to buckets).map(_.toDouble * total / buckets)
+    val bounds = Array.ofDim[Double](buckets)
+    var ti = 0
+    var cum = 0.0
+    pts.foreach { case (value, w) =>
+      cum += w
+      while (ti < buckets && cum >= targets(ti) - 1e-9) {
+        bounds(ti) = value; ti += 1
+      }
+    }
+    while (ti < buckets) { bounds(ti) = pts.last._1; ti += 1 }
+    (bounds.toSeq, Map(
+      histKey(phys) -> bounds.mkString(","),
+      histMinKey(phys) -> gmin.toString), vk)
+  }
 
   /** Recorded histogram boundaries (None = never computed). */
   def histogramOf(table: String, column: String): Option[Seq[Double]] =

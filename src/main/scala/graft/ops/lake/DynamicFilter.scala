@@ -692,6 +692,42 @@ object DynamicFilter {
       |WHERE d.event_date >= DATE '2024-01-03' AND d.event_date <= DATE '2024-01-07'
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** s78: the s58 stats-aware join with EVERY recorded stat folded
+    * from WRITE-TIME sidecars (r16 — the s76 pattern completed for the
+    * histogram family, the last one that still cost a scan to
+    * refresh): NDV/rows via [[Snapshots.withHll]] +
+    * [[Analyze.analyzeFromSketches]] (manifest-scale job), the score
+    * histogram via [[Snapshots.withQuantiles]] +
+    * [[Analyze.histogramFromSketches]] (a pure DRIVER fold — zero
+    * Spark jobs, zero data reads; the spec fences it). The folded
+    * selectivity must still drive the strategy choice, and the joined
+    * aggregate must equal DuckDB's plain filtered join — s58's oracle
+    * verbatim. */
+  def statsDfpHistSketchJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factT = freshTable("s78-fact-", dir)
+    val dimT = freshTable("s78-dim-", dir)
+    val ev = Tables(spark, dir).events
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    Snapshots.commitAll(factT, Snapshots.stageWithStats(
+      ev, factT, "event_date", "event_id"))
+    val dim = ev.select(col("event_id").as("dim_id"),
+      col("value").as("score"),
+      concat(lit("seg-"), (col("event_id") % 5).cast("string")).as("segment"))
+    Snapshots.commitAll(dimT, Snapshots.withQuantiles(
+      Snapshots.withHll(
+        Snapshots.stageWithStats(dim, dimT, "segment", "dim_id"),
+        dimT, "dim_id", spark),
+      dimT, "score", spark))
+    Analyze.analyzeFromSketches(spark, dimT, Seq("dim_id"))
+    Analyze.histogramFromSketches(dimT, "score", 16)
+    statsAwareJoin(spark, factT, dimT, "event_id", "dim_id",
+        "score", 0.0, 25.0, minFiles = 0)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
   /** s66: the OVER-CAP DFP join with the bloom row filter (r14) — the
     * dim's distinct keys (every 7th event id, far over the forced
     * 50-key cap) blow the IN list, file pruning degrades to the key
@@ -735,5 +771,6 @@ object DynamicFilter {
     QueryDef.sql("s50_dfp_join", dfpJoinOracle)(dfpJoin),
     QueryDef.sql("s58_stats_dfp_join", statsDfpJoinOracle)(statsDfpJoin),
     QueryDef.sql("s61_stats_dfp_date_join", statsDfpDateJoinOracle)(statsDfpDateJoin),
+    QueryDef.sql("s78_stats_dfp_hist_sketches", statsDfpJoinOracle)(statsDfpHistSketchJoin),
     QueryDef.sql("s66_bloom_dfp_join", bloomDfpJoinOracle)(bloomDfpJoin))
 }

@@ -2371,6 +2371,120 @@ object Snapshots {
             "run frequentKeys instead"))
     }
 
+  /** Sidecar reference prop for a per-file QUANTILE summary of a
+    * physical column (`ref.qtl.<physCol>=stats/qtl-<id>.txt`) — the
+    * `ref.` prefix makes [[vacuum]] retain referenced sidecars, like
+    * bloom/hll/topk. r16: the HISTOGRAM family's write-time sketch. */
+  private[graft] val QtlRefPrefix = "ref.qtl."
+
+  /** Per-file QUANTILE sidecars (r16 — the histogram family's
+    * write-time sketch, the LAST stats family that still needed a
+    * maintenance scan): each staged file records its non-null row
+    * count, minimum, and `q` equi-height boundaries of `qCol` in HIST
+    * SPACE ([[Analyze.histSpaceCol]] — doubles for numerics, epoch
+    * days for DATE, epoch micros for TIMESTAMP, the same space
+    * [[Analyze.histogram]] records in), paid while the rows are
+    * already in flight via one mergeable `percentile_approx`
+    * aggregation per chunk. The fold consumer
+    * ([[Analyze.histogramFromSketches]]) merges the per-file
+    * boundaries as weighted rank points — a collapsing-GK-style
+    * driver-side pass over manifest-scale lines, NO Spark job, no
+    * data read. Rank error of the fold is bounded by the per-file
+    * bucket mass (≤ rows/q per file, summing to ≤ N/q globally), which
+    * perturbs [[Analyze.rangeSelectivity]] by at most ~a bucket
+    * fraction — an estimate feeding COST choices, never a correctness
+    * gate. Every staged file gets a line (an all-NULL file records an
+    * empty summary, so the fold can tell "no data" from "never
+    * sketched"). Sidecar layout, chunking, caching and the
+    * sketch-free-manifest rule mirror [[withHll]]/[[withTopK]]. */
+  def withQuantiles(staged: Seq[Entry], table: String, qCol: String,
+                    spark: SparkSession, q: Int = 32,
+                    chunkFiles: Int = 4096): Seq[Entry] = {
+    require(q >= 2 && q <= 256, s"withQuantiles($table): q in [2, 256], got $q")
+    val pcol = physicalName(table, qCol)
+    staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
+      val data = withFid(spark, table, chunk)
+      val attach = quantileChunkProps(table, pcol, q, chunk, data)
+      chunk.map(e => e.copy(props = e.props ++ attach(e)))
+    }.toSeq
+  }
+
+  /** Per-chunk quantile machinery: one grouped `percentile_approx`
+    * per chunk (partial sketches merge per file — nothing sorts), the
+    * sidecar publish, and the per-entry prop attacher. */
+  private def quantileChunkProps(table: String, pcol: String, q: Int,
+      chunk: Seq[Entry],
+      data: org.apache.spark.sql.DataFrame): Entry => Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val (_, histE) = Analyze.histSpaceCol(table, pcol, data, "withQuantiles")
+    val ps = (1 to q).map(i => lit(i.toDouble / q))
+    val rows = data
+      .select(col("__gfid").as("__f"), histE.as("__v"))
+      .na.drop(Seq("__v"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"),
+        percentile_approx(col("__v"), array(ps: _*), lit(10000)).as("__qs"))
+      .collect()
+    val byFile = rows.map { r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3))
+    }.toMap
+    val sidecarRel =
+      s"stats/qtl-${java.util.UUID.randomUUID.toString.take(12)}.txt"
+    val f = new File(table, sidecarRel)
+    f.getParentFile.mkdirs()
+    writeDurable(f, chunk.map { e =>
+      byFile.get(fileId(e.rel)) match {
+        case Some((n, mn, qs)) =>
+          s"${fileId(e.rel)}\t$n\t$mn\t${qs.mkString(",")}"
+        case None => s"${fileId(e.rel)}\t0\t\t" // all-NULL file
+      }
+    }.sorted.mkString("\n").getBytes(UTF_8))
+    e => Map(QtlRefPrefix + pcol -> sidecarRel)
+  }
+
+  // quantile sidecar lines parsed once per (table, rel) — same rules
+  // as the bloom/hll/topk sidecar caches above
+  private val qtlSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Option[(Long, Double, Seq[Double])]]]()
+
+  private def qtlSidecar(table: String, rel: String)
+      : Map[String, Option[(Long, Double, Seq[Double])]] = {
+    if (qtlSidecarCache.size > 1024) qtlSidecarCache.clear()
+    qtlSidecarCache.computeIfAbsent((table, rel), { _ =>
+      new String(Files.readAllBytes(new File(table, rel).toPath), UTF_8)
+        .split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(fid, n, mn, bs) if n == "0" && mn.isEmpty =>
+              Some(fid -> None)
+            case Array(fid, n, mn, bs) =>
+              Some(fid -> Some((n.toLong, mn.toDouble,
+                bs.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))))
+            case _ => None
+          }
+        }.toMap
+    })
+  }
+
+  /** The per-file quantile summaries of `entries` for physical column
+    * `pcol` — (rows, min, boundaries), `None` for an all-NULL file.
+    * Loudly incomplete-safe like [[hllSketches]]/[[topKCounts]]: an
+    * entry without a sidecar reference (pre-qtl commit) throws rather
+    * than letting a fold silently mis-weigh. */
+  private[graft] def quantileSummaries(table: String, entries: Seq[Entry],
+      pcol: String): Seq[Option[(Long, Double, Seq[Double])]] =
+    entries.map { e =>
+      val rel = e.props.getOrElse(QtlRefPrefix + pcol,
+        throw new IllegalStateException(
+          s"quantileSummaries($table): entry ${e.rel} carries no quantile " +
+            s"sidecar for '$pcol' — stage through withQuantiles (or run " +
+            "histogramApprox, one scan) before a zero-scan histogram refresh"))
+      qtlSidecar(table, rel).getOrElse(fileId(e.rel),
+        throw new IllegalStateException(
+          s"quantileSummaries($table): sidecar $rel has no line for " +
+            s"${e.rel} — run histogramApprox instead"))
+    }
+
   /** Per-file stats PROPS from the parquet footer in ONE open:
     * `min./max.<col>` for numeric primitives whose logical annotation
     * makes the raw stat comparable to catalyst literal internals

@@ -707,6 +707,81 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Analyze.frequentKeysOf(table, "k").exists(_.head == ("3", 800L)))
   }
 
+  test("quantile sidecars: driver-only histogram fold matches the exact form") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("snap-qtl")
+    // two waves with DIFFERENT value ranges, so the fold must weigh
+    // files correctly (file 2 has 3x the rows of file 1)
+    def wave(lo: Int, n: Int, day: String) =
+      (0 until n).map(i => ((lo + i).toLong, day, (lo + i).toDouble))
+        .toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.stageWithStats(wave(0, 1000, "a"), table, "day", "id",
+        buckets = 2), table, "v", spark))
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.restageLike(spark, wave(1000, 3000, "b"), table, "day"),
+      table, "v", spark))
+    // the fold is a pure DRIVER pass: zero Spark jobs
+    val (bounds, jobs) = countJobs {
+      Analyze.histogramFromSketches(table, "v", 8)
+    }
+    assert(jobs == 0, s"the histogram fold must run zero Spark jobs, saw $jobs")
+    assert(bounds.size == 8)
+    // exact reference boundaries over 0..3999: i*4000/8
+    val exact = Analyze.histogram(spark, table, "v", 8)
+    bounds.zip(exact).foreach { case (b, e) =>
+      assert(math.abs(b - e) <= 4000.0 / 32 + 1,
+        s"folded boundary $b must sit within one per-file bucket of $e")
+    }
+    // the recorded props drive the consumer: selectivity of the lower
+    // quarter reads ~0.25 from the FOLDED histogram
+    Analyze.histogramFromSketches(table, "v", 8)
+    val sel = Analyze.rangeSelectivity(table, "v", 0.0, 999.0).get
+    assert(math.abs(sel - 0.25) < 0.06, s"folded selectivity: $sel")
+    // zero-data-read fence: physically remove every parquet file; the
+    // fold keeps running off sidecar lines
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(table, "data"))
+      .filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    assert(Analyze.histogramFromSketches(table, "v", 8).size == 8)
+    // loud refusal: unsketched column
+    val e = intercept[IllegalStateException] {
+      Analyze.histogramFromSketches(table, "id")
+    }
+    assert(e.getMessage.contains("no quantile sidecar"), e.getMessage)
+  }
+
+  test("auto analyze keeps the histogram family fresh from sidecars") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("snap-auto-hist")
+    def wave(lo: Int, day: String) =
+      (0 until 500).map(i => ((lo + i).toLong, day, (lo + i).toDouble))
+        .toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.stageWithStats(wave(0, "a"), table, "day", "id", buckets = 2),
+      table, "v", spark))
+    Analyze.autoAnalyze(table, Seq.empty, maxStaleVersions = 2,
+      histColumns = Seq("v"))
+    // the declaration bootstraps the family
+    assert(Analyze.histogramOf(table, "v").exists(_.nonEmpty))
+    val h0 = Analyze.histogramVersionOf(table, "v").get
+    (1 to 3).foreach { i =>
+      Snapshots.commitAll(table, Snapshots.withQuantiles(
+        Snapshots.restageLike(spark, wave(500 * i, s"d$i"), table, "day"),
+        table, "v", spark))
+    }
+    val h1 = Analyze.histogramVersionOf(table, "v").get
+    assert(h1 > h0, "drifting commits must re-fold the histogram family")
+    assert(Snapshots.currentVersion(table) - h1 <= 2)
+    // the refreshed histogram covers every wave: the top boundary sits
+    // near the global max (1999), not wave 1's 499
+    assert(Analyze.histogramOf(table, "v").get.last > 1500.0)
+  }
+
   test("auto analyze: one refresh commit, stamped with itself — no treadmill") {
     import graft.ops.lake.Analyze
     import spark.implicits._
