@@ -91,6 +91,49 @@ object SkipProbe {
         f"(${100.0 * (t2 - k2) / t2}%.0f%% skipped)")
     }
 
+    // r16: INCREMENTAL re-cluster — fragment ONE day, then let the
+    // zero-IO erosion metric scope the rewrite: the fragmented day's
+    // skip rate is restored while every other day's files carry by
+    // name (the rewrite touches a 1/N slice of the table, the
+    // liquid-clustering cost shape)
+    {
+      val table = Graft.freshDir("probe-zinc")
+      val ev = Tables(spark, dir).events
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "event_date", "value")
+      Snapshots.commitAll(table,
+        Snapshots.stageWithStats(ev, table, "event_date", "value"))
+      val days = Snapshots.entriesAll(table).map(_.tag).distinct.sorted
+      val hot = days.head
+      // fragment the hot day: two full-range overlapping appends
+      (1 to 2).foreach { i =>
+        Snapshots.commitAll(table, Snapshots.restageLike(spark,
+          Snapshots.read(spark, table)
+            .filter(col("event_date") === lit(hot).cast("date"))
+            .withColumn("event_id", col("event_id") + lit(i * 10000000L)),
+          table, "event_date"))
+      }
+      def bandKept(): (Int, Int) = {
+        val es = Snapshots.entriesAll(table)
+        (es.count(Snapshots.rangeOverlap("value", Skipping.Lo, Skipping.Hi)),
+          es.size)
+      }
+      val (k0, t0) = bandKept()
+      val untouched = Snapshots.entriesAll(table)
+        .filter(_.tag != hot).map(_.rel).toSet
+      val eroded = Snapshots.erodedTags(table, Seq("value"), maxOverlap = 1.5)
+      val (_, reclustered) = Snapshots.reclusterEroded(
+        spark, table, "event_date", Seq("value"), maxOverlap = 1.5)
+      val (k1, t1) = bandKept()
+      val carried = Snapshots.entriesAll(table)
+        .filter(_.tag != hot).map(_.rel).toSet == untouched
+      report("s-zinc", s"incremental re-cluster: eroded=$eroded " +
+        s"reclustered=$reclustered; band keeps $k0/$t0 files fragmented, " +
+        s"$k1/$t1 after scoped rewrite " +
+        f"(${100.0 * (t1 - k1) / t1}%.0f%% skipped); " +
+        s"untouched days carried by name: $carried")
+    }
+
     // s28: bloom point lookup on the un-clustered id column
     {
       val table = Graft.freshDir("probe-s28")

@@ -206,6 +206,37 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("registered graft table"))
   }
 
+  test("asof_join and gap_fill TVFs accept temp views (r16)") {
+    import spark.implicits._
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // the left side is ARBITRARY upstream SQL — a temp view, no lake
+    // registration anywhere
+    Seq((1L, "u1", ts("2024-01-01 12:00:00")))
+      .toDF("lid", "user", "lts").createOrReplaceTempView("tvf_l")
+    Seq(("u1", ts("2024-01-01 10:00:00"), 10L, "keep"),
+        ("u1", ts("2024-01-01 13:00:00"), 11L, "late"))
+      .toDF("user", "rts", "rid", "rv").createOrReplaceTempView("tvf_r")
+    val out = spark.sql(
+      "SELECT lid, rid, rv FROM asof_join(" +
+        "'tvf_l', 'tvf_r', 'user', 'lts', 'rts', 'rid')")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(out == Seq((1L, Some(10L), Some("keep"))))
+    // gap_fill over a view: 2 series-hours from one 3-hour-gap series
+    Seq((1L, ts("2024-01-01 10:15:00"), "A", 5.0),
+        (2L, ts("2024-01-01 12:30:00"), "A", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("tvf_g")
+    val bars = spark.sql(
+      "SELECT * FROM gap_fill('tvf_g', 'ts', 'event_type', " +
+        "'value', 'event_id')").collect()
+    assert(bars.length == 3, s"hours 10-12 incl. the empty 11: ${bars.toSeq}")
+    // a name that is neither registered nor a view still fails loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM gap_fill('nope_view', 'ts', 'a', 'b', 'c')").collect())
+    assert(e.getMessage.contains("registered graft table") &&
+      e.getMessage.contains("temp view"), e.getMessage)
+  }
+
   test("VACUUM DRY RUN lists reclaimable files without deleting") {
     val table = mk("sql-vacdry", "sqlvd", (1L, "a", 1.0), (2L, "b", 2.0))
     spark.sql("UPDATE sqlvd SET v = v * 2.0 WHERE id = 1") // v2: COW orphanes v1's a-file

@@ -1133,6 +1133,59 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       rows.sortBy(_._1), "re-clustering must not change content")
   }
 
+  test("incremental zorder: only eroded tags rewrite, others carry by name") {
+    val table = tmp("snap-zinc")
+    // tag a: ONE clustered commit (buckets=4 -> near-disjoint v ranges)
+    val rowsA = (1 to 256).map(i => (i, "a", i.toLong))
+    Snapshots.commitAll(table,
+      Snapshots.stageWithStats(df(rowsA: _*), table, "day", "v", buckets = 4))
+    // tag b: TWO overlapping full-range waves (the COW-rewritten shape)
+    val rowsB1 = (1 to 256).map(i => (1000 + i, "b", (i * 37 % 256).toLong))
+    val rowsB2 = (1 to 256).map(i => (2000 + i, "b", (i * 53 % 256).toLong))
+    Snapshots.commitAll(table, Snapshots.restageLike(spark,
+      df(rowsB1: _*), table, "day"))
+    Snapshots.commitAll(table, Snapshots.restageLike(spark,
+      df(rowsB2: _*), table, "day"))
+    // the zero-IO verdict: b eroded (2 full-span files), a fresh
+    val (eroded, jobs) = countJobs {
+      Snapshots.erodedTags(table, Seq("v"), maxOverlap = 1.5)
+    }
+    assert(jobs == 0, s"the erosion verdict must run zero Spark jobs: $jobs")
+    assert(eroded == Set("b"), s"only the fragmented tag is eroded: $eroded")
+    val aRelsBefore = Snapshots.entriesAll(table)
+      .filter(_.tag == "a").map(_.rel).toSet
+    val (v1, reclustered) = Snapshots.reclusterEroded(
+      spark, table, "day", Seq("v"), maxOverlap = 1.5)
+    assert(reclustered == Set("b"))
+    assert(v1 == Snapshots.currentVersion(table))
+    // untouched tag a's files carry BY NAME
+    val aRelsAfter = Snapshots.entriesAll(table)
+      .filter(_.tag == "a").map(_.rel).toSet
+    assert(aRelsAfter == aRelsBefore,
+      "a fresh tag's files must survive the maintenance commit by name")
+    // tag b is healed: a narrow band now prunes most of its files
+    val bEntries = Snapshots.entriesAll(table).filter(_.tag == "b")
+    assert(bEntries.size > 1, "the re-cluster must keep read parallelism")
+    val kept = bEntries.count(Snapshots.rangeOverlap("v", 0.0, 32.0))
+    assert(kept < bEntries.size,
+      s"re-clustering must restore pruning: $kept of ${bEntries.size} kept")
+    // content untouched
+    assert(sorted(Snapshots.read(spark, table)) ==
+      (rowsA ++ rowsB1 ++ rowsB2).sortBy(_._1))
+    // CONVERGENCE: the healed table reports nothing eroded — a second
+    // call is a no-commit no-op
+    val v2 = Snapshots.currentVersion(table)
+    val (v3, again) = Snapshots.reclusterEroded(
+      spark, table, "day", Seq("v"), maxOverlap = 1.5)
+    assert(again.isEmpty && v3 == v2,
+      "a healed table must not re-cluster again (no treadmill)")
+    // loud refusal on a column without numeric stats anywhere
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.reclusterEroded(spark, table, "day", Seq("day"))
+    }
+    assert(e.getMessage.contains("numeric min/max"), e.getMessage)
+  }
+
   test("vacuum retention window: keepVersions retains the newest N snapshots") {
     val table = tmp("snap-vac-keep")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))   // v1
