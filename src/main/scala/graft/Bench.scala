@@ -239,8 +239,12 @@ object Bench {
     // in-suite spike whose twin sits inside the band is decidable as
     // contention (not a plan regression) from the artifact alone.
     // Bands live in bench_bands.json (short query id -> seconds upper
-    // bound at sf0.1, seeded 1.6x the best of the r10/r11 artifacts);
-    // a missing file or entry means no re-run, and the re-run set is
+    // bound at sf0.1; r16 re-seeded to 1.3x the best of the r14/r15
+    // artifacts — tight enough that ORDER-SENSITIVE drift, not just
+    // ambient spikes, earns an iso twin: the suite order is fixed, but
+    // inserting queries shifts every later query's heap/page-cache
+    // ambient, which moved j9 2.2x in r15 while its iso run improved).
+    // A missing file or entry means no re-run, and the re-run set is
     // capped so a whole-box episode cannot double the suite.
     val shortCount0 = set.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.size)
     def shortId(n: String): String = {
@@ -257,7 +261,7 @@ object Bench {
     val flagged = ok.flatMap { case (k, ts, _, _) =>
       bands.get(shortId(k)).filter(median(ts) > _)
         .map(b => (k, median(ts) / b))
-    }.sortBy(-_._2).take(12).map(_._1)
+    }.sortBy(-_._2).take(16).map(_._1)
     val iso = flagged.map { n =>
       val ts = graft.engine.Caching.scoped {
         val warm = run(n)

@@ -264,12 +264,36 @@ object Joins {
     * election). Per-key arrays are probed linearly per left row —
     * right rows-per-key is expected dim-small; a right side with a
     * million rows under one key wants the merged-stream form. */
+  /** MapType anywhere in a type makes it un-orderable: `sort_array` —
+    * the broadcast rewrite's candidate ordering — rejects it at
+    * analysis. The merged-stream form never sorts the payload, so the
+    * two doors genuinely differ here; [[statsAsOf]] consults this to
+    * keep electing the form that can run (r16 review find). */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+  }
+
   def asOfBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
                     leftTs: String, rightTs: String, tieBreak: String,
                     toleranceMs: Option[Long] = None,
                     direction: String = "backward"): DataFrame = {
     val AsOfSides(lKeys, lTs, rTs, tie, payload, rightK) =
       asOfSides(left, right, keys, leftTs, rightTs, tieBreak, direction)
+    // loud door, not an analysis-time crash two operators later
+    payload.map(p => rightK.schema(p)).find(f => !orderable(f.dataType))
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"asOfBroadcast: right payload column '${f.name}' has type " +
+            s"${f.dataType.sql}, which cannot be sorted (MAP somewhere " +
+            "in the type) — the broadcast rewrite orders candidate " +
+            "arrays; use asOfBy, or drop the column upstream")
+      }
     val arr = rightK
       .groupBy(lKeys.map(col): _*)
       .agg(sort_array(collect_list(struct(
@@ -337,7 +361,14 @@ object Joins {
     val right = Mutations.readMerged(spark, rightTable, mergeSchema = true)
     val fresh = Analyze.analyzedVersion(rightTable).exists(
       Snapshots.currentVersion(rightTable) - _ <= maxStaleVersions)
-    if (fresh && Analyze.rowsOf(rightTable).exists(_ <= broadcastMaxRows))
+    // an un-orderable (map-typed) payload can only run through the
+    // merged-stream door — the election must never pick a form that
+    // throws (r16 review find)
+    val sortable = right.schema.fields
+      .filterNot(_.name.equalsIgnoreCase(key))
+      .forall(f => orderable(f.dataType))
+    if (sortable && fresh &&
+        Analyze.rowsOf(rightTable).exists(_ <= broadcastMaxRows))
       asOfBroadcast(left, right, Seq(key), leftTs, rightTs, tieBreak,
         toleranceMs, direction)
     else

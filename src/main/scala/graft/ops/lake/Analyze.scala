@@ -39,17 +39,24 @@ object Analyze {
   private def ndvKey(phys: String) = s"tbl.stat.ndv.$phys"
   private def nullsKey(phys: String) = s"tbl.stat.nulls.$phys"
 
-  /** The version the NEXT props-only commit on `table` will publish —
-    * what every stats family records as "the version these stats
-    * describe". Stamping the PRE-commit version (r15) left every stamp
-    * lagging the live version by the refresh commit itself, so a small
+  /** The version stamp a stats family records as "the version these
+    * stats describe": the refresh's OWN props-only commit when nothing
+    * intervened, the SCANNED version otherwise. Stamping the
+    * pre-commit version unconditionally (r15) left every stamp lagging
+    * the live version by the refresh commit itself, so a small
     * staleness budget re-triggered the zero-scan refresh on every user
     * commit forever (r15 advisor — the stale-by-construction
-    * treadmill). A props-only commit republishes the folded rows
+    * treadmill); the props-only commit republishes the folded rows
     * byte-identically, so stats that describe v describe v+1 exactly
-    * as well. */
-  private def refreshStamp(table: String): String =
-    (Snapshots.currentVersion(table) + 1).toString
+    * as well — but ONLY while v is still the live version. A long
+    * ANALYZE scan racing concurrent data commits must keep the
+    * truthful scanned version and surface as stale (r16 review find:
+    * blindly claiming currentVersion+1 would let strategyByStats read
+    * pre-append row counts as fresh). */
+  private def refreshStamp(table: String, scanned: Long): String = {
+    val cur = Snapshots.currentVersion(table)
+    (if (cur == scanned) cur + 1 else scanned).toString
+  }
 
   /** Compute and record stats for `columns` (empty = every column) of
     * `table`'s live snapshot. Returns one (column, ndv, nulls) row per
@@ -88,7 +95,7 @@ object Analyze {
       (c, row.getLong(1 + 2 * i),
         if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
     }
-    val props = Map(VProp -> refreshStamp(table), RowsProp -> rows.toString) ++
+    val props = Map(VProp -> refreshStamp(table, v), RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
@@ -130,7 +137,7 @@ object Analyze {
       (c, row.getLong(1 + 2 * i),
         if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
     }
-    val props = Map(VProp -> refreshStamp(table), RowsProp -> rows.toString) ++
+    val props = Map(VProp -> refreshStamp(table, v), RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
@@ -160,8 +167,9 @@ object Analyze {
     * contract). */
   def analyzeFromSketches(spark: SparkSession, table: String,
                           columns: Seq[String]): (Long, Seq[(String, Long, Long)]) = {
+    val scanned = Snapshots.currentVersion(table)
     val (rows, stats, props) = ndvFoldFromSketches(spark, table, columns)
-    Snapshots.commitProps(table, props + (VProp -> refreshStamp(table)))
+    Snapshots.commitProps(table, props + (VProp -> refreshStamp(table, scanned)))
     (rows, stats)
   }
 
@@ -382,7 +390,7 @@ object Analyze {
       if (stampKeys.nonEmpty) {
         // each family stamps THIS commit's own version: the distance a
         // later commit computes then excludes the refresh itself
-        val stamp = refreshStamp(table)
+        val stamp = refreshStamp(table, committed)
         try Snapshots.commitProps(table,
           acc.toMap ++ stampKeys.map(_ -> stamp))
         catch { case scala.util.control.NonFatal(e) => warn("commit", e) }
@@ -455,6 +463,7 @@ object Analyze {
                 buckets: Int = 32): Seq[Double] = {
     require(buckets >= 2 && buckets <= 1024,
       s"histogram($table): buckets must be in [2, 1024], got $buckets")
+    val scanned = Snapshots.currentVersion(table)
     val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
     val (fname, e) = histSpaceCol(table, column, df0)
     val vals = df0.select(e.as("v")).na.drop()
@@ -479,7 +488,7 @@ object Analyze {
     Snapshots.commitProps(table, Map(
       histKey(phys) -> bounds.mkString(","),
       histMinKey(phys) -> got(0L).toString,
-      histVKey(phys) -> refreshStamp(table)))
+      histVKey(phys) -> refreshStamp(table, scanned)))
     bounds
   }
 
@@ -535,6 +544,7 @@ object Analyze {
     // ONE merged read serves name resolution and the aggregate — the
     // manifest/schema-union pass must not run twice per refresh on the
     // many-file tables this path exists for (r14 review find)
+    val scanned = Snapshots.currentVersion(table)
     val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
     val (name, aggDf) =
       approxBoundsOn(df0, table, column, buckets, accuracy, "histogramApprox")
@@ -546,7 +556,7 @@ object Analyze {
     Snapshots.commitProps(table, Map(
       histKey(phys) -> bounds.mkString(","),
       histMinKey(phys) -> gmin.toString,
-      histVKey(phys) -> refreshStamp(table)))
+      histVKey(phys) -> refreshStamp(table, scanned)))
     bounds
   }
 
@@ -588,8 +598,9 @@ object Analyze {
     * (pre-delete summaries) and unsketched entries. */
   def histogramFromSketches(table: String, column: String,
                             buckets: Int = 32): Seq[Double] = {
+    val scanned = Snapshots.currentVersion(table)
     val (bounds, props, vk) = histFoldFromSketches(table, column, buckets)
-    Snapshots.commitProps(table, props + (vk -> refreshStamp(table)))
+    Snapshots.commitProps(table, props + (vk -> refreshStamp(table, scanned)))
     bounds
   }
 
@@ -716,6 +727,7 @@ object Analyze {
                    k: Int = 16): Seq[(String, Long)] = {
     require(k >= 1 && k <= 256,
       s"frequentKeys($table): k must be in [1, 256], got $k")
+    val scanned = Snapshots.currentVersion(table)
     val df0 = Mutations.readMerged(spark, table, mergeSchema = true)
     val f = df0.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
       throw new IllegalArgumentException(
@@ -731,7 +743,7 @@ object Analyze {
       java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
     Snapshots.commitProps(table, Map(
       freqKey(phys) -> enc,
-      freqVKey(phys) -> refreshStamp(table)))
+      freqVKey(phys) -> refreshStamp(table, scanned)))
     top
   }
 
@@ -754,8 +766,9 @@ object Analyze {
     * counts) and unsketched entries, like [[analyzeFromSketches]]. */
   def frequentKeysFromSketches(table: String, column: String,
                                k: Int = 16): Seq[(String, Long)] = {
+    val scanned = Snapshots.currentVersion(table)
     val (top, props, vk) = freqFoldFromSketches(table, column, k)
-    Snapshots.commitProps(table, props + (vk -> refreshStamp(table)))
+    Snapshots.commitProps(table, props + (vk -> refreshStamp(table, scanned)))
     top
   }
 

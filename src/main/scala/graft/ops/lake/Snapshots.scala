@@ -3184,7 +3184,34 @@ object Snapshots {
     val withStats =
       if (statsCols.isEmpty) staged.map { case (r, t) => Entry(r, t) }
       else withFooterStats(staged, table, statsCols)
-    bloomCols.foldLeft(withStats)((es, c) => withBloom(es, table, c, spark))
+    withSketchesLike(
+      bloomCols.foldLeft(withStats)((es, c) => withBloom(es, table, c, spark)),
+      table, spark)
+  }
+
+  /** Re-derive the per-file SKETCH sidecars (hll / top-k / quantile) a
+    * table's live entries reference, for freshly restaged entries —
+    * the [[restageLike]] discipline extended to the sketch families
+    * (r16 review find: a maintenance rewrite silently dropped the
+    * refs, so the next zero-scan stats refresh threw "no sidecar" and
+    * AUTO ANALYZE warned on every commit forever — the exact
+    * no-way-out failure the r15 declaration-replacement fix removed).
+    * Prop keys are physical column names; [[physicalName]] is identity
+    * on names already physical, so the round trip is safe under
+    * renames. */
+  private def withSketchesLike(es: Seq[Entry], table: String,
+                               spark: SparkSession): Seq[Entry] = {
+    if (es.isEmpty) return es
+    val keys = entriesAll(table).flatMap(_.props.keys).distinct
+    def cols(prefix: String): Seq[String] =
+      keys.collect { case k if k.startsWith(prefix) =>
+        k.drop(prefix.length) }.distinct
+    val h = cols(HllRefPrefix).foldLeft(es)(
+      (acc, c) => withHll(acc, table, c, spark))
+    val t = cols(TopKRefPrefix).foldLeft(h)(
+      (acc, c) => withTopK(acc, table, c, spark))
+    cols(QtlRefPrefix).foldLeft(t)(
+      (acc, c) => withQuantiles(acc, table, c, spark))
   }
 
   /** OPTIMIZE for snapshot tables: bin-pack every tag fragmented across
@@ -3213,7 +3240,8 @@ object Snapshots {
   def compact(spark: SparkSession, table: String, tagCol: String,
               zorderBy: Seq[String] = Seq.empty,
               tagFilter: String => Boolean = _ => true,
-              targetFileBytes: Long = DefaultTargetFileBytes): Long = {
+              targetFileBytes: Long = DefaultTargetFileBytes,
+              includeSynthetic: Boolean = true): Long = {
     // the rewrite is PINNED to v0: input read, replaced-entry set, and
     // commit base all reference this version, and [[commitRewrite]]
     // refuses if a concurrent writer touched any replaced entry — a
@@ -3228,9 +3256,15 @@ object Snapshots {
     // synthetic (CONVERTed) tags are file ids, not partition values —
     // no user WHERE value can name them, so a scoped pass INCLUDES them
     // (rewriting re-tags them properly; excluding them would make
-    // scoped OPTIMIZE a silent no-op on converted files, review find)
+    // scoped OPTIMIZE a silent no-op on converted files, review find).
+    // `includeSynthetic = false` is the [[reclusterEroded]] door: its
+    // scope is MEASURED per tag and its contract says untouched files
+    // carry by name — sweeping every converted file into each
+    // incremental heal would violate exactly that (r16 review find);
+    // converted files re-tag through a full compact instead.
     val scoped = all.filter(e =>
-      tagFilter(e.tag) || e.props.contains(TagSyntheticProp))
+      tagFilter(e.tag) ||
+        (includeSynthetic && e.props.contains(TagSyntheticProp)))
     val carried = snapshotProps(table, v0)
       .filter { case (k, _) => BookkeepingPropPrefixes.exists(k.startsWith) }
     // DV-AWARE (r10, the Delta OPTIMIZE behavior): rewritten files read
@@ -3258,9 +3292,9 @@ object Snapshots {
       val df = readMergedWithIds(spark, table, version = v0,
           fileFilter = e => inScope.contains(e.rel))
         .withColumnRenamed(RowIdCol, RidCol)
-      val es = bloomCols.foldLeft(
+      val es = withSketchesLike(bloomCols.foldLeft(
         withInternalRid(stageZOrdered(df, table, tagCol, zorderBy)))(
-        (acc, c) => withBloom(acc, table, c, spark))
+        (acc, c) => withBloom(acc, table, c, spark)), table, spark)
       // a re-cluster of a fully-DV-deleted slice would commit zero
       // files — unreadable; keep the vector layout (readable as empty)
       if (es.isEmpty && scoped.size == all.size) return v0
@@ -3336,7 +3370,8 @@ object Snapshots {
     val eroded = erodedTags(table, zorderBy, maxOverlap)
     if (eroded.isEmpty) (currentVersion(table), Set.empty)
     else (compact(spark, table, tagCol, zorderBy = zorderBy,
-      tagFilter = eroded, targetFileBytes = targetFileBytes), eroded)
+      tagFilter = eroded, targetFileBytes = targetFileBytes,
+      includeSynthetic = false), eroded)
   }
 
   /** Per-tag clustering-erosion verdicts from the manifest min/max

@@ -130,7 +130,12 @@ object EventTime {
     // pins UTC; a bespoke session must use a fixed-offset zone, where
     // every day is exactly 1440 minutes and the math below is exact.
     val sessTz = ev.sparkSession.sessionState.conf.sessionLocalTimeZone
-    require(java.time.ZoneId.of(sessTz).normalized().getRules.isFixedOffset,
+    // ZoneId.SHORT_IDS: Spark itself resolves three-letter ids through
+    // it ("EST" is a Spark-valid fixed-offset zone), so the guard must
+    // grade the same zone Spark will compute with, not crash on it
+    // (r16 review find)
+    require(java.time.ZoneId.of(sessTz, java.time.ZoneId.SHORT_IDS)
+        .normalized().getRules.isFixedOffset,
       s"gapFill: session timezone '$sessTz' observes offset transitions " +
         "(DST) — the dense grid needs a fixed-offset zone; set " +
         "spark.sql.session.timeZone to UTC (Graft.configure does)")
@@ -337,13 +342,30 @@ object EventTime {
     * (`kafka_to_s3_bronze.py:49-54`). No presentation sort: append
     * streams cannot sort, and the bar's identity
     * (event_type, hour_start_ms) is carried on every row. */
-  def ohlcvBarsStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame =
+  def ohlcvBarsStream(ev: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    // the batch twin buckets by date_trunc('hour') — SESSION-LOCAL hour
+    // boundaries — while append streaming must bucket by `window()`,
+    // which aligns to the UTC epoch. The two coincide exactly when the
+    // session zone is a WHOLE-HOUR fixed offset; on a fractional offset
+    // (UTC+05:30) the doors would silently bucket the same trade into
+    // different bars (r16 review find) — refuse instead.
+    val tz = ev.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val rules = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+      .normalized().getRules
+    require(rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds % 3600 == 0,
+      s"ohlcvBarsStream: session timezone '$tz' is not a whole-hour " +
+        "fixed offset — its local hour boundaries differ from the " +
+        "epoch-aligned streaming windows, so streamed bars would not " +
+        "equal the batch bars; set spark.sql.session.timeZone to UTC " +
+        "(Graft.configure does)")
     ev.withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(ohlcvAggs.head, ohlcvAggs.tail: _*)
       .select(col("event_type") +:
         Exact.epochMs(col("window.start")).as("hour_start_ms")
         +: ohlcvOut: _*)
+  }
 
   val ohlcvBarsOracle: String =
     s"""WITH ranked AS (

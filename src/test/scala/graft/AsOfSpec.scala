@@ -276,6 +276,18 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       s"only the dim-side aggregation may shuffle:\n$plan")
   }
 
+  test("map-typed payloads: broadcast door refuses loudly, election avoids it") {
+    import org.apache.spark.sql.functions.{lit => flit, map}
+    // MapType cannot sort -> the candidate-array rewrite cannot run;
+    // the merged-stream door handles it (payload is never sorted)
+    val rMap = right.withColumn("attrs", map(flit("k"), flit("v")))
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfBroadcast(left, rMap, Seq("user"), "lts", "rts", "rid")
+    }
+    assert(e.getMessage.contains("cannot be sorted"), e.getMessage)
+    assert(Joins.asOf(left, rMap, "user", "lts", "rts", "rid").count() == 5)
+  }
+
   test("statsAsOf elects broadcast from recorded stats, falls back without") {
     import graft.ops.lake.{Analyze, Mutations}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -797,6 +797,12 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       spark.conf.set(tzKey, "UTC+05:30")
       assert(graft.streaming.EventTime.gapFill(
         ev, "ts", "event_type", "value", "event_id").collect().nonEmpty)
+      // Spark resolves three-letter ids via ZoneId.SHORT_IDS: "EST" is
+      // a fixed -05:00 — the guard must grade it, not crash on it
+      // (r16 review find)
+      spark.conf.set(tzKey, "EST")
+      assert(graft.streaming.EventTime.gapFill(
+        ev, "ts", "event_type", "value", "event_id").collect().nonEmpty)
     } finally spark.conf.set(tzKey, saved)
   }
 }

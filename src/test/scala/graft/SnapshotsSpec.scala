@@ -754,6 +754,43 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("no quantile sidecar"), e.getMessage)
   }
 
+  test("maintenance rewrites re-derive the sketch sidecars (no dead refs)") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    // r16 review find: compact/restage dropped the hll/topk/qtl refs,
+    // so the next zero-scan refresh threw and AUTO ANALYZE warned on
+    // every commit forever — the rewrite must pay the sketches like it
+    // already pays footer stats and blooms
+    val table = tmp("snap-sketch-rewrite")
+    def wave(day: String) =
+      ((0 until 80).map(_ => (7L, day, 1.0)) ++
+        (0 until 40).map(i => (i.toLong + 10L, day, i.toDouble)))
+        .toDF("k", "day", "v")
+    // two commits fragment tag "a" -> the bin-pack branch rewrites it
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.withKeyStats(
+        Snapshots.stageWithStats(wave("a"), table, "day", "k"),
+        table, "k", spark), table, "v", spark))
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.withKeyStats(
+        Snapshots.restageLike(spark, wave("a"), table, "day"),
+        table, "k", spark), table, "v", spark))
+    Snapshots.compact(spark, table, "day")
+    assert(Snapshots.entriesAll(table).forall(e =>
+      e.props.contains("ref.hll.k") && e.props.contains("ref.topk.k") &&
+        e.props.contains("ref.qtl.v")),
+      "every rewritten entry must carry all three sketch refs")
+    // all three zero-scan folds still run off the rewritten manifest
+    assert(Analyze.analyzeFromSketches(spark, table, Seq("k"))._1 == 240L)
+    assert(Analyze.frequentKeysFromSketches(table, "k").head._1 == "7")
+    assert(Analyze.histogramFromSketches(table, "v", 4).size == 4)
+    // the ZORDER branch owes the same contract
+    Snapshots.compact(spark, table, "day", zorderBy = Seq("v"))
+    assert(Snapshots.entriesAll(table).forall(_.props.contains("ref.qtl.v")),
+      "the re-cluster must re-derive the quantile sidecars too")
+    assert(Analyze.histogramFromSketches(table, "v", 4).size == 4)
+  }
+
   test("auto analyze keeps the histogram family fresh from sidecars") {
     import graft.ops.lake.Analyze
     import spark.implicits._
