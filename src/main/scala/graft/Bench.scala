@@ -103,7 +103,10 @@ object Bench {
     // round-14 late: the one new pure-compute query (the round's other
     // additions — s64-s67 — build snapshot fixtures per invocation and
     // stay excluded like the other sink round-trips)
-    "t4_gap_fill")         // dense bar grid + forward-fill window
+    "t4_gap_fill",         // dense bar grid + forward-fill window
+    // round-16: the other pure-compute bar shape (s77/s78 build
+    // snapshot fixtures per invocation and stay excluded)
+    "t5_ohlcv_bars")       // deterministic tuple-ordered OHLCV candles
 
   /** Streaming path (round 4): drain the SF dir's events through the E1
     * ingest pipelines with AvailableNow — end-to-end wall time of a full

@@ -64,10 +64,18 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     }
     assert(decisionJobs == 0,
       s"strategy decisions must run zero scan jobs, saw $decisionJobs")
-    // staleness: a commit past a zero-lag budget silences the stats
+    // staleness: a commit past a zero-lag budget silences the FACT's
+    // skew evidence; the dim's untouched stats stay genuinely fresh
+    // (r16 truthful stamps — pre-r16 they read stale only because the
+    // stamp lagged its own commit), so the verdict degrades to plain —
+    // never salt on stale evidence
     Snapshots.commitAll(factT, Snapshots.restageLike(spark,
       Seq((999L, 999L, 9.0)).toDF("id", "sk", "v").withColumn("day", lit("d")),
       factT, "day"))
+    assert(Skew.strategyByStats(factT, "sk", dimT,
+      broadcastMaxRows = 10, maxStaleVersions = 0).contains("plain"))
+    // a dim commit past the budget silences the basis entirely
+    Snapshots.commitProps(dimT, Map("tbl.note" -> "drift"))
     assert(Skew.strategyByStats(factT, "sk", dimT,
       broadcastMaxRows = 10, maxStaleVersions = 0).isEmpty)
     // all three strategies return identical rows
