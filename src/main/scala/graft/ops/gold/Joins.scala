@@ -357,6 +357,10 @@ object Joins {
                 broadcastMaxRows: Long = 1000000L,
                 maxStaleVersions: Long = 64): DataFrame = {
     import graft.ops.lake.{Analyze, Mutations, Snapshots}
+    // 'k1,k2' = composite match key, the asof_join TVF spelling (','
+    // can't appear in a column name)
+    val keys = key.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty, "statsAsOf: at least one match key")
     val left = Mutations.readMerged(spark, leftTable, mergeSchema = true)
     val right = Mutations.readMerged(spark, rightTable, mergeSchema = true)
     val fresh = Analyze.analyzedVersion(rightTable).exists(
@@ -365,14 +369,14 @@ object Joins {
     // merged-stream door — the election must never pick a form that
     // throws (r16 review find)
     val sortable = right.schema.fields
-      .filterNot(_.name.equalsIgnoreCase(key))
+      .filterNot(f => keys.exists(_.equalsIgnoreCase(f.name)))
       .forall(f => orderable(f.dataType))
     if (sortable && fresh &&
         Analyze.rowsOf(rightTable).exists(_ <= broadcastMaxRows))
-      asOfBroadcast(left, right, Seq(key), leftTs, rightTs, tieBreak,
+      asOfBroadcast(left, right, keys, leftTs, rightTs, tieBreak,
         toleranceMs, direction)
     else
-      asOfBy(left, right, Seq(key), leftTs, rightTs, tieBreak,
+      asOfBy(left, right, keys, leftTs, rightTs, tieBreak,
         toleranceMs, direction)
   }
 
@@ -776,12 +780,45 @@ object Joins {
     * plan). The answer must be indistinguishable from the
     * merged-stream door's, so the oracle is s70's LATERAL verbatim. */
   def statsAsOfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (lT, rT) = statsAsOfFixture(spark, dir, "s77")
+    statsAsOf(spark, lT, rT, "user_id", "ts", "click_ts", "click_event_id")
+      .select(col("purchase_event_id"), col("user_id"),
+        Exact.epochMs(col("ts")).as("purchase_ts_ms"),
+        col("click_event_id"), col("click_value"),
+        Exact.epochMs(col("click_ts")).as("click_ts_ms"))
+      .orderBy("purchase_event_id")
+  }
+
+  /** s77b: [[statsAsOf]] through PLAIN SQL (r16) — the
+    * `stats_asof_join('l','r','key','lts','rts','tie')` table
+    * function over registered lake tables: the same fixture, the same
+    * broadcast election from sketch-folded stats, the same LATERAL
+    * oracle. */
+  def statsAsOfSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (lT, rT) = statsAsOfFixture(spark, dir, "s77b")
+    graft.sql.LakeSql.register(spark, "s77bl", lT, "day")
+    graft.sql.LakeSql.register(spark, "s77br", rT, "rday")
+    spark.sql(
+      """SELECT purchase_event_id, user_id,
+        |       unix_millis(CAST(ts AS TIMESTAMP)) AS purchase_ts_ms,
+        |       click_event_id, click_value,
+        |       unix_millis(CAST(click_ts AS TIMESTAMP)) AS click_ts_ms
+        |FROM stats_asof_join('s77bl', 's77br', 'user_id', 'ts',
+        |                     'click_ts', 'click_event_id')
+        |ORDER BY purchase_event_id""".stripMargin)
+  }
+
+  /** The shared s77/s77b lake fixture: purchases + clicks committed as
+    * lake tables, the clicks side HLL-sketched so the stats that drive
+    * the broadcast election fold with zero scans. */
+  private def statsAsOfFixture(spark: SparkSession, dir: String,
+                               qid: String): (String, String) = {
     import graft.ops.lake.{Analyze, Snapshots}
     val (purchases, clicks) = purchasesClicks(spark, dir)
     def freshTable(prefix: String): String =
       graft.engine.Graft.freshDir(prefix + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val lT = freshTable("s77-purchases-")
-    val rT = freshTable("s77-clicks-")
+    val lT = freshTable(s"$qid-purchases-")
+    val rT = freshTable(s"$qid-clicks-")
     Snapshots.commit(lT, Snapshots.stage(
       purchases.withColumn("day", lit("d")), lT, "day"))
     // the right tag gets its own name (the asOfSqlWith discipline:
@@ -793,12 +830,7 @@ object Joins {
         rT, "rday", "user_id"),
       rT, "user_id", spark))
     Analyze.analyzeFromSketches(spark, rT, Seq("user_id"))
-    statsAsOf(spark, lT, rT, "user_id", "ts", "click_ts", "click_event_id")
-      .select(col("purchase_event_id"), col("user_id"),
-        Exact.epochMs(col("ts")).as("purchase_ts_ms"),
-        col("click_event_id"), col("click_value"),
-        Exact.epochMs(col("click_ts")).as("click_ts_ms"))
-      .orderBy("purchase_event_id")
+    (lT, rT)
   }
 
   /** s71: [[asOf]] through PLAIN SQL — the `asof_join('left',
@@ -909,6 +941,7 @@ object Joins {
     QueryDef.sql("s73_asof_forward", asOfForwardOracle)(asOfForward),
     QueryDef.sql("s74_asof_nearest", asOfNearestOracle)(asOfNearest),
     QueryDef.sql("s77_stats_asof_broadcast", asOfGenericOracle)(statsAsOfQuery),
+    QueryDef.sql("s77b_stats_asof_sql", asOfGenericOracle)(statsAsOfSqlQuery),
     QueryDef.sql("j1_dim_join", dimJoinOracle)(dimJoin),
     QueryDef.sql("j2_semi_join", semiJoinOracle)(semiJoin),
     QueryDef.sql("j3_anti_join", antiJoinOracle)(antiJoin),

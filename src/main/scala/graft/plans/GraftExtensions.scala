@@ -114,6 +114,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft.sql.LakeSql", "asof_join"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.sql.LakeSql.asofJoinPlan(args)))
+    // stats-elected as-of join as a SQL table function (r16 —
+    // Joins.statsAsOf reachable from plain sql)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("stats_asof_join"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.LakeSql", "stats_asof_join"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sql.LakeSql.statsAsofJoinPlan(args)))
     // hourly gap fill + forward-filled close as a SQL table function
     // (r15 — EventTime.gapFill reachable from plain sql)
     e.injectTableFunction((

@@ -305,6 +305,45 @@ object LakeSql {
         .queryExecution.analyzed)
   }
 
+  /** Builder for the STATS-ELECTED AS-OF JOIN table function (r16) —
+    * `SELECT … FROM stats_asof_join('left', 'right', 'key', 'leftTs',
+    * 'rightTs', 'tieBreak'[, 'direction'][, toleranceMs])` — the SQL
+    * twin of [[graft.ops.gold.Joins.statsAsOf]]: the rewrite (broadcast
+    * candidate-arrays vs merged stream) is CHOSEN from the right
+    * table's recorded stats, so both sides must be REGISTERED lake
+    * tables (temp views carry no stats to elect from — `asof_join`
+    * serves those). Literal-args discipline follows [[asofJoinPlan]]
+    * exactly, including the 'k1,k2' composite-key spelling. */
+  def statsAsofJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(): Nothing = throw new IllegalArgumentException(
+      "stats_asof_join expects ('left', 'right', 'key', 'leftTs', " +
+        "'rightTs', 'tieBreak'[, 'direction'][, toleranceMs]) literals")
+    val (strArgs, tolerance) = args.lastOption match {
+      case Some(Literal(n: Number, _)) => (args.dropRight(1), Some(n.longValue()))
+      case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+        (args.dropRight(1), Some(d.toLong))
+      case _ => (args, None)
+    }
+    if (strArgs.length != 6 && strArgs.length != 7) bad()
+    val strs = strArgs.map {
+      case Literal(s, _: StringType) if s != null => s.toString
+      case _ => bad()
+    }
+    val Seq(lN, rN, key, lts, rts, tie) = strs.take(6)
+    val direction = strs.lift(6).getOrElse("backward")
+    def resolve(n: String): String = lookup(spark, n).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"stats_asof_join: '$n' is not a registered graft table — the " +
+          "election reads recorded lake stats; register it, or use " +
+          "asof_join for stat-less sides"))
+    SubqueryAlias("stats_asof_join",
+      graft.ops.gold.Joins.statsAsOf(spark, resolve(lN), resolve(rN),
+          key, lts, rts, tie, toleranceMs = tolerance,
+          direction = direction)
+        .queryExecution.analyzed)
+  }
+
   /** Builder for the GAP FILL table function (r15) —
     * `SELECT … FROM gap_fill('table', 'tsCol', 'seriesCol',
     * 'valueCol', 'idCol'[, 'grain'])` — the SQL twin of
@@ -535,7 +574,7 @@ object LakeStatements {
   private val OptimizeManifests =
     """(?is)OPTIMIZE\s+(\w+)\s+MANIFESTS(?:\s+(\d+))?""".r
   private val Optimize =
-    """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+))?""".r
+    """(?is)OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+(INCREMENTAL))?(?:\s+WHERE\s+(.+))?""".r
   private val TagEq = """(?is)\s*(\w+)\s*=\s*'([^']*)'\s*""".r
   private val TagIn = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val History =
@@ -666,9 +705,30 @@ object LakeStatements {
             Seq(Row(Snapshots.compactManifests(path,
               maxManifests = Option(maxMfs).map(_.toInt).getOrElse(64)))))
         }
-        case Optimize(name, zcols, where) => lookup(name).map { case (path, tag) =>
+        case Optimize(name, zcols, incr, where) => lookup(name).map { case (path, tag) =>
           val z = Option(zcols).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          // INCREMENTAL (r16): the liquid-clustering verb — re-cluster
+          // ONLY the tags whose measured erosion crossed the budget
+          // ([[Snapshots.reclusterEroded]]); the scope is MEASURED, so
+          // a WHERE is contradictory and rejects loudly, and ZORDER BY
+          // columns are required (they are the erosion metric)
+          if (incr != null) {
+            require(z.nonEmpty,
+              s"OPTIMIZE $name INCREMENTAL: needs ZORDER BY (cols) — " +
+                "the clustered columns are the erosion metric")
+            require(where == null,
+              s"OPTIMIZE $name INCREMENTAL: WHERE cannot combine with " +
+                "INCREMENTAL — the re-cluster scope is measured per tag, " +
+                "not declared; use a plain scoped OPTIMIZE instead")
+            LakeCommand("OPTIMIZE INCREMENTAL",
+              attrs("version" -> LongType, "reclustered_tag" -> StringType),
+              s => {
+                val (v, tags) = Snapshots.reclusterEroded(s, path, tag, z)
+                if (tags.isEmpty) Seq(Row(v, null))
+                else tags.toSeq.sorted.map(t => Row(v, t))
+              })
+          } else {
           // WHERE scopes the maintenance to matching TAGS (the Delta
           // `OPTIMIZE … WHERE` shape) — tag equality or IN on the
           // table's partition column only, the same restriction Delta
@@ -696,6 +756,7 @@ object LakeStatements {
           }
           LakeCommand("OPTIMIZE", versionOut, s =>
             Seq(Row(Snapshots.compact(s, path, tag, z, tagFilter))))
+          }
         }
         case _ => None
       }

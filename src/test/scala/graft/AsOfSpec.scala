@@ -322,6 +322,38 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(bhjCount(tight) == 0, "rows over budget must fall back")
   }
 
+  test("stats_asof_join TVF answers like statsAsOf; loud on non-lake names") {
+    import graft.ops.lake.Analyze
+    val lT = tmp("asof-stats-sql-l")
+    val rT = tmp("asof-stats-sql-r")
+    Snapshots.commit(lT, Snapshots.stage(
+      left.withColumn("day", lit("d")), lT, "day"))
+    Snapshots.commitAll(rT, Snapshots.withHll(
+      Snapshots.stageWithStats(right.withColumn("rday", lit("d")),
+        rT, "rday", "user"),
+      rT, "user", spark))
+    Analyze.analyzeFromSketches(spark, rT, Seq("user"))
+    graft.sql.LakeSql.register(spark, "asofstats_l", lT, "day")
+    graft.sql.LakeSql.register(spark, "asofstats_r", rT, "rday")
+    val sqlRows = spark.sql(
+      "SELECT lid, rid, rv FROM stats_asof_join(" +
+        "'asofstats_l', 'asofstats_r', 'user', 'lts', 'rts', 'rid')")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val api = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid")
+      .select($"lid", $"rid", $"rv")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(sqlRows == api, "the TVF must answer like the API path")
+    assert(sqlRows.map(_._1) == Set(1L, 2L, 3L, 4L, 5L))
+    // a temp view has no stats to elect from: loud, pointing at asof_join
+    left.createOrReplaceTempView("asofstats_view")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM stats_asof_join(" +
+        "'asofstats_view', 'asofstats_r', 'user', 'lts', 'rts', 'rid')")
+      .collect())
+    assert(e.getMessage.contains("registered graft table") &&
+      e.getMessage.contains("asof_join"), e.getMessage)
+  }
+
   test("tieBreak equal to the key fails loudly at the door") {
     val e = intercept[IllegalArgumentException] {
       Joins.asOf(left, right, "user", "lts", "rts", "user")

@@ -237,6 +237,43 @@ class LakeSqlSpec extends AnyFunSuite with SparkFixture {
       e.getMessage.contains("temp view"), e.getMessage)
   }
 
+  test("OPTIMIZE INCREMENTAL re-clusters only the measured-eroded tags") {
+    import spark.implicits._
+    val t = tmp("sql-zinc")
+    def rows(tag: String, seed: Int) =
+      (1 to 200).map(i => ((seed * 1000 + i).toLong, tag, (i * seed % 200).toLong))
+        .toDF("id", "day", "v")
+    // day a: one clustered commit; day b: two overlapping waves
+    Snapshots.commitAll(t, Snapshots.stageWithStats(
+      (1 to 200).map(i => (i.toLong, "a", i.toLong)).toDF("id", "day", "v"),
+      t, "day", "v", buckets = 4))
+    // THREE overlapping waves: two identical full-range files sit at
+    // ratio exactly 2.0 — the default budget's boundary, deliberately
+    // not eroded; three cross it
+    Snapshots.commitAll(t, Snapshots.restageLike(spark, rows("b", 37), t, "day"))
+    Snapshots.commitAll(t, Snapshots.restageLike(spark, rows("b", 53), t, "day"))
+    Snapshots.commitAll(t, Snapshots.restageLike(spark, rows("b", 71), t, "day"))
+    LakeSql.register(spark, "sqlzinc", t, "day")
+    val aRels = Snapshots.entriesAll(t).filter(_.tag == "a").map(_.rel).toSet
+    val out = spark.sql("OPTIMIZE sqlzinc ZORDER BY (v) INCREMENTAL")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._2).toSeq == Seq("b"),
+      s"only the fragmented day re-clusters: ${out.toSeq}")
+    assert(Snapshots.entriesAll(t).filter(_.tag == "a").map(_.rel).toSet
+      == aRels, "the fresh day's files must carry by name")
+    // healed: a second run is a no-op row with a NULL tag
+    val again = spark.sql("OPTIMIZE sqlzinc ZORDER BY (v) INCREMENTAL")
+      .collect()
+    assert(again.length == 1 && again.head.isNullAt(1),
+      s"a healed table reports nothing eroded: ${again.toSeq}")
+    // contradictory/incomplete forms reject loudly
+    val e1 = intercept[Exception](spark.sql(
+      "OPTIMIZE sqlzinc ZORDER BY (v) INCREMENTAL WHERE day = 'b'"))
+    assert(e1.getMessage.contains("measured per tag"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("OPTIMIZE sqlzinc INCREMENTAL"))
+    assert(e2.getMessage.contains("needs ZORDER BY"), e2.getMessage)
+  }
+
   test("VACUUM DRY RUN lists reclaimable files without deleting") {
     val table = mk("sql-vacdry", "sqlvd", (1L, "a", 1.0), (2L, "b", 2.0))
     spark.sql("UPDATE sqlvd SET v = v * 2.0 WHERE id = 1") // v2: COW orphanes v1's a-file
