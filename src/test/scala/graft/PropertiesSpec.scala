@@ -774,6 +774,50 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(mins.map(_._3).toSeq == Seq(1.0, 1.0, 1.0, 2.0), "close carries over midnight")
   }
 
+  test("asOfBroadcast ≡ asOfBy on randomized fixtures (property)") {
+    import org.apache.spark.sql.functions._
+    // the two rewrites share one resolver but entirely different
+    // execution shapes (keyed window scan vs broadcast array probe) —
+    // random small fixtures with NULL keys/timestamps, same-instant
+    // ties, and unmatched keys must agree row-for-row in every
+    // direction, with and without a tolerance (r16)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val keyGen = Gen.oneOf(Some("u1"), Some("u2"), Some("u3"), None)
+    // coarse minute grid => frequent exact ties, the hard case
+    val tsGen = Gen.oneOf(
+      Gen.choose(0, 10).map(m => Some(new java.sql.Timestamp(base + m * 60000L))),
+      Gen.const(Option.empty[java.sql.Timestamp]))
+    val leftGen = Gen.listOfN(8, Gen.zip(keyGen, tsGen))
+    val rightGen = Gen.listOfN(10, Gen.zip(keyGen, tsGen,
+      Gen.oneOf(Some("a"), Some("b"), None)))
+    (0 until 12).foreach { seed =>
+      val lRows = leftGen.apply(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(Nil).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val rRows = rightGen.apply(Gen.Parameters.default, Seed(1000L + seed))
+        .getOrElse(Nil).zipWithIndex
+        .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      if (lRows.nonEmpty && rRows.nonEmpty) {
+        val l = lRows.toDF("lid", "user", "lts")
+        val r = rRows.toDF("user", "rts", "rid", "rv")
+        for {
+          dir <- Seq("backward", "forward", "nearest")
+          tol <- Seq(None, Some(3L * 60000L))
+        } {
+          def rows(df: org.apache.spark.sql.DataFrame) = df
+            .select(col("lid"), col("rid"), col("rv"))
+            .as[(Long, Option[Long], Option[String])]
+            .collect().sortBy(_._1).toSeq
+          val a = rows(graft.ops.gold.Joins.asOfBy(l, r, Seq("user"),
+            "lts", "rts", "rid", toleranceMs = tol, direction = dir))
+          val b = rows(graft.ops.gold.Joins.asOfBroadcast(l, r, Seq("user"),
+            "lts", "rts", "rid", toleranceMs = tol, direction = dir))
+          assert(a == b, s"seed=$seed dir=$dir tol=$tol:\n  stream=$a\n  bcast=$b")
+        }
+      }
+    }
+  }
+
   test("gap fill rejects DST-observing session timezones (r15 advisor)") {
     import org.apache.spark.sql.functions._
     // the dense grid's day-chunked minute expansion assumes 1440-minute
