@@ -268,16 +268,10 @@ object Joins {
     * the broadcast rewrite's candidate ordering — rejects it at
     * analysis. The merged-stream form never sorts the payload, so the
     * two doors genuinely differ here; [[statsAsOf]] consults this to
-    * keep electing the form that can run (r16 review find). */
-  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case _: MapType => false
-      case s: StructType => s.fields.forall(f => orderable(f.dataType))
-      case a: ArrayType => orderable(a.elementType)
-      case _ => true
-    }
-  }
+    * keep electing the form that can run (r16 review find). One shared
+    * predicate with ANALYZE's groupability check ([[graft.engine.Schemas]]). */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    graft.engine.Schemas.mapFree(dt)
 
   def asOfBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
                     leftTs: String, rightTs: String, tieBreak: String,

@@ -63,16 +63,10 @@ object Analyze {
     * analyzed column plus the row count; the same rows the SQL verb
     * surfaces. */
   /** MAP anywhere in a type makes `count(distinct)` un-plannable
-    * (maps are not groupable/orderable in Spark). */
-  private def analyzable(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case _: MapType => false
-      case s: StructType => s.fields.forall(f => analyzable(f.dataType))
-      case a: ArrayType => analyzable(a.elementType)
-      case _ => true
-    }
-  }
+    * (maps are not groupable/orderable in Spark) — the shared
+    * [[graft.engine.Schemas.mapFree]] predicate. */
+  private def analyzable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    graft.engine.Schemas.mapFree(dt)
 
   def analyze(spark: SparkSession, table: String,
               columns: Seq[String] = Seq.empty): (Long, Seq[(String, Long, Long)]) = {
@@ -203,7 +197,10 @@ object Analyze {
     val stats = columns.map { c =>
       val pcol = Snapshots.physicalName(table, c)
       val bytes = Snapshots.hllSketches(table, entries, pcol)
-      val ndv = spark.createDataset(bytes)(
+      // every file all-NULL in this column: zero distinct values, and
+      // hll_union_agg over zero rows would answer NULL (r16)
+      val ndv = if (bytes.isEmpty) 0L
+        else spark.createDataset(bytes)(
           org.apache.spark.sql.Encoders.BINARY).toDF("s")
         .agg(expr("hll_sketch_estimate(hll_union_agg(s, true))"))
         .head().getLong(0)

@@ -2142,7 +2142,7 @@ object Snapshots {
     val pcol = physicalName(table, hllCol)
     staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
       val data = withFid(spark, table, chunk)
-      val attach = hllChunkProps(table, pcol, lgK, data)
+      val attach = hllChunkProps(table, pcol, lgK, chunk, data)
       chunk.map(e => e.copy(props = e.props ++ attach(e)))
     }.toSeq
   }
@@ -2166,6 +2166,7 @@ object Snapshots {
     * must be self-contained, r14 probe find), publishes the sidecar,
     * and returns the per-entry prop attacher. */
   private def hllChunkProps(table: String, pcol: String, lgK: Int,
+      chunk: Seq[Entry],
       data: org.apache.spark.sql.DataFrame): Entry => Map[String, String] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -2182,16 +2183,20 @@ object Snapshots {
       .toMap
     val nulls = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
     val sidecarRel = s"stats/hll-${java.util.UUID.randomUUID.toString.take(12)}.txt"
-    if (sketches.nonEmpty) {
-      val f = new File(table, sidecarRel)
-      f.getParentFile.mkdirs()
-      writeDurable(f, sketches.toSeq.sortBy(_._1).map { case (fid, b) =>
-        s"$fid\t${java.util.Base64.getEncoder.encodeToString(b)}"
-      }.mkString("\n").getBytes(UTF_8))
-    }
-    e => (if (sketches.contains(fileId(e.rel)))
-        Map(HllRefPrefix + pcol -> sidecarRel)
-      else Map.empty[String, String]) ++
+    // EVERY chunk file gets a line and a ref — an all-NULL file
+    // records an EMPTY sketch (r16 review find: a ref-LESS rewritten
+    // file made the next zero-scan fold throw and AUTO ANALYZE warn
+    // forever, e.g. a compact repacking pre-evolution files whose new
+    // column reads all-NULL). "Ref present, empty line" = legitimate
+    // zero-distinct contribution; "no ref" still means unsketched.
+    val f = new File(table, sidecarRel)
+    f.getParentFile.mkdirs()
+    writeDurable(f, chunk.map { e =>
+      val fid = fileId(e.rel)
+      s"$fid\t${sketches.get(fid)
+        .map(java.util.Base64.getEncoder.encodeToString).getOrElse("")}"
+    }.sorted.mkString("\n").getBytes(UTF_8))
+    e => Map(HllRefPrefix + pcol -> sidecarRel) ++
       nulls.get(fileId(e.rel)).map(n => s"nulls.$pcol" -> n.toString)
   }
 
@@ -2220,6 +2225,9 @@ object Snapshots {
     * letting a fold silently under-count. */
   private[graft] def hllSketches(table: String, entries: Seq[Entry],
                                  pcol: String): Seq[Array[Byte]] =
+    // an EMPTY recorded sketch (all-NULL file) legitimately contributes
+    // nothing to the union and is dropped here; only a MISSING ref or
+    // line throws
     entries.map { e =>
       val rel = e.props.getOrElse(HllRefPrefix + pcol,
         throw new IllegalStateException(
@@ -2228,10 +2236,9 @@ object Snapshots {
             "one scan) before a zero-scan stats refresh"))
       hllSidecar(table, rel).getOrElse(fileId(e.rel),
         throw new IllegalStateException(
-          s"hllSketches($table): sidecar $rel has no sketch for " +
-            s"${e.rel} (all-NULL column in that file?) — run " +
-            "analyzeApprox instead"))
-    }
+          s"hllSketches($table): sidecar $rel has no line for " +
+            s"${e.rel} — run analyzeApprox instead"))
+    }.filter(_.nonEmpty)
 
   /** Sidecar reference prop for a per-file TOP-K list of a physical
     * column (`ref.topk.<physCol>=stats/topk-<id>.txt`) — the `ref.`
@@ -2316,7 +2323,7 @@ object Snapshots {
     staged.grouped(math.max(1, chunkFiles)).flatMap { chunk =>
       val data = withFid(spark, table, chunk).persist()
       try {
-        val hll = hllChunkProps(table, pcol, lgK, data)
+        val hll = hllChunkProps(table, pcol, lgK, chunk, data)
         val topk = topKChunkProps(table, pcol, k, chunk, data)
         chunk.map(e => e.copy(props = e.props ++ hll(e) ++ topk(e)))
       } finally { data.unpersist(); () }
@@ -3168,18 +3175,24 @@ object Snapshots {
   private[graft] def restageLike(spark: SparkSession, df: DataFrame, table: String,
                                  tagCol: String): Seq[Entry] = {
     val keys = entriesAll(table).flatMap(_.props.keys).distinct
+    // dropped columns keep their props on old entries but no longer
+    // exist in the restaged frame (r16 review find — same class as the
+    // sketch families' guard in withSketchesLike)
+    val (_, droppedCols) = schemaMapping(table, currentVersion(table))
     val statsCols = (keys.collect { case k if k.startsWith("min.") => k.drop(4) } ++
       keys.collect { case k if k.startsWith("smin.") => k.drop(5) } ++
       // a column may carry ONLY a null count (all-null at stage time:
       // no bounds were derivable) — it is still a stats column and the
       // rewrite must re-record it
-      keys.collect { case k if k.startsWith("nulls.") => k.drop(6) }).distinct
+      keys.collect { case k if k.startsWith("nulls.") => k.drop(6) })
+      .distinct.filterNot(droppedCols)
     // BOTH key families: current sidecar refs AND legacy inline
     // sketches — a rewrite is exactly how a legacy table's unsound
     // old-format sketches upgrade to probed-format sidecars
     val bloomCols = (keys.collect {
         case k if k.startsWith(BloomRefPrefix) => k.drop(BloomRefPrefix.length) } ++
-      keys.collect { case k if k.startsWith("bloom.") => k.drop(6) }).distinct
+      keys.collect { case k if k.startsWith("bloom.") => k.drop(6) })
+      .distinct.filterNot(droppedCols)
     val staged = stage(df, table, tagCol)
     val withStats =
       if (statsCols.isEmpty) staged.map { case (r, t) => Entry(r, t) }
@@ -3203,15 +3216,31 @@ object Snapshots {
                                spark: SparkSession): Seq[Entry] = {
     if (es.isEmpty) return es
     val keys = entriesAll(table).flatMap(_.props.keys).distinct
+    // DROPPED columns keep their ref props on old entries but no
+    // longer exist in freshly staged files — sketching them would
+    // crash every write after a dropColumn (r16 review find)
+    val (_, droppedCols) = schemaMapping(table, currentVersion(table))
     def cols(prefix: String): Seq[String] =
       keys.collect { case k if k.startsWith(prefix) =>
-        k.drop(prefix.length) }.distinct
-    val h = cols(HllRefPrefix).foldLeft(es)(
-      (acc, c) => withHll(acc, table, c, spark))
-    val t = cols(TopKRefPrefix).foldLeft(h)(
-      (acc, c) => withTopK(acc, table, c, spark))
-    cols(QtlRefPrefix).foldLeft(t)(
-      (acc, c) => withQuantiles(acc, table, c, spark))
+        k.drop(prefix.length) }.distinct.filterNot(droppedCols)
+    val hllCols = cols(HllRefPrefix)
+    val topkCols = cols(TopKRefPrefix)
+    val qtlCols = cols(QtlRefPrefix)
+    if (hllCols.isEmpty && topkCols.isEmpty && qtlCols.isEmpty) return es
+    // ONE persisted read per chunk serves EVERY family and column (the
+    // withKeyStats discipline — r16 review find: per-family-per-column
+    // passes re-scanned each restage several times over)
+    es.grouped(4096).flatMap { chunk =>
+      val data = withFid(spark, table, chunk).persist()
+      try {
+        val attach: Seq[Entry => Map[String, String]] =
+          hllCols.map(c => hllChunkProps(table, c, 12, chunk, data)) ++
+            topkCols.map(c => topKChunkProps(table, c, 16, chunk, data)) ++
+            qtlCols.map(c => quantileChunkProps(table, c, 32, chunk, data))
+        chunk.map(e => e.copy(props = e.props ++
+          attach.flatMap(_(e)).toMap))
+      } finally { data.unpersist(); () }
+    }.toSeq
   }
 
   /** OPTIMIZE for snapshot tables: bin-pack every tag fragmented across
@@ -3277,9 +3306,11 @@ object Snapshots {
     if (zorderBy.nonEmpty) {
       val bloomCols = {
         val ks = scoped.flatMap(_.props.keys)
+        val (_, droppedCols) = schemaMapping(table, v0)
         (ks.collect { case k if k.startsWith(BloomRefPrefix) =>
             k.drop(BloomRefPrefix.length) } ++
-          ks.collect { case k if k.startsWith("bloom.") => k.drop(6) }).distinct
+          ks.collect { case k if k.startsWith("bloom.") => k.drop(6) })
+          .distinct.filterNot(droppedCols)
       }
       if (scoped.isEmpty) return v0
       // read by FILE, not tag: the read set must equal the remove set

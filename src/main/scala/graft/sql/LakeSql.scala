@@ -269,30 +269,36 @@ object LakeSql {
     * semantics, one keyed exchange — no range join. Registered-name
     * lookup and literal-args discipline follow
     * [[tableChangesPlan]]. */
-  def asofJoinPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
+  /** Shared literal-arg parse for the two as-of TVFs (r16 review
+    * find: the doors' arg contracts are documented identical — one
+    * parser keeps them so): optional trailing NUMERIC literal =
+    * toleranceMs (fractional literals parse as Decimal, the
+    * stats_star_join lesson), optional 7th STRING = direction
+    * (unambiguous by position). Returns (first six strings, direction,
+    * toleranceMs). */
+  private def parseAsOfArgs(verb: String, args: Seq[Expression])
+      : (Seq[String], String, Option[Long]) = {
     def bad(): Nothing = throw new IllegalArgumentException(
-      "asof_join expects ('left', 'right', 'key', 'leftTs', 'rightTs', " +
+      s"$verb expects ('left', 'right', 'key', 'leftTs', 'rightTs', " +
         "'tieBreak'[, 'direction'][, toleranceMs]) literals")
-    // optional trailing numeric literal = toleranceMs (r15 — door
-    // parity with the API's merge_asof tolerance); fractional literals
-    // parse as Decimal, the stats_star_join lesson
     val (strArgs, tolerance) = args.lastOption match {
       case Some(Literal(n: Number, _)) => (args.dropRight(1), Some(n.longValue()))
       case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
         (args.dropRight(1), Some(d.toLong))
       case _ => (args, None)
     }
-    // optional 7th string literal = direction (r15 — merge_asof
-    // backward/forward/nearest; unambiguous by POSITION, args 1-6
-    // have fixed roles)
     if (strArgs.length != 6 && strArgs.length != 7) bad()
     val strs = strArgs.map {
-      case Literal(s, _: StringType) if s != null => s.toString
+      case Literal(v, _: StringType) if v != null => v.toString
       case _ => bad()
     }
-    val Seq(lN, rN, key, lts, rts, tie) = strs.take(6)
-    val direction = strs.lift(6).getOrElse("backward")
+    (strs.take(6), strs.lift(6).getOrElse("backward"), tolerance)
+  }
+
+  def asofJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val (strs, direction, tolerance) = parseAsOfArgs("asof_join", args)
+    val Seq(lN, rN, key, lts, rts, tie) = strs
     // 'k1,k2' in the key literal = composite match key (r15 — the
     // merge_asof by=[…] form; ',' can't appear in a column name)
     SubqueryAlias("asof_join",
@@ -316,22 +322,8 @@ object LakeSql {
     * exactly, including the 'k1,k2' composite-key spelling. */
   def statsAsofJoinPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    def bad(): Nothing = throw new IllegalArgumentException(
-      "stats_asof_join expects ('left', 'right', 'key', 'leftTs', " +
-        "'rightTs', 'tieBreak'[, 'direction'][, toleranceMs]) literals")
-    val (strArgs, tolerance) = args.lastOption match {
-      case Some(Literal(n: Number, _)) => (args.dropRight(1), Some(n.longValue()))
-      case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
-        (args.dropRight(1), Some(d.toLong))
-      case _ => (args, None)
-    }
-    if (strArgs.length != 6 && strArgs.length != 7) bad()
-    val strs = strArgs.map {
-      case Literal(s, _: StringType) if s != null => s.toString
-      case _ => bad()
-    }
-    val Seq(lN, rN, key, lts, rts, tie) = strs.take(6)
-    val direction = strs.lift(6).getOrElse("backward")
+    val (strs, direction, tolerance) = parseAsOfArgs("stats_asof_join", args)
+    val Seq(lN, rN, key, lts, rts, tie) = strs
     def resolve(n: String): String = lookup(spark, n).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"stats_asof_join: '$n' is not a registered graft table — the " +

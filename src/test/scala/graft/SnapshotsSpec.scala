@@ -789,6 +789,38 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Snapshots.entriesAll(table).forall(_.props.contains("ref.qtl.v")),
       "the re-cluster must re-derive the quantile sidecars too")
     assert(Analyze.histogramFromSketches(table, "v", 4).size == 4)
+    // DROPPED sketched columns must not crash later writes: old
+    // entries keep their ref props, fresh files no longer carry the
+    // column (r16 second review find)
+    Snapshots.dropColumn(spark, table, "k")
+    Snapshots.commitAll(table, Snapshots.restageLike(spark,
+      (0 until 5).map(i => (s"e$i", i.toDouble)).toDF("day", "v")
+        .select(lit("a").as("day"), col("v")),
+      table, "day"))
+    Snapshots.compact(spark, table, "day", zorderBy = Seq("v"))
+    assert(Analyze.histogramFromSketches(table, "v", 4).size == 4,
+      "the surviving column's fold must still run after a dropColumn")
+  }
+
+  test("all-NULL sketched column: empty sketch recorded, folds stay alive") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    // r16 second review find: a rewritten file whose sketched column
+    // reads all-NULL (e.g. pre-evolution rows repacked) used to get NO
+    // hll ref — the next zero-scan fold threw forever; it now records
+    // an explicit EMPTY sketch (zero distinct values, exactly right)
+    val table = tmp("snap-hll-allnull")
+    val rows = (0 until 40).map(i =>
+      (Option.empty[java.lang.Long], "a", i.toDouble))
+      .toDF("k", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withHll(
+      Snapshots.stageWithStats(rows, table, "day", "v", buckets = 2),
+      table, "k", spark))
+    assert(Snapshots.entriesAll(table).forall(_.props.contains("ref.hll.k")),
+      "even an all-NULL file must carry its sketch ref")
+    val (n, stats) = Analyze.analyzeFromSketches(spark, table, Seq("k"))
+    assert(n == 40L && stats.head._2 == 0L && stats.head._3 == 40L,
+      s"all-NULL column: ndv 0, nulls 40 — got $stats")
   }
 
   test("auto analyze keeps the histogram family fresh from sidecars") {
