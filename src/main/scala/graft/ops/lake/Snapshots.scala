@@ -2131,9 +2131,12 @@ object Snapshots {
     * type `hll_sketch_agg` cannot hash natively (anything beyond
     * int/long/string/binary) sketch their STRING rendering — injective
     * per distinct value, so the estimate still describes the column's
-    * own NDV. A file whose column is entirely NULL yields no sketch
-    * row and no prop — [[Analyze.analyzeFromSketches]] then refuses
-    * loudly rather than under-counting silently. */
+    * own NDV. A file whose column is entirely NULL records an
+    * explicit EMPTY sketch line (r16 — zero distinct values,
+    * contributing nothing to the union), so maintenance rewrites of
+    * pre-evolution files can never strand the fold; only a MISSING
+    * reference (unsketched table) makes
+    * [[Analyze.analyzeFromSketches]] refuse loudly. */
   def withHll(staged: Seq[Entry], table: String, hllCol: String,
               spark: SparkSession, lgK: Int = 12,
               chunkFiles: Int = 4096): Seq[Entry] = {
@@ -2219,10 +2222,13 @@ object Snapshots {
     })
   }
 
-  /** The serialized HLL sketches of `entries` for physical column
-    * `pcol`, one per entry — loudly incomplete-safe: an entry without
-    * a sketch (pre-HLL commit, all-NULL file) throws rather than
-    * letting a fold silently under-count. */
+  /** The serialized NON-EMPTY HLL sketches of `entries` for physical
+    * column `pcol` — loudly incomplete-safe: an entry without a
+    * sidecar reference or line (pre-HLL commit) throws rather than
+    * letting a fold silently under-count; an entry whose recorded
+    * sketch is EMPTY (all-NULL file, r16) legitimately contributes
+    * nothing and is dropped, so the result can be SHORTER than
+    * `entries` — never zip it against them. */
   private[graft] def hllSketches(table: String, entries: Seq[Entry],
                                  pcol: String): Seq[Array[Byte]] =
     // an EMPTY recorded sketch (all-NULL file) legitimately contributes
@@ -3227,16 +3233,42 @@ object Snapshots {
     val topkCols = cols(TopKRefPrefix)
     val qtlCols = cols(QtlRefPrefix)
     if (hllCols.isEmpty && topkCols.isEmpty && qtlCols.isEmpty) return es
-    // ONE persisted read per chunk serves EVERY family and column (the
-    // withKeyStats discipline — r16 review find: per-family-per-column
-    // passes re-scanned each restage several times over)
+    // recover each column's ORIGINAL sketch parameters from the live
+    // sidecars (r16 third review pass: rebuilding at the defaults
+    // silently and permanently degraded tables sketched at higher
+    // precision). q is exact — every non-empty quantile line carries
+    // exactly q boundaries; top-k recovers as the LONGEST recorded
+    // list (exact whenever any file saturated the budget; shorter
+    // lists were complete and lose nothing at the recovered k); hll's
+    // lgK reads from the DataSketches preamble (byte 3 of any
+    // non-empty serialized sketch). Unrecoverable (all-empty, damaged)
+    // falls back to the staging defaults.
+    val old = entriesAll(table)
+    def recover(body: => Option[Int], lo: Int, hi: Int, dflt: Int): Int =
+      scala.util.Try(body).toOption.flatten
+        .map(v => math.min(hi, math.max(lo, v))).getOrElse(dflt)
+    val lgKOf = hllCols.map(c => c -> recover(
+      hllSketches(table, old, c).headOption.map(_(3).toInt), 4, 21, 12)).toMap
+    val kOf = topkCols.map(c => c -> recover(
+      topKCounts(table, old, c).map(_.size).maxOption.filter(_ >= 1),
+      16, 256, 16)).toMap
+    val qOf = qtlCols.map(c => c -> recover(
+      quantileSummaries(table, old, c).flatten.headOption.map(_._3.size),
+      2, 256, 32)).toMap
+    // ONE persisted read per chunk serves the hll/top-k/quantile
+    // families together (the withKeyStats discipline — r16 review
+    // find: per-family-per-column passes re-scanned each restage
+    // several times over). Bloom sketches still pay their own
+    // per-column pass in the callers (withBloom's probe-hash
+    // normalization reads differently); folding it in is the remaining
+    // restage-IO headroom.
     es.grouped(4096).flatMap { chunk =>
       val data = withFid(spark, table, chunk).persist()
       try {
         val attach: Seq[Entry => Map[String, String]] =
-          hllCols.map(c => hllChunkProps(table, c, 12, chunk, data)) ++
-            topkCols.map(c => topKChunkProps(table, c, 16, chunk, data)) ++
-            qtlCols.map(c => quantileChunkProps(table, c, 32, chunk, data))
+          hllCols.map(c => hllChunkProps(table, c, lgKOf(c), chunk, data)) ++
+            topkCols.map(c => topKChunkProps(table, c, kOf(c), chunk, data)) ++
+            qtlCols.map(c => quantileChunkProps(table, c, qOf(c), chunk, data))
         chunk.map(e => e.copy(props = e.props ++
           attach.flatMap(_(e)).toMap))
       } finally { data.unpersist(); () }

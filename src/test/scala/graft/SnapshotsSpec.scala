@@ -802,6 +802,39 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       "the surviving column's fold must still run after a dropColumn")
   }
 
+  test("maintenance rewrites keep the original sketch precision") {
+    import spark.implicits._
+    // r16 third review pass: rewrites re-derived sidecars at the
+    // staging DEFAULTS (lgK=12/k=16/q=32), silently and permanently
+    // halving the precision of tables sketched with bigger budgets;
+    // the parameters now recover from the live sidecars themselves
+    val table = tmp("snap-sketch-prec")
+    val rows = (0 until 200).map(i => ((i % 100).toLong, "a", i.toDouble))
+      .toDF("k", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.withTopK(
+        Snapshots.withHll(
+          // buckets = 1: each file holds all 100 distinct keys, so the
+          // k = 64 budget genuinely saturates and the recovered k is
+          // observable as the list length
+          Snapshots.stageWithStats(rows, table, "day", "k", buckets = 1),
+          table, "k", spark, lgK = 14),
+        table, "k", spark, k = 64),
+      table, "v", spark, q = 64))
+    // a second wave + bin-pack forces the rewrite path twice
+    // (restageLike inside the commit, then compact)
+    Snapshots.commitAll(table, Snapshots.restageLike(spark, rows, table, "day"))
+    Snapshots.compact(spark, table, "day")
+    val es = Snapshots.entriesAll(table)
+    assert(Snapshots.topKCounts(table, es, "k").forall(_.size == 64),
+      "the 100-distinct-key files must keep their k=64 lists")
+    assert(Snapshots.quantileSummaries(table, es, "v").flatten
+      .forall(_._3.size == 64),
+      "quantile summaries must keep their q=64 boundaries")
+    assert(Snapshots.hllSketches(table, es, "k").forall(_(3) == 14.toByte),
+      "hll sketches must keep their lgK=14 preamble")
+  }
+
   test("all-NULL sketched column: empty sketch recorded, folds stay alive") {
     import graft.ops.lake.Analyze
     import spark.implicits._
