@@ -1433,6 +1433,18 @@ object Snapshots {
       s"z-order supports 1..4 stats columns, got ${statsCols0.size}")
     val tagCol = stageResolved(df, table, tagCol0)
     val statsCols = statsCols0.map(stageResolved(df, table, _))
+    // the Morton buckets come from a DOUBLE cast: a string column
+    // would cast to NULL → bucket 0 everywhere — a silently
+    // UNCLUSTERED layout that still reads as "z-ordered" (r16 review
+    // chain); refuse loudly instead, like the histogram family
+    statsCols.foreach { c =>
+      val dt = df.schema.fields.find(_.name == c).map(_.dataType).get
+      import org.apache.spark.sql.types._
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType,
+        s"stageZOrdered($table): column '$c' has type ${dt.sql} — " +
+          "z-order buckets need a numeric/date/timestamp column")
+    }
     val nc = statsCols.size
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"__mn_$c"),

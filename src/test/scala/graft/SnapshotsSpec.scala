@@ -802,6 +802,18 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       "the surviving column's fold must still run after a dropColumn")
   }
 
+  test("z-order refuses non-numeric clustered columns loudly") {
+    import spark.implicits._
+    // the Morton bucket comes from a double cast: a string column
+    // would silently bucket everything to 0 — a layout that reads as
+    // z-ordered but prunes nothing (r16)
+    val df = Seq((1L, "a", "x")).toDF("id", "day", "s")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.stageZOrdered(df, tmp("snap-zstr"), "day", Seq("s"))
+    }
+    assert(e.getMessage.contains("numeric/date/timestamp"), e.getMessage)
+  }
+
   test("maintenance rewrites keep the original sketch precision") {
     import spark.implicits._
     // r16 third review pass: rewrites re-derived sidecars at the
