@@ -338,8 +338,9 @@ object Joins {
   /** As-of join between LAKE tables with the rewrite CHOSEN FROM
     * RECORDED STATS (r16 — [[asOfBy]] wired into the
     * [[graft.ops.gold.Skew.strategyByStats]] door): when the right
-    * table's recorded row count fits the broadcast budget (and the
-    * stats are fresh), [[asOfBroadcast]] answers with ZERO exchange on
+    * table's recorded row count AND manifest byte footprint fit the
+    * broadcast budgets (and the stats are fresh), [[asOfBroadcast]]
+    * answers with ZERO exchange on
     * the left; otherwise, or when stats are absent/stale, the
     * merged-stream [[asOfBy]] pays its one keyed exchange. The result
     * is identical either way — only the shuffle shape changes, the
@@ -349,6 +350,7 @@ object Joins {
                 tieBreak: String, toleranceMs: Option[Long] = None,
                 direction: String = "backward",
                 broadcastMaxRows: Long = 1000000L,
+                broadcastMaxBytes: Long = 256L << 20,
                 maxStaleVersions: Long = 64): DataFrame = {
     import graft.ops.lake.{Analyze, Mutations, Snapshots}
     // 'k1,k2' = composite match key, the asof_join TVF spelling (','
@@ -365,7 +367,14 @@ object Joins {
     val sortable = right.schema.fields
       .filterNot(f => keys.exists(_.equalsIgnoreCase(f.name)))
       .forall(f => orderable(f.dataType))
-    if (sortable && fresh &&
+    // the row budget alone is blind to WIDTH: a 1M-row right side of
+    // wide text payloads is a multi-GB broadcast (executor OOM at the
+    // exact scale this door exists for). The manifest's file sizes
+    // bound the compressed footprint — one driver-side stat sweep,
+    // manifest-scale, the GraftFileIndex sizeInBytes discipline.
+    val dimBytes = Snapshots.entriesAll(rightTable)
+      .map(e => new java.io.File(rightTable, e.rel).length()).sum
+    if (sortable && fresh && dimBytes <= broadcastMaxBytes &&
         Analyze.rowsOf(rightTable).exists(_ <= broadcastMaxRows))
       asOfBroadcast(left, right, keys, leftTs, rightTs, tieBreak,
         toleranceMs, direction)

@@ -320,6 +320,11 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     val tight = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid",
       broadcastMaxRows = 1L)
     assert(bhjCount(tight) == 0, "rows over budget must fall back")
+    // and so does a byte footprint over budget — the row count alone
+    // is blind to payload width (r16)
+    val fat = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid",
+      broadcastMaxBytes = 1L)
+    assert(bhjCount(fat) == 0, "bytes over budget must fall back")
   }
 
   test("stats_asof_join TVF answers like statsAsOf; loud on non-lake names") {
