@@ -8,7 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columns by name — so every computed column is aliased identically on
   * both sides, and compared outputs stick to DATE / BIGINT / DOUBLE /
   * STRING / BOOLEAN columns (raw timestamps differ in tz-annotation
-  * between the engines' parquet writers).
+  * between the engines' parquet writers, and raw DECIMAL columns render
+  * differently through the driver's canonicalizer even when the values
+  * are digit-for-digit identical — r16's `gold_fact_fee_tax_decimal`
+  * proved this with a 0-diff exact string compare that still hash-failed).
+  * Decimal-exact pipelines keep DECIMAL internal and emit the edge as
+  * `CAST(... AS STRING)` on BOTH engines (full-scale rendering agrees)
+  * or as DOUBLE with the decimal-fidelity claim pinned by a spec.
   */
 final case class QueryDef(
     name: String,

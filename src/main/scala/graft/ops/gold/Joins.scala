@@ -369,11 +369,12 @@ object Joins {
       .forall(f => orderable(f.dataType))
     // the row budget alone is blind to WIDTH: a 1M-row right side of
     // wide text payloads is a multi-GB broadcast (executor OOM at the
-    // exact scale this door exists for). The manifest's file sizes
-    // bound the compressed footprint — one driver-side stat sweep,
-    // manifest-scale, the GraftFileIndex sizeInBytes discipline.
-    val dimBytes = Snapshots.entriesAll(rightTable)
-      .map(e => new java.io.File(rightTable, e.rel).length()).sum
+    // exact scale this door exists for). The manifest's RECORDED file
+    // sizes bound the compressed footprint — a pure driver-side log
+    // fold, no per-file stat (r17: sizes ride the manifest as `sz`
+    // props; a per-entry stat() here was one HEAD request per file per
+    // election on object storage).
+    val dimBytes = Snapshots.bytesAll(rightTable)
     if (sortable && fresh && dimBytes <= broadcastMaxBytes &&
         Analyze.rowsOf(rightTable).exists(_ <= broadcastMaxRows))
       asOfBroadcast(left, right, keys, leftTs, rightTs, tieBreak,

@@ -89,7 +89,14 @@ object Revenue {
     * fractional digits, the bps rates ≤4 significant fractional
     * digits, so every product has ≤10), making the downscale exact on
     * both engines. A rate table with >4 fractional digits would need
-    * scale ≥ 6+that; widen `out` before widening the rates. */
+    * scale ≥ 6+that; widen `out` before widening the rates.
+    *
+    * Edge rendering (r17): the money columns leave as STRING, not raw
+    * DECIMAL — the driver's canonicalizer renders Spark-parquet and
+    * DuckDB decimals differently even when every digit agrees (r16 red
+    * row; see QueryDef scaladoc). Full-scale decimal→string rendering
+    * agrees on both engines, so the scale-10 fidelity stays visible in
+    * the compared output. */
   def factFeeTaxDecimal(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val out = DecimalType(38, 10)
@@ -99,9 +106,9 @@ object Revenue {
         col("event_date"),
         col("symbol"),
         coalesce(col("region"), lit("EU")).as("region"),
-        col("tn_dec").cast(out).as("traded_notional_dec"),
-        (col("tn_dec") * coalesce(col("fee_rate"), j.zeroRate)).cast(out).as("fee_revenue_dec"),
-        (col("tn_dec") * coalesce(col("tax_rate"), j.zeroRate)).cast(out).as("tax_collected_dec"))
+        col("tn_dec").cast(out).cast("string").as("traded_notional_dec"),
+        (col("tn_dec") * coalesce(col("fee_rate"), j.zeroRate)).cast(out).cast("string").as("fee_revenue_dec"),
+        (col("tn_dec") * coalesce(col("tax_rate"), j.zeroRate)).cast(out).cast("string").as("tax_collected_dec"))
       .orderBy("event_date", "symbol")
   }
 
@@ -147,9 +154,9 @@ object Revenue {
       |)
       |SELECT a.event_date, a.symbol,
       |       COALESCE(r.region, 'EU') AS region,
-      |       CAST(a.tn_dec AS DECIMAL(38,10)) AS traded_notional_dec,
-      |       CAST(a.tn_dec * COALESCE(r.fee_rate, CAST(0.0 AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS fee_revenue_dec,
-      |       CAST(a.tn_dec * COALESCE(r.tax_rate, CAST(0.0 AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS tax_collected_dec
+      |       CAST(CAST(a.tn_dec AS DECIMAL(38,10)) AS VARCHAR) AS traded_notional_dec,
+      |       CAST(CAST(a.tn_dec * COALESCE(r.fee_rate, CAST(0.0 AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS fee_revenue_dec,
+      |       CAST(CAST(a.tn_dec * COALESCE(r.tax_rate, CAST(0.0 AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS tax_collected_dec
       |FROM agg a LEFT JOIN rules r USING (symbol)
       |ORDER BY a.event_date, a.symbol""".stripMargin
 

@@ -596,12 +596,28 @@ object Snapshots {
   }
 
   /** Write an IMMUTABLE manifest for `lines`; returns its fresh name.
-    * Invisible to readers until a snapshot file lists it. */
+    * Invisible to readers until a snapshot file lists it. Every entry
+    * missing [[SizeProp]] gets it stamped here — this is the single
+    * choke point all commit paths (stage, rewrite, manifest compaction)
+    * flow through, so one write-time `stat()` per file per LIFETIME buys
+    * zero-IO byte budgets for every later query; legacy entries backfill
+    * on their next rewrite. A file absent at write time (never the case
+    * on the committed paths — data lands before the log) stays
+    * unstamped rather than recording a lying 0. */
   private def writeManifest(table: String, lines: Seq[Entry]): String = {
     logDir(table).mkdirs()
+    val stamped = lines.map { e =>
+      if (e.props.contains(SizeProp)) e
+      else {
+        val f = new File(table, e.rel)
+        val len = f.length()
+        if (len > 0L || f.isFile) e.copy(props = e.props + (SizeProp -> len.toString))
+        else e
+      }
+    }
     val name = s"mf-${java.util.UUID.randomUUID}.txt"
     writeDurable(new File(logDir(table), name),
-      lines.map(renderEntry).mkString("\n").getBytes(UTF_8))
+      stamped.map(renderEntry).mkString("\n").getBytes(UTF_8))
     name
   }
 
@@ -627,6 +643,21 @@ object Snapshots {
   /** The live snapshot's `(relpath, tag)` entries (empty ⇒ no commit yet). */
   def entries(table: String): Seq[(String, String)] =
     entriesAll(table).map(e => (e.rel, e.tag))
+
+  /** Byte size of one entry's data file — from the manifest's
+    * [[SizeProp]] when recorded (every post-r17 manifest write), a
+    * single `stat()` fallback for legacy entries awaiting their
+    * rewrite-time backfill. */
+  def entryBytes(table: String, e: Entry): Long =
+    e.props.get(SizeProp).map(_.toLong)
+      .getOrElse(new File(table, e.rel).length())
+
+  /** The live snapshot's total data bytes — a pure manifest fold (zero
+    * filesystem IO once every entry carries [[SizeProp]]). The byte
+    * budget behind [[graft.ops.gold.Joins.statsAsOf]]'s broadcast
+    * election and `DESCRIBE DETAIL`'s size_bytes. */
+  def bytesAll(table: String): Long =
+    entriesAll(table).map(entryBytes(table, _)).sum
 
   // ---- logical schema: rename / drop without rewriting files ----------
   //
@@ -1613,6 +1644,18 @@ object Snapshots {
     * count per call (the r10 verdict's remaining scale note): at 10⁶
     * files a table-stats question becomes a driver fold over props. */
   private[graft] val RowsProp = "rows"
+
+  /** Entry property: the file's byte SIZE, stamped once at manifest-write
+    * time ([[writeManifest]] — data files are immutable, so the size never
+    * drifts). This is what lets every byte-budget question (the
+    * [[graft.ops.gold.Joins.statsAsOf]] broadcast election,
+    * `DESCRIBE DETAIL`'s size_bytes, CBO's `GraftFileIndex.sizeInBytes`)
+    * fold from the MANIFEST instead of one `stat()` per file per query —
+    * a HEAD request per file on the object storage this engine targets
+    * (r16 verdict #2). Legacy entries lacking it backfill lazily: the
+    * next manifest rewrite stamps them, and [[entryBytes]] falls back to
+    * a stat until then. */
+  private[graft] val SizeProp = "sz"
 
   /** Entry property: the CARDINALITY of the file's current (folded)
     * deletion vector — written alongside [[DvRefProp]] by deleteWhere,
@@ -3391,7 +3434,7 @@ object Snapshots {
       // is a file id, not a partition value, so only a restage derives
       // the real tags and drops the marker. DV-bearing files always
       // rewrite too (their reads pay an anti-join until materialized).
-      val size = scoped.map(e => e.rel -> new File(table, e.rel).length()).toMap
+      val size = scoped.map(e => e.rel -> entryBytes(table, e)).toMap
       val packableTags = scoped.groupBy(_.tag)
         .filter(_._2.count(e => size(e.rel) < targetFileBytes) > 1).keySet
       val rels = scoped.collect {

@@ -795,8 +795,10 @@ object LakeStatements {
               "num_dv_files" -> LongType, "size_bytes" -> LongType,
               "num_rows" -> LongType, "constraints" -> StringType), s => {
               val es = Snapshots.entriesAt(path, Snapshots.currentVersion(path))
-              val bytes = es.map(e =>
-                new java.io.File(path, e.rel).length()).sum
+              // size_bytes folds the manifest's per-entry `sz` props
+              // (stat fallback only for pre-r17 entries) — same
+              // zero-IO discipline as num_rows below
+              val bytes = es.map(Snapshots.entryBytes(path, _)).sum
               val cons = graft.ops.lake.Constraints.active(path).toSeq.sorted
                 .map { case (n, c) => s"$n: $c" }.mkString("; ")
               val metaRows: Option[Long] =

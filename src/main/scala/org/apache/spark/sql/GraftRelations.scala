@@ -33,9 +33,10 @@ import org.apache.spark.sql.types.StructType
   * LISTING ever happens (the log IS the listing). Per-file `FileStatus`
   * construction (one fs stat each — a HEAD per file on object storage)
   * happens ONLY for entries that SURVIVE pruning, at listFiles time;
-  * the total-size sweep behind `sizeInBytes` is lazy and amortized by
-  * the per-(table, version) index cache, so repeated queries against
-  * the same snapshot re-stat nothing.
+  * `sizeInBytes` folds the manifest's recorded per-entry sizes (`sz`
+  * props, r17) — zero filesystem IO — with a lazy stat fallback only
+  * for legacy entries, amortized by the per-(table, version) index
+  * cache.
   */
 class GraftFileIndex(
     table: String,
@@ -82,9 +83,11 @@ class GraftFileIndex(
 
   override def refresh(): Unit = statusCache.clear()
 
-  // CBO asks for this while planning; one full stat sweep per cached
-  // index instance, i.e. per (table, version) — not per query
-  override lazy val sizeInBytes: Long = entries.map(status(_).getLen).sum
+  // CBO asks for this while planning; folds the manifest's recorded
+  // per-entry sizes (r17 `sz` props) — zero filesystem IO; a stat-backed
+  // FileStatus fills in only for legacy entries missing the prop
+  override lazy val sizeInBytes: Long =
+    entries.map(e => Snapshots.entryBytes(table, e)).sum
 }
 
 object GraftRelations {

@@ -2040,4 +2040,30 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT count(*) AS n FROM bloomint WHERE id = 123")
       .collect().head.getLong(0) == 1L)
   }
+
+  test("manifest records file sizes; byte budgets fold with ZERO filesystem IO") {
+    val table = tmp("snap-sz")
+    Snapshots.commit(table,
+      Snapshots.stage(df((1, "a", 10L), (2, "b", 20L), (3, "b", 30L)), table, "day"))
+    val es = Snapshots.entriesAll(table)
+    assert(es.nonEmpty)
+    // every committed entry carries the size prop, and it is truthful
+    es.foreach { e =>
+      val real = new java.io.File(table, e.rel).length()
+      assert(e.props.get(Snapshots.SizeProp).contains(real.toString),
+        s"${e.rel}: sz prop ${e.props.get(Snapshots.SizeProp)} != stat $real")
+    }
+    val expected = es.map(e => new java.io.File(table, e.rel).length()).sum
+    assert(Snapshots.bytesAll(table) == expected)
+    // the zero-IO proof: DELETE every data file (the log survives) —
+    // the fold must still answer from the manifest alone. On object
+    // storage this is the difference between one log read and one HEAD
+    // per file per broadcast election (r16 verdict #2).
+    es.foreach(e => assert(new java.io.File(table, e.rel).delete()))
+    assert(Snapshots.bytesAll(table) == expected,
+      "bytesAll touched the filesystem — the byte budget must be a manifest fold")
+    // legacy entries (pre-r17 manifests, no sz prop) fall back to a stat
+    assert(Snapshots.entryBytes(table,
+      Snapshots.Entry("no-such-file.parquet", "a")) == 0L)
+  }
 }
