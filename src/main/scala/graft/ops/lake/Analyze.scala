@@ -39,8 +39,11 @@ object Analyze {
   private def ndvKey(phys: String) = s"tbl.stat.ndv.$phys"
   private def nullsKey(phys: String) = s"tbl.stat.nulls.$phys"
 
-  /** The version stamp a stats family records as "the version these
-    * stats describe": the refresh's OWN props-only commit when nothing
+  /** Commit `props` plus a freshness stamp under each of `vKeys` —
+    * ATOMICALLY truthful about which version the stamp names.
+    *
+    * The stamp a stats family records as "the version these stats
+    * describe" is the refresh's OWN props-only commit when nothing
     * intervened, the SCANNED version otherwise. Stamping the
     * pre-commit version unconditionally (r15) left every stamp lagging
     * the live version by the refresh commit itself, so a small
@@ -48,14 +51,32 @@ object Analyze {
     * commit forever (r15 advisor — the stale-by-construction
     * treadmill); the props-only commit republishes the folded rows
     * byte-identically, so stats that describe v describe v+1 exactly
-    * as well — but ONLY while v is still the live version. A long
-    * ANALYZE scan racing concurrent data commits must keep the
-    * truthful scanned version and surface as stale (r16 review find:
-    * blindly claiming currentVersion+1 would let strategyByStats read
-    * pre-append row counts as fresh). */
-  private def refreshStamp(table: String, scanned: Long): String = {
-    val cur = Snapshots.currentVersion(table)
-    (if (cur == scanned) cur + 1 else scanned).toString
+    * as well — but ONLY while v is still the live version.
+    *
+    * Atomicity (r16 advisor find): the old check-then-commit
+    * (`refreshStamp` reads currentVersion, then commitProps re-reads
+    * it) let a concurrent data commit slip between the two — the props
+    * commit landed at cur+2 while the stamp named cur+1, a data commit
+    * the stats never described. The claim is now a CAS:
+    * [[Snapshots.commitPropsAt]] publishes EXACTLY cur+1 or throws,
+    * and on conflict the loop re-reads — at which point cur != scanned
+    * and the stamp falls back to the truthful scanned version (the
+    * stats surface as stale, the safe direction; strategyByStats must
+    * never read pre-append row counts as fresh). */
+  private def commitStamped(table: String, scanned: Long,
+      vKeys: Seq[String], props: Map[String, String]): Long = {
+    var backoffMs = 1L
+    while (true) {
+      val cur = Snapshots.currentVersion(table)
+      val stamp = (if (cur == scanned) cur + 1 else scanned).toString
+      try return Snapshots.commitPropsAt(table, cur,
+        props ++ vKeys.map(_ -> stamp))
+      catch {
+        case _: Snapshots.ConcurrentCommitException =>
+          Thread.sleep(backoffMs); backoffMs = math.min(64L, backoffMs * 2)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Compute and record stats for `columns` (empty = every column) of
@@ -89,12 +110,12 @@ object Analyze {
       (c, row.getLong(1 + 2 * i),
         if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
     }
-    val props = Map(VProp -> refreshStamp(table, v), RowsProp -> rows.toString) ++
+    val props = Map(RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
       }
-    Snapshots.commitProps(table, props)
+    commitStamped(table, v, Seq(VProp), props)
     (rows, stats)
   }
 
@@ -131,12 +152,12 @@ object Analyze {
       (c, row.getLong(1 + 2 * i),
         if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i))
     }
-    val props = Map(VProp -> refreshStamp(table, v), RowsProp -> rows.toString) ++
+    val props = Map(RowsProp -> rows.toString) ++
       stats.flatMap { case (c, ndv, nulls) =>
         val p = Snapshots.physicalName(table, c)
         Seq(ndvKey(p) -> ndv.toString, nullsKey(p) -> nulls.toString)
       }
-    Snapshots.commitProps(table, props)
+    commitStamped(table, v, Seq(VProp), props)
     (rows, stats)
   }
 
@@ -163,7 +184,7 @@ object Analyze {
                           columns: Seq[String]): (Long, Seq[(String, Long, Long)]) = {
     val scanned = Snapshots.currentVersion(table)
     val (rows, stats, props) = ndvFoldFromSketches(spark, table, columns)
-    Snapshots.commitProps(table, props + (VProp -> refreshStamp(table, scanned)))
+    commitStamped(table, scanned, Seq(VProp), props)
     (rows, stats)
   }
 
@@ -354,11 +375,24 @@ object Analyze {
       // stays: a failed fold just contributes nothing to the commit.
       val acc = scala.collection.mutable.Map.empty[String, String]
       val stampKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+      // each family refreshes at the RECORDED resolution — folding at
+      // the defaults silently reset a user's chosen k/buckets on the
+      // first auto refresh (r16 advisor find; the same precision rule
+      // withSketchesLike applies to rewrite-time sidecars). The
+      // recorded value's LENGTH is the resolution: the histogram
+      // records exactly `buckets` boundaries, the frequency list
+      // exactly k entries (fewer only when the column is
+      // distinct-limited, where the smaller k loses nothing).
+      // Nothing recorded yet → the staging defaults bootstrap.
+      def recordedLen(key: String, lo: Int, dflt: Int): Int =
+        props.get(key).map(_.split(",").count(_.nonEmpty))
+          .filter(_ >= lo).map(math.min(256, _)).getOrElse(dflt)
       // frequencies first: a pure driver-side sidecar fold, no session
       // needed
       freqDue.foreach { c =>
         try {
-          val (_, p, vk) = freqFoldFromSketches(table, c, k = 16)
+          val (_, p, vk) = freqFoldFromSketches(table, c,
+            k = recordedLen(freqKey(physOf(c)), 1, 16))
           acc ++= p; stampKeys += vk
         }
         catch { case scala.util.control.NonFatal(e) => warn(s"freq($c)", e) }
@@ -366,7 +400,8 @@ object Analyze {
       // histograms fold driver-side too (r16 — the quantile sidecars)
       histDue.foreach { c =>
         try {
-          val (_, p, vk) = histFoldFromSketches(table, c, buckets = 32)
+          val (_, p, vk) = histFoldFromSketches(table, c,
+            buckets = recordedLen(histKey(physOf(c)), 2, 32))
           acc ++= p; stampKeys += vk
         }
         catch { case scala.util.control.NonFatal(e) => warn(s"hist($c)", e) }
@@ -387,9 +422,7 @@ object Analyze {
       if (stampKeys.nonEmpty) {
         // each family stamps THIS commit's own version: the distance a
         // later commit computes then excludes the refresh itself
-        val stamp = refreshStamp(table, committed)
-        try Snapshots.commitProps(table,
-          acc.toMap ++ stampKeys.map(_ -> stamp))
+        try commitStamped(table, committed, stampKeys.toSeq, acc.toMap)
         catch { case scala.util.control.NonFatal(e) => warn("commit", e) }
       }
     } finally refreshing.set(false)
@@ -482,10 +515,9 @@ object Analyze {
     // own version key rather than overwriting `tbl.stat.v` — reusing
     // the shared marker silently over-reported the freshness of the
     // NDV/null stats an earlier analyze() recorded (r12 advisor find)
-    Snapshots.commitProps(table, Map(
+    commitStamped(table, scanned, Seq(histVKey(phys)), Map(
       histKey(phys) -> bounds.mkString(","),
-      histMinKey(phys) -> got(0L).toString,
-      histVKey(phys) -> refreshStamp(table, scanned)))
+      histMinKey(phys) -> got(0L).toString))
     bounds
   }
 
@@ -550,10 +582,9 @@ object Analyze {
     val gmin = row.getDouble(0)
     val bounds = row.getSeq[Double](1)
     val phys = Snapshots.physicalName(table, name)
-    Snapshots.commitProps(table, Map(
+    commitStamped(table, scanned, Seq(histVKey(phys)), Map(
       histKey(phys) -> bounds.mkString(","),
-      histMinKey(phys) -> gmin.toString,
-      histVKey(phys) -> refreshStamp(table, scanned)))
+      histMinKey(phys) -> gmin.toString))
     bounds
   }
 
@@ -597,7 +628,7 @@ object Analyze {
                             buckets: Int = 32): Seq[Double] = {
     val scanned = Snapshots.currentVersion(table)
     val (bounds, props, vk) = histFoldFromSketches(table, column, buckets)
-    Snapshots.commitProps(table, props + (vk -> refreshStamp(table, scanned)))
+    commitStamped(table, scanned, Seq(vk), props)
     bounds
   }
 
@@ -738,9 +769,8 @@ object Analyze {
     val phys = Snapshots.physicalName(table, f.name)
     val enc = top.map { case (kv, n) =>
       java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
-    Snapshots.commitProps(table, Map(
-      freqKey(phys) -> enc,
-      freqVKey(phys) -> refreshStamp(table, scanned)))
+    commitStamped(table, scanned, Seq(freqVKey(phys)), Map(
+      freqKey(phys) -> enc))
     top
   }
 
@@ -765,7 +795,7 @@ object Analyze {
                                k: Int = 16): Seq[(String, Long)] = {
     val scanned = Snapshots.currentVersion(table)
     val (top, props, vk) = freqFoldFromSketches(table, column, k)
-    Snapshots.commitProps(table, props + (vk -> refreshStamp(table, scanned)))
+    commitStamped(table, scanned, Seq(vk), props)
     top
   }
 

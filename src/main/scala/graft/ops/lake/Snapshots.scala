@@ -698,17 +698,32 @@ object Snapshots {
                   unset: Set[String] = Set.empty): Long = {
     val v = currentVersion(table)
     require(v >= 1, s"commitProps($table): no committed snapshot")
+    commitPropsAt(table, v, set, unset)
+  }
+
+  /** [[commitProps]] claiming EXACTLY version `base`+1 — the CAS form:
+    * when a concurrent commit has already taken the slot the exclusive
+    * snapshot-link publish throws [[ConcurrentCommitException]] instead
+    * of silently landing one version later. This is what lets a stats
+    * refresh stamp "these stats describe version base+1" truthfully:
+    * the stamp names its OWN commit only if that commit actually IS
+    * base+1 (r16 advisor find — the check-then-commit race let a racing
+    * data commit slip between the read and the publish, and the stamp
+    * then described a commit the stats had never seen). */
+  def commitPropsAt(table: String, base: Long, set: Map[String, String],
+                    unset: Set[String] = Set.empty): Long = {
+    require(base >= 1, s"commitPropsAt($table): no committed snapshot")
     // bookkeeping markers (mv./cdc.) ARE carried here, unlike data
     // commits: a props-only commit re-publishes the folded rows
     // byte-identically, so the applied-version markers stay true by
     // construction — stripping them instead would permanently wedge a
     // mirror behind an innocuous SET TBLPROPERTIES (the fromV=0
     // bootstrap guard reads a dropped marker as a broken chain)
-    val carried = snapshotProps(table, v)
+    val carried = snapshotProps(table, base)
       .filter { case (k, _) =>
         (InheritedPropPrefixes ++ BookkeepingPropPrefixes).exists(k.startsWith) }
     commitPrepared(
-      Prepared(table, v + 1, manifestList(table, v).map(_._1)),
+      Prepared(table, base + 1, manifestList(table, base).map(_._1)),
       props = (carried -- unset) ++ set, inherit = false)
   }
 
@@ -1464,28 +1479,39 @@ object Snapshots {
       s"z-order supports 1..4 stats columns, got ${statsCols0.size}")
     val tagCol = stageResolved(df, table, tagCol0)
     val statsCols = statsCols0.map(stageResolved(df, table, _))
-    // the Morton buckets come from a DOUBLE cast: a string column
-    // would cast to NULL → bucket 0 everywhere — a silently
+    // the Morton buckets come from a DOUBLE projection: a string
+    // column would cast to NULL → bucket 0 everywhere — a silently
     // UNCLUSTERED layout that still reads as "z-ordered" (r16 review
-    // chain); refuse loudly instead, like the histogram family
-    statsCols.foreach { c =>
+    // chain); refuse loudly instead, like the histogram family.
+    // DATE / TIMESTAMP(_NTZ) pass the guard but CANNOT `cast("double")`
+    // (analysis error — the r16 guard admitted them and then crashed
+    // two operators later); they project through their epoch integers
+    // instead (unix_date / unix_micros) — any monotone numeric
+    // projection yields the same clustering.
+    def numSpace(c: String): org.apache.spark.sql.Column = {
       val dt = df.schema.fields.find(_.name == c).map(_.dataType).get
       import org.apache.spark.sql.types._
-      require(dt.isInstanceOf[NumericType] || dt == DateType ||
-        dt == TimestampType || dt == TimestampNTZType,
-        s"stageZOrdered($table): column '$c' has type ${dt.sql} — " +
-          "z-order buckets need a numeric/date/timestamp column")
+      dt match {
+        case _: NumericType   => col(c).cast("double")
+        case DateType         => unix_date(col(c)).cast("double")
+        case TimestampType    => unix_micros(col(c)).cast("double")
+        case TimestampNTZType =>
+          unix_micros(col(c).cast(TimestampType)).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"stageZOrdered($table): column '$c' has type ${other.sql} — " +
+            "z-order buckets need a numeric/date/timestamp column")
+      }
     }
     val nc = statsCols.size
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__mn_$c"),
-      max(col(c)).cast("double").as(s"__mx_$c")))
+      min(numSpace(c)).as(s"__mn_$c"),
+      max(numSpace(c)).as(s"__mx_$c")))
     val bounds = broadcast(df.agg(aggs.head, aggs.tail: _*))
     val grid = (1L << ZBits) - 1
     def bucket(c: String): org.apache.spark.sql.Column = {
       val span = col(s"__mx_$c") - col(s"__mn_$c")
       when(span > 0.0, least(lit(grid), greatest(lit(0L),
-        floor((col(c).cast("double") - col(s"__mn_$c")) / span * (grid + 1))
+        floor((numSpace(c) - col(s"__mn_$c")) / span * (grid + 1))
           .cast("long")))).otherwise(lit(0L))
     }
     val z = (0 until ZBits).flatMap { b =>
@@ -3493,7 +3519,25 @@ object Snapshots {
   }
 
   /** Per-tag clustering-erosion verdicts from the manifest min/max
-    * props — the zero-IO evidence behind [[reclusterEroded]]. */
+    * props — the zero-IO evidence behind [[reclusterEroded]].
+    *
+    * CONVERGENCE (r17, advisor find): the raw per-column
+    * Σ widths / span ratio does NOT return to ~1 after a multi-column
+    * re-cluster — a fresh d-dimensional Morton layout tiles BOXES, so
+    * F files legitimately overlap each single column at ~F^((d-1)/d)
+    * (d=2, F=16 → each column's ratio ≈ 4 when the layout is perfect).
+    * Judging that against a flat `maxOverlap` re-clusters healthy tags
+    * on every run — the exact maintenance treadmill this operator
+    * exists to remove. The budget therefore scales by the FRESH
+    * expectation: a column reads eroded only when its ratio exceeds
+    * `maxOverlap × F^((d-1)/d)` (d=1 degenerates to the flat budget).
+    *
+    * Stats-less files: a file with no min/max for a clustered column
+    * is erosion ONLY when a rewrite can restore the bounds. An
+    * all-NULL column ([[footerStats]] records `nulls == rows`, no
+    * bounds — absence is legitimate) would read eroded forever, since
+    * no rewrite can mint stats for values that don't exist; such files
+    * are EXCLUDED from the metric instead. */
   private[graft] def erodedTags(table: String, zorderBy: Seq[String],
                                 maxOverlap: Double): Set[String] = {
     val phys = zorderBy.map(physicalName(table, _))
@@ -3508,22 +3552,34 @@ object Snapshots {
           s"'$c' — the erosion metric needs a numeric/date/timestamp " +
           "column with recorded stats; run compact(zorderBy) once first")
     }
+    // all-NULL for column c: a recorded null count equal to the file's
+    // recorded row count, and no bounds — the one absence a rewrite
+    // cannot heal
+    def allNull(e: Entry, c: String): Boolean =
+      (for { n <- e.props.get(s"nulls.$c"); r <- e.props.get(RowsProp) }
+        yield n == r && !e.props.contains(s"min.$c")).getOrElse(false)
     all.groupBy(_.tag).collect {
       case (tag, es) if es.size > 1 && phys.exists { c =>
-        val bounds = es.map { e =>
+        val considered = es.filterNot(allNull(_, c))
+        val bounds = considered.map { e =>
           for {
             mn <- e.props.get(s"min.$c").flatMap(_.toDoubleOption)
             mx <- e.props.get(s"max.$c").flatMap(_.toDoubleOption)
           } yield (mn, mx)
         }
-        // a file without stats for a clustered column is itself the
-        // erosion (nothing can prune it) — rewrite to restore them
+        // a file without stats for a clustered column (and not
+        // all-NULL) is itself the erosion (nothing can prune it) —
+        // rewrite to restore them
         if (bounds.exists(_.isEmpty)) true
+        else if (bounds.size < 2) false // 0/1 bounded files: nothing overlaps
         else {
           val bs = bounds.flatten
           val span = bs.map(_._2).max - bs.map(_._1).min
+          val d = phys.size
+          val freshRatio =
+            if (d <= 1) 1.0 else math.pow(bs.size.toDouble, (d - 1).toDouble / d)
           // zero span = a single value: nothing to cluster, fresh
-          span > 0 && bs.map(b => b._2 - b._1).sum / span > maxOverlap
+          span > 0 && bs.map(b => b._2 - b._1).sum / span > maxOverlap * freshRatio
         }
       } => tag
     }.toSet

@@ -896,6 +896,51 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(Analyze.histogramOf(table, "v").get.last > 1500.0)
   }
 
+  test("auto analyze refreshes at the RECORDED resolution, not the defaults") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("snap-auto-res")
+    def wave(lo: Int, day: String) =
+      (0 until 400).map(i => ((lo + i).toLong, day, (lo + i).toDouble))
+        .toDF("id", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withQuantiles(
+      Snapshots.stageWithStats(wave(0, "a"), table, "day", "id", buckets = 2),
+      table, "v", spark))
+    // the user records an 8-bucket histogram, then declares auto refresh
+    assert(Analyze.histogramFromSketches(table, "v", 8).size == 8)
+    Analyze.autoAnalyze(table, Seq.empty, maxStaleVersions = 1,
+      histColumns = Seq("v"))
+    (1 to 2).foreach { i =>
+      Snapshots.commitAll(table, Snapshots.withQuantiles(
+        Snapshots.restageLike(spark, wave(400 * i, s"d$i"), table, "day"),
+        table, "v", spark))
+    }
+    val h = Analyze.histogramOf(table, "v").get
+    assert(h.size == 8,
+      s"the auto refresh must keep the recorded 8-bucket resolution " +
+        s"(r16 advisor: folding at the default 32 silently reset it); got ${h.size}")
+    // and it did refresh: the top boundary reflects the newest wave
+    assert(h.last > 700.0, s"refresh must cover the drift: $h")
+  }
+
+  test("commitPropsAt is a CAS: a stale base loses loudly, never lands late") {
+    val table = tmp("snap-cas")
+    Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
+    val base = Snapshots.currentVersion(table)
+    // a concurrent data commit takes base+1
+    Snapshots.commit(table, Snapshots.stage(df((2, "b", 2L)), table, "day"))
+    // the stale claimant must THROW (the r16 advisor race: silently
+    // landing at cur+2 while stamping cur+1 described a data commit the
+    // stats never saw) — the caller re-reads and stamps truthfully
+    intercept[Snapshots.ConcurrentCommitException] {
+      Snapshots.commitPropsAt(table, base, Map("tbl.note" -> "stale"))
+    }
+    assert(Snapshots.currentVersion(table) == base + 1)
+    // the fresh claimant lands exactly at its claimed slot
+    val landed = Snapshots.commitPropsAt(table, base + 1, Map("tbl.note" -> "ok"))
+    assert(landed == base + 2)
+  }
+
   test("auto analyze: one refresh commit, stamped with itself — no treadmill") {
     import graft.ops.lake.Analyze
     import spark.implicits._
@@ -1298,6 +1343,85 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       Snapshots.reclusterEroded(spark, table, "day", Seq("day"))
     }
     assert(e.getMessage.contains("numeric min/max"), e.getMessage)
+  }
+
+  test("multi-column zorder converges: a fresh 2-D Morton layout is not eroded") {
+    import spark.implicits._
+    val table = tmp("snap-z2d")
+    // uniform 64x64 grid over two clustered columns — the shape where a
+    // FRESH Morton layout's files tile boxes, so each single column's
+    // sum-of-widths/span is legitimately ~F^(1/2), not ~1 (advisor
+    // find: a flat maxOverlap=2 budget re-clustered healthy 2-D tags
+    // on every run — the treadmill)
+    val rows = (0 until 4096).map(i => (i, "a", (i % 64).toLong, (i / 64).toLong))
+    Snapshots.commitAll(table, Snapshots.stageZOrdered(
+      rows.toDF("id", "day", "x", "y"), table, "day", Seq("x", "y"), buckets = 8))
+    val files = Snapshots.entriesAll(table).size
+    assert(files >= 4, s"fixture needs a multi-file tag, got $files")
+    assert(Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 2.0).isEmpty,
+      "a freshly 2-D-clustered tag must not read as eroded (treadmill)")
+    // erode with two unclustered full-range waves, detect, heal, converge
+    val wave = (0 until 512).map(i =>
+      (10000 + i, "a", ((i * 37) % 64).toLong, ((i * 53) % 64).toLong))
+    Snapshots.commitAll(table, Snapshots.withFooterStats(
+      Snapshots.stage(wave.toDF("id", "day", "x", "y"), table, "day"),
+      table, Seq("x", "y")))
+    Snapshots.commitAll(table, Snapshots.withFooterStats(
+      Snapshots.stage(wave.map(r => r.copy(_1 = r._1 + 10000))
+        .toDF("id", "day", "x", "y"), table, "day"),
+      table, Seq("x", "y")))
+    assert(Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 2.0) == Set("a"),
+      "full-span unclustered waves must read as erosion")
+    val (_, healed) = Snapshots.reclusterEroded(
+      spark, table, "day", Seq("x", "y"), maxOverlap = 2.0)
+    assert(healed == Set("a"))
+    assert(Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 2.0).isEmpty,
+      "the healed 2-D tag must not re-cluster again (no treadmill)")
+  }
+
+  test("zorder by a DATE column clusters through its epoch-day projection") {
+    import spark.implicits._
+    val table = tmp("snap-zdate")
+    // pre-r17 the type guard admitted DateType and the Morton math then
+    // crashed at analysis (DATE cannot cast to DOUBLE) — the projection
+    // now goes through unix_date (advisor find)
+    val rows = (0 until 256).map(i =>
+      (i, "a", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i * 37 % 256))))
+    Snapshots.commitAll(table, Snapshots.stageZOrdered(
+      rows.toDF("id", "day", "d"), table, "day", Seq("d"), buckets = 4))
+    val es = Snapshots.entriesAll(table)
+    assert(es.size > 1 && es.forall(_.props.contains("min.d")),
+      s"date z-order must record epoch-day bounds: $es")
+    // clustering is real: a narrow date band prunes files
+    val epoch = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    val kept = es.count(Snapshots.rangeOverlap("d", epoch, epoch + 32))
+    assert(kept < es.size, s"date clustering must prune: $kept of ${es.size}")
+    assert(Snapshots.read(spark, table).count() == 256)
+  }
+
+  test("an all-NULL clustered column does not read as eroded forever") {
+    import spark.implicits._
+    val table = tmp("snap-znull")
+    // tag "a": real stats; tag "n": v entirely NULL in BOTH files —
+    // footerStats records nulls==rows and no bounds, and no rewrite can
+    // ever mint bounds for values that don't exist (advisor find: the
+    // old metric flagged such tags eroded on every call)
+    val good = (1 to 64).map(i => (i, "a", Some(i.toLong)))
+    Snapshots.commitAll(table, Snapshots.stageWithStats(
+      good.toDF("id", "day", "v"), table, "day", "v", buckets = 2))
+    val nulls1 = (1 to 8).map(i => (100 + i, "n", None: Option[Long]))
+    val nulls2 = (1 to 8).map(i => (200 + i, "n", None: Option[Long]))
+    Snapshots.commitAll(table, Snapshots.withFooterStats(
+      Snapshots.stage(nulls1.toDF("id", "day", "v"), table, "day"), table, Seq("v")))
+    Snapshots.commitAll(table, Snapshots.withFooterStats(
+      Snapshots.stage(nulls2.toDF("id", "day", "v"), table, "day"), table, Seq("v")))
+    val nTag = Snapshots.entriesAll(table).filter(_.tag == "n")
+    assert(nTag.size >= 2 && nTag.forall(e => !e.props.contains("min.v")),
+      s"fixture: tag n needs >=2 stats-less files, got $nTag")
+    val eroded = Snapshots.erodedTags(table, Seq("v"), maxOverlap = 1.5)
+    assert(!eroded.contains("n"),
+      "a tag whose clustered column is all-NULL must not read as eroded " +
+        s"(a rewrite cannot restore its bounds): $eroded")
   }
 
   test("vacuum retention window: keepVersions retains the newest N snapshots") {
