@@ -124,6 +124,17 @@ object Bench {
   def runStream(name: String, spark: SparkSession, sfDir: String): Double = {
     import graft.streaming.Pipelines
     streamInvocation += 1
+    // r16 verdict #3: the streaming trio runs AFTER the file-churn-heavy
+    // batch section, and its inline numbers carried ~7 s of accumulated
+    // tmp-fs pressure (st2 6.4 s inline vs 2.8 s iso, code unchanged) —
+    // the per-invocation snapshot fixtures batch queries build under
+    // target/graft-tmp stack up across warm+N runs x 80 queries. Every
+    // drain therefore starts from a CLEAN scratch tree: each fixture
+    // query rebuilds its tmp tables per invocation by design, so
+    // nothing live is deleted, and the wipe sits outside the timed
+    // window. Covers the post-suite iso twins too (batch iso re-runs
+    // re-accumulate churn before a streaming iso fires).
+    graft.engine.Graft.wipeDir(graft.engine.Graft.tmpDir(""))
     val ckpt = freshDir(s"bench-$name-ckpt-$streamInvocation")
     var outDir: Option[String] = None
     val t0 = System.nanoTime()

@@ -293,41 +293,48 @@ object Joins {
       .agg(sort_array(collect_list(struct(
         col(rTs).as("__t"), col(tie).as("__tb"),
         struct(payload.map(col): _*).as("__p")))).as("__arr"))
+      // the candidates' sort keys in MICROS, extracted ONCE per key —
+      // the interpreted HOF lambda runs over the dim-small agg output,
+      // never the fact stream. The per-fact-row probe then
+      // binary-searches this array via the codegen'd
+      // [[graft.functions.SortedCountLte]] (O(log n)) instead of
+      // filtering __arr linearly (O(n), r16 verdict #5 — rows-per-key
+      // is dim-small by election, but the log probe widens the safe
+      // regime at zero cost to the small case)
+      .withColumn("__ts",
+        transform(col("__arr"), e => Exact.epochUs(e.getField("__t"))))
     val joined = left.join(broadcast(arr), lKeys, "left")
-    val lT = col(lTs)
-    val lUs = Exact.epochUs(lT)
+    val lUs = Exact.epochUs(col(lTs))
     val tolUs = toleranceMs.map(t => lit(t * 1000L))
-    def tUs(e: org.apache.spark.sql.Column) =
-      Exact.epochUs(e.getField("__t"))
+    import graft.functions.SortedBound.countLte
+    val ts = col("__ts")
+    val cs = col("__arr")
     // ages compare in MICROS (Spark's timestamp grain), the asOfBy
-    // discipline — a sub-millisecond gap can never split the doors
-    def candsBack = org.apache.spark.sql.functions.filter(col("__arr"),
-      e => e.getField("__t") <= lT &&
-        tolUs.map(lUs - tUs(e) <= _).getOrElse(lit(true)))
-    def candsFwd = org.apache.spark.sql.functions.filter(col("__arr"),
-      e => e.getField("__t") >= lT &&
-        tolUs.map(tUs(e) - lUs <= _).getOrElse(lit(true)))
-    // greatest (ts, tie) ≤ leftTs = LAST survivor of the sorted array
-    def lastOf(c: org.apache.spark.sql.Column) = get(c, size(c) - 1)
-    // forward wants the SMALLEST ts but the GREATEST tie within it:
-    // the smallest-ts candidates are a prefix of the sorted survivors,
-    // so take the last element still carrying the head's ts
-    def firstTsLastTie(c: org.apache.spark.sql.Column) = {
-      val headTs = get(c, lit(0)).getField("__t")
-      lastOf(org.apache.spark.sql.functions.filter(c,
-        e => e.getField("__t") === headTs))
-    }
+    // discipline — a sub-millisecond gap can never split the doors.
+    // backward: greatest (t, tie) ≤ leftTs = the LAST element of the
+    // count-≤ prefix (the array sorts by the full struct, so the run's
+    // last element IS the tie-broken winner); if IT violates the
+    // tolerance every earlier candidate is older still — one check
+    // decides what the linear filter decided element-wise
+    val nB = countLte(ts, lUs)
+    val tB = get(ts, nB - 1)
+    val okB = nB > 0 && tolUs.map(lUs - tB <= _).getOrElse(lit(true))
+    val mB = when(okB, get(cs, nB - 1))
+    // forward: first index with t ≥ leftTs is count-<(leftTs), i.e.
+    // count-≤(leftTs − 1) in integer micros; the greatest tie within
+    // that smallest-t run is the run's last element, count-≤(t0) − 1
+    val tF = get(ts, countLte(ts, lUs - 1)) // null when no t ≥ leftTs
+    val okF = tF.isNotNull && tolUs.map(tF - lUs <= _).getOrElse(lit(true))
+    val mF = when(okF, get(cs, countLte(ts, tF) - 1))
     val m = direction match {
-      case "forward" => firstTsLastTie(candsFwd)
+      case "forward" => mF
       case "nearest" =>
-        val mB = lastOf(candsBack)
-        val mF = firstTsLastTie(candsFwd)
-        val ageB = lUs - Exact.epochUs(mB.getField("__t"))
-        val ageF = Exact.epochUs(mF.getField("__t")) - lUs
+        val ageB = lUs - tB
+        val ageF = tF - lUs
         // equal distances go BACKWARD, the asOfBy/oracle contract
         when(mB.isNotNull && (mF.isNull || ageB <= ageF), mB)
           .when(mF.isNotNull, mF)
-      case _ => lastOf(candsBack)
+      case _ => mB
     }
     joined
       .withColumn("__m", m)

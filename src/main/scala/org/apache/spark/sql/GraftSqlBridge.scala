@@ -23,6 +23,14 @@ object GraftSqlBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** The inverse of [[column]] — a DataFrame-layer Column's catalyst
+    * Expression (Spark 4 moved Column onto ColumnNode, so `.expr` no
+    * longer exists on the public type). Lets native expressions compose
+    * with computed Columns instead of being reachable only through
+    * parsed SQL strings. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   def unloadStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
 

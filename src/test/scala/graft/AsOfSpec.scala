@@ -444,4 +444,34 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       "SELECT * FROM asof_join('asofspec_l')").collect())
     assert(e2.getMessage.contains("asof_join expects"), e2.getMessage)
   }
+
+  test("sorted_count_lte: the broadcast probe's binary-search kernel") {
+    import graft.functions.SortedBound
+    SortedBound.register(spark)
+    // codegen path (whole-stage over a projected frame) vs the oracle
+    // count, over edges: empty array, below-min, above-max, duplicate
+    // runs, exact hits
+    val arrs = Seq(
+      Seq.empty[Long], Seq(5L), Seq(1L, 3L, 3L, 3L, 7L, 9L),
+      (0L until 64L).toSeq)
+    val keys = Seq(Long.MinValue + 1, -1L, 0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L,
+      10L, 63L, 64L, Long.MaxValue)
+    val rows = for { a <- arrs; k <- keys } yield (a, k)
+    val got = rows.toDF("arr", "k")
+      .selectExpr("arr", "k", "sorted_count_lte(arr, k) AS n")
+      .as[(Seq[Long], Long, Int)].collect()
+    got.foreach { case (a, k, n) =>
+      assert(n == a.count(_ <= k), s"count_lte($a, $k) = $n")
+    }
+    // null in, null out
+    val nulls = spark.sql(
+      "SELECT sorted_count_lte(CAST(NULL AS ARRAY<BIGINT>), 1L) AS a, " +
+        "sorted_count_lte(array(1L, 2L), CAST(NULL AS BIGINT)) AS b")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // loud type check
+    val e = intercept[Exception](
+      spark.sql("SELECT sorted_count_lte(array('x'), 1L)").collect())
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
 }
