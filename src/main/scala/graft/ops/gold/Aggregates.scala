@@ -39,6 +39,47 @@ object Aggregates {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** DECIMAL-to-the-edge twin of [[q1Agg]] (r17, SURVEY §1.4 — the
+    * money-math depth row beyond `gold_fact_fee_tax_decimal`): sums,
+    * min/max, and the discount product all stay exact DECIMAL with NO
+    * double anywhere after the input casts. The input doubles carry ≤2
+    * fractional digits (TPC-H money), so the scale-6 casts are exact on
+    * both engines; the product (25,6)×(9,6) lands at scale 12 with no
+    * downscale anywhere (downscales round HALF_UP in Spark but truncate
+    * in DuckDB — the one decimal op the portability rules ban). The
+    * money columns leave as STRING per the QueryDef edge rule (raw
+    * DECIMAL output hash-mismatches the driver's canonicalizer even
+    * when every digit agrees — the r16 red row). */
+  def q1AggDecimal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qty = col("l_quantity").cast(DecimalType(25, 6))
+    val price = col("l_extendedprice").cast(DecimalType(25, 6))
+    val disc = col("l_discount").cast(DecimalType(8, 6))
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).cast(DecimalType(38, 6)).cast("string").as("sum_qty_dec"),
+        sum(price).cast(DecimalType(38, 6)).cast("string").as("sum_base_price_dec"),
+        sum(price * (lit(1).cast(DecimalType(8, 6)) - disc))
+          .cast(DecimalType(38, 12)).cast("string").as("sum_disc_price_dec"),
+        min(price).cast("string").as("min_price_dec"),
+        max(price).cast("string").as("max_price_dec"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggDecimalOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty_dec,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price_dec,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,12)) AS VARCHAR) AS sum_disc_price_dec,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS min_price_dec,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS max_price_dec,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** A2: scalar MAX aggregate (the incremental high-watermark probe). */
   def scalarMax(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events.agg(
@@ -502,6 +543,7 @@ object Aggregates {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1AggOracle)(q1Agg),
+    QueryDef.sql("a1b_agg_decimal", q1AggDecimalOracle)(q1AggDecimal),
     QueryDef.sql("a16_retention_cohorts", retentionCohortsOracle)(retentionCohorts),
     QueryDef.sql("a10_cube", cubeAggOracle)(cubeAgg),
     QueryDef.sql("a2_scalar_max", scalarMaxOracle)(scalarMax),
