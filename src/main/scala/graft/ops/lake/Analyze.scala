@@ -65,8 +65,16 @@ object Analyze {
     * never read pre-append row counts as fresh). */
   private def commitStamped(table: String, scanned: Long,
       vKeys: Seq[String], props: Map[String, String]): Long = {
+    // retries are CAPPED, matching commitAllWithRetry's discipline: an
+    // unbounded loop here would block the committing thread for as long
+    // as contention lasts — and maybeAutoRefresh runs INSIDE
+    // commitPrepared, so that thread is a user's data commit. After the
+    // cap the refresh fails loudly; the auto-refresh hook catches and
+    // warns (stats surface stale — the documented consumer fallback),
+    // direct ANALYZE callers see the error.
+    val maxRetries = 6
     var backoffMs = 1L
-    while (true) {
+    for (_ <- 0 until maxRetries) {
       val cur = Snapshots.currentVersion(table)
       val stamp = (if (cur == scanned) cur + 1 else scanned).toString
       try return Snapshots.commitPropsAt(table, cur,
@@ -76,7 +84,10 @@ object Analyze {
           Thread.sleep(backoffMs); backoffMs = math.min(64L, backoffMs * 2)
       }
     }
-    -1L // unreachable
+    throw new IllegalStateException(
+      s"commitStamped($table): lost the props-commit race $maxRetries " +
+        "times — stats left unrecorded (consumers fall back to their " +
+        "pre-stats behavior); re-run when the writer storm settles")
   }
 
   /** Compute and record stats for `columns` (empty = every column) of
@@ -379,20 +390,25 @@ object Analyze {
       // the defaults silently reset a user's chosen k/buckets on the
       // first auto refresh (r16 advisor find; the same precision rule
       // withSketchesLike applies to rewrite-time sidecars). The
-      // recorded value's LENGTH is the resolution: the histogram
-      // records exactly `buckets` boundaries, the frequency list
-      // exactly k entries (fewer only when the column is
-      // distinct-limited, where the smaller k loses nothing).
-      // Nothing recorded yet → the staging defaults bootstrap.
-      def recordedLen(key: String, lo: Int, dflt: Int): Int =
-        props.get(key).map(_.split(",").count(_.nonEmpty))
-          .filter(_ >= lo).map(math.min(256, _)).getOrElse(dflt)
+      // REQUESTED resolution prop (histResKey/freqResKey, stamped by
+      // every record path) is authoritative; a pre-r17 table without
+      // it falls back to the recorded list's length — imperfect (a
+      // distinct-limited column under-records), but better than the
+      // defaults, and self-healing: the fallback fold re-records the
+      // explicit prop. Clamps are per FAMILY (hist ≤ 1024, freq ≤ 256
+      // — min(256) here once silently halved a 512-bucket histogram,
+      // r17 review find). Nothing recorded yet → defaults bootstrap.
+      def resolution(resKey: String, listKey: String,
+                     lo: Int, hi: Int, dflt: Int): Int =
+        props.get(resKey).flatMap(_.toIntOption)
+          .orElse(props.get(listKey).map(_.split(",").count(_.nonEmpty)))
+          .filter(_ >= lo).map(math.min(hi, _)).getOrElse(dflt)
       // frequencies first: a pure driver-side sidecar fold, no session
       // needed
       freqDue.foreach { c =>
         try {
           val (_, p, vk) = freqFoldFromSketches(table, c,
-            k = recordedLen(freqKey(physOf(c)), 1, 16))
+            k = resolution(freqResKey(physOf(c)), freqKey(physOf(c)), 1, 256, 16))
           acc ++= p; stampKeys += vk
         }
         catch { case scala.util.control.NonFatal(e) => warn(s"freq($c)", e) }
@@ -401,7 +417,7 @@ object Analyze {
       histDue.foreach { c =>
         try {
           val (_, p, vk) = histFoldFromSketches(table, c,
-            buckets = recordedLen(histKey(physOf(c)), 2, 32))
+            buckets = resolution(histResKey(physOf(c)), histKey(physOf(c)), 2, 1024, 32))
           acc ++= p; stampKeys += vk
         }
         catch { case scala.util.control.NonFatal(e) => warn(s"hist($c)", e) }
@@ -476,6 +492,17 @@ object Analyze {
   private def histMinKey(phys: String) = s"tbl.stat.hist.min.$phys"
   private def histVKey(phys: String) = s"tbl.stat.hist.v.$phys"
 
+  /** REQUESTED resolution of the recorded histogram/frequency family,
+    * stamped by every record path — what [[maybeAutoRefresh]] restores.
+    * Inferring resolution from the recorded LIST length alone was a
+    * one-way ratchet (r17 review find): a distinct-limited column (or
+    * duplicate rank collapse in the exact histogram) records fewer
+    * entries than asked, and a length-derived refresh then pins the
+    * shrunken count forever even after the column gains cardinality.
+    * Legacy tables without the prop still fall back to the length. */
+  private def histResKey(phys: String) = s"tbl.stat.hist.k.$phys"
+  private def freqResKey(phys: String) = s"tbl.stat.freq.k.$phys"
+
   /** EXACT equi-height histogram for a numeric/date/timestamp column:
     * the k bucket UPPER boundaries are the values at global sort ranks
     * `floor(i·n/k)` (1-indexed, i = 1..k) — value-at-rank is
@@ -517,7 +544,8 @@ object Analyze {
     // NDV/null stats an earlier analyze() recorded (r12 advisor find)
     commitStamped(table, scanned, Seq(histVKey(phys)), Map(
       histKey(phys) -> bounds.mkString(","),
-      histMinKey(phys) -> got(0L).toString))
+      histMinKey(phys) -> got(0L).toString,
+      histResKey(phys) -> buckets.toString))
     bounds
   }
 
@@ -584,7 +612,8 @@ object Analyze {
     val phys = Snapshots.physicalName(table, name)
     commitStamped(table, scanned, Seq(histVKey(phys)), Map(
       histKey(phys) -> bounds.mkString(","),
-      histMinKey(phys) -> gmin.toString))
+      histMinKey(phys) -> gmin.toString,
+      histResKey(phys) -> buckets.toString))
     bounds
   }
 
@@ -674,7 +703,8 @@ object Analyze {
     while (ti < buckets) { bounds(ti) = pts.last._1; ti += 1 }
     (bounds.toSeq, Map(
       histKey(phys) -> bounds.mkString(","),
-      histMinKey(phys) -> gmin.toString), vk)
+      histMinKey(phys) -> gmin.toString,
+      histResKey(phys) -> buckets.toString), vk)
   }
 
   /** Recorded histogram boundaries (None = never computed). */
@@ -770,7 +800,8 @@ object Analyze {
     val enc = top.map { case (kv, n) =>
       java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
     commitStamped(table, scanned, Seq(freqVKey(phys)), Map(
-      freqKey(phys) -> enc))
+      freqKey(phys) -> enc,
+      freqResKey(phys) -> k.toString))
     top
   }
 
@@ -827,7 +858,8 @@ object Analyze {
     val top = merged.toSeq.sortBy { case (key, n) => (-n, key) }.take(k)
     val enc = top.map { case (kv, n) =>
       java.net.URLEncoder.encode(kv, "UTF-8") + ":" + n }.mkString(",")
-    (top, Map(freqKey(phys) -> enc), freqVKey(phys))
+    (top, Map(freqKey(phys) -> enc,
+      freqResKey(phys) -> k.toString), freqVKey(phys))
   }
 
   /** Recorded top-k key frequencies, hottest first (None = never

@@ -3494,15 +3494,16 @@ object Snapshots {
     * past the budget; every other tag's files carry BY NAME through
     * the commit (the [[compact]] `tagFilter` machinery).
     *
-    * The erosion metric: for a clustered column, a tag's files should
-    * tile its value span — fresh clustering has
-    * Σ file-widths ≈ tag span (ratio ≈ 1); after unclustered
-    * appends/rewrites every file spans everything and the ratio
-    * approaches the file count. A tag re-clusters when the ratio
-    * exceeds `maxOverlap` on ANY `zorderBy` column, when a file lost
-    * its stats for one (the rewrite restores them), always measured
-    * only for tags with ≥ 2 files. Returns (committed version, the
-    * re-clustered tags); nothing eroded ⇒ no commit at all. */
+    * The erosion metric (r17 — the Morton-BOX form; see [[erodedTags]]):
+    * a tag's files should TILE the clustered value space — fresh
+    * clustering has Σ normalized box volumes ≈ 1 in any dimension
+    * count; after unclustered appends/rewrites every file spans
+    * everything and the score approaches the file count. A tag
+    * re-clusters when the score exceeds `maxOverlap`, or when a file
+    * lost its stats for a clustered column it has values in (the
+    * rewrite restores them); always measured only for tags with ≥ 2
+    * files. Returns (committed version, the re-clustered tags);
+    * nothing eroded ⇒ no commit at all. */
   def reclusterEroded(spark: SparkSession, table: String, tagCol: String,
                       zorderBy: Seq[String], maxOverlap: Double = 2.0,
                       targetFileBytes: Long = DefaultTargetFileBytes)
@@ -3521,65 +3522,83 @@ object Snapshots {
   /** Per-tag clustering-erosion verdicts from the manifest min/max
     * props — the zero-IO evidence behind [[reclusterEroded]].
     *
-    * CONVERGENCE (r17, advisor find): the raw per-column
-    * Σ widths / span ratio does NOT return to ~1 after a multi-column
-    * re-cluster — a fresh d-dimensional Morton layout tiles BOXES, so
-    * F files legitimately overlap each single column at ~F^((d-1)/d)
-    * (d=2, F=16 → each column's ratio ≈ 4 when the layout is perfect).
-    * Judging that against a flat `maxOverlap` re-clusters healthy tags
-    * on every run — the exact maintenance treadmill this operator
-    * exists to remove. The budget therefore scales by the FRESH
-    * expectation: a column reads eroded only when its ratio exceeds
-    * `maxOverlap × F^((d-1)/d)` (d=1 degenerates to the flat budget).
+    * METRIC (r17, advisor find — measure on the interleaved Morton BOX,
+    * not per column): each file's recorded bounds define a box in the
+    * clustered dimensions; the erosion score is Σ over files of the
+    * box's NORMALIZED VOLUME (Π over dims of width/span). A fresh
+    * Morton layout TILES the space, so the score sits near 1 for ANY
+    * file count and ANY dimension count — which is exactly what the
+    * old per-column Σ width/span ratio lacked: a fresh d-dimensional
+    * layout's F files legitimately overlap each single column at
+    * ~F^((d-1)/d), so the flat per-column budget re-clustered healthy
+    * multi-column tags on every run (the maintenance treadmill), while
+    * a fully-degenerate tag (score ≈ F) hid inside any budget scaled
+    * up to tolerate fresh layouts. The volume score separates the two
+    * at every F: fresh ≈ 1 (boundary boxes overlap a little — the
+    * default budget absorbs it), degenerate ≈ F. For d=1 the score IS
+    * the old Σ width/span, so single-column semantics are unchanged.
     *
-    * Stats-less files: a file with no min/max for a clustered column
-    * is erosion ONLY when a rewrite can restore the bounds. An
-    * all-NULL column ([[footerStats]] records `nulls == rows`, no
-    * bounds — absence is legitimate) would read eroded forever, since
-    * no rewrite can mint stats for values that don't exist; such files
-    * are EXCLUDED from the metric instead. */
+    * Dims with nothing to say are INERT (factor 1): a column all-NULL
+    * in a file ([[footerStats]] records `nulls == rows`, no bounds —
+    * no rewrite can mint stats for values that don't exist), a
+    * zero-span column (single value), a column with <2 bounded files.
+    * A file missing bounds for a column that ISN'T all-NULL there is
+    * itself the erosion (nothing can prune it) — the rewrite restores
+    * them. A tag where every dim is inert scores nothing. */
   private[graft] def erodedTags(table: String, zorderBy: Seq[String],
                                 maxOverlap: Double): Set[String] = {
     val phys = zorderBy.map(physicalName(table, _))
     val all = entriesAll(table)
-    // the width metric needs NUMERIC bounds; a column with no numeric
-    // stats anywhere (string-clustered, or never staged with stats)
-    // would read as eroded on every call and re-cluster forever —
-    // refuse loudly instead (a full compact(zorderBy) restores stats)
-    phys.foreach { c =>
-      require(all.exists(_.props.contains(s"min.$c")),
-        s"reclusterEroded($table): no file records numeric min/max for " +
-          s"'$c' — the erosion metric needs a numeric/date/timestamp " +
-          "column with recorded stats; run compact(zorderBy) once first")
-    }
     // all-NULL for column c: a recorded null count equal to the file's
     // recorded row count, and no bounds — the one absence a rewrite
     // cannot heal
     def allNull(e: Entry, c: String): Boolean =
       (for { n <- e.props.get(s"nulls.$c"); r <- e.props.get(RowsProp) }
         yield n == r && !e.props.contains(s"min.$c")).getOrElse(false)
+    def boundsOf(e: Entry, c: String): Option[(Double, Double)] =
+      for {
+        mn <- e.props.get(s"min.$c").flatMap(_.toDoubleOption)
+        mx <- e.props.get(s"max.$c").flatMap(_.toDoubleOption)
+      } yield (mn, mx)
+    // the volume metric needs NUMERIC bounds; a column with no numeric
+    // stats anywhere (string-clustered, or never staged with stats)
+    // would read as eroded on every call and re-cluster forever —
+    // refuse loudly instead (a full compact(zorderBy) restores stats).
+    // A column that is all-NULL in EVERY file passes the door (r17
+    // review find: it has no bounds to record, it is inert below, and
+    // the "compact once" remedy could never fix it — crashing every
+    // scheduled maintenance run on a legal layout)
+    phys.foreach { c =>
+      require(all.exists(_.props.contains(s"min.$c")) ||
+          (all.nonEmpty && all.forall(allNull(_, c))),
+        s"reclusterEroded($table): no file records numeric min/max for " +
+          s"'$c' — the erosion metric needs a numeric/date/timestamp " +
+          "column with recorded stats; run compact(zorderBy) once first")
+    }
     all.groupBy(_.tag).collect {
-      case (tag, es) if es.size > 1 && phys.exists { c =>
-        val considered = es.filterNot(allNull(_, c))
-        val bounds = considered.map { e =>
-          for {
-            mn <- e.props.get(s"min.$c").flatMap(_.toDoubleOption)
-            mx <- e.props.get(s"max.$c").flatMap(_.toDoubleOption)
-          } yield (mn, mx)
-        }
-        // a file without stats for a clustered column (and not
-        // all-NULL) is itself the erosion (nothing can prune it) —
-        // rewrite to restore them
-        if (bounds.exists(_.isEmpty)) true
-        else if (bounds.size < 2) false // 0/1 bounded files: nothing overlaps
-        else {
-          val bs = bounds.flatten
-          val span = bs.map(_._2).max - bs.map(_._1).min
-          val d = phys.size
-          val freshRatio =
-            if (d <= 1) 1.0 else math.pow(bs.size.toDouble, (d - 1).toDouble / d)
-          // zero span = a single value: nothing to cluster, fresh
-          span > 0 && bs.map(b => b._2 - b._1).sum / span > maxOverlap * freshRatio
+      case (tag, es) if es.size > 1 && {
+        // restorable absence: bounds missing for a column the file
+        // actually has values in — rewrite to re-derive stats
+        val statsLost = es.exists(e =>
+          phys.exists(c => !allNull(e, c) && boundsOf(e, c).isEmpty))
+        statsLost || {
+          // active dims: ≥2 bounded files and a positive span
+          val dims = phys.flatMap { c =>
+            val bs = es.flatMap(boundsOf(_, c))
+            if (bs.size < 2) None
+            else {
+              val lo = bs.map(_._1).min
+              val span = bs.map(_._2).max - lo
+              if (span > 0) Some((c, span)) else None
+            }
+          }
+          dims.nonEmpty && es.map { e =>
+            dims.map { case (c, span) =>
+              // a file inert in this dim (all-NULL there) spans it
+              // fully for pruning purposes: factor 1
+              boundsOf(e, c).fold(1.0) { case (mn, mx) => (mx - mn) / span }
+            }.product
+          }.sum > maxOverlap
         }
       } => tag
     }.toSet

@@ -923,6 +923,75 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
     assert(h.last > 700.0, s"refresh must cover the drift: $h")
   }
 
+  test("requested resolution survives distinct-limited data (no ratchet)") {
+    import graft.ops.lake.Analyze
+    import spark.implicits._
+    val table = tmp("snap-res-ratchet")
+    // only 3 distinct keys now — the recorded top list is shorter than
+    // the requested k=5; a length-derived refresh would pin k=3 forever
+    // (r17 review find)
+    val sparse = (0 until 60).map(i => (s"k${i % 3}", "a", 1.0))
+      .toDF("k", "day", "v")
+    Snapshots.commitAll(table, Snapshots.withKeyStats(
+      Snapshots.stageWithStats(sparse, table, "day", "v", buckets = 2),
+      table, "k", spark))
+    assert(Analyze.frequentKeys(spark, table, "k", k = 5).size == 3)
+    Analyze.autoAnalyze(table, Seq.empty, maxStaleVersions = 1,
+      freqColumns = Seq("k"))
+    // the column gains cardinality; past-budget commits trigger refresh
+    (1 to 2).foreach { w =>
+      val dense = (0 until 200).map(i => (s"k${i % 12}", s"d$w", 1.0))
+        .toDF("k", "day", "v")
+      Snapshots.commitAll(table, Snapshots.withKeyStats(
+        Snapshots.restageLike(spark, dense, table, "day"), table, "k", spark))
+    }
+    val top = Analyze.frequentKeysOf(table, "k").get
+    assert(top.size == 5,
+      s"the refresh must restore the REQUESTED k=5, not the recorded " +
+        s"length 3 (ratchet); got ${top.size}")
+  }
+
+  test("a fully-degenerate small 2-D tag still reads as eroded") {
+    import spark.implicits._
+    val table = tmp("snap-z2d-degen")
+    // 4 files in one tag, EVERY file spanning the full range of both
+    // clustered columns — zero pruning on either column. A per-column
+    // budget scaled to tolerate fresh 2-D layouts (2.0 * 4^(1/2) = 4)
+    // sat exactly at this tag's degenerate ratio and never flagged it
+    // (r17 review find); the Morton-volume score (4 full boxes = 4 ≫
+    // the fresh ~1) separates fresh from degenerate at every F.
+    (1 to 4).foreach { w =>
+      val wave = (0 until 64).map(i =>
+        (w * 1000 + i, "a", (i % 64).toLong, ((i * 17) % 64).toLong))
+      Snapshots.commitAll(table, Snapshots.withFooterStats(
+        Snapshots.stage(wave.toDF("id", "day", "x", "y"), table, "day"),
+        table, Seq("x", "y")))
+    }
+    assert(Snapshots.entriesAll(table).size == 4)
+    assert(Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 2.0) == Set("a"),
+      "4 full-span files on both columns must read as eroded")
+  }
+
+  test("a table-wide all-NULL clustered column passes the erosion door") {
+    import spark.implicits._
+    val table = tmp("snap-znull-all")
+    // y is NULL in EVERY file: the upfront stats door must not throw
+    // (r17 review find — 'compact once' can never mint bounds for
+    // values that don't exist, so the old require crashed every
+    // scheduled maintenance run), and x alone still drives the verdict
+    def wave(lo: Int) = (0 until 64).map(i =>
+      (lo + i, "a", ((i * 37) % 64).toLong, None: Option[Long]))
+    (1 to 2).foreach { w =>
+      Snapshots.commitAll(table, Snapshots.withFooterStats(
+        Snapshots.stage(wave(w * 1000).toDF("id", "day", "x", "y"),
+          table, "day"), table, Seq("x", "y")))
+    }
+    val eroded = Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 1.5)
+    assert(eroded == Set("a"),
+      s"x's two full-span files are the erosion; all-NULL y must neither " +
+        s"throw nor mask it: $eroded")
+  }
+
   test("commitPropsAt is a CAS: a stale base loses loudly, never lands late") {
     val table = tmp("snap-cas")
     Snapshots.commit(table, Snapshots.stage(df((1, "a", 1L)), table, "day"))
