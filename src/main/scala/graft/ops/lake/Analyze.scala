@@ -68,11 +68,16 @@ object Analyze {
     // retries are CAPPED, matching commitAllWithRetry's discipline: an
     // unbounded loop here would block the committing thread for as long
     // as contention lasts — and maybeAutoRefresh runs INSIDE
-    // commitPrepared, so that thread is a user's data commit. After the
-    // cap the refresh fails loudly; the auto-refresh hook catches and
-    // warns (stats surface stale — the documented consumer fallback),
-    // direct ANALYZE callers see the error.
-    val maxRetries = 6
+    // commitPrepared, so that thread is a user's data commit. The
+    // budget (~4 s of exponential backoff) is sized for the thing it
+    // guards against — a writer STORM, not routine interleaving: a
+    // too-tight cap (63 ms, first cut) threw away a completed
+    // multi-minute ANALYZE scan under a 10 ms-cadence streaming sink
+    // (r17 second review pass). After the cap the refresh fails
+    // loudly; the auto-refresh hook catches and warns (stats surface
+    // stale — the documented consumer fallback), direct ANALYZE
+    // callers see the error with their scan results intact to re-commit.
+    val maxRetries = 20
     var backoffMs = 1L
     for (_ <- 0 until maxRetries) {
       val cur = Snapshots.currentVersion(table)
@@ -81,7 +86,7 @@ object Analyze {
         props ++ vKeys.map(_ -> stamp))
       catch {
         case _: Snapshots.ConcurrentCommitException =>
-          Thread.sleep(backoffMs); backoffMs = math.min(64L, backoffMs * 2)
+          Thread.sleep(backoffMs); backoffMs = math.min(500L, backoffMs * 2)
       }
     }
     throw new IllegalStateException(

@@ -2333,6 +2333,11 @@ object Snapshots {
     * and hll. r15: the FREQUENCY family's write-time sketch. */
   private[graft] val TopKRefPrefix = "ref.topk."
 
+  /** Entry prop: the REQUESTED top-k resolution the file was sketched
+    * at (`topk.k.<physCol>=k`) — what a rewrite recovers, since the
+    * recorded list's length is only a lower bound on it (r17). */
+  private[graft] val TopKKPrefix = "topk.k."
+
   /** Per-file TOP-K sidecars (r15 — the frequency family's write-time
     * sketch, completing the zero-scan stats-maintenance story
     * [[withHll]] started for NDV): each staged file records its EXACT
@@ -2391,7 +2396,14 @@ object Snapshots {
     writeDurable(f, chunk.map { e =>
       s"${fileId(e.rel)}\t${byFile.getOrElse(fileId(e.rel), "")}"
     }.sorted.mkString("\n").getBytes(UTF_8))
-    e => Map(TopKRefPrefix + pcol -> sidecarRel)
+    // the REQUESTED k rides the entry (r17 second review pass): list
+    // length alone under-recovers on distinct-limited columns — a k=64
+    // sketch over 20 distinct values records 20-entry lists, a rewrite
+    // recovering "longest list" rebuilds at k=20, and the column's
+    // later cardinality growth is permanently capped (the same one-way
+    // ratchet the tbl.stat.*.k props close for table-level stats)
+    e => Map(TopKRefPrefix + pcol -> sidecarRel,
+      TopKKPrefix + pcol -> k.toString)
   }
 
   /** BOTH sidecar families for ONE column in ONE read (r15 review
@@ -3330,8 +3342,13 @@ object Snapshots {
         .map(v => math.min(hi, math.max(lo, v))).getOrElse(dflt)
     val lgKOf = hllCols.map(c => c -> recover(
       hllSketches(table, old, c).headOption.map(_(3).toInt), 4, 21, 12)).toMap
+    // prefer the REQUESTED k stamped on the entries ([[TopKKPrefix]],
+    // r17) over the longest recorded list — the list length is only a
+    // lower bound (distinct-limited columns under-record, and a
+    // length-recovered rewrite would cap the column's later growth)
     val kOf = topkCols.map(c => c -> recover(
-      topKCounts(table, old, c).map(_.size).maxOption.filter(_ >= 1),
+      (old.flatMap(_.props.get(TopKKPrefix + c)).flatMap(_.toIntOption) ++
+        topKCounts(table, old, c).map(_.size)).maxOption.filter(_ >= 1),
       16, 256, 16)).toMap
     val qOf = qtlCols.map(c => c -> recover(
       quantileSummaries(table, old, c).flatten.headOption.map(_._3.size),
@@ -3537,14 +3554,23 @@ object Snapshots {
     * at every F: fresh ≈ 1 (boundary boxes overlap a little — the
     * default budget absorbs it), degenerate ≈ F. For d=1 the score IS
     * the old Σ width/span, so single-column semantics are unchanged.
+    * A per-column guard rides alongside for degeneracy CONFINED to one
+    * dimension (the time-ordered-append shape: narrow in time,
+    * full-span in the other key — volume stays ≈ 1): a column whose
+    * width sum exceeds `maxOverlap × F^((d-1)/d)` (the fresh d-dim
+    * per-column expectation) is eroded on its own evidence.
     *
-    * Dims with nothing to say are INERT (factor 1): a column all-NULL
-    * in a file ([[footerStats]] records `nulls == rows`, no bounds —
-    * no rewrite can mint stats for values that don't exist), a
-    * zero-span column (single value), a column with <2 bounded files.
-    * A file missing bounds for a column that ISN'T all-NULL there is
-    * itself the erosion (nothing can prune it) — the rewrite restores
-    * them. A tag where every dim is inert scores nothing. */
+    * Dims with nothing to say are INERT: a zero-span column (single
+    * value) and a column with <2 bounded files drop out of the score
+    * entirely. A file all-NULL in a dim ([[footerStats]] records
+    * `nulls == rows`, no bounds — no rewrite can mint stats for values
+    * that don't exist) scores only over the dims it HAS bounds in, and
+    * contributes NOTHING when that leaves no dims — its prunability is
+    * fixed regardless of layout, so counting it would flag a healthy
+    * tag forever. A file missing bounds for a column that ISN'T
+    * all-NULL there is itself the erosion (nothing can prune it) — the
+    * rewrite restores them. A tag where every dim is inert scores
+    * nothing. */
   private[graft] def erodedTags(table: String, zorderBy: Seq[String],
                                 maxOverlap: Double): Set[String] = {
     val phys = zorderBy.map(physicalName(table, _))
@@ -3592,13 +3618,39 @@ object Snapshots {
               if (span > 0) Some((c, span)) else None
             }
           }
-          dims.nonEmpty && es.map { e =>
-            dims.map { case (c, span) =>
-              // a file inert in this dim (all-NULL there) spans it
-              // fully for pruning purposes: factor 1
-              boundsOf(e, c).fold(1.0) { case (mn, mx) => (mx - mn) / span }
-            }.product
-          }.sum > maxOverlap
+          dims.nonEmpty && {
+            // volume score: each file's box over the dims it HAS
+            // bounds in; a file all-NULL in every active dim
+            // contributes NOTHING — its prunability is fixed (range
+            // predicates keep stats-less files regardless of layout),
+            // so counting it as a full box would flag a healthy tag
+            // forever (r17 second review pass)
+            val vol = es.map { e =>
+              val fs = dims.flatMap { case (c, span) =>
+                boundsOf(e, c).map { case (mn, mx) => (mx - mn) / span } }
+              if (fs.isEmpty) 0.0 else fs.product
+            }.sum
+            // per-column guard: degeneracy CONFINED to one dimension
+            // hides inside a small volume product (time-ordered
+            // appends: narrow in event_time, full-span in user_id —
+            // volume ≈ 1/F each, score ≈ 1, yet user_id predicates
+            // scan everything). A column whose width sum runs at ~F
+            // where a fresh d-dim layout sits at F^((d-1)/d) is
+            // eroded on its own evidence; the maxOverlap headroom
+            // over the fresh expectation keeps healthy layouts out.
+            val dEff = dims.size
+            val colDegenerate = dims.exists { case (c, span) =>
+              val ws = es.flatMap(boundsOf(_, c))
+                .map { case (mn, mx) => (mx - mn) / span }
+              ws.size >= 2 && {
+                val fresh =
+                  if (dEff <= 1) 1.0
+                  else math.pow(ws.size.toDouble, (dEff - 1).toDouble / dEff)
+                ws.sum > maxOverlap * fresh
+              }
+            }
+            vol > maxOverlap || colDegenerate
+          }
         }
       } => tag
     }.toSet

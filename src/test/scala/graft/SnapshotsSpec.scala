@@ -972,6 +972,49 @@ class SnapshotsSpec extends AnyFunSuite with SparkFixture {
       "4 full-span files on both columns must read as eroded")
   }
 
+  test("all-NULL files mixed into a healthy tag do not flag it (no treadmill)") {
+    import spark.implicits._
+    val table = tmp("snap-z-mixnull")
+    // two well-tiled files + two files whose BOTH clustered columns are
+    // entirely NULL (late rows with the keys unpopulated). Counting the
+    // null files as full boxes scored the healthy tag 1+1+1 > budget —
+    // and a rewrite cannot change their prunability, so it re-clustered
+    // forever (r17 second review pass)
+    val lo = (0 until 64).map(i => (i, "a", Some((i % 32).toLong), Some((i % 32).toLong)))
+    val hi = (0 until 64).map(i => (100 + i, "a", Some((32 + i % 32).toLong), Some((32 + i % 32).toLong)))
+    val n1 = (0 until 8).map(i => (200 + i, "a", None: Option[Long], None: Option[Long]))
+    val n2 = (0 until 8).map(i => (300 + i, "a", None: Option[Long], None: Option[Long]))
+    Seq(lo, hi, n1, n2).foreach { w =>
+      Snapshots.commitAll(table, Snapshots.withFooterStats(
+        Snapshots.stage(w.toDF("id", "day", "x", "y"), table, "day"),
+        table, Seq("x", "y")))
+    }
+    val eroded = Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 2.0)
+    assert(eroded.isEmpty,
+      s"two tiled boxes + two unhealable all-NULL files must not read " +
+        s"as eroded: $eroded")
+  }
+
+  test("degeneracy confined to ONE dimension is still detected") {
+    import spark.implicits._
+    val table = tmp("snap-z-onedim")
+    // the time-ordered-append shape: each of 6 files is NARROW in x
+    // (disjoint ranges) but FULL-SPAN in y — per-file volume ~ (1/6)*1,
+    // so the volume score alone reads ~1 (fresh); y predicates scan
+    // every file. The per-column guard (y's width sum 6 > 2*sqrt(6))
+    // catches it (r17 second review pass).
+    (0 until 6).foreach { w =>
+      val wave = (0 until 32).map(i =>
+        (w * 100 + i, "a", (w * 32 + i).toLong, ((i * 13) % 200).toLong))
+      Snapshots.commitAll(table, Snapshots.withFooterStats(
+        Snapshots.stage(wave.toDF("id", "day", "x", "y"), table, "day"),
+        table, Seq("x", "y")))
+    }
+    assert(Snapshots.entriesAll(table).size == 6)
+    assert(Snapshots.erodedTags(table, Seq("x", "y"), maxOverlap = 2.0) == Set("a"),
+      "6 files full-span in y must read as eroded though x is tiled")
+  }
+
   test("a table-wide all-NULL clustered column passes the erosion door") {
     import spark.implicits._
     val table = tmp("snap-znull-all")
