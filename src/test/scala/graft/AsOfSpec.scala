@@ -325,6 +325,16 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     val fat = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid",
       broadcastMaxBytes = 1L)
     assert(bhjCount(fat) == 0, "bytes over budget must fall back")
+    // the whole election is metadata-only: zero Spark jobs at plan
+    // time (r17, verdict item 2 — the byte budget folds from the
+    // manifest's recorded sizes, where it was one stat() per file per
+    // election; on object storage a HEAD per file per query)
+    val (_, jobs) = countJobs {
+      Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid")
+        .queryExecution.sparkPlan
+    }
+    assert(jobs == 0,
+      s"the statsAsOf election must run zero Spark jobs at plan time: $jobs")
   }
 
   test("stats_asof_join TVF answers like statsAsOf; loud on non-lake names") {
