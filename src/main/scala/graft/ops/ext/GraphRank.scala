@@ -196,24 +196,34 @@ object GraphRank {
     * events, which saturates into a near-complete graph whose Θ(n³)
     * triangle population (124M at sf0.1, 91% density — measured)
     * benchmarks the pathology of the fixture, not the kernel. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    // co-occurrence edges via per-order SETS, not a self-join (r17):
-    // collect_set is map-side combined — ONE orderkey shuffle replaces
-    // the join's two exchanges plus the pre-join distinct — and pair
-    // generation is in-row arithmetic bounded by the ≤7-lines-per-order
-    // cap (k² ≤ 49 per row). Measured 2× on the edge build at sf0.1
-    // (2.8 s vs 7.1 s cold, 1.3 vs 2.7 warm); at cluster scale the win
-    // is the removed join shuffle of the full (ok, p) stream.
-    val edges = t.lineitem
+  /** Co-occurrence edges of the PART graph via per-order SETS, not a
+    * self-join (r17): collect_set is map-side combined — ONE orderkey
+    * shuffle replaces the join's exchanges plus the pre-join distinct —
+    * and pair generation is in-row arithmetic bounded by the
+    * ≤7-lines-per-order cap (k² ≤ 49 per row). Measured ~2× on the
+    * warm edge build at sf0.1 (1.3 s vs 2.7 s — the controlled
+    * same-JVM pair; cold numbers carry first-touch parquet/JIT bias,
+    * see Pr2Probe); at cluster scale the win is the removed join
+    * shuffle of the full (ok, p) stream.
+    *
+    * NULL orderkeys are dropped explicitly: the old self-join (and the
+    * DuckDB oracle's `a.ok = b.ok`) null-rejects, while groupBy would
+    * pool all NULL-key rows into ONE group and mint phantom edges
+    * among their parts — latent on TPC-H fixtures, divergent on any
+    * source with NULL keys (r17 review find). Shared by the query and
+    * [[graft.tools.Pr2Probe]] so the A/B can never desynchronize. */
+  private[graft] def coPurchaseEdges(t: Tables): DataFrame =
+    t.lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .filter(col("ok").isNotNull && col("p").isNotNull)
       .groupBy("ok").agg(collect_set(col("p")).as("ps"))
       .select(explode(col("ps")).as("u"), col("ps"))
       .select(col("u"), explode(col("ps")).as("v"))
       .filter(col("u") < col("v"))
       .select("u", "v").distinct()
-    trianglesOf(edges).orderBy("node_id")
-  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(coPurchaseEdges(Tables(spark, dir))).orderBy("node_id")
 
   val trianglesOracle: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),

@@ -2,6 +2,15 @@ package graft.tools
 import graft.engine.{Graft, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** A/B harness for pr2's co-occurrence edge build (r17): the retired
+  * self-join form (kept inline — it deliberately preserves removed
+  * code) vs the production set-form, which is SHARED with
+  * [[graft.ops.ext.GraphRank.triangles]] via `coPurchaseEdges` so the
+  * probe can never measure a stale copy. Only the SECOND (warm) run of
+  * each pair is a controlled comparison — the first runs pay
+  * first-touch parquet/page-cache/JIT cost in whatever order they
+  * execute. Usage: `runMain graft.tools.Pr2Probe [sfDir]`. */
 object Pr2Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -13,24 +22,18 @@ object Pr2Probe {
     }
     val t = Tables(spark, dir)
     val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("a").join(li.as("b"),
+    val edgesJoin = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    time("edges join-form")(edges.count())
-    time("edges join-form 2nd")(edges.count())
-    val byOrder = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .groupBy("ok").agg(collect_set(col("p")).as("ps"))
-    val edges2 = byOrder
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") < col("v"))
-      .select("u", "v").distinct()
-    time("edges set-form")(edges2.count())
-    time("edges set-form 2nd")(edges2.count())
-    time("full join-form")(graft.ops.ext.GraphRank.trianglesOf(edges).count())
-    time("full set-form")(graft.ops.ext.GraphRank.trianglesOf(edges2).count())
-    time("full join-form 2nd")(graft.ops.ext.GraphRank.trianglesOf(edges).count())
-    time("full set-form 2nd")(graft.ops.ext.GraphRank.trianglesOf(edges2).count())
+    val edgesSet = graft.ops.ext.GraphRank.coPurchaseEdges(t)
+    time("edges join-form cold")(edgesJoin.count())
+    time("edges join-form warm")(edgesJoin.count())
+    time("edges set-form cold")(edgesSet.count())
+    time("edges set-form warm")(edgesSet.count())
+    time("full join-form cold")(graft.ops.ext.GraphRank.trianglesOf(edgesJoin).count())
+    time("full set-form cold")(graft.ops.ext.GraphRank.trianglesOf(edgesSet).count())
+    time("full join-form warm")(graft.ops.ext.GraphRank.trianglesOf(edgesJoin).count())
+    time("full set-form warm")(graft.ops.ext.GraphRank.trianglesOf(edgesSet).count())
     spark.stop()
   }
 }

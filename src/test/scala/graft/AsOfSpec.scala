@@ -335,6 +335,18 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     }
     assert(jobs == 0,
       s"the statsAsOf election must run zero Spark jobs at plan time: $jobs")
+    // ...and zero FILESYSTEM io beyond the log: stat()s never launched
+    // Spark jobs, so the fence above alone would pass even with the
+    // old per-file sweep (review find). Delete the right side's DATA
+    // files — the log survives — and the election must still resolve
+    // its budgets and elect broadcast from the manifest alone.
+    Snapshots.entriesAll(rT).foreach { e =>
+      assert(new java.io.File(rT, e.rel).delete(), s"fixture delete ${e.rel}")
+    }
+    val blind = Joins.statsAsOf(spark, lT, rT, "user", "lts", "rts", "rid")
+    assert(bhjCount(blind) == 1,
+      "the election must decide from the log alone — a filesystem " +
+        "dependence would misread deleted files as empty or throw")
   }
 
   test("stats_asof_join TVF answers like statsAsOf; loud on non-lake names") {
