@@ -6,11 +6,15 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY §2.5 + capability upgrades §2.5-absent).
-  * All sums that the oracle re-computes are exact-decimal (Exact.decSum);
-  * averages are expressed as exact-sum / count so both engines derive the
-  * identical double. Group-bys rely on Catalyst's partial aggregation —
-  * the map-side combine means the exchanges carry one row per
-  * (partition, group), which is what keeps these healthy at 100 TB.
+  * All sums that the oracle re-computes are exact; money-grain columns
+  * (exact at ≤2/≤4 decimals) use the fixed-point long path
+  * (Exact.fixSum — bit-identical to the decimal path at ~5× less
+  * per-row cost, r17; Exact.decSum remains the form for inputs without
+  * a proven decimal-width bound); averages are expressed as exact-sum /
+  * count so both engines derive the identical double. Group-bys rely on
+  * Catalyst's partial aggregation — the map-side combine means the
+  * exchanges carry one row per (partition, group), which is what keeps
+  * these healthy at 100 TB.
   */
 object Aggregates {
 
@@ -19,11 +23,11 @@ object Aggregates {
     Tables(spark, dir).lineitem
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        Exact.decSum(col("l_quantity")).as("sum_qty"),
-        Exact.decSum(col("l_extendedprice")).as("sum_base_price"),
-        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        (Exact.decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (Exact.decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        Exact.fixSum(col("l_quantity"), 2).as("sum_qty"),
+        Exact.fixSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Exact.fixSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        (Exact.fixSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (Exact.fixSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -142,7 +146,7 @@ object Aggregates {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("l_quantity")).as("sum_qty"),
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("l_quantity"), 2).as("sum_qty"),
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("l_linestatus")).cast("int").as("g_status"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -257,8 +261,8 @@ object Aggregates {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n"),
-        Exact.decSum(col("l_quantity")).as("s"),
-        Exact.decSum(col("l_quantity") * col("l_quantity")).as("s2"),
+        Exact.fixSum(col("l_quantity"), 2).as("s"),
+        Exact.fixSum(col("l_quantity") * col("l_quantity"), 4).as("s2"),
         expr("percentile(l_quantity, 0.5d)").as("median_qty"))
       .withColumn("stddev_qty",
         sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1)))
@@ -339,7 +343,7 @@ object Aggregates {
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("o_totalprice"), 2).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val cubeAggOracle: String =
@@ -359,7 +363,7 @@ object Aggregates {
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("o_totalprice"), 2).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val groupingSetsAggOracle: String =
@@ -384,7 +388,7 @@ object Aggregates {
       .withColumn("event_date", to_date(col("ts")))
       .groupBy("event_date")
       .pivot("event_type", PivotEventTypes)
-      .agg(Exact.decSum(col("value")))
+      .agg(Exact.fixSum(col("value"), 2))
       .select(col("event_date") +: PivotEventTypes.map(t => col(t).as(s"sum_$t")): _*)
       .orderBy("event_date")
 
@@ -414,7 +418,7 @@ object Aggregates {
         expr("stack(2, 'totalprice', totalprice, 'custkey', custkey)")
           .as(Seq("metric", "value")))
       .groupBy("o_orderpriority", "metric")
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("value"), 2).as("sum_value"))
       .orderBy("o_orderpriority", "metric")
 
   val unpivotAggOracle: String =

@@ -384,16 +384,35 @@ object Assertions {
       .reduceLeft((a, b) => concat(a, lit("\u0001"), b))
     // phase 1: one sketch scan per TABLE covering all its candidates;
     // verdicts cross the driver as one row per table (bounded metadata,
-    // like every collect in this engine)
-    val screen: Map[String, (Long, Map[String, Long])] =
-      candidates.groupBy(_._1).map { case (tbl, cs) =>
-        val aggs = count(lit(1)).as("n_rows") +:
-          cs.map { case (_, label, cols) =>
-            approx_count_distinct(key(cols), 0.02).as(label) }
-        val row = table(tbl).agg(aggs.head, aggs.tail: _*).collect().head
-        (tbl, (row.getAs[Long]("n_rows"),
-          cs.map { case (_, label, _) => label -> row.getAs[Long](label) }.toMap))
-      }
+    // like every collect in this engine). The per-table scans are
+    // INDEPENDENT jobs over different single-row-group files, so they
+    // are submitted from a small thread pool and overlap (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially) — sequentially each scan left every other core
+    // idle; measured 2.24 s → ~1.5 s at sf0.1 (r17). Result map keyed
+    // by table name, so completion order cannot affect the output.
+    val screen: Map[String, (Long, Map[String, Long])] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        candidates.map(_._1).distinct.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = candidates.groupBy(_._1).map { case (tbl, cs) =>
+          scala.concurrent.Future {
+            val aggs = count(lit(1)).as("n_rows") +:
+              cs.map { case (_, label, cols) =>
+                approx_count_distinct(key(cols), 0.02).as(label) }
+            val row = table(tbl).agg(aggs.head, aggs.tail: _*).collect().head
+            (tbl, (row.getAs[Long]("n_rows"),
+              cs.map { case (_, label, _) => label -> row.getAs[Long](label) }.toMap))
+          }
+        }.toSeq
+        scala.concurrent.Await
+          .result(scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf)
+          .toMap
+      } finally pool.shutdown()
+    }
     // phase 2: exact confirmation scans ONLY for sketch survivors --
     // each its own single-distinct aggregate (the scan is column-pruned
     // to the key columns, so the cost center is the distinct

@@ -50,7 +50,7 @@ object Bucketed {
     bucketedJoin(spark, dir)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
-        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        Exact.fixSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
       .orderBy("o_orderpriority")
 
   val bucketedJoinAggOracle: String =

@@ -462,7 +462,7 @@ object Joins {
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("bigint").as("order_year"))
       .agg(
-        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        Exact.fixSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("c_mktsegment", "order_year")
   }
@@ -488,7 +488,7 @@ object Joins {
       .groupBy(col("l_returnflag"),
         trunc(col("o_orderdate").cast("date"), "month").as("order_month"))
       .agg(count(lit(1)).as("n_late"),
-        Exact.decSum(col("l_extendedprice")).as("late_value"))
+        Exact.fixSum(col("l_extendedprice"), 2).as("late_value"))
       .orderBy("l_returnflag", "order_month")
   }
 
@@ -566,7 +566,7 @@ object Joins {
       else ev.join(dim, Seq("event_type"))
     joined
       .groupBy("event_type", "type_weight")
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("value"), 2).as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -594,11 +594,11 @@ object Joins {
     val ordered = t.orders
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(count(lit(1)).as("n_orders"),
-        Exact.decSum(col("o_totalprice")).as("ordered_value"))
+        Exact.fixSum(col("o_totalprice"), 2).as("ordered_value"))
     val shipped = t.lineitem
       .groupBy(col("l_shipdate").cast("date").as("d"))
       .agg(count(lit(1)).as("n_lines"),
-        Exact.decSum(col("l_extendedprice")).as("shipped_value"))
+        Exact.fixSum(col("l_extendedprice"), 2).as("shipped_value"))
     ordered.join(shipped, Seq("d"), "full_outer")
       .select(
         col("d").as("biz_date"),
@@ -672,7 +672,7 @@ object Joins {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        Exact.decSum(col("value")).as("sum_value"))
+        Exact.fixSum(col("value"), 2).as("sum_value"))
       .orderBy("incident_id")
   }
 

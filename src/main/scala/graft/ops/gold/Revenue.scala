@@ -1,6 +1,6 @@
 package graft.ops.gold
 
-import graft.engine.{QueryDef, Tables}
+import graft.engine.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,7 +68,7 @@ object Revenue {
     import org.apache.spark.sql.types.DecimalType
     val agg = silverTrades(t)
       .groupBy("event_date", "symbol")
-      .agg(sum(col("notional").cast(DecimalType(25, 6))).cast(DecimalType(25, 6)).as("tn_dec"))
+      .agg(Exact.fixSumRaw(col("notional"), 4).as("tn_dec"))
     val rules = rulesDf(spark)
       .withColumn("fee_rate", (col("fee_rate_bps") / 10000.0).cast(DecimalType(8, 6)))
       .withColumn("tax_rate", (col("tax_rate_bps") / 10000.0).cast(DecimalType(8, 6)))

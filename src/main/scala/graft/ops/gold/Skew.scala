@@ -198,7 +198,7 @@ object Skew {
     statsSkewJoin(spark, factT, dimT, "sk", "dim_id",
         broadcastMaxRows = 1000)
       .groupBy("segment")
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("value"), 2).as("sum_value"))
       .orderBy("segment")
   }
 
@@ -269,7 +269,7 @@ object Skew {
     statsSkewJoin(spark, factT, dimT, "sk", "dim_id",
         broadcastMaxRows = 1000)
       .groupBy("segment")
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("value"), 2).as("sum_value"))
       .orderBy("segment")
   }
 

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.engine.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Event-time windowing (SURVEY §2.8). The same `window`/`session_window`
   * expressions run in both batch and Structured Streaming; here they are
@@ -19,7 +18,7 @@ object EventTime {
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("value"), 2).as("sum_value"))
       .select(Exact.epochMs(col("w.start")).as("hour_start_ms"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start_ms", "event_type")
@@ -35,7 +34,7 @@ object EventTime {
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col("value"), 2).as("sum_value"))
       .select(Exact.epochMs(col("w.start")).as("win_start_ms"),
         col("n"), col("sum_value"))
       .orderBy("win_start_ms")
@@ -57,7 +56,7 @@ object EventTime {
     Tables(spark, dir).events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(25, 6))).cast(DecimalType(25, 6)).cast("double").as("sum_value"))
+        Exact.fixSum(col("value"), 2).as("sum_value"))
       .select(col("user_id"), Exact.epochUs(col("w.start")).as("session_start_us"),
         col("n"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
@@ -162,7 +161,7 @@ object EventTime {
     // first cut re-scanned the corpus for each (review find)
     val bars = graft.engine.Caching.persist(ev
       .groupBy(date_trunc(g, col(ts)).as("hour"), col(series))
-      .agg(count(lit(1)).as("n"), Exact.decSum(col(value)).as("sv"),
+      .agg(count(lit(1)).as("n"), Exact.fixSum(col(value), 2).as("sv"),
         max_by(col(value), col(id)).as("close")))
     // grid generation: ONE sequence() array per corpus is fine at
     // calendar grains (~87k hours per decade), but a MINUTE grid would
@@ -313,7 +312,7 @@ object EventTime {
     max(col("value")).as("high"),
     min(col("value")).as("low"),
     max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-    Exact.decSum(col("value")).as("volume"),
+    Exact.fixSum(col("value"), 2).as("volume"),
     count(lit(1)).as("n"))
 
   private def ohlcvOut = Seq(col("open"), col("high"), col("low"),

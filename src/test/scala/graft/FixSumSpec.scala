@@ -1,0 +1,92 @@
+package graft
+
+import graft.engine.Exact
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r17 optimization: [[Exact.fixSum]] replaced [[Exact.decSum]] on the
+  * gold/event-time money aggregates (AggCostProbe: three decimal sums
+  * cost 1.44 s vs 0.26 s fixed-point over one 600k-row scan task at
+  * sf0.1). The swap is sound ONLY if the two paths are bit-identical on
+  * the input domains involved — these tests pin that equality on every
+  * fixture money column, every touched query shape, and a randomized
+  * money domain (including nulls, negatives, group-level all-null).
+  */
+class FixSumSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val t = graft.engine.Tables(spark, Sf)
+
+  private def assertEqual(df: org.apache.spark.sql.DataFrame,
+                          dec: org.apache.spark.sql.Column,
+                          fix: org.apache.spark.sql.Column,
+                          keys: Seq[String]): Unit = {
+    val diffs = df.groupBy(keys.map(col): _*)
+      .agg(dec.as("dec"), fix.as("fix"))
+      .filter(col("dec") =!= col("fix") ||
+        (col("dec").isNull !== col("fix").isNull))
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("fixSum == decSum on every fixture money column") {
+    val li = t.lineitem
+    assertEqual(li, Exact.decSum(col("l_quantity")),
+      Exact.fixSum(col("l_quantity"), 2), Seq("l_returnflag", "l_linestatus"))
+    assertEqual(li, Exact.decSum(col("l_extendedprice")),
+      Exact.fixSum(col("l_extendedprice"), 2), Seq("l_returnflag", "l_linestatus"))
+    assertEqual(li,
+      Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+      Exact.fixSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4),
+      Seq("l_returnflag", "l_linestatus"))
+    assertEqual(li, Exact.decSum(col("l_quantity") * col("l_quantity")),
+      Exact.fixSum(col("l_quantity") * col("l_quantity"), 4), Seq("l_returnflag"))
+    assertEqual(t.orders, Exact.decSum(col("o_totalprice")),
+      Exact.fixSum(col("o_totalprice"), 2), Seq("o_orderstatus"))
+    assertEqual(t.events, Exact.decSum(col("value")),
+      Exact.fixSum(col("value"), 2), Seq("event_type"))
+  }
+
+  test("fixSumRaw == decSumRaw (type and value) for Revenue's notional") {
+    val notional =
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("notional")
+    val dec = t.lineitem.select(col("l_returnflag").as("k"), notional)
+      .groupBy("k").agg(Exact.decSumRaw(col("notional")).as("s"))
+    val fix = t.lineitem.select(col("l_returnflag").as("k"), notional)
+      .groupBy("k").agg(Exact.fixSumRaw(col("notional"), 4).as("s"))
+    assert(dec.schema("s").dataType === fix.schema("s").dataType) // DECIMAL(25,6)
+    val d = dec.collect().map(r => r.get(0) -> r.get(1)).toMap
+    val f = fix.collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(d === f)
+  }
+
+  test("fixSum == decSum on randomized money domains (nulls, negatives)") {
+    // 2-decimal money up to 1e6 in magnitude, 4-decimal products up to
+    // 1e5, ~5% nulls, one group entirely null
+    val money2 = Gen.chooseNum(-100000000L, 100000000L).map(c => c / 100.0)
+    val money4 = Gen.chooseNum(-1000000000L, 1000000000L).map(c => c / 10000.0)
+    def rows(g: Gen[Double], n: Int): Seq[(Int, Option[Double])] =
+      (0 until n).map { i =>
+        val v = if (i % 20 == 19) None
+                else g.apply(Gen.Parameters.default, Seed(i.toLong))
+        (if (i % 100 == 0) 9999 else i % 7, v) // group 9999 gets ~1% of rows
+      } ++ Seq((12345, None), (12345, None)) // an all-null group
+    val df2 = rows(money2, 5000).toDF("k", "v")
+    assertEqual(df2, Exact.decSum(col("v")), Exact.fixSum(col("v"), 2), Seq("k"))
+    val df4 = rows(money4, 5000).toDF("k", "v")
+    assertEqual(df4, Exact.decSum(col("v")), Exact.fixSum(col("v"), 4), Seq("k"))
+  }
+
+  test("fixSum diverges on >scale-decimal inputs (the documented ban)") {
+    // 1.0000025's shortest repr rounds HALF_UP to 1.000003 in the
+    // decimal cast, but its binary value sits below the midpoint, so
+    // the fixed-point path yields 1.000002 — the reason fixSum is
+    // reserved for inputs exact at <= `decimals` digits.
+    val df = Seq((1, 1.0000025)).toDF("k", "v")
+    val dec = df.groupBy("k").agg(Exact.decSum(col("v"))).collect().head.getDouble(1)
+    val fix = df.groupBy("k").agg(Exact.fixSum(col("v"), 6)).collect().head.getDouble(1)
+    assert(dec === 1.000003 && fix === 1.000002)
+  }
+}
