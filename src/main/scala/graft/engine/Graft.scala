@@ -126,6 +126,41 @@ object Graft {
     new java.io.File(path).mkdirs()
     path
   }
+
+  /** Parallelism floor for compute-heavy scans (r17, guide §2.5 "input
+    * skew: one huge unsplittable file ... repartition immediately after
+    * the read"). Every fixture table is ONE parquet row group, so a bare
+    * scan is ONE task — and parquet cannot split inside a row group, so
+    * no input-split config can change that. Any expensive narrow chain
+    * planted on such a scan (tokenize → explode → md5 → partial agg)
+    * runs sequentially in that task while the other cores idle: the
+    * measured wall-clock of the text/dedup operators at sf0.1 was the
+    * single-core time of their per-row work.
+    *
+    * When the frame provides fewer partitions than the cluster's
+    * parallelism, redistribute the NARROW source rows (ids + text —
+    * never an already-exploded stream) across it, hashed by `keys` so
+    * the exchange doubles as the distribution every downstream
+    * `groupBy(keys…)`/window-over-keys reuses (the token-level exchange
+    * those operators used to pay is replaced by this doc-level one —
+    * §2.3 "shuffle fewer bytes" as well). At scale the branch never
+    * fires: a 100 TB table scans as thousands of splits, so this is
+    * adaptive, not a local-mode constant.
+    *
+    * Only call it where results are partitioning-independent: exact /
+    * integer aggregates, per-row hashes, sorted collect_list. (Plain
+    * double sums reassociate under a different partitioning — those
+    * sites keep their scan layout.) */
+  def fanScan(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "fanScan needs hash keys (round-robin would sort)")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (!fanScanEnabled || df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, keys: _*)
+  }
+
+  /** A/B switch for [[fanScan]] — FanProbe flips it per interleaved arm
+    * so both plans are timed in one JVM. Always true in production. */
+  private[graft] var fanScanEnabled = true
 }
 
 /** Canonical reads of the driver fixture tables (TESTDATA.md). One place

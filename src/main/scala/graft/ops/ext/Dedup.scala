@@ -201,7 +201,10 @@ object Dedup {
     * one split. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Caching.persist(
-      Tables(spark, dir).documents
+      // fanScan: the split + shingle CASE chain is the cache BUILD cost
+      // and otherwise runs in the scan's single task (r17); the cached
+      // frame then carries the 32-way layout to every consumer
+      graft.engine.Graft.fanScan(Tables(spark, dir).documents, col("doc_id"))
         .withColumn("w", split(trim(col("text")), "\\s+"))
         .filter(size(col("w")) >= 3)
         .withColumn("sh", expr(shingleExpr))
@@ -748,7 +751,11 @@ object Dedup {
 
   /** [[dupPassages]] over any `(doc_id, text)` frame (spec entry). */
   private[graft] def dupPassagesOf(docs: DataFrame): DataFrame = {
-    val d = docs
+    // fan the unsplittable doc scan BEFORE the tokenize/window/md5 chain
+    // (Graft.fanScan: the whole per-window hash pipeline otherwise runs
+    // in the scan's single task); keyed by doc_id so the pre-agg's
+    // (ghash, doc_id) exchange stays the only wide hop
+    val d = graft.engine.Graft.fanScan(docs, col("doc_id"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         expr(TextAnalysis.ngramExpr(PassageN, distinct = false)).as("gr"))
@@ -1184,7 +1191,12 @@ object Dedup {
   /** [[cdcChunkDedup]] over any `(doc_id, text)` frame (spec entry). */
   private[graft] def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    // fanScan by doc_id: parallelizes the tokenize/md5-per-token chain
+    // out of the single-row-group scan task AND pre-satisfies the
+    // boundary window's and the chunk agg's doc_id clustering — the
+    // exchange that used to carry the full TOKEN stream now carries
+    // doc-grain rows (~16× fewer bytes at CdcMod=16)
+    val toks = graft.engine.Graft.fanScan(docs, col("doc_id"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"), posexplode(col("w")).as(Seq("j", "t")))
     val marked = toks.withColumn("is_b",

@@ -1179,9 +1179,14 @@ object TextAnalysis {
     * round(,6) on the final mean, as in tx10. */
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val lam = s"cast('$LmLambda' as double)"
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 1)
+    // fanScan + persist (r17): `docs` feeds THREE consumers (uni via
+    // toks, the bigram explode, firstLl) — unpersisted, the corpus was
+    // read and regex-tokenized three times, each pass inside the
+    // single-row-group scan task; now tokenization runs once, 32-way
+    val docs = graft.engine.Caching.persist(
+      graft.engine.Graft.fanScan(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1))
     val toks = docs.select(col("doc_id"), explode(col("w")).as("tok"))
     val uni = graft.engine.Caching.persist(
       toks.groupBy("tok").agg(count(lit(1)).as("n_uni")))
