@@ -85,7 +85,16 @@ object Pipelines {
   def bronzeIngest(spark: SparkSession, sfDir: String, outDir: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     bronzeProjection(eventsStream(spark, sfDir))
-      .repartition(col("event_date"), col("event_hour"))
+      // Explicit partition count (r17): with a bare repartition(cols),
+      // AQE (on for STATELESS streaming in Spark 4) coalesces the
+      // exchange to ~64 MB blocks — measured 3 writer tasks serially
+      // writing 240 hour-files EACH at sf0.1 (4.7 s of the 5.0 s drain
+      // was addBatch). The advisory size is blind to the per-writer
+      // fan-out of a partitionBy sink (one file per owned hour). Pinning
+      // cluster parallelism keeps one writer per core; hash(date, hour)
+      // still maps each hour to exactly one task → one file per hour.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("event_date"), col("event_hour"))
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -257,7 +266,11 @@ object Pipelines {
           spark.createDataFrame(dateBuckets.toSeq).toDF("event_date", "n_buckets"))
         val packed = mat.join(bucketsDf, Seq("event_date"))
           .withColumn("file_bucket", pmod(hash(col("event_id")), col("n_buckets")))
-          .repartition(col("event_date"), col("file_bucket"))
+          // explicit count for the same AQE-coalesce reason as
+          // bronzeIngest: keep one writer task per core; (date, bucket)
+          // still lands whole on one task, so file sizing is unchanged
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("event_date"), col("file_bucket"))
           .drop("file_bucket", "n_buckets")
         // conf on the session the WRITE reads it from — packed's own
         // (see BatchIO.withDynamicPartitionOverwrite's session note)
