@@ -201,14 +201,20 @@ object Dedup {
     * one split. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Caching.persist(
-      // fanScan: the split + shingle CASE chain is the cache BUILD cost
-      // and otherwise runs in the scan's single task (r17); the cached
-      // frame then carries the 32-way layout to every consumer
-      graft.engine.Graft.fanScan(Tables(spark, dir).documents, col("doc_id"))
-        .withColumn("w", split(trim(col("text")), "\\s+"))
-        .filter(size(col("w")) >= 3)
-        .withColumn("sh", expr(shingleExpr))
-        .select("doc_id", "sh"))
+      // fanScanBuild (r18, VERDICT #1): the split + shingle CASE chain —
+      // the cache BUILD cost — runs fanned across cores, but the CACHED
+      // frame is restored to the scan's own narrow layout. r17's plain
+      // fanScan pinned a 32-way layout into the cache, and every one of
+      // dd2b's ~10 consumer stages paid 32 tasks of scheduling overhead
+      // (2.1× wall, the round's one real regression); the narrow cache
+      // is exactly the r16 shape all consumers were tuned on.
+      graft.engine.Graft.fanScanBuild(
+        Tables(spark, dir).documents, col("doc_id")) { d =>
+        d.withColumn("w", split(trim(col("text")), "\\s+"))
+          .filter(size(col("w")) >= 3)
+          .withColumn("sh", expr(shingleExpr))
+          .select("doc_id", "sh")
+      })
 
   /** Band-bucket candidate id pairs for a shingled `(doc_id, sh)` frame —
     * bare ids only, no shingle array rides the bucket shuffle. Exposed

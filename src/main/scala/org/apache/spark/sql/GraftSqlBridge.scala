@@ -54,4 +54,26 @@ object GraftSqlBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** Scan-task count of a frame that is a NARROW chain over file scans,
+    * read from the planned leaves WITHOUT executing anything (ADVICE
+    * r17: `df.rdd.getNumPartitions` under AQE eagerly runs every
+    * upstream query stage when the plan holds exchanges, and throws on
+    * streaming frames). Returns None — "don't know, leave the frame
+    * alone" — when the plan contains any exchange or a non-file-scan
+    * leaf (cached relation, local relation, custom source): those
+    * already carry a partitioning fanScan must not second-guess. */
+  def narrowScanPartitions(df: DataFrame): Option[Int] = {
+    val plan = df.asInstanceOf[classic.DataFrame].queryExecution.executedPlan
+    val base = plan match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val leaves = base.collectLeaves()
+    val scans = leaves.collect { case s: execution.FileSourceScanExec => s }
+    val hasExchange =
+      base.find(_.isInstanceOf[execution.exchange.Exchange]).isDefined
+    if (hasExchange || scans.isEmpty || scans.size != leaves.size) None
+    else Some(scans.map(_.inputRDDs().map(_.getNumPartitions).sum).sum)
+  }
 }
