@@ -104,6 +104,50 @@ object Exact {
     (sum(scaled).cast(DecimalType(25, 0)) * lit(unscale)).cast(DecimalType(25, 6))
   }
 
+  /** Salt-bucket count for the two-level fixed-point sum ([[fixSumPart]]
+    * / [[fixSumCombine]]). 64 buckets push the d=4 per-(group,salt)
+    * overflow bound from ~sf 2×10⁴ to ~sf 10⁶ for the worst site (q1's
+    * ~6-group revenue sum) while keeping the intermediate grain
+    * (groups × 64) far too small to matter in any exchange. */
+  val FixSumSalts = 64
+
+  /** Deterministic salt column for two-level aggregation (guide §2.5:
+    * NEVER derive a repartition/grouping salt from rand() — retried map
+    * tasks redraw and rows double-count; a hash of a stable key
+    * reproduces identically under retry). */
+  def saltCol(key: Column, n: Int = FixSumSalts): Column =
+    pmod(xxhash64(key), lit(n.toLong))
+
+  /** Per-salt partial of [[fixSum]]: the exact scaled-LONG sum over one
+    * (group, salt) bucket. Combine per group with [[fixSumCombine]].
+    *
+    * Why two levels (r18, VERDICT #2 / ADVICE high): a single-level
+    * fixSum needs per-GROUP Σ|x|·10^d < 2⁶³, and at d=4 a
+    * low-cardinality grouping (q1's ~6 groups: the group sum IS the
+    * table sum) breaches that at ~sf 3×10⁴ — below the 100 TB design
+    * point (≈ sf 10⁵); ANSI mode turns the breach into a thrown query.
+    * Splitting each group into [[FixSumSalts]] deterministic salt
+    * buckets divides the per-LONG bound by the bucket count: each
+    * partial is an exact integer < 2⁶³ (bound now ~sf 10⁶ at d=4), and
+    * the per-group combine sums ≤ [[FixSumSalts]] exact longs in
+    * DECIMAL(25,0) — headroom 10²⁵, exact by construction. Value-
+    * identical to [[fixSum]] and therefore to [[decSum]] (integer
+    * addition reassociates freely; FixSumSpec pins all three equal). */
+  def fixSumPart(c: Column, decimals: Int): Column = {
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val pow = math.pow(10.0, decimals) // exact: 1, 100, 10000, 1000000
+    sum(floor(c * lit(pow) + lit(0.5)))
+  }
+
+  /** Combine [[fixSumPart]] partials per group, surfaced as DOUBLE —
+    * same edge value as [[fixSum]]/[[decSum]] of the unsplit group. */
+  def fixSumCombine(partial: Column, decimals: Int): Column = {
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val unscale = new java.math.BigDecimal(java.math.BigInteger.ONE, decimals)
+    (sum(partial.cast(DecimalType(25, 0))).cast(DecimalType(25, 0)) * lit(unscale))
+      .cast(DecimalType(25, 6)).cast("double")
+  }
+
   /** [[decSum]] as a SQL fragment — the ONE definition of the
     * oracle-parity cast chain (it previously lived as four identical
     * private copies; a precision change must move every SQL surface

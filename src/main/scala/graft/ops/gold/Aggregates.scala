@@ -18,17 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  /** A1 at TPC-H-Q1 shape: the canonical hash aggregate. */
+  /** A1 at TPC-H-Q1 shape: the canonical hash aggregate.
+    *
+    * Two-level sum (r18, VERDICT #2): ~6 groups means each group's sum
+    * is ~1/6 of the table sum, so a single-level d=4 LONG partial
+    * (`sum_disc_price`) breached 2⁶³ at ~sf 2×10⁴ — below the 100 TB
+    * design point. The inner aggregate sums per (group, orderkey-salt)
+    * bucket (bound now ~sf 10⁶, see [[Exact.fixSumPart]]); the outer
+    * combine adds ≤64 exact longs per group in DECIMAL. Value-identical
+    * (integer reassociation) — oracle SQL unchanged, still hash-green. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        Exact.saltCol(col("l_orderkey")).as("_salt"))
+      .agg(
+        Exact.fixSumPart(col("l_quantity"), 2).as("p_qty"),
+        Exact.fixSumPart(col("l_extendedprice"), 2).as("p_price"),
+        Exact.fixSumPart(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("p_dp"),
+        count(lit(1)).as("p_n"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        Exact.fixSum(col("l_quantity"), 2).as("sum_qty"),
-        Exact.fixSum(col("l_extendedprice"), 2).as("sum_base_price"),
-        Exact.fixSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-        (Exact.fixSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
-        (Exact.fixSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
-        count(lit(1)).as("count_order"))
+        Exact.fixSumCombine(col("p_qty"), 2).as("sum_qty"),
+        Exact.fixSumCombine(col("p_price"), 2).as("sum_base_price"),
+        Exact.fixSumCombine(col("p_dp"), 4).as("sum_disc_price"),
+        (Exact.fixSumCombine(col("p_qty"), 2) / sum("p_n")).as("avg_qty"),
+        (Exact.fixSumCombine(col("p_price"), 2) / sum("p_n")).as("avg_price"),
+        sum("p_n").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggOracle: String =
@@ -261,6 +276,10 @@ object Aggregates {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n"),
+        // d=4 bound OK single-level (r18 audit): qty² ≤ 2500, so
+        // per-group Σ|x|·10⁴ ≈ 2×10¹³·sf over 3 groups → breach at
+        // ~sf 5×10⁵, past the 100 TB design point — unlike the money
+        // products (|x| ≤ ~10⁵) that forced q1/j4/s16 to two levels.
         Exact.fixSum(col("l_quantity"), 2).as("s"),
         Exact.fixSum(col("l_quantity") * col("l_quantity"), 4).as("s2"),
         expr("percentile(l_quantity, 0.5d)").as("median_qty"))

@@ -67,6 +67,11 @@ object Revenue {
     val t = Tables(spark, dir)
     import org.apache.spark.sql.types.DecimalType
     val agg = silverTrades(t)
+      // d=4 overflow bound (r18 audit): the group key (event_date,
+      // symbol) GROWS with the corpus — per-group volume is one
+      // symbol-day of trades, so Σ|notional|·10⁴ per group stays
+      // ~2×10¹²·sf/(days·symbols) ≪ 2⁶³ at sf 10⁵ (≈4×10⁶ bound).
+      // No two-level split needed here, unlike the ~6-group q1 shape.
       .groupBy("event_date", "symbol")
       .agg(Exact.fixSumRaw(col("notional"), 4).as("tn_dec"))
     val rules = rulesDf(spark)

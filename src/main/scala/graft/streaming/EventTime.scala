@@ -306,7 +306,14 @@ object EventTime {
     ohlcvBarsOf(Tables(spark, dir).events)
 
   /** The one OHLCV aggregate list, shared verbatim by the batch form
-    * and the append-mode stream so the two can never drift. */
+    * and the append-mode stream so the two can never drift.
+    *
+    * UPGRADE NOTE (r17 ADVICE): the r17 decSum→fixSum switch changed the
+    * streaming AGGREGATION STATE SCHEMA (DECIMAL(25,6) sum buffer →
+    * LONG). Resuming a structured-streaming checkpoint written by the
+    * pre-r17 build fails the state-store schema compatibility check —
+    * deliberate and loud; discard such checkpoints on upgrade (every
+    * bench/test drain already starts from a fresh checkpoint). */
   private def ohlcvAggs: Seq[org.apache.spark.sql.Column] = Seq(
     min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
     max(col("value")).as("high"),

@@ -79,6 +79,47 @@ class FixSumSpec extends AnyFunSuite with SparkFixture {
     assertEqual(df4, Exact.decSum(col("v")), Exact.fixSum(col("v"), 4), Seq("k"))
   }
 
+  /** r18 (VERDICT #2): the two-level salted form replaced single-level
+    * fixSum at the low-cardinality d=4 sites (q1/j4/s16) whose per-group
+    * LONG bound fell below the 100 TB design point. Equality holds by
+    * integer reassociation; pinned here on fixtures and the randomized
+    * domain, against BOTH decSum and single-level fixSum. */
+  private def twoLevel(df: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.Column,
+                       d: Int, keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.groupBy((keys.map(col) :+ Exact.saltCol(col("salt_key")).as("_salt")): _*)
+      .agg(Exact.fixSumPart(v, d).as("p"))
+      .groupBy(keys.map(col): _*)
+      .agg(Exact.fixSumCombine(col("p"), d).as("s"))
+
+  test("two-level fixSumPart/Combine == decSum == fixSum (fixtures + random)") {
+    val li = t.lineitem.withColumn("salt_key", col("l_orderkey"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val dp = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val two = twoLevel(li, dp, 4, keys)
+    val one = li.groupBy(keys.map(col): _*)
+      .agg(Exact.fixSum(dp, 4).as("s"))
+    val dec = li.groupBy(keys.map(col): _*)
+      .agg(Exact.decSum(dp).as("s"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+    assert(m(two) === m(dec))
+    assert(m(two) === m(one))
+
+    // randomized 4-decimal domain incl. nulls and an all-null group
+    val money4 = Gen.chooseNum(-1000000000L, 1000000000L).map(c => c / 10000.0)
+    val rows = (0 until 5000).map { i =>
+      val v = if (i % 20 == 19) None
+              else Some(money4.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+      (if (i % 100 == 0) 9999 else i % 7, i.toLong, v)
+    } ++ Seq((12345, -1L, None), (12345, -2L, None))
+    val df = rows.toDF("k", "salt_key", "v")
+    val t2 = twoLevel(df, col("v"), 4, Seq("k")).collect()
+      .map(r => r.get(0) -> r.get(1)).toMap
+    val t1 = df.groupBy("k").agg(Exact.decSum(col("v")).as("s")).collect()
+      .map(r => r.get(0) -> r.get(1)).toMap
+    assert(t2 === t1)
+  }
+
   test("fixSum diverges on >scale-decimal inputs (the documented ban)") {
     // 1.0000025's shortest repr rounds HALF_UP to 1.000003 in the
     // decimal cast, but its binary value sits below the midpoint, so
