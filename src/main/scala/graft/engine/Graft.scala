@@ -63,6 +63,20 @@ object Graft {
     // so the inferred guard is pure per-row recompute tax — excluded.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Let AQE coalesce CACHED plans' output partitioning too (r18,
+    // off by default). Every operator-internal persist whose last hop
+    // is an exchange (pr1's src-keyed edge cache, pr2's oriented-edge
+    // cache, the dedup bucket tables …) was otherwise frozen at
+    // initialPartitionNum (2×cpus) — Pr1Probe measured the edge cache
+    // at 64 partitions for ~15k rows each, and every downstream stage
+    // of every consumer paid 64 tasks of scheduling overhead (×3
+    // rounds in pr1; pr2's wedge join likewise). Pinned
+    // REPARTITION_BY_NUM caches (fanScan sites that WANT the width)
+    // are user-specified and stay untouched by AQE; coalesced hash
+    // partitioning still satisfies co-partitioned self-joins (both
+    // sides read the same cache), so pr2's zero-exchange wedge join
+    // keeps its shape — verified in the r18 plan receipts.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
     // RocksDB state store by default: the HDFS-backed provider keeps
     // every key's state on the executor heap — the first thing to OOM on
     // a 100 TB/day stream with long-horizon state (sessions, streaming

@@ -392,8 +392,18 @@ object Assertions {
     // idle; measured 2.24 s → ~1.5 s at sf0.1 (r17). Result map keyed
     // by table name, so completion order cannot affect the output.
     val screen: Map[String, (Long, Map[String, Long])] = {
+      // daemon threads + a bounded await (r17 ADVICE): with non-daemon
+      // workers and Duration.Inf, one wedged scan hung the query — and
+      // the driver — forever with no failure path; now a stuck scan
+      // surfaces as a TimeoutException and the daemon pool can never
+      // keep the JVM alive on its own
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        candidates.map(_._1).distinct.size)
+        candidates.map(_._1).distinct.size,
+        (r: Runnable) => {
+          val t = new Thread(r, "q9-screen-scan")
+          t.setDaemon(true)
+          t
+        })
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
@@ -409,7 +419,7 @@ object Assertions {
         }.toSeq
         scala.concurrent.Await
           .result(scala.concurrent.Future.sequence(futures),
-            scala.concurrent.duration.Duration.Inf)
+            scala.concurrent.duration.Duration(30, "min"))
           .toMap
       } finally pool.shutdown()
     }

@@ -93,7 +93,13 @@ object Pipelines {
       // fan-out of a partitionBy sink (one file per owned hour). Pinning
       // cluster parallelism keeps one writer per core; hash(date, hour)
       // still maps each hour to exactly one task → one file per hour.
-      .repartition(spark.sparkContext.defaultParallelism,
+      // shuffle.partitions, not defaultParallelism (r17 ADVICE): the
+      // latter snapshots whatever executors are registered at
+      // plan-build time — under dynamic allocation a near-empty cluster
+      // pins the writer width for the stream's whole lifetime; the conf
+      // is the operator-declared, scale-parameterised target
+      // (cpus-derived locally, cluster-sized in production).
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("event_date"), col("event_hour"))
       .writeStream
       .format("parquet")
@@ -269,7 +275,9 @@ object Pipelines {
           // explicit count for the same AQE-coalesce reason as
           // bronzeIngest: keep one writer task per core; (date, bucket)
           // still lands whole on one task, so file sizing is unchanged
-          .repartition(spark.sparkContext.defaultParallelism,
+          // conf-derived width, not the build-time defaultParallelism
+          // snapshot (r17 ADVICE — same reasoning as bronzeIngest)
+          .repartition(mat.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
             col("event_date"), col("file_bucket"))
           .drop("file_bucket", "n_buckets")
         // conf on the session the WRITE reads it from — packed's own
