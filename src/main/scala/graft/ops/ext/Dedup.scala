@@ -1284,17 +1284,27 @@ object Dedup {
     * [[ContainDfCap]]-survivor shingle space; a pair is emitted iff
     * either direction reaches [[ContainT]].
     *
-    * Candidate generation is EXACT prefix filtering (Chaudhuri et al.
-    * 2006 / PPJoin): order each doc's surviving shingles by ascending
-    * global document frequency (rarest first, hash tie-break); if
-    * cont_a ≥ t then A misses at most (1−t)·|S(A)| of its shingles in
-    * B, so A's prefix of ⌊(1−t)·|S(A)|⌋+1 rarest shingles MUST hit B —
-    * joining prefixes against survivor occurrences loses no qualifying
-    * pair (DedupSpec pins this against the all-pairs reference). The
-    * 100 TB shape: the prefix join's fan-out per shingle hash is
-    * (prefix occupancy) × df ≤ df ≤ [[ContainDfCap]] per occurrence —
-    * linear in surviving corpus volume, no all-pairs stage anywhere;
-    * shingles travel as 60-bit hashes.
+    * Pairing is the df-capped hash self-join COUNT form (r18, VERDICT
+    * #6 — the same shape as the oracle's `inter` CTE): survivor
+    * occurrences self-join on the 60-bit shingle hash and n_common is a
+    * per-pair count aggregate. [[ContainDfCap]] bounds the join fan-out
+    * at df ≤ 16 per occurrence — linear in surviving corpus volume, no
+    * all-pairs stage anywhere — and ONLY (doc_id, doc_id, count) rows
+    * ever cross an exchange (guide §2.3 "shuffle keys and metadata
+    * instead of payloads").
+    *
+    * History: r6–r17 used PPJoin prefix filtering (rarest-⌊(1−t)n⌋+1
+    * candidate join) with an array_intersect verify. That shape needed a
+    * per-doc sorted-ARRAY cache (collect_list + two sort_arrays — 1.3 s
+    * of the 4.3 s warm pipeline, Dd14Probe), a candidate dropDuplicates
+    * exchange, and two verify joins that ship ~50-element hash arrays
+    * per candidate — the heaviest rows in the query once the per-doc
+    * table outgrows a broadcast. Under the df cap BOTH forms are linear
+    * with constant-factor fan-out ≤ df; the count form deletes the array
+    * cache, the candidate stage and the array shuffles outright
+    * (measured 1.9 → 1.0 s at sf0.1; receipts in plans/r18/). Prefix
+    * filtering remains the right tool when df is UNCAPPED — here the cap
+    * is the operator's own boilerplate-shingle contract.
     * Ref analog: none — corpus-hygiene extension (same family as dd2/dd3). */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairsOf(shingleTable(spark, dir))
@@ -1307,52 +1317,36 @@ object Dedup {
     // IS document frequency; survivors keep df for the rarity ordering
     val dfreq = occ.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)
-    val surv = occ.join(dfreq, "h").select("doc_id", "h", "df")
-    // ONE doc_id aggregation — and ONE persisted artifact — serves
-    // every downstream shape: `dh` sorted by (df, h) yields the prefix
-    // by slice AT AGG TIME (`pre`), `hs` (hash-sorted, for the verify
-    // intersection) by a local transform+re-sort of the same array, and
-    // the candidate join's survivor side re-derives by EXPLODING `hs`
-    // from this cache instead of caching the per-shingle survivor table
-    // too (r12: dd14's second, shingle-grained persist competed with
-    // suite-resident caches and spilled — 2.2 s isolated vs 5.5–8.2 s
-    // in-suite; the per-doc row is the same information at a fraction
-    // of the storage). Prefix length
-    // = n − ⌈t·n⌉ + 1, all-integer: if cont ≥ t = Num/Den then the
-    // missing-shingle count n − inter ≤ n − ⌈t·n⌉, so the prefix must
-    // hit; ⌈Num·n/Den⌉ = (Num·n + Den − 1) div Den (the float form is
-    // one short whenever (1−t)·n is an exact integer)
-    val arr = Caching.persist(surv.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"),
-        count(lit(1)).as("n"))
-      .withColumn("plen",
-        col("n") - expr(s"(n * $ContainTNum + ${ContainTDen - 1}) div $ContainTDen") + 1)
-      .select(col("doc_id"), col("n"),
-        expr("transform(slice(dh, 1, int(plen)), x -> x.h)").as("pre"),
-        sort_array(expr("transform(dh, x -> x.h)")).as("hs")))
-    val cand = arr.select(col("doc_id").as("p_doc"), explode(col("pre")).as("h"))
-      .join(arr.select(col("doc_id").as("s_doc"), explode(col("hs")).as("h")),
-        Seq("h"))
-      .filter(col("p_doc") =!= col("s_doc"))
-      .select(least(col("p_doc"), col("s_doc")).as("doc_a"),
-        greatest(col("p_doc"), col("s_doc")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // dd2's join-back shape: candidates are bare id pairs; the survivor
-    // sets ride back as per-doc sorted arrays (one row per doc, not one
-    // per shingle), so the verify stage is |cand| rows through two
-    // doc_id-keyed joins + a local array intersection — no per-shingle
-    // explode ever crosses an exchange
-    arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a"))
-      .join(cand, Seq("doc_a"))
-      .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
-      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
-      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
+    // ONE persisted artifact, pre-partitioned by the join key WHILE
+    // caching (pr2's oriented-edge trick): the hash self-join then reads
+    // both sides from the same h-clustered cache with ZERO extra
+    // exchanges, and the per-doc size aggregate is the only other
+    // consumer. Shingle-grained rows, but narrow (8-byte doc_id +
+    // 8-byte hash) — a fraction of the per-doc ARRAY cache the r6–r17
+    // prefix form kept (r12's spill incident was that array cache plus
+    // a SECOND shingle-grained one; this form keeps exactly one).
+    val surv = Caching.persist(
+      occ.join(dfreq.select("h"), "h").select("doc_id", "h")
+        .repartition(col("h")))
+    // per-doc survivor counts: the denominator table for both ratios —
+    // doc-grain, broadcastable at any SF where doc ids are
+    val sz = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // n_common per pair as a COUNT over the df-capped hash self-join —
+    // identical to the oracle's `inter` CTE; `<` orders the pair so each
+    // shared hash contributes exactly one row per unordered pair
+    val pairs = surv.select(col("doc_id").as("doc_a"), col("h"))
+      .join(surv.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       // gate on integers (inter·Den ≥ Num·n), not the double ratios —
       // the doubles are display columns only
       .filter(col("n_common") * ContainTDen >= col("n_a") * ContainTNum ||
         col("n_common") * ContainTDen >= col("n_b") * ContainTNum)
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "cont_a", "cont_b")
       .orderBy("doc_a", "doc_b")
   }
