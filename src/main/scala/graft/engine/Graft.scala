@@ -95,6 +95,17 @@ object Graft {
     // healthy heap. 2 GiB is ~100x the sf0.1 state footprint and the
     // right ORDER for a real executor (native ≈ small multiple of heap
     // block cache share, not unbounded).
+    // Changelog checkpointing (r18, VERDICT #5): by default every
+    // micro-batch commit uploads RocksDB SST snapshot files into the
+    // checkpoint for EVERY store instance — StreamCostProbe3 measured
+    // ~0.4 s of commit per instance per batch, which made even the
+    // ZERO-ROW watermark-finalization batch cost ~0.9 s across the
+    // cpus-many stores (the dominant term of st2/st3's drains). With
+    // changelog checkpointing a commit writes only the batch's delta
+    // (snapshots roll up in the background) — the documented production
+    // setting for frequent micro-batches, and exactly proportional to
+    // work done instead of to store count.
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
     .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
     .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
