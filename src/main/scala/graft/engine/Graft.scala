@@ -77,6 +77,21 @@ object Graft {
     // sides read the same cache), so pr2's zero-exchange wedge join
     // keeps its shape — verified in the r18 plan receipts.
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
+    // Bloom-filter sizing ceilings (r18): DataFrameStatFunctions
+    // .bloomFilter routes through BloomFilterAggregate, which silently
+    // clamps BOTH its item estimate and its bit count to the runtime-
+    // bloom-filter conf ceilings (defaults 4e6 items / 2^26 bits = 8 MB).
+    // pr2's closing-edge prefilter asks for 1% fpp over the oriented
+    // edge count; at sf1 (12M edges) the default clamp mis-sized it to
+    // ~22% observed fpp (Pr2BloomProbe: kept 105.9M of 410.9M wedges
+    // instead of the ~23M a 1% filter passes). Ceilings sized to the
+    // engine's documented GraphRank.BloomMaxItems cap (2e8 items ⇒
+    // ~1.92e9 bits at 1%): filters stay optimally shaped up to the cap
+    // and the operator skips the filter beyond it. Also governs the
+    // optimizer's automatic runtime bloom injection, where these are
+    // upper bounds on estimate-driven sizing, not defaults.
+    .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "200000000")
+    .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "2000000000")
     // RocksDB state store by default: the HDFS-backed provider keeps
     // every key's state on the executor heap — the first thing to OOM on
     // a 100 TB/day stream with long-horizon state (sessions, streaming

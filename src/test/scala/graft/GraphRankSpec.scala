@@ -56,6 +56,28 @@ class GraphRankSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("triangles: bloom-prefiltered closing probe matches brute force on a random graph") {
+    // deterministic LCG graph, dense enough that the wedge stream is
+    // thousands of rows and the r18 closing-edge Bloom filter (no false
+    // negatives; false positives fall out of the join) does real work
+    var s = 12345L
+    def nxt(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s >>> 33 }
+    val edges = (1 to 1200).map { _ =>
+      val a = nxt() % 60; val b = nxt() % 60
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 < p._2).distinct
+    val adj = edges.toSet
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if adj((a, b)) && adj((a, c)) && adj((b, c))
+    } { expected(a) += 1; expected(b) += 1; expected(c) += 1 }
+    assert(expected.values.sum > 100, "fixture too sparse to exercise the filter")
+    assert(trianglesOf(edges) == expected.toMap)
+  }
+
   test("triangles: star graph (hot hub) yields zero triangles, bounded wedges") {
     // a 50-spoke star has no triangles; degree orientation points every
     // edge AWAY from the spokes into the hub, so the hub generates no
