@@ -19,7 +19,12 @@ object Pr2BloomProbe {
     val spark = Graft.configure(SparkSession.builder().master(s"local[${Graft.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(label: String)(f: => Long): Double = {
+    def time(label: String)(f: => Long): Long = {
+      val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[pr2bloom] $label: $dt%.2f s (n=$r)"); r
+    }
+    def timeD(label: String)(f: => Long): Double = {
       val t0 = System.nanoTime(); val r = f
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[pr2bloom] $label: $dt%.2f s (n=$r)"); dt
@@ -107,8 +112,8 @@ object Pr2BloomProbe {
     // interleave: B A B A ... so ambient drift hits both arms
     val base = Array.fill(n)(0.0); val bloom = Array.fill(n)(0.0)
     for (i <- 0 until n) {
-      bloom(i) = time(s"FULL bloom    #$i")(fullBloom())
-      base(i) = time(s"FULL baseline #$i")(fullBaseline())
+      bloom(i) = timeD(s"FULL bloom    #$i")(fullBloom())
+      base(i) = timeD(s"FULL baseline #$i")(fullBaseline())
     }
     def med(a: Array[Double]) = a.sorted.apply(a.length / 2)
     println(f"[pr2bloom] medians: baseline ${med(base)}%.2f s vs bloom ${med(bloom)}%.2f s")
